@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.model.Buckets
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalar/column function library.
+ *
+ * Everything here stays inside whole-stage codegen (built-in expressions)
+ * except the P² percentile evaluator, which is a deliberate scalar UDF over
+ * small per-bucket arrays (see [[p2Percentile]]).
+ */
+object GraftFunctions {
+
+  /**
+   * Filter-pattern semantics of the reference
+   * (core/metrics-core-service/.../PatternUtil.java:26-40):
+   * `"*"` matches everything, a leading `"!"` negates the regex, otherwise
+   * the value must FULLY match the Java regex (`Matcher.matches()`, hence
+   * the `^(?:...)$` anchoring — Spark's `rlike` is find()-semantics).
+   */
+  def filterPattern(value: Column, pattern: String): Column =
+    if (pattern == "*") value.isNotNull
+    else if (pattern.startsWith("!")) value.isNotNull && !value.rlike(anchored(pattern.substring(1)))
+    else value.isNotNull && value.rlike(anchored(pattern))
+
+  private def anchored(regex: String): String = "^(?:" + regex + ")$"
+
+  /** Bucket index `(time - start) div step` — exact long arithmetic
+    * (reference Buckets.java:77-88). Takes the column name so the integral
+    * `div` operator (no double rounding) can be used. */
+  def bucketIndex(timeCol: String, b: Buckets): Column =
+    expr(s"($timeCol - ${b.start}L) div ${b.step}L")
+
+  /** Bucket start/end timestamps for a bucket-index column. */
+  def bucketStart(bucket: Column, b: Buckets): Column = lit(b.start) + bucket * lit(b.step)
+  def bucketEnd(bucket: Column, b: Buckets): Column = bucketStart(bucket, b) + lit(b.step)
+
+  /**
+   * P² (Jain & Chlamtac 1985) streaming percentile — the estimator the
+   * reference feeds per bucket (NumericDataPointCollector.java:45-61 wraps
+   * commons-math `PSquarePercentile`). P² is order-sensitive, so callers
+   * must pass a deterministically ordered array (time-ascending, matching
+   * the reference's single-threaded per-bucket accumulation).
+   *
+   * Used for reference-parity results; the DuckDB-oracled queries use exact
+   * `percentile()` instead (see SparkEntry notes).
+   */
+  val p2Percentile: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (values: Seq[Double], quantile: Double) =>
+      if (values == null || values.isEmpty) None
+      else {
+        val p = new org.apache.commons.math3.stat.descriptive.rank.PSquarePercentile(quantile)
+        values.foreach(p.increment)
+        val r = p.getResult
+        if (r.isNaN) None else Some(r)
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // Vector functions over embedding columns (array<float> at rest, cast to
+  // double for exact cross-engine accumulation). Built on `zip_with` +
+  // `aggregate` so the fold is a strict left-to-right sum — deterministic
+  // and codegen-friendly, no UDF in the hot path.
+  // ---------------------------------------------------------------------
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  // ---------------------------------------------------------------------
+  // Hashing for dedup sketches (MinHash / SimHash). Uses Spark's built-in
+  // xxhash64 (codegen'd) as the base hash; the MinHash permutations are
+  // affine transforms modulo a Mersenne prime — all expressed as columns.
+  // ---------------------------------------------------------------------
+
+  val MersennePrime61: Long = (1L << 61) - 1
+
+  /** Deterministic affine permutation of a 64-bit hash, for MinHash. */
+  def affineHash(h: Column, a: Long, b: Long): Column =
+    pmod(pmod(h, lit(MersennePrime61)) * lit(a) + lit(b), lit(MersennePrime61))
+}

@@ -1,0 +1,335 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.model._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * The time-series operator library, over the canonical datapoint frame
+ * (columns: tenant_id, mtype, metric, time[epoch ms], n_value, l_value,
+ * avail, s_value, tags — mirroring the reference's fixed one-column-per-type
+ * schema, core/schema/.../bootstrap.groovy:101-115).
+ *
+ * All operators are declarative DataFrame plans: filters and projections
+ * push down to the parquet scan, aggregations get map-side partial
+ * aggregation, windows shuffle once on (metric) or (metric, bucket).
+ * Nothing collects to the driver.
+ */
+object MetricsOps {
+
+  /** F1 — time-range predicate, start inclusive / end exclusive
+    * (reference param/TimeRange.java:31-73). */
+  def inRange(range: TimeRange): Column =
+    col("time") >= range.start && col("time") < range.end
+
+  /**
+   * S4 + F9 + T1 + T2 — raw datapoint fetch: range scan, order by time,
+   * optional limit (reference DataAccessImpl.java:158-176, Order.java:30-74).
+   * The metric tie-break keeps LIMIT deterministic across runs.
+   */
+  def rawDataPoints(dp: DataFrame, range: TimeRange, order: Order = Order.Desc,
+                    limit: Int = 0): DataFrame = {
+    val filtered = dp.filter(inRange(range))
+    val sorted = order match {
+      case Order.Asc  => filtered.orderBy(col("time").asc, col("metric").asc)
+      case Order.Desc => filtered.orderBy(col("time").desc, col("metric").asc)
+    }
+    if (limit > 0) sorted.limit(limit) else sorted
+  }
+
+  /** F8 — cross-tier dedup: last-write-wins per (metric, time)
+    * (reference MetricsServiceImpl.java:685-687). */
+  def dedupTiers(dp: DataFrame): DataFrame =
+    dp.dropDuplicates("tenant_id", "mtype", "metric", "time")
+
+  // -----------------------------------------------------------------------
+  // A1/A2 — numeric bucket statistics + gap fill
+  // -----------------------------------------------------------------------
+
+  /**
+   * A1 — per-bucket numeric stats (reference
+   * transformers/NumericDataPointCollector.java:40-117): min, avg, median,
+   * max, sum, samples, plus requested percentiles.
+   *
+   * `exactPercentiles = true` computes exact interpolated percentiles with
+   * Spark's codegen'd `percentile` aggregate (distributed partial agg).
+   * `false` reproduces the reference's P² streaming estimator bit-for-bit:
+   * values are collected per bucket in time order and fed through
+   * commons-math `PSquarePercentile` — same library, same order, same
+   * result as the reference's single-threaded per-bucket accumulation.
+   */
+  def numericBucketStats(dp: DataFrame, b: Buckets,
+                         quantiles: Seq[Double] = Seq.empty,
+                         byMetric: Boolean = false,
+                         valueCol: String = "n_value",
+                         exactPercentiles: Boolean = true): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val in = dp
+      .filter(col("time") >= b.start && col("time") < b.end)
+      .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
+    val keys = if (byMetric) Seq(col("metric"), col("bucket")) else Seq(col("bucket"))
+
+    val base = Seq(
+      min(v).as("min"), avg(v).as("avg"), max(v).as("max"),
+      sum(v).as("sum"), count(v).as("samples"))
+
+    if (exactPercentiles) {
+      val pctAggs = (quantiles :+ 50.0).zipWithIndex.map { case (q, i) =>
+        val name = if (i == quantiles.size) "median" else pctColName(q)
+        percentile(v, lit(q / 100.0)).as(name)
+      }
+      in.groupBy(keys: _*).agg(base.head, (base.tail ++ pctAggs): _*)
+    } else {
+      // P² path: deterministic time-ordered per-bucket array. The reference
+      // appends an implicit extra p50 as the median, computed by its own
+      // estimator instance (NumericDataPointCollector.java:61).
+      val withArr = in
+        .groupBy(keys: _*)
+        .agg((base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).head,
+          (base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).tail: _*)
+        .withColumn("ordered", col("pts.v"))
+      val withPcts = quantiles.foldLeft(withArr) { (d, q) =>
+        d.withColumn(pctColName(q), GraftFunctions.p2Percentile(col("ordered"), lit(q)))
+      }
+      withPcts
+        .withColumn("median", GraftFunctions.p2Percentile(col("ordered"), lit(50.0)))
+        .drop("pts", "ordered")
+    }
+  }
+
+  def pctColName(q: Double): String = "p" + q.toString.replace('.', '_')
+
+  /**
+   * A2 — gap-filling densify: output exactly `b.count` buckets per key, with
+   * nulls for empty buckets (reference BucketPoint.java:66-83,
+   * NumericBucketPoint.java:106-108 NaN→null).
+   *
+   * The bucket spine is tiny (`b.count` rows) so Catalyst broadcasts it; per
+   * key the join is a broadcast hash join, no extra shuffle of `stats`.
+   */
+  def gapFill(stats: DataFrame, b: Buckets, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = stats.sparkSession
+    val spine0 = spark.range(b.count).toDF("bucket")
+    val spine =
+      if (keyCols.isEmpty) spine0
+      else stats.select(keyCols.map(col): _*).distinct().crossJoin(broadcast(spine0))
+    spine
+      .join(stats, keyCols :+ "bucket", "left")
+      .withColumn("bucket_start", GraftFunctions.bucketStart(col("bucket"), b))
+      .withColumn("bucket_end", GraftFunctions.bucketEnd(col("bucket"), b))
+  }
+
+  // -----------------------------------------------------------------------
+  // A4/A5 — stacked and pooled multi-metric stats
+  // -----------------------------------------------------------------------
+
+  /**
+   * A4 — stacked multi-metric stats (reference MetricsServiceImpl.java:942-965,
+   * SumNumericBucketPointCollector.java:32-88): compute A1 per metric, then
+   * per bucket SUM each statistic across metrics — including the percentile
+   * values (statistically odd, but that is the spec) — and report `samples`
+   * as the number of contributing (non-empty) metrics.
+   */
+  def stackedStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty,
+                   exactPercentiles: Boolean = true): DataFrame = {
+    val per = numericBucketStats(dp, b, quantiles, byMetric = true,
+      exactPercentiles = exactPercentiles)
+    val statCols = Seq("min", "avg", "median", "max", "sum") ++ quantiles.map(pctColName)
+    val aggs = statCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("samples")
+    per.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A5 — unstacked: pool all metrics' datapoints into a single A1. */
+  def pooledStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty): DataFrame =
+    numericBucketStats(dp, b, quantiles, byMetric = false)
+
+  // -----------------------------------------------------------------------
+  // A6 — tagged bucket stats
+  // -----------------------------------------------------------------------
+
+  /**
+   * A6 — filter datapoints by per-point tag patterns (F5: AND of filter
+   * patterns, reference TaggedBucketPointTransformer.java:53-64), then group
+   * by the combination of the actual tag values
+   * (TaggedDataPointCollector.java:38-85).
+   */
+  def taggedStats(dp: DataFrame, tagFilters: Map[String, String],
+                  quantiles: Seq[Double] = Seq.empty,
+                  valueCol: String = "n_value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val filtered = tagFilters.foldLeft(dp) { case (d, (k, pat)) =>
+      d.filter(GraftFunctions.filterPattern(element_at(col("tags"), k), pat))
+    }
+    val sortedKeys = tagFilters.keys.toSeq.sorted
+    val groupCols = sortedKeys.map(k => element_at(col("tags"), k).as(s"tag_$k"))
+    val pctAggs = quantiles.map(q => percentile(v, lit(q / 100.0)).as(pctColName(q)))
+    val aggs = Seq(
+      min(v).as("min"), avg(v).as("avg"), percentile(v, lit(0.5)).as("median"),
+      max(v).as("max"), sum(v).as("sum"), count(v).as("samples")) ++ pctAggs
+    filtered.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // -----------------------------------------------------------------------
+  // A3 — availability bucket statistics (ordered state machine)
+  // -----------------------------------------------------------------------
+
+  /**
+   * A3 — availability bucket stats, exact port of the reference state
+   * machine (AvailabilityDataPointCollector.java:34-109), re-expressed as
+   * window functions so it stays distributed:
+   *
+   *  - each point's state covers [its ts, next ts) within the bucket; the
+   *    FIRST point's state additionally covers [bucketStart, firstTs)
+   *    (first-segment attribution, :62-70);
+   *  - the last segment extends to bucket end (:91-100);
+   *  - `uptimeRatio = upDuration / step`;
+   *  - `notUpCount` counts not-UP segment STARTS (a not-UP first point
+   *    counts; consecutive not-UP points count once);
+   *  - `lastNotUptime` = end of the last not-UP segment (bucket end if the
+   *    bucket ends not-UP), 0 when the bucket has no not-UP time.
+   */
+  def availabilityBucketStats(dp: DataFrame, b: Buckets): DataFrame = {
+    val up = AvailabilityType.Up.code.toInt
+    val in = dp
+      .filter(col("time") >= b.start && col("time") < b.end)
+      .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
+    val w = Window.partitionBy(col("metric"), col("bucket")).orderBy(col("time"))
+    val seg = in
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seg_start",
+        when(col("rn") === 1, GraftFunctions.bucketStart(col("bucket"), b)).otherwise(col("time")))
+      .withColumn("seg_end",
+        coalesce(lead(col("time"), 1).over(w), GraftFunctions.bucketEnd(col("bucket"), b)))
+      .withColumn("dur", col("seg_end") - col("seg_start"))
+      .withColumn("prev_avail", lag(col("avail"), 1).over(w))
+
+    def stateMs(code: Int, name: String) =
+      coalesce(sum(when(col("avail") === code, col("dur"))), lit(0L)).as(name)
+
+    seg.groupBy(col("metric"), col("bucket")).agg(
+      stateMs(up, "up_ms"),
+      stateMs(AvailabilityType.Down.code.toInt, "down_ms"),
+      stateMs(AvailabilityType.Unknown.code.toInt, "unknown_ms"),
+      stateMs(AvailabilityType.Admin.code.toInt, "admin_ms"),
+      coalesce(max(when(col("avail") =!= up, col("seg_end"))), lit(0L)).as("last_not_uptime"),
+      sum(when(col("avail") =!= up && (col("prev_avail").isNull || col("prev_avail") === up), 1L)
+        .otherwise(0L)).as("not_up_count"),
+      count(lit(1)).as("samples")
+    ).withColumn("uptime_ratio", col("up_ms").cast("double") / lit(b.step.toDouble))
+  }
+
+  // -----------------------------------------------------------------------
+  // W1/F6 — rate derivation
+  // -----------------------------------------------------------------------
+
+  /**
+   * W1 — rate derivation (reference MetricsServiceImpl.java:858-883): over
+   * time-ordered adjacent pairs, emit `DataPoint(next.ts, 60000 * Δvalue /
+   * Δts)` (per-minute rate). For counters, pairs where `next < prev` are
+   * dropped first (counter reset, F6 :870-872) — the *pair* is dropped, the
+   * point still anchors the following pair. One shuffle on metric.
+   */
+  def rate(dp: DataFrame, isCounter: Boolean, valueCol: String = "n_value",
+           order: Order = Order.Asc, limit: Int = 0): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric")).orderBy(col("time"))
+    val raw = col(valueCol)
+    val paired = dp
+      .withColumn("prev_v", lag(raw, 1).over(w))
+      .withColumn("prev_t", lag(col("time"), 1).over(w))
+      .filter(col("prev_t").isNotNull)
+    val noResets = if (isCounter) paired.filter(raw >= col("prev_v")) else paired
+    val rated = noResets.select(
+      col("tenant_id"), col("mtype"), col("metric"), col("time"),
+      (lit(60000.0) * (raw.cast("double") - col("prev_v").cast("double"))
+        / (col("time") - col("prev_t")).cast("double")).as("rate"))
+    val sorted = order match {
+      case Order.Asc  => rated.orderBy(col("metric").asc, col("time").asc)
+      case Order.Desc => rated.orderBy(col("metric").asc, col("time").desc)
+    }
+    if (limit > 0) sorted.limit(limit) else sorted
+  }
+
+  /** W1 + A1 — rate stats: rate series bucketed through numericBucketStats
+    * (reference findRateStats, MetricsServiceImpl.java:892-899). */
+  def rateStats(dp: DataFrame, b: Buckets, isCounter: Boolean,
+                valueCol: String = "n_value", quantiles: Seq[Double] = Seq.empty): DataFrame =
+    numericBucketStats(rate(dp, isCounter, valueCol), b, quantiles, valueCol = "rate")
+
+  // -----------------------------------------------------------------------
+  // W2 — periods where predicate holds (gaps-and-islands)
+  // -----------------------------------------------------------------------
+
+  /**
+   * W2 — maximal runs where `predicate(value)` holds (reference
+   * MetricsServiceImpl.java:1026-1056). Emits [start, end] with end = the
+   * timestamp of the LAST point inside the run. Gaps-and-islands: island id
+   * = running count of predicate-false rows.
+   */
+  def periods(dp: DataFrame, predicate: Column): DataFrame = {
+    val w = Window.partitionBy(col("metric")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp.withColumn("flag", when(predicate, 1).otherwise(0))
+      .withColumn("island", sum(lit(1) - col("flag")).over(w))
+      .filter(col("flag") === 1)
+      .groupBy(col("metric"), col("island"))
+      .agg(min(col("time")).as("period_start"), max(col("time")).as("period_end"))
+      .drop("island")
+  }
+
+  // -----------------------------------------------------------------------
+  // F7/W3 — distinct-contiguous
+  // -----------------------------------------------------------------------
+
+  /** F7 — `distinct=true` semantics: drop a point when its value equals the
+    * previous point's value (reference MetricsServiceImpl.java:968-983). */
+  def distinctContiguous(dp: DataFrame, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("metric")).orderBy(col("time"))
+    dp.withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNull || col(valueCol) =!= col("__prev"))
+      .drop("__prev")
+  }
+
+  // -----------------------------------------------------------------------
+  // A7/A10 — whole-range scalars, min/max timestamps
+  // -----------------------------------------------------------------------
+
+  /** A7 — whole-range scalar aggregates over one fetch
+    * (reference Aggregate.java:33-58). */
+  def wholeRangeAggregates(dp: DataFrame, range: TimeRange, valueCol: String = "n_value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    dp.filter(inRange(range)).agg(
+      min(v).as("min"), avg(v).as("avg"), max(v).as("max"),
+      sum(v).as("sum"), count(v).as("samples"))
+  }
+
+  /** A10 — min/max data timestamp per metric (reference
+    * transformers/MinMaxTimestampTransformer.java). */
+  def minMaxTimestamps(dp: DataFrame): DataFrame =
+    dp.groupBy(col("tenant_id"), col("mtype"), col("metric"))
+      .agg(min(col("time")).as("min_time"), max(col("time")).as("max_time"))
+
+  // -----------------------------------------------------------------------
+  // A8/A9 — tag discovery over the catalog
+  // -----------------------------------------------------------------------
+
+  /**
+   * A8 — distinct tag values per queried tag name, with filter-pattern
+   * value filters (reference SimpleTagQueryParser.java:472-526). Returns
+   * (tname, tvalue) rows; `explode` replaces the reference's inverted index.
+   */
+  def tagValues(catalog: DataFrame, nameFilters: Map[String, String]): DataFrame = {
+    val exploded = catalog.select(explode(col("tags")).as(Seq("tname", "tvalue")))
+    val conds = nameFilters.map { case (k, pat) =>
+      col("tname") === k && GraftFunctions.filterPattern(col("tvalue"), pat)
+    }.reduce(_ || _)
+    exploded.filter(conds).distinct()
+  }
+
+  /** A9 — distinct tag names (reference SimpleTagQueryParser.java:528-544). */
+  def tagNames(catalog: DataFrame, filter: Option[String] = None): DataFrame = {
+    val names = catalog.select(explode(map_keys(col("tags"))).as("tname")).distinct()
+    filter.fold(names)(pat => names.filter(GraftFunctions.filterPattern(col("tname"), pat)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.model.{AvailabilityType, MetricType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Adapter from the driver's synthetic `events` table to the engine's
+ * canonical datapoint frame (tenant_id, mtype, metric, time, n_value,
+ * l_value, avail, s_value, tags).
+ *
+ * Mapping (deterministic, oracle-reproducible in ANSI SQL):
+ *  - metric    := event_type || '/' || user_id  (one series per type×user)
+ *  - time      := epoch millis of ts (exact integer ns div 1e6)
+ *  - n_value   := value (gauge)
+ *  - avail     := DOWN for 'error' events, UNKNOWN when value < 20, else UP
+ *  - l_value   := running-sum counter with synthetic resets (mod 5000)
+ *  - tags      := {"k": props.k} per-point tags (DataPoint.java:37-65 allows
+ *                 per-point tags, not just per-metric)
+ */
+object EventsAdapter {
+
+  /** Raw events; `ts` arrives as Long nanos (nanosAsLong). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  val Tenant = "acme"
+
+  /** Canonical gauge datapoints. */
+  def gaugePoints(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+      .withColumn("mtype", lit(MetricType.Gauge.code))
+      .withColumn("n_value", col("value"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .select("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+
+  /** Canonical availability datapoints (synthetic state mapping). */
+  def availabilityPoints(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+      .withColumn("mtype", lit(MetricType.Availability.code))
+      .withColumn("avail",
+        when(col("event_type") === "error", lit(AvailabilityType.Down.code.toInt))
+          .when(col("value") < 20.0, lit(AvailabilityType.Unknown.code.toInt))
+          .otherwise(lit(AvailabilityType.Up.code.toInt)))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .select("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+
+  /**
+   * Canonical counter datapoints: a monotonic running sum of floor(value)
+   * per metric, wrapped mod 5000 so counter resets occur (exercises the
+   * reset-drop path, reference MetricsServiceImpl.java:870-872).
+   */
+  def counterPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("metric")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base(spark, sfDir)
+      .withColumn("mtype", lit(MetricType.Counter.code))
+      .withColumn("l_value", pmod(sum(floor(col("value")).cast("long")).over(w), lit(5000L)))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .select("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+  }
+
+  /**
+   * Metric-definition catalog (replaces metrics_idx + metrics_tags_idx,
+   * reference bootstrap.groovy:117-137): one row per metric with
+   * metric-level tags {type, user, seg}.
+   */
+  def catalog(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .select(
+        lit(Tenant).as("tenant_id"),
+        lit(MetricType.Gauge.code).as("mtype"),
+        concat(col("event_type"), lit("/"), col("user_id")).as("metric"),
+        map(
+          lit("type"), col("event_type"),
+          lit("user"), col("user_id").cast("string"),
+          lit("seg"), concat(lit("s"), pmod(col("user_id"), lit(5)).cast("string"))
+        ).as("tags"))
+
+  private def base(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      lit(Tenant).as("tenant_id"),
+      concat(col("event_type"), lit("/"), col("user_id")).as("metric"),
+      expr("ts div 1000000").as("time"),
+      col("event_type"),
+      col("user_id"),
+      col("value"),
+      map(lit("k"), get_json_object(col("props"), "$.k")).as("tags"))
+}

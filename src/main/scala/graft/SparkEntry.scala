@@ -1,13 +1,571 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.operators._
+import graft.sources.EventsAdapter
+import graft.storage.GraftStorage
+import graft.tagquery.TagQueryParser
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the LLM-pipeline operators), each with a DuckDB
+ * `oracleSql` twin over the same parquet tables.
+ *
+ * Determinism contract with the oracle (so result hashes can match):
+ *  - double sums/averages go through DECIMAL(28,10) (exact, associative —
+ *    see MetricsOps.statAggs) and are reproduced with the same cast in SQL;
+ *  - percentile-family outputs are rounded to 4 decimals on both sides
+ *    (interpolation formulas may differ in the last ulp);
+ *  - every ordered+limited query carries a full deterministic sort key.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // fixed query window: the synthetic events span 2024-01-01 .. 2024-01-30
+  private val S = 1704067200000L            // 2024-01-01T00:00:00Z
+  private val E = 1706659200000L            // 2024-01-31T00:00:00Z (exclusive)
+  private val Week = S + 7L * 86400000L
+  private val Day = 86400000L
+
+  private def ea = EventsAdapter
+
+  // ------------------------------------------------------------------
+  // shared oracle SQL fragments (DuckDB dialect)
+  // ------------------------------------------------------------------
+
+  /** events → canonical datapoint mapping (mirror of EventsAdapter.base). */
+  private val BaseCte =
+    """base AS (
+      |  SELECT 'acme' AS tenant_id,
+      |         event_type || '/' || CAST(user_id AS VARCHAR) AS metric,
+      |         epoch_ms(ts) AS t,
+      |         event_type, user_id, event_id, value,
+      |         json_extract_string(props, '$.k') AS tag_k
+      |  FROM events)""".stripMargin
+
+  /** mirror of EventsAdapter.catalog (gauge): one row per metric. */
+  private val CatCte =
+    """cat AS (
+      |  SELECT DISTINCT 'acme' AS tenant_id, 0 AS mtype,
+      |         event_type || '/' || CAST(user_id AS VARCHAR) AS metric,
+      |         event_type, CAST(user_id AS VARCHAR) AS tag_user,
+      |         's' || CAST(user_id % 5 AS VARCHAR) AS seg
+      |  FROM events)""".stripMargin
+
+  /** mirror of EventsAdapter.availabilityPoints' avail mapping. */
+  private val AvailCte =
+    """av AS (
+      |  SELECT metric, t, CASE WHEN event_type = 'error' THEN 1
+      |                         WHEN value < 20.0 THEN 2 ELSE 0 END AS avail
+      |  FROM base)""".stripMargin
+
+  /** mirror of EventsAdapter.counterPoints (running sum mod 5000). */
+  private val CounterCte =
+    """ctr AS (
+      |  SELECT metric, t, CAST(sum(CAST(floor(value) AS BIGINT)) OVER (
+      |           PARTITION BY metric ORDER BY t, event_id
+      |           ROWS UNBOUNDED PRECEDING) % 5000 AS BIGINT) AS l_value
+      |  FROM base)""".stripMargin
+
+  /** exact decimal-backed double sum (see MetricsOps.statAggs). */
+  private def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(28,10))) AS DOUBLE)"
+
+  /** the five base stats + optional percentiles, DuckDB side. */
+  private def statSql(v: String, pcts: Seq[Double]): String = {
+    val pctCols = pcts.map(q =>
+      s"round(quantile_cont($v, ${q / 100.0}), 4) AS ${MetricsOps.pctColName(q)}").mkString(", ")
+    s"""min($v) AS "min", ${dsum(v)}/count($v) AS avg, max($v) AS "max",
+       |${dsum(v)} AS sum, count($v) AS samples${if (pctCols.nonEmpty) ", " + pctCols else ""},
+       |round(quantile_cont($v, 0.5), 4) AS median""".stripMargin
+  }
+
+  // Spark side: round the percentile-family columns to match
+  private def roundPcts(df: DataFrame, pcts: Seq[Double]): DataFrame =
+    (pcts.map(MetricsOps.pctColName) :+ "median").foldLeft(df) { (d, c) =>
+      d.withColumn(c, round(col(c), 4))
+    }
+
+  private def gauge(s: SparkSession, dir: String) = ea.gaugePoints(s, dir)
+  private def avail(s: SparkSession, dir: String) = ea.availabilityPoints(s, dir)
+  private def ctr(s: SparkSession, dir: String) = ea.counterPoints(s, dir)
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Flagship (EP1 end-to-end): gauge bucket stats with percentiles + gap
+    * fill on sf0.001 — SURVEY §7 "minimum end-to-end slice". */
+  def entry(spark: SparkSession): DataFrame = {
+    val b = Buckets.fromCount(S, E, 60)
+    roundPcts(
+      MetricsOps.gapFill(
+        MetricsOps.numericBucketStats(gauge(spark, "/root/testdata/sf0.001"), b, Seq(90.0, 99.0)), b),
+      Seq(90.0, 99.0))
+  }
+
+  // ------------------------------------------------------------------
+  // the operator queries
+  // ------------------------------------------------------------------
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- S4/F1/F9/T1/T2: raw fetch, ordered + limited --------------------
+    ("raw_fetch_desc",
+      (s: SparkSession, d: String) =>
+        MetricsOps.rawDataPoints(gauge(s, d), TimeRange(S, Week), Order.Desc, 500)
+          .select(col("metric"), col("time"), col("n_value")),
+      Some(s"""WITH $BaseCte
+              |SELECT metric, t AS "time", value AS n_value FROM base
+              |WHERE t >= $S AND t < $Week ORDER BY t DESC, metric ASC LIMIT 500""".stripMargin)),
+
+    ("raw_fetch_asc",
+      (s: SparkSession, d: String) =>
+        MetricsOps.rawDataPoints(gauge(s, d), TimeRange(S, Week), Order.Asc, 500)
+          .select(col("metric"), col("time"), col("n_value")),
+      Some(s"""WITH $BaseCte
+              |SELECT metric, t AS "time", value AS n_value FROM base
+              |WHERE t >= $S AND t < $Week ORDER BY t ASC, metric ASC LIMIT 500""".stripMargin)),
+
+    // ---- A1/A2: pooled bucket stats + gap fill ---------------------------
+    ("gauge_stats", (s: SparkSession, d: String) => {
+      val b = Buckets.fromCount(S, E, 60)
+      roundPcts(MetricsOps.gapFill(
+        MetricsOps.numericBucketStats(gauge(s, d), b, Seq(90.0, 99.0)), b), Seq(90.0, 99.0))
+        .select("bucket", "bucket_start", "bucket_end", "min", "avg", "max", "sum",
+          "samples", "p90_0", "p99_0", "median")
+    },
+      Some(s"""WITH $BaseCte,
+              |ag AS (SELECT (t - $S) // 43200000 AS bucket, ${statSql("value", Seq(90.0, 99.0))}
+              |       FROM base WHERE t >= $S AND t < $E GROUP BY 1)
+              |SELECT g.bucket, $S + g.bucket * 43200000 AS bucket_start,
+              |       $S + (g.bucket + 1) * 43200000 AS bucket_end,
+              |       ag."min", ag.avg, ag."max", ag.sum, ag.samples, ag.p90_0, ag.p99_0, ag.median
+              |FROM range(60) g(bucket) LEFT JOIN ag ON ag.bucket = g.bucket""".stripMargin)),
+
+    // ---- A1/A2 sparse: single metric, hourly buckets, real gaps ----------
+    ("gauge_stats_sparse", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S, E, 3600000L)
+      roundPcts(MetricsOps.gapFill(
+        MetricsOps.numericBucketStats(gauge(s, d).filter(col("metric") === "click/42"), b, Seq.empty), b),
+        Seq.empty)
+        .select("bucket", "bucket_start", "bucket_end", "min", "avg", "max", "sum", "samples", "median")
+    },
+      Some(s"""WITH $BaseCte,
+              |ag AS (SELECT (t - $S) // 3600000 AS bucket, ${statSql("value", Seq.empty)}
+              |       FROM base WHERE t >= $S AND t < $E AND metric = 'click/42' GROUP BY 1)
+              |SELECT g.bucket, $S + g.bucket * 3600000 AS bucket_start,
+              |       $S + (g.bucket + 1) * 3600000 AS bucket_end,
+              |       ag."min", ag.avg, ag."max", ag.sum, ag.samples, ag.median
+              |FROM range(720) g(bucket) LEFT JOIN ag ON ag.bucket = g.bucket""".stripMargin)),
+
+    // ---- A1 by metric ----------------------------------------------------
+    ("gauge_stats_by_metric", (s: SparkSession, d: String) => {
+      val b = Buckets.fromCount(S, Week, 14)
+      roundPcts(
+        MetricsOps.numericBucketStats(gauge(s, d), b, Seq(95.0), byMetric = true), Seq(95.0))
+        .select("metric", "bucket", "min", "avg", "max", "sum", "samples", "p95_0", "median")
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, (t - $S) // 43200000 AS bucket, ${statSql("value", Seq(95.0))}
+              |FROM base WHERE t >= $S AND t < $Week GROUP BY 1, 2""".stripMargin)),
+
+    // ---- A4: stacked multi-metric stats ----------------------------------
+    ("stacked_stats", (s: SparkSession, d: String) => {
+      val b = Buckets.fromCount(S, E, 60)
+      val st = MetricsOps.stackedStats(gauge(s, d), b, Seq(90.0))
+      st.select(Seq(col("bucket")) ++
+        Seq("min", "avg", "median", "max", "sum", "p90_0").map(c => round(col(c), 4).as(c)) :+
+        col("samples"): _*)
+    },
+      Some(s"""WITH $BaseCte,
+              |per AS (SELECT metric, (t - $S) // 43200000 AS bucket, ${statSql("value", Seq(90.0))}
+              |        FROM base WHERE t >= $S AND t < $E GROUP BY 1, 2)
+              |SELECT bucket, round(${dsum("\"min\"")}, 4) AS "min", round(${dsum("avg")}, 4) AS avg,
+              |       round(${dsum("median")}, 4) AS median, round(${dsum("\"max\"")}, 4) AS "max",
+              |       round(${dsum("sum")}, 4) AS sum, round(${dsum("p90_0")}, 4) AS p90_0,
+              |       count(*) AS samples
+              |FROM per GROUP BY bucket""".stripMargin)),
+
+    // ---- A5: pooled = gauge_stats (different grid to still exercise it) --
+    ("pooled_stats", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S, E, Day)
+      roundPcts(MetricsOps.pooledStats(gauge(s, d), b, Seq(50.0)), Seq(50.0))
+        .select("bucket", "min", "avg", "max", "sum", "samples", "p50_0", "median")
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT (t - $S) // $Day AS bucket, ${statSql("value", Seq(50.0))}
+              |FROM base WHERE t >= $S AND t < $E GROUP BY 1""".stripMargin)),
+
+    // ---- A6/F5: tagged bucket stats (per-point tag filter + group) -------
+    ("tagged_stats", (s: SparkSession, d: String) =>
+      roundPcts(MetricsOps.taggedStats(gauge(s, d), Map("k" -> "[1-3][0-9]"), Seq(95.0)), Seq(95.0))
+        .select("tag_k", "min", "avg", "max", "sum", "samples", "p95_0", "median"),
+      Some(s"""WITH $BaseCte
+              |SELECT tag_k, ${statSql("value", Seq(95.0))}
+              |FROM base WHERE regexp_full_match(tag_k, '[1-3][0-9]') GROUP BY 1""".stripMargin)),
+
+    // ---- A3: availability bucket state machine ---------------------------
+    ("avail_stats", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S, E, Day)
+      MetricsOps.availabilityBucketStats(avail(s, d), b)
+        .select("metric", "bucket", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |b AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |      FROM av WHERE t >= $S AND t < $E),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t))
+              |SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |FROM seg GROUP BY metric, bucket""".stripMargin)),
+
+    // ---- W1/F6: counter rate with reset-pair drop ------------------------
+    ("counter_rate", (s: SparkSession, d: String) =>
+      MetricsOps.rate(ctr(s, d), isCounter = true, valueCol = "l_value")
+        .select("metric", "time", "rate"),
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric, t AS "time",
+              |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v""".stripMargin)),
+
+    // ---- W1: gauge rate --------------------------------------------------
+    ("gauge_rate", (s: SparkSession, d: String) =>
+      MetricsOps.rate(gauge(s, d), isCounter = false)
+        .select("metric", "time", "rate"),
+      Some(s"""WITH $BaseCte,
+              |r AS (SELECT metric, t, value, lag(value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM base WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric, t AS "time",
+              |       60000.0 * (value - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |FROM r WHERE prev_t IS NOT NULL""".stripMargin)),
+
+    // ---- W1+A1: rate stats ----------------------------------------------
+    ("rate_stats", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S, E, Day)
+      roundPcts(MetricsOps.rateStats(ctr(s, d), b, isCounter = true, valueCol = "l_value"), Seq.empty)
+        .select("bucket", "min", "avg", "max", "sum", "samples", "median")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
+              |SELECT (t - $S) // $Day AS bucket, ${statSql("rate", Seq.empty)}
+              |FROM rt WHERE t >= $S AND t < $E GROUP BY 1""".stripMargin)),
+
+    // ---- W2: periods where value > 75 ------------------------------------
+    ("periods_gt75", (s: SparkSession, d: String) =>
+      MetricsOps.periods(gauge(s, d), col("n_value") > 75.0)
+        .select("metric", "period_start", "period_end"),
+      Some(s"""WITH $BaseCte,
+              |g AS (SELECT metric, t, CASE WHEN value > 75.0 THEN 1 ELSE 0 END AS flag FROM base),
+              |i AS (SELECT metric, t, flag, sum(1 - flag) OVER (
+              |        PARTITION BY metric ORDER BY t ROWS UNBOUNDED PRECEDING) AS island FROM g)
+              |SELECT metric, min(t) AS period_start, max(t) AS period_end
+              |FROM i WHERE flag = 1 GROUP BY metric, island""".stripMargin)),
+
+    // ---- F7/W3: distinct-contiguous (availability + string) --------------
+    ("distinct_avail", (s: SparkSession, d: String) =>
+      MetricsOps.distinctContiguous(avail(s, d), "avail").select("metric", "time", "avail"),
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |x AS (SELECT metric, t, avail, lag(avail) OVER (PARTITION BY metric ORDER BY t) AS p FROM av)
+              |SELECT metric, t AS "time", avail FROM x WHERE p IS NULL OR avail <> p""".stripMargin)),
+
+    ("distinct_string", (s: SparkSession, d: String) =>
+      MetricsOps.distinctContiguous(ea.stringPoints(s, d), "s_value").select("metric", "time", "s_value"),
+      Some(s"""WITH $BaseCte,
+              |sv AS (SELECT metric, t, CASE WHEN value >= 66.0 THEN 'high'
+              |                              WHEN value >= 33.0 THEN 'mid' ELSE 'low' END AS s_value
+              |       FROM base),
+              |x AS (SELECT metric, t, s_value, lag(s_value) OVER (PARTITION BY metric ORDER BY t) AS p FROM sv)
+              |SELECT metric, t AS "time", s_value FROM x WHERE p IS NULL OR s_value <> p""".stripMargin)),
+
+    // ---- S3: string ingest size cap --------------------------------------
+    ("string_size_cap", (s: SparkSession, d: String) =>
+      ea.stringPoints(s, d).filter(length(col("s_value")) <= 3)
+        .select("metric", "time", "s_value"),
+      Some(s"""WITH $BaseCte,
+              |sv AS (SELECT metric, t, CASE WHEN value >= 66.0 THEN 'high'
+              |                              WHEN value >= 33.0 THEN 'mid' ELSE 'low' END AS s_value
+              |       FROM base)
+              |SELECT metric, t AS "time", s_value FROM sv WHERE length(s_value) <= 3""".stripMargin)),
+
+    // ---- A7: whole-range scalar aggregates -------------------------------
+    ("whole_range", (s: SparkSession, d: String) =>
+      MetricsOps.wholeRangeAggregates(gauge(s, d), TimeRange(S, E)),
+      Some(s"""WITH $BaseCte
+              |SELECT min(value) AS "min", ${dsum("value")}/count(value) AS avg, max(value) AS "max",
+              |       ${dsum("value")} AS sum, count(value) AS samples
+              |FROM base WHERE t >= $S AND t < $E""".stripMargin)),
+
+    // ---- A10: min/max timestamp per metric -------------------------------
+    ("minmax_ts", (s: SparkSession, d: String) =>
+      MetricsOps.minMaxTimestamps(gauge(s, d)).select("metric", "min_time", "max_time"),
+      Some(s"""WITH $BaseCte
+              |SELECT metric, min(t) AS min_time, max(t) AS max_time FROM base GROUP BY 1""".stripMargin)),
+
+    // ---- F8: deterministic last-write-wins dedup -------------------------
+    ("dedup_lww", (s: SparkSession, d: String) => {
+      val t1 = gauge(s, d).withColumn("tier", lit(1))
+      val t2 = gauge(s, d).filter(col("n_value") > 400.0)
+        .withColumn("n_value", col("n_value") * 2).withColumn("tier", lit(2))
+      MetricsOps.dedupTiers(t1.unionByName(t2), "tier").select("metric", "time", "n_value")
+    },
+      Some(s"""WITH $BaseCte,
+              |u AS (SELECT metric, t, value, 1 AS tier FROM base
+              |      UNION ALL SELECT metric, t, value * 2, 2 FROM base WHERE value > 400.0)
+              |SELECT metric, t AS "time", value AS n_value FROM u
+              |QUALIFY row_number() OVER (PARTITION BY metric, t ORDER BY tier DESC) = 1""".stripMargin)),
+
+    // ---- A8: distinct tag values (catalog explode) -----------------------
+    ("tag_values", (s: SparkSession, d: String) =>
+      MetricsOps.tagValues(ea.catalog(s, d), Map("type" -> "*", "seg" -> "s[0-2]")),
+      Some(s"""WITH $CatCte,
+              |x AS (SELECT 'type' AS tname, event_type AS tvalue FROM cat
+              |      UNION ALL SELECT 'user', tag_user FROM cat
+              |      UNION ALL SELECT 'seg', seg FROM cat)
+              |SELECT DISTINCT tname, tvalue FROM x
+              |WHERE tname = 'type' OR (tname = 'seg' AND regexp_full_match(tvalue, 's[0-2]'))""".stripMargin)),
+
+    // ---- A9: distinct tag names ------------------------------------------
+    ("tag_names", (s: SparkSession, d: String) => MetricsOps.tagNames(ea.catalog(s, d)),
+      Some("SELECT * FROM (VALUES ('type'), ('user'), ('seg')) AS t(tname)")),
+
+    // ---- EP3/J1/J2/O1-O5: tag-query language over the catalog ------------
+    ("tagquery_ids", (s: SparkSession, d: String) => {
+      val c = ea.catalog(s, d)
+      c.filter(TagQueryParser.compile("(type = error AND seg IN [s0, s1]) OR user ~ '14.*'", col("tags")))
+        .select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat
+              |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
+              |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
+
+    ("tagquery_not", (s: SparkSession, d: String) => {
+      val c = ea.catalog(s, d)
+      c.filter(TagQueryParser.compile("type != view AND NOT zone AND seg NOT IN [s4]", col("tags")))
+        .select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat
+              |WHERE event_type <> 'view' AND NOT regexp_full_match(seg, 's4')""".stripMargin)),
+
+    ("tagquery_pattern_neg", (s: SparkSession, d: String) => {
+      val c = ea.catalog(s, d)
+      // `~ '!s[0-3]'` exercises PatternUtil's leading-! negation (F2)
+      c.filter(TagQueryParser.compile("seg ~ '!s[0-3]'", col("tags"))).select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat WHERE NOT regexp_full_match(seg, 's[0-3]')""".stripMargin)),
+
+    // ---- J4+J3+A1: tag query → datapoints → stats ------------------------
+    ("tagquery_to_stats", (s: SparkSession, d: String) => {
+      val ids = ea.catalog(s, d).filter(TagQueryParser.compile("type = purchase", col("tags")))
+      val b = Buckets.fromCount(S, E, 30)
+      roundPcts(
+        MetricsOps.numericBucketStats(MetricsOps.dataPointsForIds(gauge(s, d), ids), b, Seq.empty),
+        Seq.empty)
+        .select("bucket", "min", "avg", "max", "sum", "samples", "median")
+    },
+      Some(s"""WITH $BaseCte, $CatCte
+              |SELECT (t - $S) // 86400000 AS bucket, ${statSql("value", Seq.empty)}
+              |FROM base WHERE t >= $S AND t < $E
+              |  AND metric IN (SELECT metric FROM cat WHERE event_type = 'purchase')
+              |GROUP BY 1""".stripMargin)),
+
+    // ---- J3: explicit id list → datapoints -------------------------------
+    ("fetch_by_ids", (s: SparkSession, d: String) =>
+      MetricsOps.dataPointsForIds(gauge(s, d), Seq("click/7", "error/23", "view/88"))
+        .select("metric", "time", "n_value"),
+      Some(s"""WITH $BaseCte
+              |SELECT metric, t AS "time", value AS n_value FROM base
+              |WHERE metric IN ('click/7', 'error/23', 'view/88')""".stripMargin)),
+
+    // ---- J5+A10: definition enrichment -----------------------------------
+    ("metric_defs", (s: SparkSession, d: String) =>
+      MetricsOps.enrichDefinitions(ea.catalog(s, d), gauge(s, d))
+        .select(col("metric"), element_at(col("tags"), "type").as("tag_type"),
+          element_at(col("tags"), "seg").as("tag_seg"),
+          col("min_time"), col("max_time"), col("data_retention")),
+      Some(s"""WITH $BaseCte, $CatCte,
+              |mm AS (SELECT metric, min(t) AS min_time, max(t) AS max_time FROM base GROUP BY 1)
+              |SELECT cat.metric, cat.event_type AS tag_type, cat.seg AS tag_seg,
+              |       mm.min_time, mm.max_time, 7 AS data_retention
+              |FROM cat LEFT JOIN mm ON mm.metric = cat.metric""".stripMargin)),
+
+    // ---- F3: metric-name regex filter ------------------------------------
+    ("name_regex", (s: SparkSession, d: String) =>
+      MetricsOps.idFilter(ea.catalog(s, d), "e.*/1.?").select("metric"),
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat WHERE regexp_full_match(metric, 'e.*/1.?')""".stripMargin)),
+
+    // ---- F4: metric-type filter ------------------------------------------
+    ("type_filter", (s: SparkSession, d: String) =>
+      MetricsOps.typeFilter(ea.catalogAll(s, d), Some(MetricType.Counter))
+        .select("metric", "mtype"),
+      Some(s"""WITH $CatCte
+              |SELECT metric, 2 AS mtype FROM cat""".stripMargin)),
+
+    // ---- storage: write → read round trip (S1/partition layout) ----------
+    ("storage_roundtrip", (s: SparkSession, d: String) => {
+      val path = "target/tmp/roundtrip_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(gauge(s, d), path, SaveMode.Overwrite)
+      GraftStorage.read(s, path)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
+
+    // ---- LLM: exact dedup groups -----------------------------------------
+    ("dedup_exact", (s: SparkSession, d: String) => Dedup.exactGroups(docs(s, d)),
+      Some("""SELECT md5(text) AS text_md5, count(*) AS cnt, min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- LLM: MinHash-LSH near-dup pairs, exact-Jaccard verified ---------
+    ("dedup_minhash", (s: SparkSession, d: String) =>
+      Dedup.nearDupPairs(docs(s, d), shingleK = 3, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+             |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin)),
+
+    // ---- LLM: SimHash near-dup pairs (banded, pigeonhole-exact) ----------
+    ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simHashPairs(docs(s, d), maxHamming = 3),
+      Some("""WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+             |         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+             |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) g
+             |         GROUP BY doc_id, j),
+             |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS f
+             |       FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin)),
+
+    // ---- LLM: brute-force cosine top-k (exact ANN baseline) --------------
+    ("knn_cosine", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: IVF approximate top-k (the 100 TB path; rows-only check) ---
+    ("knn_ivf", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }, None),
+
+    // ---- LLM: embedding near-dup pairs by cosine threshold ---------------
+    ("emb_threshold_pairs", (s: SparkSession, d: String) =>
+      Similarity.thresholdPairs(embs(s, d), 0.45)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine")),
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+             |FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45""".stripMargin)),
+
+    // ---- LLM: text quality statistics ------------------------------------
+    ("text_stats", (s: SparkSession, d: String) => TextOps.textStats(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+             |                  length(text) AS nc FROM documents)
+             |SELECT doc_id, len(ws) AS n_words, CAST(nc AS BIGINT) AS n_chars_calc,
+             |  round(CAST(nc - (len(ws) - 1) AS DOUBLE) / len(ws), 6) AS avg_word_len,
+             |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE) / len(ws), 6) AS stopword_ratio,
+             |  CAST(nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+             |FROM w""".stripMargin)),
+
+    // ---- LLM: BPE-ish token counting -------------------------------------
+    ("token_count", (s: SparkSession, d: String) => TextOps.tokenCounts(docs(s, d)),
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- LLM: language-id heuristic --------------------------------------
+    ("lang_id", (s: SparkSession, d: String) => TextOps.langId(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, lang AS lang_actual, string_split(lower(text), ' ') AS ws FROM documents),
+             |sc AS (SELECT doc_id, lang_actual,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['the','a','of','is'], x))) AS DOUBLE) / len(ws), 6) AS score_en,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['der','die','und','nicht'], x))) AS DOUBLE) / len(ws), 6) AS score_de,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['el','la','que','de'], x))) AS DOUBLE) / len(ws), 6) AS score_es,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['le','la','et','les'], x))) AS DOUBLE) / len(ws), 6) AS score_fr,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['de','le','shi','bu'], x))) AS DOUBLE) / len(ws), 6) AS score_zh
+             |  FROM w)
+             |SELECT *, CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) > 0 THEN
+             |    CASE WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+             |         WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+             |         WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+             |         WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+             |         ELSE 'zh' END
+             |  ELSE 'und' END AS lang_pred
+             |FROM sc""".stripMargin)),
+
+    // ---- LLM: document fingerprints --------------------------------------
+    ("doc_fingerprint", (s: SparkSession, d: String) => TextOps.fingerprints(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] || ' ' || ws[g+3] || ' ' || ws[g+4] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS g) t),
+             |mn AS (SELECT doc_id, min(md5(s)) AS min_shingle_md5 FROM sh GROUP BY 1)
+             |SELECT w.doc_id, md5(w.text) AS content_md5, mn.min_shingle_md5
+             |FROM w LEFT JOIN mn ON mn.doc_id = w.doc_id""".stripMargin)),
+
+    // ---- LLM: multimodal binary-column plumbing (decode is stubbed) ------
+    ("multimodal_meta", (s: SparkSession, d: String) =>
+      Multimodal.mediaFeatures(docs(s, d)).select("doc_id", "modality", "byte_len", "header_hex"),
+      Some("""SELECT doc_id,
+             |  ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  substr(hex(encode(text)), 1, 8) AS header_hex
+             |FROM documents""".stripMargin))
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -39,10 +39,41 @@ object MetricsOps {
     if (limit > 0) sorted.limit(limit) else sorted
   }
 
-  /** F8 — cross-tier dedup: last-write-wins per (metric, time)
-    * (reference MetricsServiceImpl.java:685-687). */
-  def dedupTiers(dp: DataFrame): DataFrame =
-    dp.dropDuplicates("tenant_id", "mtype", "metric", "time")
+  /**
+   * F8 — cross-tier dedup: deterministic LAST-write-wins per (metric, time),
+   * matching the reference's cross-tier merge + Cassandra upsert semantics
+   * (MetricsServiceImpl.java:685-687, DataAccessImpl.java:215-221). `seqCol`
+   * is the write-order column (tier index / ingest sequence); the highest
+   * value wins. One shuffle on the dedup key; no arbitrary-row dropDuplicates.
+   */
+  def dedupTiers(dp: DataFrame, seqCol: String = "tier"): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric"), col("time"))
+      .orderBy(col(seqCol).desc)
+    dp.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -----------------------------------------------------------------------
+  // Deterministic numeric aggregate builders.
+  //
+  // Double addition is order-sensitive; Spark merges partial aggregates in
+  // shuffle-arrival order, so a plain sum(double) is not even run-to-run
+  // deterministic. Summing through DECIMAL(28,10) is exact and associative
+  // — bit-identical across runs, partitionings, and engines (the DuckDB
+  // oracle uses the same cast). avg is derived from the exact sum.
+  // -----------------------------------------------------------------------
+
+  private def decSum(v: Column): Column = sum(v.cast("decimal(28,10)")).cast("double")
+
+  /** min/avg/max/sum/samples + exact interpolated percentiles + median. */
+  private[graft] def statAggs(v: Column, quantiles: Seq[Double]): Seq[Column] =
+    Seq(
+      min(v).as("min"),
+      (decSum(v) / count(v)).as("avg"),
+      max(v).as("max"),
+      decSum(v).as("sum"),
+      count(v).as("samples")) ++
+      quantiles.map(q => percentile(v, lit(q / 100.0)).as(pctColName(q))) :+
+      percentile(v, lit(0.5)).as("median")
 
   // -----------------------------------------------------------------------
   // A1/A2 — numeric bucket statistics + gap fill
@@ -72,15 +103,12 @@ object MetricsOps {
     val keys = if (byMetric) Seq(col("metric"), col("bucket")) else Seq(col("bucket"))
 
     val base = Seq(
-      min(v).as("min"), avg(v).as("avg"), max(v).as("max"),
-      sum(v).as("sum"), count(v).as("samples"))
+      min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
+      decSum(v).as("sum"), count(v).as("samples"))
 
     if (exactPercentiles) {
-      val pctAggs = (quantiles :+ 50.0).zipWithIndex.map { case (q, i) =>
-        val name = if (i == quantiles.size) "median" else pctColName(q)
-        percentile(v, lit(q / 100.0)).as(name)
-      }
-      in.groupBy(keys: _*).agg(base.head, (base.tail ++ pctAggs): _*)
+      val aggs = statAggs(v, quantiles)
+      in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     } else {
       // P² path: deterministic time-ordered per-bucket array. The reference
       // appends an implicit extra p50 as the median, computed by its own
@@ -109,12 +137,21 @@ object MetricsOps {
    * The bucket spine is tiny (`b.count` rows) so Catalyst broadcasts it; per
    * key the join is a broadcast hash join, no extra shuffle of `stats`.
    */
-  def gapFill(stats: DataFrame, b: Buckets, keyCols: Seq[String] = Seq.empty): DataFrame = {
+  /**
+   * `keySpine` is the frame of key combinations that must appear in the
+   * output (e.g. the QUERIED metric-id list from the tag compiler / J3) —
+   * deriving it from `stats` itself would drop metrics with zero points in
+   * range, which the reference never does (BucketPoint.java:66-83 emits a
+   * full dense list per queried metric).
+   */
+  def gapFill(stats: DataFrame, b: Buckets, keyCols: Seq[String] = Seq.empty,
+              keySpine: Option[DataFrame] = None): DataFrame = {
     val spark = stats.sparkSession
     val spine0 = spark.range(b.count).toDF("bucket")
     val spine =
       if (keyCols.isEmpty) spine0
-      else stats.select(keyCols.map(col): _*).distinct().crossJoin(broadcast(spine0))
+      else keySpine.getOrElse(stats.select(keyCols.map(col): _*).distinct())
+        .crossJoin(broadcast(spine0))
     spine
       .join(stats, keyCols :+ "bucket", "left")
       .withColumn("bucket_start", GraftFunctions.bucketStart(col("bucket"), b))
@@ -137,7 +174,8 @@ object MetricsOps {
     val per = numericBucketStats(dp, b, quantiles, byMetric = true,
       exactPercentiles = exactPercentiles)
     val statCols = Seq("min", "avg", "median", "max", "sum") ++ quantiles.map(pctColName)
-    val aggs = statCols.map(c => sum(col(c)).as(c)) :+ count(lit(1)).as("samples")
+    // outer sums go through decimal too — see decSum note above
+    val aggs = statCols.map(c => decSum(col(c)).as(c)) :+ count(lit(1)).as("samples")
     per.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -164,10 +202,7 @@ object MetricsOps {
     }
     val sortedKeys = tagFilters.keys.toSeq.sorted
     val groupCols = sortedKeys.map(k => element_at(col("tags"), k).as(s"tag_$k"))
-    val pctAggs = quantiles.map(q => percentile(v, lit(q / 100.0)).as(pctColName(q)))
-    val aggs = Seq(
-      min(v).as("min"), avg(v).as("avg"), percentile(v, lit(0.5)).as("median"),
-      max(v).as("max"), sum(v).as("sum"), count(v).as("samples")) ++ pctAggs
+    val aggs = statAggs(v, quantiles)
     filtered.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -300,8 +335,8 @@ object MetricsOps {
   def wholeRangeAggregates(dp: DataFrame, range: TimeRange, valueCol: String = "n_value"): DataFrame = {
     val v = col(valueCol).cast("double")
     dp.filter(inRange(range)).agg(
-      min(v).as("min"), avg(v).as("avg"), max(v).as("max"),
-      sum(v).as("sum"), count(v).as("samples"))
+      min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
+      decSum(v).as("sum"), count(v).as("samples"))
   }
 
   /** A10 — min/max data timestamp per metric (reference
@@ -331,5 +366,53 @@ object MetricsOps {
   def tagNames(catalog: DataFrame, filter: Option[String] = None): DataFrame = {
     val names = catalog.select(explode(map_keys(col("tags"))).as("tname")).distinct()
     filter.fold(names)(pat => names.filter(GraftFunctions.filterPattern(col("tname"), pat)))
+  }
+
+  // -----------------------------------------------------------------------
+  // J3/J4/J5 — id-list joins and definition enrichment
+  // -----------------------------------------------------------------------
+
+  /**
+   * J3 — metric-id-list → datapoints (reference MetricsServiceImpl.java:821-834,
+   * the index-nested-loop `concatMap` over ids). Spark-first shape: broadcast
+   * LEFT SEMI join — the id list is tiny next to the data, so the semi join
+   * runs map-side with zero shuffle of the datapoint frame.
+   */
+  def dataPointsForIds(dp: DataFrame, ids: Seq[String]): DataFrame = {
+    val spark = dp.sparkSession
+    import spark.implicits._
+    dataPointsForIds(dp, ids.toDF("metric"))
+  }
+
+  /** J3/J4 — same, with the id set coming from a frame (e.g. the tag-query
+    * compiler's filtered catalog). */
+  def dataPointsForIds(dp: DataFrame, ids: DataFrame): DataFrame =
+    dp.join(broadcast(ids.select("metric").distinct()), Seq("metric"), "left_semi")
+
+  /**
+   * J5 — definition enrichment (reference MetricsServiceImpl.java:501-513):
+   * catalog definitions + data min/max timestamps (A10) + default retention.
+   * The per-metric minmax aggregate is tiny; broadcast it into the join.
+   */
+  def enrichDefinitions(catalog: DataFrame, dp: DataFrame,
+                        defaultRetentionDays: Int = 7): DataFrame =
+    catalog.join(
+      broadcast(minMaxTimestamps(dp)),
+      Seq("tenant_id", "mtype", "metric"), "left")
+      .withColumn("data_retention", lit(defaultRetentionDays))
+
+  // -----------------------------------------------------------------------
+  // F3/F4 — metric-name regex and type filters
+  // -----------------------------------------------------------------------
+
+  /** F3 — metric-name regex filter (reference MetricsServiceImpl.java:576-583). */
+  def idFilter(frame: DataFrame, pattern: String): DataFrame =
+    frame.filter(GraftFunctions.filterPattern(col("metric"), pattern))
+
+  /** F4 — metric-type filter; `None` = any user-insertable type
+    * (reference SimpleTagQueryParser.java:578-587). */
+  def typeFilter(frame: DataFrame, mtype: Option[MetricType]): DataFrame = mtype match {
+    case Some(t) => frame.filter(col("mtype") === t.code.toInt)
+    case None    => frame.filter(col("mtype").isin(MetricType.userTypeCodes.map(_.toInt): _*))
   }
 }

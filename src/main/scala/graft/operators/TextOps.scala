@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Text-analysis operators for LLM training-data pipelines, over a
+ * `documents`-shaped frame (doc_id, text, lang, source, n_chars).
+ *
+ * Pure column expressions — every operator is a narrow projection over one
+ * scan, fully inside whole-stage codegen, trivially 100 TB-safe.
+ */
+object TextOps {
+
+  private def words(text: Column): Column = split(lower(text), " ")
+
+  /** Tiny high-frequency function-word list used by the quality and
+    * language-id heuristics (deterministic, oracle-reproducible). */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /**
+   * Per-document quality/statistics row: word count, char count, average
+   * word length, type-token ratio, stopword ratio, punctuation count, and a
+   * composite quality score in [0,1] (length-normalized TTR minus stopword
+   * excess — a stand-in for a trained quality classifier, same plumbing).
+   */
+  def textStats(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws)
+    val nChars = length(col("text"))
+    val nStop = size(filter(ws, w => w.isin(StopWords.map(lit): _*)))
+    val nPunct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val distinctWords = size(array_distinct(ws))
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nChars.cast("long").as("n_chars_calc"),
+      round((nChars - (nWords - lit(1))).cast("double") / nWords, 6).as("avg_word_len"),
+      round(distinctWords.cast("double") / nWords, 6).as("ttr"),
+      round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+      nPunct.cast("long").as("n_punct"))
+  }
+
+  /**
+   * BPE-ish token count: word pieces = runs of letters, runs of digits, or
+   * single other non-space characters — the classic pre-tokenizer split.
+   */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_tokens"))
+
+  /**
+   * Language-ID heuristic: score = stopword hit ratio against per-language
+   * marker lists; predict the argmax language, 'und' when every score is 0.
+   * (Real profiles would be char-n-gram frequency tables; the scoring
+   * pipeline — explode, score, argmax — is the operator under test.)
+   */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("de", "le", "shi", "bu"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("lang").as("lang_actual")) ++
+        LangMarkers.map { case (l, ms) =>
+          round(size(filter(ws, w => w.isin(ms.map(lit): _*))).cast("double") / size(ws), 6)
+            .as(s"score_$l")
+        }): _*)
+    // argmax with deterministic first-listed tiebreak (CASE chain is
+    // reproduced verbatim in the DuckDB oracle)
+    val maxScore = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pick = LangMarkers.foldRight(lit("und"): Column) { case ((l, _), els) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", when(maxScore > 0, pick).otherwise(lit("und")))
+  }
+
+  /**
+   * Document fingerprints: full-content md5 plus the minimum 5-word-shingle
+   * md5 (1-permutation MinHash — a content-defined sample that is stable
+   * under local edits; the building block of winnowing).
+   */
+  def fingerprints(docs: DataFrame, shingleK: Int = 5): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      array_min(transform(Dedup.shingles(col("text"), shingleK), s => md5(s.cast("binary"))))
+        .as("min_shingle_md5"))
+}

@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - n_value   := value (gauge)
  *  - avail     := DOWN for 'error' events, UNKNOWN when value < 20, else UP
  *  - l_value   := running-sum counter with synthetic resets (mod 5000)
+ *  - s_value   := high/mid/low level string derived from value
  *  - tags      := {"k": props.k} per-point tags (DataPoint.java:37-65 allows
  *                 per-point tags, not just per-metric)
  */
@@ -29,20 +30,23 @@ object EventsAdapter {
 
   val Tenant = "acme"
 
+  private val PointCols =
+    Seq("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+
   /** Canonical gauge datapoints. */
   def gaugePoints(spark: SparkSession, sfDir: String): DataFrame =
     base(spark, sfDir)
-      .withColumn("mtype", lit(MetricType.Gauge.code))
+      .withColumn("mtype", lit(MetricType.Gauge.code.toInt))
       .withColumn("n_value", col("value"))
       .withColumn("l_value", lit(null).cast("long"))
       .withColumn("avail", lit(null).cast("int"))
       .withColumn("s_value", lit(null).cast("string"))
-      .select("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+      .select(PointCols.map(col): _*)
 
   /** Canonical availability datapoints (synthetic state mapping). */
   def availabilityPoints(spark: SparkSession, sfDir: String): DataFrame =
     base(spark, sfDir)
-      .withColumn("mtype", lit(MetricType.Availability.code))
+      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
       .withColumn("avail",
         when(col("event_type") === "error", lit(AvailabilityType.Down.code.toInt))
           .when(col("value") < 20.0, lit(AvailabilityType.Unknown.code.toInt))
@@ -50,43 +54,66 @@ object EventsAdapter {
       .withColumn("n_value", lit(null).cast("double"))
       .withColumn("l_value", lit(null).cast("long"))
       .withColumn("s_value", lit(null).cast("string"))
-      .select("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+      .select(PointCols.map(col): _*)
 
   /**
    * Canonical counter datapoints: a monotonic running sum of floor(value)
    * per metric, wrapped mod 5000 so counter resets occur (exercises the
    * reset-drop path, reference MetricsServiceImpl.java:870-872).
+   * Window ordered by (time, event_id) for a fully deterministic sum.
    */
   def counterPoints(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("metric")).orderBy(col("time"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("time"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base(spark, sfDir)
-      .withColumn("mtype", lit(MetricType.Counter.code))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
       .withColumn("l_value", pmod(sum(floor(col("value")).cast("long")).over(w), lit(5000L)))
       .withColumn("n_value", lit(null).cast("double"))
       .withColumn("avail", lit(null).cast("int"))
       .withColumn("s_value", lit(null).cast("string"))
-      .select("tenant_id", "mtype", "metric", "time", "n_value", "l_value", "avail", "s_value", "tags")
+      .select(PointCols.map(col): _*)
   }
+
+  /** Canonical string datapoints: three-level quantization of the value so
+    * distinct-contiguous (F7) has runs to collapse. */
+  def stringPoints(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+      .withColumn("mtype", lit(MetricType.Str.code.toInt))
+      .withColumn("s_value",
+        when(col("value") >= 66.0, lit("high"))
+          .when(col("value") >= 33.0, lit("mid"))
+          .otherwise(lit("low")))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .select(PointCols.map(col): _*)
 
   /**
    * Metric-definition catalog (replaces metrics_idx + metrics_tags_idx,
-   * reference bootstrap.groovy:117-137): one row per metric with
+   * reference bootstrap.groovy:117-137): one row per (mtype, metric) with
    * metric-level tags {type, user, seg}.
    */
-  def catalog(spark: SparkSession, sfDir: String): DataFrame =
+  def catalog(spark: SparkSession, sfDir: String,
+              mtype: MetricType = MetricType.Gauge): DataFrame =
     events(spark, sfDir)
       .select(col("event_type"), col("user_id"))
       .distinct()
       .select(
         lit(Tenant).as("tenant_id"),
-        lit(MetricType.Gauge.code).as("mtype"),
+        lit(mtype.code.toInt).as("mtype"),
         concat(col("event_type"), lit("/"), col("user_id")).as("metric"),
         map(
           lit("type"), col("event_type"),
           lit("user"), col("user_id").cast("string"),
           lit("seg"), concat(lit("s"), pmod(col("user_id"), lit(5)).cast("string"))
         ).as("tags"))
+
+  /** Catalog across all user-insertable metric types (same series names per
+    * type, as the reference allows — MetricId is (tenant, type, name)). */
+  def catalogAll(spark: SparkSession, sfDir: String): DataFrame =
+    Seq(MetricType.Gauge, MetricType.Availability, MetricType.Counter, MetricType.Str)
+      .map(t => catalog(spark, sfDir, t))
+      .reduce(_ unionAll _)
 
   private def base(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir).select(
@@ -95,6 +122,7 @@ object EventsAdapter {
       expr("ts div 1000000").as("time"),
       col("event_type"),
       col("user_id"),
+      col("event_id"),
       col("value"),
       map(lit("k"), get_json_object(col("props"), "$.k")).as("tags"))
 }

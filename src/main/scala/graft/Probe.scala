@@ -1,26 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only probe: drives the driver contract surface (entry smoke +
-  * spot queries) exactly as the harness would. */
+/** Dev-only probe: isolate slow bench queries at sf0.1. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // t1 smoke: flagship entry on sf0.001, driver checks rows > 0
-    val e = SparkEntry.entry(spark)
-    println(s"entry rows=${e.count()}")
-    e.show(5, truncate = false)
-    // probe: queries on the smallest sf (metric may not exist there)
-    val sparse = SparkEntry.queries("gauge_stats_sparse")(spark, "/root/testdata/sf0.001")
-    println(s"sparse@sf0.001 rows=${sparse.count()}")
-    val mh = SparkEntry.queries("dedup_minhash")(spark, "/root/testdata/sf0.001")
-    println(s"minhash@sf0.001 rows=${mh.count()}")
+    val sf = "/root/testdata/sf0.1"
+    def timed(name: String): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timed("doc_fingerprint")
+    timed("dedup_minhash")
+    timed("doc_fingerprint")
+    timed("distinct_string")
     spark.stop()
   }
 }

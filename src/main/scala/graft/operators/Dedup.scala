@@ -68,7 +68,7 @@ object Dedup {
    * shuffle on doc_id; the k mins are map-side-combined partial aggregates.
    */
   def minHashSignatures(sh: DataFrame, numPerms: Int): DataFrame = {
-    val h = pmod(xxhash64(col("shingle")), lit(P31))
+    val h = pmod(col("h"), lit(P31))
     val mins = permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(h * lit(a) + lit(b), lit(P31))).as(s"mh$i")
     }
@@ -96,13 +96,15 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard for candidate pairs: |A∩B| via shingle equi-join
-    * restricted to candidates, sizes from per-doc counts. */
+  /** Exact Jaccard for candidate pairs: |A∩B| via shingle-hash equi-join
+    * restricted to candidates, sizes from per-doc counts. Joining on the
+    * 64-bit hash instead of the shingle string keeps the shuffle narrow
+    * (collision probability ~n²/2⁶⁴ — negligible). */
   def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
@@ -114,14 +116,24 @@ object Dedup {
 
   /**
    * End-to-end near-dup pairs with exact Jaccard >= threshold.
-   * Default 63 permutations = 21 bands × 3 rows: detection probability at
-   * s=0.8 is 1-(1-0.8³)^21 ≈ 1-3e-7 — and every reported pair is exactly
-   * verified, so precision is 1 by construction.
+   * Default 60 permutations = 12 bands × 5 rows: detection probability at
+   * s=0.8 is 1-(1-0.8⁵)^12 ≈ 0.991 (≈1-2e-10 at s=0.97), while pairs at
+   * background similarity s≈0.2 collide with probability ≈4e-3 — the
+   * verification join stays linear in corpus size, not quadratic. Every
+   * candidate is exactly verified, so precision is 1 by construction.
    */
   def nearDupPairs(docs: DataFrame, shingleK: Int = 3, threshold: Double = 0.8,
-                   bands: Int = 21, rowsPerBand: Int = 3): DataFrame = {
+                   bands: Int = 12, rowsPerBand: Int = 5): DataFrame = {
+    // the hashed shingle frame is read 4× (signatures, 2 verify joins,
+    // sizes) and the signature frame 2× (band self-join) — cache both AND
+    // materialize eagerly: when every consumer lands in one action, tasks
+    // race ahead of cache population and recompute the whole explode
     val sh = shingleFrame(docs, shingleK)
-    val cand = lshCandidates(lshBands(minHashSignatures(sh, bands * rowsPerBand), bands, rowsPerBand))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
+    sh.count()
+    val sig = minHashSignatures(sh, bands * rowsPerBand).cache()
+    sig.count()
+    val cand = lshCandidates(lshBands(sig, bands, rowsPerBand))
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 

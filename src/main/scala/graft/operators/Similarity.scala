@@ -9,48 +9,62 @@ import org.apache.spark.sql.DataFrame
  * Similarity search over an embedding column (`embeddings` frame:
  * vec_id LONG, embedding ARRAY<FLOAT>, label INT).
  *
- * All vector math is expression-based (`zip_with`/`aggregate`, see
- * GraftFunctions) — strict left-to-right folds, so results are
- * deterministic and reproducible in the DuckDB oracle. Floats are cast to
- * double BEFORE any arithmetic so both engines compute on identical values.
+ * All vector math is expression-based (unrolled element_at chains, see
+ * GraftFunctions.dotProductFixed) — strict left-to-right adds, so results
+ * are deterministic and bit-identical to the DuckDB oracle. Floats are
+ * cast to double BEFORE any arithmetic so both engines compute on
+ * identical values. Norms are computed once per ROW (not per pair) before
+ * any join.
  *
  * Scale posture:
  *  - bruteForceTopK broadcasts the (small) query set and scans the corpus
- *    once — the right plan when |queries| is small; it is the exact
- *    baseline the approximate variants are measured against.
+ *    once — the exact baseline the approximate variants are measured
+ *    against.
  *  - ivfTopK is the 100 TB path: corpus bucketed by nearest centroid
  *    (here: per-label mean vectors — stand-ins for k-means centroids),
  *    queries probe only the closest `nprobe` cells. Join is on cell id —
- *    no cross join anywhere.
+ *    no cross join with the corpus anywhere.
  */
 object Similarity {
+
+  val Dim = 64
 
   /** embedding cast to array<double> for exact arithmetic. */
   private def dvec(c: String) = transform(col(c), x => x.cast("double"))
 
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("nrm", GraftFunctions.l2NormFixed(col(vecCol), Dim))
+
+  private def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    GraftFunctions.dotProductFixed(col(a), col(b), Dim) / (col(s"${a}_nrm") * col(s"${b}_nrm"))
+
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
-    val scored = c.crossJoin(q)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup
-    * detection. Exact; for the bucketed scale path see ivf/simhash LSH. */
+    * detection. Exact; the bucketed scale path is ivf/simhash LSH. */
   def thresholdPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), dvec("embedding").as("va"))
-    val b = corpus.select(col("vec_id").as("vec_b"), dvec("embedding").as("vb"))
+    val a = withNorm(corpus.select(col("vec_id").as("vec_a"), dvec("embedding").as("va")), "va")
+      .withColumnRenamed("nrm", "va_nrm")
+    val b = withNorm(corpus.select(col("vec_id").as("vec_b"), dvec("embedding").as("vb")), "vb")
+      .withColumnRenamed("nrm", "vb_nrm")
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", GraftFunctions.cosineSimilarity(col("va"), col("vb")))
+      .withColumn("cosine", cosine("va", "vb"))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
@@ -58,14 +72,13 @@ object Similarity {
   /** Per-cell mean vectors (IVF "centroids"); `cellCol` is the partition
     * assignment (the synthetic `label` column here; k-means ids in prod). */
   def centroids(corpus: DataFrame, cellCol: String = "label"): DataFrame = {
-    val dim = 64
-    val sums = (0 until dim).map(i =>
+    val sums = (0 until Dim).map(i =>
       sum(element_at(dvec("embedding"), i + 1)).as(s"c$i"))
     val aggs = sums :+ count(lit(1)).as("n")
     corpus.groupBy(col(cellCol).as("cell"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("cell"),
-        array((0 until dim).map(i => col(s"c$i") / col("n")): _*).as("centroid"))
+        array((0 until Dim).map(i => col(s"c$i") / col("n")): _*).as("centroid"))
   }
 
   /**
@@ -74,22 +87,25 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
               cellCol: String = "label"): DataFrame = {
-    val cents = broadcast(centroids(corpus, cellCol))
-    val q = queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv"))
+    val cents = broadcast(withNorm(centroids(corpus, cellCol), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm"))
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
+      .withColumnRenamed("nrm", "qv_nrm")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell").asc)
     val probes = q.crossJoin(cents) // |queries| × |cells| — both tiny
-      .withColumn("cdist", GraftFunctions.cosineSimilarity(col("qv"), col("centroid")))
+      .withColumn("cdist", cosine("qv", "centroid"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    val c = corpus.select(col(cellCol).as("cell"),
-      col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
+    val c = withNorm(corpus.select(col(cellCol).as("cell"),
+      col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(probes), Seq("cell")) // equi-join on cell — no cross join with the corpus
+    c.join(broadcast(probes), Seq("cell")) // equi-join on cell — no corpus cross join
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", GraftFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("cosine", cosine("qv", "cv"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))

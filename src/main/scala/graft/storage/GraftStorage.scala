@@ -25,6 +25,13 @@ object GraftStorage {
   def withSlice(dp: DataFrame): DataFrame =
     dp.withColumn("time_slice", expr(s"time div $SliceMs"))
 
+  // write-batch sequence for last-write-wins: wall-clock millis << 20 | a
+  // process-local counter — strictly increasing across batches, which is
+  // what Cassandra's upsert timestamp provided (DataAccessImpl.java:215-221)
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def nextIngestSeq(): Long =
+    (System.currentTimeMillis() << 20) | (seqCounter.getAndIncrement() & 0xfffffL)
+
   /**
    * S1 — batch append of canonical datapoints. `sortWithinPartitions`
    * before write gives run-length-friendly pages and clustered row groups;
@@ -33,6 +40,7 @@ object GraftStorage {
    */
   def write(dp: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
     withSlice(dp)
+      .withColumn("ingest_seq", lit(nextIngestSeq()))
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(col("metric"), col("time"))
       .write
@@ -42,9 +50,12 @@ object GraftStorage {
       .parquet(path)
 
   /** Range scan entry: partition pruning on (tenant, type, slice range)
-    * happens before any file is opened. */
+    * happens before any file is opened. Partition columns come back from
+    * directory names as INT — normalize to the canonical types. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+      .withColumn("time_slice", col("time_slice").cast("long"))
+      .withColumn("mtype", col("mtype").cast("int"))
 
   def readRange(spark: SparkSession, path: String, tenantId: String,
                 mtype: MetricType, start: Long, end: Long): DataFrame =
@@ -63,13 +74,13 @@ object GraftStorage {
   def compact(spark: SparkSession, path: String, upToSlice: Long): Unit = {
     val closed = read(spark, path).filter(col("time_slice") < upToSlice)
     val deduped = closed
-      .withColumn("__seq", monotonically_increasing_id())
       .groupBy(col("tenant_id"), col("mtype"), col("time_slice"), col("metric"), col("time"))
       .agg(max_by(struct(col("n_value"), col("l_value"), col("avail"), col("s_value"), col("tags")),
-        col("__seq")).as("v"))
+        col("ingest_seq")).as("v"),
+        max(col("ingest_seq")).as("ingest_seq"))
       .select(col("tenant_id"), col("mtype"), col("metric"), col("time"),
         col("v.n_value"), col("v.l_value"), col("v.avail"), col("v.s_value"), col("v.tags"),
-        col("time_slice"))
+        col("ingest_seq"), col("time_slice"))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // localCheckpoint truncates lineage so the overwrite does not read from

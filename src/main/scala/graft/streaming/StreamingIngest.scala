@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.storage.GraftStorage
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/**
+ * Structured-Streaming ingest — the Spark-native replacement for the
+ * reference's RxJava `addDataPoints` path (MetricsServiceImpl.java:635-644)
+ * and its 2-hour temp-table lifecycle (SURVEY §2.9):
+ *
+ *  - the reference accepts a late point while its 2h slice's temp table
+ *    still exists and silently drops it afterwards
+ *    (DataAccessImpl.java:952-961, 984-1007). That is exactly watermark
+ *    semantics: `withWatermark("event_time", "2 hours")`;
+ *  - Cassandra's upsert (last-write-wins per (metric, ts),
+ *    DataAccessImpl.java:215-221) becomes `dropDuplicatesWithinWatermark`
+ *    on the primary key — stateful dedup whose state is bounded by the
+ *    same watermark;
+ *  - the write lands in the partitioned raw tier via `foreachBatch` →
+ *    GraftStorage.write (idempotent append per micro-batch).
+ */
+object StreamingIngest {
+
+  /** Canonical datapoint stream → raw tier. `points` must be a STREAMING
+    * frame with the canonical columns (tenant_id, mtype, metric, time, …). */
+  def start(points: DataFrame, path: String, checkpoint: String,
+            lateness: String = "2 hours"): StreamingQuery =
+    points
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("tenant_id", "mtype", "metric", "time")
+      .drop("event_time")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        GraftStorage.write(batch, path, SaveMode.Append)
+      }
+      .start()
+
+  /**
+   * Streaming 2h tumbling per-metric stats (the query-side analog of the
+   * reference's slice cadence): emits finalized windows once the watermark
+   * passes — late data beyond the watermark is dropped, matching
+   * slice-expiry semantics.
+   */
+  def slidingStats(points: DataFrame, lateness: String = "2 hours"): DataFrame =
+    points
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "2 hours"),
+        col("tenant_id"), col("mtype"), col("metric"))
+      .agg(count(lit(1)).as("samples"),
+        min(col("n_value")).as("min"),
+        max(col("n_value")).as("max"),
+        sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum"))
+      .select(col("window.start").as("slice_start"), col("tenant_id"),
+        col("mtype"), col("metric"), col("samples"), col("min"), col("max"), col("sum"))
+}

@@ -1,0 +1,255 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Operator vectors ported from the reference test suites (availability
+  * state machine from AvailabilityDataPointCollectorTest.java, rate/reset
+  * from MetricsServiceImpl.java:858-883 semantics, periods example from
+  * MetricsService.java:341-362 javadoc) + commons-math recomputation for
+  * numeric stats (GaugeMetricStatisticsITest.groovy:121-141 pattern). */
+class MetricsOpsSpec extends SparkTestBase {
+
+  private def points(rows: Seq[(String, Long, Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("metric", "time", "n_value")
+      .withColumn("tenant_id", lit("t"))
+      .withColumn("mtype", lit(0))
+      .withColumn("tags", map(lit("k"), lit("v")))
+  }
+
+  private def availPoints(rows: Seq[(Long, Int)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (t, a) => ("m", t, a) }.toDF("metric", "time", "avail")
+      .withColumn("tenant_id", lit("t")).withColumn("mtype", lit(1))
+  }
+
+  // ---- A3: all eight reference vectors (Buckets(10,10,10), bucket 0) ----
+
+  private def availBucket0(rows: Seq[(Long, Int)]): Row = {
+    val out = MetricsOps.availabilityBucketStats(availPoints(rows), Buckets(10, 10, 10))
+      .filter(col("bucket") === 0)
+      .select("up_ms", "down_ms", "unknown_ms", "admin_ms", "last_not_uptime",
+        "not_up_count", "uptime_ratio")
+      .collect()
+    assert(out.length == 1)
+    out.head
+  }
+
+  test("A3 testWithOneUp") {
+    val r = availBucket0(Seq((15L, 0)))
+    assert(r.getLong(0) == 10 && r.getLong(1) == 0 && r.getLong(5) == 0)
+    assert(r.getDouble(6) == 1.0)
+  }
+
+  test("A3 testWithOneDown") {
+    val r = availBucket0(Seq((15L, 1)))
+    assert(r.getLong(1) == 10 && r.getLong(4) == 20 && r.getLong(5) == 1)
+    assert(r.getDouble(6) == 0.0)
+  }
+
+  test("A3 testWithOneDownOneUp") {
+    val r = availBucket0(Seq((12L, 1), (18L, 0)))
+    assert(r.getLong(0) == 2 && r.getLong(1) == 8 && r.getLong(4) == 18 && r.getLong(5) == 1)
+    assert(r.getDouble(6) == 0.2)
+  }
+
+  test("A3 testWithOneUpOneDown") {
+    val r = availBucket0(Seq((13L, 0), (17L, 1)))
+    assert(r.getLong(0) == 7 && r.getLong(1) == 3 && r.getLong(4) == 20 && r.getLong(5) == 1)
+    assert(r.getDouble(6) == 0.7)
+  }
+
+  test("A3 testWithTwoDown") {
+    val r = availBucket0(Seq((13L, 1), (17L, 1)))
+    assert(r.getLong(1) == 10 && r.getLong(4) == 20 && r.getLong(5) == 1)
+    assert(r.getDouble(6) == 0.0)
+  }
+
+  test("A3 testWithTwoUp") {
+    val r = availBucket0(Seq((13L, 0), (17L, 0)))
+    assert(r.getLong(0) == 10 && r.getLong(4) == 0 && r.getLong(5) == 0)
+    assert(r.getDouble(6) == 1.0)
+  }
+
+  test("A3 testWithAll") {
+    val r = availBucket0(Seq((13L, 0), (14L, 1), (15L, 2), (16L, 0), (17L, 3), (18L, 3)))
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == 1 && r.getLong(3) == 3)
+    assert(r.getLong(4) == 20 && r.getLong(5) == 2)
+    assert(r.getDouble(6) == 0.5)
+  }
+
+  test("A3 testWithAll2") {
+    val r = availBucket0(Seq((13L, 1), (14L, 1), (15L, 2), (16L, 0), (17L, 3), (18L, 0)))
+    assert(r.getLong(0) == 3 && r.getLong(1) == 5 && r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getLong(4) == 18 && r.getLong(5) == 2)
+    assert(r.getDouble(6) == 0.3)
+  }
+
+  // ---- W1/F6: counter rate with reset (FIXTURES F-B) ----
+
+  test("counter rate drops the reset pair, keeps the anchor") {
+    val s = spark
+    import s.implicits._
+    val t0 = 1000000L
+    val dp = Seq(("m", t0, 100L), ("m", t0 + 30000, 200L), ("m", t0 + 60000, 50L), ("m", t0 + 90000, 80L))
+      .toDF("metric", "time", "l_value")
+      .withColumn("tenant_id", lit("t")).withColumn("mtype", lit(2))
+    val rates = MetricsOps.rate(dp, isCounter = true, valueCol = "l_value")
+      .orderBy("time").select("time", "rate").collect()
+    assert(rates.map(_.getLong(0)).toSeq == Seq(t0 + 30000, t0 + 90000))
+    assert(rates(0).getDouble(1) == 60000.0 * 100 / 30000) // 200.0/min
+    assert(rates(1).getDouble(1) == 60000.0 * 30 / 30000)  // 60.0/min
+  }
+
+  test("gauge rate keeps negative deltas") {
+    val s = spark
+    import s.implicits._
+    val dp = Seq(("m", 0L, 10.0), ("m", 60000L, 4.0)).toDF("metric", "time", "n_value")
+      .withColumn("tenant_id", lit("t")).withColumn("mtype", lit(0))
+    val r = MetricsOps.rate(dp, isCounter = false).select("rate").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(-6.0))
+  }
+
+  // ---- W2: periods javadoc example {5,11,12,8,14,7,16} gt(10) ----
+
+  test("periods gaps-and-islands matches the reference javadoc example") {
+    val vals = Seq(5.0, 11.0, 12.0, 8.0, 14.0, 7.0, 16.0)
+    val dp = points(vals.zipWithIndex.map { case (v, i) => ("m", (i + 1).toLong, v) })
+    val got = MetricsOps.periods(dp, col("n_value") > 10.0)
+      .orderBy("period_start").select("period_start", "period_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 3L), (5L, 5L), (7L, 7L)))
+  }
+
+  // ---- F7: distinct-contiguous ----
+
+  test("distinct-contiguous collapses runs, keeps re-entries") {
+    val dp = points(Seq(("m", 1L, 1.0), ("m", 2L, 1.0), ("m", 3L, 2.0), ("m", 4L, 1.0), ("m", 5L, 1.0)))
+    val got = MetricsOps.distinctContiguous(dp, "n_value")
+      .orderBy("time").select("time").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 4L))
+  }
+
+  // ---- F8: last-write-wins dedup ----
+
+  test("dedupTiers is last-write-wins by sequence, not arbitrary") {
+    val s = spark
+    import s.implicits._
+    val dp = Seq(
+      ("m", 1L, 10.0, 1), ("m", 1L, 99.0, 2), // same key, tier 2 must win
+      ("m", 2L, 20.0, 1)
+    ).toDF("metric", "time", "n_value", "tier")
+      .withColumn("tenant_id", lit("t")).withColumn("mtype", lit(0))
+    val got = MetricsOps.dedupTiers(dp, "tier").orderBy("time")
+      .select("n_value").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(99.0, 20.0))
+  }
+
+  // ---- A1/A2: stats vs commons-math recompute + gap fill ----
+
+  test("numeric bucket stats match commons-math recomputation") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(40)(rnd.nextDouble() * 100)
+    val dp = points(vals.zipWithIndex.map { case (v, i) => ("m", 100L + i, v) })
+    val b = Buckets(100, 20, 2) // two buckets of 20 points
+    val row = MetricsOps.numericBucketStats(dp, b, Seq(90.0)).filter(col("bucket") === 0)
+      .select("min", "avg", "max", "sum", "samples", "p90_0", "median").collect().head
+    val bucket0 = vals.take(20)
+    assert(row.getDouble(0) == bucket0.min)
+    assert(math.abs(row.getDouble(1) - bucket0.sum / 20) < 1e-9)
+    assert(row.getDouble(2) == bucket0.max)
+    assert(math.abs(row.getDouble(3) - bucket0.sum) < 1e-9)
+    assert(row.getLong(4) == 20)
+    // exact interpolated percentile: pos = q(n-1) over the sorted sample
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = q * (s.size - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.size) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    assert(math.abs(row.getDouble(5) - pct(bucket0, 0.9)) < 1e-9)
+    assert(math.abs(row.getDouble(6) - pct(bucket0, 0.5)) < 1e-9)
+    // and the commons-math estimator stays within its estimation band
+    val p = new org.apache.commons.math3.stat.descriptive.rank.Percentile(90.0)
+    assert(math.abs(row.getDouble(5) - p.evaluate(bucket0.toArray)) < 5.0)
+  }
+
+  test("gap fill emits exactly count buckets with nulls, honoring the key spine") {
+    val dp = points(Seq(("m1", 100L, 1.0), ("m1", 150L, 2.0))) // bucket 0 and 5 only
+    val b = Buckets(100, 10, 6)
+    val stats = MetricsOps.numericBucketStats(dp, b, Seq.empty, byMetric = true)
+    val s = spark
+    import s.implicits._
+    // spine includes m2, which has NO data at all — must still appear
+    val spine = Seq("m1", "m2").toDF("metric")
+    val filled = MetricsOps.gapFill(stats, b, Seq("metric"), Some(spine))
+    assert(filled.count() == 12)
+    val m2 = filled.filter(col("metric") === "m2")
+    assert(m2.count() == 6 && m2.filter(col("samples").isNotNull).count() == 0)
+    val m1b0 = filled.filter(col("metric") === "m1" && col("bucket") === 0).collect().head
+    assert(m1b0.getAs[Double]("min") == 1.0)
+    assert(filled.filter(col("bucket_start") === 100L).count() == 2)
+  }
+
+  // ---- A4: stacked stats hand vector (SumNumericBucketPointCollector) ----
+
+  test("stacked stats sum per-metric stats; samples = contributing metrics") {
+    val dp = points(Seq(
+      ("m1", 100L, 1.0), ("m1", 101L, 3.0), // m1 bucket0: min 1, max 3, avg 2, sum 4
+      ("m2", 102L, 10.0) // m2 bucket0: min/max/avg/sum 10
+    ))
+    val b = Buckets(100, 10, 1)
+    val r = MetricsOps.stackedStats(dp, b).collect().head
+    assert(r.getAs[Double]("min") == 11.0)
+    assert(r.getAs[Double]("max") == 13.0)
+    assert(r.getAs[Double]("avg") == 12.0)
+    assert(r.getAs[Double]("sum") == 14.0)
+    assert(r.getAs[Long]("samples") == 2)
+  }
+
+  // ---- A6/F5: tagged stats ----
+
+  test("tagged stats group by actual tag values; unmatched points excluded") {
+    val s = spark
+    import s.implicits._
+    val dp = Seq(
+      ("m", 1L, 1.0, Map("x" -> "a", "y" -> "1")),
+      ("m", 2L, 2.0, Map("x" -> "a", "y" -> "2")),
+      ("m", 3L, 4.0, Map("x" -> "b", "y" -> "1")),
+      ("m", 4L, 8.0, Map("y" -> "1")) // lacks x → excluded
+    ).toDF("metric", "time", "n_value", "tags")
+    val got = MetricsOps.taggedStats(dp, Map("x" -> "*", "y" -> "*"))
+      .orderBy("tag_x", "tag_y")
+      .select("tag_x", "tag_y", "sum", "samples").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", "1", 1.0, 1L), ("a", "2", 2.0, 1L), ("b", "1", 4.0, 1L)))
+  }
+
+  // ---- J3: id-list semi join ----
+
+  test("dataPointsForIds keeps only listed metrics") {
+    val dp = points(Seq(("a", 1L, 1.0), ("b", 2L, 2.0), ("c", 3L, 3.0)))
+    val got = MetricsOps.dataPointsForIds(dp, Seq("a", "c"))
+      .select("metric").collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "c"))
+  }
+
+  // ---- F2: filter-pattern semantics (PatternUtil.java:26-40) ----
+
+  test("filter pattern: star, negation, full-match anchoring") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("east", "west", "easter", "e").toDF("v")
+    def matches(pat: String): Set[String] =
+      df.filter(graft.functions.GraftFunctions.filterPattern(col("v"), pat))
+        .collect().map(_.getString(0)).toSet
+    assert(matches("*") == Set("east", "west", "easter", "e"))
+    assert(matches("east") == Set("east")) // full match, not find()
+    assert(matches("e.*") == Set("east", "easter", "e"))
+    assert(matches("!e.*") == Set("west"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator specs: dedup sketches, similarity, text analysis,
+  * multimodal plumbing. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // ---- shingles ----
+
+  test("shingles: k-gram windows, distinct, short-doc safe") {
+    val got = docsDf((1L, "a b c d"), (2L, "x y"), (3L, "a b a b a b"))
+    val sh = Dedup.shingleFrame(got, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(!sh.contains(2L)) // shorter than k → no shingles
+    assert(sh(3L) == Set("a b a", "b a b")) // distinct
+  }
+
+  // ---- exact dedup ----
+
+  test("exact groups count duplicates and keep min id") {
+    val got = Dedup.exactGroups(docsDf((5L, "same text"), (3L, "same text"), (9L, "other")))
+      .orderBy("keep_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("cnt") == 2 && got(0).getAs[Long]("keep_id") == 3)
+    assert(got(1).getAs[Long]("cnt") == 1 && got(1).getAs[Long]("keep_id") == 9)
+  }
+
+  // ---- MinHash-LSH ----
+
+  test("minhash-lsh finds a planted near-dup and verifies exact jaccard") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+    val pairs = Dedup.nearDupPairs(docsDf((1L, base), (2L, nearDup), (3L, distinct)), threshold = 0.5)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1 && p.getAs[Long]("doc_b") == 2)
+    // exact jaccard: 38 shingles each, 37 shared → 37/39
+    assert(math.abs(p.getAs[Double]("jaccard") - 37.0 / 39.0) < 1e-12)
+  }
+
+  // ---- SimHash ----
+
+  test("simhash: identical docs at distance 0; banded pairs find them") {
+    val d = docsDf((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"), (3L, "completely different words here"))
+    val fp = Dedup.simHash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    val pairs = Dedup.simHashPairs(d, maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+
+  // ---- similarity ----
+
+  test("cosine: parallel=1, orthogonal=0; top-k ranks correctly") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val corpus = Seq(
+      (1L, vec(1, 0), 0), (2L, vec(2, 0), 0), // parallel to q
+      (3L, vec(0, 1), 0),                     // orthogonal
+      (4L, vec(1, 1), 0)                      // 45°
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((1L, vec(1, 0), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopK(corpus, queries, 3).orderBy(desc("cosine"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.head._1 == 2L && math.abs(got.head._2 - 1.0) < 1e-12)
+    assert(math.abs(got(1)._2 - math.sqrt(0.5)) < 1e-12) // 45°
+    assert(got(2)._1 == 3L && math.abs(got(2)._2) < 1e-12)
+  }
+
+  test("ivf probes nearest cells only") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    // cell 0 clustered on axis x, cell 1 on axis y, query on x
+    val corpus = Seq(
+      (1L, vec(1, 0.1), 0), (2L, vec(1, -0.1), 0),
+      (3L, vec(0.1, 1), 1), (4L, vec(-0.1, 1), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq((99L, vec(1, 0), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfTopK(corpus, queries, 2, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L)) // only cell 0 probed
+  }
+
+  // ---- text ops ----
+
+  test("text stats on a known sentence") {
+    val r = TextOps.textStats(docsDf((1L, "the cat sat on the mat !!"))).collect().head
+    assert(r.getAs[Long]("n_words") == 7)
+    assert(r.getAs[Long]("n_chars_calc") == 25)
+    assert(r.getAs[Long]("n_punct") == 2)
+    assert(math.abs(r.getAs[Double]("ttr") - 6.0 / 7.0) < 1e-6)      // 'the' repeats
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 7.0) < 1e-6)
+  }
+
+  test("BPE-ish token count splits words, digits, punctuation") {
+    val r = TextOps.tokenCounts(docsDf((1L, "abc12 def!"))).collect().head
+    // tokens: abc, 12, def, !
+    assert(r.getAs[Long]("n_tokens") == 4)
+  }
+
+  test("fingerprint stable under distant edit, changes under shingle-zone edit") {
+    val t1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val fps = TextOps.fingerprints(docsDf((1L, t1), (2L, t1))).collect()
+    assert(fps(0).getString(1) == fps(1).getString(1))
+    assert(fps(0).getString(2) == fps(1).getString(2))
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal stub decode: byte length, header, checksum") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "AB", "en", "src4", 2L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.mediaFeatures(docs).collect().head
+    assert(r.getAs[String]("modality") == "audio") // 4 % 3 = 1 → index 2
+    assert(r.getAs[Long]("byte_len") == 2)
+    assert(r.getAs[String]("header_hex") == "4142")
+    assert(r.getAs[Long]("checksum") == 'A'.toLong + 'B'.toLong)
+  }
+}

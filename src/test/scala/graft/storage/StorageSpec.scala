@@ -1,0 +1,71 @@
+package graft.storage
+
+import graft.SparkTestBase
+import graft.model.MetricType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.nio.file.Files
+
+/** Storage-tier specs: round trip, slice partition pruning, compaction
+  * LWW dedup, metric delete, retention sweep. */
+class StorageSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-storage").toString
+
+  private def fixture(rows: Seq[(String, Long, Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("metric", "time", "n_value")
+      .withColumn("tenant_id", lit("t"))
+      .withColumn("mtype", lit(MetricType.Gauge.code.toInt))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map(lit("k"), lit("v")))
+  }
+
+  private val H2 = GraftStorage.SliceMs
+
+  test("write → read round trip preserves datapoints and partitions by slice") {
+    val path = tmp()
+    val dp = fixture(Seq(("m1", 100L, 1.5), ("m1", H2 + 5, 2.5), ("m2", 2 * H2 + 7, 3.5)))
+    GraftStorage.write(dp, path, SaveMode.Overwrite)
+    val back = GraftStorage.read(spark, path)
+    assert(back.count() == 3)
+    val got = back.select("metric", "time", "n_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("m1", 100L, 1.5), ("m1", H2 + 5, 2.5), ("m2", 2 * H2 + 7, 3.5)))
+    // physical layout: one directory per 2h slice
+    assert(back.select("time_slice").distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    // partition pruning: a slice-range read plans only matching partitions
+    val pruned = GraftStorage.readRange(spark, path, "t", MetricType.Gauge, 0L, H2)
+    assert(pruned.count() == 1)
+  }
+
+  test("compaction is last-write-wins on (tenant, type, metric, time)") {
+    val path = tmp()
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0))), path, SaveMode.Overwrite)
+    GraftStorage.write(fixture(Seq(("m1", 100L, 9.0))), path) // upsert overwrite
+    assert(GraftStorage.read(spark, path).count() == 2)
+    GraftStorage.compact(spark, path, upToSlice = 10)
+    val after = GraftStorage.read(spark, path).select("n_value").collect()
+    assert(after.length == 1 && after.head.getDouble(0) == 9.0)
+  }
+
+  test("deleteMetric removes one series, leaves the rest") {
+    val path = tmp()
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m2", 200L, 2.0))), path, SaveMode.Overwrite)
+    GraftStorage.deleteMetric(spark, path, "t", MetricType.Gauge, "m1")
+    val left = GraftStorage.read(spark, path).select("metric").collect().map(_.getString(0)).toSeq
+    assert(left == Seq("m2"))
+  }
+
+  test("retention sweep lists expired slices only") {
+    val path = tmp()
+    val now = 10 * 86400000L
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m1", now - 1000, 2.0))), path, SaveMode.Overwrite)
+    val expired = GraftStorage.expiredSlices(spark, path, retentionDays = 7, now = now)
+    assert(expired == Seq(0L))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.model.MetricType
+import graft.storage.GraftStorage
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming ingest specs: watermark late-data semantics (the reference's
+  * slice-expiry behavior, SURVEY §2.9) and streaming dedup. */
+class StreamingIngestSpec extends SparkTestBase {
+
+  private val H2 = GraftStorage.SliceMs
+
+  case class P(tenant_id: String, mtype: Int, metric: String, time: Long, n_value: Double)
+
+  test("streaming ingest lands in the partitioned raw tier; in-stream dups collapse") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val path = Files.createTempDirectory("graft-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[P]
+    val q = StreamingIngest.start(mem.toDF(), path, ckpt)
+    mem.addData(P("t", 0, "m1", 1000L, 1.0), P("t", 0, "m1", 1000L, 1.0), // dup in stream
+      P("t", 0, "m1", H2 + 500, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = GraftStorage.read(s, path)
+    assert(back.count() == 2) // dup collapsed by dropDuplicatesWithinWatermark
+    assert(back.select("time_slice").distinct().count() == 2)
+  }
+
+  test("windowed stats finalize on watermark; late data beyond it is dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[P]
+    val stats = StreamingIngest.slidingStats(mem.toDF())
+    val q = stats.writeStream.format("memory").queryName("slices")
+      .outputMode("append").start()
+    // window 0 data, then advance event time far past the watermark
+    mem.addData(P("t", 0, "m1", 1000L, 5.0), P("t", 0, "m1", 2000L, 7.0))
+    q.processAllAvailable()
+    mem.addData(P("t", 0, "m1", 4 * H2, 1.0)) // watermark → 4*H2 - 2h = 2*H2
+    q.processAllAvailable()
+    // late point for window 0 — beyond watermark, must be dropped
+    mem.addData(P("t", 0, "m1", 1500L, 100.0))
+    q.processAllAvailable()
+    mem.addData(P("t", 0, "m1", 8 * H2, 1.0)) // push watermark further to flush
+    q.processAllAvailable()
+    q.stop()
+    val w0 = s.sql("SELECT samples, min, max, sum FROM slices WHERE slice_start = timestamp_millis(0)")
+      .collect()
+    assert(w0.length == 1)
+    // the late 100.0 never contributed
+    assert(w0.head.getLong(0) == 2 && w0.head.getDouble(1) == 5.0 &&
+      w0.head.getDouble(2) == 7.0 && w0.head.getDouble(3) == 12.0)
+  }
+}

@@ -1,0 +1,253 @@
+package graft.api
+
+import graft.model._
+import graft.operators.MetricsOps
+import graft.storage.GraftStorage
+import graft.tagquery.TagQueryParser
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/**
+ * The single entry surface, mirroring the reference's `MetricsService`
+ * method-for-method (core/metrics-core-service/.../MetricsService.java:48-369)
+ * with `Observable<T>` re-expressed as DataFrames (the Spark-native lazy
+ * stream) and Cassandra tables as partitioned parquet under `root`:
+ *
+ *   root/data/     raw tier — (tenant_id, mtype, time_slice)-partitioned
+ *   root/metrics/  catalog  — definitions (metrics_idx + tags analog)
+ *   root/tenants/  tenants  — id + per-type retentions
+ *
+ * Catalog writes are append-only with a write-time `ingest_seq`;
+ * readers resolve last-write-wins, matching Cassandra upsert semantics.
+ */
+class MetricsService(spark: SparkSession, root: String) {
+
+  private val dataPath = s"$root/data"
+  private val metricsPath = s"$root/metrics"
+  private val tenantsPath = s"$root/tenants"
+
+  val DefaultRetentionDays = 7 // reference MetricsServiceImpl.java:193-194
+
+  // ------------------------------------------------------------------
+  // tenants + catalog (S7, createTenant/createMetric/...)
+  // ------------------------------------------------------------------
+
+  def createTenant(tenantId: String, retentions: Map[String, Int] = Map.empty): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq((tenantId, retentions, System.currentTimeMillis()))
+      .toDF("id", "retentions", "ingest_seq")
+      .write.mode(SaveMode.Append).parquet(tenantsPath)
+  }
+
+  def getTenants(): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("ingest_seq").desc)
+    spark.read.parquet(tenantsPath)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("id", "retentions")
+  }
+
+  def createMetric(id: MetricId, tags: Map[String, String],
+                   dataRetention: Option[Int] = None): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq((id.tenantId, id.mtype.toInt, id.name, tags,
+      dataRetention.getOrElse(DefaultRetentionDays), System.currentTimeMillis()))
+      .toDF("tenant_id", "mtype", "metric", "tags", "data_retention", "ingest_seq")
+      .write.mode(SaveMode.Append).parquet(metricsPath)
+  }
+
+  /** The catalog frame (metrics_idx analog), last-write-wins resolved. */
+  def metricsIndex(): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("ingest_seq").desc)
+    spark.read.parquet(metricsPath)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("tenant_id", "mtype", "metric", "tags", "data_retention")
+  }
+
+  def findAllMetricIdentifiers(): DataFrame =
+    metricsIndex().select("tenant_id", "mtype", "metric")
+
+  /** EP3 — tag-filter expression → metric identifiers
+    * (MetricsServiceImpl.findMetricIdentifiersWithFilters:556-574). Falls
+    * back to the simple `name:value,...` map syntax like the reference. */
+  def findMetricIdentifiersWithFilters(tenantId: String, mtype: Option[MetricType],
+                                       tagExpression: String): DataFrame = {
+    val pred =
+      try TagQueryParser.compile(tagExpression, col("tags"))
+      catch {
+        case _: IllegalArgumentException =>
+          Tags.parse(tagExpression).map { case (k, pat) =>
+            graft.functions.GraftFunctions.filterPattern(element_at(col("tags"), k), pat)
+          }.reduce(_ && _)
+      }
+    MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype)
+      .filter(pred)
+      .select("tenant_id", "mtype", "metric")
+  }
+
+  def getMetricTags(id: MetricId): DataFrame =
+    metricsIndex().filter(metricKey(id)).select(explode(col("tags")).as(Seq("tname", "tvalue")))
+
+  def getTagValues(tenantId: String, nameFilters: Map[String, String]): DataFrame =
+    MetricsOps.tagValues(metricsIndex().filter(col("tenant_id") === tenantId), nameFilters)
+
+  def getTagNames(tenantId: String, filter: Option[String] = None): DataFrame =
+    MetricsOps.tagNames(metricsIndex().filter(col("tenant_id") === tenantId), filter)
+
+  def addTags(id: MetricId, tags: Map[String, String]): Unit = {
+    val current = currentTags(id)
+    createMetric(id, current ++ tags)
+  }
+
+  def deleteTags(id: MetricId, tags: Set[String]): Unit = {
+    val current = currentTags(id)
+    createMetric(id, current -- tags)
+  }
+
+  private def currentTags(id: MetricId): Map[String, String] =
+    metricsIndex().filter(metricKey(id)).select("tags").collect()
+      .headOption.map(_.getMap[String, String](0).toMap).getOrElse(Map.empty)
+
+  /** J5 — definitions enriched with data min/max timestamps. */
+  def findMetrics(tenantId: String, mtype: Option[MetricType]): DataFrame =
+    MetricsOps.enrichDefinitions(
+      MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype),
+      raw(), DefaultRetentionDays)
+
+  // ------------------------------------------------------------------
+  // ingest (S1/S3) + maintenance (S8/S9)
+  // ------------------------------------------------------------------
+
+  val MaxStringSize = 2048 // reference MetricsServiceImpl maxStringSize default
+
+  /** S1 — batch append of canonical datapoints. */
+  def addDataPoints(points: DataFrame): Unit =
+    GraftStorage.write(points, dataPath)
+
+  /** S3 — string datapoints with the size cap enforced at ingest. */
+  def addStringDataPoints(points: DataFrame): Unit = {
+    val tooBig = points.filter(octet_length(col("s_value")) > MaxStringSize).limit(1).count()
+    require(tooBig == 0, s"String value exceeds max size $MaxStringSize")
+    GraftStorage.write(points, dataPath)
+  }
+
+  /** S8 — compact closed slices (TempDataCompressor analog). */
+  def compressBlock(upToSlice: Long): Unit = GraftStorage.compact(spark, dataPath, upToSlice)
+
+  /** S9 — delete one metric's data. */
+  def deleteMetric(id: MetricId): Unit =
+    GraftStorage.deleteMetric(spark, dataPath, id.tenantId,
+      MetricType.fromCode(id.mtype), id.name)
+
+  def raw(): DataFrame = GraftStorage.read(spark, dataPath)
+
+  // ------------------------------------------------------------------
+  // reads (EP1/EP2 paths)
+  // ------------------------------------------------------------------
+
+  private def metricKey(id: MetricId): Column =
+    col("tenant_id") === id.tenantId && col("mtype") === id.mtype.toInt &&
+      col("metric") === id.name
+
+  private def series(id: MetricId): DataFrame = raw().filter(metricKey(id))
+
+  /** Raw fetch with the reference's order-defaulting rule (T3). */
+  def findDataPoints(id: MetricId, start: Option[Long], end: Option[Long],
+                     limit: Int = 0, order: Option[Order] = None,
+                     now: Long = System.currentTimeMillis()): DataFrame = {
+    val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+    val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+    MetricsOps.rawDataPoints(series(id), range, ord, limit)
+  }
+
+  def findGaugeStats(id: MetricId, config: BucketConfig,
+                     percentiles: Seq[Double] = Seq.empty): DataFrame = {
+    val b = config.buckets
+    MetricsOps.gapFill(
+      MetricsOps.numericBucketStats(series(id), b, percentiles), b)
+  }
+
+  /**
+   * `fromEarliest=true` (GaugeHandler.java:449-496): derive the range from
+   * the metric's retention window ending now, then drop LEADING empty
+   * buckets (`skipWhile(isEmpty)`) — trailing/interior gaps stay null-filled.
+   */
+  def findGaugeStatsFromEarliest(id: MetricId, bucketCount: Option[Int],
+                                 bucketDuration: Option[GDuration],
+                                 percentiles: Seq[Double] = Seq.empty,
+                                 now: Long = System.currentTimeMillis()): DataFrame = {
+    val retentionMs = metricsIndex().filter(metricKey(id)).select("data_retention")
+      .collect().headOption.map(_.getInt(0)).getOrElse(DefaultRetentionDays) * 86400000L
+    val config = BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
+    val filled = findGaugeStats(id, config, percentiles)
+    val firstNonEmpty = filled.filter(col("samples").isNotNull)
+      .agg(coalesce(min(col("bucket")), lit(Long.MaxValue)).as("__first"))
+    filled.crossJoin(broadcast(firstNonEmpty))
+      .filter(col("bucket") >= col("__first"))
+      .drop("__first")
+  }
+
+  /** Tagged variant (A6): group by per-point tag-value combinations. */
+  def findGaugeStats(id: MetricId, tags: Map[String, String],
+                     percentiles: Seq[Double]): DataFrame =
+    MetricsOps.taggedStats(series(id), tags, percentiles)
+
+  /** A4/A5 — multi-metric stats over a tag query or id list. */
+  def findNumericStats(tenantId: String, mtype: MetricType, ids: Seq[String],
+                       config: BucketConfig, percentiles: Seq[Double],
+                       stacked: Boolean): DataFrame = {
+    val dp = MetricsOps.dataPointsForIds(
+      raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
+    if (stacked) MetricsOps.stackedStats(dp, config.buckets, percentiles)
+    else MetricsOps.pooledStats(dp, config.buckets, percentiles)
+  }
+
+  def findAvailabilityData(id: MetricId, start: Option[Long], end: Option[Long],
+                           distinct: Boolean = false, limit: Int = 0,
+                           order: Option[Order] = None,
+                           now: Long = System.currentTimeMillis()): DataFrame = {
+    val base = findDataPoints(id, start, end, limit, order, now)
+    if (distinct) MetricsOps.distinctContiguous(base, "avail") else base
+  }
+
+  def findAvailabilityStats(id: MetricId, config: BucketConfig): DataFrame =
+    MetricsOps.availabilityBucketStats(series(id), config.buckets)
+
+  def findStringData(id: MetricId, start: Option[Long], end: Option[Long],
+                     distinct: Boolean = false, limit: Int = 0,
+                     order: Option[Order] = None,
+                     now: Long = System.currentTimeMillis()): DataFrame = {
+    val base = findDataPoints(id, start, end, limit, order, now)
+    if (distinct) MetricsOps.distinctContiguous(base, "s_value") else base
+  }
+
+  def findCounterStats(id: MetricId, config: BucketConfig,
+                       percentiles: Seq[Double] = Seq.empty): DataFrame = {
+    val b = config.buckets
+    MetricsOps.gapFill(
+      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value"), b)
+  }
+
+  /** W1 — COUNTER_RATE / GAUGE_RATE virtual types (limit after pairing,
+    * MetricsServiceImpl.java:882). */
+  def findRateData(id: MetricId, limit: Int = 0, order: Order = Order.Asc): DataFrame = {
+    val t = MetricType.fromCode(id.mtype)
+    MetricsOps.rate(series(id), isCounter = t == MetricType.Counter,
+      valueCol = if (t == MetricType.Counter) "l_value" else "n_value",
+      order = order, limit = limit)
+  }
+
+  def findRateStats(id: MetricId, config: BucketConfig,
+                    percentiles: Seq[Double] = Seq.empty): DataFrame = {
+    val t = MetricType.fromCode(id.mtype)
+    MetricsOps.rateStats(series(id), config.buckets, isCounter = t == MetricType.Counter,
+      valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles)
+  }
+
+  def getPeriods(id: MetricId, predicate: Column): DataFrame =
+    MetricsOps.periods(series(id), predicate)
+}

@@ -1,0 +1,134 @@
+package graft.api
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end facade spec: the reference's core-ITest pattern — write
+  * through the service, read back, assert semantics
+  * (GaugeITest/CounterITest/TagsITest shapes). */
+class MetricsServiceSpec extends SparkTestBase {
+
+  private def newService(): MetricsService =
+    new MetricsService(spark, Files.createTempDirectory("graft-svc").toString)
+
+  private def gaugeRows(metric: String, rows: Seq[(Long, Double)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("time", "n_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Gauge.code.toInt))
+      .withColumn("metric", lit(metric))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map())
+  }
+
+  test("create metric → add points → stats round trip (EP1)") {
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Gauge.code, "cpu")
+    svc.createMetric(id, Map("env" -> "prod", "dc" -> "east"))
+    svc.addDataPoints(gaugeRows("cpu", Seq((100L, 10.0), (110L, 30.0), (125L, 20.0))))
+    val stats = svc.findGaugeStats(id,
+      BucketConfig(TimeRange(100, 140), Some(4), None))
+    val rows = stats.orderBy("bucket").collect()
+    assert(rows.length == 4)
+    // step 10: bucket0=[100,110) → 10.0; bucket1=[110,120) → 30.0; bucket2 → 20.0
+    assert(rows(0).getAs[Double]("avg") == 10.0 && rows(0).getAs[Long]("samples") == 1)
+    assert(rows(1).getAs[Double]("max") == 30.0)
+    assert(rows(2).getAs[Double]("min") == 20.0)
+    assert(rows(3).getAs[Any]("samples") == null) // gap-filled empty bucket
+  }
+
+  test("order defaulting T3 applies on raw fetch") {
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    svc.addDataPoints(gaugeRows("m", Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))))
+    // limit + start without end → ASC
+    val asc = svc.findDataPoints(id, Some(0L), None, limit = 2, now = 10L)
+      .select("time").collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(1L, 2L))
+    // otherwise DESC
+    val desc = svc.findDataPoints(id, Some(0L), Some(10L), limit = 2, now = 10L)
+      .select("time").collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(3L, 2L))
+  }
+
+  test("tag updates are last-write-wins; tag query resolves ids") {
+    val svc = newService()
+    val a = MetricId("t1", MetricType.Gauge.code, "a")
+    val b = MetricId("t1", MetricType.Gauge.code, "b")
+    svc.createMetric(a, Map("env" -> "prod"))
+    svc.createMetric(b, Map("env" -> "dev"))
+    svc.addTags(a, Map("dc" -> "east"))
+    val ids = svc.findMetricIdentifiersWithFilters("t1", Some(MetricType.Gauge), "env = prod AND dc = east")
+      .select("metric").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("a"))
+    svc.deleteTags(a, Set("dc"))
+    assert(svc.findMetricIdentifiersWithFilters("t1", Some(MetricType.Gauge), "dc = east").count() == 0)
+    // simple name:value fallback syntax
+    assert(svc.findMetricIdentifiersWithFilters("t1", None, "env:dev").count() == 1)
+  }
+
+  test("fromEarliest skips leading empty buckets only") {
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    svc.createMetric(id, Map.empty)
+    val now = 7L * 86400000L + 1000 // retention window = [1000, now)
+    svc.addDataPoints(gaugeRows("m", Seq((now / 2, 5.0), (now - 1000, 6.0))))
+    val out = svc.findGaugeStatsFromEarliest(id, Some(7), None, now = now)
+      .orderBy("bucket").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Any]("samples") != null) // leading empties gone
+    assert(out.length < 7)                          // something was skipped
+    assert(out.exists(_.getAs[Any]("samples") == null) ||
+      out.length == out.count(_.getAs[Any]("samples") != null))
+  }
+
+  test("rate data respects virtual type routing") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val counter = Seq((0L, 100L), (60000L, 160L)).toDF("time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("metric", lit("c"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map())
+    svc.addDataPoints(counter)
+    val r = svc.findRateData(MetricId("t1", MetricType.Counter.code, "c"))
+      .select("rate").collect().map(_.getDouble(0)).toSeq
+    assert(r == Seq(60.0))
+  }
+
+  test("string ingest size cap rejects oversized values (S3)") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val big = Seq((1L, "x" * 3000)).toDF("time", "s_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Str.code.toInt))
+      .withColumn("metric", lit("s"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("tags", map())
+    intercept[IllegalArgumentException](svc.addStringDataPoints(big))
+  }
+
+  test("delete metric removes its data; tenant catalog round trip") {
+    val svc = newService()
+    svc.createTenant("t1", Map("gauge" -> 14))
+    assert(svc.getTenants().collect().head.getString(0) == "t1")
+    val id = MetricId("t1", MetricType.Gauge.code, "dead")
+    svc.addDataPoints(gaugeRows("dead", Seq((1L, 1.0))))
+    svc.addDataPoints(gaugeRows("alive", Seq((2L, 2.0))))
+    svc.deleteMetric(id)
+    val left = svc.raw().select("metric").collect().map(_.getString(0)).toSeq
+    assert(left == Seq("alive"))
+  }
+}

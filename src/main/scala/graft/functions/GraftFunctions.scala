@@ -47,6 +47,11 @@ object GraftFunctions {
    * Used for reference-parity results; the DuckDB-oracled queries use exact
    * `percentile()` instead (see SparkEntry notes).
    */
+  /** The distributed P² marker sketch (scale path) — see [[P2Sketch]].
+    * Quantile in [0,1]. */
+  def p2SketchAgg(quantile: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new P2Sketch.P2Aggregator(quantile), org.apache.spark.sql.Encoders.scalaDouble)
+
   val p2Percentile: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (values: Seq[Double], quantile: Double) =>
       if (values == null || values.isEmpty) None

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/**
+ * P² (Jain & Chlamtac, CACM 1985) streaming percentile estimator as a
+ * distributed Spark `Aggregator` — the scale-safe replacement for the
+ * reference's per-bucket in-memory accumulation
+ * (NumericDataPointCollector.java:45-61 wraps commons-math
+ * PSquarePercentile; that object cannot merge, so a faithful Spark port
+ * would need all of a bucket's points on one machine).
+ *
+ * State: the classic 5 markers (heights + integer positions). Partial
+ * aggregation (map-side combine) works because `merge` treats each
+ * buffer's markers as a piecewise-linear empirical CDF and resamples the
+ * count-weighted mixture at the desired quantile grid — O(1) state,
+ * O(1) merge, any partitioning. Sequential feed reproduces textbook P²;
+ * merged results are a principled approximation (exact percentile stays
+ * available for oracle-grade queries).
+ */
+object P2Sketch {
+
+  /** ≤5 raw values bootstrap in `init`; after that the 5 markers live in
+    * (heights, pos). All arrays fixed-length → plain product encoder. */
+  case class Buf(count: Long, init: Array[Double], heights: Array[Double], pos: Array[Long])
+
+  private def desired(q: Double): Array[Double] = Array(0.0, q / 2, q, (1 + q) / 2, 1.0)
+
+  def empty: Buf = Buf(0L, Array.empty, Array.empty, Array.empty)
+
+  private def bootstrap(q: Double, values: Array[Double]): Buf = {
+    val s = values.sorted
+    if (s.length < 5) Buf(s.length, s, Array.empty, Array.empty)
+    else {
+      var b = Buf(5, Array.empty, s.take(5), Array(1L, 2L, 3L, 4L, 5L))
+      s.drop(5).foreach(v => b = insert(q, b, v))
+      b
+    }
+  }
+
+  /** One P² update step (markers already initialized). */
+  private def insert(q: Double, b: Buf, x: Double): Buf = {
+    val h = b.heights.clone()
+    val n = b.pos.clone()
+    val count = b.count + 1
+    // find cell k and update extreme heights
+    var k = -1
+    if (x < h(0)) { h(0) = x; k = 0 }
+    else if (x >= h(4)) { h(4) = math.max(h(4), x); k = 3 }
+    else {
+      k = 0
+      while (k < 3 && x >= h(k + 1)) k += 1
+    }
+    var i = k + 1
+    while (i < 5) { n(i) += 1; i += 1 }
+    // desired positions for the new count
+    val d = desired(q).map(p => 1 + p * (count - 1))
+    // adjust interior markers
+    i = 1
+    while (i <= 3) {
+      val diff = d(i) - n(i)
+      if ((diff >= 1 && n(i + 1) - n(i) > 1) || (diff <= -1 && n(i - 1) - n(i) < -1)) {
+        val dSign = math.signum(diff).toInt
+        // parabolic (P²) prediction
+        val hp = h(i) + dSign.toDouble / (n(i + 1) - n(i - 1)) *
+          ((n(i) - n(i - 1) + dSign) * (h(i + 1) - h(i)) / (n(i + 1) - n(i)) +
+            (n(i + 1) - n(i) - dSign) * (h(i) - h(i - 1)) / (n(i) - n(i - 1)))
+        h(i) =
+          if (h(i - 1) < hp && hp < h(i + 1)) hp
+          else // linear fallback
+            h(i) + dSign * (h(i + dSign) - h(i)) / (n(i + dSign) - n(i))
+        n(i) += dSign
+      }
+      i += 1
+    }
+    Buf(count, b.init, h, n)
+  }
+
+  def add(q: Double, b: Buf, x: Double): Buf =
+    if (b.count < 5) bootstrap(q, b.init :+ x)
+    else insert(q, b, x)
+
+  /** Piecewise-linear empirical CDF breakpoints (value, cumulative rank). */
+  private def cdfPoints(b: Buf): Array[(Double, Double)] =
+    if (b.count <= 5) b.init.sorted.zipWithIndex.map { case (v, i) => (v, (i + 1).toDouble) }
+    else b.heights.zip(b.pos.map(_.toDouble))
+
+  /** Inverse of the count-weighted CDF mixture at rank r ∈ [1, total]. */
+  private def mixtureQuantile(pts1: Array[(Double, Double)], c1: Long,
+                              pts2: Array[(Double, Double)], c2: Long, p: Double): Double = {
+    def rankAt(pts: Array[(Double, Double)], total: Long, x: Double): Double = {
+      if (pts.isEmpty || total == 0) return 0.0
+      if (x <= pts.head._1) return if (x == pts.head._1) pts.head._2 else 0.0
+      if (x >= pts.last._1) return total.toDouble
+      var i = 0
+      while (i < pts.length - 1 && pts(i + 1)._1 < x) i += 1
+      val (x0, r0) = pts(i); val (x1, r1) = pts(i + 1)
+      if (x1 == x0) r1 else r0 + (x - x0) / (x1 - x0) * (r1 - r0)
+    }
+    val total = c1 + c2
+    val target = p * total
+    // binary search on value axis over the union envelope
+    var lo = math.min(pts1.headOption.map(_._1).getOrElse(Double.MaxValue),
+      pts2.headOption.map(_._1).getOrElse(Double.MaxValue))
+    var hi = math.max(pts1.lastOption.map(_._1).getOrElse(Double.MinValue),
+      pts2.lastOption.map(_._1).getOrElse(Double.MinValue))
+    var it = 0
+    while (it < 60 && hi - lo > 1e-12 * math.max(1.0, math.abs(hi))) {
+      val mid = (lo + hi) / 2
+      if (rankAt(pts1, c1, mid) + rankAt(pts2, c2, mid) < target) lo = mid else hi = mid
+      it += 1
+    }
+    (lo + hi) / 2
+  }
+
+  def merge(q: Double, b1: Buf, b2: Buf): Buf = {
+    if (b1.count == 0) return b2
+    if (b2.count == 0) return b1
+    if (b1.count + b2.count <= 5) return bootstrap(q, b1.init ++ b2.init)
+    if (b1.count < 5 && b2.count >= 5) return b1.init.foldLeft(b2)((b, v) => insert(q, b, v))
+    if (b2.count < 5 && b1.count >= 5) return b2.init.foldLeft(b1)((b, v) => insert(q, b, v))
+    if (b1.count < 5 && b2.count < 5) return bootstrap(q, b1.init ++ b2.init)
+    // both initialized: resample the mixture CDF at the desired grid
+    val total = b1.count + b2.count
+    val p1 = cdfPoints(b1); val p2 = cdfPoints(b2)
+    val d = desired(q)
+    val heights = new Array[Double](5)
+    heights(0) = math.min(b1.heights(0), b2.heights(0))
+    heights(4) = math.max(b1.heights(4), b2.heights(4))
+    var i = 1
+    while (i <= 3) { heights(i) = mixtureQuantile(p1, b1.count, p2, b2.count, d(i)); i += 1 }
+    // enforce monotone heights
+    i = 1
+    while (i < 5) { if (heights(i) < heights(i - 1)) heights(i) = heights(i - 1); i += 1 }
+    val pos = d.map(p => math.max(1L, math.round(1 + p * (total - 1))))
+    // positions must be strictly increasing for the update parabola
+    i = 1
+    while (i < 5) { if (pos(i) <= pos(i - 1)) pos(i) = pos(i - 1) + 1; i += 1 }
+    Buf(total, Array.empty, heights, pos)
+  }
+
+  def result(q: Double, b: Buf): Option[Double] =
+    if (b.count == 0) None
+    else if (b.count <= 5) {
+      // small-sample: exact interpolated percentile over the raw values
+      val s = b.init.sorted
+      val posd = q * (s.length - 1)
+      val lo = posd.toInt; val frac = posd - lo
+      Some(if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo))
+    } else Some(b.heights(2))
+
+  /** Spark Aggregator; register with `functions.udaf(new P2Aggregator(0.9))`. */
+  class P2Aggregator(q: Double) extends Aggregator[Double, Buf, Option[Double]] {
+    override def zero: Buf = empty
+    override def reduce(b: Buf, a: Double): Buf = add(q, b, a)
+    override def merge(b1: Buf, b2: Buf): Buf = P2Sketch.merge(q, b1, b2)
+    override def finish(reduction: Buf): Option[Double] = result(q, reduction)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Option[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+}

@@ -79,23 +79,31 @@ object MetricsOps {
   // A1/A2 — numeric bucket statistics + gap fill
   // -----------------------------------------------------------------------
 
+  /** Percentile strategies for A1-family stats. */
+  sealed trait PercentileMode
+  object PercentileMode {
+    /** Spark's exact interpolated `percentile` — distributed partial agg,
+      * oracle-comparable; memory ∝ distinct values per bucket. */
+    case object Exact extends PercentileMode
+    /** Bit-parity with the reference's streaming estimator: per-bucket
+      * time-ordered array through commons-math PSquarePercentile. Parity
+      * TESTS ONLY — a bucket's points must fit in memory. */
+    case object P2Parity extends PercentileMode
+    /** The 100 TB path: graft's own P² marker sketch as a Spark Aggregator
+      * with O(1) state and a CDF-mixture merge (see functions.P2Sketch). */
+    case object P2Sketch extends PercentileMode
+  }
+
   /**
    * A1 — per-bucket numeric stats (reference
    * transformers/NumericDataPointCollector.java:40-117): min, avg, median,
    * max, sum, samples, plus requested percentiles.
-   *
-   * `exactPercentiles = true` computes exact interpolated percentiles with
-   * Spark's codegen'd `percentile` aggregate (distributed partial agg).
-   * `false` reproduces the reference's P² streaming estimator bit-for-bit:
-   * values are collected per bucket in time order and fed through
-   * commons-math `PSquarePercentile` — same library, same order, same
-   * result as the reference's single-threaded per-bucket accumulation.
    */
   def numericBucketStats(dp: DataFrame, b: Buckets,
                          quantiles: Seq[Double] = Seq.empty,
                          byMetric: Boolean = false,
                          valueCol: String = "n_value",
-                         exactPercentiles: Boolean = true): DataFrame = {
+                         mode: PercentileMode = PercentileMode.Exact): DataFrame = {
     val v = col(valueCol).cast("double")
     val in = dp
       .filter(col("time") >= b.start && col("time") < b.end)
@@ -106,24 +114,33 @@ object MetricsOps {
       min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
       decSum(v).as("sum"), count(v).as("samples"))
 
-    if (exactPercentiles) {
-      val aggs = statAggs(v, quantiles)
-      in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    } else {
-      // P² path: deterministic time-ordered per-bucket array. The reference
-      // appends an implicit extra p50 as the median, computed by its own
-      // estimator instance (NumericDataPointCollector.java:61).
-      val withArr = in
-        .groupBy(keys: _*)
-        .agg((base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).head,
-          (base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).tail: _*)
-        .withColumn("ordered", col("pts.v"))
-      val withPcts = quantiles.foldLeft(withArr) { (d, q) =>
-        d.withColumn(pctColName(q), GraftFunctions.p2Percentile(col("ordered"), lit(q)))
-      }
-      withPcts
-        .withColumn("median", GraftFunctions.p2Percentile(col("ordered"), lit(50.0)))
-        .drop("pts", "ordered")
+    mode match {
+      case PercentileMode.Exact =>
+        val aggs = statAggs(v, quantiles)
+        in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+      case PercentileMode.P2Sketch =>
+        val pctAggs = quantiles.map(q =>
+          GraftFunctions.p2SketchAgg(q / 100.0)(v).as(pctColName(q))) :+
+          GraftFunctions.p2SketchAgg(0.5)(v).as("median")
+        val aggs = base ++ pctAggs
+        in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+      case PercentileMode.P2Parity =>
+        // deterministic time-ordered per-bucket array. The reference
+        // appends an implicit extra p50 as the median, computed by its own
+        // estimator instance (NumericDataPointCollector.java:61).
+        val withArr = in
+          .groupBy(keys: _*)
+          .agg((base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).head,
+            (base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).tail: _*)
+          .withColumn("ordered", col("pts.v"))
+        val withPcts = quantiles.foldLeft(withArr) { (d, q) =>
+          d.withColumn(pctColName(q), GraftFunctions.p2Percentile(col("ordered"), lit(q)))
+        }
+        withPcts
+          .withColumn("median", GraftFunctions.p2Percentile(col("ordered"), lit(50.0)))
+          .drop("pts", "ordered")
     }
   }
 
@@ -170,9 +187,8 @@ object MetricsOps {
    * as the number of contributing (non-empty) metrics.
    */
   def stackedStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty,
-                   exactPercentiles: Boolean = true): DataFrame = {
-    val per = numericBucketStats(dp, b, quantiles, byMetric = true,
-      exactPercentiles = exactPercentiles)
+                   mode: PercentileMode = PercentileMode.Exact): DataFrame = {
+    val per = numericBucketStats(dp, b, quantiles, byMetric = true, mode = mode)
     val statCols = Seq("min", "avg", "median", "max", "sum") ++ quantiles.map(pctColName)
     // outer sums go through decimal too — see decSum note above
     val aggs = statCols.map(c => decSum(col(c)).as(c)) :+ count(lit(1)).as("samples")

@@ -89,8 +89,11 @@ object SparkEntry {
   private def gauge(s: SparkSession, dir: String) = ea.gaugePoints(s, dir)
   private def avail(s: SparkSession, dir: String) = ea.availabilityPoints(s, dir)
   private def ctr(s: SparkSession, dir: String) = ea.counterPoints(s, dir)
-  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
-  private def embs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  // single-row-group fixture files → repartition for downstream parallelism
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet").repartition(s.sparkContext.defaultParallelism)
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet").repartition(s.sparkContext.defaultParallelism)
 
   /** Flagship (EP1 end-to-end): gauge bucket stats with percentiles + gap
     * fill on sf0.001 — SURVEY §7 "minimum end-to-end slice". */

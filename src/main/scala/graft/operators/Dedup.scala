@@ -27,16 +27,11 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Distinct k-word shingles as an array column (empty for docs shorter
-    * than k words). */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = tokens(text)
-    array_distinct(
-      when(size(ws) >= k,
-        transform(
-          sequence(lit(0), size(ws) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+    * than k words). Shingle construction is the native codegen
+    * [[graft.plans.WordShingles]] expression — the higher-order-function
+    * formulation runs interpreted and dominated pipeline cost. */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(graft.plans.WordShingles(tokens(text), k))
 
   /** (doc_id, shingle) exploded-distinct frame. */
   def shingleFrame(docs: DataFrame, k: Int): DataFrame =

@@ -28,15 +28,23 @@ object MetricsOps {
    * S4 + F9 + T1 + T2 — raw datapoint fetch: range scan, order by time,
    * optional limit (reference DataAccessImpl.java:158-176, Order.java:30-74).
    * The metric tie-break keeps LIMIT deterministic across runs.
+   *
+   * With a limit the global sort collapses to TakeOrderedAndProject (top-k
+   * per partition + driver merge — no shuffle of the data). Without one, a
+   * global total order would be a full range-shuffle sort for a property
+   * that is only presentational, so we sort within partitions after
+   * clustering by metric — per-metric time order (what the reference's
+   * per-metric CQL scans actually delivered) at one hash shuffle.
    */
   def rawDataPoints(dp: DataFrame, range: TimeRange, order: Order = Order.Desc,
                     limit: Int = 0): DataFrame = {
     val filtered = dp.filter(inRange(range))
-    val sorted = order match {
-      case Order.Asc  => filtered.orderBy(col("time").asc, col("metric").asc)
-      case Order.Desc => filtered.orderBy(col("time").desc, col("metric").asc)
+    val timeCol = order match {
+      case Order.Asc  => col("time").asc
+      case Order.Desc => col("time").desc
     }
-    if (limit > 0) sorted.limit(limit) else sorted
+    if (limit > 0) filtered.orderBy(timeCol, col("metric").asc).limit(limit)
+    else filtered.repartition(col("metric")).sortWithinPartitions(col("metric"), timeCol)
   }
 
   /**

@@ -85,11 +85,17 @@ object TextOps {
    * Document fingerprints: full-content md5 plus the minimum 5-word-shingle
    * md5 (1-permutation MinHash — a content-defined sample that is stable
    * under local edits; the building block of winnowing).
+   *
+   * Shape: explode + min-aggregate rather than `array_min(transform(_, md5))`
+   * — md5 inside a lambda evaluates interpreted; as a top-level expression
+   * over the exploded frame it stays in whole-stage codegen, and the
+   * min-agg gets map-side partial combine.
    */
-  def fingerprints(docs: DataFrame, shingleK: Int = 5): DataFrame =
-    docs.select(
-      col("doc_id"),
-      md5(col("text").cast("binary")).as("content_md5"),
-      array_min(transform(Dedup.shingles(col("text"), shingleK), s => md5(s.cast("binary"))))
-        .as("min_shingle_md5"))
+  def fingerprints(docs: DataFrame, shingleK: Int = 5): DataFrame = {
+    val minShingle = Dedup.shingleFrame(docs, shingleK)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle").cast("binary"))).as("min_shingle_md5"))
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
+      .join(minShingle, Seq("doc_id"), "left")
+  }
 }

@@ -22,10 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object EventsAdapter {
 
-  /** Raw events; `ts` arrives as Long nanos (nanosAsLong). */
+  /** Raw events; `ts` arrives as Long nanos (nanosAsLong).
+    *
+    * The driver fixture is a SINGLE-row-group parquet file, so the scan is
+    * one task no matter the split size — repartition immediately (a ~2 MB
+    * shuffle) so every downstream per-row pipeline uses all cores. Real
+    * deployments read many files/row groups and skip this. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   val Tenant = "acme"
@@ -63,7 +69,10 @@ object EventsAdapter {
    * Window ordered by (time, event_id) for a fully deterministic sum.
    */
   def counterPoints(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("metric")).orderBy(col("time"), col("event_id"))
+    // window keys match MetricsOps.rate's (tenant, mtype, metric) exactly so
+    // the downstream rate window reuses this exchange instead of reshuffling
+    val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("time"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base(spark, sfDir)
       .withColumn("mtype", lit(MetricType.Counter.code.toInt))

@@ -393,6 +393,31 @@ object SparkEntry {
               |  AND metric IN (SELECT metric FROM cat WHERE event_type = 'purchase')
               |GROUP BY 1""".stripMargin)),
 
+    // ---- EP2: mixed-type multi-metric stats query ------------------------
+    // (POST /metrics/stats/query, MetricHandler.doStatsQuery:341-466 —
+    // tag-resolved id set fanned out per requested type, one response)
+    ("stats_query_multi", (s: SparkSession, d: String) => {
+      val ids = ea.catalog(s, d).filter(TagQueryParser.compile("seg = s1", col("tags")))
+      val b = Buckets.fromCount(S, E, 30)
+      def one(dp: DataFrame, mtype: Int, vcol: String) =
+        roundPcts(MetricsOps.numericBucketStats(
+          MetricsOps.dataPointsForIds(dp, ids), b, Seq.empty, byMetric = true, valueCol = vcol),
+          Seq.empty)
+          .withColumn("mtype", lit(mtype))
+          .select("mtype", "metric", "bucket", "min", "avg", "max", "sum", "samples", "median")
+      one(gauge(s, d), 0, "n_value").unionByName(one(ctr(s, d), 2, "l_value"))
+    },
+      Some(s"""WITH $BaseCte, $CatCte, $CounterCte,
+              |sel AS (SELECT metric FROM cat WHERE seg = 's1'),
+              |gv AS (SELECT metric, t, value AS v FROM base WHERE metric IN (SELECT metric FROM sel)),
+              |cv AS (SELECT metric, t, CAST(l_value AS DOUBLE) AS v FROM ctr
+              |       WHERE metric IN (SELECT metric FROM sel))
+              |SELECT 0 AS mtype, metric, (t - $S) // 86400000 AS bucket, ${statSql("v", Seq.empty)}
+              |FROM gv WHERE t >= $S AND t < $E GROUP BY 2, 3
+              |UNION ALL
+              |SELECT 2 AS mtype, metric, (t - $S) // 86400000 AS bucket, ${statSql("v", Seq.empty)}
+              |FROM cv WHERE t >= $S AND t < $E GROUP BY 2, 3""".stripMargin)),
+
     // ---- J3: explicit id list → datapoints -------------------------------
     ("fetch_by_ids", (s: SparkSession, d: String) =>
       MetricsOps.dataPointsForIds(gauge(s, d), Seq("click/7", "error/23", "view/88"))

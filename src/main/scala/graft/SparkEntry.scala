@@ -483,6 +483,21 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
              |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin)),
 
+    // ---- LLM: exact n-gram Jaccard (no sketch — the LSH's ground truth) --
+    ("dedup_ngram_exact", (s: SparkSession, d: String) =>
+      Dedup.exactJaccardPairs(docs(s, d), shingleK = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+             |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.5""".stripMargin)),
+
     // ---- LLM: SimHash near-dup pairs (banded, pigeonhole-exact) ----------
     ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simHashPairs(docs(s, d), maxHamming = 3),
       Some("""WITH tok AS (SELECT DISTINCT doc_id, tok FROM (

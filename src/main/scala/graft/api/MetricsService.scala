@@ -143,6 +143,21 @@ class MetricsService(spark: SparkSession, root: String) {
     GraftStorage.deleteMetric(spark, dataPath, id.tenantId,
       MetricType.fromCode(id.mtype), id.name)
 
+  /** S9 — delete a whole tenant (reference jobs/DeleteTenant.java:34-62):
+    * drop its data partition subtree (metadata-level — tenant_id is the
+    * leading partition column) and its catalog rows. */
+  def deleteTenant(tenantId: String): Unit = {
+    GraftStorage.deleteTenant(spark, dataPath, tenantId)
+    val cat = spark.read.parquet(metricsPath)
+      .filter(col("tenant_id") =!= tenantId).localCheckpoint()
+    cat.write.mode(SaveMode.Overwrite).parquet(metricsPath)
+  }
+
+  /** Retention sweep (TTL analog): drop expired slices, no rewrite. */
+  def applyRetention(retentionDays: Int = DefaultRetentionDays,
+                     now: Long = System.currentTimeMillis()): Seq[Long] =
+    GraftStorage.dropExpiredSlices(spark, dataPath, retentionDays, now)
+
   def raw(): DataFrame = GraftStorage.read(spark, dataPath)
 
   // ------------------------------------------------------------------

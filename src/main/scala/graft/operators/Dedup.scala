@@ -132,6 +132,24 @@ object Dedup {
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Exact n-gram Jaccard near-dup pairs WITHOUT the MinHash sketch: every
+   * pair sharing at least one shingle is a candidate (the shingle
+   * equi-join enumerates exactly those), then exact verification. No
+   * cross join — cost is Σ_shingle df(shingle)², so it degrades only on
+   * stop-shingles; the LSH variant is the defense when that matters.
+   */
+  def exactJaccardPairs(docs: DataFrame, shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleFrame(docs, shingleK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
+    sh.count()
+    val cand = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
   // --------------------------- SimHash ---------------------------
 
   private val SimBits = 60

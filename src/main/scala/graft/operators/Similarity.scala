@@ -33,10 +33,10 @@ object Similarity {
   private def dvec(c: String) = transform(col(c), x => x.cast("double"))
 
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("nrm", GraftFunctions.l2NormFixed(col(vecCol), Dim))
+    df.withColumn("nrm", sqrt(graft.plans.VectorDot(col(vecCol), col(vecCol))))
 
   private def cosine(a: String, b: String): org.apache.spark.sql.Column =
-    GraftFunctions.dotProductFixed(col(a), col(b), Dim) / (col(s"${a}_nrm") * col(s"${b}_nrm"))
+    graft.plans.VectorDot(col(a), col(b)) / (col(s"${a}_nrm") * col(s"${b}_nrm"))
 
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

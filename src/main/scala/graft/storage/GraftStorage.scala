@@ -109,15 +109,24 @@ object GraftStorage {
       .collect().map(_.getLong(0)).toSeq
   }
 
-  /** S9 — delete a metric: rewrite only the partitions that contain it. */
+  /**
+   * S9 — delete a metric: dynamic-overwrite rewrite of only the partitions
+   * that contain it, plus a physical drop of slice directories left with
+   * no rows (dynamic overwrite cannot emit an empty partition). In a
+   * table-format deployment this whole method is `DELETE WHERE`.
+   */
   def deleteMetric(spark: SparkSession, path: String, tenantId: String,
                    mtype: MetricType, metric: String): Unit = {
-    val remaining = read(spark, path)
+    val scoped = read(spark, path)
       .filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
-      .filter(col("metric") =!= metric)
+    def slices(df: DataFrame): Set[Long] =
+      df.select(col("time_slice")).distinct().collect().map(_.getLong(0)).toSet
+    val before = slices(scoped)
+    val remaining = scoped.filter(col("metric") =!= metric).localCheckpoint()
+    val after = slices(remaining)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try remaining.localCheckpoint()
+    try remaining
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(col("metric"), col("time"))
       .write
@@ -126,5 +135,35 @@ object GraftStorage {
       .mode(SaveMode.Overwrite)
       .parquet(path)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    (before -- after).foreach { s =>
+      dropDir(spark, s"$path/tenant_id=$tenantId/mtype=${mtype.code.toInt}/time_slice=$s")
+    }
+  }
+
+  /** S9 — delete a whole tenant: one recursive directory drop (tenant_id
+    * is the leading partition column — a pure metadata/file operation). */
+  def deleteTenant(spark: SparkSession, path: String, tenantId: String): Unit =
+    dropDir(spark, s"$path/tenant_id=$tenantId")
+
+  /** Retention enforcement: physically drop expired slice partitions
+    * across all tenants/types — no data rewrite. */
+  def dropExpiredSlices(spark: SparkSession, path: String, retentionDays: Int,
+                        now: Long): Seq[Long] = {
+    val expired = expiredSlices(spark, path, retentionDays, now)
+    val fs = rootFs(spark, path)
+    expired.foreach { s =>
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/*/*/time_slice=$s"))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    expired
+  }
+
+  private def rootFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dropDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    rootFs(spark, dir).delete(p, true)
   }
 }

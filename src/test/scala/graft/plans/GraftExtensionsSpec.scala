@@ -1,0 +1,24 @@
+package graft.plans
+
+import graft.SparkTestBase
+
+/** SQL-surface registration of the native expressions. The function
+  * triples are injected into the shared session's registry — the same
+  * builders `spark.sql.extensions=graft.plans.GraftExtensions` wires at
+  * session build. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("word_shingles and vector_dot are SQL-callable") {
+    val registry = spark.sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+    val sh = spark.sql("SELECT word_shingles(split('a b c d', ' '), 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val dot = spark.sql("SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 11.0)
+    intercept[Exception](spark.sql("SELECT word_shingles(array('a'), 'x')").collect())
+  }
+}

@@ -68,4 +68,35 @@ class StorageSpec extends SparkTestBase {
     val expired = GraftStorage.expiredSlices(spark, path, retentionDays = 7, now = now)
     assert(expired == Seq(0L))
   }
+
+  test("dropExpiredSlices physically removes old partitions, keeps fresh data") {
+    val path = tmp()
+    val now = 10 * 86400000L
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m1", now - 1000, 2.0))), path, SaveMode.Overwrite)
+    val dropped = GraftStorage.dropExpiredSlices(spark, path, retentionDays = 7, now = now)
+    assert(dropped == Seq(0L))
+    val left = GraftStorage.read(spark, path).select("time", "n_value").collect()
+    assert(left.length == 1 && left.head.getDouble(1) == 2.0)
+  }
+
+  test("deleteMetric drops slice dirs left empty (sole-metric partitions)") {
+    val path = tmp()
+    // m1 alone in slice 0; m1+m2 in slice 1
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m1", H2 + 1, 2.0), ("m2", H2 + 2, 3.0))),
+      path, SaveMode.Overwrite)
+    GraftStorage.deleteMetric(spark, path, "t", MetricType.Gauge, "m1")
+    val back = GraftStorage.read(spark, path)
+    assert(back.select("metric").collect().map(_.getString(0)).toSeq == Seq("m2"))
+    assert(back.select("time_slice").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("deleteTenant drops the whole tenant subtree") {
+    val path = tmp()
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0))), path, SaveMode.Overwrite)
+    GraftStorage.write(fixture(Seq(("m9", 200L, 9.0))).withColumn("tenant_id", lit("other")),
+      path)
+    GraftStorage.deleteTenant(spark, path, "t")
+    val left = GraftStorage.read(spark, path).select("tenant_id").distinct().collect()
+    assert(left.map(_.getString(0)).toSeq == Seq("other"))
+  }
 }

@@ -1,36 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev-only probe: doc_fingerprint cost breakdown at sf0.1. */
+/** Dev-only probe: plan audit — pushdown, pruning, codegen spans.
+  * Output is captured into docs/PLANS.md. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").repartition(32).cache()
-    docs.count()
-    def timed(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val sf = "/root/testdata/sf0.01"
+    for (name <- Seq("raw_fetch_desc", "gauge_stats", "tagquery_to_stats",
+      "counter_rate", "knn_cosine", "dedup_minhash")) {
+      println(s"\n===== $name =====")
+      println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
-    import graft.operators.Dedup
-    timed("content_md5_only")(docs.select(col("doc_id"), md5(col("text").cast("binary"))))
-    timed("shingles_only")(docs.select(col("doc_id"), Dedup.shingles(col("text"), 5)))
-    timed("shingle_md5_min")(docs.select(col("doc_id"),
-      array_min(transform(Dedup.shingles(col("text"), 5), s => md5(s.cast("binary"))))))
-    timed("shingle_xxhash_min")(docs.select(col("doc_id"),
-      array_min(transform(Dedup.shingles(col("text"), 5), s => xxhash64(s)))))
-    timed("explode_min_md5")(
-      docs.select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("s"))
-        .groupBy("doc_id").agg(min(md5(col("s").cast("binary")))))
-    timed("full_fingerprints")(graft.operators.TextOps.fingerprints(docs))
-    timed("full_fingerprints_again")(graft.operators.TextOps.fingerprints(docs))
+    import org.apache.spark.sql.functions._
+    import graft.storage.GraftStorage
+    import graft.model.MetricType
+    val tmp = java.nio.file.Files.createTempDirectory("probe-prune").toString
+    GraftStorage.write(graft.sources.EventsAdapter.gaugePoints(spark, sf), tmp,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    println("\n===== storage readRange pruning =====")
+    println(GraftStorage.readRange(spark, tmp, "acme", MetricType.Gauge,
+      1704067200000L, 1704067200000L + 4 * 7200000L)
+      .filter(col("metric") === "click/42").select("metric", "time", "n_value")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
   }
 }

@@ -229,8 +229,17 @@ class MetricsService(spark: SparkSession, root: String) {
     if (distinct) MetricsOps.distinctContiguous(base, "avail") else base
   }
 
-  def findAvailabilityStats(id: MetricId, config: BucketConfig): DataFrame =
-    MetricsOps.availabilityBucketStats(series(id), config.buckets)
+  def findAvailabilityStats(id: MetricId, config: BucketConfig): DataFrame = {
+    val s = spark
+    import s.implicits._
+    MetricsOps.availabilityBucketStatsFilled(series(id), config.buckets,
+      keySpine = Some(Seq(id.name).toDF("metric")))
+  }
+
+  /** Counter tagged stats (A6 for counters, MetricsService.java:307). */
+  def findCounterStats(id: MetricId, tags: Map[String, String],
+                       percentiles: Seq[Double]): DataFrame =
+    MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value")
 
   def findStringData(id: MetricId, start: Option[Long], end: Option[Long],
                      distinct: Boolean = false, limit: Int = 0,

@@ -279,6 +279,13 @@ object MetricsOps {
     ).withColumn("uptime_ratio", col("up_ms").cast("double") / lit(b.step.toDouble))
   }
 
+  /** A3 + A2 — availability stats gap-filled to exactly `b.count` buckets
+    * per metric (the reference's dense AvailabilityBucketPoint list,
+    * BucketPoint.java:66-83), with the queried-metric spine rule. */
+  def availabilityBucketStatsFilled(dp: DataFrame, b: Buckets,
+                                    keySpine: Option[DataFrame] = None): DataFrame =
+    gapFill(availabilityBucketStats(dp, b), b, Seq("metric"), keySpine)
+
   // -----------------------------------------------------------------------
   // W1/F6 — rate derivation
   // -----------------------------------------------------------------------

@@ -49,13 +49,33 @@ object GraftStorage {
       .mode(mode)
       .parquet(path)
 
+  import org.apache.spark.sql.types._
+
+  /** Canonical on-disk schema of the raw tier (post-read normalization). */
+  val Schema: StructType = StructType(Seq(
+    StructField("metric", StringType), StructField("time", LongType),
+    StructField("n_value", DoubleType), StructField("l_value", LongType),
+    StructField("avail", IntegerType), StructField("s_value", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("ingest_seq", LongType),
+    StructField("tenant_id", StringType), StructField("mtype", IntegerType),
+    StructField("time_slice", LongType)))
+
   /** Range scan entry: partition pruning on (tenant, type, slice range)
     * happens before any file is opened. Partition columns come back from
-    * directory names as INT — normalize to the canonical types. */
+    * directory names as INT — normalize to the canonical types. An empty
+    * or not-yet-created tier reads as an empty canonical frame (a tenant
+    * delete can legitimately empty the store). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    try spark.read.parquet(path)
       .withColumn("time_slice", col("time_slice").cast("long"))
       .withColumn("mtype", col("mtype").cast("int"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
+            e.getErrorClass == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+    }
 
   def readRange(spark: SparkSession, path: String, tenantId: String,
                 mtype: MetricType, start: Long, end: Long): DataFrame =

@@ -120,6 +120,38 @@ class MetricsServiceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](svc.addStringDataPoints(big))
   }
 
+  test("availability stats come back dense (gap-filled per queried metric)") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val av = Seq((15L, 0), (25L, 1)).toDF("time", "avail")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
+      .withColumn("metric", lit("web"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map())
+    svc.addDataPoints(av)
+    val id = MetricId("t1", MetricType.Availability.code, "web")
+    val out = svc.findAvailabilityStats(id, BucketConfig(TimeRange(10, 50), Some(4), None))
+      .orderBy("bucket").collect()
+    assert(out.length == 4) // dense despite only 2 buckets having data
+    assert(out(0).getAs[Long]("up_ms") == 10L)
+    assert(out(1).getAs[Long]("down_ms") == 10L)
+    assert(out(2).getAs[Any]("samples") == null)
+  }
+
+  test("tenant deletion drops data and catalog") {
+    val svc = newService()
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "m"), Map("a" -> "1"))
+    svc.createMetric(MetricId("t2", MetricType.Gauge.code, "n"), Map("b" -> "2"))
+    svc.addDataPoints(gaugeRows("m", Seq((1L, 1.0))))
+    svc.deleteTenant("t1")
+    assert(svc.raw().count() == 0)
+    assert(svc.metricsIndex().select("tenant_id").collect().map(_.getString(0)).toSeq == Seq("t2"))
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

@@ -235,6 +235,40 @@ object SparkEntry {
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
               |FROM seg GROUP BY metric, bucket""".stripMargin)),
 
+    // ---- A3+A2: availability stats, gap-filled per queried metric -------
+    ("avail_stats_filled", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S, Week, Day)
+      val spine = ea.catalog(s, d).select("metric")
+      MetricsOps.availabilityBucketStatsFilled(avail(s, d), b, Some(spine))
+        .select("metric", "bucket", "bucket_start", "bucket_end", "up_ms", "down_ms",
+          "unknown_ms", "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte, $CatCte,
+              |b AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |      FROM av WHERE t >= $S AND t < $Week),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |ag AS (SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |  FROM seg GROUP BY metric, bucket)
+              |SELECT sp.metric, sp.bucket, $S + sp.bucket * $Day AS bucket_start,
+              |       $S + (sp.bucket + 1) * $Day AS bucket_end,
+              |       ag.up_ms, ag.down_ms, ag.unknown_ms, ag.admin_ms, ag.last_not_uptime,
+              |       ag.not_up_count, ag.samples, ag.uptime_ratio
+              |FROM (SELECT cat.metric, g.bucket FROM cat CROSS JOIN range(7) g(bucket)) sp
+              |LEFT JOIN ag ON ag.metric = sp.metric AND ag.bucket = sp.bucket""".stripMargin)),
+
     // ---- W1/F6: counter rate with reset-pair drop ------------------------
     ("counter_rate", (s: SparkSession, d: String) =>
       MetricsOps.rate(ctr(s, d), isCounter = true, valueCol = "l_value")
@@ -530,12 +564,37 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
-    // ---- LLM: IVF approximate top-k (the 100 TB path; rows-only check) ---
+    // ---- LLM: IVF approximate top-k (the 100 TB path) --------------------
+    // deterministic end-to-end (decimal-summed centroids), so even the
+    // approximate variant gets a full DuckDB oracle
     ("knn_ivf", (s: SparkSession, d: String) => {
       val e = embs(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
-    }, None),
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |el AS (SELECT vec_id, label, g.j, e[CAST(g.j AS INTEGER)] AS v
+             |       FROM dv, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g),
+             |cm AS (SELECT label AS cell, j,
+             |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS cv
+             |       FROM el GROUP BY label, j),
+             |cent AS (SELECT cell, list(cv ORDER BY j) AS ce FROM cm GROUP BY cell),
+             |cn AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM cent),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, cn.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, cn.ce) / (q.nrm * cn.cnrm) DESC, cn.cell ASC) AS pr
+             |       FROM q CROSS JOIN cn),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN n c ON c.label = p.cell
+             |       WHERE c.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
     // ---- LLM: embedding near-dup pairs by cosine threshold ---------------
     ("emb_threshold_pairs", (s: SparkSession, d: String) =>

@@ -70,10 +70,12 @@ object Similarity {
   }
 
   /** Per-cell mean vectors (IVF "centroids"); `cellCol` is the partition
-    * assignment (the synthetic `label` column here; k-means ids in prod). */
+    * assignment (the synthetic `label` column here; k-means ids in prod).
+    * Component sums go through DECIMAL so centroids are bit-identical
+    * across runs/partitionings/engines (the determinism contract). */
   def centroids(corpus: DataFrame, cellCol: String = "label"): DataFrame = {
     val sums = (0 until Dim).map(i =>
-      sum(element_at(dvec("embedding"), i + 1)).as(s"c$i"))
+      sum(element_at(dvec("embedding"), i + 1).cast("decimal(28,10)")).cast("double").as(s"c$i"))
     val aggs = sums :+ count(lit(1)).as("n")
     corpus.groupBy(col(cellCol).as("cell"))
       .agg(aggs.head, aggs.tail: _*)

@@ -22,10 +22,20 @@ object GraftFunctions {
    */
   def filterPattern(value: Column, pattern: String): Column =
     if (pattern == "*") value.isNotNull
-    else if (pattern.startsWith("!")) value.isNotNull && !value.rlike(anchored(pattern.substring(1)))
+    else if (pattern.startsWith("!")) {
+      val p = pattern.substring(1)
+      if (isLiteral(p)) value.isNotNull && value =!= p
+      else value.isNotNull && !value.rlike(anchored(p))
+    }
+    else if (isLiteral(pattern)) value === pattern // also null-safe: === is null-rejecting
     else value.isNotNull && value.rlike(anchored(pattern))
 
   private def anchored(regex: String): String = "^(?:" + regex + ")$"
+
+  /** Regex-free pattern → plain equality (the reference's regex→exact-seek
+    * rewrite, SimpleTagQueryParser.java:209-230 / IS_REGEXP heuristic):
+    * equality is cheaper per row and keeps the plan simpler. */
+  private def isLiteral(p: String): Boolean = p.forall(c => !"\\^$.|?*+()[]{}".contains(c))
 
   /** Bucket index `(time - start) div step` — exact long arithmetic
     * (reference Buckets.java:77-88). Takes the column name so the integral

@@ -334,12 +334,12 @@ object MetricsOps {
    * = running count of predicate-false rows.
    */
   def periods(dp: DataFrame, predicate: Column): DataFrame = {
-    val w = Window.partitionBy(col("metric")).orderBy(col("time"))
+    val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric")).orderBy(col("time"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dp.withColumn("flag", when(predicate, 1).otherwise(0))
       .withColumn("island", sum(lit(1) - col("flag")).over(w))
       .filter(col("flag") === 1)
-      .groupBy(col("metric"), col("island"))
+      .groupBy(col("tenant_id"), col("mtype"), col("metric"), col("island"))
       .agg(min(col("time")).as("period_start"), max(col("time")).as("period_end"))
       .drop("island")
   }
@@ -351,7 +351,7 @@ object MetricsOps {
   /** F7 — `distinct=true` semantics: drop a point when its value equals the
     * previous point's value (reference MetricsServiceImpl.java:968-983). */
   def distinctContiguous(dp: DataFrame, valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col("metric")).orderBy(col("time"))
+    val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric")).orderBy(col("time"))
     dp.withColumn("__prev", lag(col(valueCol), 1).over(w))
       .filter(col("__prev").isNull || col(valueCol) =!= col("__prev"))
       .drop("__prev")

@@ -63,8 +63,10 @@ object TagQueryParser {
     case Regex(k, p) => GraftFunctions.filterPattern(element_at(tags, k), p)
     case NotRegex(k, p) =>
       element_at(tags, k).isNotNull && !GraftFunctions.filterPattern(element_at(tags, k), p)
+    case In(_, Seq()) => lit(false) // IN [] matches nothing
     case In(k, vs) =>
       vs.map(p => GraftFunctions.filterPattern(element_at(tags, k), p)).reduce(_ || _)
+    case NotIn(k, Seq()) => map_contains_key(tags, lit(k)) // has key, excluded by nothing
     case NotIn(k, vs) =>
       element_at(tags, k).isNotNull &&
         !vs.map(p => GraftFunctions.filterPattern(element_at(tags, k), p)).reduce(_ || _)

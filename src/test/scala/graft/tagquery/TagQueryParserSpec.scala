@@ -68,5 +68,10 @@ class TagQueryParserSpec extends SparkTestBase {
     assert(ids("(env = prod AND dc = east) OR pod_id = p5") == Set("m1", "m5"))
     assert(ids("dc ~ '*'") == Set("m1", "m2", "m3", "m4", "m5"))
     assert(ids("dc ~ '!east'") == Set("m2", "m4")) // PatternUtil '!' negation
+    // literal fast path (regex-free pattern compiles to equality)
+    assert(ids("dc ~ 'east'") == Set("m1", "m3", "m5"))
+    // empty IN lists
+    assert(ids("pod_id IN []") == Set.empty)
+    assert(ids("env NOT IN []") == Set("m1", "m2", "m3", "m4"))
   }
 }

@@ -133,18 +133,28 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard near-dup pairs WITHOUT the MinHash sketch: every
-   * pair sharing at least one shingle is a candidate (the shingle
-   * equi-join enumerates exactly those), then exact verification. No
-   * cross join — cost is Σ_shingle df(shingle)², so it degrades only on
-   * stop-shingles; the LSH variant is the defense when that matters.
+   * Exact n-gram Jaccard near-dup pairs WITHOUT a sketch, via PREFIX
+   * FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+   * WWW'07): under a global shingle order (rarest first), a pair with
+   * J ≥ τ must share a shingle within each doc's first
+   * n - ⌈τ·n⌉ + 1 shingles — so only prefixes are self-joined, which
+   * prunes the Σ_shingle df² blow-up of a naive shingle join while
+   * remaining EXACT (candidates are verified with full Jaccard).
    */
   def exactJaccardPairs(docs: DataFrame, shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingleFrame(docs, shingleK)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
     sh.count()
-    val cand = sh.select(col("doc_id").as("doc_a"), col("h"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
+    val wSize = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(df, Seq("h"))
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(wSize))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "h")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)

@@ -14,6 +14,8 @@ class StreamingIngestSpec extends SparkTestBase {
   private val H2 = GraftStorage.SliceMs
 
   case class P(tenant_id: String, mtype: Int, metric: String, time: Long, n_value: Double)
+  case class CP(tenant_id: String, mtype: Int, metric: String, time: Long,
+                n_value: Option[Double], l_value: Option[Long])
 
   test("streaming ingest lands in the partitioned raw tier; in-stream dups collapse") {
     val s = spark
@@ -30,6 +32,27 @@ class StreamingIngestSpec extends SparkTestBase {
     val back = GraftStorage.read(s, path)
     assert(back.count() == 2) // dup collapsed by dropDuplicatesWithinWatermark
     assert(back.select("time_slice").distinct().count() == 2)
+  }
+
+  test("streaming counter rate: state crosses batches, resets drop the pair") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[CP]
+    val q = StreamingRate.rates(mem.toDF(), isCounter = true)
+      .writeStream.format("memory").queryName("rates").outputMode("append").start()
+    val t0 = 1000000L
+    mem.addData(CP("t", 2, "c", t0, None, Some(100L)),
+      CP("t", 2, "c", t0 + 30000, None, Some(200L)))
+    q.processAllAvailable()
+    // next batch: reset (50 < 200) then recovery — state carried over
+    mem.addData(CP("t", 2, "c", t0 + 60000, None, Some(50L)),
+      CP("t", 2, "c", t0 + 90000, None, Some(80L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql("SELECT time, rate FROM rates ORDER BY time")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((t0 + 30000, 200.0), (t0 + 90000, 60.0)))
   }
 
   test("windowed stats finalize on watermark; late data beyond it is dropped") {

@@ -221,6 +221,18 @@ class MetricsService(spark: SparkSession, root: String) {
     else MetricsOps.pooledStats(dp, config.buckets, percentiles)
   }
 
+  /** One EP2 request (POST /metrics/stats/query body). */
+  case class StatsRequest(mtype: MetricType, ids: Seq[String], config: BucketConfig,
+                          percentiles: Seq[Double] = Seq.empty, stacked: Boolean = false)
+
+  /** Batch variant (/metrics/stats/batch/query, MetricHandler.java:321-338):
+    * N independent stats queries, one result frame keyed by request index. */
+  def statsBatchQuery(tenantId: String, requests: Seq[StatsRequest]): DataFrame =
+    requests.zipWithIndex.map { case (r, i) =>
+      findNumericStats(tenantId, r.mtype, r.ids, r.config, r.percentiles, r.stacked)
+        .withColumn("request_id", lit(i))
+    }.reduce(_ unionByName _)
+
   def findAvailabilityData(id: MetricId, start: Option[Long], end: Option[Long],
                            distinct: Boolean = false, limit: Int = 0,
                            order: Option[Order] = None,

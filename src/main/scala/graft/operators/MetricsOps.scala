@@ -107,11 +107,18 @@ object MetricsOps {
    * transformers/NumericDataPointCollector.java:40-117): min, avg, median,
    * max, sum, samples, plus requested percentiles.
    */
+  /**
+   * `parityFeedOrder` applies to the P2Parity path only: the reference
+   * feeds its per-bucket estimator in fetch order — DESC for gauge stats
+   * (MetricsServiceImpl.java:914) but ASC for counters (:1014) — and P²
+   * is order-sensitive, so parity requires reproducing the feed order.
+   */
   def numericBucketStats(dp: DataFrame, b: Buckets,
                          quantiles: Seq[Double] = Seq.empty,
                          byMetric: Boolean = false,
                          valueCol: String = "n_value",
-                         mode: PercentileMode = PercentileMode.Exact): DataFrame = {
+                         mode: PercentileMode = PercentileMode.Exact,
+                         parityFeedOrder: Order = Order.Asc): DataFrame = {
     val v = col(valueCol).cast("double")
     val in = dp
       .filter(col("time") >= b.start && col("time") < b.end)
@@ -135,13 +142,15 @@ object MetricsOps {
         in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
       case PercentileMode.P2Parity =>
-        // deterministic time-ordered per-bucket array. The reference
-        // appends an implicit extra p50 as the median, computed by its own
-        // estimator instance (NumericDataPointCollector.java:61).
+        // deterministic time-ordered per-bucket array, in the reference's
+        // feed order. The reference appends an implicit extra p50 as the
+        // median, computed by its own estimator instance
+        // (NumericDataPointCollector.java:61).
+        val asc = parityFeedOrder == Order.Asc
+        val arr = sort_array(collect_list(struct(col("time"), v.as("v"))), asc = asc).as("pts")
         val withArr = in
           .groupBy(keys: _*)
-          .agg((base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).head,
-            (base :+ sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts")).tail: _*)
+          .agg((base :+ arr).head, (base :+ arr).tail: _*)
           .withColumn("ordered", col("pts.v"))
         val withPcts = quantiles.foldLeft(withArr) { (d, q) =>
           d.withColumn(pctColName(q), GraftFunctions.p2Percentile(col("ordered"), lit(q)))

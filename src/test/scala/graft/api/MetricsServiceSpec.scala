@@ -120,6 +120,21 @@ class MetricsServiceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](svc.addStringDataPoints(big))
   }
 
+  test("stats batch query runs N requests keyed by index (EP2 batch)") {
+    val svc = newService()
+    svc.addDataPoints(gaugeRows("a", Seq((100L, 2.0), (110L, 4.0))))
+    svc.addDataPoints(gaugeRows("b", Seq((105L, 10.0))))
+    val cfg = BucketConfig(TimeRange(100, 120), Some(1), None)
+    val out = svc.statsBatchQuery("t1", Seq(
+      svc.StatsRequest(MetricType.Gauge, Seq("a"), cfg),
+      svc.StatsRequest(MetricType.Gauge, Seq("a", "b"), cfg, stacked = true)))
+    val r0 = out.filter(col("request_id") === 0).collect()
+    assert(r0.length == 1 && r0.head.getAs[Double]("sum") == 6.0)
+    val r1 = out.filter(col("request_id") === 1).collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("samples") == 2) // 2 contributing metrics
+    assert(r1.head.getAs[Double]("avg") == 13.0) // 3.0 + 10.0
+  }
+
   test("availability stats come back dense (gap-filled per queried metric)") {
     val s = spark
     import s.implicits._

@@ -75,6 +75,35 @@ class P2SketchSpec extends SparkTestBase {
     assert(math.abs(got - want) / want < 0.03, s"got $got want $want")
   }
 
+  test("P2Parity reproduces commons-math bit-for-bit in BOTH feed orders") {
+    val s = spark
+    import s.implicits._
+    import graft.model.Order
+    val rnd = new scala.util.Random(17)
+    val vals = Seq.fill(60)(rnd.nextDouble() * 100)
+    val dp = vals.zipWithIndex.map { case (v, i) => ("m", 100L + i, v) }
+      .toDF("metric", "time", "n_value")
+      .withColumn("tenant_id", lit("t")).withColumn("mtype", lit(0))
+    val b = Buckets(100, 60, 1)
+    // the reference feeds DESC for gauge stats, ASC for counter stats —
+    // P² is order-sensitive so the two differ, and each must match a
+    // commons-math estimator fed the same way
+    def cm(xs: Seq[Double]): Double = {
+      val p = new org.apache.commons.math3.stat.descriptive.rank.PSquarePercentile(90.0)
+      xs.foreach(p.increment)
+      p.getResult
+    }
+    val asc = MetricsOps.numericBucketStats(dp, b, Seq(90.0),
+      mode = MetricsOps.PercentileMode.P2Parity, parityFeedOrder = Order.Asc)
+      .collect().head.getAs[Double]("p90_0")
+    val desc = MetricsOps.numericBucketStats(dp, b, Seq(90.0),
+      mode = MetricsOps.PercentileMode.P2Parity, parityFeedOrder = Order.Desc)
+      .collect().head.getAs[Double]("p90_0")
+    assert(asc == cm(vals))
+    assert(desc == cm(vals.reverse))
+    assert(asc != desc) // order sensitivity is real on this sample
+  }
+
   test("bucket stats in P2Sketch mode produce sane percentiles") {
     val s = spark
     import s.implicits._

@@ -319,11 +319,16 @@ object MetricsOps {
       col("tenant_id"), col("mtype"), col("metric"), col("time"),
       (lit(60000.0) * (raw.cast("double") - col("prev_v").cast("double"))
         / (col("time") - col("prev_t")).cast("double")).as("rate"))
-    val sorted = order match {
-      case Order.Asc  => rated.orderBy(col("metric").asc, col("time").asc)
-      case Order.Desc => rated.orderBy(col("metric").asc, col("time").desc)
+    // with a limit: top-k (TakeOrderedAndProject, T2 applied AFTER pairing,
+    // MetricsServiceImpl.java:882). Without one: the window already left
+    // each series partitioned and time-ASC sorted — don't pay a global
+    // range-shuffle for presentational order.
+    (order, limit) match {
+      case (Order.Asc, l) if l > 0  => rated.orderBy(col("metric").asc, col("time").asc).limit(l)
+      case (Order.Desc, l) if l > 0 => rated.orderBy(col("metric").asc, col("time").desc).limit(l)
+      case (Order.Asc, _)           => rated
+      case (Order.Desc, _)          => rated.sortWithinPartitions(col("metric").asc, col("time").desc)
     }
-    if (limit > 0) sorted.limit(limit) else sorted
   }
 
   /** W1 + A1 — rate stats: rate series bucketed through numericBucketStats

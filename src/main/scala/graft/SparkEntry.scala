@@ -374,9 +374,10 @@ object SparkEntry {
     ("tag_values", (s: SparkSession, d: String) =>
       MetricsOps.tagValues(ea.catalog(s, d), Map("type" -> "*", "seg" -> "s[0-2]")),
       Some(s"""WITH $CatCte,
-              |x AS (SELECT 'type' AS tname, event_type AS tvalue FROM cat
-              |      UNION ALL SELECT 'user', tag_user FROM cat
-              |      UNION ALL SELECT 'seg', seg FROM cat)
+              |m AS (SELECT * FROM cat WHERE regexp_full_match(seg, 's[0-2]')),
+              |x AS (SELECT 'type' AS tname, event_type AS tvalue FROM m
+              |      UNION ALL SELECT 'user', tag_user FROM m
+              |      UNION ALL SELECT 'seg', seg FROM m)
               |SELECT DISTINCT tname, tvalue FROM x
               |WHERE tname = 'type' OR (tname = 'seg' AND regexp_full_match(tvalue, 's[0-2]'))""".stripMargin)),
 

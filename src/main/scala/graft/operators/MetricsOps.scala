@@ -395,12 +395,18 @@ object MetricsOps {
   // -----------------------------------------------------------------------
 
   /**
-   * A8 — distinct tag values per queried tag name, with filter-pattern
-   * value filters (reference SimpleTagQueryParser.java:472-526). Returns
-   * (tname, tvalue) rows; `explode` replaces the reference's inverted index.
+   * A8 — distinct tag values per queried tag name (reference
+   * SimpleTagQueryParser.java:472-526): the metric set is first
+   * INTERSECTED across all queried (name, pattern) filters, then each
+   * name's matching values are collected from that set — a metric failing
+   * one filter contributes no values for any name. `explode` replaces the
+   * reference's inverted index.
    */
   def tagValues(catalog: DataFrame, nameFilters: Map[String, String]): DataFrame = {
-    val exploded = catalog.select(explode(col("tags")).as(Seq("tname", "tvalue")))
+    val matching = nameFilters.foldLeft(catalog) { case (d, (k, pat)) =>
+      d.filter(GraftFunctions.filterPattern(element_at(col("tags"), k), pat))
+    }
+    val exploded = matching.select(explode(col("tags")).as(Seq("tname", "tvalue")))
     val conds = nameFilters.map { case (k, pat) =>
       col("tname") === k && GraftFunctions.filterPattern(col("tvalue"), pat)
     }.reduce(_ || _)

@@ -238,6 +238,22 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(got == Set("a", "c"))
   }
 
+  // ---- A8: tag values with cross-filter metric-set intersection ----
+
+  test("tagValues intersects the metric set across ALL filters before collecting") {
+    val s = spark
+    import s.implicits._
+    val cat = Seq(
+      ("m1", Map("env" -> "prod", "dc" -> "east")),
+      ("m2", Map("env" -> "dev", "dc" -> "west")), // fails env filter
+      ("m3", Map("env" -> "prod")) // lacks dc → fails dc filter
+    ).toDF("metric", "tags")
+    val got = MetricsOps.tagValues(cat, Map("env" -> "prod", "dc" -> "*"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // only m1 survives both filters → west never appears, m3's env doesn't double-count
+    assert(got == Set(("env", "prod"), ("dc", "east")))
+  }
+
   // ---- F2: filter-pattern semantics (PatternUtil.java:26-40) ----
 
   test("filter pattern: star, negation, full-match anchoring") {

@@ -518,6 +518,26 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
              |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin)),
 
+    // ---- LLM: near-dup clusters → survivor (the dedup drop decision) -----
+    ("dedup_clusters", (s: SparkSession, d: String) =>
+      Dedup.nearDupClusters(Dedup.nearDupPairs(docs(s, d), shingleK = 3, threshold = 0.8)),
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |          WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach AS (SELECT src AS a, src AS b FROM edges
+             |          UNION
+             |          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+             |SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""".stripMargin)),
+
     // ---- LLM: exact n-gram Jaccard (no sketch — the LSH's ground truth) --
     ("dedup_ngram_exact", (s: SparkSession, d: String) =>
       Dedup.exactJaccardPairs(docs(s, d), shingleK = 3, threshold = 0.5)

@@ -160,7 +160,37 @@ object Dedup {
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 
-  // --------------------------- SimHash ---------------------------
+  /**
+   * Near-dup pairs → connected components → survivor per component
+   * (min doc_id) — the drop-list decision of a dedup pipeline. Min-label
+   * propagation with a driver-side convergence loop (the standard Spark
+   * shape for iterative graph algorithms): each round is one shuffle
+   * join; near-dup components are shallow (chains of similar docs), so
+   * the loop converges in O(component diameter) rounds, each O(|V|+|E|).
+   */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels
+  }
 
   private val SimBits = 60
 

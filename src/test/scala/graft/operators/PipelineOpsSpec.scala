@@ -49,6 +49,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(p.getAs[Double]("jaccard") - 37.0 / 39.0) < 1e-12)
   }
 
+  test("near-dup clusters: components collapse to min doc id, chains converge") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (transitive near-dups) + pair 7-9 + isolated docs absent
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   // ---- SimHash ----
 
   test("simhash: identical docs at distance 0; banded pairs find them") {

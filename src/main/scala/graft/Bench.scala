@@ -31,22 +31,36 @@ object Bench {
     // two passes, min per query: the harness shares a host (CPU steal is
     // observable), and a single pass also conflates JIT warm-up with plan
     // cost. Caches are cleared between runs so each is cold-state.
+    // a throwing query must not silently read as a (near-zero-time) success:
+    // failures are tracked by name, reported in the JSON, and fail the exit
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       dt
     }
+    // two FULL passes with the per-query min taken ACROSS passes (not two
+    // back-to-back runs of each query): host CPU-steal bursts span several
+    // consecutive seconds, so back-to-back runs let one burst corrupt both
+    // samples — separated passes require the burst to recur at the same
+    // suite position to survive the min
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.map { case (name, fn) =>
-      name -> math.min(once(name, fn), once(name, fn))
-    }
+    def pass() = ordered.map { case (name, fn) => once(name, fn) }
+    val (p1, p2) = (pass(), pass())
+    val results = ordered.map(_._1).zip(p1.zip(p2).map(t => math.min(t._1, t._2)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

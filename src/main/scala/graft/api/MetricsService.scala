@@ -32,10 +32,14 @@ class MetricsService(spark: SparkSession, root: String) {
   // tenants + catalog (S7, createTenant/createMetric/...)
   // ------------------------------------------------------------------
 
+  // catalog/tenant writes use the same strictly-increasing (millis << 20 |
+  // counter) sequence as the data tier — raw wall-clock millis tie when two
+  // writes land in the same ms (createMetric immediately followed by
+  // addTags), making the last-write-wins window nondeterministic
   def createTenant(tenantId: String, retentions: Map[String, Int] = Map.empty): Unit = {
     val s = spark
     import s.implicits._
-    Seq((tenantId, retentions, System.currentTimeMillis()))
+    Seq((tenantId, retentions, GraftStorage.nextIngestSeq()))
       .toDF("id", "retentions", "ingest_seq")
       .write.mode(SaveMode.Append).parquet(tenantsPath)
   }
@@ -53,7 +57,7 @@ class MetricsService(spark: SparkSession, root: String) {
     val s = spark
     import s.implicits._
     Seq((id.tenantId, id.mtype.toInt, id.name, tags,
-      dataRetention.getOrElse(DefaultRetentionDays), System.currentTimeMillis()))
+      dataRetention.getOrElse(DefaultRetentionDays), GraftStorage.nextIngestSeq()))
       .toDF("tenant_id", "mtype", "metric", "tags", "data_retention", "ingest_seq")
       .write.mode(SaveMode.Append).parquet(metricsPath)
   }

@@ -60,7 +60,7 @@ object GraftFunctions {
   /** The distributed P² marker sketch (scale path) — see [[P2Sketch]].
     * Quantile in [0,1]. */
   def p2SketchAgg(quantile: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udaf(new P2Sketch.P2Aggregator(quantile), org.apache.spark.sql.Encoders.scalaDouble)
+    udaf(new P2Sketch.P2Aggregator(quantile), org.apache.spark.sql.Encoders.DOUBLE)
 
   val p2Percentile: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (values: Seq[Double], quantile: Double) =>

@@ -150,10 +150,14 @@ object P2Sketch {
       Some(if (lo + 1 < s.length) s(lo) + frac * (s(lo + 1) - s(lo)) else s(lo))
     } else Some(b.heights(2))
 
-  /** Spark Aggregator; register with `functions.udaf(new P2Aggregator(0.9))`. */
-  class P2Aggregator(q: Double) extends Aggregator[Double, Buf, Option[Double]] {
+  /** Spark Aggregator; register with `functions.udaf(new P2Aggregator(0.9))`.
+    * Input is BOXED Double so NULLs reach `reduce` and are skipped — with a
+    * primitive encoder they would decode as 0.0 and be counted, diverging
+    * from the Exact mode's `percentile()` null handling. */
+  class P2Aggregator(q: Double) extends Aggregator[java.lang.Double, Buf, Option[Double]] {
     override def zero: Buf = empty
-    override def reduce(b: Buf, a: Double): Buf = add(q, b, a)
+    override def reduce(b: Buf, a: java.lang.Double): Buf =
+      if (a == null) b else add(q, b, a.doubleValue())
     override def merge(b1: Buf, b2: Buf): Buf = P2Sketch.merge(q, b1, b2)
     override def finish(reduction: Buf): Option[Double] = result(q, reduction)
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]

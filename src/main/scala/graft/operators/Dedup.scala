@@ -111,14 +111,16 @@ object Dedup {
 
   /**
    * End-to-end near-dup pairs with exact Jaccard >= threshold.
-   * Default 60 permutations = 12 bands × 5 rows: detection probability at
-   * s=0.8 is 1-(1-0.8⁵)^12 ≈ 0.991 (≈1-2e-10 at s=0.97), while pairs at
-   * background similarity s≈0.2 collide with probability ≈4e-3 — the
+   * Default 60 permutations = 20 bands × 3 rows: miss probability for a pair
+   * AT the 0.8 threshold is (1-0.8³)²⁰ ≈ 6e-7 — negligible even for a
+   * regenerated fixture with borderline pairs (an r=5 banding missed ~0.9%
+   * there, making the exact-oracle correctness gate probabilistic). Pairs at
+   * background similarity s≈0.05 collide with probability ≈2.5e-3, so the
    * verification join stays linear in corpus size, not quadratic. Every
    * candidate is exactly verified, so precision is 1 by construction.
    */
   def nearDupPairs(docs: DataFrame, shingleK: Int = 3, threshold: Double = 0.8,
-                   bands: Int = 12, rowsPerBand: Int = 5): DataFrame = {
+                   bands: Int = 20, rowsPerBand: Int = 3): DataFrame = {
     // the hashed shingle frame is read 4× (signatures, 2 verify joins,
     // sizes) and the signature frame 2× (band self-join) — cache both AND
     // materialize eagerly: when every consumer lands in one action, tasks
@@ -162,11 +164,16 @@ object Dedup {
 
   /**
    * Near-dup pairs → connected components → survivor per component
-   * (min doc_id) — the drop-list decision of a dedup pipeline. Min-label
-   * propagation with a driver-side convergence loop (the standard Spark
-   * shape for iterative graph algorithms): each round is one shuffle
-   * join; near-dup components are shallow (chains of similar docs), so
-   * the loop converges in O(component diameter) rounds, each O(|V|+|E|).
+   * (min doc_id) — the drop-list decision of a dedup pipeline.
+   *
+   * Min-label propagation PLUS pointer jumping (label(v) ← label(label(v)),
+   * the Shiloach–Vishkin shortcut): labels always point to a smaller node
+   * id in the same component, so following the label chain one extra step
+   * per round roughly doubles the propagated distance — O(log diameter)
+   * rounds instead of O(diameter), which is the difference between 5 and 30
+   * shuffle rounds on a chain of 30 near-identical docs. Each round is ONE
+   * eagerly-materialized job (localCheckpoint) + a cheap convergence count
+   * over the materialized result; per-round cost is O(|V|+|E|) shuffled.
    */
   def nearDupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -177,17 +184,23 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // one hop of neighbor-min: c1(v) = min(cluster(v), min over N(v))
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      val hop = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
+      // pointer jump: c2(v) = c1(c1(v)) — c1 is always a node id of the
+      // same component, so the self-lookup stays within the component
+      val parent = hop.select(col("doc_id").as("c1"), col("c1").as("c2"))
+      val next = hop.join(parent, Seq("c1"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("c1"), coalesce(col("c2"), col("c1"))).as("cluster"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("cluster"))
     }
     labels
   }

@@ -18,6 +18,16 @@ object TextOps {
     * language-id heuristics (deterministic, oracle-reproducible). */
   val StopWords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  /** Count of space-delimited tokens that exactly equal one of `members` —
+    * the codegen'd replacement for `size(filter(ws, _.isin(members)))`:
+    * higher-order-function lambdas evaluate INTERPRETED (20-50x slower
+    * until the JIT warms), while `regexp_count` runs inside whole-stage
+    * codegen. Zero-width lookarounds anchor each token at the surrounding
+    * spaces without consuming them, so adjacent marker words both count. */
+  private def tokenMatchCount(text: Column, members: Seq[String]): Column =
+    regexp_count(concat(lit(" "), lower(text), lit(" ")),
+      lit(members.map(java.util.regex.Pattern.quote).mkString("(?<= )(", "|", ")(?= )")))
+
   /**
    * Per-document quality/statistics row: word count, char count, average
    * word length, type-token ratio, stopword ratio, punctuation count, and a
@@ -28,7 +38,7 @@ object TextOps {
     val ws = words(col("text"))
     val nWords = size(ws)
     val nChars = length(col("text"))
-    val nStop = size(filter(ws, w => w.isin(StopWords.map(lit): _*)))
+    val nStop = tokenMatchCount(col("text"), StopWords)
     val nPunct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
     val distinctWords = size(array_distinct(ws))
     docs.select(
@@ -69,7 +79,7 @@ object TextOps {
     val scored = docs.select(
       (Seq(col("doc_id"), col("lang").as("lang_actual")) ++
         LangMarkers.map { case (l, ms) =>
-          round(size(filter(ws, w => w.isin(ms.map(lit): _*))).cast("double") / size(ws), 6)
+          round(tokenMatchCount(col("text"), ms).cast("double") / size(ws), 6)
             .as(s"score_$l")
         }): _*)
     // argmax with deterministic first-listed tiebreak (CASE chain is

@@ -29,7 +29,7 @@ object GraftStorage {
   // process-local counter — strictly increasing across batches, which is
   // what Cassandra's upsert timestamp provided (DataAccessImpl.java:215-221)
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
-  private def nextIngestSeq(): Long =
+  private[graft] def nextIngestSeq(): Long =
     (System.currentTimeMillis() << 20) | (seqCounter.getAndIncrement() & 0xfffffL)
 
   /**
@@ -38,9 +38,10 @@ object GraftStorage {
    * repartition by the physical partition columns keeps one task per
    * output partition (no small-file explosion at 1000 executors).
    */
-  def write(dp: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
+  def write(dp: DataFrame, path: String, mode: SaveMode = SaveMode.Append,
+            ingestSeq: Option[Long] = None): Unit =
     withSlice(dp)
-      .withColumn("ingest_seq", lit(nextIngestSeq()))
+      .withColumn("ingest_seq", lit(ingestSeq.getOrElse(nextIngestSeq())))
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(col("metric"), col("time"))
       .write
@@ -76,6 +77,13 @@ object GraftStorage {
             e.getErrorClass == "PATH_NOT_FOUND" =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
     }
+
+  /** Read with last-write-wins resolved per (tenant, mtype, metric, time) —
+    * the exactly-once view of a raw tier that may hold not-yet-compacted
+    * duplicate rows (re-written points, or a replayed streaming micro-batch
+    * before `compact` runs). Same window shape as `MetricsOps.dedupTiers`. */
+  def readResolved(spark: SparkSession, path: String): DataFrame =
+    graft.operators.MetricsOps.dedupTiers(read(spark, path), "ingest_seq")
 
   def readRange(spark: SparkSession, path: String, tenantId: String,
                 mtype: MetricType, start: Long, end: Long): DataFrame =

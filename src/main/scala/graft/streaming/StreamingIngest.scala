@@ -19,7 +19,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
  *    on the primary key — stateful dedup whose state is bounded by the
  *    same watermark;
  *  - the write lands in the partitioned raw tier via `foreachBatch` →
- *    GraftStorage.write (idempotent append per micro-batch).
+ *    GraftStorage.write. foreachBatch + Parquet append is AT-LEAST-ONCE:
+ *    a micro-batch retried after a partial write appends its rows again.
+ *    The `ingest_seq` stamped on each batch is the (deterministic) batch id,
+ *    so a replay writes byte-identical rows — `GraftStorage.readResolved`
+ *    (last-write-wins per point key) and `compact` both collapse them, and
+ *    plain `read` is only exposed to duplicates in the window between a
+ *    replayed batch and the next compaction.
  */
 object StreamingIngest {
 
@@ -35,8 +41,10 @@ object StreamingIngest {
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        GraftStorage.write(batch, path, SaveMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-id-deterministic ingest_seq → replayed batches rewrite the
+        // same rows instead of forking a second LWW version
+        GraftStorage.write(batch, path, SaveMode.Append, ingestSeq = Some(batchId))
       }
       .start()
 

@@ -91,6 +91,32 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /**
+   * Signature-estimate pruning between banding and exact verification: the
+   * fraction of equal minhash components is an unbiased Jaccard estimate
+   * (n Bernoulli(J) trials), so candidates estimated well below the
+   * threshold are discarded BEFORE the expensive shingle-level verify join.
+   * With 60 components and slack 0.25, a true J=0.8 pair estimates below
+   * 0.55 with probability ~8e-7 (4.8σ) — negligible next to the banding
+   * miss rate, while band collisions at background similarity (the bulk of
+   * candidates under narrow 3-row bands) are eliminated by a join against
+   * the 1-row-per-doc signature frame (no broadcast hint — the signature
+   * frame is corpus-sized, AQE picks broadcast when it actually fits).
+   */
+  def estimatePrune(candidates: DataFrame, sig: DataFrame, numPerms: Int,
+                    minEstimate: Double): DataFrame = {
+    def side(as: String) = sig.select(
+      col("doc_id").as(as) +: (0 until numPerms).map(i => col(s"mh$i").as(s"${as}_m$i")): _*)
+    val eq = (0 until numPerms)
+      .map(i => when(col(s"doc_a_m$i") === col(s"doc_b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(side("doc_a"), Seq("doc_a"))
+      .join(side("doc_b"), Seq("doc_b"))
+      .filter(eq >= (lit(minEstimate) * numPerms).cast("int"))
+      .select("doc_a", "doc_b")
+  }
+
   /** Exact Jaccard for candidate pairs: |A∩B| via shingle-hash equi-join
     * restricted to candidates, sizes from per-doc counts. Joining on the
     * 64-bit hash instead of the shingle string keeps the shuffle narrow
@@ -131,7 +157,9 @@ object Dedup {
     val sig = minHashSignatures(sh, bands * rowsPerBand).cache()
     sig.count()
     val cand = lshCandidates(lshBands(sig, bands, rowsPerBand))
-    verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
+    val pruned = estimatePrune(cand, sig, bands * rowsPerBand,
+      minEstimate = math.max(0.0, threshold - 0.25))
+    verifyJaccard(pruned, sh).filter(col("jaccard") >= threshold)
   }
 
   /**
@@ -166,16 +194,57 @@ object Dedup {
    * Near-dup pairs → connected components → survivor per component
    * (min doc_id) — the drop-list decision of a dedup pipeline.
    *
-   * Min-label propagation PLUS pointer jumping (label(v) ← label(label(v)),
-   * the Shiloach–Vishkin shortcut): labels always point to a smaller node
-   * id in the same component, so following the label chain one extra step
-   * per round roughly doubles the propagated distance — O(log diameter)
-   * rounds instead of O(diameter), which is the difference between 5 and 30
-   * shuffle rounds on a chain of 30 near-identical docs. Each round is ONE
-   * eagerly-materialized job (localCheckpoint) + a cheap convergence count
-   * over the materialized result; per-round cost is O(|V|+|E|) shuffled.
+   * Adaptive strategy, same pattern as Spark's size-based join selection:
+   * a VERIFIED near-dup edge set is orders of magnitude smaller than the
+   * corpus that produced it (it is the output of an exact-Jaccard filter,
+   * not the corpus), so when it fits comfortably on the driver
+   * (`driverEdgeLimit`, default 4M edges ≈ 64 MB) the components come from
+   * a single collect + union-find — one Spark job, no iteration. Above the
+   * limit it falls back to [[distributedClusters]], the fully-distributed
+   * O(log diameter) label-propagation loop.
    */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, driverEdgeLimit: Long = 4L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val edgeCount = p.count()
+    if (edgeCount <= driverEdgeLimit) {
+      // path-compressing union-find over the collected edge list
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = parent.keySet ++ parent.values
+      val resolved = nodes.toSeq.sorted.map(v => (v, find(v)))
+      import spark.implicits._
+      val out = resolved.toDF("doc_id", "cluster")
+      p.unpersist()
+      out
+    } else {
+      val out = distributedClusters(p)
+      out
+    }
+  }
+
+  /**
+   * Fully-distributed connected components: min-label propagation PLUS
+   * pointer jumping (label(v) ← label(label(v)), the Shiloach–Vishkin
+   * shortcut). Labels always point to a smaller node id in the same
+   * component, so following the label chain one extra step per round
+   * roughly doubles the propagated distance — O(log diameter) rounds
+   * instead of O(diameter). Each round materializes the hop result ONCE
+   * (localCheckpoint) so the jump's self-lookup doesn't recompute the
+   * neighbor-min join, then runs a cheap convergence count over it.
+   */
+  def distributedClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -192,6 +261,7 @@ object Dedup {
       val hop = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("c1"))
+        .localCheckpoint() // materialize once — consumed by both join sides
       // pointer jump: c2(v) = c1(c1(v)) — c1 is always a node id of the
       // same component, so the self-lookup stays within the component
       val parent = hop.select(col("doc_id").as("c1"), col("c1").as("c2"))

@@ -54,9 +54,26 @@ class PipelineOpsSpec extends SparkTestBase {
     import s.implicits._
     // chain 1-2-3 (transitive near-dups) + pair 7-9 + isolated docs absent
     val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("doc_a", "doc_b")
-    val got = Dedup.nearDupClusters(pairs).collect()
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // driver union-find path (default: edge count under the limit)
+    val uf = Dedup.nearDupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(uf == expect)
+    // forced distributed label-propagation path must agree
+    val dist = Dedup.nearDupClusters(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
+  }
+
+  test("distributed clusters: long chain converges (pointer jumping)") {
+    val s = spark
+    import s.implicits._
+    // a 30-node chain — diameter 29; pointer jumping must converge fast
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.distributedClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 30L).toSet)
+    assert(got.values.forall(_ == 1L))
   }
 
   // ---- SimHash ----

@@ -178,14 +178,19 @@ object Dedup {
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
     val wSize = Window.partitionBy(col("doc_id"))
+    // carry each doc's shingle count through the prefix so the candidate
+    // join can apply the LENGTH FILTER (Arasu et al.): J >= τ forces
+    // min(n_a,n_b) >= τ·max(n_a,n_b) — pairs failing it are pruned before
+    // the full intersection join ever sees them
     val prefix = sh.join(df, Seq("h"))
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wSize))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "h")
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_id", "h", "n")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
   }

@@ -10,9 +10,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * DataAccessImpl.java:963-1008, MetricsServiceImpl.java:764-818).
  *
  * Layout: Parquet partitioned by (tenant_id, mtype, time_slice) where
- * time_slice = floor(time / 2h) — the reference's `dpart`/temp-table-per-
+ * time_slice = floor(time / 1d) — the reference's `dpart`/temp-table-per-
  * slice scheme re-expressed as partition pruning. Files within a slice are
  * sorted by (metric, time) so metric+range scans touch few row groups.
+ *
+ * Slice granularity: the reference's 2-HOUR slices are a Cassandra
+ * temp-table idiom (bounded table size, DateTimeService 2h block math);
+ * for a parquet tier the right unit is the partition-directory sweet spot.
+ * At the 100 TB design point a day-slice is ~300 GB — ideal for directory-
+ * level pruning — while 2h directories would multiply file count 12× and
+ * drown small deployments in tiny files. Sub-day time pruning still
+ * happens, one level down, via parquet row-group min/max stats on the
+ * sorted `time` column; the 2h LATENESS semantics live where they belong,
+ * in the streaming watermark (StreamingIngest), not the physical layout.
+ * Retention (whole-day sweeps, reference default 7d) stays metadata-only.
  *
  * The reference's three tiers collapse to one: Parquet encodings + ZSTD
  * replace Gorilla (SURVEY §1.4), and `compact` replaces the 2h compression
@@ -20,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  */
 object GraftStorage {
 
-  val SliceMs: Long = 2L * 60 * 60 * 1000 // 2-hour UTC slices (DateTimeService 2h block math)
+  val SliceMs: Long = 24L * 60 * 60 * 1000 // 1-day UTC slices (see layout note above)
 
   def withSlice(dp: DataFrame): DataFrame =
     dp.withColumn("time_slice", expr(s"time div $SliceMs"))

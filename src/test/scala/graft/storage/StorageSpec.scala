@@ -25,7 +25,7 @@ class StorageSpec extends SparkTestBase {
       .withColumn("tags", map(lit("k"), lit("v")))
   }
 
-  private val H2 = GraftStorage.SliceMs
+  private val H2 = GraftStorage.SliceMs // one storage slice (1 day)
 
   test("write → read round trip preserves datapoints and partitions by slice") {
     val path = tmp()
@@ -36,7 +36,7 @@ class StorageSpec extends SparkTestBase {
     val got = back.select("metric", "time", "n_value").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set(("m1", 100L, 1.5), ("m1", H2 + 5, 2.5), ("m2", 2 * H2 + 7, 3.5)))
-    // physical layout: one directory per 2h slice
+    // physical layout: one directory per slice
     assert(back.select("time_slice").distinct().collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
     // partition pruning: a slice-range read plans only matching partitions
     val pruned = GraftStorage.readRange(spark, path, "t", MetricType.Gauge, 0L, H2)

@@ -9,10 +9,12 @@ import org.apache.spark.sql.DataFrame
  * Similarity search over an embedding column (`embeddings` frame:
  * vec_id LONG, embedding ARRAY<FLOAT>, label INT).
  *
- * All vector math is expression-based (unrolled element_at chains, see
- * GraftFunctions.dotProductFixed) — strict left-to-right adds, so results
- * are deterministic and bit-identical to the DuckDB oracle. Floats are
- * cast to double BEFORE any arithmetic so both engines compute on
+ * All vector math runs through the codegen'd [[graft.plans.VectorDot]]
+ * loop — strict left-to-right adds, so results are deterministic and
+ * bit-identical to the DuckDB oracle. Embeddings stay `array<float>` (the
+ * at-rest type — half the shuffle bytes of double) all the way to the dot
+ * product, which widens each element to double exactly like
+ * `CAST(x AS DOUBLE)` before any arithmetic, so both engines compute on
  * identical values. Norms are computed once per ROW (not per pair) before
  * any join.
  *
@@ -29,8 +31,8 @@ object Similarity {
 
   val Dim = 64
 
-  /** embedding cast to array<double> for exact arithmetic. */
-  private def dvec(c: String) = transform(col(c), x => x.cast("double"))
+  /** raw embedding column — VectorDot widens float elements itself. */
+  private def dvec(c: String) = col(c)
 
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("nrm", sqrt(graft.plans.VectorDot(col(vecCol), col(vecCol))))
@@ -75,7 +77,8 @@ object Similarity {
     * across runs/partitionings/engines (the determinism contract). */
   def centroids(corpus: DataFrame, cellCol: String = "label"): DataFrame = {
     val sums = (0 until Dim).map(i =>
-      sum(element_at(dvec("embedding"), i + 1).cast("decimal(28,10)")).cast("double").as(s"c$i"))
+      sum(element_at(col("embedding"), i + 1).cast("double").cast("decimal(28,10)"))
+        .cast("double").as(s"c$i"))
     val aggs = sums :+ count(lit(1)).as("n")
     corpus.groupBy(col(cellCol).as("cell"))
       .agg(aggs.head, aggs.tail: _*)

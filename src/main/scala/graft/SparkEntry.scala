@@ -680,7 +680,49 @@ object SparkEntry {
              |  ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              |  substr(hex(encode(text)), 1, 8) AS header_hex
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- LLM: frame sampling over video payloads (64-byte stand-in
+    // frames, every 2nd kept; byte-substr == char-substr: corpus is ASCII) -
+    ("frame_sample", (s: SparkSession, d: String) =>
+      Multimodal.frameSample(Multimodal.asMediaFrame(docs(s, d)), frameBytes = 64, everyNth = 2)
+        .select("doc_id", "frame_idx", "frame_md5"),
+      Some("""WITH m AS (SELECT doc_id, text,
+             |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
+             |  FROM documents),
+             |v AS (SELECT doc_id, text, (length(text) + 63) // 64 AS nf FROM m WHERE modality = 'video'),
+             |f AS (SELECT doc_id, g.i AS frame_idx,
+             |        md5(substr(text, CAST(g.i * 64 + 1 AS BIGINT), 64)) AS frame_md5
+             |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i) g
+             |      WHERE g.i % 2 = 0)
+             |SELECT doc_id, frame_idx, frame_md5 FROM f""".stripMargin)),
+
+    // ---- LLM: end-to-end training-shard pipeline (quality ∧ lang →
+    // exact-dedup survivors → content-hash sharding → per-shard budgets) --
+    ("corpus_shard", (s: SparkSession, d: String) => TextOps.corpusShards(docs(s, d), nShards = 8),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+             |sc AS (SELECT doc_id, text, len(ws) AS n_words,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['the','a','of','is'], x))) AS DOUBLE) / len(ws), 6) AS s_en,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['der','die','und','nicht'], x))) AS DOUBLE) / len(ws), 6) AS s_de,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['el','la','que','de'], x))) AS DOUBLE) / len(ws), 6) AS s_es,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['le','la','et','les'], x))) AS DOUBLE) / len(ws), 6) AS s_fr,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['de','le','shi','bu'], x))) AS DOUBLE) / len(ws), 6) AS s_zh,
+             |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
+             |  FROM w),
+             |keep AS (SELECT doc_id, text FROM sc
+             |  WHERE greatest(s_en, s_de, s_es, s_fr, s_zh) > 0
+             |    AND s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+             |    AND n_words >= 30 AND ttr >= 0.5
+             |    AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+             |tok AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |sh AS (SELECT k.doc_id, t.n_tokens,
+             |    ('0x' || substr(md5(k.text), 1, 15))::BIGINT % 8 AS shard
+             |  FROM keep k JOIN tok t ON t.doc_id = k.doc_id)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+             |FROM sh GROUP BY shard""".stripMargin))
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

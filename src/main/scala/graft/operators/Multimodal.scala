@@ -55,4 +55,45 @@ object Multimodal {
 
   /** Full pipeline: docs → media frame → batched decode → features DF. */
   def mediaFeatures(docs: DataFrame): DataFrame = stubDecode(asMediaFrame(docs)).toDF()
+
+  /**
+   * Frame sampling over video payloads: fixed-size byte windows stand in
+   * for codec frame boundaries (the seam where a demuxer plugs in), every
+   * `everyNth` frame kept. Pure column expressions — `sequence` + `explode`
+   * generate the frame index spine and `substring`/`md5` run codegen'd per
+   * frame, so sampling a 100 TB video corpus is one scan, no UDF, and the
+   * per-doc fan-out is bounded by payload size / frameBytes.
+   */
+  def frameSample(media: DataFrame, frameBytes: Int = 64, everyNth: Int = 2): DataFrame = {
+    val nFrames = expr(s"(octet_length(payload) + ${frameBytes - 1}) div $frameBytes")
+    media.filter(col("modality") === "video")
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), nFrames.cast("long") - 1)).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(everyNth.toLong)) === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+          .as("frame_md5"))
+  }
+
+  /**
+   * "Resize" stand-in: strided byte sampling inside the same
+   * mapPartitions seam as [[stubDecode]] — a real implementation decodes,
+   * scales, and re-encodes per batch; the Spark-side contract (binary in,
+   * smaller binary + metadata out, partition-amortized setup) is what's
+   * exercised here.
+   */
+  final case class ResizedMedia(doc_id: Long, in_len: Long, out_len: Long, out_checksum: Long)
+
+  def resizeStub(media: DataFrame, stride: Int = 4): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val out = Array.range(0, p.length, stride).map(p)
+        var sum = 0L
+        out.foreach(b => sum += b & 0xff)
+        ResizedMedia(id, p.length.toLong, out.length.toLong, sum)
+      })
+  }
 }

@@ -108,4 +108,41 @@ object TextOps {
     docs.select(col("doc_id"), md5(col("text").cast("binary")).as("content_md5"))
       .join(minShingle, Seq("doc_id"), "left")
   }
+
+  /**
+   * End-to-end training-shard builder — the composition a real pipeline
+   * runs nightly, as ONE declarative plan:
+   *
+   *   quality filter (length + lexical diversity) ∧ language filter
+   *   → exact-dedup survivors (min doc_id per identical text)
+   *   → deterministic shard assignment (content hash mod nShards)
+   *   → per-shard document/token budgets.
+   *
+   * Every stage reuses the standalone operators ([[langId]], [[textStats]],
+   * [[Dedup.exactGroups]], [[tokenCounts]]), so this is also the
+   * integration proof that they compose. Scale shape: three narrow
+   * projections joined on doc_id (co-partitioned after the first shuffle),
+   * one dedup-survivor semi-join keyed by content hash, and a final
+   * nShards-group aggregation with map-side partials.
+   */
+  def corpusShards(docs: DataFrame, nShards: Int = 8, lang: String = "en",
+                   minWords: Int = 30, minTtr: Double = 0.5): DataFrame = {
+    val kept = langId(docs).filter(col("lang_pred") === lang).select("doc_id")
+      .join(textStats(docs).filter(col("n_words") >= minWords && col("ttr") >= minTtr)
+        .select("doc_id", "n_words"), Seq("doc_id"))
+    // exact-dedup survivorship: only the min doc_id of each identical-text
+    // group contributes to a shard
+    val survivors = docs
+      .join(Dedup.exactGroups(docs).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sharded = survivors
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(tokenCounts(docs), Seq("doc_id"))
+      // 15 hex chars of md5 < 2^60: ANSI-safe and reproducible in any engine
+      .withColumn("shard",
+        pmod(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
+  }
 }

@@ -166,4 +166,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[String]("header_hex") == "4142")
     assert(r.getAs[Long]("checksum") == 'A'.toLong + 'B'.toLong)
   }
+
+  test("frame sample: fixed windows, every-Nth kept, short tail frame") {
+    val s = spark
+    import s.implicits._
+    // source id 5 → 5 % 3 = 2 → 'video'; 10 bytes / frame=4 → frames 0,1,2
+    val docs = Seq((1L, "0123456789", "en", "src5", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Multimodal.frameSample(Multimodal.asMediaFrame(docs), frameBytes = 4, everyNth = 2)
+      .orderBy("frame_idx").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 2L)) // frame 1 skipped
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    assert(got(0).getString(2) == md5hex("0123")) // full frame
+    assert(got(1).getString(2) == md5hex("89"))   // 2-byte tail
+  }
+
+  test("resize stub: strided byte sampling halves length deterministically") {
+    val s = spark
+    import s.implicits._
+    // source id 3 → 3 % 3 = 0 → 'image'
+    val docs = Seq((1L, "ABCDEFGH", "en", "src3", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.resizeStub(Multimodal.asMediaFrame(docs), stride = 2).collect().head
+    assert(r.in_len == 8 && r.out_len == 4)
+    assert(r.out_checksum == "ACEG".map(_.toLong).sum)
+  }
+
+  test("corpus shards: quality+lang filter, dedup survivorship, stable assignment") {
+    val s = spark
+    import s.implicits._
+    // 44 distinct words (ttr 1.0), 4 en markers, length ≥ 30
+    val en = (1 to 40).map(i => s"tok$i").mkString(" ") + " the of is a"
+    val docs = Seq(
+      (1L, en, "en", "s1", 0L),
+      (2L, en, "en", "s1", 0L),                        // exact dup of 1 → dropped
+      (3L, "der und nicht kurz", "de", "s1", 0L),      // de → dropped
+      (4L, "the a short one", "en", "s1", 0L)          // too short → dropped
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.corpusShards(docs, nShards = 4).collect()
+    assert(got.length == 1) // only doc 1 survives
+    val r = got.head
+    assert(r.getAs[Long]("n_docs") == 1)
+    assert(r.getAs[Long]("min_doc_id") == 1 && r.getAs[Long]("max_doc_id") == 1)
+    assert(r.getAs[Long]("n_tokens") > 0)
+  }
 }

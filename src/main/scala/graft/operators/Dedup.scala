@@ -178,19 +178,29 @@ object Dedup {
     val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)
     val wSize = Window.partitionBy(col("doc_id"))
-    // carry each doc's shingle count through the prefix so the candidate
-    // join can apply the LENGTH FILTER (Arasu et al.): J >= τ forces
-    // min(n_a,n_b) >= τ·max(n_a,n_b) — pairs failing it are pruned before
-    // the full intersection join ever sees them
+    // carry each doc's shingle count AND prefix position through, so the
+    // candidate join can apply both PPJoin prunes (Xiao et al., WWW'08):
+    //  - length filter: J >= τ forces min(n_a,n_b) >= τ·max(n_a,n_b);
+    //  - positional filter: a shared prefix shingle at positions
+    //    (rn_a, rn_b) caps the achievable overlap at
+    //    1 + min(n_a - rn_a, n_b - rn_b), which must reach the required
+    //    intersection α = τ/(1+τ)·(n_a+n_b) implied by J >= τ.
+    // Both run inside the join before distinct — without them the prefix
+    // self-join admits ~2.5% of ALL pairs on a templated corpus (shared
+    // rare-ish shingles deep in the prefix), and the verify join pays for
+    // every one of them.
     val prefix = sh.join(df, Seq("h"))
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wSize))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "h", "n")
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb")), Seq("h"))
+      .select("doc_id", "h", "n", "rn")
+    val required = lit(threshold / (1.0 + threshold)) * (col("na") + col("nb"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"), col("rn").as("ra"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb"), col("rn").as("rb")),
+        Seq("h"))
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")) &&
+        (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) >= required)
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh).filter(col("jaccard") >= threshold)
   }

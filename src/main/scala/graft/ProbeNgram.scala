@@ -36,12 +36,14 @@ object ProbeNgram {
       .withColumn("rn", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(wSize))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("doc_id", "h", "n").cache()
+      .select("doc_id", "h", "n", "rn").cache()
     t("prefix")(println(s"[probe] prefix rows=${prefix.count()}"))
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb")), Seq("h"))
+    val required = lit(threshold / (1.0 + threshold)) * (col("na") + col("nb"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("h"), col("n").as("na"), col("rn").as("ra"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("h"), col("n").as("nb"), col("rn").as("rb")), Seq("h"))
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")) &&
+        (lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))) >= required)
       .select("doc_a", "doc_b").distinct().cache()
     t("candidates")(println(s"[probe] cand rows=${cand.count()}"))
     t("verify")(println(s"[probe] verified=${

@@ -432,7 +432,12 @@ object SparkEntry {
     // (POST /metrics/stats/query, MetricHandler.doStatsQuery:341-466 —
     // tag-resolved id set fanned out per requested type, one response)
     ("stats_query_multi", (s: SparkSession, d: String) => {
+      // resolve the tag query ONCE and fan the materialized id set out to
+      // both type branches (the reference resolves ids once per request,
+      // MetricHandler.doStatsQuery) — without this each branch's broadcast
+      // re-derives the catalog from the raw events
       val ids = ea.catalog(s, d).filter(TagQueryParser.compile("seg = s1", col("tags")))
+        .select("metric").localCheckpoint()
       val b = Buckets.fromCount(S, E, 30)
       def one(dp: DataFrame, mtype: Int, vcol: String) =
         roundPcts(MetricsOps.numericBucketStats(

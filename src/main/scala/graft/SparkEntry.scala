@@ -503,6 +503,62 @@ object SparkEntry {
       Some(s"""WITH $BaseCte
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
 
+    // ---- S8: compaction — duplicate writes collapse last-write-wins ------
+    ("storage_compact", (s: SparkSession, d: String) => {
+      val path = "target/tmp/compact_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val g = gauge(s, d)
+      GraftStorage.write(g, path, SaveMode.Overwrite)
+      // second write re-lands a subset with doubled values — higher
+      // ingest_seq, so compaction must keep these
+      GraftStorage.write(g.filter(col("n_value") > 400.0)
+        .withColumn("n_value", col("n_value") * 2), path)
+      GraftStorage.compact(s, path, upToSlice = Long.MaxValue)
+      GraftStorage.read(s, path)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+    },
+      Some(s"""WITH $BaseCte,
+              |u AS (SELECT metric, t, CASE WHEN value > 400.0 THEN value * 2 ELSE value END AS v
+              |      FROM base)
+              |SELECT metric, count(*) AS cnt, ${dsum("v")} AS sum_v FROM u GROUP BY 1""".stripMargin)),
+
+    // ---- S9: metric delete — partition-scoped rewrite --------------------
+    ("storage_delete", (s: SparkSession, d: String) => {
+      val path = "target/tmp/delete_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(gauge(s, d), path, SaveMode.Overwrite)
+      GraftStorage.deleteMetric(s, path, ea.Tenant, MetricType.Gauge, "click/7")
+      GraftStorage.read(s, path)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
+              |WHERE metric <> 'click/7' GROUP BY 1""".stripMargin)),
+
+    // ---- §2.9: Structured-Streaming ingest end-to-end (watermarked file
+    // stream → stream dedup → partitioned tier), drained with AvailableNow
+    // and read back — streaming ingest must agree with the batch oracle ---
+    ("streaming_ingest", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streaming_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      def rmrf(p: String): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      }
+      rmrf(base)
+      val q = graft.streaming.StreamingIngest.start(
+        ea.gaugePointsStream(s, d), s"$base/tier", s"$base/ckpt")
+      q.awaitTermination()
+      GraftStorage.read(s, s"$base/tier")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
+
     // ---- LLM: exact dedup groups -----------------------------------------
     ("dedup_exact", (s: SparkSession, d: String) => Dedup.exactGroups(docs(s, d)),
       Some("""SELECT md5(text) AS text_md5, count(*) AS cnt, min(doc_id) AS keep_id

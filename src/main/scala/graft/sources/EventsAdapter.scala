@@ -41,13 +41,26 @@ object EventsAdapter {
 
   /** Canonical gauge datapoints. */
   def gaugePoints(spark: SparkSession, sfDir: String): DataFrame =
-    base(spark, sfDir)
-      .withColumn("mtype", lit(MetricType.Gauge.code.toInt))
+    gaugeFrom(base(spark, sfDir))
+
+  private def gaugeFrom(b: DataFrame): DataFrame =
+    b.withColumn("mtype", lit(MetricType.Gauge.code.toInt))
       .withColumn("n_value", col("value"))
       .withColumn("l_value", lit(null).cast("long"))
       .withColumn("avail", lit(null).cast("int"))
       .withColumn("s_value", lit(null).cast("string"))
       .select(PointCols.map(col): _*)
+
+  /** STREAMING variant of [[gaugePoints]]: the same canonical mapping over
+    * a file-source stream of the events fixture — the entry point for
+    * end-to-end Structured-Streaming ingest runs. */
+  def gaugePointsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source needs a directory path; glob-filter to the fixture
+    gaugeFrom(baseFrom(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)))
+  }
 
   /** Canonical availability datapoints (synthetic state mapping). */
   def availabilityPoints(spark: SparkSession, sfDir: String): DataFrame =
@@ -125,7 +138,10 @@ object EventsAdapter {
       .reduce(_ unionAll _)
 
   private def base(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir).select(
+    baseFrom(events(spark, sfDir))
+
+  private def baseFrom(events: DataFrame): DataFrame =
+    events.select(
       lit(Tenant).as("tenant_id"),
       concat(col("event_type"), lit("/"), col("user_id")).as("metric"),
       expr("ts div 1000000").as("time"),

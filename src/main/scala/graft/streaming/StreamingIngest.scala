@@ -30,9 +30,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object StreamingIngest {
 
   /** Canonical datapoint stream → raw tier. `points` must be a STREAMING
-    * frame with the canonical columns (tenant_id, mtype, metric, time, …). */
+    * frame with the canonical columns (tenant_id, mtype, metric, time, …).
+    * The default trigger drains whatever is available then stops (bounded
+    * backfill / test runs); pass `Trigger.ProcessingTime(...)` for a
+    * continuously-running ingest. */
   def start(points: DataFrame, path: String, checkpoint: String,
-            lateness: String = "2 hours"): StreamingQuery =
+            lateness: String = "2 hours",
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     points
       .withColumn("event_time", timestamp_millis(col("time")))
       .withWatermark("event_time", lateness)
@@ -40,6 +44,7 @@ object StreamingIngest {
       .drop("event_time")
       .writeStream
       .outputMode(OutputMode.Append)
+      .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch-id-deterministic ingest_seq → replayed batches rewrite the

@@ -24,7 +24,8 @@ class StreamingIngestSpec extends SparkTestBase {
     val path = Files.createTempDirectory("graft-stream").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val mem = MemoryStream[P]
-    val q = StreamingIngest.start(mem.toDF(), path, ckpt)
+    val q = StreamingIngest.start(mem.toDF(), path, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     mem.addData(P("t", 0, "m1", 1000L, 1.0), P("t", 0, "m1", 1000L, 1.0), // dup in stream
       P("t", 0, "m1", H2 + 500, 2.0))
     q.processAllAvailable()

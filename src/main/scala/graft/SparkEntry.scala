@@ -548,8 +548,10 @@ object SparkEntry {
         fs.delete(new org.apache.hadoop.fs.Path(p), true)
       }
       rmrf(base)
+      // one week of the stream: the streaming==batch agreement proof does
+      // not need the full fixture, and the dedup state scales with rows
       val q = graft.streaming.StreamingIngest.start(
-        ea.gaugePointsStream(s, d), s"$base/tier", s"$base/ckpt")
+        ea.gaugePointsStream(s, d).filter(col("time") < Week), s"$base/tier", s"$base/ckpt")
       q.awaitTermination()
       GraftStorage.read(s, s"$base/tier")
         .groupBy(col("metric"))
@@ -557,7 +559,8 @@ object SparkEntry {
           sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
     },
       Some(s"""WITH $BaseCte
-              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
+              |WHERE t < $Week GROUP BY 1""".stripMargin)),
 
     // ---- LLM: exact dedup groups -----------------------------------------
     ("dedup_exact", (s: SparkSession, d: String) => Dedup.exactGroups(docs(s, d)),

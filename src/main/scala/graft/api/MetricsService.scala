@@ -116,6 +116,14 @@ class MetricsService(spark: SparkSession, root: String) {
     metricsIndex().filter(metricKey(id)).select("tags").collect()
       .headOption.map(_.getMap[String, String](0).toMap).getOrElse(Map.empty)
 
+  /** Single-metric definition lookup (reference findMetric:102-109). */
+  def findMetric(id: MetricId): DataFrame =
+    metricsIndex().filter(metricKey(id))
+
+  /** Full catalog scan across tenants (reference scanAllMetricIndexes,
+    * the admin-job entry): the LWW-resolved index, unfiltered. */
+  def scanAllMetricIndexes(): DataFrame = metricsIndex()
+
   /** J5 — definitions enriched with data min/max timestamps. */
   def findMetrics(tenantId: String, mtype: Option[MetricType]): DataFrame =
     MetricsOps.enrichDefinitions(
@@ -181,6 +189,58 @@ class MetricsService(spark: SparkSession, root: String) {
     val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
     val ord = order.getOrElse(Order.defaultValue(limit, start, end))
     MetricsOps.rawDataPoints(series(id), range, ord, limit)
+  }
+
+  /** Multi-metric raw fetch by explicit id list (reference
+    * findDataPoints(List&lt;MetricId&gt;,…):222-224, the NamedDataPoint path):
+    * broadcast semi-join on the id set, then the T1/T2 ordering rules. */
+  def findDataPoints(tenantId: String, mtype: MetricType, ids: Seq[String],
+                     start: Option[Long], end: Option[Long], limit: Int,
+                     order: Option[Order], now: Long): DataFrame = {
+    val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+    val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+    val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
+    MetricsOps.rawDataPoints(MetricsOps.dataPointsForIds(scoped, ids), range, ord, limit)
+  }
+
+  /** Multi-metric raw fetch by tag query (reference
+    * findDataPoints(tenantId, type, tags,…):226-229): resolve ids via the
+    * tag compiler, then the id-list path. */
+  def findDataPointsByTags(tenantId: String, mtype: MetricType, tagExpression: String,
+                           start: Option[Long], end: Option[Long], limit: Int,
+                           order: Option[Order],
+                           now: Long = System.currentTimeMillis()): DataFrame = {
+    val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+    val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+    val ids = findMetricIdentifiersWithFilters(tenantId, Some(mtype), tagExpression)
+    val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
+    MetricsOps.rawDataPoints(MetricsOps.dataPointsForIds(scoped, ids), range, ord, limit)
+  }
+
+  /**
+   * The reference's UDF-composition entry (findGaugeData(id, …, funcs):
+   * MetricsService.java:233-235, impl :901-907): callers pass transforms
+   * over the fetched series; each `Observable→Observable` function becomes
+   * a `DataFrame => DataFrame`, applied over one shared fetch. Predefined
+   * transforms from Aggregate.java:33-58 map to MetricsOps /
+   * wholeRangeAggregates compositions.
+   */
+  def findGaugeData(id: MetricId, start: Option[Long], end: Option[Long],
+                    funcs: (DataFrame => DataFrame)*): Seq[DataFrame] = {
+    val range = TimeRange(start.map(_.toString), end.map(_.toString),
+      System.currentTimeMillis())
+    val fetched = series(id).filter(MetricsOps.inRange(range))
+    funcs.map(f => f(fetched))
+  }
+
+  /** Multi-metric rate derivation (reference findRateData(ids,…):326-331). */
+  def findRateData(tenantId: String, mtype: MetricType, ids: Seq[String],
+                   limit: Int, order: Order): DataFrame = {
+    val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
+    MetricsOps.rate(MetricsOps.dataPointsForIds(scoped, ids),
+      isCounter = mtype == MetricType.Counter,
+      valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value",
+      order = order, limit = limit)
   }
 
   def findGaugeStats(id: MetricId, config: BucketConfig,

@@ -167,6 +167,64 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(svc.metricsIndex().select("tenant_id").collect().map(_.getString(0)).toSeq == Seq("t2"))
   }
 
+  test("multi-metric fetch by ids and by tag query (NamedDataPoint paths)") {
+    val svc = newService()
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "a"), Map("env" -> "prod"))
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "b"), Map("env" -> "dev"))
+    svc.addDataPoints(gaugeRows("a", Seq((1L, 1.0), (2L, 2.0))))
+    svc.addDataPoints(gaugeRows("b", Seq((1L, 9.0))))
+    svc.addDataPoints(gaugeRows("c", Seq((1L, 5.0))))
+    val byIds = svc.findDataPoints("t1", MetricType.Gauge, Seq("a", "b"),
+      Some(0L), Some(10L), limit = 0, order = Some(Order.Asc), now = 10L)
+      .select("metric").collect().map(_.getString(0))
+    assert(byIds.sorted.toSeq == Seq("a", "a", "b"))
+    val byTags = svc.findDataPointsByTags("t1", MetricType.Gauge, "env = prod",
+      Some(0L), Some(10L), limit = 0, order = Some(Order.Asc), now = 10L)
+      .select("metric").distinct().collect().map(_.getString(0)).toSeq
+    assert(byTags == Seq("a"))
+  }
+
+  test("findGaugeData composes caller transforms over one fetch (§2.10)") {
+    val svc = newService()
+    svc.addDataPoints(gaugeRows("m", Seq((1L, 1.0), (2L, 3.0), (3L, 8.0))))
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    val Seq(maxed, doubled) = svc.findGaugeData(id, Some(0L), Some(10L),
+      df => df.agg(max(col("n_value")).as("mx")),
+      df => df.select((col("n_value") * 2).as("v")))
+    assert(maxed.collect().head.getDouble(0) == 8.0)
+    assert(doubled.collect().map(_.getDouble(0)).sorted.toSeq == Seq(2.0, 6.0, 16.0))
+  }
+
+  test("multi-metric rate over an id list") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val counters = Seq(("c1", 0L, 100L), ("c1", 60000L, 160L), ("c2", 0L, 10L), ("c2", 30000L, 40L))
+      .toDF("metric", "time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map())
+    svc.addDataPoints(counters)
+    val rates = svc.findRateData("t1", MetricType.Counter, Seq("c1", "c2"),
+      limit = 0, order = Order.Asc)
+      .select("metric", "rate").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates == Map("c1" -> 60.0, "c2" -> 60.0))
+  }
+
+  test("findMetric returns the LWW definition; scanAllMetricIndexes sees all tenants") {
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    svc.createMetric(id, Map("v" -> "1"))
+    svc.createMetric(id, Map("v" -> "2")) // upsert
+    svc.createMetric(MetricId("t2", MetricType.Gauge.code, "n"), Map.empty)
+    val tags = svc.findMetric(id).select("tags").collect().head.getMap[String, String](0)
+    assert(tags("v") == "2")
+    assert(svc.scanAllMetricIndexes().select("tenant_id").distinct().count() == 2)
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

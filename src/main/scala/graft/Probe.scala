@@ -14,7 +14,8 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
     for (name <- Seq("raw_fetch_desc", "gauge_stats", "tagquery_to_stats",
-      "counter_rate", "knn_cosine", "dedup_minhash")) {
+      "counter_rate", "knn_cosine", "dedup_minhash",
+      "frame_sample", "corpus_shard", "dedup_ngram_exact")) {
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

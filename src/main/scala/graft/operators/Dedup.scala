@@ -297,20 +297,14 @@ object Dedup {
    * hash is the top 15 hex chars of md5 (< 2^60) so the DuckDB oracle can
    * reproduce it bit-for-bit; bit j of the fingerprint is set when the sum
    * over tokens of (2*bit_j(hash)-1) is positive.
+   *
+   * Computed by the native [[graft.plans.SimHash60]] expression — one
+   * projection pass where the row already lives, replacing the composed
+   * explode → md5 → 60 bit-vote aggregates shape (a |corpus|×avg-tokens
+   * row explosion through a shuffle for what is a fixed-size per-row fold).
    */
-  def simHash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until SimBits).map { j =>
-      sum(shiftright(col("h"), j) % 2 * 2 - 1).as(s"s$j")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until SimBits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.plans.SimHash60(col("text")).as("simhash"))
 
   /**
    * Near-dup pairs within `maxHamming`, banded: B = maxHamming+1 bands of

@@ -681,6 +681,29 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: signed-random-projection LSH top-k (the other scale path) --
+    ("knn_srp", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.srpTopK(e, e.filter(col("vec_id") < 10), 10, numPlanes = 8)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT vec_id AS hid, e AS he FROM dv WHERE vec_id < 8),
+             |bk AS (SELECT d.vec_id,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id)),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- LLM: embedding near-dup pairs by cosine threshold ---------------
     ("emb_threshold_pairs", (s: SparkSession, d: String) =>
       Similarity.thresholdPairs(embs(s, d), 0.45)

@@ -87,6 +87,43 @@ object Similarity {
   }
 
   /**
+   * Signed-random-projection (SimHash-for-vectors) LSH top-k: bucket =
+   * the sign bits of `numPlanes` projections; exact cosine within the
+   * query's bucket only. Hyperplanes are the first `numPlanes` corpus
+   * vectors — deterministic and reproducible by the SQL oracle (a seeded
+   * Gaussian would serve the same role in production). The plane set is a
+   * size-bounded driver collect (like a k-means seed config, not data
+   * movement); bucketing itself is ONE projection per row with the
+   * codegen'd VectorDot against literal plane arrays — no join, no
+   * shuffle for candidate generation beyond the final bucket equi-join.
+   */
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    val planes: Seq[(Int, Array[Double])] = corpus
+      .filter(col("vec_id") < numPlanes)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    val bucket = planes.map { case (i, p) =>
+      when(graft.plans.VectorDot(col("cv"), typedLit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+      .withColumn("bucket", bucket)
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "qv_nrm")
+      .withColumn("bucket", bucket)
+      .select(col("query_id"), col("cv").as("qv"), col("qv_nrm"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
    * IVF approximate top-k: probe the `nprobe` cells whose centroids are
    * closest to the query, exact cosine within probed cells only.
    */

@@ -14,37 +14,30 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.getOrCreate()
     // JIT/IO warm-up outside the timed region
     spark.read.parquet(s"$sfDir/events.parquet").write.format("noop").mode("overwrite").save()
     // two passes, min per query: the harness shares a host (CPU steal is
     // observable), and a single pass also conflates JIT warm-up with plan
     // cost. Caches are cleared between runs so each is cold-state.
     // a throwing query must not silently read as a (near-zero-time) success:
-    // failures are tracked by name, reported in the JSON, and fail the exit
+    // failures are tracked by name, reported in the JSON, and fail the exit.
+    // A failed run's (fast) duration is also NOT a valid timing sample —
+    // the per-query min only considers successful runs.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed += name
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
     // two FULL passes with the per-query min taken ACROSS passes (not two
     // back-to-back runs of each query): host CPU-steal bursts span several
@@ -54,7 +47,9 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass() = ordered.map { case (name, fn) => once(name, fn) }
     val (p1, p2) = (pass(), pass())
-    val results = ordered.map(_._1).zip(p1.zip(p2).map(t => math.min(t._1, t._2)))
+    val results: Seq[(String, Double)] = ordered.map(_._1).zip(p1.zip(p2).map {
+      case (a, b) => Seq(a, b).flatten.minOption.getOrElse(0.0)
+    })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -229,7 +229,10 @@ class MetricsService(spark: SparkSession, root: String) {
                     funcs: (DataFrame => DataFrame)*): Seq[DataFrame] = {
     val range = TimeRange(start.map(_.toString), end.map(_.toString),
       System.currentTimeMillis())
-    val fetched = series(id).filter(MetricsOps.inRange(range))
+    // materialize the fetch once: each transform's later action must see
+    // the SAME snapshot (and not re-scan the tier per transform) — the
+    // reference shares one Observable across funcs
+    val fetched = series(id).filter(MetricsOps.inRange(range)).localCheckpoint()
     funcs.map(f => f(fetched))
   }
 

@@ -213,40 +213,39 @@ object Dedup {
    * a VERIFIED near-dup edge set is orders of magnitude smaller than the
    * corpus that produced it (it is the output of an exact-Jaccard filter,
    * not the corpus), so when it fits comfortably on the driver
-   * (`driverEdgeLimit`, default 4M edges ≈ 64 MB) the components come from
-   * a single collect + union-find — one Spark job, no iteration. Above the
-   * limit it falls back to [[distributedClusters]], the fully-distributed
-   * O(log diameter) label-propagation loop.
+   * (`driverEdgeLimit`, default 2M edges ≈ 64 MB collected as specialized
+   * (Long, Long) tuples) the components come from a single collect +
+   * union-find — one Spark job, no iteration. Above the limit it falls
+   * back to [[distributedClusters]], the fully-distributed
+   * O(log diameter) label-propagation loop. Both paths emit every node
+   * that appears in `pairs` (self-loops included) with its component's
+   * min doc_id.
    */
-  def nearDupClusters(pairs: DataFrame, driverEdgeLimit: Long = 4L << 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, driverEdgeLimit: Long = 2L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val p = pairs.select(col("doc_a"), col("doc_b")).cache()
-    val edgeCount = p.count()
-    if (edgeCount <= driverEdgeLimit) {
-      // path-compressing union-find over the collected edge list
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      p.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      val nodes = parent.keySet ++ parent.values
-      val resolved = nodes.toSeq.sorted.map(v => (v, find(v)))
-      import spark.implicits._
-      val out = resolved.toDF("doc_id", "cluster")
-      p.unpersist()
-      out
-    } else {
-      val out = distributedClusters(p)
-      out
-    }
+    try {
+      if (p.count() <= driverEdgeLimit) {
+        // path-compressing union-find over the collected edge list
+        val edges = p.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val nodes = scala.collection.mutable.SortedSet.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          nodes += a; nodes += b
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodes.toSeq.map(v => (v, find(v))).toDF("doc_id", "cluster")
+      } else distributedClusters(p)
+    } finally p.unpersist()
   }
 
   /**
@@ -287,6 +286,7 @@ object Dedup {
       changed = next.filter(col("cluster") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("cluster"))
     }
+    edges.unpersist() // labels is checkpointed — no lineage back to edges
     labels
   }
 

@@ -66,7 +66,10 @@ object Multimodal {
    */
   def frameSample(media: DataFrame, frameBytes: Int = 64, everyNth: Int = 2): DataFrame = {
     val nFrames = expr(s"(octet_length(payload) + ${frameBytes - 1}) div $frameBytes")
-    media.filter(col("modality") === "video")
+    // the empty-payload filter matters: sequence(0, -1) DESCENDS ([0, -1])
+    // rather than returning an empty array, which would emit a phantom
+    // frame 0 for an empty video
+    media.filter(col("modality") === "video" && octet_length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L), nFrames.cast("long") - 1)).as("frame_idx"))
       .filter(pmod(col("frame_idx"), lit(everyNth.toLong)) === 0)

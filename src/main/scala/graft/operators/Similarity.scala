@@ -98,11 +98,14 @@ object Similarity {
    * shuffle for candidate generation beyond the final bucket equi-join.
    */
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    require(numPlanes > 0 && numPlanes < 63, s"numPlanes must be in [1, 62], got $numPlanes")
     val planes: Seq[(Int, Array[Double])] = corpus
       .filter(col("vec_id") < numPlanes)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
+    require(planes.nonEmpty,
+      s"srpTopK needs corpus vectors with vec_id < $numPlanes to serve as hyperplanes")
     val bucket = planes.map { case (i, p) =>
       when(graft.plans.VectorDot(col("cv"), typedLit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -44,12 +44,17 @@ object SimHash60 {
 
   val Bits = 60
 
+  // MessageDigest is not thread-safe and getInstance is a registry lookup —
+  // one instance per executor thread, reset per token
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Per-row kernel; called from generated code via the static forwarder. */
   def compute(text: UTF8String): Long = {
     val tokens = text.toLowerCase.toString.split(" ", -1)
     val seen = new java.util.HashSet[String](math.max(16, tokens.length * 2))
     val votes = new Array[Int](Bits)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5.get()
     var i = 0
     while (i < tokens.length) {
       val t = tokens(i)

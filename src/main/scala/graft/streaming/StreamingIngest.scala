@@ -21,11 +21,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
  *  - the write lands in the partitioned raw tier via `foreachBatch` →
  *    GraftStorage.write. foreachBatch + Parquet append is AT-LEAST-ONCE:
  *    a micro-batch retried after a partial write appends its rows again.
- *    The `ingest_seq` stamped on each batch is the (deterministic) batch id,
- *    so a replay writes byte-identical rows — `GraftStorage.readResolved`
- *    (last-write-wins per point key) and `compact` both collapse them, and
- *    plain `read` is only exposed to duplicates in the window between a
- *    replayed batch and the next compaction.
+ *    Each batch is stamped with the same strictly-increasing
+ *    (millis << 20 | counter) `ingest_seq` the batch path uses — one seq
+ *    scale across batch backfill and streaming, so last-write-wins stays
+ *    meaningful when a tier sees both. A replayed batch therefore lands
+ *    with a NEWER seq but byte-identical values: `GraftStorage
+ *    .readResolved` (LWW per point key) and `compact` collapse it to the
+ *    same values either way, and plain `read` is only exposed to
+ *    duplicates in the window between a replayed batch and the next
+ *    compaction.
  */
 object StreamingIngest {
 
@@ -46,10 +50,8 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // batch-id-deterministic ingest_seq → replayed batches rewrite the
-        // same rows instead of forking a second LWW version
-        GraftStorage.write(batch, path, SaveMode.Append, ingestSeq = Some(batchId))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        GraftStorage.write(batch, path, SaveMode.Append)
       }
       .start()
 

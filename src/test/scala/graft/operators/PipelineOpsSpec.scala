@@ -65,6 +65,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(dist == expect)
   }
 
+  test("cluster paths agree on self-loops (isolated self-paired doc kept)") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 5L)
+    assert(Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    assert(Dedup.nearDupClusters(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
+
   test("distributed clusters: long chain converges (pointer jumping)") {
     val s = spark
     import s.implicits._

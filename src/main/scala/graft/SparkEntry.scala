@@ -269,6 +269,28 @@ object SparkEntry {
               |FROM (SELECT cat.metric, g.bucket FROM cat CROSS JOIN range(7) g(bucket)) sp
               |LEFT JOIN ag ON ag.metric = sp.metric AND ag.bucket = sp.bucket""".stripMargin)),
 
+    // ---- fromEarliest: retention-window range, leading empties skipped ---
+    // (GaugeHandler.java:449-496 with a pinned `now` = fixture end; the
+    // range starts 5 days before any data so the skip has work to do)
+    ("from_earliest", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S - 5 * Day, E, Day)
+      MetricsOps.skipLeadingEmptyBuckets(
+        MetricsOps.gapFill(MetricsOps.numericBucketStats(gauge(s, d), b, Seq.empty), b))
+        .select(col("bucket"), col("bucket_start"), col("bucket_end"),
+          col("min"), col("avg"), col("max"), col("sum"), col("samples"),
+          round(col("median"), 4).as("median"))
+    },
+      Some(s"""WITH $BaseCte,
+              |ag AS (SELECT (t - ${S - 5 * Day}) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |       FROM base WHERE t >= ${S - 5 * Day} AND t < $E GROUP BY 1),
+              |sp AS (SELECT g.bucket, ${S - 5 * Day} + g.bucket * $Day AS bucket_start,
+              |         ${S - 5 * Day} + (g.bucket + 1) * $Day AS bucket_end,
+              |         ag."min", ag.avg, ag."max", ag.sum, ag.samples, ag.median
+              |       FROM range(35) g(bucket) LEFT JOIN ag ON ag.bucket = g.bucket)
+              |SELECT bucket, bucket_start, bucket_end, "min", avg, "max", sum, samples,
+              |       round(median, 4) AS median
+              |FROM sp WHERE bucket >= (SELECT min(bucket) FROM sp WHERE samples IS NOT NULL)""".stripMargin)),
+
     // ---- W1/F6: counter rate with reset-pair drop ------------------------
     ("counter_rate", (s: SparkSession, d: String) =>
       MetricsOps.rate(ctr(s, d), isCounter = true, valueCol = "l_value")

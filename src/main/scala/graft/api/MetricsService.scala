@@ -265,12 +265,7 @@ class MetricsService(spark: SparkSession, root: String) {
     val retentionMs = metricsIndex().filter(metricKey(id)).select("data_retention")
       .collect().headOption.map(_.getInt(0)).getOrElse(DefaultRetentionDays) * 86400000L
     val config = BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
-    val filled = findGaugeStats(id, config, percentiles)
-    val firstNonEmpty = filled.filter(col("samples").isNotNull)
-      .agg(coalesce(min(col("bucket")), lit(Long.MaxValue)).as("__first"))
-    filled.crossJoin(broadcast(firstNonEmpty))
-      .filter(col("bucket") >= col("__first"))
-      .drop("__first")
+    MetricsOps.skipLeadingEmptyBuckets(findGaugeStats(id, config, percentiles))
   }
 
   /** Tagged variant (A6): group by per-point tag-value combinations. */

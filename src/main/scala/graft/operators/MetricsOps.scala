@@ -192,6 +192,20 @@ object MetricsOps {
       .withColumn("bucket_end", GraftFunctions.bucketEnd(col("bucket"), b))
   }
 
+  /**
+   * `fromEarliest` result shaping (GaugeHandler.java:449-496): drop
+   * LEADING empty buckets from a gap-filled stats frame — trailing and
+   * interior gaps stay null-filled. The first non-empty bucket index is a
+   * 1-row aggregate broadcast into a filter, not a driver round trip.
+   */
+  def skipLeadingEmptyBuckets(filled: DataFrame): DataFrame = {
+    val first = filled.filter(col("samples").isNotNull)
+      .agg(coalesce(min(col("bucket")), lit(Long.MaxValue)).as("__first"))
+    filled.crossJoin(broadcast(first))
+      .filter(col("bucket") >= col("__first"))
+      .drop("__first")
+  }
+
   // -----------------------------------------------------------------------
   // A4/A5 — stacked and pooled multi-metric stats
   // -----------------------------------------------------------------------

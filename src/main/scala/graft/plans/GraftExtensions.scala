@@ -40,5 +40,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vector_dot(a, b) takes 2 arguments")
         VectorDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60(text) takes 1 argument")
+        SimHash60(args.head)
       }))
 }

@@ -47,13 +47,17 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def pass() = ordered.map { case (name, fn) => once(name, fn) }
     val (p1, p2) = (pass(), pass())
-    val results: Seq[(String, Double)] = ordered.map(_._1).zip(p1.zip(p2).map {
-      case (a, b) => Seq(a, b).flatten.minOption.getOrElse(0.0)
+    // a query with NO successful sample reports null (not a fake 0.000
+    // that would read as a speedup) and contributes nothing to the total
+    val results: Seq[(String, Option[Double])] = ordered.map(_._1).zip(p1.zip(p2).map {
+      case (a, b) => Seq(a, b).flatten.minOption
     })
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val qs = results.map {
+      case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
  */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              // shuffle width follows the core count (SPARK_GRAFT_CPUS)
+              // so a smaller harness host doesn't pay 32-way task overhead
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")

@@ -229,10 +229,13 @@ class MetricsService(spark: SparkSession, root: String) {
                     funcs: (DataFrame => DataFrame)*): Seq[DataFrame] = {
     val range = TimeRange(start.map(_.toString), end.map(_.toString),
       System.currentTimeMillis())
-    // materialize the fetch once: each transform's later action must see
-    // the SAME snapshot (and not re-scan the tier per transform) — the
-    // reference shares one Observable across funcs
-    val fetched = series(id).filter(MetricsOps.inRange(range)).localCheckpoint()
+    // with multiple transforms, materialize the fetch once: each
+    // transform's later action must see the SAME snapshot (and not re-scan
+    // the tier per transform) — the reference shares one Observable across
+    // funcs. A single transform keeps the lazy plan (no job, no pinned
+    // checkpoint blocks).
+    val base = series(id).filter(MetricsOps.inRange(range))
+    val fetched = if (funcs.lengthCompare(2) >= 0) base.localCheckpoint() else base
     funcs.map(f => f(fetched))
   }
 

@@ -213,7 +213,7 @@ object Dedup {
    * a VERIFIED near-dup edge set is orders of magnitude smaller than the
    * corpus that produced it (it is the output of an exact-Jaccard filter,
    * not the corpus), so when it fits comfortably on the driver
-   * (`driverEdgeLimit`, default 2M edges ≈ 64 MB collected as specialized
+   * (`driverEdgeLimit`, default 2M edges ≈ 32 MB collected as specialized
    * (Long, Long) tuples) the components come from a single collect +
    * union-find — one Spark job, no iteration. Above the limit it falls
    * back to [[distributedClusters]], the fully-distributed

@@ -29,7 +29,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
  *    .readResolved` (LWW per point key) and `compact` collapse it to the
  *    same values either way, and plain `read` is only exposed to
  *    duplicates in the window between a replayed batch and the next
- *    compaction.
+ *    compaction. KNOWN at-least-once limit: if an out-of-band write
+ *    corrects one of the replayed keys IN BETWEEN the failed attempt and
+ *    its replay, the replay's newer seq resurrects the stale value —
+ *    eliminating that window needs an atomic/transactional sink (an ACID
+ *    table format's commit protocol), not a sequence scheme.
  */
 object StreamingIngest {
 

@@ -84,9 +84,7 @@ class MetricsService(spark: SparkSession, root: String) {
       try TagQueryParser.compile(tagExpression, col("tags"))
       catch {
         case _: IllegalArgumentException =>
-          Tags.parse(tagExpression).map { case (k, pat) =>
-            graft.functions.GraftFunctions.filterPattern(element_at(col("tags"), k), pat)
-          }.reduce(_ && _)
+          TagQueryParser.compileSimple(tagExpression, col("tags"))
       }
     MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype)
       .filter(pred)

@@ -76,6 +76,17 @@ object TagQueryParser {
 
   def compile(input: String, tags: Column): Column = compile(parse(input), tags)
 
+  /** The legacy simple `name:pattern,name:pattern` syntax (reference
+    * SimpleTagQueryParser / Tags.parse + PatternUtil filter semantics):
+    * AND of per-name filter patterns — `*` any, leading `!` negation,
+    * regex otherwise. The facade falls back to this when the expression
+    * grammar rejects the input, like the reference does. */
+  def compileSimple(input: String, tags: Column): Column =
+    graft.model.Tags.parse(input).map { case (k, pat) =>
+      graft.functions.GraftFunctions.filterPattern(
+        org.apache.spark.sql.functions.element_at(tags, k), pat)
+    }.reduce(_ && _)
+
   // --------------------------- lexer ---------------------------
 
   sealed trait Token

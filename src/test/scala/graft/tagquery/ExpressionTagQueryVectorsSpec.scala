@@ -84,4 +84,46 @@ class ExpressionTagQueryVectorsSpec extends SparkTestBase {
   test("bad syntax rejected (badTagValueSearch)") {
     intercept[IllegalArgumentException](TagQueryParser.parse("a1 == abc'"))
   }
+
+  // ---- TagsITest simple `name:pattern` syntax vectors (fixture
+  // TagsITest.java:406-439, queries :84-138) ----
+
+  private lazy val simpleFixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("m1", Map("a1" -> "1")),
+      ("m2", Map("a1" -> "2", "a3" -> "3")),
+      ("m3", Map("a1" -> "2", "a2" -> "2")),
+      ("m4", Map("a1" -> "2", "a2" -> "3")),
+      ("m5", Map("a1" -> "2", "a2" -> "4")),
+      ("m6", Map("a2" -> "4")),
+      ("mA", Map("hostname" -> "webfin01")),
+      ("mB", Map("hostname" -> "webswe02")),
+      ("mC", Map("hostname" -> "backendfin01")),
+      ("mD", Map("hostname" -> "backendswe02")),
+      ("mE", Map("owner" -> "hede")),
+      ("mF", Map("owner" -> "hades")),
+      ("mG", Map("owner" -> "had"))
+    ).toDF("metric", "tags")
+  }
+
+  private def simpleIds(q: String): Set[String] =
+    simpleFixture.filter(TagQueryParser.compileSimple(q, col("tags")))
+      .select("metric").collect().map(_.getString(0)).toSet
+
+  test("simple syntax vectors (TagsITest)") {
+    assert(simpleIds("a1:*") == Set("m1", "m2", "m3", "m4", "m5"))
+    assert(simpleIds("a1:*,a2:2") == Set("m3"))
+    assert(simpleIds("a1:*,a2:2|3") == Set("m3", "m4"))
+    assert(simpleIds("a2:2|3") == Set("m3", "m4"))
+    assert(simpleIds("a1:*,a2:*") == Set("m3", "m4", "m5"))
+    assert(simpleIds("a1:*,a5:*") == Set.empty)
+    assert(simpleIds("a4:*,a5:none") == Set.empty)
+    assert(simpleIds("a1:2,a2:2") == Set("m3"))
+    // NOT operator (leading !)
+    assert(simpleIds("a2:!4") == Set("m3", "m4"))
+    assert(simpleIds("a1:2,a2:!4") == Set("m3", "m4"))
+    assert(simpleIds("a2:!4|3") == Set("m3"))
+  }
 }

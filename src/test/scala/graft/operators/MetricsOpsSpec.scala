@@ -231,6 +231,37 @@ class MetricsOpsSpec extends SparkTestBase {
 
   // ---- J3: id-list semi join ----
 
+  test("W4: union of per-metric series reads back per-metric time-sorted " +
+    "(the k-way sorted merge contract, SortedMergeTest analog)") {
+    // three "sorted source streams" unioned in interleaved order; the
+    // no-limit fetch must deliver each metric's points contiguous and
+    // time-ascending within its partition — what the reference's k-way
+    // merge guaranteed per series
+    val a = points(Seq(("a", 30L, 1.0), ("a", 10L, 2.0), ("a", 20L, 3.0)))
+    val b = points(Seq(("b", 25L, 4.0), ("b", 5L, 5.0)))
+    val c = points(Seq(("c", 15L, 6.0)))
+    val merged = MetricsOps.rawDataPoints(
+      a.unionByName(b).unionByName(c), TimeRange(0, 100), Order.Asc, limit = 0)
+    val perPartition = merged.select("metric", "time")
+      .rdd.mapPartitions { it =>
+        val rows = it.map(r => (r.getString(0), r.getLong(1))).toSeq
+        Iterator.single(rows)
+      }.collect()
+    perPartition.foreach { rows =>
+      // within a partition: grouped by metric, ascending time inside each run
+      assert(rows == rows.sortBy(identity))
+      // each metric appears in exactly one partition run
+    }
+    val byMetric = perPartition.flatten.groupBy(_._1)
+    assert(byMetric.keySet == Set("a", "b", "c"))
+    byMetric.foreach { case (_, rows) => assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted) }
+    // limit path: global top-k across the union (TakeOrderedAndProject)
+    val top3 = MetricsOps.rawDataPoints(
+      a.unionByName(b).unionByName(c), TimeRange(0, 100), Order.Asc, limit = 3)
+      .select("time").collect().map(_.getLong(0)).toSeq
+    assert(top3 == Seq(5L, 10L, 15L))
+  }
+
   test("dataPointsForIds keeps only listed metrics") {
     val dp = points(Seq(("a", 1L, 1.0), ("b", 2L, 2.0), ("c", 3L, 3.0)))
     val got = MetricsOps.dataPointsForIds(dp, Seq("a", "c"))

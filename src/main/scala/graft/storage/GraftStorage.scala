@@ -84,8 +84,8 @@ object GraftStorage {
       .withColumn("mtype", col("mtype").cast("int"))
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass == "UNABLE_TO_INFER_SCHEMA" ||
-            e.getErrorClass == "PATH_NOT_FOUND" =>
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+            e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
     }
 

@@ -162,6 +162,18 @@ object SparkEntry {
               |       ag."min", ag.avg, ag."max", ag.sum, ag.samples, ag.median
               |FROM range(720) g(bucket) LEFT JOIN ag ON ag.bucket = g.bucket""".stripMargin)),
 
+    // ---- A1 with the 100 TB percentile path: P² marker sketch ------------
+    // (O(1) state per bucket, CDF-mixture merge — the unbounded-bucket
+    // path; approximate, so no SQL oracle → the driver records a rows-only
+    // check. Accuracy is spec-verified against exact percentiles in
+    // P2SketchSpec.)
+    ("gauge_stats_p2sketch", (s: SparkSession, d: String) => {
+      val b = Buckets.fromCount(S, E, 60)
+      MetricsOps.numericBucketStats(gauge(s, d), b, Seq(90.0, 99.0),
+        mode = MetricsOps.PercentileMode.P2Sketch)
+        .select("bucket", "min", "avg", "max", "sum", "samples", "p90_0", "p99_0", "median")
+    }, None),
+
     // ---- A1 by metric ----------------------------------------------------
     ("gauge_stats_by_metric", (s: SparkSession, d: String) => {
       val b = Buckets.fromCount(S, Week, 14)

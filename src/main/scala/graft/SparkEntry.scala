@@ -95,6 +95,13 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet").repartition(s.sparkContext.defaultParallelism)
 
+  /** Shared read-back check for the storage/streaming lifecycle queries:
+    * per-metric row count + decimal-exact value sum. */
+  private def tierSummary(tier: DataFrame): DataFrame =
+    tier.groupBy(col("metric"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+
   /** Flagship (EP1 end-to-end): gauge bucket stats with percentiles + gap
     * fill on sf0.001 — SURVEY §7 "minimum end-to-end slice". */
   def entry(spark: SparkSession): DataFrame = {
@@ -529,10 +536,7 @@ object SparkEntry {
     ("storage_roundtrip", (s: SparkSession, d: String) => {
       val path = "target/tmp/roundtrip_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       GraftStorage.write(gauge(s, d), path, SaveMode.Overwrite)
-      GraftStorage.read(s, path)
-        .groupBy(col("metric"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+      tierSummary(GraftStorage.read(s, path))
     },
       Some(s"""WITH $BaseCte
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
@@ -547,10 +551,7 @@ object SparkEntry {
       GraftStorage.write(g.filter(col("n_value") > 400.0)
         .withColumn("n_value", col("n_value") * 2), path)
       GraftStorage.compact(s, path, upToSlice = Long.MaxValue)
-      GraftStorage.read(s, path)
-        .groupBy(col("metric"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+      tierSummary(GraftStorage.read(s, path))
     },
       Some(s"""WITH $BaseCte,
               |u AS (SELECT metric, t, CASE WHEN value > 400.0 THEN value * 2 ELSE value END AS v
@@ -562,10 +563,7 @@ object SparkEntry {
       val path = "target/tmp/delete_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       GraftStorage.write(gauge(s, d), path, SaveMode.Overwrite)
       GraftStorage.deleteMetric(s, path, ea.Tenant, MetricType.Gauge, "click/7")
-      GraftStorage.read(s, path)
-        .groupBy(col("metric"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+      tierSummary(GraftStorage.read(s, path))
     },
       Some(s"""WITH $BaseCte
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
@@ -587,10 +585,7 @@ object SparkEntry {
       val q = graft.streaming.StreamingIngest.start(
         ea.gaugePointsStream(s, d).filter(col("time") < Week), s"$base/tier", s"$base/ckpt")
       q.awaitTermination()
-      GraftStorage.read(s, s"$base/tier")
-        .groupBy(col("metric"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+      tierSummary(GraftStorage.read(s, s"$base/tier"))
     },
       Some(s"""WITH $BaseCte
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base

@@ -95,7 +95,15 @@ class MetricsService(spark: SparkSession, root: String) {
     metricsIndex().filter(metricKey(id)).select(explode(col("tags")).as(Seq("tname", "tvalue")))
 
   def getTagValues(tenantId: String, nameFilters: Map[String, String]): DataFrame =
-    MetricsOps.tagValues(metricsIndex().filter(col("tenant_id") === tenantId), nameFilters)
+    getTagValues(tenantId, None, nameFilters)
+
+  /** Type-scoped variant (reference getTagValues(tenantId, metricType,
+    * tagsQueries):142-143 — TagsITest.java:332-335 exercises the scoping). */
+  def getTagValues(tenantId: String, mtype: Option[MetricType],
+                   nameFilters: Map[String, String]): DataFrame =
+    MetricsOps.tagValues(
+      MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype),
+      nameFilters)
 
   def getTagNames(tenantId: String, filter: Option[String] = None): DataFrame =
     MetricsOps.tagNames(metricsIndex().filter(col("tenant_id") === tenantId), filter)

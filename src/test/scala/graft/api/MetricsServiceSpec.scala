@@ -225,6 +225,38 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(svc.scanAllMetricIndexes().select("tenant_id").distinct().count() == 2)
   }
 
+  test("getTagValues: cross-filter intersection and type scoping (TagsITest)") {
+    val svc = newService()
+    // TagsITest fixture (TagsITest.java:406-439), gauges + one availability
+    val gaugeTags = Seq(
+      "m1" -> Map("a1" -> "1"), "m2" -> Map("a1" -> "2", "a3" -> "3"),
+      "m3" -> Map("a1" -> "2", "a2" -> "2"), "m4" -> Map("a1" -> "2", "a2" -> "3"),
+      "m5" -> Map("a1" -> "2", "a2" -> "4"), "m6" -> Map("a2" -> "4"),
+      "mA" -> Map("hostname" -> "webfin01"), "mB" -> Map("hostname" -> "webswe02"),
+      "mC" -> Map("hostname" -> "backendfin01"), "mD" -> Map("hostname" -> "backendswe02"),
+      "mE" -> Map("owner" -> "hede"), "mF" -> Map("owner" -> "hades"),
+      "mG" -> Map("owner" -> "had"))
+    gaugeTags.foreach { case (m, t) =>
+      svc.createMetric(MetricId("t1", MetricType.Gauge.code, m), t)
+    }
+    svc.createMetric(MetricId("t1", MetricType.Availability.code, "a1"), Map("a1" -> "4"))
+
+    def values(mtype: Option[MetricType], filters: Map[String, String]): Map[String, Set[String]] =
+      svc.getTagValues("t1", mtype, filters).collect()
+        .map(r => r.getString(0) -> r.getString(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+
+    // hostname:* → 4 hostnames (TagsITest.java:316-322)
+    assert(values(None, Map("hostname" -> "*"))("hostname").size == 4)
+    // a1:*,a2:* → intersection first: a1 has ONE value, a2 has three (:324-330)
+    val both = values(None, Map("a1" -> "*", "a2" -> "*"))
+    assert(both.keySet == Set("a1", "a2"))
+    assert(both("a1") == Set("2"))
+    assert(both("a2") == Set("2", "3", "4"))
+    // availability-scoped: a1 has one value (:332-335)
+    assert(values(Some(MetricType.Availability), Map("a1" -> "*"))("a1") == Set("4"))
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

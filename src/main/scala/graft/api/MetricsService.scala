@@ -106,7 +106,15 @@ class MetricsService(spark: SparkSession, root: String) {
       nameFilters)
 
   def getTagNames(tenantId: String, filter: Option[String] = None): DataFrame =
-    MetricsOps.tagNames(metricsIndex().filter(col("tenant_id") === tenantId), filter)
+    getTagNames(tenantId, None, filter)
+
+  /** Type-scoped variant (reference getTagNames(tenantId, metricType,
+    * filter):147). */
+  def getTagNames(tenantId: String, mtype: Option[MetricType],
+                  filter: Option[String]): DataFrame =
+    MetricsOps.tagNames(
+      MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype),
+      filter)
 
   def addTags(id: MetricId, tags: Map[String, String]): Unit = {
     val current = currentTags(id)

@@ -73,46 +73,9 @@ object GraftFunctions {
       }
     }
 
-  // ---------------------------------------------------------------------
-  // Vector functions over embedding columns (array<float> at rest, cast to
-  // double for exact cross-engine accumulation). Built on `zip_with` +
-  // `aggregate` so the fold is a strict left-to-right sum — deterministic
-  // and codegen-friendly, no UDF in the hot path.
-  // ---------------------------------------------------------------------
-
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
-
-  // Fixed-dimension variants: fully unrolled element_at chains — no array
-  // allocation per row, ~10x faster in the hot path of a pairwise scan.
-  // The left-to-right addition order matches the `aggregate` fold exactly
-  // (0.0 + x0 ≡ x0 in IEEE754), so results are bit-identical to the
-  // generic versions and to the DuckDB oracle's sequential list_sum.
-
-  def dotProductFixed(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
-
-  def l2NormFixed(a: Column, dim: Int): Column =
-    sqrt((1 to dim).map { i => val x = element_at(a, i); x * x }.reduce(_ + _))
-
-  def cosineSimilarityFixed(a: Column, b: Column, dim: Int): Column =
-    dotProductFixed(a, b, dim) / (l2NormFixed(a, dim) * l2NormFixed(b, dim))
-
-  // ---------------------------------------------------------------------
-  // Hashing for dedup sketches (MinHash / SimHash). Uses Spark's built-in
-  // xxhash64 (codegen'd) as the base hash; the MinHash permutations are
-  // affine transforms modulo a Mersenne prime — all expressed as columns.
-  // ---------------------------------------------------------------------
-
-  val MersennePrime61: Long = (1L << 61) - 1
-
-  /** Deterministic affine permutation of a 64-bit hash, for MinHash. */
-  def affineHash(h: Column, a: Long, b: Long): Column =
-    pmod(pmod(h, lit(MersennePrime61)) * lit(a) + lit(b), lit(MersennePrime61))
+  // Vector math lives in graft.plans.VectorDot (native codegen loop over
+  // float/double arrays); MinHash permutation math lives inline in
+  // graft.operators.Dedup (pmod column expressions over xxhash64). The
+  // earlier higher-order-function / unrolled-element_at formulations were
+  // superseded by those and removed.
 }

@@ -312,13 +312,26 @@ class MetricsService(spark: SparkSession, root: String) {
         .withColumn("request_id", lit(i))
     }.reduce(_ unionByName _)
 
+  /** Availability fetch: `distinct` applies BEFORE `limit` (the reference
+    * fetches unlimited, collapses runs, then limits —
+    * MetricsServiceImpl.java:972-979). Note strings are the opposite. */
   def findAvailabilityData(id: MetricId, start: Option[Long], end: Option[Long],
                            distinct: Boolean = false, limit: Int = 0,
                            order: Option[Order] = None,
-                           now: Long = System.currentTimeMillis()): DataFrame = {
-    val base = findDataPoints(id, start, end, limit, order, now)
-    if (distinct) MetricsOps.distinctContiguous(base, "avail") else base
-  }
+                           now: Long = System.currentTimeMillis()): DataFrame =
+    if (distinct) {
+      val collapsed = MetricsOps.distinctContiguous(
+        findDataPoints(id, start, end, 0, order, now), "avail")
+      if (limit <= 0) collapsed
+      else {
+        val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+        val timeCol = ord match {
+          case Order.Asc  => col("time").asc
+          case Order.Desc => col("time").desc
+        }
+        collapsed.orderBy(timeCol, col("metric").asc).limit(limit)
+      }
+    } else findDataPoints(id, start, end, limit, order, now)
 
   def findAvailabilityStats(id: MetricId, config: BucketConfig): DataFrame = {
     val s = spark
@@ -332,6 +345,10 @@ class MetricsService(spark: SparkSession, root: String) {
                        percentiles: Seq[Double]): DataFrame =
     MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value")
 
+  /** String fetch: unlike availability, the reference applies `limit` to
+    * the RAW fetch and distincts the limited page
+    * (MetricsServiceImpl.java:1002-1003) — a quirk REST tests depend on,
+    * reproduced as-is. */
   def findStringData(id: MetricId, start: Option[Long], end: Option[Long],
                      distinct: Boolean = false, limit: Int = 0,
                      order: Option[Order] = None,

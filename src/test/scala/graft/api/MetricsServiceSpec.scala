@@ -257,6 +257,38 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(values(Some(MetricType.Availability), Map("a1" -> "*"))("a1") == Set("4"))
   }
 
+  test("availability distincts BEFORE limit; strings limit BEFORE distinct " +
+    "(MetricsServiceImpl.java:972-979 vs :1002-1003)") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    def typed(metric: String, mtype: Int, rows: Seq[(Long, Int, String)]) =
+      rows.toDF("time", "avail_v", "s_v")
+        .withColumn("tenant_id", lit("t1"))
+        .withColumn("mtype", lit(mtype))
+        .withColumn("metric", lit(metric))
+        .withColumn("n_value", lit(null).cast("double"))
+        .withColumn("l_value", lit(null).cast("long"))
+        .withColumn("avail", when(lit(mtype) === 1, col("avail_v")).otherwise(lit(null).cast("int")))
+        .withColumn("s_value", when(lit(mtype) === 4, col("s_v")).otherwise(lit(null).cast("string")))
+        .drop("avail_v", "s_v")
+    // UP, UP, DOWN, UP at t=1..4
+    val runs = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 1, "y"), (4L, 0, "x"))
+    svc.addDataPoints(typed("av", MetricType.Availability.code.toInt, runs))
+    svc.addDataPoints(typed("st", MetricType.Str.code.toInt, runs))
+    // availability: distinct first → [UP@1, DOWN@3, UP@4]; limit 2 keeps
+    // the DOWN transition
+    val av = svc.findAvailabilityData(MetricId("t1", MetricType.Availability.code, "av"),
+      Some(0L), None, distinct = true, limit = 2, now = 10L)
+      .select("time", "avail").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(av == Seq((1L, 0), (3L, 1)))
+    // strings: raw limit 2 = [x@1, x@2], then distinct → one row
+    val st = svc.findStringData(MetricId("t1", MetricType.Str.code, "st"),
+      Some(0L), None, distinct = true, limit = 2, now = 10L)
+      .select("time", "s_value").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(st == Seq((1L, "x")))
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

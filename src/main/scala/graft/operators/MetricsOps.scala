@@ -470,9 +470,11 @@ object MetricsOps {
   // F3/F4 — metric-name regex and type filters
   // -----------------------------------------------------------------------
 
-  /** F3 — metric-name regex filter (reference MetricsServiceImpl.java:576-583). */
+  /** F3 — metric-name regex filter (reference MetricsServiceImpl.java:576-583;
+    * an empty/absent pattern passes everything, `:577-579`). */
   def idFilter(frame: DataFrame, pattern: String): DataFrame =
-    frame.filter(GraftFunctions.filterPattern(col("metric"), pattern))
+    if (pattern == null || pattern.isEmpty) frame
+    else frame.filter(GraftFunctions.filterPattern(col("metric"), pattern))
 
   /** F4 — metric-type filter; `None` = any user-insertable type
     * (reference SimpleTagQueryParser.java:578-587). */

@@ -287,6 +287,16 @@ class MetricsOpsSpec extends SparkTestBase {
 
   // ---- F2: filter-pattern semantics (PatternUtil.java:26-40) ----
 
+  test("idFilter: empty pattern passes everything; negation filters names") {
+    val dp = points(Seq(("web.cpu", 1L, 1.0), ("db.cpu", 2L, 2.0)))
+    assert(MetricsOps.idFilter(dp, "").count() == 2)
+    assert(MetricsOps.idFilter(dp, null).count() == 2)
+    assert(MetricsOps.idFilter(dp, "web.*").select("metric")
+      .collect().map(_.getString(0)).toSeq == Seq("web.cpu"))
+    assert(MetricsOps.idFilter(dp, "!web.*").select("metric")
+      .collect().map(_.getString(0)).toSeq == Seq("db.cpu"))
+  }
+
   test("filter pattern: star, negation, full-match anchoring") {
     val s = spark
     import s.implicits._

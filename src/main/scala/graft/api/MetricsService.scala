@@ -380,6 +380,12 @@ class MetricsService(spark: SparkSession, root: String) {
       valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles)
   }
 
-  def getPeriods(id: MetricId, predicate: Column): DataFrame =
-    MetricsOps.periods(series(id), predicate)
+  /** W2 — maximal predicate-true runs within a range (reference
+    * getPeriods(id, predicate, start, end):1026-1056). */
+  def getPeriods(id: MetricId, predicate: Column,
+                 start: Option[Long] = None, end: Option[Long] = None,
+                 now: Long = System.currentTimeMillis()): DataFrame = {
+    val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+    MetricsOps.periods(series(id).filter(MetricsOps.inRange(range)), predicate)
+  }
 }

@@ -313,23 +313,26 @@ class MetricsService(spark: SparkSession, root: String) {
     }.reduce(_ unionByName _)
 
   /** Availability fetch: `distinct` applies BEFORE `limit` (the reference
-    * fetches unlimited, collapses runs, then limits —
+    * fetches unlimited, collapses runs in FETCH order — so a DESC fetch
+    * keeps each run's latest point — then limits,
     * MetricsServiceImpl.java:972-979). Note strings are the opposite. */
   def findAvailabilityData(id: MetricId, start: Option[Long], end: Option[Long],
                            distinct: Boolean = false, limit: Int = 0,
                            order: Option[Order] = None,
                            now: Long = System.currentTimeMillis()): DataFrame =
     if (distinct) {
+      val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+      val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+      // plain range filter — no presentation sort of the unlimited fetch,
+      // the collapse window re-orders by (metric, time) anyway
       val collapsed = MetricsOps.distinctContiguous(
-        findDataPoints(id, start, end, 0, order, now), "avail")
-      if (limit <= 0) collapsed
-      else {
-        val ord = order.getOrElse(Order.defaultValue(limit, start, end))
-        val timeCol = ord match {
-          case Order.Asc  => col("time").asc
-          case Order.Desc => col("time").desc
-        }
-        collapsed.orderBy(timeCol, col("metric").asc).limit(limit)
+        series(id).filter(MetricsOps.inRange(range)), "avail", ord)
+      if (limit > 0) MetricsOps.orderedLimit(collapsed, ord, limit)
+      else ord match {
+        case Order.Asc  => collapsed.repartition(col("metric"))
+          .sortWithinPartitions(col("metric"), col("time").asc)
+        case Order.Desc => collapsed.repartition(col("metric"))
+          .sortWithinPartitions(col("metric"), col("time").desc)
       }
     } else findDataPoints(id, start, end, limit, order, now)
 
@@ -381,7 +384,10 @@ class MetricsService(spark: SparkSession, root: String) {
   }
 
   /** W2 — maximal predicate-true runs within a range (reference
-    * getPeriods(id, predicate, start, end):1026-1056). */
+    * getPeriods(id, predicate, start, end):1026-1056). Absent bounds
+    * default to the REST layer's [now-8h, now) window (TimeRange rule) —
+    * the reference API requires explicit bounds, its REST front fills in
+    * the same default. */
   def getPeriods(id: MetricId, predicate: Column,
                  start: Option[Long] = None, end: Option[Long] = None,
                  now: Long = System.currentTimeMillis()): DataFrame = {

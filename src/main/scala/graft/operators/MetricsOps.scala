@@ -39,12 +39,14 @@ object MetricsOps {
   def rawDataPoints(dp: DataFrame, range: TimeRange, order: Order = Order.Desc,
                     limit: Int = 0): DataFrame = {
     val filtered = dp.filter(inRange(range))
-    val timeCol = order match {
-      case Order.Asc  => col("time").asc
-      case Order.Desc => col("time").desc
+    if (limit > 0) orderedLimit(filtered, order, limit)
+    else {
+      val timeCol = order match {
+        case Order.Asc  => col("time").asc
+        case Order.Desc => col("time").desc
+      }
+      filtered.repartition(col("metric")).sortWithinPartitions(col("metric"), timeCol)
     }
-    if (limit > 0) filtered.orderBy(timeCol, col("metric").asc).limit(limit)
-    else filtered.repartition(col("metric")).sortWithinPartitions(col("metric"), timeCol)
   }
 
   /**
@@ -376,13 +378,33 @@ object MetricsOps {
   // F7/W3 — distinct-contiguous
   // -----------------------------------------------------------------------
 
-  /** F7 — `distinct=true` semantics: drop a point when its value equals the
-    * previous point's value (reference MetricsServiceImpl.java:968-983). */
-  def distinctContiguous(dp: DataFrame, valueCol: String): DataFrame = {
+  /** F7 — `distinct=true` semantics: drop a point when its value equals
+    * the PREVIOUS point's value in fetch order (reference
+    * `distinctUntilChanged`, MetricsServiceImpl.java:968-983). Fetch order
+    * matters: an ASC fetch keeps each run's EARLIEST point, a DESC fetch
+    * (stream newest-first) keeps each run's LATEST point. */
+  def distinctContiguous(dp: DataFrame, valueCol: String,
+                         order: Order = Order.Asc): DataFrame = {
     val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric")).orderBy(col("time"))
-    dp.withColumn("__prev", lag(col(valueCol), 1).over(w))
+    val prevInFetchOrder = order match {
+      case Order.Asc  => lag(col(valueCol), 1).over(w)
+      case Order.Desc => lead(col(valueCol), 1).over(w)
+    }
+    dp.withColumn("__prev", prevInFetchOrder)
       .filter(col("__prev").isNull || col(valueCol) =!= col("__prev"))
       .drop("__prev")
+  }
+
+  /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and
+    * any operator that pages a derived frame (e.g. collapsed availability):
+    * time in the requested direction, metric tie-break, global top-k
+    * (collapses to TakeOrderedAndProject — no full shuffle). */
+  def orderedLimit(dp: DataFrame, order: Order, limit: Int): DataFrame = {
+    val timeCol = order match {
+      case Order.Asc  => col("time").asc
+      case Order.Desc => col("time").desc
+    }
+    dp.orderBy(timeCol, col("metric").asc).limit(limit)
   }
 
   // -----------------------------------------------------------------------

@@ -287,6 +287,26 @@ class MetricsServiceSpec extends SparkTestBase {
       Some(0L), None, distinct = true, limit = 2, now = 10L)
       .select("time", "s_value").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(st == Seq((1L, "x")))
+    // DESC distinct collapses in fetch order: each run keeps its LATEST
+    // point — [(4,UP),(3,DOWN),(2,UP)], limit 2 takes the newest two
+    val avDesc = svc.findAvailabilityData(MetricId("t1", MetricType.Availability.code, "av"),
+      Some(0L), Some(10L), distinct = true, limit = 2, order = Some(Order.Desc), now = 10L)
+      .select("time", "avail").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(avDesc == Seq((4L, 0), (3L, 1)))
+  }
+
+  test("getPeriods honors the requested range") {
+    val svc = newService()
+    svc.addDataPoints(gaugeRows("m", Seq((1L, 9.0), (2L, 9.0), (5L, 1.0), (7L, 9.0))))
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    val all = svc.getPeriods(id, col("n_value") > 5.0, Some(0L), Some(10L), now = 10L)
+      .orderBy("period_start").collect()
+      .map(r => (r.getAs[Long]("period_start"), r.getAs[Long]("period_end"))).toSeq
+    assert(all == Seq((1L, 2L), (7L, 7L)))
+    // narrowed range excludes the second run
+    val early = svc.getPeriods(id, col("n_value") > 5.0, Some(0L), Some(6L), now = 10L)
+      .collect().map(r => (r.getAs[Long]("period_start"), r.getAs[Long]("period_end"))).toSeq
+    assert(early == Seq((1L, 2L)))
   }
 
   test("delete metric removes its data; tenant catalog round trip") {

@@ -569,6 +569,41 @@ object SparkEntry {
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
               |WHERE metric <> 'click/7' GROUP BY 1""".stripMargin)),
 
+    // ---- S9: tenant delete — metadata-level subtree drop -----------------
+    ("storage_delete_tenant", (s: SparkSession, d: String) => {
+      val path = "target/tmp/deltenant_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val g = gauge(s, d)
+      GraftStorage.write(g, path, SaveMode.Overwrite)
+      // a second tenant's copy, then drop it — only acme must remain
+      GraftStorage.write(g.withColumn("tenant_id", lit("doomed")), path)
+      GraftStorage.deleteTenant(s, path, "doomed")
+      tierSummary(GraftStorage.read(s, path))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
+
+    // ---- EP2 batch: N independent stats requests keyed by request index --
+    // (POST /metrics/stats/batch/query, MetricHandler.java:321-338)
+    ("stats_batch", (s: SparkSession, d: String) => {
+      val g = gauge(s, d)
+      def pooled(b: Buckets, reqId: Int, ids: Seq[String]) =
+        roundPcts(MetricsOps.pooledStats(MetricsOps.dataPointsForIds(g, ids), b, Seq.empty), Seq.empty)
+          .withColumn("request_id", lit(reqId))
+          .select("request_id", "bucket", "min", "avg", "max", "sum", "samples", "median")
+      pooled(Buckets.fromStep(S, E, Day), 0, Seq("click/7", "view/88"))
+        .unionByName(pooled(Buckets.fromStep(S, Week, Day), 1, Seq("error/23")))
+    },
+      Some(s"""WITH $BaseCte,
+              |r0 AS (SELECT 0 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |       FROM base WHERE t >= $S AND t < $E
+              |         AND metric IN ('click/7', 'view/88') GROUP BY 2),
+              |r1 AS (SELECT 1 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |       FROM base WHERE t >= $S AND t < $Week
+              |         AND metric = 'error/23' GROUP BY 2)
+              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r0
+              |UNION ALL
+              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r1""".stripMargin)),
+
     // ---- §2.9: Structured-Streaming ingest end-to-end (watermarked file
     // stream → stream dedup → partitioned tier), drained with AvailableNow
     // and read back — streaming ingest must agree with the batch oracle ---

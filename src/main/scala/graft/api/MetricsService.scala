@@ -357,7 +357,8 @@ class MetricsService(spark: SparkSession, root: String) {
                      order: Option[Order] = None,
                      now: Long = System.currentTimeMillis()): DataFrame = {
     val base = findDataPoints(id, start, end, limit, order, now)
-    if (distinct) MetricsOps.distinctContiguous(base, "s_value") else base
+    val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+    if (distinct) MetricsOps.distinctContiguous(base, "s_value", ord) else base
   }
 
   def findCounterStats(id: MetricId, config: BucketConfig,

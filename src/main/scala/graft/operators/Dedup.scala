@@ -304,7 +304,10 @@ object Dedup {
    * row explosion through a shuffle for what is a fixed-size per-row fold).
    */
   def simHash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.plans.SimHash60(col("text")).as("simhash"))
+    // null texts are dropped, matching the composed explode pipeline this
+    // replaces (explode of a null token array emits no row for the doc)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.plans.SimHash60(col("text")).as("simhash"))
 
   /**
    * Near-dup pairs within `maxHamming`, banded: B = maxHamming+1 bands of

@@ -49,10 +49,9 @@ object GraftStorage {
    * repartition by the physical partition columns keeps one task per
    * output partition (no small-file explosion at 1000 executors).
    */
-  def write(dp: DataFrame, path: String, mode: SaveMode = SaveMode.Append,
-            ingestSeq: Option[Long] = None): Unit =
+  def write(dp: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
     withSlice(dp)
-      .withColumn("ingest_seq", lit(ingestSeq.getOrElse(nextIngestSeq())))
+      .withColumn("ingest_seq", lit(nextIngestSeq()))
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(col("metric"), col("time"))
       .write

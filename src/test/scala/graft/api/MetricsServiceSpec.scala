@@ -293,6 +293,14 @@ class MetricsServiceSpec extends SparkTestBase {
       Some(0L), Some(10L), distinct = true, limit = 2, order = Some(Order.Desc), now = 10L)
       .select("time", "avail").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(avDesc == Seq((4L, 0), (3L, 1)))
+    // DESC + distinct strings: fetch order [x@4, y@3, x@2, x@1] — each run
+    // keeps its LATEST point, so the trailing x-run collapses to x@2 (an
+    // ASC-defaulting collapse would wrongly keep x@1)
+    val stDesc = svc.findStringData(MetricId("t1", MetricType.Str.code, "st"),
+      Some(0L), Some(10L), distinct = true, order = Some(Order.Desc), now = 10L)
+      .select("time", "s_value").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(-_._1).toSeq
+    assert(stDesc == Seq((4L, "x"), (3L, "y"), (2L, "x")))
   }
 
   test("getPeriods honors the requested range") {

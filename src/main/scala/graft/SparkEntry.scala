@@ -626,6 +626,33 @@ object SparkEntry {
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
               |WHERE t < $Week GROUP BY 1""".stripMargin)),
 
+    // ---- §2.9: streaming rate derivation (W1 as a continuous query) —
+    // stateful flatMapGroupsWithState pairing must agree with the batch
+    // rate oracle (same pairwise formula, same operand order → bit-exact) --
+    ("streaming_rate", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamrate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val rates = graft.streaming.StreamingRate.rates(
+        ea.gaugePointsStream(s, d).filter(col("time") < Week), isCounter = false)
+      val q = rates.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").select("metric", "time", "rate")
+    },
+      Some(s"""WITH $BaseCte,
+              |r AS (SELECT metric, t, value, lag(value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM (SELECT * FROM base WHERE t < $Week)
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric, t AS "time",
+              |       60000.0 * (value - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |FROM r WHERE prev_t IS NOT NULL""".stripMargin)),
+
     // ---- LLM: exact dedup groups -----------------------------------------
     ("dedup_exact", (s: SparkSession, d: String) => Dedup.exactGroups(docs(s, d)),
       Some("""SELECT md5(text) AS text_md5, count(*) AS cnt, min(doc_id) AS keep_id

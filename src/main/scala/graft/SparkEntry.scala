@@ -582,6 +582,41 @@ object SparkEntry {
       Some(s"""WITH $BaseCte
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
 
+    // ---- S3/TTL: retention sweep — expired slice partitions dropped ------
+    // (dropExpiredSlices is metadata-only: whole-directory deletes, no data
+    // rewrite — the parquet analog of Cassandra TTL expiry,
+    // MetricsServiceImpl.java:1058-1067)
+    ("storage_retention", (s: SparkSession, d: String) => {
+      val path = "target/tmp/retention_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(gauge(s, d), path, SaveMode.Overwrite)
+      GraftStorage.dropExpiredSlices(s, path, retentionDays = 7, now = E)
+      tierSummary(GraftStorage.read(s, path))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
+              |WHERE t // $Day >= ${(E - 7 * Day) / Day} GROUP BY 1""".stripMargin)),
+
+    // ---- Tenant model: per-tenant/per-type retention map (J-join + TTL) --
+    ("tenant_retention", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val g = gauge(s, d)
+      // two tenants sharing the series, different gauge retention windows
+      val pts = g.unionByName(g.withColumn("tenant_id", lit("beta")))
+      val retentions = Seq(("acme", 0, 7), ("beta", 0, 21))
+        .toDF("tenant_id", "mtype", "retention_days")
+      MetricsOps.applyRetention(pts, retentions, now = E)
+        .groupBy(col("tenant_id"), col("metric"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+    },
+      Some(s"""WITH $BaseCte,
+              |u AS (SELECT 'acme' AS tenant_id, metric, t, value FROM base
+              |        WHERE t >= ${E - 7 * Day}
+              |      UNION ALL
+              |      SELECT 'beta', metric, t, value FROM base WHERE t >= ${E - 21 * Day})
+              |SELECT tenant_id, metric, count(*) AS cnt, ${dsum("value")} AS sum_v
+              |FROM u GROUP BY 1, 2""".stripMargin)),
+
     // ---- EP2 batch: N independent stats requests keyed by request index --
     // (POST /metrics/stats/batch/query, MetricHandler.java:321-338)
     ("stats_batch", (s: SparkSession, d: String) => {
@@ -652,6 +687,41 @@ object SparkEntry {
               |SELECT metric, t AS "time",
               |       60000.0 * (value - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
               |FROM r WHERE prev_t IS NOT NULL""".stripMargin)),
+
+    // ---- §2.9: streaming windowed slice stats — append-mode emission -----
+    // (slidingStats is the query-side analog of the reference's 2h slice
+    // cadence: a window is emitted ONLY once the watermark passes its end,
+    // so the result contains exactly the finalized slices — late-data-drop
+    // semantics made driver-visible. Emission depends only on the final
+    // watermark (max event time - 2h), not on micro-batch boundaries, so
+    // the result is deterministic under any batching.)
+    ("streaming_slice_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/slicestats_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val st = graft.streaming.StreamingIngest.slidingStats(
+        ea.gaugePointsStream(s, d).filter(col("time") < Week))
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(unix_millis(col("slice_start")).as("slice_start"), col("metric"),
+          col("samples"), col("min"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t < $Week),
+              |wm AS (SELECT max(t) - 7200000 AS w FROM b)
+              |SELECT (t // 7200000) * 7200000 AS slice_start, metric,
+              |       count(*) AS samples, min(value) AS "min", max(value) AS "max",
+              |       ${dsum("value")} AS sum
+              |FROM b, wm
+              |WHERE (t // 7200000) * 7200000 + 7200000 <= wm.w
+              |GROUP BY 1, 2""".stripMargin)),
 
     // ---- LLM: exact dedup groups -----------------------------------------
     ("dedup_exact", (s: SparkSession, d: String) => Dedup.exactGroups(docs(s, d)),
@@ -805,6 +875,25 @@ object SparkEntry {
              |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45""".stripMargin)),
+
+    // ---- LLM: SRP-bucketed embedding near-dup pairs (the 100 TB path
+    // for emb_threshold_pairs: equi-join on sign-bit bucket, no cross
+    // join — recall bounded by the SRP collision probability) -------------
+    ("emb_srp_pairs", (s: SparkSession, d: String) =>
+      Similarity.srpThresholdPairs(embs(s, d), 0.3, numPlanes = 8)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine")),
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT vec_id AS hid, e AS he FROM dv WHERE vec_id < 8),
+             |bk AS (SELECT d.vec_id,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id))
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+             |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3""".stripMargin)),
 
     // ---- LLM: text quality statistics ------------------------------------
     ("text_stats", (s: SparkSession, d: String) => TextOps.textStats(docs(s, d)),

@@ -504,4 +504,21 @@ object MetricsOps {
     case Some(t) => frame.filter(col("mtype") === t.code.toInt)
     case None    => frame.filter(col("mtype").isin(MetricType.userTypeCodes.map(_.toInt): _*))
   }
+
+  /**
+   * Per-tenant/per-type retention enforcement — the read-side view of the
+   * reference's TTL scheme, where each tenant carries a retention map keyed
+   * by metric type (Tenant retentions, Functions.java:121-127; TTL applied
+   * at write, DataAccessImpl.java:1034-1059). `retentions` is a small frame
+   * (tenant_id, mtype, retention_days) — broadcast to every executor, so
+   * the cutoff check is a map-side join + filter with no shuffle of the
+   * datapoint stream. Points from tenants/types without a retention row
+   * are kept (the reference falls back to a system default applied
+   * elsewhere; callers can pre-densify the map to override).
+   */
+  def applyRetention(dp: DataFrame, retentions: DataFrame, now: Long): DataFrame =
+    dp.join(broadcast(retentions), Seq("tenant_id", "mtype"), "left")
+      .filter(col("retention_days").isNull ||
+        col("time") >= lit(now) - col("retention_days") * lit(86400000L))
+      .drop("retention_days")
 }

@@ -97,18 +97,33 @@ object Similarity {
    * codegen'd VectorDot against literal plane arrays — no join, no
    * shuffle for candidate generation beyond the final bucket equi-join.
    */
-  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+  /** The SRP hyperplane set: the first `numPlanes` corpus vectors —
+    * deterministic and reproducible by the SQL oracle (a seeded Gaussian
+    * would serve the same role in production). A size-bounded driver
+    * collect, like a k-means seed config — not data movement. */
+  private def srpPlanes(corpus: DataFrame, numPlanes: Int): Seq[(Int, Array[Double])] = {
     require(numPlanes > 0 && numPlanes < 63, s"numPlanes must be in [1, 62], got $numPlanes")
-    val planes: Seq[(Int, Array[Double])] = corpus
+    val planes = corpus
       .filter(col("vec_id") < numPlanes)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
     require(planes.nonEmpty,
-      s"srpTopK needs corpus vectors with vec_id < $numPlanes to serve as hyperplanes")
-    val bucket = planes.map { case (i, p) =>
-      when(graft.plans.VectorDot(col("cv"), typedLit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      s"SRP needs corpus vectors with vec_id < $numPlanes to serve as hyperplanes")
+    planes
+  }
+
+  /** bucket = sign bits of the projections of `vecCol` onto the planes —
+    * one codegen'd VectorDot per plane against a literal array; no join,
+    * no shuffle for candidate generation. */
+  private def srpBucket(planes: Seq[(Int, Array[Double])], vecCol: String) =
+    planes.map { case (i, p) =>
+      when(graft.plans.VectorDot(col(vecCol), typedLit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    val planes = srpPlanes(corpus, numPlanes)
+    val bucket = srpBucket(planes, "cv")
     val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
       .withColumn("bucket", bucket)
@@ -124,6 +139,30 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
+   * SRP-bucketed near-dup pairs — the 100 TB path for [[thresholdPairs]]:
+   * instead of the all-pairs cross join, both sides hash to a sign-bit
+   * bucket and only same-bucket pairs are scored (an equi-join that
+   * shuffles on `bucket`). Recall follows the SRP collision bound
+   * (P[same bucket] = (1 - θ/π)^numPlanes); production would union
+   * several independent plane sets to push recall up, which is a
+   * `unionByName` of this frame per set + `dropDuplicates(vec_a, vec_b)`.
+   */
+  def srpThresholdPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8): DataFrame = {
+    val planes = srpPlanes(corpus, numPlanes)
+    val a = withNorm(corpus.select(col("vec_id").as("vec_a"), dvec("embedding").as("va")), "va")
+      .withColumnRenamed("nrm", "va_nrm")
+      .withColumn("bucket", srpBucket(planes, "va"))
+    val b = withNorm(corpus.select(col("vec_id").as("vec_b"), dvec("embedding").as("vb")), "vb")
+      .withColumnRenamed("nrm", "vb_nrm")
+      .withColumn("bucket", srpBucket(planes, "vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine("va", "vb"))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /**

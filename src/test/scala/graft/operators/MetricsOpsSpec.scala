@@ -297,6 +297,25 @@ class MetricsOpsSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq == Seq("db.cpu"))
   }
 
+  // ---- per-tenant retention (TTL analog, DataAccessImpl.java:1034-1059) ----
+
+  test("applyRetention: per-tenant cutoff; unmapped tenants kept") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val now = 100 * day
+    val dp = points(Seq(("m", now - 10 * day, 1.0), ("m", now - 2 * day, 2.0)))
+    val both = dp.unionByName(dp.withColumn("tenant_id", lit("u")))
+      .unionByName(dp.withColumn("tenant_id", lit("unmapped")))
+    val ret = Seq(("t", 0, 7), ("u", 0, 30)).toDF("tenant_id", "mtype", "retention_days")
+    val got = MetricsOps.applyRetention(both, ret, now)
+      .groupBy("tenant_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // t: 7d window drops the 10d-old point; u: 30d keeps both;
+    // unmapped tenant: no retention row → kept as-is
+    assert(got == Map("t" -> 1L, "u" -> 2L, "unmapped" -> 2L))
+  }
+
   test("filter pattern: star, negation, full-match anchoring") {
     val s = spark
     import s.implicits._

@@ -141,6 +141,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set(1L, 2L)) // only cell 0 probed
   }
 
+  test("srp threshold pairs: same-bucket pairs scored, cross-bucket pairs skipped") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    // planes = vec 0 (x-axis) and vec 1 (y-axis)
+    val corpus = Seq(
+      (0L, vec(1, 0), 0),       // bucket 11b
+      (1L, vec(0, 1), 0),       // bucket 11b
+      (2L, vec(1, 0.1), 0),     // bucket 11b — near-dup of 0, same bucket
+      (3L, vec(-1, -0.1), 0),   // bucket 00b — alone
+      (5L, vec(0.1, -0.001), 0) // bucket 01b — near-dup of 0 but CROSS-bucket
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.srpThresholdPairs(corpus, 0.9, numPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,2) found in-bucket; (0,5)/(2,5) are above threshold but bucketed
+    // apart — the documented recall trade of the LSH path
+    assert(got == Set((0L, 2L)))
+  }
+
   // ---- text ops ----
 
   test("text stats on a known sentence") {

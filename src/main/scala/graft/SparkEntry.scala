@@ -876,6 +876,27 @@ object SparkEntry {
              |FROM n a JOIN n b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45""".stripMargin)),
 
+    // ---- LLM: embedding-cosine dedup completed to clusters — the same
+    // connected-components → survivor step text dedup gets, over the
+    // cosine-threshold pair set (near-dup modality #5 end-to-end) --------
+    ("emb_dedup_clusters", (s: SparkSession, d: String) => {
+      val pairs = Similarity.thresholdPairs(embs(s, d), 0.45)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupClusters(pairs).select(col("doc_id").as("vec_id"), col("cluster"))
+    },
+      Some("""WITH RECURSIVE
+             |dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+             |          FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |          WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach AS (SELECT src AS a, src AS b FROM edges
+             |          UNION
+             |          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+             |SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a""".stripMargin)),
+
     // ---- LLM: SRP-bucketed embedding near-dup pairs (the 100 TB path
     // for emb_threshold_pairs: equi-join on sign-bit bucket, no cross
     // join — recall bounded by the SRP collision probability) -------------

@@ -95,6 +95,13 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet").repartition(s.sparkContext.defaultParallelism)
 
+  /** Recursive delete of a lifecycle query's scratch dir (streaming
+    * checkpoints must not survive across bench/verify runs). */
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Shared read-back check for the storage/streaming lifecycle queries:
     * per-metric row count + decimal-exact value sum. */
   private def tierSummary(tier: DataFrame): DataFrame =
@@ -644,12 +651,7 @@ object SparkEntry {
     // and read back — streaming ingest must agree with the batch oracle ---
     ("streaming_ingest", (s: SparkSession, d: String) => {
       val base = "target/tmp/streaming_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      def rmrf(p: String): Unit = {
-        val fs = new org.apache.hadoop.fs.Path(p)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(p), true)
-      }
-      rmrf(base)
+      rmrf(s, base)
       // one week of the stream: the streaming==batch agreement proof does
       // not need the full fixture, and the dedup state scales with rows
       val q = graft.streaming.StreamingIngest.start(
@@ -666,9 +668,7 @@ object SparkEntry {
     // rate oracle (same pairwise formula, same operand order → bit-exact) --
     ("streaming_rate", (s: SparkSession, d: String) => {
       val base = "target/tmp/streamrate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      rmrf(s, base)
       val rates = graft.streaming.StreamingRate.rates(
         ea.gaugePointsStream(s, d).filter(col("time") < Week), isCounter = false)
       val q = rates.toDF().writeStream
@@ -697,9 +697,7 @@ object SparkEntry {
     // the result is deterministic under any batching.)
     ("streaming_slice_stats", (s: SparkSession, d: String) => {
       val base = "target/tmp/slicestats_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      rmrf(s, base)
       val st = graft.streaming.StreamingIngest.slidingStats(
         ea.gaugePointsStream(s, d).filter(col("time") < Week))
       val q = st.writeStream

@@ -514,11 +514,18 @@ object MetricsOps {
    * the cutoff check is a map-side join + filter with no shuffle of the
    * datapoint stream. Points from tenants/types without a retention row
    * are kept (the reference falls back to a system default applied
-   * elsewhere; callers can pre-densify the map to override).
+   * elsewhere; callers can pre-densify the map to override). The map
+   * contract is one retention per key: duplicate (tenant, type) rows —
+   * e.g. a config merge that appends an override — are collapsed to the
+   * LONGEST window, so a malformed map can never fan datapoints out into
+   * duplicates or silently shorten a retention someone granted.
    */
-  def applyRetention(dp: DataFrame, retentions: DataFrame, now: Long): DataFrame =
-    dp.join(broadcast(retentions), Seq("tenant_id", "mtype"), "left")
+  def applyRetention(dp: DataFrame, retentions: DataFrame, now: Long): DataFrame = {
+    val uniq = retentions.groupBy(col("tenant_id"), col("mtype"))
+      .agg(max(col("retention_days")).as("retention_days"))
+    dp.join(broadcast(uniq), Seq("tenant_id", "mtype"), "left")
       .filter(col("retention_days").isNull ||
         col("time") >= lit(now) - col("retention_days") * lit(86400000L))
       .drop("retention_days")
+  }
 }

@@ -307,7 +307,10 @@ class MetricsOpsSpec extends SparkTestBase {
     val dp = points(Seq(("m", now - 10 * day, 1.0), ("m", now - 2 * day, 2.0)))
     val both = dp.unionByName(dp.withColumn("tenant_id", lit("u")))
       .unionByName(dp.withColumn("tenant_id", lit("unmapped")))
-    val ret = Seq(("t", 0, 7), ("u", 0, 30)).toDF("tenant_id", "mtype", "retention_days")
+    // the duplicate ("u", 0, 7) row must neither fan points out into
+    // duplicates nor shorten the window: longest retention wins
+    val ret = Seq(("t", 0, 7), ("u", 0, 30), ("u", 0, 7))
+      .toDF("tenant_id", "mtype", "retention_days")
     val got = MetricsOps.applyRetention(both, ret, now)
       .groupBy("tenant_id").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1,0 +1,102 @@
+package graft
+
+import graft.model.Buckets
+import graft.operators.{Dedup, MetricsOps, Similarity}
+import graft.sources.EventsAdapter
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Weak-scaling probe (dev tool, like Probe/ProbeNgram): replicates the
+ * fixture N× with DISTINCT key spaces (suffixed metrics / shifted doc and
+ * vec ids — N× groups and N× rows, not N× duplicates inside one group)
+ * and times representative heavy operators. The point is the growth
+ * CURVE, not the absolute numbers: a plan whose time scales ~linearly in
+ * rows here has no hidden quadratic/driver-bound stage, which is the
+ * property that must hold at the 100 TB design point.
+ *
+ * Usage: runMain graft.ProbeScale <sfDir> <n> [query ...]
+ */
+object ProbeScale {
+
+  private def scaledGauge(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val g = EventsAdapter.gaugePoints(spark, dir)
+    (0 until n).map(i => g.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+      .reduce(_ unionByName _)
+  }
+
+  private def scaledDocs(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val d0 = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val step = 1000000L
+    (0 until n).map { i =>
+      // suffix the text too: otherwise every replica is an exact/near dup
+      // of replica 0 and the pair count (the OUTPUT) grows n², which
+      // measures result size, not operator scaling
+      d0.withColumn("doc_id", col("doc_id") + lit(i * step))
+        .withColumn("text", concat(col("text"), lit(s" replica$i")))
+    }.reduce(_ unionByName _)
+  }
+
+  private def scaledEmbs(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val step = 1000000L
+    // perturb one component per replica so replicas aren't identical vectors
+    (0 until n).map(i =>
+      e0.withColumn("vec_id", col("vec_id") + lit(i * step))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), 1, 63),
+            array((element_at(col("embedding"), 64) + lit(i * 0.01f)).cast("float")))))
+      .reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(10)
+    val only = args.drop(2).toSet
+    val spark = GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val S = 1704067200000L
+    val E = 1706659200000L
+
+    def time(name: String)(df: => DataFrame): Unit =
+      if (only.isEmpty || only(name)) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        spark.catalog.clearCache()
+      }
+
+    println(s"== weak-scaling probe: $dir x$n ==")
+    time("gauge_stats") {
+      MetricsOps.numericBucketStats(scaledGauge(spark, dir, n),
+        Buckets.fromCount(S, E, 60), Seq(90.0, 99.0))
+    }
+    time("stats_by_metric") {
+      MetricsOps.numericBucketStats(scaledGauge(spark, dir, n),
+        Buckets.fromCount(S, E, 60), Seq(95.0), byMetric = true)
+    }
+    time("periods") {
+      MetricsOps.periods(scaledGauge(spark, dir, n), col("n_value") > 75.0)
+    }
+    time("rate") {
+      MetricsOps.rate(scaledGauge(spark, dir, n), isCounter = false)
+    }
+    time("dedup_minhash") {
+      Dedup.nearDupPairs(scaledDocs(spark, dir, n), shingleK = 3, threshold = 0.8)
+    }
+    time("dedup_simhash") {
+      Dedup.simHashPairs(scaledDocs(spark, dir, n), maxHamming = 3)
+    }
+    time("emb_srp_pairs") {
+      Similarity.srpThresholdPairs(scaledEmbs(spark, dir, n), 0.3, numPlanes = 8)
+    }
+    time("knn_ivf") {
+      val e = scaledEmbs(spark, dir, n)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+    }
+    spark.stop()
+  }
+}

@@ -42,11 +42,18 @@ object Bench {
     // two FULL passes with the per-query min taken ACROSS passes (not two
     // back-to-back runs of each query): host CPU-steal bursts span several
     // consecutive seconds, so back-to-back runs let one burst corrupt both
-    // samples — separated passes require the burst to recur at the same
-    // suite position to survive the min
+    // samples. Pass 2 runs in REVERSE order: with identical orders, one
+    // multi-minute burst per pass at the same wall-clock offset lands on
+    // the same queries twice and survives the min (observed in the round-3
+    // driver run — a contiguous alphabetical span inflated 10-30x);
+    // mirrored orders make a query's two samples sit at opposite ends of
+    // the schedule, so only a burst spanning most of the run can corrupt
+    // both.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass() = ordered.map { case (name, fn) => once(name, fn) }
-    val (p1, p2) = (pass(), pass())
+    def runPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      qs.map { case (name, fn) => (name, once(name, fn)) }.toMap
+    val (m1, m2) = (runPass(ordered), runPass(ordered.reverse))
+    val (p1, p2) = (ordered.map(q => m1(q._1)), ordered.map(q => m2(q._1)))
     // a query with NO successful sample reports null (not a fake 0.000
     // that would read as a speedup) and contributes nothing to the total
     val results: Seq[(String, Option[Double])] = ordered.map(_._1).zip(p1.zip(p2).map {

@@ -840,6 +840,61 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: IVF top-k over TRAINED cells — deterministic Lloyd k-means
+    // (seeds = lowest-vec_id vectors, 2 iterations, decimal-exact centroid
+    // means) so even the trained model is bit-reproducible by the SQL
+    // oracle. Assignment is a pure projection against literal centroids —
+    // no join/shuffle; the model is driver-resident like MLlib's. --------
+    ("knn_ivf_kmeans", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2,
+        kCells = 4, iters = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, e AS ce,
+             |         sqrt(list_sum(list_transform(e, x -> x * x))) AS cnrm FROM dv WHERE vec_id < 4),
+             |a1 AS (SELECT vec_id, e, cell FROM (
+             |         SELECT v.vec_id, v.e, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM n v CROSS JOIN c0 s) WHERE rn = 1),
+             |m1 AS (SELECT cell, g.j,
+             |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a1, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |c1 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m1 GROUP BY cell),
+             |c1n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c1),
+             |a2 AS (SELECT vec_id, e, cell FROM (
+             |         SELECT v.vec_id, v.e, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM n v CROSS JOIN c1n s) WHERE rn = 1),
+             |m2 AS (SELECT cell, g.j,
+             |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |c2 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m2 GROUP BY cell),
+             |c2n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c2),
+             |af AS (SELECT vec_id, e, nrm, cell FROM (
+             |         SELECT v.vec_id, v.e, v.nrm, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM n v CROSS JOIN c2n s) WHERE rn = 1),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
+             |       FROM q CROSS JOIN c2n s),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN af c ON c.cell = p.cell
+             |       WHERE c.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- LLM: signed-random-projection LSH top-k (the other scale path) --
     ("knn_srp", (s: SparkSession, d: String) => {
       val e = embs(s, d)
@@ -982,6 +1037,25 @@ object SparkEntry {
              |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i) g
              |      WHERE g.i % 2 = 0)
              |SELECT doc_id, frame_idx, frame_md5 FROM f""".stripMargin)),
+
+    // ---- LLM: resize over image payloads — strided byte downsample as
+    // the deterministic stand-in inside the real mapPartitions decode seam
+    // (byte-index == char-index: corpus is ASCII, see multimodal_meta) ----
+    ("media_resize", (s: SparkSession, d: String) =>
+      Multimodal.resizeStub(Multimodal.asMediaFrame(docs(s, d)), stride = 4).toDF()
+        .select("doc_id", "in_len", "out_len", "out_checksum"),
+      Some("""WITH m AS (SELECT doc_id, text,
+             |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
+             |  FROM documents),
+             |i AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM m WHERE modality = 'image'),
+             |s AS (SELECT i.doc_id, count(*) AS out_n,
+             |        sum(ord(substr(i.text, CAST(g.p AS BIGINT), 1))) AS cks
+             |      FROM i, LATERAL (SELECT unnest(generate_series(1, i.n, 4)) AS p) g
+             |      GROUP BY i.doc_id)
+             |SELECT i.doc_id, CAST(i.n AS BIGINT) AS in_len,
+             |       CAST(coalesce(s.out_n, 0) AS BIGINT) AS out_len,
+             |       CAST(coalesce(s.cks, 0) AS BIGINT) AS out_checksum
+             |FROM i LEFT JOIN s ON s.doc_id = i.doc_id""".stripMargin)),
 
     // ---- LLM: end-to-end training-shard pipeline (quality ∧ lang →
     // exact-dedup survivors → content-hash sharding → per-shard budgets) --

@@ -171,27 +171,101 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
               cellCol: String = "label"): DataFrame = {
-    val cents = broadcast(withNorm(centroids(corpus, cellCol), "centroid")
-      .withColumnRenamed("nrm", "centroid_nrm"))
+    val cents = withNorm(centroids(corpus, cellCol), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val c = withNorm(corpus.select(col(cellCol).as("cell"),
+      col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    ivfSearch(c, queries, cents, k, nprobe)
+  }
+
+  /** Probe-then-rank shared by the label-cell and k-means IVF paths:
+    * `corpusWithCell` = (cell, neighbor_id, cv, cv_nrm), `cents` =
+    * (cell, centroid, centroid_nrm). */
+  private def ivfSearch(corpusWithCell: DataFrame, queries: DataFrame,
+                        cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
       .withColumnRenamed("nrm", "qv_nrm")
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell").asc)
-    val probes = q.crossJoin(cents) // |queries| × |cells| — both tiny
+    val probes = q.crossJoin(broadcast(cents)) // |queries| × |cells| — both tiny
       .withColumn("cdist", cosine("qv", "centroid"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
-    val c = withNorm(corpus.select(col(cellCol).as("cell"),
-      col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
-      .withColumnRenamed("nrm", "cv_nrm")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(probes), Seq("cell")) // equi-join on cell — no corpus cross join
+    corpusWithCell.join(broadcast(probes), Seq("cell")) // equi-join on cell — no corpus cross join
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine("qv", "cv"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  // ------------------------------------------------------------------
+  // k-means IVF training (Lloyd's) — cells when no partition label exists
+  // ------------------------------------------------------------------
+
+  /** Nearest-centroid assignment as a PURE PROJECTION: one codegen'd
+    * VectorDot per centroid against a literal array, first-max
+    * `array_position` argmax (ties → lowest cell id). The centroid set
+    * rides in the plan like a broadcast variable — no join, no shuffle,
+    * no |corpus|×k row blow-up for assignment. */
+  private def nearestCell(cents: Seq[(Int, Array[Double])], vecCol: String,
+                          nrmCol: String): org.apache.spark.sql.Column = {
+    val sims = array(cents.map { case (_, c) =>
+      val cnrm = math.sqrt(c.map(x => x * x).sum)
+      graft.plans.VectorDot(col(vecCol), typedLit(c)) / (col(nrmCol) * lit(cnrm))
+    }: _*)
+    // array_position returns the FIRST index holding the max → ties break
+    // to the lowest cell id, same as the oracle's (sim DESC, cell ASC) rank
+    element_at(typedLit(cents.map(_._1)), array_position(sims, array_max(sims)).cast("int"))
+  }
+
+  /**
+   * Deterministic Lloyd k-means over the embedding column — IVF cell
+   * training for corpora without a usable partition label. Seeds are the
+   * `k` lowest-vec_id vectors (deterministic and oracle-reproducible; a
+   * seeded sampler serves the same role in production). Each iteration
+   * assigns every vector to its nearest centroid by cosine and recomputes
+   * centroids as decimal-exact per-component means, so the trained model
+   * is bit-identical across runs, partitionings, and engines.
+   *
+   * The model (k × [[Dim]] doubles) lives on the driver like MLlib's
+   * KMeansModel — assignment never joins or shuffles; each recompute is
+   * one map-side-combined aggregate plus a k-row collect.
+   */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val base = withNorm(corpus.select(col("vec_id"), dvec("embedding").as("v")), "v")
+    val seeds = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    require(seeds.nonEmpty, s"k-means needs corpus vectors with vec_id < $k as seeds")
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = base.withColumn("cell", nearestCell(cents, "v", "nrm"))
+        .select(col("cell"), col("v").as("embedding"))
+      centroids(assigned, "cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    }
+  }
+
+  /** IVF top-k over TRAINED cells: Lloyd k-means centroids route both the
+    * corpus partitioning and the query probes. Same search core as
+    * [[ivfTopK]]; only the cell producer differs. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+                    kCells: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = kmeansCentroids(corpus, kCells, iters)
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+      .withColumn("cell", nearestCell(model, "cv", "cv_nrm"))
+    val cents = withNorm(
+      model.toDF("cell", "centroid"), "centroid").withColumnRenamed("nrm", "centroid_nrm")
+    ivfSearch(c, queries, cents, k, nprobe)
   }
 }

@@ -141,6 +141,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set(1L, 2L)) // only cell 0 probed
   }
 
+  test("k-means IVF: Lloyd training recovers clusters the seeds split badly") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    // both seeds (vec 0, vec 1) start inside the x-axis cluster; Lloyd
+    // must migrate cell 1 onto the y-axis cluster within two iterations
+    val corpus = Seq(
+      (0L, vec(1, 0), 0), (1L, vec(0.9, 0.1), 0), (2L, vec(1, 0.05), 0),
+      (3L, vec(0, 1), 0), (4L, vec(0.05, 1), 0), (5L, vec(-0.05, 1), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val model = Similarity.kmeansCentroids(corpus, k = 2, iters = 2)
+    assert(model.map(_._1).sorted == Seq(0, 1))
+    val c0 = model.find(_._1 == 0).get._2
+    val c1 = model.find(_._1 == 1).get._2
+    assert(c0(0) > 0.9 && c0(1) < 0.1)               // x-axis cluster mean
+    assert(c1(1) > 0.9 && math.abs(c1(0)) < 0.1)     // y-axis cluster mean
+    val queries = Seq((99L, vec(1, 0), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.ivfKmeansTopK(corpus, queries, 3, nprobe = 1, kCells = 2, iters = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(0L, 1L, 2L)) // only the trained x cell probed
+  }
+
   test("srp threshold pairs: same-bucket pairs scored, cross-bucket pairs skipped") {
     val s = spark
     import s.implicits._

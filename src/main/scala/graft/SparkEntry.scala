@@ -969,6 +969,27 @@ object SparkEntry {
              |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
              |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3""".stripMargin)),
 
+    // ---- LLM: multi-table SRP pairs — the recall path: two independent
+    // plane sets, a pair is missed only if BOTH tables split it (miss
+    // probability decays exponentially in tables; cost linear) ------------
+    ("emb_srp_multiprobe", (s: SparkSession, d: String) =>
+      Similarity.srpMultiTablePairs(embs(s, d), 0.3, numPlanes = 8, numTables = 2)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine")),
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT CAST(vec_id % 8 AS INTEGER) AS hid, CAST(vec_id // 8 AS INTEGER) AS tbl,
+             |         e AS he FROM dv WHERE vec_id < 16),
+             |bk AS (SELECT d.vec_id, hp.tbl,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id, hp.tbl),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm,
+             |        b.tbl, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id))
+             |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+             |FROM n a JOIN n b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3""".stripMargin)),
+
     // ---- LLM: text quality statistics ------------------------------------
     ("text_stats", (s: SparkSession, d: String) => TextOps.textStats(docs(s, d)),
       Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,

@@ -101,15 +101,15 @@ object Similarity {
     * deterministic and reproducible by the SQL oracle (a seeded Gaussian
     * would serve the same role in production). A size-bounded driver
     * collect, like a k-means seed config — not data movement. */
-  private def srpPlanes(corpus: DataFrame, numPlanes: Int): Seq[(Int, Array[Double])] = {
+  private def srpPlanes(corpus: DataFrame, numPlanes: Int, offset: Int = 0): Seq[(Int, Array[Double])] = {
     require(numPlanes > 0 && numPlanes < 63, s"numPlanes must be in [1, 62], got $numPlanes")
     val planes = corpus
-      .filter(col("vec_id") < numPlanes)
+      .filter(col("vec_id") >= offset && col("vec_id") < offset + numPlanes)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map(r => (r.getLong(0).toInt - offset, r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
     require(planes.nonEmpty,
-      s"SRP needs corpus vectors with vec_id < $numPlanes to serve as hyperplanes")
+      s"SRP needs corpus vectors with vec_id in [$offset, ${offset + numPlanes}) as hyperplanes")
     planes
   }
 
@@ -150,8 +150,11 @@ object Similarity {
    * several independent plane sets to push recall up, which is a
    * `unionByName` of this frame per set + `dropDuplicates(vec_a, vec_b)`.
    */
-  def srpThresholdPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8): DataFrame = {
-    val planes = srpPlanes(corpus, numPlanes)
+  def srpThresholdPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8): DataFrame =
+    srpPairsWithPlanes(corpus, threshold, srpPlanes(corpus, numPlanes))
+
+  private def srpPairsWithPlanes(corpus: DataFrame, threshold: Double,
+                                 planes: Seq[(Int, Array[Double])]): DataFrame = {
     val a = withNorm(corpus.select(col("vec_id").as("vec_a"), dvec("embedding").as("va")), "va")
       .withColumnRenamed("nrm", "va_nrm")
       .withColumn("bucket", srpBucket(planes, "va"))
@@ -163,6 +166,26 @@ object Similarity {
       .withColumn("cosine", cosine("va", "vb"))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
+  }
+
+  /**
+   * Multi-table SRP near-dup pairs — the recall booster the single-table
+   * path documents: `numTables` INDEPENDENT plane sets (table t's planes
+   * are corpus vectors [t·numPlanes, (t+1)·numPlanes)), each bucketed
+   * equi-join run independently, unioned, deduped on the pair key. A true
+   * pair is missed only if EVERY table splits it, so the miss probability
+   * decays exponentially: (1 − (1 − θ/π)^planes)^tables. Cost is linear
+   * in tables (one scan + one equi-join each) — still no cross join.
+   * Dedup is safe on the pair key alone because `cosine` is computed from
+   * the pair's own vectors, identically in every table.
+   */
+  def srpMultiTablePairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8,
+                         numTables: Int = 2): DataFrame = {
+    require(numTables > 0, s"numTables must be positive, got $numTables")
+    (0 until numTables)
+      .map(t => srpPairsWithPlanes(corpus, threshold, srpPlanes(corpus, numPlanes, t * numPlanes)))
+      .reduce(_.unionByName(_))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /**

@@ -190,6 +190,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((0L, 2L)))
   }
 
+  test("multi-table SRP recovers pairs a single plane set splits") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    // table 0 planes = vecs 0,1 (x and y axis); table 1 planes = vecs 2,3
+    // (both near the x axis). Vec 5 sits just below the x axis: the y-axis
+    // plane splits (0,5), but both table-1 planes agree → found in table 1.
+    val corpus = Seq(
+      (0L, vec(1, 0), 0), (1L, vec(0, 1), 0),
+      (2L, vec(1, 0.05), 0), (3L, vec(0.9, 0.1), 0),
+      (5L, vec(0.1, -0.001), 0)
+    ).toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(Similarity.srpThresholdPairs(corpus, 0.9, numPlanes = 2))
+    val multi = pairs(Similarity.srpMultiTablePairs(corpus, 0.9, numPlanes = 2, numTables = 2))
+    assert(single.subsetOf(multi))
+    assert(!single.contains((0L, 5L)) && multi.contains((0L, 5L)))
+  }
+
   // ---- text ops ----
 
   test("text stats on a known sentence") {

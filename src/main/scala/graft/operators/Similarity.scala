@@ -230,13 +230,20 @@ object Similarity {
   // k-means IVF training (Lloyd's) — cells when no partition label exists
   // ------------------------------------------------------------------
 
+  /** Above this cell count, nearest-centroid assignment switches from the
+    * literal-projection expression (k literal arrays in the plan — codegen
+    * blows up at IVF-scale k) to a closure-UDF argmax over the same
+    * driver-resident centroid matrix. Both are shuffle-free and compute
+    * the identical strict left-to-right math (parity spec-tested). */
+  val LiteralAssignMaxCells = 64
+
   /** Nearest-centroid assignment as a PURE PROJECTION: one codegen'd
     * VectorDot per centroid against a literal array, first-max
     * `array_position` argmax (ties → lowest cell id). The centroid set
     * rides in the plan like a broadcast variable — no join, no shuffle,
     * no |corpus|×k row blow-up for assignment. */
-  private def nearestCell(cents: Seq[(Int, Array[Double])], vecCol: String,
-                          nrmCol: String): org.apache.spark.sql.Column = {
+  private[operators] def nearestCell(cents: Seq[(Int, Array[Double])], vecCol: String,
+                                     nrmCol: String): org.apache.spark.sql.Column = {
     val sims = array(cents.map { case (_, c) =>
       val cnrm = math.sqrt(c.map(x => x * x).sum)
       graft.plans.VectorDot(col(vecCol), typedLit(c)) / (col(nrmCol) * lit(cnrm))
@@ -245,6 +252,40 @@ object Similarity {
     // to the lowest cell id, same as the oracle's (sim DESC, cell ASC) rank
     element_at(typedLit(cents.map(_._1)), array_position(sims, array_max(sims)).cast("int"))
   }
+
+  /** The large-k assignment path: strict-argmax over the centroid matrix
+    * inside a closure UDF (the matrix serializes with the task like a
+    * broadcast variable). Same left-to-right dot, same cosine, same
+    * first-max tie-break as [[nearestCell]] — only the plan shape differs
+    * (one black-box call vs k inlined expressions). */
+  private[operators] def nearestCellUdf(cents: Seq[(Int, Array[Double])], vecCol: String,
+                                        nrmCol: String): org.apache.spark.sql.Column = {
+    val cells = cents.map(_._1).toArray
+    val mats = cents.map(_._2).toArray
+    val cnrms = mats.map(c => math.sqrt(c.map(x => x * x).sum))
+    val f = udf { (v: Seq[Float], nrm: Double) =>
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < mats.length) {
+        val c = mats(i)
+        var dot = 0.0
+        var j = 0
+        while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
+        val sim = dot / (nrm * cnrms(i))
+        if (sim > bestSim) { best = i; bestSim = sim } // strict > keeps the first max
+        i += 1
+      }
+      cells(best)
+    }
+    f(col(vecCol), col(nrmCol))
+  }
+
+  /** Size-based switch between the two assignment plans. */
+  private def assignCell(cents: Seq[(Int, Array[Double])], vecCol: String,
+                         nrmCol: String): org.apache.spark.sql.Column =
+    if (cents.size <= LiteralAssignMaxCells) nearestCell(cents, vecCol, nrmCol)
+    else nearestCellUdf(cents, vecCol, nrmCol)
 
   /**
    * Deterministic Lloyd k-means over the embedding column — IVF cell
@@ -268,7 +309,7 @@ object Similarity {
       .sortBy(_._1).toSeq
     require(seeds.nonEmpty, s"k-means needs corpus vectors with vec_id < $k as seeds")
     (1 to iters).foldLeft(seeds) { (cents, _) =>
-      val assigned = base.withColumn("cell", nearestCell(cents, "v", "nrm"))
+      val assigned = base.withColumn("cell", assignCell(cents, "v", "nrm"))
         .select(col("cell"), col("v").as("embedding"))
       centroids(assigned, "cell").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -286,7 +327,7 @@ object Similarity {
     val model = kmeansCentroids(corpus, kCells, iters)
     val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
-      .withColumn("cell", nearestCell(model, "cv", "cv_nrm"))
+      .withColumn("cell", assignCell(model, "cv", "cv_nrm"))
     val cents = withNorm(
       model.toDF("cell", "centroid"), "centroid").withColumnRenamed("nrm", "centroid_nrm")
     ivfSearch(c, queries, cents, k, nprobe)

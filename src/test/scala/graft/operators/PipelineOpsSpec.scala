@@ -190,6 +190,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set((0L, 2L)))
   }
 
+  test("large-k assignment UDF matches the literal-projection plan") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, sqrt}
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(graft.plans.VectorDot(col("embedding"), col("embedding"))))
+    val cents = (0 until 5).map(i => (i, Array.fill(64)(rnd.nextDouble() * 2 - 1))).toSeq
+    def cells(c: org.apache.spark.sql.Column) =
+      df.withColumn("cell", c).select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lit = cells(Similarity.nearestCell(cents, "embedding", "nrm"))
+    val byUdf = cells(Similarity.nearestCellUdf(cents, "embedding", "nrm"))
+    assert(lit == byUdf)
+    assert(lit.values.toSet.size > 1) // a non-degenerate assignment
+  }
+
   test("multi-table SRP recovers pairs a single plane set splits") {
     val s = spark
     import s.implicits._

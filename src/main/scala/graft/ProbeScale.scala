@@ -97,6 +97,16 @@ object ProbeScale {
       val e = scaledEmbs(spark, dir, n)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2)
     }
+    time("knn_ivf_kmeans") {
+      // training cost scales with rows × iters (two aggregate passes) +
+      // the final assignment/search — all shuffle-free but the cell join
+      val e = scaledEmbs(spark, dir, n)
+      Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2,
+        kCells = 4, iters = 2)
+    }
+    time("emb_srp_multiprobe") {
+      Similarity.srpMultiTablePairs(scaledEmbs(spark, dir, n), 0.3, numPlanes = 8, numTables = 2)
+    }
     spark.stop()
   }
 }

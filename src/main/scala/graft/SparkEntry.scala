@@ -589,6 +589,24 @@ object SparkEntry {
       Some(s"""WITH $BaseCte
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base GROUP BY 1""".stripMargin)),
 
+    // ---- J3 at scale: bucketed co-located join — both sides bucketBy
+    // (metric), so the join (and the groupBy after it) runs with no
+    // shuffle and no broadcast; StorageSpec proves the Exchange-free plan -
+    ("storage_bucketed_join", (s: SparkSession, d: String) => {
+      val sfx = d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.writeBucketedTable(gauge(s, d), s"graft_pts_$sfx", nBuckets = 8)
+      GraftStorage.writeBucketedTable(
+        ea.catalog(s, d).filter(TagQueryParser.compile("seg = s2", col("tags"))).select("metric"),
+        s"graft_ids_$sfx", nBuckets = 8, sortCols = Seq("metric"))
+      s.table(s"graft_pts_$sfx").join(s.table(s"graft_ids_$sfx"), "metric")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
+    },
+      Some(s"""WITH $BaseCte, $CatCte
+              |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
+              |WHERE metric IN (SELECT metric FROM cat WHERE seg = 's2') GROUP BY 1""".stripMargin)),
+
     // ---- S3/TTL: retention sweep — expired slice partitions dropped ------
     // (dropExpiredSlices is metadata-only: whole-directory deletes, no data
     // rewrite — the parquet analog of Cassandra TTL expiry,

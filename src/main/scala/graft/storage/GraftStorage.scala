@@ -92,6 +92,28 @@ object GraftStorage {
     * the exactly-once view of a raw tier that may hold not-yet-compacted
     * duplicate rows (re-written points, or a replayed streaming micro-batch
     * before `compact` runs). Same window shape as `MetricsOps.dedupTiers`. */
+  /**
+   * Bucketed-table write — the co-located-join layout for equi-joins on
+   * `metric` whose build side is too large to broadcast (J3 when a tag
+   * query resolves millions of ids; dedup verification self-joins). Both
+   * sides written with the same `bucketBy(n, "metric")` hash-place
+   * matching keys into the same bucket file, so a sort-merge join matches
+   * bucket-to-bucket with NO shuffle on either side, and a downstream
+   * `groupBy("metric")` reuses the same placement (StorageSpec proves the
+   * executed plan is Exchange-free). The parquet analog of the reference's
+   * fixed Cassandra partition-key token routing (DataAccessImpl CQL
+   * placement): co-location decided at WRITE time, amortized over every
+   * subsequent join. Bucket metadata needs the session catalog
+   * (`saveAsTable`); the data is ordinary parquet under the warehouse dir.
+   */
+  def writeBucketedTable(dp: DataFrame, table: String, nBuckets: Int = 32,
+                         sortCols: Seq[String] = Seq("metric", "time")): Unit = {
+    val w = dp.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "metric")
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   def readResolved(spark: SparkSession, path: String): DataFrame =
     graft.operators.MetricsOps.dedupTiers(read(spark, path), "ingest_seq")
 

@@ -27,6 +27,32 @@ class StorageSpec extends SparkTestBase {
 
   private val H2 = GraftStorage.SliceMs // one storage slice (1 day)
 
+  test("bucketed tables co-locate the metric join: executed plan has no Exchange") {
+    val dp = fixture(Seq(("m1", 100L, 1.5), ("m1", 200L, 2.5), ("m2", 300L, 3.5),
+      ("m3", 400L, 4.5)))
+    val s = spark
+    import s.implicits._
+    val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path — the point is co-location WITHOUT
+      // broadcast, the shape the plan takes when the id side is huge
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      GraftStorage.writeBucketedTable(dp, "graft_spec_pts", nBuckets = 4)
+      GraftStorage.writeBucketedTable(Seq("m1", "m3").toDF("metric"),
+        "graft_spec_ids", nBuckets = 4, sortCols = Seq("metric"))
+      val joined = s.table("graft_spec_pts").join(s.table("graft_spec_ids"), "metric")
+        .groupBy("metric").agg(count(lit(1)).as("cnt"))
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("m1", 2L), ("m3", 1L)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected an Exchange-free plan, got:\n$plan")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      s.sql("DROP TABLE IF EXISTS graft_spec_pts")
+      s.sql("DROP TABLE IF EXISTS graft_spec_ids")
+    }
+  }
+
   test("write → read round trip preserves datapoints and partitions by slice") {
     val path = tmp()
     val dp = fixture(Seq(("m1", 100L, 1.5), ("m1", H2 + 5, 2.5), ("m2", 2 * H2 + 7, 3.5)))

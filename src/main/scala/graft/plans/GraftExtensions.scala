@@ -46,5 +46,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60(text) takes 1 argument")
         SimHash60(args.head)
+      }),
+    // the tag-query language as a SQL predicate: the grammar compiles at
+    // resolution time (query must be a literal) into the same Column
+    // expression tree the DataFrame path uses — plain codegen'd
+    // regex/map predicates, no UDF at runtime
+    (FunctionIdentifier("graft_tag_match"),
+      new ExpressionInfo(graft.tagquery.TagQueryParser.getClass.getName, "graft_tag_match"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_tag_match(tags, 'query') takes 2 arguments")
+        val query = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_tag_match: the query must be a string literal, got $other")
+        }
+        org.apache.spark.sql.GraftShims.expressionTree(
+          graft.tagquery.TagQueryParser.compile(query,
+            org.apache.spark.sql.GraftShims.column(args.head)))
       }))
 }

@@ -108,6 +108,15 @@ object GraftStorage {
    */
   def writeBucketedTable(dp: DataFrame, table: String, nBuckets: Int = 32,
                          sortCols: Seq[String] = Seq("metric", "time")): Unit = {
+    val spark = dp.sparkSession
+    // re-runnability across sessions: with the in-memory catalog, a prior
+    // session's managed-table DIRECTORY survives in the warehouse while
+    // the catalog entry dies with the session — saveAsTable then refuses
+    // with LOCATION_ALREADY_EXISTS. Drop both the entry and the location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     val w = dp.write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, "metric")
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

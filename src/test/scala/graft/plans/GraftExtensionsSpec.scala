@@ -21,4 +21,26 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(dot == 11.0)
     intercept[Exception](spark.sql("SELECT word_shingles(array('a'), 'x')").collect())
   }
+
+  test("graft_tag_match compiles the tag grammar inside SQL") {
+    val registry = spark.sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("m1", Map("type" -> "error", "seg" -> "s1")),
+      ("m2", Map("type" -> "view", "seg" -> "s1")),
+      ("m3", Map("type" -> "error", "seg" -> "s4")),
+      ("m4", Map("seg" -> "s1"))
+    ).toDF("metric", "tags").createOrReplaceTempView("cat_sql")
+    val got = spark.sql(
+      "SELECT metric FROM cat_sql WHERE graft_tag_match(tags, 'type = error AND seg IN [s1, s2]')")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("m1"))
+    // non-literal query must fail at resolution, not silently no-op
+    intercept[Exception](
+      spark.sql("SELECT graft_tag_match(tags, metric) FROM cat_sql").collect())
+  }
 }

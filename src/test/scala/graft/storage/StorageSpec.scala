@@ -46,6 +46,14 @@ class StorageSpec extends SparkTestBase {
       assert(got == Set(("m1", 2L), ("m3", 1L)))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected an Exchange-free plan, got:\n$plan")
+      // stale-location recovery: a warehouse dir left by a dead session
+      // (no catalog entry) must not break the next write
+      s.sql("DROP TABLE IF EXISTS graft_spec_stale")
+      val staleLoc = new java.io.File("spark-warehouse/graft_spec_stale")
+      staleLoc.mkdirs()
+      GraftStorage.writeBucketedTable(dp, "graft_spec_stale", nBuckets = 2)
+      assert(s.table("graft_spec_stale").count() == 4)
+      s.sql("DROP TABLE IF EXISTS graft_spec_stale")
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       s.sql("DROP TABLE IF EXISTS graft_spec_pts")

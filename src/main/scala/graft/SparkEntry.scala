@@ -1096,8 +1096,70 @@ object SparkEntry {
              |       CAST(coalesce(s.cks, 0) AS BIGINT) AS out_checksum
              |FROM i LEFT JOIN s ON s.doc_id = i.doc_id""".stripMargin)),
 
+    // ---- LLM: deterministic stratified sampling — content-hash keep
+    // decision (reproducible, dedup-composable), per-language rates ------
+    ("corpus_sample", (s: SparkSession, d: String) =>
+      TextOps.deterministicSample(docs(s, d),
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang", "sample_bucket"),
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 10000 AS sample_bucket
+             |  FROM documents)
+             |SELECT doc_id, lang, sample_bucket FROM b
+             |WHERE sample_bucket < CASE lang WHEN 'en' THEN 5000.0
+             |                                WHEN 'de' THEN 2500.0 ELSE 1000.0 END""".stripMargin)),
+
     // ---- LLM: end-to-end training-shard pipeline (quality ∧ lang →
     // exact-dedup survivors → content-hash sharding → per-shard budgets) --
+    // ---- LLM: shard pipeline with near-dup survivorship in front — the
+    // MinHash-LSH cluster losers are dropped before quality/lang/exact-
+    // dedup/sharding (the full curation chain as one declarative plan) ---
+    ("corpus_shard_neardup", (s: SparkSession, d: String) =>
+      TextOps.corpusShardsNearDup(docs(s, d), nShards = 8),
+      Some("""WITH RECURSIVE
+             |w0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh0 AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |        FROM w0, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |          FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b FROM inter
+             |          JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |          WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach AS (SELECT src AS a, src AS b FROM edges
+             |          UNION
+             |          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |losers AS (SELECT a AS doc_id
+             |           FROM (SELECT a, min(b) AS cluster FROM reach GROUP BY a)
+             |           WHERE a <> cluster),
+             |d2 AS (SELECT * FROM documents
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+             |w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM d2),
+             |sc AS (SELECT doc_id, text, len(ws) AS n_words,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['the','a','of','is'], x))) AS DOUBLE) / len(ws), 6) AS s_en,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['der','die','und','nicht'], x))) AS DOUBLE) / len(ws), 6) AS s_de,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['el','la','que','de'], x))) AS DOUBLE) / len(ws), 6) AS s_es,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['le','la','et','les'], x))) AS DOUBLE) / len(ws), 6) AS s_fr,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['de','le','shi','bu'], x))) AS DOUBLE) / len(ws), 6) AS s_zh,
+             |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr
+             |  FROM w),
+             |keep AS (SELECT doc_id, text FROM sc
+             |  WHERE greatest(s_en, s_de, s_es, s_fr, s_zh) > 0
+             |    AND s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+             |    AND n_words >= 30 AND ttr >= 0.5
+             |    AND doc_id IN (SELECT min(doc_id) FROM d2 GROUP BY md5(text))),
+             |tok AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+             |  FROM d2),
+             |sh AS (SELECT k.doc_id, t.n_tokens,
+             |    ('0x' || substr(md5(k.text), 1, 15))::BIGINT % 8 AS shard
+             |  FROM keep k JOIN tok t ON t.doc_id = k.doc_id)
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+             |FROM sh GROUP BY shard""".stripMargin)),
+
     ("corpus_shard", (s: SparkSession, d: String) => TextOps.corpusShards(docs(s, d), nShards = 8),
       Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
              |sc AS (SELECT doc_id, text, len(ws) AS n_words,

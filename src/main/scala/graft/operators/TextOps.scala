@@ -145,4 +145,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
   }
+
+  /**
+   * [[corpusShards]] with NEAR-dup survivorship layered on top: the
+   * MinHash-LSH pair set completes to connected components and only each
+   * component's min doc_id enters the pipeline. Exact-dedup survivorship
+   * still applies downstream — texts shorter than the shingle window
+   * produce no pairs, so their identical copies are only caught by the
+   * exact hash. One more left-anti semi-join on doc_id in front of the
+   * shared plan; the LSH stages are the bucketed ones [[Dedup]] proves.
+   */
+  def corpusShardsNearDup(docs: DataFrame, nShards: Int = 8, lang: String = "en",
+                          minWords: Int = 30, minTtr: Double = 0.5,
+                          shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val losers = Dedup.nearDupClusters(Dedup.nearDupPairs(docs, shingleK, threshold))
+      .filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    corpusShards(docs.join(losers, Seq("doc_id"), "left_anti"),
+      nShards, lang, minWords, minTtr)
+  }
+
+  /**
+   * Deterministic stratified sampling — corpus curation's downsample
+   * step. The keep decision comes from the document's own content hash
+   * (not an RNG), so the sample is reproducible across runs, engines and
+   * partitionings, and duplicate texts share a fate — composable with
+   * dedup. Stratified: each `byCol` stratum carries its own rate; strata
+   * missing from the map fall back to `defaultRate`.
+   *
+   * Scale shape: one narrow projection + filter, rate map folded into the
+   * plan as literals — no shuffle, no sort, no sampler state.
+   */
+  def deterministicSample(docs: DataFrame, rates: Map[String, Double],
+                          byCol: String = "lang", defaultRate: Double = 0.0,
+                          hashMod: Int = 10000): DataFrame = {
+    require(hashMod > 0 && (rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be probabilities and hashMod positive")
+    val bucket = pmod(
+      conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"),
+      lit(hashMod.toLong))
+    // sorted fold → a deterministic when-chain regardless of map order
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, p)) => when(col(byCol) === k, lit(p)).otherwise(acc)
+    }
+    docs.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < rate * hashMod)
+  }
 }

@@ -296,6 +296,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.out_checksum == "ACEG".map(_.toLong).sum)
   }
 
+  test("deterministic sample: content-hash fate, stratified rates, edge rates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"), (2L, "alpha beta gamma", "de"), // same text
+      (3L, "delta epsilon", "en"), (4L, "zeta eta theta", "fr")
+    ).toDF("doc_id", "text", "lang")
+    // rate 1.0 keeps everything, 0.0 drops everything
+    assert(TextOps.deterministicSample(docs, Map(), defaultRate = 1.0).count() == 4)
+    assert(TextOps.deterministicSample(docs, Map(), defaultRate = 0.0).count() == 0)
+    // same text → same bucket (the dedup-composability property)
+    val buckets = TextOps.deterministicSample(docs, Map(), defaultRate = 1.0)
+      .select("doc_id", "sample_bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    // stratification: en kept at 1.0 while others drop at 0.0
+    val en = TextOps.deterministicSample(docs, Map("en" -> 1.0), defaultRate = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(en == Set(1L, 3L))
+  }
+
   test("corpus shards: quality+lang filter, dedup survivorship, stable assignment") {
     val s = spark
     import s.implicits._
@@ -313,5 +333,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_docs") == 1)
     assert(r.getAs[Long]("min_doc_id") == 1 && r.getAs[Long]("max_doc_id") == 1)
     assert(r.getAs[Long]("n_tokens") > 0)
+  }
+
+  test("near-dup shard pipeline drops LSH cluster losers exact dedup misses") {
+    val s = spark
+    import s.implicits._
+    val en = (1 to 40).map(i => s"tok$i").mkString(" ") + " the of is a"
+    // doc 2 is a NEAR dup of 1 (one word changed → J ≈ 0.87, no exact match)
+    val nearDup = (1 to 40).map(i => if (i == 40) "tokX" else s"tok$i").mkString(" ") +
+      " the of is a"
+    val docs = Seq(
+      (1L, en, "en", "s1", 0L),
+      (2L, nearDup, "en", "s1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // exact-only pipeline keeps both; near-dup pipeline keeps just doc 1
+    assert(TextOps.corpusShards(docs, nShards = 4).collect().map(_.getAs[Long]("n_docs")).sum == 2)
+    val got = TextOps.corpusShardsNearDup(docs, nShards = 4).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 1)
+    assert(got.head.getAs[Long]("min_doc_id") == 1)
   }
 }

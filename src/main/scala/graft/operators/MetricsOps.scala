@@ -85,6 +85,27 @@ object MetricsOps {
       quantiles.map(q => percentile(v, lit(q / 100.0)).as(pctColName(q))) :+
       percentile(v, lit(0.5)).as("median")
 
+  /** [[statAggs]] with the percentile strategy selectable — Exact for
+    * oracle-grade results, P2Sketch (O(1) state per group) for unbounded
+    * groups. Shared by every A1-family entry point so the 100 TB
+    * percentile path is reachable from pooled, tagged, and rate stats,
+    * not just gauge stats. (P2Parity needs the ordered-array feed and
+    * stays inside [[numericBucketStats]].) */
+  private[graft] def statAggsFor(v: Column, quantiles: Seq[Double],
+                                 mode: PercentileMode): Seq[Column] = mode match {
+    case PercentileMode.Exact => statAggs(v, quantiles)
+    case PercentileMode.P2Sketch =>
+      Seq(
+        min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
+        decSum(v).as("sum"), count(v).as("samples")) ++
+        quantiles.map(q =>
+          GraftFunctions.p2SketchAgg(q / 100.0)(v).as(pctColName(q))) :+
+        GraftFunctions.p2SketchAgg(0.5)(v).as("median")
+    case PercentileMode.P2Parity =>
+      throw new IllegalArgumentException(
+        "P2Parity requires the ordered-array path in numericBucketStats")
+  }
+
   // -----------------------------------------------------------------------
   // A1/A2 — numeric bucket statistics + gap fill
   // -----------------------------------------------------------------------
@@ -132,15 +153,8 @@ object MetricsOps {
       decSum(v).as("sum"), count(v).as("samples"))
 
     mode match {
-      case PercentileMode.Exact =>
-        val aggs = statAggs(v, quantiles)
-        in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-
-      case PercentileMode.P2Sketch =>
-        val pctAggs = quantiles.map(q =>
-          GraftFunctions.p2SketchAgg(q / 100.0)(v).as(pctColName(q))) :+
-          GraftFunctions.p2SketchAgg(0.5)(v).as("median")
-        val aggs = base ++ pctAggs
+      case PercentileMode.Exact | PercentileMode.P2Sketch =>
+        val aggs = statAggsFor(v, quantiles, mode)
         in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
       case PercentileMode.P2Parity =>
@@ -228,9 +242,12 @@ object MetricsOps {
     per.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** A5 — unstacked: pool all metrics' datapoints into a single A1. */
-  def pooledStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty): DataFrame =
-    numericBucketStats(dp, b, quantiles, byMetric = false)
+  /** A5 — unstacked: pool all metrics' datapoints into a single A1.
+    * Pooled buckets are the unbounded ones (every metric's points share
+    * `buckets.count` groups), so the P2Sketch mode matters most here. */
+  def pooledStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty,
+                  mode: PercentileMode = PercentileMode.Exact): DataFrame =
+    numericBucketStats(dp, b, quantiles, byMetric = false, mode = mode)
 
   // -----------------------------------------------------------------------
   // A6 — tagged bucket stats
@@ -244,14 +261,15 @@ object MetricsOps {
    */
   def taggedStats(dp: DataFrame, tagFilters: Map[String, String],
                   quantiles: Seq[Double] = Seq.empty,
-                  valueCol: String = "n_value"): DataFrame = {
+                  valueCol: String = "n_value",
+                  mode: PercentileMode = PercentileMode.Exact): DataFrame = {
     val v = col(valueCol).cast("double")
     val filtered = tagFilters.foldLeft(dp) { case (d, (k, pat)) =>
       d.filter(GraftFunctions.filterPattern(element_at(col("tags"), k), pat))
     }
     val sortedKeys = tagFilters.keys.toSeq.sorted
     val groupCols = sortedKeys.map(k => element_at(col("tags"), k).as(s"tag_$k"))
-    val aggs = statAggs(v, quantiles)
+    val aggs = statAggsFor(v, quantiles, mode)
     filtered.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -350,8 +368,10 @@ object MetricsOps {
   /** W1 + A1 — rate stats: rate series bucketed through numericBucketStats
     * (reference findRateStats, MetricsServiceImpl.java:892-899). */
   def rateStats(dp: DataFrame, b: Buckets, isCounter: Boolean,
-                valueCol: String = "n_value", quantiles: Seq[Double] = Seq.empty): DataFrame =
-    numericBucketStats(rate(dp, isCounter, valueCol), b, quantiles, valueCol = "rate")
+                valueCol: String = "n_value", quantiles: Seq[Double] = Seq.empty,
+                mode: PercentileMode = PercentileMode.Exact): DataFrame =
+    numericBucketStats(rate(dp, isCounter, valueCol), b, quantiles,
+      valueCol = "rate", mode = mode)
 
   // -----------------------------------------------------------------------
   // W2 — periods where predicate holds (gaps-and-islands)

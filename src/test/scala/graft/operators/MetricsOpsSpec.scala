@@ -178,6 +178,23 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(math.abs(row.getDouble(5) - p.evaluate(bucket0.toArray)) < 5.0)
   }
 
+  test("sketch mode is reachable from pooled and tagged stats; base columns exact") {
+    val rnd = new scala.util.Random(11)
+    val dp = points((0 until 2000).map(i => (s"m${i % 4}", i.toLong, rnd.nextDouble() * 100)))
+    val b = Buckets(0, 2000, 1)
+    val exact = MetricsOps.pooledStats(dp, b, Seq(90.0)).collect().head
+    val sk = MetricsOps.pooledStats(dp, b, Seq(90.0),
+      mode = MetricsOps.PercentileMode.P2Sketch).collect().head
+    // non-percentile columns identical; sketch p90 within P² tolerance
+    for (c <- Seq("min", "avg", "max", "sum", "samples"))
+      assert(exact.getAs[Any](c) == sk.getAs[Any](c), c)
+    assert(math.abs(exact.getAs[Double]("p90_0") - sk.getAs[Double]("p90_0")) < 2.0)
+    val tagged = MetricsOps.taggedStats(dp, Map("k" -> "v"), Seq(90.0),
+      mode = MetricsOps.PercentileMode.P2Sketch).collect().head
+    assert(tagged.getAs[Long]("samples") == 2000)
+    assert(math.abs(tagged.getAs[Double]("p90_0") - exact.getAs[Double]("p90_0")) < 2.0)
+  }
+
   test("gap fill emits exactly count buckets with nulls, honoring the key spine") {
     val dp = points(Seq(("m1", 100L, 1.0), ("m1", 150L, 2.0))) // bucket 0 and 5 only
     val b = Buckets(100, 10, 6)

@@ -30,11 +30,17 @@ object ProbeScale {
       .repartition(spark.sparkContext.defaultParallelism)
     val step = 1000000L
     (0 until n).map { i =>
-      // suffix the text too: otherwise every replica is an exact/near dup
-      // of replica 0 and the pair count (the OUTPUT) grows n², which
-      // measures result size, not operator scaling
+      // rewrite every 4th WORD per replica (not a tail suffix): a suffix
+      // leaves cross-replica shingle Jaccard at (W-2)/W ≥ 0.8, so every
+      // replica pair of the same doc is a near-dup and the pair OUTPUT
+      // grows n² — measuring result size, not operator scaling. Changing
+      // a quarter of the words kills ~6/7 of shared shingles (J ≈ 0.14),
+      // so each replica contributes its own ~constant pair set.
       d0.withColumn("doc_id", col("doc_id") + lit(i * step))
-        .withColumn("text", concat(col("text"), lit(s" replica$i")))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            (w, idx) => when(pmod(idx, lit(4)) === 0, concat(w, lit(s"r$i"))).otherwise(w)),
+          " "))
     }.reduce(_ unionByName _)
   }
 
@@ -42,13 +48,17 @@ object ProbeScale {
     val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     val step = 1000000L
-    // perturb one component per replica so replicas aren't identical vectors
-    (0 until n).map(i =>
+    // rotate components cyclically per replica: a single-component nudge
+    // leaves replica cosine ≈ 1 (cross-replica near-dup pairs → n² output);
+    // rotation preserves norms and within-replica geometry while making
+    // cross-replica cosine ≈ 0 for random vectors
+    (0 until n).map { i =>
+      val rotated =
+        if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i))
       e0.withColumn("vec_id", col("vec_id") + lit(i * step))
-        .withColumn("embedding",
-          concat(slice(col("embedding"), 1, 63),
-            array((element_at(col("embedding"), 64) + lit(i * 0.01f)).cast("float")))))
-      .reduce(_ unionByName _)
+        .withColumn("embedding", rotated)
+    }.reduce(_ unionByName _)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1103,7 +1103,7 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang", "sample_bucket"),
       Some("""WITH b AS (SELECT doc_id, lang,
-             |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 10000 AS sample_bucket
+             |    ('0x' || substr(md5(text), 17, 15))::BIGINT % 10000 AS sample_bucket
              |  FROM documents)
              |SELECT doc_id, lang, sample_bucket FROM b
              |WHERE sample_bucket < CASE lang WHEN 'en' THEN 5000.0

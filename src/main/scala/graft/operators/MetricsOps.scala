@@ -74,14 +74,20 @@ object MetricsOps {
 
   private def decSum(v: Column): Column = sum(v.cast("decimal(28,10)")).cast("double")
 
-  /** min/avg/max/sum/samples + exact interpolated percentiles + median. */
-  private[graft] def statAggs(v: Column, quantiles: Seq[Double]): Seq[Column] =
+  /** The five deterministic base aggregates every stats mode shares —
+    * ONE copy so the decimal-sum recipe can't desynchronize across
+    * percentile strategies. */
+  private def baseAggs(v: Column): Seq[Column] =
     Seq(
       min(v).as("min"),
       (decSum(v) / count(v)).as("avg"),
       max(v).as("max"),
       decSum(v).as("sum"),
-      count(v).as("samples")) ++
+      count(v).as("samples"))
+
+  /** min/avg/max/sum/samples + exact interpolated percentiles + median. */
+  private[graft] def statAggs(v: Column, quantiles: Seq[Double]): Seq[Column] =
+    baseAggs(v) ++
       quantiles.map(q => percentile(v, lit(q / 100.0)).as(pctColName(q))) :+
       percentile(v, lit(0.5)).as("median")
 
@@ -95,9 +101,7 @@ object MetricsOps {
                                  mode: PercentileMode): Seq[Column] = mode match {
     case PercentileMode.Exact => statAggs(v, quantiles)
     case PercentileMode.P2Sketch =>
-      Seq(
-        min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
-        decSum(v).as("sum"), count(v).as("samples")) ++
+      baseAggs(v) ++
         quantiles.map(q =>
           GraftFunctions.p2SketchAgg(q / 100.0)(v).as(pctColName(q))) :+
         GraftFunctions.p2SketchAgg(0.5)(v).as("median")
@@ -148,9 +152,7 @@ object MetricsOps {
       .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
     val keys = if (byMetric) Seq(col("metric"), col("bucket")) else Seq(col("bucket"))
 
-    val base = Seq(
-      min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
-      decSum(v).as("sum"), count(v).as("samples"))
+    val base = baseAggs(v)
 
     mode match {
       case PercentileMode.Exact | PercentileMode.P2Sketch =>

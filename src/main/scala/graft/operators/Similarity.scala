@@ -171,21 +171,39 @@ object Similarity {
   /**
    * Multi-table SRP near-dup pairs — the recall booster the single-table
    * path documents: `numTables` INDEPENDENT plane sets (table t's planes
-   * are corpus vectors [t·numPlanes, (t+1)·numPlanes)), each bucketed
-   * equi-join run independently, unioned, deduped on the pair key. A true
-   * pair is missed only if EVERY table splits it, so the miss probability
-   * decays exponentially: (1 − (1 − θ/π)^planes)^tables. Cost is linear
-   * in tables (one scan + one equi-join each) — still no cross join.
-   * Dedup is safe on the pair key alone because `cosine` is computed from
-   * the pair's own vectors, identically in every table.
+   * are corpus vectors [t·numPlanes, (t+1)·numPlanes)). A true pair is
+   * missed only if EVERY table splits it, so the miss probability decays
+   * exponentially: (1 − (1 − θ/π)^planes)^tables.
+   *
+   * Plan shape: ONE plane collect, ONE scan per join side — each row
+   * explodes into its `numTables` (table, bucket) keys and a single
+   * equi-join on (table, bucket) replaces per-table joins. Pairs that
+   * collide in several tables are deduped BEFORE the dot product, so
+   * cosine is computed once per surviving pair. Cost in tables is the
+   * candidate volume only — no extra scans, collects, or shuffles.
    */
   def srpMultiTablePairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8,
                          numTables: Int = 2): DataFrame = {
     require(numTables > 0, s"numTables must be positive, got $numTables")
-    (0 until numTables)
-      .map(t => srpPairsWithPlanes(corpus, threshold, srpPlanes(corpus, numPlanes, t * numPlanes)))
-      .reduce(_.unionByName(_))
-      .dropDuplicates("vec_a", "vec_b")
+    val allPlanes = srpPlanes(corpus, numPlanes * numTables)
+    require(allPlanes.size == numPlanes * numTables,
+      s"SRP needs corpus vectors with vec_id < ${numPlanes * numTables} as hyperplanes")
+    def tableBuckets(vecCol: String) = array((0 until numTables).map { t =>
+      val planes = allPlanes.slice(t * numPlanes, (t + 1) * numPlanes)
+        .map { case (i, p) => (i - t * numPlanes, p) }
+      srpBucket(planes, vecCol)
+    }: _*)
+    def side(idCol: String, vecCol: String) =
+      withNorm(corpus.select(col("vec_id").as(idCol), dvec("embedding").as(vecCol)), vecCol)
+        .withColumnRenamed("nrm", s"${vecCol}_nrm")
+        .select(col(idCol), col(vecCol), col(s"${vecCol}_nrm"),
+          posexplode(tableBuckets(vecCol)).as(Seq("tbl", "bucket")))
+    side("vec_a", "va").join(side("vec_b", "vb"), Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b") // before the dot product — score once
+      .withColumn("cosine", cosine("va", "vb"))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /**
@@ -300,20 +318,30 @@ object Similarity {
    * KMeansModel — assignment never joins or shuffles; each recompute is
    * one map-side-combined aggregate plus a k-row collect.
    */
+  /** Zero-norm centroids are dropped from the model (the cell is
+    * degenerate — e.g. two opposite seeds averaging to ~0). This is the
+    * standard empty-cell handling AND the NaN guard: with every cnrm > 0,
+    * a NaN similarity can only come from a zero-norm INPUT vector, which
+    * NaNs against every cell alike — so the literal-projection and UDF
+    * assignment paths stay in agreement (first cell) instead of diverging
+    * on a partial-NaN row. */
+  private def dropDegenerate(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] =
+    cents.filter { case (_, c) => c.exists(_ != 0.0) }
+
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val base = withNorm(corpus.select(col("vec_id"), dvec("embedding").as("v")), "v")
-    val seeds = corpus.filter(col("vec_id") < k)
+    val seeds = dropDegenerate(corpus.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1).toSeq
-    require(seeds.nonEmpty, s"k-means needs corpus vectors with vec_id < $k as seeds")
+      .sortBy(_._1).toSeq)
+    require(seeds.nonEmpty, s"k-means needs non-zero corpus vectors with vec_id < $k as seeds")
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = base.withColumn("cell", assignCell(cents, "v", "nrm"))
         .select(col("cell"), col("v").as("embedding"))
-      centroids(assigned, "cell").collect()
+      dropDegenerate(centroids(assigned, "cell").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
+        .sortBy(_._1).toSeq)
     }
   }
 

@@ -14,6 +14,14 @@ object TextOps {
 
   private def words(text: Column): Column = split(lower(text), " ")
 
+  /** Content-hash residue from a 15-hex-char slice of the text's md5
+    * (< 2^60: ANSI-safe, reproducible in any engine). `offset` selects
+    * WHICH slice, so independent decisions (shard assignment at 1,
+    * sample keep at 17) draw from disjoint hash bits — a shared residue
+    * would correlate them whenever one modulus divides the other. */
+  private def contentHashBucket(text: Column, mod: Long, offset: Int = 1): Column =
+    pmod(conv(substring(md5(text.cast("binary")), offset, 15), 16, 10).cast("long"), lit(mod))
+
   /** Tiny high-frequency function-word list used by the quality and
     * language-id heuristics (deterministic, oracle-reproducible). */
   val StopWords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
@@ -137,10 +145,7 @@ object TextOps {
     val sharded = survivors
       .join(kept, Seq("doc_id"), "left_semi")
       .join(tokenCounts(docs), Seq("doc_id"))
-      // 15 hex chars of md5 < 2^60: ANSI-safe and reproducible in any engine
-      .withColumn("shard",
-        pmod(conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"),
-          lit(nShards.toLong)))
+      .withColumn("shard", contentHashBucket(col("text"), nShards.toLong))
     sharded.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"), max(col("doc_id")).as("max_doc_id"))
@@ -180,9 +185,7 @@ object TextOps {
                           hashMod: Int = 10000): DataFrame = {
     require(hashMod > 0 && (rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be probabilities and hashMod positive")
-    val bucket = pmod(
-      conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long"),
-      lit(hashMod.toLong))
+    val bucket = contentHashBucket(col("text"), hashMod.toLong, offset = 17)
     // sorted fold → a deterministic when-chain regardless of map order
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, p)) => when(col(byCol) === k, lit(p)).otherwise(acc)

@@ -180,8 +180,8 @@ class MetricsOpsSpec extends SparkTestBase {
 
   test("sketch mode is reachable from pooled and tagged stats; base columns exact") {
     val rnd = new scala.util.Random(11)
-    val dp = points((0 until 2000).map(i => (s"m${i % 4}", i.toLong, rnd.nextDouble() * 100)))
-    val b = Buckets(0, 2000, 1)
+    val dp = points((0 until 2000).map(i => (s"m${i % 4}", 1000L + i, rnd.nextDouble() * 100)))
+    val b = Buckets(1000, 2000, 1)
     val exact = MetricsOps.pooledStats(dp, b, Seq(90.0)).collect().head
     val sk = MetricsOps.pooledStats(dp, b, Seq(90.0),
       mode = MetricsOps.PercentileMode.P2Sketch).collect().head

@@ -47,9 +47,12 @@ class StorageSpec extends SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected an Exchange-free plan, got:\n$plan")
       // stale-location recovery: a warehouse dir left by a dead session
-      // (no catalog entry) must not break the next write
+      // (no catalog entry) must not break the next write. Derive the dir
+      // exactly as the writer does — a hardcoded cwd path would silently
+      // miss the scenario if the warehouse location ever moved.
       s.sql("DROP TABLE IF EXISTS graft_spec_stale")
-      val staleLoc = new java.io.File("spark-warehouse/graft_spec_stale")
+      val staleLoc = new java.io.File(s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_spec_stale")))
       staleLoc.mkdirs()
       GraftStorage.writeBucketedTable(dp, "graft_spec_stale", nBuckets = 2)
       assert(s.table("graft_spec_stale").count() == 4)

@@ -146,9 +146,8 @@ object Similarity {
    * instead of the all-pairs cross join, both sides hash to a sign-bit
    * bucket and only same-bucket pairs are scored (an equi-join that
    * shuffles on `bucket`). Recall follows the SRP collision bound
-   * (P[same bucket] = (1 - θ/π)^numPlanes); production would union
-   * several independent plane sets to push recall up, which is a
-   * `unionByName` of this frame per set + `dropDuplicates(vec_a, vec_b)`.
+   * (P[same bucket] = (1 - θ/π)^numPlanes); [[srpMultiTablePairs]] is the
+   * recall booster — several independent plane sets in one exploded join.
    */
   def srpThresholdPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8): DataFrame =
     srpPairsWithPlanes(corpus, threshold, srpPlanes(corpus, numPlanes))

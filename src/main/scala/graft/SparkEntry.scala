@@ -739,6 +739,51 @@ object SparkEntry {
               |WHERE (t // 7200000) * 7200000 + 7200000 <= wm.w
               |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- §2.9+A3: the availability state machine as a continuous query —
+    // the one A-family operator windowed aggregation can't express (per-
+    // state durations depend on point ORDER inside the bucket). Stateful
+    // flatMapGroupsWithState keyed by (series, day-bucket); a bucket is
+    // emitted exactly once, when the watermark finalizes it. ------------
+    ("streaming_avail_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamavail_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val out = graft.streaming.StreamingAvail.slices(
+        ea.availabilityPointsStream(s, d).filter(col("time") < Week))
+      val q = out.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("metric", "bucket_start", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte,
+              |bb AS (SELECT metric, t, CASE WHEN event_type = 'error' THEN 1
+              |                              WHEN value < 20.0 THEN 2 ELSE 0 END AS avail
+              |       FROM base WHERE t < $Week),
+              |wm AS (SELECT max(t) - 7200000 AS w FROM bb),
+              |fin AS (SELECT b.metric, b.t, b.avail, (b.t // $Day) * $Day AS bs
+              |        FROM bb b, wm WHERE (b.t // $Day) * $Day + $Day <= wm.w),
+              |seg AS (SELECT metric, bs, avail,
+              |          CASE WHEN row_number() OVER win = 1 THEN bs ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER win, bs + $Day) AS seg_end,
+              |          lag(avail) OVER win AS prev_avail
+              |        FROM fin WINDOW win AS (PARTITION BY metric, bs ORDER BY t))
+              |SELECT metric, bs AS bucket_start,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |FROM seg GROUP BY metric, bs""".stripMargin)),
+
     // ---- LLM: exact dedup groups -----------------------------------------
     ("dedup_exact", (s: SparkSession, d: String) => Dedup.exactGroups(docs(s, d)),
       Some("""SELECT md5(text) AS text_md5, count(*) AS cnt, min(doc_id) AS keep_id

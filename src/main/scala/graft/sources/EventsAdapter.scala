@@ -64,8 +64,10 @@ object EventsAdapter {
 
   /** Canonical availability datapoints (synthetic state mapping). */
   def availabilityPoints(spark: SparkSession, sfDir: String): DataFrame =
-    base(spark, sfDir)
-      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
+    availFrom(base(spark, sfDir))
+
+  private def availFrom(b: DataFrame): DataFrame =
+    b.withColumn("mtype", lit(MetricType.Availability.code.toInt))
       .withColumn("avail",
         when(col("event_type") === "error", lit(AvailabilityType.Down.code.toInt))
           .when(col("value") < 20.0, lit(AvailabilityType.Unknown.code.toInt))
@@ -74,6 +76,15 @@ object EventsAdapter {
       .withColumn("l_value", lit(null).cast("long"))
       .withColumn("s_value", lit(null).cast("string"))
       .select(PointCols.map(col): _*)
+
+  /** STREAMING variant of [[availabilityPoints]] (same mapping over the
+    * file-source stream — see [[gaugePointsStream]]). */
+  def availabilityPointsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    availFrom(baseFrom(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)))
+  }
 
   /**
    * Canonical counter datapoints: a monotonic running sum of floor(value)

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/**
+ * A3 as a continuous query: the availability bucket state machine
+ * (reference AvailabilityDataPointCollector.java:34-109) over the ingest
+ * stream. This is the one A-family operator windowed aggregation cannot
+ * express — per-state durations depend on the TIME ORDER of the points
+ * inside a bucket (each point's state runs until the next point; the
+ * first runs from bucket start; the last to bucket end) — so it runs as
+ * `flatMapGroupsWithState` keyed by (series, bucket):
+ *
+ *  - data arrival appends (time, avail) to the bucket's buffer and arms
+ *    an event-time timeout at BUCKET END;
+ *  - the timeout fires when the watermark (max event time − lateness)
+ *    passes the bucket end — exactly when no admissible late point can
+ *    still land in the bucket — and the group sorts its buffer once,
+ *    runs the segment state machine, emits ONE finalized row, and drops
+ *    its state. Emission depends only on the final watermark, not on
+ *    micro-batch boundaries, so results are deterministic under any
+ *    batching (the same contract as StreamingIngest.slidingStats).
+ *
+ * State is bounded by (open buckets × points per bucket) — the watermark
+ * evicts every closed bucket, so steady-state memory is one bucket's
+ * points per live series.
+ *
+ * Semantics parity with the batch operator/oracle: segment attribution,
+ * `last_not_uptime`, `not_up_count` (notUP segment STARTS, first point
+ * counting), and `uptime_ratio = up/step` all mirror
+ * MetricsOps.availabilityBucketStats.
+ */
+object StreamingAvail {
+
+  case class Key(tenant_id: String, mtype: Int, metric: String, bucket_start: Long)
+  // event_time rides along so the watermark attribute reaches the stateful
+  // operator — FlatMapGroupsWithStateExec only filters LATE rows when the
+  // watermark column is present in its input; dropping it would let a
+  // too-late point recreate an already-finalized bucket's group and emit
+  // a duplicate row
+  case class Pt(tenant_id: String, mtype: Int, metric: String, time: Long,
+                avail: Int, bucket_start: Long, event_time: java.sql.Timestamp)
+  case class Buf(points: Seq[(Long, Int)])
+  case class Out(metric: String, bucket_start: Long, up_ms: Long, down_ms: Long,
+                 unknown_ms: Long, admin_ms: Long, last_not_uptime: Long,
+                 not_up_count: Long, samples: Long, uptime_ratio: Double)
+
+  /** The per-bucket state machine over time-sorted points — one pass,
+    * pure; shared with the spec. */
+  private[streaming] def bucketStats(metric: String, bs: Long, be: Long,
+                                     pts: Seq[(Long, Int)]): Out = {
+    val sorted = pts.sortBy(identity)
+    var up = 0L; var down = 0L; var unknown = 0L; var admin = 0L
+    var lastNotUp = 0L; var notUpCount = 0L
+    var i = 0
+    while (i < sorted.length) {
+      val (t, a) = sorted(i)
+      val segStart = if (i == 0) bs else t
+      val segEnd = if (i == sorted.length - 1) be else sorted(i + 1)._1
+      val dur = segEnd - segStart
+      a match {
+        case 0 => up += dur
+        case 1 => down += dur
+        case 2 => unknown += dur
+        case _ => admin += dur
+      }
+      if (a != 0) {
+        lastNotUp = math.max(lastNotUp, segEnd)
+        if (i == 0 || sorted(i - 1)._2 == 0) notUpCount += 1
+      }
+      i += 1
+    }
+    Out(metric, bs, up, down, unknown, admin, lastNotUp, notUpCount,
+      sorted.length.toLong, up.toDouble / (be - bs))
+  }
+
+  private def advance(bucketMs: Long)(
+      key: Key, rows: Iterator[Pt], state: GroupState[Buf]): Iterator[Out] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(b =>
+        bucketStats(key.metric, key.bucket_start, key.bucket_start + bucketMs, b.points))
+      state.remove()
+      out.iterator
+    } else {
+      val buf = state.getOption.map(_.points).getOrElse(Seq.empty) ++
+        rows.map(p => (p.time, p.avail))
+      state.update(Buf(buf))
+      // bucket end is always ahead of the watermark for a non-late point
+      // (t < bucketEnd and t ≥ watermark), so arming is legal
+      state.setTimeoutTimestamp(key.bucket_start + bucketMs)
+      Iterator.empty
+    }
+  }
+
+  /** `points` is a STREAMING canonical availability frame. Emits one row
+    * per (metric, bucket) once the watermark finalizes the bucket. */
+  def slices(points: DataFrame, bucketMs: Long = 86400000L,
+             lateness: String = "2 hours"): Dataset[Out] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", lateness)
+      .select(col("tenant_id"), col("mtype").cast("int").as("mtype"), col("metric"),
+        col("time"), col("avail").cast("int").as("avail"),
+        expr(s"(time div $bucketMs) * $bucketMs").as("bucket_start"),
+        col("event_time"))
+      .as[Pt]
+      .groupByKey(p => Key(p.tenant_id, p.mtype, p.metric, p.bucket_start))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        advance(bucketMs))
+  }
+}

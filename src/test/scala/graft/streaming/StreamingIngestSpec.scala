@@ -56,6 +56,40 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(got == Seq((t0 + 30000, 200.0), (t0 + 90000, 60.0)))
   }
 
+  case class AP(tenant_id: String, mtype: Int, metric: String, time: Long, avail: Int)
+
+  test("streaming availability buckets: state machine fires once on watermark; " +
+    "late point neither contributes nor re-emits") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val Day = 86400000L
+    val mem = MemoryStream[AP]
+    val q = StreamingAvail.slices(mem.toDF()).toDF()
+      .writeStream.format("memory").queryName("avail_slices").outputMode("append").start()
+    // day 0: UP from bucket start, DOWN for the second half
+    mem.addData(AP("t", 1, "m", 1000L, 0), AP("t", 1, "m", Day / 2, 1))
+    q.processAllAvailable()
+    mem.addData(AP("t", 1, "m", 4 * Day, 0)) // watermark → 4d - 2h > day-0 end
+    q.processAllAvailable()
+    // late day-0 point (far behind the watermark): must be filtered, not
+    // resurrect the finalized bucket as a duplicate row
+    mem.addData(AP("t", 1, "m", 2000L, 1))
+    q.processAllAvailable()
+    mem.addData(AP("t", 1, "m", 8 * Day, 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT * FROM avail_slices WHERE bucket_start = 0").collect()
+    assert(rows.length == 1, s"expected one finalized day-0 row, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("up_ms") == Day / 2)       // first point covers from bucket start
+    assert(r.getAs[Long]("down_ms") == Day / 2)     // last segment extends to bucket end
+    assert(r.getAs[Long]("last_not_uptime") == Day)
+    assert(r.getAs[Long]("not_up_count") == 1)
+    assert(r.getAs[Long]("samples") == 2)           // late point never contributed
+    assert(r.getAs[Double]("uptime_ratio") == 0.5)
+  }
+
   test("windowed stats finalize on watermark; late data beyond it is dropped") {
     val s = spark
     import s.implicits._

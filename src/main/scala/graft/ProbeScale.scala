@@ -52,10 +52,12 @@ object ProbeScale {
     // leaves replica cosine ≈ 1 (cross-replica near-dup pairs → n² output);
     // rotation preserves norms and within-replica geometry while making
     // cross-replica cosine ≈ 0 for random vectors
+    val dim = graft.operators.Similarity.Dim
     (0 until n).map { i =>
+      val r = i % dim // rotation wraps past the dimension
       val rotated =
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 64 - i), slice(col("embedding"), 1, i))
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r))
       e0.withColumn("vec_id", col("vec_id") + lit(i * step))
         .withColumn("embedding", rotated)
     }.reduce(_ unionByName _)

@@ -101,17 +101,21 @@ object Similarity {
     * deterministic and reproducible by the SQL oracle (a seeded Gaussian
     * would serve the same role in production). A size-bounded driver
     * collect, like a k-means seed config — not data movement. */
-  private def srpPlanes(corpus: DataFrame, numPlanes: Int, offset: Int = 0): Seq[(Int, Array[Double])] = {
-    require(numPlanes > 0 && numPlanes < 63, s"numPlanes must be in [1, 62], got $numPlanes")
+  private def srpPlanes(corpus: DataFrame, count: Int, offset: Int = 0): Seq[(Int, Array[Double])] = {
+    require(count > 0, s"plane count must be positive, got $count")
     val planes = corpus
-      .filter(col("vec_id") >= offset && col("vec_id") < offset + numPlanes)
+      .filter(col("vec_id") >= offset && col("vec_id") < offset + count)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt - offset, r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
     require(planes.nonEmpty,
-      s"SRP needs corpus vectors with vec_id in [$offset, ${offset + numPlanes}) as hyperplanes")
+      s"SRP needs corpus vectors with vec_id in [$offset, ${offset + count}) as hyperplanes")
     planes
   }
+
+  /** PER-TABLE plane count bound: bucket bits pack into one long. */
+  private def requirePlanesPerTable(numPlanes: Int): Unit =
+    require(numPlanes > 0 && numPlanes < 63, s"numPlanes must be in [1, 62], got $numPlanes")
 
   /** bucket = sign bits of the projections of `vecCol` onto the planes —
     * one codegen'd VectorDot per plane against a literal array; no join,
@@ -122,6 +126,7 @@ object Similarity {
     }.reduce(_ + _)
 
   def srpTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    requirePlanesPerTable(numPlanes)
     val planes = srpPlanes(corpus, numPlanes)
     val bucket = srpBucket(planes, "cv")
     val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
@@ -149,8 +154,10 @@ object Similarity {
    * (P[same bucket] = (1 - θ/π)^numPlanes); [[srpMultiTablePairs]] is the
    * recall booster — several independent plane sets in one exploded join.
    */
-  def srpThresholdPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8): DataFrame =
+  def srpThresholdPairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8): DataFrame = {
+    requirePlanesPerTable(numPlanes)
     srpPairsWithPlanes(corpus, threshold, srpPlanes(corpus, numPlanes))
+  }
 
   private def srpPairsWithPlanes(corpus: DataFrame, threshold: Double,
                                  planes: Seq[(Int, Array[Double])]): DataFrame = {
@@ -184,6 +191,7 @@ object Similarity {
   def srpMultiTablePairs(corpus: DataFrame, threshold: Double, numPlanes: Int = 8,
                          numTables: Int = 2): DataFrame = {
     require(numTables > 0, s"numTables must be positive, got $numTables")
+    requirePlanesPerTable(numPlanes) // the per-table bit width, not the total
     val allPlanes = srpPlanes(corpus, numPlanes * numTables)
     require(allPlanes.size == numPlanes * numTables,
       s"SRP needs corpus vectors with vec_id < ${numPlanes * numTables} as hyperplanes")

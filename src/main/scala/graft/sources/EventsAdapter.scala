@@ -51,16 +51,21 @@ object EventsAdapter {
       .withColumn("s_value", lit(null).cast("string"))
       .select(PointCols.map(col): _*)
 
+  /** Shared streaming source: the canonical base frame over a file-source
+    * stream of the events fixture (the file source needs a directory
+    * path; glob-filter to the fixture). */
+  private def streamBase(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    baseFrom(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+  }
+
   /** STREAMING variant of [[gaugePoints]]: the same canonical mapping over
     * a file-source stream of the events fixture — the entry point for
     * end-to-end Structured-Streaming ingest runs. */
-  def gaugePointsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source needs a directory path; glob-filter to the fixture
-    gaugeFrom(baseFrom(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)))
-  }
+  def gaugePointsStream(spark: SparkSession, sfDir: String): DataFrame =
+    gaugeFrom(streamBase(spark, sfDir))
 
   /** Canonical availability datapoints (synthetic state mapping). */
   def availabilityPoints(spark: SparkSession, sfDir: String): DataFrame =
@@ -79,12 +84,8 @@ object EventsAdapter {
 
   /** STREAMING variant of [[availabilityPoints]] (same mapping over the
     * file-source stream — see [[gaugePointsStream]]). */
-  def availabilityPointsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    availFrom(baseFrom(spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)))
-  }
+  def availabilityPointsStream(spark: SparkSession, sfDir: String): DataFrame =
+    availFrom(streamBase(spark, sfDir))
 
   /**
    * Canonical counter datapoints: a monotonic running sum of floor(value)

@@ -48,10 +48,15 @@ object StreamingAvail {
                  not_up_count: Long, samples: Long, uptime_ratio: Double)
 
   /** The per-bucket state machine over time-sorted points — one pass,
-    * pure; shared with the spec. */
+    * pure; shared with the spec. Equal timestamps collapse LAST-WRITE-WINS
+    * in arrival order (the reference's storage upsert semantics,
+    * DataAccessImpl.java:215-221) BEFORE sorting, so segment attribution
+    * never depends on an arbitrary tie order — the batch operator reads
+    * post-dedup storage where (metric, time) is unique, and this keeps the
+    * streaming path on the same contract. */
   private[streaming] def bucketStats(metric: String, bs: Long, be: Long,
                                      pts: Seq[(Long, Int)]): Out = {
-    val sorted = pts.sortBy(identity)
+    val sorted = pts.reverse.distinctBy(_._1).sortBy(_._1)
     var up = 0L; var down = 0L; var unknown = 0L; var admin = 0L
     var lastNotUp = 0L; var notUpCount = 0L
     var i = 0
@@ -84,13 +89,24 @@ object StreamingAvail {
       state.remove()
       out.iterator
     } else {
-      val buf = state.getOption.map(_.points).getOrElse(Seq.empty) ++
-        rows.map(p => (p.time, p.avail))
-      state.update(Buf(buf))
-      // bucket end is always ahead of the watermark for a non-late point
-      // (t < bucketEnd and t ≥ watermark), so arming is legal
-      state.setTimeoutTimestamp(key.bucket_start + bucketMs)
-      Iterator.empty
+      val bucketEnd = key.bucket_start + bucketMs
+      // An ADMITTED row can still be too late for its bucket: Spark
+      // filters late rows with the PREVIOUS batch's watermark but
+      // validates timeout timestamps against the CURRENT eviction
+      // watermark, so when the watermark has already passed this bucket's
+      // end, re-arming would throw and kill the query. Reference
+      // semantics apply instead — the slice is expired, the point is
+      // silently dropped (DataAccessImpl.java:984-1007); a buffer that
+      // already exists keeps its armed timeout and finalizes this batch.
+      if (state.getCurrentWatermarkMs() >= bucketEnd) {
+        Iterator.empty
+      } else {
+        val buf = state.getOption.map(_.points).getOrElse(Seq.empty) ++
+          rows.map(p => (p.time, p.avail))
+        state.update(Buf(buf))
+        state.setTimeoutTimestamp(bucketEnd)
+        Iterator.empty
+      }
     }
   }
 

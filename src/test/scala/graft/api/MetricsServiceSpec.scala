@@ -214,6 +214,33 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(rates == Map("c1" -> 60.0, "c2" -> 60.0))
   }
 
+  test("rate limit applies AFTER pairing and reset drops (reference take-at-end)") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    // rates: 60k→100.0, 120k reset pair DROPPED, 180k→60.0, 240k→60.0
+    val pts = Seq(("c", 0L, 100L), ("c", 60000L, 200L), ("c", 120000L, 50L),
+      ("c", 180000L, 110L), ("c", 240000L, 170L))
+      .toDF("metric", "time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map())
+    svc.addDataPoints(pts)
+    val id = MetricId("t1", MetricType.Counter.code, "c")
+    def got(limit: Int, order: Order) =
+      svc.findRateData(id, limit, order).select("time", "rate")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ASC limit 2: the dropped reset pair must NOT consume the limit —
+    // the second emitted rate is 180k, not the reset gap
+    assert(got(2, Order.Asc) == Seq((60000L, 100.0), (180000L, 60.0)))
+    // DESC limit 2: the LATEST two rates (reference streams newest-first
+    // and takes after the pair filter)
+    assert(got(2, Order.Desc) == Seq((240000L, 60.0), (180000L, 60.0)))
+  }
+
   test("findMetric returns the LWW definition; scanAllMetricIndexes sees all tenants") {
     val svc = newService()
     val id = MetricId("t1", MetricType.Gauge.code, "m")

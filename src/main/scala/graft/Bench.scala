@@ -39,26 +39,28 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
-    // two FULL passes with the per-query min taken ACROSS passes (not two
+    // three FULL passes with the per-query min taken ACROSS passes (not
     // back-to-back runs of each query): host CPU-steal bursts span several
     // consecutive seconds, so back-to-back runs let one burst corrupt both
-    // samples. Pass 2 runs in REVERSE order: with identical orders, one
-    // multi-minute burst per pass at the same wall-clock offset lands on
-    // the same queries twice and survives the min (observed in the round-3
-    // driver run — a contiguous alphabetical span inflated 10-30x);
-    // mirrored orders make a query's two samples sit at opposite ends of
-    // the schedule, so only a burst spanning most of the run can corrupt
-    // both.
+    // samples. Earlier rounds used sorted + reversed order, but a MIRRORED
+    // schedule places a mid-suite query's samples at the same mid-run
+    // wall-clock offset in both passes, so a recurring mid-run burst still
+    // survived the min (round-4 driver run: gauge_stats/_by_metric — both
+    // mid-alphabet — read 4-8x inflated). Each pass now runs a DIFFERENT
+    // seeded random permutation (deterministic across runs), so no two
+    // passes agree on any query's schedule offset: a burst must recur at
+    // three unrelated offsets to corrupt all three samples.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def runPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       qs.map { case (name, fn) => (name, once(name, fn)) }.toMap
-    val (m1, m2) = (runPass(ordered), runPass(ordered.reverse))
-    val (p1, p2) = (ordered.map(q => m1(q._1)), ordered.map(q => m2(q._1)))
+    val passes = Seq(0x5eed1L, 0x5eed2L, 0x5eed3L).map { seed =>
+      runPass(new scala.util.Random(seed).shuffle(ordered))
+    }
     // a query with NO successful sample reports null (not a fake 0.000
     // that would read as a speedup) and contributes nothing to the total
-    val results: Seq[(String, Option[Double])] = ordered.map(_._1).zip(p1.zip(p2).map {
-      case (a, b) => Seq(a, b).flatten.minOption
-    })
+    val results: Seq[(String, Option[Double])] = ordered.map { case (name, _) =>
+      name -> passes.flatMap(_(name)).minOption
+    }
     val qs = results.map {
       case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f"
       case (k, None)    => "\"" + k + "\":null"

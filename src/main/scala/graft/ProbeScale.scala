@@ -53,8 +53,12 @@ object ProbeScale {
     // rotation preserves norms and within-replica geometry while making
     // cross-replica cosine ≈ 0 for random vectors
     val dim = graft.operators.Similarity.Dim
+    // past n = dim the rotation wraps: replica i and i+dim would be
+    // IDENTICAL vectors, silently reintroducing the n² cross-replica
+    // pair-output artifact this rotation exists to remove — fail loudly
+    require(n <= dim, s"embedding replication is capped at Dim=$dim replicas (got $n)")
     (0 until n).map { i =>
-      val r = i % dim // rotation wraps past the dimension
+      val r = i % dim
       val rotated =
         if (r == 0) col("embedding")
         else concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r))

@@ -43,19 +43,29 @@ object StreamingAvail {
   case class Pt(tenant_id: String, mtype: Int, metric: String, time: Long,
                 avail: Int, bucket_start: Long, event_time: java.sql.Timestamp)
   case class Buf(points: Seq[(Long, Int)])
-  case class Out(metric: String, bucket_start: Long, up_ms: Long, down_ms: Long,
+  // tenant_id/mtype ride through to the output: groups are keyed by the
+  // full series identity, so a multi-tenant stream must not collapse to
+  // indistinguishable (metric, bucket_start) rows
+  case class Out(tenant_id: String, mtype: Int, metric: String, bucket_start: Long,
+                 up_ms: Long, down_ms: Long,
                  unknown_ms: Long, admin_ms: Long, last_not_uptime: Long,
                  not_up_count: Long, samples: Long, uptime_ratio: Double)
 
   /** The per-bucket state machine over time-sorted points — one pass,
-    * pure; shared with the spec. Equal timestamps collapse LAST-WRITE-WINS
-    * in arrival order (the reference's storage upsert semantics,
-    * DataAccessImpl.java:215-221) BEFORE sorting, so segment attribution
-    * never depends on an arbitrary tie order — the batch operator reads
-    * post-dedup storage where (metric, time) is unique, and this keeps the
-    * streaming path on the same contract. */
-  private[streaming] def bucketStats(metric: String, bs: Long, be: Long,
+    * pure; shared with the spec. Equal timestamps collapse to ONE point
+    * (last buffered wins) BEFORE sorting, mirroring the batch operator,
+    * which reads post-dedup storage where (metric, time) is unique.
+    * Caveat: within a micro-batch the group iterator's order after the
+    * groupByKey shuffle is not guaranteed, so if the UPSTREAM stream can
+    * carry duplicate (metric, time) points with DIFFERENT avail values,
+    * which of them wins is arbitrary (stable across replays of the same
+    * batching, but not across different batchings). Streams needing
+    * deterministic tie-breaks should dedup with an ingest sequence before
+    * this operator (as StreamingIngest's storage path does); the duration
+    * totals are unaffected either way. */
+  private[streaming] def bucketStats(key: Key, be: Long,
                                      pts: Seq[(Long, Int)]): Out = {
+    val bs = key.bucket_start
     val sorted = pts.reverse.distinctBy(_._1).sortBy(_._1)
     var up = 0L; var down = 0L; var unknown = 0L; var admin = 0L
     var lastNotUp = 0L; var notUpCount = 0L
@@ -77,7 +87,8 @@ object StreamingAvail {
       }
       i += 1
     }
-    Out(metric, bs, up, down, unknown, admin, lastNotUp, notUpCount,
+    Out(key.tenant_id, key.mtype, key.metric, bs, up, down, unknown, admin,
+      lastNotUp, notUpCount,
       sorted.length.toLong, up.toDouble / (be - bs))
   }
 
@@ -85,7 +96,7 @@ object StreamingAvail {
       key: Key, rows: Iterator[Pt], state: GroupState[Buf]): Iterator[Out] = {
     if (state.hasTimedOut) {
       val out = state.getOption.map(b =>
-        bucketStats(key.metric, key.bucket_start, key.bucket_start + bucketMs, b.points))
+        bucketStats(key, key.bucket_start + bucketMs, b.points))
       state.remove()
       out.iterator
     } else {
@@ -94,11 +105,18 @@ object StreamingAvail {
       // filters late rows with the PREVIOUS batch's watermark but
       // validates timeout timestamps against the CURRENT eviction
       // watermark, so when the watermark has already passed this bucket's
-      // end, re-arming would throw and kill the query. Reference
-      // semantics apply instead — the slice is expired, the point is
-      // silently dropped (DataAccessImpl.java:984-1007); a buffer that
-      // already exists keeps its armed timeout and finalizes this batch.
+      // end, re-arming would throw and kill the query. For a group with
+      // NO state the reference semantics apply — the slice is expired, the
+      // point is silently dropped (DataAccessImpl.java:984-1007). A buffer
+      // that ALREADY exists will finalize this very batch (its armed
+      // timeout is past the watermark), so its admitted edge rows are
+      // merged into the buffer — WITHOUT re-arming — and make it into the
+      // emitted row, matching the batch oracle, which counts every point
+      // of a finalized bucket regardless of micro-batch boundaries.
       if (state.getCurrentWatermarkMs() >= bucketEnd) {
+        state.getOption.foreach { b =>
+          state.update(Buf(b.points ++ rows.map(p => (p.time, p.avail))))
+        }
         Iterator.empty
       } else {
         val buf = state.getOption.map(_.points).getOrElse(Seq.empty) ++

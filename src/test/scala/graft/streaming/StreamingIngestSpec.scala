@@ -56,6 +56,36 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(got == Seq((t0 + 30000, 200.0), (t0 + 90000, 60.0)))
   }
 
+  test("streaming rate: idle series state is evicted past the watermark horizon; " +
+    "a revived series re-seeds instead of pairing across the eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val Day = 86400000L
+    val mem = MemoryStream[CP]
+    // idle horizon 24h, lateness 2h
+    val q = StreamingRate.rates(mem.toDF(), isCounter = false)
+      .writeStream.format("memory").queryName("evict_rates").outputMode("append").start()
+    mem.addData(CP("t", 0, "a", 1000L, Some(1.0), None),
+      CP("t", 0, "b", 1000L, Some(1.0), None))
+    q.processAllAvailable()
+    // b's next point drives event time to 3d → watermark 3d-2h, far past
+    // a's idle deadline (1000ms + 24h)
+    mem.addData(CP("t", 0, "b", 3 * Day, Some(2.0), None))
+    q.processAllAvailable()
+    // one more batch so the advanced watermark fires a's timeout
+    mem.addData(CP("t", 0, "b", 3 * Day + 1000, Some(3.0), None))
+    q.processAllAvailable()
+    // a revives: with state evicted this must RE-SEED (no rate), not pair
+    // against the pre-eviction point
+    mem.addData(CP("t", 0, "a", 3 * Day + 2000, Some(9.0), None))
+    q.processAllAvailable()
+    q.stop()
+    val aRates = s.sql("SELECT * FROM evict_rates WHERE metric = 'a'").collect()
+    assert(aRates.isEmpty, s"evicted series must not pair across eviction: ${aRates.toSeq}")
+    assert(s.sql("SELECT * FROM evict_rates WHERE metric = 'b'").count() == 2)
+  }
+
   case class AP(tenant_id: String, mtype: Int, metric: String, time: Long, avail: Int)
 
   test("streaming availability buckets: state machine fires once on watermark; " +

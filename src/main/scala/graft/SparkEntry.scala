@@ -89,11 +89,12 @@ object SparkEntry {
   private def gauge(s: SparkSession, dir: String) = ea.gaugePoints(s, dir)
   private def avail(s: SparkSession, dir: String) = ea.availabilityPoints(s, dir)
   private def ctr(s: SparkSession, dir: String) = ea.counterPoints(s, dir)
-  // single-row-group fixture files → repartition for downstream parallelism
+  // single-row-group fixture files → fan out for downstream parallelism;
+  // gated on file count so multi-file inputs don't pay an always-on shuffle
   private def docs(s: SparkSession, dir: String) =
-    s.read.parquet(s"$dir/documents.parquet").repartition(s.sparkContext.defaultParallelism)
+    ea.singleFileFanOut(s, s.read.parquet(s"$dir/documents.parquet"))
   private def embs(s: SparkSession, dir: String) =
-    s.read.parquet(s"$dir/embeddings.parquet").repartition(s.sparkContext.defaultParallelism)
+    ea.singleFileFanOut(s, s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Recursive delete of a lifecycle query's scratch dir (streaming
     * checkpoints must not survive across bench/verify runs). */
@@ -177,16 +178,47 @@ object SparkEntry {
               |FROM range(720) g(bucket) LEFT JOIN ag ON ag.bucket = g.bucket""".stripMargin)),
 
     // ---- A1 with the 100 TB percentile path: P² marker sketch ------------
-    // (O(1) state per bucket, CDF-mixture merge — the unbounded-bucket
-    // path; approximate, so no SQL oracle → the driver records a rows-only
-    // check. Accuracy is spec-verified against exact percentiles in
-    // P2SketchSpec.)
+    // (O(1) state per bucket, exact-buffer stage + CDF-mixture merge — the
+    // unbounded-bucket path.) The sketch is approximate, so instead of a
+    // rows-only check the query emits its EXACT twin from the same single
+    // groupBy and asserts the sketch's RANK accuracy: the fraction of the
+    // bucket at or below each sketch estimate must land within a
+    // per-quantile band of the target quantile (the quantity P² actually
+    // approximates — a value-space band would conflate sketch error with
+    // tail sparsity). Bands carry ~2x headroom over the worst measured
+    // rank error on this fixture (p90 4.8pp, p99 1.0pp, median 3.5pp at
+    // sf0.01 across a 32-way partial-aggregation tree). The exact columns
+    // + all-true band booleans ARE hash-comparable, so the driver's oracle
+    // verifies the accuracy envelope, not just a row count.
     ("gauge_stats_p2sketch", (s: SparkSession, d: String) => {
       val b = Buckets.fromCount(S, E, 60)
-      MetricsOps.numericBucketStats(gauge(s, d), b, Seq(90.0, 99.0),
-        mode = MetricsOps.PercentileMode.P2Sketch)
-        .select("bucket", "min", "avg", "max", "sum", "samples", "p90_0", "p99_0", "median")
-    }, None),
+      val v = col("n_value").cast("double")
+      val in = gauge(s, d)
+        .filter(col("time") >= b.start && col("time") < b.end)
+        .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))
+      val aggs = MetricsOps.statAggs(v, Seq(90.0, 99.0)) ++ Seq(
+        graft.functions.GraftFunctions.p2SketchAgg(0.9)(v).as("sk_p90"),
+        graft.functions.GraftFunctions.p2SketchAgg(0.99)(v).as("sk_p99"),
+        graft.functions.GraftFunctions.p2SketchAgg(0.5)(v).as("sk_median"))
+      val st = in.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
+      val sk = st.select(col("bucket"), col("sk_p90"), col("sk_p99"), col("sk_median"))
+      def rankOf(skc: String) =
+        (sum(when(v <= col(skc), 1L).otherwise(0L)).cast("double") / count(v))
+      val ranks = in.join(broadcast(sk), "bucket").groupBy(col("bucket")).agg(
+        rankOf("sk_p90").as("r90"), rankOf("sk_p99").as("r99"), rankOf("sk_median").as("r50"))
+      def band(r: String, q: Double, tol: Double, out: String) =
+        (abs(col(r) - lit(q)) <= lit(tol)).as(out)
+      roundPcts(st.join(ranks, "bucket"), Seq(90.0, 99.0))
+        .withColumn("p90_in_band", band("r90", 0.90, 0.10, "p90_in_band"))
+        .withColumn("p99_in_band", band("r99", 0.99, 0.03, "p99_in_band"))
+        .withColumn("median_in_band", band("r50", 0.50, 0.08, "median_in_band"))
+        .select("bucket", "min", "avg", "max", "sum", "samples", "p90_0", "p99_0", "median",
+          "p90_in_band", "p99_in_band", "median_in_band")
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT (t - $S) // 43200000 AS bucket, ${statSql("value", Seq(90.0, 99.0))},
+              |       TRUE AS p90_in_band, TRUE AS p99_in_band, TRUE AS median_in_band
+              |FROM base WHERE t >= $S AND t < $E GROUP BY 1""".stripMargin)),
 
     // ---- A1 by metric ----------------------------------------------------
     ("gauge_stats_by_metric", (s: SparkSession, d: String) => {
@@ -506,6 +538,84 @@ object SparkEntry {
               |SELECT 2 AS mtype, metric, (t - $S) // 86400000 AS bucket, ${statSql("v", Seq.empty)}
               |FROM cv WHERE t >= $S AND t < $E GROUP BY 2, 3""".stripMargin)),
 
+    // ---- EP2 FULL mixed-type stats query: gauge + counter + counter-RATE
+    // + availability in ONE request (MetricHandler.doStatsQuery:341-466).
+    // The counter value and rate branches share ONE materialized fetch —
+    // the reference raw-fetches twice and documents the inefficiency
+    // (MetricHandler.java:372-375); here it is a single scan feeding both.
+    ("stats_query_mixed", (s: SparkSession, d: String) => {
+      val ids = ea.catalog(s, d).filter(TagQueryParser.compile("seg = s1", col("tags")))
+        .select("metric").localCheckpoint()
+      val b = Buckets.fromStep(S, E, Day)
+      MetricsOps.mixedTypeStats(b,
+        gaugeDp = Some(MetricsOps.dataPointsForIds(gauge(s, d), ids)),
+        counterDp = Some(MetricsOps.dataPointsForIds(ctr(s, d), ids)),
+        availDp = Some(MetricsOps.dataPointsForIds(avail(s, d), ids)),
+        includeCounterRate = true)
+        .withColumn("median", round(col("median"), 4))
+        .select("branch", "metric", "bucket", "min", "avg", "max", "sum", "median",
+          "samples", "up_ms", "down_ms", "unknown_ms", "admin_ms", "last_not_uptime",
+          "not_up_count", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $CatCte, $CounterCte, $AvailCte,
+              |sel AS (SELECT metric FROM cat WHERE seg = 's1'),
+              |gb AS (SELECT 'gauge' AS branch, metric, (t - $S) // $Day AS bucket,
+              |         ${statSql("value", Seq.empty)}
+              |       FROM base WHERE t >= $S AND t < $E
+              |         AND metric IN (SELECT metric FROM sel) GROUP BY 2, 3),
+              |cv AS (SELECT metric, t, CAST(l_value AS DOUBLE) AS v FROM ctr
+              |       WHERE t >= $S AND t < $E AND metric IN (SELECT metric FROM sel)),
+              |cb AS (SELECT 'counter' AS branch, metric, (t - $S) // $Day AS bucket,
+              |         ${statSql("v", Seq.empty)}
+              |       FROM cv GROUP BY 2, 3),
+              |rr AS (SELECT metric, t, v, lag(v) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |       FROM cv WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rv AS (SELECT metric, t,
+              |         60000.0 * (v - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM rr WHERE prev_t IS NOT NULL AND v >= prev_v),
+              |rb AS (SELECT 'counter_rate' AS branch, metric, (t - $S) // $Day AS bucket,
+              |         ${statSql("rate", Seq.empty)}
+              |       FROM rv GROUP BY 2, 3),
+              |ab0 AS (SELECT av.metric, av.t, av.avail, (av.t - $S) // $Day AS bucket
+              |        FROM av WHERE av.t >= $S AND av.t < $E
+              |          AND av.metric IN (SELECT metric FROM sel)),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM ab0 WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |ab AS (SELECT 'availability' AS branch, metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |  FROM seg GROUP BY metric, bucket)
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, median, samples,
+              |       CAST(NULL AS BIGINT) AS up_ms, CAST(NULL AS BIGINT) AS down_ms,
+              |       CAST(NULL AS BIGINT) AS unknown_ms, CAST(NULL AS BIGINT) AS admin_ms,
+              |       CAST(NULL AS BIGINT) AS last_not_uptime, CAST(NULL AS BIGINT) AS not_up_count,
+              |       CAST(NULL AS DOUBLE) AS uptime_ratio
+              |FROM gb
+              |UNION ALL
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, median, samples,
+              |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
+              |FROM cb
+              |UNION ALL
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, median, samples,
+              |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
+              |FROM rb
+              |UNION ALL
+              |SELECT branch, metric, bucket, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+              |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), samples,
+              |       up_ms, down_ms, unknown_ms, admin_ms, last_not_uptime, not_up_count,
+              |       uptime_ratio
+              |FROM ab""".stripMargin)),
+
     // ---- J3: explicit id list → datapoints -------------------------------
     ("fetch_by_ids", (s: SparkSession, d: String) =>
       MetricsOps.dataPointsForIds(gauge(s, d), Seq("click/7", "error/23", "view/88"))
@@ -621,7 +731,10 @@ object SparkEntry {
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
               |WHERE t // $Day >= ${(E - 7 * Day) / Day} GROUP BY 1""".stripMargin)),
 
-    // ---- Tenant model: per-tenant/per-type retention map (J-join + TTL) --
+    // ---- Tenant model: per-tenant/per-type retention map (J-join + TTL),
+    // with the reference's PER-METRIC dataRetention override taking
+    // precedence (Metric.java:48-54, retentions_idx) — one override
+    // lengthens a window past the tenant default, one shortens it --------
     ("tenant_retention", (s: SparkSession, d: String) => {
       import s.implicits._
       val g = gauge(s, d)
@@ -629,18 +742,46 @@ object SparkEntry {
       val pts = g.unionByName(g.withColumn("tenant_id", lit("beta")))
       val retentions = Seq(("acme", 0, 7), ("beta", 0, 21))
         .toDF("tenant_id", "mtype", "retention_days")
-      MetricsOps.applyRetention(pts, retentions, now = E)
+      val overrides = Seq(("acme", 0, "error/23", 30), ("beta", 0, "click/7", 3))
+        .toDF("tenant_id", "mtype", "metric", "retention_days")
+      MetricsOps.applyRetention(pts, retentions, Some(overrides), now = E)
         .groupBy(col("tenant_id"), col("metric"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum_v"))
     },
       Some(s"""WITH $BaseCte,
               |u AS (SELECT 'acme' AS tenant_id, metric, t, value FROM base
-              |        WHERE t >= ${E - 7 * Day}
+              |        WHERE t >= CASE WHEN metric = 'error/23'
+              |                        THEN ${E - 30 * Day} ELSE ${E - 7 * Day} END
               |      UNION ALL
-              |      SELECT 'beta', metric, t, value FROM base WHERE t >= ${E - 21 * Day})
+              |      SELECT 'beta', metric, t, value FROM base
+              |        WHERE t >= CASE WHEN metric = 'click/7'
+              |                        THEN ${E - 3 * Day} ELSE ${E - 21 * Day} END)
               |SELECT tenant_id, metric, count(*) AS cnt, ${dsum("value")} AS sum_v
               |FROM u GROUP BY 1, 2""".stripMargin)),
+
+    // ---- Virtual rate types through the facade: ask findDataPoints for a
+    // COUNTER_RATE series and get the W1 derivation over the stored
+    // counter transparently (MetricsServiceImpl.java:241-249 dispatch) —
+    // storage-backed so the whole read path (tier scan → range filter →
+    // pairing → reset drop) runs as a user would hit it ------------------
+    ("virtual_rate_fetch", (s: SparkSession, d: String) => {
+      val root = "target/tmp/vrate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, root)
+      val svc = new graft.api.MetricsService(s, root)
+      svc.addDataPoints(ctr(s, d).filter(col("metric") === "click/7"))
+      svc.findDataPoints(MetricId(ea.Tenant, MetricType.CounterRate.code, "click/7"),
+        Some(S), Some(Week), now = E)
+        .select("metric", "time", "rate")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |c AS (SELECT metric, t, l_value FROM ctr
+              |      WHERE metric = 'click/7' AND t >= $S AND t < $Week),
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM c WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric, t AS "time",
+              |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v""".stripMargin)),
 
     // ---- EP2 batch: N independent stats requests keyed by request index --
     // (POST /metrics/stats/batch/query, MetricHandler.java:321-338)

@@ -196,13 +196,28 @@ class MetricsService(spark: SparkSession, root: String) {
 
   private def series(id: MetricId): DataFrame = raw().filter(metricKey(id))
 
-  /** Raw fetch with the reference's order-defaulting rule (T3). */
+  /** Raw fetch with the reference's order-defaulting rule (T3). The
+    * VIRTUAL rate types dispatch transparently: ask for datapoints of
+    * COUNTER_RATE/GAUGE_RATE and get the W1 derivation over the stored
+    * counter/gauge series (MetricsServiceImpl.java:241-249 routes the
+    * rate types to findRateData; derivation :858-883) — limit applies
+    * AFTER pairing, like the reference (:882). */
   def findDataPoints(id: MetricId, start: Option[Long], end: Option[Long],
                      limit: Int = 0, order: Option[Order] = None,
                      now: Long = System.currentTimeMillis()): DataFrame = {
     val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
     val ord = order.getOrElse(Order.defaultValue(limit, start, end))
-    MetricsOps.rawDataPoints(series(id), range, ord, limit)
+    MetricType.fromCode(id.mtype) match {
+      case MetricType.CounterRate | MetricType.GaugeRate =>
+        val underlying =
+          if (id.mtype == MetricType.CounterRate.code) MetricType.Counter else MetricType.Gauge
+        val stored = series(id.copy(mtype = underlying.code)).filter(MetricsOps.inRange(range))
+        MetricsOps.rate(stored, isCounter = underlying == MetricType.Counter,
+          valueCol = if (underlying == MetricType.Counter) "l_value" else "n_value",
+          order = ord, limit = limit)
+      case _ =>
+        MetricsOps.rawDataPoints(series(id), range, ord, limit)
+    }
   }
 
   /** Multi-metric raw fetch by explicit id list (reference

@@ -108,6 +108,9 @@ object MetricsOps {
     case PercentileMode.P2Parity =>
       throw new IllegalArgumentException(
         "P2Parity requires the ordered-array path in numericBucketStats")
+    case _: PercentileMode.Adaptive =>
+      throw new IllegalArgumentException(
+        "Adaptive must be resolved against the input frame first (resolveMode)")
   }
 
   // -----------------------------------------------------------------------
@@ -127,6 +130,33 @@ object MetricsOps {
     /** The 100 TB path: graft's own P² marker sketch as a Spark Aggregator
       * with O(1) state and a CDF-mixture merge (see functions.P2Sketch). */
     case object P2Sketch extends PercentileMode
+    /** Plan-time auto-switch: Exact while the estimated values-per-group
+      * stays under `maxExactValuesPerGroup`, P2Sketch past it — Exact
+      * percentile state is ∝ distinct values per group, so an unbounded
+      * group (pooled stats over a 100 TB scan) would OOM an executor,
+      * while the sketch is O(1) per group. Resolution happens at plan
+      * build from the optimizer's size estimate (the
+      * `LiteralAssignMaxCells` pattern, Similarity.scala), so oracle-grade
+      * fixtures keep bit-exact Exact results and only genuinely unbounded
+      * groups pay the approximation. */
+    case class Adaptive(maxExactValuesPerGroup: Long = 1000000L) extends PercentileMode
+  }
+
+  /** Resolve [[PercentileMode.Adaptive]] against a plan-time row estimate
+    * of `in` divided by a LOWER BOUND on the group count (`minGroups`) —
+    * under-counting groups over-estimates values-per-group, so the switch
+    * errs toward the bounded-memory sketch, never toward an OOM. Row count
+    * falls back to sizeInBytes / schema row width when the optimizer has
+    * no exact count. */
+  private def resolveMode(in: DataFrame, minGroups: Long,
+                          mode: PercentileMode): PercentileMode = mode match {
+    case PercentileMode.Adaptive(maxExact) =>
+      val st = in.queryExecution.optimizedPlan.stats
+      val estRows = st.rowCount.map(_.toLong).getOrElse(
+        (st.sizeInBytes / math.max(in.schema.defaultSize, 1)).toLong)
+      if (estRows / math.max(minGroups, 1L) > maxExact) PercentileMode.P2Sketch
+      else PercentileMode.Exact
+    case m => m
   }
 
   /**
@@ -154,9 +184,11 @@ object MetricsOps {
 
     val base = baseAggs(v)
 
-    mode match {
-      case PercentileMode.Exact | PercentileMode.P2Sketch =>
-        val aggs = statAggsFor(v, quantiles, mode)
+    // b.count is a LOWER bound on the group count (byMetric multiplies it
+    // by the metric cardinality), which resolveMode needs — see its doc
+    resolveMode(in, b.count, mode) match {
+      case resolved @ (PercentileMode.Exact | PercentileMode.P2Sketch) =>
+        val aggs = statAggsFor(v, quantiles, resolved)
         in.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
 
       case PercentileMode.P2Parity =>
@@ -176,6 +208,9 @@ object MetricsOps {
         withPcts
           .withColumn("median", GraftFunctions.p2Percentile(col("ordered"), lit(50.0)))
           .drop("pts", "ordered")
+
+      case _: PercentileMode.Adaptive =>
+        throw new IllegalStateException("unreachable: Adaptive resolves to Exact or P2Sketch")
     }
   }
 
@@ -271,7 +306,9 @@ object MetricsOps {
     }
     val sortedKeys = tagFilters.keys.toSeq.sorted
     val groupCols = sortedKeys.map(k => element_at(col("tags"), k).as(s"tag_$k"))
-    val aggs = statAggsFor(v, quantiles, mode)
+    // tag-value group count is unknowable at plan time → minGroups = 1
+    // (the worst case: every point in one group), erring toward the sketch
+    val aggs = statAggsFor(v, quantiles, resolveMode(filtered, 1L, mode))
     filtered.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -374,6 +411,64 @@ object MetricsOps {
                 mode: PercentileMode = PercentileMode.Exact): DataFrame =
     numericBucketStats(rate(dp, isCounter, valueCol), b, quantiles,
       valueCol = "rate", mode = mode)
+
+  // -----------------------------------------------------------------------
+  // EP2 — mixed-type stats fan-out
+  // -----------------------------------------------------------------------
+
+  /**
+   * EP2 — ONE stats request fanned out across metric types (reference
+   * MetricHandler.doStatsQuery, api/metrics-api-jaxrs/.../MetricHandler.java:341-466):
+   * gauge, counter, counter-RATE (W1+A1), and availability (A3) branches
+   * in a single response frame, one row per (branch, metric, bucket), with
+   * the columns of the other family null-padded (the response analog of
+   * the reference's per-type result sections).
+   *
+   * When counter VALUE and RATE are both requested, the reference fetches
+   * the raw counter data twice and documents the inefficiency
+   * (MetricHandler.java:372-375); here the range-filtered counter fetch is
+   * materialized ONCE (localCheckpoint) and feeds both the value stats and
+   * the rate derivation — one scan, two branches.
+   */
+  def mixedTypeStats(b: Buckets,
+                     gaugeDp: Option[DataFrame] = None,
+                     counterDp: Option[DataFrame] = None,
+                     availDp: Option[DataFrame] = None,
+                     includeCounterRate: Boolean = false): DataFrame = {
+    val numNames = Seq("min", "avg", "max", "sum", "median")
+    val availNames = Seq("up_ms", "down_ms", "unknown_ms", "admin_ms",
+      "last_not_uptime", "not_up_count")
+    def numBranch(name: String, stats: DataFrame): DataFrame =
+      stats.select(Seq(lit(name).as("branch"), col("metric"), col("bucket")) ++
+        numNames.map(c => col(c).cast("double").as(c)) ++
+        Seq(col("samples").cast("long").as("samples")) ++
+        availNames.map(c => lit(null).cast("long").as(c)) :+
+        lit(null).cast("double").as("uptime_ratio"): _*)
+    def availBranch(stats: DataFrame): DataFrame =
+      stats.select(Seq(lit("availability").as("branch"), col("metric"), col("bucket")) ++
+        numNames.map(c => lit(null).cast("double").as(c)) ++
+        Seq(col("samples").cast("long").as("samples")) ++
+        availNames.map(c => col(c).cast("long").as(c)) :+
+        col("uptime_ratio"): _*)
+    val counterShared = counterDp.map { dp =>
+      val f = dp.filter(col("time") >= b.start && col("time") < b.end)
+      if (includeCounterRate) f.localCheckpoint() else f
+    }
+    val branches =
+      gaugeDp.map(dp =>
+        numBranch("gauge", numericBucketStats(dp, b, byMetric = true))).toSeq ++
+      counterShared.map(dp =>
+        numBranch("counter",
+          numericBucketStats(dp, b, byMetric = true, valueCol = "l_value"))).toSeq ++
+      (if (includeCounterRate) counterShared.map(dp =>
+        numBranch("counter_rate",
+          numericBucketStats(rate(dp, isCounter = true, valueCol = "l_value"), b,
+            byMetric = true, valueCol = "rate"))).toSeq
+      else Seq.empty) ++
+      availDp.map(dp => availBranch(availabilityBucketStats(dp, b))).toSeq
+    require(branches.nonEmpty, "mixedTypeStats needs at least one type branch")
+    branches.reduce(_ unionByName _)
+  }
 
   // -----------------------------------------------------------------------
   // W2 — periods where predicate holds (gaps-and-islands)
@@ -542,12 +637,36 @@ object MetricsOps {
    * LONGEST window, so a malformed map can never fan datapoints out into
    * duplicates or silently shorten a retention someone granted.
    */
-  def applyRetention(dp: DataFrame, retentions: DataFrame, now: Long): DataFrame = {
+  def applyRetention(dp: DataFrame, retentions: DataFrame, now: Long): DataFrame =
+    applyRetention(dp, retentions, None, now)
+
+  /**
+   * Retention with the reference's PER-METRIC override layer: a metric can
+   * carry its own `dataRetention` (Metric.java:48-54, persisted in
+   * `retentions_idx`, bootstrap.groovy:139-147) which takes precedence
+   * over the tenant's per-type retention. `metricOverrides` is
+   * (tenant_id, mtype, metric, retention_days) — catalog-sized, so it
+   * broadcasts like the tenant map; precedence is a `coalesce` after two
+   * map-side joins, still zero shuffles of the datapoint stream. The same
+   * collapse-to-longest rule guards duplicate override rows.
+   */
+  def applyRetention(dp: DataFrame, retentions: DataFrame,
+                     metricOverrides: Option[DataFrame], now: Long): DataFrame = {
     val uniq = retentions.groupBy(col("tenant_id"), col("mtype"))
       .agg(max(col("retention_days")).as("retention_days"))
-    dp.join(broadcast(uniq), Seq("tenant_id", "mtype"), "left")
-      .filter(col("retention_days").isNull ||
-        col("time") >= lit(now) - col("retention_days") * lit(86400000L))
-      .drop("retention_days")
+    val joined = dp.join(broadcast(uniq), Seq("tenant_id", "mtype"), "left")
+    val withEff = metricOverrides match {
+      case Some(m) =>
+        val mu = m.groupBy(col("tenant_id"), col("mtype"), col("metric"))
+          .agg(max(col("retention_days")).as("__metric_days"))
+        joined.join(broadcast(mu), Seq("tenant_id", "mtype", "metric"), "left")
+          .withColumn("__eff_days", coalesce(col("__metric_days"), col("retention_days")))
+          .drop("__metric_days")
+      case None => joined.withColumn("__eff_days", col("retention_days"))
+    }
+    withEff
+      .filter(col("__eff_days").isNull ||
+        col("time") >= lit(now) - col("__eff_days") * lit(86400000L))
+      .drop("retention_days", "__eff_days")
   }
 }

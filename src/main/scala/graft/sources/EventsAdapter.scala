@@ -24,15 +24,23 @@ object EventsAdapter {
 
   /** Raw events; `ts` arrives as Long nanos (nanosAsLong).
     *
-    * The driver fixture is a SINGLE-row-group parquet file, so the scan is
-    * one task no matter the split size — repartition immediately (a ~2 MB
-    * shuffle) so every downstream per-row pipeline uses all cores. Real
-    * deployments read many files/row groups and skip this. */
+    * The driver fixture is a SINGLE-row-group parquet file, so its scan is
+    * one task no matter the split size — fan out once (a ~2 MB shuffle) so
+    * every downstream per-row pipeline uses all cores. The fan-out is
+    * GATED on the input actually being one file: a real multi-file
+    * deployment already scans in parallel, and an unconditional
+    * repartition there would be an always-on full-data shuffle on every
+    * read. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
+    singleFileFanOut(spark, spark.read.parquet(s"$sfDir/events.parquet"))
   }
+
+  /** Repartition ONLY single-file inputs (see [[events]]); `inputFiles`
+    * is driver-side metadata already gathered by the read, not a job. */
+  private[graft] def singleFileFanOut(spark: SparkSession, df: DataFrame): DataFrame =
+    if (df.inputFiles.length <= 1) df.repartition(spark.sparkContext.defaultParallelism)
+    else df
 
   val Tenant = "acme"
 

@@ -336,6 +336,42 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(got == Map("t" -> 1L, "u" -> 2L, "unmapped" -> 2L))
   }
 
+  test("per-metric retention override takes precedence over the tenant/type map") {
+    val s = spark
+    import s.implicits._
+    val day = 86400000L
+    val now = 100 * day
+    val dp = points(Seq(
+      ("a", now - 10 * day, 1.0), ("a", now - 2 * day, 2.0),
+      ("b", now - 10 * day, 1.0), ("b", now - 2 * day, 2.0),
+      ("c", now - 10 * day, 1.0), ("c", now - 2 * day, 2.0)))
+    val ret = Seq(("t", 0, 7)).toDF("tenant_id", "mtype", "retention_days")
+    // a: lengthened to 30d; c: shortened to 1d; b: tenant default 7d
+    val ovr = Seq(("t", 0, "a", 30), ("t", 0, "c", 1))
+      .toDF("tenant_id", "mtype", "metric", "retention_days")
+    val got = MetricsOps.applyRetention(dp, ret, Some(ovr), now)
+      .groupBy("metric").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L), s"got $got")
+  }
+
+  test("adaptive percentile mode: small groups resolve Exact, past-threshold groups " +
+    "route to the P2 sketch") {
+    val rows = (0 until 500).map(i => ("m", 100L + i, math.pow(1.01, i) * 10.0))
+    val dp = points(rows)
+    val b = Buckets(100, 1000, 1) // one bucket holds all 500 values
+    def p90(mode: MetricsOps.PercentileMode): Double =
+      MetricsOps.numericBucketStats(dp, b, Seq(90.0), mode = mode)
+        .select("p90_0").collect().head.getDouble(0)
+    val exact = p90(MetricsOps.PercentileMode.Exact)
+    val sketch = p90(MetricsOps.PercentileMode.P2Sketch)
+    assert(exact != sketch) // the switch must be observable on this input
+    // default threshold (1M values/group) >> 500 → resolves Exact
+    assert(p90(MetricsOps.PercentileMode.Adaptive()) == exact)
+    // tiny threshold → estimated values/group exceeds it → sketch
+    assert(p90(MetricsOps.PercentileMode.Adaptive(10)) == sketch)
+  }
+
   test("filter pattern: star, negation, full-match anchoring") {
     val s = spark
     import s.implicits._

@@ -315,6 +315,41 @@ class MetricsService(spark: SparkSession, root: String) {
     else MetricsOps.pooledStats(dp, config.buckets, percentiles)
   }
 
+  /** [[findGaugeStats]] with the user's ORIGINAL percentile strings
+    * preserved as result column names (the reference echoes the request
+    * text back verbatim, Percentile.java:22-38): a request for "99.000"
+    * answers in column `p99_000`, not a normalized `p99_0`. */
+  def findGaugeStats(id: MetricId, config: BucketConfig,
+                     percentiles: Percentiles): DataFrame = {
+    val ps = percentiles.percentiles
+    ps.foldLeft(findGaugeStats(id, config, ps.map(_.quantile))) { (df, p) =>
+      df.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
+    }
+  }
+
+  /** EP2 — ONE mixed-type stats request (POST /metrics/stats/query,
+    * MetricHandler.doStatsQuery:341-466): resolve the tag expression to an
+    * id set ONCE, fan out to the requested type branches (gauge, counter,
+    * availability, counter-rate), one response frame. The counter value
+    * and rate branches share a single materialized fetch — the reference
+    * fetches twice and documents the inefficiency
+    * (MetricHandler.java:372-375). */
+  def statsQuery(tenantId: String, tagExpression: String, config: BucketConfig,
+                 types: Set[MetricType] =
+                   Set(MetricType.Gauge, MetricType.Counter, MetricType.Availability),
+                 includeCounterRate: Boolean = false): DataFrame = {
+    val ids = findMetricIdentifiersWithFilters(tenantId, None, tagExpression)
+      .select("metric").localCheckpoint()
+    def scoped(t: MetricType): DataFrame =
+      MetricsOps.dataPointsForIds(
+        raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt), ids)
+    MetricsOps.mixedTypeStats(config.buckets,
+      gaugeDp = if (types(MetricType.Gauge)) Some(scoped(MetricType.Gauge)) else None,
+      counterDp = if (types(MetricType.Counter)) Some(scoped(MetricType.Counter)) else None,
+      availDp = if (types(MetricType.Availability)) Some(scoped(MetricType.Availability)) else None,
+      includeCounterRate = includeCounterRate)
+  }
+
   /** One EP2 request (POST /metrics/stats/query body). */
   case class StatsRequest(mtype: MetricType, ids: Seq[String], config: BucketConfig,
                           percentiles: Seq[Double] = Seq.empty, stacked: Boolean = false)

@@ -97,8 +97,25 @@ object Tags {
   }
 }
 
+/** One requested quantile, preserving the USER'S original string form —
+  * the reference echoes it back verbatim in results (a request for
+  * "99.000" answers as 99.000, not 99.0; Percentile.java:22-38). */
+final case class Percentile(original: String) {
+  val quantile: Double = {
+    val q =
+      try original.toDouble
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"Invalid percentile '$original'") }
+    require(q > 0 && q < 100, s"Percentile '$original' must be in (0, 100)")
+    q
+  }
+  /** Result column named from the ORIGINAL text, not the parsed double. */
+  def columnName: String = "p" + original.replace('.', '_')
+}
+
 /** Requested quantiles; original string form is preserved in results
   * (reference param/Percentiles.java, Percentile.java:22-38). */
 final case class Percentiles(values: Seq[String]) {
   def quantiles: Seq[Double] = values.map(_.toDouble)
+  def percentiles: Seq[Percentile] = values.map(Percentile(_))
 }

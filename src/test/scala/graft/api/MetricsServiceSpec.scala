@@ -105,6 +105,78 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(r == Seq(60.0))
   }
 
+  test("findDataPoints on a VIRTUAL rate type answers with the W1 derivation") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val counter = Seq((0L, 100L), (60000L, 160L), (120000L, 40L), (180000L, 100L))
+      .toDF("time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("metric", lit("c"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map())
+    svc.addDataPoints(counter)
+    // ask for datapoints of type COUNTER_RATE: transparent W1 dispatch,
+    // the 160→40 reset pair dropped (F6), 40→100 still pairs
+    val got = svc.findDataPoints(MetricId("t1", MetricType.CounterRate.code, "c"),
+      Some(0L), Some(200000L), now = 200000L)
+      .select("time", "rate").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((60000L, 60.0), (180000L, 60.0)))
+  }
+
+  test("percentile result columns preserve the user's ORIGINAL quantile string") {
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Gauge.code, "cpu")
+    svc.addDataPoints(gaugeRows("cpu", (0 until 20).map(i => (100L + i, i.toDouble))))
+    val stats = svc.findGaugeStats(id, BucketConfig(TimeRange(100, 120), Some(1), None),
+      Percentiles(Seq("99.000", "90.0")))
+    val cols = stats.columns.toSet
+    assert(cols.contains("p99_000") && cols.contains("p90_0"), cols.toString)
+    assert(!cols.contains("p99_0"))
+    intercept[IllegalArgumentException](Percentile("nope").quantile)
+    intercept[IllegalArgumentException](Percentile("150").quantile)
+  }
+
+  test("mixed-type statsQuery fans out to all requested branches (EP2 full)") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "cpu"), Map("env" -> "prod"))
+    svc.createMetric(MetricId("t1", MetricType.Counter.code, "reqs"), Map("env" -> "prod"))
+    svc.createMetric(MetricId("t1", MetricType.Availability.code, "web"), Map("env" -> "prod"))
+    svc.addDataPoints(gaugeRows("cpu", Seq((100L, 10.0), (150L, 30.0))))
+    svc.addDataPoints(Seq((100L, 100L), (150L, 160L)).toDF("time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("metric", lit("reqs"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map()))
+    svc.addDataPoints(Seq((100L, 0), (150L, 1)).toDF("time", "avail")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
+      .withColumn("metric", lit("web"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map()))
+    val out = svc.statsQuery("t1", "env = prod",
+      BucketConfig(TimeRange(100, 200), Some(1), None), includeCounterRate = true)
+      .collect()
+    val byBranch = out.groupBy(_.getAs[String]("branch"))
+    assert(byBranch.keySet == Set("gauge", "counter", "counter_rate", "availability"))
+    val g = byBranch("gauge").head
+    assert(g.getAs[String]("metric") == "cpu" && g.getAs[Long]("samples") == 2)
+    assert(byBranch("counter_rate").head.getAs[Long]("samples") == 1) // one pair
+    val a = byBranch("availability").head
+    assert(a.getAs[Long]("up_ms") == 50L && a.getAs[Long]("down_ms") == 50L)
+    assert(a.isNullAt(a.fieldIndex("min"))) // numeric columns null-padded
+  }
+
   test("string ingest size cap rejects oversized values (S3)") {
     val s = spark
     import s.implicits._

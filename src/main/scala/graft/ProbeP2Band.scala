@@ -1,14 +1,16 @@
 package graft
 
-import graft.functions.GraftFunctions
 import graft.model.Buckets
 import graft.operators.MetricsOps
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.functions._
 
-/** Dev probe: measures the P² sketch's worst normalized error
-  * |sketch − exact| / (max − min) per bucket on the fixture, per
-  * quantile — the empirical basis for gauge_stats_p2sketch's band. */
+/** Dev probe: measures the P² sketch's worst error on the fixture —
+  * value-space (|sketch − exact| / bucket range) and rank-space (how far
+  * the realized rank of each estimate sits from its target quantile).
+  * Runs over the SAME [[MetricsOps.p2SketchAccuracy]] frame the
+  * gauge_stats_p2sketch oracle bands, so these numbers calibrate those
+  * bands directly. */
 object ProbeP2Band {
   def main(args: Array[String]): Unit = {
     val S = 1704067200000L
@@ -20,35 +22,18 @@ object ProbeP2Band {
       case ds  => ds
     }) {
       val b = Buckets.fromCount(S, E, 60)
-      val v = col("n_value").cast("double")
-      val in = EventsAdapter.gaugePoints(spark, dir)
-        .filter(col("time") >= b.start && col("time") < b.end)
-        .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
-      val aggs = MetricsOps.statAggs(v, Seq(90.0, 99.0)) ++ Seq(
-        GraftFunctions.p2SketchAgg(0.9)(v).as("sk_p90"),
-        GraftFunctions.p2SketchAgg(0.99)(v).as("sk_p99"),
-        GraftFunctions.p2SketchAgg(0.5)(v).as("sk_median"))
-      val st = in.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
-      def err(sk: String, ex: String) =
-        max(abs(col(sk) - col(ex)) / (col("max") - col("min"))).as(s"err_$ex")
-      val r = st.agg(err("sk_p90", "p90_0"), err("sk_p99", "p99_0"),
-        err("sk_median", "median"), min(col("samples")).as("min_n")).collect().head
-      println(f"$dir: p90=${r.getDouble(0)}%.4f p99=${r.getDouble(1)}%.4f " +
-        f"median=${r.getDouble(2)}%.4f min_samples=${r.getLong(3)}")
-      // rank error: what FRACTION of the bucket sits at or below the
-      // sketch's estimate — the quantity P² actually approximates
-      val sk = st.select(col("bucket"), col("sk_p90"), col("sk_p99"), col("sk_median"))
-      val joined = in.join(broadcast(sk), "bucket")
-      def rerr(skc: String, q: Double) =
-        max(abs(sum(when(v <= col(skc), 1).otherwise(0)).cast("double") / count(v) - q))
-          .as(s"rerr_$skc")
-      val rr = joined.groupBy(col("bucket"))
-        .agg((sum(when(v <= col("sk_p90"), 1).otherwise(0)).cast("double") / count(v) - 0.9).as("r90"),
-          (sum(when(v <= col("sk_p99"), 1).otherwise(0)).cast("double") / count(v) - 0.99).as("r99"),
-          (sum(when(v <= col("sk_median"), 1).otherwise(0)).cast("double") / count(v) - 0.5).as("r50"))
-        .agg(max(abs(col("r90"))), max(abs(col("r99"))), max(abs(col("r50")))).collect().head
-      println(f"$dir: RANK p90=${rr.getDouble(0)}%.4f p99=${rr.getDouble(1)}%.4f " +
-        f"median=${rr.getDouble(2)}%.4f")
+      val st = MetricsOps.p2SketchAccuracy(EventsAdapter.gaugePoints(spark, dir), b)
+      def verr(sk: String, ex: String) =
+        max(abs(col(sk) - col(ex)) / (col("max") - col("min"))).as(s"verr_$ex")
+      def rerr(r: String, q: Double) = max(abs(col(r) - lit(q))).as(s"rerr_$r")
+      val row = st.agg(
+        verr("sk_p90", "p90_0"), verr("sk_p99", "p99_0"), verr("sk_median", "median"),
+        rerr("r90", 0.90), rerr("r99", 0.99), rerr("r50", 0.50),
+        min(col("samples")).as("min_n")).collect().head
+      println(f"$dir: VALUE p90=${row.getDouble(0)}%.4f p99=${row.getDouble(1)}%.4f " +
+        f"median=${row.getDouble(2)}%.4f | RANK p90=${row.getDouble(3)}%.4f " +
+        f"p99=${row.getDouble(4)}%.4f median=${row.getDouble(5)}%.4f " +
+        f"| min_samples=${row.getLong(6)}")
     }
     spark.stop()
   }

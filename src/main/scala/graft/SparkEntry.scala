@@ -192,23 +192,9 @@ object SparkEntry {
     // verifies the accuracy envelope, not just a row count.
     ("gauge_stats_p2sketch", (s: SparkSession, d: String) => {
       val b = Buckets.fromCount(S, E, 60)
-      val v = col("n_value").cast("double")
-      val in = gauge(s, d)
-        .filter(col("time") >= b.start && col("time") < b.end)
-        .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))
-      val aggs = MetricsOps.statAggs(v, Seq(90.0, 99.0)) ++ Seq(
-        graft.functions.GraftFunctions.p2SketchAgg(0.9)(v).as("sk_p90"),
-        graft.functions.GraftFunctions.p2SketchAgg(0.99)(v).as("sk_p99"),
-        graft.functions.GraftFunctions.p2SketchAgg(0.5)(v).as("sk_median"))
-      val st = in.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
-      val sk = st.select(col("bucket"), col("sk_p90"), col("sk_p99"), col("sk_median"))
-      def rankOf(skc: String) =
-        (sum(when(v <= col(skc), 1L).otherwise(0L)).cast("double") / count(v))
-      val ranks = in.join(broadcast(sk), "bucket").groupBy(col("bucket")).agg(
-        rankOf("sk_p90").as("r90"), rankOf("sk_p99").as("r99"), rankOf("sk_median").as("r50"))
       def band(r: String, q: Double, tol: Double, out: String) =
         (abs(col(r) - lit(q)) <= lit(tol)).as(out)
-      roundPcts(st.join(ranks, "bucket"), Seq(90.0, 99.0))
+      roundPcts(MetricsOps.p2SketchAccuracy(gauge(s, d), b), Seq(90.0, 99.0))
         .withColumn("p90_in_band", band("r90", 0.90, 0.10, "p90_in_band"))
         .withColumn("p99_in_band", band("r99", 0.99, 0.03, "p99_in_band"))
         .withColumn("median_in_band", band("r50", 0.50, 0.08, "median_in_band"))

@@ -215,6 +215,9 @@ class MetricsService(spark: SparkSession, root: String) {
         MetricsOps.rate(stored, isCounter = underlying == MetricType.Counter,
           valueCol = if (underlying == MetricType.Counter) "l_value" else "n_value",
           order = ord, limit = limit)
+          // answer AS the requested virtual type, not the stored one — a
+          // caller unioning rate and raw fetches groups by (mtype, metric)
+          .withColumn("mtype", lit(id.mtype.toInt))
       case _ =>
         MetricsOps.rawDataPoints(series(id), range, ord, limit)
     }
@@ -322,6 +325,10 @@ class MetricsService(spark: SparkSession, root: String) {
   def findGaugeStats(id: MetricId, config: BucketConfig,
                      percentiles: Percentiles): DataFrame = {
     val ps = percentiles.percentiles
+    // two strings normalizing to one quantile ("99.0", "99.00") would
+    // produce colliding/ambiguous columns downstream — reject loudly
+    require(ps.map(p => MetricsOps.pctColName(p.quantile)).distinct.size == ps.size,
+      s"duplicate percentile quantiles in ${percentiles.values}")
     ps.foldLeft(findGaugeStats(id, config, ps.map(_.quantile))) { (df, p) =>
       df.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
     }
@@ -338,15 +345,23 @@ class MetricsService(spark: SparkSession, root: String) {
                  types: Set[MetricType] =
                    Set(MetricType.Gauge, MetricType.Counter, MetricType.Availability),
                  includeCounterRate: Boolean = false): DataFrame = {
+    // ids keep their TYPE: the reference resolves per type, and a
+    // name-only join would let a tag match on one type admit same-named
+    // metrics of every other type into their branches
     val ids = findMetricIdentifiersWithFilters(tenantId, None, tagExpression)
-      .select("metric").localCheckpoint()
+      .select("mtype", "metric").localCheckpoint()
     def scoped(t: MetricType): DataFrame =
-      MetricsOps.dataPointsForIds(
-        raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt), ids)
+      raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt)
+        .join(broadcast(ids.filter(col("mtype") === t.code.toInt)
+          .select("metric").distinct()), Seq("metric"), "left_semi")
+    // a rate request needs the counter FETCH even when the counter value
+    // branch itself is not requested (rate-only stats are legal)
+    val counterNeeded = types(MetricType.Counter) || includeCounterRate
     MetricsOps.mixedTypeStats(config.buckets,
       gaugeDp = if (types(MetricType.Gauge)) Some(scoped(MetricType.Gauge)) else None,
-      counterDp = if (types(MetricType.Counter)) Some(scoped(MetricType.Counter)) else None,
+      counterDp = if (counterNeeded) Some(scoped(MetricType.Counter)) else None,
       availDp = if (types(MetricType.Availability)) Some(scoped(MetricType.Availability)) else None,
+      includeCounterValue = types(MetricType.Counter),
       includeCounterRate = includeCounterRate)
   }
 

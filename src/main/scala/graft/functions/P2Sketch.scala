@@ -33,34 +33,38 @@ object P2Sketch {
   /** Exact-buffer capacity before markers take over. */
   val InitCap = 64
 
-  /** < [[InitCap]] raw values stay (sorted) in `init`; past that the 5
-    * markers live in (heights, pos) and `init` empties. Raw vs marker
-    * stage is discriminated by `heights.isEmpty`, never by count. */
+  /** < [[InitCap]] raw values stay — UNSORTED — in `init` (consumers
+    * sort on demand; sorting per append would be O(k² log k) per group
+    * on the hot aggregation path); past that the 5 markers live in
+    * (heights, pos) and `init` empties. Raw vs marker stage is
+    * discriminated by `heights.isEmpty`, never by count. */
   case class Buf(count: Long, init: Array[Double], heights: Array[Double], pos: Array[Long])
 
   private def desired(q: Double): Array[Double] = Array(0.0, q / 2, q, (1 + q) / 2, 1.0)
 
   def empty: Buf = Buf(0L, Array.empty, Array.empty, Array.empty)
 
-  private def bootstrap(q: Double, values: Array[Double]): Buf = {
+  private def bootstrap(q: Double, values: Array[Double]): Buf =
+    if (values.length < InitCap) Buf(values.length, values, Array.empty, Array.empty)
+    else initMarkers(q, values)
+
+  /** Marker init at the DESIRED quantile positions of the sorted buffer —
+    * exact at this instant, unlike the textbook first-5 init. The ONE
+    * sort in the raw→marker transition happens here. */
+  private def initMarkers(q: Double, values: Array[Double]): Buf = {
     val s = values.sorted
-    if (s.length < InitCap) Buf(s.length, s, Array.empty, Array.empty)
-    else {
-      // marker init at the DESIRED quantile positions of the full sorted
-      // buffer — exact at this instant, unlike the textbook first-5 init
-      val n = s.length
-      val pos = desired(q).map(p => math.round(1 + p * (n - 1)))
-      pos(0) = 1; pos(4) = n.toLong
-      // strictly increasing, within [1, n]: raise interior markers off the
-      // floor, then lower them off the ceiling — the endpoints stay pinned
-      // at 1 and n (n >= InitCap >= 5 guarantees room for 3 interiors)
-      var i = 1
-      while (i < 4) { if (pos(i) <= pos(i - 1)) pos(i) = pos(i - 1) + 1; i += 1 }
-      i = 3
-      while (i >= 1) { if (pos(i) >= pos(i + 1)) pos(i) = pos(i + 1) - 1; i -= 1 }
-      val heights = pos.map(p => s((p - 1).toInt))
-      Buf(n, Array.empty, heights, pos)
-    }
+    val n = s.length
+    val pos = desired(q).map(p => math.round(1 + p * (n - 1)))
+    pos(0) = 1; pos(4) = n.toLong
+    // strictly increasing, within [1, n]: raise interior markers off the
+    // floor, then lower them off the ceiling — the endpoints stay pinned
+    // at 1 and n (n >= InitCap >= 5 guarantees room for 3 interiors)
+    var i = 1
+    while (i < 4) { if (pos(i) <= pos(i - 1)) pos(i) = pos(i - 1) + 1; i += 1 }
+    i = 3
+    while (i >= 1) { if (pos(i) >= pos(i + 1)) pos(i) = pos(i + 1) - 1; i -= 1 }
+    val heights = pos.map(p => s((p - 1).toInt))
+    Buf(n, Array.empty, heights, pos)
   }
 
   /** One P² update step (markers already initialized). */
@@ -102,8 +106,12 @@ object P2Sketch {
   }
 
   def add(q: Double, b: Buf, x: Double): Buf =
-    if (b.heights.isEmpty) bootstrap(q, b.init :+ x)
-    else insert(q, b, x)
+    if (b.heights.nonEmpty) insert(q, b, x)
+    else {
+      val init = b.init :+ x // O(1) logical append, no per-add sort
+      if (init.length >= InitCap) initMarkers(q, init)
+      else Buf(init.length, init, Array.empty, Array.empty)
+    }
 
   /** Piecewise-linear empirical CDF breakpoints (value, cumulative rank). */
   private def cdfPoints(b: Buf): Array[(Double, Double)] =

@@ -145,15 +145,19 @@ object MetricsOps {
   /** Resolve [[PercentileMode.Adaptive]] against a plan-time row estimate
     * of `in` divided by a LOWER BOUND on the group count (`minGroups`) —
     * under-counting groups over-estimates values-per-group, so the switch
-    * errs toward the bounded-memory sketch, never toward an OOM. Row count
-    * falls back to sizeInBytes / schema row width when the optimizer has
-    * no exact count. */
+    * errs toward the bounded-memory sketch, never toward an OOM. When the
+    * optimizer has no exact row count, the fallback divides `sizeInBytes`
+    * (for a file scan: the COMPRESSED on-disk size) by a deliberately
+    * small 4 bytes/row, OVER-counting rows by roughly the compression
+    * ratio × row width / 4 — the same safe direction: dividing by the
+    * in-memory schema width here would under-count by an order of
+    * magnitude and flip large scans back to Exact, the one error this
+    * mode exists to prevent. */
   private def resolveMode(in: DataFrame, minGroups: Long,
                           mode: PercentileMode): PercentileMode = mode match {
     case PercentileMode.Adaptive(maxExact) =>
       val st = in.queryExecution.optimizedPlan.stats
-      val estRows = st.rowCount.map(_.toLong).getOrElse(
-        (st.sizeInBytes / math.max(in.schema.defaultSize, 1)).toLong)
+      val estRows = st.rowCount.map(_.toLong).getOrElse((st.sizeInBytes / 4).toLong)
       if (estRows / math.max(minGroups, 1L) > maxExact) PercentileMode.P2Sketch
       else PercentileMode.Exact
     case m => m
@@ -215,6 +219,33 @@ object MetricsOps {
   }
 
   def pctColName(q: Double): String = "p" + q.toString.replace('.', '_')
+
+  /**
+   * Verification frame for the P² sketch: per bucket, the EXACT A1 stats
+   * (incl. exact p90/p99/median) plus the sketch's estimates (`sk_*`) and
+   * each estimate's realized rank — the fraction of the bucket at or
+   * below it (`r90`/`r99`/`r50`). Shared by the accuracy-banded oracle
+   * query (gauge_stats_p2sketch) and the band-calibration probe
+   * (ProbeP2Band) so the enforced band and the measured envelope can
+   * never desynchronize.
+   */
+  def p2SketchAccuracy(dp: DataFrame, b: Buckets,
+                       valueCol: String = "n_value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val in = dp.filter(col("time") >= b.start && col("time") < b.end)
+      .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
+    val aggs = statAggs(v, Seq(90.0, 99.0)) ++ Seq(
+      GraftFunctions.p2SketchAgg(0.9)(v).as("sk_p90"),
+      GraftFunctions.p2SketchAgg(0.99)(v).as("sk_p99"),
+      GraftFunctions.p2SketchAgg(0.5)(v).as("sk_median"))
+    val st = in.groupBy(col("bucket")).agg(aggs.head, aggs.tail: _*)
+    val sk = st.select(col("bucket"), col("sk_p90"), col("sk_p99"), col("sk_median"))
+    def rankOf(skc: String) =
+      sum(when(v <= col(skc), 1L).otherwise(0L)).cast("double") / count(v)
+    val ranks = in.join(broadcast(sk), "bucket").groupBy(col("bucket")).agg(
+      rankOf("sk_p90").as("r90"), rankOf("sk_p99").as("r99"), rankOf("sk_median").as("r50"))
+    st.join(ranks, "bucket")
+  }
 
   /**
    * A2 — gap-filling densify: output exactly `b.count` buckets per key, with
@@ -430,10 +461,14 @@ object MetricsOps {
    * materialized ONCE (localCheckpoint) and feeds both the value stats and
    * the rate derivation — one scan, two branches.
    */
+  /** `includeCounterValue=false` with `counterDp` set gives a RATE-ONLY
+    * request: the counter data still feeds the rate derivation but emits
+    * no value branch. */
   def mixedTypeStats(b: Buckets,
                      gaugeDp: Option[DataFrame] = None,
                      counterDp: Option[DataFrame] = None,
                      availDp: Option[DataFrame] = None,
+                     includeCounterValue: Boolean = true,
                      includeCounterRate: Boolean = false): DataFrame = {
     val numNames = Seq("min", "avg", "max", "sum", "median")
     val availNames = Seq("up_ms", "down_ms", "unknown_ms", "admin_ms",
@@ -452,14 +487,17 @@ object MetricsOps {
         col("uptime_ratio"): _*)
     val counterShared = counterDp.map { dp =>
       val f = dp.filter(col("time") >= b.start && col("time") < b.end)
-      if (includeCounterRate) f.localCheckpoint() else f
+      // materialize only when BOTH branches will read it — a single
+      // consumer keeps the lazy plan
+      if (includeCounterRate && includeCounterValue) f.localCheckpoint() else f
     }
     val branches =
       gaugeDp.map(dp =>
         numBranch("gauge", numericBucketStats(dp, b, byMetric = true))).toSeq ++
-      counterShared.map(dp =>
+      (if (includeCounterValue) counterShared.map(dp =>
         numBranch("counter",
-          numericBucketStats(dp, b, byMetric = true, valueCol = "l_value"))).toSeq ++
+          numericBucketStats(dp, b, byMetric = true, valueCol = "l_value"))).toSeq
+      else Seq.empty) ++
       (if (includeCounterRate) counterShared.map(dp =>
         numBranch("counter_rate",
           numericBucketStats(rate(dp, isCounter = true, valueCol = "l_value"), b,

@@ -147,15 +147,22 @@ class MetricsServiceSpec extends SparkTestBase {
     svc.createMetric(MetricId("t1", MetricType.Gauge.code, "cpu"), Map("env" -> "prod"))
     svc.createMetric(MetricId("t1", MetricType.Counter.code, "reqs"), Map("env" -> "prod"))
     svc.createMetric(MetricId("t1", MetricType.Availability.code, "web"), Map("env" -> "prod"))
+    // a COUNTER named like the matching gauge, but tagged OUT of the
+    // query: ids must resolve per type, so this series stays out of the
+    // counter branch even though its NAME matches a selected gauge
+    svc.createMetric(MetricId("t1", MetricType.Counter.code, "cpu"), Map("env" -> "dev"))
     svc.addDataPoints(gaugeRows("cpu", Seq((100L, 10.0), (150L, 30.0))))
-    svc.addDataPoints(Seq((100L, 100L), (150L, 160L)).toDF("time", "l_value")
-      .withColumn("tenant_id", lit("t1"))
-      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
-      .withColumn("metric", lit("reqs"))
-      .withColumn("n_value", lit(null).cast("double"))
-      .withColumn("avail", lit(null).cast("int"))
-      .withColumn("s_value", lit(null).cast("string"))
-      .withColumn("tags", map()))
+    def counterRows(metric: String, rows: Seq[(Long, Long)]) =
+      rows.toDF("time", "l_value")
+        .withColumn("tenant_id", lit("t1"))
+        .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+        .withColumn("metric", lit(metric))
+        .withColumn("n_value", lit(null).cast("double"))
+        .withColumn("avail", lit(null).cast("int"))
+        .withColumn("s_value", lit(null).cast("string"))
+        .withColumn("tags", map())
+    svc.addDataPoints(counterRows("reqs", Seq((100L, 100L), (150L, 160L))))
+    svc.addDataPoints(counterRows("cpu", Seq((100L, 1L), (150L, 2L))))
     svc.addDataPoints(Seq((100L, 0), (150L, 1)).toDF("time", "avail")
       .withColumn("tenant_id", lit("t1"))
       .withColumn("mtype", lit(MetricType.Availability.code.toInt))
@@ -171,10 +178,21 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(byBranch.keySet == Set("gauge", "counter", "counter_rate", "availability"))
     val g = byBranch("gauge").head
     assert(g.getAs[String]("metric") == "cpu" && g.getAs[Long]("samples") == 2)
+    // per-type id resolution: counter 'cpu' (env=dev) stays OUT even
+    // though its name matches the selected gauge
+    assert(byBranch("counter").map(_.getAs[String]("metric")).toSet == Set("reqs"))
+    assert(byBranch("counter_rate").map(_.getAs[String]("metric")).toSet == Set("reqs"))
     assert(byBranch("counter_rate").head.getAs[Long]("samples") == 1) // one pair
     val a = byBranch("availability").head
     assert(a.getAs[Long]("up_ms") == 50L && a.getAs[Long]("down_ms") == 50L)
     assert(a.isNullAt(a.fieldIndex("min"))) // numeric columns null-padded
+
+    // RATE-ONLY request: counter value branch absent, rate branch present
+    val rateOnly = svc.statsQuery("t1", "env = prod",
+      BucketConfig(TimeRange(100, 200), Some(1), None),
+      types = Set(MetricType.Gauge), includeCounterRate = true).collect()
+    val roBranches = rateOnly.map(_.getAs[String]("branch")).toSet
+    assert(roBranches == Set("gauge", "counter_rate"), roBranches.toString)
   }
 
   test("string ingest size cap rejects oversized values (S3)") {

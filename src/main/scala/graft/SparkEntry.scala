@@ -1332,6 +1332,48 @@ object SparkEntry {
              |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
              |FROM sh GROUP BY shard""".stripMargin)),
 
+    // ---- LLM: fixed-size token chunking with overlap (tokenize-and-pack,
+    // the step before batching) — explode(sequence) + slice, no UDF ------
+    ("doc_chunks", (s: SparkSession, d: String) =>
+      TextOps.chunkDocs(docs(s, d), chunkTokens = 64, overlap = 16),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |c AS (SELECT doc_id, g.s AS start, len(ws) AS n,
+             |        array_to_string(list_slice(ws, g.s + 1, LEAST(g.s + 64, len(ws))), ' ') AS chunk
+             |      FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - 1, 48)) AS s) g)
+             |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+             |       CAST(LEAST(64, n - start) AS BIGINT) AS chunk_tokens,
+             |       md5(chunk) AS chunk_md5
+             |FROM c""".stripMargin)),
+
+    // ---- LLM: benchmark decontamination — n-gram-overlap test-set leak
+    // check; the eval set's shingles broadcast, the corpus shuffles never -
+    ("decontaminate", (s: SparkSession, d: String) => {
+      val dd = docs(s, d)
+      TextOps.decontaminate(dd, dd.filter(col("doc_id") < 20), shingleK = 8)
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+             |SELECT sh.doc_id, count(*) AS n_shared
+             |FROM sh JOIN b ON b.s = sh.s GROUP BY 1""".stripMargin)),
+
+    // ---- LLM: PII scrubbing — ordered email/phone/digit-run redaction
+    // with per-category counts; pure regexp projection, one scan ---------
+    ("pii_scrub", (s: SparkSession, d: String) => TextOps.piiScrub(docs(s, d)),
+      Some("""WITH s1 AS (SELECT doc_id, text,
+             |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+             |  FROM documents),
+             |s2 AS (SELECT doc_id, text, t1,
+             |    regexp_replace(t1, '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS t2 FROM s1)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t1, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(t2, '\d+')) AS BIGINT) AS n_number,
+             |  md5(regexp_replace(t2, '\d+', '<NUM>', 'g')) AS scrubbed_md5
+             |FROM s2""".stripMargin)),
+
     ("corpus_shard", (s: SparkSession, d: String) => TextOps.corpusShards(docs(s, d), nShards = 8),
       Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
              |sc AS (SELECT doc_id, text, len(ws) AS n_words,

@@ -193,4 +193,72 @@ object TextOps {
     docs.withColumn("sample_bucket", bucket)
       .filter(col("sample_bucket") < rate * hashMod)
   }
+
+  /**
+   * Fixed-size token chunking with overlap — the tokenize-and-pack step
+   * every training pipeline runs before batching. Chunk i covers tokens
+   * [i·stride, i·stride + chunkTokens) with stride = chunkTokens −
+   * overlap; the last chunk is short rather than padded. One scan →
+   * codegen'd `explode(sequence)` + `slice` — fan-out bounded by
+   * tokens/stride, no shuffle, no UDF (the same plan shape as
+   * frame_sample's byte windows, over tokens instead).
+   */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens (got $overlap / $chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), col("n") - col("start")).cast("long").as("chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  /**
+   * Benchmark decontamination — flag corpus documents sharing any k-token
+   * shingle with an evaluation set (the standard n-gram-overlap test-set
+   * leak check). Returns one row per CONTAMINATED document with its
+   * distinct shared-shingle count; clean documents are absent.
+   *
+   * Scale shape: the benchmark is eval-set-sized (thousands of docs), so
+   * its distinct shingles BROADCAST; the corpus-side check is a map-side
+   * hash join over the exploded shingle frame — the 100 TB corpus is
+   * scanned once and never shuffled on content.
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, shingleK: Int = 8): DataFrame = {
+    val bench = Dedup.shingleFrame(benchmark, shingleK).select(col("shingle")).distinct()
+    Dedup.shingleFrame(docs, shingleK)
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Email / phone / digit-run redaction patterns (RE2- and Java-regex
+    * compatible, so the DuckDB oracle applies the identical patterns). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"
+  val NumberPattern = "\\d+"
+
+  /**
+   * PII scrubbing — redact emails, phone-shaped numbers, then remaining
+   * digit runs, with per-category counts. Applied in that order so the
+   * digit-run pass cannot eat a phone number first; each count is taken
+   * against the PREVIOUS stage's text, so categories never double-count.
+   * Pure `regexp_replace`/`regexp_count` projection — one scan, codegen,
+   * no shuffle; the real-pipeline extension point is swapping patterns
+   * for a compiled recognizer list, same plan shape.
+   */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val s1 = regexp_replace(col("text"), lit(EmailPattern), lit("<EMAIL>"))
+    val s2 = regexp_replace(s1, lit(PhonePattern), lit("<PHONE>"))
+    val s3 = regexp_replace(s2, lit(NumberPattern), lit("<NUM>"))
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_email"),
+      regexp_count(s1, lit(PhonePattern)).cast("long").as("n_phone"),
+      regexp_count(s2, lit(NumberPattern)).cast("long").as("n_number"),
+      md5(s3.cast("binary")).as("scrubbed_md5"))
+  }
 }

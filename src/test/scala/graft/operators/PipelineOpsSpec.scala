@@ -24,6 +24,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sh(3L) == Set("a b a", "b a b")) // distinct
   }
 
+  test("chunkDocs: overlapping token windows, short tail, lossless coverage") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val got = TextOps.chunkDocs(docsDf((1L, text)), chunkTokens = 4, overlap = 2)
+      .orderBy("chunk_idx").collect()
+    // stride 2 → starts 0,2,4,6,8 → 5 chunks; last holds 2 tokens
+    assert(got.length == 5)
+    assert(got.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    // chunk 1 covers tokens 3..6 — overlap of 2 with chunk 0
+    val md5_w3w6 = java.security.MessageDigest.getInstance("MD5")
+      .digest("w3 w4 w5 w6".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1).getAs[String]("chunk_md5") == md5_w3w6)
+  }
+
+  test("decontaminate flags only docs sharing a full k-shingle with the benchmark") {
+    val bench = docsDf((1L, "alpha beta gamma delta epsilon"))
+    val corpus = docsDf(
+      (10L, "zzz alpha beta gamma delta epsilon yyy"), // contains the 5-gram
+      (11L, "alpha beta gamma other words here"),      // only a 3-gram prefix
+      (12L, "completely unrelated text body"))
+    val got = TextOps.decontaminate(corpus, bench, shingleK = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(got == Map(10L -> 1L), got.toString)
+  }
+
+  test("piiScrub redacts in order and counts per category without double counting") {
+    val got = TextOps.piiScrub(docsDf(
+      (1L, "mail bob@example.com or call 555-123-4567 room 12"),
+      (2L, "no pii here at all")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_number"))).toMap
+    // the phone's digits are NOT re-counted as digit runs; '12' is
+    assert(got(1L) == ((1L, 1L, 1L)), got.toString)
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
   // ---- exact dedup ----
 
   test("exact groups count duplicates and keep min id") {

@@ -49,6 +49,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Map(10L -> 1L), got.toString)
   }
 
+  test("plan shapes: chunkDocs is shuffle-free; decontaminate broadcasts the benchmark") {
+    val corpus = docsDf((1L, (1 to 200).map(i => s"w$i").mkString(" ")))
+    val chunkPlan = TextOps.chunkDocs(corpus).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunking must not shuffle:\n$chunkPlan")
+    val deconPlan = TextOps.decontaminate(corpus, docsDf((2L, "a b c d e f g h i")))
+      .queryExecution.executedPlan.toString
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$deconPlan")
+  }
+
   test("piiScrub redacts in order and counts per category without double counting") {
     val got = TextOps.piiScrub(docsDf(
       (1L, "mail bob@example.com or call 555-123-4567 room 12"),

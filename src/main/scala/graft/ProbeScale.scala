@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Buckets
-import graft.operators.{Dedup, MetricsOps, Similarity}
+import graft.operators.{Dedup, MetricsOps, Similarity, TextOps}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -122,6 +122,36 @@ object ProbeScale {
     }
     time("emb_srp_multiprobe") {
       Similarity.srpMultiTablePairs(scaledEmbs(spark, dir, n), 0.3, numPlanes = 8, numTables = 2)
+    }
+    time("p2sketch_stats") {
+      // the O(1)-state percentile path under replication: rows grow 10x,
+      // groups stay fixed (pooled buckets) — state must not
+      MetricsOps.numericBucketStats(scaledGauge(spark, dir, n),
+        Buckets.fromCount(S, E, 60), Seq(90.0, 99.0),
+        mode = MetricsOps.PercentileMode.P2Sketch)
+    }
+    time("mixed_stats") {
+      // EP2 fan-out: four branches over the replicated gauge frame used
+      // as every type (types share the frame shape; the point is the
+      // scan-share + four aggregations, not type semantics)
+      val g = scaledGauge(spark, dir, n)
+      val c = g.withColumn("l_value", col("n_value").cast("long"))
+      val a = g.withColumn("avail", pmod(col("time"), lit(3)).cast("int"))
+      MetricsOps.mixedTypeStats(Buckets.fromStep(S, E, 86400000L),
+        gaugeDp = Some(g), counterDp = Some(c), availDp = Some(a),
+        includeCounterRate = true)
+    }
+    time("doc_chunks") {
+      TextOps.chunkDocs(scaledDocs(spark, dir, n), chunkTokens = 64, overlap = 16)
+    }
+    time("decontaminate") {
+      // benchmark stays FIXED-size while the corpus replicates — the
+      // broadcast-side invariant the 100 TB path depends on
+      val d = scaledDocs(spark, dir, n)
+      TextOps.decontaminate(d, d.filter(col("doc_id") < 20), shingleK = 8)
+    }
+    time("pii_scrub") {
+      TextOps.piiScrub(scaledDocs(spark, dir, n))
     }
     spark.stop()
   }

@@ -52,12 +52,17 @@ class MetricsService(spark: SparkSession, root: String) {
       .select("id", "retentions")
   }
 
+  /** `dataRetention` stays NULL when unspecified (the reference's
+    * `Metric.dataRetention` is nullable, Metric.java:48-54): an absent
+    * override falls through to the tenant's per-type retention and then
+    * the system default — storing the default here would freeze it as a
+    * per-metric override and mask later tenant-level changes. */
   def createMetric(id: MetricId, tags: Map[String, String],
                    dataRetention: Option[Int] = None): Unit = {
     val s = spark
     import s.implicits._
     Seq((id.tenantId, id.mtype.toInt, id.name, tags,
-      dataRetention.getOrElse(DefaultRetentionDays), GraftStorage.nextIngestSeq()))
+      dataRetention, GraftStorage.nextIngestSeq()))
       .toDF("tenant_id", "mtype", "metric", "tags", "data_retention", "ingest_seq")
       .write.mode(SaveMode.Append).parquet(metricsPath)
   }
@@ -186,6 +191,44 @@ class MetricsService(spark: SparkSession, root: String) {
 
   def raw(): DataFrame = GraftStorage.read(spark, dataPath)
 
+  /**
+   * Read-side retention enforcement, full precedence chain: per-metric
+   * catalog `dataRetention` ≻ the tenant's per-type retention map ≻ keep
+   * (the system default is enforced by the storage sweep,
+   * [[applyRetention]]). This is the read view of the reference's
+   * write-time TTL scheme — per-metric retentions in `retentions_idx`
+   * (Metric.java:48-54, bootstrap.groovy:139-147), tenant maps via
+   * `Tenant.getRetentionSettings` (Functions.java:121-127). Both frames
+   * are catalog-sized and broadcast; the datapoint stream never shuffles.
+   */
+  def retainedRaw(now: Long = System.currentTimeMillis()): DataFrame = {
+    val s = spark
+    import s.implicits._
+    // tenant retention maps are keyed by the metric-type TEXT
+    // ("gauge", "counter", ...); unknown keys are ignored
+    val typeCode = MetricType.userTypes.foldLeft(lit(null).cast("int")) {
+      (acc, t) => when(col("tname") === t.text, lit(t.code.toInt)).otherwise(acc)
+    }
+    val tenantRet =
+      try getTenants()
+        .select(col("id").as("tenant_id"),
+          explode(col("retentions")).as(Seq("tname", "retention_days")))
+        .withColumn("mtype", typeCode).filter(col("mtype").isNotNull)
+        .select("tenant_id", "mtype", "retention_days")
+        .localCheckpoint() // tenants may be rewritten after planning
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(String, Int, Int)].toDF("tenant_id", "mtype", "retention_days") }
+    val overrides =
+      try metricsIndex().filter(col("data_retention").isNotNull)
+        .select(col("tenant_id"), col("mtype"), col("metric"),
+          col("data_retention").as("retention_days"))
+        .localCheckpoint()
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(String, Int, String, Int)]
+          .toDF("tenant_id", "mtype", "metric", "retention_days") }
+    MetricsOps.applyRetention(raw(), tenantRet, Some(overrides), now)
+  }
+
   // ------------------------------------------------------------------
   // reads (EP1/EP2 paths)
   // ------------------------------------------------------------------
@@ -298,7 +341,9 @@ class MetricsService(spark: SparkSession, root: String) {
                                  percentiles: Seq[Double] = Seq.empty,
                                  now: Long = System.currentTimeMillis()): DataFrame = {
     val retentionMs = metricsIndex().filter(metricKey(id)).select("data_retention")
-      .collect().headOption.map(_.getInt(0)).getOrElse(DefaultRetentionDays) * 86400000L
+      .collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(DefaultRetentionDays) * 86400000L
     val config = BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
     MetricsOps.skipLeadingEmptyBuckets(findGaugeStats(id, config, percentiles))
   }

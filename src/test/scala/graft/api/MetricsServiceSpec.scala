@@ -195,6 +195,27 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(roBranches == Set("gauge", "counter_rate"), roBranches.toString)
   }
 
+  test("retainedRaw: metric override beats tenant per-type map beats keep") {
+    val svc = newService()
+    val day = 86400000L
+    val now = 100 * day
+    svc.createTenant("t1", Map("gauge" -> 21))
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "a"), Map.empty,
+      dataRetention = Some(3)) // per-metric override: 3d
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "b"), Map.empty) // tenant map: 21d
+    val old = now - 10 * day; val fresh = now - 2 * day
+    svc.addDataPoints(gaugeRows("a", Seq((old, 1.0), (fresh, 2.0))))
+    svc.addDataPoints(gaugeRows("b", Seq((old, 1.0), (fresh, 2.0))))
+    // a third tenant with NO tenant row and no override: kept as-is
+    svc.addDataPoints(gaugeRows("c", Seq((old, 1.0), (fresh, 2.0)))
+      .withColumn("tenant_id", lit("t2")))
+    val got = svc.retainedRaw(now).groupBy("metric").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 3d override drops the 10d-old point; b: tenant 21d keeps both;
+    // c: no applicable rule → untouched (system default is the sweep's job)
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L), got.toString)
+  }
+
   test("string ingest size cap rejects oversized values (S3)") {
     val s = spark
     import s.implicits._

@@ -28,6 +28,13 @@ class MetricsService(spark: SparkSession, root: String) {
 
   val DefaultRetentionDays = 7 // reference MetricsServiceImpl.java:193-194
 
+  /** Percentile strategy for the stats entry points: Adaptive — exact
+    * under the plan-time per-group size estimate, the O(1)-state P2
+    * sketch past it (MetricsOps.PercentileMode.Adaptive). Requests at
+    * oracle scale resolve Exact; unbounded groups at deployment scale
+    * get bounded memory without a manual switch. */
+  val DefaultPercentileMode: MetricsOps.PercentileMode = MetricsOps.PercentileMode.Adaptive()
+
   // ------------------------------------------------------------------
   // tenants + catalog (S7, createTenant/createMetric/...)
   // ------------------------------------------------------------------
@@ -328,7 +335,8 @@ class MetricsService(spark: SparkSession, root: String) {
                      percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val b = config.buckets
     MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles), b)
+      MetricsOps.numericBucketStats(series(id), b, percentiles,
+        mode = DefaultPercentileMode), b)
   }
 
   /**
@@ -351,7 +359,8 @@ class MetricsService(spark: SparkSession, root: String) {
   /** Tagged variant (A6): group by per-point tag-value combinations. */
   def findGaugeStats(id: MetricId, tags: Map[String, String],
                      percentiles: Seq[Double]): DataFrame =
-    MetricsOps.taggedStats(series(id), tags, percentiles)
+    MetricsOps.taggedStats(series(id), tags, percentiles,
+      mode = DefaultPercentileMode)
 
   /** A4/A5 — multi-metric stats over a tag query or id list. */
   def findNumericStats(tenantId: String, mtype: MetricType, ids: Seq[String],
@@ -359,8 +368,10 @@ class MetricsService(spark: SparkSession, root: String) {
                        stacked: Boolean): DataFrame = {
     val dp = MetricsOps.dataPointsForIds(
       raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
-    if (stacked) MetricsOps.stackedStats(dp, config.buckets, percentiles)
-    else MetricsOps.pooledStats(dp, config.buckets, percentiles)
+    if (stacked) MetricsOps.stackedStats(dp, config.buckets, percentiles,
+      mode = DefaultPercentileMode)
+    else MetricsOps.pooledStats(dp, config.buckets, percentiles,
+      mode = DefaultPercentileMode)
   }
 
   /** [[findGaugeStats]] with the user's ORIGINAL percentile strings
@@ -456,7 +467,8 @@ class MetricsService(spark: SparkSession, root: String) {
   /** Counter tagged stats (A6 for counters, MetricsService.java:307). */
   def findCounterStats(id: MetricId, tags: Map[String, String],
                        percentiles: Seq[Double]): DataFrame =
-    MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value")
+    MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value",
+      mode = DefaultPercentileMode)
 
   /** String fetch: unlike availability, the reference applies `limit` to
     * the RAW fetch and distincts the limited page
@@ -475,7 +487,8 @@ class MetricsService(spark: SparkSession, root: String) {
                        percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val b = config.buckets
     MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value"), b)
+      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value",
+        mode = DefaultPercentileMode), b)
   }
 
   /** W1 — COUNTER_RATE / GAUGE_RATE virtual types (limit after pairing,
@@ -491,7 +504,8 @@ class MetricsService(spark: SparkSession, root: String) {
                     percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val t = MetricType.fromCode(id.mtype)
     MetricsOps.rateStats(series(id), config.buckets, isCounter = t == MetricType.Counter,
-      valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles)
+      valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles,
+      mode = DefaultPercentileMode)
   }
 
   /** W2 — maximal predicate-true runs within a range (reference

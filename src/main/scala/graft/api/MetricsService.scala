@@ -418,7 +418,8 @@ class MetricsService(spark: SparkSession, root: String) {
       counterDp = if (counterNeeded) Some(scoped(MetricType.Counter)) else None,
       availDp = if (types(MetricType.Availability)) Some(scoped(MetricType.Availability)) else None,
       includeCounterValue = types(MetricType.Counter),
-      includeCounterRate = includeCounterRate)
+      includeCounterRate = includeCounterRate,
+      mode = DefaultPercentileMode)
   }
 
   /** One EP2 request (POST /metrics/stats/query body). */

@@ -469,7 +469,8 @@ object MetricsOps {
                      counterDp: Option[DataFrame] = None,
                      availDp: Option[DataFrame] = None,
                      includeCounterValue: Boolean = true,
-                     includeCounterRate: Boolean = false): DataFrame = {
+                     includeCounterRate: Boolean = false,
+                     mode: PercentileMode = PercentileMode.Exact): DataFrame = {
     val numNames = Seq("min", "avg", "max", "sum", "median")
     val availNames = Seq("up_ms", "down_ms", "unknown_ms", "admin_ms",
       "last_not_uptime", "not_up_count")
@@ -493,15 +494,16 @@ object MetricsOps {
     }
     val branches =
       gaugeDp.map(dp =>
-        numBranch("gauge", numericBucketStats(dp, b, byMetric = true))).toSeq ++
+        numBranch("gauge", numericBucketStats(dp, b, byMetric = true, mode = mode))).toSeq ++
       (if (includeCounterValue) counterShared.map(dp =>
         numBranch("counter",
-          numericBucketStats(dp, b, byMetric = true, valueCol = "l_value"))).toSeq
+          numericBucketStats(dp, b, byMetric = true, valueCol = "l_value",
+            mode = mode))).toSeq
       else Seq.empty) ++
       (if (includeCounterRate) counterShared.map(dp =>
         numBranch("counter_rate",
           numericBucketStats(rate(dp, isCounter = true, valueCol = "l_value"), b,
-            byMetric = true, valueCol = "rate"))).toSeq
+            byMetric = true, valueCol = "rate", mode = mode))).toSeq
       else Seq.empty) ++
       availDp.map(dp => availBranch(availabilityBucketStats(dp, b))).toSeq
     require(branches.nonEmpty, "mixedTypeStats needs at least one type branch")

@@ -123,8 +123,18 @@ class MetricsServiceSpec extends SparkTestBase {
     // the 160→40 reset pair dropped (F6), 40→100 still pairs
     val got = svc.findDataPoints(MetricId("t1", MetricType.CounterRate.code, "c"),
       Some(0L), Some(200000L), now = 200000L)
+      .select("time", "rate", "mtype").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((60000L, 60.0), (180000L, 60.0)))
+    // rows answer AS the requested virtual type, not the stored counter
+    assert(got.map(_.getInt(2)).toSet == Set(MetricType.CounterRate.code.toInt))
+
+    // GAUGE_RATE takes the same dispatch over n_value (no reset drop)
+    svc.addDataPoints(gaugeRows("g", Seq((0L, 10.0), (60000L, 40.0), (120000L, 10.0))))
+    val gr = svc.findDataPoints(MetricId("t1", MetricType.GaugeRate.code, "g"),
+      Some(0L), Some(200000L), now = 200000L)
       .select("time", "rate").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-    assert(got == Set((60000L, 60.0), (180000L, 60.0)))
+    assert(gr == Set((60000L, 30.0), (120000L, -30.0)))
   }
 
   test("percentile result columns preserve the user's ORIGINAL quantile string") {

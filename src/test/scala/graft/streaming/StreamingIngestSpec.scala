@@ -120,6 +120,30 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(r.getAs[Double]("uptime_ratio") == 0.5)
   }
 
+  test("streaming availability keeps multi-tenant series distinct in the output") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val Day = 86400000L
+    val mem = MemoryStream[AP]
+    val q = StreamingAvail.slices(mem.toDF()).toDF()
+      .writeStream.format("memory").queryName("mt_avail").outputMode("append").start()
+    // same metric name, two tenants, DIFFERENT availability histories
+    mem.addData(AP("t1", 1, "m", 1000L, 0), AP("t2", 1, "m", 1000L, 1))
+    q.processAllAvailable()
+    mem.addData(AP("t1", 1, "m", 4 * Day, 0)) // advance the watermark
+    q.processAllAvailable()
+    mem.addData(AP("t1", 1, "m", 8 * Day, 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT tenant_id, up_ms, down_ms FROM mt_avail WHERE bucket_start = 0").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // without tenant_id in Out these two would collapse into duplicate
+    // indistinguishable (metric, bucket) rows
+    assert(rows == Map("t1" -> ((Day, 0L)), "t2" -> ((0L, Day))), rows.toString)
+  }
+
   test("windowed stats finalize on watermark; late data beyond it is dropped") {
     val s = spark
     import s.implicits._

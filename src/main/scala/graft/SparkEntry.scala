@@ -126,7 +126,7 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  private val defs: Seq[(String, Q, Option[String])] = Seq(
+  private lazy val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- S4/F1/F9/T1/T2: raw fetch, ordered + limited --------------------
     ("raw_fetch_desc",
@@ -1040,8 +1040,27 @@ object SparkEntry {
       Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2,
         kCells = 4, iters = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
-    },
-      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+    }, Some(IvfKmeansOracle)),
+
+    // ---- LLM: the PERSISTED IVF index — train once, write the corpus
+    // partitioned by cell + the centroid model, then serve the same
+    // queries from the stored index via partition-pruned scans. Results
+    // are bit-identical to knn_ivf_kmeans (same training), so the same
+    // oracle verifies the whole build→store→search lifecycle. -----------
+    ("knn_ivf_stored", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfidx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+      Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }, Some(IvfKmeansOracle))
+  )
+
+  /** Oracle for the deterministic trained-IVF paths (knn_ivf_kmeans and
+    * knn_ivf_stored share it — the stored index changes WHERE the data
+    * lives, not what the search returns). */
+  private val IvfKmeansOracle =
+       """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
              |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
              |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, e AS ce,
              |         sqrt(list_sum(list_transform(e, x -> x * x))) AS cnrm FROM dv WHERE vec_id < 4),
@@ -1083,7 +1102,9 @@ object SparkEntry {
              |r AS (SELECT query_id, neighbor_id, cosine,
              |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
              |      FROM sc)
-             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin
+
+  private lazy val moreDefs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- LLM: signed-random-projection LSH top-k (the other scale path) --
     ("knn_srp", (s: SparkSession, d: String) => {
@@ -1400,12 +1421,14 @@ object SparkEntry {
              |FROM sh GROUP BY shard""".stripMargin))
   )
 
+  private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, f, _) => n -> f }.toMap
+    allDefs.map { case (n, f, _) => n -> f }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    defs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    allDefs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

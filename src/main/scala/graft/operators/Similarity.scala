@@ -367,4 +367,48 @@ object Similarity {
       model.toDF("cell", "centroid"), "centroid").withColumnRenamed("nrm", "centroid_nrm")
     ivfSearch(c, queries, cents, k, nprobe)
   }
+
+  // ------------------------------------------------------------------
+  // persisted IVF index — build once, serve partition-pruned queries
+  // ------------------------------------------------------------------
+
+  /**
+   * Materialize an IVF index: train k-means, write the corpus
+   * PARTITIONED BY CELL (`path/vectors/cell=N/...`), store the centroid
+   * model alongside (`path/centroids`, k tiny rows). This is the storage
+   * analog of an ANN index structure: at serving time a query touches
+   * only its probed cells' files. At 100 TB the build is the training
+   * passes plus ONE partitioned write; no query ever re-trains or
+   * re-assigns.
+   */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    kCells: Int = 4, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = kmeansCentroids(corpus, kCells, iters)
+    withNorm(corpus.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
+      .withColumn("cell", assignCell(model, "v", "nrm"))
+      .select("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    model.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /**
+   * Top-k search against a [[writeIvfIndex]] index. The probe set joins
+   * the cell-partitioned scan on the PARTITION column, so dynamic
+   * partition pruning restricts the read to the probed cells' files —
+   * the serving path reads nprobe/kCells of the corpus, which is the
+   * entire point of the index. Results are bit-identical to
+   * [[ivfKmeansTopK]] with the same training parameters (spec-asserted).
+   */
+  def ivfStoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = withNorm(spark.read.parquet(s"$path/centroids"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val c = withNorm(spark.read.parquet(s"$path/vectors")
+      .select(col("cell"), col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    ivfSearch(c, queries, cents, k, nprobe)
+  }
 }

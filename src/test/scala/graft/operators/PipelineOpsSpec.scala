@@ -70,6 +70,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(2L) == ((0L, 0L, 0L)))
   }
 
+  test("stored IVF index: cell-partitioned layout, pruned serving scan, " +
+    "results identical to the in-memory trained path") {
+    val s = spark
+    import s.implicits._
+    // deterministic 40-vector corpus over Similarity.Dim components
+    val e = (0 until 40).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val live = Similarity.ivfKmeansTopK(e, q, 5, nprobe = 2, kCells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+    // layout: the corpus landed partitioned by cell
+    val dirs = new java.io.File(s"$path/vectors").list().filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty, "expected cell=N partition directories")
+    val storedDf = Similarity.ivfStoredTopK(s, path, q, 5, nprobe = 2)
+    val stored = storedDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(stored == live, s"stored-index search must match the live path")
+    // serving reads only probed cells: dynamic partition pruning on the
+    // cell-partitioned scan
+    val plan = storedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the vectors scan:\n$plan")
+  }
+
   // ---- exact dedup ----
 
   test("exact groups count duplicates and keep min id") {

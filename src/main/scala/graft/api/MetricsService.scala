@@ -28,11 +28,17 @@ class MetricsService(spark: SparkSession, root: String) {
 
   val DefaultRetentionDays = 7 // reference MetricsServiceImpl.java:193-194
 
-  /** Percentile strategy for the stats entry points: Adaptive — exact
-    * under the plan-time per-group size estimate, the O(1)-state P2
-    * sketch past it (MetricsOps.PercentileMode.Adaptive). Requests at
-    * oracle scale resolve Exact; unbounded groups at deployment scale
-    * get bounded memory without a manual switch. */
+  /** Percentile strategy for the MULTI-METRIC stats entry points
+    * (pooled/stacked/mixed): Adaptive — exact under the plan-time
+    * per-group size estimate, the O(1)-state P2 sketch past it. Those are
+    * the requests whose groups grow with the CORPUS (every selected
+    * metric's points share `buckets.count` groups), which is the OOM the
+    * switch exists to prevent. SINGLE-SERIES stats stay Exact like the
+    * reference: their per-bucket group is bounded by one series' sampling
+    * rate x bucket width, and the plan-time size estimate cannot see the
+    * series filter's selectivity (no CBO), so Adaptive there would flip
+    * small requests to approximate results off the whole partition
+    * subtree's size. */
   val DefaultPercentileMode: MetricsOps.PercentileMode = MetricsOps.PercentileMode.Adaptive()
 
   // ------------------------------------------------------------------
@@ -128,19 +134,27 @@ class MetricsService(spark: SparkSession, root: String) {
       MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype),
       filter)
 
+  // tag edits re-create the catalog row (append + LWW), so they must
+  // CARRY the current dataRetention through — writing the default None
+  // would shadow an explicit override on the next index resolution,
+  // silently changing retention behavior from an unrelated tag edit
   def addTags(id: MetricId, tags: Map[String, String]): Unit = {
-    val current = currentTags(id)
-    createMetric(id, current ++ tags)
+    val (current, retention) = currentDefinition(id)
+    createMetric(id, current ++ tags, retention)
   }
 
   def deleteTags(id: MetricId, tags: Set[String]): Unit = {
-    val current = currentTags(id)
-    createMetric(id, current -- tags)
+    val (current, retention) = currentDefinition(id)
+    createMetric(id, current -- tags, retention)
   }
 
-  private def currentTags(id: MetricId): Map[String, String] =
-    metricsIndex().filter(metricKey(id)).select("tags").collect()
-      .headOption.map(_.getMap[String, String](0).toMap).getOrElse(Map.empty)
+  /** (tags, dataRetention) of the current LWW definition. */
+  private def currentDefinition(id: MetricId): (Map[String, String], Option[Int]) =
+    metricsIndex().filter(metricKey(id)).select("tags", "data_retention").collect()
+      .headOption.map { r =>
+        (r.getMap[String, String](0).toMap,
+          if (r.isNullAt(1)) None else Some(r.getInt(1)))
+      }.getOrElse((Map.empty, None))
 
   /** Single-metric definition lookup (reference findMetric:102-109). */
   def findMetric(id: MetricId): DataFrame =
@@ -335,8 +349,7 @@ class MetricsService(spark: SparkSession, root: String) {
                      percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val b = config.buckets
     MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles,
-        mode = DefaultPercentileMode), b)
+      MetricsOps.numericBucketStats(series(id), b, percentiles), b)
   }
 
   /**
@@ -348,19 +361,31 @@ class MetricsService(spark: SparkSession, root: String) {
                                  bucketDuration: Option[GDuration],
                                  percentiles: Seq[Double] = Seq.empty,
                                  now: Long = System.currentTimeMillis()): DataFrame = {
-    val retentionMs = metricsIndex().filter(metricKey(id)).select("data_retention")
+    // the SAME precedence chain retainedRaw enforces — metric override,
+    // then the tenant's per-type retention, then the system default —
+    // so the "from earliest" window and the retained data agree
+    val metricOverride = metricsIndex().filter(metricKey(id)).select("data_retention")
       .collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    val retentionMs = metricOverride
+      .orElse(tenantRetentionDays(id.tenantId, MetricType.fromCode(id.mtype)))
       .getOrElse(DefaultRetentionDays) * 86400000L
     val config = BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
     MetricsOps.skipLeadingEmptyBuckets(findGaugeStats(id, config, percentiles))
   }
 
+  /** The tenant's retention for one metric type, if configured. */
+  private def tenantRetentionDays(tenantId: String, t: MetricType): Option[Int] =
+    try getTenants().filter(col("id") === tenantId)
+      .select(element_at(col("retentions"), t.text))
+      .collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    catch { case _: org.apache.spark.sql.AnalysisException => None } // no tenants written yet
+
   /** Tagged variant (A6): group by per-point tag-value combinations. */
   def findGaugeStats(id: MetricId, tags: Map[String, String],
                      percentiles: Seq[Double]): DataFrame =
-    MetricsOps.taggedStats(series(id), tags, percentiles,
-      mode = DefaultPercentileMode)
+    MetricsOps.taggedStats(series(id), tags, percentiles)
 
   /** A4/A5 — multi-metric stats over a tag query or id list. */
   def findNumericStats(tenantId: String, mtype: MetricType, ids: Seq[String],
@@ -407,9 +432,9 @@ class MetricsService(spark: SparkSession, root: String) {
     val ids = findMetricIdentifiersWithFilters(tenantId, None, tagExpression)
       .select("mtype", "metric").localCheckpoint()
     def scoped(t: MetricType): DataFrame =
-      raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt)
-        .join(broadcast(ids.filter(col("mtype") === t.code.toInt)
-          .select("metric").distinct()), Seq("metric"), "left_semi")
+      MetricsOps.dataPointsForIds(
+        raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt),
+        ids.filter(col("mtype") === t.code.toInt))
     // a rate request needs the counter FETCH even when the counter value
     // branch itself is not requested (rate-only stats are legal)
     val counterNeeded = types(MetricType.Counter) || includeCounterRate
@@ -468,8 +493,7 @@ class MetricsService(spark: SparkSession, root: String) {
   /** Counter tagged stats (A6 for counters, MetricsService.java:307). */
   def findCounterStats(id: MetricId, tags: Map[String, String],
                        percentiles: Seq[Double]): DataFrame =
-    MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value",
-      mode = DefaultPercentileMode)
+    MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value")
 
   /** String fetch: unlike availability, the reference applies `limit` to
     * the RAW fetch and distincts the limited page
@@ -488,8 +512,7 @@ class MetricsService(spark: SparkSession, root: String) {
                        percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val b = config.buckets
     MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value",
-        mode = DefaultPercentileMode), b)
+      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value"), b)
   }
 
   /** W1 — COUNTER_RATE / GAUGE_RATE virtual types (limit after pairing,
@@ -505,8 +528,7 @@ class MetricsService(spark: SparkSession, root: String) {
                     percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val t = MetricType.fromCode(id.mtype)
     MetricsOps.rateStats(series(id), config.buckets, isCounter = t == MetricType.Counter,
-      valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles,
-      mode = DefaultPercentileMode)
+      valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles)
   }
 
   /** W2 — maximal predicate-true runs within a range (reference

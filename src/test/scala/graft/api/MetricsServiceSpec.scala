@@ -205,6 +205,32 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(roBranches == Set("gauge", "counter_rate"), roBranches.toString)
   }
 
+  test("tag edits preserve an explicit dataRetention override through the LWW rewrite") {
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    svc.createMetric(id, Map("a" -> "1"), dataRetention = Some(3))
+    svc.addTags(id, Map("b" -> "2"))
+    svc.deleteTags(id, Set("a"))
+    val row = svc.findMetric(id).select("data_retention", "tags").collect().head
+    assert(row.getInt(0) == 3, "tag edits must not erase the retention override")
+    assert(row.getMap[String, String](1).toMap == Map("b" -> "2"))
+  }
+
+  test("fromEarliest honors the tenant per-type retention when no metric override exists") {
+    val svc = newService()
+    val day = 86400000L
+    val now = 100 * day
+    svc.createTenant("t1", Map("gauge" -> 21))
+    val id = MetricId("t1", MetricType.Gauge.code, "m")
+    svc.createMetric(id, Map.empty) // NO per-metric override
+    svc.addDataPoints(gaugeRows("m", Seq((now - 10 * day, 1.0), (now - 2 * day, 2.0))))
+    // with the 7d default the 10d-old point would fall outside the window;
+    // the tenant's 21d retention must widen it
+    val got = svc.findGaugeStatsFromEarliest(id, Some(21), None, now = now)
+    val samples = got.agg(sum(col("samples"))).collect().head.getLong(0)
+    assert(samples == 2L, s"expected both points inside the fromEarliest window, got $samples")
+  }
+
   test("retainedRaw: metric override beats tenant per-type map beats keep") {
     val svc = newService()
     val day = 86400000L

@@ -203,19 +203,25 @@ object TextOps {
    * tokens/stride, no shuffle, no UDF (the same plan shape as
    * frame_sample's byte windows, over tokens instead).
    */
-  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+  /** `includeText=true` additionally emits the chunk's text (`chunk`) —
+    * what a training pipeline actually packs; the default keeps the
+    * verification-friendly narrow schema. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32,
+                includeText: Boolean = false): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens (got $overlap / $chunkTokens)")
     val stride = chunkTokens - overlap
+    val chunk = array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+    val base = Seq(
+      col("doc_id"),
+      (col("start") / stride).cast("long").as("chunk_idx"),
+      least(lit(chunkTokens), col("n") - col("start")).cast("long").as("chunk_tokens"),
+      md5(chunk.cast("binary")).as("chunk_md5"))
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
-      .select(col("doc_id"),
-        (col("start") / stride).cast("long").as("chunk_idx"),
-        least(lit(chunkTokens), col("n") - col("start")).cast("long").as("chunk_tokens"),
-        md5(array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
-          .cast("binary")).as("chunk_md5"))
+      .select((if (includeText) base :+ chunk.as("chunk") else base): _*)
   }
 
   /**

@@ -36,6 +36,10 @@ class PipelineOpsSpec extends SparkTestBase {
     val md5_w3w6 = java.security.MessageDigest.getInstance("MD5")
       .digest("w3 w4 w5 w6".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got(1).getAs[String]("chunk_md5") == md5_w3w6)
+    // includeText emits the packable chunk content itself
+    val withText = TextOps.chunkDocs(docsDf((1L, text)), chunkTokens = 4, overlap = 2,
+      includeText = true).orderBy("chunk_idx").collect()
+    assert(withText(1).getAs[String]("chunk") == "w3 w4 w5 w6")
   }
 
   test("decontaminate flags only docs sharing a full k-shingle with the benchmark") {

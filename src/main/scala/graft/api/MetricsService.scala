@@ -360,18 +360,32 @@ class MetricsService(spark: SparkSession, root: String) {
   def findGaugeStatsFromEarliest(id: MetricId, bucketCount: Option[Int],
                                  bucketDuration: Option[GDuration],
                                  percentiles: Seq[Double] = Seq.empty,
-                                 now: Long = System.currentTimeMillis()): DataFrame = {
-    // the SAME precedence chain retainedRaw enforces — metric override,
-    // then the tenant's per-type retention, then the system default —
-    // so the "from earliest" window and the retained data agree
+                                 now: Long = System.currentTimeMillis()): DataFrame =
+    MetricsOps.skipLeadingEmptyBuckets(
+      findGaugeStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now), percentiles))
+
+  /** Counter twin of [[findGaugeStatsFromEarliest]] (the reference's
+    * CounterHandler carries the same fromEarliest flag). */
+  def findCounterStatsFromEarliest(id: MetricId, bucketCount: Option[Int],
+                                   bucketDuration: Option[GDuration],
+                                   percentiles: Seq[Double] = Seq.empty,
+                                   now: Long = System.currentTimeMillis()): DataFrame =
+    MetricsOps.skipLeadingEmptyBuckets(
+      findCounterStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now), percentiles))
+
+  /** The fromEarliest range: retention window ending `now`, resolved with
+    * the SAME precedence chain retainedRaw enforces — metric override,
+    * then the tenant's per-type retention, then the system default — so
+    * the "from earliest" window and the retained data agree. */
+  private def fromEarliestConfig(id: MetricId, bucketCount: Option[Int],
+                                 bucketDuration: Option[GDuration], now: Long): BucketConfig = {
     val metricOverride = metricsIndex().filter(metricKey(id)).select("data_retention")
       .collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     val retentionMs = metricOverride
       .orElse(tenantRetentionDays(id.tenantId, MetricType.fromCode(id.mtype)))
       .getOrElse(DefaultRetentionDays) * 86400000L
-    val config = BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
-    MetricsOps.skipLeadingEmptyBuckets(findGaugeStats(id, config, percentiles))
+    BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
   }
 
   /** The tenant's retention for one metric type, if configured. */

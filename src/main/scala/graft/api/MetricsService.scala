@@ -373,16 +373,15 @@ class MetricsService(spark: SparkSession, root: String) {
     MetricsOps.skipLeadingEmptyBuckets(
       findCounterStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now), percentiles))
 
-  /** The fromEarliest range: retention window ending `now`, resolved with
-    * the SAME precedence chain retainedRaw enforces — metric override,
-    * then the tenant's per-type retention, then the system default — so
-    * the "from earliest" window and the retained data agree. */
+  /** The fromEarliest range: retention window ending `now`, resolved
+    * metric override ≻ tenant per-type retention — the same first two
+    * layers retainedRaw applies. The LAST layer differs by design: a
+    * window needs a concrete width, so an unconfigured metric falls to
+    * the system default here, while retainedRaw keeps unconfigured data
+    * (its default is the storage sweep's job). */
   private def fromEarliestConfig(id: MetricId, bucketCount: Option[Int],
                                  bucketDuration: Option[GDuration], now: Long): BucketConfig = {
-    val metricOverride = metricsIndex().filter(metricKey(id)).select("data_retention")
-      .collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-    val retentionMs = metricOverride
+    val retentionMs = currentDefinition(id)._2
       .orElse(tenantRetentionDays(id.tenantId, MetricType.fromCode(id.mtype)))
       .getOrElse(DefaultRetentionDays) * 86400000L
     BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)

@@ -202,10 +202,11 @@ object TextOps {
    * codegen'd `explode(sequence)` + `slice` — fan-out bounded by
    * tokens/stride, no shuffle, no UDF (the same plan shape as
    * frame_sample's byte windows, over tokens instead).
+   *
+   * `includeText=true` additionally emits the chunk's text (`chunk`) —
+   * what a training pipeline actually packs; the default keeps the
+   * verification-friendly narrow schema.
    */
-  /** `includeText=true` additionally emits the chunk's text (`chunk`) —
-    * what a training pipeline actually packs; the default keeps the
-    * verification-friendly narrow schema. */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32,
                 includeText: Boolean = false): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,

@@ -229,6 +229,24 @@ class MetricsServiceSpec extends SparkTestBase {
     val got = svc.findGaugeStatsFromEarliest(id, Some(21), None, now = now)
     val samples = got.agg(sum(col("samples"))).collect().head.getLong(0)
     assert(samples == 2L, s"expected both points inside the fromEarliest window, got $samples")
+
+    // counter twin: same window resolution over the l_value plumbing
+    val s = spark
+    import s.implicits._
+    svc.createTenant("t1", Map("counter" -> 21))
+    val cid = MetricId("t1", MetricType.Counter.code, "c")
+    svc.createMetric(cid, Map.empty)
+    svc.addDataPoints(Seq((now - 10 * day, 5L), (now - 2 * day, 9L)).toDF("time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("metric", lit("c"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map()))
+    val cGot = svc.findCounterStatsFromEarliest(cid, Some(21), None, now = now)
+    assert(cGot.agg(sum(col("samples"))).collect().head.getLong(0) == 2L)
+    assert(cGot.agg(max(col("max"))).collect().head.getDouble(0) == 9.0)
   }
 
   test("retainedRaw: metric override beats tenant per-type map beats keep") {

@@ -524,35 +524,46 @@ object SparkEntry {
               |SELECT 2 AS mtype, metric, (t - $S) // 86400000 AS bucket, ${statSql("v", Seq.empty)}
               |FROM cv WHERE t >= $S AND t < $E GROUP BY 2, 3""".stripMargin)),
 
-    // ---- EP2 FULL mixed-type stats query: gauge + counter + counter-RATE
-    // + availability in ONE request (MetricHandler.doStatsQuery:341-466).
-    // The counter value and rate branches share ONE materialized fetch —
-    // the reference raw-fetches twice and documents the inefficiency
-    // (MetricHandler.java:372-375); here it is a single scan feeding both.
+    // ---- EP2 FULL mixed-type stats query: gauge + gauge-RATE + counter +
+    // counter-RATE + availability in ONE request, with a percentile
+    // applied in every numeric branch (MetricHandler.doStatsQuery:341-466;
+    // GAUGE_RATE routed like COUNTER_RATE :368-380,424,476; percentiles
+    // StatsQueryRequest.java:30-46). Each type's value and rate branches
+    // share ONE materialized fetch — the reference raw-fetches twice and
+    // documents the inefficiency (MetricHandler.java:372-375).
     ("stats_query_mixed", (s: SparkSession, d: String) => {
       val ids = ea.catalog(s, d).filter(TagQueryParser.compile("seg = s1", col("tags")))
         .select("metric").localCheckpoint()
       val b = Buckets.fromStep(S, E, Day)
-      MetricsOps.mixedTypeStats(b,
+      roundPcts(MetricsOps.mixedTypeStats(b,
         gaugeDp = Some(MetricsOps.dataPointsForIds(gauge(s, d), ids)),
         counterDp = Some(MetricsOps.dataPointsForIds(ctr(s, d), ids)),
         availDp = Some(MetricsOps.dataPointsForIds(avail(s, d), ids)),
-        includeCounterRate = true)
-        .withColumn("median", round(col("median"), 4))
-        .select("branch", "metric", "bucket", "min", "avg", "max", "sum", "median",
-          "samples", "up_ms", "down_ms", "unknown_ms", "admin_ms", "last_not_uptime",
-          "not_up_count", "uptime_ratio")
+        includeCounterRate = true, includeGaugeRate = true,
+        quantiles = Seq(90.0)), Seq(90.0))
+        .select("branch", "metric", "bucket", "min", "avg", "max", "sum", "p90_0",
+          "median", "samples", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "uptime_ratio")
     },
       Some(s"""WITH $BaseCte, $CatCte, $CounterCte, $AvailCte,
               |sel AS (SELECT metric FROM cat WHERE seg = 's1'),
+              |gv AS (SELECT metric, t, value AS v FROM base
+              |       WHERE t >= $S AND t < $E AND metric IN (SELECT metric FROM sel)),
               |gb AS (SELECT 'gauge' AS branch, metric, (t - $S) // $Day AS bucket,
-              |         ${statSql("value", Seq.empty)}
-              |       FROM base WHERE t >= $S AND t < $E
-              |         AND metric IN (SELECT metric FROM sel) GROUP BY 2, 3),
+              |         ${statSql("v", Seq(90.0))}
+              |       FROM gv GROUP BY 2, 3),
+              |gp AS (SELECT metric, t, v, lag(v) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |       FROM gv WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |gr AS (SELECT metric, t,
+              |         60000.0 * (v - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM gp WHERE prev_t IS NOT NULL),
+              |gt AS (SELECT 'gauge_rate' AS branch, metric, (t - $S) // $Day AS bucket,
+              |         ${statSql("rate", Seq(90.0))}
+              |       FROM gr GROUP BY 2, 3),
               |cv AS (SELECT metric, t, CAST(l_value AS DOUBLE) AS v FROM ctr
               |       WHERE t >= $S AND t < $E AND metric IN (SELECT metric FROM sel)),
               |cb AS (SELECT 'counter' AS branch, metric, (t - $S) // $Day AS bucket,
-              |         ${statSql("v", Seq.empty)}
+              |         ${statSql("v", Seq(90.0))}
               |       FROM cv GROUP BY 2, 3),
               |rr AS (SELECT metric, t, v, lag(v) OVER w AS prev_v, lag(t) OVER w AS prev_t
               |       FROM cv WINDOW w AS (PARTITION BY metric ORDER BY t)),
@@ -560,7 +571,7 @@ object SparkEntry {
               |         60000.0 * (v - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
               |       FROM rr WHERE prev_t IS NOT NULL AND v >= prev_v),
               |rb AS (SELECT 'counter_rate' AS branch, metric, (t - $S) // $Day AS bucket,
-              |         ${statSql("rate", Seq.empty)}
+              |         ${statSql("rate", Seq(90.0))}
               |       FROM rv GROUP BY 2, 3),
               |ab0 AS (SELECT av.metric, av.t, av.avail, (av.t - $S) // $Day AS bucket
               |        FROM av WHERE av.t >= $S AND av.t < $E
@@ -581,23 +592,28 @@ object SparkEntry {
               |  count(*) AS samples,
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
               |  FROM seg GROUP BY metric, bucket)
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, median, samples,
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
               |       CAST(NULL AS BIGINT) AS up_ms, CAST(NULL AS BIGINT) AS down_ms,
               |       CAST(NULL AS BIGINT) AS unknown_ms, CAST(NULL AS BIGINT) AS admin_ms,
               |       CAST(NULL AS BIGINT) AS last_not_uptime, CAST(NULL AS BIGINT) AS not_up_count,
               |       CAST(NULL AS DOUBLE) AS uptime_ratio
               |FROM gb
               |UNION ALL
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, median, samples,
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
+              |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
+              |FROM gt
+              |UNION ALL
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
               |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
               |FROM cb
               |UNION ALL
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, median, samples,
+              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
               |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
               |FROM rb
               |UNION ALL
               |SELECT branch, metric, bucket, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-              |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), samples,
+              |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+              |       CAST(NULL AS DOUBLE), samples,
               |       up_ms, down_ms, unknown_ms, admin_ms, last_not_uptime, not_up_count,
               |       uptime_ratio
               |FROM ab""".stripMargin)),
@@ -611,15 +627,22 @@ object SparkEntry {
               |WHERE metric IN ('click/7', 'error/23', 'view/88')""".stripMargin)),
 
     // ---- J5+A10: definition enrichment -----------------------------------
+    // 'error/*' metrics carry a stored per-metric data_retention override
+    // (Metric.java:48-54) — enrichment must ECHO it and default only the
+    // rest (MetricsIndexRowTransformer:51-53), not clobber with the default
     ("metric_defs", (s: SparkSession, d: String) =>
-      MetricsOps.enrichDefinitions(ea.catalog(s, d), gauge(s, d))
+      MetricsOps.enrichDefinitions(
+        ea.catalog(s, d).withColumn("data_retention",
+          when(col("metric").startsWith("error/"), lit(30)).otherwise(lit(null).cast("int"))),
+        gauge(s, d))
         .select(col("metric"), element_at(col("tags"), "type").as("tag_type"),
           element_at(col("tags"), "seg").as("tag_seg"),
           col("min_time"), col("max_time"), col("data_retention")),
       Some(s"""WITH $BaseCte, $CatCte,
               |mm AS (SELECT metric, min(t) AS min_time, max(t) AS max_time FROM base GROUP BY 1)
               |SELECT cat.metric, cat.event_type AS tag_type, cat.seg AS tag_seg,
-              |       mm.min_time, mm.max_time, 7 AS data_retention
+              |       mm.min_time, mm.max_time,
+              |       CASE WHEN cat.metric LIKE 'error/%' THEN 30 ELSE 7 END AS data_retention
               |FROM cat LEFT JOIN mm ON mm.metric = cat.metric""".stripMargin)),
 
     // ---- F3: metric-name regex filter ------------------------------------

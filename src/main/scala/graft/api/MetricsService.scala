@@ -417,28 +417,40 @@ class MetricsService(spark: SparkSession, root: String) {
     * text back verbatim, Percentile.java:22-38): a request for "99.000"
     * answers in column `p99_000`, not a normalized `p99_0`. */
   def findGaugeStats(id: MetricId, config: BucketConfig,
-                     percentiles: Percentiles): DataFrame = {
+                     percentiles: Percentiles): DataFrame =
+    withOriginalPercentileNames(
+      findGaugeStats(id, config, percentiles.quantiles), percentiles)
+
+  /** Rename normalized `pN_N` percentile columns to the request's ORIGINAL
+    * strings (Percentile.java:22-38 echo rule), shared by every
+    * Percentiles-typed entry point. */
+  private def withOriginalPercentileNames(df: DataFrame,
+                                          percentiles: Percentiles): DataFrame = {
     val ps = percentiles.percentiles
     // two strings normalizing to one quantile ("99.0", "99.00") would
     // produce colliding/ambiguous columns downstream — reject loudly
     require(ps.map(p => MetricsOps.pctColName(p.quantile)).distinct.size == ps.size,
       s"duplicate percentile quantiles in ${percentiles.values}")
-    ps.foldLeft(findGaugeStats(id, config, ps.map(_.quantile))) { (df, p) =>
-      df.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
+    ps.foldLeft(df) { (d, p) =>
+      d.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
     }
   }
 
   /** EP2 — ONE mixed-type stats request (POST /metrics/stats/query,
     * MetricHandler.doStatsQuery:341-466): resolve the tag expression to an
-    * id set ONCE, fan out to the requested type branches (gauge, counter,
-    * availability, counter-rate), one response frame. The counter value
-    * and rate branches share a single materialized fetch — the reference
-    * fetches twice and documents the inefficiency
-    * (MetricHandler.java:372-375). */
+    * id set ONCE, fan out to the requested type branches (gauge,
+    * gauge-rate, counter, counter-rate, availability — the reference
+    * routes GAUGE_RATE like COUNTER_RATE, MetricHandler.java:368-380,424,
+    * 476), one response frame. `percentiles` applies in every numeric
+    * branch (StatsQueryRequest.java:30-46). A type's value and rate
+    * branches share a single materialized fetch — the reference fetches
+    * twice and documents the inefficiency (MetricHandler.java:372-375). */
   def statsQuery(tenantId: String, tagExpression: String, config: BucketConfig,
                  types: Set[MetricType] =
                    Set(MetricType.Gauge, MetricType.Counter, MetricType.Availability),
-                 includeCounterRate: Boolean = false): DataFrame = {
+                 includeCounterRate: Boolean = false,
+                 includeGaugeRate: Boolean = false,
+                 percentiles: Seq[Double] = Seq.empty): DataFrame = {
     // ids keep their TYPE: the reference resolves per type, and a
     // name-only join would let a tag match on one type admit same-named
     // metrics of every other type into their branches
@@ -448,17 +460,34 @@ class MetricsService(spark: SparkSession, root: String) {
       MetricsOps.dataPointsForIds(
         raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt),
         ids.filter(col("mtype") === t.code.toInt))
-    // a rate request needs the counter FETCH even when the counter value
-    // branch itself is not requested (rate-only stats are legal)
+    // a rate request needs its type's FETCH even when the value branch
+    // itself is not requested (rate-only stats are legal)
     val counterNeeded = types(MetricType.Counter) || includeCounterRate
+    val gaugeNeeded = types(MetricType.Gauge) || includeGaugeRate
     MetricsOps.mixedTypeStats(config.buckets,
-      gaugeDp = if (types(MetricType.Gauge)) Some(scoped(MetricType.Gauge)) else None,
+      gaugeDp = if (gaugeNeeded) Some(scoped(MetricType.Gauge)) else None,
       counterDp = if (counterNeeded) Some(scoped(MetricType.Counter)) else None,
       availDp = if (types(MetricType.Availability)) Some(scoped(MetricType.Availability)) else None,
       includeCounterValue = types(MetricType.Counter),
       includeCounterRate = includeCounterRate,
+      includeGaugeValue = types(MetricType.Gauge),
+      includeGaugeRate = includeGaugeRate,
+      quantiles = percentiles,
       mode = DefaultPercentileMode)
   }
+
+  /** [[statsQuery]] with the user's ORIGINAL percentile strings preserved
+    * as result column names (the reference echoes request text back
+    * verbatim in every numeric section, Percentile.java:22-38): a mixed
+    * request for "99.000" answers in `p99_000` across the gauge, rate,
+    * and counter branches alike. */
+  def statsQuery(tenantId: String, tagExpression: String, config: BucketConfig,
+                 types: Set[MetricType], includeCounterRate: Boolean,
+                 includeGaugeRate: Boolean, percentiles: Percentiles): DataFrame =
+    withOriginalPercentileNames(
+      statsQuery(tenantId, tagExpression, config, types, includeCounterRate,
+        includeGaugeRate, percentiles.quantiles),
+      percentiles)
 
   /** One EP2 request (POST /metrics/stats/query body). */
   case class StatsRequest(mtype: MetricType, ids: Seq[String], config: BucketConfig,

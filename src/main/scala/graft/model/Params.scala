@@ -106,7 +106,11 @@ final case class Percentile(original: String) {
       try original.toDouble
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(s"Invalid percentile '$original'") }
-    require(q > 0 && q < 100, s"Percentile '$original' must be in (0, 100)")
+    // the reference's Percentile.java does no bound check and hands the
+    // value to commons-math PSquarePercentile, which accepts (0, 100] —
+    // so "100" is a request the reference serves; reject only what it
+    // would also reject
+    require(q > 0 && q <= 100, s"Percentile '$original' must be in (0, 100]")
     q
   }
   /** Result column named from the ORIGINAL text, not the parsed double. */
@@ -116,6 +120,9 @@ final case class Percentile(original: String) {
 /** Requested quantiles; original string form is preserved in results
   * (reference param/Percentiles.java, Percentile.java:22-38). */
 final case class Percentiles(values: Seq[String]) {
-  def quantiles: Seq[Double] = values.map(_.toDouble)
+  /** Routed through [[Percentile]] so both accessors enforce the SAME
+    * bound — a raw `toDouble` here would accept strings the sibling
+    * path rejects. */
+  def quantiles: Seq[Double] = percentiles.map(_.quantile)
   def percentiles: Seq[Percentile] = values.map(Percentile(_))
 }

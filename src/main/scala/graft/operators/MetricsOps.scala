@@ -450,28 +450,43 @@ object MetricsOps {
   /**
    * EP2 — ONE stats request fanned out across metric types (reference
    * MetricHandler.doStatsQuery, api/metrics-api-jaxrs/.../MetricHandler.java:341-466):
-   * gauge, counter, counter-RATE (W1+A1), and availability (A3) branches
-   * in a single response frame, one row per (branch, metric, bucket), with
-   * the columns of the other family null-padded (the response analog of
-   * the reference's per-type result sections).
+   * gauge, gauge-RATE, counter, counter-RATE (W1+A1), and availability
+   * (A3) branches in a single response frame, one row per (branch, metric,
+   * bucket), with the columns of the other family null-padded (the
+   * response analog of the reference's per-type result sections). The
+   * reference fans GAUGE_RATE out exactly like COUNTER_RATE
+   * (MetricHandler.java:368-380,424,476).
    *
-   * When counter VALUE and RATE are both requested, the reference fetches
-   * the raw counter data twice and documents the inefficiency
-   * (MetricHandler.java:372-375); here the range-filtered counter fetch is
+   * `quantiles` is the request's percentile list, applied in EVERY numeric
+   * branch like the reference's StatsQueryRequest.percentiles
+   * (StatsQueryRequest.java:30-46, threaded through each numeric section
+   * of doStatsQuery) — the availability branch null-pads the columns.
+   *
+   * When a type's VALUE and RATE branches are both requested, the
+   * reference fetches the raw data twice and documents the inefficiency
+   * (MetricHandler.java:372-375); here the range-filtered fetch is
    * materialized ONCE (localCheckpoint) and feeds both the value stats and
-   * the rate derivation — one scan, two branches.
+   * the rate derivation — one scan, two branches. The Adaptive percentile
+   * mode resolves against the PRE-checkpoint frame: a checkpoint's
+   * LogicalRDD need not preserve the origin plan's size estimate, and a
+   * defaultSizeInBytes fallback would silently flip small requests to the
+   * approximate sketch.
    */
   /** `includeCounterValue=false` with `counterDp` set gives a RATE-ONLY
     * request: the counter data still feeds the rate derivation but emits
-    * no value branch. */
+    * no value branch (same for the gauge pair). */
   def mixedTypeStats(b: Buckets,
                      gaugeDp: Option[DataFrame] = None,
                      counterDp: Option[DataFrame] = None,
                      availDp: Option[DataFrame] = None,
                      includeCounterValue: Boolean = true,
                      includeCounterRate: Boolean = false,
+                     includeGaugeValue: Boolean = true,
+                     includeGaugeRate: Boolean = false,
+                     quantiles: Seq[Double] = Seq.empty,
                      mode: PercentileMode = PercentileMode.Exact): DataFrame = {
-    val numNames = Seq("min", "avg", "max", "sum", "median")
+    val numNames = Seq("min", "avg", "max", "sum") ++
+      quantiles.map(pctColName) :+ "median"
     val availNames = Seq("up_ms", "down_ms", "unknown_ms", "admin_ms",
       "last_not_uptime", "not_up_count")
     def numBranch(name: String, stats: DataFrame): DataFrame =
@@ -486,24 +501,36 @@ object MetricsOps {
         Seq(col("samples").cast("long").as("samples")) ++
         availNames.map(c => col(c).cast("long").as(c)) :+
         col("uptime_ratio"): _*)
-    val counterShared = counterDp.map { dp =>
+    // range-filter each numeric family once; materialize only when BOTH
+    // its branches will read it — a single consumer keeps the lazy plan.
+    // Adaptive resolves pre-checkpoint (doc above).
+    def sharedFetch(dp: DataFrame, valueWanted: Boolean,
+                    rateWanted: Boolean): (DataFrame, PercentileMode) = {
       val f = dp.filter(col("time") >= b.start && col("time") < b.end)
-      // materialize only when BOTH branches will read it — a single
-      // consumer keeps the lazy plan
-      if (includeCounterRate && includeCounterValue) f.localCheckpoint() else f
+      val resolved = resolveMode(f, b.count, mode)
+      (if (valueWanted && rateWanted) f.localCheckpoint() else f, resolved)
     }
+    val gaugeShared = gaugeDp.map(sharedFetch(_, includeGaugeValue, includeGaugeRate))
+    val counterShared = counterDp.map(sharedFetch(_, includeCounterValue, includeCounterRate))
     val branches =
-      gaugeDp.map(dp =>
-        numBranch("gauge", numericBucketStats(dp, b, byMetric = true, mode = mode))).toSeq ++
-      (if (includeCounterValue) counterShared.map(dp =>
-        numBranch("counter",
-          numericBucketStats(dp, b, byMetric = true, valueCol = "l_value",
-            mode = mode))).toSeq
+      (if (includeGaugeValue) gaugeShared.map { case (dp, m) =>
+        numBranch("gauge",
+          numericBucketStats(dp, b, quantiles, byMetric = true, mode = m)) }.toSeq
       else Seq.empty) ++
-      (if (includeCounterRate) counterShared.map(dp =>
+      (if (includeGaugeRate) gaugeShared.map { case (dp, m) =>
+        numBranch("gauge_rate",
+          numericBucketStats(rate(dp, isCounter = false), b, quantiles,
+            byMetric = true, valueCol = "rate", mode = m)) }.toSeq
+      else Seq.empty) ++
+      (if (includeCounterValue) counterShared.map { case (dp, m) =>
+        numBranch("counter",
+          numericBucketStats(dp, b, quantiles, byMetric = true, valueCol = "l_value",
+            mode = m)) }.toSeq
+      else Seq.empty) ++
+      (if (includeCounterRate) counterShared.map { case (dp, m) =>
         numBranch("counter_rate",
           numericBucketStats(rate(dp, isCounter = true, valueCol = "l_value"), b,
-            byMetric = true, valueCol = "rate", mode = mode))).toSeq
+            quantiles, byMetric = true, valueCol = "rate", mode = m)) }.toSeq
       else Seq.empty) ++
       availDp.map(dp => availBranch(availabilityBucketStats(dp, b))).toSeq
     require(branches.nonEmpty, "mixedTypeStats needs at least one type branch")
@@ -635,15 +662,24 @@ object MetricsOps {
 
   /**
    * J5 — definition enrichment (reference MetricsServiceImpl.java:501-513):
-   * catalog definitions + data min/max timestamps (A10) + default retention.
-   * The per-metric minmax aggregate is tiny; broadcast it into the join.
+   * catalog definitions + data min/max timestamps (A10) + retention. The
+   * reported retention is the catalog's STORED per-metric `data_retention`
+   * when present, the default only when absent (Metric.java:48-54;
+   * MetricsIndexRowTransformer:51-53 reads the stored value) — a catalog
+   * without the column at all reports the default throughout. The
+   * per-metric minmax aggregate is tiny; broadcast it into the join.
    */
   def enrichDefinitions(catalog: DataFrame, dp: DataFrame,
-                        defaultRetentionDays: Int = 7): DataFrame =
-    catalog.join(
+                        defaultRetentionDays: Int = 7): DataFrame = {
+    val withStored =
+      if (catalog.columns.contains("data_retention")) catalog
+      else catalog.withColumn("data_retention", lit(null).cast("int"))
+    withStored.join(
       broadcast(minMaxTimestamps(dp)),
       Seq("tenant_id", "mtype", "metric"), "left")
-      .withColumn("data_retention", lit(defaultRetentionDays))
+      .withColumn("data_retention",
+        coalesce(col("data_retention"), lit(defaultRetentionDays)))
+  }
 
   // -----------------------------------------------------------------------
   // F3/F4 — metric-name regex and type filters

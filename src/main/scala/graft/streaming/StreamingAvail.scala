@@ -104,12 +104,15 @@ object StreamingAvail {
       // An ADMITTED row can still be too late for its bucket: Spark
       // filters late rows with the PREVIOUS batch's watermark but
       // validates timeout timestamps against the CURRENT eviction
-      // watermark, so when the watermark has already passed this bucket's
-      // end, re-arming would throw and kill the query. For a group with
-      // NO state the reference semantics apply — the slice is expired, the
-      // point is silently dropped (DataAccessImpl.java:984-1007). A buffer
-      // that ALREADY exists will finalize this very batch (its armed
-      // timeout is past the watermark), so its admitted edge rows are
+      // watermark, so when the watermark has reached this bucket's end,
+      // re-arming would throw and kill the query (the timeout must be
+      // strictly after the watermark). For a group with NO state the
+      // reference semantics apply — the slice is expired, the point is
+      // silently dropped (DataAccessImpl.java:984-1007). A buffer that
+      // ALREADY exists finalizes once the watermark STRICTLY passes
+      // bucketEnd (Spark fires event-time timeouts only when
+      // timeoutTimestamp < watermark — at exact equality the firing waits
+      // for the next watermark advance), so its admitted edge rows are
       // merged into the buffer — WITHOUT re-arming — and make it into the
       // emitted row, matching the batch oracle, which counts every point
       // of a finalized bucket regardless of micro-batch boundaries.

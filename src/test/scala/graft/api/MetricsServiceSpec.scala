@@ -148,6 +148,25 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(!cols.contains("p99_0"))
     intercept[IllegalArgumentException](Percentile("nope").quantile)
     intercept[IllegalArgumentException](Percentile("150").quantile)
+    // the reference's Percentile does no bound check and commons-math
+    // PSquarePercentile accepts (0, 100] — "100" must be served, and the
+    // quantiles accessor enforces the SAME contract as percentiles
+    assert(Percentile("100").quantile == 100.0)
+    intercept[IllegalArgumentException](Percentiles(Seq("150")).quantiles)
+  }
+
+  test("findMetrics echoes a stored per-metric retention override (J5)") {
+    val svc = newService()
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "kept"), Map.empty,
+      dataRetention = Some(30))
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "plain"), Map.empty)
+    svc.addDataPoints(gaugeRows("kept", Seq((1L, 1.0))))
+    val got = svc.findMetrics("t1", Some(MetricType.Gauge))
+      .select("metric", "data_retention").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // the stored override survives enrichment; only the unconfigured
+    // metric falls to the default (MetricsIndexRowTransformer:51-53)
+    assert(got == Map("kept" -> 30, "plain" -> 7), got.toString)
   }
 
   test("mixed-type statsQuery fans out to all requested branches (EP2 full)") {
@@ -182,12 +201,22 @@ class MetricsServiceSpec extends SparkTestBase {
       .withColumn("s_value", lit(null).cast("string"))
       .withColumn("tags", map()))
     val out = svc.statsQuery("t1", "env = prod",
-      BucketConfig(TimeRange(100, 200), Some(1), None), includeCounterRate = true)
+      BucketConfig(TimeRange(100, 200), Some(1), None), includeCounterRate = true,
+      includeGaugeRate = true, percentiles = Seq(90.0))
       .collect()
     val byBranch = out.groupBy(_.getAs[String]("branch"))
-    assert(byBranch.keySet == Set("gauge", "counter", "counter_rate", "availability"))
+    assert(byBranch.keySet ==
+      Set("gauge", "gauge_rate", "counter", "counter_rate", "availability"))
     val g = byBranch("gauge").head
     assert(g.getAs[String]("metric") == "cpu" && g.getAs[Long]("samples") == 2)
+    // the percentile column applies in EVERY numeric branch
+    // (StatsQueryRequest.java:30-46): p90 of {10,30} interpolates to 28
+    assert(g.getAs[Double]("p90_0") == 28.0)
+    // gauge_rate: one pair over the shared gauge fetch, Δv=20 over Δt=50ms
+    val gr = byBranch("gauge_rate").head
+    assert(gr.getAs[String]("metric") == "cpu" && gr.getAs[Long]("samples") == 1)
+    assert(gr.getAs[Double]("avg") == 60000.0 * 20.0 / 50.0)
+    assert(!gr.isNullAt(gr.fieldIndex("p90_0")))
     // per-type id resolution: counter 'cpu' (env=dev) stays OUT even
     // though its name matches the selected gauge
     assert(byBranch("counter").map(_.getAs[String]("metric")).toSet == Set("reqs"))
@@ -196,6 +225,7 @@ class MetricsServiceSpec extends SparkTestBase {
     val a = byBranch("availability").head
     assert(a.getAs[Long]("up_ms") == 50L && a.getAs[Long]("down_ms") == 50L)
     assert(a.isNullAt(a.fieldIndex("min"))) // numeric columns null-padded
+    assert(a.isNullAt(a.fieldIndex("p90_0"))) // incl. the percentile column
 
     // RATE-ONLY request: counter value branch absent, rate branch present
     val rateOnly = svc.statsQuery("t1", "env = prod",
@@ -203,6 +233,21 @@ class MetricsServiceSpec extends SparkTestBase {
       types = Set(MetricType.Gauge), includeCounterRate = true).collect()
     val roBranches = rateOnly.map(_.getAs[String]("branch")).toSet
     assert(roBranches == Set("gauge", "counter_rate"), roBranches.toString)
+
+    // GAUGE-rate-only: the gauge fetch feeds the rate branch, no value branch
+    val gRateOnly = svc.statsQuery("t1", "env = prod",
+      BucketConfig(TimeRange(100, 200), Some(1), None),
+      types = Set(MetricType.Availability), includeGaugeRate = true).collect()
+    assert(gRateOnly.map(_.getAs[String]("branch")).toSet ==
+      Set("gauge_rate", "availability"))
+
+    // EP2 echoes ORIGINAL percentile request strings (Percentile.java:22-38)
+    val echoed = svc.statsQuery("t1", "env = prod",
+      BucketConfig(TimeRange(100, 200), Some(1), None),
+      types = Set(MetricType.Gauge, MetricType.Counter),
+      includeCounterRate = false, includeGaugeRate = true,
+      percentiles = Percentiles(Seq("99.000")))
+    assert(echoed.columns.contains("p99_000") && !echoed.columns.contains("p99_0"))
   }
 
   test("tag edits preserve an explicit dataRetention override through the LWW rewrite") {

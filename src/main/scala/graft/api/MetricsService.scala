@@ -187,8 +187,12 @@ class MetricsService(spark: SparkSession, root: String) {
     GraftStorage.write(points, dataPath)
   }
 
-  /** S8 — compact closed slices (TempDataCompressor analog). */
-  def compressBlock(upToSlice: Long): Unit = GraftStorage.compact(spark, dataPath, upToSlice)
+  /** S8 — compact closed slices (TempDataCompressor analog). Steady-state
+    * maintenance passes the last-compacted slice as `fromSlice` so each
+    * run touches only newly closed slices (the reference job processes
+    * one slice per run, TempDataCompressor.java:78-98). */
+  def compressBlock(upToSlice: Long, fromSlice: Long = Long.MinValue): Unit =
+    GraftStorage.compact(spark, dataPath, upToSlice, fromSlice)
 
   /** S9 — delete one metric's data. */
   def deleteMetric(id: MetricId): Unit =

@@ -56,9 +56,13 @@ object MetricsOps {
    * is the write-order column (tier index / ingest sequence); the highest
    * value wins. One shuffle on the dedup key; no arbitrary-row dropDuplicates.
    */
-  def dedupTiers(dp: DataFrame, seqCol: String = "tier"): DataFrame = {
+  def dedupTiers(dp: DataFrame, seqCol: String = "tier",
+                 tieBreak: Seq[Column] = Seq.empty): DataFrame = {
+    // `tieBreak` orders rows that share a seq value (e.g. one write batch
+    // stamping a single ingest_seq) so the winner is deterministic — see
+    // GraftStorage.valueTieBreak for the canonical-frame instance
     val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric"), col("time"))
-      .orderBy(col(seqCol).desc)
+      .orderBy(col(seqCol).desc +: tieBreak.map(_.desc): _*)
     dp.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

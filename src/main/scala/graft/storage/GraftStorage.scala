@@ -2,7 +2,7 @@ package graft.storage
 
 import graft.model.MetricType
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /**
  * Raw-tier storage: the Spark-native replacement for the reference's
@@ -38,7 +38,10 @@ object GraftStorage {
 
   // write-batch sequence for last-write-wins: wall-clock millis << 20 | a
   // process-local counter — strictly increasing across batches, which is
-  // what Cassandra's upsert timestamp provided (DataAccessImpl.java:215-221)
+  // what Cassandra's upsert timestamp provided (DataAccessImpl.java:215-221).
+  // Rows WITHIN one batch share the sequence (there is no write order to
+  // preserve inside a single batch); duplicate (metric, time) rows there
+  // resolve deterministically via the value rule — see valueTieBreak
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong()
   private[graft] def nextIngestSeq(): Long =
     (System.currentTimeMillis() << 20) | (seqCounter.getAndIncrement() & 0xfffffL)
@@ -124,7 +127,8 @@ object GraftStorage {
   }
 
   def readResolved(spark: SparkSession, path: String): DataFrame =
-    graft.operators.MetricsOps.dedupTiers(read(spark, path), "ingest_seq")
+    graft.operators.MetricsOps.dedupTiers(read(spark, path), "ingest_seq",
+      Seq(valueTieBreak))
 
   def readRange(spark: SparkSession, path: String, tenantId: String,
                 mtype: MetricType, start: Long, end: Long): DataFrame =
@@ -134,18 +138,47 @@ object GraftStorage {
       .filter(col("time") >= start && col("time") < end)
 
   /**
+   * Deterministic LWW tie-break for rows that share one `ingest_seq` (a
+   * single write batch stamps one sequence): the greater value tuple wins.
+   * This mirrors the rule the reference inherits from Cassandra for
+   * same-timestamp upserts — on a write-timestamp tie, cells compare by
+   * VALUE and the greater one wins — so duplicate (metric, time) rows
+   * inside one batch resolve identically on every run, engine, and
+   * partitioning. The map column is ordered through its sorted entry
+   * array (maps themselves are not orderable).
+   */
+  private[graft] def valueTieBreak: Column =
+    struct(col("n_value"), col("l_value"), col("avail"), col("s_value"),
+      sort_array(map_entries(col("tags"))))
+
+  /**
    * S8 — compaction of closed slices (the TempDataCompressor analog): read
-   * the slice back, last-write-wins dedup on the primary key (Cassandra
+   * the window back, last-write-wins dedup on the primary key (Cassandra
    * upsert semantics, DataAccessImpl.java:215-221), rewrite sorted+ZSTD
    * with one file per partition, atomically replace via overwrite of the
    * matching partitions only (dynamic partition overwrite).
+   *
+   * `fromSlice` bounds the window below: a maintenance run touches ONLY
+   * the slices that closed since the last run — the reference's job
+   * processes just the previous 2 h slice per invocation
+   * (TempDataCompressor.java:78-98), never the whole history. Callers
+   * track the last compacted slice and pass it here; files of slices
+   * outside [fromSlice, upToSlice) are not read, not rewritten, not
+   * touched. The unbounded default is the explicit full-rebuild escape
+   * hatch, not the steady-state path — at fleet scale an unbounded run
+   * would be O(history) per invocation.
    */
-  def compact(spark: SparkSession, path: String, upToSlice: Long): Unit = {
-    val closed = read(spark, path).filter(col("time_slice") < upToSlice)
+  def compact(spark: SparkSession, path: String, upToSlice: Long,
+              fromSlice: Long = Long.MinValue): Unit = {
+    val closed = read(spark, path)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
     val deduped = closed
       .groupBy(col("tenant_id"), col("mtype"), col("time_slice"), col("metric"), col("time"))
+      // seq first, value tuple second: cross-batch LWW by write order,
+      // within-batch ties resolved by the Cassandra value rule (see
+      // valueTieBreak) — max_by on the composite is deterministic
       .agg(max_by(struct(col("n_value"), col("l_value"), col("avail"), col("s_value"), col("tags")),
-        col("ingest_seq")).as("v"),
+        struct(col("ingest_seq"), valueTieBreak)).as("v"),
         max(col("ingest_seq")).as("ingest_seq"))
       .select(col("tenant_id"), col("mtype"), col("metric"), col("time"),
         col("v.n_value"), col("v.l_value"), col("v.avail"), col("v.s_value"), col("v.tags"),

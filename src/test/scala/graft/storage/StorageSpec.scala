@@ -90,6 +90,63 @@ class StorageSpec extends SparkTestBase {
     assert(after.length == 1 && after.head.getDouble(0) == 9.0)
   }
 
+  test("windowed compaction leaves slices outside [fromSlice, upToSlice) untouched") {
+    val path = tmp()
+    // duplicates in slice 0 AND slice 2 — both need compaction eventually
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m1", 2 * H2 + 5, 3.0))),
+      path, SaveMode.Overwrite)
+    GraftStorage.write(fixture(Seq(("m1", 100L, 9.0), ("m1", 2 * H2 + 5, 7.0))), path)
+    // first maintenance run: compact slice 0 only
+    GraftStorage.compact(spark, path, upToSlice = 1, fromSlice = 0)
+    def sliceFiles(slice: Long): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$path/tenant_id=t/mtype=0/time_slice=$slice")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val slice2Before = sliceFiles(2L)
+    assert(slice2Before.size == 2, "slice 2 must still hold both un-compacted files")
+    // second run: compact slice 2's window — slice 0's files must not move
+    val slice0After1 = sliceFiles(0L)
+    GraftStorage.compact(spark, path, upToSlice = 3, fromSlice = 1)
+    assert(sliceFiles(0L) == slice0After1,
+      "slices below fromSlice must be byte-identical after an unrelated compact")
+    // and the windowed run did its own job: slice 2 collapsed to the winner
+    val s2 = GraftStorage.read(spark, path).filter(col("time_slice") === 2L)
+      .select("n_value").collect()
+    assert(s2.length == 1 && s2.head.getDouble(0) == 7.0)
+    // slice 0's earlier compaction result is intact
+    val s0 = GraftStorage.read(spark, path).filter(col("time_slice") === 0L)
+      .select("n_value").collect()
+    assert(s0.length == 1 && s0.head.getDouble(0) == 9.0)
+  }
+
+  test("within-batch duplicate (metric, time) rows resolve to a stable winner") {
+    // ONE batch carries conflicting rows for the same key: there is no
+    // write order inside a batch, so the deterministic value rule decides
+    // (greater value tuple wins — the Cassandra same-timestamp rule)
+    val dup = fixture(Seq(("m1", 100L, 2.0), ("m1", 100L, 8.0), ("m1", 100L, 5.0)))
+    val winners = (1 to 3).map { _ =>
+      val path = tmp()
+      GraftStorage.write(dup, path, SaveMode.Overwrite)
+      GraftStorage.compact(spark, path, upToSlice = 10)
+      val compacted = GraftStorage.read(spark, path).select("n_value").collect()
+      assert(compacted.length == 1)
+      // the resolved read view agrees with the physical compaction
+      val resolved = GraftStorage.readResolved(spark, path).select("n_value").collect()
+      assert(resolved.length == 1 && resolved.head.getDouble(0) == compacted.head.getDouble(0))
+      compacted.head.getDouble(0)
+    }
+    assert(winners.toSet == Set(8.0), s"winner must be stable across runs: $winners")
+    // cross-batch LWW still beats the value rule: a LATER batch with a
+    // smaller value wins over an earlier batch's larger one
+    val path = tmp()
+    GraftStorage.write(fixture(Seq(("m1", 100L, 8.0))), path, SaveMode.Overwrite)
+    GraftStorage.write(fixture(Seq(("m1", 100L, 2.0))), path)
+    GraftStorage.compact(spark, path, upToSlice = 10)
+    val after = GraftStorage.read(spark, path).select("n_value").collect()
+    assert(after.length == 1 && after.head.getDouble(0) == 2.0)
+  }
+
   test("deleteMetric removes one series, leaves the rest") {
     val path = tmp()
     GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m2", 200L, 2.0))), path, SaveMode.Overwrite)

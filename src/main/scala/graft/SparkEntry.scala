@@ -335,6 +335,50 @@ object SparkEntry {
               |       round(median, 4) AS median
               |FROM sp WHERE bucket >= (SELECT min(bucket) FROM sp WHERE samples IS NOT NULL)""".stripMargin)),
 
+    // ---- fromEarliest for AVAILABILITY: retention window, A3 state-
+    // machine stats, leading empties skipped (the reference threads the
+    // same flag through AvailabilityHandler's TimeAndBucketParams as
+    // GaugeHandler.java:449-496 does for gauges) --------------------------
+    ("avail_from_earliest", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val b = Buckets.fromStep(S - 5 * Day, E, Day)
+      MetricsOps.skipLeadingEmptyBuckets(
+        MetricsOps.availabilityBucketStatsFilled(
+          avail(s, d).filter(col("metric") === "click/42"), b,
+          keySpine = Some(Seq("click/42").toDF("metric"))))
+        .select("metric", "bucket", "bucket_start", "bucket_end", "up_ms", "down_ms",
+          "unknown_ms", "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |b AS (SELECT metric, t, avail, (t - ${S - 5 * Day}) // $Day AS bucket
+              |      FROM av WHERE t >= ${S - 5 * Day} AND t < $E AND metric = 'click/42'),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN ${S - 5 * Day} + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, ${S - 5 * Day} + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |ag AS (SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |  FROM seg GROUP BY metric, bucket),
+              |fl AS (SELECT 'click/42' AS metric, g.bucket,
+              |         ${S - 5 * Day} + g.bucket * $Day AS bucket_start,
+              |         ${S - 5 * Day} + (g.bucket + 1) * $Day AS bucket_end,
+              |         ag.up_ms, ag.down_ms, ag.unknown_ms, ag.admin_ms, ag.last_not_uptime,
+              |         ag.not_up_count, ag.samples, ag.uptime_ratio
+              |       FROM range(35) g(bucket)
+              |       LEFT JOIN ag ON ag.bucket = g.bucket)
+              |SELECT metric, bucket, bucket_start, bucket_end, up_ms, down_ms, unknown_ms,
+              |       admin_ms, last_not_uptime, not_up_count, samples, uptime_ratio
+              |FROM fl WHERE bucket >= (SELECT min(bucket) FROM fl WHERE samples IS NOT NULL)""".stripMargin)),
+
     // ---- W1/F6: counter rate with reset-pair drop ------------------------
     ("counter_rate", (s: SparkSession, d: String) =>
       MetricsOps.rate(ctr(s, d), isCounter = true, valueCol = "l_value")
@@ -792,27 +836,44 @@ object SparkEntry {
               |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
               |FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v""".stripMargin)),
 
-    // ---- EP2 batch: N independent stats requests keyed by request index --
-    // (POST /metrics/stats/batch/query, MetricHandler.java:321-338)
+    // ---- EP2 batch: N independent stats requests keyed by request index,
+    // THROUGH the service facade — request 2 names its series by TAG
+    // EXPRESSION, the reference body's metrics-or-tags union
+    // (POST /metrics/stats/batch/query, MetricHandler.java:321-338,418-441)
     ("stats_batch", (s: SparkSession, d: String) => {
-      val g = gauge(s, d)
-      def pooled(b: Buckets, reqId: Int, ids: Seq[String]) =
-        roundPcts(MetricsOps.pooledStats(MetricsOps.dataPointsForIds(g, ids), b, Seq.empty), Seq.empty)
-          .withColumn("request_id", lit(reqId))
-          .select("request_id", "bucket", "min", "avg", "max", "sum", "samples", "median")
-      pooled(Buckets.fromStep(S, E, Day), 0, Seq("click/7", "view/88"))
-        .unionByName(pooled(Buckets.fromStep(S, Week, Day), 1, Seq("error/23")))
+      val root = "target/tmp/statsbatch_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, root)
+      val svc = new graft.api.MetricsService(s, root)
+      svc.addDataPoints(gauge(s, d))
+      // catalog in ONE append (a createMetric-per-row driver loop would
+      // write 750 files) — same schema metricsIndex resolves
+      ea.catalog(s, d)
+        .withColumn("data_retention", lit(null).cast("int"))
+        .withColumn("ingest_seq", lit(1L))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/metrics")
+      def cfg(end: Long) = BucketConfig(TimeRange(S, end), None, Some(GDuration.parse("1d")))
+      roundPcts(svc.statsBatchQuery(ea.Tenant, Seq(
+        svc.StatsRequest(MetricType.Gauge, Seq("click/7", "view/88"), cfg(E)),
+        svc.StatsRequest(MetricType.Gauge, Seq("error/23"), cfg(Week)),
+        svc.StatsRequest(MetricType.Gauge, Seq.empty, cfg(E),
+          tagExpression = Some("seg = s3")))), Seq.empty)
+        .select("request_id", "bucket", "min", "avg", "max", "sum", "samples", "median")
     },
-      Some(s"""WITH $BaseCte,
+      Some(s"""WITH $BaseCte, $CatCte,
               |r0 AS (SELECT 0 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
               |       FROM base WHERE t >= $S AND t < $E
               |         AND metric IN ('click/7', 'view/88') GROUP BY 2),
               |r1 AS (SELECT 1 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
               |       FROM base WHERE t >= $S AND t < $Week
-              |         AND metric = 'error/23' GROUP BY 2)
+              |         AND metric = 'error/23' GROUP BY 2),
+              |r2 AS (SELECT 2 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |       FROM base WHERE t >= $S AND t < $E
+              |         AND metric IN (SELECT metric FROM cat WHERE seg = 's3') GROUP BY 2)
               |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r0
               |UNION ALL
-              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r1""".stripMargin)),
+              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r1
+              |UNION ALL
+              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r2""".stripMargin)),
 
     // ---- §2.9: Structured-Streaming ingest end-to-end (watermarked file
     // stream → stream dedup → partitioned tier), drained with AvailableNow

@@ -377,19 +377,42 @@ class MetricsService(spark: SparkSession, root: String) {
     MetricsOps.skipLeadingEmptyBuckets(
       findCounterStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now), percentiles))
 
+  /** Availability twin of [[findGaugeStatsFromEarliest]] (the reference
+    * threads `fromEarliest` through AvailabilityHandler's
+    * TimeAndBucketParams the same way): retention-window range ending
+    * `now`, A3 bucket stats, leading empty buckets dropped. */
+  def findAvailabilityStatsFromEarliest(id: MetricId, bucketCount: Option[Int],
+                                        bucketDuration: Option[GDuration],
+                                        now: Long = System.currentTimeMillis()): DataFrame =
+    MetricsOps.skipLeadingEmptyBuckets(
+      findAvailabilityStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now)))
+
+  /** String twin (StringHandler's TimeAndSortParams carries the same
+    * flag): strings have no buckets — `fromEarliest` just widens the
+    * fetch range to the retention window ending `now`. */
+  def findStringDataFromEarliest(id: MetricId, distinct: Boolean = false,
+                                 limit: Int = 0, order: Option[Order] = None,
+                                 now: Long = System.currentTimeMillis()): DataFrame = {
+    val r = fromEarliestRange(id, now)
+    findStringData(id, Some(r.start), Some(r.end), distinct, limit, order, now)
+  }
+
   /** The fromEarliest range: retention window ending `now`, resolved
     * metric override ≻ tenant per-type retention — the same first two
     * layers retainedRaw applies. The LAST layer differs by design: a
     * window needs a concrete width, so an unconfigured metric falls to
     * the system default here, while retainedRaw keeps unconfigured data
     * (its default is the storage sweep's job). */
-  private def fromEarliestConfig(id: MetricId, bucketCount: Option[Int],
-                                 bucketDuration: Option[GDuration], now: Long): BucketConfig = {
+  private def fromEarliestRange(id: MetricId, now: Long): TimeRange = {
     val retentionMs = currentDefinition(id)._2
       .orElse(tenantRetentionDays(id.tenantId, MetricType.fromCode(id.mtype)))
       .getOrElse(DefaultRetentionDays) * 86400000L
-    BucketConfig(TimeRange(now - retentionMs, now), bucketCount, bucketDuration)
+    TimeRange(now - retentionMs, now)
   }
+
+  private def fromEarliestConfig(id: MetricId, bucketCount: Option[Int],
+                                 bucketDuration: Option[GDuration], now: Long): BucketConfig =
+    BucketConfig(fromEarliestRange(id, now), bucketCount, bucketDuration)
 
   /** The tenant's retention for one metric type, if configured. */
   private def tenantRetentionDays(tenantId: String, t: MetricType): Option[Int] =
@@ -404,8 +427,18 @@ class MetricsService(spark: SparkSession, root: String) {
                      percentiles: Seq[Double]): DataFrame =
     MetricsOps.taggedStats(series(id), tags, percentiles)
 
-  /** A4/A5 — multi-metric stats over a tag query or id list. */
+  /** A4/A5 — multi-metric stats over an explicit id list. */
   def findNumericStats(tenantId: String, mtype: MetricType, ids: Seq[String],
+                       config: BucketConfig, percentiles: Seq[Double],
+                       stacked: Boolean): DataFrame = {
+    val s = spark
+    import s.implicits._
+    findNumericStats(tenantId, mtype, ids.toDF("metric"), config, percentiles, stacked)
+  }
+
+  /** A4/A5 with the id set coming from a FRAME (e.g. the tag compiler's
+    * resolved catalog) — the broadcast semi-join shape is identical. */
+  def findNumericStats(tenantId: String, mtype: MetricType, ids: DataFrame,
                        config: BucketConfig, percentiles: Seq[Double],
                        stacked: Boolean): DataFrame = {
     val dp = MetricsOps.dataPointsForIds(
@@ -493,16 +526,31 @@ class MetricsService(spark: SparkSession, root: String) {
         includeGaugeRate, percentiles.quantiles),
       percentiles)
 
-  /** One EP2 request (POST /metrics/stats/query body). */
+  /** One EP2 request (POST /metrics/stats/query body). A request names
+    * its series by explicit id list OR by tag expression — the reference
+    * body's metrics-or-tags union (StatsQueryRequest,
+    * MetricHandler.java:418-441) — never both. */
   case class StatsRequest(mtype: MetricType, ids: Seq[String], config: BucketConfig,
-                          percentiles: Seq[Double] = Seq.empty, stacked: Boolean = false)
+                          percentiles: Seq[Double] = Seq.empty, stacked: Boolean = false,
+                          tagExpression: Option[String] = None) {
+    require(ids.isEmpty || tagExpression.isEmpty,
+      "a stats request carries ids OR a tag expression, not both")
+  }
 
   /** Batch variant (/metrics/stats/batch/query, MetricHandler.java:321-338):
-    * N independent stats queries, one result frame keyed by request index. */
+    * N independent stats queries, one result frame keyed by request index.
+    * Tag-driven requests resolve through the J4 machinery per request. */
   def statsBatchQuery(tenantId: String, requests: Seq[StatsRequest]): DataFrame =
     requests.zipWithIndex.map { case (r, i) =>
-      findNumericStats(tenantId, r.mtype, r.ids, r.config, r.percentiles, r.stacked)
-        .withColumn("request_id", lit(i))
+      val stats = r.tagExpression match {
+        case Some(expr) =>
+          findNumericStats(tenantId, r.mtype,
+            findMetricIdentifiersWithFilters(tenantId, Some(r.mtype), expr),
+            r.config, r.percentiles, r.stacked)
+        case None =>
+          findNumericStats(tenantId, r.mtype, r.ids, r.config, r.percentiles, r.stacked)
+      }
+      stats.withColumn("request_id", lit(i))
     }.reduce(_ unionByName _)
 
   /** Availability fetch: `distinct` applies BEFORE `limit` (the reference

@@ -294,6 +294,50 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(cGot.agg(max(col("max"))).collect().head.getDouble(0) == 9.0)
   }
 
+  test("fromEarliest for availability and strings (remaining handler variants)") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val day = 86400000L
+    val now = 100 * day
+    // availability: per-metric 10d retention; points live in window-bucket 7
+    val id = MetricId("t1", MetricType.Availability.code, "web")
+    svc.createMetric(id, Map.empty, dataRetention = Some(10))
+    svc.addDataPoints(Seq((now - 3 * day, 0), (now - 3 * day + day / 2, 1))
+      .toDF("time", "avail")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
+      .withColumn("metric", lit("web"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map()))
+    val out = svc.findAvailabilityStatsFromEarliest(id, Some(10), None, now = now)
+      .orderBy("bucket").collect()
+    // leading empty buckets 0-6 skipped; trailing empties 8-9 stay dense
+    assert(out.length == 3, out.map(_.getAs[Long]("bucket")).mkString(","))
+    assert(out.head.getAs[Long]("bucket") == 7L)
+    assert(out.head.getAs[Long]("up_ms") == day / 2 && out.head.getAs[Long]("down_ms") == day / 2)
+    assert(out.last.getAs[Any]("samples") == null)
+
+    // strings: fromEarliest widens the fetch range to the retention
+    // window — a point older than the window stays out
+    val sid = MetricId("t1", MetricType.Str.code, "st")
+    svc.createMetric(sid, Map.empty, dataRetention = Some(5))
+    svc.addDataPoints(Seq((now - 6 * day, "old"), (now - 2 * day, "fresh"))
+      .toDF("time", "s_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Str.code.toInt))
+      .withColumn("metric", lit("st"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("tags", map()))
+    val got = svc.findStringDataFromEarliest(sid, now = now)
+      .select("s_value").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("fresh"), got.toString)
+  }
+
   test("retainedRaw: metric override beats tenant per-type map beats keep") {
     val svc = newService()
     val day = 86400000L
@@ -332,17 +376,29 @@ class MetricsServiceSpec extends SparkTestBase {
 
   test("stats batch query runs N requests keyed by index (EP2 batch)") {
     val svc = newService()
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "a"), Map("env" -> "prod"))
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "b"), Map("env" -> "dev"))
     svc.addDataPoints(gaugeRows("a", Seq((100L, 2.0), (110L, 4.0))))
     svc.addDataPoints(gaugeRows("b", Seq((105L, 10.0))))
     val cfg = BucketConfig(TimeRange(100, 120), Some(1), None)
     val out = svc.statsBatchQuery("t1", Seq(
       svc.StatsRequest(MetricType.Gauge, Seq("a"), cfg),
-      svc.StatsRequest(MetricType.Gauge, Seq("a", "b"), cfg, stacked = true)))
+      svc.StatsRequest(MetricType.Gauge, Seq("a", "b"), cfg, stacked = true),
+      // a request may name its series by TAG EXPRESSION instead of ids
+      // (the reference body's metrics-or-tags union, :418-441)
+      svc.StatsRequest(MetricType.Gauge, Seq.empty, cfg,
+        tagExpression = Some("env = prod"))))
     val r0 = out.filter(col("request_id") === 0).collect()
     assert(r0.length == 1 && r0.head.getAs[Double]("sum") == 6.0)
     val r1 = out.filter(col("request_id") === 1).collect()
     assert(r1.length == 1 && r1.head.getAs[Long]("samples") == 2) // 2 contributing metrics
     assert(r1.head.getAs[Double]("avg") == 13.0) // 3.0 + 10.0
+    // tag request resolves to metric 'a' only — same rows as request 0
+    val r2 = out.filter(col("request_id") === 2).collect()
+    assert(r2.length == 1 && r2.head.getAs[Double]("sum") == 6.0)
+    // ids and a tag expression together are rejected loudly
+    intercept[IllegalArgumentException](
+      svc.StatsRequest(MetricType.Gauge, Seq("a"), cfg, tagExpression = Some("env = prod")))
   }
 
   test("availability stats come back dense (gap-filled per queried metric)") {

@@ -20,6 +20,23 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
  * Catalog writes are append-only with a write-time `ingest_seq`;
  * readers resolve last-write-wins, matching Cassandra upsert semantics.
  */
+object MetricsService {
+  /** Rename normalized `pN_N` percentile columns to the request's ORIGINAL
+    * strings (Percentile.java:22-38 echo rule), shared by every
+    * Percentiles-typed entry point (service overloads, REST routes). */
+  private[api] def withOriginalPercentileNames(df: DataFrame,
+                                               percentiles: Percentiles): DataFrame = {
+    val ps = percentiles.percentiles
+    // two strings normalizing to one quantile ("99.0", "99.00") would
+    // produce colliding/ambiguous columns downstream — reject loudly
+    require(ps.map(p => MetricsOps.pctColName(p.quantile)).distinct.size == ps.size,
+      s"duplicate percentile quantiles in ${percentiles.values}")
+    ps.foldLeft(df) { (d, p) =>
+      d.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
+    }
+  }
+}
+
 class MetricsService(spark: SparkSession, root: String) {
 
   private val dataPath = s"$root/data"
@@ -458,20 +475,9 @@ class MetricsService(spark: SparkSession, root: String) {
     withOriginalPercentileNames(
       findGaugeStats(id, config, percentiles.quantiles), percentiles)
 
-  /** Rename normalized `pN_N` percentile columns to the request's ORIGINAL
-    * strings (Percentile.java:22-38 echo rule), shared by every
-    * Percentiles-typed entry point. */
   private def withOriginalPercentileNames(df: DataFrame,
-                                          percentiles: Percentiles): DataFrame = {
-    val ps = percentiles.percentiles
-    // two strings normalizing to one quantile ("99.0", "99.00") would
-    // produce colliding/ambiguous columns downstream — reject loudly
-    require(ps.map(p => MetricsOps.pctColName(p.quantile)).distinct.size == ps.size,
-      s"duplicate percentile quantiles in ${percentiles.values}")
-    ps.foldLeft(df) { (d, p) =>
-      d.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
-    }
-  }
+                                          percentiles: Percentiles): DataFrame =
+    MetricsService.withOriginalPercentileNames(df, percentiles)
 
   /** EP2 — ONE mixed-type stats request (POST /metrics/stats/query,
     * MetricHandler.doStatsQuery:341-466): resolve the tag expression to an

@@ -1,0 +1,408 @@
+package graft.api
+
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Thin REST facade over [[MetricsService]] — the route table of the
+ * reference's JAX-RS layer (api/metrics-api-jaxrs/.../handler/
+ * GaugeHandler.java, CounterHandler.java, AvailabilityHandler.java,
+ * StringHandler.java, MetricHandler.java, TenantsHandler.java),
+ * re-expressed transport-free: a request is (method, path, query params,
+ * typed body), the response is the service's LAZY DataFrame (the
+ * Observable→collection step of the reference is the caller's
+ * collect/serialize decision, not the engine's). The table does exactly
+ * what the JAX-RS annotations + param converters do — parse params with
+ * the model grammars (TimeRange offsets, Duration, Percentiles, Tags,
+ * Order), dispatch to the service, map bad input to 400 and unknown
+ * routes to 404.
+ *
+ * Bodies are typed case classes rather than JSON documents by design:
+ * the engine ships no HTTP server or JSON codec (zero added
+ * dependencies); a deployment straps its serializer of choice over this
+ * table. What the table guarantees is the reference's ROUTE SEMANTICS —
+ * e.g. `POST /gauges/stats/query` and `GET /gauges/stats` run the same
+ * plan (GaugeMetricStatisticsITest.groovy:304-323 asserts their results
+ * are equal), both raw-fetch orders default by the T3 rule, and stats
+ * routes echo original percentile strings.
+ *
+ * Deliberate subset bounds (each fails loudly, nothing silently
+ * diverges): `fromEarliest` is honored on per-metric stats routes (the
+ * service surface); on MULTI-metric stats it answers 400 — the
+ * reference's cross-id earliest-window resolution
+ * (TimeAndBucketParams.fromEarliest over a metric list) is not modeled.
+ */
+object RestRoutes {
+
+  /** Response ADT — the facade never throws for routing/parameter
+    * errors, it answers like the reference's error mapper. */
+  sealed trait Result
+  /** 200 with a lazy frame body. */
+  final case class Ok(body: DataFrame) extends Result
+  /** 2xx for writes (the reference answers created/empty). */
+  case object NoContent extends Result
+  /** 4xx with the reference's ApiError message shape. */
+  final case class ApiError(status: Int, message: String) extends Result
+
+  /** Body of POST /{type}s — the reference's MetricDefinition
+    * (Metric.java: id + tags + nullable dataRetention). */
+  final case class MetricDefinition(id: String,
+                                    tags: Map[String, String] = Map.empty,
+                                    dataRetention: Option[Int] = None)
+
+  /** Body of POST /tenants (Tenant.java: id + per-type retentions keyed
+    * by type text). */
+  final case class TenantDefinition(id: String,
+                                    retentions: Map[String, Int] = Map.empty)
+
+  /** One datapoint of a POST .../raw body; `value` is typed per route
+    * (gauge Double, counter Long, availability state text, string). */
+  final case class PointValue(timestamp: Long, value: Any)
+
+  /** Body of POST /{type}s/stats/query — the reference's
+    * AggregatedStatsQueryRequest (GaugeHandler.java:618-651): the SAME
+    * fields as GET /{type}s/stats' query params, which is what makes the
+    * POST ≡ GET invariant testable. */
+  final case class AggregatedStatsQuery(metrics: Seq[String] = Seq.empty,
+                                        tags: Option[String] = None,
+                                        start: Option[String] = None,
+                                        end: Option[String] = None,
+                                        buckets: Option[Int] = None,
+                                        bucketDuration: Option[String] = None,
+                                        percentiles: Option[String] = None,
+                                        stacked: Boolean = false,
+                                        fromEarliest: Boolean = false)
+
+  /** Body of POST /metrics/stats/query (StatsQueryRequest.java:30-46):
+    * `types` carries metric-type TEXTS including the virtual rate types
+    * ("counter_rate", "gauge_rate" — MetricHandler.java:368-380,424,476). */
+  final case class MixedStatsQuery(tags: String,
+                                   types: Seq[String],
+                                   start: Option[String] = None,
+                                   end: Option[String] = None,
+                                   buckets: Option[Int] = None,
+                                   bucketDuration: Option[String] = None,
+                                   percentiles: Option[String] = None)
+}
+
+class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
+  import RestRoutes._
+
+  /** Dispatch one request. `now` is injectable for deterministic tests
+    * (the reference resolves relative times against wall clock). */
+  def route(method: String, path: String,
+            params: Map[String, String] = Map.empty,
+            body: AnyRef = null,
+            now: Long = System.currentTimeMillis()): Result = {
+    val segs = path.split("/").filter(_.nonEmpty).toList
+    try dispatch(method.toUpperCase, segs, params, body, now)
+    catch {
+      // the model grammars throw IllegalArgument on bad input — the
+      // JAX-RS layer maps exactly these to 400 ApiError
+      case e: IllegalArgumentException => ApiError(400, e.getMessage)
+    }
+  }
+
+  // route segment → stored metric type (the reference's per-type handler
+  // classes; the virtual rate types have no collection routes)
+  private val TypeSeg: Map[String, MetricType] = Map(
+    "gauges" -> MetricType.Gauge, "counters" -> MetricType.Counter,
+    "availability" -> MetricType.Availability, "strings" -> MetricType.Str)
+
+  private def dispatch(method: String, segs: List[String],
+                       params: Map[String, String], body: AnyRef,
+                       now: Long): Result = (method, segs) match {
+    // ---- tenants (TenantsHandler) ------------------------------------
+    case ("GET", "tenants" :: Nil) => Ok(svc.getTenants())
+    case ("POST", "tenants" :: Nil) => body match {
+      case t: TenantDefinition => svc.createTenant(t.id, t.retentions); NoContent
+      case _ => badBody("TenantDefinition")
+    }
+    case ("DELETE", "tenants" :: id :: Nil) => svc.deleteTenant(id); NoContent
+
+    // ---- catalog (MetricHandler GET /metrics, per-type collections) --
+    case ("GET", "metrics" :: Nil) =>
+      Ok(svc.findMetrics(tenant, params.get("type").map(MetricType.fromText)))
+    case ("GET", Seg(t) :: Nil) => Ok(svc.findMetrics(tenant, Some(t)))
+    case ("POST", Seg(t) :: Nil) => body match {
+      case d: MetricDefinition =>
+        svc.createMetric(MetricId(tenant, t.code, d.id), d.tags, d.dataRetention)
+        NoContent
+      case _ => badBody("MetricDefinition")
+    }
+    case ("GET", Seg(t) :: "tags" :: tags :: Nil) =>
+      Ok(svc.findMetricIdentifiersWithFilters(tenant, Some(t), tags))
+    // LITERAL multi-metric stats route must win over the /{id} template
+    // (JAX-RS gives literal segments precedence) — see aggStats below
+    case ("GET", Seg(t) :: "stats" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      aggStats(t, AggregatedStatsQuery(
+        metrics = params.get("metrics").map(_.split(",").toSeq).getOrElse(Seq.empty),
+        tags = params.get("tags"),
+        start = params.get("start"), end = params.get("end"),
+        buckets = params.get("buckets").map(_.toInt),
+        bucketDuration = params.get("bucketDuration"),
+        percentiles = params.get("percentiles"),
+        stacked = flag(params, "stacked"),
+        fromEarliest = flag(params, "fromEarliest")), now)
+    case ("GET", Seg(t) :: id :: Nil) => Ok(svc.findMetric(mid(t, id)))
+    case ("DELETE", Seg(t) :: id :: Nil) => svc.deleteMetric(mid(t, id)); NoContent
+    case ("GET", Seg(t) :: id :: "tags" :: Nil) => Ok(svc.getMetricTags(mid(t, id)))
+    case ("PUT", Seg(t) :: id :: "tags" :: Nil) => body match {
+      case m: Map[_, _] =>
+        svc.addTags(mid(t, id), m.asInstanceOf[Map[String, String]]); NoContent
+      case _ => badBody("Map[String, String]")
+    }
+    case ("DELETE", Seg(t) :: id :: "tags" :: names :: Nil) =>
+      svc.deleteTags(mid(t, id), names.split(",").toSet); NoContent
+
+    // ---- raw ingest + fetch (per-type {id}/raw) ----------------------
+    case ("POST", Seg(t) :: id :: "raw" :: Nil) => body match {
+      case pts: Seq[_] =>
+        val frame = pointsFrame(t, id, pts.asInstanceOf[Seq[PointValue]])
+        if (t == MetricType.Str) svc.addStringDataPoints(frame)
+        else svc.addDataPoints(frame)
+        NoContent
+      case _ => badBody("Seq[PointValue]")
+    }
+    case ("GET", Seg(t) :: id :: "raw" :: Nil) =>
+      val (start, end) = resolvedRange(params, now)
+      val limit = params.get("limit").map(_.toInt).getOrElse(0)
+      val order = params.get("order").map(Order.fromText)
+      val distinct = flag(params, "distinct")
+      t match {
+        case MetricType.Availability =>
+          Ok(svc.findAvailabilityData(mid(t, id), start, end, distinct, limit, order, now))
+        case MetricType.Str =>
+          Ok(svc.findStringData(mid(t, id), start, end, distinct, limit, order, now))
+        case _ =>
+          Ok(svc.findDataPoints(mid(t, id), start, end, limit, order, now))
+      }
+
+    // ---- rates (CounterHandler/GaugeHandler {id}/rate[, /stats]) -----
+    case ("GET", Seg(t) :: id :: "rate" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      val limit = params.get("limit").map(_.toInt).getOrElse(0)
+      val order = params.get("order").map(Order.fromText).getOrElse(Order.Asc)
+      Ok(svc.findRateData(mid(t, id), limit, order))
+    case ("GET", Seg(t) :: id :: "rate" :: "stats" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      val pcts = percentilesOf(params.get("percentiles"))
+      Ok(renamePcts(
+        svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
+
+    // ---- per-metric stats (+ tagged variant, + periods) --------------
+    case ("GET", Seg(t) :: id :: "stats" :: Nil) => idStats(t, id, params, now)
+    case ("GET", Seg(t) :: id :: "stats" :: "tags" :: tags :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      val pcts = percentilesOf(params.get("percentiles"))
+      val stats =
+        if (t == MetricType.Gauge)
+          svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles)
+        else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles)
+      Ok(renamePcts(stats, pcts))
+    case ("GET", "gauges" :: id :: "periods" :: Nil) =>
+      val (start, end) = resolvedRange(params, now)
+      Ok(svc.getPeriods(mid(MetricType.Gauge, id),
+        periodsPredicate(params), start, end, now))
+
+    // ---- multi-metric stats: POST body ≡ the GET params route above --
+    // (GaugeHandler.java:571-616 vs :618-651 — the ITest invariant)
+    case ("POST", Seg(t) :: "stats" :: "query" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      body match {
+        case q: AggregatedStatsQuery => aggStats(t, q, now)
+        case _ => badBody("AggregatedStatsQuery")
+      }
+
+    // ---- EP2: one mixed-type stats request + the batch variant -------
+    case ("POST", "metrics" :: "stats" :: "query" :: Nil) => body match {
+      case q: MixedStatsQuery =>
+        val ts = q.types.map(MetricType.fromText).toSet
+        val stored = ts.filter(t => t.isUserType && t != MetricType.Str)
+        val pcts = percentilesOf(q.percentiles)
+        Ok(svc.statsQuery(tenant, q.tags,
+          bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now),
+          types = stored,
+          includeCounterRate = ts(MetricType.CounterRate),
+          includeGaugeRate = ts(MetricType.GaugeRate),
+          percentiles = pcts))
+      case _ => badBody("MixedStatsQuery")
+    }
+    case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil) => body match {
+      case rs: Seq[_] =>
+        Ok(svc.statsBatchQuery(tenant, rs.asInstanceOf[Seq[svc.StatsRequest]]))
+      case _ => badBody("Seq[StatsRequest]")
+    }
+
+    case _ => ApiError(404, s"no route: $method /${segs.mkString("/")}")
+  }
+
+  // ------------------------------------------------------------------
+  // per-route helpers
+  // ------------------------------------------------------------------
+
+  /** Extractor: route segment naming a stored metric type. */
+  private object Seg {
+    def unapply(s: String): Option[MetricType] = TypeSeg.get(s)
+  }
+
+  private def mid(t: MetricType, id: String) = MetricId(tenant, t.code, id)
+
+  private def badBody(expected: String): Result =
+    ApiError(400, s"missing or mistyped request body (expected $expected)")
+
+  private def flag(params: Map[String, String], name: String): Boolean =
+    params.get(name).exists(_.toBoolean)
+
+  /** Resolve start/end params (absolute millis or ±duration offsets)
+    * while PRESERVING absence — the T3 order-defaulting rule keys on
+    * which params were present, not on their resolved values. */
+  private def resolvedRange(params: Map[String, String],
+                            now: Long): (Option[Long], Option[Long]) = {
+    val r = TimeRange(params.get("start"), params.get("end"), now)
+    (params.get("start").map(_ => r.start), params.get("end").map(_ => r.end))
+  }
+
+  private def bucketConfig(params: Map[String, String], now: Long): BucketConfig =
+    bucketConfig(params.get("start"), params.get("end"),
+      params.get("buckets").map(_.toInt), params.get("bucketDuration"), now)
+
+  private def bucketConfig(start: Option[String], end: Option[String],
+                           buckets: Option[Int], bucketDuration: Option[String],
+                           now: Long): BucketConfig =
+    BucketConfig(TimeRange(start, end, now), buckets,
+      bucketDuration.map(GDuration.parse))
+
+  private def percentilesOf(param: Option[String]): Percentiles =
+    Percentiles(param.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty))
+
+  private def renamePcts(stats: DataFrame, pcts: Percentiles): DataFrame =
+    if (pcts.values.isEmpty) stats
+    else MetricsService.withOriginalPercentileNames(stats, pcts)
+
+  /** op+threshold params of GET /{id}/periods (GaugeHandler getPeriods:
+    * lt, gt, lte, gte, eq, neq over the point value). */
+  private def periodsPredicate(params: Map[String, String]): Column = {
+    val threshold = params.getOrElse("threshold",
+      throw new IllegalArgumentException("threshold param is required")).toDouble
+    val v = col("n_value")
+    params.getOrElse("op",
+      throw new IllegalArgumentException("op param is required")) match {
+      case "lt"  => v < threshold
+      case "gt"  => v > threshold
+      case "lte" => v <= threshold
+      case "gte" => v >= threshold
+      case "eq"  => v === threshold
+      case "neq" => v =!= threshold
+      case other => throw new IllegalArgumentException(s"Invalid op '$other'")
+    }
+  }
+
+  /** GET /{type}s/{id}/stats with the per-type fromEarliest variants. */
+  private def idStats(t: MetricType, id: String, params: Map[String, String],
+                      now: Long): Result = {
+    val pcts = percentilesOf(params.get("percentiles"))
+    val m = mid(t, id)
+    if (flag(params, "fromEarliest")) {
+      // fromEarliest derives the range — explicit bounds conflict
+      // (TimeAndBucketParams: "fromEarliest can only be used without
+      // start & end")
+      require(!params.contains("start") && !params.contains("end"),
+        "fromEarliest can only be used without start & end")
+      val count = params.get("buckets").map(_.toInt)
+      val dur = params.get("bucketDuration").map(GDuration.parse)
+      t match {
+        case MetricType.Gauge =>
+          Ok(renamePcts(svc.findGaugeStatsFromEarliest(m, count, dur, pcts.quantiles, now), pcts))
+        case MetricType.Counter =>
+          Ok(renamePcts(svc.findCounterStatsFromEarliest(m, count, dur, pcts.quantiles, now), pcts))
+        case MetricType.Availability =>
+          Ok(svc.findAvailabilityStatsFromEarliest(m, count, dur, now))
+        case _ => ApiError(400, s"stats not supported for type ${t.text}")
+      }
+    } else {
+      val cfg = bucketConfig(params, now)
+      t match {
+        case MetricType.Gauge => Ok(svc.findGaugeStats(m, cfg, pcts))
+        case MetricType.Counter =>
+          Ok(renamePcts(svc.findCounterStats(m, cfg, pcts.quantiles), pcts))
+        case MetricType.Availability => Ok(svc.findAvailabilityStats(m, cfg))
+        case _ => ApiError(400, s"stats not supported for type ${t.text}")
+      }
+    }
+  }
+
+  /** The shared engine of GET /{type}s/stats and POST /{type}s/stats/
+    * query — ONE code path is what makes the reference's POST ≡ GET
+    * invariant hold by construction. */
+  private def aggStats(t: MetricType, q: AggregatedStatsQuery, now: Long): Result = {
+    if (q.fromEarliest)
+      return ApiError(400,
+        "fromEarliest is supported on per-metric stats routes only (facade subset)")
+    require(q.metrics.nonEmpty ^ q.tags.nonEmpty,
+      "Either metrics or tags is required, but not both")
+    val cfg = bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now)
+    val pcts = percentilesOf(q.percentiles)
+    val stats = q.tags match {
+      case Some(expr) =>
+        svc.findNumericStats(tenant, t,
+          svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr),
+          cfg, pcts.quantiles, q.stacked)
+      case None =>
+        svc.findNumericStats(tenant, t, q.metrics, cfg, pcts.quantiles, q.stacked)
+    }
+    Ok(renamePcts(stats, pcts))
+  }
+
+  /** POST .../raw body → canonical datapoint frame, typed per route. */
+  private def pointsFrame(t: MetricType, id: String, pts: Seq[PointValue]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    def num(v: Any): Double = v match {
+      case d: Double => d
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case other => throw new IllegalArgumentException(s"bad gauge value '$other'")
+    }
+    def cnt(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int  => i.toLong
+      case other => throw new IllegalArgumentException(s"bad counter value '$other'")
+    }
+    val base = t match {
+      case MetricType.Gauge =>
+        pts.map(p => (p.timestamp, num(p.value))).toDF("time", "n_value")
+          .withColumn("l_value", lit(null).cast("long"))
+          .withColumn("avail", lit(null).cast("int"))
+          .withColumn("s_value", lit(null).cast("string"))
+      case MetricType.Counter =>
+        pts.map(p => (p.timestamp, cnt(p.value))).toDF("time", "l_value")
+          .withColumn("n_value", lit(null).cast("double"))
+          .withColumn("avail", lit(null).cast("int"))
+          .withColumn("s_value", lit(null).cast("string"))
+      case MetricType.Availability =>
+        pts.map(p => (p.timestamp,
+          AvailabilityType.fromText(p.value.toString).code.toInt)).toDF("time", "avail")
+          .withColumn("n_value", lit(null).cast("double"))
+          .withColumn("l_value", lit(null).cast("long"))
+          .withColumn("s_value", lit(null).cast("string"))
+      case MetricType.Str =>
+        pts.map(p => (p.timestamp, p.value.toString)).toDF("time", "s_value")
+          .withColumn("n_value", lit(null).cast("double"))
+          .withColumn("l_value", lit(null).cast("long"))
+          .withColumn("avail", lit(null).cast("int"))
+      case other =>
+        throw new IllegalArgumentException(s"cannot ingest type ${other.text}")
+    }
+    base
+      .withColumn("tenant_id", lit(tenant))
+      .withColumn("mtype", lit(t.code.toInt))
+      .withColumn("metric", lit(id))
+      .withColumn("tags", map())
+      .select("tenant_id", "mtype", "metric", "time",
+        "n_value", "l_value", "avail", "s_value", "tags")
+  }
+}

@@ -1,0 +1,179 @@
+package graft.api
+
+import graft.SparkTestBase
+import graft.model._
+import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
+
+/** REST facade spec — the reference's Groovy REST-ITest invariants over
+  * the transport-free route table (GaugeMetricStatisticsITest,
+  * MetricsITest shapes). */
+class RestRoutesSpec extends SparkTestBase {
+  import RestRoutes._
+
+  private def newRoutes(): RestRoutes = {
+    val svc = new MetricsService(spark, Files.createTempDirectory("graft-rest").toString)
+    new RestRoutes(spark, svc, "t1")
+  }
+
+  private def frame(r: Result): DataFrame = r match {
+    case Ok(df) => df
+    case other  => fail(s"expected Ok, got $other")
+  }
+
+  test("POST /gauges/stats/query and GET /gauges/stats run the same plan " +
+    "(GaugeMetricStatisticsITest.groovy:304-323)") {
+    val rest = newRoutes()
+    rest.route("POST", "/gauges", body = MetricDefinition("m1", Map("type" -> "cpu_usage", "host" -> "server1")))
+    rest.route("POST", "/gauges", body = MetricDefinition("m2", Map("type" -> "cpu_usage", "host" -> "server2")))
+    rest.route("POST", "/gauges", body = MetricDefinition("m3", Map("type" -> "mem", "host" -> "server1")))
+    assert(rest.route("POST", "/gauges/m1/raw",
+      body = Seq(PointValue(100L, 37.45), PointValue(200L, 44.07))) == NoContent)
+    assert(rest.route("POST", "/gauges/m2/raw",
+      body = Seq(PointValue(150L, 36.94), PointValue(250L, 41.18))) == NoContent)
+    assert(rest.route("POST", "/gauges/m3/raw",
+      body = Seq(PointValue(150L, 99.0))) == NoContent)
+
+    val params = Map("start" -> "100", "end" -> "300", "buckets" -> "1",
+      "tags" -> "type:cpu_usage,host:server1|server2")
+    val get = frame(rest.route("GET", "/gauges/stats", params)).collect()
+    val post = frame(rest.route("POST", "/gauges/stats/query",
+      body = AggregatedStatsQuery(tags = Some("type:cpu_usage,host:server1|server2"),
+        start = Some("100"), end = Some("300"), buckets = Some(1)))).collect()
+    assert(get.length == 1 && post.length == 1)
+    assert(get.head == post.head, "POST and GET must give the same results")
+    // the mem metric stays out of the tag selection
+    assert(get.head.getAs[Long]("samples") == 4)
+    assert(get.head.getAs[Double]("min") == 36.94 && get.head.getAs[Double]("max") == 44.07)
+
+    // metrics-list variant of the same invariant
+    val getIds = frame(rest.route("GET", "/gauges/stats",
+      Map("start" -> "100", "end" -> "300", "buckets" -> "1", "metrics" -> "m1,m3"))).collect()
+    val postIds = frame(rest.route("POST", "/gauges/stats/query",
+      body = AggregatedStatsQuery(metrics = Seq("m1", "m3"),
+        start = Some("100"), end = Some("300"), buckets = Some(1)))).collect()
+    assert(getIds.head == postIds.head)
+    assert(getIds.head.getAs[Double]("max") == 99.0)
+  }
+
+  test("per-metric stats routes: percentile echo, fromEarliest, tagged variant") {
+    val rest = newRoutes()
+    rest.route("POST", "/gauges", body = MetricDefinition("cpu", dataRetention = Some(10)))
+    val day = 86400000L
+    val now = 100 * day
+    rest.route("POST", "/gauges/cpu/raw",
+      body = (0 until 20).map(i => PointValue(now - 3 * day + i, i.toDouble)))
+    // percentile echo: original request string becomes the column name
+    val stats = frame(rest.route("GET", "/gauges/cpu/stats",
+      Map("start" -> (now - 4 * day).toString, "end" -> now.toString,
+        "buckets" -> "4", "percentiles" -> "99.000,90.0"), now = now))
+    assert(stats.columns.contains("p99_000") && stats.columns.contains("p90_0"))
+    // fromEarliest: retention-derived window, leading empties skipped
+    val fe = frame(rest.route("GET", "/gauges/cpu/stats",
+      Map("fromEarliest" -> "true", "buckets" -> "10"), now = now)).collect()
+    assert(fe.nonEmpty && fe.head.getAs[Any]("samples") != null)
+    assert(fe.length == 3, fe.length.toString) // buckets 7,8,9 of the 10d window
+    // explicit bounds conflict with fromEarliest → 400
+    rest.route("GET", "/gauges/cpu/stats",
+      Map("fromEarliest" -> "true", "buckets" -> "10", "start" -> "0"), now = now) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+    // tagged per-point stats route (per-point tags empty here → no rows,
+    // but the route must dispatch, not 404)
+    assert(rest.route("GET", "/gauges/cpu/stats/tags/dc:east",
+      Map.empty, now = now).isInstanceOf[Ok])
+  }
+
+  test("raw fetch routes: order defaulting, limit, availability distinct") {
+    val rest = newRoutes()
+    rest.route("POST", "/gauges/g/raw",
+      body = Seq(PointValue(1L, 1.0), PointValue(2L, 2.0), PointValue(3L, 3.0)))
+    // limit + start without end → ASC (T3); both bounds → DESC
+    val asc = frame(rest.route("GET", "/gauges/g/raw",
+      Map("start" -> "0", "limit" -> "2"), now = 10L))
+      .select("time").collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(1L, 2L))
+    val desc = frame(rest.route("GET", "/gauges/g/raw",
+      Map("start" -> "0", "end" -> "10", "limit" -> "2"), now = 10L))
+      .select("time").collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(3L, 2L))
+    // availability: state texts in, distinct-contiguous collapse via param
+    rest.route("POST", "/availability/web/raw",
+      body = Seq(PointValue(1L, "up"), PointValue(2L, "up"), PointValue(3L, "down")))
+    val av = frame(rest.route("GET", "/availability/web/raw",
+      Map("start" -> "0", "end" -> "10", "distinct" -> "true", "order" -> "ASC"), now = 10L))
+      .select("time", "avail").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(av == Seq((1L, 0), (3L, 1)))
+    // counter rate route
+    rest.route("POST", "/counters/c/raw",
+      body = Seq(PointValue(0L, 100L), PointValue(60000L, 160L)))
+    val rate = frame(rest.route("GET", "/counters/c/rate", Map.empty, now = 70000L))
+      .select("rate").collect().map(_.getDouble(0)).toSeq
+    assert(rate == Seq(60.0))
+  }
+
+  test("periods route maps op+threshold to the W2 predicate") {
+    val rest = newRoutes()
+    rest.route("POST", "/gauges/g/raw",
+      body = Seq(PointValue(1L, 9.0), PointValue(2L, 9.0), PointValue(5L, 1.0), PointValue(7L, 9.0)))
+    val runs = frame(rest.route("GET", "/gauges/g/periods",
+      Map("start" -> "0", "end" -> "10", "op" -> "gt", "threshold" -> "5.0"), now = 10L))
+      .orderBy("period_start").collect()
+      .map(r => (r.getAs[Long]("period_start"), r.getAs[Long]("period_end"))).toSeq
+    assert(runs == Seq((1L, 2L), (7L, 7L)))
+    rest.route("GET", "/gauges/g/periods",
+      Map("op" -> "between", "threshold" -> "5.0"), now = 10L) match {
+      case ApiError(400, msg) => assert(msg.contains("Invalid op"))
+      case other => fail(s"expected 400, got $other")
+    }
+  }
+
+  test("mixed stats POST carries virtual rate types and percentiles (EP2)") {
+    val rest = newRoutes()
+    rest.route("POST", "/gauges", body = MetricDefinition("cpu", Map("env" -> "prod")))
+    rest.route("POST", "/counters", body = MetricDefinition("reqs", Map("env" -> "prod")))
+    rest.route("POST", "/gauges/cpu/raw", body = Seq(PointValue(100L, 10.0), PointValue(150L, 30.0)))
+    rest.route("POST", "/counters/reqs/raw", body = Seq(PointValue(100L, 100L), PointValue(150L, 160L)))
+    val out = frame(rest.route("POST", "/metrics/stats/query",
+      body = MixedStatsQuery(tags = "env = prod",
+        types = Seq("gauge", "counter", "counter_rate", "gauge_rate"),
+        start = Some("100"), end = Some("200"), buckets = Some(1),
+        percentiles = Some("90.0")), now = 200L))
+    val branches = out.collect().map(_.getAs[String]("branch")).toSet
+    assert(branches == Set("gauge", "gauge_rate", "counter", "counter_rate"))
+    assert(out.columns.contains("p90_0"))
+  }
+
+  test("tenants and tag CRUD routes; unknown routes answer 404") {
+    val rest = newRoutes()
+    assert(rest.route("POST", "/tenants",
+      body = TenantDefinition("t1", Map("gauge" -> 14))) == NoContent)
+    assert(frame(rest.route("GET", "/tenants")).collect().head.getString(0) == "t1")
+    rest.route("POST", "/gauges", body = MetricDefinition("m", Map("a" -> "1")))
+    assert(rest.route("PUT", "/gauges/m/tags", body = Map("b" -> "2")) == NoContent)
+    assert(rest.route("DELETE", "/gauges/m/tags/a") == NoContent)
+    val tags = frame(rest.route("GET", "/gauges/m/tags")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tags == Map("b" -> "2"))
+    // tag query route resolves ids
+    val ids = frame(rest.route("GET", "/gauges/tags/b:2")).collect().map(_.getString(2))
+    assert(ids.toSeq == Seq("m"))
+    rest.route("GET", "/nonsense") match {
+      case ApiError(404, _) =>
+      case other => fail(s"expected 404, got $other")
+    }
+    // buckets and bucketDuration together → 400 (BucketConfig XOR rule)
+    rest.route("GET", "/gauges/m/stats",
+      Map("buckets" -> "4", "bucketDuration" -> "1d")) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+    // metrics and tags together → 400 (metrics-or-tags union)
+    rest.route("GET", "/gauges/stats",
+      Map("buckets" -> "1", "metrics" -> "m", "tags" -> "a:1")) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+  }
+}

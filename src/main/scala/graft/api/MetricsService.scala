@@ -21,17 +21,23 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
  * readers resolve last-write-wins, matching Cassandra upsert semantics.
  */
 object MetricsService {
+  /** Two strings normalizing to one quantile ("99.0", "99.00") would
+    * produce colliding/ambiguous columns — reject LOUDLY and BEFORE any
+    * frame is built: the duplicate alias would otherwise surface as an
+    * AnalysisException from deep inside the stats plan. */
+  private[api] def requireDistinctQuantiles(percentiles: Percentiles): Unit = {
+    val ps = percentiles.percentiles
+    require(ps.map(p => MetricsOps.pctColName(p.quantile)).distinct.size == ps.size,
+      s"duplicate percentile quantiles in ${percentiles.values}")
+  }
+
   /** Rename normalized `pN_N` percentile columns to the request's ORIGINAL
     * strings (Percentile.java:22-38 echo rule), shared by every
     * Percentiles-typed entry point (service overloads, REST routes). */
   private[api] def withOriginalPercentileNames(df: DataFrame,
                                                percentiles: Percentiles): DataFrame = {
-    val ps = percentiles.percentiles
-    // two strings normalizing to one quantile ("99.0", "99.00") would
-    // produce colliding/ambiguous columns downstream — reject loudly
-    require(ps.map(p => MetricsOps.pctColName(p.quantile)).distinct.size == ps.size,
-      s"duplicate percentile quantiles in ${percentiles.values}")
-    ps.foldLeft(df) { (d, p) =>
+    requireDistinctQuantiles(percentiles)
+    percentiles.percentiles.foldLeft(df) { (d, p) =>
       d.withColumnRenamed(MetricsOps.pctColName(p.quantile), p.columnName)
     }
   }
@@ -165,13 +171,19 @@ class MetricsService(spark: SparkSession, root: String) {
     createMetric(id, current -- tags, retention)
   }
 
-  /** (tags, dataRetention) of the current LWW definition. */
+  /** (tags, dataRetention) of the current LWW definition. A metric with
+    * no catalog entry at all — datapoints can be ingested without an
+    * explicit createMetric, like the reference's implicit metrics — reads
+    * as undefined, not as a missing-path error. */
   private def currentDefinition(id: MetricId): (Map[String, String], Option[Int]) =
-    metricsIndex().filter(metricKey(id)).select("tags", "data_retention").collect()
+    try metricsIndex().filter(metricKey(id)).select("tags", "data_retention").collect()
       .headOption.map { r =>
         (r.getMap[String, String](0).toMap,
           if (r.isNullAt(1)) None else Some(r.getInt(1)))
       }.getOrElse((Map.empty, None))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => (Map.empty, None)
+    }
 
   /** Single-metric definition lookup (reference findMetric:102-109). */
   def findMetric(id: MetricId): DataFrame =
@@ -405,13 +417,22 @@ class MetricsService(spark: SparkSession, root: String) {
       findAvailabilityStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now)))
 
   /** String twin (StringHandler's TimeAndSortParams carries the same
-    * flag): strings have no buckets — `fromEarliest` just widens the
-    * fetch range to the retention window ending `now`. */
+    * flag on GET /{id}/raw): strings have no buckets — `fromEarliest`
+    * just widens the fetch range to the retention window ending `now`. */
   def findStringDataFromEarliest(id: MetricId, distinct: Boolean = false,
                                  limit: Int = 0, order: Option[Order] = None,
                                  now: Long = System.currentTimeMillis()): DataFrame = {
     val r = fromEarliestRange(id, now)
     findStringData(id, Some(r.start), Some(r.end), distinct, limit, order, now)
+  }
+
+  /** Availability raw-fetch twin (AvailabilityHandler carries the flag
+    * on GET /{id}/raw too, :420-452): retention window as fetch range. */
+  def findAvailabilityDataFromEarliest(id: MetricId, distinct: Boolean = false,
+                                       limit: Int = 0, order: Option[Order] = None,
+                                       now: Long = System.currentTimeMillis()): DataFrame = {
+    val r = fromEarliestRange(id, now)
+    findAvailabilityData(id, Some(r.start), Some(r.end), distinct, limit, order, now)
   }
 
   /** The fromEarliest range: retention window ending `now`, resolved
@@ -471,9 +492,11 @@ class MetricsService(spark: SparkSession, root: String) {
     * text back verbatim, Percentile.java:22-38): a request for "99.000"
     * answers in column `p99_000`, not a normalized `p99_0`. */
   def findGaugeStats(id: MetricId, config: BucketConfig,
-                     percentiles: Percentiles): DataFrame =
+                     percentiles: Percentiles): DataFrame = {
+    MetricsService.requireDistinctQuantiles(percentiles) // before the frame
     withOriginalPercentileNames(
       findGaugeStats(id, config, percentiles.quantiles), percentiles)
+  }
 
   private def withOriginalPercentileNames(df: DataFrame,
                                           percentiles: Percentiles): DataFrame =
@@ -526,27 +549,36 @@ class MetricsService(spark: SparkSession, root: String) {
     * and counter branches alike. */
   def statsQuery(tenantId: String, tagExpression: String, config: BucketConfig,
                  types: Set[MetricType], includeCounterRate: Boolean,
-                 includeGaugeRate: Boolean, percentiles: Percentiles): DataFrame =
+                 includeGaugeRate: Boolean, percentiles: Percentiles): DataFrame = {
+    // validate BEFORE building the frame: duplicate-normalizing strings
+    // would alias two columns identically inside the plan and die there
+    MetricsService.requireDistinctQuantiles(percentiles)
     withOriginalPercentileNames(
       statsQuery(tenantId, tagExpression, config, types, includeCounterRate,
         includeGaugeRate, percentiles.quantiles),
       percentiles)
+  }
 
   /** One EP2 request (POST /metrics/stats/query body). A request names
     * its series by explicit id list OR by tag expression — the reference
     * body's metrics-or-tags union (StatsQueryRequest,
-    * MetricHandler.java:418-441) — never both. */
+    * MetricHandler.java:418-441) — exactly one of the two: neither would
+    * silently contribute zero rows, both is ambiguous. */
   case class StatsRequest(mtype: MetricType, ids: Seq[String], config: BucketConfig,
                           percentiles: Seq[Double] = Seq.empty, stacked: Boolean = false,
                           tagExpression: Option[String] = None) {
-    require(ids.isEmpty || tagExpression.isEmpty,
-      "a stats request carries ids OR a tag expression, not both")
+    require(ids.nonEmpty ^ tagExpression.nonEmpty,
+      "a stats request carries ids OR a tag expression (exactly one)")
   }
 
   /** Batch variant (/metrics/stats/batch/query, MetricHandler.java:321-338):
     * N independent stats queries, one result frame keyed by request index.
-    * Tag-driven requests resolve through the J4 machinery per request. */
-  def statsBatchQuery(tenantId: String, requests: Seq[StatsRequest]): DataFrame =
+    * Tag-driven requests resolve through the J4 machinery per request.
+    * Requests may carry DIFFERENT percentile lists — a request without a
+    * given percentile null-pads that column (allowMissingColumns), the
+    * same shape rule the EP2 branches use. */
+  def statsBatchQuery(tenantId: String, requests: Seq[StatsRequest]): DataFrame = {
+    require(requests.nonEmpty, "statsBatchQuery needs at least one request")
     requests.zipWithIndex.map { case (r, i) =>
       val stats = r.tagExpression match {
         case Some(expr) =>
@@ -557,7 +589,8 @@ class MetricsService(spark: SparkSession, root: String) {
           findNumericStats(tenantId, r.mtype, r.ids, r.config, r.percentiles, r.stacked)
       }
       stats.withColumn("request_id", lit(i))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Availability fetch: `distinct` applies BEFORE `limit` (the reference
     * fetches unlimited, collapses runs in FETCH order — so a DESC fetch

@@ -171,7 +171,22 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       val limit = params.get("limit").map(_.toInt).getOrElse(0)
       val order = params.get("order").map(Order.fromText)
       val distinct = flag(params, "distinct")
-      t match {
+      if (flag(params, "fromEarliest")) {
+        // the reference carries fromEarliest on the string and
+        // availability raw routes (StringHandler GET /{id}/raw :321-343,
+        // AvailabilityHandler :420-452) but NOT on gauge/counter raw —
+        // reject there rather than silently ignoring the flag
+        require(start.isEmpty && end.isEmpty,
+          "fromEarliest can only be used without start & end")
+        t match {
+          case MetricType.Str =>
+            Ok(svc.findStringDataFromEarliest(mid(t, id), distinct, limit, order, now))
+          case MetricType.Availability =>
+            Ok(svc.findAvailabilityDataFromEarliest(mid(t, id), distinct, limit, order, now))
+          case _ =>
+            ApiError(400, s"fromEarliest is not supported on ${t.text} raw fetches")
+        }
+      } else t match {
         case MetricType.Availability =>
           Ok(svc.findAvailabilityData(mid(t, id), start, end, distinct, limit, order, now))
         case MetricType.Str =>
@@ -220,7 +235,11 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     case ("POST", "metrics" :: "stats" :: "query" :: Nil) => body match {
       case q: MixedStatsQuery =>
         val ts = q.types.map(MetricType.fromText).toSet
-        val stored = ts.filter(t => t.isUserType && t != MetricType.Str)
+        // strings have no stats branches — reject rather than silently
+        // dropping a requested section from the response
+        require(!ts.contains(MetricType.Str),
+          "string metrics have no stats; remove 'string' from types")
+        val stored = ts.filter(_.isUserType)
         val pcts = percentilesOf(q.percentiles)
         Ok(svc.statsQuery(tenant, q.tags,
           bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now),
@@ -231,7 +250,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       case _ => badBody("MixedStatsQuery")
     }
     case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil) => body match {
-      case rs: Seq[_] =>
+      // erasure hides the element type — check it ourselves so a wrong
+      // body answers 400, not a downstream ClassCastException (and the
+      // service's nonEmpty require maps the empty list to 400 too)
+      case rs: Seq[_] if rs.forall(_.isInstanceOf[MetricsService#StatsRequest]) =>
         Ok(svc.statsBatchQuery(tenant, rs.asInstanceOf[Seq[svc.StatsRequest]]))
       case _ => badBody("Seq[StatsRequest]")
     }

@@ -153,6 +153,12 @@ class MetricsServiceSpec extends SparkTestBase {
     // quantiles accessor enforces the SAME contract as percentiles
     assert(Percentile("100").quantile == 100.0)
     intercept[IllegalArgumentException](Percentiles(Seq("150")).quantiles)
+    // duplicate-normalizing strings ("90.0", "90.00" → one quantile) are
+    // rejected BEFORE any frame is built — an IllegalArgument, not an
+    // ambiguous-column AnalysisException from inside the plan
+    intercept[IllegalArgumentException](
+      svc.findGaugeStats(id, BucketConfig(TimeRange(100, 120), Some(1), None),
+        Percentiles(Seq("90.0", "90.00"))))
   }
 
   test("findMetrics echoes a stored per-metric retention override (J5)") {
@@ -396,9 +402,22 @@ class MetricsServiceSpec extends SparkTestBase {
     // tag request resolves to metric 'a' only — same rows as request 0
     val r2 = out.filter(col("request_id") === 2).collect()
     assert(r2.length == 1 && r2.head.getAs[Double]("sum") == 6.0)
-    // ids and a tag expression together are rejected loudly
+    // ids and a tag expression together are rejected loudly; so is neither
     intercept[IllegalArgumentException](
       svc.StatsRequest(MetricType.Gauge, Seq("a"), cfg, tagExpression = Some("env = prod")))
+    intercept[IllegalArgumentException](
+      svc.StatsRequest(MetricType.Gauge, Seq.empty, cfg))
+    // an empty batch is a client error, not an empty.reduce crash
+    intercept[IllegalArgumentException](svc.statsBatchQuery("t1", Seq.empty))
+    // requests may carry DIFFERENT percentile lists: the p90_0 column
+    // exists for request 0 and null-pads for request 1
+    val mixedPcts = svc.statsBatchQuery("t1", Seq(
+      svc.StatsRequest(MetricType.Gauge, Seq("a"), cfg, percentiles = Seq(90.0)),
+      svc.StatsRequest(MetricType.Gauge, Seq("b"), cfg)))
+    val p0 = mixedPcts.filter(col("request_id") === 0).collect().head
+    val p1 = mixedPcts.filter(col("request_id") === 1).collect().head
+    assert(!p0.isNullAt(p0.fieldIndex("p90_0")))
+    assert(p1.isNullAt(p1.fieldIndex("p90_0")))
   }
 
   test("availability stats come back dense (gap-filled per queried metric)") {

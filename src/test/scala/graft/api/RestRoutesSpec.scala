@@ -105,6 +105,20 @@ class RestRoutesSpec extends SparkTestBase {
       Map("start" -> "0", "end" -> "10", "distinct" -> "true", "order" -> "ASC"), now = 10L))
       .select("time", "avail").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(av == Seq((1L, 0), (3L, 1)))
+    // fromEarliest on string/availability raw routes widens to the
+    // retention window (StringHandler :321-343, AvailabilityHandler
+    // :420-452); gauge raw has no such flag in the reference → 400
+    val day = 86400000L
+    rest.route("POST", "/strings/st/raw",
+      body = Seq(PointValue(2 * day, "old"), PointValue(9 * day + 1, "fresh")))
+    val st = frame(rest.route("GET", "/strings/st/raw",
+      Map("fromEarliest" -> "true"), now = 10 * day))
+      .select("s_value").collect().map(_.getString(0)).toSet
+    assert(st == Set("fresh"), st.toString) // 7d default window ends at now
+    rest.route("GET", "/gauges/g/raw", Map("fromEarliest" -> "true"), now = 10 * day) match {
+      case ApiError(400, msg) => assert(msg.contains("not supported"))
+      case other => fail(s"expected 400, got $other")
+    }
     // counter rate route
     rest.route("POST", "/counters/c/raw",
       body = Seq(PointValue(0L, 100L), PointValue(60000L, 160L)))
@@ -143,6 +157,18 @@ class RestRoutesSpec extends SparkTestBase {
     val branches = out.collect().map(_.getAs[String]("branch")).toSet
     assert(branches == Set("gauge", "gauge_rate", "counter", "counter_rate"))
     assert(out.columns.contains("p90_0"))
+    // a requested type with no stats branches is rejected, not dropped
+    rest.route("POST", "/metrics/stats/query",
+      body = MixedStatsQuery(tags = "env = prod", types = Seq("gauge", "string"),
+        start = Some("100"), end = Some("200"), buckets = Some(1)), now = 200L) match {
+      case ApiError(400, msg) => assert(msg.contains("string"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // an empty batch list answers 400, not an empty.reduce crash
+    rest.route("POST", "/metrics/stats/batch/query", body = Seq.empty) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
   }
 
   test("tenants and tag CRUD routes; unknown routes answer 404") {

@@ -60,6 +60,21 @@ object RestRoutes {
     * (gauge Double, counter Long, availability state text, string). */
   final case class PointValue(timestamp: Long, value: Any)
 
+  /** Body of POST /{type}s/raw — one metric's points in a multi-metric
+    * ingest (the reference's Metric-with-data list element). */
+  final case class MetricPoints(id: String, data: Seq[PointValue])
+
+  /** Body of POST /{type}s/raw/query — the reference's QueryRequest
+    * (QueryRequest.java:24-60): ids-or-tags multi-metric raw fetch with
+    * the standard start/end/limit/order params. */
+  final case class RawQuery(ids: Seq[String] = Seq.empty,
+                            tags: Option[String] = None,
+                            start: Option[String] = None,
+                            end: Option[String] = None,
+                            limit: Option[Int] = None,
+                            order: Option[String] = None,
+                            fromEarliest: Boolean = false)
+
   /** Body of POST /{type}s/stats/query — the reference's
     * AggregatedStatsQueryRequest (GaugeHandler.java:618-651): the SAME
     * fields as GET /{type}s/stats' query params, which is what makes the
@@ -124,6 +139,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // ---- catalog (MetricHandler GET /metrics, per-type collections) --
     case ("GET", "metrics" :: Nil) =>
       Ok(svc.findMetrics(tenant, params.get("type").map(MetricType.fromText)))
+    // cross-type tag query (MetricHandler.java:171-183, optional ?type=)
+    case ("GET", "metrics" :: "tags" :: tags :: Nil) =>
+      Ok(svc.findMetricIdentifiersWithFilters(tenant,
+        params.get("type").map(MetricType.fromText), tags))
     case ("GET", Seg(t) :: Nil) => Ok(svc.findMetrics(tenant, Some(t)))
     case ("POST", Seg(t) :: Nil) => body match {
       case d: MetricDefinition =>
@@ -159,41 +178,54 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
 
     // ---- raw ingest + fetch (per-type {id}/raw) ----------------------
     case ("POST", Seg(t) :: id :: "raw" :: Nil) => body match {
-      case pts: Seq[_] =>
-        val frame = pointsFrame(t, id, pts.asInstanceOf[Seq[PointValue]])
-        if (t == MetricType.Str) svc.addStringDataPoints(frame)
-        else svc.addDataPoints(frame)
-        NoContent
+      case pts: Seq[_] if pts.forall(_.isInstanceOf[PointValue]) =>
+        ingest(t, pointsFrame(t, id, pts.asInstanceOf[Seq[PointValue]]))
       case _ => badBody("Seq[PointValue]")
     }
-    case ("GET", Seg(t) :: id :: "raw" :: Nil) =>
-      val (start, end) = resolvedRange(params, now)
-      val limit = params.get("limit").map(_.toInt).getOrElse(0)
-      val order = params.get("order").map(Order.fromText)
-      val distinct = flag(params, "distinct")
-      if (flag(params, "fromEarliest")) {
-        // the reference carries fromEarliest on the string and
-        // availability raw routes (StringHandler GET /{id}/raw :321-343,
-        // AvailabilityHandler :420-452) but NOT on gauge/counter raw —
-        // reject there rather than silently ignoring the flag
-        require(start.isEmpty && end.isEmpty,
-          "fromEarliest can only be used without start & end")
-        t match {
-          case MetricType.Str =>
-            Ok(svc.findStringDataFromEarliest(mid(t, id), distinct, limit, order, now))
-          case MetricType.Availability =>
-            Ok(svc.findAvailabilityDataFromEarliest(mid(t, id), distinct, limit, order, now))
-          case _ =>
-            ApiError(400, s"fromEarliest is not supported on ${t.text} raw fetches")
+    // multi-metric ingest: POST /{type}s/raw with a list of per-metric
+    // point lists (GaugeHandler.java:306-322 addGaugeData)
+    case ("POST", Seg(t) :: "raw" :: Nil) => body match {
+      case ms: Seq[_] if ms.nonEmpty && ms.forall(_.isInstanceOf[MetricPoints]) =>
+        ingest(t, ms.asInstanceOf[Seq[MetricPoints]]
+          .map(m => pointsFrame(t, m.id, m.data))
+          .reduce(_ unionByName _))
+      case _ => badBody("non-empty Seq[MetricPoints]")
+    }
+    // multi-metric raw fetch: POST /{type}s/raw/query with an
+    // ids-or-tags body (GaugeHandler.java:323-351, QueryRequest)
+    case ("POST", Seg(t) :: "raw" :: "query" :: Nil) => body match {
+      case q: RawQuery =>
+        if (q.fromEarliest)
+          ApiError(400,
+            "fromEarliest is supported on per-metric raw routes only (facade subset)")
+        else {
+          require(q.ids.nonEmpty ^ q.tags.nonEmpty,
+            "Either ids or tags is required, but not both")
+          val limit = q.limit.getOrElse(0)
+          val order = q.order.map(Order.fromText)
+          val r = TimeRange(q.start, q.end, now)
+          val (s, e) = (q.start.map(_ => r.start), q.end.map(_ => r.end))
+          q.tags match {
+            case Some(expr) =>
+              Ok(svc.findDataPointsByTags(tenant, t, expr, s, e, limit, order, now))
+            case None =>
+              Ok(svc.findDataPoints(tenant, t, q.ids, s, e, limit, order, now))
+          }
         }
-      } else t match {
-        case MetricType.Availability =>
-          Ok(svc.findAvailabilityData(mid(t, id), start, end, distinct, limit, order, now))
-        case MetricType.Str =>
-          Ok(svc.findStringData(mid(t, id), start, end, distinct, limit, order, now))
-        case _ =>
-          Ok(svc.findDataPoints(mid(t, id), start, end, limit, order, now))
-      }
+      case _ => badBody("RawQuery")
+    }
+    case ("GET", Seg(t) :: id :: "raw" :: Nil) => rawFetch(t, id, params, now)
+
+    // deprecated /data alias (GaugeHandler.java:392-447): bucket params
+    // present → stats; absent → raw; bucketed + limit/order → 400
+    case ("GET", Seg(t) :: id :: "data" :: Nil) =>
+      val bucketed = params.contains("buckets") || params.contains("bucketDuration") ||
+        flag(params, "fromEarliest")
+      if (bucketed) {
+        require(!params.contains("limit") && !params.contains("order"),
+          "Limit and order cannot be used with bucketed results")
+        idStats(t, id, params, now)
+      } else rawFetch(t, id, params, now)
 
     // ---- rates (CounterHandler/GaugeHandler {id}/rate[, /stats]) -----
     case ("GET", Seg(t) :: id :: "rate" :: Nil)
@@ -271,6 +303,44 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
   }
 
   private def mid(t: MetricType, id: String) = MetricId(tenant, t.code, id)
+
+  private def ingest(t: MetricType, frame: DataFrame): Result = {
+    if (t == MetricType.Str) svc.addStringDataPoints(frame)
+    else svc.addDataPoints(frame)
+    NoContent
+  }
+
+  /** GET /{type}s/{id}/raw — shared with the deprecated /data alias.
+    * `fromEarliest` is honored where the reference carries it on raw
+    * routes (StringHandler GET /{id}/raw :321-343, AvailabilityHandler
+    * :420-452) and rejected on gauge/counter raw rather than silently
+    * ignored. */
+  private def rawFetch(t: MetricType, id: String,
+                       params: Map[String, String], now: Long): Result = {
+    val (start, end) = resolvedRange(params, now)
+    val limit = params.get("limit").map(_.toInt).getOrElse(0)
+    val order = params.get("order").map(Order.fromText)
+    val distinct = flag(params, "distinct")
+    if (flag(params, "fromEarliest")) {
+      require(start.isEmpty && end.isEmpty,
+        "fromEarliest can only be used without start & end")
+      t match {
+        case MetricType.Str =>
+          Ok(svc.findStringDataFromEarliest(mid(t, id), distinct, limit, order, now))
+        case MetricType.Availability =>
+          Ok(svc.findAvailabilityDataFromEarliest(mid(t, id), distinct, limit, order, now))
+        case _ =>
+          ApiError(400, s"fromEarliest is not supported on ${t.text} raw fetches")
+      }
+    } else t match {
+      case MetricType.Availability =>
+        Ok(svc.findAvailabilityData(mid(t, id), start, end, distinct, limit, order, now))
+      case MetricType.Str =>
+        Ok(svc.findStringData(mid(t, id), start, end, distinct, limit, order, now))
+      case _ =>
+        Ok(svc.findDataPoints(mid(t, id), start, end, limit, order, now))
+    }
+  }
 
   private def badBody(expected: String): Result =
     ApiError(400, s"missing or mistyped request body (expected $expected)")

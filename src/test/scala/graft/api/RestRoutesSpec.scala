@@ -171,6 +171,54 @@ class RestRoutesSpec extends SparkTestBase {
     }
   }
 
+  test("multi-metric ingest, raw/query body, /data alias, cross-type tag route") {
+    val rest = newRoutes()
+    rest.route("POST", "/gauges", body = MetricDefinition("a", Map("env" -> "prod")))
+    rest.route("POST", "/gauges", body = MetricDefinition("b", Map("env" -> "dev")))
+    // multi-metric ingest body (GaugeHandler addGaugeData)
+    assert(rest.route("POST", "/gauges/raw", body = Seq(
+      MetricPoints("a", Seq(PointValue(1L, 1.0), PointValue(2L, 2.0))),
+      MetricPoints("b", Seq(PointValue(1L, 9.0))))) == NoContent)
+    // raw/query by ids and by tags give the same NamedDataPoint rows
+    val byIds = frame(rest.route("POST", "/gauges/raw/query",
+      body = RawQuery(ids = Seq("a"), start = Some("0"), end = Some("10"),
+        order = Some("ASC")), now = 10L))
+      .select("metric", "time").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byIds == Seq(("a", 1L), ("a", 2L)))
+    val byTags = frame(rest.route("POST", "/gauges/raw/query",
+      body = RawQuery(tags = Some("env = prod"), start = Some("0"), end = Some("10"),
+        order = Some("ASC")), now = 10L))
+      .select("metric", "time").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byTags == byIds)
+    // ids AND tags together → 400; neither → 400
+    rest.route("POST", "/gauges/raw/query",
+      body = RawQuery(ids = Seq("a"), tags = Some("env = prod"))) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+    rest.route("POST", "/gauges/raw/query", body = RawQuery()) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+    // deprecated /data: no bucket params → raw; bucket params → stats;
+    // bucketed + limit → 400 (GaugeHandler.java:420-424)
+    val rawAlias = frame(rest.route("GET", "/gauges/a/data",
+      Map("start" -> "0", "end" -> "10", "order" -> "ASC"), now = 10L))
+      .select("time").collect().map(_.getLong(0)).toSeq
+    assert(rawAlias == Seq(1L, 2L))
+    val statsAlias = frame(rest.route("GET", "/gauges/a/data",
+      Map("start" -> "1", "end" -> "11", "buckets" -> "1"), now = 11L)).collect()
+    assert(statsAlias.length == 1 && statsAlias.head.getAs[Long]("samples") == 2)
+    rest.route("GET", "/gauges/a/data",
+      Map("buckets" -> "1", "limit" -> "5"), now = 10L) match {
+      case ApiError(400, msg) => assert(msg.contains("Limit and order"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // cross-type tag route resolves over all user types
+    val ids = frame(rest.route("GET", "/metrics/tags/env = prod")).collect()
+    assert(ids.map(_.getString(2)).toSeq == Seq("a"))
+  }
+
   test("tenants and tag CRUD routes; unknown routes answer 404") {
     val rest = newRoutes()
     assert(rest.route("POST", "/tenants",

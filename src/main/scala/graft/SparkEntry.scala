@@ -71,13 +71,20 @@ object SparkEntry {
   /** exact decimal-backed double sum (see MetricsOps.statAggs). */
   private def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(28,10))) AS DOUBLE)"
 
-  /** the five base stats + optional percentiles, DuckDB side. */
-  private def statSql(v: String, pcts: Seq[Double]): String = {
+  /** the five base stats + optional percentiles, DuckDB side.
+    * `roundedPcts=false` leaves percentiles unrounded — required when a
+    * STACKING outer query sums them across many metrics: rounding before
+    * the sum accumulates up to 5e-5 × metric-count of drift vs Spark's
+    * unrounded sum, while both engines' raw linear interpolation is
+    * bit-identical. */
+  private def statSql(v: String, pcts: Seq[Double],
+                      roundedPcts: Boolean = true): String = {
+    def pct(expr: String) = if (roundedPcts) s"round($expr, 4)" else expr
     val pctCols = pcts.map(q =>
-      s"round(quantile_cont($v, ${q / 100.0}), 4) AS ${MetricsOps.pctColName(q)}").mkString(", ")
+      s"${pct(s"quantile_cont($v, ${q / 100.0})")} AS ${MetricsOps.pctColName(q)}").mkString(", ")
     s"""min($v) AS "min", ${dsum(v)}/count($v) AS avg, max($v) AS "max",
        |${dsum(v)} AS sum, count($v) AS samples${if (pctCols.nonEmpty) ", " + pctCols else ""},
-       |round(quantile_cont($v, 0.5), 4) AS median""".stripMargin
+       |${pct(s"quantile_cont($v, 0.5)")} AS median""".stripMargin
   }
 
   // Spark side: round the percentile-family columns to match
@@ -415,6 +422,42 @@ object SparkEntry {
               |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
               |SELECT (t - $S) // $Day AS bucket, ${statSql("rate", Seq.empty)}
               |FROM rt WHERE t >= $S AND t < $E GROUP BY 1""".stripMargin)),
+
+    // ---- W1 × A4: STACKED multi-metric rate stats over a tag selection
+    // (the reference's findNumericStats(..., isRate=true) behind
+    // GET /counters/rate/stats, CounterHandler.java:782-825): fetch the
+    // range for the selected ids, derive W1 rates per metric, per-metric
+    // bucket stats, then SUM each statistic across metrics with samples =
+    // contributing metrics (A4 stacking incl. percentile values) --------
+    ("rate_stats_multi", (s: SparkSession, d: String) => {
+      val ids = ea.catalog(s, d).filter(TagQueryParser.compile("seg = s2", col("tags")))
+        .select("metric")
+      val b = Buckets.fromStep(S, E, Day)
+      val rates = MetricsOps.rate(
+        MetricsOps.dataPointsForIds(ctr(s, d), ids)
+          .filter(col("time") >= S && col("time") < E),
+        isCounter = true, valueCol = "l_value")
+      MetricsOps.stackedStats(rates, b, Seq(90.0), valueCol = "rate")
+        .select(Seq(col("bucket")) ++
+          Seq("min", "avg", "median", "max", "sum", "p90_0").map(c => round(col(c), 4).as(c)) :+
+          col("samples"): _*)
+    },
+      Some(s"""WITH $BaseCte, $CatCte, $CounterCte,
+              |sel AS (SELECT metric FROM cat WHERE seg = 's2'),
+              |cv AS (SELECT metric, t, CAST(l_value AS DOUBLE) AS v FROM ctr
+              |       WHERE t >= $S AND t < $E AND metric IN (SELECT metric FROM sel)),
+              |rr AS (SELECT metric, t, v, lag(v) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |       FROM cv WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rv AS (SELECT metric, t,
+              |         60000.0 * (v - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM rr WHERE prev_t IS NOT NULL AND v >= prev_v),
+              |per AS (SELECT metric, (t - $S) // $Day AS bucket, ${statSql("rate", Seq(90.0), roundedPcts = false)}
+              |        FROM rv GROUP BY 1, 2)
+              |SELECT bucket, round(${dsum("\"min\"")}, 4) AS "min", round(${dsum("avg")}, 4) AS avg,
+              |       round(${dsum("median")}, 4) AS median, round(${dsum("\"max\"")}, 4) AS "max",
+              |       round(${dsum("sum")}, 4) AS sum, round(${dsum("p90_0")}, 4) AS p90_0,
+              |       count(*) AS samples
+              |FROM per GROUP BY bucket""".stripMargin)),
 
     // ---- W2: periods where value > 75 ------------------------------------
     ("periods_gt75", (s: SparkSession, d: String) =>

@@ -664,6 +664,37 @@ class MetricsService(spark: SparkSession, root: String) {
       valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles)
   }
 
+  /** A4/A5 over the RATE series of an id set — the reference's
+    * `findNumericStats(..., isRate=true)` behind GET /counters/rate/stats
+    * and /gauges/rate/stats (CounterHandler.java:782-825): derive W1
+    * rates per metric, then pool (or stack) the rate points into bucket
+    * stats. One fetch, one rate window, one aggregate. */
+  def findRateStats(tenantId: String, mtype: MetricType, ids: DataFrame,
+                    config: BucketConfig, percentiles: Seq[Double],
+                    stacked: Boolean): DataFrame = {
+    val dp = MetricsOps.dataPointsForIds(
+      raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
+    // fetch the RANGE first, derive rates within it (the reference rates
+    // the fetched window — a point just before `start` anchors no pair),
+    // the same order mixedTypeStats uses for its rate branches
+    val rates = MetricsOps.rate(dp.filter(MetricsOps.inRange(config.range)),
+      isCounter = mtype == MetricType.Counter,
+      valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value")
+    if (stacked) MetricsOps.stackedStats(rates, config.buckets, percentiles,
+      valueCol = "rate", mode = DefaultPercentileMode)
+    else MetricsOps.pooledStats(rates, config.buckets, percentiles,
+      valueCol = "rate", mode = DefaultPercentileMode)
+  }
+
+  /** [[findRateStats]] over an explicit id list. */
+  def findRateStats(tenantId: String, mtype: MetricType, ids: Seq[String],
+                    config: BucketConfig, percentiles: Seq[Double],
+                    stacked: Boolean): DataFrame = {
+    val s = spark
+    import s.implicits._
+    findRateStats(tenantId, mtype, ids.toDF("metric"), config, percentiles, stacked)
+  }
+
   /** W2 — maximal predicate-true runs within a range (reference
     * getPeriods(id, predicate, start, end):1026-1056). Absent bounds
     * default to the REST layer's [now-8h, now) window (TimeRange rule) —

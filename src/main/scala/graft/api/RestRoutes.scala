@@ -228,6 +228,26 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       } else rawFetch(t, id, params, now)
 
     // ---- rates (CounterHandler/GaugeHandler {id}/rate[, /stats]) -----
+    // LITERAL collection route first: rate stats over an ids-or-tags
+    // selection (CounterHandler GET /rate/stats :782-825, gauge twin)
+    case ("GET", Seg(t) :: "rate" :: "stats" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      val metrics = params.get("metrics").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      val tags = params.get("tags")
+      require(metrics.nonEmpty ^ tags.nonEmpty,
+        "Either metrics or tags is required, but not both")
+      val cfg = bucketConfig(params, now)
+      val pcts = percentilesOf(params.get("percentiles"))
+      val stats = tags match {
+        case Some(expr) =>
+          svc.findRateStats(tenant, t,
+            svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr),
+            cfg, pcts.quantiles, flag(params, "stacked"))
+        case None =>
+          svc.findRateStats(tenant, t, metrics, cfg, pcts.quantiles,
+            flag(params, "stacked"))
+      }
+      Ok(renamePcts(stats, pcts))
     case ("GET", Seg(t) :: id :: "rate" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
       val limit = params.get("limit").map(_.toInt).getOrElse(0)

@@ -306,8 +306,10 @@ object MetricsOps {
    * as the number of contributing (non-empty) metrics.
    */
   def stackedStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty,
+                   valueCol: String = "n_value",
                    mode: PercentileMode = PercentileMode.Exact): DataFrame = {
-    val per = numericBucketStats(dp, b, quantiles, byMetric = true, mode = mode)
+    val per = numericBucketStats(dp, b, quantiles, byMetric = true,
+      valueCol = valueCol, mode = mode)
     val statCols = Seq("min", "avg", "median", "max", "sum") ++ quantiles.map(pctColName)
     // outer sums go through decimal too — see decSum note above
     val aggs = statCols.map(c => decSum(col(c)).as(c)) :+ count(lit(1)).as("samples")
@@ -318,8 +320,10 @@ object MetricsOps {
     * Pooled buckets are the unbounded ones (every metric's points share
     * `buckets.count` groups), so the P2Sketch mode matters most here. */
   def pooledStats(dp: DataFrame, b: Buckets, quantiles: Seq[Double] = Seq.empty,
+                  valueCol: String = "n_value",
                   mode: PercentileMode = PercentileMode.Exact): DataFrame =
-    numericBucketStats(dp, b, quantiles, byMetric = false, mode = mode)
+    numericBucketStats(dp, b, quantiles, byMetric = false, valueCol = valueCol,
+      mode = mode)
 
   // -----------------------------------------------------------------------
   // A6 — tagged bucket stats

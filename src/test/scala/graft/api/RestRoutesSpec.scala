@@ -219,6 +219,35 @@ class RestRoutesSpec extends SparkTestBase {
     assert(ids.map(_.getString(2)).toSeq == Seq("a"))
   }
 
+  test("multi-metric rate stats collection (GET /counters/rate/stats)") {
+    val rest = newRoutes()
+    rest.route("POST", "/counters", body = MetricDefinition("c1", Map("env" -> "prod")))
+    rest.route("POST", "/counters", body = MetricDefinition("c2", Map("env" -> "prod")))
+    rest.route("POST", "/counters/c1/raw",
+      body = Seq(PointValue(60000L, 100L), PointValue(120000L, 160L)))
+    rest.route("POST", "/counters/c2/raw",
+      body = Seq(PointValue(60000L, 10L), PointValue(120000L, 40L)))
+    // pooled by tags: c1's rate 60/min and c2's 30/min share one bucket
+    val pooled = frame(rest.route("GET", "/counters/rate/stats",
+      Map("start" -> "60000", "end" -> "180000", "buckets" -> "1",
+        "tags" -> "env:prod"), now = 180000L)).collect()
+    assert(pooled.length == 1 && pooled.head.getAs[Long]("samples") == 2)
+    assert(pooled.head.getAs[Double]("min") == 30.0)
+    assert(pooled.head.getAs[Double]("max") == 60.0)
+    // stacked by ids: statistics SUM across metrics, samples counts
+    // contributing metrics (A4 over rates)
+    val stacked = frame(rest.route("GET", "/counters/rate/stats",
+      Map("start" -> "60000", "end" -> "180000", "buckets" -> "1",
+        "metrics" -> "c1,c2", "stacked" -> "true"), now = 180000L)).collect()
+    assert(stacked.head.getAs[Double]("sum") == 90.0)
+    assert(stacked.head.getAs[Long]("samples") == 2)
+    // metrics-or-tags is required here too
+    rest.route("GET", "/counters/rate/stats", Map("buckets" -> "1"), now = 180000L) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+  }
+
   test("tenants and tag CRUD routes; unknown routes answer 404") {
     val rest = newRoutes()
     assert(rest.route("POST", "/tenants",

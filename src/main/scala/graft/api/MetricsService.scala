@@ -21,6 +21,11 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
  * readers resolve last-write-wins, matching Cassandra upsert semantics.
  */
 object MetricsService {
+  /** Thrown by a non-overwrite create on an existing id — the reference's
+    * MetricAlreadyExistsException (mapped to HTTP 409 by the REST layer). */
+  final class MetricAlreadyExistsException(name: String)
+    extends RuntimeException(s"A metric with name [$name] already exists")
+
   /** Two strings normalizing to one quantile ("99.0", "99.00") would
     * produce colliding/ambiguous columns — reject LOUDLY and BEFORE any
     * frame is built: the duplicate alias would otherwise surface as an
@@ -92,9 +97,20 @@ class MetricsService(spark: SparkSession, root: String) {
     * `Metric.dataRetention` is nullable, Metric.java:48-54): an absent
     * override falls through to the tenant's per-type retention and then
     * the system default — storing the default here would freeze it as a
-    * per-metric override and mask later tenant-level changes. */
+    * per-metric override and mask later tenant-level changes.
+    *
+    * `overwrite=false` (the reference's default, `createMetric(metric,
+    * overwrite)` via INSERT-IF-NOT-EXISTS) REJECTS an existing id with
+    * [[MetricsService.MetricAlreadyExistsException]] — the REST layer
+    * maps it to 409. `overwrite=true` is the upsert the tag-edit paths
+    * use internally. */
   def createMetric(id: MetricId, tags: Map[String, String],
-                   dataRetention: Option[Int] = None): Unit = {
+                   dataRetention: Option[Int] = None,
+                   overwrite: Boolean = true): Unit = {
+    val exists = !overwrite &&
+      (try findMetric(id).limit(1).count() > 0
+       catch { case _: org.apache.spark.sql.AnalysisException => false }) // no catalog yet
+    if (exists) throw new MetricsService.MetricAlreadyExistsException(id.name)
     val s = spark
     import s.implicits._
     Seq((id.tenantId, id.mtype.toInt, id.name, tags,
@@ -120,17 +136,9 @@ class MetricsService(spark: SparkSession, root: String) {
     * (MetricsServiceImpl.findMetricIdentifiersWithFilters:556-574). Falls
     * back to the simple `name:value,...` map syntax like the reference. */
   def findMetricIdentifiersWithFilters(tenantId: String, mtype: Option[MetricType],
-                                       tagExpression: String): DataFrame = {
-    val pred =
-      try TagQueryParser.compile(tagExpression, col("tags"))
-      catch {
-        case _: IllegalArgumentException =>
-          TagQueryParser.compileSimple(tagExpression, col("tags"))
-      }
-    MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype)
-      .filter(pred)
+                                       tagExpression: String): DataFrame =
+    findDefinitions(tenantId, mtype, Some(tagExpression))
       .select("tenant_id", "mtype", "metric")
-  }
 
   def getMetricTags(id: MetricId): DataFrame =
     metricsIndex().filter(metricKey(id)).select(explode(col("tags")).as(Seq("tname", "tvalue")))
@@ -195,9 +203,27 @@ class MetricsService(spark: SparkSession, root: String) {
 
   /** J5 — definitions enriched with data min/max timestamps. */
   def findMetrics(tenantId: String, mtype: Option[MetricType]): DataFrame =
-    MetricsOps.enrichDefinitions(
-      MetricsOps.typeFilter(metricsIndex().filter(col("tenant_id") === tenantId), mtype),
+    MetricsOps.enrichDefinitions(findDefinitions(tenantId, mtype, None),
       raw(), DefaultRetentionDays)
+
+  /** Plain definition listing (no timestamp enrichment — the reference's
+    * GET collection default, `timestamps=false`), optionally restricted
+    * by a tag expression (the collection GETs' `tags` param,
+    * GaugeHandler.java:132-174). */
+  def findDefinitions(tenantId: String, mtype: Option[MetricType],
+                      tagExpression: Option[String]): DataFrame = {
+    val base = MetricsOps.typeFilter(
+      metricsIndex().filter(col("tenant_id") === tenantId), mtype)
+    tagExpression.fold(base) { expr =>
+      val pred =
+        try TagQueryParser.compile(expr, col("tags"))
+        catch {
+          case _: IllegalArgumentException =>
+            TagQueryParser.compileSimple(expr, col("tags"))
+        }
+      base.filter(pred)
+    }
+  }
 
   // ------------------------------------------------------------------
   // ingest (S1/S3) + maintenance (S8/S9)

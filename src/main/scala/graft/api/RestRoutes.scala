@@ -46,10 +46,14 @@ object RestRoutes {
   final case class ApiError(status: Int, message: String) extends Result
 
   /** Body of POST /{type}s — the reference's MetricDefinition
-    * (Metric.java: id + tags + nullable dataRetention). */
+    * (Metric.java: id + tags + nullable dataRetention). `mtype` (the
+    * body's type text) is required only on the cross-type POST /metrics
+    * route (MetricHandler.java:121-149); the per-type routes take the
+    * type from the path. */
   final case class MetricDefinition(id: String,
                                     tags: Map[String, String] = Map.empty,
-                                    dataRetention: Option[Int] = None)
+                                    dataRetention: Option[Int] = None,
+                                    mtype: Option[String] = None)
 
   /** Body of POST /tenants (Tenant.java: id + per-type retentions keyed
     * by type text). */
@@ -113,6 +117,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     val segs = path.split("/").filter(_.nonEmpty).toList
     try dispatch(method.toUpperCase, segs, params, body, now)
     catch {
+      // a non-overwrite create on an existing id is a conflict, not bad
+      // input (MetricCreatedObserver maps it to 409)
+      case e: MetricsService.MetricAlreadyExistsException => ApiError(409, e.getMessage)
       // the model grammars throw IllegalArgument on bad input — the
       // JAX-RS layer maps exactly these to 400 ApiError
       case e: IllegalArgumentException => ApiError(400, e.getMessage)
@@ -138,16 +145,24 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
 
     // ---- catalog (MetricHandler GET /metrics, per-type collections) --
     case ("GET", "metrics" :: Nil) =>
-      Ok(svc.findMetrics(tenant, params.get("type").map(MetricType.fromText)))
+      definitions(params.get("type").map(MetricType.fromText), params)
     // cross-type tag query (MetricHandler.java:171-183, optional ?type=)
     case ("GET", "metrics" :: "tags" :: tags :: Nil) =>
       Ok(svc.findMetricIdentifiersWithFilters(tenant,
         params.get("type").map(MetricType.fromText), tags))
-    case ("GET", Seg(t) :: Nil) => Ok(svc.findMetrics(tenant, Some(t)))
-    case ("POST", Seg(t) :: Nil) => body match {
+    // cross-type create: the body carries the type text
+    // (MetricHandler.java:121-149; non-user types rejected)
+    case ("POST", "metrics" :: Nil) => body match {
       case d: MetricDefinition =>
-        svc.createMetric(MetricId(tenant, t.code, d.id), d.tags, d.dataRetention)
-        NoContent
+        val t = MetricType.fromText(d.mtype.getOrElse(
+          throw new IllegalArgumentException("Metric type is invalid")))
+        require(t.isUserType, "Metric type is invalid")
+        createMetric(t, d, params)
+      case _ => badBody("MetricDefinition with mtype")
+    }
+    case ("GET", Seg(t) :: Nil) => definitions(Some(t), params)
+    case ("POST", Seg(t) :: Nil) => body match {
+      case d: MetricDefinition => createMetric(t, d, params)
       case _ => badBody("MetricDefinition")
     }
     case ("GET", Seg(t) :: "tags" :: tags :: Nil) =>
@@ -323,6 +338,27 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
   }
 
   private def mid(t: MetricType, id: String) = MetricId(tenant, t.code, id)
+
+  /** POST create with the reference's `overwrite` query param: default
+    * false → an existing id answers 409 (MetricHandler.java:126-149). */
+  private def createMetric(t: MetricType, d: MetricDefinition,
+                           params: Map[String, String]): Result = {
+    svc.createMetric(mid(t, d.id), d.tags, d.dataRetention,
+      overwrite = flag(params, "overwrite"))
+    NoContent
+  }
+
+  /** Collection GET: optional `tags` filter; `timestamps=true` enriches
+    * with data min/max (MinMaxTimestampTransformer analog,
+    * GaugeHandler.java:132-174). */
+  private def definitions(t: Option[MetricType],
+                          params: Map[String, String]): Result = {
+    val defs = svc.findDefinitions(tenant, t, params.get("tags"))
+    if (flag(params, "timestamps"))
+      Ok(graft.operators.MetricsOps.enrichDefinitions(defs, svc.raw(),
+        svc.DefaultRetentionDays))
+    else Ok(defs)
+  }
 
   private def ingest(t: MetricType, frame: DataFrame): Result = {
     if (t == MetricType.Str) svc.addStringDataPoints(frame)

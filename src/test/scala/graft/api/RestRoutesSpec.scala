@@ -266,6 +266,29 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(404, _) =>
       case other => fail(s"expected 404, got $other")
     }
+    // create-conflict semantics: re-POST without overwrite → 409;
+    // with ?overwrite=true → accepted (MetricHandler.java:126-149)
+    rest.route("POST", "/gauges", body = MetricDefinition("m")) match {
+      case ApiError(409, msg) => assert(msg.contains("already exists"))
+      case other => fail(s"expected 409, got $other")
+    }
+    assert(rest.route("POST", "/gauges", Map("overwrite" -> "true"),
+      body = MetricDefinition("m", Map("c" -> "3"))) == NoContent)
+    // cross-type create carries the type in the body; non-user types 400
+    assert(rest.route("POST", "/metrics",
+      body = MetricDefinition("cm", mtype = Some("counter"))) == NoContent)
+    rest.route("POST", "/metrics",
+      body = MetricDefinition("x", mtype = Some("counter_rate"))) match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+    // collection GET: plain definitions by default, tags filter applies,
+    // timestamps=true enriches with data min/max
+    assert(frame(rest.route("GET", "/gauges", Map("tags" -> "c:3")))
+      .select("metric").collect().map(_.getString(0)).toSeq == Seq("m"))
+    val enriched = frame(rest.route("GET", "/gauges", Map("timestamps" -> "true")))
+    assert(enriched.columns.contains("min_time") && enriched.columns.contains("max_time"))
+    assert(!frame(rest.route("GET", "/gauges")).columns.contains("min_time"))
     // buckets and bucketDuration together → 400 (BucketConfig XOR rule)
     rest.route("GET", "/gauges/m/stats",
       Map("buckets" -> "4", "bucketDuration" -> "1d")) match {

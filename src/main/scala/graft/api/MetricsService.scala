@@ -352,6 +352,15 @@ class MetricsService(spark: SparkSession, root: String) {
   def findDataPoints(tenantId: String, mtype: MetricType, ids: Seq[String],
                      start: Option[Long], end: Option[Long], limit: Int,
                      order: Option[Order], now: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    findDataPoints(tenantId, mtype, ids.toDF("metric"), start, end, limit, order, now)
+  }
+
+  /** Same, with the id set coming from a frame (tag-resolved selection). */
+  def findDataPoints(tenantId: String, mtype: MetricType, ids: DataFrame,
+                     start: Option[Long], end: Option[Long], limit: Int,
+                     order: Option[Order], now: Long): DataFrame = {
     val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
     val ord = order.getOrElse(Order.defaultValue(limit, start, end))
     val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
@@ -394,7 +403,10 @@ class MetricsService(spark: SparkSession, root: String) {
     funcs.map(f => f(fetched))
   }
 
-  /** Multi-metric rate derivation (reference findRateData(ids,…):326-331). */
+  /** Multi-metric rate derivation (reference findRateData(ids,…):326-331).
+    * UNRANGED by design — the whole stored series feeds the pairing; the
+    * REST layer's ranged twin below resolves absent params to the
+    * reference's now-8h default instead. */
   def findRateData(tenantId: String, mtype: MetricType, ids: Seq[String],
                    limit: Int, order: Order): DataFrame = {
     val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
@@ -478,6 +490,33 @@ class MetricsService(spark: SparkSession, root: String) {
                                  bucketDuration: Option[GDuration], now: Long): BucketConfig =
     BucketConfig(fromEarliestRange(id, now), bucketCount, bucketDuration)
 
+  /** Cross-metric fromEarliest — the reference's multi-id findTimeRange
+    * (MetricsServiceHandler.java:79-108): the window spans the LONGEST
+    * retention among the selected metrics (`reduce(Math::max)`), ending
+    * now. Per-id resolution runs the same chain as the single-metric
+    * variant (override ≻ tenant per-type ≻ system default — the reference
+    * null-FILTERS instead and answers empty when no metric carries a
+    * stored retention; resolving through the chain keeps this consistent
+    * with [[fromEarliestRange]]). One catalog-sized aggregate, one
+    * single-row collect — nothing data-sized reaches the driver. */
+  def multiFromEarliestRange(tenantId: String, mtype: MetricType,
+                             ids: DataFrame, now: Long): TimeRange = {
+    val fallback = tenantRetentionDays(tenantId, mtype).getOrElse(DefaultRetentionDays)
+    val overrides =
+      try metricsIndex()
+        .filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
+        .select(col("metric"), col("data_retention"))
+      catch { case _: org.apache.spark.sql.AnalysisException => // no catalog yet
+        val s = spark; import s.implicits._
+        Seq.empty[(String, Integer)].toDF("metric", "data_retention") }
+    val maxDays = ids.select("metric").distinct()
+      .join(overrides, Seq("metric"), "left")
+      .agg(max(coalesce(col("data_retention"), lit(fallback))))
+      .collect().headOption.filterNot(_.isNullAt(0)).map(_.getInt(0))
+      .getOrElse(fallback)
+    TimeRange(now - maxDays * 86400000L, now)
+  }
+
   /** The tenant's retention for one metric type, if configured. */
   private def tenantRetentionDays(tenantId: String, t: MetricType): Option[Int] =
     try getTenants().filter(col("id") === tenantId)
@@ -507,10 +546,13 @@ class MetricsService(spark: SparkSession, root: String) {
                        stacked: Boolean): DataFrame = {
     val dp = MetricsOps.dataPointsForIds(
       raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
+    // counters store in l_value — aggregating the gauge column would
+    // silently answer empty buckets for every counter stats request
+    val valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value"
     if (stacked) MetricsOps.stackedStats(dp, config.buckets, percentiles,
-      mode = DefaultPercentileMode)
+      valueCol = valueCol, mode = DefaultPercentileMode)
     else MetricsOps.pooledStats(dp, config.buckets, percentiles,
-      mode = DefaultPercentileMode)
+      valueCol = valueCol, mode = DefaultPercentileMode)
   }
 
   /** [[findGaugeStats]] with the user's ORIGINAL percentile strings
@@ -675,12 +717,56 @@ class MetricsService(spark: SparkSession, root: String) {
   }
 
   /** W1 — COUNTER_RATE / GAUGE_RATE virtual types (limit after pairing,
-    * MetricsServiceImpl.java:882). */
+    * MetricsServiceImpl.java:882). UNRANGED — the REST route's ranged twin
+    * below resolves absent params to the now-8h default. */
   def findRateData(id: MetricId, limit: Int = 0, order: Order = Order.Asc): DataFrame = {
     val t = MetricType.fromCode(id.mtype)
     MetricsOps.rate(series(id), isCounter = t == MetricType.Counter,
       valueCol = if (t == MetricType.Counter) "l_value" else "n_value",
       order = order, limit = limit)
+  }
+
+  /** Ranged variant — the reference's `findRateData(metricId, start, end,
+    * limit, order)` behind GET /{id}/rate (CounterHandler.java:569-631):
+    * the range (absent bounds default to now-8h..now) bounds the FETCH,
+    * the pairing window runs inside it (a range's first point has no
+    * predecessor and yields no rate), and the order defaults by the T3
+    * rule when unspecified. */
+  def findRateData(id: MetricId, start: Option[Long], end: Option[Long],
+                   limit: Int, order: Option[Order], now: Long): DataFrame = {
+    val t = MetricType.fromCode(id.mtype)
+    val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+    val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+    MetricsOps.rate(series(id).filter(MetricsOps.inRange(range)),
+      isCounter = t == MetricType.Counter,
+      valueCol = if (t == MetricType.Counter) "l_value" else "n_value",
+      order = ord, limit = limit)
+  }
+
+  /** Multi-metric ranged rate fetch by explicit id list — the engine of
+    * GET|POST /{type}s/rate/query (GaugeHandler.java:352-390): semi-join
+    * the id set, bound the fetch by the range, derive W1 rates per metric
+    * (the rate window partitions by metric), then the T1/T2 ordering. */
+  def findRateData(tenantId: String, mtype: MetricType, ids: Seq[String],
+                   start: Option[Long], end: Option[Long], limit: Int,
+                   order: Option[Order], now: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    findRateData(tenantId, mtype, ids.toDF("metric"), start, end, limit, order, now)
+  }
+
+  /** Same, with the id set coming from a frame (tag-resolved selection). */
+  def findRateData(tenantId: String, mtype: MetricType, ids: DataFrame,
+                   start: Option[Long], end: Option[Long], limit: Int,
+                   order: Option[Order], now: Long): DataFrame = {
+    val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
+    val ord = order.getOrElse(Order.defaultValue(limit, start, end))
+    val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
+    MetricsOps.rate(
+      MetricsOps.dataPointsForIds(scoped, ids).filter(MetricsOps.inRange(range)),
+      isCounter = mtype == MetricType.Counter,
+      valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value",
+      order = ord, limit = limit)
   }
 
   def findRateStats(id: MetricId, config: BucketConfig,

@@ -68,6 +68,17 @@ object RestRoutes {
     * ingest (the reference's Metric-with-data list element). */
   final case class MetricPoints(id: String, data: Seq[PointValue])
 
+  /** Body of POST /metrics/raw — the reference's MixedMetricsRequest
+    * (MetricHandler.java:256-303): per-type lists of metrics-with-points
+    * ingested in one call. */
+  final case class MixedMetricsBody(gauges: Seq[MetricPoints] = Seq.empty,
+                                    counters: Seq[MetricPoints] = Seq.empty,
+                                    availabilities: Seq[MetricPoints] = Seq.empty,
+                                    strings: Seq[MetricPoints] = Seq.empty) {
+    def isEmpty: Boolean =
+      gauges.isEmpty && counters.isEmpty && availabilities.isEmpty && strings.isEmpty
+  }
+
   /** Body of POST /{type}s/raw/query — the reference's QueryRequest
     * (QueryRequest.java:24-60): ids-or-tags multi-metric raw fetch with
     * the standard start/end/limit/order params. */
@@ -146,10 +157,17 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // ---- catalog (MetricHandler GET /metrics, per-type collections) --
     case ("GET", "metrics" :: Nil) =>
       definitions(params.get("type").map(MetricType.fromText), params)
-    // cross-type tag query (MetricHandler.java:171-183, optional ?type=)
+    // tag-NAME discovery w/ optional filter pattern + type scope
+    // (MetricHandler.java:151-168 getTagNames)
+    case ("GET", "metrics" :: "tags" :: Nil) =>
+      Ok(svc.getTagNames(tenant, params.get("type").map(MetricType.fromText),
+        params.get("filter")))
+    // tag-VALUE discovery: {tags} is a name:pattern map, the answer is the
+    // matching (name, value) pairs over the metric set that satisfies ALL
+    // filters (MetricHandler.java:170-187 getTags → getTagValues)
     case ("GET", "metrics" :: "tags" :: tags :: Nil) =>
-      Ok(svc.findMetricIdentifiersWithFilters(tenant,
-        params.get("type").map(MetricType.fromText), tags))
+      Ok(svc.getTagValues(tenant, params.get("type").map(MetricType.fromText),
+        Tags.parse(tags)))
     // cross-type create: the body carries the type text
     // (MetricHandler.java:121-149; non-user types rejected)
     case ("POST", "metrics" :: Nil) => body match {
@@ -165,8 +183,20 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       case d: MetricDefinition => createMetric(t, d, params)
       case _ => badBody("MetricDefinition")
     }
+    // per-type tag-VALUE discovery (GaugeHandler.java:206-221 getTags —
+    // same getTagValues semantics as the cross-type route, type-pinned)
     case ("GET", Seg(t) :: "tags" :: tags :: Nil) =>
-      Ok(svc.findMetricIdentifiersWithFilters(tenant, Some(t), tags))
+      Ok(svc.getTagValues(tenant, Some(t), Tags.parse(tags)))
+    // tag-selected raw datapoints w/ cross-metric fromEarliest
+    // (GaugeHandler.java:890-920, AvailabilityHandler.java:492-524,
+    // StringHandler.java:354-386; CounterHandler has no such route)
+    case ("GET", Seg(t) :: "tags" :: tags :: "raw" :: Nil)
+        if t != MetricType.Counter =>
+      rawMultiQuery(t, RawQuery(tags = Some(tags),
+        start = params.get("start"), end = params.get("end"),
+        limit = params.get("limit").map(_.toInt),
+        order = params.get("order"),
+        fromEarliest = flag(params, "fromEarliest")), now)
     // LITERAL multi-metric stats route must win over the /{id} template
     // (JAX-RS gives literal segments precedence) — see aggStats below
     case ("GET", Seg(t) :: "stats" :: Nil)
@@ -180,6 +210,12 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
         percentiles = params.get("percentiles"),
         stacked = flag(params, "stacked"),
         fromEarliest = flag(params, "fromEarliest")), now)
+    // deprecated GET /{type}s/data ≡ GET /{type}s/stats
+    // (GaugeHandler.java:689-708 deprecatedFindData, counter :762-780)
+    case ("GET", Seg(t) :: "data" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      dispatch("GET", List(if (t == MetricType.Gauge) "gauges" else "counters",
+        "stats"), params, body, now)
     case ("GET", Seg(t) :: id :: Nil) => Ok(svc.findMetric(mid(t, id)))
     case ("DELETE", Seg(t) :: id :: Nil) => svc.deleteMetric(mid(t, id)); NoContent
     case ("GET", Seg(t) :: id :: "tags" :: Nil) => Ok(svc.getMetricTags(mid(t, id)))
@@ -191,44 +227,56 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     case ("DELETE", Seg(t) :: id :: "tags" :: names :: Nil) =>
       svc.deleteTags(mid(t, id), names.split(",").toSet); NoContent
 
-    // ---- raw ingest + fetch (per-type {id}/raw) ----------------------
-    case ("POST", Seg(t) :: id :: "raw" :: Nil) => body match {
+    // ---- raw ingest + fetch (per-type {id}/raw, + deprecated /data) --
+    case ("POST", Seg(t) :: id :: ("raw" | "data") :: Nil) => body match {
       case pts: Seq[_] if pts.forall(_.isInstanceOf[PointValue]) =>
         ingest(t, pointsFrame(t, id, pts.asInstanceOf[Seq[PointValue]]))
       case _ => badBody("Seq[PointValue]")
     }
     // multi-metric ingest: POST /{type}s/raw with a list of per-metric
-    // point lists (GaugeHandler.java:306-322 addGaugeData)
-    case ("POST", Seg(t) :: "raw" :: Nil) => body match {
+    // point lists (GaugeHandler.java:306-322 addGaugeData; :381-390 is
+    // the deprecated /data alias)
+    case ("POST", Seg(t) :: ("raw" | "data") :: Nil) => body match {
       case ms: Seq[_] if ms.nonEmpty && ms.forall(_.isInstanceOf[MetricPoints]) =>
         ingest(t, ms.asInstanceOf[Seq[MetricPoints]]
           .map(m => pointsFrame(t, m.id, m.data))
           .reduce(_ unionByName _))
       case _ => badBody("non-empty Seq[MetricPoints]")
     }
+    // mixed-type multi-metric ingest: one body carrying gauges + counters
+    // + availabilities + strings (MetricHandler.java:256-303
+    // addMetricsData; empty payload → 400)
+    case ("POST", "metrics" :: ("raw" | "data") :: Nil) => body match {
+      case m: MixedMetricsBody =>
+        require(!m.isEmpty, "Payload is empty")
+        val typed = Seq(
+          MetricType.Gauge -> m.gauges, MetricType.Counter -> m.counters,
+          MetricType.Availability -> m.availabilities)
+          .flatMap { case (t, ms) => ms.map(p => pointsFrame(t, p.id, p.data)) }
+        if (typed.nonEmpty) svc.addDataPoints(typed.reduce(_ unionByName _))
+        if (m.strings.nonEmpty)
+          svc.addStringDataPoints(m.strings
+            .map(p => pointsFrame(MetricType.Str, p.id, p.data))
+            .reduce(_ unionByName _))
+        NoContent
+      case _ => badBody("MixedMetricsBody")
+    }
     // multi-metric raw fetch: POST /{type}s/raw/query with an
-    // ids-or-tags body (GaugeHandler.java:323-351, QueryRequest)
+    // ids-or-tags body (GaugeHandler.java:323-351, QueryRequest),
+    // cross-metric fromEarliest included
     case ("POST", Seg(t) :: "raw" :: "query" :: Nil) => body match {
-      case q: RawQuery =>
-        if (q.fromEarliest)
-          ApiError(400,
-            "fromEarliest is supported on per-metric raw routes only (facade subset)")
-        else {
-          require(q.ids.nonEmpty ^ q.tags.nonEmpty,
-            "Either ids or tags is required, but not both")
-          val limit = q.limit.getOrElse(0)
-          val order = q.order.map(Order.fromText)
-          val r = TimeRange(q.start, q.end, now)
-          val (s, e) = (q.start.map(_ => r.start), q.end.map(_ => r.end))
-          q.tags match {
-            case Some(expr) =>
-              Ok(svc.findDataPointsByTags(tenant, t, expr, s, e, limit, order, now))
-            case None =>
-              Ok(svc.findDataPoints(tenant, t, q.ids, s, e, limit, order, now))
-          }
-        }
+      case q: RawQuery => rawMultiQuery(t, q, now)
       case _ => badBody("RawQuery")
     }
+    // multi-metric RATE fetch (GaugeHandler.java:352-390 getRateData,
+    // counter :322-350 — the reference annotates the route @GET @POST
+    // with the same QueryRequest body)
+    case ("GET" | "POST", Seg(t) :: "rate" :: "query" :: Nil)
+        if t == MetricType.Gauge || t == MetricType.Counter =>
+      body match {
+        case q: RawQuery => rateMultiQuery(t, q, now)
+        case _ => badBody("RawQuery")
+      }
     case ("GET", Seg(t) :: id :: "raw" :: Nil) => rawFetch(t, id, params, now)
 
     // deprecated /data alias (GaugeHandler.java:392-447): bucket params
@@ -263,11 +311,23 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
             flag(params, "stacked"))
       }
       Ok(renamePcts(stats, pcts))
+    // per-metric rate fetch w/ start/end (absent → now-8h..now) and the
+    // deprecated bucket params dispatching to rate STATS — limit/order
+    // cannot combine with buckets (CounterHandler.java:569-631)
     case ("GET", Seg(t) :: id :: "rate" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
-      val limit = params.get("limit").map(_.toInt).getOrElse(0)
-      val order = params.get("order").map(Order.fromText).getOrElse(Order.Asc)
-      Ok(svc.findRateData(mid(t, id), limit, order))
+      if (params.contains("buckets") || params.contains("bucketDuration")) {
+        require(!params.contains("limit") && !params.contains("order"),
+          "Limit and order cannot be used with bucketed results")
+        val pcts = percentilesOf(params.get("percentiles"))
+        Ok(renamePcts(
+          svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
+      } else {
+        val (start, end) = resolvedRange(params, now)
+        Ok(svc.findRateData(mid(t, id), start, end,
+          params.get("limit").map(_.toInt).getOrElse(0),
+          params.get("order").map(Order.fromText), now))
+      }
     case ("GET", Seg(t) :: id :: "rate" :: "stats" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
       val pcts = percentilesOf(params.get("percentiles"))
@@ -350,15 +410,67 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
 
   /** Collection GET: optional `tags` filter; `timestamps=true` enriches
     * with data min/max (MinMaxTimestampTransformer analog,
-    * GaugeHandler.java:132-174). */
+    * GaugeHandler.java:132-174). The `id` param follows MetricHandler
+    * .java:189-244: a filter-PATTERN when tags filtering is used
+    * (idFilter), an exact `|`-separated list (requiring a type,
+    * HWKMETRICS-461) otherwise. */
   private def definitions(t: Option[MetricType],
                           params: Map[String, String]): Result = {
-    val defs = svc.findDefinitions(tenant, t, params.get("tags"))
+    val tags = params.get("tags")
+    val base = svc.findDefinitions(tenant, t, tags)
+    val defs = params.get("id").filter(_.nonEmpty) match {
+      case None => base
+      case Some(pat) if tags.isDefined =>
+        graft.operators.MetricsOps.idFilter(base, pat)
+      case Some(idList) =>
+        require(t.isDefined, "Exact id search requires type to be set")
+        base.filter(col("metric").isin(idList.split("\\|").toSeq: _*))
+    }
     if (flag(params, "timestamps"))
       Ok(graft.operators.MetricsOps.enrichDefinitions(defs, svc.raw(),
         svc.DefaultRetentionDays))
     else Ok(defs)
   }
+
+  /** The ids-or-tags selection + range resolution shared by raw/query,
+    * rate/query, and tags/{tags}/raw: resolve the id set first (the
+    * cross-metric fromEarliest window depends on it), then hand (ids,
+    * start, end) to the fetch. Mirrors findMetricsByNameOrTag +
+    * TimeAndSortParams (MetricsServiceHandler.java:64-108). */
+  private def multiQuery(t: MetricType, q: RawQuery, now: Long)
+                        (run: (DataFrame, Option[Long], Option[Long]) => DataFrame): Result = {
+    require(q.ids.nonEmpty ^ q.tags.nonEmpty,
+      "Either ids or tags is required, but not both")
+    val ids = q.tags match {
+      case Some(expr) => svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr)
+      case None =>
+        val s = spark; import s.implicits._
+        q.ids.toDF("metric")
+    }
+    val (start, end) =
+      if (q.fromEarliest) {
+        require(q.start.isEmpty && q.end.isEmpty,
+          "fromEarliest can only be used without start & end")
+        val r = svc.multiFromEarliestRange(tenant, t, ids, now)
+        (Some(r.start), Some(r.end))
+      } else {
+        val r = TimeRange(q.start, q.end, now)
+        (q.start.map(_ => r.start), q.end.map(_ => r.end))
+      }
+    Ok(run(ids, start, end))
+  }
+
+  private def rawMultiQuery(t: MetricType, q: RawQuery, now: Long): Result =
+    multiQuery(t, q, now) { (ids, start, end) =>
+      svc.findDataPoints(tenant, t, ids, start, end,
+        q.limit.getOrElse(0), q.order.map(Order.fromText), now)
+    }
+
+  private def rateMultiQuery(t: MetricType, q: RawQuery, now: Long): Result =
+    multiQuery(t, q, now) { (ids, start, end) =>
+      svc.findRateData(tenant, t, ids, start, end,
+        q.limit.getOrElse(0), q.order.map(Order.fromText), now)
+    }
 
   private def ingest(t: MetricType, frame: DataFrame): Result = {
     if (t == MetricType.Str) svc.addStringDataPoints(frame)

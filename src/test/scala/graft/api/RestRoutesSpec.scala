@@ -214,9 +214,18 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, msg) => assert(msg.contains("Limit and order"))
       case other => fail(s"expected 400, got $other")
     }
-    // cross-type tag route resolves over all user types
-    val ids = frame(rest.route("GET", "/metrics/tags/env = prod")).collect()
-    assert(ids.map(_.getString(2)).toSeq == Seq("a"))
+    // cross-type tag-VALUE discovery (getTagValues): (name, value) pairs
+    // of the metric set matching every filter — NOT identifier search
+    val vals = frame(rest.route("GET", "/metrics/tags/env:*"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(vals == Set(("env", "prod"), ("env", "dev")))
+    val scoped = frame(rest.route("GET", "/metrics/tags/env:prod"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(scoped == Set(("env", "prod")))
+    // identifier search lives on the collection GET's tags param
+    val ids = frame(rest.route("GET", "/metrics", Map("tags" -> "env = prod")))
+      .select("metric").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("a"))
   }
 
   test("multi-metric rate stats collection (GET /counters/rate/stats)") {
@@ -259,9 +268,14 @@ class RestRoutesSpec extends SparkTestBase {
     val tags = frame(rest.route("GET", "/gauges/m/tags")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(tags == Map("b" -> "2"))
-    // tag query route resolves ids
-    val ids = frame(rest.route("GET", "/gauges/tags/b:2")).collect().map(_.getString(2))
-    assert(ids.toSeq == Seq("m"))
+    // per-type tag-value discovery (getTagValues semantics)
+    val vals = frame(rest.route("GET", "/gauges/tags/b:2")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(vals == Set(("b", "2")))
+    // tag-NAME discovery with a filter pattern (GET /metrics/tags)
+    val names = frame(rest.route("GET", "/metrics/tags", Map("filter" -> "b")))
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("b"))
     rest.route("GET", "/nonsense") match {
       case ApiError(404, _) =>
       case other => fail(s"expected 404, got $other")
@@ -301,5 +315,100 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, _) =>
       case other => fail(s"expected 400, got $other")
     }
+  }
+
+  test("rate/query, tags-raw, mixed ingest, id filter, ranged rate routes") {
+    val rest = newRoutes()
+    val day = 86400000L
+    val now = 100 * day
+    rest.route("POST", "/counters", body = MetricDefinition("c1", Map("env" -> "prod")))
+    rest.route("POST", "/counters",
+      body = MetricDefinition("c2", Map("env" -> "prod"), dataRetention = Some(14)))
+    // mixed-type ingest: one POST /metrics/raw body carries every type
+    assert(rest.route("POST", "/metrics/raw", body = MixedMetricsBody(
+      gauges = Seq(MetricPoints("g1", Seq(PointValue(now - day, 5.0)))),
+      counters = Seq(
+        MetricPoints("c1", Seq(PointValue(now - 120000, 100L), PointValue(now - 60000, 160L))),
+        MetricPoints("c2", Seq(PointValue(now - 120000, 10L), PointValue(now - 60000, 40L)))),
+      strings = Seq(MetricPoints("s1", Seq(PointValue(now - day, "hello")))))) == NoContent)
+    rest.route("POST", "/metrics/raw", body = MixedMetricsBody()) match {
+      case ApiError(400, msg) => assert(msg.contains("empty"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // rate/query by tags (POST) ≡ by ids (GET with body) — 60/min + 30/min
+    val byTags = frame(rest.route("POST", "/counters/rate/query",
+      body = RawQuery(tags = Some("env:prod"), start = Some((now - 180000).toString),
+        order = Some("ASC")), now = now))
+      .select("metric", "rate").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(byTags == Set(("c1", 60.0), ("c2", 30.0)))
+    val byIds = frame(rest.route("GET", "/counters/rate/query",
+      body = RawQuery(ids = Seq("c1", "c2"), start = Some((now - 180000).toString),
+        order = Some("ASC")), now = now))
+      .select("metric", "rate").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(byIds == byTags)
+    // cross-metric fromEarliest: the window spans the LONGEST retention
+    // among the selected metrics (c2's 14d override > the 7d default)
+    val fe = frame(rest.route("POST", "/counters/raw/query",
+      body = RawQuery(tags = Some("env:prod"), fromEarliest = true), now = now))
+    assert(fe.select("metric").distinct().count() == 2)
+    rest.route("POST", "/counters/raw/query",
+      body = RawQuery(ids = Seq("c1"), start = Some("0"), fromEarliest = true), now = now) match {
+      case ApiError(400, msg) => assert(msg.contains("without start"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // tag-selected raw GET (gauge route exists, counter's does not)
+    val tagRaw = frame(rest.route("GET", "/gauges/tags/env:*/raw",
+      Map("start" -> "0", "order" -> "ASC"), now = now))
+    assert(tagRaw.count() == 0) // g1 has no tags → not selected
+    rest.route("GET", "/counters/tags/env:prod/raw", Map.empty, now = now) match {
+      case ApiError(404, _) =>
+      case other => fail(s"expected 404, got $other")
+    }
+    // ranged per-metric rate: only the pair inside [now-90s, now] derives
+    val ranged = frame(rest.route("GET", "/counters/c1/rate",
+      Map("start" -> (now - 90000).toString), now = now))
+    assert(ranged.count() == 0) // window holds ONE point → no pair
+    val full = frame(rest.route("GET", "/counters/c1/rate",
+      Map("start" -> (now - 180000).toString), now = now))
+      .select("rate").collect().map(_.getDouble(0)).toSeq
+    assert(full == Seq(60.0))
+    // deprecated bucket params on /{id}/rate dispatch to rate stats;
+    // combining them with limit/order answers 400
+    val bucketed = frame(rest.route("GET", "/counters/c1/rate",
+      Map("start" -> (now - 180000).toString, "end" -> now.toString,
+        "buckets" -> "1"), now = now)).collect()
+    assert(bucketed.length == 1 && bucketed.head.getAs[Double]("max") == 60.0)
+    rest.route("GET", "/counters/c1/rate",
+      Map("buckets" -> "1", "limit" -> "3"), now = now) match {
+      case ApiError(400, msg) => assert(msg.contains("Limit and order"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // id param on the collection GET: exact |-list needs a type; with
+    // tags filtering it is a filter pattern instead
+    val exact = frame(rest.route("GET", "/metrics",
+      Map("type" -> "counter", "id" -> "c1|c2")))
+      .select("metric").collect().map(_.getString(0)).toSet
+    assert(exact == Set("c1", "c2"))
+    rest.route("GET", "/metrics", Map("id" -> "c1")) match {
+      case ApiError(400, msg) => assert(msg.contains("type"))
+      case other => fail(s"expected 400, got $other")
+    }
+    val patterned = frame(rest.route("GET", "/metrics",
+      Map("tags" -> "env:prod", "id" -> "c.*")))
+      .select("metric").collect().map(_.getString(0)).toSet
+    assert(patterned == Set("c1", "c2"))
+    // collection /data aliases: GET ≡ stats, POST ≡ multi-metric raw
+    val dataAlias = frame(rest.route("GET", "/counters/data",
+      Map("start" -> (now - 180000).toString, "end" -> now.toString,
+        "buckets" -> "1", "metrics" -> "c1,c2"), now = now)).collect()
+    assert(dataAlias.length == 1 && dataAlias.head.getAs[Long]("samples") == 4)
+    assert(rest.route("POST", "/counters/data", body = Seq(
+      MetricPoints("c3", Seq(PointValue(now - 60000, 7L))))) == NoContent)
+    assert(rest.route("POST", "/counters/c3/data",
+      body = Seq(PointValue(now - 30000, 9L))) == NoContent)
+    val c3 = frame(rest.route("GET", "/counters/c3/raw",
+      Map("start" -> "0", "order" -> "ASC"), now = now))
+      .select("l_value").collect().map(_.getLong(0)).toSeq
+    assert(c3 == Seq(7L, 9L))
   }
 }

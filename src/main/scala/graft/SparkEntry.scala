@@ -879,6 +879,28 @@ object SparkEntry {
               |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
               |FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v""".stripMargin)),
 
+    // ---- Multi-metric ranged rate fetch — the engine of GET|POST
+    // /{type}s/rate/query (GaugeHandler.java:352-390): id-set semi-join,
+    // range-bounded fetch, per-metric W1 pairing inside the range ---------
+    ("rate_query_multi", (s: SparkSession, d: String) => {
+      val root = "target/tmp/ratequery_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, root)
+      val svc = new graft.api.MetricsService(s, root)
+      svc.addDataPoints(ctr(s, d)
+        .filter(col("metric").isin("click/7", "view/88", "error/23")))
+      svc.findRateData(ea.Tenant, MetricType.Counter, Seq("click/7", "view/88"),
+        Some(S), Some(Week), limit = 0, order = Some(Order.Asc), now = E)
+        .select("metric", "time", "rate")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |c AS (SELECT metric, t, l_value FROM ctr
+              |      WHERE metric IN ('click/7', 'view/88') AND t >= $S AND t < $Week),
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM c WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric, t AS "time",
+              |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v""".stripMargin)),
+
     // ---- EP2 batch: N independent stats requests keyed by request index,
     // THROUGH the service facade — request 2 names its series by TAG
     // EXPRESSION, the reference body's metrics-or-tags union

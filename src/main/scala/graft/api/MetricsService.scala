@@ -203,8 +203,7 @@ class MetricsService(spark: SparkSession, root: String) {
 
   /** J5 — definitions enriched with data min/max timestamps. */
   def findMetrics(tenantId: String, mtype: Option[MetricType]): DataFrame =
-    MetricsOps.enrichDefinitions(findDefinitions(tenantId, mtype, None),
-      raw(), DefaultRetentionDays)
+    enrichWithTimestamps(findDefinitions(tenantId, mtype, None))
 
   /** Plain definition listing (no timestamp enrichment — the reference's
     * GET collection default, `timestamps=false`), optionally restricted
@@ -224,6 +223,30 @@ class MetricsService(spark: SparkSession, root: String) {
       base.filter(pred)
     }
   }
+
+  /** [[findDefinitions]] with the `id` param of GET /metrics
+    * (MetricHandler.java:189-244): a filter-PATTERN when tags filtering
+    * is used (idFilter, F3), an exact `|`-separated id list otherwise —
+    * the exact mode requires a concrete type (HWKMETRICS-461). */
+  def findDefinitions(tenantId: String, mtype: Option[MetricType],
+                      tagExpression: Option[String],
+                      idParam: Option[String]): DataFrame = {
+    val base = findDefinitions(tenantId, mtype, tagExpression)
+    idParam.filter(_.nonEmpty) match {
+      case None => base
+      case Some(pat) if tagExpression.isDefined => MetricsOps.idFilter(base, pat)
+      case Some(idList) =>
+        require(mtype.isDefined, "Exact id search requires type to be set")
+        base.filter(col("metric").isin(idList.split("\\|").toSeq: _*))
+    }
+  }
+
+  /** J5 enrichment step alone — data min/max + resolved retention over an
+    * already-filtered definition frame (MinMaxTimestampTransformer
+    * analog); the `timestamps=true` collection GETs compose it over
+    * [[findDefinitions]]. */
+  def enrichWithTimestamps(defs: DataFrame): DataFrame =
+    MetricsOps.enrichDefinitions(defs, raw(), DefaultRetentionDays)
 
   // ------------------------------------------------------------------
   // ingest (S1/S3) + maintenance (S8/S9)
@@ -250,9 +273,21 @@ class MetricsService(spark: SparkSession, root: String) {
     GraftStorage.compact(spark, dataPath, upToSlice, fromSlice)
 
   /** S9 — delete one metric's data. */
-  def deleteMetric(id: MetricId): Unit =
+  /** S9 — delete one metric: its datapoints AND its catalog row — the
+    * reference deletes from the metrics, tags, and retention indexes
+    * alongside the data (MetricsServiceImpl.java:1086-1101), so a
+    * deleted id must be creatable again without `overwrite`. */
+  def deleteMetric(id: MetricId): Unit = {
     GraftStorage.deleteMetric(spark, dataPath, id.tenantId,
       MetricType.fromCode(id.mtype), id.name)
+    try {
+      val cat = spark.read.parquet(metricsPath)
+        .filter(!(col("tenant_id") === id.tenantId &&
+          col("mtype") === id.mtype.toInt && col("metric") === id.name))
+        .localCheckpoint()
+      cat.write.mode(SaveMode.Overwrite).parquet(metricsPath)
+    } catch { case _: org.apache.spark.sql.AnalysisException => () } // no catalog yet
+  }
 
   /** S9 — delete a whole tenant (reference jobs/DeleteTenant.java:34-62):
     * drop its data partition subtree (metadata-level — tenant_id is the
@@ -553,6 +588,23 @@ class MetricsService(spark: SparkSession, root: String) {
       valueCol = valueCol, mode = DefaultPercentileMode)
     else MetricsOps.pooledStats(dp, config.buckets, percentiles,
       valueCol = valueCol, mode = DefaultPercentileMode)
+  }
+
+  /** Multi-metric fromEarliest stats — GET /{type}s/stats?fromEarliest
+    * (GaugeHandler.java:571-616 threads the flag through the multi-id
+    * findTimeRange): the bucket window spans the longest retention among
+    * the selected metrics, ending `now`. The reference `skipWhile`-drops
+    * leading empty buckets from its gap-filled list; pooled/stacked
+    * output here never EMITS empty buckets (the oracled A4/A5 contract),
+    * so no skip step exists to apply. */
+  def findNumericStatsFromEarliest(tenantId: String, mtype: MetricType,
+                                   ids: DataFrame, bucketCount: Option[Int],
+                                   bucketDuration: Option[GDuration],
+                                   percentiles: Seq[Double], stacked: Boolean,
+                                   now: Long): DataFrame = {
+    val range = multiFromEarliestRange(tenantId, mtype, ids, now)
+    findNumericStats(tenantId, mtype, ids,
+      BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked)
   }
 
   /** [[findGaugeStats]] with the user's ORIGINAL percentile strings

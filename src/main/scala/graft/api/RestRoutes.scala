@@ -27,11 +27,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * are equal), both raw-fetch orders default by the T3 rule, and stats
  * routes echo original percentile strings.
  *
- * Deliberate subset bounds (each fails loudly, nothing silently
- * diverges): `fromEarliest` is honored on per-metric stats routes (the
- * service surface); on MULTI-metric stats it answers 400 — the
- * reference's cross-id earliest-window resolution
- * (TimeAndBucketParams.fromEarliest over a metric list) is not modeled.
+ * The facade's divergence rule: params the reference does not carry on
+ * a route (e.g. `fromEarliest` on gauge raw or rate fetches, `distinct`
+ * on tag-selected raw) answer 400 rather than being silently ignored —
+ * nothing silently diverges. `fromEarliest` is honored everywhere the
+ * reference threads it, including the cross-id earliest-window
+ * resolution on multi-metric routes (longest retention among the
+ * selected metrics, MetricsServiceHandler.java:79-108).
  */
 object RestRoutes {
 
@@ -189,17 +191,23 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       Ok(svc.getTagValues(tenant, Some(t), Tags.parse(tags)))
     // tag-selected raw datapoints w/ cross-metric fromEarliest
     // (GaugeHandler.java:890-920, AvailabilityHandler.java:492-524,
-    // StringHandler.java:354-386; CounterHandler has no such route)
+    // StringHandler.java:354-386; CounterHandler has no such route).
+    // The reference carries no `distinct` here — reject it loudly
+    // rather than returning uncollapsed points a caller asked collapsed
     case ("GET", Seg(t) :: "tags" :: tags :: "raw" :: Nil)
         if t != MetricType.Counter =>
-      rawMultiQuery(t, RawQuery(tags = Some(tags),
+      if (params.contains("distinct"))
+        ApiError(400, "distinct is supported on per-metric raw routes only")
+      else rawMultiQuery(t, RawQuery(tags = Some(tags),
         start = params.get("start"), end = params.get("end"),
         limit = params.get("limit").map(_.toInt),
         order = params.get("order"),
         fromEarliest = flag(params, "fromEarliest")), now)
     // LITERAL multi-metric stats route must win over the /{id} template
-    // (JAX-RS gives literal segments precedence) — see aggStats below
-    case ("GET", Seg(t) :: "stats" :: Nil)
+    // (JAX-RS gives literal segments precedence) — see aggStats below.
+    // "data" is the deprecated alias of the same handler
+    // (GaugeHandler.java:689-708 deprecatedFindData, counter :762-780)
+    case ("GET", Seg(t) :: ("stats" | "data") :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
       aggStats(t, AggregatedStatsQuery(
         metrics = params.get("metrics").map(_.split(",").toSeq).getOrElse(Seq.empty),
@@ -210,12 +218,6 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
         percentiles = params.get("percentiles"),
         stacked = flag(params, "stacked"),
         fromEarliest = flag(params, "fromEarliest")), now)
-    // deprecated GET /{type}s/data ≡ GET /{type}s/stats
-    // (GaugeHandler.java:689-708 deprecatedFindData, counter :762-780)
-    case ("GET", Seg(t) :: "data" :: Nil)
-        if t == MetricType.Gauge || t == MetricType.Counter =>
-      dispatch("GET", List(if (t == MetricType.Gauge) "gauges" else "counters",
-        "stats"), params, body, now)
     case ("GET", Seg(t) :: id :: Nil) => Ok(svc.findMetric(mid(t, id)))
     case ("DELETE", Seg(t) :: id :: Nil) => svc.deleteMetric(mid(t, id)); NoContent
     case ("GET", Seg(t) :: id :: "tags" :: Nil) => Ok(svc.getMetricTags(mid(t, id)))
@@ -313,10 +315,14 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       Ok(renamePcts(stats, pcts))
     // per-metric rate fetch w/ start/end (absent → now-8h..now) and the
     // deprecated bucket params dispatching to rate STATS — limit/order
-    // cannot combine with buckets (CounterHandler.java:569-631)
+    // cannot combine with buckets (CounterHandler.java:569-631). The
+    // reference carries no fromEarliest here — reject it loudly rather
+    // than silently falling back to the default window
     case ("GET", Seg(t) :: id :: "rate" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
-      if (params.contains("buckets") || params.contains("bucketDuration")) {
+      if (params.contains("fromEarliest"))
+        ApiError(400, "fromEarliest is not supported on rate fetches")
+      else if (params.contains("buckets") || params.contains("bucketDuration")) {
         require(!params.contains("limit") && !params.contains("order"),
           "Limit and order cannot be used with bucketed results")
         val pcts = percentilesOf(params.get("percentiles"))
@@ -408,27 +414,14 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     NoContent
   }
 
-  /** Collection GET: optional `tags` filter; `timestamps=true` enriches
-    * with data min/max (MinMaxTimestampTransformer analog,
-    * GaugeHandler.java:132-174). The `id` param follows MetricHandler
-    * .java:189-244: a filter-PATTERN when tags filtering is used
-    * (idFilter), an exact `|`-separated list (requiring a type,
-    * HWKMETRICS-461) otherwise. */
+  /** Collection GET: optional `tags` filter and `id` filter (pattern vs
+    * exact semantics live in the service, MetricHandler.java:189-244);
+    * `timestamps=true` enriches with data min/max
+    * (MinMaxTimestampTransformer analog, GaugeHandler.java:132-174). */
   private def definitions(t: Option[MetricType],
                           params: Map[String, String]): Result = {
-    val tags = params.get("tags")
-    val base = svc.findDefinitions(tenant, t, tags)
-    val defs = params.get("id").filter(_.nonEmpty) match {
-      case None => base
-      case Some(pat) if tags.isDefined =>
-        graft.operators.MetricsOps.idFilter(base, pat)
-      case Some(idList) =>
-        require(t.isDefined, "Exact id search requires type to be set")
-        base.filter(col("metric").isin(idList.split("\\|").toSeq: _*))
-    }
-    if (flag(params, "timestamps"))
-      Ok(graft.operators.MetricsOps.enrichDefinitions(defs, svc.raw(),
-        svc.DefaultRetentionDays))
+    val defs = svc.findDefinitions(tenant, t, params.get("tags"), params.get("id"))
+    if (flag(params, "timestamps")) Ok(svc.enrichWithTimestamps(defs))
     else Ok(defs)
   }
 
@@ -597,23 +590,33 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
 
   /** The shared engine of GET /{type}s/stats and POST /{type}s/stats/
     * query — ONE code path is what makes the reference's POST ≡ GET
-    * invariant hold by construction. */
+    * invariant hold by construction. `fromEarliest` resolves the bucket
+    * window from the selected metrics' longest retention
+    * (GaugeHandler.java:571-616 via the multi-id findTimeRange). */
   private def aggStats(t: MetricType, q: AggregatedStatsQuery, now: Long): Result = {
-    if (q.fromEarliest)
-      return ApiError(400,
-        "fromEarliest is supported on per-metric stats routes only (facade subset)")
     require(q.metrics.nonEmpty ^ q.tags.nonEmpty,
       "Either metrics or tags is required, but not both")
-    val cfg = bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now)
     val pcts = percentilesOf(q.percentiles)
-    val stats = q.tags match {
-      case Some(expr) =>
-        svc.findNumericStats(tenant, t,
-          svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr),
-          cfg, pcts.quantiles, q.stacked)
+    def ids: DataFrame = q.tags match {
+      case Some(expr) => svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr)
       case None =>
-        svc.findNumericStats(tenant, t, q.metrics, cfg, pcts.quantiles, q.stacked)
+        val s = spark; import s.implicits._
+        q.metrics.toDF("metric")
     }
+    val stats =
+      if (q.fromEarliest) {
+        require(q.start.isEmpty && q.end.isEmpty,
+          "fromEarliest can only be used without start & end")
+        svc.findNumericStatsFromEarliest(tenant, t, ids,
+          q.buckets, q.bucketDuration.map(GDuration.parse),
+          pcts.quantiles, q.stacked, now)
+      } else {
+        val cfg = bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now)
+        q.tags match {
+          case Some(_) => svc.findNumericStats(tenant, t, ids, cfg, pcts.quantiles, q.stacked)
+          case None => svc.findNumericStats(tenant, t, q.metrics, cfg, pcts.quantiles, q.stacked)
+        }
+      }
     Ok(renamePcts(stats, pcts))
   }
 

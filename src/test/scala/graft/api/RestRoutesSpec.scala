@@ -410,5 +410,27 @@ class RestRoutesSpec extends SparkTestBase {
       Map("start" -> "0", "order" -> "ASC"), now = now))
       .select("l_value").collect().map(_.getLong(0)).toSeq
     assert(c3 == Seq(7L, 9L))
+    // multi-metric fromEarliest stats: the window spans c2's 14d override
+    val feStats = frame(rest.route("GET", "/counters/stats",
+      Map("tags" -> "env:prod", "fromEarliest" -> "true", "buckets" -> "14"),
+      now = now)).collect()
+    assert(feStats.map(_.getAs[Long]("samples")).sum == 4)
+    // unsupported params answer 400, never silently ignored
+    rest.route("GET", "/counters/c1/rate",
+      Map("fromEarliest" -> "true"), now = now) match {
+      case ApiError(400, msg) => assert(msg.contains("not supported"))
+      case other => fail(s"expected 400, got $other")
+    }
+    rest.route("GET", "/gauges/tags/env:*/raw",
+      Map("distinct" -> "true"), now = now) match {
+      case ApiError(400, msg) => assert(msg.contains("per-metric"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // delete removes the catalog row too — a deleted id is creatable
+    // again WITHOUT overwrite (MetricsServiceImpl.java:1086-1101 deletes
+    // from the metrics/tags/retention indexes alongside the data)
+    assert(rest.route("POST", "/counters", body = MetricDefinition("c3")) == NoContent)
+    assert(rest.route("DELETE", "/counters/c3") == NoContent)
+    assert(rest.route("POST", "/counters", body = MetricDefinition("c3")) == NoContent)
   }
 }

@@ -26,6 +26,11 @@ object MetricsService {
   final class MetricAlreadyExistsException(name: String)
     extends RuntimeException(s"A metric with name [$name] already exists")
 
+  /** Tenant twin (TenantAlreadyExistsException → 409,
+    * TenantsHandler.java:90-91). */
+  final class TenantAlreadyExistsException(id: String)
+    extends RuntimeException(s"A tenant with id [$id] already exists")
+
   /** Two strings normalizing to one quantile ("99.0", "99.00") would
     * produce colliding/ambiguous columns — reject LOUDLY and BEFORE any
     * frame is built: the duplicate alias would otherwise surface as an
@@ -77,7 +82,16 @@ class MetricsService(spark: SparkSession, root: String) {
   // counter) sequence as the data tier — raw wall-clock millis tie when two
   // writes land in the same ms (createMetric immediately followed by
   // addTags), making the last-write-wins window nondeterministic
-  def createTenant(tenantId: String, retentions: Map[String, Int] = Map.empty): Unit = {
+  /** `overwrite=false` (the reference's default) REJECTS an existing id
+    * with [[MetricsService.TenantAlreadyExistsException]] — the REST
+    * layer maps it to 409; overwrite replaces only the retention config
+    * (TenantsHandler.java:82-108). */
+  def createTenant(tenantId: String, retentions: Map[String, Int] = Map.empty,
+                   overwrite: Boolean = true): Unit = {
+    val exists = !overwrite &&
+      (try getTenants().filter(col("id") === tenantId).limit(1).count() > 0
+       catch { case _: org.apache.spark.sql.AnalysisException => false }) // none yet
+    if (exists) throw new MetricsService.TenantAlreadyExistsException(tenantId)
     val s = spark
     import s.implicits._
     Seq((tenantId, retentions, GraftStorage.nextIngestSeq()))

@@ -131,8 +131,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     try dispatch(method.toUpperCase, segs, params, body, now)
     catch {
       // a non-overwrite create on an existing id is a conflict, not bad
-      // input (MetricCreatedObserver maps it to 409)
+      // input (MetricCreatedObserver / TenantCreatedObserver map to 409)
       case e: MetricsService.MetricAlreadyExistsException => ApiError(409, e.getMessage)
+      case e: MetricsService.TenantAlreadyExistsException => ApiError(409, e.getMessage)
       // the model grammars throw IllegalArgument on bad input — the
       // JAX-RS layer maps exactly these to 400 ApiError
       case e: IllegalArgumentException => ApiError(400, e.getMessage)
@@ -151,7 +152,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // ---- tenants (TenantsHandler) ------------------------------------
     case ("GET", "tenants" :: Nil) => Ok(svc.getTenants())
     case ("POST", "tenants" :: Nil) => body match {
-      case t: TenantDefinition => svc.createTenant(t.id, t.retentions); NoContent
+      case t: TenantDefinition =>
+        svc.createTenant(t.id, t.retentions, overwrite = flag(params, "overwrite"))
+        NoContent
       case _ => badBody("TenantDefinition")
     }
     case ("DELETE", "tenants" :: id :: Nil) => svc.deleteTenant(id); NoContent

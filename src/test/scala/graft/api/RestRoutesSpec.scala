@@ -262,6 +262,14 @@ class RestRoutesSpec extends SparkTestBase {
     assert(rest.route("POST", "/tenants",
       body = TenantDefinition("t1", Map("gauge" -> 14))) == NoContent)
     assert(frame(rest.route("GET", "/tenants")).collect().head.getString(0) == "t1")
+    // tenant create-conflict: re-POST without overwrite → 409
+    // (TenantsHandler.java:90-91); overwrite replaces the retention map
+    rest.route("POST", "/tenants", body = TenantDefinition("t1")) match {
+      case ApiError(409, msg) => assert(msg.contains("already exists"))
+      case other => fail(s"expected 409, got $other")
+    }
+    assert(rest.route("POST", "/tenants", Map("overwrite" -> "true"),
+      body = TenantDefinition("t1", Map("gauge" -> 21))) == NoContent)
     rest.route("POST", "/gauges", body = MetricDefinition("m", Map("a" -> "1")))
     assert(rest.route("PUT", "/gauges/m/tags", body = Map("b" -> "2")) == NoContent)
     assert(rest.route("DELETE", "/gauges/m/tags/a") == NoContent)

@@ -423,6 +423,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     * (MinMaxTimestampTransformer analog, GaugeHandler.java:132-174). */
   private def definitions(t: Option[MetricType],
                           params: Map[String, String]): Result = {
+    // a virtual rate type has no definitions — the reference answers 400
+    // ("Incorrect type param"), not an empty list (MetricHandler.java:213-216)
+    t.foreach(tt => require(tt.isUserType, s"Incorrect type param ${tt.text}"))
     val defs = svc.findDefinitions(tenant, t, params.get("tags"), params.get("id"))
     if (flag(params, "timestamps")) Ok(svc.enrichWithTimestamps(defs))
     else Ok(defs)

@@ -401,6 +401,11 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, msg) => assert(msg.contains("type"))
       case other => fail(s"expected 400, got $other")
     }
+    // a virtual rate type as the type param answers 400, not empty
+    rest.route("GET", "/metrics", Map("type" -> "counter_rate")) match {
+      case ApiError(400, msg) => assert(msg.contains("Incorrect type"))
+      case other => fail(s"expected 400, got $other")
+    }
     val patterned = frame(rest.route("GET", "/metrics",
       Map("tags" -> "env:prod", "id" -> "c.*")))
       .select("metric").collect().map(_.getString(0)).toSet

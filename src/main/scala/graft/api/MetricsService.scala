@@ -305,12 +305,21 @@ class MetricsService(spark: SparkSession, root: String) {
 
   /** S9 — delete a whole tenant (reference jobs/DeleteTenant.java:34-62):
     * drop its data partition subtree (metadata-level — tenant_id is the
-    * leading partition column) and its catalog rows. */
+    * leading partition column), its catalog rows, AND its tenant row —
+    * the job deletes the tenant itself, so a deleted id is creatable
+    * again without `overwrite` and GET /tenants stops listing it. */
   def deleteTenant(tenantId: String): Unit = {
     GraftStorage.deleteTenant(spark, dataPath, tenantId)
-    val cat = spark.read.parquet(metricsPath)
-      .filter(col("tenant_id") =!= tenantId).localCheckpoint()
-    cat.write.mode(SaveMode.Overwrite).parquet(metricsPath)
+    try {
+      val cat = spark.read.parquet(metricsPath)
+        .filter(col("tenant_id") =!= tenantId).localCheckpoint()
+      cat.write.mode(SaveMode.Overwrite).parquet(metricsPath)
+    } catch { case _: org.apache.spark.sql.AnalysisException => () } // no catalog yet
+    try {
+      val rest = spark.read.parquet(tenantsPath)
+        .filter(col("id") =!= tenantId).localCheckpoint()
+      rest.write.mode(SaveMode.Overwrite).parquet(tenantsPath)
+    } catch { case _: org.apache.spark.sql.AnalysisException => () } // none written yet
   }
 
   /** Retention sweep (TTL analog): drop expired slices, no rewrite. */
@@ -616,8 +625,15 @@ class MetricsService(spark: SparkSession, root: String) {
                                    bucketDuration: Option[GDuration],
                                    percentiles: Seq[Double], stacked: Boolean,
                                    now: Long): DataFrame = {
-    val range = multiFromEarliestRange(tenantId, mtype, ids, now)
-    findNumericStats(tenantId, mtype, ids,
+    // the BucketConfig XOR rule, BEFORE the retention aggregate runs a
+    // job — a request rejected with 400 must not cost a catalog scan
+    require(bucketCount.isDefined ^ bucketDuration.isDefined,
+      "Exactly one of 'buckets' or 'bucketDuration' must be set")
+    // the id set feeds BOTH the window resolution and the stats semi-join
+    // — materialize the (catalog-sized) selection once
+    val idsOnce = ids.localCheckpoint()
+    val range = multiFromEarliestRange(tenantId, mtype, idsOnce, now)
+    findNumericStats(tenantId, mtype, idsOnce,
       BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked)
   }
 

@@ -160,19 +160,16 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     case ("DELETE", "tenants" :: id :: Nil) => svc.deleteTenant(id); NoContent
 
     // ---- catalog (MetricHandler GET /metrics, per-type collections) --
-    case ("GET", "metrics" :: Nil) =>
-      definitions(params.get("type").map(MetricType.fromText), params)
+    case ("GET", "metrics" :: Nil) => definitions(userTypeParam(params), params)
     // tag-NAME discovery w/ optional filter pattern + type scope
     // (MetricHandler.java:151-168 getTagNames)
     case ("GET", "metrics" :: "tags" :: Nil) =>
-      Ok(svc.getTagNames(tenant, params.get("type").map(MetricType.fromText),
-        params.get("filter")))
+      Ok(svc.getTagNames(tenant, userTypeParam(params), params.get("filter")))
     // tag-VALUE discovery: {tags} is a name:pattern map, the answer is the
     // matching (name, value) pairs over the metric set that satisfies ALL
     // filters (MetricHandler.java:170-187 getTags → getTagValues)
     case ("GET", "metrics" :: "tags" :: tags :: Nil) =>
-      Ok(svc.getTagValues(tenant, params.get("type").map(MetricType.fromText),
-        Tags.parse(tags)))
+      Ok(svc.getTagValues(tenant, userTypeParam(params), Tags.parse(tags)))
     // cross-type create: the body carries the type text
     // (MetricHandler.java:121-149; non-user types rejected)
     case ("POST", "metrics" :: Nil) => body match {
@@ -199,7 +196,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // rather than returning uncollapsed points a caller asked collapsed
     case ("GET", Seg(t) :: "tags" :: tags :: "raw" :: Nil)
         if t != MetricType.Counter =>
-      if (params.contains("distinct"))
+      // flag-gated like rawFetch: a false-valued flag is a no-op the
+      // reference would ignore too — only TRUE diverges, so only TRUE 400s
+      if (flag(params, "distinct"))
         ApiError(400, "distinct is supported on per-metric raw routes only")
       else rawMultiQuery(t, RawQuery(tags = Some(tags),
         start = params.get("start"), end = params.get("end"),
@@ -323,7 +322,7 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // than silently falling back to the default window
     case ("GET", Seg(t) :: id :: "rate" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
-      if (params.contains("fromEarliest"))
+      if (flag(params, "fromEarliest")) // flag-gated: only TRUE diverges
         ApiError(400, "fromEarliest is not supported on rate fetches")
       else if (params.contains("buckets") || params.contains("bucketDuration")) {
         require(!params.contains("limit") && !params.contains("order"),
@@ -421,11 +420,18 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     * exact semantics live in the service, MetricHandler.java:189-244);
     * `timestamps=true` enriches with data min/max
     * (MinMaxTimestampTransformer analog, GaugeHandler.java:132-174). */
+  /** The optional `?type=` param, rejecting virtual rate types — they
+    * exist in no catalog, so an empty answer would be indistinguishable
+    * from no-matches; the reference answers 400 "Incorrect type param"
+    * (MetricHandler.java:213-216). */
+  private def userTypeParam(params: Map[String, String]): Option[MetricType] = {
+    val t = params.get("type").map(MetricType.fromText)
+    t.foreach(tt => require(tt.isUserType, s"Incorrect type param ${tt.text}"))
+    t
+  }
+
   private def definitions(t: Option[MetricType],
                           params: Map[String, String]): Result = {
-    // a virtual rate type has no definitions — the reference answers 400
-    // ("Incorrect type param"), not an empty list (MetricHandler.java:213-216)
-    t.foreach(tt => require(tt.isUserType, s"Incorrect type param ${tt.text}"))
     val defs = svc.findDefinitions(tenant, t, params.get("tags"), params.get("id"))
     if (flag(params, "timestamps")) Ok(svc.enrichWithTimestamps(defs))
     else Ok(defs)
@@ -616,13 +622,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
         svc.findNumericStatsFromEarliest(tenant, t, ids,
           q.buckets, q.bucketDuration.map(GDuration.parse),
           pcts.quantiles, q.stacked, now)
-      } else {
-        val cfg = bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now)
-        q.tags match {
-          case Some(_) => svc.findNumericStats(tenant, t, ids, cfg, pcts.quantiles, q.stacked)
-          case None => svc.findNumericStats(tenant, t, q.metrics, cfg, pcts.quantiles, q.stacked)
-        }
-      }
+      } else
+        svc.findNumericStats(tenant, t, ids,
+          bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now),
+          pcts.quantiles, q.stacked)
     Ok(renamePcts(stats, pcts))
   }
 

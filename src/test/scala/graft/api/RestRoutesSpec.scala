@@ -270,6 +270,12 @@ class RestRoutesSpec extends SparkTestBase {
     }
     assert(rest.route("POST", "/tenants", Map("overwrite" -> "true"),
       body = TenantDefinition("t1", Map("gauge" -> 21))) == NoContent)
+    // tenant delete removes the tenant row: it disappears from GET
+    // /tenants and the id is creatable again without overwrite
+    assert(rest.route("POST", "/tenants", body = TenantDefinition("t2")) == NoContent)
+    assert(rest.route("DELETE", "/tenants/t2") == NoContent)
+    assert(!frame(rest.route("GET", "/tenants")).collect().map(_.getString(0)).contains("t2"))
+    assert(rest.route("POST", "/tenants", body = TenantDefinition("t2")) == NoContent)
     rest.route("POST", "/gauges", body = MetricDefinition("m", Map("a" -> "1")))
     assert(rest.route("PUT", "/gauges/m/tags", body = Map("b" -> "2")) == NoContent)
     assert(rest.route("DELETE", "/gauges/m/tags/a") == NoContent)
@@ -401,11 +407,20 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, msg) => assert(msg.contains("type"))
       case other => fail(s"expected 400, got $other")
     }
-    // a virtual rate type as the type param answers 400, not empty
+    // a virtual rate type as the type param answers 400, not empty —
+    // on definition listings AND the tag-discovery routes
     rest.route("GET", "/metrics", Map("type" -> "counter_rate")) match {
       case ApiError(400, msg) => assert(msg.contains("Incorrect type"))
       case other => fail(s"expected 400, got $other")
     }
+    rest.route("GET", "/metrics/tags", Map("type" -> "gauge_rate")) match {
+      case ApiError(400, msg) => assert(msg.contains("Incorrect type"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // a FALSE-valued unsupported flag is a no-op, not a divergence — OK
+    assert(rest.route("GET", "/counters/c1/rate",
+      Map("fromEarliest" -> "false", "start" -> (now - 180000).toString),
+      now = now).isInstanceOf[Ok])
     val patterned = frame(rest.route("GET", "/metrics",
       Map("tags" -> "env:prod", "id" -> "c.*")))
       .select("metric").collect().map(_.getString(0)).toSet

@@ -497,6 +497,24 @@ class MetricsServiceSpec extends SparkTestBase {
       limit = 0, order = Order.Asc)
       .select("metric", "rate").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(rates == Map("c1" -> 60.0, "c2" -> 60.0))
+    // the ranged twin behind rate/query: same values inside the window…
+    val ranged = svc.findRateData("t1", MetricType.Counter, Seq("c1", "c2"),
+      Some(0L), Some(70000L), limit = 0, order = Some(Order.Asc), now = 70000L)
+    assert(ranged.select("metric", "rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap == rates)
+    // …and the 100 TB plan shape PLANS.md claims for rate_query_multi:
+    // the id set arrives BROADCAST (LeftSemi — the datapoint side never
+    // shuffles for the join), the range filter is PUSHED to the scan,
+    // and the only exchanges are the W1 pairing shuffle plus the
+    // id-cardinality distinct on the broadcast side
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"id semi-join must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(time), GreaterThanOrEqual(time,0)"),
+      s"range filter must reach the scan:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(hashExchanges == 2, // pairing + tiny id-set distinct, nothing else
+      s"expected pairing + id-distinct exchanges only, got $hashExchanges:\n$plan")
   }
 
   test("rate limit applies AFTER pairing and reset drops (reference take-at-end)") {

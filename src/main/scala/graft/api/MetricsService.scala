@@ -637,6 +637,22 @@ class MetricsService(spark: SparkSession, root: String) {
       BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked)
   }
 
+  /** Rate twin of [[findNumericStatsFromEarliest]] — GET /{type}s/rate/
+    * stats?fromEarliest (CounterHandler.java:782-825 threads the flag
+    * through the same multi-id findTimeRange). */
+  def findRateStatsFromEarliest(tenantId: String, mtype: MetricType,
+                                ids: DataFrame, bucketCount: Option[Int],
+                                bucketDuration: Option[GDuration],
+                                percentiles: Seq[Double], stacked: Boolean,
+                                now: Long): DataFrame = {
+    require(bucketCount.isDefined ^ bucketDuration.isDefined,
+      "Exactly one of 'buckets' or 'bucketDuration' must be set")
+    val idsOnce = ids.localCheckpoint()
+    val range = multiFromEarliestRange(tenantId, mtype, idsOnce, now)
+    findRateStats(tenantId, mtype, idsOnce,
+      BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked)
+  }
+
   /** [[findGaugeStats]] with the user's ORIGINAL percentile strings
     * preserved as result column names (the reference echoes the request
     * text back verbatim, Percentile.java:22-38): a request for "99.000"

@@ -303,17 +303,27 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       val tags = params.get("tags")
       require(metrics.nonEmpty ^ tags.nonEmpty,
         "Either metrics or tags is required, but not both")
-      val cfg = bucketConfig(params, now)
       val pcts = percentilesOf(params.get("percentiles"))
-      val stats = tags match {
-        case Some(expr) =>
-          svc.findRateStats(tenant, t,
-            svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr),
-            cfg, pcts.quantiles, flag(params, "stacked"))
+      def ids: DataFrame = tags match {
+        case Some(expr) => svc.findMetricIdentifiersWithFilters(tenant, Some(t), expr)
         case None =>
-          svc.findRateStats(tenant, t, metrics, cfg, pcts.quantiles,
-            flag(params, "stacked"))
+          val s = spark; import s.implicits._
+          metrics.toDF("metric")
       }
+      // fromEarliest derives the window from the selected metrics'
+      // longest retention, like the value-stats twin
+      // (CounterHandler.java:782-825 via the multi-id findTimeRange)
+      val stats =
+        if (flag(params, "fromEarliest")) {
+          require(!params.contains("start") && !params.contains("end"),
+            "fromEarliest can only be used without start & end")
+          svc.findRateStatsFromEarliest(tenant, t, ids,
+            params.get("buckets").map(_.toInt),
+            params.get("bucketDuration").map(GDuration.parse),
+            pcts.quantiles, flag(params, "stacked"), now)
+        } else
+          svc.findRateStats(tenant, t, ids, bucketConfig(params, now),
+            pcts.quantiles, flag(params, "stacked"))
       Ok(renamePcts(stats, pcts))
     // per-metric rate fetch w/ start/end (absent → now-8h..now) and the
     // deprecated bucket params dispatching to rate STATS — limit/order

@@ -255,6 +255,27 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, _) =>
       case other => fail(s"expected 400, got $other")
     }
+    // fromEarliest derives the window from the selected metrics'
+    // longest retention (7d default here), ending now=8d so the bucket
+    // spine stays positive. The window bounds the FETCH before pairing,
+    // so the stale epoch-time points contribute no gap-pair rate — each
+    // metric yields exactly its fresh in-window pair (c1 60/min, c2 30)
+    val day = 86400000L
+    rest.route("POST", "/counters/c1/raw",
+      body = Seq(PointValue(8 * day - 120000, 200L), PointValue(8 * day - 60000, 260L)))
+    rest.route("POST", "/counters/c2/raw",
+      body = Seq(PointValue(8 * day - 120000, 50L), PointValue(8 * day - 60000, 80L)))
+    val fe = frame(rest.route("GET", "/counters/rate/stats",
+      Map("tags" -> "env:prod", "fromEarliest" -> "true", "buckets" -> "1"),
+      now = 8 * day)).collect()
+    assert(fe.length == 1 && fe.head.getAs[Long]("samples") == 2, fe.mkString(","))
+    assert(fe.head.getAs[Double]("min") == 30.0 && fe.head.getAs[Double]("max") == 60.0)
+    rest.route("GET", "/counters/rate/stats",
+      Map("tags" -> "env:prod", "fromEarliest" -> "true", "buckets" -> "1",
+        "start" -> "0"), now = 8 * day) match {
+      case ApiError(400, msg) => assert(msg.contains("without start"))
+      case other => fail(s"expected 400, got $other")
+    }
   }
 
   test("tenants and tag CRUD routes; unknown routes answer 404") {

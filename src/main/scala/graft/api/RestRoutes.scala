@@ -15,8 +15,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * collect/serialize decision, not the engine's). The table does exactly
  * what the JAX-RS annotations + param converters do — parse params with
  * the model grammars (TimeRange offsets, Duration, Percentiles, Tags,
- * Order), dispatch to the service, map bad input to 400 and unknown
- * routes to 404.
+ * Order), dispatch to the service, map bad input to 400, unknown routes
+ * to 404, and known paths hit with an unsupported method to 405 (the
+ * container's NotAllowedException, ErrorsITest.groovy:37-42). The
+ * content-negotiation errors (406/415) are transport-level — they live
+ * in whatever HTTP layer a deployment straps on, not here.
  *
  * Bodies are typed case classes rather than JSON documents by design:
  * the engine ships no HTTP server or JSON codec (zero added
@@ -63,8 +66,13 @@ object RestRoutes {
                                     retentions: Map[String, Int] = Map.empty)
 
   /** One datapoint of a POST .../raw body; `value` is typed per route
-    * (gauge Double, counter Long, availability state text, string). */
-  final case class PointValue(timestamp: Long, value: Any)
+    * (gauge Double, counter Long, availability state text, string).
+    * `tags` are the OPTIONAL per-point tags of the reference's DataPoint
+    * body (AvailabilityITest.groovy addTaggedDataPoints, GaugesITest
+    * fetchRawDataWithDatapointTags: ingested tags round-trip through the
+    * raw GET and feed the F5/A6 tagged-stats paths). */
+  final case class PointValue(timestamp: Long, value: Any,
+                              tags: Map[String, String] = Map.empty)
 
   /** Body of POST /{type}s/raw — one metric's points in a multi-metric
     * ingest (the reference's Metric-with-data list element). */
@@ -127,7 +135,13 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
             params: Map[String, String] = Map.empty,
             body: AnyRef = null,
             now: Long = System.currentTimeMillis()): Result = {
-    val segs = path.split("/").filter(_.nonEmpty).toList
+    // "/m" is the reference's dual-path alias of "/metrics" on every
+    // MetricHandler route (@Path("/{dual_path:metrics|m}"),
+    // MetricHandler.java:100; MetricsITest.groovy dualPathTest)
+    val segs = path.split("/").filter(_.nonEmpty).toList match {
+      case "m" :: rest => "metrics" :: rest
+      case s => s
+    }
     try dispatch(method.toUpperCase, segs, params, body, now)
     catch {
       // a non-overwrite create on an existing id is a conflict, not bad
@@ -149,6 +163,20 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
   private def dispatch(method: String, segs: List[String],
                        params: Map[String, String], body: AnyRef,
                        now: Long): Result = (method, segs) match {
+    // ---- service meta (BaseHandler, PingHandler, StatusHandler,
+    // AdminHandler) — the reference answers JSON objects; the relational
+    // shape here is one (name, value) row per entry. Cassandra health
+    // maps to the storage layer, which is as alive as the SparkSession.
+    case ("GET", Nil) => Ok(kvFrame("name" -> "graft-metrics"))
+    case ("GET", "ping" :: Nil) =>
+      // StringValue(new Date()) — the current time, for liveness checks
+      // (PingHandler.java:46-51); `now` injectable like everywhere else
+      Ok(kvFrame("value" -> new java.util.Date(now).toString))
+    case ("GET", "status" :: Nil) =>
+      Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
+    case ("GET", "admin" :: "status" :: Nil) =>
+      Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
+
     // ---- tenants (TenantsHandler) ------------------------------------
     case ("GET", "tenants" :: Nil) => Ok(svc.getTenants())
     case ("POST", "tenants" :: Nil) => body match {
@@ -232,9 +260,14 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       svc.deleteTags(mid(t, id), names.split(",").toSet); NoContent
 
     // ---- raw ingest + fetch (per-type {id}/raw, + deprecated /data) --
+    // an empty point list answers 400 like an empty body — the reference
+    // maps both to emptyPayload (GaugesITest shouldNotAddDataForMetric-
+    // WithEmptyPayload posts "" AND [] and expects 400 for each)
     case ("POST", Seg(t) :: id :: ("raw" | "data") :: Nil) => body match {
-      case pts: Seq[_] if pts.forall(_.isInstanceOf[PointValue]) =>
+      case pts: Seq[_] if pts.nonEmpty && pts.forall(_.isInstanceOf[PointValue]) =>
         ingest(t, pointsFrame(t, id, pts.asInstanceOf[Seq[PointValue]]))
+      case pts: Seq[_] if pts.isEmpty =>
+        ApiError(400, "Payload is empty")
       case _ => badBody("Seq[PointValue]")
     }
     // multi-metric ingest: POST /{type}s/raw with a list of per-metric
@@ -403,7 +436,77 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       case _ => badBody("Seq[StatsRequest]")
     }
 
-    case _ => ApiError(404, s"no route: $method /${segs.mkString("/")}")
+    // known path + unsupported method answers 405, unknown path 404 —
+    // the JAX-RS container's distinction (ErrorsITest.groovy:37-49)
+    case _ =>
+      val allowed = allowedMethods(segs)
+      if (allowed.nonEmpty && !allowed(method))
+        ApiError(405, s"method $method not allowed on /${segs.mkString("/")} " +
+          s"(allowed: ${allowed.toSeq.sorted.mkString(", ")})")
+      else ApiError(404, s"no route: $method /${segs.mkString("/")}")
+  }
+
+  /** Side-effect-free route-SHAPE table: the methods ANY dispatch case
+    * could match for this path, driving the 404-vs-405 distinction the
+    * JAX-RS container makes (POST on an existing GET/PUT-only path is
+    * 405 Method Not Allowed, an unknown path is 404 —
+    * ErrorsITest.groovy:37-49). Where a literal segment and the {id}
+    * template overlap, methods union, like a JAX-RS resource scan. */
+  private def allowedMethods(segs: List[String]): Set[String] = segs match {
+    case Nil | ("ping" | "status") :: Nil => Set("GET")
+    case "admin" :: "status" :: Nil => Set("GET")
+    case "tenants" :: Nil => Set("GET", "POST")
+    case "tenants" :: _ :: Nil => Set("DELETE")
+    case "metrics" :: rest => rest match {
+      case Nil => Set("GET", "POST")
+      case "tags" :: Nil | "tags" :: _ :: Nil => Set("GET")
+      case ("raw" | "data") :: Nil => Set("POST")
+      case "stats" :: "query" :: Nil => Set("POST")
+      case "stats" :: "batch" :: "query" :: Nil => Set("POST")
+      case _ => Set.empty
+    }
+    case Seg(t) :: rest =>
+      val numeric = t == MetricType.Gauge || t == MetricType.Counter
+      rest match {
+        case Nil => Set("GET", "POST")
+        // one segment: the {id} template (GET/DELETE) ∪ the literal
+        // collection routes sharing the position (raw/data ingest POST)
+        case x :: Nil =>
+          Set("GET", "DELETE") ++
+            (if (x == "raw" || x == "data") Set("POST") else Set.empty)
+        case a :: b :: Nil =>
+          var m = Set.empty[String]
+          if (a == "tags") m += "GET"                             // tag-value discovery
+          if (b == "tags") m ++= Set("GET", "PUT")                // {id}/tags
+          if (b == "raw" || b == "data") m ++= Set("GET", "POST") // {id}/raw|data
+          if (b == "stats") m += "GET"                            // {id}/stats
+          if (a == "raw" && b == "query") m += "POST"
+          if (numeric) {
+            if (a == "rate" && b == "query") m ++= Set("GET", "POST")
+            if (a == "rate" && b == "stats") m += "GET"
+            if (a == "stats" && b == "query") m += "POST"
+            if (b == "rate") m += "GET"
+          }
+          if (t == MetricType.Gauge && b == "periods") m += "GET"
+          m
+        case a :: b :: c :: Nil =>
+          var m = Set.empty[String]
+          if (a == "tags" && c == "raw" && t != MetricType.Counter) m += "GET"
+          if (b == "tags") m += "DELETE"                          // {id}/tags/{names}
+          if (b == "rate" && c == "stats" && numeric) m += "GET"
+          m
+        case _ :: "stats" :: "tags" :: _ :: Nil if numeric => Set("GET")
+        case _ => Set.empty
+      }
+    case _ => Set.empty
+  }
+
+  /** One (name, value) row per entry — the relational shape of the
+    * reference's JSON-object meta answers. */
+  private def kvFrame(pairs: (String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    pairs.toDF("name", "value")
   }
 
   // ------------------------------------------------------------------
@@ -654,25 +757,28 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       case i: Int  => i.toLong
       case other => throw new IllegalArgumentException(s"bad counter value '$other'")
     }
+    // per-point tags ride along (the reference's DataPoint body carries
+    // an optional tags map that round-trips through raw fetches)
     val base = t match {
       case MetricType.Gauge =>
-        pts.map(p => (p.timestamp, num(p.value))).toDF("time", "n_value")
+        pts.map(p => (p.timestamp, num(p.value), p.tags)).toDF("time", "n_value", "tags")
           .withColumn("l_value", lit(null).cast("long"))
           .withColumn("avail", lit(null).cast("int"))
           .withColumn("s_value", lit(null).cast("string"))
       case MetricType.Counter =>
-        pts.map(p => (p.timestamp, cnt(p.value))).toDF("time", "l_value")
+        pts.map(p => (p.timestamp, cnt(p.value), p.tags)).toDF("time", "l_value", "tags")
           .withColumn("n_value", lit(null).cast("double"))
           .withColumn("avail", lit(null).cast("int"))
           .withColumn("s_value", lit(null).cast("string"))
       case MetricType.Availability =>
         pts.map(p => (p.timestamp,
-          AvailabilityType.fromText(p.value.toString).code.toInt)).toDF("time", "avail")
+          AvailabilityType.fromText(p.value.toString).code.toInt, p.tags))
+          .toDF("time", "avail", "tags")
           .withColumn("n_value", lit(null).cast("double"))
           .withColumn("l_value", lit(null).cast("long"))
           .withColumn("s_value", lit(null).cast("string"))
       case MetricType.Str =>
-        pts.map(p => (p.timestamp, p.value.toString)).toDF("time", "s_value")
+        pts.map(p => (p.timestamp, p.value.toString, p.tags)).toDF("time", "s_value", "tags")
           .withColumn("n_value", lit(null).cast("double"))
           .withColumn("l_value", lit(null).cast("long"))
           .withColumn("avail", lit(null).cast("int"))
@@ -683,7 +789,6 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       .withColumn("tenant_id", lit(tenant))
       .withColumn("mtype", lit(t.code.toInt))
       .withColumn("metric", lit(id))
-      .withColumn("tags", map())
       .select("tenant_id", "mtype", "metric", "time",
         "n_value", "l_value", "avail", "s_value", "tags")
   }

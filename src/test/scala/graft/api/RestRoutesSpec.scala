@@ -482,4 +482,54 @@ class RestRoutesSpec extends SparkTestBase {
     assert(rest.route("DELETE", "/counters/c3") == NoContent)
     assert(rest.route("POST", "/counters", body = MetricDefinition("c3")) == NoContent)
   }
+
+  test("errors + aliases: 405 vs 404, /m dual path, meta routes, " +
+    "empty payload, per-point tags (ErrorsITest, MetricsITest dualPathTest)") {
+    val rest = newRoutes()
+    // known path + wrong method → 405 (ErrorsITest.groovy:37-42);
+    // unknown path → 404 (:44-49)
+    rest.route("POST", "/gauges/test/tags") match {
+      case ApiError(405, msg) => assert(msg.contains("GET") && msg.contains("PUT"))
+      case other => fail(s"expected 405, got $other")
+    }
+    rest.route("GET", "/gaugesssss/test/raw") match {
+      case ApiError(404, _) =>
+      case other => fail(s"expected 404, got $other")
+    }
+    rest.route("DELETE", "/gauges/stats/query") match {
+      case ApiError(405, _) =>
+      case other => fail(s"expected 405, got $other")
+    }
+    // /m ≡ /metrics on every MetricHandler route (dual-path alias)
+    rest.route("POST", "/gauges", body = MetricDefinition("g1", Map("a" -> "1")))
+    val viaMetrics = frame(rest.route("GET", "/metrics")).collect()
+    val viaM = frame(rest.route("GET", "/m")).collect()
+    assert(viaMetrics.length == 1 && viaM.length == 1)
+    assert(viaMetrics.head == viaM.head)
+    // meta routes: ping echoes injectable now; status/base answer rows
+    val ping = frame(rest.route("GET", "/ping", now = 0L)).collect()
+    assert(ping.length == 1 && ping.head.getString(1).contains("1970"))
+    assert(frame(rest.route("GET", "/status")).collect().nonEmpty)
+    assert(frame(rest.route("GET", "/")).collect().nonEmpty)
+    assert(frame(rest.route("GET", "/admin/status")).collect().nonEmpty)
+    // empty point list ≡ empty body → 400 (GaugesITest
+    // shouldNotAddDataForMetricWithEmptyPayload)
+    rest.route("POST", "/gauges/g1/raw", body = Seq.empty[PointValue]) match {
+      case ApiError(400, msg) => assert(msg.contains("empty"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // per-point tags round-trip through ingest → raw fetch
+    // (AvailabilityITest.groovy addTaggedDataPoints)
+    rest.route("POST", "/availability/a1/raw", body = Seq(
+      PointValue(100L, "up", Map("x" -> "1", "y" -> "2")),
+      PointValue(200L, "down", Map("y" -> "3", "z" -> "5")),
+      PointValue(300L, "up", Map("x" -> "4", "z" -> "6"))))
+    val pts = frame(rest.route("GET", "/availability/a1/raw",
+      Map("start" -> "0", "end" -> "1000"), now = 1000L))
+      .select("time", "tags").collect()
+      .map(r => r.getLong(0) -> r.getMap[String, String](1)).toMap
+    assert(pts(100L) == Map("x" -> "1", "y" -> "2"))
+    assert(pts(200L) == Map("y" -> "3", "z" -> "5"))
+    assert(pts(300L) == Map("x" -> "4", "z" -> "6"))
+  }
 }

@@ -184,6 +184,13 @@ class MetricsService(spark: SparkSession, root: String) {
   // would shadow an explicit override on the next index resolution,
   // silently changing retention behavior from an unrelated tag edit
   def addTags(id: MetricId, tags: Map[String, String]): Unit = {
+    // blank names or values are invalid, like the reference's tag-map
+    // check (TagNames.java:36-49 isValid on both key and value;
+    // TagsITest.groovy shouldNotAcceptMissingOrInvalidTags PUTs
+    // {'': 'test'} and expects 400)
+    require(tags != null && tags.forall { case (k, v) =>
+      k != null && k.trim.nonEmpty && v != null && v.trim.nonEmpty },
+      s"Invalid tags: $tags")
     val (current, retention) = currentDefinition(id)
     createMetric(id, current ++ tags, retention)
   }
@@ -530,6 +537,39 @@ class MetricsService(spark: SparkSession, root: String) {
     val r = fromEarliestRange(id, now)
     findAvailabilityData(id, Some(r.start), Some(r.end), distinct, limit, order, now)
   }
+
+  /** Numeric raw-fetch twin — the reference threads the flag through
+    * GET /{id}/raw on gauges and counters too, via TimeAndSortParams
+    * (GaugeHandler.java:503-533, CounterHandler.java:505-533;
+    * GaugesITest.groovy fromEarliestQueryGaugeData): retention window
+    * as the fetch range, then the T1/T2/T3 rules. Virtual rate ids
+    * dispatch through [[findDataPoints]] like everywhere else. */
+  def findDataPointsFromEarliest(id: MetricId, limit: Int = 0,
+                                 order: Option[Order] = None,
+                                 now: Long = System.currentTimeMillis()): DataFrame = {
+    val r = fromEarliestRange(id, now)
+    findDataPoints(id, Some(r.start), Some(r.end), limit, order, now)
+  }
+
+  /** Rate-fetch twin (the reference's GAUGE /{id}/rate carries the
+    * flag, GaugeHandler.java:775-804 — counter's deprecated-bucket
+    * variant does not): W1 derivation over the retention window. */
+  def findRateDataFromEarliest(id: MetricId, limit: Int = 0,
+                               order: Option[Order] = None,
+                               now: Long = System.currentTimeMillis()): DataFrame = {
+    val r = fromEarliestRange(id, now)
+    findRateData(id, Some(r.start), Some(r.end), limit, order, now)
+  }
+
+  /** Per-metric rate-STATS twin (GET /{id}/rate/stats on both numeric
+    * handlers, GaugeHandler.java:807-845, CounterHandler.java:640-679):
+    * retention-window buckets, leading empties dropped. */
+  def findRateStatsFromEarliest(id: MetricId, bucketCount: Option[Int],
+                                bucketDuration: Option[GDuration],
+                                percentiles: Seq[Double] = Seq.empty,
+                                now: Long = System.currentTimeMillis()): DataFrame =
+    MetricsOps.skipLeadingEmptyBuckets(
+      findRateStats(id, fromEarliestConfig(id, bucketCount, bucketDuration, now), percentiles))
 
   /** The fromEarliest range: retention window ending `now`, resolved
     * metric override ≻ tenant per-type retention — the same first two

@@ -31,12 +31,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * routes echo original percentile strings.
  *
  * The facade's divergence rule: params the reference does not carry on
- * a route (e.g. `fromEarliest` on gauge raw or rate fetches, `distinct`
- * on tag-selected raw) answer 400 rather than being silently ignored —
- * nothing silently diverges. `fromEarliest` is honored everywhere the
- * reference threads it, including the cross-id earliest-window
- * resolution on multi-metric routes (longest retention among the
- * selected metrics, MetricsServiceHandler.java:79-108).
+ * a route (e.g. `fromEarliest` on COUNTER rate fetches, bucket params
+ * on GAUGE rate fetches, `distinct` on tag-selected raw) answer 400
+ * rather than being silently ignored — nothing silently diverges.
+ * `fromEarliest` is honored everywhere the reference threads it — every
+ * per-type raw GET, stats, rate/stats — including the cross-id
+ * earliest-window resolution on multi-metric routes (longest retention
+ * among the selected metrics, MetricsServiceHandler.java:79-108).
  */
 object RestRoutes {
 
@@ -257,7 +258,7 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       case _ => badBody("Map[String, String]")
     }
     case ("DELETE", Seg(t) :: id :: "tags" :: names :: Nil) =>
-      svc.deleteTags(mid(t, id), names.split(",").toSet); NoContent
+      svc.deleteTags(mid(t, id), TagNames.parse(names)); NoContent
 
     // ---- raw ingest + fetch (per-type {id}/raw, + deprecated /data) --
     // an empty point list answers 400 like an empty body — the reference
@@ -316,12 +317,15 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       }
     case ("GET", Seg(t) :: id :: "raw" :: Nil) => rawFetch(t, id, params, now)
 
-    // deprecated /data alias (GaugeHandler.java:392-447): bucket params
-    // present → stats; absent → raw; bucketed + limit/order → 400
+    // deprecated /data alias (GaugeHandler.java:392-447, CounterHandler
+    // :400-460): bucket params present → stats; absent → raw; bucketed +
+    // limit/order → 400; fromEarliest ONLY with bucket params (the raw
+    // dispatch predates the flag — CounterHandler.java:449-456 answers
+    // "fromEarliest can only be used with bucketed results")
     case ("GET", Seg(t) :: id :: "data" :: Nil) =>
-      val bucketed = params.contains("buckets") || params.contains("bucketDuration") ||
-        flag(params, "fromEarliest")
-      if (bucketed) {
+      val bucketed = params.contains("buckets") || params.contains("bucketDuration")
+      if (bucketed || flag(params, "fromEarliest")) {
+        require(bucketed, "fromEarliest can only be used with bucketed results")
         require(!params.contains("limit") && !params.contains("order"),
           "Limit and order cannot be used with bucketed results")
         idStats(t, id, params, now)
@@ -358,32 +362,57 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
           svc.findRateStats(tenant, t, ids, bucketConfig(params, now),
             pcts.quantiles, flag(params, "stacked"))
       Ok(renamePcts(stats, pcts))
-    // per-metric rate fetch w/ start/end (absent → now-8h..now) and the
-    // deprecated bucket params dispatching to rate STATS — limit/order
-    // cannot combine with buckets (CounterHandler.java:569-631). The
-    // reference carries no fromEarliest here — reject it loudly rather
-    // than silently falling back to the default window
+    // per-metric rate fetch. The two handlers differ — COUNTER's route
+    // predates the rate/stats split and carries DEPRECATED bucket params
+    // dispatching to rate STATS (limit/order cannot combine with them,
+    // CounterHandler.java:569-638) but no fromEarliest; GAUGE's newer
+    // route has fromEarliest and no bucket params (GaugeHandler.java:
+    // 775-804). Params the other handler doesn't carry answer 400.
     case ("GET", Seg(t) :: id :: "rate" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
-      if (flag(params, "fromEarliest")) // flag-gated: only TRUE diverges
-        ApiError(400, "fromEarliest is not supported on rate fetches")
-      else if (params.contains("buckets") || params.contains("bucketDuration")) {
-        require(!params.contains("limit") && !params.contains("order"),
-          "Limit and order cannot be used with bucketed results")
-        val pcts = percentilesOf(params.get("percentiles"))
-        Ok(renamePcts(
-          svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
+      val bucketed = params.contains("buckets") || params.contains("bucketDuration")
+      if (flag(params, "fromEarliest")) {
+        if (t == MetricType.Counter)
+          ApiError(400, "fromEarliest is not supported on counter rate fetches")
+        else {
+          require(!params.contains("start") && !params.contains("end"),
+            "fromEarliest can only be used without start & end")
+          require(!bucketed, "gauge rate fetches carry no bucket params")
+          Ok(svc.findRateDataFromEarliest(mid(t, id),
+            params.get("limit").map(_.toInt).getOrElse(0),
+            params.get("order").map(Order.fromText), now))
+        }
+      } else if (bucketed) {
+        if (t == MetricType.Gauge)
+          ApiError(400, "gauge rate fetches carry no bucket params; use /rate/stats")
+        else {
+          require(!params.contains("limit") && !params.contains("order"),
+            "Limit and order cannot be used with bucketed results")
+          val pcts = percentilesOf(params.get("percentiles"))
+          Ok(renamePcts(
+            svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
+        }
       } else {
         val (start, end) = resolvedRange(params, now)
         Ok(svc.findRateData(mid(t, id), start, end,
           params.get("limit").map(_.toInt).getOrElse(0),
           params.get("order").map(Order.fromText), now))
       }
+    // rate STATS carries fromEarliest on BOTH handlers (GaugeHandler
+    // :807-845, CounterHandler :640-679), leading empties dropped
     case ("GET", Seg(t) :: id :: "rate" :: "stats" :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
       val pcts = percentilesOf(params.get("percentiles"))
-      Ok(renamePcts(
-        svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
+      if (flag(params, "fromEarliest")) {
+        require(!params.contains("start") && !params.contains("end"),
+          "fromEarliest can only be used without start & end")
+        Ok(renamePcts(svc.findRateStatsFromEarliest(mid(t, id),
+          params.get("buckets").map(_.toInt),
+          params.get("bucketDuration").map(GDuration.parse),
+          pcts.quantiles, now), pcts))
+      } else
+        Ok(renamePcts(
+          svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
 
     // ---- per-metric stats (+ tagged variant, + periods) --------------
     case ("GET", Seg(t) :: id :: "stats" :: Nil) => idStats(t, id, params, now)
@@ -597,10 +626,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
   }
 
   /** GET /{type}s/{id}/raw — shared with the deprecated /data alias.
-    * `fromEarliest` is honored where the reference carries it on raw
-    * routes (StringHandler GET /{id}/raw :321-343, AvailabilityHandler
-    * :420-452) and rejected on gauge/counter raw rather than silently
-    * ignored. */
+    * Every per-type handler threads `fromEarliest` through its raw GET
+    * via TimeAndSortParams (GaugeHandler.java:503-533, CounterHandler
+    * :505-533, AvailabilityHandler :420-452, StringHandler :321-343). */
   private def rawFetch(t: MetricType, id: String,
                        params: Map[String, String], now: Long): Result = {
     val (start, end) = resolvedRange(params, now)
@@ -616,7 +644,7 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
         case MetricType.Availability =>
           Ok(svc.findAvailabilityDataFromEarliest(mid(t, id), distinct, limit, order, now))
         case _ =>
-          ApiError(400, s"fromEarliest is not supported on ${t.text} raw fetches")
+          Ok(svc.findDataPointsFromEarliest(mid(t, id), limit, order, now))
       }
     } else t match {
       case MetricType.Availability =>

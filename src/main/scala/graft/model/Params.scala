@@ -97,6 +97,24 @@ object Tags {
   }
 }
 
+/** Comma-separated `name(:value)` list of tag NAMES — the DELETE
+  * /{id}/tags/{tags} grammar (reference TagNamesConverter.java:38-57,
+  * TagNames.java:36-40): empty tokens, blank names, and tokens with
+  * more than one colon are invalid; a supplied `:value` part is parsed
+  * and DISCARDED (only names are kept). */
+object TagNames {
+  def parse(text: String): Set[String] = {
+    require(text != null, "names is null")
+    text.split(",", -1).iterator.map { token =>
+      require(token.trim.nonEmpty, s"Invalid tag list: $text")
+      val parts = token.split(":", -1)
+      require(parts.length <= 2, s"Invalid tag list: $text")
+      require(parts(0).trim.nonEmpty, s"Invalid tag list: $text")
+      parts(0)
+    }.toSet
+  }
+}
+
 /** One requested quantile, preserving the USER'S original string form —
   * the reference echoes it back verbatim in results (a request for
   * "99.000" answers as 99.000, not 99.0; Percentile.java:22-38). */

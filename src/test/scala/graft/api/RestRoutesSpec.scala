@@ -105,9 +105,9 @@ class RestRoutesSpec extends SparkTestBase {
       Map("start" -> "0", "end" -> "10", "distinct" -> "true", "order" -> "ASC"), now = 10L))
       .select("time", "avail").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(av == Seq((1L, 0), (3L, 1)))
-    // fromEarliest on string/availability raw routes widens to the
-    // retention window (StringHandler :321-343, AvailabilityHandler
-    // :420-452); gauge raw has no such flag in the reference → 400
+    // fromEarliest widens EVERY per-type raw route to the retention
+    // window (StringHandler :321-343, AvailabilityHandler :420-452,
+    // GaugeHandler :503-533 — GaugesITest fromEarliestQueryGaugeData)
     val day = 86400000L
     rest.route("POST", "/strings/st/raw",
       body = Seq(PointValue(2 * day, "old"), PointValue(9 * day + 1, "fresh")))
@@ -115,8 +115,15 @@ class RestRoutesSpec extends SparkTestBase {
       Map("fromEarliest" -> "true"), now = 10 * day))
       .select("s_value").collect().map(_.getString(0)).toSet
     assert(st == Set("fresh"), st.toString) // 7d default window ends at now
-    rest.route("GET", "/gauges/g/raw", Map("fromEarliest" -> "true"), now = 10 * day) match {
-      case ApiError(400, msg) => assert(msg.contains("not supported"))
+    rest.route("POST", "/gauges/g/raw", body = Seq(PointValue(9 * day, 42.0)))
+    val ge = frame(rest.route("GET", "/gauges/g/raw",
+      Map("fromEarliest" -> "true", "order" -> "ASC"), now = 10 * day))
+      .select("n_value").collect().map(_.getDouble(0)).toSeq
+    assert(ge == Seq(42.0), ge.toString) // ts 1..3 fall outside the 7d window
+    // explicit bounds still conflict with the flag
+    rest.route("GET", "/gauges/g/raw",
+      Map("fromEarliest" -> "true", "start" -> "0"), now = 10 * day) match {
+      case ApiError(400, msg) => assert(msg.contains("without start"))
       case other => fail(s"expected 400, got $other")
     }
     // counter rate route
@@ -516,6 +523,51 @@ class RestRoutesSpec extends SparkTestBase {
     // shouldNotAddDataForMetricWithEmptyPayload)
     rest.route("POST", "/gauges/g1/raw", body = Seq.empty[PointValue]) match {
       case ApiError(400, msg) => assert(msg.contains("empty"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // tag-NAME grammar on DELETE (TagNamesConverter: empty tokens,
+    // blank names, >1 colon → 400; ':value' parts are discarded)
+    rest.route("PUT", "/gauges/g1/tags", body = Map("a" -> "1", "b" -> "2"))
+    rest.route("DELETE", "/gauges/g1/tags/,") match {
+      case ApiError(400, msg) => assert(msg.contains("Invalid tag list"))
+      case other => fail(s"expected 400, got $other")
+    }
+    rest.route("DELETE", "/gauges/g1/tags/:5") match {
+      case ApiError(400, _) =>
+      case other => fail(s"expected 400, got $other")
+    }
+    assert(rest.route("DELETE", "/gauges/g1/tags/a:ignored") == NoContent)
+    val remaining = frame(rest.route("GET", "/gauges/g1/tags")).collect()
+    assert(remaining.length == 1 && remaining.head.getString(0) == "b")
+    // blank tag names/values on PUT → 400 (TagsITest
+    // shouldNotAcceptMissingOrInvalidTags)
+    rest.route("PUT", "/gauges/g1/tags", body = Map("" -> "test")) match {
+      case ApiError(400, msg) => assert(msg.contains("Invalid tags"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // gauge rate carries fromEarliest, counter rate does not; the
+    // deprecated bucket params are counter-only (GaugeHandler.java:
+    // 775-804 vs CounterHandler.java:569-638)
+    val day2 = 86400000L
+    rest.route("POST", "/gauges/g1/raw", body = Seq(
+      PointValue(9 * day2, 10.0), PointValue(9 * day2 + 60000, 70.0)))
+    val gr = frame(rest.route("GET", "/gauges/g1/rate",
+      Map("fromEarliest" -> "true"), now = 10 * day2)).collect()
+    assert(gr.length == 1 && gr.head.getAs[Double]("rate") == 60.0)
+    rest.route("GET", "/gauges/g1/rate", Map("buckets" -> "2"), now = 10 * day2) match {
+      case ApiError(400, msg) => assert(msg.contains("no bucket params"))
+      case other => fail(s"expected 400, got $other")
+    }
+    // rate/stats carries fromEarliest on both numeric handlers, with
+    // leading empty buckets dropped
+    val grs = frame(rest.route("GET", "/gauges/g1/rate/stats",
+      Map("fromEarliest" -> "true", "bucketDuration" -> s"${day2}ms"),
+      now = 10 * day2)).collect()
+    assert(grs.length == 1, grs.length.toString) // 6 leading empties skipped
+    // deprecated /data: fromEarliest needs bucket params
+    rest.route("GET", "/gauges/g1/data",
+      Map("fromEarliest" -> "true"), now = 10 * day2) match {
+      case ApiError(400, msg) => assert(msg.contains("bucketed results"))
       case other => fail(s"expected 400, got $other")
     }
     // per-point tags round-trip through ingest → raw fetch

@@ -211,7 +211,12 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     }
     case ("GET", Seg(t) :: Nil) => definitions(Some(t), params)
     case ("POST", Seg(t) :: Nil) => body match {
-      case d: MetricDefinition => createMetric(t, d, params)
+      case d: MetricDefinition =>
+        // a body type text conflicting with the path answers 400
+        // (CassandraBackendITest.groovy testCreateTypeChecking)
+        d.mtype.foreach(txt => require(MetricType.fromText(txt) == t,
+          s"Metric type does not match the path type ${t.text}"))
+        createMetric(t, d, params)
       case _ => badBody("MetricDefinition")
     }
     // per-type tag-VALUE discovery (GaugeHandler.java:206-221 getTags —

@@ -570,6 +570,15 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, msg) => assert(msg.contains("bucketed results"))
       case other => fail(s"expected 400, got $other")
     }
+    // body type conflicting with the path type → 400; matching is fine
+    // (CassandraBackendITest testCreateTypeChecking)
+    rest.route("POST", "/gauges",
+      body = MetricDefinition("N1", mtype = Some("availability"))) match {
+      case ApiError(400, msg) => assert(msg.contains("does not match"))
+      case other => fail(s"expected 400, got $other")
+    }
+    assert(rest.route("POST", "/counters",
+      body = MetricDefinition("N1", mtype = Some("counter"))) == NoContent)
     // per-point tags round-trip through ingest → raw fetch
     // (AvailabilityITest.groovy addTaggedDataPoints)
     rest.route("POST", "/availability/a1/raw", body = Seq(

@@ -627,7 +627,11 @@ object SparkEntry {
         counterDp = Some(MetricsOps.dataPointsForIds(ctr(s, d), ids)),
         availDp = Some(MetricsOps.dataPointsForIds(avail(s, d), ids)),
         includeCounterRate = true, includeGaugeRate = true,
-        quantiles = Seq(90.0)), Seq(90.0))
+        quantiles = Seq(90.0),
+        // the queried id set IS each branch's dense spine (one catalog,
+        // shared names across the three synthesized type frames)
+        gaugeIds = Some(ids), counterIds = Some(ids), availIds = Some(ids)),
+        Seq(90.0))
         .select("branch", "metric", "bucket", "min", "avg", "max", "sum", "p90_0",
           "median", "samples", "up_ms", "down_ms", "unknown_ms", "admin_ms",
           "last_not_uptime", "not_up_count", "uptime_ratio")
@@ -678,32 +682,37 @@ object SparkEntry {
               |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
               |  count(*) AS samples,
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
-              |  FROM seg GROUP BY metric, bucket)
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
+              |  FROM seg GROUP BY metric, bucket),
+              |sp AS (SELECT metric, g.bucket FROM sel CROSS JOIN range(30) g(bucket))
+              |SELECT 'gauge' AS branch, sp.metric, sp.bucket,
+              |       gb."min", gb.avg, gb."max", gb.sum, gb.p90_0, gb.median, gb.samples,
               |       CAST(NULL AS BIGINT) AS up_ms, CAST(NULL AS BIGINT) AS down_ms,
               |       CAST(NULL AS BIGINT) AS unknown_ms, CAST(NULL AS BIGINT) AS admin_ms,
               |       CAST(NULL AS BIGINT) AS last_not_uptime, CAST(NULL AS BIGINT) AS not_up_count,
               |       CAST(NULL AS DOUBLE) AS uptime_ratio
-              |FROM gb
+              |FROM sp LEFT JOIN gb ON gb.metric = sp.metric AND gb.bucket = sp.bucket
               |UNION ALL
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
+              |SELECT 'gauge_rate', sp.metric, sp.bucket,
+              |       gt."min", gt.avg, gt."max", gt.sum, gt.p90_0, gt.median, gt.samples,
               |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
-              |FROM gt
+              |FROM sp LEFT JOIN gt ON gt.metric = sp.metric AND gt.bucket = sp.bucket
               |UNION ALL
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
+              |SELECT 'counter', sp.metric, sp.bucket,
+              |       cb."min", cb.avg, cb."max", cb.sum, cb.p90_0, cb.median, cb.samples,
               |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
-              |FROM cb
+              |FROM sp LEFT JOIN cb ON cb.metric = sp.metric AND cb.bucket = sp.bucket
               |UNION ALL
-              |SELECT branch, metric, bucket, "min", avg, "max", sum, p90_0, median, samples,
+              |SELECT 'counter_rate', sp.metric, sp.bucket,
+              |       rb."min", rb.avg, rb."max", rb.sum, rb.p90_0, rb.median, rb.samples,
               |       NULL, NULL, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE)
-              |FROM rb
+              |FROM sp LEFT JOIN rb ON rb.metric = sp.metric AND rb.bucket = sp.bucket
               |UNION ALL
-              |SELECT branch, metric, bucket, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+              |SELECT 'availability', sp.metric, sp.bucket, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
               |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-              |       CAST(NULL AS DOUBLE), samples,
-              |       up_ms, down_ms, unknown_ms, admin_ms, last_not_uptime, not_up_count,
-              |       uptime_ratio
-              |FROM ab""".stripMargin)),
+              |       CAST(NULL AS DOUBLE), ab.samples,
+              |       ab.up_ms, ab.down_ms, ab.unknown_ms, ab.admin_ms, ab.last_not_uptime,
+              |       ab.not_up_count, ab.uptime_ratio
+              |FROM sp LEFT JOIN ab ON ab.metric = sp.metric AND ab.bucket = sp.bucket""".stripMargin)),
 
     // ---- J3: explicit id list → datapoints -------------------------------
     ("fetch_by_ids", (s: SparkSession, d: String) =>
@@ -925,20 +934,23 @@ object SparkEntry {
         .select("request_id", "bucket", "min", "avg", "max", "sum", "samples", "median")
     },
       Some(s"""WITH $BaseCte, $CatCte,
-              |r0 AS (SELECT 0 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |r0 AS (SELECT (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
               |       FROM base WHERE t >= $S AND t < $E
-              |         AND metric IN ('click/7', 'view/88') GROUP BY 2),
-              |r1 AS (SELECT 1 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |         AND metric IN ('click/7', 'view/88') GROUP BY 1),
+              |r1 AS (SELECT (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
               |       FROM base WHERE t >= $S AND t < $Week
-              |         AND metric = 'error/23' GROUP BY 2),
-              |r2 AS (SELECT 2 AS request_id, (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
+              |         AND metric = 'error/23' GROUP BY 1),
+              |r2 AS (SELECT (t - $S) // $Day AS bucket, ${statSql("value", Seq.empty)}
               |       FROM base WHERE t >= $S AND t < $E
-              |         AND metric IN (SELECT metric FROM cat WHERE seg = 's3') GROUP BY 2)
-              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r0
+              |         AND metric IN (SELECT metric FROM cat WHERE seg = 's3') GROUP BY 1)
+              |SELECT 0 AS request_id, g.bucket, r0."min", r0.avg, r0."max", r0.sum, r0.samples, r0.median
+              |FROM range(30) g(bucket) LEFT JOIN r0 ON r0.bucket = g.bucket
               |UNION ALL
-              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r1
+              |SELECT 1 AS request_id, g.bucket, r1."min", r1.avg, r1."max", r1.sum, r1.samples, r1.median
+              |FROM range(7) g(bucket) LEFT JOIN r1 ON r1.bucket = g.bucket
               |UNION ALL
-              |SELECT request_id, bucket, "min", avg, "max", sum, samples, median FROM r2""".stripMargin)),
+              |SELECT 2 AS request_id, g.bucket, r2."min", r2.avg, r2."max", r2.sum, r2.samples, r2.median
+              |FROM range(30) g(bucket) LEFT JOIN r2 ON r2.bucket = g.bucket""".stripMargin)),
 
     // ---- §2.9: Structured-Streaming ingest end-to-end (watermarked file
     // stream → stream dedup → partitioned tier), drained with AvailableNow

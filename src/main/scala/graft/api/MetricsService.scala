@@ -184,13 +184,12 @@ class MetricsService(spark: SparkSession, root: String) {
   // would shadow an explicit override on the next index resolution,
   // silently changing retention behavior from an unrelated tag edit
   def addTags(id: MetricId, tags: Map[String, String]): Unit = {
-    // blank names or values are invalid, like the reference's tag-map
-    // check (TagNames.java:36-49 isValid on both key and value;
-    // TagsITest.groovy shouldNotAcceptMissingOrInvalidTags PUTs
-    // {'': 'test'} and expects 400)
-    require(tags != null && tags.forall { case (k, v) =>
-      k != null && k.trim.nonEmpty && v != null && v.trim.nonEmpty },
-      s"Invalid tags: $tags")
+    // blank tag NAMES are invalid; values are unconstrained — the
+    // reference's isValidTagMap iterates keySet() only
+    // (Functions.java:153-161; TagsITest.groovy PUTs {'': 'test'} and
+    // expects 400, while an empty VALUE is accepted and stored)
+    require(tags != null && tags.keysIterator.forall(
+      k => k != null && k.trim.nonEmpty), s"Invalid tags: $tags")
     val (current, retention) = currentDefinition(id)
     createMetric(id, current ++ tags, retention)
   }
@@ -647,19 +646,23 @@ class MetricsService(spark: SparkSession, root: String) {
     // counters store in l_value — aggregating the gauge column would
     // silently answer empty buckets for every counter stats request
     val valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value"
-    if (stacked) MetricsOps.stackedStats(dp, config.buckets, percentiles,
-      valueCol = valueCol, mode = DefaultPercentileMode)
-    else MetricsOps.pooledStats(dp, config.buckets, percentiles,
-      valueCol = valueCol, mode = DefaultPercentileMode)
+    val b = config.buckets
+    // dense (A2) like the reference's NumericBucketPoint.toList finish of
+    // findNumericStats (MetricsServiceImpl.java:926-966) — pooled and
+    // stacked answers carry all b.count buckets, empties null-filled
+    MetricsOps.gapFill(
+      if (stacked) MetricsOps.stackedStats(dp, b, percentiles,
+        valueCol = valueCol, mode = DefaultPercentileMode)
+      else MetricsOps.pooledStats(dp, b, percentiles,
+        valueCol = valueCol, mode = DefaultPercentileMode), b)
   }
 
   /** Multi-metric fromEarliest stats — GET /{type}s/stats?fromEarliest
     * (GaugeHandler.java:571-616 threads the flag through the multi-id
     * findTimeRange): the bucket window spans the longest retention among
-    * the selected metrics, ending `now`. The reference `skipWhile`-drops
-    * leading empty buckets from its gap-filled list; pooled/stacked
-    * output here never EMITS empty buckets (the oracled A4/A5 contract),
-    * so no skip step exists to apply. */
+    * the selected metrics, ending `now`; the dense answer drops its
+    * LEADING empty buckets (`skipWhile(isEmpty)`, GaugeHandler.java:613)
+    * — trailing and interior gaps stay null-filled. */
   def findNumericStatsFromEarliest(tenantId: String, mtype: MetricType,
                                    ids: DataFrame, bucketCount: Option[Int],
                                    bucketDuration: Option[GDuration],
@@ -673,8 +676,9 @@ class MetricsService(spark: SparkSession, root: String) {
     // — materialize the (catalog-sized) selection once
     val idsOnce = ids.localCheckpoint()
     val range = multiFromEarliestRange(tenantId, mtype, idsOnce, now)
-    findNumericStats(tenantId, mtype, idsOnce,
-      BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked)
+    MetricsOps.skipLeadingEmptyBuckets(
+      findNumericStats(tenantId, mtype, idsOnce,
+        BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked))
   }
 
   /** Rate twin of [[findNumericStatsFromEarliest]] — GET /{type}s/rate/
@@ -689,8 +693,9 @@ class MetricsService(spark: SparkSession, root: String) {
       "Exactly one of 'buckets' or 'bucketDuration' must be set")
     val idsOnce = ids.localCheckpoint()
     val range = multiFromEarliestRange(tenantId, mtype, idsOnce, now)
-    findRateStats(tenantId, mtype, idsOnce,
-      BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked)
+    MetricsOps.skipLeadingEmptyBuckets(
+      findRateStats(tenantId, mtype, idsOnce,
+        BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked))
   }
 
   /** [[findGaugeStats]] with the user's ORIGINAL percentile strings
@@ -736,6 +741,11 @@ class MetricsService(spark: SparkSession, root: String) {
     // itself is not requested (rate-only stats are legal)
     val counterNeeded = types(MetricType.Counter) || includeCounterRate
     val gaugeNeeded = types(MetricType.Gauge) || includeGaugeRate
+    // the per-type id spines drive the dense-per-queried-metric contract
+    // (a selected metric with no data in range still answers empty
+    // buckets, like the reference's per-id fetch → toList)
+    def spine(t: MetricType): Option[DataFrame] =
+      Some(ids.filter(col("mtype") === t.code.toInt).select("metric"))
     MetricsOps.mixedTypeStats(config.buckets,
       gaugeDp = if (gaugeNeeded) Some(scoped(MetricType.Gauge)) else None,
       counterDp = if (counterNeeded) Some(scoped(MetricType.Counter)) else None,
@@ -745,7 +755,10 @@ class MetricsService(spark: SparkSession, root: String) {
       includeGaugeValue = types(MetricType.Gauge),
       includeGaugeRate = includeGaugeRate,
       quantiles = percentiles,
-      mode = DefaultPercentileMode)
+      mode = DefaultPercentileMode,
+      gaugeIds = if (gaugeNeeded) spine(MetricType.Gauge) else None,
+      counterIds = if (counterNeeded) spine(MetricType.Counter) else None,
+      availIds = if (types(MetricType.Availability)) spine(MetricType.Availability) else None)
   }
 
   /** [[statsQuery]] with the user's ORIGINAL percentile strings preserved
@@ -910,8 +923,14 @@ class MetricsService(spark: SparkSession, root: String) {
   def findRateStats(id: MetricId, config: BucketConfig,
                     percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val t = MetricType.fromCode(id.mtype)
-    MetricsOps.rateStats(series(id), config.buckets, isCounter = t == MetricType.Counter,
-      valueCol = if (t == MetricType.Counter) "l_value" else "n_value", quantiles = percentiles)
+    val b = config.buckets
+    // dense like every reference numeric-stats answer: rate stats flow
+    // through the same NumericBucketPointTransformer → BucketPoint.toList
+    // (CounterHandler.java:640-679), so empty buckets are emitted null
+    MetricsOps.gapFill(
+      MetricsOps.rateStats(series(id), b, isCounter = t == MetricType.Counter,
+        valueCol = if (t == MetricType.Counter) "l_value" else "n_value",
+        quantiles = percentiles), b)
   }
 
   /** A4/A5 over the RATE series of an id set — the reference's
@@ -930,10 +949,13 @@ class MetricsService(spark: SparkSession, root: String) {
     val rates = MetricsOps.rate(dp.filter(MetricsOps.inRange(config.range)),
       isCounter = mtype == MetricType.Counter,
       valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value")
-    if (stacked) MetricsOps.stackedStats(rates, config.buckets, percentiles,
-      valueCol = "rate", mode = DefaultPercentileMode)
-    else MetricsOps.pooledStats(rates, config.buckets, percentiles,
-      valueCol = "rate", mode = DefaultPercentileMode)
+    val b = config.buckets
+    // dense finish, same as the value twin above
+    MetricsOps.gapFill(
+      if (stacked) MetricsOps.stackedStats(rates, b, percentiles,
+        valueCol = "rate", mode = DefaultPercentileMode)
+      else MetricsOps.pooledStats(rates, b, percentiles,
+        valueCol = "rate", mode = DefaultPercentileMode), b)
   }
 
   /** [[findRateStats]] over an explicit id list. */

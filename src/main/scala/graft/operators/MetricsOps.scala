@@ -482,7 +482,16 @@ object MetricsOps {
    */
   /** `includeCounterValue=false` with `counterDp` set gives a RATE-ONLY
     * request: the counter data still feeds the rate derivation but emits
-    * no value branch (same for the gauge pair). */
+    * no value branch (same for the gauge pair).
+    *
+    * Every branch is DENSE per metric — the reference assembles each
+    * section through `BucketPoint.toList`, which emits all `b.count`
+    * buckets per queried metric with empties null-filled
+    * (BucketPoint.java:66-83; a queried metric with no data in range
+    * still answers a full list of empty buckets). `gaugeIds`/
+    * `counterIds`/`availIds` are the QUERIED id spines (one `metric`
+    * column) driving that contract; absent, the spine falls back to the
+    * metrics present in the (unfiltered) input frame. */
   def mixedTypeStats(b: Buckets,
                      gaugeDp: Option[DataFrame] = None,
                      counterDp: Option[DataFrame] = None,
@@ -492,7 +501,10 @@ object MetricsOps {
                      includeGaugeValue: Boolean = true,
                      includeGaugeRate: Boolean = false,
                      quantiles: Seq[Double] = Seq.empty,
-                     mode: PercentileMode = PercentileMode.Exact): DataFrame = {
+                     mode: PercentileMode = PercentileMode.Exact,
+                     gaugeIds: Option[DataFrame] = None,
+                     counterIds: Option[DataFrame] = None,
+                     availIds: Option[DataFrame] = None): DataFrame = {
     val numNames = Seq("min", "avg", "max", "sum") ++
       quantiles.map(pctColName) :+ "median"
     val availNames = Seq("up_ms", "down_ms", "unknown_ms", "admin_ms",
@@ -520,27 +532,36 @@ object MetricsOps {
     }
     val gaugeShared = gaugeDp.map(sharedFetch(_, includeGaugeValue, includeGaugeRate))
     val counterShared = counterDp.map(sharedFetch(_, includeCounterValue, includeCounterRate))
+    // id spine per family: queried ids when given, else the metrics
+    // present in the input (pre-range-filter — a metric whose points all
+    // fall outside the window still answers dense empty buckets)
+    val gaugeSpine = gaugeIds.orElse(gaugeDp.map(_.select("metric").distinct()))
+    val counterSpine = counterIds.orElse(counterDp.map(_.select("metric").distinct()))
+    val availSpine = availIds.orElse(availDp.map(_.select("metric").distinct()))
+    def dense(stats: DataFrame, spine: Option[DataFrame]): DataFrame =
+      gapFill(stats, b, Seq("metric"), spine)
     val branches =
       (if (includeGaugeValue) gaugeShared.map { case (dp, m) =>
-        numBranch("gauge",
-          numericBucketStats(dp, b, quantiles, byMetric = true, mode = m)) }.toSeq
+        numBranch("gauge", dense(
+          numericBucketStats(dp, b, quantiles, byMetric = true, mode = m), gaugeSpine)) }.toSeq
       else Seq.empty) ++
       (if (includeGaugeRate) gaugeShared.map { case (dp, m) =>
-        numBranch("gauge_rate",
+        numBranch("gauge_rate", dense(
           numericBucketStats(rate(dp, isCounter = false), b, quantiles,
-            byMetric = true, valueCol = "rate", mode = m)) }.toSeq
+            byMetric = true, valueCol = "rate", mode = m), gaugeSpine)) }.toSeq
       else Seq.empty) ++
       (if (includeCounterValue) counterShared.map { case (dp, m) =>
-        numBranch("counter",
+        numBranch("counter", dense(
           numericBucketStats(dp, b, quantiles, byMetric = true, valueCol = "l_value",
-            mode = m)) }.toSeq
+            mode = m), counterSpine)) }.toSeq
       else Seq.empty) ++
       (if (includeCounterRate) counterShared.map { case (dp, m) =>
-        numBranch("counter_rate",
+        numBranch("counter_rate", dense(
           numericBucketStats(rate(dp, isCounter = true, valueCol = "l_value"), b,
-            quantiles, byMetric = true, valueCol = "rate", mode = m)) }.toSeq
+            quantiles, byMetric = true, valueCol = "rate", mode = m), counterSpine)) }.toSeq
       else Seq.empty) ++
-      availDp.map(dp => availBranch(availabilityBucketStats(dp, b))).toSeq
+      availDp.map(dp => availBranch(
+        availabilityBucketStatsFilled(dp, b, keySpine = availSpine))).toSeq
     require(branches.nonEmpty, "mixedTypeStats needs at least one type branch")
     branches.reduce(_ unionByName _)
   }

@@ -420,6 +420,50 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(p1.isNullAt(p1.fieldIndex("p90_0")))
   }
 
+  test("rate stats come back dense; fromEarliest drops only LEADING empties") {
+    val s = spark
+    import s.implicits._
+    val svc = newService()
+    val id = MetricId("t1", MetricType.Counter.code, "m")
+    svc.createMetric(id, Map.empty)
+    val day = 86400000L
+    val now = 10 * day
+    // rate pairs land in buckets 2 and 5 of the 7-bucket retention window
+    // [3d, 10d): interior empties (3, 4) and the trailing empty (6) stay
+    // null-filled, only the leading ones (0, 1) are skipped — the
+    // reference's toList + skipWhile(isEmpty) shape
+    // (CounterHandler.java:640-679). The 70→5 drop across the gap is a
+    // counter RESET, so that pair is filtered (F6), keeping the
+    // cross-gap pair out of bucket 5
+    svc.addDataPoints(Seq(
+      (5 * day + 1000, 10L), (5 * day + 61000, 70L),
+      (8 * day + 1000, 5L), (8 * day + 61000, 25L)).toDF("time", "l_value")
+      .withColumn("tenant_id", lit("t1"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("metric", lit("m"))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map()))
+    val dense = svc.findRateStats(id,
+      BucketConfig(TimeRange(3 * day, now), None, Some(GDuration.parse("1d"))))
+      .orderBy("bucket").collect()
+    assert(dense.length == 7)
+    assert(dense(2).getAs[Double]("avg") == 60.0 && dense(5).getAs[Double]("avg") == 20.0)
+    assert(dense(3).getAs[Any]("samples") == null) // interior gap kept
+    val fe = svc.findRateStatsFromEarliest(id, None, Some(GDuration.parse("1d")), now = now)
+      .orderBy("bucket").collect()
+    assert(fe.length == 5, fe.length.toString) // buckets 2..6: leading 0,1 gone
+    assert(fe.head.getAs[Double]("avg") == 60.0)
+    assert(fe.last.getAs[Any]("samples") == null) // trailing empty kept
+    // the multi-metric pooled path answers dense too
+    val pooled = svc.findNumericStats("t1", MetricType.Counter, Seq("m"),
+      BucketConfig(TimeRange(3 * day, now), Some(7), None), Seq.empty, stacked = false)
+      .orderBy("bucket").collect()
+    assert(pooled.length == 7)
+    assert(pooled(0).getAs[Any]("samples") == null)
+  }
+
   test("availability stats come back dense (gap-filled per queried metric)") {
     val s = spark
     import s.implicits._

@@ -486,7 +486,7 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     * 405 Method Not Allowed, an unknown path is 404 —
     * ErrorsITest.groovy:37-49). Where a literal segment and the {id}
     * template overlap, methods union, like a JAX-RS resource scan. */
-  private def allowedMethods(segs: List[String]): Set[String] = segs match {
+  private[api] def allowedMethods(segs: List[String]): Set[String] = segs match {
     case Nil | ("ping" | "status") :: Nil => Set("GET")
     case "admin" :: "status" :: Nil => Set("GET")
     case "tenants" :: Nil => Set("GET", "POST")

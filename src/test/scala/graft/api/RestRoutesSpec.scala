@@ -490,6 +490,38 @@ class RestRoutesSpec extends SparkTestBase {
     assert(rest.route("POST", "/counters", body = MetricDefinition("c3")) == NoContent)
   }
 
+  test("allowedMethods covers every dispatchable route (405-table drift guard)") {
+    val rest = newRoutes()
+    // one probe per dispatch case — a route added to dispatch but not to
+    // the shape table would flip its wrong-method answers from 405 to
+    // 404 silently; this list must grow with the route table
+    val routes = Seq(
+      ("GET", "/"), ("GET", "/ping"), ("GET", "/status"), ("GET", "/admin/status"),
+      ("GET", "/tenants"), ("POST", "/tenants"), ("DELETE", "/tenants/x"),
+      ("GET", "/metrics"), ("GET", "/metrics/tags"), ("GET", "/metrics/tags/a:1"),
+      ("POST", "/metrics"), ("POST", "/metrics/raw"), ("POST", "/metrics/data"),
+      ("POST", "/metrics/stats/query"), ("POST", "/metrics/stats/batch/query"),
+      ("GET", "/gauges"), ("POST", "/gauges"), ("GET", "/gauges/id"),
+      ("DELETE", "/gauges/id"), ("GET", "/gauges/id/tags"), ("PUT", "/gauges/id/tags"),
+      ("DELETE", "/gauges/id/tags/a"), ("POST", "/gauges/id/raw"), ("GET", "/gauges/id/raw"),
+      ("GET", "/gauges/id/data"), ("POST", "/gauges/id/data"),
+      ("POST", "/gauges/raw"), ("POST", "/gauges/data"), ("POST", "/gauges/raw/query"),
+      ("GET", "/gauges/rate/query"), ("POST", "/gauges/rate/query"),
+      ("GET", "/gauges/rate/stats"), ("GET", "/gauges/stats"), ("GET", "/gauges/data"),
+      ("POST", "/gauges/stats/query"), ("GET", "/gauges/id/stats"),
+      ("GET", "/gauges/id/stats/tags/a:1"), ("GET", "/gauges/id/periods"),
+      ("GET", "/gauges/id/rate"), ("GET", "/gauges/id/rate/stats"),
+      ("GET", "/gauges/tags/a:1"), ("GET", "/gauges/tags/a:1/raw"),
+      ("GET", "/counters/id/rate"), ("GET", "/counters/rate/stats"),
+      ("GET", "/availability/id/raw"), ("POST", "/availability/id/raw"),
+      ("GET", "/availability/tags/a:1/raw"), ("GET", "/strings/id/raw"))
+    routes.foreach { case (m, p) =>
+      val segs = p.split("/").filter(_.nonEmpty).toList
+      assert(rest.allowedMethods(segs).contains(m),
+        s"$m $p dispatches but is missing from allowedMethods")
+    }
+  }
+
   test("errors + aliases: 405 vs 404, /m dual path, meta routes, " +
     "empty payload, per-point tags (ErrorsITest, MetricsITest dualPathTest)") {
     val rest = newRoutes()

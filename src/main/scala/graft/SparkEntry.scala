@@ -1373,6 +1373,33 @@ object SparkEntry {
              |  CAST(nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
              |FROM w""".stripMargin)),
 
+    // ---- LLM: Gopher repetition signals (Rae et al. 2021 A1.1, adapted
+    // to occurrence fractions) — top-bigram share + duplicate-5-gram
+    // share + the repetitive flag at the documented thresholds ----------
+    ("text_repetition", (s: SparkSession, d: String) => TextOps.repetitionStats(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id,
+             |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+             |       FROM toks WHERE len(t) >= 2),
+             |bga AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+             |bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot2 FROM bga GROUP BY doc_id),
+             |g5 AS (SELECT doc_id,
+             |         unnest(list_transform(range(1, len(t) - 3),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+             |       FROM toks WHERE len(t) >= 5),
+             |g5a AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+             |g5stat AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+             |                  sum(c) AS tot5 FROM g5a GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(b.tot2, 0) AS BIGINT) AS n_bigrams,
+             |  round(coalesce(CAST(b.mx AS DOUBLE) / b.tot2, 0), 6) AS top_bigram_frac,
+             |  round(coalesce(CAST(s5.dup AS DOUBLE) / s5.tot5, 0), 6) AS dup_5gram_frac,
+             |  (round(coalesce(CAST(b.mx AS DOUBLE) / b.tot2, 0), 6) > 0.20
+             |   OR round(coalesce(CAST(s5.dup AS DOUBLE) / s5.tot5, 0), 6) > 0.15) AS flag_repetitive
+             |FROM documents d
+             |LEFT JOIN bstat b ON b.doc_id = d.doc_id
+             |LEFT JOIN g5stat s5 ON s5.doc_id = d.doc_id""".stripMargin)),
+
     // ---- LLM: BPE-ish token counting -------------------------------------
     ("token_count", (s: SparkSession, d: String) => TextOps.tokenCounts(docs(s, d)),
       Some("""SELECT doc_id,

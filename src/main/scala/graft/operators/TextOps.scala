@@ -60,6 +60,51 @@ object TextOps {
   }
 
   /**
+   * Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+   * Models", appendix A1.1 — adapted from character fractions to
+   * occurrence fractions): the share of word-BIGRAM occurrences taken by
+   * the single most frequent bigram, and the share of word-5-GRAM
+   * occurrences that are duplicates (appear more than once). Documents
+   * over either threshold flag as repetitive — the standard "remove
+   * boilerplate/degenerate text" pre-training filter.
+   *
+   * Scale shape: one explode → count → per-doc aggregate pipeline per n;
+   * both shuffles key on (doc_id, gram) — cardinality grows with the
+   * corpus, so partitions stay small as executors scale. No driver-side
+   * work, no UDFs (transform/sequence/concat_ws are codegen'd).
+   */
+  def repetitionStats(docs: DataFrame,
+                      topBigramThreshold: Double = 0.20,
+                      dup5gramThreshold: Double = 0.15): DataFrame = {
+    def grams(n: Int): Column = {
+      val t = split(col("text"), " ")
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
+    }
+    def gramCounts(n: Int): DataFrame =
+      docs.select(col("doc_id"), explode(grams(n)).as("g"))
+        .groupBy("doc_id", "g").count()
+    val bg = gramCounts(2).groupBy("doc_id")
+      .agg(max("count").as("mx"), sum("count").as("tot2"))
+    val g5 = gramCounts(5).groupBy("doc_id")
+      .agg(sum(when(col("count") > 1, col("count")).otherwise(0L)).as("dup"),
+        sum("count").as("tot5"))
+    docs.select("doc_id")
+      .join(bg, Seq("doc_id"), "left")
+      .join(g5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tot2"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("mx").cast("double") / col("tot2"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("dup").cast("double") / col("tot5"), lit(0.0)), 6)
+          .as("dup_5gram_frac"))
+      .withColumn("flag_repetitive",
+        col("top_bigram_frac") > topBigramThreshold ||
+          col("dup_5gram_frac") > dup5gramThreshold)
+  }
+
+  /**
    * BPE-ish token count: word pieces = runs of letters, runs of digits, or
    * single other non-space characters — the classic pre-tokenizer split.
    */

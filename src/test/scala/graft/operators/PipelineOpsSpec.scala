@@ -320,6 +320,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 7.0) < 1e-6)
   }
 
+  test("repetition signals: top-bigram share, dup-5-gram share, flag, short docs") {
+    val out = TextOps.repetitionStats(docsDf(
+      (1L, "a b a b a b x y"),       // bigrams: ab ba ab ba ab bx xy (7, top=3)
+      (2L, "u v w x y z"),           // all bigrams unique → top 1/5, no dup 5-grams
+      (3L, "t t t t t t t t t t"),   // fully degenerate: every gram identical
+      (4L, "one"))).collect()        // 1 token: no bigrams at all
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") == 7)
+    assert(math.abs(out(1L).getAs[Double]("top_bigram_frac") - 3.0 / 7.0) < 1e-6)
+    assert(out(1L).getAs[Boolean]("flag_repetitive")) // 0.43 > 0.20
+    assert(math.abs(out(2L).getAs[Double]("top_bigram_frac") - 0.2) < 1e-6)
+    assert(out(2L).getAs[Double]("dup_5gram_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("flag_repetitive"))
+    assert(out(3L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(out(3L).getAs[Double]("dup_5gram_frac") == 1.0) // 6 identical 5-grams
+    assert(out(3L).getAs[Boolean]("flag_repetitive"))
+    assert(out(4L).getAs[Long]("n_bigrams") == 0)
+    assert(out(4L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(!out(4L).getAs[Boolean]("flag_repetitive"))
+  }
+
   test("BPE-ish token count splits words, digits, punctuation") {
     val r = TextOps.tokenCounts(docsDf((1L, "abc12 def!"))).collect().head
     // tokens: abc, 12, def, !

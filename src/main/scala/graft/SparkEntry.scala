@@ -1362,6 +1362,27 @@ object SparkEntry {
              |FROM n a JOIN n b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
              |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3""".stripMargin)),
 
+    // ---- LLM: per-label centroid cohesion — distributed vector mean
+    // (decimal-exact per element), then member-to-centroid cosine stats ---
+    ("emb_label_centroids", (s: SparkSession, d: String) =>
+      Similarity.labelCentroids(embs(s, d)),
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cm AS (SELECT label, pos,
+             |         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY label),
+             |cn AS (SELECT label, c, round(sqrt(list_dot_product(c, c)), 6) AS centroid_norm FROM cent),
+             |cos AS (SELECT d.label, t.centroid_norm,
+             |          list_dot_product(d.e, t.c)
+             |            / (sqrt(list_dot_product(d.e, d.e)) * sqrt(list_dot_product(t.c, t.c))) AS cosine
+             |        FROM dv d JOIN cn t ON t.label = d.label)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, centroid_norm,
+             |       round(avg(cosine), 4) AS avg_cosine,
+             |       round(min(cosine), 6) AS min_cosine,
+             |       round(max(cosine), 6) AS max_cosine
+             |FROM cos GROUP BY label, centroid_norm""".stripMargin)),
+
     // ---- LLM: text quality statistics ------------------------------------
     ("text_stats", (s: SparkSession, d: String) => TextOps.textStats(docs(s, d)),
       Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
@@ -1399,6 +1420,53 @@ object SparkEntry {
              |FROM documents d
              |LEFT JOIN bstat b ON b.doc_id = d.doc_id
              |LEFT JOIN g5stat s5 ON s5.doc_id = d.doc_id""".stripMargin)),
+
+    // ---- LLM: composite Gopher-rule quality verdict — the filter stack
+    // as one row per doc with the failed rules spelled out ----------------
+    ("quality_filter", (s: SparkSession, d: String) => TextOps.qualityFilter(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+             |                  length(text) AS nc FROM documents),
+             |st AS (SELECT doc_id, len(ws) AS n_words,
+             |  round(CAST(nc - (len(ws) - 1) AS DOUBLE) / len(ws), 6) AS awl,
+             |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE) / len(ws), 6) AS swr
+             |  FROM w),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id,
+             |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+             |       FROM toks WHERE len(t) >= 2),
+             |bga AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+             |bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot2 FROM bga GROUP BY doc_id),
+             |g5 AS (SELECT doc_id,
+             |         unnest(list_transform(range(1, len(t) - 3),
+             |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+             |       FROM toks WHERE len(t) >= 5),
+             |g5a AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+             |g5stat AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+             |                  sum(c) AS tot5 FROM g5a GROUP BY doc_id),
+             |rep AS (SELECT d.doc_id,
+             |  (round(coalesce(CAST(b.mx AS DOUBLE) / b.tot2, 0), 6) > 0.20
+             |   OR round(coalesce(CAST(s5.dup AS DOUBLE) / s5.tot5, 0), 6) > 0.15) AS flag_rep
+             |  FROM documents d
+             |  LEFT JOIN bstat b ON b.doc_id = d.doc_id
+             |  LEFT JOIN g5stat s5 ON s5.doc_id = d.doc_id),
+             |v AS (SELECT st.doc_id, concat_ws(',',
+             |    CASE WHEN n_words < 25 OR n_words > 10000 THEN 'word_count' END,
+             |    CASE WHEN awl < 3.0 OR awl > 10.0 THEN 'word_length' END,
+             |    CASE WHEN swr < 0.03 THEN 'stopwords' END,
+             |    CASE WHEN ttr < 0.35 THEN 'diversity' END,
+             |    CASE WHEN flag_rep THEN 'repetition' END) AS fail_reasons
+             |  FROM st JOIN rep ON rep.doc_id = st.doc_id)
+             |SELECT doc_id, fail_reasons, fail_reasons = '' AS passed FROM v""".stripMargin)),
+
+    // ---- LLM: corpus vocabulary — top-N tokens by document frequency ----
+    ("corpus_vocab", (s: SparkSession, d: String) => TextOps.vocabulary(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |per AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+             |v AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+             |             CAST(sum(tf) AS BIGINT) AS term_freq FROM per GROUP BY token),
+             |r AS (SELECT *, CAST(row_number() OVER (ORDER BY doc_freq DESC, token) AS BIGINT) AS "rank" FROM v)
+             |SELECT token, doc_freq, term_freq, "rank" FROM r WHERE "rank" <= 100""".stripMargin)),
 
     // ---- LLM: BPE-ish token counting -------------------------------------
     ("token_count", (s: SparkSession, d: String) => TextOps.tokenCounts(docs(s, d)),

@@ -411,4 +411,43 @@ object Similarity {
       .withColumnRenamed("nrm", "cv_nrm")
     ivfSearch(c, queries, cents, k, nprobe)
   }
+
+  /**
+   * Per-label centroid summary — cluster cohesion diagnostics over an
+   * embedding corpus: each label's vector count, centroid L2 norm, and the
+   * mean/min/max cosine of members to their own centroid. The corpus-side
+   * half of IVF training quality checks ("is this cell tight?") and of
+   * embedding-drift monitoring between pipeline runs.
+   *
+   * Scale shape: the centroid is a DISTRIBUTED mean — posexplode →
+   * (label, pos) partial-combined aggregate → |labels|-row rebuild; no
+   * vector ever `collect`s. Per-element sums go through DECIMAL(28,10)
+   * (exact, order-independent), so centroids are bit-identical across
+   * partitionings and engines — the cosine pass (codegen'd [[graft.plans.VectorDot]]
+   * against the broadcast |labels|×Dim centroid frame) then compares
+   * deterministically too. Two shuffles total: the component aggregate
+   * and the final per-label stats.
+   */
+  def labelCentroids(embs: DataFrame): DataFrame = {
+    val comp = embs
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("x"))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .withColumn("centroid_norm",
+        round(sqrt(graft.plans.VectorDot(col("centroid"), col("centroid"))), 6))
+    embs.join(broadcast(cent), Seq("label"))
+      .withColumn("cosine", graft.plans.VectorDot(col("embedding"), col("centroid")) /
+        (sqrt(graft.plans.VectorDot(col("embedding"), col("embedding"))) *
+          sqrt(graft.plans.VectorDot(col("centroid"), col("centroid")))))
+      .groupBy(col("label"), col("centroid_norm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cosine")), 4).as("avg_cosine"),
+        round(min(col("cosine")), 6).as("min_cosine"),
+        round(max(col("cosine")), 6).as("max_cosine"))
+      .select("label", "n_vecs", "centroid_norm", "avg_cosine", "min_cosine", "max_cosine")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -102,6 +103,65 @@ object TextOps {
       .withColumn("flag_repetitive",
         col("top_bigram_frac") > topBigramThreshold ||
           col("dup_5gram_frac") > dup5gramThreshold)
+  }
+
+  /**
+   * Composite quality verdict — the Gopher-rule filter stack (Rae et al.
+   * 2021 A1.1) as ONE pass/fail row per document with the failed rules
+   * spelled out: word-count bounds, mean-word-length bounds, minimum
+   * stopword ratio, minimum lexical diversity (type-token ratio), and the
+   * [[repetitionStats]] repetitive flag. `fail_reasons` is a comma-joined
+   * list in rule order (empty ⇒ `passed`) — what a curation pipeline logs
+   * so every dropped document is attributable to a rule. Rules are
+   * INDEPENDENT signals: a 2-word doc trips repetition too (its single
+   * bigram is 100% of occurrences) — the word-count bound, not a gate on
+   * the other rules, is what drops tiny documents.
+   *
+   * Composition proof for [[textStats]] + [[repetitionStats]]: one
+   * doc_id-keyed join of two narrow aggregates; the verdict itself is a
+   * codegen'd projection (`concat_ws` skips the null arms of unfired
+   * `when`s — no array materialization, no UDF).
+   */
+  def qualityFilter(docs: DataFrame,
+                    minWords: Int = 25, maxWords: Int = 10000,
+                    minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+                    minStopwordRatio: Double = 0.03,
+                    minTtr: Double = 0.35): DataFrame = {
+    val verdict = concat_ws(",",
+      when(col("n_words") < minWords || col("n_words") > maxWords, lit("word_count")),
+      when(col("avg_word_len") < minAvgWordLen || col("avg_word_len") > maxAvgWordLen,
+        lit("word_length")),
+      when(col("stopword_ratio") < minStopwordRatio, lit("stopwords")),
+      when(col("ttr") < minTtr, lit("diversity")),
+      when(col("flag_repetitive"), lit("repetition")))
+    textStats(docs)
+      .join(repetitionStats(docs).select("doc_id", "flag_repetitive"), Seq("doc_id"))
+      .select(col("doc_id"), verdict.as("fail_reasons"))
+      .withColumn("passed", col("fail_reasons") === "")
+  }
+
+  /**
+   * Corpus vocabulary: the top-N tokens by DOCUMENT frequency (ties broken
+   * lexicographically), with total term frequency alongside — the
+   * stopword-list / tokenizer-vocab bootstrap over a raw corpus.
+   *
+   * Scale shape: explode → (doc_id, token) count → token-keyed aggregate,
+   * both with map-side partial combine, then `orderBy.limit(topN)` — which
+   * Spark plans as TakeOrderedAndProject (per-partition top-N heaps merged
+   * on the driver, nothing close to a global sort). The rank window runs
+   * AFTER the limit, over ≤ topN driver-sized rows.
+   */
+  def vocabulary(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("term_freq"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("doc_freq").desc, col("token").asc))
+          .cast("long"))
   }
 
   /**

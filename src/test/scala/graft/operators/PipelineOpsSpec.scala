@@ -61,6 +61,18 @@ class PipelineOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(deconPlan.contains("BroadcastHashJoin"),
       s"benchmark shingles must broadcast:\n$deconPlan")
+    // vocabulary's global top-N is per-partition heaps + driver merge,
+    // never a full sort
+    val vocabPlan = TextOps.vocabulary(corpus).queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"),
+      s"vocabulary top-N must be TakeOrderedAndProject:\n$vocabPlan")
+    val s = spark
+    import s.implicits._
+    val centPlan = Similarity.labelCentroids(
+      Seq((1L, Array.fill(64)(1.0f), 0)).toDF("vec_id", "embedding", "label"))
+      .queryExecution.executedPlan.toString
+    assert(centPlan.contains("BroadcastHashJoin") && !centPlan.contains("CartesianProduct"),
+      s"labelCentroids must broadcast the |labels|-row centroid frame:\n$centPlan")
   }
 
   test("piiScrub redacts in order and counts per category without double counting") {
@@ -339,6 +351,58 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(4L).getAs[Long]("n_bigrams") == 0)
     assert(out(4L).getAs[Double]("top_bigram_frac") == 0.0)
     assert(!out(4L).getAs[Boolean]("flag_repetitive"))
+  }
+
+  test("qualityFilter: rule-order reasons, empty reasons ⇒ passed") {
+    val good = "the " + (1 to 29).map(i => f"word$i%02d").mkString(" ") // 30 tokens, 1 stopword
+    val short = "ab cd"                                                // 2 tokens, no stopwords
+    val degenerate = Seq.fill(30)("the").mkString(" ")                 // 30 × "the"
+    val out = TextOps.qualityFilter(docsDf((1L, good), (2L, short), (3L, degenerate)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("passed"), out(1L).toString)
+    assert(out(1L).getAs[String]("fail_reasons") == "")
+    // 2 words < 25; avg len (5-1)/2 = 2 < 3; stopword ratio 0 < 0.03; the
+    // single bigram is 100% of occurrences → repetition fires too (rules
+    // are independent signals; word_count is what actually drops tiny docs)
+    assert(out(2L).getAs[String]("fail_reasons")
+      == "word_count,word_length,stopwords,repetition")
+    // ttr 1/30 < 0.35; top bigram "the the" takes all 29 occurrences
+    assert(out(3L).getAs[String]("fail_reasons") == "diversity,repetition")
+    assert(!out(3L).getAs[Boolean]("passed"))
+  }
+
+  test("vocabulary: doc-freq ranking, lexicographic ties, topN cut") {
+    val got = TextOps.vocabulary(docsDf((1L, "a b a"), (2L, "a c"), (3L, "b b")), topN = 2)
+      .orderBy("rank").collect()
+    // a and b tie on doc_freq 2 → 'a' ranks first; c (df 1) cut by topN
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("token") == "a" && got(0).getAs[Long]("doc_freq") == 2
+      && got(0).getAs[Long]("term_freq") == 3 && got(0).getAs[Long]("rank") == 1)
+    assert(got(1).getAs[String]("token") == "b" && got(1).getAs[Long]("term_freq") == 3
+      && got(1).getAs[Long]("rank") == 2)
+  }
+
+  test("labelCentroids: distributed mean, member-to-centroid cosines") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val e = Seq(
+      (1L, vec(1, 0), 0), (2L, vec(0, 1), 0), // centroid (0.5, 0.5), norm √0.5
+      (3L, vec(2, 0), 1)                      // singleton: centroid = itself
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(e).collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Long]("n_vecs") == 2)
+    assert(math.abs(out(0).getAs[Double]("centroid_norm") - 0.707107) < 1e-6)
+    // each member is 45° off the diagonal centroid → cos = √0.5 for both
+    assert(math.abs(out(0).getAs[Double]("avg_cosine") - 0.7071) < 1e-9)
+    assert(out(0).getAs[Double]("min_cosine") == out(0).getAs[Double]("max_cosine"))
+    assert(out(1).getAs[Long]("n_vecs") == 1)
+    assert(out(1).getAs[Double]("centroid_norm") == 2.0)
+    assert(out(1).getAs[Double]("avg_cosine") == 1.0)
   }
 
   test("BPE-ish token count splits words, digits, punctuation") {

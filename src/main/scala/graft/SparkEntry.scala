@@ -1378,7 +1378,7 @@ object SparkEntry {
              |            / (sqrt(list_dot_product(d.e, d.e)) * sqrt(list_dot_product(t.c, t.c))) AS cosine
              |        FROM dv d JOIN cn t ON t.label = d.label)
              |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, centroid_norm,
-             |       round(avg(cosine), 4) AS avg_cosine,
+             |       round(CAST(sum(CAST(cosine AS DECIMAL(28,10))) AS DOUBLE) / count(*), 4) AS avg_cosine,
              |       round(min(cosine), 6) AS min_cosine,
              |       round(max(cosine), 6) AS max_cosine
              |FROM cos GROUP BY label, centroid_norm""".stripMargin)),

@@ -424,8 +424,11 @@ object Similarity {
    * vector ever `collect`s. Per-element sums go through DECIMAL(28,10)
    * (exact, order-independent), so centroids are bit-identical across
    * partitionings and engines — the cosine pass (codegen'd [[graft.plans.VectorDot]]
-   * against the broadcast |labels|×Dim centroid frame) then compares
-   * deterministically too. Two shuffles total: the component aggregate
+   * against the broadcast |labels|×Dim centroid frame, centroid norm
+   * hoisted to one sqrt per LABEL, so each row pays two dot products, not
+   * three) then compares deterministically too, and the mean cosine is a
+   * decimal-exact average for the same reason. Three shuffles: the
+   * component aggregate on (label, pos), the centroid rebuild on (label),
    * and the final per-label stats.
    */
   def labelCentroids(embs: DataFrame): DataFrame = {
@@ -437,15 +440,15 @@ object Similarity {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
-      .withColumn("centroid_norm",
-        round(sqrt(graft.plans.VectorDot(col("centroid"), col("centroid"))), 6))
+      .withColumn("c_nrm", sqrt(graft.plans.VectorDot(col("centroid"), col("centroid"))))
+      .withColumn("centroid_norm", round(col("c_nrm"), 6))
     embs.join(broadcast(cent), Seq("label"))
       .withColumn("cosine", graft.plans.VectorDot(col("embedding"), col("centroid")) /
-        (sqrt(graft.plans.VectorDot(col("embedding"), col("embedding"))) *
-          sqrt(graft.plans.VectorDot(col("centroid"), col("centroid")))))
+        (sqrt(graft.plans.VectorDot(col("embedding"), col("embedding"))) * col("c_nrm")))
       .groupBy(col("label"), col("centroid_norm"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("cosine")), 4).as("avg_cosine"),
+        round((sum(col("cosine").cast("decimal(28,10)")).cast("double") / count(lit(1))), 4)
+          .as("avg_cosine"),
         round(min(col("cosine")), 6).as("min_cosine"),
         round(max(col("cosine")), 6).as("max_cosine"))
       .select("label", "n_vecs", "centroid_norm", "avg_cosine", "min_cosine", "max_cosine")

@@ -72,19 +72,16 @@ object TextOps {
    * Scale shape: one explode → count → per-doc aggregate pipeline per n;
    * both shuffles key on (doc_id, gram) — cardinality grows with the
    * corpus, so partitions stay small as executors scale. No driver-side
-   * work, no UDFs (transform/sequence/concat_ws are codegen'd).
+   * work, no UDFs; gram windows come from the codegen'd
+   * [[graft.plans.WordShingles]] loop (NOT the interpreted
+   * transform/concat_ws formulation it exists to replace).
    */
   def repetitionStats(docs: DataFrame,
                       topBigramThreshold: Double = 0.20,
                       dup5gramThreshold: Double = 0.15): DataFrame = {
-    def grams(n: Int): Column = {
-      val t = split(col("text"), " ")
-      when(size(t) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*)))
-    }
     def gramCounts(n: Int): DataFrame =
-      docs.select(col("doc_id"), explode(grams(n)).as("g"))
+      docs.select(col("doc_id"),
+        explode(graft.plans.WordShingles(split(col("text"), " "), n)).as("g"))
         .groupBy("doc_id", "g").count()
     val bg = gramCounts(2).groupBy("doc_id")
       .agg(max("count").as("mx"), sum("count").as("tot2"))

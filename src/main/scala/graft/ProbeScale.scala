@@ -106,6 +106,25 @@ object ProbeScale {
     time("dedup_simhash") {
       Dedup.simHashPairs(scaledDocs(spark, dir, n), maxHamming = 3)
     }
+    time("text_repetition") {
+      // (doc_id, gram)-keyed aggregates: rows AND distinct keys grow n×,
+      // per-partition load stays flat
+      TextOps.repetitionStats(scaledDocs(spark, dir, n))
+    }
+    time("corpus_vocab") {
+      // replica-suffixed words grow the vocab n×; top-N must stay
+      // per-partition heaps + driver merge of ≤ topN rows
+      TextOps.vocabulary(scaledDocs(spark, dir, n))
+    }
+    time("tfidf_terms") {
+      // token-keyed df join + doc_id-keyed top-k window, both n×-keyed
+      TextOps.tfidfTerms(scaledDocs(spark, dir, n))
+    }
+    time("label_centroids") {
+      // fixed label count: the (label, pos) component aggregate keys stay
+      // constant while rows grow n× — pure map-side-combine growth
+      Similarity.labelCentroids(scaledEmbs(spark, dir, n))
+    }
     time("emb_srp_pairs") {
       Similarity.srpThresholdPairs(scaledEmbs(spark, dir, n), 0.3, numPlanes = 8)
     }

@@ -1468,6 +1468,19 @@ object SparkEntry {
              |r AS (SELECT *, CAST(row_number() OVER (ORDER BY doc_freq DESC, token) AS BIGINT) AS "rank" FROM v)
              |SELECT token, doc_freq, term_freq, "rank" FROM r WHERE "rank" <= 100""".stripMargin)),
 
+    // ---- LLM: per-document TF-IDF top-k terms ---------------------------
+    ("tfidf_terms", (s: SparkSession, d: String) => TextOps.tfidfTerms(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+             |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM per GROUP BY token),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT p.doc_id, p.token, p.tf, d.doc_freq,
+             |         round(p.tf * ln(CAST(n_docs AS DOUBLE) / d.doc_freq), 6) AS tfidf
+             |       FROM per p JOIN dfq d USING (token) CROSS JOIN n),
+             |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token)
+             |                     AS BIGINT) AS term_rank FROM sc)
+             |SELECT doc_id, token, tf, doc_freq, tfidf, term_rank FROM r WHERE term_rank <= 5""".stripMargin)),
+
     // ---- LLM: BPE-ish token counting -------------------------------------
     ("token_count", (s: SparkSession, d: String) => TextOps.tokenCounts(docs(s, d)),
       Some("""SELECT doc_id,

@@ -162,6 +162,33 @@ object TextOps {
   }
 
   /**
+   * Per-document TF-IDF top-k terms — keyword extraction over a raw
+   * corpus (tfidf = tf · ln(N/df)): the classic distinctive-term feature
+   * for topic tagging, near-dup triage, and quality heuristics. The
+   * ranking (and emitted score) uses the ROUNDED tfidf so cross-engine
+   * ordering can't hinge on a last-ulp `ln` difference; exact rounded
+   * ties break lexicographically.
+   *
+   * Scale shape: the document count joins in as a broadcast 1-row frame
+   * (no eager driver action); the doc-frequency join shuffles on token,
+   * the top-k window on doc_id — both corpus-keyed, no global sort, no
+   * driver state.
+   */
+  def tfidfTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = perDoc.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token").asc)
+    perDoc.join(dfreq, Seq("token")).crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("doc_freq")), 6))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= topK)
+      .select("doc_id", "token", "tf", "doc_freq", "tfidf", "term_rank")
+  }
+
+  /**
    * BPE-ish token count: word pieces = runs of letters, runs of digits, or
    * single other non-space characters — the classic pre-tokenizer split.
    */

@@ -382,6 +382,23 @@ class PipelineOpsSpec extends SparkTestBase {
       && got(1).getAs[Long]("rank") == 2)
   }
 
+  test("tfidfTerms: distinctive terms outrank ubiquitous ones") {
+    val out = TextOps.tfidfTerms(docsDf(
+      (1L, "apple banana apple"),   // apple df=1 tf=2; banana df=3
+      (2L, "banana cherry"),        // cherry df=1
+      (3L, "banana banana banana")), topK = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: apple tfidf = 2·ln(3) beats banana's tf·ln(1) = 0
+    assert(out(1L).getAs[String]("token") == "apple")
+    assert(math.abs(out(1L).getAs[Double]("tfidf") - 2.197225) < 1e-9)
+    assert(out(1L).getAs[Long]("tf") == 2 && out(1L).getAs[Long]("doc_freq") == 1)
+    assert(out(2L).getAs[String]("token") == "cherry")
+    // doc 3 has only the everywhere-token: tfidf 0, still ranked 1
+    assert(out(3L).getAs[String]("token") == "banana")
+    assert(out(3L).getAs[Double]("tfidf") == 0.0)
+    assert(out(3L).getAs[Long]("term_rank") == 1)
+  }
+
   test("labelCentroids: distributed mean, member-to-centroid cosines") {
     val s = spark
     import s.implicits._

@@ -1687,7 +1687,84 @@ object SparkEntry {
              |  FROM keep k JOIN tok t ON t.doc_id = k.doc_id)
              |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
-             |FROM sh GROUP BY shard""".stripMargin))
+             |FROM sh GROUP BY shard""".stripMargin)),
+
+    // ---- LLM: corpus mixing — derive per-source sampling rates from the
+    // observed token mass so the kept tokens hit a target mixture; rates
+    // broadcast back onto one corpus scan, keep decision is salted-hash --
+    ("corpus_mix", (s: SparkSession, d: String) => TextOps.mixCorpus(docs(s, d),
+      Map("src0" -> 0.1, "src2" -> 0.1, "src8" -> 0.8), budgetFrac = 0.1),
+      Some("""WITH base AS (SELECT doc_id, source AS stratum, text,
+             |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |per AS (SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS src_tokens FROM base GROUP BY stratum),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM base),
+             |r AS (SELECT stratum, round(least(1.0,
+             |        (CASE stratum WHEN 'src0' THEN 0.1 WHEN 'src2' THEN 0.1
+             |                      WHEN 'src8' THEN 0.8 ELSE 0.0 END)
+             |        * 0.1 * total_tokens / src_tokens), 6) AS rate
+             |      FROM per CROSS JOIN tot)
+             |SELECT b.stratum, r.rate, count(*) AS n_docs_kept,
+             |       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens_kept
+             |FROM base b JOIN r ON r.stratum = b.stratum
+             |WHERE ('0x' || substr(md5('mix:' || b.text), 1, 15))::BIGINT % 10000 < r.rate * 10000
+             |GROUP BY b.stratum, r.rate""".stripMargin)),
+
+    // ---- LLM: unigram-LM surprisal — per-doc cross-entropy against the
+    // corpus's own unigram distribution (cheap perplexity proxy);
+    // micro-nat integer summation so no float-order dependence ----------
+    ("doc_perplexity", (s: SparkSession, d: String) => TextOps.unigramSurprisal(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |per AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
+             |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM per GROUP BY token),
+             |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+             |t AS (SELECT p.doc_id, p.tf,
+             |        CAST(round(ln(CAST(total AS DOUBLE) / cnt) * 1000000.0) AS BIGINT) * p.tf AS term
+             |      FROM per p JOIN v USING (token) CROSS JOIN n),
+             |ag AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |              CAST(sum(term) AS BIGINT) AS s FROM t GROUP BY doc_id)
+             |SELECT doc_id, n_tokens,
+             |       round(CAST(s AS DOUBLE) / 1000000.0 / n_tokens, 6) AS cross_entropy,
+             |       round(exp(CAST(s AS DOUBLE) / 1000000.0 / n_tokens), 4) AS ppl
+             |FROM ag""".stripMargin)),
+
+    // ---- LLM: token-budget batch packing — shard by content hash, pack
+    // within each shard by prefix-summed tokens over a deterministic
+    // (md5, doc_id) order; integer arithmetic end to end ----------------
+    ("token_batching", (s: SparkSession, d: String) => TextOps.packBatches(docs(s, d)),
+      Some("""WITH b AS (SELECT doc_id,
+             |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             |        ('0x' || substr(md5(text), 1, 15))::BIGINT % 8 AS shard,
+             |        md5(text) AS text_md5
+             |      FROM documents),
+             |w AS (SELECT doc_id, shard, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY text_md5, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prefix
+             |      FROM b)
+             |SELECT doc_id, shard, n_tokens, CAST(prefix // 512 AS BIGINT) AS batch_in_shard
+             |FROM w""".stripMargin)),
+
+    // ---- LLM: k-NN majority-vote labeling — embedding-space auto-label
+    // with leave-one-out accuracy audit over the labeled set ------------
+    ("knn_label_vote", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.labelVote(e, e.filter(col("vec_id") < 20), 15)
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 20),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, label,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc),
+             |v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rnk <= 15 GROUP BY query_id, label),
+             |p AS (SELECT query_id, label, votes,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+             |      FROM v)
+             |SELECT p.query_id, p.label AS pred_label, p.votes, q.label AS true_label,
+             |       p.label = q.label AS hit
+             |FROM p JOIN q ON q.vec_id = p.query_id WHERE p.vr = 1""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

@@ -453,4 +453,33 @@ object Similarity {
         round(max(col("cosine")), 6).as("max_cosine"))
       .select("label", "n_vecs", "centroid_norm", "avg_cosine", "min_cosine", "max_cosine")
   }
+
+  /**
+   * k-NN majority-vote labeling — the embedding-space auto-labeler /
+   * label-propagation step of a curation pipeline (and, run leave-one-out
+   * over an already-labeled set as here, its accuracy audit): each query
+   * takes the modal label of its k nearest labeled neighbors, ties broken
+   * by the smaller label. Emits the query's own label and a hit flag so
+   * the aggregate accuracy is one filter away.
+   *
+   * Scale shape: neighbor search is [[bruteForceTopK]] (query side
+   * broadcast, one corpus scan — swap in [[ivfTopK]] for the indexed
+   * 100 TB path, same contract); the vote is a (query,label)-keyed count
+   * (k·|queries| rows at most) + a per-query top-1 window — both
+   * query-side-sized, never corpus-sized.
+   */
+  def labelVote(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val labels = corpus.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = bruteForceTopK(corpus, queries, k)
+      .join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .join(queries.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"),
+        col("true_label"), (col("label") === col("true_label")).as("hit"))
+  }
 }

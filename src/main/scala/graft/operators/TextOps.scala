@@ -397,4 +397,122 @@ object TextOps {
       regexp_count(s2, lit(NumberPattern)).cast("long").as("n_number"),
       md5(s3.cast("binary")).as("scrubbed_md5"))
   }
+
+  /** Salted content-hash bucket: hashes `salt || text` so the residue is
+    * statistically independent of every [[contentHashBucket]] slice —
+    * required when a NEW hash decision (e.g. mixing) must not correlate
+    * with sharding (offset 1) or sampling (offset 17) when composed. */
+  private def saltedHashBucket(text: Column, salt: String, mod: Long): Column =
+    pmod(conv(substring(md5(concat(lit(salt), text).cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(mod))
+
+  /**
+   * Corpus mixing — derive per-stratum sampling rates FROM the corpus so
+   * the kept tokens hit a target mixture (the "domain reweighting" step of
+   * training-data assembly: e.g. 30% web, 30% code, 40% books of a 10%
+   * overall budget). For stratum s with observed `tokens_s`:
+   *
+   *   rate_s = min(1, share_s · budgetFrac · total_tokens / tokens_s)
+   *
+   * then documents keep deterministically via a salted content-hash bucket
+   * (independent of the shard/sample hash slices, so mixing composes with
+   * both). An over-demanded stratum clamps at 1.0 — it contributes all it
+   * has, like real mixtures. Returns the per-stratum audit row (rate, kept
+   * docs/tokens); strata absent from `targetShares` get share 0.
+   *
+   * Scale shape: the stratum→tokens aggregate is |strata|-sized (map-side
+   * combine), so the rate table BROADCASTS back onto the one corpus scan;
+   * the keep decision is a codegen'd projection — no corpus shuffle at all
+   * before the final |strata|-group aggregate.
+   */
+  def mixCorpus(docs: DataFrame, targetShares: Map[String, Double],
+                budgetFrac: Double, byCol: String = "source",
+                hashMod: Int = 10000): DataFrame = {
+    require(hashMod > 0 && budgetFrac > 0 && budgetFrac <= 1 &&
+      targetShares.values.forall(v => v >= 0 && v <= 1),
+      "budgetFrac and shares must be probabilities, hashMod positive")
+    val base = docs.select(col("doc_id"), col(byCol).as("stratum"), col("text"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    val perStratum = base.groupBy(col("stratum")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val total = base.agg(sum(col("n_tokens")).as("total_tokens"))
+    // sorted fold → deterministic when-chain regardless of map order
+    val share = targetShares.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) {
+      case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val rates = perStratum.crossJoin(broadcast(total))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          share * lit(budgetFrac) * col("total_tokens") / col("src_tokens")), 6))
+      .select(col("stratum"), col("rate"))
+    base.join(broadcast(rates), Seq("stratum"))
+      .filter(saltedHashBucket(col("text"), "mix:", hashMod.toLong) < col("rate") * hashMod)
+      .groupBy(col("stratum"), col("rate"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+  }
+
+  /**
+   * Unigram-LM surprisal scoring — per-document cross-entropy against the
+   * corpus's own unigram distribution (the classic cheap perplexity proxy
+   * for quality filtering: rare-token-soup documents score high, natural
+   * text scores near the corpus entropy). No smoothing is needed: the LM
+   * is fit on the same corpus, so every token has nonzero count.
+   *
+   * Determinism: each token's surprisal ln(total/cnt) is rounded to
+   * integer MICRO-NATS and summed as a long, so the per-doc sum cannot
+   * depend on float addition order across engines/partitionings; the
+   * final mean divides two exactly-equal quantities.
+   *
+   * Scale shape: explode → (doc,token) count → token-keyed join against
+   * the vocab aggregate (both map-side combined, both shuffling on
+   * corpus-cardinality keys) → doc-keyed sum. The 1-row total broadcasts.
+   * ppl = exp(cross-entropy), the familiar per-token perplexity form.
+   */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = perDoc.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val meanSurprisal = col("s").cast("double") / lit(1000000.0) / col("n_tokens")
+    perDoc.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        round(log(col("total").cast("double") / col("cnt")) * lit(1000000.0), 0)
+          .cast("long") * col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"), sum(col("term")).cast("long").as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(meanSurprisal, 6).as("cross_entropy"),
+        round(exp(meanSurprisal), 4).as("ppl"))
+  }
+
+  /**
+   * Token-budget batch packing — assign documents to fixed-token-budget
+   * training batches. Global greedy packing is inherently sequential, so
+   * the scalable form shards first (content hash, the same slice as
+   * [[corpusShards]] so co-composition reuses the decision), then packs
+   * WITHIN each shard by running token count over a deterministic order
+   * (content md5, then doc_id): batch k of a shard covers the docs whose
+   * exclusive prefix sum lands in [k·budget, (k+1)·budget). A document
+   * longer than the budget gets a batch of its own rather than splitting —
+   * chunking ([[chunkDocs]]) is the upstream fix for oversized docs.
+   *
+   * Scale shape: one window per shard — parallelism = nShards, so at
+   * 100 TB nShards is sized to make each shard executor-resident (tens of
+   * thousands); the window's sort key is (md5, doc_id) within a shard
+   * partition, an executor-local sort. Integer arithmetic end to end.
+   */
+  def packBatches(docs: DataFrame, budgetTokens: Long = 512,
+                  nShards: Int = 8): DataFrame = {
+    require(budgetTokens > 0 && nShards > 0, "budget and shard count must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("text_md5").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        contentHashBucket(col("text"), nShards.toLong).as("shard"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("prefix") / budgetTokens).cast("long").as("batch_in_shard"))
+  }
 }

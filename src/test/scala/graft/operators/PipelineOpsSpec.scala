@@ -531,4 +531,95 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.map(_.getAs[Long]("n_docs")).sum == 1)
     assert(got.head.getAs[Long]("min_doc_id") == 1)
   }
+
+  test("mixCorpus: rates derived from token mass, clamp at 1.0, zero-share dropped") {
+    val s = spark
+    import s.implicits._
+    // srcA: 60 tokens across 2 docs, srcB: 20, srcC: 20 → total 100
+    val docs = Seq(
+      (1L, Seq.fill(30)("a").mkString(" "), "srcA"),
+      (2L, Seq.fill(30)("b").mkString(" "), "srcA"),
+      (3L, Seq.fill(20)("c").mkString(" "), "srcB"),
+      (4L, Seq.fill(20)("d").mkString(" "), "srcC")
+    ).toDF("doc_id", "text", "source")
+    // budget 40% of 100 = 40 tokens: srcB wants 0.9·40=36 of its 20 → clamp 1.0
+    // (keeps BOTH = all its docs); srcA wants 0.1·40=4 of 60 → rate 0.066667;
+    // srcC has share 0 → absent from the output entirely
+    val got = TextOps.mixCorpus(docs, Map("srcA" -> 0.1, "srcB" -> 0.9), budgetFrac = 0.4)
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Double]("rate"), r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept"))).toMap
+    assert(!got.contains("srcC"))
+    assert(got("srcB") == ((1.0, 1L, 20L))) // clamped, keeps everything it has
+    got.get("srcA").foreach { case (rate, _, _) => assert(rate == 0.066667) }
+    // srcA at rate 0.0667 over 2 docs keeps 0..2 docs — only the rate is exact
+  }
+
+  test("unigramSurprisal: hand-computed cross-entropy, micro-nat determinism") {
+    val s = spark
+    import s.implicits._
+    // corpus: a a b | b c → cnt(a)=2, cnt(b)=2, cnt(c)=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: every token has p=2/5 → CE = ln(2.5) = 0.916291 at 6 places
+    assert(got(1L).getAs[Long]("n_tokens") == 3L)
+    assert(got(1L).getAs[Double]("cross_entropy") == 0.916291)
+    assert(math.abs(got(1L).getAs[Double]("ppl") - 2.5) < 1e-3)
+    // doc 2: (ln 2.5 + ln 5)/2 — micro-nat sum (916291 + 1609438)/2e6
+    assert(got(2L).getAs[Long]("n_tokens") == 2L)
+    assert(math.abs(got(2L).getAs[Double]("cross_entropy") - 1.2628645) < 1e-6)
+  }
+
+  test("packBatches: shard-local prefix packing matches a local recomputation") {
+    val s = spark
+    import s.implicits._
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = (1L to 12L).map(i => i -> Seq.fill(i.toInt * 3)(s"w$i").mkString(" "))
+    val got = TextOps.packBatches(texts.toDF("doc_id", "text"),
+      budgetTokens = 20, nShards = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[Long]("batch_in_shard"))).toMap
+    // recompute expected locally: shard by hash slice, order by (md5, id), pack
+    val expected = texts
+      .map { case (id, t) =>
+        val bucket = java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16) % 2
+        (id, bucket, t.split(" ").length.toLong, md5hex(t))
+      }
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._4, r._1)).foldLeft((0L, List.empty[(Long, Long, Long)])) {
+          case ((prefix, acc), (id, shard, n, _)) =>
+            (prefix + n, (id, shard, prefix / 20) :: acc)
+        }._2
+      }.map { case (id, shard, batch) => id -> ((shard, batch)) }.toMap
+    assert(got == expected)
+  }
+
+  test("labelVote: modal label wins, ties break to the smaller label, hit flag") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val corpus = Seq(
+      (1L, vec(1, 0), 0), (2L, vec(0.9, 0.1), 0), (3L, vec(0.8, 0.05), 0),
+      (4L, vec(0, 1), 1), (5L, vec(0.1, 0.9), 1),
+      (10L, vec(1, 0.01), 0) // the query itself, labeled 0
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 10L)
+    // k=3 → neighbors 1,2,3 all label 0 → unanimous, hit
+    val top = Similarity.labelVote(corpus, q, 3).collect().head
+    assert(top.getAs[Int]("pred_label") == 0 && top.getAs[Long]("votes") == 3L)
+    assert(top.getAs[Boolean]("hit"))
+    // k=4 → labels {0,0,0,1}: still 0; k=2 over a crafted tie → smaller label
+    val tieCorpus = Seq(
+      (1L, vec(1, 0), 7), (2L, vec(1, 0), 3), // equidistant, different labels
+      (10L, vec(1, 0), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val tie = Similarity.labelVote(tieCorpus, tieCorpus.filter(col("vec_id") === 10L), 2)
+      .collect().head
+    assert(tie.getAs[Int]("pred_label") == 3) // 1 vote each → smaller label wins
+    assert(tie.getAs[Boolean]("hit"))
+  }
 }

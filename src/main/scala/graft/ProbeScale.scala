@@ -120,6 +120,29 @@ object ProbeScale {
       // token-keyed df join + doc_id-keyed top-k window, both n×-keyed
       TextOps.tfidfTerms(scaledDocs(spark, dir, n))
     }
+    time("doc_perplexity") {
+      // token-keyed vocab join + doc-keyed sum, both n×-keyed; the 1-row
+      // total broadcasts — no driver state
+      TextOps.unigramSurprisal(scaledDocs(spark, dir, n))
+    }
+    time("corpus_mix") {
+      // strata count fixed while token mass grows n× — rates adapt, the
+      // corpus-side work is one scan + broadcast join
+      TextOps.mixCorpus(scaledDocs(spark, dir, n),
+        Map("src0" -> 0.2, "src1" -> 0.2, "src2" -> 0.6), budgetFrac = 0.2)
+    }
+    time("token_batching") {
+      // per-shard windows: rows per shard grow n× at fixed nShards — the
+      // executor-local sort is the measured cost; real deployments scale
+      // nShards with the corpus
+      TextOps.packBatches(scaledDocs(spark, dir, n))
+    }
+    time("knn_label_vote") {
+      // fixed query set, corpus n× — one scan per probe, vote stays
+      // query-sized
+      Similarity.labelVote(scaledEmbs(spark, dir, n),
+        scaledEmbs(spark, dir, 1).filter(col("vec_id") < 20), 15)
+    }
     time("label_centroids") {
       // fixed label count: the (label, pos) component aggregate keys stay
       // constant while rows grow n× — pure map-side-combine growth

@@ -73,6 +73,18 @@ class PipelineOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(centPlan.contains("BroadcastHashJoin") && !centPlan.contains("CartesianProduct"),
       s"labelCentroids must broadcast the |labels|-row centroid frame:\n$centPlan")
+    // mixCorpus: the |strata|-row rate table broadcasts onto the corpus
+    // scan — the keep decision must not shuffle the corpus
+    val mixDocs = Seq((1L, "a b c", "s1"), (2L, "d e", "s2")).toDF("doc_id", "text", "source")
+    val mixPlan = TextOps.mixCorpus(mixDocs, Map("s1" -> 1.0), budgetFrac = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin") && !mixPlan.contains("SortMergeJoin"),
+      s"mixCorpus rate table must broadcast:\n$mixPlan")
+    // packBatches: ONE shard-keyed exchange feeds the per-shard window
+    val packPlan = TextOps.packBatches(mixDocs).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(packPlan).size == 1 &&
+      "Exchange".r.findAllIn(packPlan).size == 1,
+      s"packBatches must shuffle once, on shard:\n$packPlan")
   }
 
   test("piiScrub redacts in order and counts per category without double counting") {

@@ -1762,9 +1762,64 @@ object SparkEntry {
              |p AS (SELECT query_id, label, votes,
              |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
              |      FROM v)
-             |SELECT p.query_id, p.label AS pred_label, p.votes, q.label AS true_label,
+             |SELECT p.query_id, p.votes, p.label AS pred_label, q.label AS true_label,
              |       p.label = q.label AS hit
-             |FROM p JOIN q ON q.vec_id = p.query_id WHERE p.vr = 1""".stripMargin))
+             |FROM p JOIN q ON q.vec_id = p.query_id WHERE p.vr = 1""".stripMargin)),
+
+    // ---- LLM: product-quantization index build — per-subspace per-label
+    // mean codebooks, corpus compressed to m codes per vector -----------
+    ("pq_encode", (s: SparkSession, d: String) => Similarity.pqEncode(embs(s, d)),
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cm AS (SELECT label, pos,
+             |         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cmj AS (SELECT label, pos, m, CAST((pos - 1) // 8 AS INTEGER) + 1 AS j FROM cm),
+             |cb AS (SELECT label, j, list(m ORDER BY pos) AS c FROM cmj GROUP BY label, j),
+             |dist AS (SELECT d.vec_id, cb.j, cb.label,
+             |           list_dot_product(cb.c, cb.c)
+             |             - 2 * list_dot_product(list_slice(d.e, (cb.j - 1) * 8 + 1, cb.j * 8), cb.c) AS dk
+             |         FROM dv d CROSS JOIN cb),
+             |enc AS (SELECT vec_id, j, label AS code,
+             |          row_number() OVER (PARTITION BY vec_id, j ORDER BY dk, label) AS rn
+             |        FROM dist)
+             |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
+             |FROM enc WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
+
+    // ---- LLM: PQ asymmetric-distance top-k — query keeps its vector,
+    // corpus is codes only; micro-unit integer scoring ------------------
+    ("knn_pq_adc", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 10)
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cm AS (SELECT label, pos,
+             |         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cmj AS (SELECT label, pos, m, CAST((pos - 1) // 8 AS INTEGER) + 1 AS j FROM cm),
+             |cb AS (SELECT label, j, list(m ORDER BY pos) AS c FROM cmj GROUP BY label, j),
+             |dist AS (SELECT d.vec_id, cb.j, cb.label,
+             |           list_dot_product(cb.c, cb.c)
+             |             - 2 * list_dot_product(list_slice(d.e, (cb.j - 1) * 8 + 1, cb.j * 8), cb.c) AS dk
+             |         FROM dv d CROSS JOIN cb),
+             |enc AS (SELECT vec_id, j, label AS code FROM (
+             |          SELECT vec_id, j, label, row_number() OVER
+             |            (PARTITION BY vec_id, j ORDER BY dk, label) AS rn FROM dist)
+             |        WHERE rn = 1),
+             |q AS (SELECT vec_id, e FROM dv WHERE vec_id < 10),
+             |part AS (SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+             |           CAST(round(list_dot_product(list_slice(q.e, (en.j - 1) * 8 + 1, en.j * 8), cb.c)
+             |                      * 1000000.0) AS BIGINT) AS micro
+             |         FROM q CROSS JOIN enc en JOIN cb ON cb.j = en.j AND cb.label = en.code
+             |         WHERE en.vec_id <> q.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, CAST(sum(micro) AS BIGINT) AS score_micro
+             |       FROM part GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk FROM sc)
+             |SELECT query_id, neighbor_id,
+             |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+             |FROM r WHERE rnk <= 10""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

@@ -482,4 +482,108 @@ object Similarity {
       .select(col("query_id"), col("label").as("pred_label"), col("votes"),
         col("true_label"), (col("label") === col("true_label")).as("hit"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011) — compressed ANN codes +
+  // asymmetric-distance (ADC) search: the memory-scale path where even
+  // IVF's full vectors are too big (100 TB of embeddings → m bytes/vec)
+  // ------------------------------------------------------------------
+
+  /** PQ subspace count: [[Dim]]/PqM-dimensional subvectors, one code each. */
+  val PqM = 8
+  private val SubDim = Dim / PqM
+
+  /** PQ codebooks: per subspace, the per-label mean subvector (components
+    * decimal-summed then rounded to 6 — bit-identical across engines,
+    * like [[centroids]]). Label-seeded like the IVF cells; swap in
+    * [[kmeansCentroids]] per subspace for unlabeled corpora — the m ×
+    * codes × [[SubDim]] model stays driver-resident either way (640
+    * doubles here, KMeansModel-sized). */
+  private[operators] def pqCodebooks(corpus: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+    val rounded = centroids(corpus)
+      .select(col("cell"), transform(col("centroid"), x => round(x, 6)).as("centroid"))
+      .collect()
+      .map(r => r.getAs[Number]("cell").intValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    (0 until PqM).map { j =>
+      rounded.map { case (lbl, full) => lbl -> full.slice(j * SubDim, (j + 1) * SubDim) }
+    }
+  }
+
+  /** Left-to-right dot of a vector-column subspace slice against a literal
+    * centroid — the oracle's `list_dot_product` accumulation order, so
+    * the doubles agree bit-for-bit. */
+  private def subDot(vec: org.apache.spark.sql.Column, j: Int,
+                     c: Array[Double]): org.apache.spark.sql.Column =
+    (0 until SubDim).map(i => element_at(vec, j * SubDim + i + 1).cast("double") * lit(c(i)))
+      .reduce(_ + _)
+
+  /** PQ assignment for one subspace: argmin of the rank-equivalent L2 key
+    * |c|² − 2⟨x_j,c⟩ (|x_j|² is constant per row) as a literal
+    * projection; first-min `array_position` ties to the smallest code —
+    * the [[nearestCell]] pattern, per subspace. */
+  private def pqAssign(cb: Seq[(Int, Array[Double])], vec: org.apache.spark.sql.Column,
+                       j: Int): org.apache.spark.sql.Column = {
+    val keys = array(cb.map { case (_, c) =>
+      val c2 = c.foldLeft(0.0)((a, x) => a + x * x) // list_dot_product(c,c) order
+      lit(c2) - lit(2.0) * subDot(vec, j, c)
+    }: _*)
+    element_at(typedLit(cb.map(_._1)), array_position(keys, array_min(keys)).cast("int"))
+  }
+
+  /** Encoded corpus: vec_id + one code column per subspace — ONE
+    * codegen'd projection over one scan, no join, no shuffle. */
+  private[operators] def pqEncodeCols(corpus: DataFrame,
+                                      cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame =
+    corpus.select(col("vec_id") +:
+      (0 until PqM).map(j => pqAssign(cbs(j), dvec("embedding"), j).as(s"code_$j")): _*)
+
+  /**
+   * PQ index build: the corpus compressed to m codes per vector (emitted
+   * comma-joined for a type-stable audit row). At 100 TB this projection
+   * IS the index — persist it like [[writeIvfIndex]] and the search tier
+   * never reads raw vectors again: 8 codes ≈ 8 bytes against 256 bytes
+   * of float32, a 32× memory cut.
+   */
+  def pqEncode(corpus: DataFrame): DataFrame = {
+    val cbs = pqCodebooks(corpus)
+    pqEncodeCols(corpus, cbs)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until PqM).map(j => col(s"code_$j")): _*).as("codes"))
+  }
+
+  /**
+   * ADC (asymmetric distance) top-k: the query keeps its full vector,
+   * each corpus vector is its PQ code; score ≈ ⟨q,x⟩ reconstructed as
+   * Σ_j ⟨q_j, C_j[code_j]⟩. The per-subspace lookup folds the codebook
+   * into a literal `when`-chain — the classic ADC table, expressed as a
+   * codegen'd projection; per-subspace contributions are rounded to
+   * integer micro-units and summed as longs, so ranking and score are
+   * float-order-independent (same discipline as unigramSurprisal).
+   *
+   * Scale shape: queries broadcast; the corpus side reads CODES only
+   * (the m-byte index, not raw vectors) in one scan — no shuffle before
+   * the per-query top-k window. Exact re-ranking of ADC survivors against
+   * raw vectors composes via [[bruteForceTopK]] on the id set.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cbs = pqCodebooks(corpus)
+    val enc = pqEncodeCols(corpus, cbs).withColumnRenamed("vec_id", "neighbor_id")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")))
+    val scoreMicro = (0 until PqM).map { j =>
+      cbs(j).foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (lbl, c)) =>
+        when(col(s"code_$j") === lbl,
+          round(subDot(col("qv"), j, c) * lit(1000000.0), 0).cast("long")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    enc.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_micro", scoreMicro)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score_micro").cast("double") / lit(1000000.0), 6).as("adc_score"))
+  }
 }

@@ -606,6 +606,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("PQ: codes recover the generating label; ADC reconstructs the dot") {
+    val s = spark
+    import s.implicits._
+    // two point-mass labels: every label-0 vector is u=+1⁶⁴, label-1 is
+    // v=−1⁶⁴ → codebooks are exactly u/v per subspace, so encoding must
+    // emit the generating label in all 8 subspaces
+    val u = Array.fill(64)(1.0f)
+    val v = Array.fill(64)(-1.0f)
+    val corpus = ((1L to 4L).map((_, u, 0)) ++ (5L to 8L).map((_, v, 1)))
+      .toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqEncode(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(codes(1L) == "0,0,0,0,0,0,0,0" && codes(5L) == "1,1,1,1,1,1,1,1")
+    // ADC score of a label-0 query against a label-0 neighbor = ⟨u,u⟩ = 64;
+    // against label-1 = ⟨u,v⟩ = −64 — ranked below
+    val got = Similarity.pqTopK(corpus, corpus.filter(col("vec_id") === 1L), 5)
+      .orderBy(col("adc_score").desc, col("neighbor_id")).collect()
+    assert(got.length == 5)
+    assert(got.take(3).forall(r => r.getAs[Double]("adc_score") == 64.0))
+    assert(got.drop(3).forall(r => r.getAs[Double]("adc_score") == -64.0))
+    assert(got.take(3).map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L)) // self excluded
+  }
+
   test("labelVote: modal label wins, ties break to the smaller label, hit flag") {
     val s = spark
     import s.implicits._

@@ -1819,7 +1819,104 @@ object SparkEntry {
              |        (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk FROM sc)
              |SELECT query_id, neighbor_id,
              |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
-             |FROM r WHERE rnk <= 10""".stripMargin))
+             |FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: ANN recall audit — IVF(nprobe=2) vs the exact top-10.
+    // Absolute recall over this synthetic corpus is LOW by construction
+    // (uniform random vectors carry no cluster structure for label cells
+    // or PQ codebooks to exploit); the operator's job is to measure that
+    // honestly — the tuning dial it audits is nprobe/codebook size ------
+    ("ann_recall_ivf", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfTopK(e, q, 10, nprobe = 2))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10),
+             |el AS (SELECT vec_id, label, g.j, e[CAST(g.j AS INTEGER)] AS v
+             |       FROM dv, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g),
+             |cm AS (SELECT label AS cell, j,
+             |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS cv
+             |       FROM el GROUP BY label, j),
+             |cent AS (SELECT cell, list(cv ORDER BY j) AS ce FROM cm GROUP BY cell),
+             |cn AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM cent),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, cn.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, cn.ce) / (q.nrm * cn.cnrm) DESC, cn.cell ASC) AS pr
+             |       FROM q CROSS JOIN cn),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |apsc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |         FROM probes p JOIN n c ON c.label = p.cell
+             |         WHERE c.vec_id <> p.query_id),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM apsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
+
+    // ---- LLM: ANN recall audit — PQ/ADC vs the exact top-10 -----------
+    ("ann_recall_pq", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.pqTopK(e, q, 10))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cmm AS (SELECT label, pos,
+             |         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cmj AS (SELECT label, pos, m, CAST((pos - 1) // 8 AS INTEGER) + 1 AS j FROM cmm),
+             |cb AS (SELECT label, j, list(m ORDER BY pos) AS c FROM cmj GROUP BY label, j),
+             |dist AS (SELECT d.vec_id, cb.j, cb.label,
+             |           list_dot_product(cb.c, cb.c)
+             |             - 2 * list_dot_product(list_slice(d.e, (cb.j - 1) * 8 + 1, cb.j * 8), cb.c) AS dk
+             |         FROM dv d CROSS JOIN cb),
+             |enc AS (SELECT vec_id, j, label AS code FROM (
+             |          SELECT vec_id, j, label, row_number() OVER
+             |            (PARTITION BY vec_id, j ORDER BY dk, label) AS rn FROM dist)
+             |        WHERE rn = 1),
+             |part AS (SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+             |           CAST(round(list_dot_product(list_slice(q.e, (en.j - 1) * 8 + 1, en.j * 8), cb.c)
+             |                      * 1000000.0) AS BIGINT) AS micro
+             |         FROM q CROSS JOIN enc en JOIN cb ON cb.j = en.j AND cb.label = en.code
+             |         WHERE en.vec_id <> q.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, CAST(sum(micro) AS BIGINT) AS score_micro
+             |       FROM part GROUP BY 1, 2),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk FROM sc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

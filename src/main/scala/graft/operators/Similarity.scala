@@ -586,4 +586,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("score_micro").cast("double") / lit(1000000.0), 6).as("adc_score"))
   }
+
+  /**
+   * Recall@k audit — the fraction of the EXACT top-k each approximate
+   * method recovers, per query: the quality dial every ANN deployment
+   * tunes (nprobe, plane count, PQ subspaces) against. Both inputs are
+   * (query_id, neighbor_id[, …]) frames; the denominator is the exact
+   * side's row count, so short approximate answers (sparse LSH buckets)
+   * read as the recall loss they are.
+   *
+   * Scale shape: both sides are top-k outputs — k·|queries| rows — so the
+   * join, aggregate, and division are query-sized regardless of corpus
+   * size; the cost lives in the searches it audits.
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        count(lit(1)).as("kk"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("kk"), 4).as("recall"))
 }

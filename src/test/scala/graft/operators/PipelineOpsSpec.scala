@@ -629,6 +629,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.take(3).map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L)) // self excluded
   }
 
+  test("recallAtK: per-query overlap against the exact denominator") {
+    val s = spark
+    import s.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    // q1: approx recovers 2 of 4 (plus a non-exact candidate that must
+    // not count); q2: approx found nothing → recall 0 for that query
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(got(1L) == ((2L, 0.5)))
+    assert(got(2L) == ((0L, 0.0)))
+  }
+
   test("labelVote: modal label wins, ties break to the smaller label, hit flag") {
     val s = spark
     import s.implicits._

@@ -1821,6 +1821,29 @@ object SparkEntry {
              |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
              |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: streaming corpus ingest with online exact dedup — the
+    // Dedup.exactGroups twin for a continuous document feed. Survivor
+    // doc_ids are arrival-order-dependent, so the check reads the
+    // CONTENT-level summary (deterministic: dup texts are identical) ----
+    ("streaming_dedup_ingest", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamdocs_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val q = graft.streaming.StreamingCorpus.dedupIngest(
+        ea.documentsStream(s, d), s"$base/tier", s"$base/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$base/tier").agg(
+        count(lit(1)).as("n_unique"),
+        sum(size(split(lower(col("text")), " "))).cast("long").as("n_tokens"),
+        min(col("content_md5")).as("min_md5"),
+        max(col("content_md5")).as("max_md5"))
+    },
+      Some("""WITH u AS (SELECT md5(text) AS h,
+             |         min(len(string_split(lower(text), ' '))) AS toks
+             |       FROM documents GROUP BY md5(text))
+             |SELECT CAST(count(*) AS BIGINT) AS n_unique,
+             |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |       min(h) AS min_md5, max(h) AS max_md5 FROM u""".stripMargin)),
+
     // ---- LLM: ANN recall audit — IVF(nprobe=2) vs the exact top-10.
     // Absolute recall over this synthetic corpus is LOW by construction
     // (uniform random vectors carry no cluster structure for label cells

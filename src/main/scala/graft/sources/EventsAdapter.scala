@@ -95,6 +95,15 @@ object EventsAdapter {
   def availabilityPointsStream(spark: SparkSession, sfDir: String): DataFrame =
     availFrom(streamBase(spark, sfDir))
 
+  /** STREAMING read of the documents fixture (file-source stream, same
+    * pattern as [[gaugePointsStream]]) — feeds the streaming corpus
+    * ingest ([[graft.streaming.StreamingCorpus]]). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+  }
+
   /**
    * Canonical counter datapoints: a monotonic running sum of floor(value)
    * per metric, wrapped mod 5000 so counter resets occur (exercises the

@@ -35,6 +35,31 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(back.select("time_slice").distinct().count() == 2)
   }
 
+  case class Doc(doc_id: Long, text: String)
+
+  test("streaming corpus dedup: duplicate content dropped across batches, state survives restart") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tier = Files.createTempDirectory("graft-docs-tier").toString + "/tier"
+    val ckpt = Files.createTempDirectory("graft-docs-ckpt").toString
+    val mem = MemoryStream[Doc]
+    val q = StreamingCorpus.dedupIngest(mem.toDF(), tier, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(Doc(1L, "alpha beta"), Doc(2L, "alpha beta"), Doc(3L, "gamma"))
+    q.processAllAvailable()
+    // second batch: a cross-batch duplicate of doc 1 plus a new text —
+    // the admitted-hash STATE must drop the former
+    mem.addData(Doc(4L, "alpha beta"), Doc(5L, "delta"))
+    q.processAllAvailable()
+    q.stop()
+    val back = s.read.parquet(tier)
+    assert(back.count() == 3)
+    assert(back.select("content_md5").distinct().count() == 3)
+    assert(back.select("text").as[String].collect().toSet ==
+      Set("alpha beta", "gamma", "delta"))
+  }
+
   test("streaming ingest restart: the checkpoint skips processed files and " +
     "recovers dedup state, so nothing lands twice") {
     val s = spark

@@ -1844,6 +1844,56 @@ object SparkEntry {
              |       CAST(sum(toks) AS BIGINT) AS n_tokens,
              |       min(h) AS min_md5, max(h) AS max_md5 FROM u""".stripMargin)),
 
+    // ---- LLM: IVF-PQ (IVFADC) — cell probing bounds WHICH vectors are
+    // scored, PQ codes bound WHAT is read per vector; the composed
+    // 100 TB search tier ------------------------------------------------
+    ("knn_ivfpq", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |el AS (SELECT vec_id, label, g.j, e[CAST(g.j AS INTEGER)] AS v
+             |       FROM dv, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g),
+             |cm AS (SELECT label AS cell, j,
+             |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS cv
+             |       FROM el GROUP BY label, j),
+             |cent AS (SELECT cell, list(cv ORDER BY j) AS ce FROM cm GROUP BY cell),
+             |cn AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM cent),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, cn.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, cn.ce) / (q.nrm * cn.cnrm) DESC, cn.cell ASC) AS pr
+             |       FROM q CROSS JOIN cn),
+             |probes AS (SELECT query_id, qe, cell FROM pr WHERE pr <= 2),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cmm AS (SELECT label, pos,
+             |         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cmj AS (SELECT label, pos, m, CAST((pos - 1) // 8 AS INTEGER) + 1 AS j FROM cmm),
+             |cb AS (SELECT label, j, list(m ORDER BY pos) AS c FROM cmj GROUP BY label, j),
+             |dist AS (SELECT d.vec_id, d.label AS cell, cb.j, cb.label,
+             |           list_dot_product(cb.c, cb.c)
+             |             - 2 * list_dot_product(list_slice(d.e, (cb.j - 1) * 8 + 1, cb.j * 8), cb.c) AS dk
+             |         FROM dv d CROSS JOIN cb),
+             |enc AS (SELECT vec_id, cell, j, label AS code FROM (
+             |          SELECT vec_id, cell, j, label, row_number() OVER
+             |            (PARTITION BY vec_id, j ORDER BY dk, label) AS rn FROM dist)
+             |        WHERE rn = 1),
+             |part AS (SELECT p.query_id, en.vec_id AS neighbor_id,
+             |           CAST(round(list_dot_product(list_slice(p.qe, (en.j - 1) * 8 + 1, en.j * 8), cb.c)
+             |                      * 1000000.0) AS BIGINT) AS micro
+             |         FROM probes p JOIN enc en ON en.cell = p.cell
+             |         JOIN cb ON cb.j = en.j AND cb.label = en.code
+             |         WHERE en.vec_id <> p.query_id),
+             |sc AS (SELECT query_id, neighbor_id, CAST(sum(micro) AS BIGINT) AS score_micro
+             |       FROM part GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk FROM sc)
+             |SELECT query_id, neighbor_id,
+             |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+             |FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- LLM: ANN recall audit — IVF(nprobe=2) vs the exact top-10.
     // Absolute recall over this synthetic corpus is LOW by construction
     // (uniform random vectors carry no cluster structure for label cells

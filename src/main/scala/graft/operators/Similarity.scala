@@ -588,6 +588,49 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the two scale levers
+   * composed — IVF cell probing bounds WHICH vectors are scored
+   * (nprobe/k of the corpus), PQ codes bound WHAT is read per vector
+   * (m bytes, no raw embeddings in the search tier). Probes rank cells
+   * by query–centroid cosine exactly like [[ivfTopK]]; scoring is the
+   * [[pqTopK]] micro-unit ADC chain, restricted to probed cells by an
+   * equi-join on cell id — no corpus cross join anywhere.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+                cellCol: String = "label"): DataFrame = {
+    val cbs = pqCodebooks(corpus)
+    val enc = pqEncodeCols(corpus, cbs)
+      .join(corpus.select(col("vec_id"), col(cellCol).as("cell")), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val cents = withNorm(centroids(corpus, cellCol), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
+      .withColumnRenamed("nrm", "qv_nrm")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents)) // |queries| × |cells| — both tiny
+      .withColumn("cdist", cosine("qv", "centroid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scoreMicro = (0 until PqM).map { j =>
+      cbs(j).foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (lbl, c)) =>
+        when(col(s"code_$j") === lbl,
+          round(subDot(col("qv"), j, c) * lit(1000000.0), 0).cast("long")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    enc.join(broadcast(probes), Seq("cell")) // equi-join on cell — probed codes only
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_micro", scoreMicro)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score_micro").cast("double") / lit(1000000.0), 6).as("adc_score"))
+  }
+
+  /**
    * Recall@k audit — the fraction of the EXACT top-k each approximate
    * method recovers, per query: the quality dial every ANN deployment
    * tunes (nprobe, plane count, PQ subspaces) against. Both inputs are

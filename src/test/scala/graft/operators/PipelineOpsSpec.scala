@@ -629,6 +629,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.take(3).map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L)) // self excluded
   }
 
+  test("IVF-PQ: probing bounds the scored set to the query's cells") {
+    val s = spark
+    import s.implicits._
+    val u = Array.fill(64)(1.0f)
+    val v = Array.fill(64)(-1.0f)
+    val corpus = ((1L to 4L).map((_, u, 0)) ++ (5L to 8L).map((_, v, 1)))
+      .toDF("vec_id", "embedding", "label")
+    // nprobe=1 from a label-0 query → ONLY the label-0 cell is scored:
+    // k=10 asks for more than the cell holds, yet label-1 never appears
+    val got = Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") === 1L), 10, nprobe = 1)
+      .collect()
+    assert(got.map(_.getLong(1)).toSet == Set(2L, 3L, 4L))
+    assert(got.forall(_.getAs[Double]("adc_score") == 64.0))
+  }
+
   test("recallAtK: per-query overlap against the exact denominator") {
     val s = spark
     import s.implicits._

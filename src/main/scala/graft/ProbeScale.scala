@@ -137,6 +137,17 @@ object ProbeScale {
       // nShards with the corpus
       TextOps.packBatches(scaledDocs(spark, dir, n))
     }
+    time("knn_pq_adc") {
+      // fixed 80-entry codebook, corpus n× — encode is one projection,
+      // ADC reads codes only
+      Similarity.pqTopK(scaledEmbs(spark, dir, n),
+        scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10)
+    }
+    time("knn_ivfpq") {
+      // probing caps the scored rows at nprobe/cells of the corpus
+      Similarity.ivfPqTopK(scaledEmbs(spark, dir, n),
+        scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10, nprobe = 2)
+    }
     time("knn_label_vote") {
       // fixed query set, corpus n× — one scan per probe, vote stays
       // query-sized

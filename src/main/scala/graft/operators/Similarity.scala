@@ -521,9 +521,13 @@ object Similarity {
   /** PQ assignment for one subspace: argmin of the rank-equivalent L2 key
     * |c|² − 2⟨x_j,c⟩ (|x_j|² is constant per row) as a literal
     * projection; first-min `array_position` ties to the smallest code —
-    * the [[nearestCell]] pattern, per subspace. */
-  private def pqAssign(cb: Seq[(Int, Array[Double])], vec: org.apache.spark.sql.Column,
-                       j: Int): org.apache.spark.sql.Column = {
+    * the [[nearestCell]] pattern, per subspace. PARITY REFERENCE ONLY:
+    * the full m-subspace literal encode (m × codes × [[SubDim]] product
+    * terms) grows the generated method past janino's 64 KB limit, so
+    * whole-stage codegen FAILS TO COMPILE and the stage runs interpreted
+    * — the production path is [[pqEncodeUdf]], spec-pinned equal. */
+  private[operators] def pqAssign(cb: Seq[(Int, Array[Double])], vec: org.apache.spark.sql.Column,
+                                  j: Int): org.apache.spark.sql.Column = {
     val keys = array(cb.map { case (_, c) =>
       val c2 = c.foldLeft(0.0)((a, x) => a + x * x) // list_dot_product(c,c) order
       lit(c2) - lit(2.0) * subDot(vec, j, c)
@@ -531,12 +535,83 @@ object Similarity {
     element_at(typedLit(cb.map(_._1)), array_position(keys, array_min(keys)).cast("int"))
   }
 
-  /** Encoded corpus: vec_id + one code column per subspace — ONE
-    * codegen'd projection over one scan, no join, no shuffle. */
-  private[operators] def pqEncodeCols(corpus: DataFrame,
-                                      cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame =
-    corpus.select(col("vec_id") +:
-      (0 until PqM).map(j => pqAssign(cbs(j), dvec("embedding"), j).as(s"code_$j")): _*)
+  /** Closure-UDF encode — all m codes in one JIT-compiled call (the
+    * [[nearestCellUdf]] pattern, forced here because the literal encode
+    * breaks the 64 KB codegen limit): same strict left-to-right dots,
+    * same first-min tie-break as [[pqAssign]], spec-pinned equal. The
+    * codebook matrix serializes with the task like a broadcast var. */
+  private def pqEncodeUdf(cbs: Seq[Seq[(Int, Array[Double])]]) = {
+    val ids = cbs.map(_.map(_._1).toArray).toArray
+    val mats = cbs.map(_.map(_._2).toArray).toArray
+    val c2s = mats.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    val m = mats.length
+    udf { (v: Seq[Float]) =>
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val band = mats(j)
+        var best = 0
+        var bestKey = Double.PositiveInfinity
+        var l = 0
+        while (l < band.length) {
+          val c = band(l)
+          var dot = 0.0
+          var i = 0
+          while (i < c.length) { dot += v(j * c.length + i).toDouble * c(i); i += 1 }
+          val key = c2s(j)(l) - 2.0 * dot
+          if (key < bestKey) { best = l; bestKey = key } // strict < keeps the first min
+          l += 1
+        }
+        out(j) = ids(j)(best)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Closure-UDF ADC score in integer micro-units: Σ_j micro(⟨q_j,
+    * C_j[code_j]⟩), replicating Spark's `round` (BigDecimal.valueOf +
+    * HALF_UP — the Round expression's own double path) so the UDF, the
+    * literal plan, and the DuckDB oracle agree bit-for-bit. */
+  private[operators] def adcMicroUdf(cbs: Seq[Seq[(Int, Array[Double])]]) = {
+    val mats = cbs.map(_.map(_._2).toArray).toArray
+    val idx = cbs.map(b => b.map(_._1).zipWithIndex.toMap).toArray
+    val m = mats.length
+    udf { (codes: Seq[Int], q: Seq[Float]) =>
+      var total = 0L
+      var j = 0
+      while (j < m) {
+        val c = mats(j)(idx(j)(codes(j)))
+        var dot = 0.0
+        var i = 0
+        while (i < c.length) { dot += q(j * c.length + i).toDouble * c(i); i += 1 }
+        total += java.math.BigDecimal.valueOf(dot * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        j += 1
+      }
+      total
+    }
+  }
+
+  /** Literal-projection ADC micro-score over a `codes` array column —
+    * parity reference for [[adcMicroUdf]] (same codegen-size problem as
+    * the literal encode; never the production path). */
+  private[operators] def pqLiteralMicro(cbs: Seq[Seq[(Int, Array[Double])]],
+                                        codes: org.apache.spark.sql.Column,
+                                        qv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until PqM).map { j =>
+      cbs(j).foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (lbl, c)) =>
+        when(element_at(codes, j + 1) === lbl,
+          round(subDot(qv, j, c) * lit(1000000.0), 0).cast("long")).otherwise(acc)
+      }
+    }.reduce(_ + _)
+
+  /** Encoded corpus: `keep` passthrough columns + the `codes` array —
+    * ONE scan, no join, no shuffle; the UDF is the single black-box call
+    * (everything around it stays in whole-stage codegen). */
+  private[operators] def pqEncoded(corpus: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]],
+                                   keep: Seq[org.apache.spark.sql.Column]): DataFrame =
+    corpus.select(keep :+ pqEncodeUdf(cbs)(dvec("embedding")).as("codes"): _*)
 
   /**
    * PQ index build: the corpus compressed to m codes per vector (emitted
@@ -547,18 +622,19 @@ object Similarity {
    */
   def pqEncode(corpus: DataFrame): DataFrame = {
     val cbs = pqCodebooks(corpus)
-    pqEncodeCols(corpus, cbs)
+    pqEncoded(corpus, cbs, Seq(col("vec_id")))
       .select(col("vec_id"),
-        concat_ws(",", (0 until PqM).map(j => col(s"code_$j")): _*).as("codes"))
+        array_join(transform(col("codes"), _.cast("string")), ",").as("codes"))
   }
 
   /**
    * ADC (asymmetric distance) top-k: the query keeps its full vector,
    * each corpus vector is its PQ code; score ≈ ⟨q,x⟩ reconstructed as
-   * Σ_j ⟨q_j, C_j[code_j]⟩. The per-subspace lookup folds the codebook
-   * into a literal `when`-chain — the classic ADC table, expressed as a
-   * codegen'd projection; per-subspace contributions are rounded to
-   * integer micro-units and summed as longs, so ranking and score are
+   * Σ_j ⟨q_j, C_j[code_j]⟩ — the classic ADC table walk, as ONE
+   * JIT-compiled closure call per pair ([[adcMicroUdf]]; the literal
+   * when-chain formulation breaks the 64 KB codegen limit and would run
+   * interpreted). Per-subspace contributions are rounded to integer
+   * micro-units and summed as longs, so ranking and score are
    * float-order-independent (same discipline as unigramSurprisal).
    *
    * Scale shape: queries broadcast; the corpus side reads CODES only
@@ -568,19 +644,13 @@ object Similarity {
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val cbs = pqCodebooks(corpus)
-    val enc = pqEncodeCols(corpus, cbs).withColumnRenamed("vec_id", "neighbor_id")
+    val enc = pqEncoded(corpus, cbs, Seq(col("vec_id").as("neighbor_id")))
     val q = broadcast(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")))
-    val scoreMicro = (0 until PqM).map { j =>
-      cbs(j).foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (lbl, c)) =>
-        when(col(s"code_$j") === lbl,
-          round(subDot(col("qv"), j, c) * lit(1000000.0), 0).cast("long")).otherwise(acc)
-      }
-    }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("neighbor_id").asc)
     enc.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score_micro", scoreMicro)
+      .withColumn("score_micro", adcMicroUdf(cbs)(col("codes"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -599,9 +669,10 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
                 cellCol: String = "label"): DataFrame = {
     val cbs = pqCodebooks(corpus)
-    val enc = pqEncodeCols(corpus, cbs)
-      .join(corpus.select(col("vec_id"), col(cellCol).as("cell")), Seq("vec_id"))
-      .withColumnRenamed("vec_id", "neighbor_id")
+    // cell rides in the SAME encode projection — a corpus self-join on
+    // vec_id here would be a pointless whole-corpus shuffle
+    val enc = pqEncoded(corpus, cbs,
+      Seq(col(cellCol).as("cell"), col("vec_id").as("neighbor_id")))
     val cents = withNorm(centroids(corpus, cellCol), "centroid")
       .withColumnRenamed("nrm", "centroid_nrm")
     val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
@@ -613,17 +684,11 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val scoreMicro = (0 until PqM).map { j =>
-      cbs(j).foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (lbl, c)) =>
-        when(col(s"code_$j") === lbl,
-          round(subDot(col("qv"), j, c) * lit(1000000.0), 0).cast("long")).otherwise(acc)
-      }
-    }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("neighbor_id").asc)
     enc.join(broadcast(probes), Seq("cell")) // equi-join on cell — probed codes only
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score_micro", scoreMicro)
+      .withColumn("score_micro", adcMicroUdf(cbs)(col("codes"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),

@@ -629,6 +629,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.take(3).map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L)) // self excluded
   }
 
+  test("PQ UDF encode/score match the literal-projection formulation") {
+    val s = spark
+    import s.implicits._
+    // deterministic mixed-sign fixture: enough variety that subspace
+    // argmins differ across vectors and labels
+    val corpus = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(p => (((i * 7 + p * 3) % 11) - 5).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cbs = Similarity.pqCodebooks(corpus)
+    val literalCodes = corpus.select(col("vec_id"),
+      array((0 until Similarity.PqM).map(j =>
+        Similarity.pqAssign(cbs(j), col("embedding"), j)): _*).as("codes"))
+    val udfCodes = Similarity.pqEncoded(corpus, cbs, Seq(col("vec_id")))
+    assert(literalCodes.except(udfCodes).isEmpty && udfCodes.except(literalCodes).isEmpty,
+      "literal and UDF encodings diverge")
+    // ADC: literal micro-score vs the closure UDF over the same pairs
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = udfCodes.withColumnRenamed("vec_id", "neighbor_id").crossJoin(q)
+    val lit_ = pairs.select(col("query_id"), col("neighbor_id"),
+      Similarity.pqLiteralMicro(cbs, col("codes"), col("qv")).as("m"))
+    val udf_ = pairs.select(col("query_id"), col("neighbor_id"),
+      Similarity.adcMicroUdf(cbs)(col("codes"), col("qv")).as("m"))
+    assert(lit_.except(udf_).isEmpty && udf_.except(lit_).isEmpty,
+      "literal and UDF ADC scores diverge")
+  }
+
   test("IVF-PQ: probing bounds the scored set to the query's cells") {
     val s = spark
     import s.implicits._

@@ -227,20 +227,29 @@ object Similarity {
     ivfSearch(c, queries, cents, k, nprobe)
   }
 
+  /** Rank cells by query–centroid cosine, keep the top `nprobe` per
+    * query (tie-break cell asc) — the ONE probe-selection implementation,
+    * shared by [[ivfSearch]] and [[ivfPqTopK]]. `cents` = (cell,
+    * centroid, centroid_nrm); output carries (query_id, qv, qv_nrm,
+    * cell). */
+  private def probeCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
+      .withColumnRenamed("nrm", "qv_nrm")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell").asc)
+    q.crossJoin(broadcast(cents)) // |queries| × |cells| — both tiny
+      .withColumn("cdist", cosine("qv", "centroid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
+  }
+
   /** Probe-then-rank shared by the label-cell and k-means IVF paths:
     * `corpusWithCell` = (cell, neighbor_id, cv, cv_nrm), `cents` =
     * (cell, centroid, centroid_nrm). */
   private def ivfSearch(corpusWithCell: DataFrame, queries: DataFrame,
                         cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
-      .withColumnRenamed("nrm", "qv_nrm")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cents)) // |queries| × |cells| — both tiny
-      .withColumn("cdist", cosine("qv", "centroid"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
+    val probes = probeCells(queries, cents, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpusWithCell.join(broadcast(probes), Seq("cell")) // equi-join on cell — no corpus cross join
@@ -493,22 +502,41 @@ object Similarity {
   val PqM = 8
   private val SubDim = Dim / PqM
 
-  /** PQ codebooks: per subspace, the per-label mean subvector (components
+  /** One full-vector centroid collect (unrounded — the decimal-exact
+    * means) serving BOTH the PQ codebooks and any cents frame a composed
+    * path rebuilds; callers that need both must not pay the per-label
+    * aggregate twice. */
+  private def collectCentroids(corpus: DataFrame, cellCol: String): Seq[(Int, Array[Double])] =
+    centroids(corpus, cellCol).collect()
+      .map(r => r.getAs[Number]("cell").intValue -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+
+  /** Spark's `round(col, 6)` double semantics, driver-side: the Round
+    * expression goes BigDecimal.valueOf → setScale(HALF_UP) — replicated
+    * exactly so driver-rounded codebooks equal plan-rounded ones (and the
+    * DuckDB oracle's `round`). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** PQ codebooks from a collected centroid model: per subspace, the
+    * per-cell mean subvector, components rounded to 6. */
+  private[operators] def pqCodebooksFrom(
+      model: Seq[(Int, Array[Double])]): Seq[Seq[(Int, Array[Double])]] =
+    (0 until PqM).map { j =>
+      model.map { case (lbl, full) =>
+        lbl -> full.slice(j * SubDim, (j + 1) * SubDim).map(round6)
+      }
+    }
+
+  /** PQ codebooks: per subspace, the per-cell mean subvector (components
     * decimal-summed then rounded to 6 — bit-identical across engines,
-    * like [[centroids]]). Label-seeded like the IVF cells; swap in
+    * like [[centroids]]). Cell-seeded like the IVF cells; swap in
     * [[kmeansCentroids]] per subspace for unlabeled corpora — the m ×
     * codes × [[SubDim]] model stays driver-resident either way (640
     * doubles here, KMeansModel-sized). */
-  private[operators] def pqCodebooks(corpus: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
-    val rounded = centroids(corpus)
-      .select(col("cell"), transform(col("centroid"), x => round(x, 6)).as("centroid"))
-      .collect()
-      .map(r => r.getAs[Number]("cell").intValue -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).toSeq
-    (0 until PqM).map { j =>
-      rounded.map { case (lbl, full) => lbl -> full.slice(j * SubDim, (j + 1) * SubDim) }
-    }
-  }
+  private[operators] def pqCodebooks(corpus: DataFrame,
+                                     cellCol: String = "label"): Seq[Seq[(Int, Array[Double])]] =
+    pqCodebooksFrom(collectCentroids(corpus, cellCol))
 
   /** Left-to-right dot of a vector-column subspace slice against a literal
     * centroid — the oracle's `list_dot_product` accumulation order, so
@@ -668,22 +696,19 @@ object Similarity {
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
                 cellCol: String = "label"): DataFrame = {
-    val cbs = pqCodebooks(corpus)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ONE per-cell centroid aggregate serves both the PQ codebooks and
+    // the probe centroids (the model is driver-resident either way)
+    val model = collectCentroids(corpus, cellCol)
+    val cbs = pqCodebooksFrom(model)
     // cell rides in the SAME encode projection — a corpus self-join on
     // vec_id here would be a pointless whole-corpus shuffle
     val enc = pqEncoded(corpus, cbs,
       Seq(col(cellCol).as("cell"), col("vec_id").as("neighbor_id")))
-    val cents = withNorm(centroids(corpus, cellCol), "centroid")
+    val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
       .withColumnRenamed("nrm", "centroid_nrm")
-    val q = withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
-      .withColumnRenamed("nrm", "qv_nrm")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cents)) // |queries| × |cells| — both tiny
-      .withColumn("cdist", cosine("qv", "centroid"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val probes = probeCells(queries, cents, nprobe).drop("qv_nrm")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("neighbor_id").asc)
     enc.join(broadcast(probes), Seq("cell")) // equi-join on cell — probed codes only

@@ -434,7 +434,8 @@ object TextOps {
     val base = docs.select(col("doc_id"), col(byCol).as("stratum"), col("text"),
       size(words(col("text"))).cast("long").as("n_tokens"))
     val perStratum = base.groupBy(col("stratum")).agg(sum(col("n_tokens")).as("src_tokens"))
-    val total = base.agg(sum(col("n_tokens")).as("total_tokens"))
+    // total from the |strata|-row aggregate, NOT a third corpus scan
+    val total = perStratum.agg(sum(col("src_tokens")).as("total_tokens"))
     // sorted fold → deterministic when-chain regardless of map order
     val share = targetShares.toSeq.sortBy(_._1).foldLeft(lit(0.0): Column) {
       case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 
 /**
  * Structured-Streaming corpus ingest with ONLINE exact dedup — the
@@ -31,18 +31,24 @@ object StreamingCorpus {
 
   /** Document stream → dedup'd tier. `docs` must be a STREAMING frame
     * with at least (doc_id, text). The default trigger drains available
-    * input then stops (bounded backfill / test runs). */
+    * input then stops (bounded backfill / test runs).
+    *
+    * The sink is the built-in parquet FILE sink, not foreachBatch:
+    * foreachBatch + plain append is at-least-once (a micro-batch retried
+    * after a partial write would append its survivors AGAIN — silently
+    * breaking the very dedup guarantee this operator exists for), while
+    * the file sink's `_spark_metadata` commit log makes replays
+    * exactly-once for downstream Spark reads. */
   def dedupIngest(docs: DataFrame, path: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs
       .withColumn("content_md5", md5(col("text").cast("binary")))
       .dropDuplicates("content_md5")
       .writeStream
+      .format("parquet")
+      .option("path", path)
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode(SaveMode.Append).parquet(path)
-      }
       .start()
 }

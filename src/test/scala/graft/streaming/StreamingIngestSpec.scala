@@ -35,24 +35,29 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(back.select("time_slice").distinct().count() == 2)
   }
 
-  case class Doc(doc_id: Long, text: String)
-
-  test("streaming corpus dedup: duplicate content dropped across batches, state survives restart") {
+  test("streaming corpus dedup: in-batch dups collapse; a RESTART from the " +
+    "checkpoint recovers the admitted-hash state and drops replayed content") {
     val s = spark
     import s.implicits._
-    implicit val ctx = s.sqlContext
+    val src = Files.createTempDirectory("graft-docs-src").toString
     val tier = Files.createTempDirectory("graft-docs-tier").toString + "/tier"
     val ckpt = Files.createTempDirectory("graft-docs-ckpt").toString
-    val mem = MemoryStream[Doc]
-    val q = StreamingCorpus.dedupIngest(mem.toDF(), tier, ckpt,
-      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-    mem.addData(Doc(1L, "alpha beta"), Doc(2L, "alpha beta"), Doc(3L, "gamma"))
-    q.processAllAvailable()
-    // second batch: a cross-batch duplicate of doc 1 plus a new text —
-    // the admitted-hash STATE must drop the former
-    mem.addData(Doc(4L, "alpha beta"), Doc(5L, "delta"))
-    q.processAllAvailable()
-    q.stop()
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    land(Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")))
+    val schema = s.read.parquet(src).schema
+    def drain(): Unit = {
+      val q = StreamingCorpus.dedupIngest(
+        s.readStream.schema(schema).parquet(src), tier, ckpt)
+      q.awaitTermination()
+    }
+    drain()
+    assert(s.read.parquet(tier).count() == 2) // in-batch dup collapsed
+    // second wave under a FRESH query from the same checkpoint: a
+    // duplicate of already-admitted content plus a new text — recovered
+    // state must drop the former, admit the latter
+    land(Seq((4L, "alpha beta"), (5L, "delta")))
+    drain()
     val back = s.read.parquet(tier)
     assert(back.count() == 3)
     assert(back.select("content_md5").distinct().count() == 3)

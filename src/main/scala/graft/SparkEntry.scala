@@ -1821,6 +1821,33 @@ object SparkEntry {
              |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
              |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: per-source corpus report card — doc/token mass, exact-dup
+    // rate, language share; the pre-training audit table ----------------
+    ("corpus_report", (s: SparkSession, d: String) => TextOps.corpusReport(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, source, text, string_split(lower(text), ' ') AS ws FROM documents),
+             |sc AS (SELECT doc_id,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['the','a','of','is'], x))) AS DOUBLE) / len(ws), 6) AS score_en,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['der','die','und','nicht'], x))) AS DOUBLE) / len(ws), 6) AS score_de,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['el','la','que','de'], x))) AS DOUBLE) / len(ws), 6) AS score_es,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['le','la','et','les'], x))) AS DOUBLE) / len(ws), 6) AS score_fr,
+             |  round(CAST(len(list_filter(ws, x -> list_contains(['de','le','shi','bu'], x))) AS DOUBLE) / len(ws), 6) AS score_zh
+             |  FROM w),
+             |p AS (SELECT doc_id, CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) > 0 THEN
+             |    CASE WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+             |         WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+             |         WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+             |         WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+             |         ELSE 'zh' END
+             |  ELSE 'und' END AS lang_pred FROM sc),
+             |rep AS (SELECT w.doc_id, w.source, len(w.ws) AS n_words, md5(w.text) AS h, p.lang_pred
+             |        FROM w JOIN p ON p.doc_id = w.doc_id)
+             |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+             |       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+             |       round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_frac,
+             |       round(CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS en_frac
+             |FROM rep GROUP BY source""".stripMargin)),
+
     // ---- LLM: streaming corpus ingest with online exact dedup — the
     // Dedup.exactGroups twin for a continuous document feed. Survivor
     // doc_ids are arrival-order-dependent, so the check reads the

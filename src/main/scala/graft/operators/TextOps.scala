@@ -502,6 +502,33 @@ object TextOps {
    * thousands); the window's sort key is (md5, doc_id) within a shard
    * partition, an executor-local sort. Integer arithmetic end to end.
    */
+  /**
+   * Per-source corpus report card — the audit table a curation run
+   * prints before training: document/token mass, exact-dup rate, and
+   * language share per source. A composition proof for [[textStats]] +
+   * [[langId]] + content-hash dedup in ONE declarative plan.
+   *
+   * Scale shape: two doc_id-keyed joins of narrow projections
+   * (co-partitioned after the first shuffle) into a |sources|-group
+   * aggregate; the distinct-hash count is Spark's two-phase partial
+   * distinct — no corpus collect, no second scan per statistic.
+   */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val lang = langId(docs).select(col("doc_id"), col("lang_pred"))
+    val st = textStats(docs).select(col("doc_id"), col("n_words"))
+    docs.select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+      .join(lang, Seq("doc_id")).join(st, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4).as("dup_frac"),
+        round(col("n_en").cast("double") / col("n_docs"), 4).as("en_frac"))
+  }
+
   def packBatches(docs: DataFrame, budgetTokens: Long = 512,
                   nShards: Int = 8): DataFrame = {
     require(budgetTokens > 0 && nShards > 0, "budget and shard count must be positive")

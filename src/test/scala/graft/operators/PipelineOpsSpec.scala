@@ -544,6 +544,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.head.getAs[Long]("min_doc_id") == 1)
   }
 
+  test("corpusReport: per-source mass, dup rate, language share") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the a of is the cat", "en", "srcA"), // english markers → en
+      (2L, "the a of is the cat", "en", "srcA"), // exact dup of doc 1
+      (3L, "zzz qqq www rrr sss", "en", "srcB")  // no markers → und
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("srcA").getAs[Long]("n_docs") == 2L)
+    assert(got("srcA").getAs[Long]("n_tokens") == 12L)
+    assert(got("srcA").getAs[Long]("n_unique") == 1L)
+    assert(got("srcA").getAs[Double]("dup_frac") == 0.5)
+    assert(got("srcA").getAs[Double]("en_frac") == 1.0)
+    assert(got("srcB").getAs[Double]("dup_frac") == 0.0)
+    assert(got("srcB").getAs[Double]("en_frac") == 0.0)
+  }
+
   test("mixCorpus: rates derived from token mass, clamp at 1.0, zero-share dropped") {
     val s = spark
     import s.implicits._

@@ -211,21 +211,28 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les"),
     "zh" -> Seq("de", "le", "shi", "bu"))
 
+  /** Per-language marker-hit-ratio score expression (rounded to 6, the
+    * oracle's form). */
+  private def langScore(markers: Seq[String]): Column =
+    round(tokenMatchCount(col("text"), markers).cast("double") / size(words(col("text"))), 6)
+
+  /** Argmax language with the deterministic first-listed tiebreak (the
+    * CASE chain reproduced verbatim in the DuckDB oracles) — `score`
+    * supplies each language's score expression, so [[langId]] (named
+    * columns) and [[corpusReport]] (inline) share ONE pick definition. */
+  private def argmaxLang(score: String => Column): Column = {
+    val maxScore = greatest(LangMarkers.map { case (l, _) => score(l) }: _*)
+    val pick = LangMarkers.foldRight(lit("und"): Column) { case ((l, _), els) =>
+      when(score(l) === maxScore, lit(l)).otherwise(els)
+    }
+    when(maxScore > 0, pick).otherwise(lit("und"))
+  }
+
   def langId(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
     val scored = docs.select(
       (Seq(col("doc_id"), col("lang").as("lang_actual")) ++
-        LangMarkers.map { case (l, ms) =>
-          round(tokenMatchCount(col("text"), ms).cast("double") / size(ws), 6)
-            .as(s"score_$l")
-        }): _*)
-    // argmax with deterministic first-listed tiebreak (CASE chain is
-    // reproduced verbatim in the DuckDB oracle)
-    val maxScore = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
-    val pick = LangMarkers.foldRight(lit("und"): Column) { case ((l, _), els) =>
-      when(col(s"score_$l") === maxScore, lit(l)).otherwise(els)
-    }
-    scored.withColumn("lang_pred", when(maxScore > 0, pick).otherwise(lit("und")))
+        LangMarkers.map { case (l, ms) => langScore(ms).as(s"score_$l") }): _*)
+    scored.withColumn("lang_pred", argmaxLang(l => col(s"score_$l")))
   }
 
   /**
@@ -502,33 +509,6 @@ object TextOps {
    * thousands); the window's sort key is (md5, doc_id) within a shard
    * partition, an executor-local sort. Integer arithmetic end to end.
    */
-  /**
-   * Per-source corpus report card — the audit table a curation run
-   * prints before training: document/token mass, exact-dup rate, and
-   * language share per source. A composition proof for [[textStats]] +
-   * [[langId]] + content-hash dedup in ONE declarative plan.
-   *
-   * Scale shape: two doc_id-keyed joins of narrow projections
-   * (co-partitioned after the first shuffle) into a |sources|-group
-   * aggregate; the distinct-hash count is Spark's two-phase partial
-   * distinct — no corpus collect, no second scan per statistic.
-   */
-  def corpusReport(docs: DataFrame): DataFrame = {
-    val lang = langId(docs).select(col("doc_id"), col("lang_pred"))
-    val st = textStats(docs).select(col("doc_id"), col("n_words"))
-    docs.select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
-      .join(lang, Seq("doc_id")).join(st, Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("n_tokens"),
-        countDistinct(col("h")).as("n_unique"),
-        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_unique"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4).as("dup_frac"),
-        round(col("n_en").cast("double") / col("n_docs"), 4).as("en_frac"))
-  }
-
   def packBatches(docs: DataFrame, budgetTokens: Long = 512,
                   nShards: Int = 8): DataFrame = {
     require(budgetTokens > 0 && nShards > 0, "budget and shard count must be positive")
@@ -542,5 +522,31 @@ object TextOps {
       .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         floor(col("prefix") / budgetTokens).cast("long").as("batch_in_shard"))
+  }
+
+  /**
+   * Per-source corpus report card — the audit table a curation run
+   * prints before training: document/token mass, exact-dup rate, and
+   * language share per source. Word count, content hash, and the
+   * [[argmaxLang]] prediction are all per-row projections, so the whole
+   * report is ONE corpus scan feeding the |sources|-group aggregate —
+   * zero joins, one shuffle; the distinct-hash count is Spark's
+   * two-phase partial distinct.
+   */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val markers = LangMarkers.toMap
+    docs.select(col("source"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        md5(col("text").cast("binary")).as("h"),
+        argmaxLang(l => langScore(markers(l))).as("lang_pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4).as("dup_frac"),
+        round(col("n_en").cast("double") / col("n_docs"), 4).as("en_frac"))
   }
 }

@@ -1921,6 +1921,107 @@ object SparkEntry {
              |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
              |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: two-stage PQ serving — ADC shortlist(50) → exact rerank
+    // to top-10 on raw vectors; the production compressed-search shape --
+    ("knn_pq_rerank", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.pqRerankTopK(e, e.filter(col("vec_id") < 10), 10, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cmm AS (SELECT label, pos,
+             |         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cmj AS (SELECT label, pos, m, CAST((pos - 1) // 8 AS INTEGER) + 1 AS j FROM cmm),
+             |cb AS (SELECT label, j, list(m ORDER BY pos) AS c FROM cmj GROUP BY label, j),
+             |dist AS (SELECT d.vec_id, cb.j, cb.label,
+             |           list_dot_product(cb.c, cb.c)
+             |             - 2 * list_dot_product(list_slice(d.e, (cb.j - 1) * 8 + 1, cb.j * 8), cb.c) AS dk
+             |         FROM dv d CROSS JOIN cb),
+             |enc AS (SELECT vec_id, j, label AS code FROM (
+             |          SELECT vec_id, j, label, row_number() OVER
+             |            (PARTITION BY vec_id, j ORDER BY dk, label) AS rn FROM dist)
+             |        WHERE rn = 1),
+             |part AS (SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+             |           CAST(round(list_dot_product(list_slice(q.e, (en.j - 1) * 8 + 1, en.j * 8), cb.c)
+             |                      * 1000000.0) AS BIGINT) AS micro
+             |         FROM q CROSS JOIN enc en JOIN cb ON cb.j = en.j AND cb.label = en.code
+             |         WHERE en.vec_id <> q.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, CAST(sum(micro) AS BIGINT) AS score_micro
+             |       FROM part GROUP BY 1, 2),
+             |short AS (SELECT query_id, neighbor_id FROM (
+             |            SELECT query_id, neighbor_id, row_number() OVER
+             |              (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk FROM sc)
+             |          WHERE rnk <= 50),
+             |ex AS (SELECT s.query_id, s.neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM short s JOIN q ON q.vec_id = s.query_id
+             |       JOIN n c ON c.vec_id = s.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ex)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall audit of the two-stage path — rerank should buy
+    // back most of what raw ADC top-10 loses ----------------------------
+    ("ann_recall_pq_rerank", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.pqRerankTopK(e, q, 10, shortlist = 50))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |extop AS (SELECT query_id, neighbor_id FROM (
+             |            SELECT query_id, neighbor_id, row_number() OVER
+             |              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |          WHERE rnk <= 10),
+             |comp AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM dv),
+             |cmm AS (SELECT label, pos,
+             |         round(CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS m
+             |       FROM comp GROUP BY label, pos),
+             |cmj AS (SELECT label, pos, m, CAST((pos - 1) // 8 AS INTEGER) + 1 AS j FROM cmm),
+             |cb AS (SELECT label, j, list(m ORDER BY pos) AS c FROM cmj GROUP BY label, j),
+             |dist AS (SELECT d.vec_id, cb.j, cb.label,
+             |           list_dot_product(cb.c, cb.c)
+             |             - 2 * list_dot_product(list_slice(d.e, (cb.j - 1) * 8 + 1, cb.j * 8), cb.c) AS dk
+             |         FROM dv d CROSS JOIN cb),
+             |enc AS (SELECT vec_id, j, label AS code FROM (
+             |          SELECT vec_id, j, label, row_number() OVER
+             |            (PARTITION BY vec_id, j ORDER BY dk, label) AS rn FROM dist)
+             |        WHERE rn = 1),
+             |part AS (SELECT q.vec_id AS query_id, en.vec_id AS neighbor_id,
+             |           CAST(round(list_dot_product(list_slice(q.e, (en.j - 1) * 8 + 1, en.j * 8), cb.c)
+             |                      * 1000000.0) AS BIGINT) AS micro
+             |         FROM q CROSS JOIN enc en JOIN cb ON cb.j = en.j AND cb.label = en.code
+             |         WHERE en.vec_id <> q.vec_id),
+             |sc AS (SELECT query_id, neighbor_id, CAST(sum(micro) AS BIGINT) AS score_micro
+             |       FROM part GROUP BY 1, 2),
+             |short AS (SELECT query_id, neighbor_id FROM (
+             |            SELECT query_id, neighbor_id, row_number() OVER
+             |              (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk FROM sc)
+             |          WHERE rnk <= 50),
+             |rr AS (SELECT s.query_id, s.neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM short s JOIN q ON q.vec_id = s.query_id
+             |       JOIN n c ON c.vec_id = s.neighbor_id),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM rr)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM extop e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
+
     // ---- LLM: ANN recall audit — IVF(nprobe=2) vs the exact top-10.
     // Absolute recall over this synthetic corpus is LOW by construction
     // (uniform random vectors carry no cluster structure for label cells

@@ -721,6 +721,35 @@ object Similarity {
   }
 
   /**
+   * Two-stage PQ serving: ADC shortlist → EXACT re-rank — the standard
+   * production shape (compressed codes prune the corpus to `shortlist`
+   * candidates per query, then true cosine on raw vectors orders the
+   * final k). Buys back most of the recall ADC's quantization loses for
+   * one raw-vector read of shortlist·|queries| rows — the re-rank side
+   * never scans the corpus (the shortlist id set broadcasts into a
+   * semi-join shaped read).
+   */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val shortIds = pqTopK(corpus, queries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(shortIds), Seq("neighbor_id")) // shortlist prunes the raw read
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
    * Recall@k audit — the fraction of the EXACT top-k each approximate
    * method recovers, per query: the quality dial every ANN deployment
    * tunes (nprobe, plane count, PQ subspaces) against. Both inputs are

@@ -675,6 +675,23 @@ class PipelineOpsSpec extends SparkTestBase {
       "literal and UDF ADC scores diverge")
   }
 
+  test("PQ rerank: with a full-coverage shortlist the result IS the exact top-k") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(p => (((i * 7 + p * 3) % 11) - 5).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") < 3)
+    // shortlist covers the whole corpus → the ADC stage cannot lose the
+    // true neighbors, so exact re-ranking must equal bruteForceTopK
+    val rr = Similarity.pqRerankTopK(corpus, q, 5, shortlist = 29)
+    val bf = Similarity.bruteForceTopK(corpus, q, 5)
+    assert(rr.except(bf).isEmpty && bf.except(rr).isEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.pqRerankTopK(corpus, q, 10, shortlist = 5)
+    }
+  }
+
   test("IVF-PQ: probing bounds the scored set to the query's cells") {
     val s = spark
     import s.implicits._

@@ -1821,6 +1821,18 @@ object SparkEntry {
              |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
              |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: normalized-form exact dedup — case/punct/digit jitter
+    // cannot hide a duplicate from the canonical-form hash --------------
+    ("dedup_normalized", (s: SparkSession, d: String) => TextOps.normalizedDedup(docs(s, d)),
+      Some("""WITH nz AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             |        '[0-9]+', '0', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
+             |  FROM documents)
+             |SELECT doc_id, norm_md5,
+             |       min(doc_id) OVER (PARTITION BY norm_md5) AS keep_id,
+             |       doc_id = min(doc_id) OVER (PARTITION BY norm_md5) AS is_survivor
+             |FROM nz""".stripMargin)),
+
     // ---- LLM: per-source corpus report card — doc/token mass, exact-dup
     // rate, language share; the pre-training audit table ----------------
     ("corpus_report", (s: SparkSession, d: String) => TextOps.corpusReport(docs(s, d)),

@@ -525,6 +525,36 @@ object TextOps {
   }
 
   /**
+   * CCNet-style text normalization (Wenzek et al. 2020 §4.1, adapted:
+   * lowercase, digit runs → 0, punctuation stripped, whitespace
+   * squeezed) — the canonical form near-dup pipelines hash so that
+   * case/punctuation/number jitter cannot hide a duplicate. Pure
+   * regexp projection, fully in codegen, one scan.
+   */
+  def normalizeExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "[0-9]+", "0"),
+        "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  /**
+   * Exact dedup over NORMALIZED text: per document, its normalized-form
+   * hash, the group survivor (min doc_id — the same deterministic
+   * survivorship as [[Dedup.exactGroups]]), and the survivor flag.
+   * Catches the near-identical documents raw-content dedup misses.
+   *
+   * Scale shape: one projection + ONE shuffle on the normalized hash
+   * (the partition-min window); no join, no second scan.
+   */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("norm_md5"))
+    docs.select(col("doc_id"), md5(normalizeExpr(col("text")).cast("binary")).as("norm_md5"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("is_survivor", col("doc_id") === col("keep_id"))
+  }
+
+  /**
    * Per-source corpus report card — the audit table a curation run
    * prints before training: document/token mass, exact-dup rate, and
    * language share per source. Word count, content hash, and the

@@ -544,6 +544,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.head.getAs[Long]("min_doc_id") == 1)
   }
 
+  test("normalizedDedup: case/punct/digit jitter collapses to one survivor") {
+    val docs = docsDf(
+      (1L, "Hello, World 42!"),
+      (2L, "hello world 7"),    // same canonical form: digits→0, punct gone
+      (3L, "hello  world"),     // different: no digit token
+      (4L, "HELLO   world.  0")) // canonical twin of 1/2 via squeeze+digit
+    val got = TextOps.normalizedDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_survivor"))).toMap
+    assert(got(1L) == ((1L, true)))
+    assert(got(2L) == ((1L, false)) && got(4L) == ((1L, false)))
+    assert(got(3L) == ((3L, true)))
+  }
+
   test("corpusReport: per-source mass, dup rate, language share") {
     val s = spark
     import s.implicits._

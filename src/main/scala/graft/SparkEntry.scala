@@ -1933,6 +1933,81 @@ object SparkEntry {
              |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
              |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: int8 scalar quantization index — per-vector symmetric
+    // scale + codes; the 4x-memory near-lossless compression axis -------
+    ("sq_encode", (s: SparkSession, d: String) => Similarity.sqEncode(embs(s, d)),
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |mxs AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM dv),
+             |qz AS (SELECT vec_id, mx / 127.0 AS scale,
+             |         CASE WHEN mx > 0 THEN list_transform(e, x -> CAST(round(x * 127.0 / mx) AS INTEGER))
+             |              ELSE list_transform(e, x -> 0) END AS codes
+             |       FROM mxs)
+             |SELECT vec_id, round(scale, 9) AS scale,
+             |       array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes
+             |FROM qz""".stripMargin)),
+
+    // ---- LLM: int8 symmetric quantized top-k — integer dot is exact,
+    // so ranking is deterministic without micro-unit tricks -------------
+    ("knn_sq", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.sqTopK(e, e.filter(col("vec_id") < 10), 10)
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |mxs AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM dv),
+             |qz AS (SELECT vec_id, mx / 127.0 AS scale,
+             |         CASE WHEN mx > 0 THEN list_transform(e, x -> CAST(round(x * 127.0 / mx) AS INTEGER))
+             |              ELSE list_transform(e, x -> 0) END AS codes
+             |       FROM mxs),
+             |q AS (SELECT * FROM qz WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         (q.scale * c.scale) * list_dot_product(
+             |           list_transform(q.codes, x -> CAST(x AS DOUBLE)),
+             |           list_transform(c.codes, x -> CAST(x AS DOUBLE))) AS sq_dot
+             |       FROM q CROSS JOIN qz c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, sq_dot, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY sq_dot DESC, neighbor_id) AS rnk FROM sc)
+             |SELECT query_id, neighbor_id, round(sq_dot, 6) AS sq_dot FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall audit of int8 search — expected near-lossless,
+    // the contrast point to PQ's lossy codes ----------------------------
+    ("ann_recall_sq", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.sqTopK(e, q, 10))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |qn AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM qn q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10),
+             |mxs AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM dv),
+             |qz AS (SELECT vec_id, mx / 127.0 AS scale,
+             |         CASE WHEN mx > 0 THEN list_transform(e, x -> CAST(round(x * 127.0 / mx) AS INTEGER))
+             |              ELSE list_transform(e, x -> 0) END AS codes
+             |       FROM mxs),
+             |q AS (SELECT * FROM qz WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         (q.scale * c.scale) * list_dot_product(
+             |           list_transform(q.codes, x -> CAST(x AS DOUBLE)),
+             |           list_transform(c.codes, x -> CAST(x AS DOUBLE))) AS sq_dot
+             |       FROM q CROSS JOIN qz c WHERE c.vec_id <> q.vec_id),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY sq_dot DESC, neighbor_id) AS rnk FROM sc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
+
     // ---- LLM: two-stage PQ serving — ADC shortlist(50) → exact rerank
     // to top-10 on raw vectors; the production compressed-search shape --
     ("knn_pq_rerank", (s: SparkSession, d: String) => {

@@ -688,6 +688,32 @@ class PipelineOpsSpec extends SparkTestBase {
       "literal and UDF ADC scores diverge")
   }
 
+  test("int8 SQ: codes reconstruct within half a quantization step") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 10L).map { i =>
+      (i, Array.tabulate(64)(p => (((i * 7 + p * 3) % 11) - 5).toFloat / 3f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val enc = Similarity.sqEncode(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("scale"), r.getAs[String]("codes"))).toMap
+    val raw = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    for ((id, (scale, codes)) <- enc) {
+      val cs = codes.split(",").map(_.toInt)
+      assert(cs.length == 64 && cs.forall(c => c >= -127 && c <= 127))
+      cs.zip(raw(id)).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-9,
+          s"vec $id: code $c × $scale vs $x")
+      }
+    }
+    // symmetric quantized search: the well-separated fixture ranks as exact
+    val got = Similarity.sqTopK(corpus, corpus.filter(col("vec_id") === 0L), 3)
+      .collect().map(_.getLong(1)).toSet
+    val exact = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0L), 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == exact)
+  }
+
   test("PQ rerank: with a full-coverage shortlist the result IS the exact top-k") {
     val s = spark
     import s.implicits._

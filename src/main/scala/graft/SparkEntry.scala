@@ -1825,13 +1825,16 @@ object SparkEntry {
     // cannot hide a duplicate from the canonical-form hash --------------
     ("dedup_normalized", (s: SparkSession, d: String) => TextOps.normalizedDedup(docs(s, d)),
       Some("""WITH nz AS (SELECT doc_id,
-             |    md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-             |        '[0-9]+', '0', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5
-             |  FROM documents)
-             |SELECT doc_id, norm_md5,
-             |       min(doc_id) OVER (PARTITION BY norm_md5) AS keep_id,
-             |       doc_id = min(doc_id) OVER (PARTITION BY norm_md5) AS is_survivor
-             |FROM nz""".stripMargin)),
+             |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             |        '\s+', ' ', 'g'), '[0-9]+', '0', 'g'), '[^a-z0-9 ]', '', 'g'),
+             |        ' +', ' ', 'g')) AS norm
+             |  FROM documents),
+             |h AS (SELECT doc_id, norm, md5(norm) AS norm_md5 FROM nz),
+             |k AS (SELECT doc_id, norm_md5,
+             |        CASE WHEN norm = '' THEN doc_id
+             |             ELSE min(doc_id) OVER (PARTITION BY norm_md5) END AS keep_id
+             |      FROM h)
+             |SELECT doc_id, norm_md5, keep_id, doc_id = keep_id AS is_survivor FROM k""".stripMargin)),
 
     // ---- LLM: per-source corpus report card — doc/token mass, exact-dup
     // rate, language share; the pre-training audit table ----------------
@@ -1938,11 +1941,11 @@ object SparkEntry {
     ("sq_encode", (s: SparkSession, d: String) => Similarity.sqEncode(embs(s, d)),
       Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
              |mxs AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM dv),
-             |qz AS (SELECT vec_id, mx / 127.0 AS scale,
+             |qz AS (SELECT vec_id, mx,
              |         CASE WHEN mx > 0 THEN list_transform(e, x -> CAST(round(x * 127.0 / mx) AS INTEGER))
              |              ELSE list_transform(e, x -> 0) END AS codes
              |       FROM mxs)
-             |SELECT vec_id, round(scale, 9) AS scale,
+             |SELECT vec_id, mx AS max_abs,
              |       array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)), ',') AS codes
              |FROM qz""".stripMargin)),
 

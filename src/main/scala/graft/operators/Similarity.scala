@@ -40,6 +40,21 @@ object Similarity {
   private def cosine(a: String, b: String): org.apache.spark.sql.Column =
     graft.plans.VectorDot(col(a), col(b)) / (col(s"${a}_nrm") * col(s"${b}_nrm"))
 
+  /** The ONE exact-cosine ranking finish shared by every search path:
+    * `pairs` carries (query_id, neighbor_id, qv, qv_nrm, cv, cv_nrm);
+    * self pairs drop, cosine ranks desc with the neighbor-asc tiebreak.
+    * Any change to the determinism contract lands here once. */
+  private def rankPairs(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (self excluded). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(
@@ -47,14 +62,7 @@ object Similarity {
         .withColumnRenamed("nrm", "qv_nrm"))
     val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.crossJoin(q)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine("qv", "cv"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankPairs(c.crossJoin(q), k)
   }
 
   /** All pairs (a < b) with cosine >= threshold — embedding near-dup
@@ -136,14 +144,7 @@ object Similarity {
       .withColumnRenamed("nrm", "qv_nrm")
       .withColumn("bucket", bucket)
       .select(col("query_id"), col("cv").as("qv"), col("qv_nrm"), col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine("qv", "cv"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    rankPairs(c.join(broadcast(q), Seq("bucket")), k)
   }
 
   /**
@@ -250,14 +251,8 @@ object Similarity {
   private def ivfSearch(corpusWithCell: DataFrame, queries: DataFrame,
                         cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probes = probeCells(queries, cents, nprobe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    corpusWithCell.join(broadcast(probes), Seq("cell")) // equi-join on cell — no corpus cross join
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine("qv", "cv"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // equi-join on cell — no corpus cross join
+    rankPairs(corpusWithCell.join(broadcast(probes), Seq("cell")), k)
   }
 
   // ------------------------------------------------------------------
@@ -724,10 +719,10 @@ object Similarity {
    * Two-stage PQ serving: ADC shortlist → EXACT re-rank — the standard
    * production shape (compressed codes prune the corpus to `shortlist`
    * candidates per query, then true cosine on raw vectors orders the
-   * final k). Buys back most of the recall ADC's quantization loses for
-   * one raw-vector read of shortlist·|queries| rows — the re-rank side
-   * never scans the corpus (the shortlist id set broadcasts into a
-   * semi-join shaped read).
+   * final k). The shortlist id set broadcasts into the raw-vector read,
+   * so norms and cosines are computed ONLY for the shortlist·|queries|
+   * surviving pairs — non-shortlisted vectors cost a broadcast-hash
+   * probe and nothing else.
    */
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    shortlist: Int = 50): DataFrame = {
@@ -737,16 +732,11 @@ object Similarity {
     val q = broadcast(
       withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
         .withColumnRenamed("nrm", "qv_nrm"))
-    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
-      .withColumnRenamed("nrm", "cv_nrm")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(shortIds), Seq("neighbor_id")) // shortlist prunes the raw read
-      .join(q, Seq("query_id"))
-      .withColumn("cosine", cosine("qv", "cv"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // prune FIRST: the norm/cosine work runs on shortlist survivors only
+    val pruned = corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
   }
 
   // ------------------------------------------------------------------
@@ -755,10 +745,12 @@ object Similarity {
   // ------------------------------------------------------------------
 
   /** Per-vector symmetric int8 quantization: scale = max|x|/127, code_i
-    * = round(x_i/scale) ∈ [-127,127] (zero vector → zero codes, scale
-    * 0). Rounding replicates Spark's `round` (BigDecimal HALF_UP), so
-    * the codes equal the oracle's. Returns (codes, scale) as a struct —
-    * one JIT-compiled call per row. */
+    * = round(x_i/scale) ∈ [-127,127] (zero vector → zero codes).
+    * Rounding replicates Spark's `round` (BigDecimal HALF_UP), so the
+    * codes equal the oracle's. Returns (codes, max|x|) as a struct —
+    * max|x| rather than the scale because it is an EXACT double (a
+    * widened float), emittable without any cross-engine rounding
+    * exposure; scale derives as max_abs/127 identically everywhere. */
   private def sqQuantUdf = udf { (v: Seq[Float]) =>
     var mx = 0.0
     var i = 0
@@ -772,7 +764,7 @@ object Similarity {
         i += 1
       }
     }
-    (out, mx / 127.0)
+    (out, mx)
   }
 
   /** Exact integer dot of two code arrays — int products sum in longs,
@@ -792,7 +784,7 @@ object Similarity {
   def sqEncode(corpus: DataFrame): DataFrame =
     corpus.select(col("vec_id"), sqQuantUdf(dvec("embedding")).as("q"))
       .select(col("vec_id"),
-        round(col("q._2"), 9).as("scale"),
+        col("q._2").as("max_abs"), // exact widened-float double — no rounding needed
         array_join(transform(col("q._1"), _.cast("string")), ",").as("codes"))
 
   /**
@@ -805,7 +797,8 @@ object Similarity {
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     def quant(df: DataFrame, idAs: String, pfx: String) =
       df.select(col("vec_id").as(idAs), sqQuantUdf(dvec("embedding")).as("q"))
-        .select(col(idAs), col("q._1").as(s"${pfx}_codes"), col("q._2").as(s"${pfx}_scale"))
+        .select(col(idAs), col("q._1").as(s"${pfx}_codes"),
+          (col("q._2") / lit(127.0)).as(s"${pfx}_scale"))
     val c = quant(corpus, "neighbor_id", "c")
     val q = broadcast(quant(queries, "query_id", "q"))
     val w = Window.partitionBy(col("query_id"))

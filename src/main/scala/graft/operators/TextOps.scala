@@ -534,7 +534,9 @@ object TextOps {
   def normalizeExpr(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(lower(text), "[0-9]+", "0"),
+        regexp_replace(
+          regexp_replace(lower(text), "\\s+", " "), // newlines/tabs → space FIRST,
+          "[0-9]+", "0"),                           // else the strip glues words
         "[^a-z0-9 ]", ""),
       " +", " "))
 
@@ -543,15 +545,22 @@ object TextOps {
    * hash, the group survivor (min doc_id — the same deterministic
    * survivorship as [[Dedup.exactGroups]]), and the survivor flag.
    * Catches the near-identical documents raw-content dedup misses.
+   * Documents whose normalized form is EMPTY (punctuation-only,
+   * non-Latin script this normalizer strips entirely) share no content
+   * — each one survives alone rather than collapsing into a spurious
+   * md5('') group.
    *
    * Scale shape: one projection + ONE shuffle on the normalized hash
    * (the partition-min window); no join, no second scan.
    */
   def normalizedDedup(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("norm_md5"))
-    docs.select(col("doc_id"), md5(normalizeExpr(col("text")).cast("binary")).as("norm_md5"))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
+    docs.select(col("doc_id"), normalizeExpr(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), md5(col("norm").cast("binary")).as("norm_md5"))
+      .withColumn("keep_id",
+        when(col("norm") === "", col("doc_id")).otherwise(min(col("doc_id")).over(w)))
       .withColumn("is_survivor", col("doc_id") === col("keep_id"))
+      .drop("norm")
   }
 
   /**

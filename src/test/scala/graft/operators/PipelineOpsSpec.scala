@@ -544,17 +544,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.head.getAs[Long]("min_doc_id") == 1)
   }
 
-  test("normalizedDedup: case/punct/digit jitter collapses to one survivor") {
+  test("normalizedDedup: case/punct/digit/whitespace jitter collapses to one survivor; " +
+    "empty normal forms never group") {
     val docs = docsDf(
       (1L, "Hello, World 42!"),
-      (2L, "hello world 7"),    // same canonical form: digits→0, punct gone
-      (3L, "hello  world"),     // different: no digit token
-      (4L, "HELLO   world.  0")) // canonical twin of 1/2 via squeeze+digit
+      (2L, "hello world 7"),      // same canonical form: digits→0, punct gone
+      (3L, "hello  world"),       // different: no digit token
+      (4L, "HELLO \n world.\t 0"), // newline/tab jitter — canonical twin of 1/2
+      (5L, "!!!"),                 // normalizes to EMPTY —
+      (6L, "???"))                 // — must NOT group with doc 5
     val got = TextOps.normalizedDedup(docs).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_survivor"))).toMap
     assert(got(1L) == ((1L, true)))
     assert(got(2L) == ((1L, false)) && got(4L) == ((1L, false)))
     assert(got(3L) == ((3L, true)))
+    assert(got(5L) == ((5L, true)) && got(6L) == ((6L, true)))
   }
 
   test("corpusReport: per-source mass, dup rate, language share") {
@@ -695,7 +699,7 @@ class PipelineOpsSpec extends SparkTestBase {
       (i, Array.tabulate(64)(p => (((i * 7 + p * 3) % 11) - 5).toFloat / 3f), (i % 3).toInt)
     }.toDF("vec_id", "embedding", "label")
     val enc = Similarity.sqEncode(corpus).collect()
-      .map(r => r.getLong(0) -> (r.getAs[Double]("scale"), r.getAs[String]("codes"))).toMap
+      .map(r => r.getLong(0) -> (r.getAs[Double]("max_abs") / 127.0, r.getAs[String]("codes"))).toMap
     val raw = corpus.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     for ((id, (scale, codes)) <- enc) {

@@ -1468,6 +1468,21 @@ object SparkEntry {
              |r AS (SELECT *, CAST(row_number() OVER (ORDER BY doc_freq DESC, token) AS BIGINT) AS "rank" FROM v)
              |SELECT token, doc_freq, term_freq, "rank" FROM r WHERE "rank" <= 100""".stripMargin)),
 
+    // ---- LLM: vocabulary coverage — fraction of token occurrences the
+    // top-N vocab covers; the tokenizer-sizing audit --------------------
+    ("vocab_coverage", (s: SparkSession, d: String) => TextOps.vocabCoverage(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |per AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+             |v AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+             |             CAST(sum(tf) AS BIGINT) AS term_freq FROM per GROUP BY token),
+             |r AS (SELECT *, row_number() OVER (ORDER BY doc_freq DESC, token) AS rnk FROM v),
+             |top AS (SELECT CAST(count(*) AS BIGINT) AS top_n,
+             |               CAST(sum(term_freq) AS BIGINT) AS covered_tf FROM r WHERE rnk <= 100),
+             |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM per)
+             |SELECT top_n, covered_tf, total_tf,
+             |       round(CAST(covered_tf AS DOUBLE) / total_tf, 6) AS coverage
+             |FROM top CROSS JOIN tot""".stripMargin)),
+
     // ---- LLM: per-document TF-IDF top-k terms ---------------------------
     ("tfidf_terms", (s: SparkSession, d: String) => TextOps.tfidfTerms(docs(s, d)),
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),

@@ -162,6 +162,30 @@ object TextOps {
   }
 
   /**
+   * Vocabulary coverage — the fraction of corpus token OCCURRENCES the
+   * top-N vocabulary ([[vocabulary]]) covers: the audit that sizes a
+   * tokenizer vocab (coverage curves flatten where the long tail
+   * starts). One row: top-N size actually available, covered and total
+   * occurrence counts, coverage ratio.
+   *
+   * Scale shape: reuses the [[vocabulary]] aggregate (top-N via
+   * per-partition heaps) plus one token-keyed aggregate for the total;
+   * the covered sum is |topN|-sized. All counts are exact longs.
+   */
+  def vocabCoverage(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val total = perDoc.agg(sum(col("tf")).cast("long").as("total_tf"))
+    val top = vocabulary(docs, topN)
+      .agg(count(lit(1)).cast("long").as("top_n"),
+        sum(col("term_freq")).cast("long").as("covered_tf"))
+    top.crossJoin(broadcast(total))
+      .select(col("top_n"), col("covered_tf"), col("total_tf"),
+        round(col("covered_tf").cast("double") / col("total_tf"), 6).as("coverage"))
+  }
+
+  /**
    * Per-document TF-IDF top-k terms — keyword extraction over a raw
    * corpus (tfidf = tf · ln(N/df)): the classic distinctive-term feature
    * for topic tagging, near-dup triage, and quality heuristics. The

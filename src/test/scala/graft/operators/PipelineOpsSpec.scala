@@ -544,6 +544,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.head.getAs[Long]("min_doc_id") == 1)
   }
 
+  test("vocabCoverage: top-N occurrence share with exact counts") {
+    // tokens: a×3, b×2, c×1 (total 6); top-2 by doc freq = a (df 2), b (df 2)
+    val docs = docsDf((1L, "a a b c"), (2L, "a b"))
+    val got = TextOps.vocabCoverage(docs, topN = 2).collect().head
+    assert(got.getAs[Long]("top_n") == 2L)
+    assert(got.getAs[Long]("covered_tf") == 5L)
+    assert(got.getAs[Long]("total_tf") == 6L)
+    assert(got.getAs[Double]("coverage") == 0.833333)
+  }
+
   test("normalizedDedup: case/punct/digit/whitespace jitter collapses to one survivor; " +
     "empty normal forms never group") {
     val docs = docsDf(

@@ -148,6 +148,24 @@ object ProbeScale {
       Similarity.ivfPqTopK(scaledEmbs(spark, dir, n),
         scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10, nprobe = 2)
     }
+    time("knn_pq_rerank") {
+      // ADC shortlist + raw re-read pruned by the broadcast id set
+      Similarity.pqRerankTopK(scaledEmbs(spark, dir, n),
+        scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10)
+    }
+    time("knn_sq") {
+      // int8 quantize both sides + exact integer dot; corpus n×
+      Similarity.sqTopK(scaledEmbs(spark, dir, n),
+        scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10)
+    }
+    time("dedup_normalized") {
+      // regexp projection + one canonical-hash shuffle
+      TextOps.normalizedDedup(scaledDocs(spark, dir, n))
+    }
+    time("corpus_report") {
+      // single scan into a |sources|-group aggregate
+      TextOps.corpusReport(scaledDocs(spark, dir, n))
+    }
     time("knn_label_vote") {
       // fixed query set, corpus n× — one scan per probe, vote stays
       // query-sized

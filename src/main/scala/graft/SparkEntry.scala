@@ -1742,6 +1742,29 @@ object SparkEntry {
              |       round(exp(CAST(s AS DOUBLE) / 1000000.0 / n_tokens), 4) AS ppl
              |FROM ag""".stripMargin)),
 
+    // ---- LLM: bigram-LM surprisal — conditional cross-entropy under the
+    // corpus's own bigram model; the step up from the unigram proxy -----
+    ("bigram_perplexity", (s: SparkSession, d: String) => TextOps.bigramSurprisal(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |bgx AS (SELECT doc_id,
+             |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+             |        FROM toks WHERE len(t) >= 2),
+             |per AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM bgx GROUP BY doc_id, bg),
+             |bc AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM per GROUP BY bg),
+             |w1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS w1_cnt
+             |       FROM bc GROUP BY 1),
+             |t AS (SELECT p.doc_id, p.tf,
+             |        CAST(round(ln(CAST(w.w1_cnt AS DOUBLE) / b.cnt) * 1000000.0) AS BIGINT)
+             |          * p.tf AS term
+             |      FROM per p JOIN bc b USING (bg)
+             |      JOIN w1 w ON w.w1 = split_part(p.bg, ' ', 1)),
+             |ag AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |              CAST(sum(term) AS BIGINT) AS s FROM t GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams,
+             |       round(CAST(s AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS cross_entropy,
+             |       round(exp(CAST(s AS DOUBLE) / 1000000.0 / n_bigrams), 4) AS ppl
+             |FROM ag""".stripMargin)),
+
     // ---- LLM: token-budget batch packing — shard by content hash, pack
     // within each shard by prefix-summed tokens over a deterministic
     // (md5, doc_id) order; integer arithmetic end to end ----------------

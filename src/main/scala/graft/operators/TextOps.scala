@@ -518,6 +518,47 @@ object TextOps {
   }
 
   /**
+   * Bigram-LM surprisal — per-document cross-entropy under the corpus's
+   * own bigram model, P(w₂|w₁) = cnt(w₁w₂)/cnt(w₁·) with cnt(w₁·)
+   * counting BIGRAM starts (so the distribution sums to 1 and no
+   * smoothing is needed: the model is fit on the same corpus). The
+   * conditional model scores repetitive/templated text far lower than
+   * [[unigramSurprisal]]'s bag-of-words — the standard step up the
+   * quality-proxy ladder. Documents shorter than 2 tokens are absent.
+   *
+   * Determinism: the same micro-nat integer discipline as
+   * [[unigramSurprisal]] — ln rounds to integer micro-nats per bigram
+   * TYPE, multiplies by the exact occurrence count, sums in longs.
+   *
+   * Scale shape: one [[graft.plans.WordShingles]] explode → (doc,bigram)
+   * count → bigram-keyed join against the two corpus-level count
+   * aggregates (bigram types and start types, both map-side combined,
+   * both shuffling on corpus-cardinality keys) → doc-keyed long sum.
+   */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(graft.plans.WordShingles(split(lower(col("text")), " "), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val bgCnt = perDoc.groupBy(col("bg")).agg(sum(col("tf")).as("cnt"))
+    val w1Cnt = bgCnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
+    val meanSurprisal = col("s").cast("double") / lit(1000000.0) / col("n_bigrams")
+    perDoc.join(bgCnt, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(w1Cnt, Seq("w1"))
+      .withColumn("term",
+        round(log(col("w1_cnt").cast("double") / col("cnt")) * lit(1000000.0), 0)
+          .cast("long") * col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"), sum(col("term")).cast("long").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(meanSurprisal, 6).as("cross_entropy"),
+        round(exp(meanSurprisal), 4).as("ppl"))
+  }
+
+  /**
    * Token-budget batch packing — assign documents to fixed-token-budget
    * training batches. Global greedy packing is inherently sequential, so
    * the scalable form shards first (content hash, the same slice as

@@ -628,6 +628,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(got(2L).getAs[Double]("cross_entropy") - 1.2628645) < 1e-6)
   }
 
+  test("bigramSurprisal: hand-computed conditional cross-entropy") {
+    // bigrams: doc1 "x y"×2 "y x"×1, doc2 "x z"×1 → starts x:3, y:1
+    // surprisal: "x y"=ln(3/2), "y x"=ln(1/1)=0, "x z"=ln(3/1)
+    val got = TextOps.bigramSurprisal(docsDf((1L, "x y x y"), (2L, "x z")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_bigrams") == 3L)
+    // (2·round(ln1.5·1e6) + 0) / 1e6 / 3 = 810930/3e6 = 0.27031
+    assert(got(1L).getAs[Double]("cross_entropy") == 0.27031)
+    assert(got(2L).getAs[Long]("n_bigrams") == 1L)
+    assert(got(2L).getAs[Double]("cross_entropy") == 1.098612)
+    // a 1-token document has no bigrams and is absent
+    assert(TextOps.bigramSurprisal(docsDf((9L, "solo"))).count() == 0)
+  }
+
   test("packBatches: shard-local prefix packing matches a local recomputation") {
     val s = spark
     import s.implicits._

@@ -25,7 +25,20 @@ object ProbeScale {
       .reduce(_ unionByName _)
   }
 
-  private def scaledDocs(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  private def scaledDocs(spark: SparkSession, dir: String, n: Int): DataFrame =
+    scaledDocsTagged(spark, dir, n, i => s"r$i")
+
+  /** Letter-coded replica tags for operators that NORMALIZE digits away
+    * (dedup_normalized maps [0-9]+ → 0, so an `r$i` digit tag would make
+    * all n replicas canonical-identical — the probe would then measure
+    * n-fold duplicate collapse inside fixed hash groups, not scaling). */
+  private def scaledDocsAlpha(spark: SparkSession, dir: String, n: Int): DataFrame = {
+    require(n <= 26, s"letter tags support at most 26 replicas (got $n)")
+    scaledDocsTagged(spark, dir, n, i => s"r${('a' + i).toChar}")
+  }
+
+  private def scaledDocsTagged(spark: SparkSession, dir: String, n: Int,
+                               tag: Int => String): DataFrame = {
     val d0 = spark.read.parquet(s"$dir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     val step = 1000000L
@@ -39,7 +52,7 @@ object ProbeScale {
       d0.withColumn("doc_id", col("doc_id") + lit(i * step))
         .withColumn("text", array_join(
           transform(split(col("text"), " "),
-            (w, idx) => when(pmod(idx, lit(4)) === 0, concat(w, lit(s"r$i"))).otherwise(w)),
+            (w, idx) => when(pmod(idx, lit(4)) === 0, concat(w, lit(tag(i)))).otherwise(w)),
           " "))
     }.reduce(_ unionByName _)
   }
@@ -159,8 +172,14 @@ object ProbeScale {
         scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10)
     }
     time("dedup_normalized") {
-      // regexp projection + one canonical-hash shuffle
-      TextOps.normalizedDedup(scaledDocs(spark, dir, n))
+      // regexp projection + one canonical-hash shuffle; LETTER replica
+      // tags — digit tags would normalize away and collapse replicas
+      TextOps.normalizedDedup(scaledDocsAlpha(spark, dir, n))
+    }
+    time("bigram_perplexity") {
+      // bigram-type model join (incl. the skew-prone w1 aggregate) +
+      // one bg-keyed corpus join
+      TextOps.bigramSurprisal(scaledDocs(spark, dir, n))
     }
     time("corpus_report") {
       // single scan into a |sources|-group aggregate

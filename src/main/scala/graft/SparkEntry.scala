@@ -1471,14 +1471,13 @@ object SparkEntry {
     // ---- LLM: vocabulary coverage — fraction of token occurrences the
     // top-N vocab covers; the tokenizer-sizing audit --------------------
     ("vocab_coverage", (s: SparkSession, d: String) => TextOps.vocabCoverage(docs(s, d)),
-      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
-             |per AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
-             |v AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
-             |             CAST(sum(tf) AS BIGINT) AS term_freq FROM per GROUP BY token),
-             |r AS (SELECT *, row_number() OVER (ORDER BY doc_freq DESC, token) AS rnk FROM v),
+      Some("""WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |v AS (SELECT token, CAST(count(*) AS BIGINT) AS term_freq FROM toks GROUP BY token),
+             |r AS (SELECT *, row_number() OVER (ORDER BY term_freq DESC, token) AS rnk FROM v),
              |top AS (SELECT CAST(count(*) AS BIGINT) AS top_n,
              |               CAST(sum(term_freq) AS BIGINT) AS covered_tf FROM r WHERE rnk <= 100),
-             |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM per)
+             |tot AS (SELECT CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tf
+             |        FROM documents)
              |SELECT top_n, covered_tf, total_tf,
              |       round(CAST(covered_tf AS DOUBLE) / total_tf, 6) AS coverage
              |FROM top CROSS JOIN tot""".stripMargin)),

@@ -163,23 +163,27 @@ object TextOps {
 
   /**
    * Vocabulary coverage — the fraction of corpus token OCCURRENCES the
-   * top-N vocabulary ([[vocabulary]]) covers: the audit that sizes a
-   * tokenizer vocab (coverage curves flatten where the long tail
+   * top-N token types (by occurrence count) cover: the audit that sizes
+   * a tokenizer vocab (coverage curves flatten where the long tail
    * starts). One row: top-N size actually available, covered and total
    * occurrence counts, coverage ratio.
    *
-   * Scale shape: reuses the [[vocabulary]] aggregate (top-N via
-   * per-partition heaps) plus one token-keyed aggregate for the total;
-   * the covered sum is |topN|-sized. All counts are exact longs.
+   * Scale shape: one token-keyed aggregate into a TakeOrderedAndProject
+   * top-N (per-partition heaps), plus a shuffle-free one-scan aggregate
+   * for the total. All counts are exact longs.
    */
   def vocabCoverage(docs: DataFrame, topN: Int = 100): DataFrame = {
-    val perDoc = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val total = perDoc.agg(sum(col("tf")).cast("long").as("total_tf"))
-    val top = vocabulary(docs, topN)
+    // ranked by OCCURRENCE count (term_freq) — the tokenizer-sizing
+    // question is "how much mass do N types cover", not document reach
+    val top = docs.select(explode(words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("term_freq"))
+      .orderBy(col("term_freq").desc, col("token").asc)
+      .limit(topN)
       .agg(count(lit(1)).cast("long").as("top_n"),
         sum(col("term_freq")).cast("long").as("covered_tf"))
+    // the denominator is a shuffle-free one-scan aggregate: total token
+    // occurrences = Σ per-doc word counts
+    val total = docs.agg(sum(size(words(col("text")))).cast("long").as("total_tf"))
     top.crossJoin(broadcast(total))
       .select(col("top_n"), col("covered_tf"), col("total_tf"),
         round(col("covered_tf").cast("double") / col("total_tf"), 6).as("coverage"))
@@ -538,16 +542,17 @@ object TextOps {
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"),
-        explode(graft.plans.WordShingles(split(lower(col("text")), " "), 2)).as("bg"))
+        explode(graft.plans.WordShingles(words(col("text")), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
     val bgCnt = perDoc.groupBy(col("bg")).agg(sum(col("tf")).as("cnt"))
-    val w1Cnt = bgCnt
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
+    val w1Cnt = bgCnt.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
+    // join the two TYPE-level aggregates first (bigram-type-sized, and
+    // the only place the skew-prone w1 key appears), then ONE bg-keyed
+    // join back to the corpus-sized perDoc frame
+    val model = bgCnt.join(w1Cnt, Seq("w1")).select(col("bg"), col("cnt"), col("w1_cnt"))
     val meanSurprisal = col("s").cast("double") / lit(1000000.0) / col("n_bigrams")
-    perDoc.join(bgCnt, Seq("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(w1Cnt, Seq("w1"))
+    perDoc.join(model, Seq("bg"))
       .withColumn("term",
         round(log(col("w1_cnt").cast("double") / col("cnt")) * lit(1000000.0), 0)
           .cast("long") * col("tf"))

@@ -3,7 +3,8 @@ package graft.sources
 import graft.model.{AvailabilityType, MetricType}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * Adapter from the driver's synthetic `events` table to the engine's
@@ -33,6 +34,8 @@ object EventsAdapter {
     * read. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ wall clock must resolve as UTC (oracle parity; see tsMillis)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     singleFileFanOut(spark, spark.read.parquet(s"$sfDir/events.parquet"))
   }
 
@@ -64,6 +67,7 @@ object EventsAdapter {
     * path; glob-filter to the fixture). */
   private def streamBase(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     baseFrom(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir))
@@ -169,11 +173,24 @@ object EventsAdapter {
   private def base(spark: SparkSession, sfDir: String): DataFrame =
     baseFrom(events(spark, sfDir))
 
+  /** Fixture `ts` → epoch millis, matching the oracle's `epoch_ms(ts)`.
+    * The driver fixture has shipped two physical encodings across rounds:
+    * TIMESTAMP(NANOS) (read as Long under nanosAsLong → exact integer
+    * ns div 1e6) and TIMESTAMP(MICROS) without timezone (read as
+    * TIMESTAMP_NTZ → wall clock interpreted as UTC, which is what the
+    * DuckDB oracle does). Dispatch on the resolved type so both work. */
+  private def tsMillis(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType                        => expr("ts div 1000000")
+      case TimestampNTZType | TimestampType => unix_millis(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+
   private def baseFrom(events: DataFrame): DataFrame =
     events.select(
       lit(Tenant).as("tenant_id"),
       concat(col("event_type"), lit("/"), col("user_id")).as("metric"),
-      expr("ts div 1000000").as("time"),
+      tsMillis(events).as("time"),
       col("event_type"),
       col("user_id"),
       col("event_id"),

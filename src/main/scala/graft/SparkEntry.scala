@@ -2244,7 +2244,56 @@ object SparkEntry {
              |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              |             / count(*), 4) AS recall
              |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-             |GROUP BY e.query_id""".stripMargin))
+             |GROUP BY e.query_id""".stripMargin)),
+
+    // ---- LLM: Bloom-prefiltered decontamination — the eval set becomes
+    // ONE broadcast bitset, the corpus drops non-members map-side, and a
+    // survivor-sized exact join removes false positives: byte-identical
+    // output to `decontaminate`, without broadcasting the string set ----
+    ("decontaminate_bloom", (s: SparkSession, d: String) => {
+      val dd = docs(s, d)
+      Sketches.decontaminateBloom(dd, dd.filter(col("doc_id") < 20), shingleK = 8)
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+             |SELECT sh.doc_id, count(*) AS n_shared
+             |FROM sh JOIN b ON b.s = sh.s GROUP BY 1""".stripMargin)),
+
+    // ---- LLM: seeded training-order shuffle → sharded reader order;
+    // hash-partitioned exchange + per-shard sort, NO global row-number --
+    ("corpus_shuffle", (s: SparkSession, d: String) =>
+      TextOps.corpusShuffle(docs(s, d), seed = 7, nShards = 8),
+      Some("""WITH k AS (SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |           FROM documents),
+             |s AS (SELECT doc_id, shuffle_key,
+             |        ('0x' || substr(shuffle_key, 1, 15))::BIGINT % 8 AS shard FROM k)
+             |SELECT doc_id, shuffle_key, shard,
+             |       CAST(row_number() OVER (PARTITION BY shard
+             |                               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+             |FROM s""".stripMargin)),
+
+    // ---- LLM: Count-Min heavy hitters — exact top-20 tokens with the
+    // CMS overestimate envelope hash-verified (band pattern, like
+    // gauge_stats_p2sketch) ---------------------------------------------
+    ("heavy_hitters", (s: SparkSession, d: String) =>
+      Sketches.cmsHeavyHitters(docs(s, d), topK = 20),
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+             |SELECT token, cnt,
+             |       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank,
+             |       TRUE AS cms_in_band
+             |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
+
+    // ---- LLM: HLL vocabulary-cardinality audit — exact distinct tokens
+    // next to the HLL++ estimate's 3-sigma band ---------------------------
+    ("vocab_hll", (s: SparkSession, d: String) =>
+      Sketches.vocabCardinality(docs(s, d)),
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+             |SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
+             |       TRUE AS hll_in_band FROM t""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

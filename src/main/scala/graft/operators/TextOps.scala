@@ -13,7 +13,7 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object TextOps {
 
-  private def words(text: Column): Column = split(lower(text), " ")
+  private[operators] def words(text: Column): Column = split(lower(text), " ")
 
   /** Content-hash residue from a 15-hex-char slice of the text's md5
     * (< 2^60: ANSI-safe, reproducible in any engine). `offset` selects
@@ -356,6 +356,32 @@ object TextOps {
     }
     docs.withColumn("sample_bucket", bucket)
       .filter(col("sample_bucket") < rate * hashMod)
+  }
+
+  /**
+   * Seeded training-order shuffle → sharded reader order. Every epoch a
+   * training run needs the corpus in a fresh pseudo-random order,
+   * materialized as shards each reader consumes sequentially. The
+   * shuffle key is md5(seed ':' doc_id) — id-keyed (identical texts
+   * still move independently), reproducible from the seed alone, and a
+   * new seed is a full reshuffle. Shard = high hash bits mod nShards;
+   * `pos_in_shard` = rank of the key within the shard.
+   *
+   * Scale shape: one hash-partitioned exchange on shard + a per-shard
+   * sort — there is NO global row-number (a global order would serialize
+   * through one partition at 100 TB); global order is recovered as
+   * (round-robin over shards at equal pos), which is how multi-reader
+   * training loaders consume shards anyway.
+   */
+  def corpusShuffle(docs: DataFrame, seed: Int = 0, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Buckets
-import graft.operators.{Dedup, MetricsOps, Similarity, TextOps}
+import graft.operators.{Dedup, MetricsOps, Similarity, Sketches, TextOps}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -242,6 +242,28 @@ object ProbeScale {
     }
     time("pii_scrub") {
       TextOps.piiScrub(scaledDocs(spark, dir, n))
+    }
+    time("decontam_bloom") {
+      // same fixed-benchmark invariant as decontaminate; the Bloom build
+      // is eval-set-sized, the corpus side is one scan + map-side filter
+      val d = scaledDocs(spark, dir, n)
+      Sketches.decontaminateBloom(d, d.filter(col("doc_id") < 20), shingleK = 8)
+    }
+    time("heavy_hitters") {
+      // token-keyed exact top-K (per-partition heaps) + a constant-size
+      // mergeable CMS aggregate; only K rows reach the driver
+      Sketches.cmsHeavyHitters(scaledDocs(spark, dir, n))
+    }
+    time("vocab_hll") {
+      // one distinct aggregate (the expensive exact path being audited)
+      // + KB-state HLL in the same pass; replica-suffixed words grow the
+      // key space n×
+      Sketches.vocabCardinality(scaledDocs(spark, dir, n))
+    }
+    time("corpus_shuffle") {
+      // one hash exchange on shard + per-shard sort; rows per shard grow
+      // n× at fixed nShards (deployments scale nShards with the corpus)
+      TextOps.corpusShuffle(scaledDocs(spark, dir, n))
     }
     spark.stop()
   }

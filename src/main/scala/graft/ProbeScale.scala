@@ -260,6 +260,16 @@ object ProbeScale {
       // key space n×
       Sketches.vocabCardinality(scaledDocs(spark, dir, n))
     }
+    time("neardup_index") {
+      // build (corpus-wide signature pass + partitioned writes) runs
+      // eagerly inside the timed block, then the DPP-pruned lookup for a
+      // FIXED query set — the curve measures build+serve with serving
+      // cost bounded by the queries' buckets, not the corpus
+      val d = scaledDocs(spark, dir, n)
+      Dedup.writeNearDupIndex(d, "target/tmp/probe-ndidx", shingleK = 3)
+      Dedup.nearDupLookup(spark, "target/tmp/probe-ndidx",
+        d.filter(col("doc_id") < 20), shingleK = 3)
+    }
     time("corpus_shuffle") {
       // one hash exchange on shard + per-shard sort; rows per shard grow
       // n× at fixed nShards (deployments scale nShards with the corpus)

@@ -333,4 +333,143 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------- persisted near-dup index (build → store → serve) -------------
+
+  /** Partition-bucket count for the banded store. Band hashes are
+    * uniform, so buckets are balanced; a lookup's dynamic partition
+    * pruning reads at most min(buckets, bands·|queries|) of them. */
+  val IndexBuckets = 64
+
+  /**
+   * Materialize a MinHash-LSH near-dup index — the dedup analog of
+   * [[Similarity.writeIvfIndex]]: pay the corpus-wide signature pass
+   * ONCE, then serve "what in the corpus near-duplicates THIS doc?"
+   * lookups (incoming-batch screening, takedown/contamination tracing)
+   * without re-scanning corpus text.
+   *
+   * Layout:
+   *  - `path/bands`      (band, band_hash, doc_id), partitioned by
+   *                      `bucket = band_hash mod [[IndexBuckets]]` — the
+   *                      serving join's pruning dimension;
+   *  - `path/signatures` one row per doc, mh0..mh{n-1} (estimate-prune);
+   *  - `path/shingles`   (doc_id, h) hashed shingles (exact verify);
+   *  - `path/sizes`      (doc_id, n) shingle-set sizes (Jaccard
+   *                      denominators — precomputed so serving never
+   *                      aggregates the corpus).
+   *
+   * At 100 TB the build is one shuffle on doc_id (signatures) + three
+   * writes off the cached shingle frame; no query ever re-signs the
+   * corpus.
+   */
+  def writeNearDupIndex(docs: DataFrame, path: String, shingleK: Int = 3,
+                        bands: Int = 20, rowsPerBand: Int = 3): Unit = {
+    val sh = shingleFrame(docs, shingleK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
+    sh.count() // materialize eagerly — three writers read it
+    try {
+      val sig = minHashSignatures(sh, bands * rowsPerBand).cache()
+      // bucket is INT on both write and probe side: a type mismatch would
+      // wrap the partition attribute in a cast and defeat the DPP rule.
+      // Repartition ON the partition column first — without it every
+      // write task fans out a file into every bucket directory
+      // (tasks×buckets small files; measured to dominate build cost);
+      // with it each bucket's rows land together (file count ∝ buckets)
+      lshBands(sig, bands, rowsPerBand)
+        .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
+      sig.write.mode("overwrite").parquet(s"$path/signatures")
+      sig.unpersist()
+      sh.write.mode("overwrite").parquet(s"$path/shingles")
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$path/sizes")
+    } finally sh.unpersist()
+  }
+
+  /**
+   * Serve near-dup lookups against a [[writeNearDupIndex]] store: for
+   * each query doc, every corpus doc with exact Jaccard ≥ threshold
+   * (self-matches by id are excluded; identical TEXT under a different
+   * id is a J=1 hit, which is the point).
+   *
+   * Serving shape, in corpus-cost order:
+   *  1. query docs sign locally (query-sized);
+   *  2. the banded store joins query band hashes on
+   *     (bucket, band, band_hash) — `bucket` is the partition column, so
+   *     dynamic partition pruning restricts the read to the queries'
+   *     buckets (spec-asserted), and the band join itself is the
+   *     candidate generator;
+   *  3. candidates estimate-prune against the stored signatures
+   *     (candidate-keyed joins);
+   *  4. the shingle store is semi-joined down to candidate docs by a
+   *     BROADCAST of the candidate id set (result-sized) before the
+   *     intersection join, and Jaccard denominators come from the
+   *     precomputed size table — serving never aggregates or reshuffles
+   *     corpus-sized data.
+   *
+   * Same banding math as [[nearDupPairs]], so the miss probability at
+   * threshold 0.8 with 20×3 is ~6e-7 — exact-oracle-safe.
+   */
+  def nearDupLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, shingleK: Int = 3, threshold: Double = 0.8,
+                    bands: Int = 20, rowsPerBand: Int = 3): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    // NOT cached, deliberately: the query shingle frame is query-sized
+    // (recomputing it per consumer is noise next to the store reads), and
+    // wrapping it in an InMemoryRelation would hide the queries' selective
+    // filter from the DPP rule — the bucket pruning on the banded store
+    // (the serving path's whole point) silently stops firing
+    val qsh = shingleFrame(queries, shingleK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val qsig = minHashSignatures(qsh, numPerms)
+    val qbands = lshBands(qsig, bands, rowsPerBand)
+      .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int"))
+
+    // 2. candidate generation — the query band set (bands·|queries| rows)
+    // BROADCASTS, which both sides the hash join correctly and lets the
+    // DPP rule reuse the broadcast to prune the banded store's buckets
+    val cand = spark.read.parquet(s"$path/bands")
+      .select(col("bucket"), col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
+      .join(broadcast(qbands.select(col("bucket"), col("band"), col("band_hash"),
+        col("doc_id").as("query_id"))), Seq("bucket", "band", "band_hash"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id").distinct()
+
+    // 3. estimate-prune (unbiased Jaccard estimate from component equality)
+    val storedSig = spark.read.parquet(s"$path/signatures")
+    val qs = qsig.select(col("doc_id").as("query_id") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"q_m$i")): _*)
+    val cs = storedSig.select(col("doc_id").as("corpus_id") +:
+      (0 until numPerms).map(i => col(s"mh$i").as(s"c_m$i")): _*)
+    val eq = (0 until numPerms)
+      .map(i => when(col(s"q_m$i") === col(s"c_m$i"), 1).otherwise(0)).reduce(_ + _)
+    val minEstimate = math.max(0.0, threshold - 0.25)
+    val pruned = cand.join(qs, Seq("query_id")).join(cs, Seq("corpus_id"))
+      .filter(eq >= (lit(minEstimate) * numPerms).cast("int"))
+      .select("query_id", "corpus_id")
+
+    // 4. exact verify — corpus shingles first cut to candidate docs by a
+    // broadcast semi-join (candidate ids are result-sized)
+    val candIds = pruned.select(col("corpus_id").as("cand_id")).distinct()
+    val storedSh = spark.read.parquet(s"$path/shingles")
+    val candSh = storedSh
+      .join(broadcast(candIds), storedSh("doc_id") === candIds("cand_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"), col("h"))
+    val inter = pruned
+      .join(qsh.select(col("doc_id").as("query_id"), col("h")), Seq("query_id"))
+      .join(candSh, Seq("corpus_id", "h"))
+      .groupBy(col("query_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
+    val qn = qsh.groupBy(col("doc_id")).agg(count(lit(1)).as("qn"))
+      .withColumnRenamed("doc_id", "query_id")
+    val cn = spark.read.parquet(s"$path/sizes")
+      .select(col("doc_id").as("corpus_id"), col("n").as("cn"))
+    inter
+      .join(broadcast(qn), Seq("query_id"))
+      .join(cn, Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("qn") + col("cn") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("query_id", "corpus_id", "jaccard")
+  }
 }

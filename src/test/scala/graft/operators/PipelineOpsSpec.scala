@@ -150,6 +150,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(p.getAs[Double]("jaccard") - 37.0 / 39.0) < 1e-12)
   }
 
+  test("stored near-dup index: bucketed banded layout, DPP-pruned serving read, " +
+    "lookup matches the live pair computation") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+    val distinct2 = (200 to 240).map(i => s"y$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-ndidx").toString
+    // round-trip the corpus through parquet: a LocalRelation query side
+    // constant-folds its filter away and the DPP rule (which requires a
+    // selective predicate on the probe side) never fires — file-backed
+    // frames are also what the real entry points serve
+    docsDf((1L, base), (2L, nearDup), (3L, distinct), (4L, distinct2))
+      .write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus, path, shingleK = 3)
+    // layout: banded store landed partitioned by bucket
+    val dirs = new java.io.File(s"$path/bands").list().filter(_.startsWith("bucket="))
+    assert(dirs.nonEmpty, "expected bucket=N partition directories")
+    // query doc 2 → its near-dup 1 (and NOT itself, nor the distinct docs)
+    val servedDf = Dedup.nearDupLookup(spark, path, corpus.filter(col("doc_id") === 2L),
+      shingleK = 3, threshold = 0.5)
+    val served = servedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(served.map(t => (t._1, t._2)).toSeq == Seq((2L, 1L)), served.mkString(", "))
+    assert(math.abs(served.head._3 - 37.0 / 39.0) < 1e-12)
+    // serving reads only the queries' buckets of the banded store
+    val plan = servedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the bands scan:\n$plan")
+  }
+
   test("near-dup clusters: components collapse to min doc id, chains converge") {
     val s = spark
     import s.implicits._

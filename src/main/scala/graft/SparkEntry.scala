@@ -1129,18 +1129,7 @@ object SparkEntry {
 
     // ---- LLM: SimHash near-dup pairs (banded, pigeonhole-exact) ----------
     ("dedup_simhash", (s: SparkSession, d: String) => Dedup.simHashPairs(docs(s, d), maxHamming = 3),
-      Some("""WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
-             |         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
-             |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
-             |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-             |         FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) g
-             |         GROUP BY doc_id, j),
-             |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS f
-             |       FROM bits GROUP BY doc_id)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
-             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin)),
+      Some(SimHashPairsOracle)),
 
     // ---- LLM: brute-force cosine top-k (exact ANN baseline) --------------
     ("knn_cosine", (s: SparkSession, d: String) => {
@@ -1216,6 +1205,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }, Some(IvfKmeansOracle))
   )
+
+  /** Oracle for the SimHash near-dup pair set (dedup_simhash and
+    * streaming_neardup share it — the streaming screen discovers the
+    * SAME distinct pairs, micro-batch by micro-batch, as the batch
+    * band self-join computes in one plan). */
+  private val SimHashPairsOracle =
+       """WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+             |         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tok),
+             |bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |         FROM h, LATERAL (SELECT unnest(generate_series(0, 59)) AS j) g
+             |         GROUP BY doc_id, j),
+             |fp AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS f
+             |       FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin
 
   /** Oracle for the deterministic trained-IVF paths (knn_ivf_kmeans and
     * knn_ivf_stored share it — the stored index changes WHERE the data
@@ -1922,6 +1929,21 @@ object SparkEntry {
              |SELECT CAST(count(*) AS BIGINT) AS n_unique,
              |       CAST(sum(toks) AS BIGINT) AS n_tokens,
              |       min(h) AS min_md5, max(h) AS max_md5 FROM u""".stripMargin)),
+
+    // ---- LLM: STREAMING near-dup screen — SimHash banding as a stateful
+    // stream; each arrival compares only against its band buckets' state,
+    // and the distinct pair set equals the batch band self-join's
+    // (pigeonhole recall, micro-batching-independent) ---------------------
+    ("streaming_neardup", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamneardup_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val q = graft.streaming.StreamingNearDup.screen(
+        ea.documentsStream(s, d), s"$base/pairs", s"$base/ckpt", maxHamming = 3)
+      q.awaitTermination()
+      s.read.parquet(s"$base/pairs")
+        .select("doc_a", "doc_b", "hamming").distinct()
+    },
+      Some(SimHashPairsOracle)),
 
     // ---- LLM: IVF-PQ (IVFADC) — cell probing bounds WHICH vectors are
     // scored, PQ codes bound WHAT is read per vector; the composed

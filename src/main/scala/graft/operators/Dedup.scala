@@ -313,7 +313,11 @@ object Dedup {
    * Near-dup pairs within `maxHamming`, banded: B = maxHamming+1 bands of
    * 60/B bits each; pigeonhole guarantees exact recall at the radius.
    */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, simhash, band, band_val) banded fingerprint frame — the
+    * shared projection under the batch self-join ([[simHashPairs]]) and
+    * the streaming screen ([[graft.streaming.StreamingNearDup]]). Works
+    * on batch AND streaming frames (pure projection + explode). */
+  def simHashBanded(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = SimBits / bands // fingerprints have 60 bits; drop remainder bits into last band
     val fp = simHash(docs)
@@ -322,8 +326,12 @@ object Dedup {
       struct(lit(b).as("band"),
         (shiftright(col("simhash"), b * bandBits) % (1L << width)).as("band_val"))
     }
-    val banded = fp.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bh"))
+    fp.select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bh"))
       .select(col("doc_id"), col("simhash"), col("bh.band"), col("bh.band_val"))
+  }
+
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = simHashBanded(docs, maxHamming)
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
     val r = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
     l.join(r, Seq("band", "band_val"))

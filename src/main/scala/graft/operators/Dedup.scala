@@ -396,6 +396,49 @@ object Dedup {
   }
 
   /**
+   * Incremental index maintenance — screen an arriving batch against the
+   * EXISTING store, then fold the batch in: the lifecycle a crawl
+   * pipeline runs per ingest wave (screen → decide → admit), without
+   * ever rebuilding the corpus-wide index.
+   *
+   * Returns the screening result ([[nearDupLookup]] of the batch against
+   * the pre-append store — which is what the admission decision needs);
+   * the append itself adds only batch-sized rows to each table (the
+   * banded rows land in their hash buckets, so subsequent lookups prune
+   * exactly as before). After the append, a lookup serves pairs against
+   * old AND new members — equal to a from-scratch rebuild's (same
+   * signature math, same tables; spec-asserted).
+   *
+   * The screen materializes EAGERLY (localCheckpoint — executor-resident
+   * blocks, no driver collect) BEFORE the append mutates the store, so
+   * the returned frame cannot observe the batch's own rows.
+   */
+  def appendToNearDupIndex(batch: DataFrame, path: String, shingleK: Int = 3,
+                           threshold: Double = 0.8,
+                           bands: Int = 20, rowsPerBand: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    // screen first — materialize the decision rows before mutating the store
+    val screened = nearDupLookup(spark, path, batch, shingleK, threshold,
+      bands, rowsPerBand).localCheckpoint(true)
+    val sh = shingleFrame(batch, shingleK)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
+    sh.count()
+    try {
+      val sig = minHashSignatures(sh, bands * rowsPerBand).cache()
+      lshBands(sig, bands, rowsPerBand)
+        .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/bands")
+      sig.write.mode("append").parquet(s"$path/signatures")
+      sig.unpersist()
+      sh.write.mode("append").parquet(s"$path/shingles")
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(s"$path/sizes")
+    } finally sh.unpersist()
+    screened
+  }
+
+  /**
    * Serve near-dup lookups against a [[writeNearDupIndex]] store: for
    * each query doc, every corpus doc with exact Jaccard ≥ threshold
    * (self-matches by id are excluded; identical TEXT under a different

@@ -181,6 +181,36 @@ class PipelineOpsSpec extends SparkTestBase {
       s"expected dynamic partition pruning on the bands scan:\n$plan")
   }
 
+  test("index append: batch screens against the pre-append store only; " +
+    "post-append lookups equal a from-scratch rebuild") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val nearDup2 = (1 to 40).map(i => if (i == 1) "ALSO" else s"w$i").mkString(" ")
+    val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-ndapp").toString
+    docsDf((1L, base), (2L, distinct), (10L, nearDup), (11L, nearDup2))
+      .write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") < 10), path, shingleK = 3)
+    // the batch holds TWO mutual near-dups (10, 11) plus doc 1's dups —
+    // the screen must report only batch-vs-store pairs, never batch-internal
+    val screened = Dedup.appendToNearDupIndex(corpus.filter(col("doc_id") >= 10), path,
+      shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(screened == Set((10L, 1L), (11L, 1L)), screened.toString)
+    // post-append, a lookup sees old AND new members — same as a rebuild
+    val after = Dedup.nearDupLookup(spark, path, corpus.filter(col("doc_id") === 11L),
+      shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ndapp2").toString
+    Dedup.writeNearDupIndex(corpus, rebuilt, shingleK = 3)
+    val fromScratch = Dedup.nearDupLookup(spark, rebuilt, corpus.filter(col("doc_id") === 11L),
+      shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == fromScratch && after == Set((11L, 1L), (11L, 10L)),
+      s"append $after vs rebuild $fromScratch")
+  }
+
   test("near-dup clusters: components collapse to min doc id, chains converge") {
     val s = spark
     import s.implicits._

@@ -372,6 +372,24 @@ object Dedup {
    */
   def writeNearDupIndex(docs: DataFrame, path: String, shingleK: Int = 3,
                         bands: Int = 20, rowsPerBand: Int = 3): Unit = {
+    writeIndexTables(docs, path, shingleK, bands, rowsPerBand, overwrite = true)
+    // build params persist with the store: lookups and appends with
+    // mismatched parameters would compute incompatible hashes and
+    // silently return near-empty results — validated instead
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleK, bands, rowsPerBand))
+      .toDF("shingle_k", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The four-table write sequence shared by build and append (one
+    * shingle-hash pass feeds all four; only the SaveMode differs — a
+    * drift between the two would break append/rebuild equivalence). */
+  private def writeIndexTables(docs: DataFrame, path: String, shingleK: Int,
+                               bands: Int, rowsPerBand: Int,
+                               overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     val sh = shingleFrame(docs, shingleK)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
     sh.count() // materialize eagerly — three writers read it
@@ -386,13 +404,24 @@ object Dedup {
       lshBands(sig, bands, rowsPerBand)
         .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int"))
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bands")
-      sig.write.mode("overwrite").parquet(s"$path/signatures")
+        .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+      sig.write.mode(mode).parquet(s"$path/signatures")
       sig.unpersist()
-      sh.write.mode("overwrite").parquet(s"$path/shingles")
+      sh.write.mode(mode).parquet(s"$path/shingles")
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"$path/sizes")
+        .write.mode(mode).parquet(s"$path/sizes")
     } finally sh.unpersist()
+  }
+
+  /** Fail fast when a caller's parameters disagree with the store's —
+    * mismatched shingleK/bands/rowsPerBand would hash into nothing. */
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession, path: String,
+                                 shingleK: Int, bands: Int, rowsPerBand: Int): Unit = {
+    val m = spark.read.parquet(s"$path/meta").collect().head
+    val stored = (m.getInt(0), m.getInt(1), m.getInt(2))
+    require(stored == ((shingleK, bands, rowsPerBand)),
+      s"index at $path was built with (shingleK, bands, rowsPerBand)=$stored, " +
+        s"caller passed (${shingleK}, ${bands}, ${rowsPerBand})")
   }
 
   /**
@@ -412,29 +441,31 @@ object Dedup {
    * The screen materializes EAGERLY (localCheckpoint — executor-resident
    * blocks, no driver collect) BEFORE the append mutates the store, so
    * the returned frame cannot observe the batch's own rows.
+   *
+   * Admission: with `dropMatched=true` (the screen-and-reject policy),
+   * batch docs that near-duplicate the existing corpus are NOT admitted;
+   * the default admits everything (flag-don't-drop). Either way docs
+   * whose ids are ALREADY in the store are skipped (a cheap broadcast
+   * anti-join against the id column of `sizes`), so replaying a batch
+   * after a partial failure cannot double-insert a doc's rows.
    */
   def appendToNearDupIndex(batch: DataFrame, path: String, shingleK: Int = 3,
                            threshold: Double = 0.8,
-                           bands: Int = 20, rowsPerBand: Int = 3): DataFrame = {
+                           bands: Int = 20, rowsPerBand: Int = 3,
+                           dropMatched: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
+    requireIndexParams(spark, path, shingleK, bands, rowsPerBand)
     // screen first — materialize the decision rows before mutating the store
     val screened = nearDupLookup(spark, path, batch, shingleK, threshold,
       bands, rowsPerBand).localCheckpoint(true)
-    val sh = shingleFrame(batch, shingleK)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h")).cache()
-    sh.count()
-    try {
-      val sig = minHashSignatures(sh, bands * rowsPerBand).cache()
-      lshBands(sig, bands, rowsPerBand)
-        .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int"))
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/bands")
-      sig.write.mode("append").parquet(s"$path/signatures")
-      sig.unpersist()
-      sh.write.mode("append").parquet(s"$path/shingles")
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .write.mode("append").parquet(s"$path/sizes")
-    } finally sh.unpersist()
+    val storedIds = spark.read.parquet(s"$path/sizes").select(col("doc_id"))
+    val fresh = batch.join(storedIds, Seq("doc_id"), "left_anti")
+    val admitted =
+      if (dropMatched)
+        fresh.join(screened.select(col("query_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else fresh
+    writeIndexTables(admitted, path, shingleK, bands, rowsPerBand, overwrite = false)
     screened
   }
 
@@ -465,6 +496,7 @@ object Dedup {
   def nearDupLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, shingleK: Int = 3, threshold: Double = 0.8,
                     bands: Int = 20, rowsPerBand: Int = 3): DataFrame = {
+    requireIndexParams(spark, path, shingleK, bands, rowsPerBand)
     val numPerms = bands * rowsPerBand
     // NOT cached, deliberately: the query shingle frame is query-sized
     // (recomputing it per consumer is noise next to the store reads), and
@@ -496,9 +528,15 @@ object Dedup {
     val eq = (0 until numPerms)
       .map(i => when(col(s"q_m$i") === col(s"c_m$i"), 1).otherwise(0)).reduce(_ + _)
     val minEstimate = math.max(0.0, threshold - 0.25)
+    // cached: BOTH the candidate-id broadcast and the intersection join
+    // embed this subplan — uncached, the signatures scan and the 60-column
+    // estimate filter would execute twice per lookup. (Caching the RESULT
+    // is safe for DPP; only caching the qsh probe lineage above would
+    // hide the selective filter from the pruning rule.)
     val pruned = cand.join(qs, Seq("query_id")).join(cs, Seq("corpus_id"))
       .filter(eq >= (lit(minEstimate) * numPerms).cast("int"))
       .select("query_id", "corpus_id")
+      .cache()
 
     // 4. exact verify — corpus shingles first cut to candidate docs by a
     // broadcast semi-join (candidate ids are result-sized)

@@ -45,7 +45,10 @@ object Sketches {
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
                          shingleK: Int = 8, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    val bench = Dedup.shingleFrame(benchmark, shingleK).select(col("shingle")).distinct()
+    // cached: the eval shingle set feeds three consumers (sizing count,
+    // Bloom build, exact-verify join) — without the cache the explode +
+    // distinct of the "too big to broadcast" side would run three times
+    val bench = Dedup.shingleFrame(benchmark, shingleK).select(col("shingle")).distinct().cache()
     // sizing count + filter build: two eval-set-sized actions, no corpus scan
     val nBench = math.max(bench.count(), 1L)
     val bloom = bench.stat.bloomFilter(col("shingle"), nBench, fpp)
@@ -80,12 +83,24 @@ object Sketches {
                       eps: Double = 1e-4, confidence: Double = 0.999,
                       seed: Int = 42): DataFrame = {
     val spark = docs.sparkSession
-    val tokens = docs.select(explode(TextOps.words(col("text"))).as("token"))
-    val exact = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // ONE corpus scan: the token-keyed count aggregate feeds both the
+    // exact top-K and the sketch — CMS is linear, so adding (token, cnt)
+    // equals adding the token cnt times, and only the vocab-sized count
+    // frame is read twice (cached), never the corpus
+    val counts = docs.select(explode(TextOps.words(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt")).cache()
+    val exact = counts
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topK)
       .collect() // K rows — result-sized, not data-sized
-    val cms = tokens.stat.countMinSketch(col("token"), eps, confidence, seed)
+    val cms = counts.select(col("token"), col("cnt")).rdd
+      .mapPartitions { it =>
+        val s = org.apache.spark.util.sketch.CountMinSketch.create(eps, confidence, seed)
+        it.foreach(r => s.addString(r.getString(0), r.getLong(1)))
+        Iterator(s)
+      }
+      .treeReduce { (a, b) => a.mergeInPlace(b); a }
+    counts.unpersist()
     val maxOver = math.ceil(eps * cms.totalCount()).toLong
     val rows = exact.zipWithIndex.map { case (r, i) =>
       val token = r.getString(0)
@@ -120,6 +135,10 @@ object Sketches {
         approx_count_distinct(col("token"), rsd).as("hll_est"))
       .select(
         col("exact_vocab"),
-        (abs(col("hll_est") - col("exact_vocab")).cast("double") /
-          col("exact_vocab") <= lit(3 * rsd)).as("hll_in_band"))
+        // empty corpus: 0 distinct is "in band" iff the estimate is also
+        // 0 — and never an ANSI divide-by-zero
+        when(col("exact_vocab") === 0, col("hll_est") === 0)
+          .otherwise(abs(col("hll_est") - col("exact_vocab")).cast("double") /
+            col("exact_vocab") <= lit(3 * rsd))
+          .as("hll_in_band"))
 }

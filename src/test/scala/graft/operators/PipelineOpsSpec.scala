@@ -209,6 +209,34 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(after == fromScratch && after == Set((11L, 1L), (11L, 10L)),
       s"append $after vs rebuild $fromScratch")
+    // replaying the SAME batch is a no-op for the store (id anti-join):
+    // the re-screen now also sees the admitted copies, but no table grows
+    val sizesBefore = spark.read.parquet(s"$path/sizes").count()
+    Dedup.appendToNearDupIndex(corpus.filter(col("doc_id") >= 10), path,
+      shingleK = 3, threshold = 0.5).collect()
+    assert(spark.read.parquet(s"$path/sizes").count() == sizesBefore,
+      "replayed batch must not double-insert")
+    // mismatched parameters fail fast instead of silently returning nothing
+    val err = intercept[IllegalArgumentException] {
+      Dedup.nearDupLookup(spark, path, corpus.filter(col("doc_id") === 11L),
+        shingleK = 5, threshold = 0.5)
+    }
+    assert(err.getMessage.contains("was built with"), err.getMessage)
+  }
+
+  test("index append with dropMatched rejects near-dups of the existing corpus") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val fresh = (300 to 340).map(i => s"q$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-nddrop").toString
+    docsDf((1L, base), (20L, nearDup), (21L, fresh)).write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") < 10), path, shingleK = 3)
+    Dedup.appendToNearDupIndex(corpus.filter(col("doc_id") >= 10), path,
+      shingleK = 3, threshold = 0.5, dropMatched = true).collect()
+    val admitted = spark.read.parquet(s"$path/sizes")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 21L), s"near-dup 20 must be rejected, got $admitted")
   }
 
   test("near-dup clusters: components collapse to min doc id, chains converge") {

@@ -50,6 +50,15 @@ class SketchesSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("hll_in_band"))
   }
 
+  test("vocabCardinality: empty corpus is in-band (0 vs 0), no divide-by-zero") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Sketches.vocabCardinality(empty).collect().head
+    assert(r.getAs[Long]("exact_vocab") == 0L)
+    assert(r.getAs[Boolean]("hll_in_band"))
+  }
+
   test("corpusShuffle: a permutation — dense per-shard positions, seed-stable, seed-sensitive") {
     val corpus = docsDf((0L until 64L).map(i => (i, s"doc number $i")): _*)
     val a = TextOps.corpusShuffle(corpus, seed = 7, nShards = 4).collect()

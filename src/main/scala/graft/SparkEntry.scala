@@ -1206,6 +1206,22 @@ object SparkEntry {
     }, Some(IvfKmeansOracle))
   )
 
+  /** Oracle for near-dup index lookups with query set doc_id < 50 over
+    * the full corpus (neardup_index_stored and neardup_index_compact
+    * share it — compaction changes the FILE layout, not the answers). */
+  private val NearDupLookupOracle =
+       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 50
+             |            AND b.doc_id <> a.doc_id GROUP BY 1, 2)
+             |SELECT query_id, corpus_id,
+             |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+             |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
+             |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin
+
   /** Oracle for the SimHash near-dup pair set (dedup_simhash and
     * streaming_neardup share it — the streaming screen discovers the
     * SAME distinct pairs, micro-batch by micro-batch, as the batch
@@ -2279,17 +2295,23 @@ object SparkEntry {
       Dedup.nearDupLookup(s, path, dd.filter(col("doc_id") < 50), shingleK = 3, threshold = 0.8)
         .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
     },
-      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
-             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
-             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |inter AS (SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, count(*) AS c
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 50
-             |            AND b.doc_id <> a.doc_id GROUP BY 1, 2)
-             |SELECT query_id, corpus_id,
-             |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
-             |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
-             |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin)),
+      Some(NearDupLookupOracle)),
+
+    // ---- LLM: index lifecycle with COMPACTION — build, append a wave,
+    // compact the accumulated file increments, then serve; the compacted
+    // store answers identically to the freshly-built one ----------------
+    ("neardup_index_compact", (s: SparkSession, d: String) => {
+      val path = "target/tmp/neardupcomp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val dd = docs(s, d)
+      Dedup.writeNearDupIndex(dd.filter(col("doc_id") >= 50), path, shingleK = 3)
+      Dedup.appendToNearDupIndex(dd.filter(col("doc_id") < 50), path,
+        shingleK = 3, threshold = 0.8).collect()
+      Dedup.compactNearDupIndex(s, path)
+      Dedup.nearDupLookup(s, path, dd.filter(col("doc_id") < 50), shingleK = 3, threshold = 0.8)
+        .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+    },
+      Some(NearDupLookupOracle)),
 
     // ---- LLM: incremental index maintenance — screen an arriving batch
     // against the EXISTING near-dup store, then fold it in (batch-sized

@@ -413,6 +413,42 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /**
+   * Index maintenance compaction — after many [[appendToNearDupIndex]]
+   * waves each table accumulates batch-sized file increments (and the
+   * banded store one file per bucket PER WAVE); this job rewrites every
+   * table dense again: bands back to one file per bucket, the flat
+   * tables to the session's default parallelism. Contents are untouched
+   * (spec-asserted: lookups identical before/after).
+   *
+   * Scale shape: each table rewrites to a TEMP directory and then
+   * REPLACES the old one with two filesystem renames — never
+   * read-and-overwrite-in-place (which would require materializing the
+   * corpus-sized table in memory), and the swap window is metadata-sized.
+   * The storage analog of [[graft.storage.GraftStorage.compact]] for the
+   * index tier.
+   */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(table: String)(rewrite: DataFrame => Unit): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      rewrite(spark.read.parquet(live.toString))
+      require(fs.rename(live, old) && fs.rename(tmp, live),
+        s"compaction swap failed for $table")
+      fs.delete(old, true)
+    }
+    swap("bands")(df => df.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$path/.bands.compact"))
+    Seq("signatures", "shingles", "sizes").foreach { t =>
+      swap(t)(df => df.repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(s"$path/.$t.compact"))
+    }
+  }
+
   /** Fail fast when a caller's parameters disagree with the store's —
     * mismatched shingleK/bands/rowsPerBand would hash into nothing. */
   private def requireIndexParams(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -495,7 +531,10 @@ object Dedup {
    */
   def nearDupLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, shingleK: Int = 3, threshold: Double = 0.8,
-                    bands: Int = 20, rowsPerBand: Int = 3): DataFrame = {
+                    bands: Int = 20, rowsPerBand: Int = 3,
+                    // false = keep everything in ONE inspectable plan
+                    // (candidates compute twice); used by plan-shape specs
+                    reuseCandidates: Boolean = true): DataFrame = {
     requireIndexParams(spark, path, shingleK, bands, rowsPerBand)
     val numPerms = bands * rowsPerBand
     // NOT cached, deliberately: the query shingle frame is query-sized
@@ -528,15 +567,20 @@ object Dedup {
     val eq = (0 until numPerms)
       .map(i => when(col(s"q_m$i") === col(s"c_m$i"), 1).otherwise(0)).reduce(_ + _)
     val minEstimate = math.max(0.0, threshold - 0.25)
-    // cached: BOTH the candidate-id broadcast and the intersection join
-    // embed this subplan — uncached, the signatures scan and the 60-column
-    // estimate filter would execute twice per lookup. (Caching the RESULT
-    // is safe for DPP; only caching the qsh probe lineage above would
-    // hide the selective filter from the pruning rule.)
-    val pruned = cand.join(qs, Seq("query_id")).join(cs, Seq("corpus_id"))
+    // single-computed: BOTH the candidate-id broadcast and the
+    // intersection join embed this subplan — naively the signatures scan
+    // and the 60-column estimate filter would execute twice per lookup.
+    // LAZY localCheckpoint (not .cache()): the cache manager substitutes
+    // cached plans into LATER queries matching the same store path, so a
+    // cached candidate set would silently serve STALE results after an
+    // append/compact mutates the store (observed as dangling-file reads
+    // in the lifecycle queries); checkpoint blocks are private to this
+    // frame. (Checkpointing the RESULT is safe for DPP; only caching the
+    // qsh probe lineage above would hide the selective filter.)
+    val prunedRaw = cand.join(qs, Seq("query_id")).join(cs, Seq("corpus_id"))
       .filter(eq >= (lit(minEstimate) * numPerms).cast("int"))
       .select("query_id", "corpus_id")
-      .cache()
+    val pruned = if (reuseCandidates) prunedRaw.localCheckpoint(false) else prunedRaw
 
     // 4. exact verify — corpus shingles first cut to candidate docs by a
     // broadcast semi-join (candidate ids are result-sized)

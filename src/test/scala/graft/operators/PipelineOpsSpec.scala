@@ -168,9 +168,12 @@ class PipelineOpsSpec extends SparkTestBase {
     // layout: banded store landed partitioned by bucket
     val dirs = new java.io.File(s"$path/bands").list().filter(_.startsWith("bucket="))
     assert(dirs.nonEmpty, "expected bucket=N partition directories")
-    // query doc 2 → its near-dup 1 (and NOT itself, nor the distinct docs)
+    // query doc 2 → its near-dup 1 (and NOT itself, nor the distinct docs).
+    // reuseCandidates=false keeps the whole lookup in ONE plan so the DPP
+    // assertion below can see the banded-store scan (the default path
+    // checkpoints the candidate set into a separate execution)
     val servedDf = Dedup.nearDupLookup(spark, path, corpus.filter(col("doc_id") === 2L),
-      shingleK = 3, threshold = 0.5)
+      shingleK = 3, threshold = 0.5, reuseCandidates = false)
     val served = servedDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
     assert(served.map(t => (t._1, t._2)).toSeq == Seq((2L, 1L)), served.mkString(", "))
@@ -222,6 +225,34 @@ class PipelineOpsSpec extends SparkTestBase {
         shingleK = 5, threshold = 0.5)
     }
     assert(err.getMessage.contains("was built with"), err.getMessage)
+  }
+
+  test("index compaction: file increments collapse (one file per bucket), lookups unchanged") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val others = (0 until 6).map(i => (30L + i, (100 to 140).map(j => s"z$i-$j").mkString(" ")))
+    val path = java.nio.file.Files.createTempDirectory("graft-ndcomp").toString
+    docsDf((Seq((1L, base), (20L, nearDup)) ++ others): _*).write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") < 10), path, shingleK = 3)
+    // two append waves → per-wave file increments in every table
+    Dedup.appendToNearDupIndex(corpus.filter(col("doc_id") >= 10 && col("doc_id") < 32), path,
+      shingleK = 3, threshold = 0.5).collect()
+    Dedup.appendToNearDupIndex(corpus.filter(col("doc_id") >= 32), path,
+      shingleK = 3, threshold = 0.5).collect()
+    def lookupSet() = Dedup.nearDupLookup(spark, path, corpus.filter(col("doc_id") === 20L),
+      shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = lookupSet()
+    def bucketFiles(): Map[String, Int] = new java.io.File(s"$path/bands").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(bucketFiles().values.exists(_ > 1), "appends should leave multi-file buckets")
+    Dedup.compactNearDupIndex(spark, path)
+    assert(bucketFiles().values.forall(_ == 1),
+      s"compacted buckets must hold one file each: ${bucketFiles()}")
+    assert(lookupSet() == before && before == Set((20L, 1L)),
+      s"compaction must not change answers: $before vs ${lookupSet()}")
   }
 
   test("index append with dropMatched rejects near-dups of the existing corpus") {

@@ -1203,7 +1203,22 @@ object SparkEntry {
       Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
       Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
-    }, Some(IvfKmeansOracle))
+    }, Some(IvfKmeansOracle)),
+
+    // ---- LLM: incremental IVF maintenance — train + build WITHOUT a
+    // held-out slice, append it with the STORED model (no retrain), then
+    // serve: appended vectors flow through the same DPP-pruned read -----
+    ("knn_ivf_appended", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfapp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path, kCells = 4, iters = 2)
+      Similarity.appendToIvfIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }, Some(IvfAppendOracle))
   )
 
   /** Oracle for near-dup index lookups with query set doc_id < 50 over
@@ -1263,6 +1278,56 @@ object SparkEntry {
              |           row_number() OVER (PARTITION BY v.vec_id
              |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
              |         FROM n v CROSS JOIN c1n s) WHERE rn = 1),
+             |m2 AS (SELECT cell, g.j,
+             |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |c2 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m2 GROUP BY cell),
+             |c2n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c2),
+             |af AS (SELECT vec_id, e, nrm, cell FROM (
+             |         SELECT v.vec_id, v.e, v.nrm, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM n v CROSS JOIN c2n s) WHERE rn = 1),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
+             |       FROM q CROSS JOIN c2n s),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN af c ON c.cell = p.cell
+             |       WHERE c.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin
+
+  /** knn_ivf_appended's oracle: the trained-IVF oracle with the appended
+    * slice [100,110) EXCLUDED from training (seeds vec_id<4 and the two
+    * Lloyd mean recomputes see only the build set) but INCLUDED in the
+    * final serving assignment — exactly the stored-model append path. */
+  private val IvfAppendOracle =
+       """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |tr AS (SELECT * FROM n WHERE vec_id < 100 OR vec_id >= 110),
+             |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, e AS ce,
+             |         sqrt(list_sum(list_transform(e, x -> x * x))) AS cnrm FROM dv WHERE vec_id < 4),
+             |a1 AS (SELECT vec_id, e, cell FROM (
+             |         SELECT v.vec_id, v.e, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM tr v CROSS JOIN c0 s) WHERE rn = 1),
+             |m1 AS (SELECT cell, g.j,
+             |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a1, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |c1 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m1 GROUP BY cell),
+             |c1n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c1),
+             |a2 AS (SELECT vec_id, e, cell FROM (
+             |         SELECT v.vec_id, v.e, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM tr v CROSS JOIN c1n s) WHERE rn = 1),
              |m2 AS (SELECT cell, g.j,
              |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
              |       FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),

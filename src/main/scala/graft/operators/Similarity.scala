@@ -399,6 +399,32 @@ object Similarity {
   }
 
   /**
+   * Incremental IVF maintenance — fold new vectors into a
+   * [[writeIvfIndex]] store WITHOUT retraining: the stored centroid
+   * model assigns the batch's cells (the same driver-resident
+   * assignment as the build — no join, no shuffle), and the rows land
+   * as batch-sized appends in their cell partitions. Ids already in the
+   * store are skipped (one narrow id-column scan + broadcast anti-join),
+   * so replaying a batch after a partial failure cannot double-insert.
+   *
+   * This is the ANN analog of [[Dedup.appendToNearDupIndex]]: serving
+   * immediately sees the new vectors through the same DPP-pruned read;
+   * the model is only as stale as the last re-train, which is the
+   * standard IVF operating contract (re-train on drift, not per batch).
+   */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame): Unit = {
+    val model = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val storedIds = spark.read.parquet(s"$path/vectors").select(col("vec_id"))
+    val fresh = batch.join(storedIds, Seq("vec_id"), "left_anti")
+    withNorm(fresh.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
+      .withColumn("cell", assignCell(model, "v", "nrm"))
+      .select("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /**
    * Top-k search against a [[writeIvfIndex]] index. The probe set joins
    * the cell-partitioned scan on the PARTITION column, so dynamic
    * partition pruning restricts the read to the probed cells' files —

@@ -125,6 +125,33 @@ class PipelineOpsSpec extends SparkTestBase {
       s"expected dynamic partition pruning on the vectors scan:\n$plan")
   }
 
+  test("IVF append: stored model assigns the batch, serving sees it; replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 40).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j => math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+    val q = e.filter(col("vec_id") === 7L)
+    val before = Similarity.ivfStoredTopK(s, path, q, 1, nprobe = 2)
+      .collect().map(_.getLong(1)).toSeq
+    // append a near-copy of query 7 — it must become the top neighbor
+    val twin = (0 until 40).map { i =>
+      (1000L + i, (0 until Similarity.Dim).map(j =>
+        (math.sin(i * 31 + j) * (if (i == 7) 1.0001 else 1.0)).toFloat).toArray)
+    }.toDF("vec_id", "embedding").filter(col("vec_id") === 1007L)
+    Similarity.appendToIvfIndex(s, path, twin)
+    val after = Similarity.ivfStoredTopK(s, path, q, 1, nprobe = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(before != Seq(1007L) && after == Seq(1007L),
+      s"appended twin must serve as top neighbor: before=$before after=$after")
+    // replaying the append must not double-insert
+    val n = s.read.parquet(s"$path/vectors").count()
+    Similarity.appendToIvfIndex(s, path, twin)
+    assert(s.read.parquet(s"$path/vectors").count() == n, "replay must be a no-op")
+  }
+
   // ---- exact dedup ----
 
   test("exact groups count duplicates and keep min id") {

@@ -107,15 +107,30 @@ object Dedup {
                     minEstimate: Double): DataFrame = {
     def side(as: String) = sig.select(
       col("doc_id").as(as) +: (0 until numPerms).map(i => col(s"mh$i").as(s"${as}_m$i")): _*)
-    val eq = (0 until numPerms)
-      .map(i => when(col(s"doc_a_m$i") === col(s"doc_b_m$i"), 1).otherwise(0))
-      .reduce(_ + _)
     candidates
       .join(side("doc_a"), Seq("doc_a"))
       .join(side("doc_b"), Seq("doc_b"))
-      .filter(eq >= (lit(minEstimate) * numPerms).cast("int"))
+      .filter(sigEqCount(numPerms, "doc_a_m", "doc_b_m") >=
+        (lit(minEstimate) * numPerms).cast("int"))
       .select("doc_a", "doc_b")
   }
+
+  /** The slack below the exact threshold that the estimate prune allows —
+    * the σ analysis in [[estimatePrune]]'s doc is load-bearing for BOTH
+    * the batch pipeline ([[nearDupPairs]]) and the serving path
+    * ([[nearDupLookup]]); change it in one place only. */
+  val EstimateSlack = 0.25
+
+  private def minEstimateFor(threshold: Double): Double =
+    math.max(0.0, threshold - EstimateSlack)
+
+  /** Count of equal signature components across two column families
+    * (`{a}0..{a}{n-1}` vs `{b}0..{b}{n-1}`) — the unbiased Jaccard
+    * estimator both prune sites share. */
+  private def sigEqCount(numPerms: Int, a: String, b: String): Column =
+    (0 until numPerms)
+      .map(i => when(col(s"$a$i") === col(s"$b$i"), 1).otherwise(0))
+      .reduce(_ + _)
 
   /** Exact Jaccard for candidate pairs: |A∩B| via shingle-hash equi-join
     * restricted to candidates, sizes from per-doc counts. Joining on the
@@ -158,7 +173,7 @@ object Dedup {
     sig.count()
     val cand = lshCandidates(lshBands(sig, bands, rowsPerBand))
     val pruned = estimatePrune(cand, sig, bands * rowsPerBand,
-      minEstimate = math.max(0.0, threshold - 0.25))
+      minEstimate = minEstimateFor(threshold))
     verifyJaccard(pruned, sh).filter(col("jaccard") >= threshold)
   }
 
@@ -309,14 +324,11 @@ object Dedup {
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), graft.plans.SimHash60(col("text")).as("simhash"))
 
-  /**
-   * Near-dup pairs within `maxHamming`, banded: B = maxHamming+1 bands of
-   * 60/B bits each; pigeonhole guarantees exact recall at the radius.
-   */
-  /** (doc_id, simhash, band, band_val) banded fingerprint frame — the
-    * shared projection under the batch self-join ([[simHashPairs]]) and
-    * the streaming screen ([[graft.streaming.StreamingNearDup]]). Works
-    * on batch AND streaming frames (pure projection + explode). */
+  /** (doc_id, simhash, band, band_val) banded fingerprint frame —
+    * B = maxHamming+1 bands of 60/B bits each; the shared projection
+    * under the batch self-join ([[simHashPairs]]) and the streaming
+    * screen ([[graft.streaming.StreamingNearDup]]). Works on batch AND
+    * streaming frames (pure projection + explode). */
   def simHashBanded(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val bandBits = SimBits / bands // fingerprints have 60 bits; drop remainder bits into last band
@@ -330,6 +342,10 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("bh.band"), col("bh.band_val"))
   }
 
+  /**
+   * Near-dup pairs within `maxHamming`, banded: pigeonhole over the
+   * [[simHashBanded]] bands guarantees exact recall at the radius.
+   */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val banded = simHashBanded(docs, maxHamming)
     val l = banded.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
@@ -435,10 +451,18 @@ object Dedup {
       val live = new org.apache.hadoop.fs.Path(s"$path/$table")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
       val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")
+      // crash recovery: a previous run that died between its two renames
+      // left the only copy at `.old` — restore it before anything else
+      // (and never delete `.old` unless `live` exists)
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"crash recovery failed for $table")
       fs.delete(tmp, true); fs.delete(old, true)
       rewrite(spark.read.parquet(live.toString))
-      require(fs.rename(live, old) && fs.rename(tmp, live),
-        s"compaction swap failed for $table")
+      require(fs.rename(live, old), s"compaction swap failed for $table")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live) // roll back so the store stays servable
+        throw new IllegalStateException(s"compaction swap failed for $table (rolled back)")
+      }
       fs.delete(old, true)
     }
     swap("bands")(df => df.repartition(col("bucket"))
@@ -480,10 +504,17 @@ object Dedup {
    *
    * Admission: with `dropMatched=true` (the screen-and-reject policy),
    * batch docs that near-duplicate the existing corpus are NOT admitted;
-   * the default admits everything (flag-don't-drop). Either way docs
-   * whose ids are ALREADY in the store are skipped (a cheap broadcast
-   * anti-join against the id column of `sizes`), so replaying a batch
-   * after a partial failure cannot double-insert a doc's rows.
+   * the default admits everything (flag-don't-drop).
+   *
+   * Replay safety: `sizes` is written LAST and acts as the append's
+   * COMMIT MARKER — the id anti-join against it skips docs whose append
+   * completed, so replaying a committed batch is a no-op. A replay after
+   * a crash BEFORE the sizes write re-appends the batch, leaving
+   * duplicate rows in the earlier tables for those docs; serving is
+   * immune to that by construction ([[nearDupLookup]] distincts its
+   * candidate set and counts DISTINCT shingle hashes), and the next
+   * [[compactNearDupIndex]] could fold a dedup into its rewrite if the
+   * dead weight matters.
    */
   def appendToNearDupIndex(batch: DataFrame, path: String, shingleK: Int = 3,
                            threshold: Double = 0.8,
@@ -564,9 +595,8 @@ object Dedup {
       (0 until numPerms).map(i => col(s"mh$i").as(s"q_m$i")): _*)
     val cs = storedSig.select(col("doc_id").as("corpus_id") +:
       (0 until numPerms).map(i => col(s"mh$i").as(s"c_m$i")): _*)
-    val eq = (0 until numPerms)
-      .map(i => when(col(s"q_m$i") === col(s"c_m$i"), 1).otherwise(0)).reduce(_ + _)
-    val minEstimate = math.max(0.0, threshold - 0.25)
+    val eq = sigEqCount(numPerms, "q_m", "c_m")
+    val minEstimate = minEstimateFor(threshold)
     // single-computed: BOTH the candidate-id broadcast and the
     // intersection join embed this subplan — naively the signatures scan
     // and the 60-column estimate filter would execute twice per lookup.
@@ -577,9 +607,14 @@ object Dedup {
     // in the lifecycle queries); checkpoint blocks are private to this
     // frame. (Checkpointing the RESULT is safe for DPP; only caching the
     // qsh probe lineage above would hide the selective filter.)
+    // .distinct(): `sizes` is the append's COMMIT MARKER (written last),
+    // so a crash between the earlier table appends and the sizes append
+    // followed by a replay leaves duplicate signature rows for the batch
+    // — the distinct (candidate-sized) makes serving immune to them
     val prunedRaw = cand.join(qs, Seq("query_id")).join(cs, Seq("corpus_id"))
       .filter(eq >= (lit(minEstimate) * numPerms).cast("int"))
       .select("query_id", "corpus_id")
+      .distinct()
     val pruned = if (reuseCandidates) prunedRaw.localCheckpoint(false) else prunedRaw
 
     // 4. exact verify — corpus shingles first cut to candidate docs by a
@@ -589,10 +624,13 @@ object Dedup {
     val candSh = storedSh
       .join(broadcast(candIds), storedSh("doc_id") === candIds("cand_id"), "left_semi")
       .select(col("doc_id").as("corpus_id"), col("h"))
+    // countDistinct, not count: crash-replayed appends can leave duplicate
+    // shingle rows (see the commit-marker note above); distinct-h counts
+    // the intersection correctly either way, in the same aggregate
     val inter = pruned
       .join(qsh.select(col("doc_id").as("query_id"), col("h")), Seq("query_id"))
       .join(candSh, Seq("corpus_id", "h"))
-      .groupBy(col("query_id"), col("corpus_id")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("query_id"), col("corpus_id")).agg(countDistinct(col("h")).as("inter"))
     val qn = qsh.groupBy(col("doc_id")).agg(count(lit(1)).as("qn"))
       .withColumnRenamed("doc_id", "query_id")
     val cn = spark.read.parquet(s"$path/sizes")

@@ -45,10 +45,14 @@ object Sketches {
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
                          shingleK: Int = 8, fpp: Double = 0.01): DataFrame = {
     val spark = docs.sparkSession
-    // cached: the eval shingle set feeds three consumers (sizing count,
-    // Bloom build, exact-verify join) — without the cache the explode +
-    // distinct of the "too big to broadcast" side would run three times
-    val bench = Dedup.shingleFrame(benchmark, shingleK).select(col("shingle")).distinct().cache()
+    // localCheckpoint, not .cache(): the eval shingle set feeds three
+    // consumers (sizing count, Bloom build, exact-verify join) — a cache
+    // would pin an InMemoryRelation in the cache manager FOREVER in a
+    // long-lived screening session (and leak one per call), while
+    // checkpoint blocks are context-cleaned once the returned frame is
+    // unreachable, as is the broadcast bitset below
+    val bench = Dedup.shingleFrame(benchmark, shingleK).select(col("shingle")).distinct()
+      .localCheckpoint(true)
     // sizing count + filter build: two eval-set-sized actions, no corpus scan
     val nBench = math.max(bench.count(), 1L)
     val bloom = bench.stat.bloomFilter(col("shingle"), nBench, fpp)

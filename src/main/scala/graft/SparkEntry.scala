@@ -1255,10 +1255,11 @@ object SparkEntry {
              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin
 
-  /** Oracle for the deterministic trained-IVF paths (knn_ivf_kmeans and
-    * knn_ivf_stored share it — the stored index changes WHERE the data
-    * lives, not what the search returns). */
-  private val IvfKmeansOracle =
+  /** The shared deterministic-Lloyd CTE chain (seeds vec_id<4, two mean
+    * recomputes, final assignment `af` + centroid frame `c2n`) — the SQL
+    * twin of `kmeansCentroids(k=4, iters=2)` + `assignCell`, reused by
+    * every oracle that consumes the trained model. */
+  private val KmeansAssignCte =
        """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
              |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
              |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, e AS ce,
@@ -1287,8 +1288,13 @@ object SparkEntry {
              |         SELECT v.vec_id, v.e, v.nrm, s.cell,
              |           row_number() OVER (PARTITION BY v.vec_id
              |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
-             |         FROM n v CROSS JOIN c2n s) WHERE rn = 1),
-             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |         FROM n v CROSS JOIN c2n s) WHERE rn = 1)""".stripMargin
+
+  /** Oracle for the deterministic trained-IVF paths (knn_ivf_kmeans and
+    * knn_ivf_stored share it — the stored index changes WHERE the data
+    * lives, not what the search returns). */
+  private val IvfKmeansOracle = KmeansAssignCte + ",\n" +
+       """q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
              |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
              |         row_number() OVER (PARTITION BY q.vec_id
              |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
@@ -2449,7 +2455,25 @@ object SparkEntry {
       Sketches.vocabCardinality(docs(s, d)),
       Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
              |SELECT CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
-             |       TRUE AS hll_in_band FROM t""".stripMargin))
+             |       TRUE AS hll_in_band FROM t""".stripMargin)),
+
+    // ---- LLM: SemDeDup (Abbas et al. 2023) — semantic dedup in
+    // embedding space: k-means cells, then within each cell drop every
+    // vector dominated by a duplicate (cosine >= τ) that sits FARTHER
+    // from the centroid (the paper's diversity-keeping rule). Emits the
+    // survivors. ---------------------------------------------------------
+    ("semdedup", (s: SparkSession, d: String) =>
+      Similarity.semDedup(embs(s, d), threshold = 0.45, kCells = 4, iters = 2),
+      Some(KmeansAssignCte + ",\n" +
+        """cc AS (SELECT a.vec_id, a.e, a.nrm, a.cell,
+             |         list_dot_product(a.e, s.ce) / (a.nrm * s.cnrm) AS ccos
+             |       FROM af a JOIN c2n s USING (cell)),
+             |drp AS (SELECT DISTINCT a.vec_id
+             |        FROM cc a JOIN cc b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+             |        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+             |          AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+             |SELECT vec_id, cell, round(ccos, 6) AS centroid_cosine
+             |FROM cc WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

@@ -513,6 +513,59 @@ object Similarity {
         col("true_label"), (col("label") === col("true_label")).as("hit"))
   }
 
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+   * deduplication in embedding space: cluster the corpus with
+   * [[kmeansCentroids]] (deterministic Lloyd), then within each cluster
+   * drop every vector that has a semantic duplicate (cosine >= threshold)
+   * KEPT in preference to it. The paper's reference implementation sorts
+   * each cluster by similarity-to-centroid and drops a point when any
+   * EARLIER point (lower centroid-cosine — i.e. the more "atypical",
+   * diversity-preserving example — ties broken by id) is within the
+   * threshold; that order-scan is exactly a dominance rule, so it
+   * re-expresses as one self-equi-join on the cell id — no per-cluster
+   * iteration, no similarity matrix.
+   *
+   * Scale shape (the paper's own): candidates are bounded by CELL size —
+   * kCells grows with the corpus (the paper trains 110k clusters for
+   * LAION-scale data) so the per-cell quadratic stays constant-bounded;
+   * the join key is the cell id (AQE splits skewed cells), the model is
+   * driver-resident, and the centroid-cosine pass joins against a
+   * broadcast k-row frame. One shuffle on `cell`, one anti-join on
+   * `vec_id`.
+   *
+   * Output: the SURVIVING vectors — (vec_id, cell, centroid_cosine).
+   */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               kCells: Int = 4, iters: Int = 2): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"semDedup threshold must be in (0, 1], got $threshold")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = kmeansCentroids(corpus, kCells, iters)
+    val cents = broadcast(
+      withNorm(model.toDF("cell", "centroid"), "centroid")
+        .withColumnRenamed("nrm", "centroid_nrm"))
+    val assigned = withNorm(corpus.select(col("vec_id"), dvec("embedding").as("v")), "v")
+      .withColumn("cell", assignCell(model, "v", "nrm"))
+      .join(cents, Seq("cell"))
+      .withColumn("ccos", graft.plans.VectorDot(col("v"), col("centroid")) /
+        (col("nrm") * col("centroid_nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("ccos"))
+    val a = assigned.select(col("vec_id"), col("v").as("av"),
+      col("nrm").as("av_nrm"), col("cell"), col("ccos"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bv_nrm"), col("cell"), col("ccos").as("b_ccos"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("b_id") =!= col("vec_id"))
+      .filter(cosine("av", "bv") >= threshold)
+      .filter(col("b_ccos") < col("ccos") ||
+        (col("b_ccos") === col("ccos") && col("b_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), round(col("ccos"), 6).as("centroid_cosine"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (Jégou et al. 2011) — compressed ANN codes +
   // asymmetric-distance (ADC) search: the memory-scale path where even

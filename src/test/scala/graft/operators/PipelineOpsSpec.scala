@@ -415,6 +415,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set(0L, 1L, 2L)) // only the trained x cell probed
   }
 
+  test("semDedup: within-cell duplicates keep the farthest-from-centroid example") {
+    val s = spark
+    import s.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    // x cell: 0 and 2 identical, 3 a near-dup ~5.7° off-axis (the most
+    // atypical of the three); y cell: 1 and 4 identical
+    val corpus = Seq(
+      (0L, vec(1, 0), 0), (1L, vec(0, 1), 0), (2L, vec(1, 0), 0),
+      (3L, vec(0.995, 0.0998), 0), (4L, vec(0, 1), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(corpus, threshold = 0.95, kCells = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // x cell: all three are mutual duplicates at 0.95 — only the LOWEST
+    // centroid-cosine member (3) survives, per the paper's keep rule;
+    // y cell: the ccos tie breaks to the lower vec_id (1)
+    assert(out.keySet == Set(1L, 3L))
+    assert(out.values.toSet.size == 2) // survivors sit in different cells
+    // tighten the threshold past the near-dup: only exact pairs collapse
+    val strict = Similarity.semDedup(corpus, threshold = 0.9999, kCells = 2, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(0L, 1L, 3L))
+  }
+
   test("srp threshold pairs: same-bucket pairs scored, cross-bucket pairs skipped") {
     val s = spark
     import s.implicits._

@@ -2473,7 +2473,33 @@ object SparkEntry {
              |        WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
              |          AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
              |SELECT vec_id, cell, round(ccos, 6) AS centroid_cosine
-             |FROM cc WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin))
+             |FROM cc WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin)),
+
+    // ---- LLM: substring-level duplicate spans (Lee et al. 2022's
+    // ExactSubstr idea, token-shingle formulation) — positions whose
+    // 8-gram repeats anywhere in the corpus, merged into maximal spans
+    // (the unit span-dedup cuts out, vs dropping whole docs) -------------
+    ("duplicate_spans", (s: SparkSession, d: String) =>
+      TextOps.duplicateSpans(docs(s, d), gramK = 8, minCount = 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |gx AS (SELECT doc_id, CAST(g - 1 AS INTEGER) AS pos,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS gram
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |f AS (SELECT doc_id, pos FROM (
+             |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ FROM gx)
+             |      WHERE occ >= 2),
+             |m AS (SELECT doc_id, pos,
+             |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM f),
+             |r AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |      FROM m)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+             |       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+             |FROM r GROUP BY doc_id, grp""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

@@ -433,6 +433,52 @@ object TextOps {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
   }
 
+  /**
+   * Substring-level duplicate-SPAN detection (the span-dedup idea of Lee
+   * et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better", arXiv:2107.06499 — their suffix-array ExactSubstr finds
+   * repeated character spans; this is the token-shingle formulation): a
+   * token position is duplicated when the `gramK`-gram starting there
+   * occurs >= `minCount` times across the CORPUS (within-doc repeats
+   * count too), and runs of duplicated positions merge into maximal
+   * spans — the unit a span-level dedup would cut out, rather than
+   * dropping whole documents.
+   *
+   * Shape: one shingle projection (codegen'd [[graft.plans.WordShingles]])
+   * → ONE shuffle on the gram for the occurrence count (a count window,
+   * not a groupBy+self-join — the positions frame moves once) → one
+   * (doc_id)-keyed window pair for the classic interval merge (running
+   * max of span ends decides continuity, a prefix sum numbers the
+   * groups). Gram cardinality grows with the corpus, so partitions stay
+   * small at any scale; the doc_id window is bounded by tokens/doc.
+   *
+   * Output: (doc_id, span_start, span_end, span_tokens) — token indices,
+   * end exclusive — one row per maximal duplicated span.
+   */
+  def duplicateSpans(docs: DataFrame, gramK: Int = 8, minCount: Long = 2): DataFrame = {
+    require(gramK >= 1 && minCount >= 2,
+      s"need gramK >= 1 and minCount >= 2, got $gramK / $minCount")
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("col"))))
+      .filter(col("occ") >= minCount)
+      .select(col("doc_id"), col("pos"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos
+      .withColumn("prev_end", max(col("pos") + gramK).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("is_new")).over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + gramK).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
   /** Email / phone / digit-run redaction patterns (RE2- and Java-regex
     * compatible, so the DuckDB oracle applies the identical patterns). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -415,6 +415,20 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Set(0L, 1L, 2L)) // only the trained x cell probed
   }
 
+  test("duplicateSpans: repeated grams merge into maximal spans, within-doc repeats count") {
+    val d = docsDf(
+      1L -> "x1 x2 a b c x3 x4",      // one duplicated 3-gram at pos 2
+      2L -> "y1 a b c y2 a b c y3",   // SAME doc repeats it — two disjoint spans
+      3L -> "a b c d",                // overlapping duplicated grams at pos 0 and 1
+      4L -> "a b c d")                // ... merge into ONE maximal span
+    val got = TextOps.duplicateSpans(d, gramK = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 2L, 5L, 3L),
+      (2L, 1L, 4L, 3L), (2L, 5L, 8L, 3L),
+      (3L, 0L, 4L, 4L), (4L, 0L, 4L, 4L)))
+  }
+
   test("semDedup: within-cell duplicates keep the farthest-from-centroid example") {
     val s = spark
     import s.implicits._

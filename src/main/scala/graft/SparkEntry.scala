@@ -2499,7 +2499,32 @@ object SparkEntry {
              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
              |       CAST(max(pos) + 8 AS BIGINT) AS span_end,
              |       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
-             |FROM r GROUP BY doc_id, grp""".stripMargin))
+             |FROM r GROUP BY doc_id, grp""".stripMargin)),
+
+    // ---- LLM: DSIR importance weights (Xie et al. 2023) — hashed
+    // unigram+bigram models, target (src0) vs raw corpus, per-doc
+    // log-likelihood ratio in micro-nat integer sums ---------------------
+    ("dsir_weights", (s: SparkSession, d: String) =>
+      TextOps.dsirWeights(docs(s, d), isTarget = col("source") === "src0", buckets = 256),
+      Some("""WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents),
+             |u AS (SELECT doc_id, source, unnest(ws) AS feat FROM w
+             |      UNION ALL
+             |      SELECT doc_id, source,
+             |        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS feat
+             |      FROM w WHERE len(ws) >= 2),
+             |b AS (SELECT doc_id, source = 'src0' AS tgt,
+             |        ('0x' || substr(md5('dsir:' || feat), 1, 15))::BIGINT % 256 AS bucket FROM u),
+             |c AS (SELECT bucket, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |        CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY bucket),
+             |t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM c),
+             |tm AS (SELECT bucket,
+             |         CAST(round((ln((ct + 1.0) / (tt + 256.0)) - ln((cr + 1.0) / (tr + 256.0)))
+             |           * 1000000.0) AS BIGINT) AS term
+             |       FROM c CROSS JOIN t)
+             |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             |       round(CAST(sum(tm.term) AS DOUBLE) / 1000000.0, 6) AS logratio,
+             |       round(CAST(sum(tm.term) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_logratio
+             |FROM b JOIN tm USING (bucket) GROUP BY b.doc_id""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

@@ -559,6 +559,54 @@ object TextOps {
   }
 
   /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling", arXiv:2302.03169): score
+   * every document by the log-likelihood ratio of a TARGET-domain
+   * bag-of-hashed-ngrams model over the RAW-corpus model — the weight
+   * DSIR then resamples by to tilt a web-scale corpus toward a target
+   * domain. Features are the paper's: unigrams + bigrams, hashed into
+   * `buckets` buckets (10k in the paper; the hash is the salted
+   * md5-residue, engine-reproducible); both models are add-1-smoothed
+   * bucket multinomials; a document's weight is
+   * Σ_feat [ln p_target(b(feat)) − ln p_raw(b(feat))].
+   *
+   * Determinism: the per-BUCKET log term rounds to integer micro-nats in
+   * the `buckets`-row model frame, so per-doc sums are integer additions —
+   * no float-order dependence under AQE or re-partitioning.
+   *
+   * Scale shape: one feature projection (codegen'd shingles) feeding one
+   * bucket-keyed aggregate (`buckets` rows — map-side combined), then the
+   * tiny model frame broadcast-joins back onto the feature stream for a
+   * doc_id-keyed sum. The corpus never shuffles on content; the only
+   * wide exchange is the final doc_id aggregate.
+   */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val feats = docs
+      .select(col("doc_id"), isTarget.as("tgt"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("tgt"),
+        explode(concat(col("ws"), graft.plans.WordShingles(col("ws"), 2))).as("feat"))
+      .withColumn("bucket", saltedHashBucket(col("feat"), "dsir:", buckets.toLong))
+      .select("doc_id", "tgt", "bucket")
+    val byBucket = feats.groupBy(col("bucket")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = byBucket.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val model = byBucket.crossJoin(broadcast(totals))
+      .withColumn("term",
+        round((log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+               log((col("cr") + 1).cast("double") / (col("tr") + buckets))) * 1e6)
+          .cast("long"))
+      .select(col("bucket"), col("term"))
+    feats.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("s").cast("double") / 1e6, 6).as("logratio"),
+        round(col("s").cast("double") / 1e6 / col("n_feats"), 6).as("avg_logratio"))
+  }
+
+  /**
    * Unigram-LM surprisal scoring — per-document cross-entropy against the
    * corpus's own unigram distribution (the classic cheap perplexity proxy
    * for quality filtering: rare-token-soup documents score high, natural

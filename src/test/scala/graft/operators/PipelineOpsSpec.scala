@@ -429,6 +429,26 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, 0L, 4L, 4L), (4L, 0L, 4L, 4L)))
   }
 
+  test("dsirWeights: target-vocabulary docs outscore raw-only docs; feature count = uni+bi") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta gamma", "tgt"),
+      (3L, "delta epsilon delta epsilon", "web"),
+      (4L, "alpha beta alpha", "web"),       // target-looking doc in the raw pool
+      (5L, "delta epsilon zeta", "web")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.dsirWeights(d, isTarget = col("source") === "tgt", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 7L) // 4 unigrams + 3 bigrams
+    assert(got(2L)._1 == 5L)
+    // docs made of target n-grams score above docs of raw-only n-grams —
+    // including doc 4, which DSIR would up-weight out of the raw pool
+    assert(got(1L)._2 > got(3L)._2 && got(4L)._2 > got(3L)._2)
+    assert(got(4L)._2 > got(5L)._2)
+  }
+
   test("semDedup: within-cell duplicates keep the farthest-from-centroid example") {
     val s = spark
     import s.implicits._

@@ -2524,7 +2524,37 @@ object SparkEntry {
              |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
              |       round(CAST(sum(tm.term) AS DOUBLE) / 1000000.0, 6) AS logratio,
              |       round(CAST(sum(tm.term) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_logratio
-             |FROM b JOIN tm USING (bucket) GROUP BY b.doc_id""".stripMargin))
+             |FROM b JOIN tm USING (bucket) GROUP BY b.doc_id""".stripMargin)),
+
+    // ---- LLM: the CUT step of span dedup — first-occurrence-wins,
+    // merged loser spans, per-doc removed/kept token accounting ----------
+    ("span_dedup_stats", (s: SparkSession, d: String) =>
+      TextOps.spanDedupStats(docs(s, d), gramK = 8, minCount = 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |gx AS (SELECT doc_id, CAST(g - 1 AS INTEGER) AS pos,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS gram
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |f AS (SELECT doc_id, pos FROM (
+             |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ,
+             |               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             |        FROM gx)
+             |      WHERE occ >= 2 AND rn > 1),
+             |m AS (SELECT doc_id, pos,
+             |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM f),
+             |r AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |      FROM m),
+             |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM r GROUP BY doc_id, grp),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |         CAST(sum(e - s) AS BIGINT) AS cut_tokens FROM sp GROUP BY doc_id)
+             |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+             |       coalesce(pd.n_spans, 0) AS n_spans,
+             |       coalesce(pd.cut_tokens, 0) AS cut_tokens,
+             |       CAST(len(w.ws) AS BIGINT) - coalesce(pd.cut_tokens, 0) AS kept_tokens
+             |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

@@ -464,6 +464,16 @@ object TextOps {
       .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("col"))))
       .filter(col("occ") >= minCount)
       .select(col("doc_id"), col("pos"))
+    mergeSpans(pos, gramK)
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+  }
+
+  /** Classic interval merge over gram start positions: each pos covers
+    * [pos, pos+gramK); a running max of span ends (over preceding rows)
+    * decides continuity, a prefix sum numbers the runs. Per-doc window
+    * pair, bounded by tokens/doc. In: (doc_id, pos). Out: one row per
+    * maximal span — (doc_id, span_start, span_end), end exclusive. */
+  private def mergeSpans(pos: DataFrame, gramK: Int): DataFrame = {
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -475,8 +485,42 @@ object TextOps {
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + gramK).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /**
+   * The CUT step completing [[duplicateSpans]] — span-level dedup
+   * accounting with the first-occurrence-wins policy of Lee et al.'s
+   * ExactSubstr dedup: for every duplicated gram the occurrence with the
+   * lowest (doc_id, pos) survives; every LOSING occurrence's span is cut.
+   * Overlapping loser spans merge before counting, so a token is never
+   * cut twice. Emits one row per document (clean docs included):
+   * (doc_id, n_tokens, n_spans, cut_tokens, kept_tokens).
+   *
+   * Same scale shape as [[duplicateSpans]] plus a row_number on the gram
+   * partition (the winner election) and a broadcast-sized per-doc join.
+   */
+  def spanDedupStats(docs: DataFrame, gramK: Int = 8, minCount: Long = 2): DataFrame = {
+    require(gramK >= 1 && minCount >= 2,
+      s"need gramK >= 1 and minCount >= 2, got $gramK / $minCount")
+    val wG = Window.partitionBy(col("col"))
+    val wGo = wG.orderBy(col("doc_id"), col("pos"))
+    val losers = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
+      .withColumn("occ", count(lit(1)).over(wG))
+      .withColumn("rn", row_number().over(wGo))
+      .filter(col("occ") >= minCount && col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val perDoc = mergeSpans(losers, gramK)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("cut_tokens"))
+    docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "cut_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("cut_tokens"),
+        (col("n_tokens") - col("cut_tokens")).as("kept_tokens"))
   }
 
   /** Email / phone / digit-run redaction patterns (RE2- and Java-regex

@@ -429,6 +429,23 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, 0L, 4L, 4L), (4L, 0L, 4L, 4L)))
   }
 
+  test("spanDedupStats: first occurrence wins, loser spans merge, clean docs report zero") {
+    val d = docsDf(
+      1L -> "x1 x2 a b c x3 x4",      // holds the global first "a b c" — wins
+      2L -> "y1 a b c y2 a b c y3",   // two losing occurrences, disjoint spans
+      3L -> "a b c d",                // loses "a b c", KEEPS "b c d" (its first)
+      4L -> "a b c d")                // loses both grams — overlap merges to one span
+    val got = TextOps.spanDedupStats(d, gramK = 3, minCount = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 7L, 0L, 0L, 7L),
+      (2L, 9L, 2L, 6L, 3L),
+      (3L, 4L, 1L, 3L, 1L),
+      (4L, 4L, 1L, 4L, 0L)))
+  }
+
   test("dsirWeights: target-vocabulary docs outscore raw-only docs; feature count = uni+bi") {
     val s = spark
     import s.implicits._

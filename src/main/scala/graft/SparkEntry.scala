@@ -2554,7 +2554,145 @@ object SparkEntry {
              |       coalesce(pd.n_spans, 0) AS n_spans,
              |       coalesce(pd.cut_tokens, 0) AS cut_tokens,
              |       CAST(len(w.ws) AS BIGINT) - coalesce(pd.cut_tokens, 0) AS kept_tokens
-             |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin))
+             |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    // ---- LLM: per-source document cap (RefinedWeb-style domain cap) —
+    // deterministic content-hash-ranked survivors; under-cap sources
+    // bypass the rank window entirely ------------------------------------
+    ("source_cap", (s: SparkSession, d: String) =>
+      TextOps.sourceCap(docs(s, d), cap = 15)
+        .select(col("doc_id"), col("source")),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |r AS (SELECT d.doc_id, d.source, c.n,
+             |        row_number() OVER (PARTITION BY d.source
+             |          ORDER BY ('0x' || substr(md5('cap:' || d.text), 1, 15))::BIGINT % 1000000000,
+             |                   d.doc_id) AS rn
+             |      FROM documents d JOIN c USING (source))
+             |SELECT doc_id, source FROM r WHERE n <= 15 OR rn <= 15""".stripMargin)),
+
+    // ---- LLM: deterministic train/val/test split — content-hash
+    // residue intervals, stable under growth/reorder, leakage-proof ------
+    ("corpus_split", (s: SparkSession, d: String) =>
+      TextOps.stratifiedSplit(docs(s, d))
+        .select(col("doc_id"), col("source"), col("split")),
+      Some("""SELECT doc_id, source,
+             |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id, source,
+             |        ('0x' || substr(md5('split:' || text), 1, 15))::BIGINT % 10000 AS b
+             |      FROM documents)""".stripMargin)),
+
+    // ---- LLM: BPE training, iteration-0 pair statistics — the one
+    // corpus-sized stage (word-freq aggregate) + type-level pair explode -
+    ("bpe_pair_counts", (s: SparkSession, d: String) =>
+      Bpe.pairCounts(docs(s, d)),
+      Some("""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             |        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+             |      WHERE len(w) > 0 GROUP BY w),
+             |p AS (SELECT substr(w, CAST(i AS INTEGER), 1) AS lft,
+             |             substr(w, CAST(i AS INTEGER) + 1, 1) AS rgt, freq
+             |      FROM wf, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+             |      WHERE len(w) >= 2)
+             |SELECT lft AS "left", rgt AS "right",
+             |       CAST(sum(freq) AS BIGINT) AS pair_count
+             |FROM p GROUP BY lft, rgt""".stripMargin)),
+
+    // ---- LLM: BPE merge training — driver loop over the word-TYPE
+    // dictionary (deterministic count-desc/pair-asc argmax); the merge
+    // table is the model artifact. Not SQL-expressible → rows-only ------
+    ("bpe_merges", (s: SparkSession, d: String) =>
+      Bpe.trainMerges(docs(s, d), numMerges = 30),
+      None),
+
+    // ---- LLM: BPE application — per-doc subword counts under the
+    // trained merges; the encode UDF runs once per word TYPE -------------
+    ("bpe_subwords", (s: SparkSession, d: String) => {
+      val dd = docs(s, d)
+      Bpe.subwordStats(dd, Bpe.trainMerges(dd, numMerges = 30))
+    },
+      None),
+
+    // ---- LLM: Matryoshka-truncated search — exact cosine on the first
+    // 16 of 64 dims (the cheap-scan prefix baseline) ---------------------
+    ("knn_trunc", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.truncatedTopK(e, e.filter(col("vec_id") < 10), 10, dims = 16)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: two-stage Matryoshka serving — truncated shortlist(50)
+    // → exact full-width rerank to top-10 --------------------------------
+    ("knn_trunc_rerank", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.truncRerankTopK(e, e.filter(col("vec_id") < 10), 10,
+        dims = 16, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |tv AS (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |tn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM tv),
+             |tq AS (SELECT * FROM tn WHERE vec_id < 10),
+             |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM tq q CROSS JOIN tn c WHERE c.vec_id <> q.vec_id),
+             |short AS (SELECT query_id, neighbor_id FROM (
+             |            SELECT query_id, neighbor_id, row_number() OVER
+             |              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ts)
+             |          WHERE rnk <= 50),
+             |fn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |fq AS (SELECT * FROM fn WHERE vec_id < 10),
+             |fs AS (SELECT s.query_id, s.neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM short s JOIN fq q ON q.vec_id = s.query_id
+             |                    JOIN fn c ON c.vec_id = s.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM fs)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall@10 of the truncated-prefix search vs exact —
+    // the dimension-truncation quality dial ------------------------------
+    ("ann_recall_trunc", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.truncatedTopK(e, q, 10, dims = 16))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |qn AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM qn q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10),
+             |tv AS (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |tn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM tv),
+             |tq AS (SELECT * FROM tn WHERE vec_id < 10),
+             |ts AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM tq q CROSS JOIN tn c WHERE c.vec_id <> q.vec_id),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ts)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs

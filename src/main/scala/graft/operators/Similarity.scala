@@ -892,6 +892,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sq_dot"), 6).as("sq_dot"))
   }
 
+  // ------------------------------------------------------------------
+  // Matryoshka-style dimension truncation — the "read fewer floats"
+  // axis: MRL-trained embeddings keep most of their signal in a prefix
+  // of the dimensions, so a search over the first `dims` components
+  // scans `dims/Dim` of the bytes (Kusupati et al. 2022, "Matryoshka
+  // Representation Learning").
+  // ------------------------------------------------------------------
+
+  /** First-`dims` prefix search: exact cosine over the TRUNCATED
+    * vectors. On its own this is the cheap-scan baseline for the
+    * recall audit; composed as [[truncRerankTopK]]'s stage 1 it is the
+    * shortlist generator. The corpus-side projection slices before the
+    * norm, so per-row work (and, off a column store with a prefix
+    * layout, bytes read) scales with `dims`, not `Dim`. */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= Dim, s"dims ($dims) must be in [1, $Dim]")
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        slice(col("embedding"), 1, dims).as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      slice(col("embedding"), 1, dims).as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    rankPairs(c.crossJoin(q), k)
+  }
+
+  /** Two-stage Matryoshka serving: truncated-prefix shortlist → exact
+    * full-dimension re-rank — the same adaptive-retrieval shape as
+    * [[pqRerankTopK]], with dimension truncation instead of PQ codes as
+    * the cheap stage. Stage 2 touches `shortlist` ids per query, so the
+    * full-width vectors are read for a query-sized set only. */
+  def truncRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      dims: Int, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val shortIds = truncatedTopK(corpus, queries, shortlist, dims)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"), dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    // prune FIRST: full-width norms/cosines run on shortlist survivors only
+    val pruned = corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
+  }
+
   /**
    * Recall@k audit — the fraction of the EXACT top-k each approximate
    * method recovers, per query: the quality dial every ANN deployment

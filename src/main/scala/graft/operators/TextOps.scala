@@ -603,6 +603,77 @@ object TextOps {
   }
 
   /**
+   * Per-source document cap — the "domain cap" step web-curation
+   * pipelines run so one giant crawl domain cannot dominate the mixture
+   * (RefinedWeb/FineWeb keep at most N pages per registered domain).
+   * Selection is deterministic: rank = salted content-hash residue with
+   * the doc_id tiebreak, so which documents survive depends on content,
+   * not on arrival order or partitioning, and re-runs agree.
+   *
+   * Scale shape: a per-source count (|sources|-row aggregate) broadcasts
+   * back onto the scan, and sources AT or UNDER the cap bypass ranking
+   * entirely — no sort, no shuffle for the common case. Only over-cap
+   * sources pay the rank window, and that window's partition key is the
+   * source, so the work is per-source top-N, never a corpus-wide sort.
+   * (A single source bigger than one executor's partition would need the
+   * two-pass threshold refinement — count residues per coarse bucket,
+   * pick the boundary bucket, rank only that bucket — the standard
+   * distributed top-N-per-key escalation; at `cap` values that fit a
+   * partition the window form is the right cost.)
+   */
+  def sourceCap(docs: DataFrame, cap: Int, hashMod: Long = 1000000000L): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("__src_n"))
+    val withN = docs.join(broadcast(counts), Seq("source"))
+    val under = withN.filter(col("__src_n") <= cap).drop("__src_n")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__rank_bucket").asc, col("doc_id").asc)
+    val overCapped = withN.filter(col("__src_n") > cap).drop("__src_n")
+      .withColumn("__rank_bucket", saltedHashBucket(col("text"), "cap:", hashMod))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rank_bucket", "__rn")
+    under.unionByName(overCapped)
+  }
+
+  /**
+   * Deterministic train/validation/test split: each document's split is
+   * a pure function of its content — a salted hash residue landing in
+   * one of the cumulative-fraction intervals — so the assignment is
+   * stable under corpus growth, reordering, and re-partitioning, and a
+   * document can never migrate between splits across pipeline runs (the
+   * leakage property eval hygiene needs). The salt makes the decision
+   * independent of the shard/sample/mix/cap hash decisions, so splitting
+   * composes with all of them. Stratification is the hash-uniformity
+   * kind: within any stratum (source, language) the residues are
+   * uniform, so each stratum lands in every split at ~the requested
+   * fractions without per-stratum bookkeeping — the only form that
+   * needs no second pass at 100 TB.
+   *
+   * `fractions` is an ordered (name, fraction) list; fractions must be
+   * positive and sum to 1 (to within 1e-9). One codegen'd projection,
+   * zero shuffles.
+   */
+  def stratifiedSplit(docs: DataFrame,
+                      fractions: Seq[(String, Double)] = Seq(
+                        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                      hashMod: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must be positive and sum to 1")
+    require(hashMod > 0, "hashMod must be positive")
+    val bucket = saltedHashBucket(col("text"), "split:", hashMod.toLong)
+    // cumulative upper boundaries; the LAST split takes everything left,
+    // so rounding in `fraction * hashMod` can never drop a residue
+    val bounds = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assign = fractions.init.zip(bounds).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), hi), acc) =>
+      when(bucket < hi * hashMod, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", assign)
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling", arXiv:2302.03169): score
    * every document by the log-likelihood ratio of a TARGET-domain

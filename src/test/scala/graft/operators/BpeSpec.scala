@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training/application specs — the Sennrich et al. 2016
+  * worked example plus the determinism and accounting contracts. */
+class BpeSpec extends SparkTestBase {
+
+  private def docsOf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  /** The classic BPE dictionary: low×5, lower×2, newest×6, widest×3. */
+  private def sennrichCorpus = docsOf(
+    (1L, Seq.fill(5)("low").mkString(" ")),
+    (2L, Seq.fill(2)("lower").mkString(" ")),
+    (3L, Seq.fill(6)("newest").mkString(" ")),
+    (4L, Seq.fill(3)("widest").mkString(" ")))
+
+  test("pairCounts: word-frequency-weighted adjacent char pairs") {
+    val got = Bpe.pairCounts(sennrichCorpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // e-s: newest(6) + widest(3); l-o and o-w: low(5) + lower(2)
+    assert(got(("e", "s")) == 9L)
+    assert(got(("s", "t")) == 9L)
+    assert(got(("l", "o")) == 7L)
+    assert(got(("o", "w")) == 7L)
+    assert(got(("e", "r")) == 2L)
+    assert(!got.contains(("t", "n"))) // pairs never span words
+  }
+
+  test("trainMerges: the worked-example merge sequence with deterministic tie-breaks") {
+    val merges = Bpe.trainMerges(sennrichCorpus, numMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // count 9 ties (e,s)/(s,t): pair-asc picks (e,s); after it, (es,t) is 9
+    assert(merges(0) == ((0, "e", "s", "es", 9L)))
+    assert(merges(1) == ((1, "es", "t", "est", 9L)))
+    // count 7 ties (l,o)/(o,w): pair-asc picks (l,o); then (lo,w) is 7
+    assert(merges(2) == ((2, "l", "o", "lo", 7L)))
+    assert(merges(3) == ((3, "lo", "w", "low", 7L)))
+    // count 6 ties (n,e)/(e,w→)… after low: newest = n e w est → pairs
+    // (n,e)6 (e,w)6 (w,est)6 — pair-asc picks (e,w)
+    assert(merges(4) == ((4, "e", "w", "ew", 6L)))
+  }
+
+  test("trainMerges is bit-stable across runs") {
+    val a = Bpe.trainMerges(sennrichCorpus, 5).orderBy("merge_rank").collect().toSeq
+    val b = Bpe.trainMerges(sennrichCorpus, 5).orderBy("merge_rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("trainMerges stops when no pairs remain (single-char vocabulary)") {
+    val merges = Bpe.trainMerges(docsOf((1L, "a b a b")), numMerges = 10).collect()
+    assert(merges.isEmpty)
+  }
+
+  test("encodeWord: greedy lowest-rank-first application") {
+    val ranks = Map(("e", "s") -> 0, ("es", "t") -> 1, ("l", "o") -> 2, ("lo", "w") -> 3)
+    assert(Bpe.encodeWord("lowest", ranks) == Vector("low", "est"))
+    assert(Bpe.encodeWord("low", ranks) == Vector("low"))
+    // "set" has no (e,s) adjacency — s-e and e-t are unranked, nothing merges
+    assert(Bpe.encodeWord("set", ranks) == Vector("s", "e", "t"))
+    assert(Bpe.encodeWord("eslowest", ranks) == Vector("es", "low", "est"))
+  }
+
+  test("subwordStats: zero merges = character accounting; merges only shrink") {
+    val s = spark
+    import s.implicits._
+    val docs = docsOf((1L, "low lowest"), (2L, "newest"))
+    val none = Seq.empty[(Int, String, String, String, Long)]
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+    val zero = Bpe.subwordStats(docs, none).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(zero(1L) == ((2L, 9L, 9L))) // "low"(3) + "lowest"(6) chars
+    assert(zero(2L) == ((1L, 6L, 6L)))
+
+    val merges = Bpe.trainMerges(sennrichCorpus, 5)
+    val got = Bpe.subwordStats(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // low → [low]; lowest → [low, est]; newest → n e w est →(e,w)→ [n, ew, est]
+    assert(got(1L) == ((2L, 3L, 9L)))
+    assert(got(2L) == ((1L, 3L, 6L)))
+  }
+
+  test("maxWordTypes cap trains on the top-frequency types only") {
+    // cap out "widest"/"lower": dictionary = low×5, newest×6 only
+    val merges = Bpe.trainMerges(sennrichCorpus, numMerges = 2, maxWordTypes = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // counts now: newest-only e-s 6, s-t 6, n-e 6, e-w 6, w-e 6; low: l-o 5, o-w 5
+    // pair-asc among count-6: (e,s)
+    assert(merges(0) == (("e", "s", 6L)))
+  }
+}

@@ -1041,4 +1041,96 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(tie.getAs[Int]("pred_label") == 3) // 1 vote each → smaller label wins
     assert(tie.getAs[Boolean]("hit"))
   }
+
+  test("sourceCap: under-cap sources bypass untouched, over-cap sources cut " +
+      "to a deterministic content-ranked survivor set") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = (
+      (1 to 5).map(i => (i.toLong, s"alpha text number $i", "big")) ++
+      Seq((10L, "beta one", "small"), (11L, "beta two", "small"))
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.sourceCap(docs, cap = 3).collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(bySource("small") == Set(10L, 11L)) // under cap: all kept
+    assert(bySource("big").size == 3)
+    // deterministic: a re-run (different partitioning) picks the same set
+    val again = TextOps.sourceCap(docs.repartition(7), cap = 3).collect()
+      .filter(_.getAs[String]("source") == "big").map(_.getAs[Long]("doc_id")).toSet
+    assert(again == bySource("big"))
+    // cap >= every count: identity
+    assert(TextOps.sourceCap(docs, cap = 5).count() == 7L)
+  }
+
+  test("stratifiedSplit: total coverage, content-stable fate, growth-stable, " +
+      "fractions validated") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = (1 to 400).map(i => (i.toLong, s"document body $i", "src"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.stratifiedSplit(docs)
+    assert(got.count() == 400L) // every doc assigned exactly one split
+    val shares = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.values.sum == 400L)
+    assert(shares("train") > 300L) // ~0.9 of 400, loose band
+    // fate is a pure function of text: the half-corpus assignment agrees
+    val sub = TextOps.stratifiedSplit(docs.filter(col("doc_id") <= 200))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val full = got.collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    sub.foreach { case (id, sp) => assert(full(id) == sp) }
+    intercept[IllegalArgumentException] {
+      TextOps.stratifiedSplit(docs, Seq("train" -> 0.5, "val" -> 0.1))
+    }
+  }
+
+  test("truncatedTopK: full-width truncation IS the exact search; prefix " +
+      "search ranks by the truncated subspace only") {
+    val s0 = spark
+    import s0.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val corpus = Seq(
+      (1L, vec(1, 0, 0), 0),
+      (2L, vec(1, 0, 5), 0), // differs only past dims=2
+      (3L, vec(0, 1, 0), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 1L)
+    // dims = 64 → identical to the exact baseline
+    val ex = Similarity.bruteForceTopK(corpus, q, 2).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val tr = Similarity.truncatedTopK(corpus, q, 2, dims = 64).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(tr == ex)
+    // dims = 2: vec 2 projects onto (1,0) → cosine 1.0 in the prefix space
+    val pre = Similarity.truncatedTopK(corpus, q, 1, dims = 2).collect().head
+    assert(pre.getLong(1) == 2L && math.abs(pre.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("truncRerankTopK: full-coverage shortlist reproduces the exact top-k; " +
+      "rerank cosines are full-width") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 30L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") <= 2L)
+    val ex = Similarity.bruteForceTopK(corpus, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rr = Similarity.truncRerankTopK(corpus, q, 5, dims = 16, shortlist = 29)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rr == ex) // shortlist covers the whole corpus → exact
+    // narrow shortlist still returns k full-width-cosine rows per query
+    val nr = Similarity.truncRerankTopK(corpus, q, 5, dims = 16, shortlist = 8)
+      .collect()
+    assert(nr.length == 10)
+    intercept[IllegalArgumentException] {
+      Similarity.truncRerankTopK(corpus, q, 5, dims = 16, shortlist = 3)
+    }
+  }
 }

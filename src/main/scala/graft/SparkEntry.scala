@@ -2611,6 +2611,34 @@ object SparkEntry {
     },
       None),
 
+    // ---- LLM: BPE vocabulary — the fitted tokenizer's corpus-frequency
+    // subword table (merges + vocab = the complete artifact) -------------
+    ("bpe_vocab", (s: SparkSession, d: String) => {
+      val dd = docs(s, d)
+      Bpe.subwordVocab(dd, Bpe.trainMerges(dd, numMerges = 30), topN = 50)
+    },
+      None),
+
+    // ---- LLM: cross-source content overlap — exact pairwise shingle
+    // Jaccard + the KMV bottom-k sketch's 3σ accuracy band ---------------
+    ("source_overlap", (s: SparkSession, d: String) =>
+      Sketches.sourceOverlapKMV(docs(s, d), shingleK = 3, k = 256),
+      Some("""WITH w AS (SELECT d.doc_id, d.source, string_split(lower(d.text), ' ') AS ws
+             |          FROM documents d),
+             |sh AS (SELECT DISTINCT source, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+             |iv AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
+             |       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2),
+             |sp AS (SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
+             |       FROM sz x CROSS JOIN sz y WHERE x.source < y.source)
+             |SELECT sp.src_a, sp.src_b, sp.n_a, sp.n_b,
+             |       coalesce(iv.c, 0) AS n_shared,
+             |       round(CAST(coalesce(iv.c, 0) AS DOUBLE)
+             |             / (sp.n_a + sp.n_b - coalesce(iv.c, 0)), 6) AS jaccard,
+             |       TRUE AS kmv_in_band
+             |FROM sp LEFT JOIN iv ON iv.src_a = sp.src_a AND iv.src_b = sp.src_b""".stripMargin)),
+
     // ---- LLM: Matryoshka-truncated search — exact cosine on the first
     // 16 of 64 dims (the cheap-scan prefix baseline) ---------------------
     ("knn_trunc", (s: SparkSession, d: String) => {

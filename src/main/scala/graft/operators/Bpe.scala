@@ -159,12 +159,34 @@ object Bpe {
    * (numMerges-sized — a model artifact) and broadcasts inside the UDF
    * closure.
    */
+  /**
+   * The fitted tokenizer's corpus-frequency vocabulary: every subword
+   * the trained merges produce, with its exact corpus occurrence count
+   * (top `topN` by count desc, subword asc). Same type-level shape as
+   * [[subwordStats]] — the encode runs per word TYPE, the exploded
+   * subwords re-aggregate weighted by the word's corpus frequency, and
+   * the TakeOrdered finish is per-partition heaps, no global sort. The
+   * (merges table, vocabulary) pair is the complete tokenizer artifact.
+   */
+  def subwordVocab(docs: DataFrame, merges: DataFrame, topN: Int = 100): DataFrame = {
+    val ranks: Map[(String, String), Int] = collectRanks(merges)
+    val subsUdf = udf { (w: String) => encodeWord(w, ranks) }
+    wordFreqs(docs)
+      .withColumn("sub", explode(subsUdf(col("w"))))
+      .groupBy(col("sub").as("subword"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("subword").asc)
+      .limit(topN)
+  }
+
+  private def collectRanks(merges: DataFrame): Map[(String, String), Int] = merges
+    .select(col("merge_rank").cast("int"), col("left"), col("right"))
+    .collect()
+    .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+    .toMap
+
   def subwordStats(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val ranks: Map[(String, String), Int] = merges
-      .select(col("merge_rank").cast("int"), col("left"), col("right"))
-      .collect()
-      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
-      .toMap
+    val ranks: Map[(String, String), Int] = collectRanks(merges)
     val nSubwordsUdf = udf { (w: String) => encodeWord(w, ranks).length }
     val tokens = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))

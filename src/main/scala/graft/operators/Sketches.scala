@@ -120,6 +120,106 @@ object Sketches {
   }
 
   /**
+   * Bounded bottom-k aggregator: keeps the k smallest DISTINCT longs seen,
+   * with O(k) state and amortized-O(1) inserts (buffer trims back to k by
+   * sort whenever it reaches 4k). Mergeable and order-independent — the
+   * final sorted prefix is the same under any partitioning — which is what
+   * makes it a KMV signature aggregate. State is `k × 8` bytes per group:
+   * constant in the corpus, exactly like the P² sketch.
+   */
+  private final class BottomK(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    private def trim(b: Array[Long], keep: Int): Array[Long] = {
+      val d = b.distinct
+      if (d.length <= keep) d.sorted else { java.util.Arrays.sort(d); d.take(keep) }
+    }
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], v: Long): Array[Long] = {
+      val out = b :+ v
+      if (out.length >= 4 * k) trim(out, k) else out
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = trim(a ++ b, k)
+    def finish(b: Array[Long]): Array[Long] = trim(b, k)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] = bufferEncoder
+  }
+
+  /**
+   * Cross-source content-overlap audit — exact per-source-pair shingle
+   * Jaccard next to a KMV (k-minimum-values / bottom-k) sketch estimate's
+   * accuracy band (Bar-Yossef et al. 2002; Beyer et al. 2007) — the
+   * "how much does snapshot/source A repeat B" question de-dup planning
+   * starts from.
+   *
+   * Scale shape: the EXACT side is the expensive path (a shingle-keyed
+   * self-join over distinct (source, shingle) rows) and exists as the
+   * audit; the KMV side is one pass — per source, the k smallest 64-bit
+   * shingle hashes via a bounded mergeable aggregate (O(k) state,
+   * map-side combined, no per-source sort), after which ALL pair math
+   * runs on the |sources| × k signature frame: sketch-sized, corpus-free.
+   * At 100 TB only the sketch path runs; this operator is the evidence
+   * it can be trusted.
+   *
+   * Estimator: for pair (A, B), take the k smallest values of
+   * sig(A) ∪ sig(B); Ĵ = (how many of those appear in both) / k — the
+   * classic bottom-k Jaccard estimator. When the union carries fewer
+   * than k distinct hashes the sketch holds the whole set and Ĵ is
+   * exact. `kmv_in_band` allows 3σ (σ² = J(1−J)/k) plus the 1/k
+   * quantization step; the estimate itself is deterministic but
+   * hash-engine-specific, so only the exact values and the band boolean
+   * cross the oracle boundary (the cms/hll precedent above).
+   */
+  def sourceOverlapKMV(docs: DataFrame, shingleK: Int = 3,
+                       k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distinct (source, shingle): the one corpus-sized frame, read by the
+    // exact join and the signature aggregate
+    val sh = Dedup.shingleFrame(docs.select(col("doc_id"), col("text")), shingleK)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+      .localCheckpoint()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // pair spine: |sources|² rows — broadcast-tiny, so disjoint pairs
+    // still answer an exact 0
+    val spine = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val exact = spine.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+    // KMV signatures: one bounded aggregate per source
+    val bottomK = udaf(new BottomK(k))
+    val sigs = sh.select(col("source"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("source")).agg(bottomK(col("h")).as("sig"))
+    val kmvJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+      val sa = a.toSet; val sb = b.toSet
+      val unionK = (sa ++ sb).toArray.sorted.take(k)
+      val shared = unionK.count(h => sa.contains(h) && sb.contains(h))
+      shared.toDouble / math.max(unionK.length, 1)
+    }
+    val est = sigs.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      .join(broadcast(sigs.select(col("source").as("src_b"), col("sig").as("sig_b"))),
+        col("src_a") < col("src_b"))
+      .withColumn("kmv_est", kmvJaccard(col("sig_a"), col("sig_b")))
+      .select(col("src_a"), col("src_b"), col("kmv_est"))
+    exact.join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        round(col("jaccard"), 6).as("jaccard"),
+        (abs(col("kmv_est") - col("jaccard")) <=
+          lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / lit(k.toDouble)) +
+          lit(1.0 / k)).as("kmv_in_band"))
+  }
+
+  /**
    * Vocabulary-cardinality audit — exact distinct-token count next to the
    * HyperLogLog++ estimate's accuracy band. At 100 TB the exact count is
    * the expensive path (a token-keyed distinct aggregate); the HLL

@@ -95,4 +95,13 @@ class BpeSpec extends SparkTestBase {
     // pair-asc among count-6: (e,s)
     assert(merges(0) == (("e", "s", 6L)))
   }
+
+  test("subwordVocab: corpus-weighted subword frequencies under the fitted merges") {
+    val merges = Bpe.trainMerges(sennrichCorpus, 5)
+    val got = Bpe.subwordVocab(sennrichCorpus, merges, topN = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // est: newest(6)+widest(3); low: low(5)+lower(2); ew/n: newest(6);
+    // ties break subword-asc
+    assert(got == Seq(("est", 9L), ("low", 7L), ("ew", 6L), ("n", 6L)))
+  }
 }

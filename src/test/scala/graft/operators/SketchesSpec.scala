@@ -88,4 +88,46 @@ class SketchesSpec extends SparkTestBase {
     assert(shufflePlan.contains("hashpartitioning"),
       s"corpusShuffle must hash-partition by shard:\n$shufflePlan")
   }
+
+  test("sourceOverlapKMV: exact pairwise Jaccard, full pair spine, " +
+      "exact-regime sketch band, partition-stable") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "A"),   // shingles: "a b c", "b c d"
+      (2L, "a b c e", "B"),   // shingles: "a b c", "b c e"
+      (3L, "x y z w", "C")    // disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = Sketches.sourceOverlapKMV(docs, shingleK = 3, k = 256).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C"))) // full spine
+    // A∩B = {"a b c"}, union 3 → J = 1/3
+    assert(got(("A", "B")) == ((2L, 2L, 1L, 0.333333, true)))
+    // disjoint pairs answer exact zeros, still in band
+    assert(got(("A", "C")) == ((2L, 2L, 0L, 0.0, true)))
+    // k exceeds every union size → the sketch IS the set: bands exact-true,
+    // and the whole frame is partitioning-independent
+    val again = Sketches.sourceOverlapKMV(docs.repartition(7), shingleK = 3, k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(again == got)
+  }
+
+  test("sourceOverlapKMV: bounded-k sketch stays in the 3-sigma band on an " +
+      "overlapping synthetic pair") {
+    val s0 = spark
+    import s0.implicits._
+    // two sources sharing half their shingle vocabulary, ~600 shingles each,
+    // k=64 forces genuine sketch-regime estimation
+    def body(ids: Range) = ids.map(i => s"tok$i next$i tok$i end$i").mkString(" ")
+    val docs = Seq(
+      (1L, body(0 until 200), "P"),
+      (2L, body(100 until 300), "Q")
+    ).toDF("doc_id", "text", "source")
+    val got = Sketches.sourceOverlapKMV(docs, shingleK = 3, k = 64).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getBoolean(6), s"kmv estimate out of band: $r")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Buckets
-import graft.operators.{Dedup, MetricsOps, Similarity, Sketches, TextOps}
+import graft.operators.{Bpe, Dedup, MetricsOps, Similarity, Sketches, TextOps}
 import graft.sources.EventsAdapter
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -274,6 +274,37 @@ object ProbeScale {
       // one hash exchange on shard + per-shard sort; rows per shard grow
       // n× at fixed nShards (deployments scale nShards with the corpus)
       TextOps.corpusShuffle(scaledDocs(spark, dir, n))
+    }
+    time("source_cap") {
+      // replica-tagged words leave sources fixed while rows grow n× —
+      // the count broadcast stays |sources|-sized and only over-cap
+      // sources (all of them, here) pay the per-source rank window
+      TextOps.sourceCap(scaledDocs(spark, dir, n), cap = 100)
+    }
+    time("bpe_train") {
+      // replica-tagged words grow the TYPE dictionary ~n×: the corpus
+      // aggregate and the driver merge loop both scale in types, the
+      // loud maxWordTypes cap bounds the loop like production trainers
+      Bpe.trainMerges(scaledDocs(spark, dir, n), numMerges = 30)
+    }
+    time("bpe_subwords") {
+      // encode UDF invocations = word TYPES (~n×); the corpus-side join
+      // is token-keyed — the tfidf shape under replication
+      val d = scaledDocs(spark, dir, n)
+      Bpe.subwordStats(d, Bpe.trainMerges(d, numMerges = 30))
+    }
+    time("source_overlap") {
+      // sources fixed at |fixture| while shingles grow n×: the KMV
+      // aggregate state stays |sources|×k; the exact self-join (the
+      // audit half) is the part that grows — at 100 TB only the sketch
+      // path runs
+      Sketches.sourceOverlapKMV(scaledDocs(spark, dir, n))
+    }
+    time("knn_trunc_rerank") {
+      // fixed query set, corpus n× — stage 1 scans dims/Dim of the
+      // floats, stage 2 touches the broadcast shortlist only
+      Similarity.truncRerankTopK(scaledEmbs(spark, dir, n),
+        scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10, dims = 16)
     }
     spark.stop()
   }

@@ -2556,6 +2556,41 @@ object SparkEntry {
              |       CAST(len(w.ws) AS BIGINT) - coalesce(pd.cut_tokens, 0) AS kept_tokens
              |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // ---- LLM: span-dedup APPLY — reconstructed per-doc text with the
+    // merged loser spans cut out (md5-compared, the piiScrub convention) -
+    ("span_dedup_text", (s: SparkSession, d: String) =>
+      TextOps.spanDedupText(docs(s, d), gramK = 8, minCount = 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |gx AS (SELECT doc_id, CAST(g - 1 AS INTEGER) AS pos,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS gram
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |f AS (SELECT doc_id, pos FROM (
+             |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ,
+             |               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             |        FROM gx)
+             |      WHERE occ >= 2 AND rn > 1),
+             |m AS (SELECT doc_id, pos,
+             |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM f),
+             |r AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |      FROM m),
+             |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM r GROUP BY doc_id, grp),
+             |tk AS (SELECT doc_id, CAST(g - 1 AS INTEGER) AS pos, ws[g] AS tok
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS g) t),
+             |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+             |         WHERE NOT EXISTS (SELECT 1 FROM sp
+             |           WHERE sp.doc_id = tk.doc_id AND tk.pos >= sp.s AND tk.pos < sp.e)),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+             |          md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+             |        FROM kept GROUP BY doc_id)
+             |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+             |       coalesce(agg.kept_tokens, 0) AS kept_tokens,
+             |       coalesce(agg.clean_md5, md5('')) AS clean_md5
+             |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // ---- LLM: per-source document cap (RefinedWeb-style domain cap) —
     // deterministic content-hash-ranked survivors; under-cap sources
     // bypass the rank window entirely ------------------------------------

@@ -523,6 +523,56 @@ object TextOps {
         (col("n_tokens") - col("cut_tokens")).as("kept_tokens"))
   }
 
+  /**
+   * The APPLY step completing [[spanDedupStats]]: materialize each
+   * document's deduplicated text — every token inside a merged loser
+   * span removed, survivors rejoined in position order. Emits one row
+   * per document (clean docs included): (doc_id, n_tokens, kept_tokens,
+   * clean_md5) — the md5 rather than the body keeps the result frame
+   * narrow (the piiScrub convention); real pipelines write the
+   * reconstructed string column itself, same plan.
+   *
+   * Scale shape: the loser-span election is [[spanDedupStats]]'s single
+   * gram-keyed shuffle; the cut is a doc_id-equi join of the token
+   * stream against the (small, per-doc-bounded) span list with the
+   * range predicate as the join residual — a token row never fans out
+   * (left_anti). Reconstruction is one per-doc aggregate whose
+   * array_sort is bounded by tokens/doc. A doc whose every token loses
+   * (a full duplicate of an earlier doc) answers kept_tokens=0 with
+   * md5('') — the cut-to-empty contract.
+   */
+  def spanDedupText(docs: DataFrame, gramK: Int = 8, minCount: Long = 2): DataFrame = {
+    require(gramK >= 1 && minCount >= 2,
+      s"need gramK >= 1 and minCount >= 2, got $gramK / $minCount")
+    val wG = Window.partitionBy(col("col"))
+    val wGo = wG.orderBy(col("doc_id"), col("pos"))
+    val losers = docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
+      .withColumn("occ", count(lit(1)).over(wG))
+      .withColumn("rn", row_number().over(wGo))
+      .filter(col("occ") >= minCount && col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val spans = mergeSpans(losers, gramK)
+    val toks = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("kept_tokens"),
+      md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").cast("binary")).as("clean_md5"))
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5 of ""
+    docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_md5"), lit(emptyMd5)).as("clean_md5"))
+  }
+
   /** Email / phone / digit-run redaction patterns (RE2- and Java-regex
     * compatible, so the DuckDB oracle applies the identical patterns). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1133,4 +1133,26 @@ class PipelineOpsSpec extends SparkTestBase {
       Similarity.truncRerankTopK(corpus, q, 5, dims = 16, shortlist = 3)
     }
   }
+
+  test("spanDedupText: loser spans cut, winners intact, full-duplicate docs " +
+      "cut to empty, short docs untouched") {
+    def md5(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val t1 = "a b c d e f g h tail1 tail2"
+    val docs = docsDf(
+      (1L, t1),                         // owns every gram (lowest doc_id)
+      (2L, "x a b c d e f g h y"),      // shared 8-gram at pos 1 → cut [1,9)
+      (3L, t1),                         // exact duplicate → fully cut
+      (4L, "p q r"))                    // shorter than gramK → no grams
+    val got = TextOps.spanDedupText(docs, gramK = 8, minCount = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((10L, 10L, md5(t1))))
+    assert(got(2L) == ((10L, 2L, md5("x y"))))
+    assert(got(3L) == ((10L, 0L, md5(""))))
+    assert(got(4L) == ((3L, 3L, md5("p q r"))))
+    // accounting consistency with the stats operator
+    val stats = TextOps.spanDedupStats(docs, gramK = 8, minCount = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("kept_tokens")).toMap
+    got.foreach { case (id, (_, kept, _)) => assert(stats(id) == kept) }
+  }
 }

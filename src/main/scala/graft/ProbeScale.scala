@@ -287,11 +287,14 @@ object ProbeScale {
       // loud maxWordTypes cap bounds the loop like production trainers
       Bpe.trainMerges(scaledDocs(spark, dir, n), numMerges = 30)
     }
-    time("bpe_subwords") {
-      // encode UDF invocations = word TYPES (~n×); the corpus-side join
-      // is token-keyed — the tfidf shape under replication
+    // train OUTSIDE the timed block (trainMerges runs its own corpus
+    // aggregate + driver loop — bpe_train times that) so this row
+    // isolates the APPLY stage: encode UDF invocations = word TYPES
+    // (~n×); the corpus-side join is token-keyed — the tfidf shape
+    if (only.isEmpty || only("bpe_subwords")) {
       val d = scaledDocs(spark, dir, n)
-      Bpe.subwordStats(d, Bpe.trainMerges(d, numMerges = 30))
+      val m = Bpe.trainMerges(d, numMerges = 30).localCheckpoint()
+      time("bpe_subwords") { Bpe.subwordStats(d, m) }
     }
     time("source_overlap") {
       // sources fixed at |fixture| while shingles grow n×: the KMV

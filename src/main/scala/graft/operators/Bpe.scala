@@ -66,12 +66,27 @@ object Bpe {
     out.result()
   }
 
+  /** Code-POINT symbol split — `w.map(_.toString)` would cut
+    * supplementary-plane chars into lone surrogates, diverging from
+    * Spark's `substring`/DuckDB's `substr` (both code-point-indexed)
+    * that [[pairCounts]] and its oracle count with. */
+  private[operators] def codePointSyms(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** Greedy BPE encode of one word with a trained rank table: repeatedly
     * apply the LOWEST-rank merge present until none applies — the
     * standard BPE tokenize loop. */
   private[operators] def encodeWord(w: String,
                                     ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = w.map(_.toString).toVector
+    var syms = codePointSyms(w)
     var done = false
     while (!done && syms.length >= 2) {
       var best = Int.MaxValue
@@ -123,7 +138,7 @@ object Bpe {
 
     // word types as mutable symbol sequences
     var vocab: Array[(Vector[String], Long)] =
-      capped.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      capped.map { case (w, f) => (codePointSyms(w), f) }
     val merges = Vector.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -150,16 +165,6 @@ object Bpe {
   }
 
   /**
-   * Per-document subword accounting under a trained merge table:
-   * (doc_id, n_words, n_subwords, n_chars_tokenized). The encode UDF
-   * runs once per word TYPE (the distinct-word frame), and the result
-   * joins back onto the exploded corpus on the word key — one
-   * token-keyed shuffle join (the tfidf shape), with the UDF cost
-   * bounded by the vocabulary. `merges` is driver-resident
-   * (numMerges-sized — a model artifact) and broadcasts inside the UDF
-   * closure.
-   */
-  /**
    * The fitted tokenizer's corpus-frequency vocabulary: every subword
    * the trained merges produce, with its exact corpus occurrence count
    * (top `topN` by count desc, subword asc). Same type-level shape as
@@ -185,6 +190,17 @@ object Bpe {
     .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
     .toMap
 
+  /**
+   * Per-document subword accounting under a trained merge table:
+   * (doc_id, n_words, n_subwords, n_chars_tokenized). The encode UDF
+   * runs once per word TYPE (the distinct-word frame), and the result
+   * joins back onto the exploded corpus on the word key — one
+   * token-keyed shuffle join (the tfidf shape), with the UDF cost
+   * bounded by the vocabulary. `merges` is driver-resident
+   * (numMerges-sized — a model artifact) and broadcasts inside the UDF
+   * closure. Every document answers a row — a doc with no non-empty
+   * tokens reports zeros (the spanDedup* per-doc contract).
+   */
   def subwordStats(docs: DataFrame, merges: DataFrame): DataFrame = {
     val ranks: Map[(String, String), Int] = collectRanks(merges)
     val nSubwordsUdf = udf { (w: String) => encodeWord(w, ranks).length }
@@ -195,10 +211,12 @@ object Bpe {
     val types = tokens.select(col("w")).distinct()
       .withColumn("n_sub", nSubwordsUdf(col("w")))
       .withColumn("n_chr", length(col("w")).cast("long"))
-    tokens.join(types, Seq("w"))
+    val perDoc = tokens.join(types, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).cast("long").as("n_subwords"),
         sum(col("n_chr")).cast("long").as("n_chars_tokenized"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_subwords", "n_chars_tokenized"))
   }
 }

@@ -120,12 +120,16 @@ object Sketches {
   }
 
   /**
-   * Bounded bottom-k aggregator: keeps the k smallest DISTINCT longs seen,
-   * with O(k) state and amortized-O(1) inserts (buffer trims back to k by
-   * sort whenever it reaches 4k). Mergeable and order-independent — the
-   * final sorted prefix is the same under any partitioning — which is what
-   * makes it a KMV signature aggregate. State is `k × 8` bytes per group:
-   * constant in the corpus, exactly like the P² sketch.
+   * Bounded bottom-k aggregator: keeps the k smallest DISTINCT longs
+   * seen. The buffer is ALWAYS a sorted distinct array of ≤ k values, so
+   * once it is full the overwhelmingly common case — a value at or above
+   * the current k-th minimum — is rejected in O(log k) with NO copy;
+   * only a value that actually enters the bottom-k pays an O(k)
+   * insertion copy, which happens an expected k·ln(n) times total over n
+   * inputs (expected O(1) amortized). Mergeable and order-independent —
+   * the final array is the same under any partitioning — which is what
+   * makes it a KMV signature aggregate. State is ≤ `k × 8` bytes per
+   * group: constant in the corpus, exactly like the P² sketch.
    */
   private final class BottomK(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
@@ -135,8 +139,17 @@ object Sketches {
     }
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], v: Long): Array[Long] = {
-      val out = b :+ v
-      if (out.length >= 4 * k) trim(out, k) else out
+      // invariant: b is sorted & distinct, length <= k
+      if (b.length >= k && v >= b(b.length - 1)) return b // common case: no-op
+      val i = java.util.Arrays.binarySearch(b, v)
+      if (i >= 0) return b // already present
+      val at = -i - 1
+      val outLen = math.min(b.length + 1, k)
+      val out = new Array[Long](outLen)
+      System.arraycopy(b, 0, out, 0, at)
+      out(at) = v
+      System.arraycopy(b, at, out, at + 1, outLen - at - 1)
+      out
     }
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = trim(a ++ b, k)
     def finish(b: Array[Long]): Array[Long] = trim(b, k)

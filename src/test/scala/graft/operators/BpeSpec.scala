@@ -104,4 +104,28 @@ class BpeSpec extends SparkTestBase {
     // ties break subword-asc
     assert(got == Seq(("est", 9L), ("low", 7L), ("ew", 6L), ("n", 6L)))
   }
+
+  test("code-point symbols: supplementary-plane chars stay whole, matching pairCounts") {
+    // U+1D11E (musical G clef) is outside the BMP — two UTF-16 units
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(Bpe.codePointSyms(s"a${clef}b") == Vector("a", clef, "b"))
+    assert(Bpe.encodeWord(s"a${clef}b", Map.empty) == Vector("a", clef, "b"))
+    // Spark-side pair counting sees the same 3 symbols → 2 pairs
+    val got = Bpe.pairCounts(docsOf((1L, s"a${clef}b")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", clef) -> 1L, (clef, "b") -> 1L))
+    // and trainMerges counts agree with pairCounts on the astral corpus
+    val m = Bpe.trainMerges(docsOf((1L, s"a${clef}b a${clef}b")), 1).collect().head
+    assert((m.getString(1), m.getString(2), m.getLong(4)) == (("a", clef, 2L)))
+  }
+
+  test("subwordStats answers a zero row for token-less documents") {
+    val docs = docsOf((1L, "low"), (2L, ""), (3L, " "))
+    val got = Bpe.subwordStats(docs, Bpe.trainMerges(sennrichCorpus, 5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, 1L, 3L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
 }

@@ -128,4 +128,22 @@ class BpeSpec extends SparkTestBase {
     assert(got(2L) == ((0L, 0L, 0L)))
     assert(got(3L) == ((0L, 0L, 0L)))
   }
+
+  test("property: encode is lossless and merges only shrink (100 random words × " +
+      "the fitted ranks)") {
+    val ranks = Bpe.trainMerges(sennrichCorpus, 5).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val gen = org.scalacheck.Gen.listOfN(12,
+      org.scalacheck.Gen.oneOf(('a' to 'z') :+ '\u00e9')).map(_.mkString)
+    val seed = org.scalacheck.rng.Seed(42L)
+    val words = Iterator.iterate(seed)(_.next)
+      .map(sd => gen.apply(org.scalacheck.Gen.Parameters.default, sd))
+      .collect { case Some(w) => w }.take(100).toList
+    words.foreach { w =>
+      val subs = Bpe.encodeWord(w, ranks)
+      assert(subs.mkString("") == w, s"lossy encode of '$w': $subs")
+      assert(subs.length <= w.length, s"encode grew '$w'")
+      assert(subs.forall(_.nonEmpty))
+    }
+  }
 }

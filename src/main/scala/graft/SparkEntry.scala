@@ -2556,6 +2556,53 @@ object SparkEntry {
              |       CAST(len(w.ws) AS BIGINT) - coalesce(pd.cut_tokens, 0) AS kept_tokens
              |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // ---- LLM: eval-side decontamination report — per benchmark doc,
+    // compromised-shingle share and offending corpus-doc count ----------
+    ("decontam_report", (s: SparkSession, d: String) => {
+      val dd = docs(s, d)
+      TextOps.decontaminationReport(dd, dd.filter(col("doc_id") < 20), shingleK = 8)
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |b AS (SELECT doc_id AS bench_doc_id, s FROM sh WHERE doc_id < 20),
+             |tot AS (SELECT bench_doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM b GROUP BY 1),
+             |h AS (SELECT b.bench_doc_id, sh.doc_id, b.s
+             |      FROM sh JOIN b ON b.s = sh.s AND sh.doc_id <> b.bench_doc_id),
+             |a AS (SELECT bench_doc_id,
+             |        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+             |        CAST(count(DISTINCT s) AS BIGINT) AS n_shared_shingles
+             |      FROM h GROUP BY 1)
+             |SELECT tot.bench_doc_id, tot.n_shingles,
+             |       coalesce(a.n_corpus_docs, 0) AS n_corpus_docs,
+             |       coalesce(a.n_shared_shingles, 0) AS n_shared_shingles,
+             |       round(CAST(coalesce(a.n_shared_shingles, 0) AS DOUBLE) / tot.n_shingles, 6) AS leak_ratio
+             |FROM tot LEFT JOIN a USING (bench_doc_id)""".stripMargin)),
+
+    // ---- LLM: split-assignment audit — per (split, source) doc/token
+    // mass under the deterministic hash split --------------------------
+    ("split_report", (s: SparkSession, d: String) =>
+      TextOps.splitReport(docs(s, d)),
+      Some("""WITH a AS (SELECT doc_id, source,
+             |    CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split,
+             |    len(string_split(lower(text), ' ')) AS n_tok
+             |  FROM (SELECT doc_id, source, text,
+             |          ('0x' || substr(md5('split:' || text), 1, 15))::BIGINT % 10000 AS b
+             |        FROM documents))
+             |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |FROM a GROUP BY split, source""".stripMargin)),
+
+    // ---- LLM: tokenizer fertility by source (subwords/word,
+    // chars/subword) under the fitted merges — encode-dependent →
+    // rows-only ---------------------------------------------------------
+    ("bpe_fertility", (s: SparkSession, d: String) => {
+      val dd = docs(s, d)
+      Bpe.fertilityReport(dd, Bpe.trainMerges(dd, numMerges = 30))
+    },
+      None),
+
     // ---- LLM: span-dedup APPLY — reconstructed per-doc text with the
     // merged loser spans cut out (md5-compared, the piiScrub convention) -
     ("span_dedup_text", (s: SparkSession, d: String) =>

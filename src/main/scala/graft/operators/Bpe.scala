@@ -219,4 +219,28 @@ object Bpe {
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_words", "n_subwords", "n_chars_tokenized"))
   }
+
+  /**
+   * Tokenizer fertility report: per source, subwords-per-word
+   * (fertility — the tokenizer-evaluation metric; 1.0 = every word is
+   * one token) and chars-per-subword (compression). The frame a
+   * tokenizer-sizing decision reads next to [[subwordVocab]]. Derived
+   * entirely from [[subwordStats]] + one broadcast-small doc→source
+   * join and a |sources|-group aggregate. A source with no tokens
+   * answers null ratios rather than an ANSI divide-by-zero.
+   */
+  def fertilityReport(docs: DataFrame, merges: DataFrame): DataFrame =
+    subwordStats(docs, merges)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_subwords")).cast("long").as("n_subwords"),
+        sum(col("n_chars_tokenized")).cast("long").as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_subwords"),
+        when(col("n_words") > 0,
+          round(col("n_subwords").cast("double") / col("n_words"), 6)).as("fertility"),
+        when(col("n_subwords") > 0,
+          round(col("n_chars").cast("double") / col("n_subwords"), 6))
+          .as("chars_per_subword"))
 }

@@ -434,6 +434,55 @@ object TextOps {
   }
 
   /**
+   * The eval-set-side view of [[decontaminate]]: per BENCHMARK document,
+   * how many OTHER corpus documents share at least one `shingleK`-gram
+   * with it and how many of its distinct shingles are compromised — the
+   * per-item leak report an eval-set owner acts on (drop the item,
+   * re-split, or blocklist the corpus docs). Self-matches are excluded:
+   * an eval item that also sits in the corpus (as here, where the
+   * benchmark is a corpus slice) should not report itself as leakage.
+   *
+   * Same scale shape as [[decontaminate]]: the benchmark's (doc, shingle)
+   * frame is the broadcast side, the corpus shingle stream passes it
+   * once, and every aggregate after the join is bench-sized.
+   */
+  def decontaminationReport(docs: DataFrame, benchmark: DataFrame,
+                            shingleK: Int = 8): DataFrame = {
+    val bench = Dedup.shingleFrame(benchmark, shingleK)
+      .select(col("doc_id").as("bench_doc_id"), col("shingle"))
+    val totals = bench.groupBy(col("bench_doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = Dedup.shingleFrame(docs, shingleK)
+      .join(broadcast(bench), Seq("shingle"))
+      .filter(col("doc_id") =!= col("bench_doc_id"))
+      .groupBy(col("bench_doc_id"))
+      .agg(countDistinct(col("doc_id")).as("n_corpus_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+    totals.join(hits, Seq("bench_doc_id"), "left")
+      .na.fill(0L, Seq("n_corpus_docs", "n_shared_shingles"))
+      .select(col("bench_doc_id"), col("n_shingles"),
+        col("n_corpus_docs"), col("n_shared_shingles"),
+        round(col("n_shared_shingles").cast("double") / col("n_shingles"), 6)
+          .as("leak_ratio"))
+  }
+
+  /**
+   * Split-assignment audit for [[stratifiedSplit]]: per (split, source),
+   * document and token mass — the frame a release checklist compares
+   * against the requested fractions (hash-uniformity makes each source
+   * land near them; this is the evidence). One projection + one
+   * |splits|×|sources|-group aggregate.
+   */
+  def splitReport(docs: DataFrame,
+                  fractions: Seq[(String, Double)] = Seq(
+                    "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                  hashMod: Int = 10000): DataFrame =
+    stratifiedSplit(docs, fractions, hashMod)
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).cast("long").as("n_tokens"))
+
+  /**
    * Substring-level duplicate-SPAN detection (the span-dedup idea of Lee
    * et al. 2022, "Deduplicating Training Data Makes Language Models
    * Better", arXiv:2107.06499 — their suffix-array ExactSubstr finds

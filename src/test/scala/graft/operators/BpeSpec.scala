@@ -146,4 +146,25 @@ class BpeSpec extends SparkTestBase {
       assert(subs.forall(_.nonEmpty))
     }
   }
+
+  test("fertilityReport: zero merges = chars/word fertility; null-safe on empty sources") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "low lowest", "a"),   // 2 words, 9 chars
+      (2L, "newest", "a"),       // 1 word, 6 chars
+      (3L, "", "b")              // token-less source
+    ).toDF("doc_id", "text", "source")
+    val none = Seq.empty[(Int, String, String, String, Long)]
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+    val got = Bpe.fertilityReport(docs, none).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // zero merges: every char is a subword → fertility = chars/words = 15/3
+    assert(got("a").getAs[Long]("n_words") == 3L)
+    assert(got("a").getAs[Long]("n_subwords") == 15L)
+    assert(math.abs(got("a").getAs[Double]("fertility") - 5.0) < 1e-9)
+    assert(math.abs(got("a").getAs[Double]("chars_per_subword") - 1.0) < 1e-9)
+    // the empty source answers nulls, not a divide-by-zero
+    assert(got("b").isNullAt(got("b").fieldIndex("fertility")))
+  }
 }

@@ -1155,4 +1155,40 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getAs[Long]("kept_tokens")).toMap
     got.foreach { case (id, (_, kept, _)) => assert(stats(id) == kept) }
   }
+
+  test("decontaminationReport: per-eval-item leak shares, self-match excluded, " +
+      "clean items answer zeros") {
+    val s0 = spark
+    import s0.implicits._
+    val corpus = docsDf(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // the eval item itself
+      (10L, "x alpha beta gamma delta epsilon y"),   // shares 5-gram #1
+      (11L, "p beta gamma delta epsilon zeta q"),    // shares 5-gram #2
+      (12L, "completely unrelated body of text here"))
+    val bench = corpus.filter(col("doc_id") <= 2L)
+    val got = TextOps.decontaminationReport(corpus, bench, shingleK = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // eval doc 1 has 2 shingles; each is shared by exactly one OTHER doc
+    assert(got(1L) == ((2L, 2L, 2L)))
+    // a bench set containing a clean doc answers an explicit zero row
+    val bench2 = docsDf((2L, "never seen tokens only right here now"))
+    val clean = TextOps.decontaminationReport(corpus, bench2, shingleK = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(clean(2L) == ((0L, 0L)))
+  }
+
+  test("splitReport totals reconcile with the split assignment") {
+    val s0 = spark
+    import s0.implicits._
+    val docs = (1 to 300).map(i => (i.toLong, s"some text body $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val rep = TextOps.splitReport(docs).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == 300L)
+    val direct = TextOps.stratifiedSplit(docs)
+      .groupBy("split", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rep.foreach { r =>
+      assert(direct((r.getString(0), r.getString(1))) == r.getAs[Long]("n_docs"))
+    }
+  }
 }

@@ -183,8 +183,18 @@ object Sketches {
    * hash-engine-specific, so only the exact values and the band boolean
    * cross the oracle boundary (the cms/hll precedent above).
    */
+  /** Debug frame behind [[sourceOverlapKMV]]'s band constant: per pair,
+    * the raw estimate, the exact value, and the deviation in σ units. */
+  private[graft] def sourceOverlapDebug(docs: DataFrame, shingleK: Int,
+                                        k: Int): DataFrame =
+    sourceOverlapKMV(docs, shingleK, k, debug = true)
+
   def sourceOverlapKMV(docs: DataFrame, shingleK: Int = 3,
-                       k: Int = 256): DataFrame = {
+                       k: Int = 256): DataFrame =
+    sourceOverlapKMV(docs, shingleK, k, debug = false)
+
+  private def sourceOverlapKMV(docs: DataFrame, shingleK: Int,
+                               k: Int, debug: Boolean): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -223,14 +233,29 @@ object Sketches {
         col("src_a") < col("src_b"))
       .withColumn("kmv_est", kmvJaccard(col("sig_a"), col("sig_b")))
       .select(col("src_a"), col("src_b"), col("kmv_est"))
-    exact.join(est, Seq("src_a", "src_b"))
+    val joined = exact.join(est, Seq("src_a", "src_b"))
+    if (debug)
+      joined.select(col("src_a"), col("src_b"), col("jaccard"), col("kmv_est"),
+        (abs(col("kmv_est") - col("jaccard")) /
+          sqrt(greatest(col("jaccard") * (lit(1.0) - col("jaccard")), lit(1e-12))
+            / lit(k.toDouble))).as("abs_sigma"))
+    else joined
       .select(col("src_a"), col("src_b"),
         col("n_a"), col("n_b"), col("n_shared"),
         round(col("jaccard"), 6).as("jaccard"),
         (abs(col("kmv_est") - col("jaccard")) <=
-          lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / lit(k.toDouble)) +
+          lit(BandSigma) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) / lit(k.toDouble)) +
           lit(1.0 / k)).as("kmv_in_band"))
   }
+
+  /** source_overlap band width in σ: a PER-PAIR 3σ envelope holds 99.7%
+    * per pair, but the audit emits |sources|² pairs in one frame — at
+    * 190 pairs a ~3σ outlier is almost expected once (p ≈ 0.4), and the
+    * fixture's fixed hash makes any such pair fail DETERMINISTICALLY
+    * (observed: sf0.1 src6–src9, 3.1σ). 4.5σ puts the family-wise miss
+    * probability near 190 × 3.4e-6 ≈ 6e-4 while still certifying the
+    * estimator (a broken sketch is tens of σ out). */
+  private val BandSigma = 4.5
 
   /**
    * Vocabulary-cardinality audit — exact distinct-token count next to the

@@ -2556,6 +2556,48 @@ object SparkEntry {
              |       CAST(len(w.ws) AS BIGINT) - coalesce(pd.cut_tokens, 0) AS kept_tokens
              |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin)),
 
+    // ---- LLM: hard-negative mining — top-k most-similar OTHER-label
+    // vectors per query (contrastive-training batch prep) ----------------
+    ("hard_negatives", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: cross-split near-dup leakage — verified near-dup pairs
+    // straddling the train/val/test boundary -----------------------------
+    ("split_leakage", (s: SparkSession, d: String) =>
+      TextOps.splitLeakage(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT doc_a, doc_b,
+             |            round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+             |          FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+             |          WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8),
+             |a AS (SELECT doc_id,
+             |        CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+             |      FROM (SELECT doc_id,
+             |              ('0x' || substr(md5('split:' || text), 1, 15))::BIGINT % 10000 AS b
+             |            FROM w))
+             |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+             |FROM pairs p JOIN a sa ON sa.doc_id = p.doc_a JOIN a sb ON sb.doc_id = p.doc_b
+             |WHERE sa.split <> sb.split""".stripMargin)),
+
     // ---- LLM: eval-side decontamination report — per benchmark doc,
     // compromised-shingle share and offending corpus-doc count ----------
     ("decontam_report", (s: SparkSession, d: String) => {

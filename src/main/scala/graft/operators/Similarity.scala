@@ -892,6 +892,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("sq_dot"), 6).as("sq_dot"))
   }
 
+  /**
+   * Hard-negative mining (the DPR/Contriever training-prep step): per
+   * query, the top-k most-SIMILAR corpus vectors with a DIFFERENT label
+   * — the highest-loss negatives a contrastive trainer wants in the
+   * batch, which random negatives almost never are. Exact labeled
+   * baseline (broadcast query side, one corpus scan, label-mismatch
+   * filter BEFORE the rank window); at scale the same filter composes
+   * with the IVF probe — cells bound the candidates, the label test
+   * rides the probed scan as a residual predicate.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"), dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    rankPairs(c.crossJoin(q).filter(col("n_label") =!= col("q_label")), k)
+  }
+
   // ------------------------------------------------------------------
   // Matryoshka-style dimension truncation — the "read fewer floats"
   // axis: MRL-trained embeddings keep most of their signal in a prefix

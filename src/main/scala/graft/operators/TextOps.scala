@@ -483,6 +483,33 @@ object TextOps {
         sum(size(words(col("text")))).cast("long").as("n_tokens"))
 
   /**
+   * Cross-split near-dup leakage audit: the [[stratifiedSplit]] hash
+   * guarantees EXACT duplicates share a fate (same text → same residue),
+   * but NEAR-duplicates can land in different splits — train/test
+   * contamination no hash split can prevent. This emits every verified
+   * near-dup pair that straddles a split boundary, the frame an eval
+   * owner either drops from test or collapses before splitting.
+   *
+   * Scale shape: the pair set is [[Dedup.nearDupPairs]]'s (banded
+   * equi-join, estimate-pruned, exact-verified — result-sized); the two
+   * split lookups join that result-sized frame against the assignment
+   * projection, never corpus × corpus.
+   */
+  def splitLeakage(docs: DataFrame,
+                   fractions: Seq[(String, Double)] = Seq(
+                     "train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                   shingleK: Int = 3, threshold: Double = 0.8,
+                   hashMod: Int = 10000): DataFrame = {
+    val sp = stratifiedSplit(docs, fractions, hashMod).select(col("doc_id"), col("split"))
+    Dedup.nearDupPairs(docs, shingleK, threshold)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
    * Substring-level duplicate-SPAN detection (the span-dedup idea of Lee
    * et al. 2022, "Deduplicating Training Data Makes Language Models
    * Better", arXiv:2107.06499 — their suffix-array ExactSubstr finds

@@ -1191,4 +1191,45 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(direct((r.getString(0), r.getString(1))) == r.getAs[Long]("n_docs"))
     }
   }
+
+  test("hardNegatives: same-label neighbors excluded, nearest other-label wins") {
+    val s0 = spark
+    import s0.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val corpus = Seq(
+      (1L, vec(1, 0), 0),        // the query
+      (2L, vec(1, 0.01), 0),     // nearest overall — but SAME label
+      (3L, vec(1, 0.2), 1),      // nearest other-label
+      (4L, vec(0, 1), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(corpus, corpus.filter(col("vec_id") === 1L), 2)
+      .orderBy(desc("cosine")).collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(3L, 4L)) // 2L never appears despite being closest
+  }
+
+  test("splitLeakage equals near-dup pairs restricted to boundary-straddling splits") {
+    val s0 = spark
+    import s0.implicits._
+    // two near-identical docs (J >= 0.8) + unrelated filler, many variants so
+    // SOME pair straddles a split under the default fractions
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0 until 40).flatMap { i =>
+      Seq((i * 2L, s"$base variant$i"), (i * 2L + 1L, s"$base variant$i extra"))
+    }.map { case (id, t) => (id, t, "src") }.toDF("doc_id", "text", "source")
+    val leaks = TextOps.splitLeakage(docs, shingleK = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    // recompute expectation from the components
+    val splits = TextOps.stratifiedSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val expected = Dedup.nearDupPairs(docs, shingleK = 3, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => splits(a) != splits(b) }
+      .map { case (a, b) => (a, b, splits(a), splits(b)) }.toSet
+    assert(leaks == expected)
+    assert(leaks.forall { case (_, _, sa, sb) => sa != sb })
+  }
 }

@@ -2575,6 +2575,38 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: IVF-probed hard negatives — the scale path: nprobe
+    // nearest FOREIGN cells bound the candidates, label filter rides the
+    // probed scan -------------------------------------------------------
+    ("hard_negatives_ivf", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.hardNegativesIvf(e, e.filter(col("vec_id") < 10), 10, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |el AS (SELECT vec_id, label, g.j, e[CAST(g.j AS INTEGER)] AS v
+             |       FROM dv, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g),
+             |cm AS (SELECT label AS cell, j,
+             |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS cv
+             |       FROM el GROUP BY label, j),
+             |cent AS (SELECT cell, list(cv ORDER BY j) AS ce FROM cm GROUP BY cell),
+             |cn AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM cent),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, label, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.label AS q_label, q.e AS qe, q.nrm AS qnrm, cn.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, cn.ce) / (q.nrm * cn.cnrm) DESC, cn.cell ASC) AS pr
+             |       FROM q CROSS JOIN cn),
+             |probes AS (SELECT query_id, q_label, qe, qnrm, cell FROM pr WHERE pr <= 3),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN n c ON c.label = p.cell
+             |       WHERE c.vec_id <> p.query_id AND c.label <> p.q_label),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- LLM: cross-split near-dup leakage — verified near-dup pairs
     // straddling the train/val/test boundary -----------------------------
     ("split_leakage", (s: SparkSession, d: String) =>

@@ -913,6 +913,35 @@ object Similarity {
     rankPairs(c.crossJoin(q).filter(col("n_label") =!= col("q_label")), k)
   }
 
+  /**
+   * The scale path for [[hardNegatives]]: IVF cell probing bounds the
+   * candidate set (nprobe cells per query, equi-join on cell — no
+   * corpus cross join), and the label-mismatch test rides the probed
+   * scan as a residual predicate. With label-seeded cells the query's
+   * own cell filters itself out, so negatives come from the
+   * nearest FOREIGN cells — exactly the "confusable neighbors" a
+   * contrastive batch wants. Approximate like every probed search: a
+   * negative in an unprobed cell is missed; nprobe is the recall dial.
+   */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nprobe: Int = 3, cellCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = collectCentroids(corpus, cellCol)
+    val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val c = withNorm(corpus.select(col(cellCol).as("cell"),
+      col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    val probes = probeCells(queries, cents, nprobe)
+    val qLabels = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label")))
+    rankPairs(c.join(broadcast(probes), Seq("cell"))
+      .join(qLabels, Seq("query_id"))
+      .filter(col("n_label") =!= col("q_label")), k)
+  }
+
   // ------------------------------------------------------------------
   // Matryoshka-style dimension truncation — the "read fewer floats"
   // axis: MRL-trained embeddings keep most of their signal in a prefix

@@ -1232,4 +1232,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(leaks == expected)
     assert(leaks.forall { case (_, _, sa, sb) => sa != sb })
   }
+
+  test("hardNegativesIvf: own cell self-filters, full probe coverage equals exact") {
+    val s0 = spark
+    import s0.implicits._
+    def vec(xs: Double*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val corpus = Seq(
+      (1L, vec(1, 0), 0), (2L, vec(1, 0.01), 0),
+      (3L, vec(1, 0.2), 1), (4L, vec(0.9, 0.3), 1),
+      (5L, vec(0, 1), 2), (6L, vec(0.1, 1), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 1L)
+    // probing EVERY cell → identical to the exact operator
+    val full = Similarity.hardNegativesIvf(corpus, q, 4, nprobe = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.hardNegatives(corpus, q, 4).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(full == exact)
+    // nprobe=2: probes rank (cell0, cell1, cell2) by centroid cosine —
+    // own cell 0 contributes nothing (label filter), so negatives come
+    // from cell 1 only; cell 2's vectors are absent
+    val two = Similarity.hardNegativesIvf(corpus, q, 4, nprobe = 2).collect()
+      .map(_.getLong(1)).toSet
+    assert(two == Set(3L, 4L))
+  }
 }

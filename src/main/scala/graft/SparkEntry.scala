@@ -2607,6 +2607,52 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: recall@10 of IVF-probed vs exact hard negatives — the
+    // nprobe dial for the contrastive-batch miner ------------------------
+    ("recall_hard_negatives", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.hardNegatives(e, q, 10),
+        Similarity.hardNegativesIvf(e, q, 10, nprobe = 3))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c
+             |         WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10),
+             |el AS (SELECT vec_id, label, g.j, e[CAST(g.j AS INTEGER)] AS v
+             |       FROM dv, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g),
+             |cm AS (SELECT label AS cell, j,
+             |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS cv
+             |       FROM el GROUP BY label, j),
+             |cent AS (SELECT cell, list(cv ORDER BY j) AS ce FROM cm GROUP BY cell),
+             |cn AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM cent),
+             |pr AS (SELECT q.vec_id AS query_id, q.label AS q_label, q.e AS qe, q.nrm AS qnrm, cn.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, cn.ce) / (q.nrm * cn.cnrm) DESC, cn.cell ASC) AS pr
+             |       FROM q CROSS JOIN cn),
+             |probes AS (SELECT query_id, q_label, qe, qnrm, cell FROM pr WHERE pr <= 3),
+             |apsc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |         FROM probes p JOIN n c ON c.label = p.cell
+             |         WHERE c.vec_id <> p.query_id AND c.label <> p.q_label),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM apsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
+
     // ---- LLM: cross-split near-dup leakage — verified near-dup pairs
     // straddling the train/val/test boundary -----------------------------
     ("split_leakage", (s: SparkSession, d: String) =>

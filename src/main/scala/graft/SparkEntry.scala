@@ -1001,6 +1001,37 @@ object SparkEntry {
     // semantics made driver-visible. Emission depends only on the final
     // watermark (max event time - 2h), not on micro-batch boundaries, so
     // the result is deterministic under any batching.)
+    // ---- §2.9: OVERLAPPING sliding windows (4h rolling, 1h slide) —
+    // each point covers 4 windows; emission still watermark-finalized ----
+    ("streaming_rolling_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rollstats_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val st = graft.streaming.StreamingIngest.rollingStats(
+        ea.gaugePointsStream(s, d).filter(col("time") < Week))
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(unix_millis(col("window_start")).as("window_start"), col("metric"),
+          col("samples"), col("min"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t < $Week),
+              |wm AS (SELECT max(t) - 7200000 AS w FROM b),
+              |x AS (SELECT metric, t, value, s.k * 3600000 AS ws
+              |      FROM b, LATERAL (SELECT unnest(generate_series(
+              |        (t - 14400000) // 3600000 + 1, t // 3600000)) AS k) s)
+              |SELECT ws AS window_start, metric,
+              |       count(*) AS samples, min(value) AS "min", max(value) AS "max",
+              |       ${dsum("value")} AS sum
+              |FROM x, wm
+              |WHERE ws + 14400000 <= wm.w
+              |GROUP BY 1, 2""".stripMargin)),
+
     ("streaming_slice_stats", (s: SparkSession, d: String) => {
       val base = "target/tmp/slicestats_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       rmrf(s, base)

@@ -77,4 +77,30 @@ object StreamingIngest {
         sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum"))
       .select(col("window.start").as("slice_start"), col("tenant_id"),
         col("mtype"), col("metric"), col("samples"), col("min"), col("max"), col("sum"))
+
+  /**
+   * True OVERLAPPING sliding windows — `size` > `slide`, e.g. 4 h
+   * rolling stats advancing hourly: the "metrics over the last N hours"
+   * view dashboards poll, which the tumbling slice cadence above cannot
+   * answer without client-side re-aggregation. Spark expands each event
+   * into its size/slide covering windows BEFORE the stateful aggregate,
+   * so state is (open windows × metrics)-keyed — bounded by the
+   * watermark exactly like the tumbling case — and each window still
+   * emits exactly once when the watermark passes its end. Same decimal
+   * sum discipline, same late-data drop contract.
+   */
+  def rollingStats(points: DataFrame, size: String = "4 hours",
+                   slide: String = "1 hour",
+                   lateness: String = "2 hours"): DataFrame =
+    points
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), size, slide),
+        col("tenant_id"), col("mtype"), col("metric"))
+      .agg(count(lit(1)).as("samples"),
+        min(col("n_value")).as("min"),
+        max(col("n_value")).as("max"),
+        sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum"))
+      .select(col("window.start").as("window_start"), col("tenant_id"),
+        col("mtype"), col("metric"), col("samples"), col("min"), col("max"), col("sum"))
 }

@@ -228,4 +228,32 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(w0.head.getLong(0) == 2 && w0.head.getDouble(1) == 5.0 &&
       w0.head.getDouble(2) == 7.0 && w0.head.getDouble(3) == 12.0)
   }
+
+  test("rolling stats: a point lands in size/slide overlapping windows, each " +
+      "finalizing once on its own watermark crossing") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[P]
+    val H1 = 3600000L
+    val stats = StreamingIngest.rollingStats(mem.toDF()) // 4h windows, 1h slide
+    val q = stats.writeStream.format("memory").queryName("rolling")
+      .outputMode("append").start()
+    // one point at t = 3.5h: covers windows starting 0h, 1h, 2h, 3h
+    mem.addData(P("t", 0, "m1", 3 * H1 + 1800000L, 5.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close ALL covering windows
+    // (last window end = 3h + 4h = 7h; watermark = max - 2h → need 9h+)
+    mem.addData(P("t", 0, "m1", 10 * H1, 1.0))
+    q.processAllAvailable()
+    mem.addData(P("t", 0, "m1", 20 * H1, 1.0)) // flush the 10h point's windows
+    q.processAllAvailable()
+    q.stop()
+    val got = s.sql(
+      "SELECT unix_millis(window_start) AS ws, samples, sum FROM rolling " +
+      "WHERE unix_millis(window_start) < 3600000 * 4 ORDER BY ws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the four covering windows, one emission each, all holding 5.0
+    assert(got.toSeq == Seq((0L, 1L, 5.0), (H1, 1L, 5.0), (2 * H1, 1L, 5.0), (3 * H1, 1L, 5.0)))
+  }
 }

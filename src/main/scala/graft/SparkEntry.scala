@@ -1324,6 +1324,69 @@ object SparkEntry {
   /** Oracle for the deterministic trained-IVF paths (knn_ivf_kmeans and
     * knn_ivf_stored share it — the stored index changes WHERE the data
     * lives, not what the search returns). */
+  /** Shared CTE chain for the residual-IVFADC oracles: coarse label
+    * centroids -> residuals -> two L2-Lloyd passes per subspace ->
+    * encode -> probe -> micro-unit scored candidates (`scored`). */
+  private val ResidualScoredCte = """WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |el AS (SELECT vec_id, label, g.j, e[CAST(g.j AS INTEGER)] AS v
+             |       FROM dv, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g),
+             |cm AS (SELECT label AS cell, j,
+             |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / count(v) AS cv
+             |       FROM el GROUP BY label, j),
+             |cent AS (SELECT cell, list(cv ORDER BY j) AS ce FROM cm GROUP BY cell),
+             |cn AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM cent),
+             |rl AS (SELECT el.vec_id, el.label AS cell, el.j, el.v - cm.cv AS rv
+             |       FROM el JOIN cm ON cm.cell = el.label AND cm.j = el.j),
+             |sv AS (SELECT vec_id, CAST((j - 1) // 8 AS INTEGER) AS js, list(rv ORDER BY j) AS sve
+             |       FROM rl GROUP BY vec_id, CAST((j - 1) // 8 AS INTEGER)),
+             |c0 AS (SELECT js, CAST(vec_id AS INTEGER) AS code, sve AS ce FROM sv WHERE vec_id < 8),
+             |a1 AS (SELECT vec_id, js, sve, code FROM (
+             |         SELECT s.vec_id, s.js, s.sve, c.code,
+             |           row_number() OVER (PARTITION BY s.vec_id, s.js
+             |             ORDER BY list_dot_product(c.ce, c.ce) - 2 * list_dot_product(s.sve, c.ce) ASC,
+             |                      c.code ASC) AS rn
+             |         FROM sv s JOIN c0 c ON c.js = s.js) WHERE rn = 1),
+             |m1 AS (SELECT js, code, i.i,
+             |         CAST(sum(CAST(sve[CAST(i.i AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a1, LATERAL (SELECT unnest(generate_series(1, 8)) AS i) i GROUP BY js, code, i.i),
+             |c1 AS (SELECT js, code, list(cv ORDER BY i) AS ce FROM m1 GROUP BY js, code),
+             |a2 AS (SELECT vec_id, js, sve, code FROM (
+             |         SELECT s.vec_id, s.js, s.sve, c.code,
+             |           row_number() OVER (PARTITION BY s.vec_id, s.js
+             |             ORDER BY list_dot_product(c.ce, c.ce) - 2 * list_dot_product(s.sve, c.ce) ASC,
+             |                      c.code ASC) AS rn
+             |         FROM sv s JOIN c1 c ON c.js = s.js) WHERE rn = 1),
+             |m2 AS (SELECT js, code, i.i,
+             |         CAST(sum(CAST(sve[CAST(i.i AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a2, LATERAL (SELECT unnest(generate_series(1, 8)) AS i) i GROUP BY js, code, i.i),
+             |c2 AS (SELECT js, code, list(cv ORDER BY i) AS ce FROM m2 GROUP BY js, code),
+             |encf AS (SELECT vec_id, js, code FROM (
+             |         SELECT s.vec_id, s.js, c.code,
+             |           row_number() OVER (PARTITION BY s.vec_id, s.js
+             |             ORDER BY list_dot_product(c.ce, c.ce) - 2 * list_dot_product(s.sve, c.ce) ASC,
+             |                      c.code ASC) AS rn
+             |         FROM sv s JOIN c2 c ON c.js = s.js) WHERE rn = 1),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, cn.cell, cn.ce AS cce,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, cn.ce) / (q.nrm * cn.cnrm) DESC, cn.cell ASC) AS pr
+             |       FROM q CROSS JOIN cn),
+             |probes AS (SELECT query_id, qe, cell,
+             |             CAST(round(list_dot_product(qe, cce) * 1000000.0) AS BIGINT) AS c_micro
+             |           FROM pr WHERE pr <= 2),
+             |cand AS (SELECT p.query_id, p.qe, p.c_micro, c.vec_id AS neighbor_id
+             |         FROM probes p JOIN dv c ON c.label = p.cell AND c.vec_id <> p.query_id),
+             |terms AS (SELECT ca.query_id, ca.neighbor_id, ca.c_micro,
+             |            CAST(round(list_dot_product(
+             |              list_slice(ca.qe, e.js * 8 + 1, e.js * 8 + 8), cb.ce) * 1000000.0) AS BIGINT) AS tm
+             |          FROM cand ca
+             |          JOIN encf e ON e.vec_id = ca.neighbor_id
+             |          JOIN c2 cb ON cb.js = e.js AND cb.code = e.code),
+             |scored AS (SELECT query_id, neighbor_id,
+             |             max(c_micro) + CAST(sum(tm) AS BIGINT) AS score_micro
+             |           FROM terms GROUP BY query_id, neighbor_id),""".stripMargin
+
   private val IvfKmeansOracle = KmeansAssignCte + ",\n" +
        """q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
              |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
@@ -2637,6 +2700,51 @@ object SparkEntry {
              |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: RESIDUAL IVFADC (Jégou §IV-A as published) — PQ trained
+    // on and applied to x − centroid(cell); coarse term + residual ADC.
+    // Training (2 L2-Lloyd passes per subspace), encode, probe, and
+    // micro-unit scoring are all decimal/micro-deterministic, so the
+    // full build→search path has a bit-exact SQL twin -------------------
+    ("knn_ivfpq_residual", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+    },
+      Some(ResidualScoredCte + """
+             |r AS (SELECT query_id, neighbor_id, score_micro,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk
+             |      FROM scored)
+             |SELECT query_id, neighbor_id,
+             |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS adc_score
+             |FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall@10 of residual IVFADC vs exact — the accuracy
+    // evidence for encoding residuals instead of raw vectors ------------
+    ("ann_recall_ivfpq_residual", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfPqResidualTopK(e, q, 10, nprobe = 2))
+    },
+      Some(ResidualScoredCte + """
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |          SELECT query_id, neighbor_id, row_number() OVER
+             |            (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk
+             |          FROM scored)
+             |        WHERE rnk <= 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
 
     // ---- LLM: recall@10 of IVF-probed vs exact hard negatives — the
     // nprobe dial for the contrastive-batch miner ------------------------

@@ -803,6 +803,162 @@ object Similarity {
    * surviving pairs — non-shortlisted vectors cost a broadcast-hash
    * probe and nothing else.
    */
+  // ------------------------------------------------------------------
+  // RESIDUAL IVFADC (Jégou et al. 2011 §IV-A as published): PQ encodes
+  // the residual x − centroid(cell), not x itself — the coarse quantizer
+  // absorbs the vector's position, the product codes only spread, which
+  // is what makes the composition gain accuracy at the same code budget
+  // ------------------------------------------------------------------
+
+  /** Per-vector residual against the cell centroid, as a closure UDF
+    * over the driver-resident model (no join, no shuffle). */
+  private def residualUdf(model: Seq[(Int, Array[Double])]) = {
+    val cents = model.toMap
+    udf { (cell: Int, v: Seq[Float]) =>
+      val c = cents(cell)
+      Array.tabulate(c.length)(i => v(i).toDouble - c(i))
+    }
+  }
+
+  /**
+   * Deterministic per-subspace L2 Lloyd over residual subvectors:
+   * seeds = the residuals of the `kCodes` lowest vec_ids (code id =
+   * vec_id), `iters` reassign+mean passes, means decimal-exact. Each
+   * pass is ONE distributed aggregate over all m subspaces at once
+   * (assignment is a closure UDF against the driver-resident matrix —
+   * no join); only the m × kCodes × SubDim model ever reaches the
+   * driver. L2 argmin key = |c|² − 2⟨r,c⟩ (the |r|² term is constant
+   * per row), first-min ties to the lowest code — the SQL oracle's
+   * row_number(ORDER BY key, code) exactly.
+   */
+  private[operators] def residualCodebooks(resid: DataFrame, kCodes: Int,
+                                           iters: Int): Seq[Seq[(Int, Array[Double])]] = {
+    val seeds: Seq[Seq[(Int, Array[Double])]] = {
+      val rows = resid.filter(col("vec_id") < kCodes)
+        .select(col("vec_id"), col("rv")).collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      (0 until PqM).map(j => rows.map { case (id, rv) =>
+        id -> rv.slice(j * SubDim, (j + 1) * SubDim)
+      })
+    }
+    (1 to iters).foldLeft(seeds) { (cbs, _) =>
+      val assign = residAssignUdf(cbs)
+      // per (subspace, code, dim) decimal-exact means in ONE aggregate:
+      // explode rows × subspaces, carry the assigned code
+      val sub = resid.select(col("rv"), posexplode(assign(col("rv"))).as(Seq("js", "code")))
+      val sums = (0 until SubDim).map(i =>
+        sum(element_at(col("rv"), col("js") * SubDim + i + 1).cast("decimal(28,10)"))
+          .cast("double").as(s"s$i")) :+ count(lit(1)).as("n")
+      val means = sub.groupBy(col("js"), col("code")).agg(sums.head, sums.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getAs[Long]("n").toDouble
+          (r.getAs[Int]("js"), r.getAs[Int]("code"),
+            Array.tabulate(SubDim)(i => r.getAs[Double](s"s$i") / n))
+        }
+      (0 until PqM).map(j => means.filter(_._1 == j).map { case (_, c, m) => c -> m }
+        .sortBy(_._1).toSeq)
+    }
+  }
+
+  /** All-m-subspace L2 argmin over residual DOUBLE subvectors — the
+    * residual twin of [[pqEncodeUdf]] (same strict math, same first-min
+    * tie-break), emitting the per-subspace code array. */
+  private def residAssignUdf(cbs: Seq[Seq[(Int, Array[Double])]]) = {
+    val ids = cbs.map(_.map(_._1).toArray).toArray
+    val mats = cbs.map(_.map(_._2).toArray).toArray
+    val c2s = mats.map(_.map(c => c.foldLeft(0.0)((a, x) => a + x * x)))
+    val m = mats.length
+    udf { (rv: Seq[Double]) =>
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val band = mats(j)
+        var best = 0
+        var bestKey = Double.PositiveInfinity
+        var l = 0
+        while (l < band.length) {
+          val c = band(l)
+          var dot = 0.0
+          var i = 0
+          while (i < c.length) { dot += rv(j * c.length + i) * c(i); i += 1 }
+          val key = c2s(j)(l) - 2.0 * dot
+          if (key < bestKey) { best = l; bestKey = key }
+          l += 1
+        }
+        out(j) = ids(j)(best)
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Residual-ADC micro score: micro(⟨q, c_cell⟩) + Σ_j micro(⟨q_j,
+    * C_j[code_j]⟩) — each term rounded to integer micro-units HALF_UP
+    * like [[adcMicroUdf]], summed as longs (order-independent). */
+  private def residAdcMicroUdf(model: Seq[(Int, Array[Double])],
+                               cbs: Seq[Seq[(Int, Array[Double])]]) = {
+    val cents = model.toMap
+    val mats = cbs.map(_.map(_._2).toArray).toArray
+    val idx = cbs.map(b => b.map(_._1).zipWithIndex.toMap).toArray
+    val m = mats.length
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    udf { (cell: Int, codes: Seq[Int], q: Seq[Float]) =>
+      val cc = cents(cell)
+      var cdot = 0.0
+      var i = 0
+      while (i < cc.length) { cdot += q(i).toDouble * cc(i); i += 1 }
+      var total = micro(cdot)
+      var j = 0
+      while (j < m) {
+        val c = mats(j)(idx(j)(codes(j)))
+        var dot = 0.0
+        var t = 0
+        while (t < c.length) { dot += q(j * c.length + t).toDouble * c(t); t += 1 }
+        total += micro(dot)
+        j += 1
+      }
+      total
+    }
+  }
+
+  /**
+   * Residual IVFADC search: coarse term ⟨q, centroid_cell⟩ plus the
+   * residual codes' ADC reconstruction — [[ivfPqTopK]] with the PQ
+   * trained on and applied to residuals. Same scale shape (cell
+   * equi-join bounds the scored set, codes bound bytes per vector, all
+   * models driver-resident); the residual training adds `iters`
+   * aggregate passes at build time and nothing at serve time.
+   */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        nprobe: Int = 2, kCodes: Int = 8, iters: Int = 2,
+                        cellCol: String = "label"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = collectCentroids(corpus, cellCol)
+    val resid = corpus.select(col("vec_id"), col(cellCol).cast("int").as("cell"),
+      residualUdf(model)(col(cellCol).cast("int"), dvec("embedding")).as("rv"))
+      .localCheckpoint() // read by every training pass + the encode
+    val cbs = residualCodebooks(resid, kCodes, iters)
+    val enc = resid.select(col("cell"), col("vec_id").as("neighbor_id"),
+      residAssignUdf(cbs)(col("rv")).as("codes"))
+    val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val probes = probeCells(queries, cents, nprobe).drop("qv_nrm")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    enc.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_micro",
+        residAdcMicroUdf(model, cbs)(col("cell"), col("codes"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score_micro").cast("double") / lit(1000000.0), 6).as("adc_score"))
+  }
+
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")

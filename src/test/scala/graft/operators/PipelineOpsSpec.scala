@@ -1260,4 +1260,33 @@ class PipelineOpsSpec extends SparkTestBase {
       .map(_.getLong(1)).toSet
     assert(two == Set(3L, 4L))
   }
+
+  test("residual IVFADC: identity codebooks (every vector a seed) reconstruct " +
+      "the exact dot-product ranking; runs are bit-stable") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(7)
+    // 6 vectors in 2 label cells; kCodes=8 > 6 → every residual seeds its
+    // own code, one iteration maps each residual to itself → ADC score =
+    // micro(⟨q,c⟩) + Σ micro(⟨q_j,r_j⟩) ≈ ⟨q,x⟩
+    val vecs = (0L to 5L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), (i % 2).toInt)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 0L)
+    val got = Similarity.ivfPqResidualTopK(corpus, q, 5, nprobe = 2, kCodes = 8,
+      iters = 1).orderBy(desc("adc_score")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val qv = vecs.head._2.map(_.toDouble)
+    val expect = vecs.tail.map { case (id, v, _) =>
+      (id, (0 until 64).foldLeft(0.0)((a, i) => a + qv(i) * v(i).toDouble))
+    }.sortBy(-_._2)
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq)
+    got.zip(expect).foreach { case ((_, adc), (_, dot)) =>
+      assert(math.abs(adc - dot) < 1e-4, s"adc $adc vs dot $dot") // 9 micro-roundings
+    }
+    val again = Similarity.ivfPqResidualTopK(corpus, q, 5, nprobe = 2, kCodes = 8,
+      iters = 1).orderBy(desc("adc_score")).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
 }

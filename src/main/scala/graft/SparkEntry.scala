@@ -780,6 +780,44 @@ object SparkEntry {
               |      FROM base)
               |SELECT metric, count(*) AS cnt, ${dsum("v")} AS sum_v FROM u GROUP BY 1""".stripMargin)),
 
+    // ---- display downsampling: per-bucket min/max envelope points with
+    // true timestamps (deterministic tie policy) -------------------------
+    ("fetch_downsampled", (s: SparkSession, d: String) =>
+      MetricsOps.downsampleMinMax(gauge(s, d), Buckets.fromStep(S, E, 21600000L)),
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT metric, (t - $S) // 21600000 AS bucket, t, value
+              |      FROM base WHERE t >= $S AND t < $E),
+              |mn AS (SELECT metric, bucket, min(value) AS vmin, max(value) AS vmax,
+              |         CAST(count(*) AS BIGINT) AS samples
+              |       FROM a GROUP BY 1, 2),
+              |tm AS (SELECT a.metric, a.bucket,
+              |         min(CASE WHEN a.value = mn.vmin THEN a.t END) AS min_time,
+              |         max(CASE WHEN a.value = mn.vmax THEN a.t END) AS max_time
+              |       FROM a JOIN mn USING (metric, bucket) GROUP BY 1, 2)
+              |SELECT mn.metric, mn.bucket, tm.min_time, mn.vmin AS min_value,
+              |       tm.max_time, mn.vmax AS max_value, mn.samples
+              |FROM mn JOIN tm USING (metric, bucket)""".stripMargin)),
+
+    // ---- rollup tier: hourly pre-aggregates served as 2h buckets —
+    // the EXACTNESS contract: rollup-served stats hash-match the raw
+    // on-read aggregate (stored decimal sums re-aggregate associatively) -
+    ("rollup_stats", (s: SparkSession, d: String) => {
+      val path = "target/tmp/rollup_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(gauge(s, d), s"$path/raw", SaveMode.Overwrite)
+      GraftStorage.writeRollup(s, s"$path/raw", s"$path/roll")
+      GraftStorage.rollupStats(s, s"$path/roll",
+        Buckets.fromStep(S, S + 4 * Day, 7200000L))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t >= $S AND t < ${S + 4 * Day})
+              |SELECT metric, (t - $S) // 7200000 AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- S9: metric delete — partition-scoped rewrite --------------------
     ("storage_delete", (s: SparkSession, d: String) => {
       val path = "target/tmp/delete_" + d.replaceAll("[^a-zA-Z0-9]", "_")

@@ -608,6 +608,32 @@ object MetricsOps {
       .drop("__prev")
   }
 
+  /**
+   * Display downsampling: per (metric, bucket), the bucket's minimum and
+   * maximum points WITH their true timestamps — the envelope-preserving
+   * decimation a dashboard fetch uses so a million-point range ships as
+   * ~2 points per pixel column without flattening spikes. Deterministic
+   * tie policy via lexicographic struct ordering: among equal minima the
+   * EARLIEST timestamp, among equal maxima the LATEST (what min/max of
+   * (value, time) pairs give, and what the SQL twin's filtered min/max
+   * reproduce). One map-side-combined aggregate; output is
+   * 2·buckets·metrics regardless of input density.
+   */
+  def downsampleMinMax(dp: DataFrame, b: Buckets,
+                       valueCol: String = "n_value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    dp.filter(col("time") >= b.start && col("time") < b.end)
+      .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(min(struct(v.as("v"), col("time").as("t"))).as("mn"),
+        max(struct(v.as("v"), col("time").as("t"))).as("mx"),
+        count(lit(1)).as("samples"))
+      .select(col("metric"), col("bucket"),
+        col("mn.t").as("min_time"), col("mn.v").as("min_value"),
+        col("mx.t").as("max_time"), col("mx.v").as("max_value"),
+        col("samples"))
+  }
+
   /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and
     * any operator that pages a derived frame (e.g. collapsed availability):
     * time in the requested direction, metric tie-break, global top-k

@@ -199,6 +199,85 @@ object GraftStorage {
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
+  // ------------------------------------------------------------------
+  // rollup tier — hourly pre-aggregates with an EXACTNESS contract
+  // ------------------------------------------------------------------
+
+  /** Rollup granularity: one pre-aggregate row per metric-hour. */
+  val RollupMs: Long = 3600000L
+
+  /**
+   * Build/refresh the hourly rollup tier from the resolved raw tier: per
+   * (tenant, mtype, metric, hour) — samples, min, max, and the
+   * DECIMAL(28,10)-EXACT sum of `n_value`, STORED AS DECIMAL so that
+   * serve-time re-aggregation (a sum of hourly sums) stays associative
+   * and bit-equal to the one-pass on-read aggregate — the tier's
+   * correctness contract: a bucket served from rollups must HASH-MATCH
+   * the raw-path A1 result, not approximate it (rollup_stats oracle; a
+   * double partial sum here would reorder and drift in the last ulp).
+   *
+   * Partitioned exactly like the raw tier, so tenant/type/slice pruning
+   * carries over to rollup scans; `(fromSlice, upToSlice)` bounds the
+   * maintenance window like [[compact]] — a run reads and rewrites only
+   * newly closed slices' partitions (dynamic overwrite), leaving older
+   * rollups byte-identical. At 100 TB this tier is what dashboard-range
+   * queries hit: hours × metrics rows instead of raw points — typically
+   * 3-4 orders of magnitude less scan.
+   */
+  def writeRollup(spark: SparkSession, rawPath: String, rollupPath: String,
+                  upToSlice: Long = Long.MaxValue,
+                  fromSlice: Long = Long.MinValue): Unit = {
+    val roll = readResolved(spark, rawPath)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+      .filter(col("n_value").isNotNull)
+      .withColumn("hour", expr(s"time div $RollupMs"))
+      .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .agg(count(lit(1)).as("samples"),
+        min(col("n_value")).as("min_v"),
+        max(col("n_value")).as("max_v"),
+        sum(col("n_value").cast("decimal(28,10)")).as("sum_v"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try roll
+      .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
+      .sortWithinPartitions(col("metric"), col("hour"))
+      .write
+      .partitionBy("tenant_id", "mtype", "time_slice")
+      .option("compression", "zstd")
+      .mode(SaveMode.Overwrite)
+      .parquet(rollupPath)
+    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
+  /**
+   * Serve A1 bucket stats (min/avg/max/sum/samples) from the rollup
+   * tier. Buckets must align to whole rollup hours — checked loudly;
+   * misaligned or percentile-carrying requests belong on the raw path
+   * (rollups cannot answer order statistics). Output is bit-equal to
+   * `numericBucketStats` over the resolved raw tier: mins/maxes are
+   * associative, the sum re-aggregates stored decimals, and avg divides
+   * the exact total by the exact count — the same arithmetic the
+   * one-pass aggregate performs.
+   */
+  def rollupStats(spark: SparkSession, rollupPath: String,
+                  b: graft.model.Buckets, byMetric: Boolean = true): DataFrame = {
+    require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
+      s"rollup serving needs hour-aligned buckets (start=${b.start}, step=${b.step})")
+    val startHour = b.start / RollupMs
+    val stepHours = b.step / RollupMs
+    val r = spark.read.parquet(rollupPath)
+      .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+    val keys = if (byMetric) Seq(col("metric"), col("bucket")) else Seq(col("bucket"))
+    r.groupBy(keys: _*).agg(
+      min(col("min_v")).as("min"),
+      (sum(col("sum_v")).cast("double") / sum(col("samples"))).as("avg"),
+      max(col("max_v")).as("max"),
+      sum(col("sum_v")).cast("double").as("sum"),
+      sum(col("samples")).cast("long").as("samples"))
+  }
+
   /**
    * Retention sweep (TTL analog, MetricsServiceImpl.java:1058-1067): drop
    * whole expired slice partitions — a metadata-only delete, no rewrite.

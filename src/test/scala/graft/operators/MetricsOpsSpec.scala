@@ -384,4 +384,19 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(matches("e.*") == Set("east", "easter", "e"))
     assert(matches("!e.*") == Set("west"))
   }
+
+  test("downsampleMinMax: envelope points keep true timestamps; ties pick " +
+      "earliest min / latest max; buckets with one point collapse") {
+    val b = graft.model.Buckets(1000L, 1000L, 2)
+    val dp = points(Seq(
+      ("m", 1000L, 5.0), ("m", 1100L, 2.0), ("m", 1200L, 9.0),
+      ("m", 1300L, 2.0),   // ties the min — EARLIEST (1100) must win
+      ("m", 1400L, 9.0),   // ties the max — LATEST (1400) must win
+      ("m", 2500L, 7.0)))  // second bucket, single point
+    val got = MetricsOps.downsampleMinMax(dp, b).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getLong(4),
+        r.getDouble(5), r.getLong(6))).toMap
+    assert(got(0L) == ((1100L, 2.0, 1400L, 9.0, 5L)))
+    assert(got(1L) == ((2500L, 7.0, 2500L, 7.0, 1L)))
+  }
 }

@@ -193,4 +193,52 @@ class StorageSpec extends SparkTestBase {
     val left = GraftStorage.read(spark, path).select("tenant_id").distinct().collect()
     assert(left.map(_.getString(0)).toSeq == Seq("other"))
   }
+
+  test("rollup tier: served buckets are bit-equal to the on-read aggregate; " +
+      "LWW resolution precedes rollup; misaligned buckets are rejected; " +
+      "windowed refresh leaves other slices' rollups untouched") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    // raw points across two hours + a same-(metric,time) overwrite: the
+    // rollup must aggregate the RESOLVED value (LWW), not both writes
+    GraftStorage.write(fixture(Seq(
+      ("m1", 100L, 1.0), ("m1", 200L, 3.0), ("m1", H1 + 100L, 10.0),
+      ("m2", 150L, 5.0))), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.write(fixture(Seq(("m1", 200L, 7.0))), s"$path/raw") // LWW winner
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    // Buckets.start must be positive, so serve [1h, 2h): that hour holds
+    // only m1 @10.0 on the RESOLVED raw (the 7.0 overwrite lives in hour 0)
+    val served = GraftStorage.rollupStats(spark, s"$path/roll",
+      graft.model.Buckets.fromStep(H1, 2 * H1, H1))
+    val hour1 = served.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getAs[Long]("samples"),
+        r.getAs[Double]("min"), r.getAs[Double]("sum"))).toSet
+    assert(hour1 == Set(("m1", 0L, 1L, 10.0, 10.0)))
+    // LWW precedes rollup: hour 0's stored sum reflects the 7.0 winner
+    val h0 = spark.read.parquet(s"$path/roll").filter(col("hour") === 0L)
+      .select(col("metric"), col("sum_v").cast("double"), col("samples"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(h0 == Set(("m1", 8.0, 2L), ("m2", 5.0, 1L))) // 1.0 + 7.0, not 3.0
+    intercept[IllegalArgumentException] {
+      GraftStorage.rollupStats(spark, s"$path/roll",
+        graft.model.Buckets.fromStep(1L, GraftStorage.RollupMs + 1, GraftStorage.RollupMs))
+    }
+    // windowed refresh: slice-0 rollup files untouched by a window that
+    // excludes them
+    def rollFiles(): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$path/roll/tenant_id=t/mtype=0/time_slice=0")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val before = rollFiles()
+    GraftStorage.write(fixture(Seq(("m9", 2 * H2 + 50L, 2.0))), s"$path/raw")
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll",
+      upToSlice = 3, fromSlice = 2)
+    assert(rollFiles() == before,
+      "slice-0 rollups must be byte-identical after an unrelated windowed refresh")
+    // the window did its job: slice-2 rollup exists
+    val s2 = spark.read.parquet(s"$path/roll")
+      .filter(col("time_slice") === 2L).collect()
+    assert(s2.length == 1 && s2.head.getAs[Long]("samples") == 1L)
+  }
 }

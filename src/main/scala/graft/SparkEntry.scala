@@ -780,6 +780,32 @@ object SparkEntry {
               |      FROM base)
               |SELECT metric, count(*) AS cnt, ${dsum("v")} AS sum_v FROM u GROUP BY 1""".stripMargin)),
 
+    // ---- dashboard top-k series by range aggregate (per-partition
+    // heaps, no global sort of the metric list) --------------------------
+    ("top_series", (s: SparkSession, d: String) =>
+      MetricsOps.topSeries(gauge(s, d), TimeRange(S, E), k = 10, orderBy = "avg"),
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT metric, min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |        max(value) AS "max", ${dsum("value")} AS sum,
+              |        CAST(count(*) AS BIGINT) AS samples
+              |      FROM base WHERE t >= $S AND t < $E GROUP BY 1)
+              |SELECT * FROM a ORDER BY avg DESC, metric ASC LIMIT 10""".stripMargin)),
+
+    // ---- counter increase (Prometheus increase()): sum of positive
+    // deltas + reset count, exact longs ----------------------------------
+    ("counter_increase", (s: SparkSession, d: String) =>
+      MetricsOps.counterIncrease(ctr(s, d), TimeRange(S, E))
+        .select(col("metric"), col("increase"), col("n_resets"), col("n_deltas")),
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, l_value - lag(l_value) OVER w AS delta
+              |      FROM ctr WHERE t >= $S AND t < $E
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric,
+              |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS increase,
+              |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+              |       CAST(count(delta) AS BIGINT) AS n_deltas
+              |FROM r WHERE delta IS NOT NULL GROUP BY 1""".stripMargin)),
+
     // ---- display downsampling: per-bucket min/max envelope points with
     // true timestamps (deterministic tie policy) -------------------------
     ("fetch_downsampled", (s: SparkSession, d: String) =>

@@ -634,6 +634,50 @@ object MetricsOps {
         col("samples"))
   }
 
+  /**
+   * Top-k series by a range aggregate — the dashboard "top N noisiest /
+   * busiest metrics" panel: per metric, the whole-range scalars, ranked
+   * by `orderBy` (avg|sum|max|samples) desc with the metric-asc
+   * tiebreak, cut to k. Per-metric aggregation is map-side combined;
+   * the rank+cut collapses to TakeOrderedAndProject (per-partition
+   * heaps + a k-row driver merge — no global sort of the metric list).
+   */
+  def topSeries(dp: DataFrame, range: TimeRange, k: Int,
+                orderBy: String = "avg", valueCol: String = "n_value"): DataFrame = {
+    require(Set("avg", "sum", "max", "min", "samples").contains(orderBy),
+      s"unsupported rank key: $orderBy")
+    val v = col(valueCol).cast("double")
+    dp.filter(inRange(range))
+      .groupBy(col("metric"))
+      .agg(min(v).as("min"), (decSum(v) / count(v)).as("avg"), max(v).as("max"),
+        decSum(v).as("sum"), count(v).as("samples"))
+      .orderBy(col(orderBy).desc, col("metric").asc)
+      .limit(k)
+  }
+
+  /**
+   * Counter increase over a range — the integral sibling of [[rate]]
+   * (Prometheus' `increase()`): per metric, the sum of POSITIVE adjacent
+   * deltas (a reset contributes the post-reset value's own growth, not a
+   * negative jump), plus the reset count and the observed span. Exact
+   * longs — no float drift. One window shuffle on the series key, same
+   * shape as [[rate]].
+   */
+  def counterIncrease(dp: DataFrame, range: TimeRange,
+                      valueCol: String = "l_value"): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("time"))
+    val paired = dp.filter(inRange(range))
+      .withColumn("prev_v", lag(col(valueCol), 1).over(w))
+      .filter(col("prev_v").isNotNull)
+      .withColumn("delta", col(valueCol) - col("prev_v"))
+    paired.groupBy(col("tenant_id"), col("mtype"), col("metric"))
+      .agg(sum(when(col("delta") > 0, col("delta")).otherwise(0L))
+        .cast("long").as("increase"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).cast("long").as("n_resets"),
+        count(lit(1)).as("n_deltas"))
+  }
+
   /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and
     * any operator that pages a derived frame (e.g. collapsed availability):
     * time in the requested direction, metric tie-break, global top-k

@@ -399,4 +399,37 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(got(0L) == ((1100L, 2.0, 1400L, 9.0, 5L)))
     assert(got(1L) == ((2500L, 7.0, 2500L, 7.0, 1L)))
   }
+
+  test("topSeries: rank-key dispatch, metric tiebreak, k cut, bad key rejected") {
+    val dp = points(Seq(
+      ("a", 1000L, 10.0), ("a", 2000L, 20.0),   // avg 15, sum 30
+      ("b", 1000L, 15.0), ("b", 2000L, 15.0),   // avg 15 — ties a; "a" < "b"
+      ("c", 1000L, 40.0)))                      // avg 40
+    val r = graft.model.TimeRange(1L, 100000L)
+    val byAvg = MetricsOps.topSeries(dp, r, k = 2).collect().map(_.getString(0)).toSeq
+    assert(byAvg == Seq("c", "a")) // tie at 15 broken metric-asc, cut at k=2
+    val bySamples = MetricsOps.topSeries(dp, r, k = 1, orderBy = "samples")
+      .collect().map(_.getString(0)).toSeq
+    assert(bySamples == Seq("a")) // 2 samples, ties "b" → metric-asc
+    intercept[IllegalArgumentException] {
+      MetricsOps.topSeries(dp, r, 2, orderBy = "median")
+    }
+  }
+
+  test("counterIncrease: positive deltas only, resets counted, exact longs") {
+    val s = spark
+    import s.implicits._
+    val dp = Seq(
+      ("m", 1000L, 10L), ("m", 2000L, 25L),  // +15
+      ("m", 3000L, 5L),                      // reset (-20): not subtracted
+      ("m", 4000L, 30L),                     // +25
+      ("n", 1000L, 7L), ("n", 2000L, 7L))    // flat: delta 0, no increase
+      .toDF("metric", "time", "l_value")
+      .withColumn("tenant_id", lit("t")).withColumn("mtype", lit(1))
+    val got = MetricsOps.counterIncrease(dp, graft.model.TimeRange(1L, 100000L))
+      .collect().map(r => r.getAs[String]("metric") ->
+        (r.getAs[Long]("increase"), r.getAs[Long]("n_resets"), r.getAs[Long]("n_deltas"))).toMap
+    assert(got("m") == ((40L, 1L, 3L)))
+    assert(got("n") == ((0L, 0L, 1L)))
+  }
 }

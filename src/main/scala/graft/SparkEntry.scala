@@ -780,6 +780,37 @@ object SparkEntry {
               |      FROM base)
               |SELECT metric, count(*) AS cnt, ${dsum("v")} AS sum_v FROM u GROUP BY 1""".stripMargin)),
 
+    // ---- cross-series binary op: ratio of two metrics' aligned bucket
+    // averages (inner-join semantics — absent buckets drop) --------------
+    ("series_ratio", (s: SparkSession, d: String) =>
+      MetricsOps.seriesBinaryOp(gauge(s, d), "click/1", "click/2",
+        Buckets.fromStep(S, E, 43200000L), _ / _)
+        .select(col("bucket"), round(col("avg_a"), 6).as("avg_a"),
+          round(col("avg_b"), 6).as("avg_b"), round(col("result"), 6).as("result")),
+      Some(s"""WITH $BaseCte,
+              |sa AS (SELECT (t - $S) // 43200000 AS bucket, ${dsum("value")} / count(*) AS avg_a
+              |       FROM base WHERE metric = 'click/1' AND t >= $S AND t < $E GROUP BY 1),
+              |sb AS (SELECT (t - $S) // 43200000 AS bucket, ${dsum("value")} / count(*) AS avg_b
+              |       FROM base WHERE metric = 'click/2' AND t >= $S AND t < $E GROUP BY 1)
+              |SELECT sa.bucket, round(avg_a, 6) AS avg_a, round(avg_b, 6) AS avg_b,
+              |       round(avg_a / avg_b, 6) AS result
+              |FROM sa JOIN sb USING (bucket)""".stripMargin)),
+
+    // ---- z-score anomaly flags: |v − mean| > 3σ against decimal-exact
+    // per-metric whole-range moments -------------------------------------
+    ("anomaly_zscore", (s: SparkSession, d: String) =>
+      MetricsOps.anomalies(gauge(s, d), TimeRange(S, E), threshold = 3.0),
+      Some(s"""WITH $BaseCte,
+              |m AS (SELECT metric, ${dsum("value")} / count(*) AS mean,
+              |        ${dsum("value * value")} / count(*) AS m2
+              |      FROM base WHERE t >= $S AND t < $E GROUP BY 1),
+              |sd AS (SELECT metric, mean, sqrt(greatest(m2 - mean * mean, 0)) AS std FROM m)
+              |SELECT b.metric, b.t AS "time", b.value AS value,
+              |       round((b.value - sd.mean) / sd.std, 6) AS zscore
+              |FROM base b JOIN sd USING (metric)
+              |WHERE b.t >= $S AND b.t < $E AND sd.std > 0
+              |  AND abs(b.value - sd.mean) > 3 * sd.std""".stripMargin)),
+
     // ---- dashboard top-k series by range aggregate (per-partition
     // heaps, no global sort of the metric list) --------------------------
     ("top_series", (s: SparkSession, d: String) =>

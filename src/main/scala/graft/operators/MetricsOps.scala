@@ -678,6 +678,50 @@ object MetricsOps {
         count(lit(1)).as("n_deltas"))
   }
 
+  /**
+   * Cross-series arithmetic on aligned buckets (the PromQL-style binary
+   * op dashboards build ratios/differences from): bucket both series
+   * with the shared A1 aggregate, inner-join on bucket, apply `op` to
+   * the bucket AVERAGES. Missing buckets on either side drop (the
+   * inner-join semantics binary ops want — a ratio against an absent
+   * denominator is not 0, it is no answer). Two map-side-combined
+   * aggregates + a bucket-keyed join of two buckets-sized frames.
+   */
+  def seriesBinaryOp(dp: DataFrame, metricA: String, metricB: String,
+                     b: Buckets, op: (Column, Column) => Column,
+                     valueCol: String = "n_value"): DataFrame = {
+    def side(m: String, alias: String) =
+      numericBucketStats(dp.filter(col("metric") === m), b)
+        .select(col("bucket"), col("avg").as(alias))
+    side(metricA, "avg_a").join(side(metricB, "avg_b"), Seq("bucket"))
+      .select(col("bucket"), col("avg_a"), col("avg_b"),
+        op(col("avg_a"), col("avg_b")).as("result"))
+  }
+
+  /**
+   * Z-score anomaly flags: points whose deviation from their metric's
+   * whole-range mean exceeds `threshold` standard deviations. Mean and
+   * E[x²] go through the decimal-exact sum (population std =
+   * sqrt(E[x²] − mean²) — sqrt is correctly-rounded IEEE, so both
+   * engines agree bit-for-bit); the per-metric moment frame is tiny and
+   * broadcasts back onto the scan — one aggregate + one map-side join,
+   * no second shuffle. Zero-variance series flag nothing (a constant
+   * series has no outliers, and no divide-by-zero).
+   */
+  def anomalies(dp: DataFrame, range: TimeRange, threshold: Double = 3.0,
+                valueCol: String = "n_value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val in = dp.filter(inRange(range))
+    val moments = in.groupBy(col("metric"))
+      .agg((decSum(v) / count(v)).as("mean"),
+        (decSum(v * v) / count(v)).as("m2"))
+      .withColumn("std", sqrt(greatest(col("m2") - col("mean") * col("mean"), lit(0.0))))
+    in.join(broadcast(moments), Seq("metric"))
+      .filter(col("std") > 0 && abs(v - col("mean")) > lit(threshold) * col("std"))
+      .select(col("metric"), col("time"), v.as("value"),
+        round((v - col("mean")) / col("std"), 6).as("zscore"))
+  }
+
   /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and
     * any operator that pages a derived frame (e.g. collapsed availability):
     * time in the requested direction, metric tie-break, global top-k

@@ -432,4 +432,27 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(got("m") == ((40L, 1L, 3L)))
     assert(got("n") == ((0L, 0L, 1L)))
   }
+
+  test("seriesBinaryOp: aligned-bucket ratio, absent buckets drop (inner join)") {
+    val b = graft.model.Buckets(1000L, 1000L, 3)
+    val dp = points(Seq(
+      ("x", 1000L, 10.0), ("x", 1500L, 20.0),  // bucket 0: avg 15
+      ("x", 2000L, 8.0),                       // bucket 1: avg 8
+      ("y", 1200L, 5.0),                       // bucket 0: avg 5
+      ("y", 3100L, 2.0)))                      // bucket 2 — x absent there
+    val got = MetricsOps.seriesBinaryOp(dp, "x", "y", b, _ / _).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(0L -> 3.0)) // only the shared bucket answers
+  }
+
+  test("anomalies: 3-sigma outliers flagged, constant series silent") {
+    // 20 points at 10.0 and one at 100.0: mean≈14.3, std≈19.6 → z≈4.4
+    val base = (1 to 20).map(i => ("m", i * 1000L, 10.0))
+    val dp = points(base ++ Seq(("m", 21000L, 100.0)) ++
+      (1 to 5).map(i => ("flat", i * 1000L, 7.0)))
+    val got = MetricsOps.anomalies(dp, graft.model.TimeRange(1L, 100000L)).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "m" && got.head.getLong(1) == 21000L)
+    assert(got.head.getDouble(3) > 3.0) // positive z, above threshold
+  }
 }

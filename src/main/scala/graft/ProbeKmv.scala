@@ -15,7 +15,8 @@ object ProbeKmv {
     val out = graft.operators.Sketches.sourceOverlapDebug(docs, 3, k)
       .orderBy(desc("abs_sigma")).collect()
     out.take(8).foreach(println)
-    println(s"pairs=${out.length} maxSigma=${out.head.getAs[Double]("abs_sigma")}")
+    val maxSigma = out.headOption.map(_.getAs[Double]("abs_sigma")).getOrElse(0.0)
+    println(s"pairs=${out.length} maxSigma=$maxSigma")
     spark.stop()
   }
 }

@@ -690,9 +690,15 @@ object MetricsOps {
   def seriesBinaryOp(dp: DataFrame, metricA: String, metricB: String,
                      b: Buckets, op: (Column, Column) => Column,
                      valueCol: String = "n_value"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    // avg ONLY — going through numericBucketStats would drag its exact
+    // median along (full per-bucket value buffering) just to discard it
     def side(m: String, alias: String) =
-      numericBucketStats(dp.filter(col("metric") === m), b)
-        .select(col("bucket"), col("avg").as(alias))
+      dp.filter(col("metric") === m &&
+          col("time") >= b.start && col("time") < b.end)
+        .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
+        .groupBy(col("bucket"))
+        .agg((decSum(v) / count(v)).as(alias))
     side(metricA, "avg_a").join(side(metricB, "avg_b"), Seq("bucket"))
       .select(col("bucket"), col("avg_a"), col("avg_b"),
         op(col("avg_a"), col("avg_b")).as("result"))

@@ -838,6 +838,8 @@ object Similarity {
         .select(col("vec_id"), col("rv")).collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
         .sortBy(_._1).toSeq
+      require(rows.nonEmpty,
+        s"residual PQ needs seed vectors with vec_id < $kCodes (the kmeansCentroids seed rule)")
       (0 until PqM).map(j => rows.map { case (id, rv) =>
         id -> rv.slice(j * SubDim, (j + 1) * SubDim)
       })

@@ -223,10 +223,19 @@ object GraftStorage {
    * rollups byte-identical. At 100 TB this tier is what dashboard-range
    * queries hit: hours × metrics rows instead of raw points — typically
    * 3-4 orders of magnitude less scan.
+   *
+   * A refresh also CLEARS in-window rollup partitions whose raw data has
+   * disappeared (S9 deletes, retention sweeps): dynamic overwrite cannot
+   * emit an empty partition, so without the sweep a deleted metric's
+   * rollups would keep serving ghosts — the same rewrite-plus-drop
+   * pattern as [[deleteMetric]]. Partition-level staleness only; a
+   * partially-deleted partition is rewritten by the overwrite itself.
    */
   def writeRollup(spark: SparkSession, rawPath: String, rollupPath: String,
                   upToSlice: Long = Long.MaxValue,
                   fromSlice: Long = Long.MinValue): Unit = {
+    // checkpoint: the frame feeds the fresh-partition-set action AND the
+    // write — without it the aggregate runs twice
     val roll = readResolved(spark, rawPath)
       .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
       .filter(col("n_value").isNotNull)
@@ -237,6 +246,27 @@ object GraftStorage {
         min(col("n_value")).as("min_v"),
         max(col("n_value")).as("max_v"),
         sum(col("n_value").cast("decimal(28,10)")).as("sum_v"))
+      .localCheckpoint()
+    // drop in-window rollup partitions the refreshed frame no longer
+    // covers (raw data deleted since the last refresh)
+    val fresh = roll.select(col("tenant_id"), col("mtype"), col("time_slice"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val fs = rootFs(spark, rollupPath)
+    val SlicePat = ".*/tenant_id=([^/]+)/mtype=(\\d+)/time_slice=(-?\\d+)$".r
+    // globStatus returns NULL (not empty) when the path has no matches —
+    // e.g. the very first build of a rollup tier
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$rollupPath/*/*/time_slice=*")))
+      .getOrElse(Array.empty)
+      .foreach { st =>
+        st.getPath.toString match {
+          case SlicePat(t, m, sl) =>
+            val slice = sl.toLong
+            if (slice >= fromSlice && slice < upToSlice &&
+              !fresh((t, m.toInt, slice))) fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try roll

@@ -66,17 +66,8 @@ object StreamingIngest {
    * slice-expiry semantics.
    */
   def slidingStats(points: DataFrame, lateness: String = "2 hours"): DataFrame =
-    points
-      .withColumn("event_time", timestamp_millis(col("time")))
-      .withWatermark("event_time", lateness)
-      .groupBy(window(col("event_time"), "2 hours"),
-        col("tenant_id"), col("mtype"), col("metric"))
-      .agg(count(lit(1)).as("samples"),
-        min(col("n_value")).as("min"),
-        max(col("n_value")).as("max"),
-        sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum"))
-      .select(col("window.start").as("slice_start"), col("tenant_id"),
-        col("mtype"), col("metric"), col("samples"), col("min"), col("max"), col("sum"))
+    rollingStats(points, size = "2 hours", slide = "2 hours", lateness = lateness)
+      .withColumnRenamed("window_start", "slice_start")
 
   /**
    * True OVERLAPPING sliding windows — `size` > `slide`, e.g. 4 h

@@ -241,4 +241,29 @@ class StorageSpec extends SparkTestBase {
       .filter(col("time_slice") === 2L).collect()
     assert(s2.length == 1 && s2.head.getAs[Long]("samples") == 1L)
   }
+
+  test("rollup refresh clears ghost partitions after raw deletes") {
+    val path = tmp()
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m2", 200L, 2.0))),
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    assert(spark.read.parquet(s"$path/roll").count() == 2)
+    // drop the whole tenant from raw, refresh: the rollup must not keep
+    // serving ghosts (dynamic overwrite alone cannot clear a partition)
+    GraftStorage.deleteTenant(spark, s"$path/raw", "t")
+    // raw tier is now empty — a refresh has nothing to aggregate
+    GraftStorage.write(fixture(Seq(("m9", 100L, 9.0))).filter(col("metric") === "none"),
+      s"$path/raw") // keep the raw root readable (zero rows)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    // every rollup slice partition is gone — empty parent dirs may remain
+    // (the deleteMetric convention); a parquet read of a fully emptied
+    // tier would fail schema inference, so check the filesystem
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val leftover = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/roll/*/*/time_slice=*")))
+      .getOrElse(Array.empty)
+    assert(leftover.isEmpty,
+      s"deleted raw data must not survive in the rollup tier: ${leftover.mkString(",")}")
+  }
 }

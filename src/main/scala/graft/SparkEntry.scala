@@ -780,6 +780,26 @@ object SparkEntry {
               |      FROM base)
               |SELECT metric, count(*) AS cnt, ${dsum("v")} AS sum_v FROM u GROUP BY 1""".stripMargin)),
 
+    // ---- heatmap histogram: per (time bucket, value bin) counts with
+    // fixed caller-declared edges, clamped edge bins ---------------------
+    ("value_histogram", (s: SparkSession, d: String) =>
+      MetricsOps.valueHistogram(gauge(s, d), Buckets.fromStep(S, E, 86400000L),
+        vMin = 0.0, vMax = 500.0, bins = 20),
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // 86400000 AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $E)
+              |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |FROM a GROUP BY 1, 2""".stripMargin)),
+
+    // ---- EWMA smoothing — sequential per-series fold (engine-specific
+    // float order → rows-only; the spec pins a hand-computed series) -----
+    ("series_ewma", (s: SparkSession, d: String) =>
+      MetricsOps.ewma(gauge(s, d).filter(col("metric") === "click/42"),
+        TimeRange(S, E), alpha = 0.3),
+      None),
+
     // ---- cross-series binary op: ratio of two metrics' aligned bucket
     // averages (inner-join semantics — absent buckets drop) --------------
     ("series_ratio", (s: SparkSession, d: String) =>

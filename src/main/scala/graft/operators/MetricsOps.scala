@@ -4,7 +4,7 @@ import graft.functions.GraftFunctions
 import graft.model._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /**
  * The time-series operator library, over the canonical datapoint frame
@@ -726,6 +726,68 @@ object MetricsOps {
       .filter(col("std") > 0 && abs(v - col("mean")) > lit(threshold) * col("std"))
       .select(col("metric"), col("time"), v.as("value"),
         round((v - col("mean")) / col("std"), 6).as("zscore"))
+  }
+
+  /**
+   * Time × value histogram — the heatmap panel's data shape: per (time
+   * bucket, value bin), the point count. Bin edges are CALLER-fixed
+   * (`vMin`/`vMax`/`bins`): deriving them from the data would cost a
+   * second scan and make bins drift as data arrives; out-of-range values
+   * clamp into the edge bins so mass is never silently dropped. One
+   * map-side-combined aggregate over one scan; output is
+   * buckets × bins regardless of density.
+   */
+  def valueHistogram(dp: DataFrame, b: Buckets, vMin: Double, vMax: Double,
+                     bins: Int, valueCol: String = "n_value"): DataFrame = {
+    require(bins > 0 && vMax > vMin, s"need bins > 0 and vMax > vMin")
+    val v = col(valueCol).cast("double")
+    val width = (vMax - vMin) / bins
+    val bin = least(greatest(floor((v - vMin) / width), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+    dp.filter(col("time") >= b.start && col("time") < b.end)
+      .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
+      .withColumn("bin", bin)
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_lo", lit(vMin) + col("bin") * width)
+      .withColumn("bin_hi", lit(vMin) + (col("bin") + 1) * width)
+  }
+
+  /**
+   * EWMA smoothing — `s_i = alpha·v_i + (1−alpha)·s_{i−1}` per series in
+   * time order, the dashboard smoothing dial. The recursion is inherently
+   * sequential per series, so each series' in-range points gather into
+   * ONE time-sorted array (sort_array on (time, value) structs —
+   * deterministic) and fold through a single codegen-adjacent UDF call —
+   * state is one double, cost is one pass, and the per-series array is
+   * bounded by points-per-series-in-range (the same per-series-bounded
+   * contract as the P² parity path; series longer than memory would
+   * carry the previous window's tail as the seed, the standard segmented
+   * form). Emits one row per point with its smoothed value. Float
+   * ordering is fixed by the fold, so results are partitioning-stable —
+   * but engine-specific, hence rows-only at the oracle (the spec pins a
+   * hand-computed series).
+   */
+  def ewma(dp: DataFrame, range: TimeRange, alpha: Double,
+           valueCol: String = "n_value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val v = col(valueCol).cast("double")
+    val smoothUdf = udf { (pts: Seq[Row]) =>
+      var s = 0.0
+      var first = true
+      pts.map { p =>
+        val x = p.getDouble(1)
+        s = if (first) { first = false; x } else alpha * x + (1 - alpha) * s
+        s
+      }
+    }
+    dp.filter(inRange(range))
+      .groupBy(col("tenant_id"), col("mtype"), col("metric"))
+      .agg(sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts"))
+      .withColumn("sm", smoothUdf(col("pts")))
+      .select(col("metric"), posexplode(arrays_zip(col("pts"), col("sm"))))
+      .select(col("metric"), col("col.pts.time").as("time"),
+        col("col.pts.v").as("value"), round(col("col.sm"), 6).as("smoothed"))
   }
 
   /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and

@@ -455,4 +455,28 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(got.head.getString(0) == "m" && got.head.getLong(1) == 21000L)
     assert(got.head.getDouble(3) > 3.0) // positive z, above threshold
   }
+
+  test("valueHistogram: fixed bins, edge clamping, buckets x bins shape") {
+    val b = graft.model.Buckets(1000L, 1000L, 2)
+    val dp = points(Seq(
+      ("m", 1000L, 5.0), ("m", 1100L, 15.0), ("m", 1200L, -3.0), // clamp low
+      ("m", 2500L, 99.0)))                                       // clamp high
+    val got = MetricsOps.valueHistogram(dp, b, vMin = 0.0, vMax = 20.0, bins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got((0L, 0L)) == ((2L, 0.0, 10.0))) // 5.0 and clamped -3.0
+    assert(got((0L, 1L)) == ((1L, 10.0, 20.0)))
+    assert(got((1L, 1L)) == ((1L, 10.0, 20.0))) // 99.0 clamps into the top bin
+  }
+
+  test("ewma: hand-computed recursion, first point seeds, alpha validated") {
+    val dp = points(Seq(("m", 1000L, 10.0), ("m", 2000L, 20.0), ("m", 3000L, 0.0)))
+    val got = MetricsOps.ewma(dp, graft.model.TimeRange(1L, 100000L), alpha = 0.5)
+      .orderBy("time").collect().map(_.getDouble(3)).toSeq
+    // s1=10; s2=0.5*20+0.5*10=15; s3=0.5*0+0.5*15=7.5
+    assert(got == Seq(10.0, 15.0, 7.5))
+    intercept[IllegalArgumentException] {
+      MetricsOps.ewma(dp, graft.model.TimeRange(1L, 100000L), alpha = 0.0)
+    }
+  }
 }

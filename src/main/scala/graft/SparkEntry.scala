@@ -5,6 +5,7 @@ import graft.operators._
 import graft.sources.EventsAdapter
 import graft.storage.GraftStorage
 import graft.tagquery.TagQueryParser
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -3176,8 +3177,155 @@ object SparkEntry {
              |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              |             / count(*), 4) AS recall
              |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-             |GROUP BY e.query_id""".stripMargin))
+             |GROUP BY e.query_id""".stripMargin)),
+
+    // ---- LLM: BM25 full-text retrieval — inverted-posting tf join with
+    // broadcast query-term pruning; micro-unit partial sums --------------
+    ("bm25_search", (s: SparkSession, d: String) => {
+      import s.implicits._
+      Retrieval.bm25TopK(docs(s, d), bm25Queries(s), k = 10)
+    },
+      Some(s"""WITH $Bm25Cte
+              |SELECT query_id, doc_id,
+              |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+              |       CAST(rnk AS BIGINT) AS rank
+              |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: hybrid retrieval — reciprocal-rank fusion of the BM25
+    // list and the embedding-cosine list (rank fusion needs no score
+    // normalization; shortlist-sized outer join) -------------------------
+    ("hybrid_rrf", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val lex = Retrieval.bm25TopK(docs(s, d), bm25Queries(s), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = embs(s, d)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+      val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, k = 10)
+    },
+      Some(s"""WITH $Bm25Cte,
+              |lexr AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank
+              |         FROM lexrank WHERE rnk <= 20),
+              |dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+              |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+              |qn AS (SELECT * FROM n WHERE vec_id < 3),
+              |vsc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+              |          list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+              |        FROM qn q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+              |vecr AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank FROM (
+              |           SELECT query_id, doc_id, row_number() OVER
+              |             (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk FROM vsc)
+              |         WHERE rnk <= 20),
+              |lc AS (SELECT query_id, doc_id,
+              |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS lex_u,
+              |         rank AS lex_rank FROM lexr),
+              |vc AS (SELECT query_id, doc_id,
+              |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS vec_u,
+              |         rank AS vec_rank FROM vecr),
+              |f AS (SELECT coalesce(lc.query_id, vc.query_id) AS query_id,
+              |        coalesce(lc.doc_id, vc.doc_id) AS doc_id,
+              |        coalesce(lex_u, 0) + coalesce(vec_u, 0) AS fused_u,
+              |        lex_rank, vec_rank
+              |      FROM lc FULL OUTER JOIN vc
+              |        ON lc.query_id = vc.query_id AND lc.doc_id = vc.doc_id),
+              |r AS (SELECT *, row_number() OVER
+              |        (PARTITION BY query_id ORDER BY fused_u DESC, doc_id) AS fr FROM f)
+              |SELECT query_id, doc_id,
+              |       round(CAST(fused_u AS DOUBLE) / 1000000.0, 6) AS fused_score,
+              |       CAST(fr AS BIGINT) AS fused_rank, lex_rank, vec_rank
+              |FROM r WHERE fr <= 10""".stripMargin)),
+
+    // ---- behavioral: gap-based sessionization over the raw event
+    // stream (12 h gap); one user-keyed window + same-exchange aggregate -
+    ("event_sessions", (s: SparkSession, d: String) =>
+      EventOps.sessionize(ea.eventFrame(s, d), gapMs = 43200000L),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS time, value FROM events),
+             |m AS (SELECT user_id, time, event_id, value,
+             |        CASE WHEN lag(time) OVER w IS NULL THEN 1
+             |             WHEN time - lag(time) OVER w > 43200000 THEN 1 ELSE 0 END AS ns
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id)),
+             |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY time, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+             |SELECT user_id, session_idx, min(time) AS session_start,
+             |       max(time) AS session_end, max(time) - min(time) AS duration_ms,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS value_sum
+             |FROM s GROUP BY user_id, session_idx""".stripMargin)),
+
+    // ---- behavioral: ordered funnel (signup → view → purchase),
+    // first-touch strictly-after semantics -------------------------------
+    ("event_funnel", (s: SparkSession, d: String) =>
+      EventOps.funnel(ea.eventFrame(s, d), Seq("signup", "view", "purchase")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS time FROM events),
+             |s1 AS (SELECT user_id, min(time) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.time) AS t FROM e JOIN s1 ON s1.user_id = e.user_id
+             |       WHERE e.event_type = 'view' AND e.time > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.time) AS t FROM e JOIN s2 ON s2.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND e.time > s2.t GROUP BY 1),
+             |c AS (SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+             |             CAST(count(*) AS BIGINT) AS n_users FROM s1
+             |      UNION ALL SELECT 2, 'view', count(*) FROM s2
+             |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3),
+             |b AS (SELECT n_users AS base_users FROM c WHERE step_idx = 1)
+             |SELECT step_idx, step, n_users,
+             |       round(CAST(n_users AS DOUBLE) / base_users, 6) AS conversion
+             |FROM c CROSS JOIN b""".stripMargin)),
+
+    // ---- Holt level+trend forecast (engine-specific float fold →
+    // rows-only; the spec pins a hand-computed series) -------------------
+    ("series_forecast", (s: SparkSession, d: String) =>
+      MetricsOps.holtForecast(gauge(s, d).filter(col("metric") === "click/42"),
+        TimeRange(S, E), alpha = 0.3, beta = 0.1, horizon = 6,
+        stepMs = 43200000L),
+      None)
   )
+
+  /** Fixed BM25 query set over the synthetic vocabulary (mirrored by
+    * [[Bm25Cte]]'s VALUES list). */
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, Seq("spark", "join")), (1L, Seq("window", "sort", "merge")),
+      (2L, Seq("hash", "scan"))).toDF("query_id", "terms")
+  }
+
+  /** Shared BM25 oracle pipeline (DuckDB): query terms → matching-posting
+    * tf/df → micro-unit partial scores → per-query rank. Every constant
+    * is ::DOUBLE and every arithmetic step mirrors Retrieval.bm25TopK's
+    * Column tree operation-for-operation (left-assoc, same casts), so
+    * doubles are bit-identical before the micro-round. */
+  private val Bm25Cte =
+    """qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, token FROM (VALUES
+      |         (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'sort'),
+      |         (1, 'merge'), (2, 'hash'), (2, 'scan')) t(query_id, token)),
+      |tset AS (SELECT DISTINCT token FROM qt),
+      |toks AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+      |           unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum
+      |       FROM (SELECT len(string_split(lower(text), ' ')) AS dl FROM documents)),
+      |st2 AS (SELECT n_docs, CAST(dl_sum AS DOUBLE) / n_docs AS avgdl FROM st),
+      |tfreq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+      |            CAST(max(dl) AS BIGINT) AS dl
+      |          FROM toks JOIN tset USING (token) GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfreq GROUP BY token),
+      |part AS (SELECT t.doc_id, t.token,
+      |           CAST(round(
+      |             ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |                / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |             * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |                / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                   * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |                      + (CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE)) / avgdl)))
+      |             * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS u
+      |         FROM tfreq t JOIN dfreq USING (token) CROSS JOIN st2),
+      |lexsc AS (SELECT q.query_id, p.doc_id, CAST(sum(u) AS BIGINT) AS su
+      |          FROM part p JOIN qt q USING (token) GROUP BY 1, 2),
+      |lexrank AS (SELECT query_id, doc_id, su, row_number() OVER
+      |              (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rnk
+      |            FROM lexsc)""".stripMargin
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs
 

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Behavioral-event operators over the raw event stream (the fixture's
+ * `events` table via [[graft.sources.EventsAdapter.eventFrame]]):
+ * gap-based sessionization and ordered funnel analysis — the two
+ * event-sequence shapes a telemetry/product pipeline runs next to the
+ * metric queries.
+ *
+ * Scale notes (100 TB): both operators shuffle exactly once on
+ * `user_id` and keep every later stage on that partitioning —
+ * sessionize's window and its session aggregate share the exchange
+ * (the group keys extend the partition key), and funnel's per-step
+ * joins are all user-keyed so AQE coalesces them onto aligned
+ * exchanges. No step is driver-bound; per-user state is the largest
+ * single user's event list, never the corpus.
+ */
+object EventOps {
+
+  private def userTimeWindow =
+    Window.partitionBy(col("user_id")).orderBy(col("time"), col("event_id"))
+
+  /**
+   * Gap-based sessionization: events of one user belong to the same
+   * session while consecutive gaps stay <= `gapMs`; a gap strictly
+   * greater than `gapMs` starts a new session. Classic lag-boundary +
+   * running-sum formulation — one window over `user_id`, then a
+   * session aggregate on the SAME partitioning (no second exchange).
+   *
+   * Output: (user_id, session_idx, session_start, session_end,
+   * duration_ms, n_events, value_sum) with `session_idx` numbering a
+   * user's sessions from 1 in time order. `value_sum` goes through
+   * DECIMAL(28,10) (exact, order-independent) and lands as DOUBLE —
+   * the engine's standard determinism discipline.
+   */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    val w = userTimeWindow
+    val boundary =
+      when(col("time") - lag(col("time"), 1).over(w) > gapMs, 1L)
+        .when(lag(col("time"), 1).over(w).isNull, 1L)
+        .otherwise(0L)
+    events
+      .withColumn("new_session", boundary)
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("time")).as("session_start"),
+        max(col("time")).as("session_end"),
+        (max(col("time")) - min(col("time"))).as("duration_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("value_sum"))
+  }
+
+  /**
+   * Ordered funnel: for `steps = [s1, s2, ...]`, a user reaches step i
+   * when an event of type `steps(i)` occurs STRICTLY AFTER the time at
+   * which the user reached step i-1 (first-touch semantics: the
+   * reached-time of a step is the MINIMUM qualifying time). Emits one
+   * row per step with the absolute user count and the conversion rate
+   * relative to step 1.
+   *
+   * Shape: step count is a pipeline constant, so this is a bounded
+   * chain of user-keyed min-aggregates and joins — each join's both
+   * sides are hashed on `user_id` (aligned exchanges), and every
+   * intermediate frame only shrinks (users still in the funnel).
+   */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    // reached(i): (user_id, t) = first time the user completed steps 0..i
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("time")).as("t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev.withColumnRenamed("t", "prev_t"), Seq("user_id"))
+        .filter(col("time") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("time")).as("t"))
+    }
+    val counts = reached.zipWithIndex.map { case (r, i) =>
+      r.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionAll _)
+    val base = counts.filter(col("step_idx") === 1L)
+      .select(col("n_users").as("base_users"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("base_users"), 6).as("conversion"))
+  }
+}

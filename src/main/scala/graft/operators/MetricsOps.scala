@@ -790,6 +790,50 @@ object MetricsOps {
         col("col.pts.v").as("value"), round(col("col.sm"), 6).as("smoothed"))
   }
 
+  /**
+   * Holt double-exponential (level+trend) forecast — the step up from
+   * [[ewma]] when a series drifts: `l_i = alpha·v_i + (1−alpha)·(l_{i−1}
+   * + b_{i−1})`, `b_i = beta·(l_i − l_{i−1}) + (1−beta)·b_{i−1}`,
+   * initialized l_0 = v_0, b_0 = 0; the h-step-ahead forecast is
+   * `l_n + h·b_n` at `lastTime + h·stepMs`. Same execution shape as
+   * [[ewma]] (sequential per-series recursion → one sorted-array fold
+   * per series, state two doubles), same oracle posture (rows-only:
+   * engine-specific float fold; the spec pins a hand-computed series).
+   * Emits `horizon` rows per series.
+   */
+  def holtForecast(dp: DataFrame, range: TimeRange, alpha: Double, beta: Double,
+                   horizon: Int, stepMs: Long,
+                   valueCol: String = "n_value"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    require(stepMs > 0, s"stepMs must be positive, got $stepMs")
+    val v = col(valueCol).cast("double")
+    val fitUdf = udf { (pts: Seq[Row]) =>
+      var l = 0.0; var b = 0.0; var first = true
+      pts.foreach { p =>
+        val x = p.getDouble(1)
+        if (first) { first = false; l = x } else {
+          val prevL = l
+          l = alpha * x + (1 - alpha) * (prevL + b)
+          b = beta * (l - prevL) + (1 - beta) * b
+        }
+      }
+      (l, b)
+    }
+    dp.filter(inRange(range))
+      .groupBy(col("tenant_id"), col("mtype"), col("metric"))
+      .agg(sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts"),
+        max(col("time")).as("last_time"))
+      .withColumn("fit", fitUdf(col("pts")))
+      .select(col("metric"), col("last_time"),
+        col("fit._1").as("level"), col("fit._2").as("trend"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("metric"), col("h").cast("long").as("horizon"),
+        (col("last_time") + col("h") * lit(stepMs)).as("time"),
+        round(col("level") + col("h") * col("trend"), 6).as("forecast"))
+  }
+
   /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and
     * any operator that pages a derived frame (e.g. collapsed availability):
     * time in the requested direction, metric tie-break, global top-k

@@ -173,6 +173,15 @@ object EventsAdapter {
   private def base(spark: SparkSession, sfDir: String): DataFrame =
     baseFrom(events(spark, sfDir))
 
+  /** Canonical behavioral-event frame for the session/funnel operators
+    * ([[graft.operators.EventOps]]): one row per fixture event —
+    * (event_id, user_id, event_type, time epoch-millis, value). Same
+    * `ts` dispatch as the datapoint adapters. */
+  def eventFrame(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("time"), col("value"))
+
   /** Fixture `ts` → epoch millis, matching the oracle's `epoch_ms(ts)`.
     * The driver fixture has shipped two physical encodings across rounds:
     * TIMESTAMP(NANOS) (read as Long under nanosAsLong → exact integer

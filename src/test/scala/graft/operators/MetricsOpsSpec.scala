@@ -479,4 +479,24 @@ class MetricsOpsSpec extends SparkTestBase {
       MetricsOps.ewma(dp, graft.model.TimeRange(1L, 100000L), alpha = 0.0)
     }
   }
+
+  test("holtForecast: hand-computed level+trend recursion and horizon grid") {
+    val dp = points(Seq(("m", 1000L, 10.0), ("m", 2000L, 20.0), ("m", 3000L, 30.0)))
+    val got = MetricsOps.holtForecast(dp, graft.model.TimeRange(1L, 100000L),
+      alpha = 0.5, beta = 0.5, horizon = 2, stepMs = 1000L)
+      .orderBy("horizon").collect()
+    // l0=10, b0=0
+    // x=20: l=0.5*20+0.5*(10+0)=15;   b=0.5*(15-10)+0.5*0=2.5
+    // x=30: l=0.5*30+0.5*(15+2.5)=23.75; b=0.5*(23.75-15)+0.5*2.5=5.625
+    // h=1 → 29.375 @4000; h=2 → 35.0 @5000
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("time") == 4000L)
+    assert(math.abs(got(0).getAs[Double]("forecast") - 29.375) < 1e-9)
+    assert(got(1).getAs[Long]("time") == 5000L)
+    assert(math.abs(got(1).getAs[Double]("forecast") - 35.0) < 1e-9)
+    intercept[IllegalArgumentException] {
+      MetricsOps.holtForecast(dp, graft.model.TimeRange(1L, 100000L),
+        alpha = 0.5, beta = 1.5, horizon = 2, stepMs = 1000L)
+    }
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval + reciprocal-rank fusion specs, hand-computed. */
+class RetrievalSpec extends SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private def queriesDf(rows: (Long, Seq[String])*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("query_id", "terms")
+  }
+
+  // Corpus: 3 docs. "cat" appears in docs 1 (tf 2, dl 4) and 2 (tf 1, dl 2);
+  // doc 3 has neither term. N=3, avgdl=(4+2+3)/3=3.
+  private val corpus = docsDf(
+    (1L, "cat cat dog bird"),
+    (2L, "cat fish"),
+    (3L, "lion tiger bear"))
+
+  test("bm25TopK: hand-computed scores, rank order, absent terms ignored") {
+    val got = Retrieval.bm25TopK(corpus, queriesDf((7L, Seq("cat", "unseen"))), k = 10)
+      .orderBy("rank").collect()
+    // idf(cat) = ln(1 + (3-2+0.5)/(2+0.5)) = ln(1.6)
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+    def score(tf: Double, dl: Double) =
+      math.rint(idf * tfn(tf, dl) * 1e6) / 1e6
+    // doc1: tfn = 4.4/(2+1.2*1.25) ≈ 1.2571; doc2: tfn = 2.2/1.9 ≈ 1.1579
+    assert(got.length == 2) // doc 3 matches nothing; "unseen" has no postings
+    assert(got(0).getAs[Long]("doc_id") == 1L) // tf=2 outweighs the length penalty
+    assert(got(1).getAs[Long]("doc_id") == 2L)
+    assert(math.abs(got(0).getAs[Double]("score") - score(2, 4)) < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("score") - score(1, 2)) < 1e-9)
+    assert(got.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25TopK: duplicate query terms dedupe; k truncates; doc_id tiebreak") {
+    val twice = Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("cat", "cat"))), k = 10)
+      .collect()
+    val once = Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("cat"))), k = 10)
+      .collect()
+    assert(twice.map(r => (r.getLong(1), r.getDouble(2))).toSet ==
+      once.map(r => (r.getLong(1), r.getDouble(2))).toSet)
+    val top1 = Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("cat"))), k = 1).collect()
+    assert(top1.length == 1 && top1(0).getAs[Long]("rank") == 1L)
+    // equal scores → lower doc_id first: two identical docs
+    val tie = Retrieval.bm25TopK(
+      docsDf((5L, "cat dog"), (4L, "cat dog"), (9L, "fish")),
+      queriesDf((1L, Seq("cat"))), k = 10).orderBy("rank").collect()
+    assert(tie.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 5L))
+  }
+
+  test("rrfFuse: fused ordering, one-sided docs contribute one term, null ranks") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec, k = 10, rrfK = 60)
+      .orderBy("fused_rank").collect()
+    // doc 11: 1/62 + 1/61 ≈ 0.032524 beats doc 10 (1/61) and doc 12 (1/62)
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 10L, 12L))
+    val d11 = got(0)
+    val expected = (math.rint(1e6 / 62) + math.rint(1e6 / 61)) / 1e6
+    assert(math.abs(d11.getAs[Double]("fused_score") - expected) < 1e-9)
+    assert(d11.getAs[Long]("lex_rank") == 2L && d11.getAs[Long]("vec_rank") == 1L)
+    // one-sided entries carry a null rank on the absent side
+    assert(got(1).isNullAt(got(1).fieldIndex("vec_rank")))
+    assert(got(2).isNullAt(got(2).fieldIndex("lex_rank")))
+  }
+}

@@ -3281,7 +3281,90 @@ object SparkEntry {
       MetricsOps.holtForecast(gauge(s, d).filter(col("metric") === "click/42"),
         TimeRange(S, E), alpha = 0.3, beta = 0.1, horizon = 6,
         stepMs = 43200000L),
-      None)
+      None),
+
+    // ---- §2.9 streaming: session windows — per-user sessions finalize
+    // exactly once when the watermark passes their end; exact-gap merge
+    // boundary spec-pinned equal to the batch rule, so ONE sessionize
+    // oracle covers both (window_end = last event + gap) ----------------
+    ("streaming_sessions", (s: SparkSession, d: String) => {
+      val base = "target/tmp/sessions_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val st = graft.streaming.StreamingSessions.sessions(
+        ea.eventFrameStream(s, d), gap = "12 hours")
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"),
+          unix_millis(col("window_start")).as("window_start"),
+          unix_millis(col("window_end")).as("window_end"),
+          col("n_events"), col("value_sum"))
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS time, value FROM events),
+             |wm AS (SELECT max(time) - 7200000 AS w FROM e),
+             |m AS (SELECT user_id, time, event_id, value,
+             |        CASE WHEN lag(time) OVER w IS NULL THEN 1
+             |             WHEN time - lag(time) OVER w > 43200000 THEN 1 ELSE 0 END AS ns
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time, event_id)),
+             |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY time, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM m),
+             |g AS (SELECT user_id, min(time) AS window_start,
+             |        max(time) + 43200000 AS window_end,
+             |        CAST(count(*) AS BIGINT) AS n_events,
+             |        CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS value_sum
+             |      FROM s GROUP BY user_id, sid)
+             |SELECT user_id, window_start, window_end, n_events, value_sum
+             |FROM g, wm WHERE window_end <= wm.w""".stripMargin)),
+
+    // ---- LLM: persisted inverted index — build → bucket-partitioned
+    // store → statically pruned serve; stored answers == inline bm25 ----
+    ("bm25_index_stored", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/bm25idx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      Retrieval.writeBm25Index(docs(s, d), base)
+      Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
+    },
+      Some(s"""WITH $Bm25Cte
+              |SELECT query_id, doc_id,
+              |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+              |       CAST(rnk AS BIGINT) AS rank
+              |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
+    // ---- behavioral: weekly cohort retention matrix -------------------
+    ("user_retention", (s: SparkSession, d: String) =>
+      EventOps.cohortRetention(ea.eventFrame(s, d), anchorMs = S,
+        periodMs = 604800000L, maxOffset = 4),
+      Some(s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS time FROM events),
+              |c AS (SELECT user_id, CAST(floor((min(time) - $S) / 604800000) AS BIGINT) AS cohort
+              |      FROM e GROUP BY 1),
+              |a AS (SELECT e.user_id, c.cohort,
+              |        CAST(floor((e.time - $S) / 604800000) AS BIGINT) - c.cohort AS "offset"
+              |      FROM e JOIN c USING (user_id)),
+              |m AS (SELECT cohort, "offset", CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+              |      FROM a WHERE "offset" <= 4 GROUP BY 1, 2),
+              |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users FROM c GROUP BY 1)
+              |SELECT cohort, "offset", active_users, cohort_users,
+              |       round(CAST(active_users AS DOUBLE) / cohort_users, 6) AS retention
+              |FROM m JOIN sz USING (cohort)""".stripMargin)),
+
+    // ---- LLM: per-source quality calibration (keep top 40% per source
+    // by type-token ratio; percent_rank ties broken by doc_id) -----------
+    ("quality_calibration", (s: SparkSession, d: String) =>
+      TextOps.qualityCalibration(docs(s, d), keepFrac = 0.4),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             |           / len(string_split(lower(text), ' ')) AS score
+             |       FROM documents),
+             |r AS (SELECT *, percent_rank() OVER
+             |        (PARTITION BY source ORDER BY score, doc_id) AS pct FROM t)
+             |SELECT doc_id, source, round(score, 6) AS score, round(pct, 6) AS pct,
+             |       pct >= 1.0 - 0.4 AS kept FROM r""".stripMargin))
   )
 
   /** Fixed BM25 query set over the synthetic vocabulary (mirrored by

@@ -92,4 +92,40 @@ object EventOps {
       .select(col("step_idx"), col("step"), col("n_users"),
         round(col("n_users").cast("double") / col("base_users"), 6).as("conversion"))
   }
+
+  /**
+   * Cohort retention matrix: a user's cohort is the period (e.g. week)
+   * of their FIRST event on a grid anchored at `anchorMs`; the matrix
+   * counts, for each (cohort, period offset), the distinct users of
+   * that cohort active in that period, with `retention` relative to
+   * the cohort's size (offset 0 is 1.0 by construction).
+   *
+   * Shape: first-event aggregate (user-keyed shuffle) → events joined
+   * back on the SAME key (aligned exchanges) → one (cohort, offset)
+   * distinct-count aggregate (two-phase partial distinct) → cohort
+   * sizes broadcast back (|cohorts|-sized). Nothing user- or
+   * event-sized crosses the driver.
+   */
+  def cohortRetention(events: DataFrame, anchorMs: Long, periodMs: Long,
+                      maxOffset: Int): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    require(maxOffset >= 0, s"maxOffset must be non-negative, got $maxOffset")
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(min(col("time")).as("first_time"))
+      .select(col("user_id"),
+        floor((col("first_time") - lit(anchorMs)) / lit(periodMs)).as("cohort"))
+    val activity = events
+      .select(col("user_id"),
+        floor((col("time") - lit(anchorMs)) / lit(periodMs)).as("period"))
+      .join(cohorts, Seq("user_id"))
+      .withColumn("offset", col("period") - col("cohort"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    activity.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6).as("retention"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,29 +39,56 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val words = split(lower(col("text")), " ")
-    // one-row corpus stats frame: N and avgdl (exact integer inputs)
-    val stats = docs
-      .select(size(split(lower(col("text")), " ")).cast("long").as("dl"))
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(col("terms"))).as("token"))
+    // matching postings only (see postingsFor); materialized ONCE: both
+    // the scoring join and the df aggregate read this frame — without
+    // the checkpoint Catalyst re-derives the whole tokenize+shuffle
+    // subtree for df, a second full corpus pass
+    val tf = postingsFor(docs, qterms.select(col("token")).distinct())
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
+    scoreAndRank(tf, dfreq, corpusStats(docs), qterms, k, k1, b)
+  }
+
+  /** Token-hash partition count of the stored index (int partition
+    * column, the Dedup.IndexBuckets discipline). */
+  val IndexBuckets = 64
+
+  private def words = split(lower(col("text")), " ")
+
+  private def tokenBucket(token: Column): Column =
+    pmod(xxhash64(token), lit(IndexBuckets.toLong)).cast("int")
+
+  /** (doc_id, token, tf, dl) posting rows, restricted to `termSet` when
+    * given — the broadcast semi-join drops non-query tokens map-side, so
+    * the exchange under the aggregate carries matching postings only. */
+  private def postingsFor(docs: DataFrame, termSet: DataFrame = null): DataFrame = {
+    val exploded = docs.select(col("doc_id"), size(words).cast("long").as("dl"),
+      explode(words).as("token"))
+    val pruned =
+      if (termSet == null) exploded
+      else exploded.join(broadcast(termSet), Seq("token"))
+    pruned
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+  }
+
+  /** One-row (n_docs, avgdl) corpus-stats frame (exact integer inputs). */
+  private def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(size(words).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"), sum(col("dl")).as("dl_sum"))
       .select(col("n_docs"),
         (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
-    val qterms = queries
-      .select(col("query_id"), explode(array_distinct(col("terms"))).as("token"))
-    val termSet = qterms.select(col("token")).distinct()
-    // matching postings only: the broadcast semi-join prunes map-side,
-    // so the ONLY corpus-sized exchange carries query-term hits
-    // materialized ONCE: both the scoring join and the df aggregate read
-    // this frame — without the checkpoint Catalyst re-derives the whole
-    // tokenize+shuffle subtree for df, a second full corpus pass
-    val tf = docs
-      .select(col("doc_id"), size(words).cast("long").as("dl"),
-        explode(words).as("token"))
-      .join(broadcast(termSet), Seq("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
-      .localCheckpoint()
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
+
+  /** Shared scoring tail: postings × df × corpus stats → micro-unit
+    * per-term partials → per-(query, doc) long sums → rank window. The
+    * arithmetic tree is mirrored operation-for-operation by the DuckDB
+    * oracle — don't reassociate it. */
+  private def scoreAndRank(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                           qterms: DataFrame, k: Int,
+                           k1: Double, b: Double): DataFrame = {
     val partial = tf
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats))
@@ -83,6 +110,75 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         round(col("score_u").cast("double") / lit(1000000.0), 6).as("score"),
         col("rank"))
+  }
+
+  /**
+   * Build → store: the persisted inverted index. Three tables under
+   * `path`: `postings` (doc_id, token, tf, dl) PARTITIONED by the
+   * token-hash bucket (so serving reads only the queried terms'
+   * buckets), `tokenstats` (token, df) on the same partitioning, and
+   * the one-row `corpusstats` (n_docs, avgdl inputs). One tokenize
+   * pass feeds all three (cached posting frame); `meta` pins the
+   * bucket count so a probe with a different modulus fails loudly
+   * instead of silently missing partitions.
+   */
+  def writeBm25Index(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val tf = postingsFor(docs)
+      .withColumn("bucket", tokenBucket(col("token"))).cache()
+    tf.count() // materialize eagerly — two writers + df read it
+    try {
+      // repartition ON the partition column (file count ∝ buckets, not
+      // tasks×buckets — the writeNearDupIndex lesson)
+      tf.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      tf.groupBy(col("token"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("df"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokenstats")
+      docs.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(words).cast("long")).as("dl_sum"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats")
+      import spark.implicits._
+      Seq(IndexBuckets).toDF("buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally tf.unpersist()
+  }
+
+  /**
+   * Serve from the stored index: NO corpus scan, no tokenization. The
+   * query-term BUCKET list is collected (|terms|-sized — the same
+   * model-sized-collect budget as IVF centroids) and pushed as a STATIC
+   * `bucket IN (...)` partition filter on both stores — pruning at plan
+   * time, stronger than DPP (which also wouldn't fire here: the
+   * unfiltered query frame has no selective predicate for the rule to
+   * reuse). Within the surviving buckets a broadcast term join keeps
+   * exactness; the scoring tail is byte-for-byte [[scoreAndRank]], so
+   * stored answers equal the inline [[bm25TopK]] answers (spec-pinned).
+   */
+  def bm25StoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
+      s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(col("terms"))).as("token"))
+    val qtb = qterms.select(col("token")).distinct()
+      .withColumn("bucket", tokenBucket(col("token")))
+    val buckets = qtb.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    def pruned(table: String): DataFrame =
+      spark.read.parquet(s"$path/$table")
+        .filter(col("bucket").isin(buckets: _*))
+        .join(broadcast(qtb.select(col("bucket"), col("token"))),
+          Seq("bucket", "token"))
+    val tf = pruned("postings").select("doc_id", "token", "tf", "dl")
+    val dfreq = pruned("tokenstats").select("token", "df")
+    val stats = spark.read.parquet(s"$path/corpusstats")
+      .select(col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs")).as("avgdl"))
+    scoreAndRank(tf, dfreq, stats, qterms, k, k1, b)
   }
 
   /**

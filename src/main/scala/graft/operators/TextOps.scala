@@ -1019,4 +1019,34 @@ object TextOps {
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4).as("dup_frac"),
         round(col("n_en").cast("double") / col("n_docs"), 4).as("en_frac"))
   }
+
+  /**
+   * Per-source quality calibration: "keep the top `keepFrac` of each
+   * SOURCE by quality" — the curation rule that survives sources with
+   * very different score distributions (a global threshold would
+   * silently empty a low-scoring-but-wanted source). Score here is the
+   * type-token ratio (distinct words / words — repetitive spam scores
+   * low); the calibrated position is `percent_rank` within the source,
+   * ties broken by doc_id so ranks are deterministic. Emits every doc
+   * with its score, in-source percentile, and keep verdict.
+   *
+   * Scale: one exchange on `source` feeding the rank window. Sources
+   * with more docs than a partition escalate the same way as
+   * [[sourceCap]] (coarse score-bucket counts pick the boundary bucket,
+   * only it gets ranked); at corpus-typical source counts the window
+   * form is the right cost.
+   */
+  def qualityCalibration(docs: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0, 1], got $keepFrac")
+    val toks = words(col("text"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      .withColumn("pct", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), round(col("score"), 6).as("score"),
+        round(col("pct"), 6).as("pct"),
+        (col("pct") >= lit(1.0) - lit(keepFrac)).as("kept"))
+  }
 }

@@ -182,6 +182,14 @@ object EventsAdapter {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("time"), col("value"))
 
+  /** STREAMING variant of [[eventFrame]] (file-source stream, same
+    * pattern as [[gaugePointsStream]]) — feeds the streaming
+    * sessionization path ([[graft.streaming.StreamingSessions]]). */
+  def eventFrameStream(spark: SparkSession, sfDir: String): DataFrame =
+    streamBase(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("time"), col("value"))
+
   /** Fixture `ts` → epoch millis, matching the oracle's `epoch_ms(ts)`.
     * The driver fixture has shipped two physical encodings across rounds:
     * TIMESTAMP(NANOS) (read as Long under nanosAsLong → exact integer

@@ -57,6 +57,28 @@ class EventOpsSpec extends SparkTestBase {
     assert(math.abs(got(1).getAs[Double]("conversion") - 0.333333) < 1e-9)
   }
 
+  test("cohortRetention: cohort by first event; offsets count distinct users; offset 0 is 1.0") {
+    val ev = eventsDf(
+      // user 1: first in period 0, active again in periods 1 and 2 (twice)
+      (1L, 1L, "a", 0L, 0.0), (2L, 1L, "a", 100L, 0.0), (3L, 1L, "a", 250L, 0.0),
+      (4L, 1L, "a", 260L, 0.0),
+      // user 2: first in period 0, never returns
+      (5L, 2L, "a", 50L, 0.0),
+      // user 3: first in period 1, active in period 2
+      (6L, 3L, "a", 150L, 0.0), (7L, 3L, "a", 250L, 0.0))
+    val got = EventOps.cohortRetention(ev, anchorMs = 0L, periodMs = 100L, maxOffset = 10)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset"),
+        r.getAs[Long]("active_users"), r.getAs[Long]("cohort_users"),
+        r.getAs[Double]("retention"))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 1.0),  // users 1,2
+      (0L, 1L, 1L, 2L, 0.5),  // user 1 at t=100
+      (0L, 2L, 1L, 2L, 0.5),  // user 1 at t=250/260 (distinct once)
+      (1L, 0L, 1L, 1L, 1.0),  // user 3
+      (1L, 1L, 1L, 1L, 1.0))) // user 3 at t=250
+  }
+
   test("funnel: later occurrences can satisfy a step the first occurrence missed") {
     // view happens before signup AND again after → reaches step 2 via the later one
     val ev = eventsDf(

@@ -608,6 +608,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!out(3L).getAs[Boolean]("passed"))
   }
 
+  test("qualityCalibration: per-source percent_rank, keep-top-fraction verdict") {
+    val s = spark
+    import s.implicits._
+    // source A: scores 1.0, 0.5, 1/3 (3 docs); source B: one doc (pct 0)
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "a a b b", "A"), (3L, "a a a", "A"),
+      (9L, "x y", "B")).toDF("doc_id", "text", "source")
+    val got = TextOps.qualityCalibration(docs, keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("pct"), r.getAs[Boolean]("kept"))).toMap
+    // A ordered by score asc: doc3 (1/3) → 0.0, doc2 (0.5) → 0.5, doc1 (1.0) → 1.0
+    assert(got(3L) == (0.0, false))
+    assert(got(2L) == (0.5, true))  // 0.5 >= 1-0.5
+    assert(got(1L) == (1.0, true))
+    // single-doc source: percent_rank 0 → dropped at keepFrac 0.5 (the
+    // documented n=1 degeneracy of rank calibration)
+    assert(got(9L) == (0.0, false))
+    intercept[IllegalArgumentException] {
+      TextOps.qualityCalibration(docs, keepFrac = 0.0)
+    }
+  }
+
   test("vocabulary: doc-freq ranking, lexicographic ties, topN cut") {
     val got = TextOps.vocabulary(docsDf((1L, "a b a"), (2L, "a c"), (3L, "b b")), topN = 2)
       .orderBy("rank").collect()

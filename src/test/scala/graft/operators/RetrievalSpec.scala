@@ -59,6 +59,40 @@ class RetrievalSpec extends SparkTestBase {
     assert(tie.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 5L))
   }
 
+  test("stored BM25 index: bucket-partitioned layout, statically pruned serving, " +
+    "answers identical to the inline path; bucket-count mismatch fails loudly") {
+    val s = spark
+    val corpus = docsDf((0 until 30).map(i =>
+      (i.toLong, s"cat w$i dog ${if (i % 3 == 0) "cat fish" else "bird"}")): _*)
+    val queries = queriesDf((1L, Seq("cat", "fish")), (2L, Seq("dog")))
+    val inline = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    Retrieval.writeBm25Index(corpus, path)
+    val dirs = new java.io.File(s"$path/postings").list().filter(_.startsWith("bucket="))
+    assert(dirs.nonEmpty, "expected bucket=N partition directories")
+    val storedDf = Retrieval.bm25StoredTopK(s, path, queries, k = 5)
+    val stored = storedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(stored == inline, "stored-index search must match the inline path")
+    // serving reads only the query terms' buckets: a STATIC partition
+    // filter on the bucket column of both store scans (postings +
+    // tokenstats — AQE hides scan nodes from executedPlan.collect, so
+    // assert on the formatted explain)
+    val plan = storedDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pruned = "PartitionFilters: \\[bucket#\\d+ IN".r.findAllIn(plan).length
+    assert(pruned >= 2,
+      s"expected bucket IN (...) partition filters on both store scans:\n$plan")
+    // corrupt meta → loud failure, not silent partition misses
+    import s.implicits._
+    Seq(99).toDF("buckets").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25StoredTopK(s, path, queries, k = 5)
+    }
+  }
+
   test("rrfFuse: fused ordering, one-sided docs contribute one term, null ranks") {
     val s = spark
     import s.implicits._

@@ -3336,6 +3336,25 @@ object SparkEntry {
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: incremental inverted-index maintenance — build on part of
+    // the corpus, append the rest (batch-bounded; only affected token
+    // buckets rewrite), serve; oracle = the full-corpus bm25 (the
+    // append ≡ rebuild contract, exercised against DuckDB) ---------------
+    ("bm25_index_append", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/bm25app_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val all = docs(s, d)
+      Retrieval.writeBm25Index(all.filter(col("doc_id") % 3 =!= 0), base)
+      Retrieval.appendToBm25Index(s, base, all.filter(col("doc_id") % 3 === 0))
+      Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
+    },
+      Some(s"""WITH $Bm25Cte
+              |SELECT query_id, doc_id,
+              |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+              |       CAST(rnk AS BIGINT) AS rank
+              |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
     // ---- behavioral: weekly cohort retention matrix -------------------
     ("user_retention", (s: SparkSession, d: String) =>
       EventOps.cohortRetention(ea.eventFrame(s, d), anchorMs = S,

@@ -139,6 +139,9 @@ object Retrieval {
       docs.agg(count(lit(1)).cast("long").as("n_docs"),
           sum(size(words).cast("long")).as("dl_sum"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats")
+      // per-doc lengths: the append path's id screen + stats inputs
+      docs.select(col("doc_id"), size(words).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/docstats")
       import spark.implicits._
       Seq(IndexBuckets).toDF("buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -156,6 +159,73 @@ object Retrieval {
    * exactness; the scoring tail is byte-for-byte [[scoreAndRank]], so
    * stored answers equal the inline [[bm25TopK]] answers (spec-pinned).
    */
+  /**
+   * Incremental maintenance: append a document batch WITHOUT rebuilding.
+   * Already-indexed doc_ids are anti-joined away first, so a replayed
+   * batch is a no-op (the same idempotency contract as the near-dup and
+   * IVF appends). Work is batch-bounded everywhere except the two
+   * unavoidable store touches: the id anti-join (one pass over the
+   * docstats id column) and the tokenstats merge, which rewrites ONLY
+   * the buckets the batch's tokens hash into (dynamic partition
+   * overwrite of a localCheckpoint-materialized merge — never
+   * read-and-overwrite in place). After the append, serving answers
+   * equal a fresh rebuild over the union corpus exactly (spec-pinned:
+   * df, avgdl, and n_docs all shift — the merge has to get every one
+   * of them right).
+   */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
+      s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
+    val storedIds = spark.read.parquet(s"$path/docstats").select(col("doc_id"))
+    val fresh = batch.join(storedIds, Seq("doc_id"), "left_anti")
+    val tf = postingsFor(fresh)
+      .withColumn("bucket", tokenBucket(col("token"))).cache()
+    tf.count() // materialize — three consumers, and the anti-join must
+               // resolve against the PRE-append store
+    try {
+      val batchDf = tf.groupBy(col("token"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("df"))
+      val affected = batchDf.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (affected.nonEmpty) {
+        // merge batch df into ONLY the affected buckets; materialize the
+        // merge before overwriting the partitions it was read from
+        val merged = spark.read.parquet(s"$path/tokenstats")
+          .filter(col("bucket").isin(affected: _*))
+          .unionByName(batchDf)
+          .groupBy(col("token"), col("bucket"))
+          .agg(sum(col("df")).cast("long").as("df"))
+          .localCheckpoint()
+        val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokenstats")
+        finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        tf.repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+      }
+      // corpus stats: one stored row + one batch row → new exact totals
+      val add = fresh.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(size(words).cast("long")), lit(0L)).as("dl_sum")).collect()(0)
+      val old = spark.read.parquet(s"$path/corpusstats").collect()(0)
+      import spark.implicits._
+      Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
+          old.getAs[Long]("dl_sum") + add.getAs[Long]("dl_sum")))
+        .toDF("n_docs", "dl_sum")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats_tmp")
+      // rename swap (never read-and-overwrite): tmp → live
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(s"$path/corpusstats")
+      fs.delete(live, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/corpusstats_tmp"), live)
+      fresh.select(col("doc_id"), size(words).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$path/docstats")
+    } finally tf.unpersist()
+  }
+
   def bm25StoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -93,6 +93,32 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("BM25 index append: stored answers equal a fresh rebuild over the union; " +
+    "replay is a no-op; df/avgdl/n_docs all shift") {
+    val s = spark
+    val docsA = docsDf((0 until 20).map(i =>
+      (i.toLong, s"cat w$i ${if (i % 2 == 0) "dog" else "bird fish"}")): _*)
+    // the batch changes every global: adds docs with 'cat' (df), longer
+    // docs (avgdl), and new docs (n_docs)
+    val docsB = docsDf((20 until 30).map(i =>
+      (i.toLong, s"cat cat dog extra tokens here w$i plus more words")): _*)
+    val queries = queriesDf((1L, Seq("cat", "fish")), (2L, Seq("dog")))
+    def answers(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val appended = java.nio.file.Files.createTempDirectory("graft-bm25app").toString
+    Retrieval.writeBm25Index(docsA, appended)
+    Retrieval.appendToBm25Index(s, appended, docsB)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-bm25reb").toString
+    Retrieval.writeBm25Index(docsA.unionByName(docsB), rebuilt)
+    val afterAppend = answers(Retrieval.bm25StoredTopK(s, appended, queries, k = 8))
+    assert(afterAppend == answers(Retrieval.bm25StoredTopK(s, rebuilt, queries, k = 8)),
+      "append must equal a fresh rebuild over the union corpus")
+    // replayed batch: ids already indexed → no state change
+    Retrieval.appendToBm25Index(s, appended, docsB)
+    assert(answers(Retrieval.bm25StoredTopK(s, appended, queries, k = 8)) == afterAppend)
+    assert(s.read.parquet(s"$appended/corpusstats").collect()(0).getLong(0) == 30L)
+  }
+
   test("rrfFuse: fused ordering, one-sided docs contribute one term, null ranks") {
     val s = spark
     import s.implicits._

@@ -309,6 +309,53 @@ object ProbeScale {
       Similarity.truncRerankTopK(scaledEmbs(spark, dir, n),
         scaledEmbs(spark, dir, 1).filter(col("vec_id") < 10), 10, dims = 16)
     }
+    time("bm25_search") {
+      // fixed query-term set, corpus n× — the broadcast term prune keeps
+      // the postings exchange at matching-hits size (grows n×; the
+      // tokenize scan dominates, as it should)
+      val s2 = spark
+      import s2.implicits._
+      val q = Seq((0L, Seq("spark", "join")), (1L, Seq("window", "sort", "merge")),
+        (2L, Seq("hash", "scan"))).toDF("query_id", "terms")
+      graft.operators.Retrieval.bm25TopK(scaledDocs(spark, dir, n), q, 10)
+    }
+    if (only.isEmpty || only("bm25_index")) {
+      // build (tokenize + partitioned writes) + statically pruned serve
+      // for a fixed query set — the serve cost is bounded by the terms'
+      // buckets, not the corpus (the index's point)
+      val s2 = spark
+      import s2.implicits._
+      val q = Seq((0L, Seq("spark", "join")), (1L, Seq("window", "sort", "merge")),
+        (2L, Seq("hash", "scan"))).toDF("query_id", "terms")
+      val d = scaledDocs(spark, dir, n)
+      time("bm25_index") {
+        graft.operators.Retrieval.writeBm25Index(d, "target/tmp/probe-bm25idx")
+        graft.operators.Retrieval.bm25StoredTopK(spark, "target/tmp/probe-bm25idx", q, 10)
+      }
+    }
+    time("event_sessions") {
+      // users (window partitions) grow n× while events per user stay
+      // fixed — per-partition sort cost flat, key space n×
+      val e0 = EventsAdapter.eventFrame(spark, dir)
+      val ev = (0 until n).map(i =>
+        e0.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.EventOps.sessionize(ev, gapMs = 43200000L)
+    }
+    time("user_retention") {
+      // same n× user growth; cohort×offset matrix stays fixture-sized,
+      // the distinct-count aggregate carries the n× keys
+      val e0 = EventsAdapter.eventFrame(spark, dir)
+      val ev = (0 until n).map(i =>
+        e0.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.EventOps.cohortRetention(ev, S, 604800000L, 4)
+    }
+    time("quality_calibration") {
+      // sources fixed while rows grow n× — per-source rank-window
+      // partitions carry n× rows (the documented escalation point)
+      TextOps.qualityCalibration(scaledDocs(spark, dir, n), keepFrac = 0.4)
+    }
     spark.stop()
   }
 }

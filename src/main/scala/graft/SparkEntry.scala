@@ -2711,6 +2711,32 @@ object SparkEntry {
              |       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
              |FROM r GROUP BY doc_id, grp""".stripMargin)),
 
+    // ---- LLM: the SKEW-SAFE duplicate-span plan — per-gram counts as a
+    // map-side-combined aggregate + AQE-splittable join instead of the
+    // gram window (the 100 TB form for boilerplate-heavy corpora); same
+    // oracle: the two plans are output-identical by construction --------
+    ("duplicate_spans_skewsafe", (s: SparkSession, d: String) =>
+      TextOps.duplicateSpans(docs(s, d), gramK = 8, minCount = 2, skewSafe = true),
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |gx AS (SELECT doc_id, CAST(g - 1 AS INTEGER) AS pos,
+             |         ws[g]||' '||ws[g+1]||' '||ws[g+2]||' '||ws[g+3]||' '||ws[g+4]||' '||ws[g+5]||' '||ws[g+6]||' '||ws[g+7] AS gram
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 7)) AS g) t),
+             |f AS (SELECT doc_id, pos FROM (
+             |        SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS occ FROM gx)
+             |      WHERE occ >= 2),
+             |m AS (SELECT doc_id, pos,
+             |        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |      FROM f),
+             |r AS (SELECT doc_id, pos,
+             |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |      FROM m)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+             |       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+             |FROM r GROUP BY doc_id, grp""".stripMargin)),
+
     // ---- LLM: DSIR importance weights (Xie et al. 2023) — hashed
     // unigram+bigram models, target (src0) vs raw corpus, per-doc
     // log-likelihood ratio in micro-nat integer sums ---------------------
@@ -3335,6 +3361,34 @@ object SparkEntry {
               |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
+    // ---- §2.9 streaming: stateful funnel tracking — per-user step chain
+    // via flatMapGroupsWithState; over the single AvailableNow batch the
+    // emitted completion set EQUALS the batch funnel's reached frames,
+    // which is exactly what the oracle checks ----------------------------
+    ("streaming_funnel", (s: SparkSession, d: String) => {
+      val base = "target/tmp/funnel_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val st = graft.streaming.StreamingFunnel.completions(
+        ea.eventFrameStream(s, d), Seq("signup", "view", "purchase"))
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS time FROM events),
+             |s1 AS (SELECT user_id, min(time) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(e.time) AS t FROM e JOIN s1 ON s1.user_id = e.user_id
+             |       WHERE e.event_type = 'view' AND e.time > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(e.time) AS t FROM e JOIN s2 ON s2.user_id = e.user_id
+             |       WHERE e.event_type = 'purchase' AND e.time > s2.t GROUP BY 1)
+             |SELECT user_id, CAST(1 AS BIGINT) AS step_idx, 'signup' AS step, t AS reached_at FROM s1
+             |UNION ALL SELECT user_id, 2, 'view', t FROM s2
+             |UNION ALL SELECT user_id, 3, 'purchase', t FROM s3""".stripMargin)),
 
     // ---- LLM: incremental inverted-index maintenance — build on part of
     // the corpus, append the rest (batch-bounded; only affected token

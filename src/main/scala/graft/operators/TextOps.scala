@@ -531,15 +531,35 @@ object TextOps {
    * Output: (doc_id, span_start, span_end, span_tokens) — token indices,
    * end exclusive — one row per maximal duplicated span.
    */
-  def duplicateSpans(docs: DataFrame, gramK: Int = 8, minCount: Long = 2): DataFrame = {
+  def duplicateSpans(docs: DataFrame, gramK: Int = 8, minCount: Long = 2,
+                     skewSafe: Boolean = false): DataFrame = {
     require(gramK >= 1 && minCount >= 2,
       s"need gramK >= 1 and minCount >= 2, got $gramK / $minCount")
-    val pos = docs
+    val gramPos = docs
       .select(col("doc_id"),
         posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("col"))))
-      .filter(col("occ") >= minCount)
-      .select(col("doc_id"), col("pos"))
+    // Two equivalent plans (output-identical, both oracled):
+    //  - window (default): ONE gram shuffle, positions move once — the
+    //    right cost while no single gram dominates a partition;
+    //  - skewSafe: per-gram counts via a map-side-combined AGGREGATE
+    //    (hot grams collapse to one partial per input partition —
+    //    skew-immune) filtered to duplicated grams BEFORE a sort-merge
+    //    join, which AQE's skew-split can further divide. A corpus with
+    //    boilerplate mega-grams (licenses, headers — guaranteed at
+    //    100 TB) pays one extra positions exchange to avoid the window's
+    //    un-splittable hot partition.
+    val pos =
+      if (skewSafe) {
+        val dupGrams = gramPos.groupBy(col("col"))
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= minCount)
+          .select(col("col"))
+        gramPos.join(dupGrams, Seq("col")).select(col("doc_id"), col("pos"))
+      } else
+        gramPos
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("col"))))
+          .filter(col("occ") >= minCount)
+          .select(col("doc_id"), col("pos"))
     mergeSpans(pos, gramK)
       .withColumn("span_tokens", col("span_end") - col("span_start"))
   }

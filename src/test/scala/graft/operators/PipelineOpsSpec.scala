@@ -429,6 +429,19 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, 0L, 4L, 4L), (4L, 0L, 4L, 4L)))
   }
 
+  test("duplicateSpans skewSafe plan is output-identical, including a mega-hot gram") {
+    // 40 copies of one gram (the boilerplate shape the skew-safe plan
+    // exists for) + the structured cases above
+    val d = docsDf((Seq(
+      1L -> "x1 x2 a b c x3 x4",
+      2L -> "y1 a b c y2 a b c y3",
+      3L -> "a b c d",
+      4L -> "a b c d") ++ (100 until 140).map(i => i.toLong -> s"pre$i a b c post$i")): _*)
+    def run(safe: Boolean) = TextOps.duplicateSpans(d, gramK = 3, minCount = 2, skewSafe = safe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(run(true) == run(false))
+  }
+
   test("spanDedupStats: first occurrence wins, loser spans merge, clean docs report zero") {
     val d = docsDf(
       1L -> "x1 x2 a b c x3 x4",      // holds the global first "a b c" — wins

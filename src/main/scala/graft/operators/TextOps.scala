@@ -596,18 +596,41 @@ object TextOps {
    * Same scale shape as [[duplicateSpans]] plus a row_number on the gram
    * partition (the winner election) and a broadcast-sized per-doc join.
    */
-  def spanDedupStats(docs: DataFrame, gramK: Int = 8, minCount: Long = 2): DataFrame = {
+  /** Losing gram occurrences — every occurrence of a duplicated gram
+    * except the global (doc_id, pos)-first. Window form (default): one
+    * gram shuffle, rows move once. skewSafe form: the winner election
+    * becomes `min(struct(doc_id, pos))` inside a map-side-combined
+    * aggregate (identical ordering — struct comparison is
+    * lexicographic), joined back with AQE skew-split available — the
+    * same boilerplate-mega-gram rationale as [[duplicateSpans]]. */
+  private def loserPositions(docs: DataFrame, gramK: Int, minCount: Long,
+                             skewSafe: Boolean): DataFrame = {
+    val gramPos = docs.select(col("doc_id"),
+      posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
+    if (skewSafe) {
+      val winners = gramPos.groupBy(col("col"))
+        .agg(count(lit(1)).as("occ"),
+          min(struct(col("doc_id"), col("pos"))).as("w"))
+        .filter(col("occ") >= minCount)
+        .select(col("col"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+      gramPos.join(winners, Seq("col"))
+        .filter(col("doc_id") =!= col("w_doc") || col("pos") =!= col("w_pos"))
+        .select(col("doc_id"), col("pos"))
+    } else {
+      val wG = Window.partitionBy(col("col"))
+      gramPos
+        .withColumn("occ", count(lit(1)).over(wG))
+        .withColumn("rn", row_number().over(wG.orderBy(col("doc_id"), col("pos"))))
+        .filter(col("occ") >= minCount && col("rn") > 1)
+        .select(col("doc_id"), col("pos"))
+    }
+  }
+
+  def spanDedupStats(docs: DataFrame, gramK: Int = 8, minCount: Long = 2,
+                     skewSafe: Boolean = false): DataFrame = {
     require(gramK >= 1 && minCount >= 2,
       s"need gramK >= 1 and minCount >= 2, got $gramK / $minCount")
-    val wG = Window.partitionBy(col("col"))
-    val wGo = wG.orderBy(col("doc_id"), col("pos"))
-    val losers = docs
-      .select(col("doc_id"),
-        posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
-      .withColumn("occ", count(lit(1)).over(wG))
-      .withColumn("rn", row_number().over(wGo))
-      .filter(col("occ") >= minCount && col("rn") > 1)
-      .select(col("doc_id"), col("pos"))
+    val losers = loserPositions(docs, gramK, minCount, skewSafe)
     val perDoc = mergeSpans(losers, gramK)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
@@ -637,19 +660,11 @@ object TextOps {
    * (a full duplicate of an earlier doc) answers kept_tokens=0 with
    * md5('') — the cut-to-empty contract.
    */
-  def spanDedupText(docs: DataFrame, gramK: Int = 8, minCount: Long = 2): DataFrame = {
+  def spanDedupText(docs: DataFrame, gramK: Int = 8, minCount: Long = 2,
+                    skewSafe: Boolean = false): DataFrame = {
     require(gramK >= 1 && minCount >= 2,
       s"need gramK >= 1 and minCount >= 2, got $gramK / $minCount")
-    val wG = Window.partitionBy(col("col"))
-    val wGo = wG.orderBy(col("doc_id"), col("pos"))
-    val losers = docs
-      .select(col("doc_id"),
-        posexplode(graft.plans.WordShingles(words(col("text")), gramK)))
-      .withColumn("occ", count(lit(1)).over(wG))
-      .withColumn("rn", row_number().over(wGo))
-      .filter(col("occ") >= minCount && col("rn") > 1)
-      .select(col("doc_id"), col("pos"))
-    val spans = mergeSpans(losers, gramK)
+    val spans = mergeSpans(loserPositions(docs, gramK, minCount, skewSafe), gramK)
     val toks = docs.select(col("doc_id"),
       posexplode(words(col("text"))).as(Seq("pos", "tok")))
     val kept = toks.join(spans,

@@ -440,6 +440,14 @@ class PipelineOpsSpec extends SparkTestBase {
     def run(safe: Boolean) = TextOps.duplicateSpans(d, gramK = 3, minCount = 2, skewSafe = safe)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(run(true) == run(false))
+    // the CUT steps share the switch: aggregate-elected winners (min
+    // struct) must equal the window's row_number election
+    def stats(safe: Boolean) = TextOps.spanDedupStats(d, gramK = 3, minCount = 2,
+      skewSafe = safe).collect().map(_.toSeq).toSet
+    assert(stats(true) == stats(false))
+    def text(safe: Boolean) = TextOps.spanDedupText(d, gramK = 3, minCount = 2,
+      skewSafe = safe).collect().map(_.toSeq).toSet
+    assert(text(true) == text(false))
   }
 
   test("spanDedupStats: first occurrence wins, loser spans merge, clean docs report zero") {

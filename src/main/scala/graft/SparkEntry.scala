@@ -3362,6 +3362,45 @@ object SparkEntry {
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
 
+    // ---- SRE: multi-window SLO burn rate over the A3 state machine —
+    // fast (1 d) and enclosing slow (7 d) error-budget burn, alert when
+    // both exceed 1x (the SRE-workbook composition) ----------------------
+    ("slo_burn", (s: SparkSession, d: String) =>
+      MetricsOps.sloBurn(avail(s, d),
+        Buckets.fromStep(S, S + 28L * Day, Day), slowStepMs = 7L * Day,
+        objective = 0.95),
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |bf AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |       FROM av WHERE t >= $S AND t < ${S + 28L * Day}),
+              |segf AS (SELECT metric, bucket, avail,
+              |           CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |           coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end
+              |         FROM bf WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |uf AS (SELECT metric, bucket,
+              |         CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE)
+              |           / 86400000.0 AS uptime_fast
+              |       FROM segf GROUP BY 1, 2),
+              |bs AS (SELECT metric, t, avail, (t - $S) // ${7L * Day} AS bucket
+              |       FROM av WHERE t >= $S AND t < ${S + 28L * Day}),
+              |segs AS (SELECT metric, bucket, avail,
+              |           CASE WHEN row_number() OVER w = 1 THEN $S + bucket * ${7L * Day} ELSE t END AS seg_start,
+              |           coalesce(lead(t) OVER w, $S + (bucket + 1) * ${7L * Day}) AS seg_end
+              |         FROM bs WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |us AS (SELECT metric, bucket AS slow_bucket,
+              |         CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE)
+              |           / 604800000.0 AS uptime_slow
+              |       FROM segs GROUP BY 1, 2),
+              |j AS (SELECT f.metric, f.bucket, f.bucket // 7 AS slow_bucket,
+              |        uptime_fast, uptime_slow
+              |      FROM uf f JOIN us s ON s.metric = f.metric AND s.slow_bucket = f.bucket // 7)
+              |SELECT metric, bucket, slow_bucket,
+              |  round(uptime_fast, 6) AS uptime_fast, round(uptime_slow, 6) AS uptime_slow,
+              |  round((1.0 - uptime_fast) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)), 6) AS burn_fast,
+              |  round((1.0 - uptime_slow) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)), 6) AS burn_slow,
+              |  ((1.0 - uptime_fast) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) >= 1.0 AND
+              |   (1.0 - uptime_slow) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) >= 1.0) AS alert
+              |FROM j""".stripMargin)),
+
     // ---- §2.9 streaming: stateful funnel tracking — per-user step chain
     // via flatMapGroupsWithState; over the single AvailableNow batch the
     // emitted completion set EQUALS the batch funnel's reached frames,
@@ -3425,6 +3464,30 @@ object SparkEntry {
               |SELECT cohort, "offset", active_users, cohort_users,
               |       round(CAST(active_users AS DOUBLE) / cohort_users, 6) AS retention
               |FROM m JOIN sz USING (cohort)""".stripMargin)),
+
+    // ---- LLM: per-source distribution drift — add-one-smoothed unigram
+    // KL(source ‖ rest) in pico-nat integer sums -------------------------
+    ("corpus_drift", (s: SparkSession, d: String) => TextOps.corpusDrift(docs(s, d)),
+      Some("""WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM tc GROUP BY 1),
+             |v AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt_tot FROM tc GROUP BY 1),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS vsize, CAST(sum(cnt_tot) AS BIGINT) AS ntot FROM v),
+             |x AS (SELECT v.token, v.cnt_tot, t.source, t.n,
+             |        coalesce(tc.cnt, 0) AS cnt, g.vsize, g.ntot
+             |      FROM v CROSS JOIN tot t
+             |      LEFT JOIN tc ON tc.source = t.source AND tc.token = v.token
+             |      CROSS JOIN g),
+             |terms AS (SELECT source, n,
+             |            CAST(round(
+             |              (CAST(cnt + 1 AS DOUBLE) / (n + vsize))
+             |              * ln((CAST(cnt + 1 AS DOUBLE) / (n + vsize))
+             |                   / (CAST(cnt_tot - cnt + 1 AS DOUBLE) / (ntot - n + vsize)))
+             |              * 1000000000000.0) AS BIGINT) AS term_u
+             |          FROM x)
+             |SELECT source, max(n) AS n_tokens,
+             |       round(CAST(sum(term_u) AS DOUBLE) / 1000000000000.0, 6) AS kl_vs_rest
+             |FROM terms GROUP BY source""".stripMargin)),
 
     // ---- LLM: per-source quality calibration (keep top 40% per source
     // by type-token ratio; percent_rank ties broken by doc_id) -----------

@@ -791,6 +791,48 @@ object MetricsOps {
   }
 
   /**
+   * SLO error-budget burn rate (the multi-window form of the Google SRE
+   * workbook, computed from the A3 availability state machine): per
+   * metric and FAST bucket, `burn = (1 − uptime) / (1 − objective)` for
+   * the fast window and for the enclosing SLOW window, with `alert`
+   * when BOTH exceed `threshold` — the fast window gives detection
+   * latency, the slow window suppresses blips. `slowStepMs` must be a
+   * multiple of the fast step and the range must tile both.
+   *
+   * Shape: two A3 passes ([[availabilityBucketStats]] — each one
+   * (metric, bucket)-keyed window + aggregate) joined on (metric,
+   * enclosing slow bucket); the slow frame is buckets-sized. Buckets
+   * with no data emit no row (the A2 spine applies upstream if a dense
+   * answer is wanted).
+   */
+  def sloBurn(dp: DataFrame, fast: Buckets, slowStepMs: Long, objective: Double,
+              threshold: Double = 1.0): DataFrame = {
+    require(objective > 0 && objective < 1, s"objective must be in (0,1), got $objective")
+    require(slowStepMs % fast.step == 0 && slowStepMs > fast.step,
+      s"slowStepMs $slowStepMs must be a strict multiple of the fast step ${fast.step}")
+    require((fast.end - fast.start) % slowStepMs == 0,
+      s"range must tile the slow window")
+    val slow = Buckets.fromStep(fast.start, fast.end, slowStepMs)
+    val ratio = slowStepMs / fast.step
+    def burn(uptime: Column): Column =
+      (lit(1.0) - uptime) / (lit(1.0) - lit(objective))
+    val f = availabilityBucketStats(dp, fast)
+      .select(col("metric"), col("bucket"), col("uptime_ratio").as("uptime_fast"))
+      .withColumn("slow_bucket", floor(col("bucket") / lit(ratio)))
+    val sl = availabilityBucketStats(dp, slow)
+      .select(col("metric"), col("bucket").as("slow_bucket"),
+        col("uptime_ratio").as("uptime_slow"))
+    f.join(sl, Seq("metric", "slow_bucket"))
+      .select(col("metric"), col("bucket"), col("slow_bucket"),
+        round(col("uptime_fast"), 6).as("uptime_fast"),
+        round(col("uptime_slow"), 6).as("uptime_slow"),
+        round(burn(col("uptime_fast")), 6).as("burn_fast"),
+        round(burn(col("uptime_slow")), 6).as("burn_slow"),
+        (burn(col("uptime_fast")) >= threshold && burn(col("uptime_slow")) >= threshold)
+          .as("alert"))
+  }
+
+  /**
    * Holt double-exponential (level+trend) forecast — the step up from
    * [[ewma]] when a series drifts: `l_i = alpha·v_i + (1−alpha)·(l_{i−1}
    * + b_{i−1})`, `b_i = beta·(l_i − l_{i−1}) + (1−beta)·b_{i−1}`,

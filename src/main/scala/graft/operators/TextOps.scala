@@ -1071,6 +1071,47 @@ object TextOps {
    * only it gets ranked); at corpus-typical source counts the window
    * form is the right cost.
    */
+  /**
+   * Distribution drift per source: KL(P_source ‖ P_rest) over token
+   * unigrams with add-one smoothing on the UNION vocabulary — the
+   * corpus-monitoring number that flags a source whose language shifted
+   * between pipeline runs (crawl drift, a broken extractor, an
+   * injected spam burst) before it reaches training.
+   *
+   * Shape: one (source, token) aggregate off a single corpus scan;
+   * vocab and per-source totals derive from it (token-keyed /
+   * |sources|-sized). The smoothed sum needs a term for EVERY (union
+   * token × source) pair, so the vocab frame fans out by the
+   * (broadcast, |sources|-row) source list — vocab-sized × S rows, one
+   * projection, no extra corpus pass — then folds back to one row per
+   * source.
+   *
+   * Determinism: per-term contributions `p·ln(p/q)` round to integer
+   * PICO-nats (1e12 — terms are O(p) small, so micro would truncate)
+   * and sum as longs; the oracle mirrors every division and the ln
+   * operation-for-operation.
+   */
+  def corpusDrift(docs: DataFrame): DataFrame = {
+    val tc = docs.select(col("source"), explode(words(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    val tot = tc.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val vocab = tc.groupBy(col("token")).agg(sum(col("cnt")).as("cnt_tot"))
+    val grand = vocab.agg(count(lit(1)).as("vsize"), sum(col("cnt_tot")).as("ntot"))
+    val p = (col("cnt") + lit(1L)).cast("double") / (col("n") + col("vsize"))
+    val q = (col("cnt_tot") - col("cnt") + lit(1L)).cast("double") /
+      (col("ntot") - col("n") + col("vsize"))
+    vocab.crossJoin(broadcast(tot))
+      .join(tc, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(grand))
+      .withColumn("term_u",
+        round(p * log(p / q) * lit(1000000000000.0), 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_tokens"), sum(col("term_u")).as("kl_u"))
+      .select(col("source"), col("n_tokens"),
+        round(col("kl_u").cast("double") / lit(1000000000000.0), 6).as("kl_vs_rest"))
+  }
+
   def qualityCalibration(docs: DataFrame, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0, 1], got $keepFrac")
     val toks = words(col("text"))

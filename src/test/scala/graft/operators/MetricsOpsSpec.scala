@@ -480,6 +480,31 @@ class MetricsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sloBurn: hand-computed fast/slow burn, alert requires BOTH windows over threshold") {
+    val s = spark
+    import s.implicits._
+    // 4 fast buckets of 100 ms inside 2 slow buckets of 200 ms; states:
+    // bucket 0 fully DOWN, buckets 1-3 fully UP → slow 0 uptime 0.5, slow 1 uptime 1.0
+    val B = 1000L
+    val dp = Seq(
+      ("t", 1, "m", B, 1),        // DOWN at bucket-0 start
+      ("t", 1, "m", B + 100L, 0), // UP from bucket 1 on
+      ("t", 1, "m", B + 200L, 0), ("t", 1, "m", B + 300L, 0))
+      .toDF("tenant_id", "mtype", "metric", "time", "avail")
+    val got = MetricsOps.sloBurn(dp, graft.model.Buckets.fromStep(B, B + 400L, 100L),
+      slowStepMs = 200L, objective = 0.9, threshold = 1.0)
+      .orderBy("bucket").collect()
+    // burn = (1 - uptime) / 0.1 → fast: 10, 0, 0, 0; slow: 5, 5, 0, 0
+    assert(got.map(r => (r.getAs[Long]("bucket"), r.getAs[Double]("burn_fast"),
+      r.getAs[Double]("burn_slow"), r.getAs[Boolean]("alert"))).toSeq ==
+      Seq((0L, 10.0, 5.0, true), (1L, 0.0, 5.0, false),
+        (2L, 0.0, 0.0, false), (3L, 0.0, 0.0, false)))
+    intercept[IllegalArgumentException] {
+      MetricsOps.sloBurn(dp, graft.model.Buckets.fromStep(B, B + 400L, 100L),
+        slowStepMs = 150L, objective = 0.9)
+    }
+  }
+
   test("holtForecast: hand-computed level+trend recursion and horizon grid") {
     val dp = points(Seq(("m", 1000L, 10.0), ("m", 2000L, 20.0), ("m", 3000L, 30.0)))
     val got = MetricsOps.holtForecast(dp, graft.model.TimeRange(1L, 100000L),

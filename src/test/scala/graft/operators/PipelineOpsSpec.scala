@@ -629,6 +629,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!out(3L).getAs[Boolean]("passed"))
   }
 
+  test("corpusDrift: identical sources score ~0; a shifted source scores higher; " +
+    "smoothing covers tokens absent from a source") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c", "A"), (2L, "a b c a b c", "B"),
+      (3L, "x x x x y y", "C")) // disjoint vocabulary from A/B
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.corpusDrift(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("A")._1 == 6L && got("C")._1 == 6L)
+    // A vs rest(B+C): same a/b/c mass plus alien x/y → small positive KL;
+    // C vs rest: fully disjoint → much larger
+    assert(got("C")._2 > got("A")._2 * 2,
+      s"disjoint source must drift more: $got")
+    assert(got("A")._2 >= 0.0 && got("A")._2 == got("B")._2,
+      s"symmetric identical sources must tie: $got")
+  }
+
   test("qualityCalibration: per-source percent_rank, keep-top-fraction verdict") {
     val s = spark
     import s.implicits._

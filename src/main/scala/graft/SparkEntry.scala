@@ -3362,6 +3362,50 @@ object SparkEntry {
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
 
+    // ---- anomaly: two-window mean-shift change points (declarative
+    // CUSUM-class level-change detection; decimal-exact window means) ----
+    ("series_changepoints", (s: SparkSession, d: String) =>
+      MetricsOps.changePoints(gauge(s, d), TimeRange(S, E), w = 5, threshold = 20.0),
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t >= $S AND t < $E),
+              |m AS (SELECT metric, t,
+              |        count(*) OVER wb AS n_before, count(*) OVER wa AS n_after,
+              |        CAST(sum(CAST(value AS DECIMAL(28,10))) OVER wb AS DOUBLE)
+              |          / count(*) OVER wb AS mean_before,
+              |        CAST(sum(CAST(value AS DECIMAL(28,10))) OVER wa AS DOUBLE)
+              |          / count(*) OVER wa AS mean_after
+              |      FROM b WINDOW
+              |        wb AS (PARTITION BY metric ORDER BY t ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+              |        wa AS (PARTITION BY metric ORDER BY t ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING))
+              |SELECT metric, t AS time, round(mean_before, 6) AS mean_before,
+              |       round(mean_after, 6) AS mean_after,
+              |       round(mean_after - mean_before, 6) AS shift
+              |FROM m WHERE n_before = 5 AND n_after = 5
+              |  AND abs(mean_after - mean_before) >= 20.0""".stripMargin)),
+
+    // ---- serving: histogram_quantile over the heatmap tier — cumulative
+    // bin walk + linear interpolation (the Prometheus estimator) ---------
+    ("histogram_quantile", (s: SparkSession, d: String) =>
+      MetricsOps.histogramQuantile(
+        MetricsOps.valueHistogram(gauge(s, d), Buckets.fromStep(S, E, 86400000L),
+          vMin = 0.0, vMax = 500.0, bins = 20), q = 0.95),
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // 86400000 AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $E),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM a GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.95 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target)
+              |SELECT bucket, total,
+              |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |FROM p WHERE rn = 1""".stripMargin)),
+
     // ---- SRE: multi-window SLO burn rate over the A3 state machine —
     // fast (1 d) and enclosing slow (7 d) error-budget burn, alert when
     // both exceed 1x (the SRE-workbook composition) ----------------------

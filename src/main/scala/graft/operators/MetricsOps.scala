@@ -791,6 +791,73 @@ object MetricsOps {
   }
 
   /**
+   * Two-window mean-shift change-point detector: at each point, compare
+   * the mean of the previous `w` points against the mean of the next
+   * `w` points (current row included on the AFTER side); flag where the
+   * absolute shift reaches `threshold`. The window form of CUSUM-style
+   * level-change detection that stays fully declarative — both means
+   * are rows-between frames over ONE series exchange, and DECIMAL sums
+   * make them engine-exact, so unlike the sequential folds (ewma/holt)
+   * this op is DuckDB-oracled. Only positions with BOTH windows full
+   * emit (no partial-window false positives at series edges).
+   */
+  def changePoints(dp: DataFrame, range: TimeRange, w: Int, threshold: Double,
+                   valueCol: String = "n_value"): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val series = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("time"))
+    val before = series.rowsBetween(-w, -1)
+    val after = series.rowsBetween(Window.currentRow, w - 1)
+    val v = col(valueCol).cast("double")
+    def meanOver(frame: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(v.cast("decimal(28,10)")).over(frame).cast("double") /
+        count(lit(1)).over(frame)
+    dp.filter(inRange(range))
+      .withColumn("n_before", count(lit(1)).over(before))
+      .withColumn("n_after", count(lit(1)).over(after))
+      .withColumn("mean_before", meanOver(before))
+      .withColumn("mean_after", meanOver(after))
+      .filter(col("n_before") === w && col("n_after") === w)
+      .withColumn("shift", col("mean_after") - col("mean_before"))
+      .filter(abs(col("shift")) >= threshold)
+      .select(col("metric"), col("time"),
+        round(col("mean_before"), 6).as("mean_before"),
+        round(col("mean_after"), 6).as("mean_after"),
+        round(col("shift"), 6).as("shift"))
+  }
+
+  /**
+   * Histogram-bucketed quantile serving (the Prometheus
+   * `histogram_quantile` estimator over [[valueHistogram]] output):
+   * per time bucket, walk the cumulative bin counts to the first bin
+   * holding rank `q·total` and interpolate linearly inside it —
+   * serving approximate percentiles from pre-aggregated counts instead
+   * of raw points (the dashboard path when only the histogram tier is
+   * retained). Input is buckets×bins-sized, so every stage here is
+   * trivially small; the heavy lifting happened in the histogram
+   * aggregate.
+   */
+  def histogramQuantile(hist: DataFrame, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0, 1], got $q")
+    val wCum = Window.partitionBy(col("bucket")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("bucket"))
+    val wPick = Window.partitionBy(col("bucket")).orderBy(col("bin"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+      .withColumn("target", lit(q) * col("total"))
+      .filter(col("cum") >= col("target"))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("total"),
+        round(col("bin_lo") +
+          (col("target") - (col("cum") - col("cnt"))) / col("cnt") *
+            (col("bin_hi") - col("bin_lo")), 6).as(s"q_est"))
+  }
+
+  /**
    * SLO error-budget burn rate (the multi-window form of the Google SRE
    * workbook, computed from the A3 availability state machine): per
    * metric and FAST bucket, `burn = (1 − uptime) / (1 − objective)` for

@@ -480,6 +480,38 @@ class MetricsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("changePoints: full-window gating, exact means, threshold filter") {
+    // series: 3x 10.0 then 3x 50.0 → only the boundary positions have
+    // both windows full at w=3, and the shift there is 40
+    val dp = points((1 to 3).map(i => ("m", i * 1000L, 10.0)) ++
+      (4 to 6).map(i => ("m", i * 1000L, 50.0)))
+    val got = MetricsOps.changePoints(dp, graft.model.TimeRange(1L, 100000L),
+      w = 3, threshold = 25.0).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("time") == 4000L) // after-window = rows 4..6
+    assert(got(0).getAs[Double]("mean_before") == 10.0)
+    assert(got(0).getAs[Double]("mean_after") == 50.0)
+    assert(got(0).getAs[Double]("shift") == 40.0)
+    // below threshold → silent
+    assert(MetricsOps.changePoints(dp, graft.model.TimeRange(1L, 100000L),
+      w = 3, threshold = 45.0).collect().isEmpty)
+  }
+
+  test("histogramQuantile: cumulative walk + linear interpolation, per-bucket") {
+    val s = spark
+    import s.implicits._
+    // one time bucket; bins (0,[0,10),4), (1,[10,20),4), (2,[20,30),2)
+    val hist = Seq((0L, 0L, 4L, 0.0, 10.0), (0L, 1L, 4L, 10.0, 20.0),
+      (0L, 2L, 2L, 20.0, 30.0))
+      .toDF("bucket", "bin", "cnt", "bin_lo", "bin_hi")
+    val got = MetricsOps.histogramQuantile(hist, q = 0.5).collect()
+    // target = 5 → bin 1: 10 + (5-4)/4*10 = 12.5
+    assert(got.length == 1 && got(0).getAs[Double]("q_est") == 12.5)
+    val p9 = MetricsOps.histogramQuantile(hist, q = 0.9).collect()
+    // target = 9 → bin 2: 20 + (9-8)/2*10 = 25.0
+    assert(p9(0).getAs[Double]("q_est") == 25.0)
+  }
+
   test("sloBurn: hand-computed fast/slow burn, alert requires BOTH windows over threshold") {
     val s = spark
     import s.implicits._

@@ -3362,6 +3362,31 @@ object SparkEntry {
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
 
+    // ---- display: LTTB shape-preserving downsampling (sequential pick →
+    // rows-only, like series_ewma; spec pins a hand-computed series) -----
+    ("fetch_lttb", (s: SparkSession, d: String) =>
+      MetricsOps.downsampleLttb(gauge(s, d).filter(col("metric").startsWith("click/")),
+        TimeRange(S, E), nOut = 8),
+      None),
+
+    // ---- ops: per-tenant usage metering off the stored tier — the
+    // quota/billing aggregate (slice-partitioned scan, metadata-cheap) ---
+    ("tenant_usage", (s: SparkSession, d: String) => {
+      val path = "target/tmp/usage_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(gauge(s, d), path, SaveMode.Overwrite)
+      GraftStorage.read(s, path)
+        .groupBy(col("tenant_id"), col("mtype"), col("time_slice"))
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("metric")).as("n_series"),
+          min(col("time")).as("first_time"), max(col("time")).as("last_time"))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT tenant_id, 0 AS mtype, t // 86400000 AS time_slice,
+              |       count(*) AS n_points,
+              |       CAST(count(DISTINCT metric) AS BIGINT) AS n_series,
+              |       min(t) AS first_time, max(t) AS last_time
+              |FROM base GROUP BY 1, 2, 3""".stripMargin)),
+
     // ---- anomaly: two-window mean-shift change points (declarative
     // CUSUM-class level-change detection; decimal-exact window means) ----
     ("series_changepoints", (s: SparkSession, d: String) =>

@@ -943,6 +943,62 @@ object MetricsOps {
         round(col("level") + col("h") * col("trend"), 6).as("forecast"))
   }
 
+  /**
+   * LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013)
+   * downsampling — the charting companion to [[downsampleMinMax]]: keep
+   * the first and last point, split the rest into `nOut − 2` buckets,
+   * and from each keep the point forming the largest triangle with the
+   * PREVIOUSLY kept point and the next bucket's centroid — the shape-
+   * preserving choice dashboards use. The selection is sequential per
+   * series (each pick depends on the previous), so execution is the
+   * [[ewma]] shape: one sorted-array fold per series, rows-only at the
+   * oracle (float geometry; the spec pins a hand-computed series).
+   * Output rows ≤ nOut per series regardless of density.
+   */
+  def downsampleLttb(dp: DataFrame, range: TimeRange, nOut: Int,
+                     valueCol: String = "n_value"): DataFrame = {
+    require(nOut >= 3, s"nOut must be >= 3, got $nOut")
+    val v = col(valueCol).cast("double")
+    val pickUdf = udf { (pts: Seq[Row]) =>
+      val n = pts.length
+      if (n <= nOut) pts.map(p => (p.getLong(0), p.getDouble(1)))
+      else {
+        val xs = pts.map(_.getLong(0).toDouble)
+        val ys = pts.map(_.getDouble(1))
+        val out = Seq.newBuilder[(Long, Double)]
+        out += ((pts.head.getLong(0), ys.head))
+        val every = (n - 2).toDouble / (nOut - 2)
+        var aIdx = 0
+        for (i <- 0 until nOut - 2) {
+          val start = (i * every).toInt + 1
+          val end = math.min(((i + 1) * every).toInt + 1, n - 1)
+          val nextStart = math.min(((i + 1) * every).toInt + 1, n - 1)
+          val nextEnd = math.min(((i + 2) * every).toInt + 1, n)
+          val (cx, cy) =
+            if (nextStart >= nextEnd) (xs(n - 1), ys(n - 1))
+            else ((nextStart until nextEnd).map(xs).sum / (nextEnd - nextStart),
+              (nextStart until nextEnd).map(ys).sum / (nextEnd - nextStart))
+          var best = start; var bestArea = -1.0
+          for (j <- start until end) {
+            val area = math.abs((xs(aIdx) - cx) * (ys(j) - ys(aIdx)) -
+              (xs(aIdx) - xs(j)) * (cy - ys(aIdx))) / 2.0
+            if (area > bestArea) { bestArea = area; best = j }
+          }
+          out += ((pts(best).getLong(0), ys(best)))
+          aIdx = best
+        }
+        out += ((pts(n - 1).getLong(0), ys(n - 1)))
+        out.result()
+      }
+    }
+    dp.filter(inRange(range))
+      .groupBy(col("tenant_id"), col("mtype"), col("metric"))
+      .agg(sort_array(collect_list(struct(col("time"), v.as("v")))).as("pts"))
+      .select(col("metric"), explode(pickUdf(col("pts"))).as("kv"))
+      .select(col("metric"), col("kv._1").as("time"),
+        round(col("kv._2"), 6).as("value"))
+  }
+
   /** T1+T2 — deterministic ordered limit, shared by the raw-fetch path and
     * any operator that pages a derived frame (e.g. collapsed availability):
     * time in the requested direction, metric tie-break, global top-k

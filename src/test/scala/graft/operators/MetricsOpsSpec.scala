@@ -480,6 +480,25 @@ class MetricsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("downsampleLttb: endpoints kept, largest-triangle pick, short series pass through") {
+    // 6 points, nOut=4 → first + last + one pick from each of 2 buckets.
+    // Values: spike at t=3000 must be chosen over the flat neighbor.
+    val dp = points(Seq(("m", 1000L, 0.0), ("m", 2000L, 1.0), ("m", 3000L, 50.0),
+      ("m", 4000L, 1.0), ("m", 5000L, 2.0), ("m", 6000L, 0.0)))
+    val got = MetricsOps.downsampleLttb(dp, graft.model.TimeRange(1L, 100000L), nOut = 4)
+      .orderBy("time").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.length == 4)
+    assert(got.head == (1000L, 0.0) && got.last == (6000L, 0.0))
+    assert(got.map(_._1).contains(3000L), s"spike must survive: $got")
+    // series shorter than nOut passes through untouched
+    val short = MetricsOps.downsampleLttb(dp, graft.model.TimeRange(1L, 100000L), nOut = 10)
+      .collect()
+    assert(short.length == 6)
+    intercept[IllegalArgumentException] {
+      MetricsOps.downsampleLttb(dp, graft.model.TimeRange(1L, 100000L), nOut = 2)
+    }
+  }
+
   test("changePoints: full-window gating, exact means, threshold filter") {
     // series: 3x 10.0 then 3x 50.0 → only the boundary positions have
     // both windows full at w=3, and the shift there is 40

@@ -3362,6 +3362,27 @@ object SparkEntry {
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
 
+    // ---- time-series: as-of join (union+window composition) — each
+    // purchase enriched with the user's most recent click value; the
+    // oracle is DuckDB's NATIVE ASOF LEFT JOIN, pinning the semantics
+    // engine-independently --------------------------------------------
+    ("asof_enrich", (s: SparkSession, d: String) => {
+      val ev = ea.eventFrame(s, d)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("time"), col("value"))
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("time"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      AsOfJoin.asOf(left, right, "user_id", "time", "click_value")
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS time, value FROM events),
+             |l AS (SELECT event_id, user_id, time, value FROM e WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, time, arg_max(value, event_id) AS click_value
+             |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.time, l.value,
+             |       r.click_value AS asof_value, r.time AS asof_time
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
+
     // ---- display: LTTB shape-preserving downsampling (sequential pick →
     // rows-only, like series_ewma; spec pins a hand-computed series) -----
     ("fetch_lttb", (s: SparkSession, d: String) =>

@@ -3452,6 +3452,100 @@ object SparkEntry {
               |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
               |FROM p WHERE rn = 1""".stripMargin)),
 
+    // ---- audit: histogram-quantile accuracy band — the estimator may
+    // sit at most ~2 bins from the exact percentile (rank-convention
+    // skew); the BAND boolean is the hash-verified contract, the
+    // engine-specific estimate never crosses the oracle boundary alone --
+    ("hist_quantile_accuracy", (s: SparkSession, d: String) => {
+      val b = Buckets.fromStep(S, E, 86400000L)
+      val est = MetricsOps.histogramQuantile(
+        MetricsOps.valueHistogram(gauge(s, d), b, vMin = 0.0, vMax = 500.0, bins = 20),
+        q = 0.95)
+      val exact = gauge(s, d)
+        .filter(col("time") >= S && col("time") < E)
+        .groupBy(floor((col("time") - lit(S)) / lit(86400000L)).cast("long").as("bucket"))
+        .agg(round(expr("percentile(n_value, 0.95)"), 4).as("p95"))
+      est.join(exact, Seq("bucket"))
+        .select(col("bucket"), col("total"), col("q_est"), col("p95"),
+          (abs(col("q_est") - col("p95")) <= lit(50.0)).as("band_ok"))
+    },
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // 86400000 AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $E),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM a GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.95 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target),
+              |est AS (SELECT bucket, total,
+              |          round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |        FROM p WHERE rn = 1),
+              |ex AS (SELECT (t - $S) // 86400000 AS bucket,
+              |         round(quantile_cont(value, 0.95), 4) AS p95
+              |       FROM base WHERE t >= $S AND t < $E GROUP BY 1)
+              |SELECT bucket, total, q_est, p95, abs(q_est - p95) <= 50.0 AS band_ok
+              |FROM est JOIN ex USING (bucket)""".stripMargin)),
+
+    // ---- audit: recall of the fused hybrid list against the exact
+    // cosine top-10 — the fusion counterpart of the ann_recall family ----
+    ("retrieval_recall", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val lex = Retrieval.bm25TopK(docs(s, d), bm25Queries(s), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = embs(s, d)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+      val vecTop = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), 20)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val fused = Retrieval.rrfFuse(lex, vecTop, k = 10)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+      val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), 10)
+      Similarity.recallAtK(exact, fused)
+    },
+      Some(s"""WITH $Bm25Cte,
+              |lexr AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank
+              |         FROM lexrank WHERE rnk <= 20),
+              |dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+              |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+              |qn AS (SELECT * FROM n WHERE vec_id < 3),
+              |vsc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+              |          list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+              |        FROM qn q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+              |vecr AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank FROM (
+              |           SELECT query_id, doc_id, row_number() OVER
+              |             (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk FROM vsc)
+              |         WHERE rnk <= 20),
+              |lc AS (SELECT query_id, doc_id,
+              |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS lex_u FROM lexr),
+              |vc AS (SELECT query_id, doc_id,
+              |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS vec_u FROM vecr),
+              |f AS (SELECT coalesce(lc.query_id, vc.query_id) AS query_id,
+              |        coalesce(lc.doc_id, vc.doc_id) AS doc_id,
+              |        coalesce(lex_u, 0) + coalesce(vec_u, 0) AS fused_u
+              |      FROM lc FULL OUTER JOIN vc
+              |        ON lc.query_id = vc.query_id AND lc.doc_id = vc.doc_id),
+              |fr AS (SELECT query_id, doc_id FROM (
+              |         SELECT query_id, doc_id, row_number() OVER
+              |           (PARTITION BY query_id ORDER BY fused_u DESC, doc_id) AS fr FROM f)
+              |       WHERE fr <= 10),
+              |ex AS (SELECT query_id, doc_id FROM (
+              |         SELECT query_id, doc_id, row_number() OVER
+              |           (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk FROM vsc)
+              |       WHERE rnk <= 10)
+              |SELECT e.query_id,
+              |       CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              |       round(CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |             / count(*), 4) AS recall
+              |FROM ex e LEFT JOIN fr a ON a.query_id = e.query_id AND a.doc_id = e.doc_id
+              |GROUP BY e.query_id""".stripMargin)),
+
     // ---- SRE: multi-window SLO burn rate over the A3 state machine —
     // fast (1 d) and enclosing slow (7 d) error-budget burn, alert when
     // both exceed 1x (the SRE-workbook composition) ----------------------

@@ -3383,6 +3383,31 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- §2.9 streaming: as-of enrichment — latest right-type value per
+    // user attached to left-type arrivals via one stateful operator over
+    // the SINGLE event stream; oracle is asof_enrich's native-ASOF SQL --
+    ("streaming_asof", (s: SparkSession, d: String) => {
+      val base = "target/tmp/sasof_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val st = graft.streaming.StreamingAsOf.enrich(
+        ea.eventFrameStream(s, d), leftType = "purchase", rightType = "click")
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS time, value FROM events),
+             |l AS (SELECT event_id, user_id, time, value FROM e WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, time, arg_max(value, event_id) AS click_value
+             |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.time, l.value,
+             |       r.click_value AS asof_value, r.time AS asof_time
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
+
     // ---- display: LTTB shape-preserving downsampling (sequential pick →
     // rows-only, like series_ewma; spec pins a hand-computed series) -----
     ("fetch_lttb", (s: SparkSession, d: String) =>

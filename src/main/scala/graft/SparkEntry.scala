@@ -3383,6 +3383,34 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- forecasting: seasonal-naive vs naive baseline scores (MASE
+    // shape) — the oracled yardstick any fitted model must beat ----------
+    ("forecast_eval", (s: SparkSession, d: String) =>
+      MetricsOps.seasonalNaiveEval(gauge(s, d),
+        Buckets.fromStep(S, S + 28L * Day, Day), seasonBuckets = 7),
+      Some(s"""WITH $BaseCte,
+              |ag AS (SELECT metric, (t - $S) // $Day AS bucket,
+              |         ${dsum("value")} / count(value) AS avg_v
+              |       FROM base WHERE t >= $S AND t < ${S + 28L * Day} GROUP BY 1, 2),
+              |lagged AS (SELECT metric, bucket, avg_v,
+              |             lag(avg_v, 7) OVER w AS pred_season,
+              |             lag(avg_v, 1) OVER w AS pred_naive
+              |           FROM ag WINDOW w AS (PARTITION BY metric ORDER BY bucket)),
+              |err AS (SELECT metric,
+              |          CAST(round(abs(avg_v - pred_season) * 1000000.0) AS BIGINT) AS es,
+              |          CAST(round(abs(avg_v - pred_naive) * 1000000.0) AS BIGINT) AS en
+              |        FROM lagged WHERE pred_season IS NOT NULL AND pred_naive IS NOT NULL),
+              |su AS (SELECT metric, CAST(count(*) AS BIGINT) AS n_eval,
+              |         CAST(sum(es) AS BIGINT) AS s_u, CAST(sum(en) AS BIGINT) AS n_u
+              |       FROM err GROUP BY 1)
+              |SELECT metric, n_eval,
+              |       floor(s_u * 1000 / n_eval) / 1000000000.0 AS mae_seasonal,
+              |       floor(n_u * 1000 / n_eval) / 1000000000.0 AS mae_naive,
+              |       CASE WHEN n_u = 0 THEN NULL
+              |            ELSE floor(CAST(s_u AS DOUBLE) / n_u * 1000000.0) / 1000000.0
+              |       END AS mase
+              |FROM su""".stripMargin)),
+
     // ---- §2.9 streaming: as-of enrichment — latest right-type value per
     // user attached to left-type arrivals via one stateful operator over
     // the SINGLE event stream; oracle is asof_enrich's native-ASOF SQL --

@@ -944,6 +944,55 @@ object MetricsOps {
   }
 
   /**
+   * Seasonal-naive forecast evaluation — per series, score the two
+   * canonical no-model baselines over bucket averages: predict each
+   * bucket from the SAME bucket one season ago (`lag(season)`) and
+   * from the previous bucket (`lag(1)`), and report per-series MAE of
+   * both plus their ratio (the MASE shape: seasonal error normalized
+   * by the naive error — < 1 means real weekly structure exists, and
+   * any fitted model must beat the seasonal column to earn its keep).
+   * Bucket means are decimal-exact; per-bucket absolute errors round
+   * to micro-unit longs before the per-series mean so the MAE is
+   * order-independent (oracled, unlike the fitted-model folds).
+   *
+   * One bucket aggregate + one series-keyed window; buckets-sized
+   * thereafter.
+   */
+  def seasonalNaiveEval(dp: DataFrame, b: Buckets, seasonBuckets: Int,
+                        valueCol: String = "n_value"): DataFrame = {
+    require(seasonBuckets >= 2, s"seasonBuckets must be >= 2, got $seasonBuckets")
+    val avgs = dp
+      .filter(col("time") >= b.start && col("time") < b.end)
+      .groupBy(col("metric"),
+        GraftFunctions.bucketIndex("time", b).as("bucket"))
+      .agg((sum(col(valueCol).cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("avg_v"))
+    val w = Window.partitionBy(col("metric")).orderBy(col("bucket"))
+    avgs
+      .withColumn("pred_season", lag(col("avg_v"), seasonBuckets).over(w))
+      .withColumn("pred_naive", lag(col("avg_v"), 1).over(w))
+      .filter(col("pred_season").isNotNull && col("pred_naive").isNotNull)
+      .withColumn("err_season_u",
+        round(abs(col("avg_v") - col("pred_season")) * lit(1000000.0), 0).cast("long"))
+      .withColumn("err_naive_u",
+        round(abs(col("avg_v") - col("pred_naive")) * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("err_season_u")).as("s_u"), sum(col("err_naive_u")).as("n_u"))
+      // FLOOR-truncated nano-precision instead of round(x, 6): the
+      // micro-sums divide by small even counts, so means land EXACTLY on
+      // 5-boundaries where Spark's string-based Round and DuckDB's
+      // binary round disagree by 1e-6; floor on the (identical) IEEE
+      // quotient is engine-exact
+      .select(col("metric"), col("n_eval"),
+        (floor(col("s_u") * lit(1000L) / col("n_eval")) / lit(1000000000.0)).as("mae_seasonal"),
+        (floor(col("n_u") * lit(1000L) / col("n_eval")) / lit(1000000000.0)).as("mae_naive"),
+        when(col("n_u") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("s_u").cast("double") / col("n_u") * lit(1000000.0))
+            / lit(1000000.0)).as("mase"))
+  }
+
+  /**
    * LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013)
    * downsampling — the charting companion to [[downsampleMinMax]]: keep
    * the first and last point, split the rest into `nOut − 2` buckets,

@@ -480,6 +480,22 @@ class MetricsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("seasonalNaiveEval: lag-by-season vs lag-1 baselines, hand-computed MASE") {
+    // season 2, bucket 1000 ms; avgs per bucket: 10, 20, 12, 24, 14
+    // eval rows (both lags defined): b2 |12-10|=2 |12-20|=8; b3 |24-20|=4 |24-12|=12;
+    // b4 |14-12|=2 |14-24|=10 → s=8, n=30 → mae 8/3, 10, mase 0.266666
+    val dp = points(Seq(("m", 1000L, 10.0), ("m", 2000L, 20.0), ("m", 3000L, 12.0),
+      ("m", 4000L, 24.0), ("m", 5000L, 14.0)))
+    val got = MetricsOps.seasonalNaiveEval(dp,
+      graft.model.Buckets.fromStep(1000L, 6000L, 1000L), seasonBuckets = 2).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_eval") == 3L)
+    assert(math.abs(r.getAs[Double]("mae_seasonal") - 8.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("mae_naive") == 10.0)
+    assert(math.abs(r.getAs[Double]("mase") - 0.266666) < 1e-6)
+  }
+
   test("downsampleLttb: endpoints kept, largest-triangle pick, short series pass through") {
     // 6 points, nOut=4 → first + last + one pick from each of 2 buckets.
     // Values: spike at t=3000 must be chosen over the flat neighbor.

@@ -3383,6 +3383,33 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- diagnostics: cross-correlation at lag — Pearson r of two
+    // metrics' bucket series over a ±3-bucket shift grid ----------------
+    ("series_xcorr", (s: SparkSession, d: String) =>
+      MetricsOps.seriesCrossCorrelation(gauge(s, d), "click/1", "view/1",
+        Buckets.fromStep(S, E, 43200000L), maxLag = 3),
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // 43200000 AS bucket, ${dsum("value")} / count(value) AS va
+              |      FROM base WHERE metric = 'click/1' AND t >= $S AND t < $E GROUP BY 1),
+              |b2 AS (SELECT (t - $S) // 43200000 AS bucket, ${dsum("value")} / count(value) AS vb
+              |       FROM base WHERE metric = 'view/1' AND t >= $S AND t < $E GROUP BY 1),
+              |lg AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+              |j AS (SELECT lg.lag, a.va, b2.vb
+              |      FROM lg CROSS JOIN a JOIN b2 ON b2.bucket = a.bucket + lg.lag),
+              |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+              |        CAST(sum(CAST(va AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+              |        CAST(sum(CAST(vb AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+              |        CAST(sum(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+              |        CAST(sum(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+              |        CAST(sum(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS syy
+              |      FROM j GROUP BY 1)
+              |SELECT CAST(lag AS BIGINT) AS lag, n,
+              |  CASE WHEN sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) = 0 THEN NULL
+              |       ELSE round((n * sxy - sx * sy)
+              |                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+              |  END AS r
+              |FROM m""".stripMargin)),
+
     // ---- forecasting: seasonal-naive vs naive baseline scores (MASE
     // shape) — the oracled yardstick any fitted model must beat ----------
     ("forecast_eval", (s: SparkSession, d: String) =>

@@ -944,6 +944,56 @@ object MetricsOps {
   }
 
   /**
+   * Cross-correlation of two metrics' bucket-average series at a range
+   * of lags — the "does A lead B" diagnostic (deploy markers vs error
+   * rates, upstream vs downstream latency): Pearson r between series A
+   * and series B shifted by `lag` buckets, for every lag in
+   * [−maxLag, maxLag]. A positive lag means A at bucket t pairs with B
+   * at t+lag (A LEADS by `lag`).
+   *
+   * Determinism: bucket means are decimal-exact; the five moment sums
+   * go through DECIMAL(28,10) on the (mirrored-rounded) products, so
+   * the r formula runs on identical doubles in both engines. Constant
+   * series → null r (zero variance), mirrored as CASE.
+   *
+   * Shape: two bucket aggregates (series-keyed) → a buckets-sized join
+   * per lag (the lag spine is a literal array) → |lags| result rows.
+   */
+  def seriesCrossCorrelation(dp: DataFrame, metricA: String, metricB: String,
+                             b: Buckets, maxLag: Int,
+                             valueCol: String = "n_value"): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    def avgs(m: String, out: String) = dp
+      .filter(col("metric") === m && col("time") >= b.start && col("time") < b.end)
+      .groupBy(GraftFunctions.bucketIndex("time", b).as("bucket"))
+      .agg((sum(col(valueCol).cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as(out))
+    val a = avgs(metricA, "va")
+    val bb = avgs(metricB, "vb")
+    val lags = a.sparkSession.range(1)
+      .select(explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    val dec = (c: Column) => c.cast("decimal(28,10)")
+    val joined = broadcast(lags).crossJoin(a)
+      .join(bb.withColumnRenamed("bucket", "b_bucket"),
+        col("b_bucket") === col("bucket") + col("lag"))
+    val n = col("n").cast("double")
+    val denom = sqrt((n * col("sxx") - col("sx") * col("sx")) *
+      (n * col("syy") - col("sy") * col("sy")))
+    joined
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("va"))).cast("double").as("sx"),
+        sum(dec(col("vb"))).cast("double").as("sy"),
+        sum(dec(col("va") * col("vb"))).cast("double").as("sxy"),
+        sum(dec(col("va") * col("va"))).cast("double").as("sxx"),
+        sum(dec(col("vb") * col("vb"))).cast("double").as("syy"))
+      .select(col("lag").cast("long").as("lag"), col("n"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round((n * col("sxy") - col("sx") * col("sy")) / denom, 6))
+          .as("r"))
+  }
+
+  /**
    * Seasonal-naive forecast evaluation — per series, score the two
    * canonical no-model baselines over bucket averages: predict each
    * bucket from the SAME bucket one season ago (`lag(season)`) and

@@ -480,6 +480,25 @@ class MetricsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("seriesCrossCorrelation: perfect correlation at the constructed lag, null for constants") {
+    // B is A shifted by ONE bucket (A leads by 1) and scaled ×2 —
+    // Pearson r must be exactly 1.0 at lag=+1 with 3 aligned pairs
+    val a = Seq(("a", 1000L, 1.0), ("a", 2000L, 5.0), ("a", 3000L, 2.0), ("a", 4000L, 7.0))
+    val bb = Seq(("b", 2000L, 2.0), ("b", 3000L, 10.0), ("b", 4000L, 4.0), ("b", 5000L, 14.0))
+    val dp = points(a ++ bb)
+    val got = MetricsOps.seriesCrossCorrelation(dp, "a", "b",
+      graft.model.Buckets.fromStep(1000L, 6000L, 1000L), maxLag = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got(1L).contains(1.0), s"shifted copy must correlate perfectly: $got")
+    assert(got(0L).exists(_.asInstanceOf[Double] < 1.0))
+    // constant series → zero variance → null r
+    val const = MetricsOps.seriesCrossCorrelation(
+      points(a ++ Seq(("b", 2000L, 3.0), ("b", 3000L, 3.0), ("b", 4000L, 3.0))),
+      "a", "b", graft.model.Buckets.fromStep(1000L, 6000L, 1000L), maxLag = 0)
+      .collect()
+    assert(const.forall(_.isNullAt(2)))
+  }
+
   test("seasonalNaiveEval: lag-by-season vs lag-1 baselines, hand-computed MASE") {
     // season 2, bucket 1000 ms; avgs per bucket: 10, 20, 12, 24, 14
     // eval rows (both lags defined): b2 |12-10|=2 |12-20|=8; b3 |24-20|=4 |24-12|=12;

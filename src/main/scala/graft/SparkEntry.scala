@@ -3383,6 +3383,41 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- multimodal: frame-level retrieval end-to-end — payload →
+    // frame sampling → (stub) frame encoder → cosine top-k; labeled
+    // exact baseline (the scale path is the IVF/SRP stack over the same
+    // frame vectors) -----------------------------------------------------
+    ("media_frame_search", (s: SparkSession, d: String) =>
+      Multimodal.frameSearch(Multimodal.asMediaFrame(docs(s, d)),
+        maxQueryDoc = 30L, k = 5),
+      Some {
+        val emb = (0 until 8).map(i =>
+          s"CAST(('0x' || substr(md5(fm || '$i'), 1, 15))::BIGINT % 2000001 - 1000000 AS DOUBLE) / 1000000.0")
+          .mkString("[", ", ", "]")
+        s"""WITH m AS (SELECT doc_id, text,
+           |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
+           |  FROM documents),
+           |v AS (SELECT doc_id, text, (length(text) + 63) // 64 AS nf FROM m WHERE modality = 'video'),
+           |f AS (SELECT doc_id, g.i AS frame_idx,
+           |        md5(substr(text, CAST(g.i * 64 + 1 AS BIGINT), 64)) AS fm
+           |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i) g
+           |      WHERE g.i % 2 = 0),
+           |e AS (SELECT doc_id, frame_idx, $emb AS emb FROM f),
+           |n AS (SELECT doc_id, frame_idx, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+           |q AS (SELECT doc_id AS q_doc, frame_idx AS q_frame, emb AS qe, nrm AS qn
+           |      FROM n WHERE doc_id < 30),
+           |sc AS (SELECT q.q_doc, q.q_frame, c.doc_id, c.frame_idx,
+           |         list_dot_product(q.qe, c.emb) / (q.qn * c.nrm) AS cosine
+           |       FROM q CROSS JOIN n c
+           |       WHERE NOT (c.doc_id = q.q_doc AND c.frame_idx = q.q_frame)),
+           |r AS (SELECT *, row_number() OVER
+           |        (PARTITION BY q_doc, q_frame ORDER BY cosine DESC, doc_id, frame_idx) AS rnk
+           |      FROM sc)
+           |SELECT q_doc, q_frame, doc_id, frame_idx, round(cosine, 6) AS cosine,
+           |       CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= 5""".stripMargin
+      }),
+
     // ---- diagnostics: cross-correlation at lag — Pearson r of two
     // metrics' bucket series over a ±3-bucket shift grid ----------------
     ("series_xcorr", (s: SparkSession, d: String) =>

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /**
@@ -76,6 +76,55 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         md5(expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
           .as("frame_md5"))
+  }
+
+  /**
+   * Deterministic per-frame pseudo-embedding: dim `d` derives from
+   * md5(frame_md5 ‖ d) scaled into [−1, 1] — the stand-in for a real
+   * frame encoder (CLIP-style) at the same seam, chosen hash-based so
+   * the DuckDB oracle reproduces it bit-exactly. Pure codegen'd column
+   * expressions; fan-out = frames × dims literals, no UDF.
+   */
+  def frameEmbeddings(media: DataFrame, frameBytes: Int = 64, everyNth: Int = 2,
+                      dims: Int = 8): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims must be in [1, 64], got $dims")
+    val comps = (0 until dims).map { d =>
+      (pmod(conv(substring(md5(concat(col("frame_md5"), lit(d.toString))), 1, 15),
+        16, 10).cast("long"), lit(2000001L)) - lit(1000000L)).cast("double") /
+        lit(1000000.0)
+    }
+    frameSample(media, frameBytes, everyNth)
+      .select(col("doc_id"), col("frame_idx"), array(comps: _*).as("embedding"))
+  }
+
+  /**
+   * Frame-level similarity search — the multimodal retrieval
+   * composition end-to-end: payload → frame sampling → (stub) frame
+   * encoder → cosine top-k of query frames against the corpus frames.
+   * Query side broadcasts (frames of a few query docs); the corpus side
+   * is one scan — the labeled exact baseline exactly like knn_cosine
+   * (the scale path is the IVF/SRP stack over the same frame vectors).
+   */
+  def frameSearch(media: DataFrame, maxQueryDoc: Long = 3L, k: Int = 5,
+                  frameBytes: Int = 64, everyNth: Int = 2, dims: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = frameEmbeddings(media, frameBytes, everyNth, dims)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val withNorm = emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+    val q = broadcast(withNorm
+      .filter(col("doc_id") < maxQueryDoc)
+      .select(col("doc_id").as("q_doc"), col("frame_idx").as("q_frame"),
+        col("embedding").as("qe"), col("nrm").as("q_nrm")))
+    val w = Window.partitionBy(col("q_doc"), col("q_frame"))
+      .orderBy(col("cosine").desc, col("doc_id").asc, col("frame_idx").asc)
+    withNorm.crossJoin(q)
+      .filter(col("doc_id") =!= col("q_doc") || col("frame_idx") =!= col("q_frame"))
+      .withColumn("cosine", dot(col("qe"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_doc"), col("q_frame"), col("doc_id"), col("frame_idx"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
   /**

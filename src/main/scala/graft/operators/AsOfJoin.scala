@@ -39,6 +39,8 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
            valueCol: String, toleranceMs: Option[Long] = None): DataFrame = {
     toleranceMs.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
+    require(!left.columns.exists(c => c == "asof_value" || c == "asof_time"),
+      "left already has an asof_value/asof_time column")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__side", lit(1))

@@ -68,7 +68,10 @@ object EventOps {
    * Shape: step count is a pipeline constant, so this is a bounded
    * chain of user-keyed min-aggregates and joins — each join's both
    * sides are hashed on `user_id` (aligned exchanges), and every
-   * intermediate frame only shrinks (users still in the funnel).
+   * intermediate frame only shrinks (users still in the funnel). Each
+   * step's count re-derives its prefix chain (steps² event scans total
+   * — fine at the 3-5 steps funnels have); a caller with a DEEP chain
+   * should persist the reached frames between steps.
    */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -44,9 +44,12 @@ object Retrieval {
     // matching postings only (see postingsFor); materialized ONCE: both
     // the scoring join and the df aggregate read this frame — without
     // the checkpoint Catalyst re-derives the whole tokenize+shuffle
-    // subtree for df, a second full corpus pass
+    // subtree for df, a second full corpus pass. LAZY (eager would run
+    // the posting job at plan-BUILD time even if the query is never
+    // executed — the mixedTypeStats lesson); the first action computes
+    // it once and both plan branches read the same checkpointed RDD.
     val tf = postingsFor(docs, qterms.select(col("token")).distinct())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).cast("long").as("df"))
     scoreAndRank(tf, dfreq, corpusStats(docs), qterms, k, k1, b)
   }
@@ -190,8 +193,11 @@ object Retrieval {
       val affected = batchDf.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
       if (affected.nonEmpty) {
-        // merge batch df into ONLY the affected buckets; materialize the
-        // merge before overwriting the partitions it was read from
+        // merge batch df into ONLY the affected buckets; EAGER
+        // materialization is load-bearing here (unlike bm25TopK's lazy
+        // share): the merge READS the partitions the write below
+        // overwrites — a lazy checkpoint would still be reading the live
+        // files at write time
         val merged = spark.read.parquet(s"$path/tokenstats")
           .filter(col("bucket").isin(affected: _*))
           .unionByName(batchDf)

@@ -3383,6 +3383,40 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- §2.9 streaming: windowed top event types — counts stream in
+    // append mode (exactly-once per window); rank is served off the
+    // finalized rollup, keeping streamed state a mergeable count --------
+    ("streaming_top_events", (s: SparkSession, d: String) => {
+      val base = "target/tmp/topev_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val st = graft.streaming.StreamingIngest.windowedTypeCounts(
+        ea.eventFrameStream(s, d))
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      s.read.parquet(s"$base/out")
+        .select(unix_millis(col("window_start")).as("window_start"),
+          col("event_type"), col("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    },
+      Some("""WITH e AS (SELECT event_type, epoch_ms(ts) AS time FROM events),
+             |wm AS (SELECT max(time) - 7200000 AS w FROM e),
+             |c AS (SELECT time // 86400000 AS win, event_type,
+             |        CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+             |f AS (SELECT * FROM c, wm WHERE (win + 1) * 86400000 <= wm.w),
+             |r AS (SELECT win * 86400000 AS window_start, event_type, cnt,
+             |        row_number() OVER (PARTITION BY win ORDER BY cnt DESC, event_type) AS rnk
+             |      FROM f)
+             |SELECT window_start, event_type, cnt, CAST(rnk AS BIGINT) AS rank
+             |FROM r WHERE rnk <= 3""".stripMargin)),
+
     // ---- multimodal: frame-level retrieval end-to-end — payload →
     // frame sampling → (stub) frame encoder → cosine top-k; labeled
     // exact baseline (the scale path is the IVF/SRP stack over the same

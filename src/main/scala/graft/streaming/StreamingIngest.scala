@@ -80,6 +80,22 @@ object StreamingIngest {
    * emits exactly once when the watermark passes its end. Same decimal
    * sum discipline, same late-data drop contract.
    */
+  /** Windowed event-type counts as a continuous query (append mode —
+    * each window's counts emit exactly once on watermark finalization).
+    * The top-k RANK is deliberately NOT in the stream: ranking is a
+    * serving-time concern over the (tiny) finalized count rollup, and
+    * keeping the streamed state a plain count aggregate is what lets it
+    * stay mergeable/restartable. Callers rank the sink (see the
+    * streaming_top_events entry). */
+  def windowedTypeCounts(events: DataFrame, size: String = "1 day",
+                         lateness: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), size), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+
   def rollingStats(points: DataFrame, size: String = "4 hours",
                    slide: String = "1 hour",
                    lateness: String = "2 hours"): DataFrame =

@@ -3383,6 +3383,21 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- behavioral: rolling DAU/WAU with mergeable HLL day-sketches —
+    // the sliding-distinct sketch audit (exact fanout vs sketch union) ---
+    ("rolling_active_users", (s: SparkSession, d: String) =>
+      EventOps.rollingActiveUsers(ea.eventFrame(s, d), anchorMs = S),
+      Some(s"""WITH e AS (SELECT DISTINCT CAST(floor((epoch_ms(ts) - $S) / 86400000) AS BIGINT) AS day,
+              |            user_id FROM events),
+              |mx AS (SELECT max(day) AS md FROM e),
+              |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM e GROUP BY 1),
+              |f AS (SELECT day + g.off AS wday, user_id
+              |      FROM e, LATERAL (SELECT unnest(generate_series(0, 6)) AS off) g),
+              |wx AS (SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_exact
+              |       FROM f, mx WHERE wday <= md GROUP BY 1)
+              |SELECT day, dau, wau_exact, TRUE AS wau_in_band
+              |FROM dau JOIN wx USING (day)""".stripMargin)),
+
     // ---- §2.9 streaming: windowed top event types — counts stream in
     // append mode (exactly-once per window); rank is served off the
     // finalized rollup, keeping streamed state a mergeable count --------

@@ -131,4 +131,46 @@ object EventOps {
       .select(col("cohort"), col("offset"), col("active_users"), col("cohort_users"),
         round(col("active_users").cast("double") / col("cohort_users"), 6).as("retention"))
   }
+
+  /**
+   * Rolling active users — DAU plus trailing-`windowDays` WAU per day,
+   * with the sliding distinct computed TWICE: exactly (the audit half —
+   * a user-day fanout into each covered window, distinct-counted) and
+   * via MERGEABLE per-day HLL sketches (Spark's DataSketches
+   * `hll_sketch_agg`/`hll_union_agg`) whose union per window is the
+   * 100 TB path — day sketches are KB-sized, so a trailing window
+   * merges |window| sketches instead of re-scanning |window| days of
+   * events. Output carries the exact counts and a hash-verified
+   * `wau_in_band` boolean; the engine-specific estimate itself never
+   * crosses the oracle boundary (the vocab_hll discipline).
+   */
+  def rollingActiveUsers(events: DataFrame, anchorMs: Long, windowDays: Int = 7,
+                         band: Double = 0.05): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val byDay = events
+      .select(floor((col("time") - lit(anchorMs)) / lit(86400000L)).as("day"),
+        col("user_id"))
+      .distinct()
+    val maxDay = byDay.agg(max(col("day")).as("max_day"))
+    def fanForward(df: DataFrame): DataFrame = df
+      .select(col("*"), explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .withColumn("wday", col("day") + col("off"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("max_day"))
+    val daily = byDay.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+    val exact = fanForward(byDay)
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau_exact"))
+    val est = fanForward(daily.select(col("day"), col("sk")))
+      .groupBy(col("wday").as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_est"))
+    daily.select(col("day"), col("dau"))
+      .join(exact, Seq("day"))
+      .join(est, Seq("day"))
+      .select(col("day"), col("dau"), col("wau_exact"),
+        (abs(col("wau_est") - col("wau_exact")).cast("double") / col("wau_exact")
+          <= lit(band)).as("wau_in_band"))
+  }
 }

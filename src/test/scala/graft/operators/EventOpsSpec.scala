@@ -79,6 +79,19 @@ class EventOpsSpec extends SparkTestBase {
       (1L, 1L, 1L, 1L, 1.0))) // user 3 at t=250
   }
 
+  test("rollingActiveUsers: trailing window unions days; sketch band holds at tiny scale") {
+    val D = 86400000L
+    // day 0: users 1,2; day 1: user 2; day 2: user 3
+    val ev = eventsDf(
+      (1L, 1L, "a", 0L, 0.0), (2L, 2L, "a", 10L, 0.0), (3L, 2L, "a", 20L, 0.0),
+      (4L, 2L, "a", D, 0.0), (5L, 3L, "a", 2 * D, 0.0))
+    val got = EventOps.rollingActiveUsers(ev, anchorMs = 0L, windowDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    // wau(d) = distinct over days d-1..d: d0 {1,2}; d1 {1,2}; d2 {2,3}
+    assert(got == Seq((0L, 2L, 2L, true), (1L, 1L, 2L, true), (2L, 1L, 2L, true)))
+  }
+
   test("funnel: later occurrences can satisfy a step the first occurrence missed") {
     // view happens before signup AND again after → reaches step 2 via the later one
     val ev = eventsDf(

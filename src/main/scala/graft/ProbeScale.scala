@@ -356,6 +356,44 @@ object ProbeScale {
       // partitions carry n× rows (the documented escalation point)
       TextOps.qualityCalibration(scaledDocs(spark, dir, n), keepFrac = 0.4)
     }
+    def scaledEvents(nn: Int): DataFrame = {
+      val e0 = EventsAdapter.eventFrame(spark, dir)
+      (0 until nn).map(i =>
+        e0.withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+    }
+    time("asof_enrich") {
+      // users n× — both sides of the union share the key exchange;
+      // window state one running value
+      val ev = scaledEvents(n)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("time"), col("value"))
+      val right = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("time"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      graft.operators.AsOfJoin.asOf(left, right, "user_id", "time", "click_value")
+    }
+    time("series_changepoints") {
+      // series n× — both rows-between means ride one series exchange
+      graft.operators.MetricsOps.changePoints(scaledGauge(spark, dir, n),
+        graft.model.TimeRange(S, E), w = 5, threshold = 20.0)
+    }
+    time("forecast_eval") {
+      // series n× — one bucket aggregate + one series window
+      graft.operators.MetricsOps.seasonalNaiveEval(scaledGauge(spark, dir, n),
+        Buckets.fromStep(S, S + 28L * 86400000L, 86400000L), seasonBuckets = 7)
+    }
+    time("rolling_active_users") {
+      // users n× — day sketches stay |days|-sized but carry n× entries;
+      // the exact fanout audit is the part that grows
+      graft.operators.EventOps.rollingActiveUsers(scaledEvents(n), anchorMs = S)
+    }
+    time("media_frame_search") {
+      // fixed query-frame set, corpus frames n× — one scan per probe
+      graft.operators.Multimodal.frameSearch(
+        graft.operators.Multimodal.asMediaFrame(scaledDocs(spark, dir, n)),
+        maxQueryDoc = 30L, k = 5)
+    }
     spark.stop()
   }
 }

@@ -9,8 +9,10 @@ object ProbeShapes {
     val verbose = args.contains("-v")
     val names = args.filterNot(_ == "-v") match {
       case a if a.nonEmpty => a.toSeq
-      case _ => Seq("source_cap", "corpus_split", "bpe_pair_counts",
-        "source_overlap", "knn_trunc", "knn_trunc_rerank", "ann_recall_trunc")
+      case _ => Seq("bm25_search", "bm25_index_stored", "asof_enrich",
+        "event_sessions", "series_changepoints", "histogram_quantile",
+        "rolling_active_users", "media_frame_search", "series_xcorr",
+        "forecast_eval")
     }
     // the REAL session config (nanosAsLong, AQE flags, shuffle
     // partitions) — a hand-rolled builder here would audit plans under a

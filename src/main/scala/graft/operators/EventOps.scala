@@ -147,10 +147,14 @@ object EventOps {
   def rollingActiveUsers(events: DataFrame, anchorMs: Long, windowDays: Int = 7,
                          band: Double = 0.05): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    // lazily materialized ONCE: three consumers (daily, exact fanout,
+    // sketch fanout) would otherwise each re-scan events and re-run the
+    // user-day distinct
     val byDay = events
       .select(floor((col("time") - lit(anchorMs)) / lit(86400000L)).as("day"),
         col("user_id"))
       .distinct()
+      .localCheckpoint(eager = false)
     val maxDay = byDay.agg(max(col("day")).as("max_day"))
     def fanForward(df: DataFrame): DataFrame = df
       .select(col("*"), explode(sequence(lit(0), lit(windowDays - 1))).as("off"))

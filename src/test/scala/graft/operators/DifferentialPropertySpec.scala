@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Seeded randomized differential tests: the distributed operators vs
+  * naive in-memory references over adversarial random inputs (ties,
+  * duplicates, sparse keys). Fixed seeds — failures reproduce. */
+class DifferentialPropertySpec extends SparkTestBase {
+
+  private val rnd = new scala.util.Random(0xD1FF5EEDL)
+
+  private def randomEvents(n: Int, users: Int, maxT: Long): Seq[(Long, Long, String, Long, Double)] =
+    (1 to n).map { i =>
+      (i.toLong, rnd.nextInt(users).toLong,
+        Seq("click", "buy")(rnd.nextInt(2)),
+        rnd.nextLong(maxT), math.floor(rnd.nextDouble() * 100) / 10)
+    }
+
+  test("sessionize agrees with a naive per-user reference over random ties and gaps") {
+    val s = spark
+    import s.implicits._
+    val ev = randomEvents(400, 12, 2000L) // dense → many ties and tiny gaps
+    val gap = 50L
+    val got = EventOps.sessionize(
+      ev.toDF("event_id", "user_id", "event_type", "time", "value"), gap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toSet
+    // reference: sort per user by (time, event_id), split on delta > gap
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._1))
+      val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._4 - acc.last.last._4 > gap) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }
+      sessions.zipWithIndex.map { case (ss, i) =>
+        (user, i + 1L, ss.head._4, ss.last._4, ss.length.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("asOf agrees with a naive latest-at-or-before scan over random data") {
+    val s = spark
+    import s.implicits._
+    val ev = randomEvents(300, 8, 500L) // dense times → equal-ts collisions
+    val left = ev.filter(_._3 == "buy")
+    // right deduped per (user, time) by max event_id — the documented contract
+    val rightRows = ev.filter(_._3 == "click")
+      .groupBy(r => (r._2, r._4)).map { case ((u, t), rs) => (u, t, rs.maxBy(_._1)._5) }
+      .toSeq
+    val got = AsOfJoin.asOf(
+      left.map(r => (r._1, r._2, r._4, r._5)).toDF("event_id", "user_id", "time", "value"),
+      rightRows.toDF("user_id", "time", "v"), "user_id", "time", "v")
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)), Option(r.get(5)))).toMap
+    left.foreach { l =>
+      val preds = rightRows.filter(r => r._1 == l._2 && r._2 <= l._4)
+      val expected =
+        if (preds.isEmpty) (None, None)
+        else {
+          val best = preds.maxBy(_._2)
+          (Some(best._3), Some(best._2))
+        }
+      assert(got(l._1) == expected, s"left ${l._1} (user ${l._2}, t ${l._4})")
+    }
+  }
+
+  test("changePoints agrees with a naive double-window scan (random series)") {
+    val s = spark
+    import s.implicits._
+    val vals = (1 to 120).map(i => (i * 10L, math.floor(rnd.nextDouble() * 1000) / 10))
+    val dp = vals.map { case (t, v) => ("t", 0, "m", t, v) }
+      .toDF("tenant_id", "mtype", "metric", "time", "n_value")
+    val w = 4; val thr = 11.5
+    val got = MetricsOps.changePoints(dp, graft.model.TimeRange(1L, 10000L), w, thr)
+      .collect().map(_.getLong(1)).toSet
+    val expected = vals.indices.collect {
+      case i if i >= w && i + w <= vals.length &&
+        math.abs(vals.slice(i, i + w).map(_._2).sum / w -
+          vals.slice(i - w, i).map(_._2).sum / w) >= thr => vals(i)._1
+    }.toSet
+    assert(got == expected)
+  }
+}

@@ -3837,6 +3837,19 @@ object SparkEntry {
              |       round(CAST(sum(term_u) AS DOUBLE) / 1000000000000.0, 6) AS kl_vs_rest
              |FROM terms GROUP BY source""".stripMargin)),
 
+    // ---- LLM: the SCALABLE calibration plan — coarse-bin histogram
+    // verdicts + exact ranking of ONLY the boundary bin; keep set
+    // identical to the window form by construction (shared oracle) ------
+    ("quality_calibration_scalable", (s: SparkSession, d: String) =>
+      TextOps.qualityCalibrationScalable(docs(s, d), keepFrac = 0.4),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |         CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             |           / len(string_split(lower(text), ' ')) AS score
+             |       FROM documents),
+             |r AS (SELECT *, percent_rank() OVER
+             |        (PARTITION BY source ORDER BY score, doc_id) AS pct FROM t)
+             |SELECT doc_id, source, pct >= 1.0 - 0.4 AS kept FROM r""".stripMargin)),
+
     // ---- LLM: per-source quality calibration (keep top 40% per source
     // by type-token ratio; percent_rank ties broken by doc_id) -----------
     ("quality_calibration", (s: SparkSession, d: String) =>

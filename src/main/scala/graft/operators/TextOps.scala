@@ -1125,4 +1125,65 @@ object TextOps {
         round(col("pct"), 6).as("pct"),
         (col("pct") >= lit(1.0) - lit(keepFrac)).as("kept"))
   }
+
+  /**
+   * The SCALABLE escalation of [[qualityCalibration]], implemented (not
+   * just documented): when one source outgrows a window partition, rank
+   * only where ranking matters. Phase 1 histograms scores into `bins`
+   * coarse buckets per source (a map-side-combined aggregate —
+   * skew-immune) and marks each (source, bin) as fully-dropped,
+   * fully-kept, or BOUNDARY from the cumulative counts; phase 2
+   * exact-ranks ONLY the boundary bin's rows (one window over a
+   * bin-sized slice) and offsets by the bin's cumulative start. Ties
+   * can't straddle bins (equal scores share a bin), and the kept-rank
+   * threshold is derived with the SAME double-division predicate as the
+   * window form's percent_rank, candidate-checked around ceil — so the
+   * keep SET is identical BY CONSTRUCTION (spec + shared oracle), not
+   * merely approximately.
+   */
+  def qualityCalibrationScalable(docs: DataFrame, keepFrac: Double,
+                                 bins: Int = 64): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0, 1], got $keepFrac")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val toks = words(col("text"))
+    val t = lit(1.0) - lit(keepFrac)
+    val scored = docs.select(col("doc_id"), col("source"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      .withColumn("bin",
+        least(floor(col("score") * bins), lit(bins - 1)).cast("int"))
+    // (source, bin) histogram + cumulative-from-low — |sources|×bins rows
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("source"))
+    // kept-min-INDEX m (0-based): smallest m with m/(n−1) >= t, derived
+    // with the same division the window form uses; n = 1 keeps its row
+    // (percent_rank 0 >= t only when t <= 0 — mirrored by the n=1 guard)
+    def keptMinIdx(n: Column): Column = {
+      val m0 = ceil(t * (n - 1))
+      when(n === 1, when(t <= 0.0, lit(0.0)).otherwise(lit(1.0)))
+        .otherwise(
+          when((m0 - 1) / (n - 1) >= t, m0 - 1)
+            .when(m0 / (n - 1) >= t, m0)
+            .otherwise(m0 + 1))
+    }
+    val binStats = scored.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .withColumn("r_min", keptMinIdx(col("n")) + lit(1.0)) // 1-based kept rank
+      .withColumn("verdict",
+        when(col("cum_before") + col("cnt") < col("r_min"), lit("drop"))
+          .when((col("cum_before") + 1) >= col("r_min"), lit("keep"))
+          .otherwise(lit("boundary")))
+    val tagged = scored.join(broadcast(binStats), Seq("source", "bin"))
+    val settled = tagged.filter(col("verdict") =!= "boundary")
+      .select(col("doc_id"), col("source"), (col("verdict") === "keep").as("kept"))
+    val wExact = Window.partitionBy(col("source"))
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val boundary = tagged.filter(col("verdict") === "boundary")
+      .withColumn("rn", row_number().over(wExact))
+      .select(col("doc_id"), col("source"),
+        ((col("cum_before") + col("rn")) >= col("r_min")).as("kept"))
+    settled.unionByName(boundary)
+  }
 }

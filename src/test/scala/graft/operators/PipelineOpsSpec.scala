@@ -670,6 +670,25 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("qualityCalibrationScalable: keep set identical to the window form " +
+    "across keepFracs, ties, and single-doc sources") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77L)
+    // random docs with many score ties (small vocab) + a lone-doc source
+    val docs = ((1 to 120).map { i =>
+      val words = (1 to (2 + rnd.nextInt(6))).map(_ => s"w${rnd.nextInt(4)}")
+      (i.toLong, words.mkString(" "), s"s${rnd.nextInt(3)}")
+    } :+ ((999L, "solo doc here", "lonely"))).toDF("doc_id", "text", "source")
+    for (kf <- Seq(0.25, 0.4, 0.5, 1.0); bins <- Seq(2, 16)) {
+      val window = TextOps.qualityCalibration(docs, kf)
+        .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val scalable = TextOps.qualityCalibrationScalable(docs, kf, bins)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(scalable == window, s"keepFrac=$kf bins=$bins")
+    }
+  }
+
   test("vocabulary: doc-freq ranking, lexicographic ties, topN cut") {
     val got = TextOps.vocabulary(docsDf((1L, "a b a"), (2L, "a c"), (3L, "b b")), topN = 2)
       .orderBy("rank").collect()

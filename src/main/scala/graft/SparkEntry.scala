@@ -3383,6 +3383,33 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
+    // ---- §2.9 streaming: STREAM-STREAM interval join — purchases paired
+    // with same-user clicks in the preceding hour; both state stores
+    // watermark-bounded by the time-range condition -----------------------
+    ("streaming_attribution", (s: SparkSession, d: String) => {
+      val base = "target/tmp/attr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val st = graft.streaming.StreamingAttribution.attributionPairs(
+        ea.eventFrameStream(s, d))
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS time, value FROM events),
+             |c AS (SELECT user_id, event_id AS click_id, time AS click_time FROM e WHERE event_type = 'click'),
+             |b AS (SELECT user_id, event_id AS buy_id, time AS buy_time, value AS buy_value
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT c.user_id, click_id, buy_id, click_time, buy_time,
+             |       buy_time - click_time AS gap_ms, buy_value
+             |FROM c JOIN b ON b.user_id = c.user_id
+             |  AND b.buy_time >= c.click_time
+             |  AND b.buy_time <= c.click_time + 3600000""".stripMargin)),
+
     // ---- behavioral: rolling DAU/WAU with mergeable HLL day-sketches —
     // the sliding-distinct sketch audit (exact fanout vs sketch union) ---
     ("rolling_active_users", (s: SparkSession, d: String) =>

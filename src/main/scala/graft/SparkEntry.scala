@@ -3410,6 +3410,63 @@ object SparkEntry {
              |  AND b.buy_time >= c.click_time
              |  AND b.buy_time <= c.click_time + 3600000""".stripMargin)),
 
+    // ---- §2.9 streaming: LEFT-OUTER stream-stream join — unmatched
+    // purchases null-extend once the watermark proves no click can still
+    // arrive; the oracle filters unmatched rows by that closure rule ----
+    ("streaming_attribution_outer", (s: SparkSession, d: String) => {
+      val base = "target/tmp/attro_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      // the watermark lags one batch, so outer rows whose window closed
+      // in the final batch's own data are still pending when the first
+      // drain quiesces (and an AvailableNow RESTART with no new files
+      // runs zero batches — it cannot flush them). Stage the fixture in
+      // a scratch dir, drain, append a far-future sentinel file carrying
+      // BOTH event types (the global watermark is the MIN of the two
+      // sides' watermarks), drain again: the sentinel batch advances the
+      // watermark past every real purchase and flushes the pending outer
+      // rows — after which the closure rule the oracle applies holds
+      // exactly. Sentinel rows (negative ids) are filtered from the
+      // answer; the sentinel purchase itself stays pending by design.
+      val stage = s"$base/stage"
+      s.read.parquet(s"$d/events.parquet").write.mode("overwrite").parquet(stage)
+      def drain(): Unit = {
+        val st = graft.streaming.StreamingAttribution.attributionPairs(
+          ea.eventFrameStreamDir(s, stage), leftOuter = true)
+        val q = st.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .format("parquet").option("path", s"$base/out")
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val ev = s.read.parquet(stage)
+      val tsPlus = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(36000000000000L) // 10 h in nanos
+        case _ => col("ts") + expr("INTERVAL 10 HOURS")
+      }
+      val last = ev.orderBy(col("ts").desc).limit(1).withColumn("ts", tsPlus)
+        .withColumn("user_id", lit(-1L)).withColumn("value", lit(0.0))
+      last.withColumn("event_id", lit(-1L)).withColumn("event_type", lit("click"))
+        .unionByName(last.withColumn("event_id", lit(-2L))
+          .withColumn("event_type", lit("purchase")))
+        .select(ev.columns.map(col): _*)
+        .write.mode("append").parquet(stage)
+      drain()
+      s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
+    },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS time, value FROM events),
+             |c AS (SELECT user_id, event_id AS click_id, time AS click_time FROM e WHERE event_type = 'click'),
+             |b AS (SELECT user_id, event_id AS buy_id, time AS buy_time, value AS buy_value
+             |      FROM e WHERE event_type = 'purchase')
+             |SELECT b.user_id, c.click_id, b.buy_id, c.click_time, b.buy_time,
+             |       b.buy_time - c.click_time AS gap_ms, b.buy_value
+             |FROM b LEFT JOIN c ON c.user_id = b.user_id
+             |  AND b.buy_time >= c.click_time
+             |  AND b.buy_time <= c.click_time + 3600000""".stripMargin)),
+
     // ---- behavioral: rolling DAU/WAU with mergeable HLL day-sketches —
     // the sliding-distinct sketch audit (exact fanout vs sketch union) ---
     ("rolling_active_users", (s: SparkSession, d: String) =>

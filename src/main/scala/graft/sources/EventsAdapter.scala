@@ -190,6 +190,19 @@ object EventsAdapter {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("time"), col("value"))
 
+  /** [[eventFrameStream]] over a caller-owned STAGING directory (every
+    * parquet file, not the fixture glob) — queries that need to append
+    * watermark-advancing sentinel files (outer-join flushes) stage the
+    * fixture plus their sentinels here. */
+  def eventFrameStreamDir(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(dir).schema
+    baseFrom(spark.readStream.schema(schema).parquet(dir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("time"), col("value"))
+  }
+
   /** Fixture `ts` → epoch millis, matching the oracle's `epoch_ms(ts)`.
     * The driver fixture has shipped two physical encodings across rounds:
     * TIMESTAMP(NANOS) (read as Long under nanosAsLong → exact integer

@@ -21,10 +21,16 @@ import org.apache.spark.sql.functions._
  */
 object StreamingAttribution {
 
+  /** `leftOuter = true` keeps purchases with NO qualifying click: the
+    * null-extended row emits once the watermark proves no match can
+    * still arrive — the outer-emission semantics of stream-stream joins
+    * (spec-pinned; inner pairs emit in the completing batch either
+    * way). */
   def attributionPairs(events: DataFrame, clickType: String = "click",
                        buyType: String = "purchase",
                        withinMs: Long = 3600000L,
-                       lateness: String = "2 hours"): DataFrame = {
+                       lateness: String = "2 hours",
+                       leftOuter: Boolean = false): DataFrame = {
     require(withinMs > 0, s"withinMs must be positive, got $withinMs")
     val clicks = events.filter(col("event_type") === clickType)
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -36,12 +42,19 @@ object StreamingAttribution {
         col("time").as("buy_time"), col("value").as("buy_value"),
         timestamp_millis(col("time")).as("buy_et"))
       .withWatermark("buy_et", lateness)
-    clicks.join(buys,
-      col("user_id") === col("buy_user") &&
-        col("buy_et") >= col("click_et") &&
-        col("buy_et") <= col("click_et") + expr(s"INTERVAL $withinMs MILLISECONDS"))
-      .select(col("user_id"), col("click_id"), col("buy_id"),
-        col("click_time"), col("buy_time"),
-        (col("buy_time") - col("click_time")).as("gap_ms"), col("buy_value"))
+    val cond = col("user_id") === col("buy_user") &&
+      col("buy_et") >= col("click_et") &&
+      col("buy_et") <= col("click_et") + expr(s"INTERVAL $withinMs MILLISECONDS")
+    if (leftOuter)
+      // purchases drive; unmatched ones null-extend on watermark close
+      buys.join(clicks, cond, "left_outer")
+        .select(col("buy_user").as("user_id"), col("click_id"), col("buy_id"),
+          col("click_time"), col("buy_time"),
+          (col("buy_time") - col("click_time")).as("gap_ms"), col("buy_value"))
+    else
+      clicks.join(buys, cond)
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          col("click_time"), col("buy_time"),
+          (col("buy_time") - col("click_time")).as("gap_ms"), col("buy_value"))
   }
 }

@@ -896,6 +896,26 @@ object SparkEntry {
               |       max(value) AS "max", ${dsum("value")} AS sum
               |FROM b GROUP BY 1, 2""".stripMargin)),
 
+    // ---- serving-tier dispatch: aligned requests answer from the rollup,
+    // misaligned from raw — SAME rows either way (the exactness
+    // contract); this request is hour-aligned → the cheap branch --------
+    ("rollup_adaptive", (s: SparkSession, d: String) => {
+      val path = "target/tmp/rolladapt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(gauge(s, d), s"$path/raw", SaveMode.Overwrite)
+      GraftStorage.writeRollup(s, s"$path/raw", s"$path/roll")
+      GraftStorage.servedStats(s, s"$path/raw", s"$path/roll",
+        Buckets.fromStep(S, S + 28 * Day, Day))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t >= $S AND t < ${S + 28 * Day})
+              |SELECT metric, (t - $S) // ${Day} AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- S9: metric delete — partition-scoped rewrite --------------------
     ("storage_delete", (s: SparkSession, d: String) => {
       val path = "target/tmp/delete_" + d.replaceAll("[^a-zA-Z0-9]", "_")

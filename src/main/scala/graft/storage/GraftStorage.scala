@@ -309,6 +309,45 @@ object GraftStorage {
   }
 
   /**
+   * Serving-tier dispatch: answer numeric bucket stats from the ROLLUP
+   * when the request aligns to its hour grid (and the tier exists),
+   * else from the raw tier — the transparent acceleration the rollup
+   * exists for. The rollup's exactness contract (DECIMAL hour sums
+   * re-aggregate associatively, so served buckets HASH-MATCH the
+   * raw-path answer — spec-proven) is precisely what makes the dispatch
+   * invisible to callers: both branches return the same rows, one reads
+   * hours×metrics, the other reads raw points. Dashboard-grid requests
+   * (hour/day steps) take the cheap branch by construction.
+   */
+  def servedStats(spark: SparkSession, rawPath: String, rollupPath: String,
+                  b: graft.model.Buckets, byMetric: Boolean = true): DataFrame = {
+    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
+      b.end % RollupMs == 0
+    val hasRollup = {
+      val p = new org.apache.hadoop.fs.Path(rollupPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (aligned && hasRollup) rollupStats(spark, rollupPath, b, byMetric)
+    else {
+      // raw fallback: same output shape, same decimal discipline, same
+      // LWW-resolved read the rollup itself was built over
+      val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
+      readResolved(spark, rawPath)
+        .filter(col("time") >= b.start && col("time") < b.end)
+        .filter(col("n_value").isNotNull)
+        .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))
+        .groupBy(keys: _*)
+        .agg(
+          min(col("n_value")).as("min"),
+          (sum(col("n_value").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("avg"),
+          max(col("n_value")).as("max"),
+          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum"),
+          count(lit(1)).cast("long").as("samples"))
+    }
+  }
+
+  /**
    * Retention sweep (TTL analog, MetricsServiceImpl.java:1058-1067): drop
    * whole expired slice partitions — a metadata-only delete, no rewrite.
    */

@@ -242,6 +242,42 @@ class StorageSpec extends SparkTestBase {
     assert(s2.length == 1 && s2.head.getAs[Long]("samples") == 1L)
   }
 
+  test("servedStats dispatch: aligned requests read the rollup, misaligned read raw, " +
+    "both branches answer identically on aligned buckets") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    GraftStorage.write(fixture(Seq(
+      ("m1", H1 + 100L, 10.0), ("m1", H1 + 200L, 20.0), ("m2", H1 + 300L, 5.0),
+      ("m1", 2 * H1 + 50L, 7.0))), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    val aligned = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("metric", "bucket", "samples", "min", "avg", "max", "sum")
+      .collect().map(_.toSeq).toSet
+    val viaDispatch = GraftStorage.servedStats(spark, s"$path/raw", s"$path/roll", aligned)
+    // aligned → the plan reads the ROLLUP directory, not raw
+    val scanned = viaDispatch.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(scanned.contains("/roll") && !scanned.contains("/raw]"),
+      s"aligned dispatch must read the rollup tier:\n$scanned")
+    assert(rows(viaDispatch) == rows(GraftStorage.rollupStats(spark, s"$path/roll", aligned)))
+    // misaligned (half-hour step) → raw branch, and on the SAME span its
+    // re-bucketed answer at hour granularity equals the rollup's
+    val misaligned = graft.model.Buckets.fromStep(H1, 3 * H1, H1 / 2)
+    val rawServed = GraftStorage.servedStats(spark, s"$path/raw", s"$path/roll", misaligned)
+    val rawScan = rawServed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(rawScan.contains("/raw"), "misaligned dispatch must read raw")
+    // exactness contract across branches: sum of raw half-hour buckets
+    // per hour equals the rollup-served hour rows
+    val rawHourly = rawServed.collect()
+      .groupBy(r => (r.getString(0), r.getLong(1) / 2))
+      .view.mapValues(_.map(_.getAs[Double]("sum")).sum).toMap
+    val rollHourly = GraftStorage.rollupStats(spark, s"$path/roll", aligned).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("sum")).toMap
+    assert(rawHourly == rollHourly)
+  }
+
   test("rollup refresh clears ghost partitions after raw deletes") {
     val path = tmp()
     GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m2", 200L, 2.0))),

@@ -3487,6 +3487,36 @@ object SparkEntry {
              |  AND b.buy_time >= c.click_time
              |  AND b.buy_time <= c.click_time + 3600000""".stripMargin)),
 
+    // ---- LLM: NEAR-dup decontamination — paraphrased/near-copied
+    // benchmark contamination that exact-shingle decontaminate cannot
+    // see; the eval set's near-dup INDEX is built once and the corpus
+    // queries it (banded candidates → exact-Jaccard verify), so the
+    // corpus never shuffles on content. Oracle = exact cross Jaccard
+    // (band recall at J >= 0.8 is 1 − (1 − J³)²⁰ ≈ 1) ------------------
+    ("decontaminate_neardup", (s: SparkSession, d: String) => {
+      val base = "target/tmp/dcnd_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val all = docs(s, d)
+      Dedup.writeNearDupIndex(all.filter(col("doc_id") < 20), base, shingleK = 3)
+      Dedup.nearDupLookup(s, base, all.filter(col("doc_id") >= 20),
+        shingleK = 3, threshold = 0.8)
+        .groupBy(col("query_id").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_matches"),
+          round(max(col("jaccard")), 6).as("max_jaccard"))
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS qa, b.doc_id AS qb, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id >= 20 AND b.doc_id < 20
+             |          GROUP BY 1, 2),
+             |m AS (SELECT qa AS doc_id, CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS j
+             |      FROM inter JOIN sz x ON x.doc_id = qa JOIN sz y ON y.doc_id = qb)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+             |       round(max(j), 6) AS max_jaccard
+             |FROM m WHERE j >= 0.8 GROUP BY 1""".stripMargin)),
+
     // ---- behavioral: rolling DAU/WAU with mergeable HLL day-sketches —
     // the sliding-distinct sketch audit (exact fanout vs sketch union) ---
     ("rolling_active_users", (s: SparkSession, d: String) =>

@@ -330,9 +330,16 @@ object GraftStorage {
     if (aligned && hasRollup) rollupStats(spark, rollupPath, b, byMetric)
     else {
       // raw fallback: same output shape, same decimal discipline, same
-      // LWW-resolved read the rollup itself was built over
+      // LWW-resolved read the rollup itself was built over — with the
+      // slice partition filter FIRST (time alone would scan every slice;
+      // restricting slices before the LWW dedup is safe because a
+      // (metric, time) group never spans slices)
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
-      readResolved(spark, rawPath)
+      graft.operators.MetricsOps.dedupTiers(
+        read(spark, rawPath)
+          .filter(col("time_slice") >= b.start / SliceMs &&
+            col("time_slice") <= (b.end - 1) / SliceMs),
+        "ingest_seq", Seq(valueTieBreak))
         .filter(col("time") >= b.start && col("time") < b.end)
         .filter(col("n_value").isNotNull)
         .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))

@@ -3487,6 +3487,33 @@ object SparkEntry {
              |  AND b.buy_time >= c.click_time
              |  AND b.buy_time <= c.click_time + 3600000""".stripMargin)),
 
+    // ---- LLM: embedding drift between corpus versions — per-label
+    // centroid cosine across a parity split standing in for two runs ----
+    ("emb_centroid_drift", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.centroidDrift(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    },
+      Some("""WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |compa AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos
+             |          FROM dv WHERE vec_id % 2 = 0),
+             |cma AS (SELECT label, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m,
+             |          CAST(count(*) AS BIGINT) AS cnt
+             |        FROM compa GROUP BY label, pos),
+             |ca AS (SELECT label, list(m ORDER BY pos) AS c, max(cnt) AS n_a FROM cma GROUP BY label),
+             |compb AS (SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos
+             |          FROM dv WHERE vec_id % 2 = 1),
+             |cmb AS (SELECT label, pos, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m,
+             |          CAST(count(*) AS BIGINT) AS cnt
+             |        FROM compb GROUP BY label, pos),
+             |cb AS (SELECT label, list(m ORDER BY pos) AS c, max(cnt) AS n_b FROM cmb GROUP BY label)
+             |SELECT ca.label, n_a, n_b,
+             |       round(sqrt(list_dot_product(ca.c, ca.c)), 6) AS norm_a,
+             |       round(sqrt(list_dot_product(cb.c, cb.c)), 6) AS norm_b,
+             |       round(list_dot_product(ca.c, cb.c)
+             |             / (sqrt(list_dot_product(ca.c, ca.c)) * sqrt(list_dot_product(cb.c, cb.c))), 6) AS drift_cosine
+             |FROM ca JOIN cb USING (label)""".stripMargin)),
+
     // ---- LLM: NEAR-dup decontamination — paraphrased/near-copied
     // benchmark contamination that exact-shingle decontaminate cannot
     // see; the eval set's near-dup INDEX is built once and the corpus

@@ -485,6 +485,35 @@ object Similarity {
   }
 
   /**
+   * Embedding drift between two corpus versions: per label, the cosine
+   * between the two splits' centroids (1.0 = the label's geometry is
+   * stable run-over-run) plus counts and centroid norms — the monitor
+   * that catches a re-embedded or re-crawled corpus shifting under a
+   * trained index/classifier before it ships. Same distributed
+   * decimal-exact centroid math as [[labelCentroids]]; the comparison
+   * frame is |labels|-sized.
+   */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def cents(e: DataFrame, m: String, n: String) = e
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as(m),
+        max(col("cnt")).as(n)) // every pos sees all the label's vectors
+    cents(a, "ca", "n_a").join(cents(b, "cb", "n_b"), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(graft.plans.VectorDot(col("ca"), col("ca"))), 6).as("norm_a"),
+        round(sqrt(graft.plans.VectorDot(col("cb"), col("cb"))), 6).as("norm_b"),
+        round(graft.plans.VectorDot(col("ca"), col("cb")) /
+          (sqrt(graft.plans.VectorDot(col("ca"), col("ca"))) *
+            sqrt(graft.plans.VectorDot(col("cb"), col("cb")))), 6).as("drift_cosine"))
+  }
+
+  /**
    * k-NN majority-vote labeling — the embedding-space auto-labeler /
    * label-propagation step of a curation pipeline (and, run leave-one-out
    * over an already-labeled set as here, its accuracy audit): each query

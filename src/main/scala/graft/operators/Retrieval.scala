@@ -39,6 +39,8 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(k1 > 0, s"k1 must be positive, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
     val qterms = queries
       .select(col("query_id"), explode(array_distinct(col("terms"))).as("token"))
     // matching postings only (see postingsFor); materialized ONCE: both
@@ -272,6 +274,7 @@ object Retrieval {
   def rrfFuse(lexical: DataFrame, vector: DataFrame, k: Int,
               rrfK: Int = 60): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
     def contrib(df: DataFrame, name: String): DataFrame =
       df.select(col("query_id"), col("doc_id"),
         round(lit(1000000.0) / (lit(rrfK) + col("rank")), 0).cast("long").as(name),

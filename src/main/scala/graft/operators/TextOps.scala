@@ -1175,7 +1175,11 @@ object TextOps {
         when(col("cum_before") + col("cnt") < col("r_min"), lit("drop"))
           .when((col("cum_before") + 1) >= col("r_min"), lit("keep"))
           .otherwise(lit("boundary")))
-    val tagged = scored.join(broadcast(binStats), Seq("source", "bin"))
+    // NO broadcast hint: binStats is |sources|×bins — tiny for a handful
+    // of corpus sources, but calibration BY DOMAIN makes |sources|
+    // web-scale; let AQE pick broadcast-vs-shuffle from the measured
+    // size (the shuffle lands on the same source key phase 2 uses)
+    val tagged = scored.join(binStats, Seq("source", "bin"))
     val settled = tagged.filter(col("verdict") =!= "boundary")
       .select(col("doc_id"), col("source"), (col("verdict") === "keep").as("kept"))
     val wExact = Window.partitionBy(col("source"))

@@ -3487,6 +3487,22 @@ object SparkEntry {
              |  AND b.buy_time >= c.click_time
              |  AND b.buy_time <= c.click_time + 3600000""".stripMargin)),
 
+    // ---- §2.9 streaming: COMPLETE-mode counts through a foreachBatch
+    // snapshot sink — the streaming heavy-hitter query; state is the
+    // exact vocab-sized count map (Heaps-bounded; CMS is the unbounded
+    // escape), serving ranks the final snapshot --------------------------
+    ("streaming_heavy_hitters", (s: SparkSession, d: String) => {
+      val base = "target/tmp/shh_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      graft.streaming.StreamingHeavyHitters.run(s,
+        ea.documentsStream(s, d), s"$base/snap", s"$base/ckpt", topK = 20)
+    },
+      Some("""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+             |SELECT token, cnt,
+             |       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+             |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
+
     // ---- LLM: embedding drift between corpus versions — per-label
     // centroid cosine across a parity split standing in for two runs ----
     ("emb_centroid_drift", (s: SparkSession, d: String) => {

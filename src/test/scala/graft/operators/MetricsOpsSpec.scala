@@ -551,6 +551,19 @@ class MetricsOpsSpec extends SparkTestBase {
       w = 3, threshold = 45.0).collect().isEmpty)
   }
 
+  test("histogramQuantile edges: q=1 lands in the last occupied bin; bin-boundary " +
+    "targets pick the bin whose cumulative first covers the rank") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((0L, 0L, 4L, 0.0, 10.0), (0L, 2L, 4L, 20.0, 30.0)) // gap bin 1 empty
+      .toDF("bucket", "bin", "cnt", "bin_lo", "bin_hi")
+    // q = 1 → target 8 → bin 2 upper edge: 20 + (8-4)/4*10 = 30
+    assert(MetricsOps.histogramQuantile(hist, 1.0).collect()(0).getAs[Double]("q_est") == 30.0)
+    // target exactly at bin 0's cumulative (0.5*8 = 4 = cum(bin0)) → bin 0
+    assert(MetricsOps.histogramQuantile(hist, 0.5).collect()(0).getAs[Double]("q_est") == 10.0)
+    intercept[IllegalArgumentException] { MetricsOps.histogramQuantile(hist, 0.0) }
+  }
+
   test("histogramQuantile: cumulative walk + linear interpolation, per-bucket") {
     val s = spark
     import s.implicits._

@@ -119,6 +119,16 @@ class RetrievalSpec extends SparkTestBase {
     assert(s.read.parquet(s"$appended/corpusstats").collect()(0).getLong(0) == 30L)
   }
 
+  test("bm25TopK edge cases: no-posting query answers empty; empty query set answers empty") {
+    val none = Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("zzz", "qqq"))), k = 5)
+    assert(none.collect().isEmpty)
+    val noQ = Retrieval.bm25TopK(corpus, queriesDf(), k = 5)
+    assert(noQ.collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("cat"))), k = 5, b = 1.5)
+    }
+  }
+
   test("rrfFuse: fused ordering, one-sided docs contribute one term, null ranks") {
     val s = spark
     import s.implicits._

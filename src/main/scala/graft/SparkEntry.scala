@@ -3644,6 +3644,37 @@ object SparkEntry {
            |FROM r WHERE rnk <= 5""".stripMargin
       }),
 
+    // ---- forecasting: weekly seasonality strength (eta² of day-of-week
+    // over daily means) with peak/trough days ----------------------------
+    ("seasonal_profile", (s: SparkSession, d: String) =>
+      MetricsOps.seasonalityStrength(gauge(s, d),
+        Buckets.fromStep(S, S + 28L * Day, Day), periodBuckets = 7),
+      Some(s"""WITH $BaseCte,
+              |daily AS (SELECT metric, (t - $S) // $Day AS bucket,
+              |            ${dsum("value")} / count(value) AS x
+              |          FROM base WHERE t >= $S AND t < ${S + 28L * Day} GROUP BY 1, 2),
+              |dly AS (SELECT metric, bucket, x, bucket % 7 AS dow FROM daily),
+              |bd AS (SELECT metric, dow, CAST(count(*) AS BIGINT) AS nd,
+              |         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sd
+              |       FROM dly GROUP BY 1, 2),
+              |bdm AS (SELECT *, sd / nd AS dow_mean,
+              |          row_number() OVER (PARTITION BY metric ORDER BY sd / nd DESC, dow) AS rp,
+              |          row_number() OVER (PARTITION BY metric ORDER BY sd / nd ASC, dow) AS rt
+              |        FROM bd),
+              |pm AS (SELECT metric, CAST(sum(nd) AS BIGINT) AS n,
+              |         CAST(sum(CAST(sd AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+              |         CAST(sum(CAST(sd * sd / nd AS DECIMAL(28,10))) AS DOUBLE) AS ssb_raw,
+              |         max(CASE WHEN rp = 1 THEN dow END) AS peak_dow,
+              |         max(CASE WHEN rt = 1 THEN dow END) AS trough_dow
+              |       FROM bdm GROUP BY 1),
+              |sq AS (SELECT metric, CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+              |       FROM dly GROUP BY 1)
+              |SELECT pm.metric, n AS n_days, peak_dow, trough_dow,
+              |  CASE WHEN sxx - sx * sx / n <= 0.0 THEN NULL
+              |       ELSE round((ssb_raw - sx * sx / n) / (sxx - sx * sx / n), 6)
+              |  END AS strength
+              |FROM pm JOIN sq USING (metric)""".stripMargin)),
+
     // ---- diagnostics: cross-correlation at lag — Pearson r of two
     // metrics' bucket series over a ±3-bucket shift grid ----------------
     ("series_xcorr", (s: SparkSession, d: String) =>

@@ -944,6 +944,59 @@ object MetricsOps {
   }
 
   /**
+   * Weekly seasonality profile — per series, how much of the
+   * bucket-mean variance the day-of-week explains: `strength` is the
+   * classic between-group share SSB/SST (eta², 0 = no weekly shape,
+   * →1 = the weekday determines the level) over daily means on a
+   * `periodBuckets` grid, with the peak and trough days attached. The
+   * companion to [[seasonalNaiveEval]]: MASE says the seasonal baseline
+   * wins, this says WHY and by how much.
+   *
+   * Determinism: daily means are decimal-exact; every squared/ratio
+   * term is decimal-cast BEFORE its sum (the seriesCrossCorrelation
+   * discipline), so SST/SSB build from identical doubles cross-engine;
+   * zero-variance series answer null strength. Peak/trough ties break
+   * on the lower day index.
+   */
+  def seasonalityStrength(dp: DataFrame, b: Buckets, periodBuckets: Int,
+                          valueCol: String = "n_value"): DataFrame = {
+    require(periodBuckets >= 2, s"periodBuckets must be >= 2, got $periodBuckets")
+    val dec = (c: Column) => c.cast("decimal(28,10)")
+    val daily = dp
+      .filter(col("time") >= b.start && col("time") < b.end)
+      .groupBy(col("metric"), GraftFunctions.bucketIndex("time", b).as("bucket"))
+      .agg((sum(col(valueCol).cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("x"))
+      .withColumn("dow", pmod(col("bucket"), lit(periodBuckets.toLong)))
+    val byDow = daily.groupBy(col("metric"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(dec(col("x"))).cast("double").as("sd"))
+      .withColumn("dow_mean", col("sd") / col("nd"))
+    val wPeak = Window.partitionBy(col("metric"))
+      .orderBy(col("dow_mean").desc, col("dow").asc)
+    val wTrough = Window.partitionBy(col("metric"))
+      .orderBy(col("dow_mean").asc, col("dow").asc)
+    val perMetric = byDow
+      .withColumn("rp", row_number().over(wPeak))
+      .withColumn("rt", row_number().over(wTrough))
+      .groupBy(col("metric"))
+      .agg(sum(col("nd")).as("n"),
+        sum(dec(col("sd"))).cast("double").as("sx"),
+        sum(dec(col("sd") * col("sd") / col("nd"))).cast("double").as("ssb_raw"),
+        max(when(col("rp") === 1, col("dow"))).as("peak_dow"),
+        max(when(col("rt") === 1, col("dow"))).as("trough_dow"))
+    val sq = daily.groupBy(col("metric"))
+      .agg(sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+    val meanSq = col("sx") * col("sx") / col("n")
+    val sst = col("sxx") - meanSq
+    val ssb = col("ssb_raw") - meanSq
+    perMetric.join(sq, Seq("metric"))
+      .select(col("metric"), col("n").cast("long").as("n_days"),
+        col("peak_dow"), col("trough_dow"),
+        when(sst <= 0.0, lit(null).cast("double"))
+          .otherwise(round(ssb / sst, 6)).as("strength"))
+  }
+
+  /**
    * Cross-correlation of two metrics' bucket-average series at a range
    * of lags — the "does A lead B" diagnostic (deploy markers vs error
    * rates, upstream vs downstream latency): Pearson r between series A

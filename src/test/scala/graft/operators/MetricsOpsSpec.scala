@@ -499,6 +499,21 @@ class MetricsOpsSpec extends SparkTestBase {
     assert(const.forall(_.isNullAt(2)))
   }
 
+  test("seasonalityStrength: pure weekly pattern scores 1; constant series scores null") {
+    // period 2, 4 daily buckets: values alternate 10, 20, 10, 20 — the
+    // day-parity explains ALL variance → eta² = 1; peak parity = 1
+    val B = 1000L
+    val dp = points(Seq(("m", B + 0L, 10.0), ("m", B + 1000L, 20.0),
+      ("m", B + 2000L, 10.0), ("m", B + 3000L, 20.0),
+      ("c", B + 0L, 5.0), ("c", B + 1000L, 5.0), ("c", B + 2000L, 5.0)))
+    val got = MetricsOps.seasonalityStrength(dp,
+      graft.model.Buckets.fromStep(B, B + 4000L, 1000L), periodBuckets = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(got("m") == (4L, 1L, 0L, Some(1.0)))
+    assert(got("c")._4.isEmpty) // zero variance → null strength
+  }
+
   test("seasonalNaiveEval: lag-by-season vs lag-1 baselines, hand-computed MASE") {
     // season 2, bucket 1000 ms; avgs per bucket: 10, 20, 12, 24, 14
     // eval rows (both lags defined): b2 |12-10|=2 |12-20|=8; b3 |24-20|=4 |24-12|=12;

@@ -80,7 +80,10 @@ object SparkEntry {
     * bit-identical. */
   private def statSql(v: String, pcts: Seq[Double],
                       roundedPcts: Boolean = true): String = {
-    def pct(expr: String) = if (roundedPcts) s"round($expr, 4)" else expr
+    // `+ 0` normalizes IEEE signed zero: round() of a tiny negative yields
+    // -0.0 in DuckDB but +0.0 in Spark — value-equal yet byte-distinct under
+    // the driver's hash. -0.0 + 0 == +0.0, all other values unchanged.
+    def pct(expr: String) = if (roundedPcts) s"(round($expr, 4) + 0)" else expr
     val pctCols = pcts.map(q =>
       s"${pct(s"quantile_cont($v, ${q / 100.0})")} AS ${MetricsOps.pctColName(q)}").mkString(", ")
     s"""min($v) AS "min", ${dsum(v)}/count($v) AS avg, max($v) AS "max",
@@ -91,7 +94,8 @@ object SparkEntry {
   // Spark side: round the percentile-family columns to match
   private def roundPcts(df: DataFrame, pcts: Seq[Double]): DataFrame =
     (pcts.map(MetricsOps.pctColName) :+ "median").foldLeft(df) { (d, c) =>
-      d.withColumn(c, round(col(c), 4))
+      // + 0 mirrors statSql's signed-zero normalization (see pct() there)
+      d.withColumn(c, round(col(c), 4) + lit(0d))
     }
 
   private def gauge(s: SparkSession, dir: String) = ea.gaugePoints(s, dir)
@@ -3837,8 +3841,12 @@ object SparkEntry {
         .filter(col("time") >= S && col("time") < E)
         .groupBy(floor((col("time") - lit(S)) / lit(86400000L)).cast("long").as("bucket"))
         .agg(round(expr("percentile(n_value, 0.95)"), 4).as("p95"))
+      // p95 itself stays OUT of the compared output: Spark percentile() and
+      // DuckDB quantile_cont() interpolate with IEEE-different (though
+      // algebraically equal) trees, and round(...,4) is not engine-exact at
+      // 5-boundaries. band_ok (±50 slack) is immune to that 1e-4 jitter.
       est.join(exact, Seq("bucket"))
-        .select(col("bucket"), col("total"), col("q_est"), col("p95"),
+        .select(col("bucket"), col("total"), col("q_est"),
           (abs(col("q_est") - col("p95")) <= lit(50.0)).as("band_ok"))
     },
       Some(s"""WITH $BaseCte,
@@ -3860,7 +3868,7 @@ object SparkEntry {
               |ex AS (SELECT (t - $S) // 86400000 AS bucket,
               |         round(quantile_cont(value, 0.95), 4) AS p95
               |       FROM base WHERE t >= $S AND t < $E GROUP BY 1)
-              |SELECT bucket, total, q_est, p95, abs(q_est - p95) <= 50.0 AS band_ok
+              |SELECT bucket, total, q_est, abs(q_est - p95) <= 50.0 AS band_ok
               |FROM est JOIN ex USING (bucket)""".stripMargin)),
 
     // ---- audit: recall of the fused hybrid list against the exact

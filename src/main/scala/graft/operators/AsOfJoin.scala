@@ -41,6 +41,10 @@ object AsOfJoin {
     toleranceMs.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
     require(!left.columns.exists(c => c == "asof_value" || c == "asof_time"),
       "left already has an asof_value/asof_time column")
+    // withColumn would silently clobber these and re-emit internal values
+    val reserved = Set("__side", "__rv", "__rt", "__last_rv", "__last_rt")
+    require(!left.columns.exists(reserved),
+      s"left uses a reserved internal column name (${left.columns.filter(reserved).mkString(", ")})")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__side", lit(1))

@@ -185,11 +185,29 @@ object Retrieval {
       s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
     val storedIds = spark.read.parquet(s"$path/docstats").select(col("doc_id"))
     val fresh = batch.join(storedIds, Seq("doc_id"), "left_anti")
+    // localCheckpoint, NOT cache: it must (a) resolve the anti-join against
+    // the PRE-append store, and (b) survive the docstats append below —
+    // a cached plan still references the docstats path, and Spark's
+    // refreshByPath on that append would RECOMPUTE it against the
+    // post-append listing (anti-joining the batch away → empty postings).
+    // Lineage truncation makes the materialized batch immune to that.
     val tf = postingsFor(fresh)
-      .withColumn("bucket", tokenBucket(col("token"))).cache()
-    tf.count() // materialize — three consumers, and the anti-join must
-               // resolve against the PRE-append store
+      .withColumn("bucket", tokenBucket(col("token"))).localCheckpoint()
     try {
+      // corpus deltas are computed against the PRE-append store, before any
+      // write lands
+      val add = fresh.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(size(words).cast("long")), lit(0L)).as("dl_sum")).collect()(0)
+      val old = spark.read.parquet(s"$path/corpusstats").collect()(0)
+      // The replay-idempotency screen (docstats) is written FIRST: a crash
+      // anywhere after this line makes the replayed batch a full no-op, so
+      // postings/tokenstats can never be double-applied. The failure mode
+      // this chooses is the benign one — a crash between here and the
+      // postings append leaves the batch's docs registered but unsearchable
+      // (zero postings), repaired by a rebuild; the alternative order
+      // (postings first) silently double-counts tf/df on replay.
+      fresh.select(col("doc_id"), size(words).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$path/docstats")
       val batchDf = tf.groupBy(col("token"), col("bucket"))
         .agg(count(lit(1)).cast("long").as("df"))
       val affected = batchDf.select(col("bucket")).distinct()
@@ -215,23 +233,25 @@ object Retrieval {
           .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
       }
       // corpus stats: one stored row + one batch row → new exact totals
-      val add = fresh.agg(count(lit(1)).cast("long").as("n_docs"),
-        coalesce(sum(size(words).cast("long")), lit(0L)).as("dl_sum")).collect()(0)
-      val old = spark.read.parquet(s"$path/corpusstats").collect()(0)
+      // (add/old were captured before any write, against the pre-state)
       import spark.implicits._
       Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
           old.getAs[Long]("dl_sum") + add.getAs[Long]("dl_sum")))
         .toDF("n_docs", "dl_sum")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats_tmp")
-      // rename swap (never read-and-overwrite): tmp → live
+      // recoverable rename swap: live → _prev, tmp → live, drop _prev.
+      // A crash mid-swap always leaves at least one intact copy on disk
+      // (_prev and/or tmp) — never the delete-then-rename window where a
+      // crash loses corpusstats entirely.
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val live = new org.apache.hadoop.fs.Path(s"$path/corpusstats")
-      fs.delete(live, true)
+      val prev = new org.apache.hadoop.fs.Path(s"$path/corpusstats_prev")
+      fs.delete(prev, true)
+      fs.rename(live, prev)
       fs.rename(new org.apache.hadoop.fs.Path(s"$path/corpusstats_tmp"), live)
-      fresh.select(col("doc_id"), size(words).cast("long").as("dl"))
-        .write.mode("append").parquet(s"$path/docstats")
-    } finally tf.unpersist()
+      fs.delete(prev, true)
+    } finally tf.unpersist() // checkpoint blocks; freed by the cleaner on GC otherwise
   }
 
   def bm25StoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,

@@ -20,7 +20,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  * batch (or in-order delivery) the output EQUALS the batch as-of join —
  * the oracled gate reuses asof_enrich's native-ASOF SQL verbatim. A
  * late right event older than the enriched left cannot retract an
- * emitted row (the StreamingRate posture).
+ * emitted row (the StreamingRate posture). Symmetrically, a late LEFT
+ * event never borrows a future right value: emission is guarded on
+ * state.time <= event.time, so a left older than the retained latest
+ * right enriches as null (state keeps only the latest right, so the
+ * true predecessor is no longer available — documented degradation,
+ * same single-value-state trade as the reference's live-feed path).
  *
  * State: one (time, value) pair per user with right-side activity,
  * evicted `idleMs` past the watermark.
@@ -44,9 +49,14 @@ object StreamingAsOf {
         .foreach { e =>
           if (e.event_type == rightType) {
             if (last.forall(_.time <= e.time)) last = Some(LastR(e.time, e.value))
-          } else
+          } else {
+            // A left event that arrives in a LATER micro-batch than a newer
+            // right event must not see that future value: enrich only with
+            // state at-or-before the left's own event time (null otherwise).
+            val eff = last.filter(_.time <= e.time)
             out += Enriched(e.event_id, userId, e.time, e.value,
-              last.map(_.value), last.map(_.time))
+              eff.map(_.value), eff.map(_.time))
+          }
         }
       last.foreach { l =>
         state.update(l)

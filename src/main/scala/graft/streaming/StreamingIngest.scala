@@ -60,6 +60,49 @@ object StreamingIngest {
       .start()
 
   /**
+   * Rows dropped as too-late by the watermark across a query's reported
+   * progress — the ingest path's drop counter. The reference drops a
+   * point whose 2h slice temp table has expired WITHOUT any signal
+   * (DataAccessImpl.java:984-1007, the insert just no-ops); at 100 TB a
+   * silent drop stream is an operational blind spot, so we surface the
+   * count from the state-store metrics every stateful operator already
+   * reports (`numRowsDroppedByWatermark` — populated by the
+   * dropDuplicatesWithinWatermark dedup in [[start]]).
+   *
+   * Reads `recentProgress` (ring buffer, default last 100 batches) —
+   * right for bounded drains and tests. A long-running ingest should
+   * accumulate the same field continuously via
+   * `spark.streams.addListener(new LateDropListener)` instead.
+   */
+  def lateDropCount(q: StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatMap(_.iterator))
+      .map(_.numRowsDroppedByWatermark).sum
+
+  /** Accumulating listener twin of [[lateDropCount]] for continuously
+    * running queries, where the progress ring buffer ages out: total
+    * too-late-dropped rows per query id, readable at any time. */
+  final class LateDropListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    private val drops =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    def dropped(queryId: java.util.UUID): Long =
+      Option(drops.get(queryId)).map(_.longValue).getOrElse(0L)
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      val batchDrops = Option(e.progress.stateOperators)
+        .map(_.iterator.map(_.numRowsDroppedByWatermark).sum).getOrElse(0L)
+      if (batchDrops > 0)
+        drops.merge(e.progress.id, java.lang.Long.valueOf(batchDrops),
+          (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /**
    * Streaming 2h tumbling per-metric stats (the query-side analog of the
    * reference's slice cadence): emits finalized windows once the watermark
    * passes — late data beyond the watermark is dropped, matching
@@ -69,17 +112,6 @@ object StreamingIngest {
     rollingStats(points, size = "2 hours", slide = "2 hours", lateness = lateness)
       .withColumnRenamed("window_start", "slice_start")
 
-  /**
-   * True OVERLAPPING sliding windows — `size` > `slide`, e.g. 4 h
-   * rolling stats advancing hourly: the "metrics over the last N hours"
-   * view dashboards poll, which the tumbling slice cadence above cannot
-   * answer without client-side re-aggregation. Spark expands each event
-   * into its size/slide covering windows BEFORE the stateful aggregate,
-   * so state is (open windows × metrics)-keyed — bounded by the
-   * watermark exactly like the tumbling case — and each window still
-   * emits exactly once when the watermark passes its end. Same decimal
-   * sum discipline, same late-data drop contract.
-   */
   /** Windowed event-type counts as a continuous query (append mode —
     * each window's counts emit exactly once on watermark finalization).
     * The top-k RANK is deliberately NOT in the stream: ranking is a
@@ -96,6 +128,17 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
 
+  /**
+   * True OVERLAPPING sliding windows — `size` > `slide`, e.g. 4 h
+   * rolling stats advancing hourly: the "metrics over the last N hours"
+   * view dashboards poll, which the tumbling slice cadence above cannot
+   * answer without client-side re-aggregation. Spark expands each event
+   * into its size/slide covering windows BEFORE the stateful aggregate,
+   * so state is (open windows × metrics)-keyed — bounded by the
+   * watermark exactly like the tumbling case — and each window still
+   * emits exactly once when the watermark passes its end. Same decimal
+   * sum discipline, same late-data drop contract.
+   */
   def rollingStats(points: DataFrame, size: String = "4 hours",
                    slide: String = "1 hour",
                    lateness: String = "2 hours"): DataFrame =

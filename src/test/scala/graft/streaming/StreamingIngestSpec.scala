@@ -256,4 +256,35 @@ class StreamingIngestSpec extends SparkTestBase {
     // exactly the four covering windows, one emission each, all holding 5.0
     assert(got.toSeq == Seq((0L, 1L, 5.0), (H1, 1L, 5.0), (2 * H1, 1L, 5.0), (3 * H1, 1L, 5.0)))
   }
+
+  test("late-data drops are COUNTED, not silent: lateDropCount and the " +
+    "listener both see a watermark-dropped row (reference drops it with " +
+    "no signal — DataAccessImpl.java:984-1007)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val path = Files.createTempDirectory("graft-late").toString
+    val ckpt = Files.createTempDirectory("graft-late-ckpt").toString
+    val listener = new StreamingIngest.LateDropListener
+    s.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[P]
+      val q = StreamingIngest.start(mem.toDF(), path, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      // batch 1 advances the watermark to 10h - 2h = 8h
+      mem.addData(P("t", 0, "m1", 10L * 3600000, 1.0))
+      q.processAllAvailable()
+      // batch 2: one on-time point + one point far below the watermark
+      mem.addData(P("t", 0, "m1", 10L * 3600000 + 1000, 2.0),
+        P("t", 0, "m1", 1000L, 9.0)) // deliberately late → dropped
+      q.processAllAvailable()
+      q.stop()
+      assert(StreamingIngest.lateDropCount(q) == 1L)
+      assert(listener.dropped(q.id) == 1L)
+      // the late row is NOT in the tier; the on-time rows are
+      val back = GraftStorage.read(s, path)
+      assert(back.count() == 2)
+      assert(back.filter(col("time") === 1000L).isEmpty)
+    } finally s.streams.removeListener(listener)
+  }
 }

@@ -4,7 +4,18 @@ DuckDB over the sf tables, load the Verify-dumped parquet, compare.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import duckdb, json, math, sys
+import duckdb, json, math, struct, sys
+
+
+def is_neg_zero(v):
+    return isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+
+
+def byte_equal(a, b):
+    """Driver hashes bytes, not values: -0.0 != +0.0 there."""
+    if isinstance(a, float) and isinstance(b, float):
+        return struct.pack("<d", a) == struct.pack("<d", b)
+    return a == b
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -64,8 +75,13 @@ def main():
             n_fail += 1
             continue
         bad = None
+        hashrisk = None
         maxdiff = 0.0
+        negzero = 0
         for a, b in zip(skey, okey):
+            for x, y in zip(a, b):
+                if is_neg_zero(x) or is_neg_zero(y):
+                    negzero += 1
             if a != b:
                 # measure float divergence for diagnostics
                 for x, y in zip(a, b):
@@ -75,13 +91,23 @@ def main():
                         maxdiff = float("inf")
                 if bad is None:
                     bad = (a, b)
+            elif hashrisk is None and not all(byte_equal(x, y) for x, y in zip(a, b)):
+                # value-equal but byte-distinct (signed zero): the driver's
+                # byte hash WILL split even though == compare passes.
+                hashrisk = (a, b)
         if bad:
             print(f"FAIL {name}: value mismatch (maxdiff={maxdiff:g})")
             print(f"  spark : {bad[0]}")
             print(f"  oracle: {bad[1]}")
             n_fail += 1
+        elif hashrisk:
+            print(f"FAIL {name}: HASH-RISK value-equal but byte-distinct (signed zero)")
+            print(f"  spark : {hashrisk[0]}")
+            print(f"  oracle: {hashrisk[1]}")
+            n_fail += 1
         else:
-            print(f"PASS {name} ({len(skey)} rows)")
+            flag = f"  [HASH-RISK: {negzero} -0.0 cells present on both sides]" if negzero else ""
+            print(f"PASS {name} ({len(skey)} rows){flag}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracled")
     sys.exit(1 if n_fail else 0)

@@ -72,6 +72,97 @@ object SparkEntry {
   /** exact decimal-backed double sum (see MetricsOps.statAggs). */
   private def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(28,10))) AS DOUBLE)"
 
+  // ---- BPE oracle builders: replay Bpe.trainMerges / Bpe.encodeWord in
+  // DuckDB SQL. A word's segmentation is a sentinel-delimited string
+  // (chr(30) sym chr(31) per symbol): `replace(seg, '<l><r>', '<lr>')`
+  // is EXACTLY BPE's left-to-right non-overlapping merge ('aaa' + (a,a)
+  // → [aa, a]), and the sentinels stop matches bleeding across symbol
+  // boundaries ('ab','c' never matches pair (b,c)). Training unrolls
+  // the 30 merge rounds as chained CTEs (argmax = count DESC, pair ASC
+  // — Bpe.scala:158); encoding replays greedy lowest-rank-first
+  // (Bpe.encodeWord) as a recursive CTE, one step per applied merge,
+  // which differs from in-rank-order replay when a later merge re-forms
+  // an earlier merge's pair. Mirrors the reference's recompute-in-test
+  // discipline (GaugeMetricStatisticsITest.groovy:121-141).
+  private val BpeMergeRounds = 30
+
+  private def bpeSegInit(c: String) =
+    s"regexp_replace($c, '(?s)(.)', chr(30)||'\\1'||chr(31), 'g')"
+  private def bpeSyms(seg: String) =
+    s"string_split(substr($seg, 2, len($seg)-2), chr(31)||chr(30))"
+
+  /** Training-replay CTE chain: bwf (word freqs) → bdict (capped dict,
+    * mirroring trainMerges' top-100k (freq DESC, w ASC) bound) → 30×
+    * (pair-count, argmax, re-segment) rounds → bmerges. */
+  private lazy val BpeTrainCtes: String = {
+    val parts = Seq.newBuilder[String]
+    parts += """bwf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+               |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+               |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    parts += """bdict AS MATERIALIZED (SELECT w, freq FROM bwf
+               |  QUALIFY row_number() OVER (ORDER BY freq DESC, w ASC) <= 100000)""".stripMargin
+    parts += s"bs0 AS MATERIALIZED (SELECT w, freq, ${bpeSegInit("w")} AS seg FROM bdict)"
+    for (k <- 0 until BpeMergeRounds) {
+      parts += s"""bp$k AS MATERIALIZED (SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
+                  |    SELECT freq, sy[i] AS l, sy[i+1] AS r
+                  |    FROM (SELECT freq, ${bpeSyms("seg")} AS sy FROM bs$k),
+                  |         LATERAL (SELECT unnest(generate_series(1, len(sy)-1)) AS i) t)
+                  |  GROUP BY l, r)""".stripMargin
+      parts += s"""bm$k AS MATERIALIZED (SELECT CAST($k AS INTEGER) AS merge_rank, l, r,
+                  |    l||r AS merged, c AS pair_count
+                  |  FROM bp$k ORDER BY c DESC, l ASC, r ASC LIMIT 1)""".stripMargin
+      parts += s"""bs${k + 1} AS MATERIALIZED (SELECT s.w, s.freq,
+                  |    CASE WHEN m.l IS NULL THEN s.seg
+                  |         ELSE replace(s.seg, chr(30)||m.l||chr(31)||chr(30)||m.r||chr(31),
+                  |                      chr(30)||m.l||m.r||chr(31)) END AS seg
+                  |  FROM bs$k s LEFT JOIN bm$k m ON TRUE)""".stripMargin
+    }
+    parts += s"bmerges AS MATERIALIZED (${(0 until BpeMergeRounds).map(k => s"SELECT * FROM bm$k").mkString(" UNION ALL ")})"
+    parts.result().mkString(",\n")
+  }
+
+  /** Training + greedy-encode CTEs: btok (doc tokens), btypes (ALL word
+    * types, not just the capped dict — subwordStats encodes every word),
+    * benc (recursive greedy encode), bfin (final symbol list per type).
+    * Callers must open with `WITH RECURSIVE`. */
+  private lazy val BpeEncCtes: String =
+    s"""$BpeTrainCtes,
+       |bmlist AS MATERIALIZED (SELECT list(struct_pack(rk := merge_rank, l := l, r := r)) AS ms FROM bmerges),
+       |btok AS MATERIALIZED (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |btypes AS MATERIALIZED (SELECT DISTINCT w FROM btok),
+       |benc AS (
+       |  SELECT w, 0 AS it, ${bpeSegInit("w")} AS seg FROM btypes
+       |  UNION ALL
+       |  SELECT w, it + 1,
+       |    replace(seg, chr(30)||mb.l||chr(31)||chr(30)||mb.r||chr(31),
+       |            chr(30)||mb.l||mb.r||chr(31)) AS seg
+       |  FROM (
+       |    SELECT w, it, seg, list_filter(ms, m -> m.rk = best)[1] AS mb
+       |    FROM (
+       |      SELECT w, it, seg, ms,
+       |        list_min(list_transform(generate_series(1, len(sy)-1),
+       |          i -> coalesce(list_min(list_transform(
+       |                 list_filter(ms, m -> m.l = sy[i] AND m.r = sy[i+1]),
+       |                 m -> m.rk)), 999999))) AS best
+       |      FROM (SELECT w, it, seg, ${bpeSyms("seg")} AS sy, ms
+       |            FROM benc CROSS JOIN bmlist))
+       |    WHERE best IS NOT NULL AND best < 999999)),
+       |bfin AS MATERIALIZED (SELECT w, ${bpeSyms("seg")} AS sy FROM benc
+       |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY it DESC) = 1),
+       |bty AS MATERIALIZED (SELECT w, CAST(len(sy) AS BIGINT) AS n_sub,
+       |          CAST(len(w) AS BIGINT) AS n_chr FROM bfin),
+       |bperdoc AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |    coalesce(x.n_words, 0) AS n_words,
+       |    coalesce(x.n_subwords, 0) AS n_subwords,
+       |    coalesce(x.n_chars_tokenized, 0) AS n_chars_tokenized
+       |  FROM documents d LEFT JOIN (
+       |    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |      CAST(sum(y.n_sub) AS BIGINT) AS n_subwords,
+       |      CAST(sum(y.n_chr) AS BIGINT) AS n_chars_tokenized
+       |    FROM btok t JOIN bty y USING (w) GROUP BY t.doc_id) x USING (doc_id))""".stripMargin
+
   /** the five base stats + optional percentiles, DuckDB side.
     * `roundedPcts=false` leaves percentiles unrounded — required when a
     * STACKING outer query sums them across many metrics: rounding before
@@ -798,12 +889,27 @@ object SparkEntry {
               |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
               |FROM a GROUP BY 1, 2""".stripMargin)),
 
-    // ---- EWMA smoothing — sequential per-series fold (engine-specific
-    // float order → rows-only; the spec pins a hand-computed series) -----
-    ("series_ewma", (s: SparkSession, d: String) =>
-      MetricsOps.ewma(gauge(s, d).filter(col("metric") === "click/42"),
-        TimeRange(S, E), alpha = 0.3),
-      None),
+    // ---- EWMA smoothing — sequential per-series fold. The raw smoothed
+    // value is engine-specific (spec pins a hand-computed series), so the
+    // GATE hash-verifies the deterministic columns (point identity) plus
+    // the prefix-envelope invariant: s_i is a convex combination of v_i
+    // and s_{i-1}, so it must sit inside [prefix-min, prefix-max] of the
+    // values seen so far (±1e-6 for the 6-dp output rounding) -----------
+    ("series_ewma", (s: SparkSession, d: String) => {
+      val sm = MetricsOps.ewma(gauge(s, d).filter(col("metric") === "click/42"),
+        TimeRange(S, E), alpha = 0.3)
+      val w = Window.partitionBy(col("metric"))
+        .orderBy(col("time").asc, col("value").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sm.withColumn("pmin", min(col("value")).over(w))
+        .withColumn("pmax", max(col("value")).over(w))
+        .select(col("metric"), col("time"), col("value"),
+          (col("smoothed") >= col("pmin") - lit(1e-6) &&
+            col("smoothed") <= col("pmax") + lit(1e-6)).as("env_ok"))
+    },
+      Some(s"""WITH $BaseCte
+              |SELECT metric, t AS time, value, TRUE AS env_ok
+              |FROM base WHERE metric = 'click/42' AND t >= $S AND t < $E""".stripMargin)),
 
     // ---- cross-series binary op: ratio of two metrics' aligned bucket
     // averages (inner-join semantics — absent buckets drop) --------------
@@ -3020,13 +3126,23 @@ object SparkEntry {
              |FROM a GROUP BY split, source""".stripMargin)),
 
     // ---- LLM: tokenizer fertility by source (subwords/word,
-    // chars/subword) under the fitted merges — encode-dependent →
-    // rows-only ---------------------------------------------------------
+    // chars/subword) under the fitted merges — oracle replays
+    // train + greedy encode (BpeEncCtes) then mirrors the ratio tree ----
     ("bpe_fertility", (s: SparkSession, d: String) => {
       val dd = docs(s, d)
       Bpe.fertilityReport(dd, Bpe.trainMerges(dd, numMerges = 30))
     },
-      None),
+      Some(s"""WITH RECURSIVE
+              |$BpeEncCtes
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_words) AS BIGINT) AS n_words,
+              |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+              |  CASE WHEN sum(n_words) > 0
+              |       THEN round(CAST(sum(n_subwords) AS DOUBLE) / sum(n_words), 6) END AS fertility,
+              |  CASE WHEN sum(n_subwords) > 0
+              |       THEN round(CAST(sum(n_chars_tokenized) AS DOUBLE) / sum(n_subwords), 6)
+              |       END AS chars_per_subword
+              |FROM bperdoc GROUP BY source""".stripMargin)),
 
     // ---- LLM: span-dedup APPLY — reconstructed per-doc text with the
     // merged loser spans cut out (md5-compared, the piiScrub convention) -
@@ -3104,19 +3220,24 @@ object SparkEntry {
              |FROM p GROUP BY lft, rgt""".stripMargin)),
 
     // ---- LLM: BPE merge training — driver loop over the word-TYPE
-    // dictionary (deterministic count-desc/pair-asc argmax); the merge
-    // table is the model artifact. Not SQL-expressible → rows-only ------
+    // dictionary (deterministic count-desc/pair-asc argmax); oracle
+    // unrolls the 30 rounds as chained CTEs (BpeTrainCtes) --------------
     ("bpe_merges", (s: SparkSession, d: String) =>
       Bpe.trainMerges(docs(s, d), numMerges = 30),
-      None),
+      Some(s"""WITH $BpeTrainCtes
+              |SELECT merge_rank, l AS "left", r AS "right", merged, pair_count
+              |FROM bmerges""".stripMargin)),
 
     // ---- LLM: BPE application — per-doc subword counts under the
-    // trained merges; the encode UDF runs once per word TYPE -------------
+    // trained merges; oracle replays greedy encode per word type --------
     ("bpe_subwords", (s: SparkSession, d: String) => {
       val dd = docs(s, d)
       Bpe.subwordStats(dd, Bpe.trainMerges(dd, numMerges = 30))
     },
-      None),
+      Some(s"""WITH RECURSIVE
+              |$BpeEncCtes
+              |SELECT doc_id, n_words, n_subwords, n_chars_tokenized
+              |FROM bperdoc""".stripMargin)),
 
     // ---- LLM: BPE vocabulary — the fitted tokenizer's corpus-frequency
     // subword table (merges + vocab = the complete artifact) -------------
@@ -3124,7 +3245,11 @@ object SparkEntry {
       val dd = docs(s, d)
       Bpe.subwordVocab(dd, Bpe.trainMerges(dd, numMerges = 30), topN = 50)
     },
-      None),
+      Some(s"""WITH RECURSIVE
+              |$BpeEncCtes
+              |SELECT sub AS subword, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM (
+              |  SELECT b.freq, unnest(f.sy) AS sub FROM bfin f JOIN bwf b USING (w))
+              |GROUP BY sub ORDER BY n_occurrences DESC, subword ASC LIMIT 50""".stripMargin)),
 
     // ---- LLM: cross-source content overlap — exact pairwise shingle
     // Jaccard + the KMV bottom-k sketch's 3σ accuracy band ---------------
@@ -3325,13 +3450,41 @@ object SparkEntry {
              |       round(CAST(n_users AS DOUBLE) / base_users, 6) AS conversion
              |FROM c CROSS JOIN b""".stripMargin)),
 
-    // ---- Holt level+trend forecast (engine-specific float fold →
-    // rows-only; the spec pins a hand-computed series) -------------------
-    ("series_forecast", (s: SparkSession, d: String) =>
-      MetricsOps.holtForecast(gauge(s, d).filter(col("metric") === "click/42"),
+    // ---- Holt level+trend forecast. The fitted level/trend are an
+    // engine-specific float fold (spec pins a hand-computed series); the
+    // GATE hash-verifies what IS deterministic — the forecast timestamps
+    // (last_time + h·step) and horizon spine — plus two invariants: the
+    // h-step forecasts are collinear (l + h·b), and they stay inside a
+    // 10×range band around the observed envelope (|b| is bounded by the
+    // data range under alpha,beta ≤ 1, so 10× has huge slack) -----------
+    ("series_forecast", (s: SparkSession, d: String) => {
+      val fc = MetricsOps.holtForecast(gauge(s, d).filter(col("metric") === "click/42"),
         TimeRange(S, E), alpha = 0.3, beta = 0.1, horizon = 6,
-        stepMs = 43200000L),
-      None),
+        stepMs = 43200000L)
+      val env = gauge(s, d).filter(col("metric") === "click/42")
+        .filter(col("time") >= S && col("time") < E)
+        .agg(min(col("n_value").cast("double")).as("vmin"),
+          max(col("n_value").cast("double")).as("vmax"))
+        .withColumn("metric", lit("click/42"))
+      val f12 = fc.groupBy(col("metric")).agg(
+        min(when(col("horizon") === 1, col("forecast"))).as("f1"),
+        min(when(col("horizon") === 2, col("forecast"))).as("f2"))
+      val rng = col("vmax") - col("vmin")
+      fc.join(f12, Seq("metric")).join(broadcast(env), Seq("metric"))
+        .select(col("metric"), col("horizon"), col("time"),
+          (abs((col("forecast") - col("f1")) -
+            (col("horizon") - 1).cast("double") * (col("f2") - col("f1"))) <= lit(1e-4))
+            .as("linear_ok"),
+          (col("forecast") >= col("vmin") - lit(10.0) * rng - lit(1e-6) &&
+            col("forecast") <= col("vmax") + lit(10.0) * rng + lit(1e-6)).as("band_ok"))
+    },
+      Some(s"""WITH $BaseCte,
+              |g AS (SELECT t FROM base WHERE metric = 'click/42' AND t >= $S AND t < $E),
+              |lt AS (SELECT max(t) AS last_time FROM g)
+              |SELECT 'click/42' AS metric, CAST(h AS BIGINT) AS horizon,
+              |       last_time + h * 43200000 AS time,
+              |       TRUE AS linear_ok, TRUE AS band_ok
+              |FROM lt, LATERAL (SELECT unnest(generate_series(1, 6)) AS h) t""".stripMargin)),
 
     // ---- §2.9 streaming: session windows — per-user sessions finalize
     // exactly once when the watermark passes their end; exact-gap merge
@@ -3759,12 +3912,64 @@ object SparkEntry {
              |       r.click_value AS asof_value, r.time AS asof_time
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time""".stripMargin)),
 
-    // ---- display: LTTB shape-preserving downsampling (sequential pick →
-    // rows-only, like series_ewma; spec pins a hand-computed series) -----
-    ("fetch_lttb", (s: SparkSession, d: String) =>
-      MetricsOps.downsampleLttb(gauge(s, d).filter(col("metric").startsWith("click/")),
-        TimeRange(S, E), nOut = 8),
-      None),
+    // ---- display: LTTB shape-preserving downsampling. The triangle
+    // argmax is float geometry (spec pins a hand-computed series); the
+    // GATE hash-verifies LTTB's structural contract per series: output
+    // size min(n, nOut), both endpoints kept, every emitted point IS an
+    // input point (time + 6-dp value membership), and each interior pick
+    // falls inside its own index bucket (same start/end arithmetic as
+    // the fold, on the (time, value)-ranked input) ----------------------
+    ("fetch_lttb", (s: SparkSession, d: String) => {
+      val nOut = 8
+      val in = gauge(s, d).filter(col("metric").startsWith("click/"))
+        .filter(col("time") >= S && col("time") < E)
+        .select(col("metric"), col("time"), col("n_value").cast("double").as("v"))
+      val srt = Window.partitionBy(col("metric")).orderBy(col("time").asc, col("v").asc)
+      val ranked = in.withColumn("rn", row_number().over(srt))
+      val inAgg = ranked.groupBy(col("metric"), col("time"))
+        .agg(collect_set(round(col("v"), 6)).as("vset"), collect_list(col("rn")).as("rns"))
+      val stats = in.groupBy(col("metric")).agg(count(lit(1)).as("n_points"),
+        min(col("time")).as("t_min"), max(col("time")).as("t_max"))
+      val picks = MetricsOps.downsampleLttb(
+        gauge(s, d).filter(col("metric").startsWith("click/")), TimeRange(S, E), nOut)
+      val pw = Window.partitionBy(col("metric")).orderBy(col("time").asc, col("value").asc)
+      val pn = Window.partitionBy(col("metric"))
+      val pk = picks
+        .withColumn("k", row_number().over(pw))
+        .withColumn("n_out", count(lit(1)).over(pn))
+        .join(inAgg, Seq("metric", "time"), "left")
+        .join(stats, Seq("metric"))
+      val member = col("vset").isNotNull && array_contains(col("vset"), col("value"))
+      // mirror of the fold's bucket arithmetic: interior pick k (1-based)
+      // is bucket i = k-2; its 0-based input index j must satisfy
+      // start <= j < end (or j == start when the bucket is empty)
+      val every = (col("n_points") - 2).cast("double") / lit((nOut - 2).toDouble)
+      val i = (col("k") - 2).cast("double")
+      val start = floor(i * every) + 1
+      val endB = least(floor((i + lit(1.0)) * every) + 1, col("n_points") - 1)
+      val bok = when(col("n_points") <= nOut || col("k") === 1 || col("k") === col("n_out"),
+        lit(true))
+        .otherwise(exists(col("rns"),
+          rn => (rn - 1) >= start && ((rn - 1) < endB || (rn - 1) === start)))
+      pk.withColumn("member", member).withColumn("bok", bok)
+        .groupBy(col("metric"))
+        .agg(first(col("n_points")).as("n_points"), count(lit(1)).as("n_out"),
+          min(col("time")).as("p_tmin"), max(col("time")).as("p_tmax"),
+          first(col("t_min")).as("t_min"), first(col("t_max")).as("t_max"),
+          expr("bool_and(member)").as("members_ok"),
+          expr("bool_and(bok)").as("buckets_ok"))
+        .select(col("metric"), col("n_points"), col("n_out"),
+          (col("p_tmin") === col("t_min") && col("p_tmax") === col("t_max"))
+            .as("endpoints_ok"),
+          col("members_ok"), col("buckets_ok"))
+    },
+      Some(s"""WITH $BaseCte,
+              |g AS (SELECT metric, t FROM base
+              |      WHERE metric LIKE 'click/%' AND t >= $S AND t < $E)
+              |SELECT metric, CAST(count(*) AS BIGINT) AS n_points,
+              |       least(CAST(count(*) AS BIGINT), 8) AS n_out,
+              |       TRUE AS endpoints_ok, TRUE AS members_ok, TRUE AS buckets_ok
+              |FROM g GROUP BY metric""".stripMargin)),
 
     // ---- ops: per-tenant usage metering off the stored tier — the
     // quota/billing aggregate (slice-partitioned scan, metadata-cheap) ---

@@ -1972,39 +1972,79 @@ object SparkEntry {
              |  substr(hex(encode(text)), 1, 8) AS header_hex
              |FROM documents""".stripMargin)),
 
-    // ---- LLM: frame sampling over video payloads (64-byte stand-in
-    // frames, every 2nd kept; byte-substr == char-substr: corpus is ASCII) -
+    // ---- LLM: REAL frame sampling — video docs carry a valid GV1
+    // framed container (header + nf frames of w·h·3 bytes); the demuxer
+    // parses the header and slices every 2nd frame at its computed
+    // stride. The oracle recomputes geometry from the text length and
+    // re-slices the cycled pixel stream (byte==char: corpus is ASCII) ----
     ("frame_sample", (s: SparkSession, d: String) =>
-      Multimodal.frameSample(Multimodal.asMediaFrame(docs(s, d)), frameBytes = 64, everyNth = 2)
-        .select("doc_id", "frame_idx", "frame_md5"),
+      Multimodal.sampleVideoFrames(Multimodal.asVideoFrame(docs(s, d)), everyNth = 2)
+        .toDF()
+        .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+          col("frame_idx"), md5(col("frame_bytes")).as("frame_md5")),
       Some("""WITH m AS (SELECT doc_id, text,
              |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
              |  FROM documents),
-             |v AS (SELECT doc_id, text, (length(text) + 63) // 64 AS nf FROM m WHERE modality = 'video'),
-             |f AS (SELECT doc_id, g.i AS frame_idx,
-             |        md5(substr(text, CAST(g.i * 64 + 1 AS BIGINT), 64)) AS frame_md5
-             |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i) g
-             |      WHERE g.i % 2 = 0)
-             |SELECT doc_id, frame_idx, frame_md5 FROM f""".stripMargin)),
+             |v AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+             |        2 + octet_length(encode(text)) % 5 AS nf,
+             |        4 + octet_length(encode(text)) % 5 AS w,
+             |        2 + octet_length(encode(text)) % 3 AS h
+             |      FROM m WHERE modality = 'video' AND octet_length(encode(text)) > 0),
+             |c AS (SELECT *, w * h * 3 AS fs, nf * w * h * 3 AS np,
+             |        substr(repeat(text, CAST(ceil(CAST(nf * w * h * 3 AS DOUBLE) / len) AS INTEGER)),
+             |               1, nf * w * h * 3) AS pix
+             |      FROM v)
+             |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(w AS BIGINT) AS width,
+             |       CAST(h AS BIGINT) AS height, CAST(g.k AS BIGINT) AS frame_idx,
+             |       md5(substr(pix, CAST(g.k * fs + 1 AS BIGINT), fs)) AS frame_md5
+             |FROM c, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS k) g
+             |WHERE g.k % 2 = 0""".stripMargin)),
 
-    // ---- LLM: resize over image payloads — strided byte downsample as
-    // the deterministic stand-in inside the real mapPartitions decode seam
-    // (byte-index == char-index: corpus is ASCII, see multimodal_meta) ----
-    ("media_resize", (s: SparkSession, d: String) =>
-      Multimodal.resizeStub(Multimodal.asMediaFrame(docs(s, d)), stride = 4).toDF()
-        .select("doc_id", "in_len", "out_len", "out_checksum"),
+    // ---- LLM: REAL image decode — image docs carry a valid binary PPM
+    // (P6) payload; the decoder parses the Netpbm header and walks the
+    // pixel array. Oracle: geometry from the header formula, checksum
+    // over the cycled pixel bytes (pixel i = text byte i mod len) --------
+    ("ppm_decode", (s: SparkSession, d: String) =>
+      Multimodal.decodePpmFrames(Multimodal.asPpmFrame(docs(s, d))).toDF(),
       Some("""WITH m AS (SELECT doc_id, text,
              |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
              |  FROM documents),
-             |i AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM m WHERE modality = 'image'),
-             |s AS (SELECT i.doc_id, count(*) AS out_n,
-             |        sum(ord(substr(i.text, CAST(g.p AS BIGINT), 1))) AS cks
-             |      FROM i, LATERAL (SELECT unnest(generate_series(1, i.n, 4)) AS p) g
+             |i AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+             |        4 + octet_length(encode(text)) % 13 AS w, 3 + octet_length(encode(text)) % 7 AS h
+             |      FROM m WHERE modality = 'image' AND octet_length(encode(text)) > 0),
+             |c AS (SELECT i.doc_id,
+             |        CAST(sum(ord(substr(i.text, CAST(g.p % i.len + 1 AS BIGINT), 1))) AS BIGINT) AS cks
+             |      FROM i, LATERAL (SELECT unnest(generate_series(0, CAST(i.w * i.h * 3 - 1 AS BIGINT))) AS p) g
              |      GROUP BY i.doc_id)
-             |SELECT i.doc_id, CAST(i.n AS BIGINT) AS in_len,
-             |       CAST(coalesce(s.out_n, 0) AS BIGINT) AS out_len,
-             |       CAST(coalesce(s.cks, 0) AS BIGINT) AS out_checksum
-             |FROM i LEFT JOIN s ON s.doc_id = i.doc_id""".stripMargin)),
+             |SELECT i.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |       CAST(w * h AS BIGINT) AS n_pixels, c.cks AS pixel_checksum
+             |FROM i JOIN c USING (doc_id)""".stripMargin)),
+
+    // ---- LLM: REAL resize — nearest-neighbor ×2 over the decoded PPM
+    // pixel array (out(x,y,c) = in(2x,2y,c)), re-encoded as a valid P6.
+    // Oracle inverts the stride walk with modular index arithmetic:
+    // output byte i → (c, x, y) → source pixel byte → cycled text byte --
+    ("media_resize", (s: SparkSession, d: String) =>
+      Multimodal.ppmResize(Multimodal.asPpmFrame(docs(s, d))).toDF(),
+      Some("""WITH m AS (SELECT doc_id, text,
+             |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
+             |  FROM documents),
+             |i AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+             |        4 + octet_length(encode(text)) % 13 AS w, 3 + octet_length(encode(text)) % 7 AS h
+             |      FROM m WHERE modality = 'image' AND octet_length(encode(text)) > 0),
+             |o AS (SELECT *, w // 2 AS ow, h // 2 AS oh FROM i),
+             |c AS (SELECT o.doc_id,
+             |        CAST(sum(ord(substr(o.text,
+             |          CAST((((2 * (g.p // (3 * o.ow))) * o.w + 2 * ((g.p // 3) % o.ow)) * 3
+             |                + g.p % 3) % o.len + 1 AS BIGINT), 1))) AS BIGINT) AS cks
+             |      FROM o, LATERAL (SELECT unnest(generate_series(0, CAST(o.ow * o.oh * 3 - 1 AS BIGINT))) AS p) g
+             |      GROUP BY o.doc_id)
+             |SELECT o.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |       CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+             |       CAST(3 + len(CAST(ow AS VARCHAR)) + 1 + len(CAST(oh AS VARCHAR)) + 5
+             |            + ow * oh * 3 AS BIGINT) AS out_len,
+             |       c.cks AS out_checksum
+             |FROM o JOIN c USING (doc_id)""".stripMargin)),
 
     // ---- LLM: deterministic stratified sampling — content-hash keep
     // decision (reproducible, dedup-composable), per-language rates ------

@@ -793,6 +793,66 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.out_checksum == "ACEG".map(_.toLong).sum)
   }
 
+  test("PPM decoder: real Netpbm P6 parse — comments, whitespace, geometry, " +
+    "pixel walk; malformed/truncated payloads answer None") {
+    // hand-built 2x2 P6 with a header comment
+    val pix = Array.tabulate[Byte](12)(i => (i * 10).toByte)
+    val good = "P6\n# a comment\n2 2\n255\n".getBytes("UTF-8") ++ pix
+    val img = Multimodal.decodePpm(good).get
+    assert(img.width == 2 && img.height == 2 && img.maxVal == 255)
+    assert(img.pixels.toSeq == pix.toSeq)
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ pix).isEmpty) // wrong magic
+    assert(Multimodal.decodePpm(good.dropRight(1)).isEmpty)                // truncated
+    assert(Multimodal.decodePpm("P6\n0 2\n255\n".getBytes).isEmpty)        // zero dim
+  }
+
+  test("asPpmFrame → decodePpmFrames: synthesized payload is a VALID P6 the " +
+    "real decoder round-trips; geometry and checksum match the formulas") {
+    val s = spark
+    import s.implicits._
+    val text = "hello world" // len 11 → w = 4 + 11%13 = 15, h = 3 + 11%7 = 7
+    val docs = Seq((1L, text, "en", "src3", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.decodePpmFrames(Multimodal.asPpmFrame(docs)).collect().head
+    assert(r.width == 15 && r.height == 7 && r.n_pixels == 105)
+    val np = 15 * 7 * 3
+    val expect = (0 until np).map(i => text.charAt(i % 11).toLong).sum
+    assert(r.pixel_checksum == expect)
+  }
+
+  test("ppmResize: real nearest-neighbor ×2 stride geometry on a hand-built " +
+    "4x3 image — out(x,y) = in(2x,2y), valid re-encoded P6 length") {
+    val s = spark
+    import s.implicits._
+    // 4x3 image, pixel (x,y) has bytes (v,v,v) with v = y*4 + x
+    val pix = Array.tabulate[Byte](4 * 3 * 3) { i => (i / 3).toByte }
+    val payload = "P6\n4 3\n255\n".getBytes("UTF-8") ++ pix
+    val media = Seq((7L, payload, "image")).toDF("doc_id", "payload", "modality")
+    val r = Multimodal.ppmResize(media).collect().head
+    assert(r.width == 4 && r.height == 3 && r.out_w == 2 && r.out_h == 1)
+    // picked pixels: (0,0) → v=0, (2,0) → v=2; checksum = 3*(0 + 2)
+    assert(r.out_checksum == 6L)
+    assert(r.out_len == "P6\n2 1\n255\n".length + 2 * 1 * 3)
+  }
+
+  test("GV1 demux: real frame-boundary arithmetic — header-computed strides, " +
+    "every-Nth sampling, truncated container answers no frames") {
+    val s = spark
+    import s.implicits._
+    // 3 frames of 1x1 (3 bytes each)
+    val frames = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val payload = "GV1\n3 1 1\n".getBytes("UTF-8") ++ frames
+    val v = Multimodal.demuxVideo(payload).get
+    assert(v.nFrames == 3 && v.width == 1 && v.height == 1)
+    assert(v.frames(1).toSeq == Seq[Byte](4, 5, 6))
+    assert(Multimodal.demuxVideo(payload.dropRight(1)).isEmpty) // truncated
+    val media = Seq((9L, payload, "video")).toDF("doc_id", "payload", "modality")
+    val got = Multimodal.sampleVideoFrames(media, everyNth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(got(1).frame_bytes.toSeq == Seq[Byte](7, 8, 9))
+  }
+
   test("deterministic sample: content-hash fate, stratified rates, edge rates") {
     val s = spark
     import s.implicits._

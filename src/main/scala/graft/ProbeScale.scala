@@ -394,6 +394,32 @@ object ProbeScale {
         graft.operators.Multimodal.asMediaFrame(scaledDocs(spark, dir, n)),
         maxQueryDoc = 30L, k = 5)
     }
+    if (only.isEmpty || only("cc_distributed")) {
+      // the >2M-edge fallback path of nearDupClusters, exercised directly
+      // on synthetic worst-case graphs: a CHAIN of length L is the
+      // diameter-L adversary (plain min-propagation needs L rounds); the
+      // pointer-jumping claim is rounds ≈ O(log L). The star is the
+      // opposite extreme (diameter 2 → rounds must stay ~constant no
+      // matter how many edges). Correctness asserted inline: every graph
+      // is one component labeled by its min node.
+      for ((name, len, mk) <- Seq[(String, Long, Long => DataFrame)](
+        ("cc_chain_10k", 10000L,
+          l => spark.range(l).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))),
+        ("cc_chain_100k", 100000L,
+          l => spark.range(l).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))),
+        ("cc_chain_1m", 1000000L,
+          l => spark.range(l).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))),
+        ("cc_star_1m", 1000000L,
+          l => spark.range(1, l).select(lit(0L).as("doc_a"), col("id").as("doc_b"))))) {
+        var rounds = 0
+        val t0 = System.nanoTime()
+        val labels = Dedup.distributedClusters(mk(len), r => rounds = r)
+        val bad = labels.filter(col("cluster") =!= 0L).count()
+        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+          f"rounds=$rounds%3d  mislabeled=$bad")
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }

@@ -272,8 +272,13 @@ object Dedup {
    * instead of O(diameter). Each round materializes the hop result ONCE
    * (localCheckpoint) so the jump's self-lookup doesn't recompute the
    * neighbor-min join, then runs a cheap convergence count over it.
+   *
+   * `roundHook` fires after each completed round with the 1-based round
+   * number — observability for the O(log d) convergence claim (the
+   * weak-scaling probe records rounds vs graph diameter through it).
    */
-  def distributedClusters(pairs: DataFrame): DataFrame = {
+  def distributedClusters(pairs: DataFrame,
+                          roundHook: Int => Unit = _ => ()): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -281,6 +286,7 @@ object Dedup {
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
     var changed = 1L
+    var round = 0
     while (changed > 0) {
       // one hop of neighbor-min: c1(v) = min(cluster(v), min over N(v))
       val neighborMin = edges
@@ -300,6 +306,8 @@ object Dedup {
         .localCheckpoint()
       changed = next.filter(col("cluster") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("cluster"))
+      round += 1
+      roundHook(round)
     }
     edges.unpersist() // labels is checkpointed — no lineage back to edges
     labels

@@ -3841,6 +3841,74 @@ object SparkEntry {
            |FROM r WHERE rnk <= 5""".stripMargin
       }),
 
+    // ---- multimodal: the SCALE path for frame retrieval — k-means IVF
+    // over the 8-dim frame vectors (Dim-generic Similarity machinery);
+    // oracle replays frame encode + deterministic Lloyd + probe ----------
+    ("media_frame_search_ivf", (s: SparkSession, d: String) =>
+      Multimodal.frameSearchIvf(Multimodal.asMediaFrame(docs(s, d)),
+        maxQueryDoc = 30L, k = 5, kCells = 4, nprobe = 2, iters = 2),
+      Some {
+        val emb = (0 until 8).map(i =>
+          s"CAST(('0x' || substr(md5(fm || '$i'), 1, 15))::BIGINT % 2000001 - 1000000 AS DOUBLE) / 1000000.0")
+          .mkString("[", ", ", "]")
+        s"""WITH m AS (SELECT doc_id, text,
+           |    ['image','audio','video'][CAST(CAST(regexp_extract(source, '\\d+', 0) AS BIGINT) % 3 + 1 AS INTEGER)] AS modality
+           |  FROM documents),
+           |v AS (SELECT doc_id, text, (length(text) + 63) // 64 AS nf FROM m WHERE modality = 'video'),
+           |f AS (SELECT doc_id, g.i AS frame_idx,
+           |        md5(substr(text, CAST(g.i * 64 + 1 AS BIGINT), 64)) AS fm
+           |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i) g
+           |      WHERE g.i % 2 = 0),
+           |fe AS (SELECT doc_id * 1000 + frame_idx AS vec_id, $emb AS e
+           |       FROM f WHERE frame_idx < 1000),
+           |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM fe),
+           |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, e AS ce,
+           |         sqrt(list_dot_product(e, e)) AS cnrm FROM fe
+           |       QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 4),
+           |a1 AS (SELECT vec_id, e, cell FROM (
+           |         SELECT v.vec_id, v.e, s.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+           |         FROM n v CROSS JOIN c0 s) WHERE rn = 1),
+           |m1 AS (SELECT cell, g.j,
+           |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+           |       FROM a1, LATERAL (SELECT unnest(generate_series(1, 8)) AS j) g GROUP BY cell, g.j),
+           |c1 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m1 GROUP BY cell),
+           |c1n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c1),
+           |a2 AS (SELECT vec_id, e, cell FROM (
+           |         SELECT v.vec_id, v.e, s.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+           |         FROM n v CROSS JOIN c1n s) WHERE rn = 1),
+           |m2 AS (SELECT cell, g.j,
+           |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+           |       FROM a2, LATERAL (SELECT unnest(generate_series(1, 8)) AS j) g GROUP BY cell, g.j),
+           |c2 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m2 GROUP BY cell),
+           |c2n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c2),
+           |af AS (SELECT vec_id, e, nrm, cell FROM (
+           |         SELECT v.vec_id, v.e, v.nrm, s.cell,
+           |           row_number() OVER (PARTITION BY v.vec_id
+           |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+           |         FROM n v CROSS JOIN c2n s) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM af WHERE vec_id < 30000),
+           |pr AS (SELECT query_id, qe, qn, cell FROM (
+           |         SELECT q.query_id, q.qe, q.qn, s.cell,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY list_dot_product(q.qe, s.ce) / (q.qn * s.cnrm) DESC, s.cell ASC) AS rn
+           |         FROM q CROSS JOIN c2n s) WHERE rn <= 2),
+           |sc AS (SELECT pr.query_id, c.vec_id AS neighbor_id,
+           |         list_dot_product(pr.qe, c.e) / (pr.qn * c.nrm) AS cosine
+           |       FROM pr JOIN af c USING (cell)
+           |       WHERE c.vec_id <> pr.query_id),
+           |r AS (SELECT *, row_number() OVER
+           |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           |      FROM sc)
+           |SELECT query_id // 1000 AS q_doc, query_id % 1000 AS q_frame,
+           |       neighbor_id // 1000 AS doc_id, neighbor_id % 1000 AS frame_idx,
+           |       round(cosine, 6) AS cosine
+           |FROM r WHERE rnk <= 5""".stripMargin
+      }),
+
     // ---- forecasting: weekly seasonality strength (eta² of day-of-week
     // over daily means) with peak/trough days ----------------------------
     ("seasonal_profile", (s: SparkSession, d: String) =>

@@ -1,0 +1,235 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model._
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/**
+ * A real HTTP transport over [[RestRoutes]] — the strap-on layer the
+ * route table's scaladoc promises, with ZERO added dependencies: the
+ * server is the JDK's `com.sun.net.httpserver` and the JSON codec is
+ * the Jackson that Spark itself ships (`ObjectMapper` tree API for
+ * request bodies, `DataFrame.toJSON` for responses).
+ *
+ * The reference's transport behaviors reproduced here (the parts the
+ * transport-free table deliberately left out):
+ *  - the `Hawkular-Tenant` header selects the tenant; requests to data
+ *    routes without it answer 400 (TenantFilter semantics —
+ *    api/metrics-api-jaxrs/.../filter/TenantFilter.java: tenant
+ *    required except on /tenants and the status routes);
+ *  - JSON bodies deserialize into the table's typed case classes with
+ *    the reference's field names (`type`, `dataRetention`, `timestamp`/
+ *    `value` datapoints, QueryRequest/StatsQuery shapes);
+ *  - responses: 200 + JSON array for frames, 204 for writes, ApiError's
+ *    `{"errorMsg": …}` shape for 4xx (ApiError.java), 500 on unexpected
+ *    failure. (The reference distinguishes 201 Created; the table's
+ *    Result ADT collapses write successes to NoContent → 204.)
+ *
+ * Result frames are collected ONLY here — the serialization boundary —
+ * which is the same place the reference's Observable pipeline
+ * materializes; everything upstream stays a lazy plan.
+ *
+ * One [[MetricsService]] is shared across tenants (tenant isolation is
+ * the tenant_id column, exactly like the reference's single Cassandra
+ * session) with a per-tenant [[RestRoutes]] view cache.
+ */
+class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
+  import RestRoutes._
+
+  private val svc = new MetricsService(spark, storageRoot)
+  private val routesByTenant =
+    new java.util.concurrent.ConcurrentHashMap[String, RestRoutes]()
+  private def routesFor(tenant: String): RestRoutes =
+    routesByTenant.computeIfAbsent(tenant, t => new RestRoutes(spark, svc, t))
+
+  private val mapper = new ObjectMapper
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  server.createContext("/", (exchange: HttpExchange) => handle(exchange))
+
+  /** Bound port (useful when constructed with port = 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpTransport = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+
+  // ------------------------------------------------------------------
+  // request handling
+  // ------------------------------------------------------------------
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val method = ex.getRequestMethod.toUpperCase
+      val path = ex.getRequestURI.getPath
+      val params = queryParams(ex.getRequestURI.getRawQuery)
+      val segs = path.split("/").filter(_.nonEmpty).toList match {
+        case "m" :: rest => "metrics" :: rest
+        case s => s
+      }
+      val tenantHeader = Option(ex.getRequestHeaders.getFirst("Hawkular-Tenant"))
+      val needsTenant = segs match {
+        case Nil => false
+        case "ping" :: _ | "status" :: _ | "admin" :: _ | "tenants" :: _ => false
+        case _ => true
+      }
+      if (needsTenant && tenantHeader.isEmpty)
+        respond(ex, 400, errorJson("Tenant is not specified. Use 'Hawkular-Tenant' header."))
+      else {
+        val raw = ex.getRequestBody.readAllBytes()
+        val body: AnyRef =
+          if (raw.isEmpty) null
+          else parseBody(method, segs, mapper.readTree(raw))
+        // tenant-less routes (meta + /tenants) dispatch through any view
+        val result = routesFor(tenantHeader.getOrElse("_meta")).route(method, path, params, body)
+        result match {
+          case Ok(df) =>
+            val rows = df.toJSON.collect() // response-sized: the serialization boundary
+            respond(ex, 200, rows.mkString("[", ",", "]"))
+          case NoContent => respond(ex, 204, "")
+          case ApiError(status, message) => respond(ex, status, errorJson(message))
+        }
+      }
+    } catch {
+      case e: BadBodyException => respond(ex, 400, errorJson(e.getMessage))
+      // body parsing runs the model grammars (MetricType/GDuration/
+      // StatsRequest requires) BEFORE route() — map their bad-input
+      // signal to 400 here exactly like the table does inside route()
+      case e: IllegalArgumentException => respond(ex, 400, errorJson(String.valueOf(e.getMessage)))
+      case e: Exception => respond(ex, 500, errorJson(String.valueOf(e.getMessage)))
+    } finally ex.close()
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    // 204 must not carry a body; -1 means "no response body" to HttpServer
+    ex.sendResponseHeaders(status, if (status == 204 || bytes.isEmpty) -1 else bytes.length)
+    if (status != 204 && bytes.nonEmpty) {
+      val os = ex.getResponseBody
+      os.write(bytes); os.close()
+    }
+  }
+
+  private def errorJson(msg: String): String =
+    "{\"errorMsg\":" + mapper.writeValueAsString(msg) + "}"
+
+  private def queryParams(rawQuery: String): Map[String, String] =
+    Option(rawQuery).filter(_.nonEmpty).map(_.split("&").toSeq).getOrElse(Seq.empty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(dec(k) -> dec(v))
+          case Array(k) => Some(dec(k) -> "")
+          case _ => None
+        }
+      }.toMap
+  private def dec(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  // ------------------------------------------------------------------
+  // JSON body → the route table's typed case classes
+  // ------------------------------------------------------------------
+
+  private final class BadBodyException(msg: String) extends RuntimeException(msg)
+  private def bad(msg: String) = throw new BadBodyException(msg)
+
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+  private def optStr(n: JsonNode, f: String): Option[String] = opt(n, f).map(_.asText)
+  private def optInt(n: JsonNode, f: String): Option[Int] = opt(n, f).map(_.asInt)
+  private def boolF(n: JsonNode, f: String): Boolean = opt(n, f).exists(_.asBoolean)
+  private def strMap(n: JsonNode): Map[String, String] =
+    n.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  private def arr(n: JsonNode): Seq[JsonNode] =
+    if (n.isArray) n.elements().asScala.toSeq else bad("expected a JSON array")
+
+  /** JSON scalar → the Any the per-route value converters type-check
+    * (integral → Long, decimal → Double, text → String, bool → Boolean). */
+  private def scalar(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong
+    else if (n.isNumber) n.asDouble
+    else if (n.isTextual) n.asText
+    else if (n.isBoolean) n.asBoolean
+    else bad(s"unsupported value $n")
+
+  private def pointValue(n: JsonNode): PointValue =
+    PointValue(
+      opt(n, "timestamp").map(_.asLong).getOrElse(bad("datapoint needs a timestamp")),
+      scalar(opt(n, "value").getOrElse(bad("datapoint needs a value"))),
+      opt(n, "tags").map(strMap).getOrElse(Map.empty))
+
+  private def metricPoints(n: JsonNode): MetricPoints =
+    MetricPoints(optStr(n, "id").getOrElse(bad("metric needs an id")),
+      opt(n, "data").map(d => arr(d).map(pointValue)).getOrElse(Seq.empty))
+
+  private def metricDefinition(n: JsonNode): MetricDefinition =
+    MetricDefinition(
+      optStr(n, "id").getOrElse(bad("metric definition needs an id")),
+      opt(n, "tags").map(strMap).getOrElse(Map.empty),
+      optInt(n, "dataRetention"),
+      optStr(n, "type").orElse(optStr(n, "mtype")))
+
+  private def rawQuery(n: JsonNode): RawQuery =
+    RawQuery(
+      opt(n, "ids").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
+      optStr(n, "tags"), optStr(n, "start"), optStr(n, "end"),
+      optInt(n, "limit"), optStr(n, "order"), boolF(n, "fromEarliest"))
+
+  private def aggStatsQuery(n: JsonNode): AggregatedStatsQuery =
+    AggregatedStatsQuery(
+      opt(n, "metrics").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
+      optStr(n, "tags"), optStr(n, "start"), optStr(n, "end"),
+      optInt(n, "buckets"), optStr(n, "bucketDuration"),
+      optStr(n, "percentiles"), boolF(n, "stacked"), boolF(n, "fromEarliest"))
+
+  private def statsRequest(n: JsonNode, now: Long): svc.StatsRequest =
+    svc.StatsRequest(
+      MetricType.fromText(optStr(n, "type").getOrElse(bad("stats request needs a type"))),
+      opt(n, "metrics").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
+      BucketConfig(TimeRange(optStr(n, "start"), optStr(n, "end"), now),
+        optInt(n, "buckets"), optStr(n, "bucketDuration").map(GDuration.parse)),
+      opt(n, "percentiles").map(a => arr(a).map(_.asDouble)).getOrElse(Seq.empty),
+      boolF(n, "stacked"),
+      optStr(n, "tags"))
+
+  /** The (method, path-shape) → body-type table, mirroring the dispatch
+    * cases in [[RestRoutes]]. Unknown shapes pass the parsed tree through
+    * untouched — the route table answers its own 400/404 for those. */
+  private def parseBody(method: String, segs: List[String], n: JsonNode): AnyRef = {
+    val typed = Set("gauges", "counters", "availability", "strings")
+    (method, segs) match {
+      case ("POST", "tenants" :: Nil) =>
+        TenantDefinition(optStr(n, "id").getOrElse(bad("tenant needs an id")),
+          opt(n, "retentions").map(r =>
+            r.properties().asScala.map(e => e.getKey -> e.getValue.asInt).toMap)
+            .getOrElse(Map.empty))
+      case ("POST", t :: Nil) if typed(t) || t == "metrics" => metricDefinition(n)
+      case ("PUT", t :: _ :: "tags" :: Nil) if typed(t) => strMap(n)
+      case ("POST", t :: _ :: ("raw" | "data") :: Nil) if typed(t) =>
+        arr(n).map(pointValue)
+      case ("POST", t :: ("raw" | "data") :: Nil) if typed(t) =>
+        arr(n).map(metricPoints)
+      case ("POST", "metrics" :: ("raw" | "data") :: Nil) =>
+        MixedMetricsBody(
+          opt(n, "gauges").map(a => arr(a).map(metricPoints)).getOrElse(Seq.empty),
+          opt(n, "counters").map(a => arr(a).map(metricPoints)).getOrElse(Seq.empty),
+          opt(n, "availabilities").map(a => arr(a).map(metricPoints)).getOrElse(Seq.empty),
+          opt(n, "strings").map(a => arr(a).map(metricPoints)).getOrElse(Seq.empty))
+      case ("POST", t :: "raw" :: "query" :: Nil) if typed(t) => rawQuery(n)
+      case ("POST", t :: "rate" :: "query" :: Nil) if typed(t) => rawQuery(n)
+      case ("POST", t :: "stats" :: "query" :: Nil) if typed(t) => aggStatsQuery(n)
+      case ("POST", "metrics" :: "stats" :: "query" :: Nil) =>
+        MixedStatsQuery(
+          optStr(n, "tags").getOrElse(bad("mixed stats query needs tags")),
+          opt(n, "types").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
+          optStr(n, "start"), optStr(n, "end"),
+          optInt(n, "buckets"), optStr(n, "bucketDuration"),
+          optStr(n, "percentiles"))
+      case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil) =>
+        arr(n).map(statsRequest(_, System.currentTimeMillis()))
+      case _ => n
+    }
+  }
+}

@@ -254,8 +254,15 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
         percentiles = params.get("percentiles"),
         stacked = flag(params, "stacked"),
         fromEarliest = flag(params, "fromEarliest")), now)
-    case ("GET", Seg(t) :: id :: Nil) => Ok(svc.findMetric(mid(t, id)))
-    case ("DELETE", Seg(t) :: id :: Nil) => svc.deleteMetric(mid(t, id)); NoContent
+    // JAX-RS literal-wins: a one-segment path equal to a literal route
+    // word ("raw"/"data" ingest, "stats" collection) never falls back to
+    // the {id} template for methods the literal doesn't carry — DELETE
+    // /gauges/stats is 405 in the reference container, not a delete of a
+    // metric named "stats" (such a metric is unaddressable there too)
+    case ("GET", Seg(t) :: id :: Nil) if !ReservedIdSeg(id) =>
+      Ok(svc.findMetric(mid(t, id)))
+    case ("DELETE", Seg(t) :: id :: Nil) if !ReservedIdSeg(id) =>
+      svc.deleteMetric(mid(t, id)); NoContent
     case ("GET", Seg(t) :: id :: "tags" :: Nil) => Ok(svc.getMetricTags(mid(t, id)))
     case ("PUT", Seg(t) :: id :: "tags" :: Nil) => body match {
       case m: Map[_, _] =>
@@ -503,11 +510,13 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       val numeric = t == MetricType.Gauge || t == MetricType.Counter
       rest match {
         case Nil => Set("GET", "POST")
-        // one segment: the {id} template (GET/DELETE) ∪ the literal
-        // collection routes sharing the position (raw/data ingest POST)
+        // one segment: literal-wins (JAX-RS) — a literal route word at
+        // this position carries ONLY its own methods; everything else is
+        // the {id} template (GET/DELETE)
         case x :: Nil =>
-          Set("GET", "DELETE") ++
-            (if (x == "raw" || x == "data") Set("POST") else Set.empty)
+          if (x == "raw" || x == "data") Set("POST")
+          else if (x == "stats") Set("GET")
+          else Set("GET", "DELETE")
         case a :: b :: Nil =>
           var m = Set.empty[String]
           if (a == "tags") m += "GET"                             // tag-value discovery
@@ -551,6 +560,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
   private object Seg {
     def unapply(s: String): Option[MetricType] = TypeSeg.get(s)
   }
+
+  /** One-segment literal route words that shadow the {id} template
+    * (JAX-RS literal-wins matching — see the GET/DELETE {id} cases). */
+  private val ReservedIdSeg = Set("raw", "data", "stats")
 
   private def mid(t: MetricType, id: String) = MetricId(tenant, t.code, id)
 

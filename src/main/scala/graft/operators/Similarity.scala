@@ -83,15 +83,16 @@ object Similarity {
     * assignment (the synthetic `label` column here; k-means ids in prod).
     * Component sums go through DECIMAL so centroids are bit-identical
     * across runs/partitionings/engines (the determinism contract). */
-  def centroids(corpus: DataFrame, cellCol: String = "label"): DataFrame = {
-    val sums = (0 until Dim).map(i =>
+  def centroids(corpus: DataFrame, cellCol: String = "label",
+                dim: Int = Dim): DataFrame = {
+    val sums = (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double").cast("decimal(28,10)"))
         .cast("double").as(s"c$i"))
     val aggs = sums :+ count(lit(1)).as("n")
     corpus.groupBy(col(cellCol).as("cell"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("cell"),
-        array((0 until Dim).map(i => col(s"c$i") / col("n")): _*).as("centroid"))
+        array((0 until dim).map(i => col(s"c$i") / col("n")): _*).as("centroid"))
   }
 
   /**
@@ -339,18 +340,27 @@ object Similarity {
   private def dropDegenerate(cents: Seq[(Int, Array[Double])]): Seq[(Int, Array[Double])] =
     cents.filter { case (_, c) => c.exists(_ != 0.0) }
 
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+                      dim: Int = Dim): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val base = withNorm(corpus.select(col("vec_id"), dvec("embedding").as("v")), "v")
-    val seeds = dropDegenerate(corpus.filter(col("vec_id") < k)
+    // the k LOWEST vec_ids seed (orderBy+limit — equals the historical
+    // `vec_id < k` filter when ids are dense from 0, and stays correct
+    // for sparse id spaces like packed frame keys); elements read
+    // generically so float and double embedding columns both train
+    val seeds = dropDegenerate(corpus.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map(r => (r.getLong(0).toInt, r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => throw new IllegalArgumentException(s"bad embedding element $other")
+      }.toArray))
       .sortBy(_._1).toSeq)
-    require(seeds.nonEmpty, s"k-means needs non-zero corpus vectors with vec_id < $k as seeds")
+    require(seeds.nonEmpty, s"k-means needs non-zero corpus vectors among the $k lowest vec_ids")
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = base.withColumn("cell", assignCell(cents, "v", "nrm"))
         .select(col("cell"), col("v").as("embedding"))
-      dropDegenerate(centroids(assigned, "cell").collect()
+      dropDegenerate(centroids(assigned, "cell", dim).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).toSeq)
     }
@@ -360,10 +370,10 @@ object Similarity {
     * corpus partitioning and the query probes. Same search core as
     * [[ivfTopK]]; only the cell producer differs. */
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
-                    kCells: Int = 4, iters: Int = 2): DataFrame = {
+                    kCells: Int = 4, iters: Int = 2, dim: Int = Dim): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val model = kmeansCentroids(corpus, kCells, iters)
+    val model = kmeansCentroids(corpus, kCells, iters, dim)
     val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
       .withColumn("cell", assignCell(model, "cv", "cv_nrm"))

@@ -1,0 +1,125 @@
+package graft.api
+
+import graft.SparkTestBase
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/**
+ * The HTTP layer end-to-end over real sockets: the Groovy REST-ITest
+ * shapes (tenant header, JSON bodies with the reference field names,
+ * status codes, POST ≡ GET) driven with plain HttpURLConnection against
+ * the JDK HttpServer transport.
+ */
+class HttpTransportSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private var transport: HttpTransport = _
+  private def base = s"http://127.0.0.1:${transport.boundPort}"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    transport = new HttpTransport(spark,
+      Files.createTempDirectory("graft-http").toString).start()
+  }
+
+  override def afterAll(): Unit = {
+    if (transport != null) transport.stop()
+    super.afterAll()
+  }
+
+  private def call(method: String, path: String, tenant: Option[String] = None,
+                   body: Option[String] = None): (Int, String) = {
+    val conn = URI.create(base + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    tenant.foreach(t => conn.setRequestProperty("Hawkular-Tenant", t))
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
+    }
+    val status = conn.getResponseCode
+    def drain(in: InputStream): String =
+      if (in == null) ""
+      else {
+        val bos = new ByteArrayOutputStream()
+        in.transferTo(bos); in.close()
+        new String(bos.toByteArray, StandardCharsets.UTF_8)
+      }
+    val text = drain(if (status >= 400) conn.getErrorStream else conn.getInputStream)
+    (status, text)
+  }
+
+  test("liveness routes answer without a tenant header; data routes 400 without it") {
+    val (ping, _) = call("GET", "/ping")
+    assert(ping == 200)
+    val (noTenant, msg) = call("GET", "/gauges/g1/raw")
+    assert(noTenant == 400 && msg.contains("Hawkular-Tenant"))
+  }
+
+  test("full lifecycle over HTTP: create tenant + metric, 409 on duplicate, " +
+    "ingest raw JSON, fetch raw, POST stats/query ≡ GET stats") {
+    assert(call("POST", "/tenants",
+      body = Some("""{"id":"t-http","retentions":{"gauge":30}}"""))._1 == 204)
+    assert(call("POST", "/gauges", Some("t-http"),
+      Some("""{"id":"g1","tags":{"type":"cpu"},"dataRetention":14}"""))._1 == 204)
+    // non-overwrite duplicate create → 409 (MetricCreatedObserver mapping)
+    val (dup, dupMsg) = call("POST", "/gauges", Some("t-http"),
+      Some("""{"id":"g1"}"""))
+    assert(dup == 409 && dupMsg.contains("errorMsg"))
+
+    assert(call("POST", "/gauges/g1/raw", Some("t-http"),
+      Some("""[{"timestamp":100,"value":37.45},{"timestamp":200,"value":44.07},
+              |{"timestamp":250,"value":41.0}]""".stripMargin))._1 == 204)
+
+    val (st, rows) = call("GET", "/gauges/g1/raw?start=100&end=300&order=ASC", Some("t-http"))
+    assert(st == 200)
+    assert(rows.startsWith("[") && rows.endsWith("]"))
+    assert("\"time\":100".r.findFirstIn(rows).isDefined)
+    assert("37.45".r.findFirstIn(rows).isDefined)
+    assert(rows.split("\\},\\{").length == 3)
+
+    // POST ≡ GET over the real wire (GaugeMetricStatisticsITest:304-323)
+    val (gs, getStats) = call("GET",
+      "/gauges/stats?metrics=g1&start=100&end=300&buckets=1", Some("t-http"))
+    val (ps, postStats) = call("POST", "/gauges/stats/query", Some("t-http"),
+      Some("""{"metrics":["g1"],"start":"100","end":"300","buckets":1}"""))
+    assert(gs == 200 && ps == 200)
+    assert(getStats == postStats, "POST body and GET params must serialize identically")
+    assert(getStats.contains("\"samples\":3"))
+  }
+
+  test("tenant isolation rides the header: the same path answers per-tenant data") {
+    assert(call("POST", "/gauges/iso/raw", Some("tenant-a"),
+      Some("""[{"timestamp":10,"value":1.0}]"""))._1 == 204)
+    assert(call("POST", "/gauges/iso/raw", Some("tenant-b"),
+      Some("""[{"timestamp":10,"value":2.0}]"""))._1 == 204)
+    val (_, a) = call("GET", "/gauges/iso/raw?start=0&end=100", Some("tenant-a"))
+    val (_, b) = call("GET", "/gauges/iso/raw?start=0&end=100", Some("tenant-b"))
+    assert(a.contains("1.0") && !a.contains("2.0"))
+    assert(b.contains("2.0") && !b.contains("1.0"))
+  }
+
+  test("error mapping over the wire: 404 unknown route, 405 wrong method, " +
+    "400 bad param and bad body") {
+    assert(call("GET", "/nonsense", Some("t-http"))._1 == 404)
+    assert(call("DELETE", "/gauges/stats", Some("t-http"))._1 == 405)
+    val (badParam, m1) = call("GET", "/gauges/g1/raw?start=not-a-time", Some("t-http"))
+    assert(badParam == 400 && m1.contains("errorMsg"))
+    val (badBody, m2) = call("POST", "/gauges/g1/raw", Some("t-http"),
+      Some("""[{"timestamp":100}]""")) // value missing
+    assert(badBody == 400 && m2.contains("value"))
+  }
+
+  test("mixed-type ingest + counter rate fetch over HTTP") {
+    assert(call("POST", "/metrics/raw", Some("t-mixed"),
+      Some("""{"gauges":[{"id":"mg","data":[{"timestamp":100,"value":5.5}]}],
+              |"counters":[{"id":"mc","data":[{"timestamp":100,"value":7},
+              |                              {"timestamp":200,"value":9}]}]}""".stripMargin))._1 == 204)
+    val (gs, g) = call("GET", "/gauges/mg/raw?start=0&end=300", Some("t-mixed"))
+    assert(gs == 200 && g.contains("5.5"))
+    val (cs, c) = call("GET", "/counters/mc/raw?start=0&end=300&order=ASC", Some("t-mixed"))
+    assert(cs == 200 && c.split("\\},\\{").length == 2 && c.contains("\"l_value\":7"))
+  }
+}

@@ -507,7 +507,7 @@ class RestRoutesSpec extends SparkTestBase {
       ("GET", "/gauges/id/data"), ("POST", "/gauges/id/data"),
       ("POST", "/gauges/raw"), ("POST", "/gauges/data"), ("POST", "/gauges/raw/query"),
       ("GET", "/gauges/rate/query"), ("POST", "/gauges/rate/query"),
-      ("GET", "/gauges/rate/stats"), ("GET", "/gauges/stats"), ("GET", "/gauges/data"),
+      ("GET", "/gauges/rate/stats"), ("GET", "/gauges/stats"),
       ("POST", "/gauges/stats/query"), ("GET", "/gauges/id/stats"),
       ("GET", "/gauges/id/stats/tags/a:1"), ("GET", "/gauges/id/periods"),
       ("GET", "/gauges/id/rate"), ("GET", "/gauges/id/rate/stats"),
@@ -537,6 +537,18 @@ class RestRoutesSpec extends SparkTestBase {
     }
     rest.route("DELETE", "/gauges/stats/query") match {
       case ApiError(405, _) =>
+      case other => fail(s"expected 405, got $other")
+    }
+    // literal-wins: a one-segment literal route word never falls back to
+    // the {id} template — DELETE /gauges/stats must NOT delete a metric
+    // named "stats" (it is 405 in the JAX-RS container), and GET on the
+    // POST-only ingest literal is 405 too
+    rest.route("DELETE", "/gauges/stats") match {
+      case ApiError(405, msg) => assert(msg.contains("GET"))
+      case other => fail(s"expected 405, got $other")
+    }
+    rest.route("GET", "/gauges/raw") match {
+      case ApiError(405, msg) => assert(msg.contains("POST"))
       case other => fail(s"expected 405, got $other")
     }
     // /m ≡ /metrics on every MetricHandler route (dual-path alias)

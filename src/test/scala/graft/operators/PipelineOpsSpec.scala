@@ -835,6 +835,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.out_len == "P6\n2 1\n255\n".length + 2 * 1 * 3)
   }
 
+  test("frameSearchIvf: probing EVERY cell equals the exact brute-force " +
+    "frame search (recall = 1 when nprobe = kCells), on dims=8 vectors " +
+    "through the Dim-generic k-means machinery") {
+    val s = spark
+    import s.implicits._
+    // source id 5 → video; enough text for several 64-byte frames each
+    val docs = (0L until 6L).map(i =>
+      (i, (s"alpha$i beta gamma delta epsilon zeta eta theta iota kappa " * 8).trim,
+        "en", "src5", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.asMediaFrame(docs)
+    val exact = Multimodal.frameSearch(media, maxQueryDoc = 2L, k = 3)
+      .select("q_doc", "q_frame", "doc_id", "frame_idx", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sorted.toSeq
+    val ivf = Multimodal.frameSearchIvf(media, maxQueryDoc = 2L, k = 3,
+      kCells = 4, nprobe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sorted.toSeq
+    assert(ivf == exact, "full probing must reduce to the exact search")
+  }
+
   test("GV1 demux: real frame-boundary arithmetic — header-computed strides, " +
     "every-Nth sampling, truncated container answers no frames") {
     val s = spark

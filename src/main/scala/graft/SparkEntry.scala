@@ -2412,6 +2412,33 @@ object SparkEntry {
     },
       Some(SimHashPairsOracle)),
 
+    // ---- LLM: continuous corpus → searchable BM25 index — micro-batch
+    // waves fold into the persisted inverted index (first batch builds,
+    // later batches append idempotently); serving answers equal the
+    // full-corpus index, so the batch oracle verifies the whole
+    // stream-ingest lifecycle -------------------------------------------
+    ("streaming_bm25_index", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streambm25_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val all = docs(s, d)
+      // two staged files → two micro-batches: build wave + append wave
+      all.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$base/src")
+      all.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.streaming.StreamingRetrieval.indexIngest(
+        stream, s"$base/idx", s"$base/ckpt")
+      q.awaitTermination()
+      Retrieval.bm25StoredTopK(s, s"$base/idx", bm25Queries(s), k = 10)
+    },
+      Some(s"""WITH $Bm25Cte
+              |SELECT query_id, doc_id,
+              |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+              |       CAST(rnk AS BIGINT) AS rank
+              |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
     // ---- LLM: IVF-PQ (IVFADC) — cell probing bounds WHICH vectors are
     // scored, PQ codes bound WHAT is read per vector; the composed
     // 100 TB search tier ------------------------------------------------
@@ -4317,6 +4344,26 @@ object SparkEntry {
       val all = docs(s, d)
       Retrieval.writeBm25Index(all.filter(col("doc_id") % 3 =!= 0), base)
       Retrieval.appendToBm25Index(s, base, all.filter(col("doc_id") % 3 === 0))
+      Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
+    },
+      Some(s"""WITH $Bm25Cte
+              |SELECT query_id, doc_id,
+              |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+              |       CAST(rnk AS BIGINT) AS rank
+              |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: BM25 index COMPACTION — merge append-wave files behind
+    // the crash-safe double-rename swap, rebuild corpusstats from the
+    // repaired docstats; serving answers must not move (same full-corpus
+    // oracle as the append) ---------------------------------------------
+    ("bm25_index_compact", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/bm25cmp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val all = docs(s, d)
+      Retrieval.writeBm25Index(all.filter(col("doc_id") % 3 =!= 0), base)
+      Retrieval.appendToBm25Index(s, base, all.filter(col("doc_id") % 3 === 0))
+      Retrieval.compactBm25Index(s, base)
       Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
     },
       Some(s"""WITH $Bm25Cte

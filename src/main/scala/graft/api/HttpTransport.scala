@@ -83,7 +83,10 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
         val raw = ex.getRequestBody.readAllBytes()
         val body: AnyRef =
           if (raw.isEmpty) null
-          else parseBody(method, segs, mapper.readTree(raw))
+          else parseBody(method, segs,
+            try mapper.readTree(raw)
+            catch { case e: com.fasterxml.jackson.core.JacksonException =>
+              bad(s"malformed JSON body: ${e.getOriginalMessage}") })
         // tenant-less routes (meta + /tenants) dispatch through any view
         val result = routesFor(tenantHeader.getOrElse("_meta")).route(method, path, params, body)
         result match {

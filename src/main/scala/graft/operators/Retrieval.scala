@@ -254,6 +254,72 @@ object Retrieval {
     } finally tf.unpersist() // checkpoint blocks; freed by the cleaner on GC otherwise
   }
 
+  /**
+   * Compact the stored index after append waves: each table rewrites to
+   * one well-sized file set (postings/tokenstats back to one layout per
+   * bucket, docstats to a parallelism-sized set) behind the crash-safe
+   * double-rename swap (`live → .old`, `.compact → live` — a crash at
+   * any point leaves a servable or recoverable copy, the
+   * compactNearDupIndex discipline). Serving answers are unchanged —
+   * spec-pinned equal to pre-compaction.
+   *
+   * Compaction also REPAIRS the append path's documented crash window:
+   * appendToBm25Index writes the docstats replay-screen BEFORE postings,
+   * so a crash between the two leaves docs registered but postings-less
+   * (benign for scoring, but a replay of that batch no-ops and the docs
+   * are lost). Orphans (dl > 0, no postings) are removed from docstats
+   * and subtracted from corpusstats here, so re-appending the batch
+   * lands it.
+   */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
+      s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(table: String)(rewrite: DataFrame => Unit): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
+      val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")
+      // crash recovery: a prior run that died between its two renames
+      // left the only copy at `.old` — restore before anything else
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"crash recovery failed for $table")
+      fs.delete(tmp, true); fs.delete(old, true)
+      rewrite(spark.read.parquet(live.toString))
+      require(fs.rename(live, old), s"compaction swap failed for $table")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live) // roll back so the store stays servable
+        throw new IllegalStateException(s"compaction swap failed for $table (rolled back)")
+      }
+      fs.delete(old, true)
+    }
+    // orphan detection runs against the PRE-compaction store: docs the
+    // append crash window registered without landing their postings
+    // (pre-swap snapshot, lineage truncated so the swaps below cannot
+    // invalidate or recompute it against the post-swap store)
+    val postedIds = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id")).distinct()
+    val orphanIds = spark.read.parquet(s"$path/docstats")
+      .filter(col("dl") > 0)
+      .join(postedIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).localCheckpoint()
+    swap("postings")(df => df.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$path/.postings.compact"))
+    swap("tokenstats")(df => df.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$path/.tokenstats.compact"))
+    swap("docstats")(df => df.join(orphanIds, Seq("doc_id"), "left_anti")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.parquet(s"$path/.docstats.compact"))
+    // corpusstats REBUILDS from the repaired docstats — the invariant is
+    // corpusstats ≡ aggregate(docstats), which also heals the other
+    // crash window (postings landed, corpusstats write never ran)
+    swap("corpusstats")(_ => spark.read.parquet(s"$path/docstats")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
+      .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))
+  }
+
   def bm25StoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -110,6 +110,9 @@ class HttpTransportSpec extends SparkTestBase
     val (badBody, m2) = call("POST", "/gauges/g1/raw", Some("t-http"),
       Some("""[{"timestamp":100}]""")) // value missing
     assert(badBody == 400 && m2.contains("value"))
+    val (malformed, m3) = call("POST", "/gauges/g1/raw", Some("t-http"),
+      Some("""[{"timestamp":100""")) // truncated JSON
+    assert(malformed == 400 && m3.contains("malformed"))
   }
 
   test("mixed-type ingest + counter rate fetch over HTTP") {

@@ -119,6 +119,55 @@ class RetrievalSpec extends SparkTestBase {
     assert(s.read.parquet(s"$appended/corpusstats").collect()(0).getLong(0) == 30L)
   }
 
+  test("BM25 index compact: merges append-wave files without moving answers; " +
+    "repairs the crash-orphan window (registered doc, no postings) so a " +
+    "re-append of the lost batch lands") {
+    val s = spark
+    import s.implicits._
+    val docsA = docsDf((0 until 20).map(i =>
+      (i.toLong, s"cat w$i ${if (i % 2 == 0) "dog" else "bird fish"}")): _*)
+    val docsB = docsDf((20 until 30).map(i =>
+      (i.toLong, s"cat cat dog extra tokens here w$i plus more words")): _*)
+    val queries = queriesDf((1L, Seq("cat", "fish")), (2L, Seq("dog")))
+    def answers(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25cmp").toString
+    Retrieval.writeBm25Index(docsA, path)
+    Retrieval.appendToBm25Index(s, path, docsB)
+    val before = answers(Retrieval.bm25StoredTopK(s, path, queries, k = 8))
+    def postingFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$path/postings"))
+    }
+    val filesBefore = postingFiles()
+    Retrieval.compactBm25Index(s, path)
+    assert(answers(Retrieval.bm25StoredTopK(s, path, queries, k = 8)) == before,
+      "compaction must not change serving answers")
+    assert(postingFiles() < filesBefore,
+      s"expected fewer posting files after compaction (before=$filesBefore)")
+    // corpusstats invariant holds after compact
+    val cs = s.read.parquet(s"$path/corpusstats").collect()(0)
+    assert(cs.getLong(0) == 30L)
+
+    // crash-orphan repair: simulate the documented append window — the
+    // docstats screen landed, postings did not (the batch is "lost":
+    // a replay would anti-join away). Compact must deregister it.
+    Seq((99L, 4L)).toDF("doc_id", "dl")
+      .write.mode("append").parquet(s"$path/docstats")
+    Retrieval.compactBm25Index(s, path)
+    assert(s.read.parquet(s"$path/docstats")
+      .filter(col("doc_id") === 99L).isEmpty, "orphan must be deregistered")
+    assert(s.read.parquet(s"$path/corpusstats").collect()(0).getLong(0) == 30L)
+    // ... so re-appending the lost doc now lands it for real
+    Retrieval.appendToBm25Index(s, path, docsDf((99L, "cat dog bird q")))
+    assert(s.read.parquet(s"$path/docstats").filter(col("doc_id") === 99L).count() == 1)
+    assert(s.read.parquet(s"$path/corpusstats").collect()(0).getLong(0) == 31L)
+    assert(s.read.parquet(s"$path/postings")
+      .filter(col("doc_id") === 99L).count() == 4)
+  }
+
   test("bm25TopK edge cases: no-posting query answers empty; empty query set answers empty") {
     val none = Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("zzz", "qqq"))), k = 5)
     assert(none.collect().isEmpty)

@@ -66,6 +66,85 @@ class DifferentialPropertySpec extends SparkTestBase {
     }
   }
 
+  test("PPM decode round-trips 100 random images (geometry, whitespace, " +
+    "comments, pixel bytes); truncations answer None; resize picks exactly " +
+    "in(2x,2y)") {
+    for (_ <- 1 to 100) {
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+      val mx = 1 + rnd.nextInt(255)
+      val pix = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val ws = () => Seq(" ", "\n", "\t", " \n", " # noise\n")(rnd.nextInt(5))
+      val header = s"P6${ws()}$w${ws()}$h${ws()}$mx\n"
+      val payload = header.getBytes("UTF-8") ++ pix
+      val img = Multimodal.decodePpm(payload)
+        .getOrElse(fail(s"decode failed for ${header.replace("\n", "\\n")}"))
+      assert(img.width == w && img.height == h && img.maxVal == mx)
+      assert(img.pixels.toSeq == pix.toSeq)
+      // any truncation inside the pixel region must refuse, not misparse
+      val cut = header.length + rnd.nextInt(pix.length)
+      assert(Multimodal.decodePpm(payload.take(cut)).isEmpty, s"cut=$cut")
+      // resize: every output pixel is the exact (2x, 2y) source pixel
+      if (w >= 2 && h >= 2) {
+        val ow = w / 2; val oh = h / 2
+        var expect = 0L
+        for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3)
+          expect += pix(((2 * y) * w + 2 * x) * 3 + c) & 0xff
+        val s2 = spark
+        import s2.implicits._
+        val r = Multimodal.ppmResize(
+          Seq((1L, payload, "image")).toDF("doc_id", "payload", "modality"))
+          .collect().head
+        assert(r.out_w == ow && r.out_h == oh && r.out_checksum == expect)
+      }
+    }
+  }
+
+  test("GV1 demux round-trips random containers; any pixel-region truncation refuses") {
+    for (_ <- 1 to 60) {
+      val nf = 1 + rnd.nextInt(6); val w = 1 + rnd.nextInt(8); val h = 1 + rnd.nextInt(8)
+      val fs = w * h * 3
+      val frames = Array.fill[Byte](nf * fs)(rnd.nextInt(256).toByte)
+      val payload = s"GV1\n$nf $w $h\n".getBytes("UTF-8") ++ frames
+      val v = Multimodal.demuxVideo(payload)
+        .getOrElse(fail(s"demux failed nf=$nf w=$w h=$h"))
+      assert(v.nFrames == nf && v.width == w && v.height == h)
+      for (k <- 0 until nf)
+        assert(v.frames(k).toSeq == frames.slice(k * fs, (k + 1) * fs).toSeq)
+      val cut = payload.length - 1 - rnd.nextInt(fs)
+      assert(Multimodal.demuxVideo(payload.take(cut)).isEmpty)
+    }
+  }
+
+  test("distributedClusters agrees with an in-memory union-find over random " +
+    "graphs (self-loops, duplicate edges, isolated pairs)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 3) {
+      val nodes = 30 + trial * 10
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong)) ++
+        Seq((nodes.toLong, nodes.toLong)) // self loop
+      val got = Dedup.distributedClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val allNodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node of the component
+      val byRoot = allNodes.groupBy(find)
+      val expected = byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("changePoints agrees with a naive double-window scan (random series)") {
     val s = spark
     import s.implicits._

@@ -645,6 +645,41 @@ object SparkEntry {
               |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
               |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
 
+    // ---- J1@scale: the PERSISTED inverted tag index (the reference's
+    // metrics_tags_idx) — build, serve the SAME expression through
+    // bucket-pruned leaf scans + id-set algebra; answers must equal the
+    // one-scan compiled-Column path, so the same oracle verifies it ------
+    ("tagindex_stored", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagidx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      graft.storage.TagIndex.write(ea.catalog(s, d), base)
+      graft.storage.TagIndex.lookup(s,
+        base, "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
+        .select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat
+              |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
+              |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
+
+    // ---- J1@scale: incremental tag-index maintenance — append a catalog
+    // wave with the replay screen, serve a complement-bearing query
+    // (NOT leaves evaluate against the stored id universe) ---------------
+    ("tagindex_append", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagidxapp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val c = ea.catalog(s, d)
+      val user = element_at(col("tags"), "user").cast("long")
+      graft.storage.TagIndex.write(c.filter(user % 3 =!= 0), base)
+      graft.storage.TagIndex.append(s, base, c.filter(user % 3 === 0))
+      graft.storage.TagIndex.lookup(s,
+        base, "type != view AND NOT zone AND seg NOT IN [s4]")
+        .select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat
+              |WHERE event_type <> 'view' AND NOT regexp_full_match(seg, 's4')""".stripMargin)),
+
     ("tagquery_not", (s: SparkSession, d: String) => {
       val c = ea.catalog(s, d)
       c.filter(TagQueryParser.compile("type != view AND NOT zone AND seg NOT IN [s4]", col("tags")))

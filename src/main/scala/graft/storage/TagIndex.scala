@@ -1,0 +1,146 @@
+package graft.storage
+
+import graft.functions.GraftFunctions
+import graft.tagquery.TagQueryParser
+import graft.tagquery.TagQueryParser._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Persisted inverted TAG index — the storage analog of the reference's
+ * `metrics_tags_idx` table (DataAccessImpl.java insertIntoMetricsTagsIndex;
+ * bootstrap.groovy:117-137): one row per (metric, tag), partitioned by a
+ * hash bucket of the TAG NAME, so a tag-query touches only its referenced
+ * names' buckets instead of scanning the whole catalog.
+ *
+ * At fixture scale the one-scan compiled-Column path (TagQueryParser
+ * .compile over the catalog) is unbeatable; this index is the
+ * 100 TB-catalog serving path — millions of series × dozens of tags make
+ * the catalog itself a big table, and the reference's answer (a tags
+ * index consulted per leaf, SimpleTagQueryParser.java:121-189) maps to
+ * bucket-pruned leaf scans + id-set algebra here. Semantics are pinned
+ * EQUAL to the compiled-Column path (spec + shared driver oracle): each
+ * metric holds at most one value per tag name, so per-entry predicates
+ * coincide with the map's element_at semantics.
+ *
+ * Layout under `path`:
+ *   entries/bucket=N/  (tag_name, tag_value, tenant_id, mtype, metric)
+ *   metrics/           (tenant_id, mtype, metric) — the id universe the
+ *                      complement leaves (NOT k) evaluate against, and
+ *                      the append path's replay screen
+ *   meta/              bucket count (a probe with a different modulus
+ *                      fails loudly instead of missing partitions)
+ */
+object TagIndex {
+
+  val Buckets = 32
+
+  private def bucketOf(name: Column): Column =
+    pmod(xxhash64(name), lit(Buckets.toLong)).cast("int")
+
+  private val IdCols = Seq("tenant_id", "mtype", "metric")
+
+  /** Build → store from a catalog frame (tenant_id, mtype, metric,
+    * tags map). One explode pass; files ∝ buckets. */
+  def write(catalog: DataFrame, path: String): Unit = {
+    val spark = catalog.sparkSession
+    import spark.implicits._
+    catalog
+      .select(col("tenant_id"), col("mtype"), col("metric"),
+        explode(col("tags")).as(Seq("tag_name", "tag_value")))
+      .withColumn("bucket", bucketOf(col("tag_name")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/entries")
+    catalog.select(IdCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$path/metrics")
+    Seq(Buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Incremental maintenance: fold a catalog batch in WITHOUT rebuilding.
+   * Already-indexed metric ids anti-join away, so a replayed batch is a
+   * no-op (the appendToBm25Index contract, same write order: the
+   * `metrics` replay screen lands FIRST — a crash before the entries
+   * append leaves the batch's metrics registered but tag-less, the
+   * benign window, instead of double-indexed tags on replay).
+   */
+  def append(spark: SparkSession, path: String, catalogBatch: DataFrame): Unit = {
+    requireMeta(spark, path)
+    val stored = spark.read.parquet(s"$path/metrics")
+    // localCheckpoint BEFORE any write: the entries append below must not
+    // recompute the anti-join against the post-append metrics listing
+    val fresh = catalogBatch.join(stored, IdCols, "left_anti").localCheckpoint()
+    fresh.select(IdCols.map(col): _*)
+      .write.mode("append").parquet(s"$path/metrics")
+    fresh
+      .select(col("tenant_id"), col("mtype"), col("metric"),
+        explode(col("tags")).as(Seq("tag_name", "tag_value")))
+      .withColumn("bucket", bucketOf(col("tag_name")))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/entries")
+  }
+
+  /** Tag names a query references — these decide which buckets serving
+    * reads. Complement leaves (NOT k) also reference k. */
+  def referencedKeys(ast: Ast): Set[String] = ast match {
+    case HasKey(k) => Set(k)
+    case NotKey(k) => Set(k)
+    case Eq(k, _) => Set(k)
+    case Neq(k, _) => Set(k)
+    case Regex(k, _) => Set(k)
+    case NotRegex(k, _) => Set(k)
+    case In(k, _) => Set(k)
+    case NotIn(k, _) => Set(k)
+    case And(l, r) => referencedKeys(l) ++ referencedKeys(r)
+    case Or(l, r) => referencedKeys(l) ++ referencedKeys(r)
+  }
+
+  /**
+   * Serve a tag-query expression from the stored index: the referenced
+   * names' buckets are computed (a |keys|-row job) and pushed as a
+   * STATIC `bucket IN (...)` partition filter (plan-time pruning, the
+   * bm25StoredTopK pattern — DPP would not fire here: the key list is a
+   * LocalRelation with no selective scan to reuse). Leaves become
+   * filters over the pruned entries; the boolean algebra becomes id-set
+   * intersect/union, with complement leaves evaluated against the
+   * stored id universe. Answers (tenant_id, mtype, metric), distinct.
+   */
+  def lookup(spark: SparkSession, path: String, expr: String): DataFrame = {
+    requireMeta(spark, path)
+    val ast = TagQueryParser.parse(expr)
+    val keys = referencedKeys(ast).toSeq.sorted
+    import spark.implicits._
+    val buckets = keys.toDF("tag_name")
+      .select(bucketOf(col("tag_name")).as("bucket"))
+      .collect().map(_.getInt(0)).distinct.sorted.toSeq
+    val entries = spark.read.parquet(s"$path/entries")
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("tag_name").isin(keys: _*))
+    lazy val universe = spark.read.parquet(s"$path/metrics")
+    def leaf(k: String, valuePred: Column): DataFrame =
+      entries.filter(col("tag_name") === k && valuePred).select(IdCols.map(col): _*)
+    def pat(p: String): Column = GraftFunctions.filterPattern(col("tag_value"), p)
+    def ids(a: Ast): DataFrame = a match {
+      case HasKey(k) => leaf(k, lit(true))
+      case NotKey(k) => universe.join(ids(HasKey(k)), IdCols, "left_anti")
+      case Eq(k, v) => leaf(k, col("tag_value") === v)
+      case Neq(k, v) => leaf(k, col("tag_value") =!= v)
+      case Regex(k, p) => leaf(k, pat(p))
+      case NotRegex(k, p) => leaf(k, !pat(p))
+      case In(_, Seq()) => universe.limit(0) // IN [] matches nothing
+      case In(k, vs) => leaf(k, vs.map(pat).reduce(_ || _))
+      case NotIn(k, Seq()) => ids(HasKey(k)) // has key, excluded by nothing
+      case NotIn(k, vs) => leaf(k, !vs.map(pat).reduce(_ || _))
+      case And(l, r) => ids(l).intersect(ids(r))
+      case Or(l, r) => ids(l).union(ids(r))
+    }
+    ids(ast).distinct()
+  }
+
+  private def requireMeta(spark: SparkSession, path: String): Unit = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1 && m(0).getAs[Int]("buckets") == Buckets,
+      s"stored tag index bucket count ${m.headOption.map(_.get(0))} != $Buckets")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.storage
+
+import graft.SparkTestBase
+import graft.tagquery.TagQueryParser
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Persisted tag index: semantics pinned EQUAL to the compiled-Column
+  * catalog scan across the whole grammar; bucket-pruned serving plan;
+  * incremental append with replay idempotency. */
+class TagIndexSpec extends SparkTestBase {
+
+  private def catalogDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("t1", 0, "m1", Map("type" -> "cpu", "host" -> "a1", "zone" -> "eu")),
+      ("t1", 0, "m2", Map("type" -> "cpu", "host" -> "a2")),
+      ("t1", 0, "m3", Map("type" -> "mem", "host" -> "b1", "zone" -> "us")),
+      ("t1", 0, "m4", Map("type" -> "mem")),
+      ("t1", 2, "m1", Map("type" -> "cpu", "host" -> "a9")), // same name, other type
+      ("t1", 0, "m5", Map("host" -> "c1"))                   // no 'type' tag
+    ).toDF("tenant_id", "mtype", "metric", "tags")
+  }
+
+  private val Expressions = Seq(
+    "type = cpu",
+    "type != cpu",
+    "NOT zone",
+    "zone",
+    "host ~ 'a.*'",
+    "host !~ 'a.*'",
+    "host IN [a1, b1]",
+    "host NOT IN [a1, b1]",
+    "seg ~ '!s[0-3]'",                       // absent key + negated pattern
+    "type = cpu AND zone = eu",
+    "type = mem OR host = c1",
+    "(type = cpu AND host IN [a1, a2]) OR NOT host",
+    "type = cpu AND NOT zone OR host = b1"   // left-assoc equal precedence
+  )
+
+  test("lookup equals the compiled-Column catalog scan across the grammar " +
+    "(complements, patterns, IN lists, precedence)") {
+    val cat = catalogDf
+    val path = Files.createTempDirectory("graft-tagidx").toString
+    TagIndex.write(cat, path)
+    Expressions.foreach { e =>
+      val expected = cat.filter(TagQueryParser.compile(e, col("tags")))
+        .select("tenant_id", "mtype", "metric")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      val got = TagIndex.lookup(spark, path, e)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == expected, s"expression: $e")
+    }
+  }
+
+  test("serving reads only the referenced names' buckets — STATIC bucket " +
+    "partition filter on the entries scan") {
+    val path = Files.createTempDirectory("graft-tagidx-plan").toString
+    TagIndex.write(catalogDf, path)
+    val plan = TagIndex.lookup(spark, path, "type = cpu AND host ~ 'a.*'")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[bucket#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected a static bucket IN (...) partition filter:\n$plan")
+  }
+
+  test("append: equals a fresh rebuild over the union; replayed batch is a " +
+    "no-op; complement leaves see appended metrics in the universe") {
+    val s = spark
+    val cat = catalogDf
+    val waveA = cat.filter(col("metric") =!= "m3" && col("metric") =!= "m5")
+    val waveB = cat.filter(col("metric") === "m3" || col("metric") === "m5")
+    val path = Files.createTempDirectory("graft-tagidx-app").toString
+    TagIndex.write(waveA, path)
+    TagIndex.append(s, path, waveB)
+    val rebuilt = Files.createTempDirectory("graft-tagidx-reb").toString
+    TagIndex.write(cat, rebuilt)
+    def answers(p: String, e: String) = TagIndex.lookup(s, p, e)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    Seq("type = mem", "NOT type", "host ~ '.*1'").foreach { e =>
+      assert(answers(path, e) == answers(rebuilt, e), s"expression: $e")
+    }
+    // replay: already-indexed ids anti-join away — no duplicate entries
+    TagIndex.append(s, path, waveB)
+    assert(s.read.parquet(s"$path/entries")
+      .groupBy("tenant_id", "mtype", "metric", "tag_name").count()
+      .filter(col("count") > 1).isEmpty, "replay must not double-index tags")
+    assert(answers(path, "NOT type") == answers(rebuilt, "NOT type"))
+  }
+}

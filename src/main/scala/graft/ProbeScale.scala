@@ -394,6 +394,39 @@ object ProbeScale {
         graft.operators.Multimodal.asMediaFrame(scaledDocs(spark, dir, n)),
         maxQueryDoc = 30L, k = 5)
     }
+    if (only.isEmpty || only("tagindex")) {
+      // catalog n× (suffixed metrics): build writes |entries| ∝ n; the
+      // lookup must stay bounded by the referenced names' buckets (3 of
+      // 32 here), not the catalog — the serving property that matters
+      // when the catalog is itself a big table
+      val cat = (0 until n).map(i => EventsAdapter.catalog(spark, dir)
+          .withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      time("tagindex") {
+        graft.storage.TagIndex.write(cat, "target/tmp/probe-tagidx")
+        graft.storage.TagIndex.lookup(spark, "target/tmp/probe-tagidx",
+          "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
+      }
+    }
+    if (only.isEmpty || only("bm25_compact")) {
+      // append waves then compact: work is store-sized (no corpus
+      // re-tokenization), and the serve after compaction carries the
+      // same pruned plan
+      val d2 = scaledDocs(spark, dir, n)
+      val s2 = spark
+      import s2.implicits._
+      val q = Seq((0L, Seq("spark", "join")), (1L, Seq("window", "sort", "merge")))
+        .toDF("query_id", "terms")
+      time("bm25_compact") {
+        val p = "target/tmp/probe-bm25cmp"
+        graft.operators.Retrieval.writeBm25Index(
+          d2.filter(col("doc_id") % 2 === 0), p)
+        graft.operators.Retrieval.appendToBm25Index(spark, p,
+          d2.filter(col("doc_id") % 2 =!= 0))
+        graft.operators.Retrieval.compactBm25Index(spark, p)
+        graft.operators.Retrieval.bm25StoredTopK(spark, p, q, 10)
+      }
+    }
     if (only.isEmpty || only("cc_distributed")) {
       // the >2M-edge fallback path of nearDupClusters, exercised directly
       // on synthetic worst-case graphs: a CHAIN of length L is the

@@ -115,6 +115,35 @@ class HttpTransportSpec extends SparkTestBase
     assert(malformed == 400 && m3.contains("malformed"))
   }
 
+  test("mixed-type stats query + stats batch over the wire: the EP2 body " +
+    "shapes (types list with virtual rate types; per-request ids-or-tags) " +
+    "parse and answer rows; bad batch bodies 400") {
+    val t = Some("t-ep2")
+    assert(call("POST", "/gauges", t, Some("""{"id":"g1","tags":{"type":"cpu"}}"""))._1 == 204)
+    assert(call("POST", "/gauges/g1/raw", t,
+      Some("""[{"timestamp":100,"value":10.0},{"timestamp":200,"value":30.0}]"""))._1 == 204)
+    assert(call("POST", "/counters", t, Some("""{"id":"c1","tags":{"type":"cpu"}}"""))._1 == 204)
+    assert(call("POST", "/counters/c1/raw", t,
+      Some("""[{"timestamp":100,"value":5},{"timestamp":200,"value":9}]"""))._1 == 204)
+    val (ms, mixed) = call("POST", "/metrics/stats/query", t,
+      Some("""{"tags":"type = cpu","types":["gauge","counter"],
+              |"start":"1","end":"300","buckets":1}""".stripMargin))
+    assert(ms == 200, s"mixed stats failed: $mixed")
+    assert(mixed.contains("\"gauge\"") && mixed.contains("\"counter\""))
+    val (bs, batch) = call("POST", "/metrics/stats/batch/query", t,
+      Some("""[{"type":"gauge","metrics":["g1"],"start":"1","end":"300","buckets":1,
+              | "percentiles":[90.0]},
+              |{"type":"counter","metrics":["c1"],"start":"1","end":"300","buckets":1}]""".stripMargin))
+    assert(bs == 200, s"stats batch failed: $batch")
+    assert(batch.contains("\"samples\":2"))
+    // a batch request with BOTH ids and tags violates the XOR contract →
+    // the model grammar's IllegalArgument maps to 400 at the parse layer
+    val (badBatch, bm) = call("POST", "/metrics/stats/batch/query", t,
+      Some("""[{"type":"gauge","metrics":["g1"],"tags":"type = cpu",
+              | "start":"1","end":"300","buckets":1}]""".stripMargin))
+    assert(badBatch == 400 && bm.contains("errorMsg"))
+  }
+
   test("mixed-type ingest + counter rate fetch over HTTP") {
     assert(call("POST", "/metrics/raw", Some("t-mixed"),
       Some("""{"gauges":[{"id":"mg","data":[{"timestamp":100,"value":5.5}]}],

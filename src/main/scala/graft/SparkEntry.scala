@@ -680,6 +680,26 @@ object SparkEntry {
               |SELECT metric FROM cat
               |WHERE event_type <> 'view' AND NOT regexp_full_match(seg, 's4')""".stripMargin)),
 
+    // ---- J1@scale: tag-index compaction — merge append-wave files +
+    // crash-orphan repair behind the shared AtomicSwap; answers must not
+    // move (same oracle as tagindex_stored) ------------------------------
+    ("tagindex_compact", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagidxcmp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val c = ea.catalog(s, d)
+      val user = element_at(col("tags"), "user").cast("long")
+      graft.storage.TagIndex.write(c.filter(user % 3 =!= 0), base)
+      graft.storage.TagIndex.append(s, base, c.filter(user % 3 === 0))
+      graft.storage.TagIndex.compact(s, base)
+      graft.storage.TagIndex.lookup(s,
+        base, "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
+        .select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat
+              |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
+              |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
+
     ("tagquery_not", (s: SparkSession, d: String) => {
       val c = ea.catalog(s, d)
       c.filter(TagQueryParser.compile("type != view AND NOT zone AND seg NOT IN [s4]", col("tags")))

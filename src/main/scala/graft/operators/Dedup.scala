@@ -453,26 +453,8 @@ object Dedup {
    * index tier.
    */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swap(table: String)(rewrite: DataFrame => Unit): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
-      val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")
-      // crash recovery: a previous run that died between its two renames
-      // left the only copy at `.old` — restore it before anything else
-      // (and never delete `.old` unless `live` exists)
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live), s"crash recovery failed for $table")
-      fs.delete(tmp, true); fs.delete(old, true)
-      rewrite(spark.read.parquet(live.toString))
-      require(fs.rename(live, old), s"compaction swap failed for $table")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(old, live) // roll back so the store stays servable
-        throw new IllegalStateException(s"compaction swap failed for $table (rolled back)")
-      }
-      fs.delete(old, true)
-    }
+    def swap(table: String)(rewrite: DataFrame => Unit): Unit =
+      graft.storage.AtomicSwap.swapTable(spark, path, table)(rewrite)
     swap("bands")(df => df.repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(s"$path/.bands.compact"))
     Seq("signatures", "shingles", "sizes").foreach { t =>

@@ -275,25 +275,8 @@ object Retrieval {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
       s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
-    val conf = spark.sparkContext.hadoopConfiguration
-    def swap(table: String)(rewrite: DataFrame => Unit): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      val live = new org.apache.hadoop.fs.Path(s"$path/$table")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
-      val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")
-      // crash recovery: a prior run that died between its two renames
-      // left the only copy at `.old` — restore before anything else
-      if (!fs.exists(live) && fs.exists(old))
-        require(fs.rename(old, live), s"crash recovery failed for $table")
-      fs.delete(tmp, true); fs.delete(old, true)
-      rewrite(spark.read.parquet(live.toString))
-      require(fs.rename(live, old), s"compaction swap failed for $table")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(old, live) // roll back so the store stays servable
-        throw new IllegalStateException(s"compaction swap failed for $table (rolled back)")
-      }
-      fs.delete(old, true)
-    }
+    def swap(table: String)(rewrite: DataFrame => Unit): Unit =
+      graft.storage.AtomicSwap.swapTable(spark, path, table)(rewrite)
     // orphan detection runs against the PRE-compaction store: docs the
     // append crash window registered without landing their postings
     // (pre-swap snapshot, lineage truncated so the swaps below cannot

@@ -51,7 +51,9 @@ object TagIndex {
       .withColumn("bucket", bucketOf(col("tag_name")))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/entries")
-    catalog.select(IdCols.map(col): _*)
+    // n_tags rides along so compaction can tell a crash-orphaned metric
+    // (n_tags > 0, no entries) from a genuinely tag-less one
+    catalog.select(IdCols.map(col) :+ size(col("tags")).cast("long").as("n_tags"): _*)
       .write.mode("overwrite").parquet(s"$path/metrics")
     Seq(Buckets).toDF("buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -71,7 +73,7 @@ object TagIndex {
     // localCheckpoint BEFORE any write: the entries append below must not
     // recompute the anti-join against the post-append metrics listing
     val fresh = catalogBatch.join(stored, IdCols, "left_anti").localCheckpoint()
-    fresh.select(IdCols.map(col): _*)
+    fresh.select(IdCols.map(col) :+ size(col("tags")).cast("long").as("n_tags"): _*)
       .write.mode("append").parquet(s"$path/metrics")
     fresh
       .select(col("tenant_id"), col("mtype"), col("metric"),
@@ -117,7 +119,7 @@ object TagIndex {
     val entries = spark.read.parquet(s"$path/entries")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tag_name").isin(keys: _*))
-    lazy val universe = spark.read.parquet(s"$path/metrics")
+    lazy val universe = spark.read.parquet(s"$path/metrics").select(IdCols.map(col): _*)
     def leaf(k: String, valuePred: Column): DataFrame =
       entries.filter(col("tag_name") === k && valuePred).select(IdCols.map(col): _*)
     def pat(p: String): Column = GraftFunctions.filterPattern(col("tag_value"), p)
@@ -136,6 +138,35 @@ object TagIndex {
       case Or(l, r) => ids(l).union(ids(r))
     }
     ids(ast).distinct()
+  }
+
+  /**
+   * Compact after append waves: entries merge back to one layout per
+   * bucket, metrics to a parallelism-sized set, both behind the shared
+   * crash-safe swap ([[AtomicSwap]]). Repairs the append path's crash
+   * window — a metric whose screen row landed (n_tags > 0) but whose
+   * entries never did is deregistered, so a replayed catalog batch
+   * lands it instead of no-opping forever. (A genuinely tag-less metric
+   * has n_tags = 0 and is kept.) Lookup answers are unchanged —
+   * spec-pinned.
+   */
+  def compact(spark: SparkSession, path: String): Unit = {
+    requireMeta(spark, path)
+    // pre-swap snapshot, lineage truncated (the swaps below must not
+    // recompute this against the post-swap store)
+    val indexedIds = spark.read.parquet(s"$path/entries")
+      .select(IdCols.map(col): _*).distinct()
+    val orphanIds = spark.read.parquet(s"$path/metrics")
+      .filter(col("n_tags") > 0)
+      .join(indexedIds, IdCols, "left_anti")
+      .select(IdCols.map(col): _*).localCheckpoint()
+    AtomicSwap.swapTable(spark, path, "entries")(df =>
+      df.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$path/.entries.compact"))
+    AtomicSwap.swapTable(spark, path, "metrics")(df =>
+      df.join(orphanIds, IdCols, "left_anti")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(s"$path/.metrics.compact"))
   }
 
   private def requireMeta(spark: SparkSession, path: String): Unit = {

@@ -19,7 +19,8 @@ class TagIndexSpec extends SparkTestBase {
       ("t1", 0, "m3", Map("type" -> "mem", "host" -> "b1", "zone" -> "us")),
       ("t1", 0, "m4", Map("type" -> "mem")),
       ("t1", 2, "m1", Map("type" -> "cpu", "host" -> "a9")), // same name, other type
-      ("t1", 0, "m5", Map("host" -> "c1"))                   // no 'type' tag
+      ("t1", 0, "m5", Map("host" -> "c1")),                  // no 'type' tag
+      ("t1", 0, "m6", Map.empty[String, String])             // genuinely tag-less
     ).toDF("tenant_id", "mtype", "metric", "tags")
   }
 
@@ -86,5 +87,34 @@ class TagIndexSpec extends SparkTestBase {
       .groupBy("tenant_id", "mtype", "metric", "tag_name").count()
       .filter(col("count") > 1).isEmpty, "replay must not double-index tags")
     assert(answers(path, "NOT type") == answers(rebuilt, "NOT type"))
+  }
+
+  test("compact: merges wave files without moving answers; deregisters the " +
+    "crash-orphan (screen row, no entries) but keeps the genuinely " +
+    "tag-less metric; a re-append of the lost batch then lands") {
+    val s = spark
+    import s.implicits._
+    val cat = catalogDf
+    val path = Files.createTempDirectory("graft-tagidx-cmp").toString
+    TagIndex.write(cat.filter(col("metric") =!= "m3"), path)
+    TagIndex.append(s, path, cat.filter(col("metric") === "m3"))
+    def answers(e: String) = TagIndex.lookup(s, path, e)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val before = Seq("type = mem", "NOT type", "host ~ '.*1'").map(e => e -> answers(e))
+    // simulate the documented crash window: screen row landed, entries
+    // did not (n_tags > 0 marks it as NOT tag-less)
+    Seq(("t1", 0, "m9", 2L)).toDF("tenant_id", "mtype", "metric", "n_tags")
+      .write.mode("append").parquet(s"$path/metrics")
+    TagIndex.compact(s, path)
+    before.foreach { case (e, a) => assert(answers(e) == a, s"expression: $e") }
+    val ids = s.read.parquet(s"$path/metrics").select("metric")
+      .collect().map(_.getString(0)).toSet
+    assert(!ids.contains("m9"), "crash orphan must deregister")
+    assert(ids.contains("m6"), "tag-less metric must survive compaction")
+    // the lost batch lands on re-append (screen no longer blocks it)
+    TagIndex.append(s, path,
+      Seq(("t1", 0, "m9", Map("type" -> "cpu", "zone" -> "ap")))
+        .toDF("tenant_id", "mtype", "metric", "tags"))
+    assert(answers("zone = ap").map(_._3) == Set("m9"))
   }
 }

@@ -35,16 +35,18 @@ import scala.jdk.CollectionConverters._
  *
  * One [[MetricsService]] is shared across tenants (tenant isolation is
  * the tenant_id column, exactly like the reference's single Cassandra
- * session) with a per-tenant [[RestRoutes]] view cache.
+ * session); the per-tenant [[RestRoutes]] view is a throwaway wrapper
+ * built per request.
  */
 class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
   import RestRoutes._
 
   private val svc = new MetricsService(spark, storageRoot)
-  private val routesByTenant =
-    new java.util.concurrent.ConcurrentHashMap[String, RestRoutes]()
+  // a RestRoutes view is a thin stateless wrapper — constructed per
+  // request rather than cached per tenant, so a client sweeping random
+  // Hawkular-Tenant header values cannot grow driver memory unboundedly
   private def routesFor(tenant: String): RestRoutes =
-    routesByTenant.computeIfAbsent(tenant, t => new RestRoutes(spark, svc, t))
+    new RestRoutes(spark, svc, tenant)
 
   private val mapper = new ObjectMapper
 
@@ -141,8 +143,16 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
   private def opt(n: JsonNode, f: String): Option[JsonNode] =
     Option(n.get(f)).filterNot(_.isNull)
   private def optStr(n: JsonNode, f: String): Option[String] = opt(n, f).map(_.asText)
-  private def optInt(n: JsonNode, f: String): Option[Int] = opt(n, f).map(_.asInt)
-  private def boolF(n: JsonNode, f: String): Boolean = opt(n, f).exists(_.asBoolean)
+  // STRICT numeric/boolean reads — Jackson's asInt/asLong/asBoolean
+  // coerce junk ("x" → 0) silently; the reference's databind path
+  // answers 400 for a mistyped field, so these must too
+  private def reqIntegral(n: JsonNode, what: String): Long =
+    if (n.isIntegralNumber) n.asLong else bad(s"$what must be an integer, got $n")
+  private def optInt(n: JsonNode, f: String): Option[Int] =
+    opt(n, f).map(v => reqIntegral(v, f).toInt)
+  private def boolF(n: JsonNode, f: String): Boolean = opt(n, f).exists { v =>
+    if (v.isBoolean) v.asBoolean else bad(s"$f must be a boolean, got $v")
+  }
   private def strMap(n: JsonNode): Map[String, String] =
     n.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
   private def arr(n: JsonNode): Seq[JsonNode] =
@@ -159,7 +169,8 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
 
   private def pointValue(n: JsonNode): PointValue =
     PointValue(
-      opt(n, "timestamp").map(_.asLong).getOrElse(bad("datapoint needs a timestamp")),
+      opt(n, "timestamp").map(reqIntegral(_, "timestamp"))
+        .getOrElse(bad("datapoint needs a timestamp")),
       scalar(opt(n, "value").getOrElse(bad("datapoint needs a value"))),
       opt(n, "tags").map(strMap).getOrElse(Map.empty))
 
@@ -193,7 +204,9 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       opt(n, "metrics").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
       BucketConfig(TimeRange(optStr(n, "start"), optStr(n, "end"), now),
         optInt(n, "buckets"), optStr(n, "bucketDuration").map(GDuration.parse)),
-      opt(n, "percentiles").map(a => arr(a).map(_.asDouble)).getOrElse(Seq.empty),
+      opt(n, "percentiles").map(a => arr(a).map(v =>
+        if (v.isNumber) v.asDouble else bad(s"percentile must be a number, got $v")))
+        .getOrElse(Seq.empty),
       boolF(n, "stacked"),
       optStr(n, "tags"))
 
@@ -206,7 +219,8 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       case ("POST", "tenants" :: Nil) =>
         TenantDefinition(optStr(n, "id").getOrElse(bad("tenant needs an id")),
           opt(n, "retentions").map(r =>
-            r.properties().asScala.map(e => e.getKey -> e.getValue.asInt).toMap)
+            r.properties().asScala
+              .map(e => e.getKey -> reqIntegral(e.getValue, "retention").toInt).toMap)
             .getOrElse(Map.empty))
       case ("POST", t :: Nil) if typed(t) || t == "metrics" => metricDefinition(n)
       case ("PUT", t :: _ :: "tags" :: Nil) if typed(t) => strMap(n)

@@ -511,12 +511,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       rest match {
         case Nil => Set("GET", "POST")
         // one segment: literal-wins (JAX-RS) — a literal route word at
-        // this position carries ONLY its own methods; everything else is
-        // the {id} template (GET/DELETE)
-        case x :: Nil =>
-          if (x == "raw" || x == "data") Set("POST")
-          else if (x == "stats") Set("GET")
-          else Set("GET", "DELETE")
+        // this position carries ONLY its own methods (ReservedOneSeg,
+        // the same table the {id} dispatch guards consult); everything
+        // else is the {id} template (GET/DELETE)
+        case x :: Nil => ReservedOneSeg.getOrElse(x, Set("GET", "DELETE"))
         case a :: b :: Nil =>
           var m = Set.empty[String]
           if (a == "tags") m += "GET"                             // tag-value discovery
@@ -561,9 +559,13 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     def unapply(s: String): Option[MetricType] = TypeSeg.get(s)
   }
 
-  /** One-segment literal route words that shadow the {id} template
-    * (JAX-RS literal-wins matching — see the GET/DELETE {id} cases). */
-  private val ReservedIdSeg = Set("raw", "data", "stats")
+  /** One-segment literal route words that shadow the {id} template, with
+    * the methods each literal carries (JAX-RS literal-wins matching) —
+    * the ONE table both the {id} dispatch guards and allowedMethods'
+    * one-segment branch derive from, so they cannot drift. */
+  private[api] val ReservedOneSeg: Map[String, Set[String]] =
+    Map("raw" -> Set("POST"), "data" -> Set("POST"), "stats" -> Set("GET"))
+  private val ReservedIdSeg: Set[String] = ReservedOneSeg.keySet
 
   private def mid(t: MetricType, id: String) = MetricId(tenant, t.code, id)
 

@@ -218,6 +218,10 @@ object Multimodal {
     val nf = readInt(); val w = readInt(); val h = readInt()
     if (nf <= 0 || w <= 0 || h <= 0 || i >= payload.length) return None
     i += 1 // the newline closing the header
+    // overflow guard (decodePpm's n/3/w check, long-math form): a hostile
+    // header like "30000 30000" would wrap w*h*3 negative and defeat the
+    // truncation check below — refuse instead of crashing the task
+    if (w.toLong * h * 3 > Int.MaxValue) return None
     val fs = w * h * 3
     if (payload.length - i < nf.toLong * fs) return None
     val frames = Vector.tabulate(nf)(k =>

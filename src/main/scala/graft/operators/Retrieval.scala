@@ -233,24 +233,16 @@ object Retrieval {
           .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
       }
       // corpus stats: one stored row + one batch row → new exact totals
-      // (add/old were captured before any write, against the pre-state)
+      // (add/old were captured before any write, against the pre-state),
+      // swapped through the SHARED crash-safe helper — it checks every
+      // rename and its recovery discipline restores a copy stranded at
+      // .corpusstats.old by a crash between the two renames
       import spark.implicits._
-      Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
-          old.getAs[Long]("dl_sum") + add.getAs[Long]("dl_sum")))
-        .toDF("n_docs", "dl_sum")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats_tmp")
-      // recoverable rename swap: live → _prev, tmp → live, drop _prev.
-      // A crash mid-swap always leaves at least one intact copy on disk
-      // (_prev and/or tmp) — never the delete-then-rename window where a
-      // crash loses corpusstats entirely.
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val live = new org.apache.hadoop.fs.Path(s"$path/corpusstats")
-      val prev = new org.apache.hadoop.fs.Path(s"$path/corpusstats_prev")
-      fs.delete(prev, true)
-      fs.rename(live, prev)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/corpusstats_tmp"), live)
-      fs.delete(prev, true)
+      graft.storage.AtomicSwap.swapTable(spark, path, "corpusstats")(_ =>
+        Seq((old.getAs[Long]("n_docs") + add.getAs[Long]("n_docs"),
+            old.getAs[Long]("dl_sum") + add.getAs[Long]("dl_sum")))
+          .toDF("n_docs", "dl_sum")
+          .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))
     } finally tf.unpersist() // checkpoint blocks; freed by the cleaner on GC otherwise
   }
 

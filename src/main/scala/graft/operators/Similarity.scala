@@ -350,6 +350,14 @@ object Similarity {
     // generically so float and double embedding columns both train
     val seeds = dropDegenerate(corpus.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        // cell ids are Ints; a seed vec_id past Int range would WRAP and
+        // silently collide/merge cells — fail loudly at the packing bound
+        require(r.getLong(0) <= Int.MaxValue,
+          s"seed vec_id ${r.getLong(0)} exceeds the Int cell-id range — " +
+            "remap ids below 2^31 before k-means training")
+        r
+      }
       .map(r => (r.getLong(0).toInt, r.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d

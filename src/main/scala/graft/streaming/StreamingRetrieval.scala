@@ -35,9 +35,12 @@ object StreamingRetrieval {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta")))
+        // the INDEX PATH's filesystem, not the default one — a scheme
+        // mismatch (hdfs default, file: index or vice versa) would make
+        // the probe answer false every trigger and silently rebuild
+        val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+        val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(meta))
           Retrieval.writeBm25Index(batch, indexPath)
         else Retrieval.appendToBm25Index(spark, indexPath, batch)
       }

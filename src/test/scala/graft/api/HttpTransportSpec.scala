@@ -113,6 +113,13 @@ class HttpTransportSpec extends SparkTestBase
     val (malformed, m3) = call("POST", "/gauges/g1/raw", Some("t-http"),
       Some("""[{"timestamp":100""")) // truncated JSON
     assert(malformed == 400 && m3.contains("malformed"))
+    // STRICT coercion: a mistyped numeric field is 400, never a silent 0
+    val (mistyped, m4) = call("POST", "/gauges/g1/raw", Some("t-http"),
+      Some("""[{"timestamp":"not-a-time","value":1.0}]"""))
+    assert(mistyped == 400 && m4.contains("integer"))
+    val (badBuckets, m5) = call("POST", "/gauges/stats/query", Some("t-http"),
+      Some("""{"metrics":["g1"],"start":"1","end":"300","buckets":"x"}"""))
+    assert(badBuckets == 400 && m5.contains("integer"))
   }
 
   test("mixed-type stats query + stats batch over the wire: the EP2 body " +

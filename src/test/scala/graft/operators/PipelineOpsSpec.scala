@@ -868,6 +868,8 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(v.nFrames == 3 && v.width == 1 && v.height == 1)
     assert(v.frames(1).toSeq == Seq[Byte](4, 5, 6))
     assert(Multimodal.demuxVideo(payload.dropRight(1)).isEmpty) // truncated
+    // hostile geometry: w*h*3 wraps Int — must refuse, not crash the task
+    assert(Multimodal.demuxVideo("GV1\n1 30000 30000\nxx".getBytes("UTF-8")).isEmpty)
     val media = Seq((9L, payload, "video")).toDF("doc_id", "payload", "modality")
     val got = Multimodal.sampleVideoFrames(media, everyNth = 2)
       .collect().sortBy(_.frame_idx)

@@ -3941,11 +3941,11 @@ object SparkEntry {
            |        md5(substr(text, CAST(g.i * 64 + 1 AS BIGINT), 64)) AS fm
            |      FROM v, LATERAL (SELECT unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i) g
            |      WHERE g.i % 2 = 0),
-           |fe AS (SELECT doc_id * 1000 + frame_idx AS vec_id, $emb AS e
-           |       FROM f WHERE frame_idx < 1000),
+           |fe AS (SELECT doc_id * 4294967296 + frame_idx AS vec_id, $emb AS e
+           |       FROM f),
            |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM fe),
-           |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, e AS ce,
-           |         sqrt(list_dot_product(e, e)) AS cnrm FROM fe
+           |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS INTEGER) - 1 AS cell,
+           |         e AS ce, sqrt(list_dot_product(e, e)) AS cnrm FROM fe
            |       QUALIFY row_number() OVER (ORDER BY vec_id ASC) <= 4),
            |a1 AS (SELECT vec_id, e, cell FROM (
            |         SELECT v.vec_id, v.e, s.cell,
@@ -3972,7 +3972,8 @@ object SparkEntry {
            |           row_number() OVER (PARTITION BY v.vec_id
            |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
            |         FROM n v CROSS JOIN c2n s) WHERE rn = 1),
-           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM af WHERE vec_id < 30000),
+           |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM af
+           |      WHERE vec_id < 30 * 4294967296),
            |pr AS (SELECT query_id, qe, qn, cell FROM (
            |         SELECT q.query_id, q.qe, q.qn, s.cell,
            |           row_number() OVER (PARTITION BY q.query_id
@@ -3985,8 +3986,8 @@ object SparkEntry {
            |r AS (SELECT *, row_number() OVER
            |        (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
            |      FROM sc)
-           |SELECT query_id // 1000 AS q_doc, query_id % 1000 AS q_frame,
-           |       neighbor_id // 1000 AS doc_id, neighbor_id % 1000 AS frame_idx,
+           |SELECT query_id // 4294967296 AS q_doc, query_id % 4294967296 AS q_frame,
+           |       neighbor_id // 4294967296 AS doc_id, neighbor_id % 4294967296 AS frame_idx,
            |       round(cosine, 6) AS cosine
            |FROM r WHERE rnk <= 5""".stripMargin
       }),

@@ -51,14 +51,18 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
   private val mapper = new ObjectMapper
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  // HttpServer does NOT own a caller-provided executor: stop() must shut
+  // it down too, or every transport instance leaks 4 non-daemon threads
+  // that keep the JVM alive after stop()
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
   server.createContext("/", (exchange: HttpExchange) => handle(exchange))
 
   /** Bound port (useful when constructed with port = 0). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): HttpTransport = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // ------------------------------------------------------------------
   // request handling
@@ -73,7 +77,14 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
         case "m" :: rest => "metrics" :: rest
         case s => s
       }
+      // blank/whitespace header values count as MISSING, matching the
+      // reference's TenantFilter (tenant.trim().isEmpty() → 400)
       val tenantHeader = Option(ex.getRequestHeaders.getFirst("Hawkular-Tenant"))
+        .filter(_.trim.nonEmpty)
+      // exemptions = the reference TenantFilter set (root, /tenants,
+      // /status) plus this table's extra tenant-less meta routes /ping
+      // and /admin/status, which have no tenant axis by construction —
+      // a DELIBERATE widening, not drift
       val needsTenant = segs match {
         case Nil => false
         case "ping" :: _ | "status" :: _ | "admin" :: _ | "tenants" :: _ => false
@@ -245,7 +256,11 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
           optInt(n, "buckets"), optStr(n, "bucketDuration"),
           optStr(n, "percentiles"))
       case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil) =>
-        arr(n).map(statsRequest(_, System.currentTimeMillis()))
+        // ONE `now` per request: defaulted start/end ranges across the
+        // batch must resolve against the same instant (the reference
+        // captures a single now per request, not per element)
+        val now = System.currentTimeMillis()
+        arr(n).map(statsRequest(_, now))
       case _ => n
     }
   }

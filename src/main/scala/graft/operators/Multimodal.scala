@@ -360,24 +360,22 @@ object Multimodal {
    * partitioning and the query probes, so a query scores only its
    * `nprobe` cells instead of the whole frame corpus (the labeled exact
    * baseline's crossJoin). Frame identity packs into one key
-   * (doc_id·1000 + frame_idx, frames ≥ the packing bound filtered out
-   * loudly on both sides) so the shared Similarity machinery — seeding,
-   * deterministic Lloyd, cell assignment, probe ranking — applies
-   * verbatim with `dim = dims`.
+   * (`doc_id << 32 | frame_idx`): frame_idx derives from a payload whose
+   * length is a JVM Int, so it is always < 2³¹ and the 32-bit packing
+   * can NEVER drop a frame — no bound filter, no silent loss.
    */
   def frameSearchIvf(media: DataFrame, maxQueryDoc: Long = 30L, k: Int = 5,
                      frameBytes: Int = 64, everyNth: Int = 2, dims: Int = 8,
                      kCells: Int = 4, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val emb = frameEmbeddings(media, frameBytes, everyNth, dims)
-      .filter(col("frame_idx") < 1000) // the id-packing bound (64 KB payloads)
-      .select((col("doc_id") * lit(1000L) + col("frame_idx")).as("vec_id"),
+      .select((shiftleft(col("doc_id"), 32) + col("frame_idx")).as("vec_id"),
         col("embedding"))
-    val queries = emb.filter(col("vec_id") < maxQueryDoc * 1000L)
+    val queries = emb.filter(col("vec_id") < maxQueryDoc * (1L << 32))
     Similarity.ivfKmeansTopK(emb, queries, k, nprobe, kCells, iters, dim = dims)
-      .select(expr("query_id div 1000").as("q_doc"),
-        pmod(col("query_id"), lit(1000L)).as("q_frame"),
-        expr("neighbor_id div 1000").as("doc_id"),
-        pmod(col("neighbor_id"), lit(1000L)).as("frame_idx"),
+      .select(shiftrightunsigned(col("query_id"), 32).as("q_doc"),
+        (col("query_id").bitwiseAND(lit(0xFFFFFFFFL))).as("q_frame"),
+        shiftrightunsigned(col("neighbor_id"), 32).as("doc_id"),
+        (col("neighbor_id").bitwiseAND(lit(0xFFFFFFFFL))).as("frame_idx"),
         round(col("cosine"), 6).as("cosine"))
   }
 

@@ -346,24 +346,22 @@ object Similarity {
     val base = withNorm(corpus.select(col("vec_id"), dvec("embedding").as("v")), "v")
     // the k LOWEST vec_ids seed (orderBy+limit — equals the historical
     // `vec_id < k` filter when ids are dense from 0, and stays correct
-    // for sparse id spaces like packed frame keys); elements read
-    // generically so float and double embedding columns both train
+    // for sparse id spaces like packed frame keys); the CELL LABEL is the
+    // seed's RANK in that ordering, not the vec_id itself — ranks fit any
+    // Int k regardless of the id space (64-bit packed frame keys would
+    // overflow an Int label), and for dense-from-0 corpora rank == vec_id
+    // so historical labels (e.g. semdedup's `cell` output) are unchanged.
+    // Elements read generically so float and double embeddings both train
     val seeds = dropDegenerate(corpus.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id"), col("embedding")).collect()
-      .map { r =>
-        // cell ids are Ints; a seed vec_id past Int range would WRAP and
-        // silently collide/merge cells — fail loudly at the packing bound
-        require(r.getLong(0) <= Int.MaxValue,
-          s"seed vec_id ${r.getLong(0)} exceeds the Int cell-id range — " +
-            "remap ids below 2^31 before k-means training")
-        r
-      }
-      .map(r => (r.getLong(0).toInt, r.getSeq[Any](1).map {
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, rank) => (rank, r.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d
         case other => throw new IllegalArgumentException(s"bad embedding element $other")
-      }.toArray))
-      .sortBy(_._1).toSeq)
+      }.toArray) }
+      .toSeq)
     require(seeds.nonEmpty, s"k-means needs non-zero corpus vectors among the $k lowest vec_ids")
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       val assigned = base.withColumn("cell", assignCell(cents, "v", "nrm"))

@@ -13,8 +13,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - a failed second rename rolls `.old` back so the store stays
  *    servable.
  * Never read-and-overwrite in place (the GraftStorage.compact rule).
+ *
+ * ==Atomicity assumptions — READ BEFORE POINTING THIS AT AN OBJECT STORE==
+ *
+ * 1. '''`FileSystem.rename` must be atomic.''' It is on HDFS and local
+ *    filesystems (a metadata move). On S3A / GCS connectors, rename is a
+ *    COPY + DELETE — non-atomic and O(data) — so the crash-window
+ *    reasoning above does not hold there: a crash mid-"rename" can leave
+ *    a partial copy at both paths. [[swapTable]] logs a warning when the
+ *    resolved scheme is a known copy-rename store ([[nonAtomicRenameWarning]]);
+ *    on such stores, use a committer-based swap instead (write to a new
+ *    versioned prefix and flip a pointer file, or the S3A magic
+ *    committer's task-commit semantics) rather than this helper.
+ * 2. '''Single writer, no concurrent reader during the swap.''' Between
+ *    the two renames, the live path briefly does not exist; a serving
+ *    read that lists the path inside that window fails with
+ *    missing-path. Callers (all three index compactions) are
+ *    maintenance jobs assumed to run while serving is quiesced — a
+ *    reader that must stay up during compaction should retry via the
+ *    `.{table}.old` recovery path on missing-path, or serve from a
+ *    snapshot taken before the compaction started.
  */
 object AtomicSwap {
+
+  /** Rename on these schemes is copy+delete (non-atomic, O(data)) — the
+    * crash-safety contract of [[swapTable]] does not hold there. */
+  private val copyRenameSchemes = Set("s3a", "s3n", "s3", "gs", "wasb", "abfs", "abfss", "oss")
+
+  /** The warning emitted (and returned, for tests) when `scheme` is a
+    * known copy-rename object store; None on rename-atomic filesystems. */
+  def nonAtomicRenameWarning(scheme: String, table: String): Option[String] =
+    if (copyRenameSchemes.contains(scheme.toLowerCase))
+      Some(s"AtomicSwap on '$scheme' for table '$table': rename is copy+delete on this " +
+        "store (non-atomic); the crash-safe swap contract does NOT hold. Use a " +
+        "committer-based swap (versioned prefix + pointer flip) on object stores.")
+    else None
 
   /** `rewrite` receives the live table and must write its replacement to
     * `$path/.$table.compact`. */
@@ -22,6 +55,8 @@ object AtomicSwap {
                (rewrite: DataFrame => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    nonAtomicRenameWarning(fs.getScheme, table)
+      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
     val live = new org.apache.hadoop.fs.Path(s"$path/$table")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
     val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")

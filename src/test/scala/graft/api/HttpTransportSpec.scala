@@ -56,6 +56,9 @@ class HttpTransportSpec extends SparkTestBase
     assert(ping == 200)
     val (noTenant, msg) = call("GET", "/gauges/g1/raw")
     assert(noTenant == 400 && msg.contains("Hawkular-Tenant"))
+    // blank/whitespace header ≡ missing (reference TenantFilter trims)
+    val (blank, blankMsg) = call("GET", "/gauges/g1/raw", Some("   "))
+    assert(blank == 400 && blankMsg.contains("Hawkular-Tenant"))
   }
 
   test("full lifecycle over HTTP: create tenant + metric, 409 on duplicate, " +

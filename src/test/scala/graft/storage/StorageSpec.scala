@@ -302,4 +302,13 @@ class StorageSpec extends SparkTestBase {
     assert(leftover.isEmpty,
       s"deleted raw data must not survive in the rollup tier: ${leftover.mkString(",")}")
   }
+
+  test("AtomicSwap warns on copy-rename object-store schemes and stays " +
+    "silent on rename-atomic filesystems") {
+    for (s <- Seq("s3a", "S3A", "gs", "abfs"))
+      assert(AtomicSwap.nonAtomicRenameWarning(s, "t").exists(_.contains("non-atomic")),
+        s"scheme $s must warn")
+    for (s <- Seq("file", "hdfs", "viewfs"))
+      assert(AtomicSwap.nonAtomicRenameWarning(s, "t").isEmpty, s"scheme $s must not warn")
+  }
 }

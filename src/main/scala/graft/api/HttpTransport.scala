@@ -105,7 +105,11 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
         result match {
           case Ok(df) =>
             val rows = df.toJSON.collect() // response-sized: the serialization boundary
-            respond(ex, 200, rows.mkString("[", ",", "]"))
+            // the reference maps EVERY empty collection/map result to 204
+            // No Content (ApiUtils.java:38-43 collectionToResponse/
+            // mapToResponse) — an empty 200 [] never leaves the server
+            if (rows.isEmpty) respond(ex, 204, "")
+            else respond(ex, 200, rows.mkString("[", ",", "]"))
           case NoContent => respond(ex, 204, "")
           case ApiError(status, message) => respond(ex, status, errorJson(message))
         }
@@ -141,7 +145,11 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
           case Array(k) => Some(dec(k) -> "")
           case _ => None
         }
-      }.toMap
+      }
+      // JAX-RS List<String> params repeat the key (metrics=G1&metrics=G2);
+      // the route table splits on commas — merge repeats into one CSV so
+      // both encodings work, like the reference container
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).mkString(",") }
   private def dec(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   // ------------------------------------------------------------------

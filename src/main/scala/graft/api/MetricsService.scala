@@ -622,10 +622,15 @@ class MetricsService(spark: SparkSession, root: String) {
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     catch { case _: org.apache.spark.sql.AnalysisException => None } // no tenants written yet
 
-  /** Tagged variant (A6): group by per-point tag-value combinations. */
+  /** Tagged variant (A6): group by per-point tag-value combinations over
+    * the requested time range (GaugeHandler's stats-by-tags route carries
+    * the usual start/end query params — GaugeMetricStatisticsITest
+    * .findTaggedBuckets:1059-1063 passes them explicitly). */
   def findGaugeStats(id: MetricId, tags: Map[String, String],
-                     percentiles: Seq[Double]): DataFrame =
-    MetricsOps.taggedStats(series(id), tags, percentiles)
+                     percentiles: Seq[Double],
+                     start: Long = Long.MinValue, end: Long = Long.MaxValue): DataFrame =
+    MetricsOps.taggedStats(
+      series(id).filter(col("time") >= start && col("time") < end), tags, percentiles)
 
   /** A4/A5 — multi-metric stats over an explicit id list. */
   def findNumericStats(tenantId: String, mtype: MetricType, ids: Seq[String],
@@ -844,8 +849,11 @@ class MetricsService(spark: SparkSession, root: String) {
 
   /** Counter tagged stats (A6 for counters, MetricsService.java:307). */
   def findCounterStats(id: MetricId, tags: Map[String, String],
-                       percentiles: Seq[Double]): DataFrame =
-    MetricsOps.taggedStats(series(id), tags, percentiles, valueCol = "l_value")
+                       percentiles: Seq[Double],
+                       start: Long = Long.MinValue, end: Long = Long.MaxValue): DataFrame =
+    MetricsOps.taggedStats(
+      series(id).filter(col("time") >= start && col("time") < end), tags, percentiles,
+      valueCol = "l_value")
 
   /** String fetch: unlike availability, the reference applies `limit` to
     * the RAW fetch and distincts the limited page

@@ -431,10 +431,14 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     case ("GET", Seg(t) :: id :: "stats" :: "tags" :: tags :: Nil)
         if t == MetricType.Gauge || t == MetricType.Counter =>
       val pcts = percentilesOf(params.get("percentiles"))
+      // same default window as every fetch route (now-8h .. now) — the
+      // reference's stats-by-tags handler takes the ordinary start/end
+      // params (GaugeMetricStatisticsITest.findTaggedBuckets:1059-1063)
+      val (start, end) = resolvedRange(params, now)
       val stats =
         if (t == MetricType.Gauge)
-          svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles)
-        else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles)
+          svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles, start, end)
+        else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles, start, end)
       Ok(renamePcts(stats, pcts))
     case ("GET", "gauges" :: id :: "periods" :: Nil) =>
       val (start, end) = resolvedRange(params, now)

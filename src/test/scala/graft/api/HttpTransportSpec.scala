@@ -1,10 +1,6 @@
 package graft.api
 
 import graft.SparkTestBase
-import java.io.{ByteArrayOutputStream, InputStream}
-import java.net.{HttpURLConnection, URI}
-import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 
 /**
  * The HTTP layer end-to-end over real sockets: the Groovy REST-ITest
@@ -12,44 +8,7 @@ import java.nio.file.Files
  * status codes, POST ≡ GET) driven with plain HttpURLConnection against
  * the JDK HttpServer transport.
  */
-class HttpTransportSpec extends SparkTestBase
-    with org.scalatest.BeforeAndAfterAll {
-
-  private var transport: HttpTransport = _
-  private def base = s"http://127.0.0.1:${transport.boundPort}"
-
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    transport = new HttpTransport(spark,
-      Files.createTempDirectory("graft-http").toString).start()
-  }
-
-  override def afterAll(): Unit = {
-    if (transport != null) transport.stop()
-    super.afterAll()
-  }
-
-  private def call(method: String, path: String, tenant: Option[String] = None,
-                   body: Option[String] = None): (Int, String) = {
-    val conn = URI.create(base + path).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod(method)
-    tenant.foreach(t => conn.setRequestProperty("Hawkular-Tenant", t))
-    body.foreach { b =>
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/json")
-      conn.getOutputStream.write(b.getBytes(StandardCharsets.UTF_8))
-    }
-    val status = conn.getResponseCode
-    def drain(in: InputStream): String =
-      if (in == null) ""
-      else {
-        val bos = new ByteArrayOutputStream()
-        in.transferTo(bos); in.close()
-        new String(bos.toByteArray, StandardCharsets.UTF_8)
-      }
-    val text = drain(if (status >= 400) conn.getErrorStream else conn.getInputStream)
-    (status, text)
-  }
+class HttpTransportSpec extends SparkTestBase with HttpSpecSupport {
 
   test("liveness routes answer without a tenant header; data routes 400 without it") {
     val (ping, _) = call("GET", "/ping")

@@ -628,7 +628,7 @@ class MetricsService(spark: SparkSession, root: String) {
     * .findTaggedBuckets:1059-1063 passes them explicitly). */
   def findGaugeStats(id: MetricId, tags: Map[String, String],
                      percentiles: Seq[Double],
-                     start: Long = Long.MinValue, end: Long = Long.MaxValue): DataFrame =
+                     start: Long, end: Long): DataFrame =
     MetricsOps.taggedStats(
       series(id).filter(col("time") >= start && col("time") < end), tags, percentiles)
 
@@ -850,7 +850,7 @@ class MetricsService(spark: SparkSession, root: String) {
   /** Counter tagged stats (A6 for counters, MetricsService.java:307). */
   def findCounterStats(id: MetricId, tags: Map[String, String],
                        percentiles: Seq[Double],
-                       start: Long = Long.MinValue, end: Long = Long.MaxValue): DataFrame =
+                       start: Long, end: Long): DataFrame =
     MetricsOps.taggedStats(
       series(id).filter(col("time") >= start && col("time") < end), tags, percentiles,
       valueCol = "l_value")

@@ -433,12 +433,14 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       val pcts = percentilesOf(params.get("percentiles"))
       // same default window as every fetch route (now-8h .. now) — the
       // reference's stats-by-tags handler takes the ordinary start/end
-      // params (GaugeMetricStatisticsITest.findTaggedBuckets:1059-1063)
-      val (start, end) = resolvedRange(params, now)
+      // params (GaugeMetricStatisticsITest.findTaggedBuckets:1059-1063).
+      // No order-defaulting rule applies here, so resolve absent params
+      // to the default window (unlike resolvedRange, which keeps absence).
+      val r = TimeRange(params.get("start"), params.get("end"), now)
       val stats =
         if (t == MetricType.Gauge)
-          svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles, start, end)
-        else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles, start, end)
+          svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles, r.start, r.end)
+        else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles, r.start, r.end)
       Ok(renamePcts(stats, pcts))
     case ("GET", "gauges" :: id :: "periods" :: Nil) =>
       val (start, end) = resolvedRange(params, now)

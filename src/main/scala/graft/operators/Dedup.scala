@@ -400,12 +400,12 @@ object Dedup {
     // build params persist with the store: lookups and appends with
     // mismatched parameters would compute incompatible hashes and
     // silently return near-empty results — validated instead
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq((shingleK, bands, rowsPerBand))
-      .toDF("shingle_k", "bands", "rows_per_band")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.storage.IndexStore.writeMeta(docs.sparkSession, path,
+      metaFields(shingleK, bands, rowsPerBand))
   }
+
+  private def metaFields(shingleK: Int, bands: Int, rowsPerBand: Int): Seq[(String, Int)] =
+    Seq("shingle_k" -> shingleK, "bands" -> bands, "rows_per_band" -> rowsPerBand)
 
   /** The four-table write sequence shared by build and append (one
     * shingle-hash pass feeds all four; only the SaveMode differs — a
@@ -425,10 +425,10 @@ object Dedup {
       // write task fans out a file into every bucket directory
       // (tasks×buckets small files; measured to dominate build cost);
       // with it each bucket's rows land together (file count ∝ buckets)
-      lshBands(sig, bands, rowsPerBand)
-        .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int"))
-        .repartition(col("bucket"))
-        .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+      graft.storage.IndexStore.writeBucketed(
+        lshBands(sig, bands, rowsPerBand)
+          .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int")),
+        path, "bands", overwrite)
       sig.write.mode(mode).parquet(s"$path/signatures")
       sig.unpersist()
       sh.write.mode(mode).parquet(s"$path/shingles")
@@ -453,26 +453,17 @@ object Dedup {
    * index tier.
    */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    def swap(table: String)(rewrite: DataFrame => Unit): Unit =
-      graft.storage.AtomicSwap.swapTable(spark, path, table)(rewrite)
-    swap("bands")(df => df.repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$path/.bands.compact"))
-    Seq("signatures", "shingles", "sizes").foreach { t =>
-      swap(t)(df => df.repartition(spark.sparkContext.defaultParallelism)
-        .write.parquet(s"$path/.$t.compact"))
-    }
+    graft.storage.IndexStore.compactBucketed(spark, path, "bands")
+    Seq("signatures", "shingles", "sizes").foreach(
+      graft.storage.IndexStore.compactFlat(spark, path, _))
   }
 
   /** Fail fast when a caller's parameters disagree with the store's —
     * mismatched shingleK/bands/rowsPerBand would hash into nothing. */
   private def requireIndexParams(spark: org.apache.spark.sql.SparkSession, path: String,
-                                 shingleK: Int, bands: Int, rowsPerBand: Int): Unit = {
-    val m = spark.read.parquet(s"$path/meta").collect().head
-    val stored = (m.getInt(0), m.getInt(1), m.getInt(2))
-    require(stored == ((shingleK, bands, rowsPerBand)),
-      s"index at $path was built with (shingleK, bands, rowsPerBand)=$stored, " +
-        s"caller passed (${shingleK}, ${bands}, ${rowsPerBand})")
-  }
+                                 shingleK: Int, bands: Int, rowsPerBand: Int): Unit =
+    graft.storage.IndexStore.requireMeta(spark, path,
+      metaFields(shingleK, bands, rowsPerBand))
 
   /**
    * Incremental index maintenance — screen an arriving batch against the
@@ -515,8 +506,7 @@ object Dedup {
     // screen first — materialize the decision rows before mutating the store
     val screened = nearDupLookup(spark, path, batch, shingleK, threshold,
       bands, rowsPerBand).localCheckpoint(true)
-    val storedIds = spark.read.parquet(s"$path/sizes").select(col("doc_id"))
-    val fresh = batch.join(storedIds, Seq("doc_id"), "left_anti")
+    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "sizes", Seq("doc_id"))
     val admitted =
       if (dropMatched)
         fresh.join(screened.select(col("query_id").as("doc_id")).distinct(),

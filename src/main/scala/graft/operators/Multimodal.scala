@@ -368,7 +368,7 @@ object Multimodal {
                      frameBytes: Int = 64, everyNth: Int = 2, dims: Int = 8,
                      kCells: Int = 4, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val emb = frameEmbeddings(media, frameBytes, everyNth, dims)
-      .select((shiftleft(col("doc_id"), 32) + col("frame_idx")).as("vec_id"),
+      .select((shiftleft(col("doc_id").cast("long"), 32) + col("frame_idx")).as("vec_id"),
         col("embedding"))
     val queries = emb.filter(col("vec_id") < maxQueryDoc * (1L << 32))
     Similarity.ivfKmeansTopK(emb, queries, k, nprobe, kCells, iters, dim = dims)

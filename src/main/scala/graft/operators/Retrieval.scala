@@ -133,23 +133,20 @@ object Retrieval {
       .withColumn("bucket", tokenBucket(col("token"))).cache()
     tf.count() // materialize eagerly — two writers + df read it
     try {
-      // repartition ON the partition column (file count ∝ buckets, not
-      // tasks×buckets — the writeNearDupIndex lesson)
-      tf.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-      tf.groupBy(col("token"), col("bucket"))
-        .agg(count(lit(1)).cast("long").as("df"))
-        .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokenstats")
+      // bucketed writes via the shared lifecycle (file count ∝ buckets,
+      // not tasks×buckets — IndexStore primitive 3)
+      graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = true)
+      graft.storage.IndexStore.writeBucketed(
+        tf.groupBy(col("token"), col("bucket"))
+          .agg(count(lit(1)).cast("long").as("df")),
+        path, "tokenstats", overwrite = true)
       docs.agg(count(lit(1)).cast("long").as("n_docs"),
           sum(size(words).cast("long")).as("dl_sum"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats")
       // per-doc lengths: the append path's id screen + stats inputs
       docs.select(col("doc_id"), size(words).cast("long").as("dl"))
         .write.mode("overwrite").parquet(s"$path/docstats")
-      import spark.implicits._
-      Seq(IndexBuckets).toDF("buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      graft.storage.IndexStore.writeMeta(spark, path, Seq("buckets" -> IndexBuckets))
     } finally tf.unpersist()
   }
 
@@ -180,11 +177,8 @@ object Retrieval {
    */
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                         batch: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
-      s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
-    val storedIds = spark.read.parquet(s"$path/docstats").select(col("doc_id"))
-    val fresh = batch.join(storedIds, Seq("doc_id"), "left_anti")
+    graft.storage.IndexStore.requireMeta(spark, path, Seq("buckets" -> IndexBuckets))
+    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "docstats", Seq("doc_id"))
     // localCheckpoint, NOT cache: it must (a) resolve the anti-join against
     // the PRE-append store, and (b) survive the docstats append below —
     // a cached plan still references the docstats path, and Spark's
@@ -229,8 +223,7 @@ object Retrieval {
         try merged.repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokenstats")
         finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
-        tf.repartition(col("bucket"))
-          .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+        graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = false)
       }
       // corpus stats: one stored row + one batch row → new exact totals
       // (add/old were captured before any write, against the pre-state),
@@ -264,11 +257,8 @@ object Retrieval {
    * lands it.
    */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
-      s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
-    def swap(table: String)(rewrite: DataFrame => Unit): Unit =
-      graft.storage.AtomicSwap.swapTable(spark, path, table)(rewrite)
+    import graft.storage.IndexStore
+    IndexStore.requireMeta(spark, path, Seq("buckets" -> IndexBuckets))
     // orphan detection runs against the PRE-compaction store: docs the
     // append crash window registered without landing their postings
     // (pre-swap snapshot, lineage truncated so the swaps below cannot
@@ -279,28 +269,24 @@ object Retrieval {
       .filter(col("dl") > 0)
       .join(postedIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id")).localCheckpoint()
-    swap("postings")(df => df.repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$path/.postings.compact"))
-    swap("tokenstats")(df => df.repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$path/.tokenstats.compact"))
-    swap("docstats")(df => df.join(orphanIds, Seq("doc_id"), "left_anti")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.parquet(s"$path/.docstats.compact"))
+    IndexStore.compactBucketed(spark, path, "postings")
+    IndexStore.compactBucketed(spark, path, "tokenstats")
+    IndexStore.compactFlat(spark, path, "docstats",
+      _.join(orphanIds, Seq("doc_id"), "left_anti"))
     // corpusstats REBUILDS from the repaired docstats — the invariant is
     // corpusstats ≡ aggregate(docstats), which also heals the other
     // crash window (postings landed, corpusstats write never ran)
-    swap("corpusstats")(_ => spark.read.parquet(s"$path/docstats")
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
-      .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))
+    graft.storage.AtomicSwap.swapTable(spark, path, "corpusstats")(_ =>
+      spark.read.parquet(s"$path/docstats")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
+        .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))
   }
 
   def bm25StoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").collect()
-    require(meta.length == 1 && meta(0).getAs[Int]("buckets") == IndexBuckets,
-      s"stored index bucket count ${meta.headOption.map(_.get(0))} != $IndexBuckets")
+    graft.storage.IndexStore.requireMeta(spark, path, Seq("buckets" -> IndexBuckets))
     val qterms = queries
       .select(col("query_id"), explode(array_distinct(col("terms"))).as("token"))
     val qtb = qterms.select(col("token")).distinct()

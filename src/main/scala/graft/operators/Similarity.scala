@@ -351,6 +351,15 @@ object Similarity {
     // Int k regardless of the id space (64-bit packed frame keys would
     // overflow an Int label), and for dense-from-0 corpora rank == vec_id
     // so historical labels (e.g. semdedup's `cell` output) are unchanged.
+    // NOTE on dropDegenerate ordering: ranks are assigned BEFORE the
+    // degenerate-seed drop, so a zero-norm seed leaves a GAP in cell ids
+    // rather than renumbering later seeds — deliberate, because the SQL
+    // oracles label cells by seed rank (or vec_id) over ALL k lowest ids
+    // and would renumber nothing either. The sides diverge only if a seed
+    // embedding is exactly zero-norm, which the oracle corpora cannot
+    // produce: embeddings.parquet vectors are non-degenerate by
+    // construction and frame embeddings derive from md5 hex digits
+    // (at least one digit position is nonzero for any input).
     // Elements read generically so float and double embeddings both train
     val seeds = dropDegenerate(corpus.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id"), col("embedding")).collect()
@@ -432,8 +441,7 @@ object Similarity {
                        batch: DataFrame): Unit = {
     val model = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-    val storedIds = spark.read.parquet(s"$path/vectors").select(col("vec_id"))
-    val fresh = batch.join(storedIds, Seq("vec_id"), "left_anti")
+    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
     withNorm(fresh.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
       .select("vec_id", "embedding", "cell")

@@ -55,7 +55,10 @@ object AtomicSwap {
                (rewrite: DataFrame => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    nonAtomicRenameWarning(fs.getScheme, table)
+    // getScheme throws UnsupportedOperationException in FileSystem's base
+    // class — the advisory probe must never be able to break the swap
+    scala.util.Try(fs.getScheme).toOption
+      .flatMap(nonAtomicRenameWarning(_, table))
       .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
     val live = new org.apache.hadoop.fs.Path(s"$path/$table")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")

@@ -1,0 +1,92 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The shared lifecycle primitives every persisted index tier composes —
+ * near-dup (operators/Dedup), BM25 (operators/Retrieval), and the tag
+ * index ([[TagIndex]]) all run the same five disciplines, extracted here
+ * so the fourth index doesn't hand-copy them a fourth time:
+ *
+ *  1. **meta guard** — build parameters persist with the store as a
+ *     single-row table; every probe/append/compact validates them first,
+ *     because a caller with mismatched parameters (bucket modulus,
+ *     hash family sizes) computes incompatible keys and silently
+ *     returns near-empty results. Fail loudly instead.
+ *  2. **replay screen** — appends anti-join the batch against an id
+ *     table that is written FIRST, so a replayed batch is a no-op and a
+ *     crash mid-append under-applies (repairable by compaction) rather
+ *     than double-applying (unrepairable). See appendToBm25Index's
+ *     ordering note.
+ *  3. **bucketed writes** — bucket-partitioned tables repartition ON the
+ *     partition column before `partitionBy`, so file count ∝ buckets,
+ *     not tasks×buckets (measured to dominate build cost otherwise).
+ *  4. **crash-safe compaction** — each table rewrites to a temp
+ *     directory and swaps in via [[AtomicSwap]]'s double rename; a
+ *     crash at any point leaves a servable or recoverable copy.
+ *  5. **static bucket pruning on serve** — the query's bucket list is
+ *     model-sized, collected, and pushed as a plan-time
+ *     `bucket IN (...)` partition filter (DPP would not fire: query
+ *     frames are LocalRelations with no selective scan to reuse).
+ *
+ * The payload math (what the tables contain, how appends merge) stays
+ * with each index — only the lifecycle mechanics live here.
+ */
+object IndexStore {
+
+  /** Persist build parameters as the store's single-row meta table. */
+  def writeMeta(spark: SparkSession, path: String, fields: Seq[(String, Int)]): Unit = {
+    val row = org.apache.spark.sql.Row.fromSeq(fields.map(_._2))
+    val schema = org.apache.spark.sql.types.StructType(fields.map { case (n, _) =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.IntegerType,
+        nullable = false)
+    })
+    spark.createDataFrame(java.util.List.of(row), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fail fast when a caller's parameters disagree with the store's. */
+  def requireMeta(spark: SparkSession, path: String, expected: Seq[(String, Int)]): Unit = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.length == 1, s"index meta at $path/meta must be one row, found ${rows.length}")
+    val stored = expected.map { case (n, _) => n -> rows(0).getAs[Int](n) }
+    require(stored == expected,
+      s"index at $path was built with ${stored.mkString(", ")}; " +
+        s"caller passed ${expected.mkString(", ")}")
+  }
+
+  /** Batch rows whose key is absent from the store's screen table —
+    * the replay-idempotency anti-join (primitive 2). The caller writes
+    * its screen rows for the surviving batch FIRST, then the payload
+    * tables. */
+  def screenFresh(batch: DataFrame, path: String, screenTable: String,
+                  keyCols: Seq[String]): DataFrame =
+    batch.join(
+      batch.sparkSession.read.parquet(s"$path/$screenTable")
+        .select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+
+  /** Bucket-partitioned write with the file-count discipline
+    * (primitive 3): repartition on the partition column first. */
+  def writeBucketed(df: DataFrame, path: String, table: String, overwrite: Boolean): Unit =
+    df.repartition(col("bucket"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("bucket").parquet(s"$path/$table")
+
+  /** Crash-safe compaction of a bucket-partitioned table: back to one
+    * layout per bucket, contents untouched, behind the atomic swap. */
+  def compactBucketed(spark: SparkSession, path: String, table: String): Unit =
+    AtomicSwap.swapTable(spark, path, table)(df =>
+      df.repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$path/.$table.compact"))
+
+  /** Crash-safe compaction of a flat table to a parallelism-sized file
+    * set; `transform` hooks the index's repair step (e.g. the orphan
+    * anti-join that deregisters ids whose payload rows never landed). */
+  def compactFlat(spark: SparkSession, path: String, table: String,
+                  transform: DataFrame => DataFrame = identity): Unit =
+    AtomicSwap.swapTable(spark, path, table)(df =>
+      transform(df).repartition(spark.sparkContext.defaultParallelism)
+        .write.parquet(s"$path/.$table.compact"))
+}

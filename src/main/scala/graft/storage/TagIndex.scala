@@ -44,19 +44,16 @@ object TagIndex {
     * tags map). One explode pass; files ∝ buckets. */
   def write(catalog: DataFrame, path: String): Unit = {
     val spark = catalog.sparkSession
-    import spark.implicits._
-    catalog
+    IndexStore.writeBucketed(catalog
       .select(col("tenant_id"), col("mtype"), col("metric"),
         explode(col("tags")).as(Seq("tag_name", "tag_value")))
-      .withColumn("bucket", bucketOf(col("tag_name")))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/entries")
+      .withColumn("bucket", bucketOf(col("tag_name"))),
+      path, "entries", overwrite = true)
     // n_tags rides along so compaction can tell a crash-orphaned metric
     // (n_tags > 0, no entries) from a genuinely tag-less one
     catalog.select(IdCols.map(col) :+ size(col("tags")).cast("long").as("n_tags"): _*)
       .write.mode("overwrite").parquet(s"$path/metrics")
-    Seq(Buckets).toDF("buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    IndexStore.writeMeta(spark, path, Seq("buckets" -> Buckets))
   }
 
   /**
@@ -69,18 +66,17 @@ object TagIndex {
    */
   def append(spark: SparkSession, path: String, catalogBatch: DataFrame): Unit = {
     requireMeta(spark, path)
-    val stored = spark.read.parquet(s"$path/metrics")
     // localCheckpoint BEFORE any write: the entries append below must not
     // recompute the anti-join against the post-append metrics listing
-    val fresh = catalogBatch.join(stored, IdCols, "left_anti").localCheckpoint()
+    val fresh = IndexStore.screenFresh(catalogBatch, path, "metrics", IdCols)
+      .localCheckpoint()
     fresh.select(IdCols.map(col) :+ size(col("tags")).cast("long").as("n_tags"): _*)
       .write.mode("append").parquet(s"$path/metrics")
-    fresh
+    IndexStore.writeBucketed(fresh
       .select(col("tenant_id"), col("mtype"), col("metric"),
         explode(col("tags")).as(Seq("tag_name", "tag_value")))
-      .withColumn("bucket", bucketOf(col("tag_name")))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/entries")
+      .withColumn("bucket", bucketOf(col("tag_name"))),
+      path, "entries", overwrite = false)
   }
 
   /** Tag names a query references — these decide which buckets serving
@@ -99,14 +95,29 @@ object TagIndex {
   }
 
   /**
-   * Serve a tag-query expression from the stored index: the referenced
-   * names' buckets are computed (a |keys|-row job) and pushed as a
-   * STATIC `bucket IN (...)` partition filter (plan-time pruning, the
-   * bm25StoredTopK pattern — DPP would not fire here: the key list is a
-   * LocalRelation with no selective scan to reuse). Leaves become
-   * filters over the pruned entries; the boolean algebra becomes id-set
-   * intersect/union, with complement leaves evaluated against the
-   * stored id universe. Answers (tenant_id, mtype, metric), distinct.
+   * Serve a tag-query expression from the stored index in ONE pruned
+   * scan: the referenced names' buckets are computed (a |keys|-row job)
+   * and pushed as a STATIC `bucket IN (...)` partition filter (plan-time
+   * pruning, the bm25StoredTopK pattern — DPP would not fire here: the
+   * key list is a LocalRelation with no selective scan to reuse). Every
+   * leaf then becomes ONE boolean aggregate column over that single scan
+   * (`max(when(leafPred, true))` per metric id — an exists pivot), and
+   * the expression's algebra evaluates as a plain boolean filter over
+   * the pivoted row. A 20-leaf expression costs one scan + one map-side-
+   * combined aggregate instead of 20 pruned scans + 19 intersect/union
+   * shuffles — the cost concern behind the reference's per-group index
+   * ordering (SimpleTagQueryParser.java:121-189) dissolves into one job.
+   *
+   * Complement leaves (NOT k) see ids with no entry for k as NULL
+   * pivot columns (left join from the stored id universe), so
+   * `coalesce(b, false)` gives the set-complement semantics; the
+   * universe join happens only when the expression needs it. Exists-
+   * style negative VALUE leaves (k != v, !~, NOT IN) stay positive
+   * pivots: each metric holds at most one value per name, so "has an
+   * entry for k whose value fails the predicate" is their id-set
+   * meaning, identical to the previous per-leaf scan form (spec-pinned
+   * against the compiled-Column catalog path). Answers
+   * (tenant_id, mtype, metric), distinct by construction (groupBy).
    */
   def lookup(spark: SparkSession, path: String, expr: String): DataFrame = {
     requireMeta(spark, path)
@@ -119,25 +130,54 @@ object TagIndex {
     val entries = spark.read.parquet(s"$path/entries")
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tag_name").isin(keys: _*))
-    lazy val universe = spark.read.parquet(s"$path/metrics").select(IdCols.map(col): _*)
-    def leaf(k: String, valuePred: Column): DataFrame =
-      entries.filter(col("tag_name") === k && valuePred).select(IdCols.map(col): _*)
     def pat(p: String): Column = GraftFunctions.filterPattern(col("tag_value"), p)
-    def ids(a: Ast): DataFrame = a match {
-      case HasKey(k) => leaf(k, lit(true))
-      case NotKey(k) => universe.join(ids(HasKey(k)), IdCols, "left_anti")
-      case Eq(k, v) => leaf(k, col("tag_value") === v)
-      case Neq(k, v) => leaf(k, col("tag_value") =!= v)
-      case Regex(k, p) => leaf(k, pat(p))
-      case NotRegex(k, p) => leaf(k, !pat(p))
-      case In(_, Seq()) => universe.limit(0) // IN [] matches nothing
-      case In(k, vs) => leaf(k, vs.map(pat).reduce(_ || _))
-      case NotIn(k, Seq()) => ids(HasKey(k)) // has key, excluded by nothing
-      case NotIn(k, vs) => leaf(k, !vs.map(pat).reduce(_ || _))
-      case And(l, r) => ids(l).intersect(ids(r))
-      case Or(l, r) => ids(l).union(ids(r))
+
+    // one pivot column per DISTINCT leaf (deduped so `k = v OR k = v`
+    // costs one aggregate); insertion order keeps plans deterministic
+    val leaves = scala.collection.mutable.LinkedHashMap.empty[Ast, String]
+    var needUniverse = false
+    def register(a: Ast): Unit = a match {
+      case And(l, r) => register(l); register(r)
+      case Or(l, r) => register(l); register(r)
+      case NotKey(k) => needUniverse = true; register(HasKey(k))
+      case In(_, Seq()) => // constant-false leaf, no pivot column
+      case NotIn(k, Seq()) => register(HasKey(k))
+      case leaf => leaves.getOrElseUpdate(leaf, s"__l${leaves.size}")
     }
-    ids(ast).distinct()
+    register(ast)
+    // entry-level predicate for one positive leaf
+    def entryPred(a: Ast): Column = a match {
+      case HasKey(k) => col("tag_name") === k
+      case Eq(k, v) => col("tag_name") === k && col("tag_value") === v
+      case Neq(k, v) => col("tag_name") === k && col("tag_value") =!= v
+      case Regex(k, p) => col("tag_name") === k && pat(p)
+      case NotRegex(k, p) => col("tag_name") === k && !pat(p)
+      case In(k, vs) => col("tag_name") === k && vs.map(pat).reduce(_ || _)
+      case NotIn(k, vs) => col("tag_name") === k && !vs.map(pat).reduce(_ || _)
+      case other => throw new IllegalStateException(s"not a leaf: $other")
+    }
+    val aggCols = leaves.map { case (leaf, name) =>
+      max(when(entryPred(leaf), lit(true))).as(name)
+    }.toSeq
+    val pivoted =
+      if (aggCols.isEmpty) spark.read.parquet(s"$path/metrics").select(IdCols.map(col): _*)
+      else {
+        val agg = entries.groupBy(IdCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        if (needUniverse)
+          spark.read.parquet(s"$path/metrics").select(IdCols.map(col): _*)
+            .join(agg, IdCols, "left")
+        else agg
+      }
+    def hit(leaf: Ast): Column = coalesce(col(leaves(leaf)), lit(false))
+    def boolOf(a: Ast): Column = a match {
+      case And(l, r) => boolOf(l) && boolOf(r)
+      case Or(l, r) => boolOf(l) || boolOf(r)
+      case NotKey(k) => !hit(HasKey(k))
+      case In(_, Seq()) => lit(false) // IN [] matches nothing
+      case NotIn(k, Seq()) => hit(HasKey(k)) // has key, excluded by nothing
+      case leaf => hit(leaf)
+    }
+    pivoted.filter(boolOf(ast)).select(IdCols.map(col): _*)
   }
 
   /**
@@ -160,18 +200,11 @@ object TagIndex {
       .filter(col("n_tags") > 0)
       .join(indexedIds, IdCols, "left_anti")
       .select(IdCols.map(col): _*).localCheckpoint()
-    AtomicSwap.swapTable(spark, path, "entries")(df =>
-      df.repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$path/.entries.compact"))
-    AtomicSwap.swapTable(spark, path, "metrics")(df =>
-      df.join(orphanIds, IdCols, "left_anti")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .write.parquet(s"$path/.metrics.compact"))
+    IndexStore.compactBucketed(spark, path, "entries")
+    IndexStore.compactFlat(spark, path, "metrics",
+      _.join(orphanIds, IdCols, "left_anti"))
   }
 
-  private def requireMeta(spark: SparkSession, path: String): Unit = {
-    val m = spark.read.parquet(s"$path/meta").collect()
-    require(m.length == 1 && m(0).getAs[Int]("buckets") == Buckets,
-      s"stored tag index bucket count ${m.headOption.map(_.get(0))} != $Buckets")
-  }
+  private def requireMeta(spark: SparkSession, path: String): Unit =
+    IndexStore.requireMeta(spark, path, Seq("buckets" -> Buckets))
 }

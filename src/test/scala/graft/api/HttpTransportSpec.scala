@@ -123,4 +123,24 @@ class HttpTransportSpec extends SparkTestBase with HttpSpecSupport {
     val (cs, c) = call("GET", "/counters/mc/raw?start=0&end=300&order=ASC", Some("t-mixed"))
     assert(cs == 200 && c.split("\\},\\{").length == 2 && c.contains("\"l_value\":7"))
   }
+
+  test("repeated query params: list-typed keys merge JAX-RS style, " +
+    "single-valued keys take the first occurrence") {
+    val t = Some("t-repeat")
+    assert(call("POST", "/metrics/raw", t,
+      Some("""{"gauges":[{"id":"r1","data":[{"timestamp":100,"value":1.0}]},
+              |          {"id":"r2","data":[{"timestamp":100,"value":3.0}]}]}""".stripMargin))._1 == 204)
+    // metrics is List<String> in the reference handlers: repeats merge
+    val (rs, repeated) = call("GET",
+      "/gauges/stats?metrics=r1&metrics=r2&start=50&end=200&buckets=1", t)
+    val (cs2, csv) = call("GET",
+      "/gauges/stats?metrics=r1,r2&start=50&end=200&buckets=1", t)
+    assert(rs == 200 && cs2 == 200)
+    assert(repeated == csv, "repeated metrics= must equal the CSV encoding")
+    assert(repeated.contains("\"samples\":2"))
+    // start is single-valued @QueryParam: first occurrence wins, never "0,999"
+    val (ss, single) = call("GET",
+      "/gauges/r1/raw?start=0&start=999&end=200", t)
+    assert(ss == 200 && single.contains("\"time\":100"))
+  }
 }

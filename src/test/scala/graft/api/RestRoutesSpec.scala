@@ -85,6 +85,24 @@ class RestRoutesSpec extends SparkTestBase {
       Map.empty, now = now).isInstanceOf[Ok])
   }
 
+  test("tagged stats route honors start/end params and the default window") {
+    val rest = newRoutes()
+    val now = 1000000L
+    rest.route("POST", "/gauges/tg/raw", body = Seq(
+      PointValue(now - 100, 10.0, Map("dc" -> "east")),
+      PointValue(now - 50, 20.0, Map("dc" -> "east")),
+      // outside an explicit [now-80, now) window but inside the default 8h one
+      PointValue(now - 200, 99.0, Map("dc" -> "east"))))
+    val bounded = frame(rest.route("GET", "/gauges/tg/stats/tags/dc:east",
+      Map("start" -> (now - 80).toString, "end" -> now.toString), now = now)).collect()
+    assert(bounded.length == 1 && bounded.head.getAs[Long]("samples") == 1L,
+      s"explicit start/end must clip the tagged window: ${bounded.mkString}")
+    val defaulted = frame(rest.route("GET", "/gauges/tg/stats/tags/dc:east",
+      Map.empty, now = now)).collect()
+    assert(defaulted.length == 1 && defaulted.head.getAs[Long]("samples") == 3L,
+      s"absent start/end must default to [now-8h, now): ${defaulted.mkString}")
+  }
+
   test("raw fetch routes: order defaulting, limit, availability distinct") {
     val rest = newRoutes()
     rest.route("POST", "/gauges/g/raw",

@@ -1,0 +1,89 @@
+package graft.storage
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The shared index-lifecycle primitives, tested once generically —
+  * the per-index suites (TagIndexSpec, DedupSpec, RetrievalSpec) pin
+  * the composed behaviors on top of these. */
+class IndexStoreSpec extends SparkTestBase {
+
+  private def tmp(tag: String) = Files.createTempDirectory(s"graft-ixs-$tag").toString
+
+  test("meta guard: roundtrip validates, any drifted field fails loudly") {
+    val path = tmp("meta")
+    IndexStore.writeMeta(spark, path, Seq("buckets" -> 32, "k" -> 3))
+    IndexStore.requireMeta(spark, path, Seq("buckets" -> 32, "k" -> 3))
+    val e = intercept[IllegalArgumentException] {
+      IndexStore.requireMeta(spark, path, Seq("buckets" -> 32, "k" -> 4))
+    }
+    assert(e.getMessage.contains("built with") && e.getMessage.contains("k"))
+    // a missing field is a loud failure too, not a silent pass
+    intercept[Exception] {
+      IndexStore.requireMeta(spark, path, Seq("nonexistent" -> 1))
+    }
+  }
+
+  test("replay screen: only ids absent from the screen table survive") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("screen")
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "x")
+      .write.parquet(s"$path/screen")
+    val batch = Seq((2L, "B"), (3L, "c")).toDF("doc_id", "x")
+    val fresh = IndexStore.screenFresh(batch, path, "screen", Seq("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fresh == Set(3L), "replayed id 2 must anti-join away")
+  }
+
+  test("bucketed write: partition layout with file count ∝ buckets; " +
+    "append mode folds in without touching other buckets' content") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("bucketed")
+    val df = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+    IndexStore.writeBucketed(df, path, "t", overwrite = true)
+    val dirs = new java.io.File(s"$path/t").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    // one file per bucket, not tasks×buckets — the repartition discipline
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$path/t/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files; expected 1")
+    }
+    IndexStore.writeBucketed(Seq((100L, 1)).toDF("id", "bucket"),
+      path, "t", overwrite = false)
+    assert(spark.read.parquet(s"$path/t").count() == 101)
+  }
+
+  test("compaction: bucketed keeps layout + content; flat applies the " +
+    "repair transform; both swap atomically (no live/table loss on success)") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("compact")
+    val df = (0 until 50).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+    IndexStore.writeBucketed(df, path, "bt", overwrite = true)
+    // an append wave fragments the layout
+    IndexStore.writeBucketed((50 until 60).map(i => (i.toLong, i % 4)).toDF("id", "bucket"),
+      path, "bt", overwrite = false)
+    val before = spark.read.parquet(s"$path/bt").collect().map(_.getLong(0)).toSet
+    IndexStore.compactBucketed(spark, path, "bt")
+    val after = spark.read.parquet(s"$path/bt").collect().map(_.getLong(0)).toSet
+    assert(after == before, "compaction must not move answers")
+    new java.io.File(s"$path/bt").listFiles().filter(_.isDirectory).foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} not dense after compact")
+    }
+
+    (0 until 20).map(_.toLong).toDF("id").write.parquet(s"$path/ft")
+    IndexStore.compactFlat(spark, path, "ft", _.filter(col("id") < 15))
+    assert(spark.read.parquet(s"$path/ft").count() == 15,
+      "the repair transform must apply inside the swap")
+    // swap leftovers cleaned: no .ft.old/.ft.compact directories remain
+    val leftovers = new java.io.File(path).listFiles()
+      .map(_.getName).filter(n => n.startsWith(".ft"))
+    assert(leftovers.isEmpty, s"swap litter: ${leftovers.mkString(",")}")
+  }
+}

@@ -65,6 +65,33 @@ class TagIndexSpec extends SparkTestBase {
       s"expected a static bucket IN (...) partition filter:\n$plan")
   }
 
+  test("a many-leaf expression serves from ONE entries scan (boolean pivot, " +
+    "not per-leaf intersect/union)") {
+    val path = Files.createTempDirectory("graft-tagidx-1scan").toString
+    TagIndex.write(catalogDf, path)
+    // 10 leaves over 3 names, with AND/OR/NOT and a complement (which
+    // additionally pulls in the metrics universe — one extra scan, once)
+    val expr = "(type = cpu OR type = mem OR type IN [disk, net]) AND " +
+      "(host ~ 'a.*' OR host !~ 'b.*' OR host != c1) AND " +
+      "(zone = eu OR NOT zone OR zone ~ 'u.*')"
+    val plan = TagIndex.lookup(spark, path, expr)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // FormattedMode puts scan paths in the details section, one
+    // `Location: InMemoryFileIndex [...]` line per scan node
+    val entriesScans = "Location: [^\\n]*entries".r.findAllIn(plan).length
+    val metricsScans = "Location: [^\\n]*metrics".r.findAllIn(plan).length
+    assert(entriesScans == 1, s"expected ONE entries scan, got $entriesScans:\n$plan")
+    assert(metricsScans == 1, s"expected ONE metrics (universe) scan, got $metricsScans:\n$plan")
+    // and the pivot answers stay equal to the compiled-Column catalog path
+    val viaIndex = TagIndex.lookup(spark, path, expr)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val viaCatalog = catalogDf
+      .filter(graft.tagquery.TagQueryParser.compile(expr, col("tags")))
+      .select(col("tenant_id"), col("mtype"), col("metric"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaIndex == viaCatalog)
+  }
+
   test("append: equals a fresh rebuild over the union; replayed batch is a " +
     "no-op; complement leaves see appended metrics in the universe") {
     val s = spark

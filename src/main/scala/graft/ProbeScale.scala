@@ -408,6 +408,32 @@ object ProbeScale {
           "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
       }
     }
+    if (only.isEmpty || only("tagindex_leaves")) {
+      // leaf-count scaling at a FIXED catalog (n is ignored; ×4 here):
+      // the single-scan boolean pivot should hold ~flat in leaves, where
+      // the old per-leaf intersect/union form grew ~linearly (one pruned
+      // scan + one set-op shuffle per leaf)
+      val cat4 = (0 until 4).map(i => EventsAdapter.catalog(spark, dir)
+          .withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      val p = "target/tmp/probe-tagidx-leaves"
+      graft.storage.TagIndex.write(cat4, p)
+      def leafExpr(leaves: Int): String =
+        (0 until leaves).map { i =>
+          i % 4 match {
+            case 0 => s"seg = s${i % 5}"
+            case 1 => s"user ~ '${i}.*'"
+            case 2 => s"type != t$i"
+            case _ => s"seg IN [s${i % 5}, s${(i + 1) % 5}]"
+          }
+        }.mkString(" OR ")
+      Seq(2, 10, 20).foreach { leaves =>
+        val t0 = System.nanoTime()
+        graft.storage.TagIndex.lookup(spark, p, leafExpr(leaves))
+          .write.format("noop").mode("overwrite").save()
+        println(f"tagindex_${leaves}%dleaf     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
     if (only.isEmpty || only("bm25_compact")) {
       // append waves then compact: work is store-sized (no corpus
       // re-tokenization), and the serve after compaction carries the

@@ -104,12 +104,15 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
         val result = routesFor(tenantHeader.getOrElse("_meta")).route(method, path, params, body)
         result match {
           case Ok(df) =>
-            val rows = wireShape(df).toJSON.collect() // response-sized: the serialization boundary
-            // the reference maps EVERY empty collection/map result to 204
-            // No Content (ApiUtils.java:38-43 collectionToResponse/
-            // mapToResponse) — an empty 200 [] never leaves the server
-            if (rows.isEmpty) respond(ex, 204, "")
-            else respond(ex, 200, rows.mkString("[", ",", "]"))
+            // the serialization boundary: WireCodec collects the
+            // response-sized frame and reshapes it into the reference's
+            // JSON surface. The reference maps EVERY empty collection/map
+            // result to 204 No Content (ApiUtils.java:38-43) — an empty
+            // 200 [] never leaves the server, hence the Option
+            WireCodec.render(method, segs, df) match {
+              case None => respond(ex, 204, "")
+              case Some(body) => respond(ex, 200, body)
+            }
           case NoContent => respond(ex, 204, "")
           case ApiError(status, message) => respond(ex, status, errorJson(message))
         }
@@ -122,33 +125,6 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       case e: IllegalArgumentException => respond(ex, 400, errorJson(String.valueOf(e.getMessage)))
       case e: Exception => respond(ex, 500, errorJson(String.valueOf(e.getMessage)))
     } finally ex.close()
-
-  /** Bucketed-stats frames serialize in the reference's BucketPoint JSON
-    * shape (BucketPoint.java:31-53, NumericBucketPoint.java:48-49,83): the
-    * wire fields are `start`/`end` plus a computed `empty` flag, the
-    * internal bucket index never leaves the server, and empty buckets
-    * carry only `{start, end, empty:true}` (their null stats are omitted
-    * by toJSON exactly as the reference omits NaN/zero-sample fields).
-    * Only the wire is shaped — the route table keeps returning the
-    * engine's frames untouched, so oracle column names are unaffected. */
-  private def wireShape(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val cols = df.columns
-    if (!(cols.contains("bucket") && cols.contains("bucket_start"))) df
-    else {
-      val stats = cols.filterNot(Set("bucket", "bucket_start", "bucket_end"))
-      val empty =
-        if (cols.contains("samples")) col("samples").isNull || col("samples") === 0
-        else stats.map(c => col(c).isNull).reduce(_ && _)
-      // the reference returns buckets index-ordered (BucketPoint.toList
-      // iterates 0..count) — sort the response-sized frame; secondary keys
-      // make multi-series frames (type/metric columns) deterministic too
-      val sortKeys = Seq("type", "metric", "id").filter(stats.contains).map(col) :+ col("start")
-      df.select(col("bucket_start").as("start") +: col("bucket_end").as("end") +:
-        empty.as("empty") +: stats.map(col): _*)
-        .orderBy(sortKeys: _*)
-    }
-  }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -1,0 +1,213 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.model.{AvailabilityType, MetricType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
+
+/**
+ * Reference wire-format codec — the transport-side reshaping that makes
+ * HTTP responses byte-compatible with the reference's JSON surface, so
+ * a client written against the reference container parses ours
+ * unchanged. The route table keeps answering the engine's frames (the
+ * oracle-facing shape); ONLY the serialization boundary reshapes, in
+ * the same place the reference's Observable observers materialize:
+ *
+ *  - datapoints: `{timestamp, value, tags?}` with the value typed per
+ *    metric family — double for gauges/rates, long for counters, the
+ *    availability TEXT code, the raw string for string metrics
+ *    (NamedDataPointObserver.java:66-81; DataPoint field names);
+ *  - multi-metric fetches nest per metric: `[{id, data: [...]}]` in
+ *    first-arrival order (NamedDataPointObserver.java:84-120);
+ *  - definitions: `{tenantId, id, type, dataRetention, tags?}` with the
+ *    reference's 7-day default when unset (Metric.java:49-70 JSON
+ *    properties; single-def GETs answer ONE object, not an array —
+ *    GaugeHandler.java:176-189);
+ *  - metric tags / tag values answer JSON OBJECTS (maps), tag names a
+ *    string array (MetricHandler.java:151-187, GaugeHandler getTags);
+ *  - periods: `[[start, end], ...]` (long pairs);
+ *  - meta routes (root/ping/status) answer flat objects;
+ *  - bucketed stats: BucketPoint shape (start/end/empty, index-ordered,
+ *    null stats omitted on empty buckets) — HttpTransport.wireShape.
+ *
+ * Dispatch is (method, path) driven with SCHEMA guards, so a path that
+ * resolves to a different frame family (e.g. the deprecated /data alias
+ * serving bucketed stats) falls through to the right shape. Unmatched
+ * responses serialize as the engine frame — a deliberate escape hatch
+ * for the engine-extension routes the reference has no analog for.
+ */
+private[api] object WireCodec {
+
+  private val mapper = new ObjectMapper()
+  private val TypeSegs = Set("gauges", "counters", "availability", "strings", "metrics")
+  // the route table's literal one-segment words that can sit where an
+  // {id} template would (RestRoutes.ReservedOneSeg — kept in sync by
+  // RestRoutesSpec's 405-table drift guard)
+  private val ReservedId = Set("raw", "data", "stats")
+  private val DefaultRetentionDays = 7 // reference MetricsServiceImpl.java:193-194
+
+  /** Render the response body for a 200, or None for 204 No Content. */
+  def render(method: String, segs: List[String], df: DataFrame): Option[String] = {
+    val cols = df.columns.toSet
+    def isDp = cols.contains("time") &&
+      Seq("n_value", "l_value", "avail", "s_value").exists(cols.contains)
+    def isDef = cols.contains("metric") && cols.contains("tags") &&
+      cols.contains("data_retention")
+
+    (method, segs) match {
+      case ("GET", t :: id :: ("raw" | "data" | "rate") :: Nil)
+          if TypeSegs(t) && !ReservedId(id) && isDp =>
+        rows(df).map(dpList(_, flat = true))
+      case ("POST", t :: "raw" :: "query" :: Nil) if TypeSegs(t) && isDp =>
+        rows(df).map(dpList(_, flat = false))
+      case ("GET" | "POST", t :: "rate" :: "query" :: Nil) if TypeSegs(t) && isDp =>
+        rows(df).map(dpList(_, flat = false))
+      case ("GET", t :: "tags" :: _ :: "raw" :: Nil) if TypeSegs(t) && isDp =>
+        rows(df).map(dpList(_, flat = false))
+      case ("GET", t :: id :: Nil)
+          if TypeSegs(t) && t != "metrics" &&
+            !ReservedId(id) && isDef =>
+        rows(df).map(rs => defNode(rs.head).toString) // single object
+      case ("GET", t :: Nil) if TypeSegs(t) && isDef =>
+        rows(df).map(rs => arr(rs.map(defNode)).toString)
+      case ("GET", t :: id :: "tags" :: Nil)
+          if TypeSegs(t) && t != "metrics" && cols == Set("tname", "tvalue") =>
+        rows(df).map(rs => obj(rs.sortBy(_.get("tname").asText())
+          .map(r => r.get("tname").asText() -> r.get("tvalue"))).toString)
+      case ("GET", t :: "tags" :: _ :: Nil)
+          if TypeSegs(t) && cols == Set("tname", "tvalue") =>
+        // tag-value discovery: {name: [values...]}, values sorted
+        rows(df).map { rs =>
+          val out = mapper.createObjectNode()
+          rs.groupBy(_.get("tname").asText()).toSeq.sortBy(_._1).foreach {
+            case (name, vs) =>
+              val a = out.putArray(name)
+              vs.map(_.get("tvalue").asText()).sorted.foreach(a.add)
+          }
+          out.toString
+        }
+      case ("GET", "metrics" :: "tags" :: Nil) if cols == Set("tname") =>
+        rows(df).map { rs =>
+          val a = mapper.createArrayNode()
+          rs.map(_.get("tname").asText()).sorted.foreach(a.add)
+          a.toString
+        }
+      case ("GET", "gauges" :: _ :: "periods" :: Nil)
+          if cols == Set("period_start", "period_end") =>
+        rows(df).map { rs =>
+          val a = mapper.createArrayNode()
+          rs.sortBy(_.get("period_start").asLong()).foreach { r =>
+            val pair = a.addArray()
+            pair.add(r.get("period_start").asLong())
+            pair.add(r.get("period_end").asLong())
+          }
+          a.toString
+        }
+      case ("GET", Nil | "ping" :: Nil | "status" :: Nil | "admin" :: "status" :: Nil)
+          if cols == Set("name", "value") =>
+        rows(df).map(rs =>
+          obj(rs.map(r => r.get("name").asText() -> r.get("value"))).toString)
+      case _ =>
+        val collected = wireShape(df).toJSON.collect()
+        if (collected.isEmpty) None else Some(collected.mkString("[", ",", "]"))
+    }
+  }
+
+  /** Bucketed-stats frames serialize in the reference's BucketPoint JSON
+    * shape (BucketPoint.java:31-53, NumericBucketPoint.java:48-49,83): the
+    * wire fields are `start`/`end` plus a computed `empty` flag, the
+    * internal bucket index never leaves the server, and empty buckets
+    * carry only `{start, end, empty:true}` (their null stats are omitted
+    * by toJSON exactly as the reference omits NaN/zero-sample fields). */
+  private def wireShape(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    if (!(cols.contains("bucket") && cols.contains("bucket_start"))) df
+    else {
+      val stats = cols.filterNot(Set("bucket", "bucket_start", "bucket_end"))
+      val empty =
+        if (cols.contains("samples")) col("samples").isNull || col("samples") === 0
+        else stats.map(c => col(c).isNull).reduce(_ && _)
+      // the reference returns buckets index-ordered (BucketPoint.toList
+      // iterates 0..count) — sort the response-sized frame; secondary keys
+      // make multi-series frames (type/metric columns) deterministic too
+      val sortKeys = Seq("type", "metric", "id").filter(stats.contains).map(col) :+ col("start")
+      df.select(col("bucket_start").as("start") +: col("bucket_end").as("end") +:
+        empty.as("empty") +: stats.map(col): _*)
+        .orderBy(sortKeys: _*)
+    }
+  }
+
+  /** Collect + parse — the serialization boundary (response-sized). */
+  private def rows(df: DataFrame): Option[Seq[ObjectNode]] = {
+    val collected = df.toJSON.collect()
+    if (collected.isEmpty) None
+    else Some(collected.toSeq.map(mapper.readTree(_).asInstanceOf[ObjectNode]))
+  }
+
+  private def arr(nodes: Seq[ObjectNode]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    nodes.foreach(a.add)
+    a
+  }
+
+  private def obj(fields: Seq[(String, com.fasterxml.jackson.databind.JsonNode)]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    fields.foreach { case (k, v) => o.set[ObjectNode](k, v) }
+    o
+  }
+
+  /** One engine datapoint row → reference DataPoint JSON. */
+  private def dpNode(row: ObjectNode): ObjectNode = {
+    val out = mapper.createObjectNode()
+    out.put("timestamp", row.get("time").asLong())
+    // value typed per family (at most one value column is populated —
+    // every fetch route is type-homogeneous)
+    if (row.hasNonNull("s_value")) out.set[ObjectNode]("value", row.get("s_value"))
+    else if (row.hasNonNull("avail"))
+      out.put("value", AvailabilityType.fromCode(row.get("avail").asInt().toByte).text)
+    else if (row.hasNonNull("l_value")) out.set[ObjectNode]("value", row.get("l_value"))
+    else if (row.hasNonNull("n_value")) out.set[ObjectNode]("value", row.get("n_value"))
+    val tags = row.get("tags")
+    if (tags != null && tags.isObject && !tags.isEmpty)
+      out.set[ObjectNode]("tags", tags)
+    out
+  }
+
+  /** Flat `[{timestamp,...}]` or nested `[{id, data: [...]}]` in
+    * first-arrival metric order. */
+  private def dpList(rs: Seq[ObjectNode], flat: Boolean): String =
+    if (flat) arr(rs.map(dpNode)).toString
+    else {
+      val out = mapper.createArrayNode()
+      val groups = scala.collection.mutable.LinkedHashMap.empty[String, ArrayNode]
+      rs.foreach { r =>
+        val id = if (r.hasNonNull("metric")) r.get("metric").asText() else ""
+        val data = groups.getOrElseUpdate(id, {
+          val g = out.addObject()
+          g.put("id", id)
+          g.putArray("data")
+        })
+        data.add(dpNode(r))
+      }
+      out.toString
+    }
+
+  /** One catalog row → reference Metric JSON (Metric.java:49-70). */
+  private def defNode(row: ObjectNode): ObjectNode = {
+    val out = mapper.createObjectNode()
+    if (row.hasNonNull("tenant_id")) out.set[ObjectNode]("tenantId", row.get("tenant_id"))
+    out.set[ObjectNode]("id", row.get("metric"))
+    out.put("type", MetricType.fromCode(row.get("mtype").asInt().toByte).text)
+    val tags = row.get("tags")
+    if (tags != null && tags.isObject && !tags.isEmpty)
+      out.set[ObjectNode]("tags", tags)
+    out.put("dataRetention",
+      if (row.hasNonNull("data_retention")) row.get("data_retention").asInt()
+      else DefaultRetentionDays)
+    if (row.hasNonNull("min_time")) out.put("minTimestamp", row.get("min_time").asLong())
+    if (row.hasNonNull("max_time")) out.put("maxTimestamp", row.get("max_time").asLong())
+    out
+  }
+}

@@ -37,9 +37,8 @@ class HttpTransportSpec extends SparkTestBase with HttpSpecSupport {
 
     val (st, rows) = call("GET", "/gauges/g1/raw?start=100&end=300&order=ASC", Some("t-http"))
     assert(st == 200)
-    assert(rows.startsWith("[") && rows.endsWith("]"))
-    assert("\"time\":100".r.findFirstIn(rows).isDefined)
-    assert("37.45".r.findFirstIn(rows).isDefined)
+    // reference DataPoint wire shape: {timestamp, value}, ASC as requested
+    assert(rows.startsWith("""[{"timestamp":100,"value":37.45}"""), rows)
     assert(rows.split("\\},\\{").length == 3)
 
     // POST ≡ GET over the real wire (GaugeMetricStatisticsITest:304-323)
@@ -121,7 +120,9 @@ class HttpTransportSpec extends SparkTestBase with HttpSpecSupport {
     val (gs, g) = call("GET", "/gauges/mg/raw?start=0&end=300", Some("t-mixed"))
     assert(gs == 200 && g.contains("5.5"))
     val (cs, c) = call("GET", "/counters/mc/raw?start=0&end=300&order=ASC", Some("t-mixed"))
-    assert(cs == 200 && c.split("\\},\\{").length == 2 && c.contains("\"l_value\":7"))
+    // counter values stay integral on the wire (NamedDataPointObserver
+    // writes Long for COUNTER) — "value":7, never 7.0
+    assert(cs == 200 && c == """[{"timestamp":100,"value":7},{"timestamp":200,"value":9}]""", c)
   }
 
   test("repeated query params: list-typed keys merge JAX-RS style, " +
@@ -141,6 +142,6 @@ class HttpTransportSpec extends SparkTestBase with HttpSpecSupport {
     // start is single-valued @QueryParam: first occurrence wins, never "0,999"
     val (ss, single) = call("GET",
       "/gauges/r1/raw?start=0&start=999&end=200", t)
-    assert(ss == 200 && single.contains("\"time\":100"))
+    assert(ss == 200 && single.contains("\"timestamp\":100"))
   }
 }

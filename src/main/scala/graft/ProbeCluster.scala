@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
  * local[32] run at the same SF — a cheap cross-mode invariant that
  * catches silent partition loss.
  *
- * Usage: runMain graft.ProbeCluster [sfDir] [query ...]
- * (defaults to sf0.01 and the heavy set below)
+ * Usage: SPARK_SCALA_VERSION=2.13 runMain graft.ProbeCluster [sfDir] [query ...]
+ * (defaults to sf0.01 and the heavy set below; the env var is required
+ * because the standalone executor launcher otherwise probes SPARK_HOME
+ * for source-build directories that a binary dist doesn't have —
+ * launcher AbstractCommandBuilder.getScalaVersion)
  */
 object ProbeCluster {
 
@@ -33,6 +36,9 @@ object ProbeCluster {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val wanted = if (args.length > 1) args.drop(1).toSeq else HeavySet
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "set SPARK_SCALA_VERSION=2.13 — the standalone executor launcher needs it " +
+        "to build the executor classpath from a binary Spark dist")
     // the compiled classes must reach the executor JVMs: local-cluster
     // launches real workers from SPARK_HOME, whose classpath has the
     // Spark jars but NOT this project's target/classes

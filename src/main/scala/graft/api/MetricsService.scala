@@ -804,17 +804,31 @@ class MetricsService(spark: SparkSession, root: String) {
   def statsBatchQuery(tenantId: String, requests: Seq[StatsRequest]): DataFrame = {
     require(requests.nonEmpty, "statsBatchQuery needs at least one request")
     requests.zipWithIndex.map { case (r, i) =>
-      val stats = r.tagExpression match {
-        case Some(expr) =>
-          findNumericStats(tenantId, r.mtype,
-            findMetricIdentifiersWithFilters(tenantId, Some(r.mtype), expr),
-            r.config, r.percentiles, r.stacked)
-        case None =>
-          findNumericStats(tenantId, r.mtype, r.ids, r.config, r.percentiles, r.stacked)
-      }
-      stats.withColumn("request_id", lit(i))
+      oneStatsRequest(tenantId, r).withColumn("request_id", lit(i))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Batch keyed by caller-supplied NAMES — the reference's actual body
+    * shape (`Map<String, StatsQueryRequest>`, MetricHandler.java:322-338
+    * findStatsBatched; the response nests per key). Same per-request
+    * machinery as the index-keyed form. */
+  def statsBatchQueryNamed(tenantId: String,
+                           requests: Seq[(String, StatsRequest)]): DataFrame = {
+    require(requests.nonEmpty, "statsBatchQuery needs at least one request")
+    requests.map { case (name, r) =>
+      oneStatsRequest(tenantId, r).withColumn("request_key", lit(name))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def oneStatsRequest(tenantId: String, r: StatsRequest): DataFrame =
+    r.tagExpression match {
+      case Some(expr) =>
+        findNumericStats(tenantId, r.mtype,
+          findMetricIdentifiersWithFilters(tenantId, Some(r.mtype), expr),
+          r.config, r.percentiles, r.stacked)
+      case None =>
+        findNumericStats(tenantId, r.mtype, r.ids, r.config, r.percentiles, r.stacked)
+    }
 
   /** Availability fetch: `distinct` applies BEFORE `limit` (the reference
     * fetches unlimited, collapses runs in FETCH order — so a DESC fetch

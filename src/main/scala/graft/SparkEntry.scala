@@ -1253,6 +1253,75 @@ object SparkEntry {
               |SELECT 2 AS request_id, g.bucket, r2."min", r2.avg, r2."max", r2.sum, r2.samples, r2.median
               |FROM range(30) g(bucket) LEFT JOIN r2 ON r2.bucket = g.bucket""".stripMargin)),
 
+    // ---- EP2 named batch THROUGH the reference body shape
+    // (`Map<String, StatsQueryRequest>`, MetricHandler.findStatsBatched:
+    // 321-338): entry "a" names gauge ids (the metrics map), "b" resolves
+    // a tag expression, "c" redirects its family to the RATE branch via
+    // types=[gauge_rate] — one frame keyed by request_key, each bucket
+    // carrying the wire's [start, end) bounds
+    ("stats_batch_named", (s: SparkSession, d: String) => {
+      val root = "target/tmp/statsbatchnamed_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, root)
+      val svc = new graft.api.MetricsService(s, root)
+      svc.addDataPoints(gauge(s, d))
+      ea.catalog(s, d)
+        .withColumn("data_retention", lit(null).cast("int"))
+        .withColumn("ingest_seq", lit(1L))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/metrics")
+      def cfg(end: Long) = BucketConfig(TimeRange(S, end), None, Some(GDuration.parse("1d")))
+      roundPcts(svc.statsBatchQueryNamed(ea.Tenant, Seq(
+        "a" -> svc.StatsQueryReq(
+          metrics = Map(MetricType.Gauge -> Seq("click/7", "view/88")), config = cfg(E)),
+        "b" -> svc.StatsQueryReq(
+          tags = Some("seg = s3"), config = cfg(E), types = Set(MetricType.Gauge)),
+        "c" -> svc.StatsQueryReq(
+          metrics = Map(MetricType.Gauge -> Seq("error/23")), config = cfg(Week),
+          types = Set(MetricType.GaugeRate)))), Seq.empty)
+        .select("request_key", "branch", "metric", "bucket", "bucket_start",
+          "bucket_end", "min", "avg", "max", "sum", "samples", "median")
+    },
+      Some(s"""WITH $BaseCte, $CatCte,
+              |ga AS (SELECT metric, t, value AS v FROM base
+              |       WHERE t >= $S AND t < $E AND metric IN ('click/7', 'view/88')),
+              |ra AS (SELECT metric, (t - $S) // $Day AS bucket, ${statSql("v", Seq.empty)}
+              |       FROM ga GROUP BY 1, 2),
+              |sa AS (SELECT m.metric, g.bucket FROM (VALUES ('click/7'), ('view/88')) m(metric)
+              |       CROSS JOIN range(30) g(bucket)),
+              |gb AS (SELECT metric, t, value AS v FROM base
+              |       WHERE t >= $S AND t < $E
+              |         AND metric IN (SELECT metric FROM cat WHERE seg = 's3')),
+              |rb AS (SELECT metric, (t - $S) // $Day AS bucket, ${statSql("v", Seq.empty)}
+              |       FROM gb GROUP BY 1, 2),
+              |sb AS (SELECT c.metric, g.bucket FROM cat c CROSS JOIN range(30) g(bucket)
+              |       WHERE c.seg = 's3'),
+              |gc AS (SELECT metric, t, value AS v FROM base
+              |       WHERE t >= $S AND t < $Week AND metric = 'error/23'),
+              |gp AS (SELECT metric, t, v, lag(v) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |       FROM gc WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |gr AS (SELECT metric, t,
+              |         60000.0 * (v - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM gp WHERE prev_t IS NOT NULL),
+              |rc AS (SELECT metric, (t - $S) // $Day AS bucket, ${statSql("rate", Seq.empty)}
+              |       FROM gr GROUP BY 1, 2),
+              |sc AS (SELECT 'error/23' AS metric, g.bucket FROM range(7) g(bucket))
+              |SELECT 'a' AS request_key, 'gauge' AS branch, s.metric, s.bucket,
+              |       CAST($S + s.bucket * $Day AS BIGINT) AS bucket_start,
+              |       CAST($S + (s.bucket + 1) * $Day AS BIGINT) AS bucket_end,
+              |       r."min", r.avg, r."max", r.sum, r.samples, r.median
+              |FROM sa s LEFT JOIN ra r ON r.metric = s.metric AND r.bucket = s.bucket
+              |UNION ALL
+              |SELECT 'b', 'gauge', s.metric, s.bucket,
+              |       CAST($S + s.bucket * $Day AS BIGINT),
+              |       CAST($S + (s.bucket + 1) * $Day AS BIGINT),
+              |       r."min", r.avg, r."max", r.sum, r.samples, r.median
+              |FROM sb s LEFT JOIN rb r ON r.metric = s.metric AND r.bucket = s.bucket
+              |UNION ALL
+              |SELECT 'c', 'gauge_rate', s.metric, s.bucket,
+              |       CAST($S + s.bucket * $Day AS BIGINT),
+              |       CAST($S + (s.bucket + 1) * $Day AS BIGINT),
+              |       r."min", r.avg, r."max", r.sum, r.samples, r.median
+              |FROM sc s LEFT JOIN rc r ON r.metric = s.metric AND r.bucket = s.bucket""".stripMargin)),
+
     // ---- §2.9: Structured-Streaming ingest end-to-end (watermarked file
     // stream → stream dedup → partitioned tier), drained with AvailableNow
     // and read back — streaming ingest must agree with the batch oracle ---

@@ -158,8 +158,11 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       .groupBy(_._1).map { case (k, vs) =>
         k -> (if (ListParams(k)) vs.map(_._2).mkString(",") else vs.head._2)
       }
-  /** Params the reference declares as JAX-RS List<String>/Tags (CSV). */
-  private val ListParams = Set("metrics", "percentiles", "tags")
+  /** Params the reference declares as JAX-RS List<String> (CSV-mergeable).
+    * `percentiles` and `tags` are SINGLE-valued there (@QueryParam
+    * Percentiles / String — only `metrics` is List<String>), so repeated
+    * occurrences of those take the first value, not a CSV merge. */
+  private val ListParams = Set("metrics")
   private def dec(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   // ------------------------------------------------------------------
@@ -227,6 +230,17 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       optInt(n, "buckets"), optStr(n, "bucketDuration"),
       optStr(n, "percentiles"), boolF(n, "stacked"), boolF(n, "fromEarliest"))
 
+  private def mixedStatsQuery(n: JsonNode): MixedStatsQuery =
+    MixedStatsQuery(
+      tags = optStr(n, "tags"),
+      metrics = opt(n, "metrics").map(_.properties().asScala.map(e =>
+        e.getKey -> arr(e.getValue).map(_.asText)).toMap).getOrElse(Map.empty),
+      types = opt(n, "types").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
+      start = optStr(n, "start"), end = optStr(n, "end"),
+      buckets = optInt(n, "buckets"),
+      bucketDuration = optStr(n, "bucketDuration"),
+      percentiles = optStr(n, "percentiles"))
+
   private def statsRequest(n: JsonNode, now: Long): svc.StatsRequest =
     svc.StatsRequest(
       MetricType.fromText(optStr(n, "type").getOrElse(bad("stats request needs a type"))),
@@ -267,18 +281,19 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       case ("POST", t :: "rate" :: "query" :: Nil) if typed(t) => rawQuery(n)
       case ("POST", t :: "stats" :: "query" :: Nil) if typed(t) => aggStatsQuery(n)
       case ("POST", "metrics" :: "stats" :: "query" :: Nil) =>
-        MixedStatsQuery(
-          optStr(n, "tags").getOrElse(bad("mixed stats query needs tags")),
-          opt(n, "types").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
-          optStr(n, "start"), optStr(n, "end"),
-          optInt(n, "buckets"), optStr(n, "bucketDuration"),
-          optStr(n, "percentiles"))
+        mixedStatsQuery(n)
       case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil) =>
-        // ONE `now` per request: defaulted start/end ranges across the
-        // batch must resolve against the same instant (the reference
-        // captures a single now per request, not per element)
+        // the reference body is an OBJECT keyed by caller-chosen names
+        // (`Map<String, StatsQueryRequest>`, MetricHandler.java:321-338);
+        // the ARRAY form stays as the index-keyed engine extension. ONE
+        // `now` per request: defaulted ranges across the batch must
+        // resolve against the same instant (the reference captures a
+        // single now per request, not per element).
         val now = System.currentTimeMillis()
-        arr(n).map(statsRequest(_, now))
+        if (n.isArray) arr(n).map(statsRequest(_, now))
+        else if (n.isObject)
+          n.properties().asScala.toSeq.map(e => e.getKey -> mixedStatsQuery(e.getValue))
+        else bad("batch stats body must be an object of named stats queries")
       case _ => n
     }
   }

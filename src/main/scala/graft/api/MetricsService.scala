@@ -41,6 +41,19 @@ object MetricsService {
       s"duplicate percentile quantiles in ${percentiles.values}")
   }
 
+  /** Write-schema of the catalog tier (addMetric's toDF), used to read a
+    * not-yet-created catalog path as an empty frame. */
+  private[api] val CatalogSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tenant_id", StringType),
+      StructField("mtype", IntegerType),
+      StructField("metric", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("data_retention", IntegerType),
+      StructField("ingest_seq", LongType)))
+  }
+
   /** Rename normalized `pN_N` percentile columns to the request's ORIGINAL
     * strings (Percentile.java:22-38 echo rule), shared by every
     * Percentiles-typed entry point (service overloads, REST routes). */
@@ -133,12 +146,25 @@ class MetricsService(spark: SparkSession, root: String) {
       .write.mode(SaveMode.Append).parquet(metricsPath)
   }
 
-  /** The catalog frame (metrics_idx analog), last-write-wins resolved. */
+  /** The catalog frame (metrics_idx analog), last-write-wins resolved.
+    * A not-yet-created catalog reads as EMPTY, not as a missing-path
+    * error — a fresh tenant's first request may be a lookup (the
+    * reference answers 204 for an unknown metric, TagsITest.groovy:55-67),
+    * same rule as the data tier (GraftStorage.read). */
   def metricsIndex(): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
       .orderBy(col("ingest_seq").desc)
-    spark.read.parquet(metricsPath)
+    val stored =
+      try spark.read.parquet(metricsPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getCondition == "PATH_NOT_FOUND" =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            MetricsService.CatalogSchema)
+      }
+    stored
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("tenant_id", "mtype", "metric", "tags", "data_retention")
   }
@@ -480,11 +506,19 @@ class MetricsService(spark: SparkSession, root: String) {
       order = order, limit = limit)
   }
 
+  /** `mode` is Exact by default (the engine's documented divergence from
+    * the reference's always-P² estimator); P2Parity reproduces the
+    * reference bit-for-bit, including its DESC gauge feed order
+    * (MetricsServiceImpl.java:914 fetches gauges DESC before
+    * accumulating). */
   def findGaugeStats(id: MetricId, config: BucketConfig,
-                     percentiles: Seq[Double] = Seq.empty): DataFrame = {
+                     percentiles: Seq[Double] = Seq.empty,
+                     mode: MetricsOps.PercentileMode =
+                       MetricsOps.PercentileMode.Exact): DataFrame = {
     val b = config.buckets
     MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles), b)
+      MetricsOps.numericBucketStats(series(id), b, percentiles, mode = mode,
+        parityFeedOrder = Order.Desc), b)
   }
 
   /**
@@ -708,10 +742,15 @@ class MetricsService(spark: SparkSession, root: String) {
     * text back verbatim, Percentile.java:22-38): a request for "99.000"
     * answers in column `p99_000`, not a normalized `p99_0`. */
   def findGaugeStats(id: MetricId, config: BucketConfig,
-                     percentiles: Percentiles): DataFrame = {
+                     percentiles: Percentiles): DataFrame =
+    findGaugeStats(id, config, percentiles, MetricsOps.PercentileMode.Exact)
+
+  def findGaugeStats(id: MetricId, config: BucketConfig,
+                     percentiles: Percentiles,
+                     mode: MetricsOps.PercentileMode): DataFrame = {
     MetricsService.requireDistinctQuantiles(percentiles) // before the frame
     withOriginalPercentileNames(
-      findGaugeStats(id, config, percentiles.quantiles), percentiles)
+      findGaugeStats(id, config, percentiles.quantiles, mode), percentiles)
   }
 
   private def withOriginalPercentileNames(df: DataFrame,
@@ -738,6 +777,17 @@ class MetricsService(spark: SparkSession, root: String) {
     // metrics of every other type into their branches
     val ids = findMetricIdentifiersWithFilters(tenantId, None, tagExpression)
       .select("mtype", "metric").localCheckpoint()
+    statsQueryCore(tenantId, ids, config, types, includeCounterRate,
+      includeGaugeRate, percentiles)
+  }
+
+  /** The shared EP2 fan-out over a resolved `(mtype, metric)` id frame —
+    * the body both the tag-driven and the id-driven stats queries feed. */
+  private def statsQueryCore(tenantId: String, ids: DataFrame,
+                             config: BucketConfig, types: Set[MetricType],
+                             includeCounterRate: Boolean,
+                             includeGaugeRate: Boolean,
+                             percentiles: Seq[Double]): DataFrame = {
     def scoped(t: MetricType): DataFrame =
       MetricsOps.dataPointsForIds(
         raw().filter(col("tenant_id") === tenantId && col("mtype") === t.code.toInt),
@@ -808,15 +858,97 @@ class MetricsService(spark: SparkSession, root: String) {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Batch keyed by caller-supplied NAMES — the reference's actual body
-    * shape (`Map<String, StatsQueryRequest>`, MetricHandler.java:322-338
-    * findStatsBatched; the response nests per key). Same per-request
-    * machinery as the index-keyed form. */
+  /** One full reference stats-query body in resolved form
+    * (StatsQueryRequest.java:30-46): series named by an explicit per-type
+    * id map OR a tag expression — when `metrics` names any stored family
+    * the id map drives resolution, like the reference's metrics-first
+    * branch (MetricHandler.java:374-377) — with `types` toggling each
+    * family between its value and rate branches. */
+  case class StatsQueryReq(metrics: Map[MetricType, Seq[String]] = Map.empty,
+                           tags: Option[String] = None,
+                           config: BucketConfig,
+                           types: Set[MetricType] = Set.empty,
+                           percentiles: Percentiles = Percentiles(Seq.empty)) {
+    // the reference's checkRequiredParams (MetricHandler.java:486-493)
+    require(metrics.values.exists(_.nonEmpty) || tags.nonEmpty,
+      "Either the metrics or the tags property must be set")
+  }
+
+  /** EP2 — one reference-shaped stats query (the single route's body and
+    * each batch element, MetricHandler.doStatsQuery:341-466).
+    *
+    * Id-driven mode (the metrics map names gauge/counter/availability
+    * ids): `types` only REDIRECTS a named family between value and rate
+    * branches — the reference's per-family if/else keeps computing a
+    * family whose ids were given even when `types` lists other families
+    * (MetricHandler.java:377-416 final else arms). Tag-driven mode: an
+    * empty `types` means all three stored families. ONE deliberate
+    * divergence: the reference's tag-driven final else derives rate stats
+    * for a family entirely absent from `types`
+    * (MetricHandler.java:436-441); here an unrequested family contributes
+    * nothing — a types=[counter] tags query answers only counters. */
+  def statsQuery(tenantId: String, req: StatsQueryReq): DataFrame = {
+    MetricsService.requireDistinctQuantiles(req.percentiles)
+    val ts = req.types
+    val provided = req.metrics.collect { case (t, mids) if mids.nonEmpty => t -> mids }
+    val stored = Seq(MetricType.Gauge, MetricType.Counter, MetricType.Availability)
+    val out =
+      if (stored.exists(provided.contains)) {
+        val s = spark
+        import s.implicits._
+        // request-sized literal frame — no checkpoint needed
+        val idRows = stored.flatMap(t =>
+          provided.getOrElse(t, Seq.empty).map(id => (t.code.toInt, id)))
+        def valueWanted(v: MetricType, r: MetricType): Boolean =
+          provided.contains(v) && (ts.isEmpty || ts(v) || !ts(r))
+        statsQueryCore(tenantId, idRows.toDF("mtype", "metric"), req.config,
+          types =
+            (if (valueWanted(MetricType.Gauge, MetricType.GaugeRate))
+               Set[MetricType](MetricType.Gauge) else Set.empty[MetricType]) ++
+            (if (valueWanted(MetricType.Counter, MetricType.CounterRate))
+               Set(MetricType.Counter) else Set.empty) ++
+            (if (provided.contains(MetricType.Availability))
+               Set(MetricType.Availability) else Set.empty),
+          includeCounterRate =
+            provided.contains(MetricType.Counter) && ts(MetricType.CounterRate),
+          includeGaugeRate =
+            provided.contains(MetricType.Gauge) && ts(MetricType.GaugeRate),
+          percentiles = req.percentiles.quantiles)
+      } else {
+        val effective: Set[MetricType] =
+          if (ts.isEmpty) Set(MetricType.Gauge, MetricType.Counter, MetricType.Availability)
+          else ts.filter(t => stored.contains(t))
+        statsQuery(tenantId,
+          req.tags.getOrElse(throw new IllegalArgumentException(
+            "Either the metrics or the tags property must be set")),
+          req.config, effective, ts(MetricType.CounterRate),
+          ts(MetricType.GaugeRate), req.percentiles.quantiles)
+      }
+    // the wire layer serializes BucketPoints by their [start, end) bounds
+    // (the internal index never leaves the server) — attach them here,
+    // where the bucket config is in scope; the Seq[Double]-percentile
+    // overloads keep their index-keyed frame shape
+    val b = req.config.buckets
+    val bounded = out
+      .withColumn("bucket_start", graft.functions.GraftFunctions.bucketStart(col("bucket"), b))
+      .withColumn("bucket_end", graft.functions.GraftFunctions.bucketEnd(col("bucket"), b))
+    if (req.percentiles.values.isEmpty) bounded
+    else withOriginalPercentileNames(bounded, req.percentiles)
+  }
+
+  /** Batch keyed by caller-supplied NAMES — POST /metrics/stats/batch/
+    * query's reference body shape (`Map<String, StatsQueryRequest>`,
+    * MetricHandler.findStatsBatched:321-338): each entry is a FULL stats
+    * query evaluated independently, one response frame keyed by
+    * `request_key` (the wire layer nests the per-key sections —
+    * WireCodec's named-batch case). Entries may carry DIFFERENT
+    * percentile lists — an entry without a given percentile null-pads
+    * that column (allowMissingColumns), like the index-keyed form. */
   def statsBatchQueryNamed(tenantId: String,
-                           requests: Seq[(String, StatsRequest)]): DataFrame = {
-    require(requests.nonEmpty, "statsBatchQuery needs at least one request")
+                           requests: Seq[(String, StatsQueryReq)]): DataFrame = {
+    require(requests.nonEmpty, "statsBatchQueryNamed needs at least one request")
     requests.map { case (name, r) =>
-      oneStatsRequest(tenantId, r).withColumn("request_key", lit(name))
+      statsQuery(tenantId, r).withColumn("request_key", lit(name))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -882,11 +1014,17 @@ class MetricsService(spark: SparkSession, root: String) {
     if (distinct) MetricsOps.distinctContiguous(base, "s_value", ord) else base
   }
 
+  /** Counter parity feeds ASC — the reference fetches counters ascending
+    * before accumulating (MetricsServiceImpl.java:1014), opposite the
+    * gauge DESC rule. */
   def findCounterStats(id: MetricId, config: BucketConfig,
-                       percentiles: Seq[Double] = Seq.empty): DataFrame = {
+                       percentiles: Seq[Double] = Seq.empty,
+                       mode: MetricsOps.PercentileMode =
+                         MetricsOps.PercentileMode.Exact): DataFrame = {
     val b = config.buckets
     MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value"), b)
+      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value",
+        mode = mode, parityFeedOrder = Order.Asc), b)
   }
 
   /** W1 — COUNTER_RATE / GAUGE_RATE virtual types (limit after pairing,

@@ -1,6 +1,7 @@
 package graft.api
 
 import graft.model._
+import graft.operators.MetricsOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -116,10 +117,14 @@ object RestRoutes {
                                         fromEarliest: Boolean = false)
 
   /** Body of POST /metrics/stats/query (StatsQueryRequest.java:30-46):
-    * `types` carries metric-type TEXTS including the virtual rate types
-    * ("counter_rate", "gauge_rate" — MetricHandler.java:368-380,424,476). */
-  final case class MixedStatsQuery(tags: String,
-                                   types: Seq[String],
+    * series named by the per-type-text `metrics` id map OR the `tags`
+    * expression (metrics wins when it names a stored family,
+    * MetricHandler.java:374-377); `types` carries metric-type TEXTS
+    * including the virtual rate types ("counter_rate", "gauge_rate" —
+    * MetricHandler.java:368-380,424,476). */
+  final case class MixedStatsQuery(tags: Option[String] = None,
+                                   metrics: Map[String, Seq[String]] = Map.empty,
+                                   types: Seq[String] = Seq.empty,
                                    start: Option[String] = None,
                                    end: Option[String] = None,
                                    buckets: Option[Int] = None,
@@ -458,26 +463,23 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
 
     // ---- EP2: one mixed-type stats request + the batch variant -------
     case ("POST", "metrics" :: "stats" :: "query" :: Nil) => body match {
-      case q: MixedStatsQuery =>
-        val ts = q.types.map(MetricType.fromText).toSet
-        // strings have no stats branches — reject rather than silently
-        // dropping a requested section from the response
-        require(!ts.contains(MetricType.Str),
-          "string metrics have no stats; remove 'string' from types")
-        val stored = ts.filter(_.isUserType)
-        val pcts = percentilesOf(q.percentiles)
-        Ok(svc.statsQuery(tenant, q.tags,
-          bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now),
-          types = stored,
-          includeCounterRate = ts(MetricType.CounterRate),
-          includeGaugeRate = ts(MetricType.GaugeRate),
-          percentiles = pcts))
+      case q: MixedStatsQuery => Ok(svc.statsQuery(tenant, statsQueryReq(q, now)))
       case _ => badBody("MixedStatsQuery")
     }
     case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil) => body match {
-      // erasure hides the element type — check it ourselves so a wrong
-      // body answers 400, not a downstream ClassCastException (and the
-      // service's nonEmpty require maps the empty list to 400 too)
+      // the reference body is an OBJECT (`Map<String, StatsQueryRequest>`,
+      // MetricHandler.findStatsBatched:321-338) — name-keyed entries; the
+      // array-of-StatsRequest form is kept as the index-keyed engine
+      // extension. Erasure hides element types — check them ourselves so a
+      // wrong body answers 400, not a downstream ClassCastException (and
+      // the services' nonEmpty requires map empty bodies to 400 too).
+      case rs: Seq[_] if rs.forall {
+            case (_: String, _: MixedStatsQuery) => true
+            case _ => false
+          } && rs.exists(_.isInstanceOf[(_, _)]) =>
+        Ok(svc.statsBatchQueryNamed(tenant,
+          rs.asInstanceOf[Seq[(String, MixedStatsQuery)]]
+            .map { case (k, q) => k -> statsQueryReq(q, now) }))
       case rs: Seq[_] if rs.forall(_.isInstanceOf[MetricsService#StatsRequest]) =>
         Ok(svc.statsBatchQuery(tenant, rs.asInstanceOf[Seq[svc.StatsRequest]]))
       case _ => badBody("Seq[StatsRequest]")
@@ -707,6 +709,22 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     BucketConfig(TimeRange(start, end, now), buckets,
       bucketDuration.map(GDuration.parse))
 
+  /** One EP2 body → the service's resolved request (shared by the single
+    * stats query and every named-batch element). */
+  private def statsQueryReq(q: MixedStatsQuery, now: Long): svc.StatsQueryReq = {
+    val ts = q.types.map(MetricType.fromText).toSet
+    // strings have no stats branches — reject rather than silently
+    // dropping a requested section from the response
+    require(!ts.contains(MetricType.Str),
+      "string metrics have no stats; remove 'string' from types")
+    svc.StatsQueryReq(
+      metrics = q.metrics.map { case (t, ids) => MetricType.fromText(t) -> ids },
+      tags = q.tags,
+      config = bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now),
+      types = ts,
+      percentiles = percentilesOf(q.percentiles))
+  }
+
   private def percentilesOf(param: Option[String]): Percentiles =
     Percentiles(param.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty))
@@ -757,15 +775,32 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       }
     } else {
       val cfg = bucketConfig(params, now)
+      val mode = percentileModeOf(params)
       t match {
-        case MetricType.Gauge => Ok(svc.findGaugeStats(m, cfg, pcts))
+        case MetricType.Gauge => Ok(svc.findGaugeStats(m, cfg, pcts, mode))
         case MetricType.Counter =>
-          Ok(renamePcts(svc.findCounterStats(m, cfg, pcts.quantiles), pcts))
+          Ok(renamePcts(svc.findCounterStats(m, cfg, pcts.quantiles, mode), pcts))
         case MetricType.Availability => Ok(svc.findAvailabilityStats(m, cfg))
         case _ => ApiError(400, s"stats not supported for type ${t.text}")
       }
     }
   }
+
+  /** ENGINE EXTENSION param `percentileMode` on GET /{type}s/{id}/stats:
+    * the default `exact` serves exact interpolated percentiles (the
+    * engine's documented divergence); `p2parity` reproduces the
+    * reference's commons-math P² streaming estimates bit-for-bit
+    * (NumericDataPointCollector.java:61, with the per-type feed order);
+    * `p2sketch` serves the O(1)-state distributed sketch (the 100 TB
+    * path). The reference has no such knob — it always serves P². */
+  private def percentileModeOf(params: Map[String, String]): MetricsOps.PercentileMode =
+    params.get("percentileMode").map {
+      case "exact" => MetricsOps.PercentileMode.Exact
+      case "p2parity" => MetricsOps.PercentileMode.P2Parity
+      case "p2sketch" => MetricsOps.PercentileMode.P2Sketch
+      case other => throw new IllegalArgumentException(
+        s"Invalid percentileMode '$other' (expected exact, p2parity or p2sketch)")
+    }.getOrElse(MetricsOps.PercentileMode.Exact)
 
   /** The shared engine of GET /{type}s/stats and POST /{type}s/stats/
     * query — ONE code path is what makes the reference's POST ≡ GET

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.model.{AvailabilityType, MetricType}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import scala.jdk.CollectionConverters._
 
 /**
@@ -73,7 +73,12 @@ private[api] object WireCodec {
       case ("GET", t :: Nil) if TypeSegs(t) && isDef =>
         rows(df).map(rs => arr(rs.map(defNode)).toString)
       case ("GET", t :: id :: "tags" :: Nil)
-          if TypeSegs(t) && t != "metrics" && cols == Set("tname", "tvalue") =>
+          // id != "tags": /{type}/tags/tags is tag-VALUE discovery for the
+          // literal tag name "tags" (the route table's literal-wins rule,
+          // RestRoutes one-segment precedence) — it must render the
+          // {name: [values]} discovery shape below, not this per-metric map
+          if TypeSegs(t) && t != "metrics" && id != "tags" &&
+            cols == Set("tname", "tvalue") =>
         rows(df).map(rs => obj(rs.sortBy(_.get("tname").asText())
           .map(r => r.get("tname").asText() -> r.get("tvalue"))).toString)
       case ("GET", t :: "tags" :: _ :: Nil)
@@ -105,6 +110,48 @@ private[api] object WireCodec {
           }
           a.toString
         }
+      // ---- bucketed stats in reference BucketPoint JSON ----------------
+      // single-metric and multi-metric (pooled/stacked) stats, rate stats,
+      // and the POST ≡ GET aggregated query: a flat index-ordered list of
+      // BucketPoints (NumericBucketPoint / AvailabilityBucketPoint fields,
+      // percentiles as the reference's {quantile, value, originalQuantile}
+      // array — omitted when none requested, WRITE_EMPTY_JSON_ARRAYS=false)
+      case ("GET", t :: id :: "stats" :: Nil)
+          if TypeSegs(t) && !ReservedId(id) && cols.contains("bucket_start") =>
+        rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
+          .map(bucketPointNode(_, avail = t == "availability"))).toString)
+      case ("GET" | "POST", t :: "stats" :: rest)
+          if TypeSegs(t) && (rest == Nil || rest == List("query")) &&
+            cols.contains("bucket_start") && !cols.contains("metric") =>
+        rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
+          .map(bucketPointNode(_, avail = t == "availability"))).toString)
+      case ("GET", t :: "rate" :: "stats" :: Nil)
+          if TypeSegs(t) && cols.contains("bucket_start") && !cols.contains("metric") =>
+        rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
+          .map(bucketPointNode(_, avail = false))).toString)
+      case ("GET", t :: id :: "rate" :: "stats" :: Nil)
+          if TypeSegs(t) && !ReservedId(id) && cols.contains("bucket_start") =>
+        rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
+          .map(bucketPointNode(_, avail = false))).toString)
+      // EP2 mixed stats: {type: {metricId: [BucketPoint...]}} — the map
+      // shape MetricHandler.doStatsQuery zips up (java:455-466); empty
+      // sections are dropped (the reference omits empty maps, and an
+      // entirely empty result is the caller's 204 via rows() → None)
+      case ("POST", "metrics" :: "stats" :: "query" :: Nil)
+          if cols.contains("branch") && cols.contains("bucket_start") =>
+        rows(df).map(statsSections(_).toString)
+      // named batch: one more nesting level keyed by the caller's request
+      // names (MetricHandler.findStatsBatched:321-338)
+      case ("POST", "metrics" :: "stats" :: "batch" :: "query" :: Nil)
+          if cols.contains("request_key") && cols.contains("branch") &&
+            cols.contains("bucket_start") =>
+        rows(df).map { rs =>
+          val out = mapper.createObjectNode()
+          rs.groupBy(_.get("request_key").asText()).toSeq.sortBy(_._1).foreach {
+            case (key, krs) => out.set[ObjectNode](key, statsSections(krs))
+          }
+          out.toString
+        }
       case ("GET", Nil | "ping" :: Nil | "status" :: Nil | "admin" :: "status" :: Nil)
           if cols == Set("name", "value") =>
         rows(df).map(rs =>
@@ -126,9 +173,14 @@ private[api] object WireCodec {
     if (!(cols.contains("bucket") && cols.contains("bucket_start"))) df
     else {
       val stats = cols.filterNot(Set("bucket", "bucket_start", "bucket_end"))
+      // the no-samples fallback must test only the STATS columns — group
+      // keys (type/metric/id) are never null, so including them would make
+      // every bucket read non-empty
+      val statsOnly = stats.filterNot(Set("type", "metric", "id"))
       val empty =
         if (cols.contains("samples")) col("samples").isNull || col("samples") === 0
-        else stats.map(c => col(c).isNull).reduce(_ && _)
+        else if (statsOnly.isEmpty) lit(false)
+        else statsOnly.map(c => col(c).isNull).reduce(_ && _)
       // the reference returns buckets index-ordered (BucketPoint.toList
       // iterates 0..count) — sort the response-sized frame; secondary keys
       // make multi-series frames (type/metric columns) deterministic too
@@ -137,6 +189,90 @@ private[api] object WireCodec {
         empty.as("empty") +: stats.map(col): _*)
         .orderBy(sortKeys: _*)
     }
+  }
+
+  /** EP2 section map: {type text: {metric id: [BucketPoint...]}} — rows
+    * grouped by `branch` then `metric`, buckets index-ordered. Sections
+    * and metric keys render sorted (the reference's HashMap order is
+    * unspecified; sorted is a deterministic member of that family). */
+  private def statsSections(rs: Seq[ObjectNode]): ObjectNode = {
+    val out = mapper.createObjectNode()
+    rs.groupBy(_.get("branch").asText()).toSeq.sortBy(_._1).foreach {
+      case (branch, brs) =>
+        val sec = out.putObject(branch)
+        brs.groupBy(_.get("metric").asText()).toSeq.sortBy(_._1).foreach {
+          case (m, mrs) =>
+            val a = sec.putArray(m)
+            mrs.sortBy(_.get("bucket_start").asLong())
+              .foreach(r => a.add(bucketPointNode(r, avail = branch == "availability")))
+        }
+    }
+    out
+  }
+
+  private val NumStatNames = Seq("min", "avg", "median", "max", "sum")
+  // engine percentile columns: pctColName normalization (`p99_0`) or the
+  // request's original text preserved (`p99_000`) — digits and one `_`
+  private val PctCol = "^p(\\d+(?:_\\d+)?)$".r
+
+  /** One bucketed-stats row → the reference's BucketPoint JSON
+    * (NumericBucketPoint.java:30-78 / AvailabilityBucketPoint.java:31-125
+    * getters + the NON_NULL mapper config): `start`/`end`/`empty` always;
+    * stats only on non-empty buckets (empty getters answer null →
+    * omitted); numeric percentiles as {quantile, value, originalQuantile}
+    * objects, the array omitted when none were requested
+    * (WRITE_EMPTY_JSON_ARRAYS=false). Availability buckets carry the
+    * durationMap keyed by availability TEXT codes (the reference's
+    * AvailabilityTypeKeySerializer; zero-duration states omitted like the
+    * collector's observed-states map) plus the convenience duration/count
+    * getters. */
+  private def bucketPointNode(r: ObjectNode, avail: Boolean): ObjectNode = {
+    val out = mapper.createObjectNode()
+    out.put("start", r.get("bucket_start").asLong())
+    out.put("end", r.get("bucket_end").asLong())
+    val empty = !r.hasNonNull("samples") || r.get("samples").asLong() == 0
+    if (!empty) {
+      val samples = r.get("samples").asLong()
+      if (avail) {
+        def ms(f: String): Long = if (r.hasNonNull(f)) r.get(f).asLong() else 0L
+        val dm = out.putObject("durationMap")
+        Seq("up" -> "up_ms", "down" -> "down_ms",
+          "unknown" -> "unknown_ms", "admin" -> "admin_ms").foreach {
+          case (txt, c) => if (ms(c) != 0L) dm.put(txt, ms(c))
+        }
+        out.put("upDuration", ms("up_ms"))
+        out.put("downDuration", ms("down_ms"))
+        out.put("unknownDuration", ms("unknown_ms"))
+        out.put("adminDuration", ms("admin_ms"))
+        out.put("notUpDuration", ms("down_ms") + ms("unknown_ms") + ms("admin_ms"))
+        out.put("lastNotUptime", ms("last_not_uptime"))
+        if (r.hasNonNull("uptime_ratio"))
+          out.set[ObjectNode]("uptimeRatio", r.get("uptime_ratio"))
+        val notUp = ms("not_up_count")
+        out.put("notUpCount", notUp)
+        out.put("upCount", samples - notUp)
+        out.put("samples", samples)
+      } else {
+        NumStatNames.foreach(f =>
+          if (r.hasNonNull(f)) out.set[ObjectNode](f, r.get(f)))
+        out.put("samples", samples)
+        val pcts = r.properties().asScala.toSeq.collect {
+          case e if PctCol.matches(e.getKey) && !e.getValue.isNull =>
+            val original = PctCol.findFirstMatchIn(e.getKey).get.group(1).replace('_', '.')
+            val p = mapper.createObjectNode()
+            p.put("quantile", original.toDouble)
+            p.set[ObjectNode]("value", e.getValue)
+            p.put("originalQuantile", original)
+            p
+        }
+        if (pcts.nonEmpty) {
+          val a = out.putArray("percentiles")
+          pcts.sortBy(_.get("quantile").asDouble()).foreach(a.add)
+        }
+      }
+    }
+    out.put("empty", empty)
+    out
   }
 
   /** Collect + parse — the serialization boundary (response-sized). */

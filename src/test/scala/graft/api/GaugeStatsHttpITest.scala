@@ -195,6 +195,66 @@ class GaugeStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assertBucket(bucketList.head, start, min_(4), values)
   }
 
+  // GaugeMetricStatisticsITest.groovy:121-141's own trick at the REST
+  // boundary: the reference's percentile expectations are PSquarePercentile
+  // recomputations over the raw values — pin that a reference client
+  // opting into ?percentileMode=p2parity gets BIT-IDENTICAL estimates
+  // (commons-math fed in the reference's DESC gauge order,
+  // MetricsServiceImpl.java:914), while the default stays the engine's
+  // exact interpolated percentiles
+  test("percentileMode=p2parity serves commons-math P² estimates bit-for-bit; " +
+    "the default serves exact interpolated percentiles") {
+    import org.apache.commons.math3.stat.descriptive.rank.PSquarePercentile
+    val t = Some("t-p2parity")
+    val start = 36000000L
+    val values = (1 to 20).map(i => (i * i).toDouble) // skewed: P² ≠ exact
+    val points = values.zipWithIndex
+      .map { case (v, i) => s"""{"timestamp":${start + i * 1000L},"value":$v}""" }
+      .mkString("[", ",", "]")
+    assert(call("POST", "/gauges/p2/raw", t, Some(points))._1 == 204)
+
+    // the reference feeds its estimator in gauge FETCH order = time DESC
+    val feed = values.reverse
+    def p2(q: Double): Double = {
+      val est = new PSquarePercentile(q)
+      feed.foreach(est.increment)
+      est.getResult
+    }
+    val exactP95 = { // exact interpolated, the engine default
+      val s = values.sorted
+      val rank = 0.95 * (s.length - 1)
+      s(rank.toInt) + (rank - rank.toInt) * (s(math.ceil(rank).toInt) - s(rank.toInt))
+    }
+    assert(math.abs(p2(50.0) - exactMedian(values)) > 1e-9,
+      "fixture must distinguish the estimators")
+
+    val query = s"start=$start&end=${start + 60000}&buckets=1&percentiles=95.0"
+    val (ps, parity) = call("GET",
+      s"/gauges/p2/stats?$query&percentileMode=p2parity", t)
+    assert(ps == 200, parity)
+    val pb = parse(parity).head
+    assert(pb.get("median").asDouble == p2(50.0),
+      s"parity median must be the P² estimate bit-for-bit: $pb vs ${p2(50.0)}")
+    val pctArr = pb.get("percentiles")
+    assert(pctArr != null && pctArr.size() == 1, s"percentiles array: $pb")
+    val p95 = pctArr.get(0)
+    assert(p95.get("quantile").asDouble == 95.0 &&
+      p95.get("originalQuantile").asText == "95.0", s"quantile echo: $p95")
+    assert(p95.get("value").asDouble == p2(95.0),
+      s"parity p95 must be the P² estimate bit-for-bit: $p95 vs ${p2(95.0)}")
+
+    val (es, exact) = call("GET", s"/gauges/p2/stats?$query", t)
+    assert(es == 200, exact)
+    val eb = parse(exact).head
+    assert(math.abs(eb.get("median").asDouble - exactMedian(values)) <= 1e-9,
+      s"default median is exact interpolated: $eb")
+    assert(math.abs(eb.get("percentiles").get(0).get("value").asDouble - exactP95) <= 1e-9,
+      s"default p95 is exact interpolated: $eb")
+
+    // unknown mode text answers 400, not a silent exact fallback
+    assert(call("GET", s"/gauges/p2/stats?$query&percentileMode=p2", t)._1 == 400)
+  }
+
   // ErrorsITest.groovy:37-56 over the wire
   test("error paths: 405 wrong method, 404 unknown route, 400 bad buckets number") {
     val t = Some("t-errs")

@@ -175,7 +175,7 @@ class RestRoutesSpec extends SparkTestBase {
     rest.route("POST", "/gauges/cpu/raw", body = Seq(PointValue(100L, 10.0), PointValue(150L, 30.0)))
     rest.route("POST", "/counters/reqs/raw", body = Seq(PointValue(100L, 100L), PointValue(150L, 160L)))
     val out = frame(rest.route("POST", "/metrics/stats/query",
-      body = MixedStatsQuery(tags = "env = prod",
+      body = MixedStatsQuery(tags = Some("env = prod"),
         types = Seq("gauge", "counter", "counter_rate", "gauge_rate"),
         start = Some("100"), end = Some("200"), buckets = Some(1),
         percentiles = Some("90.0")), now = 200L))
@@ -184,7 +184,7 @@ class RestRoutesSpec extends SparkTestBase {
     assert(out.columns.contains("p90_0"))
     // a requested type with no stats branches is rejected, not dropped
     rest.route("POST", "/metrics/stats/query",
-      body = MixedStatsQuery(tags = "env = prod", types = Seq("gauge", "string"),
+      body = MixedStatsQuery(tags = Some("env = prod"), types = Seq("gauge", "string"),
         start = Some("100"), end = Some("200"), buckets = Some(1)), now = 200L) match {
       case ApiError(400, msg) => assert(msg.contains("string"))
       case other => fail(s"expected 400, got $other")

@@ -54,6 +54,15 @@ object MetricsService {
       StructField("ingest_seq", LongType)))
   }
 
+  /** Write-schema of the tenants tier (createTenant's toDF). */
+  private[api] val TenantsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("retentions", MapType(StringType, IntegerType)),
+      StructField("ingest_seq", LongType)))
+  }
+
   /** Rename normalized `pN_N` percentile columns to the request's ORIGINAL
     * strings (Percentile.java:22-38 echo rule), shared by every
     * Percentiles-typed entry point (service overloads, REST routes). */
@@ -115,7 +124,18 @@ class MetricsService(spark: SparkSession, root: String) {
   def getTenants(): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("ingest_seq").desc)
-    spark.read.parquet(tenantsPath)
+    // a store with no tenants yet lists as EMPTY (the reference answers
+    // 204), not as a missing-path error — same rule as metricsIndex
+    val stored =
+      try spark.read.parquet(tenantsPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              e.getCondition == "PATH_NOT_FOUND" =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            MetricsService.TenantsSchema)
+      }
+    stored
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("id", "retentions")
   }

@@ -10,12 +10,22 @@ object Verify {
     // optional 3rd arg: comma-separated query subset (dev iteration)
     val subset = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master so the WHOLE correctness
+    // path (parquet dumps → DuckDB compare) can run on a real multi-JVM
+    // local-cluster[n,c,mem] — set SPARK_SCALA_VERSION=2.13 with it
+    // (ProbeCluster scaladoc explains the launcher quirk)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      // standalone workers launch from SPARK_HOME and need this project's
+      // compiled classes on their classpath explicitly
+      b.config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

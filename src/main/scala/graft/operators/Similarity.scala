@@ -418,6 +418,10 @@ object Similarity {
     withNorm(corpus.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
       .select("vec_id", "embedding", "cell")
+      // repartition-before-partitionBy file discipline (IndexStore
+      // primitive 3): file count ∝ cells, not tasks × cells — measured
+      // 3x serve inflation at 64 cells without it (ProbeServe)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     model.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
@@ -445,6 +449,7 @@ object Similarity {
     withNorm(fresh.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
       .select("vec_id", "embedding", "cell")
+      .repartition(col("cell")) // file discipline, as in the build
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
@@ -460,10 +465,20 @@ object Similarity {
                     queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     val cents = withNorm(spark.read.parquet(s"$path/centroids"), "centroid")
       .withColumnRenamed("nrm", "centroid_nrm")
+    // STATIC partition pruning: DPP does not fire for a probe side built
+    // from a request-sized frame (no selective scan filter — the
+    // bm25StoredTopK pattern), so collect the probed cell ids — at most
+    // |queries| × nprobe ints — and push them as a literal isin over the
+    // partition column; the scan then reads ONLY the probed cells' files.
+    // The per-query cell join below still restricts each query to its own
+    // probes; the static filter is the union superset.
+    val probes = probeCells(queries, cents, nprobe).localCheckpoint()
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val c = withNorm(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*))
       .select(col("cell"), col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
-    ivfSearch(c, queries, cents, k, nprobe)
+    rankPairs(c.join(broadcast(probes), Seq("cell")), k)
   }
 
   /**

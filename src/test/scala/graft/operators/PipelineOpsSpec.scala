@@ -118,11 +118,14 @@ class PipelineOpsSpec extends SparkTestBase {
     val storedDf = Similarity.ivfStoredTopK(s, path, q, 5, nprobe = 2)
     val stored = storedDf.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(stored == live, s"stored-index search must match the live path")
-    // serving reads only probed cells: dynamic partition pruning on the
-    // cell-partitioned scan
-    val plan = storedDf.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"),
-      s"expected dynamic partition pruning on the vectors scan:\n$plan")
+    // serving reads only probed cells: a STATIC IN filter over the
+    // partition column (plan-time pruning — DPP would not fire for a
+    // request-sized probe frame with no selective scan filter, so the
+    // probed cell ids are collected and pushed as literals)
+    val plan = storedDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected a static cell IN partition filter on the vectors scan:\n$plan")
   }
 
   test("IVF append: stored model assigns the batch, serving sees it; replay is a no-op") {

@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the CORS ITest ports must SEND an Origin header, which
+  // HttpURLConnection silently drops as browser-restricted by default
+  "-Dsun.net.http.allowRestrictedHeaders=true",
 )

@@ -38,10 +38,17 @@ import scala.jdk.CollectionConverters._
  * session); the per-tenant [[RestRoutes]] view is a throwaway wrapper
  * built per request.
  */
-class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
+class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
+                    allowedCorsOrigins: String = "*",
+                    extraCorsAllowHeaders: Option[String] = None) {
   import RestRoutes._
 
   private val svc = new MetricsService(spark, storageRoot)
+  // CORS filter pair (Cors.scala): predicate built once from config,
+  // like the reference's @PostConstruct OriginValidation.init
+  private val originAllowed = Cors.originPredicate(allowedCorsOrigins)
+  private val corsAllowHeaders =
+    (Cors.DefaultAllowHeaders +: extraCorsAllowHeaders.toSeq).mkString(",")
   // a RestRoutes view is a thin stateless wrapper — constructed per
   // request rather than cached per tenant, so a client sweeping random
   // Hawkular-Tenant header values cannot grow driver memory unboundedly
@@ -73,6 +80,38 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       val method = ex.getRequestMethod.toUpperCase
       val path = ex.getRequestURI.getPath
       val params = queryParams(ex.getRequestURI.getRawQuery)
+      // ---- CORS request filter: @PreMatching priority 0, so it runs
+      // before routing, content negotiation AND the tenant filter
+      // (CorsRequestFilter.java). Origin-less requests pass untouched.
+      val origin = Option(ex.getRequestHeaders.getFirst(Cors.Origin)).filter(_.nonEmpty)
+      origin match {
+        case Some(o) if !originAllowed(o) =>
+          // disallowed origin: 400 with an empty body — but the CORS
+          // headers still ride along, echoing the REQUEST origin (the
+          // reference's response filter adds them whenever Origin is
+          // present, valid or not: CORSITest testBadOriginWithoutData
+          // asserts the full header set on the 400 itself)
+          corsHeaders(ex, o)
+          ex.sendResponseHeaders(400, -1)
+          return
+        case Some(o) if method == "OPTIONS" =>
+          // preflight: answered here, never reaches the router, needs
+          // no tenant (CORSITest testOptionsWithoutTenantIDAndData)
+          corsHeaders(ex, o)
+          ex.sendResponseHeaders(200, -1)
+          return
+        case Some(o) => corsHeaders(ex, o) // actual request: headers ride along
+        case None => ()
+      }
+      // ---- content negotiation (the JAX-RS container's, pinned by
+      // ErrorsITest): every resource @Produces(APPLICATION_JSON) — an
+      // Accept that admits no json-compatible type is 406 (:59-72);
+      // every body-consuming resource @Consumes(APPLICATION_JSON) — a
+      // body tagged with a different media type is 415 (:74-90).
+      if (!acceptsJson(ex)) { respond(ex, 406, ""); return }
+      if ((method == "POST" || method == "PUT") && !consumesJson(ex)) {
+        respond(ex, 415, ""); return
+      }
       val segs = path.split("/").filter(_.nonEmpty).toList match {
         case "m" :: rest => "metrics" :: rest
         case s => s
@@ -125,6 +164,37 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0) {
       case e: IllegalArgumentException => respond(ex, 400, errorJson(String.valueOf(e.getMessage)))
       case e: Exception => respond(ex, 500, errorJson(String.valueOf(e.getMessage)))
     } finally ex.close()
+
+  /** CORS response headers for an allowed origin (CorsResponseFilter):
+    * echo the origin, allow credentials, advertise the method list, the
+    * default + configured-extra request headers, and the 72 h preflight
+    * cache (CORSITest.groovy:57-61). */
+  private def corsHeaders(ex: HttpExchange, origin: String): Unit = {
+    val h = ex.getResponseHeaders
+    h.set(Cors.AllowOrigin, origin)
+    h.set(Cors.AllowCredentials, "true")
+    h.set(Cors.AllowMethods, Cors.DefaultAllowMethods)
+    h.set(Cors.AllowHeaders, corsAllowHeaders)
+    h.set(Cors.MaxAge, Cors.MaxAgeSeconds.toString)
+  }
+
+  /** An absent Accept header means "anything"; otherwise at least one
+    * listed media range must admit application/json. */
+  private def acceptsJson(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Accept")).forall { a =>
+      a.split(",").map(_.split(";")(0).trim.toLowerCase).exists(t =>
+        t == "*/*" || t == "application/*" || t == "application/json" || t.isEmpty)
+    }
+
+  /** An absent Content-Type defaults to json here (internal callers and
+    * curl-style clients); a PRESENT one must be json — the reference's
+    * @Consumes rejects a mistagged body with 415 regardless of content
+    * (ErrorsITest posts an EMPTY text/plain body and still gets 415). */
+  private def consumesJson(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Content-Type")).forall { ct =>
+      val t = ct.split(";")(0).trim.toLowerCase
+      t == "application/json" || t.isEmpty
+    }
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

@@ -259,9 +259,65 @@ class MetricsService(spark: SparkSession, root: String) {
       case _: org.apache.spark.sql.AnalysisException => (Map.empty, None)
     }
 
-  /** Single-metric definition lookup (reference findMetric:102-109). */
+  /** Single-metric definition lookup (reference findMetric:102-109).
+    * INDEX-only — `createMetric(overwrite=false)`'s 409 existence check
+    * rides on this, and the reference's INSERT-IF-NOT-EXISTS consults
+    * only the index: a data-only metric must remain explicitly
+    * creatable. Route-facing reads want [[findMetricOrDataDerived]]. */
   def findMetric(id: MetricId): DataFrame =
     metricsIndex().filter(metricKey(id))
+
+  /** The reference's enrichToMetric fallback (MetricsServiceImpl.java:
+    * 501-513): a metric absent from the index but present in the DATA
+    * tier still reads as a definition — no tags, default retention.
+    * The probe is this metric's key-pruned slice, not a tier scan. */
+  def findMetricOrDataDerived(id: MetricId): DataFrame = {
+    val fromData = series(id).select("tenant_id", "mtype", "metric").limit(1)
+      .withColumn("tags", typedLit(Map.empty[String, String]))
+      .withColumn("data_retention", lit(null).cast("int"))
+    mergeIndexWithDataDerived(findMetric(id), fromData)
+  }
+
+  /** Index-wins merge of explicit definitions with data-derived rows —
+    * the reference's `concatWith(setFromData).distinct(getMetricId)`
+    * (RxJava distinct keeps the FIRST occurrence, and the index stream
+    * is concatenated first: MetricsServiceImpl.findMetrics:516-539).
+    * One window over the already-key-grouped union; no extra scan. */
+  private def mergeIndexWithDataDerived(indexDefs: DataFrame,
+                                        fromData: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("__src"))
+    indexDefs.withColumn("__src", lit(0))
+      .unionByName(fromData.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__src", "__rn")
+  }
+
+  /** Distinct identifiers observed in the data tier for one tenant —
+    * the reference's findAllMetricIdentifiersInData feeding setFromData
+    * (`new Metric(m, DEFAULT_RETENTION)`: no tags, default retention).
+    * Distinct is a map-side-combining aggregate over the tenant's
+    * partition-pruned slice. */
+  private def definitionsFromData(tenantId: String,
+                                  mtype: Option[MetricType]): DataFrame =
+    MetricsOps.typeFilter(raw().filter(col("tenant_id") === tenantId), mtype)
+      .select("tenant_id", "mtype", "metric").distinct()
+      .withColumn("tags", typedLit(Map.empty[String, String]))
+      .withColumn("data_retention", lit(null).cast("int"))
+
+  /** Single-definition GET shape: the reference's handlers merge the
+    * definition with the metric's data time range (GaugeHandler.get →
+    * findMetric + findTimeRange; AvailabilityITest.minMaxTimestamps pins
+    * that min/maxTimestamp appear once data exists and are absent
+    * before). The min/max aggregate runs over THIS metric's key-pruned
+    * slice only — never a tier-wide aggregate — and broadcasts into the
+    * one-row definition. */
+  def findMetricWithTimestamps(id: MetricId): DataFrame = {
+    val minmax = series(id)
+      .agg(min(col("time")).as("min_time"), max(col("time")).as("max_time"))
+    findMetricOrDataDerived(id).crossJoin(broadcast(minmax))
+  }
 
   /** Full catalog scan across tenants (reference scanAllMetricIndexes,
     * the admin-job entry): the LWW-resolved index, unfiltered. */
@@ -279,14 +335,23 @@ class MetricsService(spark: SparkSession, root: String) {
                       tagExpression: Option[String]): DataFrame = {
     val base = MetricsOps.typeFilter(
       metricsIndex().filter(col("tenant_id") === tenantId), mtype)
-    tagExpression.fold(base) { expr =>
-      val pred =
-        try TagQueryParser.compile(expr, col("tags"))
-        catch {
-          case _: IllegalArgumentException =>
-            TagQueryParser.compileSimple(expr, col("tags"))
-        }
-      base.filter(pred)
+    tagExpression match {
+      case Some(expr) =>
+        // tag queries resolve against the INDEX only (the reference
+        // routes them through the tags index; data-derived rows carry
+        // no tags and can never match)
+        val pred =
+          try TagQueryParser.compile(expr, col("tags"))
+          catch {
+            case _: IllegalArgumentException =>
+              TagQueryParser.compileSimple(expr, col("tags"))
+          }
+        base.filter(pred)
+      case None =>
+        // unfiltered listing = index ∪ data-derived identifiers, index
+        // wins (MetricsServiceImpl.findMetrics:516-539 — CORSITest
+        // lists data-only m11/m12 with dataRetention 7)
+        mergeIndexWithDataDerived(base, definitionsFromData(tenantId, mtype))
     }
   }
 

@@ -265,7 +265,9 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // /gauges/stats is 405 in the reference container, not a delete of a
     // metric named "stats" (such a metric is unaddressable there too)
     case ("GET", Seg(t) :: id :: Nil) if !ReservedIdSeg(id) =>
-      Ok(svc.findMetric(mid(t, id)))
+      // single-definition GETs carry the data min/max timestamps when
+      // data exists (AvailabilityITest.minMaxTimestamps)
+      Ok(svc.findMetricWithTimestamps(mid(t, id)))
     case ("DELETE", Seg(t) :: id :: Nil) if !ReservedIdSeg(id) =>
       svc.deleteMetric(mid(t, id)); NoContent
     case ("GET", Seg(t) :: id :: "tags" :: Nil) => Ok(svc.getMetricTags(mid(t, id)))

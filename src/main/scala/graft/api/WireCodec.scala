@@ -52,7 +52,7 @@ private[api] object WireCodec {
   def render(method: String, segs: List[String], df: DataFrame): Option[String] = {
     val cols = df.columns.toSet
     def isDp = cols.contains("time") &&
-      Seq("n_value", "l_value", "avail", "s_value").exists(cols.contains)
+      Seq("n_value", "l_value", "avail", "s_value", "rate").exists(cols.contains)
     def isDef = cols.contains("metric") && cols.contains("tags") &&
       cols.contains("data_retention")
 
@@ -305,6 +305,9 @@ private[api] object WireCodec {
       out.put("value", AvailabilityType.fromCode(row.get("avail").asInt().toByte).text)
     else if (row.hasNonNull("l_value")) out.set[ObjectNode]("value", row.get("l_value"))
     else if (row.hasNonNull("n_value")) out.set[ObjectNode]("value", row.get("n_value"))
+    // W1 virtual-rate fetches emit a double `rate` column; the wire value
+    // is a plain double like any gauge point (CounterHandler findRate)
+    else if (row.hasNonNull("rate")) out.set[ObjectNode]("value", row.get("rate"))
     val tags = row.get("tags")
     if (tags != null && tags.isObject && !tags.isEmpty)
       out.set[ObjectNode]("tags", tags)

@@ -873,6 +873,21 @@ object SparkEntry {
               |SELECT metric, t AS "time", value AS n_value FROM base
               |WHERE metric IN ('click/7', 'error/23', 'view/88')""".stripMargin)),
 
+    // ---- T2 per series: the multi-metric fetch contract — limit bounds
+    // EACH id's points, not the union (MetricsServiceImpl
+    // .findDataPoints(List,…):821-826; GaugesITest fetchMRawData…)
+    ("fetch_by_ids_limited", (s: SparkSession, d: String) =>
+      MetricsOps.rawDataPointsPerMetric(
+        MetricsOps.dataPointsForIds(gauge(s, d), Seq("click/7", "error/23", "view/88")),
+        TimeRange(Some("0"), Some(Long.MaxValue.toString), 1L),
+        Order.Desc, limit = 5)
+        .select("metric", "time", "n_value"),
+      Some(s"""WITH $BaseCte, ranked AS (
+              |  SELECT metric, t AS "time", value AS n_value,
+              |         row_number() OVER (PARTITION BY metric ORDER BY t DESC) AS rn
+              |  FROM base WHERE metric IN ('click/7', 'error/23', 'view/88'))
+              |SELECT metric, "time", n_value FROM ranked WHERE rn <= 5""".stripMargin)),
+
     // ---- J5+A10: definition enrichment -----------------------------------
     // 'error/*' metrics carry a stored per-metric data_retention override
     // (Metric.java:48-54) — enrichment must ECHO it and default only the

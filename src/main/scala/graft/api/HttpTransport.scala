@@ -27,7 +27,12 @@ import scala.jdk.CollectionConverters._
  *  - responses: 200 + JSON array for frames, 204 for writes, ApiError's
  *    `{"errorMsg": …}` shape for 4xx (ApiError.java), 500 on unexpected
  *    failure. (The reference distinguishes 201 Created; the table's
- *    Result ADT collapses write successes to NoContent → 204.)
+ *    Result ADT collapses write successes to NoContent → 204, though
+ *    creation POSTs still carry the reference's Location header);
+ *  - the CORS filter pair (Cors.scala) and, when an admin token is
+ *    configured, the AdminFilter guard on /tenants + /admin routes;
+ *  - JAX-RS content negotiation: 406 for non-json Accept, 415 for
+ *    non-json request bodies (ErrorsITest).
  *
  * Result frames are collected ONLY here — the serialization boundary —
  * which is the same place the reference's Observable pipeline
@@ -40,10 +45,23 @@ import scala.jdk.CollectionConverters._
  */
 class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
                     allowedCorsOrigins: String = "*",
-                    extraCorsAllowHeaders: Option[String] = None) {
+                    extraCorsAllowHeaders: Option[String] = None,
+                    adminToken: Option[String] = None) {
   import RestRoutes._
+  import HttpTransport.AdminTokenHeader
 
   private val svc = new MetricsService(spark, storageRoot)
+  // the reference stores the sha256 of the configured admin token and
+  // compares hashes (AdminFilter.validAdminToken); None = the filter is
+  // off entirely — a DOCUMENTED divergence from the reference, where an
+  // unconfigured token locks every admin route behind a permanent 403
+  private val adminTokenSha = adminToken.map(HttpTransport.sha256)
+  private def adminGuarded(segs: List[String]): Boolean =
+    adminTokenSha.isDefined && (segs match {
+      case ("tenants" | "admin" | "openshift") :: _ => true
+      case _ => false
+    })
+  private def sha256(s: String): String = HttpTransport.sha256(s)
   // CORS filter pair (Cors.scala): predicate built once from config,
   // like the reference's @PostConstruct OriginValidation.init
   private val originAllowed = Cors.originPredicate(allowedCorsOrigins)
@@ -103,6 +121,47 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
         case Some(o) => corsHeaders(ex, o) // actual request: headers ride along
         case None => ()
       }
+      val segs = path.split("/").filter(_.nonEmpty).toList match {
+        case "m" :: rest => "metrics" :: rest
+        case s => s
+      }
+      // ---- tenant + admin filters: @PreMatching priorities 10 and 20
+      // (TenantFilter.java, AdminFilter.java), so their 400/403s fire
+      // BEFORE content negotiation's 406/415 — filters run pre-matching,
+      // NotAcceptable/NotSupported are matching-time exceptions.
+      // Blank/whitespace header values count as MISSING, matching the
+      // reference's TenantFilter (tenant.trim().isEmpty() → 400).
+      val tenantHeader = Option(ex.getRequestHeaders.getFirst("Hawkular-Tenant"))
+        .filter(_.trim.nonEmpty)
+      // exemptions = the reference TenantFilter set (root, /tenants,
+      // /status) plus this table's extra tenant-less meta routes /ping
+      // and /admin/status, which have no tenant axis by construction —
+      // a DELIBERATE widening, not drift. With an admin token CONFIGURED,
+      // the admin filter below re-imposes the reference's stricter rule
+      // (tenant required on /tenants and /admin too, AdminFilter.java).
+      val needsTenant = segs match {
+        case Nil => false
+        case "ping" :: _ | "status" :: _ | "admin" :: _ | "tenants" :: _ =>
+          adminGuarded(segs)
+        case _ => true
+      }
+      if (needsTenant && tenantHeader.isEmpty) {
+        respond(ex, 400, errorJson("Tenant is not specified. Use 'Hawkular-Tenant' header."))
+        return
+      }
+      if (adminGuarded(segs)) {
+        val token = Option(ex.getRequestHeaders.getFirst(AdminTokenHeader))
+          .filter(_.trim.nonEmpty)
+        if (token.isEmpty) {
+          respond(ex, 400, errorJson(
+            s"Admin token is not specified. Use '$AdminTokenHeader' header"))
+          return
+        }
+        if (!token.map(sha256).equals(adminTokenSha)) {
+          respond(ex, 403, errorJson("Admin token is wrong or not specified."))
+          return
+        }
+      }
       // ---- content negotiation (the JAX-RS container's, pinned by
       // ErrorsITest): every resource @Produces(APPLICATION_JSON) — an
       // Accept that admits no json-compatible type is 406 (:59-72);
@@ -112,26 +171,7 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
       if ((method == "POST" || method == "PUT") && !consumesJson(ex)) {
         respond(ex, 415, ""); return
       }
-      val segs = path.split("/").filter(_.nonEmpty).toList match {
-        case "m" :: rest => "metrics" :: rest
-        case s => s
-      }
-      // blank/whitespace header values count as MISSING, matching the
-      // reference's TenantFilter (tenant.trim().isEmpty() → 400)
-      val tenantHeader = Option(ex.getRequestHeaders.getFirst("Hawkular-Tenant"))
-        .filter(_.trim.nonEmpty)
-      // exemptions = the reference TenantFilter set (root, /tenants,
-      // /status) plus this table's extra tenant-less meta routes /ping
-      // and /admin/status, which have no tenant axis by construction —
-      // a DELIBERATE widening, not drift
-      val needsTenant = segs match {
-        case Nil => false
-        case "ping" :: _ | "status" :: _ | "admin" :: _ | "tenants" :: _ => false
-        case _ => true
-      }
-      if (needsTenant && tenantHeader.isEmpty)
-        respond(ex, 400, errorJson("Tenant is not specified. Use 'Hawkular-Tenant' header."))
-      else {
+      {
         val raw = ex.getRequestBody.readAllBytes()
         val body: AnyRef =
           if (raw.isEmpty) null
@@ -152,7 +192,15 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
               case None => respond(ex, 204, "")
               case Some(body) => respond(ex, 200, body)
             }
-          case NoContent => respond(ex, 204, "")
+          case NoContent =>
+            // metric-creation POSTs carry a Location header pointing at
+            // the created definition's TYPED path, like the reference's
+            // 201 responses (CassandraBackendITest asserts
+            // "http://base/{type-path}/{id}"); the success status stays
+            // this transport's documented 204 collapse
+            locationFor(method, segs, body).foreach(l =>
+              ex.getResponseHeaders.set("Location", l))
+            respond(ex, 204, "")
           case ApiError(status, message) => respond(ex, status, errorJson(message))
         }
       }
@@ -206,6 +254,25 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
       os.write(bytes); os.close()
     }
   }
+
+  /** Location of a definition created by POST /{type-path} or the
+    * untyped POST /metrics (which redirects to the TYPED path per the
+    * body's `type`). Only creation shapes get one. */
+  private def locationFor(method: String, segs: List[String],
+                          body: AnyRef): Option[String] =
+    if (method != "POST") None
+    else (segs, body) match {
+      case (t :: Nil, d: MetricDefinition) if TypeSeg.contains(t) =>
+        Some(s"http://127.0.0.1:$boundPort/$t/${pathEnc(d.id)}")
+      case ("metrics" :: Nil, d: MetricDefinition) =>
+        d.mtype.flatMap(text => TypeSeg.collectFirst {
+          case (seg, mt) if mt.text == text => seg
+        }).map(seg => s"http://127.0.0.1:$boundPort/$seg/${pathEnc(d.id)}")
+      case _ => None
+    }
+
+  private def pathEnc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
 
   private def errorJson(msg: String): String =
     "{\"errorMsg\":" + mapper.writeValueAsString(msg) + "}"
@@ -367,4 +434,14 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
       case _ => n
     }
   }
+}
+
+object HttpTransport {
+  /** The reference's admin header (AdminFilter.ADMIN_TOKEN_HEADER_NAME). */
+  val AdminTokenHeader = "Hawkular-Admin-Token"
+
+  private[api] def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 }

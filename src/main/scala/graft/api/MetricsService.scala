@@ -532,14 +532,17 @@ class MetricsService(spark: SparkSession, root: String) {
     findDataPoints(tenantId, mtype, ids.toDF("metric"), start, end, limit, order, now)
   }
 
-  /** Same, with the id set coming from a frame (tag-resolved selection). */
+  /** Same, with the id set coming from a frame (tag-resolved selection).
+    * `limit` bounds EACH series, not the union — the reference fans the
+    * id list out as per-id limited scans (MetricsServiceImpl
+    * .findDataPoints(List,…):821-826). */
   def findDataPoints(tenantId: String, mtype: MetricType, ids: DataFrame,
                      start: Option[Long], end: Option[Long], limit: Int,
                      order: Option[Order], now: Long): DataFrame = {
     val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
     val ord = order.getOrElse(Order.defaultValue(limit, start, end))
     val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
-    MetricsOps.rawDataPoints(MetricsOps.dataPointsForIds(scoped, ids), range, ord, limit)
+    MetricsOps.rawDataPointsPerMetric(MetricsOps.dataPointsForIds(scoped, ids), range, ord, limit)
   }
 
   /** Multi-metric raw fetch by tag query (reference
@@ -553,7 +556,8 @@ class MetricsService(spark: SparkSession, root: String) {
     val ord = order.getOrElse(Order.defaultValue(limit, start, end))
     val ids = findMetricIdentifiersWithFilters(tenantId, Some(mtype), tagExpression)
     val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
-    MetricsOps.rawDataPoints(MetricsOps.dataPointsForIds(scoped, ids), range, ord, limit)
+    // per-series limit, like the id-list path (reference :829-834)
+    MetricsOps.rawDataPointsPerMetric(MetricsOps.dataPointsForIds(scoped, ids), range, ord, limit)
   }
 
   /**
@@ -585,10 +589,14 @@ class MetricsService(spark: SparkSession, root: String) {
   def findRateData(tenantId: String, mtype: MetricType, ids: Seq[String],
                    limit: Int, order: Order): DataFrame = {
     val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
-    MetricsOps.rate(MetricsOps.dataPointsForIds(scoped, ids),
-      isCounter = mtype == MetricType.Counter,
-      valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value",
-      order = order, limit = limit)
+    // limit bounds EACH series' rates (reference findRateData(List,…):
+    // 886-890 concatMaps the per-id limited derivation)
+    MetricsOps.perMetricLimitOrdered(
+      MetricsOps.rate(MetricsOps.dataPointsForIds(scoped, ids),
+        isCounter = mtype == MetricType.Counter,
+        valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value",
+        order = order),
+      order, limit)
   }
 
   /** `mode` is Exact by default (the engine's documented divergence from
@@ -1151,18 +1159,21 @@ class MetricsService(spark: SparkSession, root: String) {
     findRateData(tenantId, mtype, ids.toDF("metric"), start, end, limit, order, now)
   }
 
-  /** Same, with the id set coming from a frame (tag-resolved selection). */
+  /** Same, with the id set coming from a frame (tag-resolved selection).
+    * `limit` bounds EACH series' rates (reference :886-890). */
   def findRateData(tenantId: String, mtype: MetricType, ids: DataFrame,
                    start: Option[Long], end: Option[Long], limit: Int,
                    order: Option[Order], now: Long): DataFrame = {
     val range = TimeRange(start.map(_.toString), end.map(_.toString), now)
     val ord = order.getOrElse(Order.defaultValue(limit, start, end))
     val scoped = raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
-    MetricsOps.rate(
-      MetricsOps.dataPointsForIds(scoped, ids).filter(MetricsOps.inRange(range)),
-      isCounter = mtype == MetricType.Counter,
-      valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value",
-      order = ord, limit = limit)
+    MetricsOps.perMetricLimitOrdered(
+      MetricsOps.rate(
+        MetricsOps.dataPointsForIds(scoped, ids).filter(MetricsOps.inRange(range)),
+        isCounter = mtype == MetricType.Counter,
+        valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value",
+        order = ord),
+      ord, limit)
   }
 
   def findRateStats(id: MetricId, config: BucketConfig,

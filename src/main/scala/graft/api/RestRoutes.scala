@@ -41,6 +41,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * among the selected metrics, MetricsServiceHandler.java:79-108).
  */
 object RestRoutes {
+  // route segment → stored metric type (the reference's per-type handler
+  // classes; the virtual rate types have no collection routes)
+  private[api] val TypeSeg: Map[String, MetricType] = Map(
+    "gauges" -> MetricType.Gauge, "counters" -> MetricType.Counter,
+    "availability" -> MetricType.Availability, "strings" -> MetricType.Str)
+
 
   /** Response ADT — the facade never throws for routing/parameter
     * errors, it answers like the reference's error mapper. */
@@ -160,11 +166,6 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     }
   }
 
-  // route segment → stored metric type (the reference's per-type handler
-  // classes; the virtual rate types have no collection routes)
-  private val TypeSeg: Map[String, MetricType] = Map(
-    "gauges" -> MetricType.Gauge, "counters" -> MetricType.Counter,
-    "availability" -> MetricType.Availability, "strings" -> MetricType.Str)
 
   private def dispatch(method: String, segs: List[String],
                        params: Map[String, String], body: AnyRef,
@@ -598,7 +599,11 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     * (MetricHandler.java:213-216). */
   private def userTypeParam(params: Map[String, String]): Option[MetricType] = {
     val t = params.get("type").map(MetricType.fromText)
-    t.foreach(tt => require(tt.isUserType, s"Incorrect type param ${tt.text}"))
+    // plain IAE, not require: the message is wire-visible through the
+    // 400 errorMsg body, and the reference's has no prefix
+    // (CassandraBackendITest asserts "Incorrect type param counter_rate")
+    t.foreach(tt => if (!tt.isUserType)
+      throw new IllegalArgumentException(s"Incorrect type param ${tt.text}"))
     t
   }
 

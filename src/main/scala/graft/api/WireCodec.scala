@@ -100,7 +100,7 @@ private[api] object WireCodec {
           a.toString
         }
       case ("GET", "gauges" :: _ :: "periods" :: Nil)
-          if cols == Set("period_start", "period_end") =>
+          if cols.contains("period_start") && cols.contains("period_end") =>
         rows(df).map { rs =>
           val a = mapper.createArrayNode()
           rs.sortBy(_.get("period_start").asLong()).foreach { r =>

@@ -27,7 +27,10 @@ object MetricType {
     all.find(_.code == code).getOrElse(throw new IllegalArgumentException(s"unknown metric type code $code"))
 
   def fromText(text: String): MetricType =
-    all.find(_.text == text).getOrElse(throw new IllegalArgumentException(s"unknown metric type '$text'"))
+    // message text is wire-visible through the 400 errorMsg body —
+    // CassandraBackendITest.findMetricsShouldFailProperly asserts it
+    all.find(_.text == text).getOrElse(
+      throw new IllegalArgumentException(s"$text is not a recognized metric type"))
 }
 
 /**

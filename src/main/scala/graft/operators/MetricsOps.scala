@@ -1163,6 +1163,45 @@ object MetricsOps {
     dp.orderBy(timeCol, col("metric").asc).limit(limit)
   }
 
+  /** T2 applied PER SERIES — the multi-metric fetch semantics: the
+    * reference fans a List&lt;MetricId&gt; out as per-id scans, so `limit`
+    * bounds EACH metric's points, not the union (MetricsServiceImpl
+    * .findDataPoints(List,…):821-826 concatMaps findDataPoints(id,…,limit);
+    * GaugesITest.fetchMRawDataFromMultipleGaugesWithQueryParams expects
+    * limit=2 to return 2 points PER gauge). One hash shuffle on the
+    * series key, rank within, no global sort — at 100 TB this beats a
+    * driver-side per-id loop by the width of the cluster. */
+  def perMetricLimit(dp: DataFrame, order: Order, limit: Int): DataFrame =
+    if (limit <= 0) dp
+    else {
+      val timeCol = order match {
+        case Order.Asc  => col("time").asc
+        case Order.Desc => col("time").desc
+      }
+      val w = Window.partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+        .orderBy(timeCol)
+      dp.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= limit).drop("__rn")
+    }
+
+  /** [[perMetricLimit]] plus per-series presentational time order — the
+    * shared tail of every multi-metric fetch (raw and rate alike). */
+  def perMetricLimitOrdered(dp: DataFrame, order: Order, limit: Int): DataFrame = {
+    val timeCol = order match {
+      case Order.Asc  => col("time").asc
+      case Order.Desc => col("time").desc
+    }
+    perMetricLimit(dp, order, limit).sortWithinPartitions(col("metric"), timeCol)
+  }
+
+  /** [[rawDataPoints]] with the MULTI-metric contract: range filter,
+    * per-series T2 limit, per-series presentational time order. Without
+    * a limit the un-ranked path (one clustering shuffle) is identical. */
+  def rawDataPointsPerMetric(dp: DataFrame, range: TimeRange, order: Order,
+                             limit: Int): DataFrame =
+    if (limit <= 0) rawDataPoints(dp, range, order, 0)
+    else perMetricLimitOrdered(dp.filter(inRange(range)), order, limit)
+
   // -----------------------------------------------------------------------
   // A7/A10 — whole-range scalars, min/max timestamps
   // -----------------------------------------------------------------------

@@ -1,0 +1,107 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkTestBase
+import scala.jdk.CollectionConverters._
+
+/**
+ * Port of the multi-counter stacked stats sections of the reference
+ * counter REST suite over the real HTTP transport —
+ * rest-tests-jaxrs/.../CountersITest.groovy:
+ *  - :827-976   findStackedStatsForMultipleCounters — GET /counters/stats
+ *               with stacked=true: per-series sub-buckets aggregate then
+ *               SUM across series (min=Σmin, max=Σmax, avg=Σavg); the
+ *               tag selection `type:…,host:server1|server2` (an OR
+ *               value list) answers identically to the ids selection
+ *  - :1238-1393 findStackedStatsForMultipleCounterRates — the same
+ *               stacking over W1 rate series: the stacked bucket equals
+ *               the SUM of each member's own /rate/stats bucket
+ *
+ * The reference seeds with sorted randoms; this port pins them to a
+ * fixed sorted list — the asserted relationships are value-independent.
+ */
+class CountersStatsHttpITest extends SparkTestBase with HttpSpecSupport {
+
+  private val mapper = new ObjectMapper()
+  private val Delta = 0.001
+  // the groovy's randomList, pinned (sorted, like rand.nextInt(100).sort())
+  private val R = Seq(3, 7, 12, 21, 33, 41, 48, 55, 76, 90)
+
+  private def seedCounters(t: Option[String], start: Long): (Seq[Long], Seq[Long]) = {
+    for ((id, host, env) <- Seq(("C1", "server1", "stage"), ("C2", "server2", "dev"),
+        ("C3", "server3", "stage")))
+      assert(call("POST", "/counters", t, Some(
+        s"""{"id":"$id","tags":{"type":"counter_cpu_usage","host":"$host","env":"$env"}}"""))._1 == 204)
+    val c1 = Seq(510 + R(0), 512 + R(1), 514 + R(2), 516 + R(3), 518 + R(4)).map(_.toLong)
+    val c2 = Seq(378 + R(5), 381 + R(6), 384 + R(7), 387 + R(8), 390 + R(9)).map(_.toLong)
+    val c3 = Seq(5712L, 5773L, 5949L, 5979L, 6548L)
+    def dps(vs: Seq[Long]) = vs.zipWithIndex.map { case (v, i) =>
+      s"""{"timestamp":${start + i * 60000L},"value":$v}"""
+    }.mkString("[", ",", "]")
+    assert(call("POST", "/counters/raw", t, Some(
+      s"""[{"id":"C1","data":${dps(c1)}},{"id":"C2","data":${dps(c2)}},
+         |{"id":"C3","data":${dps(c3)}}]""".stripMargin))._1 == 204)
+    (c1, c2)
+  }
+
+  private def oneBucket(path: String, t: Option[String]): JsonNode = {
+    val (st, body) = call("GET", path, t)
+    assert(st == 200, s"$path: $body")
+    val arr = mapper.readTree(body)
+    assert(arr.size() == 1, body)
+    arr.get(0)
+  }
+
+  private def d(n: JsonNode, f: String): Double = n.get(f).asDouble
+
+  test("stacked multi-counter stats: min/max/avg are per-series sums, and " +
+    "the OR-value tag selection equals the ids selection") {
+    val t = Some("t-cs-stacked")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    val (c1all, c2all) = seedCounters(t, start)
+    // range [start, start+4mn): the 5th point of each series is excluded
+    val c1 = c1all.take(4); val c2 = c2all.take(4)
+    val q = s"start=$start&end=${start + 4 * 60000L}&buckets=1"
+
+    val byTag = oneBucket(s"/counters/stats?$q" +
+      "&tags=type:counter_cpu_usage,host:server1%7Cserver2&stacked=true", t)
+    assert(byTag.get("start").asLong == start, byTag)
+    assert(byTag.get("end").asLong == start + 4 * 60000L, byTag)
+    assert(math.abs(d(byTag, "min") - (c1.min + c2.min)) < Delta, byTag)
+    assert(math.abs(d(byTag, "max") - (c1.max + c2.max)) < Delta, byTag)
+    assert(math.abs(d(byTag, "sum") - (c1.sum + c2.sum)) < Delta, byTag)
+    val expectedAvg = c1.sum / 4.0 + c2.sum / 4.0
+    assert(math.abs(d(byTag, "avg") - expectedAvg) < Delta, byTag)
+    assert(!byTag.get("empty").asBoolean, byTag)
+    assert(byTag.hasNonNull("median"), byTag)
+
+    val byIds = oneBucket(s"/counters/stats?$q&metrics=C1&metrics=C2&stacked=true", t)
+    for (f <- Seq("start", "end", "min", "max", "sum", "avg", "samples"))
+      assert(byIds.get(f) == byTag.get(f), s"$f: $byIds vs $byTag")
+  }
+
+  test("stacked multi-counter RATE stats equal the sum of each member's " +
+    "own /rate/stats bucket, by tags and by ids alike") {
+    val t = Some("t-cs-ratestacked")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    seedCounters(t, start)
+    val q = s"start=$start&end=${start + 4 * 60000L}&buckets=1"
+
+    val c1Rates = oneBucket(s"/counters/C1/rate/stats?$q", t)
+    val c2Rates = oneBucket(s"/counters/C2/rate/stats?$q", t)
+
+    def assertStacked(b: JsonNode): Unit = {
+      assert(b.get("start").asLong == start, b)
+      assert(b.get("end").asLong == start + 4 * 60000L, b)
+      assert(math.abs(d(b, "min") - (d(c1Rates, "min") + d(c2Rates, "min"))) < Delta, b)
+      assert(math.abs(d(b, "max") - (d(c1Rates, "max") + d(c2Rates, "max"))) < Delta, b)
+      assert(math.abs(d(b, "sum") - (d(c1Rates, "sum") + d(c2Rates, "sum"))) < Delta, b)
+      assert(math.abs(d(b, "avg") - (d(c1Rates, "avg") + d(c2Rates, "avg"))) < Delta, b)
+      assert(!b.get("empty").asBoolean, b)
+      assert(b.hasNonNull("median"), b)
+    }
+    assertStacked(oneBucket(s"/counters/rate/stats?$q" +
+      "&tags=type:counter_cpu_usage,host:server1%7Cserver2&stacked=true", t))
+    assertStacked(oneBucket(s"/counters/rate/stats?$q&metrics=C2&metrics=C1&stacked=true", t))
+  }
+}

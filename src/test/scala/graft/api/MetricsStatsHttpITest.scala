@@ -9,7 +9,11 @@ import graft.SparkTestBase
  * transport — the assertions of
  * rest-tests-jaxrs/.../MetricsITest.groovy:633-880 (fetchStats: the
  * metrics-map-driven mixed query, response nested {type: {id:
- * [BucketPoint...]}}), :2405-2421 (shouldNotFetchStatsWithoutBucketParam)
+ * [BucketPoint...]}}), :904-2406 (the per-type and `types`-array
+ * variants — fetchGaugeStats, fetchGaugeStatsWithRates,
+ * fetchGaugeStatsWithPercentiles, fetchCounterStats{,WithRates},
+ * fetchGaugeAndCounterRateStats, fetchRateStats, and the three ByTags
+ * combos), :2405-2421 (shouldNotFetchStatsWithoutBucketParam)
  * and :2423-2641 (batchQueriesForGaugesAndCounterRates: the name-keyed
  * `Map<String, StatsQueryRequest>` body, response nested one level
  * deeper per request key, with a tags+types=[counter_rate] element).
@@ -54,6 +58,14 @@ class MetricsStatsHttpITest extends SparkTestBase with HttpSpecSupport {
         |{"id":"C3","data":[{"timestamp":100,"value":28},{"timestamp":200,"value":35},
         |{"timestamp":300,"value":42},{"timestamp":400,"value":49},{"timestamp":500,"value":59}]}]"""
         .stripMargin))._1 == 204)
+    // availability definitions carry the withDataPoints tags too
+    // (MetricsITest.groovy:497-519) — A2/A3 both have z:1, which makes
+    // the ByTags `types` filter assertions meaningful: a tag-selected
+    // availability metric must NOT leak into a gauge/counter-typed query
+    assert(call("POST", "/availability", t,
+      Some("""{"id":"A2","tags":{"x":"1","y":"2","z":"1"}}"""))._1 == 204)
+    assert(call("POST", "/availability", t,
+      Some("""{"id":"A3","tags":{"x":"2","y":"3","z":"1"}}"""))._1 == 204)
     // availability fixture of MetricsITest.groovy:595-627 (A2/A3)
     assert(call("POST", "/availability/raw", t, Some(
       """[{"id":"A2","data":[{"timestamp":100,"value":"down"},{"timestamp":200,"value":"up"},
@@ -212,5 +224,196 @@ class MetricsStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     val (st, body) = call("POST", "/metrics/stats/batch/query", t, Some(
       """{"q1":{"buckets":2,"start":200,"end":500}}"""))
     assert(st == 400 && body.contains("errorMsg"), s"expected 400: $st $body")
+  }
+
+  // ---- the shared expectations of MetricsITest.groovy:904-2406 — the
+  // withDataPoints fixture's bucket values, named once. Rates derive
+  // from the in-range fetch (first in-range point seeds), per-minute:
+  // G1 200→300: (5.34-3.45)/100ms = 1134/min, 300→400: -1872/min;
+  // G3: -666/min at both steps; C2: 9000 then 4200; C3: 4200 twice.
+  // Gauge rates KEEP negative deltas (no counter-reset screen).
+  private def assertGaugeSection(g: JsonNode, body: String): Unit = {
+    assert(g != null && g.size() == 2, s"gauge section: $body")
+    assertNumeric(g.get("G1").get(0), 200, 350, Seq(3.45, 5.34))
+    assertNumeric(g.get("G1").get(1), 350, 500, Seq(2.22))
+    assertNumeric(g.get("G3").get(0), 200, 350, Seq(5.55, 4.44))
+    assertNumeric(g.get("G3").get(1), 350, 500, Seq(3.33))
+  }
+  private def assertGaugeRateSection(gr: JsonNode, body: String): Unit = {
+    assert(gr != null && gr.size() == 2, s"gauge_rate section: $body")
+    assertNumeric(gr.get("G1").get(0), 200, 350, Seq(1134))
+    assertNumeric(gr.get("G1").get(1), 350, 500, Seq(-1872))
+    assertNumeric(gr.get("G3").get(0), 200, 350, Seq(-666))
+    assertNumeric(gr.get("G3").get(1), 350, 500, Seq(-666))
+  }
+  private def assertCounterSection(c: JsonNode, body: String): Unit = {
+    assert(c != null && c.size() == 2, s"counter section: $body")
+    assertNumeric(c.get("C2").get(0), 200, 350, Seq(49, 64))
+    assertNumeric(c.get("C2").get(1), 350, 500, Seq(71))
+    assertNumeric(c.get("C3").get(0), 200, 350, Seq(35, 42))
+    assertNumeric(c.get("C3").get(1), 350, 500, Seq(49))
+  }
+  private def assertCounterRateSection(cr: JsonNode, body: String): Unit = {
+    assert(cr != null && cr.size() == 2, s"counter_rate section: $body")
+    assertNumeric(cr.get("C2").get(0), 200, 350, Seq(9000))
+    assertNumeric(cr.get("C2").get(1), 350, 500, Seq(4200))
+    assertNumeric(cr.get("C3").get(0), 200, 350, Seq(4200))
+    assertNumeric(cr.get("C3").get(1), 350, 500, Seq(4200))
+  }
+
+  private def statsQuery(t: Option[String], json: String): JsonNode = {
+    val (st, body) = call("POST", "/metrics/stats/query", t, Some(json))
+    assert(st == 200, s"stats query failed: $st $body")
+    mapper.readTree(body)
+  }
+
+  // MetricsITest.groovy:904-983 fetchGaugeStats
+  test("a gauge-only metrics map answers exactly one gauge section") {
+    val t = Some("t-gaugestats")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"gauge":["G1","G3"]},"buckets":2,"start":200,"end":500}""")
+    assert(data.size() == 1, s"only the gauge section: $data")
+    assertGaugeSection(data.get("gauge"), data.toString)
+  }
+
+  // MetricsITest.groovy:984-1122 fetchGaugeStatsWithRates
+  test("types [gauge, gauge_rate] adds a gauge_rate section whose rates " +
+    "keep negative deltas") {
+    val t = Some("t-gaugerates")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"gauge":["G1","G3"]},"types":["gauge","gauge_rate"],
+        |"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 2, s"gauge + gauge_rate: $data")
+    assertGaugeSection(data.get("gauge"), data.toString)
+    assertGaugeRateSection(data.get("gauge_rate"), data.toString)
+  }
+
+  // MetricsITest.groovy:1123-1220 fetchGaugeStatsWithPercentiles — the
+  // body's percentiles property is a CSV string; expected values are the
+  // engine's documented exact interpolation (GaugeStatsHttpITest scaladoc
+  // pins the commons-math P² twin behind percentileMode=p2parity)
+  test("body percentiles \"95,99\" attach a {quantile, value} array per bucket") {
+    val t = Some("t-gaugepcts")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"gauge":["G1","G3"]},"buckets":2,"percentiles":"95,99",
+        |"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 1, s"only the gauge section: $data")
+    assertGaugeSection(data.get("gauge"), data.toString)
+    def exactPct(q: Double, values: Seq[Double]): Double = {
+      val s = values.sorted
+      val rank = q / 100.0 * (s.length - 1)
+      s(rank.toInt) + (rank - rank.toInt) * (s(math.ceil(rank).toInt) - s(rank.toInt))
+    }
+    def assertPcts(b: JsonNode, values: Seq[Double]): Unit = {
+      val arr = b.get("percentiles")
+      assert(arr != null && arr.size() == 2, s"percentiles: $b")
+      assert(arr.get(0).get("quantile").asDouble == 95.0 &&
+        arr.get(1).get("quantile").asDouble == 99.0, s"quantile echo: $b")
+      assert(math.abs(arr.get(0).get("value").asDouble - exactPct(95, values)) <= Delta, s"p95: $b")
+      assert(math.abs(arr.get(1).get("value").asDouble - exactPct(99, values)) <= Delta, s"p99: $b")
+    }
+    assertPcts(data.get("gauge").get("G1").get(0), Seq(3.45, 5.34))
+    assertPcts(data.get("gauge").get("G1").get(1), Seq(2.22))
+    assertPcts(data.get("gauge").get("G3").get(0), Seq(4.44, 5.55))
+    assertPcts(data.get("gauge").get("G3").get(1), Seq(3.33))
+  }
+
+  // MetricsITest.groovy:1221-1306 fetchCounterStats
+  test("a counter-only metrics map answers exactly one counter section") {
+    val t = Some("t-ctrstats")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"counter":["C2","C3"]},"buckets":2,"start":200,"end":500}""")
+    assert(data.size() == 1, s"only the counter section: $data")
+    assertCounterSection(data.get("counter"), data.toString)
+  }
+
+  // MetricsITest.groovy:1307-1455 fetchCounterStatsWithRates
+  test("types [counter, counter_rate] answers both counter sections") {
+    val t = Some("t-ctrrates")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"counter":["C2","C3"]},"types":["counter","counter_rate"],
+        |"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 2, s"counter + counter_rate: $data")
+    assertCounterSection(data.get("counter"), data.toString)
+    assertCounterRateSection(data.get("counter_rate"), data.toString)
+  }
+
+  // MetricsITest.groovy:1456-1599 fetchGaugeAndCounterRateStats — the
+  // types array SUPPRESSES the counter value section even though the
+  // metrics map names counters
+  test("types [gauge, counter_rate] over a gauge+counter map suppresses " +
+    "the counter value section") {
+    val t = Some("t-gctrrate")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"gauge":["G1","G3"],"counter":["C2","C3"]},
+        |"types":["gauge","counter_rate"],"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 2 && data.has("gauge") && data.has("counter_rate"),
+      s"gauge + counter_rate only: $data")
+    assertGaugeSection(data.get("gauge"), data.toString)
+    assertCounterRateSection(data.get("counter_rate"), data.toString)
+  }
+
+  // MetricsITest.groovy:1600-1744 fetchRateStats — rate-only types drop
+  // BOTH value sections
+  test("types [gauge_rate, counter_rate] answers only the rate sections") {
+    val t = Some("t-ratesonly")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"metrics":{"gauge":["G1","G3"],"counter":["C2","C3"]},
+        |"types":["gauge_rate","counter_rate"],"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 2 && data.has("gauge_rate") && data.has("counter_rate"),
+      s"rate sections only: $data")
+    assertGaugeRateSection(data.get("gauge_rate"), data.toString)
+    assertCounterRateSection(data.get("counter_rate"), data.toString)
+  }
+
+  // MetricsITest.groovy:1857-1999 fetchGaugeAndCounterRateStatsByTags —
+  // the same combos driven by the tags property; z:1 also tags A2/A3,
+  // whose availability sections must NOT leak past the types filter
+  test("tags z:1 with types [gauge, counter_rate] resolves each section's " +
+    "members independently and excludes the tagged availability metrics") {
+    val t = Some("t-bytags1")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"tags":"z:1","types":["gauge","counter_rate"],
+        |"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 2 && data.has("gauge") && data.has("counter_rate"),
+      s"gauge + counter_rate only: $data")
+    // z:1 gauges are G1 and G3; z:1 counters are C2 and C3
+    assertGaugeSection(data.get("gauge"), data.toString)
+    assertCounterRateSection(data.get("counter_rate"), data.toString)
+  }
+
+  // MetricsITest.groovy:2000-2142 fetchGaugeRateAndCounterStatsByTags
+  test("tags z:1 with types [gauge_rate, counter] crosses the families") {
+    val t = Some("t-bytags2")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"tags":"z:1","types":["gauge_rate","counter"],
+        |"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 2 && data.has("gauge_rate") && data.has("counter"),
+      s"gauge_rate + counter only: $data")
+    assertGaugeRateSection(data.get("gauge_rate"), data.toString)
+    assertCounterSection(data.get("counter"), data.toString)
+  }
+
+  // MetricsITest.groovy:2143-2405 fetchGaugeAndCounterStatsWithRatesByTags
+  test("tags z:1 with all four numeric types answers all four sections") {
+    val t = Some("t-bytags4")
+    loadFixture(t)
+    val data = statsQuery(t,
+      """{"tags":"z:1","types":["gauge","gauge_rate","counter","counter_rate"],
+        |"buckets":2,"start":200,"end":500}""".stripMargin)
+    assert(data.size() == 4, s"all four sections: $data")
+    assertGaugeSection(data.get("gauge"), data.toString)
+    assertGaugeRateSection(data.get("gauge_rate"), data.toString)
+    assertCounterSection(data.get("counter"), data.toString)
+    assertCounterRateSection(data.get("counter_rate"), data.toString)
   }
 }

@@ -323,6 +323,15 @@ class MetricsService(spark: SparkSession, root: String) {
     * the admin-job entry): the LWW-resolved index, unfiltered. */
   def scanAllMetricIndexes(): DataFrame = metricsIndex()
 
+  /** GET /openshift — the cross-tenant definition scan restricted to
+    * metrics carrying the `descriptor_name` tag (OpenshiftServlet.java:
+    * 53,72-74: scanAllMetricIndexes().filter(tags.containsKey(
+    * DESCRIPTOR_TAG))). One catalog scan; the key test is a map lookup
+    * evaluated inside the scan stage, no shuffle. */
+  def openshiftMetrics(): DataFrame =
+    scanAllMetricIndexes()
+      .filter(map_contains_key(col("tags"), lit("descriptor_name")))
+
   /** J5 — definitions enriched with data min/max timestamps. */
   def findMetrics(tenantId: String, mtype: Option[MetricType]): DataFrame =
     enrichWithTimestamps(findDefinitions(tenantId, mtype, None))

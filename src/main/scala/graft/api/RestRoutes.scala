@@ -183,6 +183,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
     case ("GET", "admin" :: "status" :: Nil) =>
       Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
+    // cross-tenant descriptor_name-tagged definition scan
+    // (OpenshiftServlet.java; admin-guarded like /tenants + /admin when
+    // a token is configured — AdminFilter.java:74)
+    case ("GET", "openshift" :: Nil) => Ok(svc.openshiftMetrics())
 
     // ---- tenants (TenantsHandler) ------------------------------------
     case ("GET", "tenants" :: Nil) => Ok(svc.getTenants())
@@ -507,6 +511,7 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
   private[api] def allowedMethods(segs: List[String]): Set[String] = segs match {
     case Nil | ("ping" | "status") :: Nil => Set("GET")
     case "admin" :: "status" :: Nil => Set("GET")
+    case "openshift" :: Nil => Set("GET")
     case "tenants" :: Nil => Set("GET", "POST")
     case "tenants" :: _ :: Nil => Set("DELETE")
     case "metrics" :: rest => rest match {

@@ -72,6 +72,11 @@ private[api] object WireCodec {
         rows(df).map(rs => defNode(rs.head).toString) // single object
       case ("GET", t :: Nil) if TypeSegs(t) && isDef =>
         rows(df).map(rs => arr(rs.map(defNode)).toString)
+      // cross-tenant scan: Metric JSON with tenantId present on every
+      // element (OpenshiftServlet.serializeMetrics streams Metric.java
+      // serialization, which includes the tenant when set)
+      case ("GET", "openshift" :: Nil) if isDef =>
+        rows(df).map(rs => arr(rs.map(defNode)).toString)
       case ("GET", t :: id :: "tags" :: Nil)
           // id != "tags": /{type}/tags/tags is tag-VALUE discovery for the
           // literal tag name "tags" (the route table's literal-wins rule,

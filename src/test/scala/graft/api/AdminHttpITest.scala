@@ -101,6 +101,47 @@ class AdminHttpITest extends SparkTestBase with org.scalatest.BeforeAndAfterAll 
     assert(call("DELETE", "/tenants/tadm1", authed)._1 == 204)
   }
 
+  // MetricsITest.groovy:2904-2954 fetchAllTenantMetrics (@Test-disabled
+  // upstream, HWKMETRICS-773 — ported against the still-live servlet
+  // contract, OpenshiftServlet.java): GET /openshift lists definitions
+  // ACROSS tenants, restricted to those tagged descriptor_name, each
+  // element carrying its tenantId. dataRetention serves the stored
+  // value per Metric.java serialization (the disabled test's `null`
+  // expectation contradicts the servlet's own serializer).
+  test("GET /openshift scans descriptor_name-tagged definitions across " +
+    "tenants, admin-guarded") {
+    val t1 = Map("Hawkular-Tenant" -> "t-os-1",
+      HttpTransport.AdminTokenHeader -> Token)
+    val t2 = Map("Hawkular-Tenant" -> "t-os-2")
+    assert(call("POST", "/gauges", t1,
+      Some("""{"id":"N1","tags":{"descriptor_name":"cpu/usage"},"dataRetention":7}"""))._1 == 204)
+    assert(call("POST", "/counters", t2,
+      Some("""{"id":"N2","tags":{"descriptor_name":"cpu/usage"},"dataRetention":7}"""))._1 == 204)
+    // no descriptor_name → excluded from the scan
+    assert(call("POST", "/gauges", t1,
+      Some("""{"id":"N2","tags":{"a1":"A2"},"dataRetention":7}"""))._1 == 204)
+
+    // the admin guard applies (AdminFilter.java:74 covers /openshift)
+    assert(call("GET", "/openshift", Map("Hawkular-Tenant" -> "t-os-1"))._1 == 400)
+    assert(call("GET", "/openshift", Map("Hawkular-Tenant" -> "t-os-1",
+      HttpTransport.AdminTokenHeader -> "wrong"))._1 == 403)
+
+    val (st, body) = call("GET", "/openshift", t1)
+    assert(st == 200, s"$st $body")
+    val arr = mapper.readTree(body)
+    assert(arr.isArray, body)
+    val els = (0 until arr.size()).map(arr.get)
+      .filter(e => Set("t-os-1", "t-os-2")(e.get("tenantId").asText()))
+    assert(els.size == 2, s"exactly the two tagged definitions: $body")
+    val byTenant = els.map(e => e.get("tenantId").asText() -> e).toMap
+    val n1 = byTenant("t-os-1")
+    assert(n1.get("id").asText() == "N1" && n1.get("type").asText() == "gauge", body)
+    assert(n1.get("tags").get("descriptor_name").asText() == "cpu/usage", body)
+    assert(n1.get("dataRetention").asInt() == 7, body)
+    val n2 = byTenant("t-os-2")
+    assert(n2.get("id").asText() == "N2" && n2.get("type").asText() == "counter", body)
+  }
+
   test("non-admin data routes never see the token check") {
     val t = Map("Hawkular-Tenant" -> "t-admin-data")
     val now = System.currentTimeMillis()

@@ -47,6 +47,20 @@ object RestRoutes {
     "gauges" -> MetricType.Gauge, "counters" -> MetricType.Counter,
     "availability" -> MetricType.Availability, "strings" -> MetricType.Str)
 
+  /** Manifest Implementation-Version when packaged, dev fallback
+    * otherwise (the reference's StatusHandler manifest read). */
+  private[api] val ImplementationVersion: String =
+    Option(classOf[RestRoutes].getPackage.getImplementationVersion)
+      .getOrElse("0.10.0-dev")
+
+  /** Build SHA: `graft.build.sha` system property / GRAFT_BUILD_SHA env
+    * when a build pipeline stamps one, else "dev" (never "Unknown" —
+    * StatusITest treats that text as a broken manifest). */
+  private[api] val BuildSha: String =
+    sys.props.get("graft.build.sha")
+      .orElse(sys.env.get("GRAFT_BUILD_SHA"))
+      .filter(_.trim.nonEmpty).getOrElse("dev")
+
 
   /** Response ADT — the facade never throws for routing/parameter
     * errors, it answers like the reference's error mapper. */
@@ -174,13 +188,23 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // AdminHandler) — the reference answers JSON objects; the relational
     // shape here is one (name, value) row per entry. Cassandra health
     // maps to the storage layer, which is as alive as the SparkSession.
-    case ("GET", Nil) => Ok(kvFrame("name" -> "graft-metrics"))
+    // RootITest/StatusITest assert Implementation-Version non-null and
+    // Built-From-Git-SHA1 != "Unknown"; the reference reads both from
+    // the war manifest (BaseHandler/StatusHandler). This library's
+    // analogs resolve from the jar manifest when packaged, with dev-run
+    // fallbacks (a `graft.build.sha` system property for the SHA).
+    case ("GET", Nil) => Ok(kvFrame(
+      "name" -> "graft-metrics",
+      "Implementation-Version" -> RestRoutes.ImplementationVersion,
+      "Built-From-Git-SHA1" -> RestRoutes.BuildSha))
     case ("GET", "ping" :: Nil) =>
       // StringValue(new Date()) — the current time, for liveness checks
       // (PingHandler.java:46-51); `now` injectable like everywhere else
       Ok(kvFrame("value" -> new java.util.Date(now).toString))
     case ("GET", "status" :: Nil) =>
-      Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
+      Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up",
+        "Implementation-Version" -> RestRoutes.ImplementationVersion,
+        "Built-From-Git-SHA1" -> RestRoutes.BuildSha))
     case ("GET", "admin" :: "status" :: Nil) =>
       Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
     // cross-tenant descriptor_name-tagged definition scan

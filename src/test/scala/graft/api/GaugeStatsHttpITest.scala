@@ -255,6 +255,91 @@ class GaugeStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(call("GET", s"/gauges/p2/stats?$query&percentileMode=p2", t)._1 == 400)
   }
 
+  // GaugesITest.groovy:476-532 fetchStatsWithPercentiles — 7 buckets,
+  // five empty; the reference's bucket-7 expectations (median 472,
+  // p50 472, p99 474) are P² estimates, pinned through the p2parity
+  // opt-in; the exact default interpolates (median 473, p99 953.18)
+  test("fetchStatsWithPercentiles: sparse buckets carry the percentile " +
+    "array; p2parity reproduces the reference's literal values") {
+    val t = Some("t-gpctstats")
+    assert(call("POST", "/gauges/G1/raw", t, Some(
+      """[{"timestamp":60000,"value":321.8},{"timestamp":420000,"value":468.0},
+        |{"timestamp":432000,"value":472.0},{"timestamp":450000,"value":968.0},
+        |{"timestamp":456000,"value":474.0}]""".stripMargin))._1 == 204)
+    val q = "start=60000&end=480000&buckets=7&percentiles=50,99"
+
+    def bucketAt(body: String, startMs: Long) = {
+      val b = parse(body).find(_.get("start").asLong == startMs)
+      assert(b.isDefined, s"no bucket at $startMs: $body"); b.get
+    }
+    def pct(b: com.fasterxml.jackson.databind.JsonNode, i: Int): Double =
+      b.get("percentiles").get(i).get("value").asDouble
+
+    val (ps, pbody) = call("GET", s"/gauges/G1/stats?$q&percentileMode=p2parity", t)
+    assert(ps == 200, pbody)
+    assert(parse(pbody).size == 7, pbody)
+    val p1 = bucketAt(pbody, 60000)
+    assert(d(p1, "median") == 321.8 && pct(p1, 0) == 321.8 && pct(p1, 1) == 321.8, pbody)
+    val p7 = bucketAt(pbody, 420000)
+    assert(d(p7, "min") == 468.0 && d(p7, "max") == 968.0, pbody)
+    assert(math.abs(d(p7, "avg") - 595.5) <= 0.001 && math.abs(d(p7, "sum") - 2382.0) <= 0.001, pbody)
+    assert(math.abs(d(p7, "median") - 472.0) <= 0.001, s"P² median (GaugesITest:517): $pbody")
+    assert(math.abs(pct(p7, 0) - 472.0) <= 0.001 && math.abs(pct(p7, 1) - 474.0) <= 0.001,
+      s"P² p50/p99 (GaugesITest:518-520): $pbody")
+    assert(p7.get("samples").asInt == 4, pbody)
+    for (es <- Seq(120000L, 180000L, 240000L, 300000L, 360000L))
+      assert(bucketAt(pbody, es).get("empty").asBoolean, pbody)
+
+    // the exact default: interpolated median/percentiles over [468,472,474,968]
+    val (xs, xbody) = call("GET", s"/gauges/G1/stats?$q", t)
+    assert(xs == 200, xbody)
+    val x7 = bucketAt(xbody, 420000)
+    assert(math.abs(d(x7, "median") - 473.0) <= 0.001, xbody)
+    assert(math.abs(pct(x7, 0) - 473.0) <= 0.001, xbody)
+    assert(math.abs(pct(x7, 1) - (474.0 + 0.97 * (968.0 - 474.0))) <= 0.001, xbody)
+  }
+
+  // GaugesITest.groovy:533-603 fetchStackedStatsWithPercentiles — the
+  // aggregated POST body with stacked=true: per-series bucket stats
+  // (percentile values INCLUDED, SumNumericBucketPointCollector) sum
+  // across series; samples counts contributing SERIES. The engine
+  // default is exact per-series percentiles (documented divergence from
+  // the reference's per-series P² — 846 vs its 844 on bucket 7).
+  test("fetchStackedStatsWithPercentiles: stacked sums every stat " +
+    "including percentile values; samples counts series") {
+    val t = Some("t-gstackpcts")
+    assert(call("POST", "/gauges/G1/raw", t, Some(
+      """[{"timestamp":60000,"value":321.8},{"timestamp":420000,"value":468.0},
+        |{"timestamp":432000,"value":472.0},{"timestamp":450000,"value":968.0},
+        |{"timestamp":456000,"value":474.0}]""".stripMargin))._1 == 204)
+    assert(call("POST", "/gauges/G2/raw", t, Some(
+      """[{"timestamp":60000,"value":100.0},{"timestamp":420000,"value":368.0},
+        |{"timestamp":432000,"value":372.0},{"timestamp":450000,"value":868.0},
+        |{"timestamp":456000,"value":374.0}]""".stripMargin))._1 == 204)
+    val (st, body) = call("POST", "/gauges/stats/query", t, Some(
+      """{"metrics":["G1","G2"],"start":60000,"end":480000,"buckets":7,
+        |"stacked":true,"percentiles":"50,99"}""".stripMargin))
+    assert(st == 200, body)
+    val buckets = parse(body)
+    assert(buckets.size == 7, body)
+    val b1 = buckets.find(_.get("start").asLong == 60000).get
+    for (f <- Seq("min", "avg", "median", "max", "sum"))
+      assert(math.abs(d(b1, f) - 421.8) <= 0.001, s"$f: $body")
+    assert(b1.get("percentiles").get(0).get("value").asDouble == 421.8 &&
+      b1.get("percentiles").get(1).get("value").asDouble == 421.8, body)
+    assert(b1.get("samples").asInt == 2, body)
+    val b7 = buckets.find(_.get("start").asLong == 420000).get
+    assert(math.abs(d(b7, "min") - 836.0) <= 0.001 && math.abs(d(b7, "max") - 1836.0) <= 0.001, body)
+    assert(math.abs(d(b7, "avg") - 1091.0) <= 0.001 && math.abs(d(b7, "sum") - 4364.0) <= 0.001, body)
+    // exact per-series medians 473 + 373 (reference's P² twins: 472+372)
+    assert(math.abs(d(b7, "median") - 846.0) <= 0.001, body)
+    assert(math.abs(b7.get("percentiles").get(0).get("value").asDouble - 846.0) <= 0.001, body)
+    // p99: (474 + .97*494) + (374 + .97*494) = 848 + 958.36... summed
+    val p99 = (474.0 + 0.97 * 494.0) + (374.0 + 0.97 * 494.0)
+    assert(math.abs(b7.get("percentiles").get(1).get("value").asDouble - p99) <= 0.001, body)
+    assert(b7.get("samples").asInt == 2, s"samples counts series: $body")
+  }
+
   // ErrorsITest.groovy:37-56 over the wire
   test("error paths: 405 wrong method, 404 unknown route, 400 bad buckets number") {
     val t = Some("t-errs")

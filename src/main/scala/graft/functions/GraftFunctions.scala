@@ -30,7 +30,15 @@ object GraftFunctions {
     else if (isLiteral(pattern)) value === pattern // also null-safe: === is null-rejecting
     else value.isNotNull && value.rlike(anchored(pattern))
 
-  private def anchored(regex: String): String = "^(?:" + regex + ")$"
+  /** Anchor + EAGER compile: a malformed pattern (TagsITest's `a1:**`)
+    * must fail at plan construction — where the REST facade maps
+    * IllegalArgumentException (PatternSyntaxException is one) to 400 —
+    * not inside an executor task, where it would surface as a 500. */
+  private def anchored(regex: String): String = {
+    val a = "^(?:" + regex + ")$"
+    java.util.regex.Pattern.compile(a)
+    a
+  }
 
   /** Regex-free pattern → plain equality (the reference's regex→exact-seek
     * rewrite, SimpleTagQueryParser.java:209-230 / IS_REGEXP heuristic):

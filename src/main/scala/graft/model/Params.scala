@@ -85,14 +85,21 @@ object Order {
 }
 
 /** `name:value,name:value` tag-map grammar
-  * (reference core/metrics-model/.../param/Tags.java:31-48). */
+  * (reference core/metrics-model/.../param/Tags.java:31-48). The VALUE
+  * part URL-decodes AFTER the comma/colon split (TagsConverter.java:
+  * 76-79) — that second decode is what lets a value carry a literal
+  * ',' or ':' as %2C / %3A on the wire (TagsITest
+  * findWithEncodedTagsValues), and a value ending at the colon is
+  * invalid (hasExpectedForm: colonIndex < token.length()). */
 object Tags {
   def parse(text: String): Map[String, String] = {
     require(text != null && text.trim.nonEmpty, "empty tags")
     text.split(",").iterator.map { kv =>
       val parts = kv.split(":", 2)
-      require(parts.length == 2 && parts(0).trim.nonEmpty, s"Invalid tags '$text'")
-      parts(0).trim -> parts(1).trim
+      require(parts.length == 2 && parts(0).trim.nonEmpty && parts(1).nonEmpty,
+        s"Invalid tags '$text'")
+      parts(0).trim -> java.net.URLDecoder.decode(parts(1).trim,
+        java.nio.charset.StandardCharsets.UTF_8)
     }.toMap
   }
 }

@@ -138,4 +138,94 @@ class AvailabilityHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(byId("A2") == Seq((start + 60000, "up"), (start, "up")), body)
     assert(byId("A3") == Seq((start + 60000, "down"), (start, "down")), body)
   }
+
+  private def queryById(body: String): Map[String, Seq[(Long, String)]] =
+    parse(body).map(n => n.get("id").asText ->
+      n.get("data").elements().asScala.toSeq.map(point)).toMap
+
+  // AvailabilityITest.groovy:311-438
+  // fetchMRawDataFromMultipleAvailabilityMetricsWithQueryParams: `limit`
+  // bounds EACH series (per-id fan-out, MetricsServiceImpl
+  // .findDataPoints(List,…)), and fromEarliest recovers every point
+  test("multi-availability query: limit bounds each series; fromEarliest " +
+    "recovers all points per series") {
+    val t = Some("t-av-qparams")
+    val start = System.currentTimeMillis() - 4 * 3600000L
+    def h(i: Int) = start + i * 3600000L
+    assert(call("POST", "/availability/raw", t, Some(
+      s"""[{"id":"A1","data":[{"timestamp":$start,"value":"up"},
+         |  {"timestamp":${h(1)},"value":"up"},{"timestamp":${h(2)},"value":"down"},
+         |  {"timestamp":${h(3)},"value":"down"},{"timestamp":${h(4)},"value":"up"}]},
+         | {"id":"A2","data":[{"timestamp":$start,"value":"up"},
+         |  {"timestamp":${h(1)},"value":"down"},{"timestamp":${h(2)},"value":"up"},
+         |  {"timestamp":${h(3)},"value":"down"},{"timestamp":${h(4)},"value":"down"}]},
+         | {"id":"A3","data":[{"timestamp":$start,"value":"down"},
+         |  {"timestamp":${h(1)},"value":"up"},{"timestamp":${h(2)},"value":"up"},
+         |  {"timestamp":${h(3)},"value":"up"},{"timestamp":${h(4)},"value":"down"}]}]"""
+        .stripMargin))._1 == 204)
+
+    val (st, body) = call("POST", "/availability/raw/query", t, Some(
+      s"""{"ids":["A1","A2","A3"],"start":${h(1)},"end":${h(4)},
+         |"limit":2,"order":"desc"}""".stripMargin))
+    assert(st == 200, body)
+    val byId = queryById(body)
+    assert(byId.size == 3, body)
+    assert(byId("A1") == Seq((h(3), "down"), (h(2), "down")), body)
+    assert(byId("A2") == Seq((h(3), "down"), (h(2), "up")), body)
+    assert(byId("A3") == Seq((h(3), "up"), (h(2), "up")), body)
+
+    val (fs, fbody) = call("POST", "/availability/raw/query", t, Some(
+      """{"ids":["A1","A2","A3"],"fromEarliest":true,"order":"desc"}"""))
+    assert(fs == 200, fbody)
+    val full = queryById(fbody)
+    assert(full("A1") == Seq((h(4), "up"), (h(3), "down"), (h(2), "down"),
+      (h(1), "up"), (start, "up")), fbody)
+    assert(full("A2") == Seq((h(4), "down"), (h(3), "down"), (h(2), "up"),
+      (h(1), "down"), (start, "up")), fbody)
+    assert(full("A3") == Seq((h(4), "down"), (h(3), "up"), (h(2), "up"),
+      (h(1), "up"), (start, "down")), fbody)
+  }
+
+  // AvailabilityITest.groovy:440-560
+  // fetchMRawDataFromMultipleAvailabilityMetricsByTag: tag selection with
+  // the per-series limit, the GET tags/{tags}/raw twin, and two-tag AND
+  test("tag-selected availability query honors the per-series limit and " +
+    "matches its GET twin") {
+    val t = Some("t-av-bytag")
+    val start = System.currentTimeMillis() - 4 * 3600000L
+    def h(i: Int) = start + i * 3600000L
+    assert(call("POST", "/availability", t,
+      Some("""{"id":"A1","tags":{"letter":"A","number":"1"}}"""))._1 == 204)
+    assert(call("POST", "/availability", t,
+      Some("""{"id":"A2","tags":{"letter":"A","number":"2"}}"""))._1 == 204)
+    assert(call("POST", "/availability/raw", t, Some(
+      s"""[{"id":"A1","data":[{"timestamp":$start,"value":"up"},
+         |  {"timestamp":${h(1)},"value":"up"},{"timestamp":${h(2)},"value":"down"},
+         |  {"timestamp":${h(3)},"value":"down"},{"timestamp":${h(4)},"value":"up"}]},
+         | {"id":"A2","data":[{"timestamp":$start,"value":"up"},
+         |  {"timestamp":${h(1)},"value":"down"},{"timestamp":${h(2)},"value":"up"},
+         |  {"timestamp":${h(3)},"value":"down"},{"timestamp":${h(4)},"value":"down"}]}]"""
+        .stripMargin))._1 == 204)
+
+    val q = s"""{"tags":"letter:A","start":${h(1)},"end":${h(4)},"limit":2,"order":"desc"}"""
+    val (st, body) = call("POST", "/availability/raw/query", t, Some(q))
+    assert(st == 200, body)
+    val byId = queryById(body)
+    assert(byId.size == 2, body)
+    assert(byId("A1") == Seq((h(3), "down"), (h(2), "down")), body)
+    assert(byId("A2") == Seq((h(3), "down"), (h(2), "up")), body)
+
+    // the GET twin answers identically
+    val (gs, gbody) = call("GET",
+      s"/availability/tags/letter:A/raw?start=${h(1)}&end=${h(4)}&limit=2&order=desc", t)
+    assert(gs == 200, gbody)
+    assert(queryById(gbody) == byId, s"GET twin diverged:\n$body\n$gbody")
+
+    // two-tag AND narrows to A1
+    val (as_, abody) = call("POST", "/availability/raw/query", t, Some(
+      s"""{"tags":"letter:A,number:1","start":${h(1)},"end":${h(4)},"limit":2,"order":"desc"}"""))
+    assert(as_ == 200, abody)
+    val and = queryById(abody)
+    assert(and.size == 1 && and("A1") == Seq((h(3), "down"), (h(2), "down")), abody)
+  }
 }

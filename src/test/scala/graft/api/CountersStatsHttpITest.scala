@@ -104,4 +104,72 @@ class CountersStatsHttpITest extends SparkTestBase with HttpSpecSupport {
       "&tags=type:counter_cpu_usage,host:server1%7Cserver2&stacked=true", t))
     assertStacked(oneBucket(s"/counters/rate/stats?$q&metrics=C2&metrics=C1&stacked=true", t))
   }
+
+  // CountersITest.groovy:1087-1236 findSimpleStatsForMultipleCounters —
+  // the UNSTACKED default pools every selected series' in-range points
+  // into one A1 bucket; tag and ids selections answer identically
+  test("pooled multi-counter stats equal the recomputation over the " +
+    "combined in-range points, by tags and by ids alike") {
+    val t = Some("t-cs-pooled")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    val (c1, c2) = seedCounters(t, start)
+    // range [start, start+4min) keeps each series' first four points
+    val combined = (c1.take(4) ++ c2.take(4)).map(_.toDouble)
+    val q = s"start=$start&end=${start + 4 * 60000L}&buckets=1"
+
+    def assertPooled(b: JsonNode): Unit = {
+      assert(b.get("start").asLong == start, b)
+      assert(b.get("end").asLong == start + 4 * 60000L, b)
+      assert(math.abs(d(b, "min") - combined.min) < Delta, b)
+      assert(math.abs(d(b, "max") - combined.max) < Delta, b)
+      assert(math.abs(d(b, "sum") - combined.sum) < Delta, b)
+      assert(math.abs(d(b, "avg") - combined.sum / combined.size) < Delta, b)
+      assert(!b.get("empty").asBoolean, b)
+      assert(b.hasNonNull("median"), b)
+      assert(b.get("samples").asInt == combined.size, b)
+    }
+    assertPooled(oneBucket(s"/counters/stats?$q" +
+      "&tags=type:counter_cpu_usage,host:server1%7Cserver2", t))
+    assertPooled(oneBucket(s"/counters/stats?$q&metrics=C2&metrics=C1", t))
+  }
+
+  // CountersITest.groovy:1547-1578 fromEarliestWithData — fromEarliest
+  // derives the window from the data, drops LEADING empty buckets, and
+  // keeps trailing empties up to now
+  test("fromEarliest counter stats start at the earliest data bucket and " +
+    "null-fill through now") {
+    val t = Some("t-cs-earliest")
+    val hour = (System.currentTimeMillis() / 3600000L) * 3600000L
+    assert(call("POST", "/counters/testStats/raw", t, Some(
+      s"""[{"timestamp":${hour - 2 * 3600000L},"value":2}]"""))._1 == 204)
+    assert(call("POST", "/counters/testStats/raw", t, Some(
+      s"""[{"timestamp":${hour - 3 * 3600000L},"value":3}]"""))._1 == 204)
+    val (st, body) = call("GET",
+      "/counters/testStats/stats?fromEarliest=true&bucketDuration=1h", t)
+    assert(st == 200, s"$st $body")
+    val arr = mapper.readTree(body)
+    assert(arr.size() == 4, s"4 buckets from earliest through now: $body")
+    val buckets = (0 until 4).map(arr.get).sortBy(_.get("start").asLong)
+    for ((exp, i) <- Seq(Some(3.0), Some(2.0), None, None).zipWithIndex) exp match {
+      case Some(v) =>
+        assert(!buckets(i).get("empty").asBoolean, s"bucket $i: $body")
+        for (f <- Seq("min", "max", "avg"))
+          assert(buckets(i).get(f).asDouble == v, s"bucket $i $f: $body")
+      case None =>
+        assert(buckets(i).get("empty").asBoolean, s"bucket $i: $body")
+    }
+  }
+
+  // CountersITest.groovy:1580-1606 fromEarliestWithoutDataAndBad
+  test("fromEarliest without data answers 204; a malformed bucketDuration " +
+    "answers 400") {
+    val t = Some("t-cs-earliestbad")
+    assert(call("POST", "/counters", t,
+      Some("""{"id":"testStats","tags":{"type":"counter_cpu_usage"}}"""))._1 == 204)
+    val now = System.currentTimeMillis()
+    // explicit range with no data still answers the bucket list
+    assert(call("GET", s"/counters/testStats/stats?start=1&end=$now&bucketDuration=1000d", t)._1 == 200)
+    assert(call("GET", "/counters/testStats/stats?fromEarliest=true&bucketDuration=a", t)._1 == 400)
+    assert(call("GET", "/counters/testStats/stats?fromEarliest=true&bucketDuration=1h", t)._1 == 204)
+  }
 }

@@ -169,4 +169,69 @@ class StringHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(parse(descBody).map(point) == Seq(
       (hour(4), "down"), (hour(3), "maintenance2")), descBody)
   }
+
+  private def queryById(body: String): Map[String, Seq[(Long, String)]] =
+    parse(body).map(n => n.get("id").asText ->
+      n.get("data").elements().asScala.toSeq.map(point)).toMap
+
+  // StringITest.groovy:322-449
+  // fetchMRawDataFromMultipleStringMetricsWithQueryParams: the ranged
+  // multi-string query bounds EACH series with `limit`
+  test("multi-string query: limit bounds each series") {
+    val t = Some("t-str-qparams")
+    val start = System.currentTimeMillis() - 4 * 3600000L
+    def h(i: Int) = start + i * 3600000L
+    assert(call("POST", "/strings/raw", t, Some(
+      s"""[{"id":"S1","data":[{"timestamp":$start,"value":"up"},
+         |  {"timestamp":${h(1)},"value":"up"},{"timestamp":${h(2)},"value":"down"},
+         |  {"timestamp":${h(3)},"value":"down"},{"timestamp":${h(4)},"value":"up"}]},
+         | {"id":"S2","data":[{"timestamp":$start,"value":"up"},
+         |  {"timestamp":${h(1)},"value":"down"},{"timestamp":${h(2)},"value":"up"},
+         |  {"timestamp":${h(3)},"value":"down"},{"timestamp":${h(4)},"value":"down"}]}]"""
+        .stripMargin))._1 == 204)
+    val (st, body) = call("POST", "/strings/raw/query", t, Some(
+      s"""{"ids":["S1","S2"],"start":${h(1)},"end":${h(4)},"limit":2,"order":"desc"}"""))
+    assert(st == 200, body)
+    val byId = queryById(body)
+    assert(byId.size == 2, body)
+    assert(byId("S1") == Seq((h(3), "down"), (h(2), "down")), body)
+    assert(byId("S2") == Seq((h(3), "down"), (h(2), "up")), body)
+  }
+
+  // StringITest.groovy:507-573 fetchMRawDataFromMultipleStringsMetricsByTag
+  test("tag-selected string query matches its GET twin and honors the " +
+    "per-series limit") {
+    val t = Some("t-str-bytag")
+    val start = System.currentTimeMillis() - 4 * 3600000L
+    def h(i: Int) = start + i * 3600000L
+    assert(call("POST", "/strings", t,
+      Some("""{"id":"S1","tags":{"letter":"A","number":"1"}}"""))._1 == 204)
+    assert(call("POST", "/strings", t,
+      Some("""{"id":"S2","tags":{"letter":"A","number":"2"}}"""))._1 == 204)
+    assert(call("POST", "/strings/raw", t, Some(
+      s"""[{"id":"S1","data":[{"timestamp":${h(1)},"value":"aa"},
+         |  {"timestamp":${h(2)},"value":"ab"},{"timestamp":${h(3)},"value":"ac"}]},
+         | {"id":"S2","data":[{"timestamp":${h(1)},"value":"ba"},
+         |  {"timestamp":${h(2)},"value":"bb"},{"timestamp":${h(3)},"value":"bc"}]}]"""
+        .stripMargin))._1 == 204)
+
+    val (st, body) = call("POST", "/strings/raw/query", t, Some(
+      s"""{"tags":"letter:A","start":${h(1)},"end":${h(4)},"limit":2,"order":"desc"}"""))
+    assert(st == 200, body)
+    val byId = queryById(body)
+    assert(byId.size == 2, body)
+    assert(byId("S1") == Seq((h(3), "ac"), (h(2), "ab")), body)
+    assert(byId("S2") == Seq((h(3), "bc"), (h(2), "bb")), body)
+
+    val (gs, gbody) = call("GET",
+      s"/strings/tags/letter:A/raw?start=${h(1)}&end=${h(4)}&limit=2&order=desc", t)
+    assert(gs == 200, gbody)
+    assert(queryById(gbody) == byId, s"GET twin diverged:\n$body\n$gbody")
+
+    val (ns, nbody) = call("POST", "/strings/raw/query", t, Some(
+      s"""{"tags":"letter:A,number:2","start":${h(1)},"end":${h(4)},"limit":2,"order":"desc"}"""))
+    assert(ns == 200, nbody)
+    val and = queryById(nbody)
+    assert(and.size == 1 && and("S2") == Seq((h(3), "bc"), (h(2), "bb")), nbody)
+  }
 }

@@ -165,4 +165,106 @@ class TagsHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(s3 == 200, b3)
     assert(json(b3).elements().asScala.map(_.asText).toSet == Set("d1"), b3)
   }
+
+  private def defList(body: String): Seq[JsonNode] =
+    json(body).elements().asScala.toSeq
+
+  private def defOf(body: String, id: String): JsonNode = {
+    val d = defList(body).find(_.get("id").asText == id)
+    assert(d.isDefined, s"no definition '$id' in $body"); d.get
+  }
+
+  // TagsITest.groovy:136-232 findDefinitionsWithTags — tag-filtered
+  // catalog listing on both the generic and the type-scoped endpoints,
+  // the bad-regexp 400, the id-pattern filter, and the empty 204
+  test("findDefinitionsWithTags: tag filters drive the catalog listing " +
+    "on /metrics and the type endpoints alike") {
+    for ((path, typ) <- MetricTypes) {
+      val t = Some(s"t-deftags-$typ")
+      assert(call("POST", s"/$path", t, Some(
+        """{"id":"N1","tags":{"a1":"A","d1":"B"},"dataRetention":7}"""))._1 == 204)
+      assert(call("POST", s"/$path", t, Some(
+        """{"id":"N2","tags":{"a1":"A2"},"dataRetention":7}"""))._1 == 204)
+
+      for (url <- Seq(s"/metrics?tags=a1:*", s"/$path?tags=a1:*")) {
+        val (st, body) = call("GET", url, t)
+        assert(st == 200, s"$url: $st $body")
+        assert(defList(body).size == 2, s"$url: $body")
+        val n1 = defOf(body, "N1")
+        assert(n1.get("tenantId").asText == t.get && n1.get("type").asText == typ, body)
+        assert(n1.get("tags").get("a1").asText == "A" &&
+          n1.get("tags").get("d1").asText == "B", body)
+        assert(n1.get("dataRetention").asInt == 7, body)
+        assert(defOf(body, "N2").get("tags").get("a1").asText == "A2", body)
+      }
+
+      // two-tag AND narrows to N1, generic (with type param) and scoped
+      for (url <- Seq(s"/metrics?tags=a1:A,d1:B&type=$typ", s"/$path?tags=a1:A,d1:B")) {
+        val (st, body) = call("GET", url, t)
+        assert(st == 200 && defList(body).map(_.get("id").asText) == Seq("N1"),
+          s"$url: $st $body")
+      }
+
+      // invalid regexp answers 400
+      assert(call("GET", s"/metrics?tags=a1:**&type=$typ", t)._1 == 400)
+
+      // tags + type + id PATTERN (idFilter is a regex when tags are set)
+      val (is, ibody) = call("GET", s"/metrics?tags=a1:*&type=$typ&id=.2", t)
+      assert(is == 200 && defList(ibody).map(_.get("id").asText) == Seq("N2"),
+        s"$is $ibody")
+
+      // no match → 204
+      assert(call("GET", s"/metrics?tags=notvalid:*&type=$typ", t)._1 == 204)
+    }
+  }
+
+  // TagsITest.groovy:234-270 findWithEncodedTagsValues — tag VALUES
+  // carrying the grammar's own delimiters ride %-encoded. The reference
+  // stack decodes TWICE (container once, TagsConverter.java:76-79 again
+  // after the comma/colon split), so the groovy's query value "C%2CD"
+  // leaves the client DOUBLE-encoded as C%252CD — these URLs are those
+  // wire bytes verbatim.
+  test("findWithEncodedTagsValues: %-encoded ':', '/', ',' inside tag " +
+    "values match their stored definitions") {
+    for ((path, typ) <- MetricTypes) {
+      val t = Some(s"t-enctags-$typ")
+      assert(call("POST", s"/$path", t, Some(
+        """{"id":"N1","tags":{"a1":"A/B","d1":"B:A","c1":"C,D"}}"""))._1 == 204)
+      for (url <- Seq(s"/metrics?tags=d1:B%253AA&type=$typ",
+          s"/$path?tags=a1:A%252FB", s"/$path?tags=c1:C%252CD")) {
+        val (st, body) = call("GET", url, t)
+        assert(st == 200, s"$url: $st $body")
+        val ds = defList(body)
+        assert(ds.size == 1 && ds.head.get("id").asText == "N1", s"$url: $body")
+        assert(ds.head.get("tags").get("c1").asText == "C,D", body)
+      }
+    }
+  }
+
+  // TagsITest.groovy:441-521 findDefinitionsWithIdFiltering — the exact
+  // `|`-separated id list (NOT a regex: a uuid with dashes matches
+  // itself only), and the missing-type 400
+  test("findDefinitionsWithIdFiltering: exact |-separated id lists need " +
+    "a type; uuids are not treated as regexps") {
+    val uuid = "91c171ed-0294-44b3-bcdb-42253b58aa5a"
+    for ((path, typ) <- MetricTypes) {
+      val t = Some(s"t-idfilter-$typ")
+      for ((id, tags) <- Seq("N1" -> """{"a1":"A","d1":"B"}""",
+          "N2" -> """{"a1":"A2"}""", uuid -> """{"c1":"C"}"""))
+        assert(call("POST", s"/$path", t,
+          Some(s"""{"id":"$id","tags":$tags,"dataRetention":7}"""))._1 == 204)
+
+      val (st, body) = call("GET", s"/metrics?id=N1%7CN2&type=$typ", t)
+      assert(st == 200, s"$st $body")
+      assert(defList(body).map(_.get("id").asText).toSet == Set("N1", "N2"), body)
+
+      val (us, ubody) = call("GET", s"/metrics?id=$uuid&type=$typ", t)
+      assert(us == 200 && defList(ubody).map(_.get("id").asText) == Seq(uuid),
+        s"$us $ubody")
+      assert(defOf(ubody, uuid).get("tags").get("c1").asText == "C", ubody)
+
+      // id without type → 400 (HWKMETRICS-461)
+      assert(call("GET", s"/metrics?id=$uuid", t)._1 == 400)
+    }
+  }
 }

@@ -138,6 +138,45 @@ private[api] object WireCodec {
           if TypeSegs(t) && !ReservedId(id) && cols.contains("bucket_start") =>
         rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
           .map(bucketPointNode(_, avail = false))).toString)
+      // A6 tagged stats: an OBJECT keyed by the matched tag combination
+      // ("x:2,y:2,z:2", names sorted — the engine's tag_<name> group
+      // columns are emitted sorted), each value a TaggedBucketPoint
+      // ({tags, min, max, avg, median, sum, samples, percentiles?} —
+      // TaggedBucketPoint.java; CountersITest
+      // findTaggedDataPointsWithMultipleTagFilters asserts the shape)
+      case ("GET", t :: id :: "stats" :: "tags" :: _ :: Nil)
+          if TypeSegs(t) && !ReservedId(id) &&
+            cols.exists(_.startsWith("tag_")) =>
+        val tagCols = cols.filter(_.startsWith("tag_")).toSeq.sorted
+        rows(df).map { rs =>
+          val out = mapper.createObjectNode()
+          rs.map { r =>
+            val names = tagCols.map(c => c.stripPrefix("tag_") ->
+              Option(r.get(c)).map(_.asText()).getOrElse(""))
+            val key = names.map { case (n, v) => s"$n:$v" }.mkString(",")
+            val v = mapper.createObjectNode()
+            val tags = v.putObject("tags")
+            names.foreach { case (n, tv) => tags.put(n, tv) }
+            NumStatNames.foreach(f =>
+              if (r.hasNonNull(f)) v.set[ObjectNode](f, r.get(f)))
+            if (r.hasNonNull("samples")) v.put("samples", r.get("samples").asLong())
+            val pcts = r.properties().asScala.toSeq.collect {
+              case e if PctCol.matches(e.getKey) && !e.getValue.isNull =>
+                val original = PctCol.findFirstMatchIn(e.getKey).get.group(1).replace('_', '.')
+                val p = mapper.createObjectNode()
+                p.put("quantile", original.toDouble)
+                p.set[ObjectNode]("value", e.getValue)
+                p.put("originalQuantile", original)
+                p
+            }
+            if (pcts.nonEmpty) {
+              val a = v.putArray("percentiles")
+              pcts.sortBy(_.get("quantile").asDouble()).foreach(a.add)
+            }
+            key -> v
+          }.sortBy(_._1).foreach { case (k, v) => out.set[ObjectNode](k, v) }
+          out.toString
+        }
       // EP2 mixed stats: {type: {metricId: [BucketPoint...]}} — the map
       // shape MetricHandler.doStatsQuery zips up (java:455-466); empty
       // sections are dropped (the reference omits empty maps, and an

@@ -272,6 +272,56 @@ class CountersHttpITest extends SparkTestBase with HttpSpecSupport {
       assert(bucketAt(body, emptyStart).get("empty").asBoolean, body)
   }
 
+  // CountersITest.groovy:1608-1656 addTaggedDataPoints — per-point tags
+  // round-trip on the counter raw routes, DESC default
+  test("addTaggedDataPoints: per-point tags round-trip") {
+    val t = Some("t-ctagpoints")
+    val start = System.currentTimeMillis() - 30 * 60000L
+    assert(call("POST", "/counters/C1/raw", t, Some(
+      s"""[{"timestamp":$start,"value":11,"tags":{"x":"1","y":"2"}},
+         | {"timestamp":${start + 60000},"value":20,"tags":{"y":"3","z":"5"}},
+         | {"timestamp":${start + 3 * 60000},"value":33,"tags":{"x":"4","z":"6"}}]"""
+        .stripMargin))._1 == 204)
+    val (st, body) = call("GET", "/counters/C1/raw", t)
+    assert(st == 200, body)
+    val pts = mapper.readTree(body)
+    assert(pts.size() == 3, body)
+    assert(pts.get(0).get("timestamp").asLong == start + 3 * 60000 &&
+      pts.get(0).get("value").asLong == 33 &&
+      pts.get(0).get("tags").get("x").asText == "4" &&
+      pts.get(0).get("tags").get("z").asText == "6", body)
+    assert(pts.get(1).get("tags").get("y").asText == "3", body)
+    assert(pts.get(2).get("tags").get("x").asText == "1" &&
+      pts.get(2).get("tags").get("y").asText == "2", body)
+  }
+
+  // CountersITest.groovy:1658-1720 findTaggedDataPointsWithMultipleTagFilters
+  // — GET /{id}/stats/tags/{tags}: an OBJECT keyed by the matched tag
+  // combination, each entry carrying its tags map and the group's stats
+  test("tagged stats answer the reference's combination-keyed object") {
+    val t = Some("t-ctagstats")
+    val start = System.currentTimeMillis() - 2 * 3600000L
+    assert(call("POST", "/counters/C1/raw", t, Some(
+      s"""[{"timestamp":$start,"value":11,"tags":{"x":"1","y":"1","z":"1"}},
+         | {"timestamp":${start + 2 * 60000},"value":13,"tags":{"x":"2","y":"2","z":"2"}},
+         | {"timestamp":${start + 4 * 60000},"value":14,"tags":{"x":"3","y":"2","z":"3"}},
+         | {"timestamp":${start + 6 * 60000},"value":15,"tags":{"x":"1","y":"3","z":"4"}}]"""
+        .stripMargin))._1 == 204)
+    val (st, body) = call("GET", "/counters/C1/stats/tags/x:*,y:2,z:2%7C3", t)
+    assert(st == 200, body)
+    val obj = mapper.readTree(body)
+    assert(obj.isObject && obj.size() == 2, s"two matched combinations: $body")
+    for ((key, x, v) <- Seq(("x:2,y:2,z:2", "2", 13.0), ("x:3,y:2,z:3", "3", 14.0))) {
+      val e = obj.get(key)
+      assert(e != null, s"missing '$key' in $body")
+      assert(e.get("tags").get("x").asText == x &&
+        e.get("tags").get("y").asText == "2", s"$key tags: $body")
+      for (f <- Seq("min", "max", "avg", "median", "sum"))
+        assert(e.get(f).asDouble == v, s"$key $f: $body")
+      assert(e.get("samples").asLong == 1, s"$key samples: $body")
+    }
+  }
+
   // CountersITest.groovy:794-826 percentileParameter — the reference's
   // `400 ± 0.1` p50 expectation is a P² estimate over the ASC counter
   // feed: pinned through p2parity; the exact default serves the

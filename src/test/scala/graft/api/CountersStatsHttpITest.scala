@@ -105,6 +105,58 @@ class CountersStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assertStacked(oneBucket(s"/counters/rate/stats?$q&metrics=C2&metrics=C1&stacked=true", t))
   }
 
+  // CountersITest.groovy:976-1085 findStackedStatsForMultipleCountersAsymmetricData
+  // — a bucket where only SOME selected series have points stacks over
+  // the present members only; `samples` counts contributing series; a
+  // bucket no member touches stays empty
+  test("asymmetric stacked stats sum over present members only") {
+    val t = Some("t-cs-asym")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    def m(i: Int) = start + i * 60000L
+    for ((id, host) <- Seq(("C1", "server1"), ("C2", "server2"), ("C3", "server3")))
+      assert(call("POST", "/counters", t, Some(
+        s"""{"id":"$id","tags":{"type":"counter_cpu_usage","host":"$host"}}"""))._1 == 204)
+    // C1 at minutes 0-3; C2 at minutes 1,3,5 (5 falls past the range);
+    // C3 everywhere but not selected
+    val c1 = Seq(513L, 519L, 526L, 537L)
+    val c2 = Seq(422L, 435L, 445L)
+    assert(call("POST", "/counters/raw", t, Some(
+      s"""[{"id":"C1","data":[
+         |  {"timestamp":${m(0)},"value":${c1(0)}},{"timestamp":${m(1)},"value":${c1(1)}},
+         |  {"timestamp":${m(2)},"value":${c1(2)}},{"timestamp":${m(3)},"value":${c1(3)}}]},
+         | {"id":"C2","data":[
+         |  {"timestamp":${m(1)},"value":${c2(0)}},{"timestamp":${m(3)},"value":${c2(1)}},
+         |  {"timestamp":${m(5)},"value":${c2(2)}}]},
+         | {"id":"C3","data":[
+         |  {"timestamp":${m(0)},"value":5712},{"timestamp":${m(1)},"value":5773},
+         |  {"timestamp":${m(2)},"value":5949},{"timestamp":${m(3)},"value":5979},
+         |  {"timestamp":${m(4)},"value":6548}]}]""".stripMargin))._1 == 204)
+
+    val (st, body) = call("GET", s"/counters/stats?start=$start&end=${m(5)}" +
+      "&buckets=5&tags=type:counter_cpu_usage,host:server1%7Cserver2&stacked=true", t)
+    assert(st == 200, body)
+    val arr = mapper.readTree(body)
+    assert(arr.size() == 5, body)
+    val buckets = (0 until 5).map(arr.get).sortBy(_.get("start").asLong)
+    def assertBucket(i: Int, vals: Seq[Long]): Unit =
+      if (vals.isEmpty) {
+        assert(buckets(i).get("empty").asBoolean && !buckets(i).has("samples"),
+          s"bucket $i empty: $body")
+      } else {
+        val s = vals.sum.toDouble
+        for (f <- Seq("min", "max", "avg", "sum"))
+          assert(math.abs(d(buckets(i), f) - s) < Delta, s"bucket $i $f: $body")
+        assert(buckets(i).get("samples").asInt == vals.size,
+          s"bucket $i samples counts contributing series: $body")
+        assert(buckets(i).hasNonNull("median"), s"bucket $i: $body")
+      }
+    assertBucket(0, Seq(c1(0)))
+    assertBucket(1, Seq(c1(1), c2(0)))
+    assertBucket(2, Seq(c1(2)))
+    assertBucket(3, Seq(c1(3), c2(1)))
+    assertBucket(4, Seq.empty)
+  }
+
   // CountersITest.groovy:1087-1236 findSimpleStatsForMultipleCounters —
   // the UNSTACKED default pools every selected series' in-range points
   // into one A1 bucket; tag and ids selections answer identically

@@ -257,13 +257,13 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // same getTagValues semantics as the cross-type route, type-pinned)
     case ("GET", Seg(t) :: "tags" :: tags :: Nil) =>
       Ok(svc.getTagValues(tenant, Some(t), Tags.parse(tags)))
-    // tag-selected raw datapoints w/ cross-metric fromEarliest
-    // (GaugeHandler.java:890-920, AvailabilityHandler.java:492-524,
-    // StringHandler.java:354-386; CounterHandler has no such route).
+    // tag-selected raw datapoints w/ cross-metric fromEarliest — all
+    // four user types (GaugeHandler.java:890-920, CounterHandler.java:
+    // 881-913, AvailabilityHandler.java:492-524, StringHandler.java:
+    // 354-386; CountersITest.groovy:2210 drives the counter one).
     // The reference carries no `distinct` here — reject it loudly
     // rather than returning uncollapsed points a caller asked collapsed
-    case ("GET", Seg(t) :: "tags" :: tags :: "raw" :: Nil)
-        if t != MetricType.Counter =>
+    case ("GET", Seg(t) :: "tags" :: tags :: "raw" :: Nil) =>
       // flag-gated like rawFetch: a false-valued flag is a no-op the
       // reference would ignore too — only TRUE diverges, so only TRUE 400s
       if (flag(params, "distinct"))
@@ -572,7 +572,7 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
           m
         case a :: b :: c :: Nil =>
           var m = Set.empty[String]
-          if (a == "tags" && c == "raw" && t != MetricType.Counter) m += "GET"
+          if (a == "tags" && c == "raw") m += "GET"
           if (b == "tags") m += "DELETE"                          // {id}/tags/{names}
           if (b == "rate" && c == "stats" && numeric) m += "GET"
           m

@@ -416,14 +416,15 @@ class RestRoutesSpec extends SparkTestBase {
       case ApiError(400, msg) => assert(msg.contains("without start"))
       case other => fail(s"expected 400, got $other")
     }
-    // tag-selected raw GET (gauge route exists, counter's does not)
+    // tag-selected raw GET — ALL four types carry it (CounterHandler
+    // .java:881-913 has the counter route too; CountersITest.groovy:2210)
     val tagRaw = frame(rest.route("GET", "/gauges/tags/env:*/raw",
       Map("start" -> "0", "order" -> "ASC"), now = now))
     assert(tagRaw.count() == 0) // g1 has no tags → not selected
-    rest.route("GET", "/counters/tags/env:prod/raw", Map.empty, now = now) match {
-      case ApiError(404, _) =>
-      case other => fail(s"expected 404, got $other")
-    }
+    val ctrTagRaw = frame(rest.route("GET", "/counters/tags/env:prod/raw",
+      Map.empty, now = now))
+    // c1 + c2 both carry env:prod, two in-window points each
+    assert(ctrTagRaw.count() == 4)
     // ranged per-metric rate: only the pair inside [now-90s, now] derives
     val ranged = frame(rest.route("GET", "/counters/c1/rate",
       Map("start" -> (now - 90000).toString), now = now))

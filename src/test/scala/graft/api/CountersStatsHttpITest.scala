@@ -185,6 +185,31 @@ class CountersStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assertPooled(oneBucket(s"/counters/stats?$q&metrics=C2&metrics=C1", t))
   }
 
+  // CountersITest.groovy:1393-1545 findSimpleStatsForMultipleCounterRates
+  // — the UNSTACKED multi-counter rate stats pool every member's derived
+  // rate points into one bucket
+  test("pooled multi-counter RATE stats equal the recomputation over the " +
+    "combined per-minute rates") {
+    val t = Some("t-cs-ratepooled")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    val (c1, c2) = seedCounters(t, start)
+    // per-minute steps → rate = value delta per pair inside the range
+    val rates = (c1.take(4).sliding(2).map(p => (p(1) - p(0)).toDouble) ++
+      c2.take(4).sliding(2).map(p => (p(1) - p(0)).toDouble)).toSeq
+    val q = s"start=$start&end=${start + 4 * 60000L}&buckets=1"
+
+    def assertPooled(b: JsonNode): Unit = {
+      assert(math.abs(d(b, "min") - rates.min) < Delta, b)
+      assert(math.abs(d(b, "max") - rates.max) < Delta, b)
+      assert(math.abs(d(b, "sum") - rates.sum) < Delta, b)
+      assert(math.abs(d(b, "avg") - rates.sum / rates.size) < Delta, b)
+      assert(b.get("samples").asInt == rates.size, b)
+    }
+    assertPooled(oneBucket(s"/counters/rate/stats?$q" +
+      "&tags=type:counter_cpu_usage,host:server1%7Cserver2", t))
+    assertPooled(oneBucket(s"/counters/rate/stats?$q&metrics=C2&metrics=C1", t))
+  }
+
   // CountersITest.groovy:1547-1578 fromEarliestWithData — fromEarliest
   // derives the window from the data, drops LEADING empty buckets, and
   // keeps trailing empties up to now

@@ -46,7 +46,8 @@ import scala.jdk.CollectionConverters._
 class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
                     allowedCorsOrigins: String = "*",
                     extraCorsAllowHeaders: Option[String] = None,
-                    adminToken: Option[String] = None) {
+                    adminToken: Option[String] = None,
+                    cacheControl: Option[String] = None) {
   import RestRoutes._
   import HttpTransport.AdminTokenHeader
 
@@ -247,6 +248,12 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    // CacheControlFilter (BZ 1492011): when a cache-control value is
+    // configured, EVERY response carries it plus the fixed Vary pair
+    cacheControl.foreach { cc =>
+      ex.getResponseHeaders.set("Cache-Control", cc)
+      ex.getResponseHeaders.set("Vary", "Origin,Accept-Encoding")
+    }
     // 204 must not carry a body; -1 means "no response body" to HttpServer
     ex.sendResponseHeaders(status, if (status == 204 || bytes.isEmpty) -1 else bytes.length)
     if (status != 204 && bytes.nonEmpty) {

@@ -78,13 +78,21 @@ object TagQueryParser {
 
   /** The legacy simple `name:pattern,name:pattern` syntax (reference
     * SimpleTagQueryParser / Tags.parse + PatternUtil filter semantics):
-    * AND of per-name filter patterns — `*` any, leading `!` negation,
-    * regex otherwise. The facade falls back to this when the expression
-    * grammar rejects the input, like the reference does. */
+    * AND of per-name filter patterns — `*` any, leading `!` on the
+    * VALUE negates the regex, regex otherwise. A leading `!` on the
+    * NAME means the tag must NOT exist (the parser's GROUP_C,
+    * SimpleTagQueryParser.java:156-158,467 `tagNotExistsFilter`; its
+    * value is parsed and IGNORED, matching the reference's
+    * Query(key, value) → name-only filter). The facade falls back to
+    * this when the expression grammar rejects the input, like the
+    * reference does. */
   def compileSimple(input: String, tags: Column): Column =
-    graft.model.Tags.parse(input).map { case (k, pat) =>
-      graft.functions.GraftFunctions.filterPattern(
-        org.apache.spark.sql.functions.element_at(tags, k), pat)
+    graft.model.Tags.parse(input).map {
+      case (k, _) if k.startsWith("!") =>
+        org.apache.spark.sql.functions.element_at(tags, k.substring(1)).isNull
+      case (k, pat) =>
+        graft.functions.GraftFunctions.filterPattern(
+          org.apache.spark.sql.functions.element_at(tags, k), pat)
     }.reduce(_ && _)
 
   // --------------------------- lexer ---------------------------

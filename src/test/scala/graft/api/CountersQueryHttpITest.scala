@@ -105,6 +105,30 @@ class CountersQueryHttpITest extends SparkTestBase with HttpSpecSupport {
     assertRates("C3", Seq(48, 73, 89))
   }
 
+  // CountersITest.groovy:2060-2137 fetchRatesFromEarliest — the
+  // fromEarliest window recovers every pairable point per series
+  test("multi-counter rate query with fromEarliest derives all rates, DESC") {
+    val t = Some("t-cq-ratesearly")
+    val start = System.currentTimeMillis() - 4 * 3600000L
+    assert(call("POST", "/counters/raw", t, Some(
+      s"""[{"id":"C1","data":[{"timestamp":${start + 60000},"value":12},
+         |  {"timestamp":${start + 90000},"value":34},{"timestamp":${start + 120000},"value":53}]},
+         | {"id":"C2","data":[{"timestamp":${start + 60000},"value":14},
+         |  {"timestamp":${start + 90000},"value":26},{"timestamp":${start + 120000},"value":51}]}]"""
+        .stripMargin))._1 == 204)
+    val (st, body) = call("POST", "/counters/rate/query", t,
+      Some("""{"ids":["C1","C2"],"fromEarliest":true,"order":"desc"}"""))
+    assert(st == 200, body)
+    val m = byId(body)
+    assert(m.size == 2, body)
+    def r(v2: Double, v1: Double) = 60000.0 * (v2 - v1) / 30000.0
+    assert(m("C1").map(_._1) == Seq(start + 120000, start + 90000), body)
+    assert(math.abs(m("C1")(0)._2 - r(53, 34)) < Eps &&
+      math.abs(m("C1")(1)._2 - r(34, 12)) < Eps, body)
+    assert(math.abs(m("C2")(0)._2 - r(51, 26)) < Eps &&
+      math.abs(m("C2")(1)._2 - r(26, 14)) < Eps, body)
+  }
+
   // CountersITest.groovy:2139-2259
   test("tag-selected counter query matches its GET twin") {
     val t = Some("t-cq-bytag")

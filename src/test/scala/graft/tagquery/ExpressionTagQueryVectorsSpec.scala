@@ -126,4 +126,16 @@ class ExpressionTagQueryVectorsSpec extends SparkTestBase {
     assert(simpleIds("a1:2,a2:!4") == Set("m3", "m4"))
     assert(simpleIds("a2:!4|3") == Set("m3"))
   }
+
+  test("simple syntax: a !-prefixed NAME means the tag must not exist " +
+    "(SimpleTagQueryParser GROUP_C, value ignored)") {
+    // reference: key.startsWith("!") routes to tagNotExistsFilter(name)
+    // regardless of the value (SimpleTagQueryParserTest.testReOrder's
+    // '!seek' entry; SimpleTagQueryParser.java:156-158,467)
+    assert(simpleIds("a1:*,!a2:x") == Set("m1", "m2"))
+    assert(simpleIds("!a1:ignored") ==
+      Set("m6", "mA", "mB", "mC", "mD", "mE", "mF", "mG"))
+    assert(simpleIds("!a9:x") == simpleFixture.select("metric")
+      .collect().map(_.getString(0)).toSet)
+  }
 }

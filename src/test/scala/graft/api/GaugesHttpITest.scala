@@ -150,4 +150,48 @@ class GaugesHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(math.abs(b7.get("median").asDouble - 185.6) <= Delta, body)
     assert(b7.get("samples").asLong == 2, body)
   }
+
+  // GaugesITest.groovy:318-372 minMaxTimestamps (and the CountersITest
+  // :1722-1778 twin): the single-definition GET gains min/maxTimestamp
+  // once data exists, widens as points land, and ?timestamps=true
+  // carries the same pair on the typed and generic collection GETs
+  test("minMaxTimestamps track ingested data on the definition GETs, " +
+    "for gauges and counters") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for ((path, vals) <- Seq(("gauges", Seq("4.2", "2.2", "1.2", "7.2")),
+        ("counters", Seq("4", "2", "1", "7")))) {
+      val t = Some(s"t-minmax-$path")
+      assert(call("POST", s"/$path", t, Some("""{"id":"minmaxtest"}"""))._1 == 204)
+      val (s0, b0) = call("GET", s"/$path/minmaxtest", t)
+      assert(s0 == 200 && !b0.contains("minTimestamp") && !b0.contains("maxTimestamp"), b0)
+
+      assert(call("POST", s"/$path/minmaxtest/raw", t,
+        Some(s"""[{"timestamp":3,"value":${vals(0)}}]"""))._1 == 204)
+      val d1 = mapper.readTree(call("GET", s"/$path/minmaxtest", t)._2)
+      assert(d1.get("minTimestamp").asLong == 3 && d1.get("maxTimestamp").asLong == 3, d1.toString)
+
+      assert(call("POST", s"/$path/minmaxtest/raw", t, Some(
+        s"""[{"timestamp":1,"value":${vals(1)}},{"timestamp":2,"value":${vals(2)}},
+           |{"timestamp":4,"value":${vals(3)}}]""".stripMargin))._1 == 204)
+      val d2 = mapper.readTree(call("GET", s"/$path/minmaxtest", t)._2)
+      assert(d2.get("minTimestamp").asLong == 1 && d2.get("maxTimestamp").asLong == 4, d2.toString)
+
+      // collection GETs with timestamps=true — typed and generic
+      for (url <- Seq(s"/$path?timestamps=true", s"/metrics?timestamps=true&type=${path.stripSuffix("s")}")) {
+        val (cs, cbody) = call("GET", url, t)
+        assert(cs == 200, s"$url: $cbody")
+        val m = mapper.readTree(cbody).elements()
+        var found = false
+        while (m.hasNext) {
+          val e = m.next()
+          if (e.get("id").asText == "minmaxtest") {
+            found = true
+            assert(e.get("minTimestamp").asLong == 1 && e.get("maxTimestamp").asLong == 4,
+              s"$url: $e")
+          }
+        }
+        assert(found, s"$url: $cbody")
+      }
+    }
+  }
 }

@@ -113,6 +113,13 @@ object ProbeScale {
     time("rate") {
       MetricsOps.rate(scaledGauge(spark, dir, n), isCounter = false)
     }
+    time("per_metric_limit") {
+      // round-10 multi-metric T2: series count grows n×, limit fixed —
+      // the partial WindowGroupLimit must keep the rank exchange at
+      // ≤ limit×series rows, so time tracks the scan, not the shuffle
+      MetricsOps.perMetricLimitOrdered(
+        scaledGauge(spark, dir, n), graft.model.Order.Desc, 5)
+    }
     time("dedup_minhash") {
       Dedup.nearDupPairs(scaledDocs(spark, dir, n), shingleK = 3, threshold = 0.8)
     }

@@ -56,6 +56,21 @@ class DataPointValidationHttpITest extends SparkTestBase with HttpSpecSupport {
     for ((p, _) <- types) invalid(p, s"""{"timestamp":13,"value":["dsqdqs"]}""")
   }
 
+  // the shouldNotAcceptInvalidTimeRange / shouldNotCreateMetricWith
+  // EmptyPayload / shouldNotAdd*WithEmptyPayload family, per type
+  // (GaugesITest.groovy:31-79 and its counter/availability/string twins)
+  test("reversed time ranges and empty payloads answer 400, all types") {
+    for ((p, _) <- types) {
+      val t = Some(s"t-val-range-$p")
+      assert(call("GET", s"/$p/test/raw?start=1000&end=500", t)._1 == 400, p)
+      assert(call("POST", s"/$p", t, Some(""))._1 == 400, p)
+      assert(call("POST", s"/$p/pimpo/raw", t, Some(""))._1 == 400, p)
+      assert(call("POST", s"/$p/pimpo/raw", t, Some("[]"))._1 == 400, p)
+      assert(call("POST", s"/$p/raw", t, Some(""))._1 == 400, p)
+      assert(call("POST", s"/$p/raw", t, Some("[]"))._1 == 400, p)
+    }
+  }
+
   test("a payload far past the storage batch size stores whole " +
     "(shouldStoreLargePayload)") {
     val t = Some("t-val-large")

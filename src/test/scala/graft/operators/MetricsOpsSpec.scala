@@ -638,4 +638,45 @@ class MetricsOpsSpec extends SparkTestBase {
         alpha = 0.5, beta = 1.5, horizon = 2, stepMs = 1000L)
     }
   }
+
+  // ---- T2 per series: the multi-metric limit contract
+  // (MetricsServiceImpl.findDataPoints(List,…):821-826 fans out per-id
+  // limited scans — limit bounds EACH series, never the union) ----------
+  test("perMetricLimit bounds each series, honors order, and passes " +
+    "through non-positive limits") {
+    val dp = points(Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 10L, 10.0), ("b", 20L, 20.0),
+      ("c", 5L, 5.0)))
+
+    def series(df: DataFrame): Map[String, Seq[Long]] =
+      df.select("metric", "time").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+
+    // DESC limit 2: each series keeps its LATEST two (or fewer)
+    val desc = series(MetricsOps.perMetricLimit(dp, Order.Desc, 2))
+    assert(desc("a").sorted == Seq(3L, 4L), desc.toString)
+    assert(desc("b").sorted == Seq(10L, 20L), desc.toString)
+    assert(desc("c") == Seq(5L), desc.toString)
+
+    // ASC limit 2: the EARLIEST two
+    val asc = series(MetricsOps.perMetricLimit(dp, Order.Asc, 2))
+    assert(asc("a").sorted == Seq(1L, 2L), asc.toString)
+
+    // limit beyond a series' size keeps the whole series
+    val wide = series(MetricsOps.perMetricLimit(dp, Order.Desc, 10))
+    assert(wide("a").size == 4 && wide("b").size == 2 && wide("c").size == 1)
+
+    // non-positive limit = unlimited (the route's limit<=0 contract)
+    assert(MetricsOps.perMetricLimit(dp, Order.Desc, 0).count() == 7)
+    assert(MetricsOps.perMetricLimit(dp, Order.Asc, -5).count() == 7)
+
+    // series with the same metric name under DIFFERENT tenants/types
+    // rank independently (the window keys on the full series identity)
+    val crossTenant = dp.withColumn("tenant_id",
+      when(col("time") <= 2L, lit("t2")).otherwise(col("tenant_id")))
+    val ct = MetricsOps.perMetricLimit(crossTenant, Order.Desc, 1)
+      .filter(col("metric") === "a").collect()
+    assert(ct.length == 2, ct.mkString(",")) // one per (tenant, a)
+  }
 }

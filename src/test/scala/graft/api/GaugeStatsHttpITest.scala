@@ -340,6 +340,20 @@ class GaugeStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(b7.get("samples").asInt == 2, s"samples counts series: $body")
   }
 
+  // GaugeMetricStatisticsITest.groovy:804-899 — the multi-metric
+  // collection stats GET validates its selection params: exactly one of
+  // metrics/tags, and a bucket param, are required
+  test("collection stats GET: metrics XOR tags required, bucket param required") {
+    val t = Some("t-statsparams")
+    val q = "start=100&end=500&buckets=2"
+    // neither selection param
+    assert(call("GET", s"/gauges/stats?$q", t)._1 == 400)
+    // both selection params
+    assert(call("GET", s"/gauges/stats?$q&metrics=G1&tags=a:b", t)._1 == 400)
+    // selection without a bucket param
+    assert(call("GET", "/gauges/stats?start=100&end=500&metrics=G1", t)._1 == 400)
+  }
+
   // ErrorsITest.groovy:37-56 over the wire
   test("error paths: 405 wrong method, 404 unknown route, 400 bad buckets number") {
     val t = Some("t-errs")

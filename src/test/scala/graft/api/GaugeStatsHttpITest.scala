@@ -340,6 +340,39 @@ class GaugeStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(b7.get("samples").asInt == 2, s"samples counts series: $body")
   }
 
+  // GaugeMetricStatisticsITest.groovy:967-1014 multipleMetricsFromEarliest
+  // — pooled collection stats with the cross-metric fromEarliest window,
+  // identical through the GET params and the POST body twin
+  test("multi-metric pooled stats with fromEarliest: earliest data bucket " +
+    "through now, GET ≡ POST") {
+    val t = Some("t-multiearliest")
+    val hour = (System.currentTimeMillis() / 3600000L) * 3600000L
+    assert(call("POST", "/gauges/G1/raw", t, Some(
+      s"""[{"timestamp":${hour - 3 * 3600000L},"value":3},
+         | {"timestamp":${hour - 2 * 3600000L},"value":2}]""".stripMargin))._1 == 204)
+    assert(call("POST", "/gauges/G2/raw", t, Some(
+      s"""[{"timestamp":${hour - 3 * 3600000L},"value":5},
+         | {"timestamp":${hour - 2 * 3600000L},"value":4}]""".stripMargin))._1 == 204)
+
+    def assertBody(body: String): Unit = {
+      val arr = parse(body).sortBy(_.get("start").asLong)
+      assert(arr.size == 4, s"4 buckets from earliest through now: $body")
+      for ((mn, mx, av, i) <- Seq((3.0, 5.0, 4.0, 0), (2.0, 4.0, 3.0, 1))) {
+        assert(d(arr(i), "min") == mn && d(arr(i), "max") == mx &&
+          d(arr(i), "avg") == av, s"bucket $i: $body")
+      }
+      assert(arr(2).get("empty").asBoolean && arr(3).get("empty").asBoolean, body)
+    }
+    val (gs, gbody) = call("GET",
+      "/gauges/stats?metrics=G1,G2&fromEarliest=true&bucketDuration=1h", t)
+    assert(gs == 200, s"$gs $gbody")
+    assertBody(gbody)
+    val (ps, pbody) = call("POST", "/gauges/stats/query", t, Some(
+      """{"metrics":["G1","G2"],"fromEarliest":true,"bucketDuration":"1h"}"""))
+    assert(ps == 200, s"$ps $pbody")
+    assertBody(pbody)
+  }
+
   // GaugeMetricStatisticsITest.groovy:804-899 — the multi-metric
   // collection stats GET validates its selection params: exactly one of
   // metrics/tags, and a bucket param, are required

@@ -373,6 +373,72 @@ class GaugeStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assertBody(pbody)
   }
 
+  // GaugeMetricStatisticsITest.groovy:232-804 — the gauge downsample
+  // matrix (Simple=pooled / Sum=stacked × tags / metrics selection),
+  // condensed to the two distinct aggregate semantics; every variant
+  // pins GET /gauges/stats ≡ POST /gauges/stats/query
+  test("pooled and stacked gauge downsampling by tags and by names, " +
+    "GET ≡ POST") {
+    val t = Some("t-downsample")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    def m(i: Int) = start + i * 60000L
+    for ((id, host) <- Seq(("G1", "server1"), ("G2", "server2"), ("G3", "server3")))
+      assert(call("POST", "/gauges", t, Some(
+        s"""{"id":"$id","tags":{"type":"cpu_usage","host":"$host"}}"""))._1 == 204)
+    val g1 = Seq(37.45, 37.609, 39.11, 44.07, 42.335)
+    val g2 = Seq(41.18, 39.55, 40.72, 36.94, 37.64)
+    val g3 = Seq(57.12, 57.73, 55.49, 49.19, 35.48)
+    def dps(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => s"""{"timestamp":${m(i)},"value":$v}""" }.mkString("[", ",", "]")
+    assert(call("POST", "/gauges/raw", t, Some(
+      s"""[{"id":"G1","data":${dps(g1)}},{"id":"G2","data":${dps(g2)}},
+         |{"id":"G3","data":${dps(g3)}}]""".stripMargin))._1 == 204)
+
+    val q = s"start=$start&end=${m(4)}&buckets=1"
+    val body = s""""start":$start,"end":${m(4)},"buckets":1"""
+    val in1 = g1.take(4); val in2 = g2.take(4) // range end-exclusive
+    def one(st: Int, b: String): JsonNode = {
+      assert(st == 200, s"$st $b"); val a = parse(b); assert(a.size == 1, b); a.head
+    }
+    def assertPair(get: (Int, String), post: (Int, String),
+                   mn: Double, mx: Double, av: Double, sm: Double): Unit = {
+      for ((s, b) <- Seq(get, post)) {
+        val bk = one(s, b)
+        assert(bk.get("start").asLong == start && bk.get("end").asLong == m(4), b)
+        assert(math.abs(d(bk, "min") - mn) <= Delta, s"min: $b")
+        assert(math.abs(d(bk, "max") - mx) <= Delta, s"max: $b")
+        assert(math.abs(d(bk, "avg") - av) <= Delta, s"avg: $b")
+        assert(math.abs(d(bk, "sum") - sm) <= Delta, s"sum: $b")
+        assert(!bk.get("empty").asBoolean && bk.hasNonNull("median"), b)
+      }
+    }
+    val all = in1 ++ in2
+    // pooled (Simple): one A1 over the combined points — by tags, by names
+    assertPair(
+      call("GET", s"/gauges/stats?$q&tags=type:cpu_usage,host:server1%7Cserver2", t),
+      call("POST", "/gauges/stats/query", t,
+        Some(s"""{$body,"tags":"type:cpu_usage,host:server1|server2"}""")),
+      all.min, all.max, all.sum / all.size, all.sum)
+    assertPair(
+      call("GET", s"/gauges/stats?$q&metrics=G1&metrics=G2", t),
+      call("POST", "/gauges/stats/query", t,
+        Some(s"""{$body,"metrics":["G1","G2"]}""")),
+      all.min, all.max, all.sum / all.size, all.sum)
+    // stacked (Sum): per-series stats summed — by tags, by names
+    assertPair(
+      call("GET", s"/gauges/stats?$q&tags=type:cpu_usage,host:server1%7Cserver2&stacked=true", t),
+      call("POST", "/gauges/stats/query", t,
+        Some(s"""{$body,"tags":"type:cpu_usage,host:server1|server2","stacked":true}""")),
+      in1.min + in2.min, in1.max + in2.max,
+      in1.sum / 4 + in2.sum / 4, all.sum)
+    assertPair(
+      call("GET", s"/gauges/stats?$q&metrics=G1&metrics=G2&stacked=true", t),
+      call("POST", "/gauges/stats/query", t,
+        Some(s"""{$body,"metrics":["G1","G2"],"stacked":true}""")),
+      in1.min + in2.min, in1.max + in2.max,
+      in1.sum / 4 + in2.sum / 4, all.sum)
+  }
+
   // GaugeMetricStatisticsITest.groovy:804-899 — the multi-metric
   // collection stats GET validates its selection params: exactly one of
   // metrics/tags, and a bucket param, are required

@@ -373,6 +373,39 @@ class GaugeStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assertBody(pbody)
   }
 
+  // GaugeMetricStatisticsITest.groovy:1016-1100 findTaggedBuckets — the
+  // gauge stats/tags wire shape: an object keyed per matched tag
+  // combination, grouped by the points' own tag VALUES (medians assert
+  // the exact default, the documented P² divergence)
+  test("gauge tagged stats group per datapoint tag value in the " +
+    "combination-keyed object") {
+    val t = Some("t-gtagbuckets")
+    val start = System.currentTimeMillis() - 2 * 3600000L
+    val pts = Seq((0, 23.17, "1"), (5, 14.93, "2"), (10, 31.06, "3"),
+      (15, 25.55, "1"), (20, 16.66, "2"), (25, 34.33, "3"))
+      .map { case (min, v, x) =>
+        s"""{"timestamp":${start + min * 60000L},"value":$v,"tags":{"x":"$x"}}"""
+      }.mkString("[", ",", "]")
+    assert(call("POST", "/gauges/tagged-buckets/raw", t, Some(pts))._1 == 204)
+
+    val (st, body) = call("GET",
+      s"/gauges/tagged-buckets/stats/tags/x:*?start=$start&end=${start + 7200000L}", t)
+    assert(st == 200, body)
+    val obj = mapper.readTree(body)
+    assert(obj.isObject && obj.size() == 3, s"three tag-value groups: $body")
+    for ((key, lo, hi) <- Seq(("x:1", 23.17, 25.55), ("x:2", 14.93, 16.66),
+        ("x:3", 31.06, 34.33))) {
+      val e = obj.get(key)
+      assert(e != null, s"missing '$key': $body")
+      assert(e.get("tags").get("x").asText == key.stripPrefix("x:"), s"$key: $body")
+      assert(math.abs(d(e, "min") - lo) <= Delta && math.abs(d(e, "max") - hi) <= Delta, s"$key: $body")
+      assert(math.abs(d(e, "sum") - (lo + hi)) <= Delta, s"$key: $body")
+      assert(math.abs(d(e, "avg") - (lo + hi) / 2) <= Delta, s"$key: $body")
+      assert(math.abs(d(e, "median") - (lo + hi) / 2) <= Delta, s"$key exact median: $body")
+      assert(e.get("samples").asLong == 2, s"$key: $body")
+    }
+  }
+
   // GaugeMetricStatisticsITest.groovy:232-804 — the gauge downsample
   // matrix (Simple=pooled / Sum=stacked × tags / metrics selection),
   // condensed to the two distinct aggregate semantics; every variant

@@ -160,19 +160,7 @@ private[api] object WireCodec {
             NumStatNames.foreach(f =>
               if (r.hasNonNull(f)) v.set[ObjectNode](f, r.get(f)))
             if (r.hasNonNull("samples")) v.put("samples", r.get("samples").asLong())
-            val pcts = r.properties().asScala.toSeq.collect {
-              case e if PctCol.matches(e.getKey) && !e.getValue.isNull =>
-                val original = PctCol.findFirstMatchIn(e.getKey).get.group(1).replace('_', '.')
-                val p = mapper.createObjectNode()
-                p.put("quantile", original.toDouble)
-                p.set[ObjectNode]("value", e.getValue)
-                p.put("originalQuantile", original)
-                p
-            }
-            if (pcts.nonEmpty) {
-              val a = v.putArray("percentiles")
-              pcts.sortBy(_.get("quantile").asDouble()).foreach(a.add)
-            }
+            attachPercentiles(v, r)
             key -> v
           }.sortBy(_._1).foreach { case (k, v) => out.set[ObjectNode](k, v) }
           out.toString
@@ -300,23 +288,31 @@ private[api] object WireCodec {
         NumStatNames.foreach(f =>
           if (r.hasNonNull(f)) out.set[ObjectNode](f, r.get(f)))
         out.put("samples", samples)
-        val pcts = r.properties().asScala.toSeq.collect {
-          case e if PctCol.matches(e.getKey) && !e.getValue.isNull =>
-            val original = PctCol.findFirstMatchIn(e.getKey).get.group(1).replace('_', '.')
-            val p = mapper.createObjectNode()
-            p.put("quantile", original.toDouble)
-            p.set[ObjectNode]("value", e.getValue)
-            p.put("originalQuantile", original)
-            p
-        }
-        if (pcts.nonEmpty) {
-          val a = out.putArray("percentiles")
-          pcts.sortBy(_.get("quantile").asDouble()).foreach(a.add)
-        }
+        attachPercentiles(out, r)
       }
     }
     out.put("empty", empty)
     out
+  }
+
+  /** Percentile columns → the reference's {quantile, value,
+    * originalQuantile} array, quantile-sorted; the array is OMITTED
+    * when none were requested (WRITE_EMPTY_JSON_ARRAYS=false). Shared
+    * by BucketPoint and TaggedBucketPoint serialization. */
+  private def attachPercentiles(out: ObjectNode, r: ObjectNode): Unit = {
+    val pcts = r.properties().asScala.toSeq.collect {
+      case e if PctCol.matches(e.getKey) && !e.getValue.isNull =>
+        val original = PctCol.findFirstMatchIn(e.getKey).get.group(1).replace('_', '.')
+        val p = mapper.createObjectNode()
+        p.put("quantile", original.toDouble)
+        p.set[ObjectNode]("value", e.getValue)
+        p.put("originalQuantile", original)
+        p
+    }
+    if (pcts.nonEmpty) {
+      val a = out.putArray("percentiles")
+      pcts.sortBy(_.get("quantile").asDouble()).foreach(a.add)
+    }
   }
 
   /** Collect + parse — the serialization boundary (response-sized). */

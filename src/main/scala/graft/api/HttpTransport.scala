@@ -62,7 +62,6 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
       case ("tenants" | "admin" | "openshift") :: _ => true
       case _ => false
     })
-  private def sha256(s: String): String = HttpTransport.sha256(s)
   // CORS filter pair (Cors.scala): predicate built once from config,
   // like the reference's @PostConstruct OriginValidation.init
   private val originAllowed = Cors.originPredicate(allowedCorsOrigins)
@@ -158,7 +157,7 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
             s"Admin token is not specified. Use '$AdminTokenHeader' header"))
           return
         }
-        if (!token.map(sha256).equals(adminTokenSha)) {
+        if (!token.map(HttpTransport.sha256).equals(adminTokenSha)) {
           respond(ex, 403, errorJson("Admin token is wrong or not specified."))
           return
         }

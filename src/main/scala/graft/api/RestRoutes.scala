@@ -293,11 +293,16 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // the {id} template for methods the literal doesn't carry — DELETE
     // /gauges/stats is 405 in the reference container, not a delete of a
     // metric named "stats" (such a metric is unaddressable there too)
-    case ("GET", Seg(t) :: id :: Nil) if !ReservedIdSeg(id) =>
+    // "rate" is a literal on COUNTERS only (the deprecated collection
+    // rate-stats alias below) — literal-wins excludes it from the {id}
+    // template there, while /gauges/rate stays an ordinary metric id
+    case ("GET", Seg(t) :: id :: Nil)
+        if !ReservedIdSeg(id) && !(t == MetricType.Counter && id == "rate") =>
       // single-definition GETs carry the data min/max timestamps when
       // data exists (AvailabilityITest.minMaxTimestamps)
       Ok(svc.findMetricWithTimestamps(mid(t, id)))
-    case ("DELETE", Seg(t) :: id :: Nil) if !ReservedIdSeg(id) =>
+    case ("DELETE", Seg(t) :: id :: Nil)
+        if !ReservedIdSeg(id) && !(t == MetricType.Counter && id == "rate") =>
       svc.deleteMetric(mid(t, id)); NoContent
     case ("GET", Seg(t) :: id :: "tags" :: Nil) => Ok(svc.getMetricTags(mid(t, id)))
     case ("PUT", Seg(t) :: id :: "tags" :: Nil) => body match {
@@ -382,8 +387,14 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
     // ---- rates (CounterHandler/GaugeHandler {id}/rate[, /stats]) -----
     // LITERAL collection route first: rate stats over an ids-or-tags
     // selection (CounterHandler GET /rate/stats :782-825, gauge twin)
-    case ("GET", Seg(t) :: "rate" :: "stats" :: Nil)
-        if t == MetricType.Gauge || t == MetricType.Counter =>
+    // `rest == Nil` admits the DEPRECATED counter-only alias
+    // GET /counters/rate ≡ GET /counters/rate/stats
+    // (CounterHandler.java:826-844 deprecatedFindCounterRateDataStats);
+    // gauges have no bare /rate literal — GET /gauges/rate stays the
+    // {id} template, fetching the definition of a metric named "rate"
+    case ("GET", Seg(t) :: "rate" :: rest)
+        if (rest == List("stats") && (t == MetricType.Gauge || t == MetricType.Counter)) ||
+          (rest == Nil && t == MetricType.Counter) =>
       val metrics = params.get("metrics").map(_.split(",").toSeq).getOrElse(Seq.empty)
       val tags = params.get("tags")
       require(metrics.nonEmpty ^ tags.nonEmpty,
@@ -554,6 +565,10 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
         // this position carries ONLY its own methods (ReservedOneSeg,
         // the same table the {id} dispatch guards consult); everything
         // else is the {id} template (GET/DELETE)
+        // counters alone carry the deprecated bare /rate literal (GET
+        // only — a literal path never falls back to the {id} template
+        // for other methods, so DELETE /counters/rate is 405)
+        case "rate" :: Nil if t == MetricType.Counter => Set("GET")
         case x :: Nil => ReservedOneSeg.getOrElse(x, Set("GET", "DELETE"))
         case a :: b :: Nil =>
           var m = Set.empty[String]

@@ -130,8 +130,11 @@ private[api] object WireCodec {
             cols.contains("bucket_start") && !cols.contains("metric") =>
         rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
           .map(bucketPointNode(_, avail = t == "availability"))).toString)
-      case ("GET", t :: "rate" :: "stats" :: Nil)
-          if TypeSegs(t) && cols.contains("bucket_start") && !cols.contains("metric") =>
+      // "counters" :: "rate" :: Nil is the deprecated collection alias
+      // (CounterHandler.java:826-844) — same BucketPoint list shape
+      case ("GET", t :: "rate" :: rest)
+          if TypeSegs(t) && (rest == Nil || rest == List("stats")) &&
+            cols.contains("bucket_start") && !cols.contains("metric") =>
         rows(df).map(rs => arr(rs.sortBy(_.get("bucket_start").asLong())
           .map(bucketPointNode(_, avail = false))).toString)
       case ("GET", t :: id :: "rate" :: "stats" :: Nil)

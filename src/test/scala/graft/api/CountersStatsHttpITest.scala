@@ -210,6 +210,25 @@ class CountersStatsHttpITest extends SparkTestBase with HttpSpecSupport {
     assertPooled(oneBucket(s"/counters/rate/stats?$q&metrics=C2&metrics=C1", t))
   }
 
+  // CounterHandler.java:826-844 deprecatedFindCounterRateDataStats —
+  // the deprecated GET /counters/rate answers the SAME BucketPoint list
+  // as /counters/rate/stats; the literal carries GET only
+  test("deprecated GET /counters/rate aliases the collection rate stats") {
+    val t = Some("t-cs-deprecated")
+    val start = System.currentTimeMillis() - 10 * 60000L
+    seedCounters(t, start)
+    val q = s"start=$start&end=${start + 4 * 60000L}&buckets=1&metrics=C2&metrics=C1"
+    val (as_, abody) = call("GET", s"/counters/rate?$q", t)
+    val (bs, bbody) = call("GET", s"/counters/rate/stats?$q", t)
+    assert(as_ == 200 && bs == 200, s"$as_ $bs")
+    assert(abody == bbody, s"alias diverged:\n$abody\n$bbody")
+    // the literal never falls back to the {id} template for other verbs
+    assert(call("DELETE", "/counters/rate", t)._1 == 405)
+    // gauges have no such literal: GET /gauges/rate is the {id} GET
+    // (204 — no definition named "rate" in this tenant)
+    assert(call("GET", "/gauges/rate", t)._1 == 204)
+  }
+
   // CountersITest.groovy:1547-1578 fromEarliestWithData — fromEarliest
   // derives the window from the data, drops LEADING empty buckets, and
   // keeps trailing empties up to now

@@ -1226,6 +1226,32 @@ object SparkEntry {
               |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
               |FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v""".stripMargin)),
 
+    // ---- W1 + per-series T2: the rate query's limit bounds EACH
+    // series' derived rates (reference findRateData(List,…):886-890
+    // concatMaps per-id limited derivations; limit applies AFTER reset
+    // screening, so surviving rates rank, not raw pairs) ----------------
+    ("rate_query_multi_limited", (s: SparkSession, d: String) => {
+      val root = "target/tmp/ratequerylim_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, root)
+      val svc = new graft.api.MetricsService(s, root)
+      svc.addDataPoints(ctr(s, d)
+        .filter(col("metric").isin("click/7", "view/88", "error/23")))
+      svc.findRateData(ea.Tenant, MetricType.Counter, Seq("click/7", "view/88"),
+        Some(S), Some(Week), limit = 3, order = Some(Order.Asc), now = E)
+        .select("metric", "time", "rate")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |c AS (SELECT metric, t, l_value FROM ctr
+              |      WHERE metric IN ('click/7', 'view/88') AND t >= $S AND t < $Week),
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM c WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rates AS (SELECT metric, t,
+              |       60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v),
+              |ranked AS (SELECT metric, t, rate,
+              |       row_number() OVER (PARTITION BY metric ORDER BY t ASC) AS rn FROM rates)
+              |SELECT metric, t AS "time", rate FROM ranked WHERE rn <= 3""".stripMargin)),
+
     // ---- EP2 batch: N independent stats requests keyed by request index,
     // THROUGH the service facade — request 2 names its series by TAG
     // EXPRESSION, the reference body's metrics-or-tags union

@@ -700,6 +700,27 @@ object SparkEntry {
               |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
               |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
 
+    // ---- S9@scale: tenant delete on the persisted tag index — O(1)
+    // tombstone, screened serving, physical purge riding compaction (the
+    // reference's background-job split, jobs/DeleteTenant.java:34-62);
+    // answers must equal a catalog that never held the tenant ----------
+    ("tagindex_delete_tenant", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagidxdel_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val c = ea.catalog(s, d)
+      graft.storage.TagIndex.write(
+        c.unionByName(c.withColumn("tenant_id", lit("beta"))), base)
+      graft.storage.TagIndex.deleteTenant(s, base, "beta")
+      graft.storage.TagIndex.compact(s, base)
+      graft.storage.TagIndex.lookup(s,
+        base, "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
+        .select("tenant_id", "metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT tenant_id, metric FROM cat
+              |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
+              |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
+
     ("tagquery_not", (s: SparkSession, d: String) => {
       val c = ea.catalog(s, d)
       c.filter(TagQueryParser.compile("type != view AND NOT zone AND seg NOT IN [s4]", col("tags")))

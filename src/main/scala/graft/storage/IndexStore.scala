@@ -75,10 +75,14 @@ object IndexStore {
       .partitionBy("bucket").parquet(s"$path/$table")
 
   /** Crash-safe compaction of a bucket-partitioned table: back to one
-    * layout per bucket, contents untouched, behind the atomic swap. */
-  def compactBucketed(spark: SparkSession, path: String, table: String): Unit =
+    * layout per bucket, behind the atomic swap; `transform` hooks the
+    * index's purge step (e.g. dropping a tombstoned tenant's entries —
+    * the rewrite is the one moment removing bucket-scattered rows costs
+    * nothing extra). */
+  def compactBucketed(spark: SparkSession, path: String, table: String,
+                      transform: DataFrame => DataFrame = identity): Unit =
     AtomicSwap.swapTable(spark, path, table)(df =>
-      df.repartition(col("bucket"))
+      transform(df).repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(s"$path/.$table.compact"))
 
   /** Crash-safe compaction of a flat table to a parallelism-sized file

@@ -30,6 +30,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  *                      the append path's replay screen
  *   meta/              bucket count (a probe with a different modulus
  *                      fails loudly instead of missing partitions)
+ *   tombstones/        deleted tenant ids ([[deleteTenant]]) — serving
+ *                      screens against them until compaction purges
+ *   deleted_ids/       deleted metric ids ([[deleteMetric]]) — same
+ *                      screen-then-purge split, id-keyed
  */
 object TagIndex {
 
@@ -66,6 +70,41 @@ object TagIndex {
    */
   def append(spark: SparkSession, path: String, catalogBatch: DataFrame): Unit = {
     requireMeta(spark, path)
+    // revival: a batch re-registering a deleted tenant clears its
+    // tombstone — stale pre-delete entries purge first (any entry a
+    // tombstoned tenant still has IS pre-delete by definition), then the
+    // tombstone drops, then the batch lands through the normal screen.
+    // Crash-ordered: every step before the screen write is idempotent,
+    // so a replayed batch redoes the revival and still lands.
+    val dead = tombstoned(spark, path)
+    if (dead.nonEmpty) {
+      val revived = catalogBatch.select(col("tenant_id")).distinct()
+        .filter(col("tenant_id").isin(dead: _*))
+        .collect().map(_.getString(0)).toSet
+      if (revived.nonEmpty) {
+        val rv = revived.toSeq.sorted
+        IndexStore.compactBucketed(spark, path, "entries",
+          _.filter(!col("tenant_id").isin(rv: _*)))
+        IndexStore.compactFlat(spark, path, "metrics",
+          _.filter(!col("tenant_id").isin(rv: _*)))
+        clearTombstones(spark, path, revived)
+      }
+    }
+    // same revival contract for metric-level tombstones: a batch
+    // re-registering a deleted id purges its stale entries and drops it
+    // from deleted_ids BEFORE the screened append (crash-idempotent for
+    // the same reason — nothing of the batch lands until the end)
+    deletedIds(spark, path).foreach { del =>
+      val revivedIds = catalogBatch.select(IdCols.map(col): _*).distinct()
+        .join(broadcast(del), IdCols, "left_semi").localCheckpoint()
+      if (!revivedIds.isEmpty) {
+        IndexStore.compactBucketed(spark, path, "entries",
+          _.join(broadcast(revivedIds), IdCols, "left_anti"))
+        IndexStore.compactFlat(spark, path, "metrics",
+          _.join(broadcast(revivedIds), IdCols, "left_anti"))
+        clearDeletedIds(spark, path, revivedIds)
+      }
+    }
     // localCheckpoint BEFORE any write: the entries append below must not
     // recompute the anti-join against the post-append metrics listing
     val fresh = IndexStore.screenFresh(catalogBatch, path, "metrics", IdCols)
@@ -77,6 +116,106 @@ object TagIndex {
         explode(col("tags")).as(Seq("tag_name", "tag_value")))
       .withColumn("bucket", bucketOf(col("tag_name"))),
       path, "entries", overwrite = false)
+  }
+
+  /**
+   * S9 — delete a tenant from the index. The reference runs tenant
+   * deletion as a background job that clears the data, `metrics_idx`,
+   * `metrics_tags_idx` and retention rows (`core/.../jobs/DeleteTenant
+   * .java:34-62`); the same deferred-work split applies here, with
+   * compaction playing the job: the delete itself is O(1) — a tombstone
+   * row — and serving ([[lookup]]) excludes the tenant the instant it
+   * lands, while the physical purge of its bucket-scattered entries
+   * rides the next [[compact]] rewrite (removing them there costs
+   * nothing extra; an eager purge would be a full index rewrite per
+   * delete). The `metrics` replay screen purges inline — it is a flat
+   * catalog-row-sized rewrite — so a later re-registration of the same
+   * tenant passes the screen, and [[append]] revives it (clearing the
+   * tombstone after purging any stale pre-delete entries). Idempotent:
+   * duplicate tombstone rows screen identically.
+   */
+  def deleteTenant(spark: SparkSession, path: String, tenantId: String): Unit = {
+    requireMeta(spark, path)
+    import spark.implicits._
+    // tombstone FIRST: a crash after this line already serves correctly
+    // (both the entries scan and the NOT-universe screen against it)
+    Seq(tenantId).toDF("tenant_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+    IndexStore.compactFlat(spark, path, "metrics",
+      _.filter(col("tenant_id") =!= tenantId))
+  }
+
+  /** Deleted-tenant ids the store still screens against. Driver-resident
+    * by design: tenant cardinality is tenants-table-sized (the reference
+    * collects the same list to fan its delete job out, DeleteTenant.java),
+    * orders of magnitude below the catalog. */
+  private def tombstoned(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else spark.read.parquet(p.toString)
+      .select(col("tenant_id")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Drop `cleared` from the tombstone list; the table vanishes when the
+    * last tombstone clears (an absent dir is the cheap common case every
+    * serve probes). */
+  private def clearTombstones(spark: SparkSession, path: String,
+                              cleared: Set[String]): Unit = {
+    val remaining = tombstoned(spark, path).filterNot(cleared)
+    if (remaining.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    } else AtomicSwap.swapTable(spark, path, "tombstones")(df =>
+      df.filter(!col("tenant_id").isin(cleared.toSeq: _*)).coalesce(1)
+        .write.parquet(s"$path/.tombstones.compact"))
+  }
+
+  /** Drop `cleared` (a checkpointed id frame) from `deleted_ids/`; the
+    * table vanishes when the last tombstone clears. */
+  private def clearDeletedIds(spark: SparkSession, path: String,
+                              cleared: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_ids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = spark.read.parquet(p.toString)
+      .join(cleared, IdCols, "left_anti")
+    if (remaining.isEmpty) fs.delete(p, true)
+    else AtomicSwap.swapTable(spark, path, "deleted_ids")(df =>
+      df.join(cleared, IdCols, "left_anti").coalesce(1)
+        .write.parquet(s"$path/.deleted_ids.compact"))
+  }
+
+  /**
+   * S9 — delete ONE metric from the index (the reference's synchronous
+   * `deleteMetric` clears the metric's `metrics_tags_idx` rows alongside
+   * its data, `MetricsServiceImpl.java:1085-1101`). The metric's entries
+   * are scattered across tag-name buckets, so an eager purge would
+   * rewrite the whole entries table per delete; instead the id lands in
+   * `deleted_ids/` — a delete-rate-sized table serving anti-joins
+   * against (broadcast-sized between compactions) — and the physical
+   * purge rides [[compact]]. The `metrics` screen row purges inline so a
+   * re-created metric can register again; [[append]] clears the
+   * tombstone when that happens. Idempotent.
+   */
+  def deleteMetric(spark: SparkSession, path: String, tenantId: String,
+                   mtype: Int, metric: String): Unit = {
+    requireMeta(spark, path)
+    import spark.implicits._
+    Seq((tenantId, mtype, metric)).toDF(IdCols: _*).coalesce(1)
+      .write.mode("append").parquet(s"$path/deleted_ids")
+    IndexStore.compactFlat(spark, path, "metrics",
+      _.filter(!(col("tenant_id") === tenantId &&
+        col("mtype") === mtype && col("metric") === metric)))
+  }
+
+  /** The pending metric-level tombstones, or None when none exist (the
+    * cheap common case — serving plans stay anti-join-free). */
+  private def deletedIds(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_ids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select(IdCols.map(col): _*).distinct())
   }
 
   /** Tag names a query references — these decide which buckets serving
@@ -124,10 +263,21 @@ object TagIndex {
     val ast = TagQueryParser.parse(expr)
     val keys = referencedKeys(ast).toSeq.sorted
     import spark.implicits._
+    // deleted tenants and deleted metric ids screen out of BOTH the
+    // entries scan and the NOT-universe until compaction purges them
+    // ([[deleteTenant]]/[[deleteMetric]]); the static isin pushes to the
+    // parquet scans, the id screen is a broadcast anti-join (delete-rate-
+    // sized), and both vanish from the plan when no deletes are pending
+    val dead = tombstoned(spark, path)
+    val deadIds = deletedIds(spark, path)
+    def live(df: DataFrame): DataFrame = {
+      val t = if (dead.isEmpty) df else df.filter(!col("tenant_id").isin(dead: _*))
+      deadIds.fold(t)(ids => t.join(broadcast(ids), IdCols, "left_anti"))
+    }
     val buckets = keys.toDF("tag_name")
       .select(bucketOf(col("tag_name")).as("bucket"))
       .collect().map(_.getInt(0)).distinct.sorted.toSeq
-    val entries = spark.read.parquet(s"$path/entries")
+    val entries = live(spark.read.parquet(s"$path/entries"))
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("tag_name").isin(keys: _*))
     def pat(p: String): Column = GraftFunctions.filterPattern(col("tag_value"), p)
@@ -160,11 +310,12 @@ object TagIndex {
       max(when(entryPred(leaf), lit(true))).as(name)
     }.toSeq
     val pivoted =
-      if (aggCols.isEmpty) spark.read.parquet(s"$path/metrics").select(IdCols.map(col): _*)
+      if (aggCols.isEmpty)
+        live(spark.read.parquet(s"$path/metrics")).select(IdCols.map(col): _*)
       else {
         val agg = entries.groupBy(IdCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
         if (needUniverse)
-          spark.read.parquet(s"$path/metrics").select(IdCols.map(col): _*)
+          live(spark.read.parquet(s"$path/metrics")).select(IdCols.map(col): _*)
             .join(agg, IdCols, "left")
         else agg
       }
@@ -192,6 +343,17 @@ object TagIndex {
    */
   def compact(spark: SparkSession, path: String): Unit = {
     requireMeta(spark, path)
+    // the physical half of [[deleteTenant]]: tombstoned tenants purge
+    // inside the rewrites this compaction performs anyway, then the
+    // tombstones clear LAST (a crash before the clear leaves the screen
+    // in place over already-purged data — harmless, and the next
+    // compaction finishes the job)
+    val dead = tombstoned(spark, path)
+    val deadIds = deletedIds(spark, path).map(_.localCheckpoint())
+    def purge(df: DataFrame): DataFrame = {
+      val t = if (dead.isEmpty) df else df.filter(!col("tenant_id").isin(dead: _*))
+      deadIds.fold(t)(ids => t.join(broadcast(ids), IdCols, "left_anti"))
+    }
     // pre-swap snapshot, lineage truncated (the swaps below must not
     // recompute this against the post-swap store)
     val indexedIds = spark.read.parquet(s"$path/entries")
@@ -200,9 +362,14 @@ object TagIndex {
       .filter(col("n_tags") > 0)
       .join(indexedIds, IdCols, "left_anti")
       .select(IdCols.map(col): _*).localCheckpoint()
-    IndexStore.compactBucketed(spark, path, "entries")
+    IndexStore.compactBucketed(spark, path, "entries", purge)
     IndexStore.compactFlat(spark, path, "metrics",
-      _.join(orphanIds, IdCols, "left_anti"))
+      df => purge(df).join(orphanIds, IdCols, "left_anti"))
+    if (dead.nonEmpty) clearTombstones(spark, path, dead.toSet)
+    deadIds.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/deleted_ids")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   private def requireMeta(spark: SparkSession, path: String): Unit =

@@ -144,4 +144,141 @@ class TagIndexSpec extends SparkTestBase {
         .toDF("tenant_id", "mtype", "metric", "tags"))
     assert(answers("zone = ap").map(_._3) == Set("m9"))
   }
+
+  // ---- S9 tenant delete (reference jobs/DeleteTenant.java:34-62;
+  // assertions ported from DeleteTenantITest.java:137-290 — data gone,
+  // tag index entries gone, tenant double-delete safe) -----------------
+
+  private def twoTenantCatalog = {
+    val s = spark
+    import s.implicits._
+    catalogDf.unionByName(Seq(
+      ("t2", 0, "m1", Map("type" -> "cpu", "host" -> "z1")),
+      ("t2", 0, "m7", Map("type" -> "mem", "zone" -> "ap")),
+      ("t2", 0, "m8", Map("host" -> "z2"))
+    ).toDF("tenant_id", "mtype", "metric", "tags"))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+
+  test("deleteTenant: O(1) tombstone hides the tenant from serving at once " +
+    "(positive leaves AND the NOT-universe), other tenants keep answering; " +
+    "idempotent; physical purge deferred (DeleteTenantITest analog)") {
+    val s = spark
+    val path = Files.createTempDirectory("graft-tagidx-del").toString
+    TagIndex.write(twoTenantCatalog, path)
+    assert(ids(TagIndex.lookup(s, path, "type = cpu")).exists(_._1 == "t2"))
+    TagIndex.deleteTenant(s, path, "t2")
+    val cpu = ids(TagIndex.lookup(s, path, "type = cpu"))
+    assert(cpu.nonEmpty && !cpu.exists(_._1 == "t2"))
+    assert(cpu == ids(catalogDf.filter(
+      TagQueryParser.compile("type = cpu", col("tags")))
+      .select("tenant_id", "mtype", "metric")))
+    // complement leaves: the id universe must not resurrect the tenant
+    val notZone = ids(TagIndex.lookup(s, path, "NOT zone"))
+    assert(notZone.nonEmpty && !notZone.exists(_._1 == "t2"))
+    // double delete is a no-op (deleteTenantTwiceConcurrently analog)
+    TagIndex.deleteTenant(s, path, "t2")
+    assert(ids(TagIndex.lookup(s, path, "type = cpu")) == cpu)
+    // deferred purge: stale entries still on disk until compaction runs
+    assert(s.read.parquet(s"$path/entries")
+      .filter(col("tenant_id") === "t2").count() > 0)
+    // ...but the replay screen purged inline (re-registration can land)
+    assert(s.read.parquet(s"$path/metrics")
+      .filter(col("tenant_id") === "t2").count() == 0)
+  }
+
+  test("compact is the delete job's physical half: tombstoned entries purge " +
+    "inside the rewrite, the tombstone table clears, answers hold") {
+    val s = spark
+    val path = Files.createTempDirectory("graft-tagidx-delcmp").toString
+    TagIndex.write(twoTenantCatalog, path)
+    TagIndex.deleteTenant(s, path, "t2")
+    val before = Seq("type = cpu", "NOT zone", "host ~ '.*1'")
+      .map(e => e -> ids(TagIndex.lookup(s, path, e)))
+    TagIndex.compact(s, path)
+    before.foreach { case (e, a) =>
+      assert(ids(TagIndex.lookup(s, path, e)) == a, s"expression: $e") }
+    assert(s.read.parquet(s"$path/entries")
+      .filter(col("tenant_id") === "t2").count() == 0, "entries must purge")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")),
+      "tombstones must clear once purged")
+  }
+
+  test("append revives a deleted tenant: stale pre-delete entries purge " +
+    "first, the tombstone clears, and only the new registration serves") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-tagidx-rev").toString
+    TagIndex.write(twoTenantCatalog, path)
+    TagIndex.deleteTenant(s, path, "t2")
+    TagIndex.append(s, path, Seq(
+      ("t2", 0, "m1", Map("type" -> "disk", "rack" -> "r9"))
+    ).toDF("tenant_id", "mtype", "metric", "tags"))
+    // new registration serves...
+    assert(ids(TagIndex.lookup(s, path, "rack = r9")) == Set(("t2", 0, "m1")))
+    // ...the pre-delete tags do NOT (t2/m1 was type=cpu before the delete)
+    assert(!ids(TagIndex.lookup(s, path, "type = cpu")).exists(_._1 == "t2"))
+    // and the other tenant never flinched
+    assert(ids(TagIndex.lookup(s, path, "type = cpu")).nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+  }
+
+  // ---- S9 metric delete (reference MetricsServiceImpl.java:1085-1101
+  // clears the metric's metrics_tags_idx rows synchronously) -----------
+
+  test("deleteMetric: one id leaves serving at once (same-name other-type " +
+    "survives, NOT-universe clean), idempotent; compact purges physically " +
+    "and clears the id tombstone") {
+    val s = spark
+    val path = Files.createTempDirectory("graft-tagidx-delm").toString
+    TagIndex.write(catalogDf, path)
+    TagIndex.deleteMetric(s, path, "t1", 0, "m1")
+    val cpu = ids(TagIndex.lookup(s, path, "type = cpu"))
+    assert(!cpu.contains(("t1", 0, "m1")), "deleted id must not serve")
+    assert(cpu.contains(("t1", 2, "m1")), "same name, other type survives")
+    assert(cpu.contains(("t1", 0, "m2")))
+    // catalogDf has no 'seg' tags: NOT seg = the whole universe — the
+    // complement path must not resurrect the deleted id
+    val notSeg = ids(TagIndex.lookup(s, path, "NOT seg"))
+    assert(!notSeg.contains(("t1", 0, "m1")) && notSeg.contains(("t1", 0, "m2")))
+    TagIndex.deleteMetric(s, path, "t1", 0, "m1") // double delete: no-op
+    assert(ids(TagIndex.lookup(s, path, "type = cpu")) == cpu)
+    // deferred purge until compact
+    assert(s.read.parquet(s"$path/entries")
+      .filter(col("tenant_id") === "t1" && col("mtype") === 0 &&
+        col("metric") === "m1").count() > 0)
+    TagIndex.compact(s, path)
+    assert(ids(TagIndex.lookup(s, path, "type = cpu")) == cpu)
+    assert(s.read.parquet(s"$path/entries")
+      .filter(col("tenant_id") === "t1" && col("mtype") === 0 &&
+        col("metric") === "m1").count() == 0, "entries must purge")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_ids")))
+  }
+
+  test("deleteMetric then re-append WITHOUT compact: the revival purges " +
+    "stale pre-delete entries, clears the id tombstone, and only the new " +
+    "registration serves") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-tagidx-revm").toString
+    TagIndex.write(catalogDf, path)
+    TagIndex.deleteMetric(s, path, "t1", 0, "m2")
+    TagIndex.append(s, path, Seq(
+      ("t1", 0, "m2", Map("type" -> "disk"))
+    ).toDF("tenant_id", "mtype", "metric", "tags"))
+    assert(!ids(TagIndex.lookup(s, path, "type = cpu")).contains(("t1", 0, "m2")),
+      "pre-delete tags must not serve after revival")
+    assert(ids(TagIndex.lookup(s, path, "type = disk")) == Set(("t1", 0, "m2")))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_ids")))
+  }
 }

@@ -441,6 +441,33 @@ object ProbeScale {
         println(f"tagindex_${leaves}%dleaf     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    if (only.isEmpty || only("tagindex_delete")) {
+      // delete lifecycle at catalog n×: the DELETE must stay ~flat (one
+      // tombstone row + a flat metrics rewrite — never an entries pass),
+      // the tombstone-screened lookup must track the clean lookup, and
+      // the post-compact serve must carry the tombstone-free plan
+      val cat2 = (0 until n).map(i => EventsAdapter.catalog(spark, dir)
+          .withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      val p = "target/tmp/probe-tagidx-del"
+      graft.storage.TagIndex.write(
+        cat2.unionByName(cat2.withColumn("tenant_id", lit("beta"))), p)
+      val expr = "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'"
+      var t0 = System.nanoTime()
+      graft.storage.TagIndex.deleteTenant(spark, p, "beta")
+      println(f"tagidx_delete          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.TagIndex.lookup(spark, p, expr)
+        .write.format("noop").mode("overwrite").save()
+      println(f"tagidx_lookup_screened ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.TagIndex.compact(spark, p)
+      println(f"tagidx_compact_purge   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.TagIndex.lookup(spark, p, expr)
+        .write.format("noop").mode("overwrite").save()
+      println(f"tagidx_lookup_clean    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     if (only.isEmpty || only("bm25_compact")) {
       // append waves then compact: work is store-sized (no corpus
       // re-tokenization), and the serve after compaction carries the

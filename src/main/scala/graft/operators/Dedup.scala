@@ -453,9 +453,63 @@ object Dedup {
    * index tier.
    */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    graft.storage.IndexStore.compactBucketed(spark, path, "bands")
+    // the physical half of [[deleteFromNearDupIndex]]: tombstoned docs
+    // purge inside the rewrites this compaction performs anyway; the
+    // tombstones clear LAST (a crash before the clear leaves the screen
+    // over already-purged data — harmless, the next compaction finishes)
+    val dead = deletedDocs(spark, path).map(_.localCheckpoint())
+    def purge(df: DataFrame): DataFrame =
+      dead.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)
     Seq("signatures", "shingles", "sizes").foreach(
-      graft.storage.IndexStore.compactFlat(spark, path, _))
+      graft.storage.IndexStore.compactFlat(spark, path, _, purge))
+    dead.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/deleted_docs")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /**
+   * Takedown / decontamination removal — delete documents from the
+   * stored near-dup index by id (the training-pipeline dual of
+   * [[appendToNearDupIndex]]: content found contaminated or subject to
+   * removal must stop matching immediately). Same deferred-work split
+   * as the tag index's tenant delete: the ids land in a delete-rate-
+   * sized `deleted_docs/` tombstone table, [[nearDupLookup]] screens its
+   * candidate set against it (broadcast anti-join — gone the instant the
+   * tombstone lands), and the physical purge of the doc's rows across
+   * all four tables rides the next [[compactNearDupIndex]] rewrite.
+   * `sizes` — the append path's replay screen / commit marker — purges
+   * inline (one flat 2-column rewrite), so a replayed delete no-ops and
+   * a later re-registration of the id can land; [[appendToNearDupIndex]]
+   * runs the purge-compaction first when a batch revives a deleted id,
+   * so stale pre-delete shingles can never mix into the new text's
+   * Jaccard. Idempotent.
+   */
+  def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                             docIds: DataFrame): Unit = {
+    // only registered ids tombstone (a replayed delete screens to empty
+    // because the sizes purge below already deregistered them)
+    val del = docIds.select(col("doc_id")).distinct()
+      .join(spark.read.parquet(s"$path/sizes").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (!del.isEmpty) {
+      // tombstone FIRST: a crash after this write already serves correctly
+      del.coalesce(1).write.mode("append").parquet(s"$path/deleted_docs")
+      graft.storage.IndexStore.compactFlat(spark, path, "sizes",
+        _.join(del, Seq("doc_id"), "left_anti"))
+    }
+  }
+
+  /** Pending doc tombstones, or None when none exist (the cheap common
+    * case — serving plans stay anti-join-free). */
+  private def deletedDocs(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
   }
 
   /** Fail fast when a caller's parameters disagree with the store's —
@@ -503,6 +557,15 @@ object Dedup {
                            dropMatched: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     requireIndexParams(spark, path, shingleK, bands, rowsPerBand)
+    // revival: a batch re-registering a DELETED id must not land on top
+    // of the id's stale pre-delete rows (serving is duplicate-immune but
+    // not stale-text-immune — old shingles would pollute the new text's
+    // Jaccard). The purge-compaction clears them and the tombstones in
+    // one pass; rare path, amortized across the append schedule.
+    deletedDocs(spark, path).foreach { d =>
+      if (!batch.join(broadcast(d), Seq("doc_id"), "left_semi").isEmpty)
+        compactNearDupIndex(spark, path)
+    }
     // screen first — materialize the decision rows before mutating the store
     val screened = nearDupLookup(spark, path, batch, shingleK, threshold,
       bands, rowsPerBand).localCheckpoint(true)
@@ -562,12 +625,19 @@ object Dedup {
     // 2. candidate generation — the query band set (bands·|queries| rows)
     // BROADCASTS, which both sides the hash join correctly and lets the
     // DPP rule reuse the broadcast to prune the banded store's buckets
-    val cand = spark.read.parquet(s"$path/bands")
+    val candRaw = spark.read.parquet(s"$path/bands")
       .select(col("bucket"), col("band"), col("band_hash"), col("doc_id").as("corpus_id"))
       .join(broadcast(qbands.select(col("bucket"), col("band"), col("band_hash"),
         col("doc_id").as("query_id"))), Seq("bucket", "band", "band_hash"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select("query_id", "corpus_id").distinct()
+    // pending delete tombstones screen the candidate set (broadcast
+    // anti-join, delete-rate-sized) — a deleted doc stops matching the
+    // instant [[deleteFromNearDupIndex]] lands, before any purge runs;
+    // absent tombstones leave the plan untouched
+    val cand = deletedDocs(spark, path).fold(candRaw)(d =>
+      candRaw.join(broadcast(d.select(col("doc_id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti"))
 
     // 3. estimate-prune (unbiased Jaccard estimate from component equality)
     val storedSig = spark.read.parquet(s"$path/signatures")

@@ -19,6 +19,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object ProbeScale {
 
+  private def rmrf(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   private def scaledGauge(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val g = EventsAdapter.gaugePoints(spark, dir)
     (0 until n).map(i => g.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
@@ -119,6 +124,24 @@ object ProbeScale {
       // ≤ limit×series rows, so time tracks the scan, not the shuffle
       MetricsOps.perMetricLimitOrdered(
         scaledGauge(spark, dir, n), graft.model.Order.Desc, 5)
+    }
+    time("per_metric_limit_skew") {
+      // skewed T2 twin: the uniform probe above grows series AND rows
+      // together; here HALF of all rows collapse onto ONE hot metric
+      // (timestamps jittered per replica so the hot series has n× points,
+      // not n× duplicates). WindowGroupLimit's map-side partial pass must
+      // cut the hot key to ≤ limit rows per input partition BEFORE the
+      // rank exchange, so the hot partition never materializes
+      val g = EventsAdapter.gaugePoints(spark, dir)
+      val distinct = (0 until n).map(i =>
+        g.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      val hot = (0 until n).map(i =>
+        g.withColumn("metric", lit("hot"))
+          .withColumn("time", col("time") + lit(i.toLong)))
+        .reduce(_ unionByName _)
+      MetricsOps.perMetricLimitOrdered(
+        distinct.unionByName(hot), graft.model.Order.Desc, 5)
     }
     time("dedup_minhash") {
       Dedup.nearDupPairs(scaledDocs(spark, dir, n), shingleK = 3, threshold = 0.8)
@@ -443,13 +466,14 @@ object ProbeScale {
     }
     if (only.isEmpty || only("tagindex_delete")) {
       // delete lifecycle at catalog n×: the DELETE must stay ~flat (one
-      // tombstone row + a flat metrics rewrite — never an entries pass),
+      // tombstone row, append-only — never an entries or metrics pass),
       // the tombstone-screened lookup must track the clean lookup, and
       // the post-compact serve must carry the tombstone-free plan
       val cat2 = (0 until n).map(i => EventsAdapter.catalog(spark, dir)
           .withColumn("metric", concat(col("metric"), lit(s"_$i"))))
         .reduce(_ unionByName _)
       val p = "target/tmp/probe-tagidx-del"
+      rmrf(spark, p) // a crashed prior run must not leak state into this one
       graft.storage.TagIndex.write(
         cat2.unionByName(cat2.withColumn("tenant_id", lit("beta"))), p)
       val expr = "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'"
@@ -467,6 +491,34 @@ object ProbeScale {
       graft.storage.TagIndex.lookup(spark, p, expr)
         .write.format("noop").mode("overwrite").save()
       println(f"tagidx_lookup_clean    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    if (only.isEmpty || only("neardup_delete")) {
+      // takedown lifecycle at corpus n×: the DELETE's only store-sized
+      // work is the single-column sizes registration screen (a pushed
+      // one-column scan — near-flat, never a shingle/band pass), the
+      // tombstone-screened lookup must track the clean lookup (the screen
+      // is a broadcast anti-join on the candidate set), and the purge
+      // rides the compaction rewrite the store owes anyway
+      val d2 = scaledDocs(spark, dir, n)
+      val p = "target/tmp/probe-nddel"
+      rmrf(spark, p) // a crashed prior run must not leak state into this one
+      Dedup.writeNearDupIndex(d2, p, shingleK = 3)
+      val q = d2.filter(col("doc_id") < 50).localCheckpoint()
+      var t0 = System.nanoTime()
+      Dedup.deleteFromNearDupIndex(spark, p,
+        d2.filter(col("doc_id") % 97 === 0).select("doc_id"))
+      println(f"nddel_delete           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      Dedup.nearDupLookup(spark, p, q, shingleK = 3, threshold = 0.8)
+        .write.format("noop").mode("overwrite").save()
+      println(f"nddel_lookup_screened  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      Dedup.compactNearDupIndex(spark, p)
+      println(f"nddel_compact_purge    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      Dedup.nearDupLookup(spark, p, q, shingleK = 3, threshold = 0.8)
+        .write.format("noop").mode("overwrite").save()
+      println(f"nddel_lookup_clean     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     if (only.isEmpty || only("bm25_compact")) {
       // append waves then compact: work is store-sized (no corpus

@@ -206,6 +206,27 @@ object SparkEntry {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Bump whenever ANY persisted-index on-disk format changes — the
+    * `*_serve` queries trust a store carrying the current version marker
+    * and would otherwise serve a stale layout built by older code. */
+  private val ServeStoreVersion = 1
+
+  /** Build-once gate for the serve-only index twins: the store builds on
+    * the FIRST call per (path, [[ServeStoreVersion]]) — the marker file
+    * lands only after the build completes (commit marker; a crashed
+    * build rebuilds) — and every later call skips straight to serving.
+    * Bench's min-of-3 therefore times the SERVE plan alone, so a serving
+    * regression is visible per-round instead of hiding in build noise. */
+  private def prebuilt(s: SparkSession, path: String)(build: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_serve_v$ServeStoreVersion")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      rmrf(s, path)
+      build
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Shared read-back check for the storage/streaming lifecycle queries:
     * per-metric row count + decimal-exact value sum. */
   private def tierSummary(tier: DataFrame): DataFrame =
@@ -1700,6 +1721,47 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
              |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin
 
+  /** Oracle for neardup_index_delete: the [[NearDupLookupOracle]] pair
+    * set with every tombstoned corpus doc (doc_id % 7 = 0) absent, once
+    * per lifecycle stage — the tombstone-SCREENED serve (pre-purge) and
+    * the post-compaction PURGED serve must answer identically. */
+  private val NearDupDeleteOracle =
+       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 50
+             |            AND b.doc_id <> a.doc_id AND b.doc_id % 7 <> 0 GROUP BY 1, 2),
+             |pairs AS (SELECT query_id, corpus_id,
+             |            round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+             |          FROM inter JOIN sz x ON x.doc_id = query_id
+             |            JOIN sz y ON y.doc_id = corpus_id
+             |          WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8)
+             |SELECT st.stage, p.query_id, p.corpus_id, p.jaccard
+             |FROM pairs p CROSS JOIN (SELECT 'screened' AS stage
+             |                         UNION ALL SELECT 'purged') st""".stripMargin
+
+  /** Oracle for neardup_index_revive: doc 7 was taken down and then
+    * re-registered with doc 55's text — ground truth is the pair set of
+    * the corpus with that text REPLACEMENT applied (never the pre-delete
+    * text: stale shingles surviving the revival would hash-mismatch). */
+  private val NearDupReviveOracle =
+       """WITH corp AS (SELECT d.doc_id,
+             |         CASE WHEN d.doc_id = 7 THEN (SELECT text FROM documents WHERE doc_id = 55)
+             |              ELSE d.text END AS text FROM documents d),
+             |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM corp),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS query_id, b.doc_id AS corpus_id, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id >= 50 AND a.doc_id < 100
+             |            AND b.doc_id <> a.doc_id GROUP BY 1, 2)
+             |SELECT query_id, corpus_id,
+             |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
+             |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
+             |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin
+
   /** Oracle for the SimHash near-dup pair set (dedup_simhash and
     * streaming_neardup share it — the streaming screen discovers the
     * SAME distinct pairs, micro-batch by micro-batch, as the batch
@@ -3000,6 +3062,51 @@ object SparkEntry {
              |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
              |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
              |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin)),
+
+    // ---- LLM: takedown / decontamination REMOVAL on the persisted
+    // near-dup index — tombstone-append-only delete (live-store safe),
+    // served screened at once, physically purged by the next compaction;
+    // both lifecycle stages must answer identically -----------------------
+    ("neardup_index_delete", (s: SparkSession, d: String) => {
+      val path = "target/tmp/neardupdel_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val dd = docs(s, d)
+      Dedup.writeNearDupIndex(dd, path, shingleK = 3)
+      Dedup.deleteFromNearDupIndex(s, path,
+        dd.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      val q = dd.filter(col("doc_id") < 50)
+      // the screened serve materializes BEFORE the compaction swaps files
+      val screened = Dedup.nearDupLookup(s, path, q, shingleK = 3, threshold = 0.8)
+        .withColumn("stage", lit("screened")).localCheckpoint()
+      Dedup.compactNearDupIndex(s, path)
+      val purged = Dedup.nearDupLookup(s, path, q, shingleK = 3, threshold = 0.8)
+        .withColumn("stage", lit("purged"))
+      screened.unionByName(purged)
+        .select(col("stage"), col("query_id"), col("corpus_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+      Some(NearDupDeleteOracle)),
+
+    // ---- LLM: delete-then-revive — a taken-down doc re-registers with
+    // REPLACED text; the revival purge must keep its stale pre-delete
+    // shingles out of every later Jaccard (doc 7's new text := doc 55's,
+    // so the (55, 7, J=1) pair is the planted witness) --------------------
+    ("neardup_index_revive", (s: SparkSession, d: String) => {
+      val path = "target/tmp/nearduprev_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val dd = docs(s, d)
+      Dedup.writeNearDupIndex(dd, path, shingleK = 3)
+      Dedup.deleteFromNearDupIndex(s, path,
+        dd.filter(col("doc_id") === 7).select("doc_id"))
+      Dedup.appendToNearDupIndex(
+        dd.filter(col("doc_id") === 55).withColumn("doc_id", lit(7L)), path,
+        shingleK = 3, threshold = 0.8).collect()
+      Dedup.nearDupLookup(s, path,
+        dd.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+        shingleK = 3, threshold = 0.8)
+        .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+    },
+      Some(NearDupReviveOracle)),
 
     // ---- LLM: Bloom-prefiltered decontamination — the eval set becomes
     // ONE broadcast bitset, the corpus drops non-members map-side, and a
@@ -4670,7 +4777,60 @@ object SparkEntry {
       |              (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rnk
       |            FROM lexsc)""".stripMargin
 
-  private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs
+  /**
+   * Serve-only twins for the four persisted indexes. The lifecycle
+   * queries (`*_stored`, `*_append`, `*_compact`) time build+serve in
+   * one block, so a serving-plan regression can hide inside build noise
+   * between rounds; these twins open a PREBUILT store ([[prebuilt]]
+   * builds on the first call only) and time the fixed serve batch alone
+   * — the per-round bench analog of the `graft.ProbeServe` curves. Same
+   * oracles as their stored twins: the store changes WHEN it is built,
+   * never what it answers.
+   */
+  private lazy val serveDefs: Seq[(String, Q, Option[String])] = Seq(
+    ("tagindex_serve", (s: SparkSession, d: String) => {
+      val base = "target/tmp/srv_tagidx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, base)(graft.storage.TagIndex.write(ea.catalog(s, d), base))
+      graft.storage.TagIndex.lookup(s,
+        base, "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
+        .select("metric")
+    },
+      Some(s"""WITH $CatCte
+              |SELECT metric FROM cat
+              |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
+              |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
+
+    ("bm25_index_serve", (s: SparkSession, d: String) => {
+      val base = "target/tmp/srv_bm25_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, base)(Retrieval.writeBm25Index(docs(s, d), base))
+      Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
+    },
+      Some(s"""WITH $Bm25Cte
+              |SELECT query_id, doc_id,
+              |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+              |       CAST(rnk AS BIGINT) AS rank
+              |FROM lexrank WHERE rnk <= 10""".stripMargin)),
+
+    ("neardup_index_serve", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_neardup_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, path)(Dedup.writeNearDupIndex(docs(s, d), path, shingleK = 3))
+      Dedup.nearDupLookup(s, path, docs(s, d).filter(col("doc_id") < 50),
+        shingleK = 3, threshold = 0.8)
+        .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+    },
+      Some(NearDupLookupOracle)),
+
+    ("knn_ivf_serve", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_ivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      prebuilt(s, path)(Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2))
+      Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some(IvfKmeansOracle))
+  )
+
+  private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs ++ serveDefs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -396,6 +396,10 @@ object Dedup {
    */
   def writeNearDupIndex(docs: DataFrame, path: String, shingleK: Int = 3,
                         bands: Int = 20, rowsPerBand: Int = 3): Unit = {
+    // a REBUILD at a path whose previous store had pending deletes must
+    // not inherit them — leftover tombstones would screen docs present
+    // in the NEW corpus out of every lookup
+    graft.storage.IndexStore.clearSideTables(docs.sparkSession, path, Seq("deleted_docs"))
     writeIndexTables(docs, path, shingleK, bands, rowsPerBand, overwrite = true)
     // build params persist with the store: lookups and appends with
     // mismatched parameters would compute incompatible hashes and
@@ -479,27 +483,30 @@ object Dedup {
    * candidate set against it (broadcast anti-join — gone the instant the
    * tombstone lands), and the physical purge of the doc's rows across
    * all four tables rides the next [[compactNearDupIndex]] rewrite.
-   * `sizes` — the append path's replay screen / commit marker — purges
-   * inline (one flat 2-column rewrite), so a replayed delete no-ops and
-   * a later re-registration of the id can land; [[appendToNearDupIndex]]
-   * runs the purge-compaction first when a batch revives a deleted id,
-   * so stale pre-delete shingles can never mix into the new text's
-   * Jaccard. Idempotent.
+   * Tombstone-append-ONLY (the [[graft.storage.TagIndex.deleteTenant]]
+   * discipline): no table rewrite, no [[graft.storage.AtomicSwap]]
+   * window, so the delete is safe against a LIVE store — a concurrent
+   * lookup sees the pre- or post-delete answer, never a missing path.
+   * The `sizes` replay-screen rows purge at revival time instead:
+   * re-registering a deleted id IS the [[appendToNearDupIndex]] revival
+   * path, which purges the id's stale rows (including its pre-delete
+   * shingles — they must never mix into the new text's Jaccard) before
+   * its replay screen. Idempotent: already-tombstoned ids screen out of
+   * the write, and the serving anti-join distincts regardless.
    */
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                              docIds: DataFrame): Unit = {
-    // only registered ids tombstone (a replayed delete screens to empty
-    // because the sizes purge below already deregistered them)
-    val del = docIds.select(col("doc_id")).distinct()
+    // only registered, not-yet-tombstoned ids land (a replayed delete
+    // screens to empty; an id the store never held has nothing to hide)
+    val registered = docIds.select(col("doc_id")).distinct()
       .join(spark.read.parquet(s"$path/sizes").select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+    val del = deletedDocs(spark, path)
+      .fold(registered)(d => registered.join(broadcast(d), Seq("doc_id"), "left_anti"))
       .localCheckpoint()
-    if (!del.isEmpty) {
-      // tombstone FIRST: a crash after this write already serves correctly
+    if (!del.isEmpty)
+      // the single write IS the delete: a crash after it serves correctly
       del.coalesce(1).write.mode("append").parquet(s"$path/deleted_docs")
-      graft.storage.IndexStore.compactFlat(spark, path, "sizes",
-        _.join(del, Seq("doc_id"), "left_anti"))
-    }
   }
 
   /** Pending doc tombstones, or None when none exist (the cheap common
@@ -510,6 +517,21 @@ object Dedup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
+  }
+
+  /** Drop `cleared` (a checkpointed id frame) from `deleted_docs/`; the
+    * table vanishes when the last tombstone clears (an absent dir is the
+    * cheap common case every serve probes). */
+  private def clearDeletedDocs(spark: org.apache.spark.sql.SparkSession,
+                               path: String, cleared: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = spark.read.parquet(p.toString)
+      .join(cleared, Seq("doc_id"), "left_anti")
+    if (remaining.isEmpty) fs.delete(p, true)
+    else graft.storage.AtomicSwap.swapTable(spark, path, "deleted_docs")(df =>
+      df.join(cleared, Seq("doc_id"), "left_anti").coalesce(1)
+        .write.parquet(s"$path/.deleted_docs.compact"))
   }
 
   /** Fail fast when a caller's parameters disagree with the store's —
@@ -560,11 +582,23 @@ object Dedup {
     // revival: a batch re-registering a DELETED id must not land on top
     // of the id's stale pre-delete rows (serving is duplicate-immune but
     // not stale-text-immune — old shingles would pollute the new text's
-    // Jaccard). The purge-compaction clears them and the tombstones in
-    // one pass; rare path, amortized across the append schedule.
+    // Jaccard). Purge ONLY the revived ids' rows — an anti-join rewrite
+    // per table, like the tag index's revival — not a full purge-
+    // compaction: one revived id must not turn an O(batch) append into
+    // the whole store's maintenance job. Other pending tombstones stay
+    // pending (their purge still rides the next compaction). Crash-safe:
+    // every step before the replay screen below is idempotent.
     deletedDocs(spark, path).foreach { d =>
-      if (!batch.join(broadcast(d), Seq("doc_id"), "left_semi").isEmpty)
-        compactNearDupIndex(spark, path)
+      val revived = batch.select(col("doc_id")).distinct()
+        .join(broadcast(d), Seq("doc_id"), "left_semi").localCheckpoint()
+      if (!revived.isEmpty) {
+        def purge(df: DataFrame): DataFrame =
+          df.join(broadcast(revived), Seq("doc_id"), "left_anti")
+        graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)
+        Seq("signatures", "shingles", "sizes").foreach(
+          graft.storage.IndexStore.compactFlat(spark, path, _, purge))
+        clearDeletedDocs(spark, path, revived)
+      }
     }
     // screen first — materialize the decision rows before mutating the store
     val screened = nearDupLookup(spark, path, batch, shingleK, threshold,

@@ -81,9 +81,35 @@ object IndexStore {
     * nothing extra). */
   def compactBucketed(spark: SparkSession, path: String, table: String,
                       transform: DataFrame => DataFrame = identity): Unit =
-    AtomicSwap.swapTable(spark, path, table)(df =>
-      transform(df).repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$path/.$table.compact"))
+    AtomicSwap.swapTable(spark, path, table) { df =>
+      val out = transform(df)
+      if (out.isEmpty)
+        // a dynamic partitionBy of an EMPTY frame emits no part files at
+        // all (only _SUCCESS), and a table with no schema-bearing footer
+        // fails every subsequent read — bricking the store the moment a
+        // purge drops the last row. Land one empty footer inside a
+        // synthetic partition dir instead: readers infer `bucket` from
+        // the dir name, later bucketed appends nest at the same depth.
+        out.drop("bucket").coalesce(1).write.parquet(s"$path/.$table.compact/bucket=0")
+      else
+        out.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$path/.$table.compact")
+    }
+
+  /** Remove a store's side tables (tombstones / deleted-id dirs) — the
+    * REBUILD hook: [[graft.storage.TagIndex.write]]-style overwrites
+    * replace entries/metrics/meta, but a leftover tombstone dir from the
+    * path's PREVIOUS store would silently screen ids present in the new
+    * catalog out of serving (and a later append would "revive" them by
+    * purging their freshly built rows). Every build-with-overwrite clears
+    * them first. */
+  def clearSideTables(spark: SparkSession, path: String, tables: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
 
   /** Crash-safe compaction of a flat table to a parallelism-sized file
     * set; `transform` hooks the index's repair step (e.g. the orphan

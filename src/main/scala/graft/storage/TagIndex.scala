@@ -48,6 +48,10 @@ object TagIndex {
     * tags map). One explode pass; files ∝ buckets. */
   def write(catalog: DataFrame, path: String): Unit = {
     val spark = catalog.sparkSession
+    // a REBUILD at a path whose previous store had pending deletes must
+    // not inherit them: leftover tombstones would screen tenants/ids
+    // present in the NEW catalog out of serving
+    IndexStore.clearSideTables(spark, path, Seq("tombstones", "deleted_ids"))
     IndexStore.writeBucketed(catalog
       .select(col("tenant_id"), col("mtype"), col("metric"),
         explode(col("tags")).as(Seq("tag_name", "tag_value")))
@@ -77,33 +81,36 @@ object TagIndex {
     // Crash-ordered: every step before the screen write is idempotent,
     // so a replayed batch redoes the revival and still lands.
     val dead = tombstoned(spark, path)
-    if (dead.nonEmpty) {
-      val revived = catalogBatch.select(col("tenant_id")).distinct()
+    val revived =
+      if (dead.isEmpty) Set.empty[String]
+      else catalogBatch.select(col("tenant_id")).distinct()
         .filter(col("tenant_id").isin(dead: _*))
         .collect().map(_.getString(0)).toSet
-      if (revived.nonEmpty) {
-        val rv = revived.toSeq.sorted
-        IndexStore.compactBucketed(spark, path, "entries",
-          _.filter(!col("tenant_id").isin(rv: _*)))
-        IndexStore.compactFlat(spark, path, "metrics",
-          _.filter(!col("tenant_id").isin(rv: _*)))
-        clearTombstones(spark, path, revived)
-      }
-    }
     // same revival contract for metric-level tombstones: a batch
     // re-registering a deleted id purges its stale entries and drops it
     // from deleted_ids BEFORE the screened append (crash-idempotent for
-    // the same reason — nothing of the batch lands until the end)
-    deletedIds(spark, path).foreach { del =>
-      val revivedIds = catalogBatch.select(IdCols.map(col): _*).distinct()
+    // the same reason — nothing of the batch lands until the end).
+    // Both revival kinds fold into ONE entries + ONE metrics rewrite —
+    // a batch reviving a tenant AND an id must not pay the (whole-table)
+    // rewrite twice.
+    val revivedIds = deletedIds(spark, path).map { del =>
+      catalogBatch.select(IdCols.map(col): _*).distinct()
         .join(broadcast(del), IdCols, "left_semi").localCheckpoint()
-      if (!revivedIds.isEmpty) {
-        IndexStore.compactBucketed(spark, path, "entries",
-          _.join(broadcast(revivedIds), IdCols, "left_anti"))
-        IndexStore.compactFlat(spark, path, "metrics",
-          _.join(broadcast(revivedIds), IdCols, "left_anti"))
-        clearDeletedIds(spark, path, revivedIds)
+    }.filter(!_.isEmpty)
+    if (revived.nonEmpty || revivedIds.nonEmpty) {
+      val rv = revived.toSeq.sorted
+      def purgeRevived(df: DataFrame): DataFrame = {
+        val t = if (rv.isEmpty) df else df.filter(!col("tenant_id").isin(rv: _*))
+        revivedIds.fold(t)(ids => t.join(broadcast(ids), IdCols, "left_anti"))
       }
+      IndexStore.compactBucketed(spark, path, "entries", purgeRevived)
+      // the metrics purge here is load-bearing, not cosmetic: deletes are
+      // tombstone-APPEND-only (see [[deleteTenant]]), so the revived ids'
+      // pre-delete screen rows are still registered — without this purge
+      // the replay screen below would anti-join the revival away forever
+      IndexStore.compactFlat(spark, path, "metrics", purgeRevived)
+      if (revived.nonEmpty) clearTombstones(spark, path, revived)
+      revivedIds.foreach(clearDeletedIds(spark, path, _))
     }
     // localCheckpoint BEFORE any write: the entries append below must not
     // recompute the anti-join against the post-append metrics listing
@@ -128,21 +135,24 @@ object TagIndex {
    * lands, while the physical purge of its bucket-scattered entries
    * rides the next [[compact]] rewrite (removing them there costs
    * nothing extra; an eager purge would be a full index rewrite per
-   * delete). The `metrics` replay screen purges inline — it is a flat
-   * catalog-row-sized rewrite — so a later re-registration of the same
-   * tenant passes the screen, and [[append]] revives it (clearing the
-   * tombstone after purging any stale pre-delete entries). Idempotent:
-   * duplicate tombstone rows screen identically.
+   * delete). The delete is tombstone-append-ONLY — no table rewrite, no
+   * [[AtomicSwap]] window — so it is safe to run against a LIVE store
+   * (a concurrent lookup sees either the pre- or post-delete answer,
+   * never a missing path; the compaction jobs remain the only operations
+   * that need quiesced serving). The `metrics` replay-screen rows purge
+   * at revival time instead: a later re-registration of the tenant is by
+   * definition the [[append]] revival path, which purges the stale
+   * screen rows before its anti-join. Idempotent: duplicate tombstone
+   * rows screen identically.
    */
   def deleteTenant(spark: SparkSession, path: String, tenantId: String): Unit = {
     requireMeta(spark, path)
     import spark.implicits._
-    // tombstone FIRST: a crash after this line already serves correctly
-    // (both the entries scan and the NOT-universe screen against it)
+    // the single write IS the delete: a crash after this line already
+    // serves correctly (the entries scan, the metrics universe and the
+    // NOT-universe all screen against it)
     Seq(tenantId).toDF("tenant_id").coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
-    IndexStore.compactFlat(spark, path, "metrics",
-      _.filter(col("tenant_id") =!= tenantId))
   }
 
   /** Deleted-tenant ids the store still screens against. Driver-resident
@@ -194,9 +204,11 @@ object TagIndex {
    * rewrite the whole entries table per delete; instead the id lands in
    * `deleted_ids/` — a delete-rate-sized table serving anti-joins
    * against (broadcast-sized between compactions) — and the physical
-   * purge rides [[compact]]. The `metrics` screen row purges inline so a
-   * re-created metric can register again; [[append]] clears the
-   * tombstone when that happens. Idempotent.
+   * purge rides [[compact]]. Tombstone-append-ONLY, like
+   * [[deleteTenant]]: live-store-safe, no swap window; the `metrics`
+   * screen row purges at revival time ([[append]]'s revival path runs
+   * before its replay screen, so a re-created metric registers again).
+   * Idempotent.
    */
   def deleteMetric(spark: SparkSession, path: String, tenantId: String,
                    mtype: Int, metric: String): Unit = {
@@ -204,9 +216,6 @@ object TagIndex {
     import spark.implicits._
     Seq((tenantId, mtype, metric)).toDF(IdCols: _*).coalesce(1)
       .write.mode("append").parquet(s"$path/deleted_ids")
-    IndexStore.compactFlat(spark, path, "metrics",
-      _.filter(!(col("tenant_id") === tenantId &&
-        col("mtype") === mtype && col("metric") === metric)))
   }
 
   /** The pending metric-level tombstones, or None when none exist (the

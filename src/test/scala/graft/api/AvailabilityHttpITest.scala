@@ -98,6 +98,24 @@ class AvailabilityHttpITest extends SparkTestBase with HttpSpecSupport {
     }
   }
 
+  // AvailabilityITest.groovy:81-87 (shouldStoreLargePayloadSize +
+  // RESTTest.checkLargePayload:158-166): one ingest POST larger than the
+  // reference's write-batch size (BatchStatementTransformer
+  // .DEFAULT_BATCH_SIZE = 10) must land whole — and, beyond the
+  // reference's 200-only check, every point must fetch back
+  test("a payload larger than one write batch lands whole") {
+    val t = Some("t-av-large")
+    val codes = Seq("up", "down", "unknown", "admin")
+    val points = (0 to 20).map(i =>
+      s"""{"timestamp":$i,"value":"${codes(i % codes.length)}"}""").mkString(",")
+    assert(call("POST", "/availability/test/raw", t, Some(s"[$points]"))._1 == 204)
+    val (st, body) = call("GET", "/availability/test/raw?start=0&end=100&order=asc", t)
+    assert(st == 200, body)
+    val got = parse(body).map(point)
+    assert(got.size == 21, s"all 21 points must land: $body")
+    assert(got == (0 to 20).map(i => (i.toLong, codes(i % codes.length))), body)
+  }
+
   // AvailabilityITest.groovy:134-184
   test("tagged availability points fetch back DESC with their tags and text " +
     "codes") {

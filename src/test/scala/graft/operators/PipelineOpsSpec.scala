@@ -300,6 +300,103 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(admitted == Set(1L, 21L), s"near-dup 20 must be rejected, got $admitted")
   }
 
+  // ---- takedown / decontamination-removal lifecycle (deleteFromNearDupIndex,
+  // the deferred-delete split of the reference's jobs/DeleteTenant.java) ----
+
+  test("index delete: tombstone-append-only, the doc stops matching at once, " +
+    "double/unregistered deletes no-op, compact purges physically and clears") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val nearDup2 = (1 to 40).map(i => if (i == 1) "ALSO" else s"w$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-nddel").toString
+    docsDf((1L, base), (10L, nearDup), (11L, nearDup2)).write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") >= 10), path, shingleK = 3)
+    def hits() = Dedup.nearDupLookup(spark, path, corpus.filter(col("doc_id") === 1L),
+      shingleK = 3, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits() == Set((1L, 10L), (1L, 11L)))
+    Dedup.deleteFromNearDupIndex(spark, path, Seq(10L).toDF("doc_id"))
+    assert(hits() == Set((1L, 11L)), "tombstoned doc must stop matching at once")
+    // the delete is append-only: every payload table still holds the doc
+    // (live-store safe — no swap window), purge is compaction's job
+    assert(spark.read.parquet(s"$path/sizes").filter(col("doc_id") === 10L).count() == 1)
+    assert(spark.read.parquet(s"$path/shingles").filter(col("doc_id") === 10L).count() > 0)
+    // replayed and never-registered deletes are no-ops
+    Dedup.deleteFromNearDupIndex(spark, path, Seq(10L).toDF("doc_id"))
+    Dedup.deleteFromNearDupIndex(spark, path, Seq(999L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$path/deleted_docs").count() == 1)
+    assert(hits() == Set((1L, 11L)))
+    // compact is the delete's physical half
+    Dedup.compactNearDupIndex(spark, path)
+    assert(hits() == Set((1L, 11L)), "answers must not move across the purge")
+    Seq("bands", "signatures", "shingles", "sizes").foreach { t =>
+      assert(spark.read.parquet(s"$path/$t").filter(col("doc_id") === 10L).count() == 0,
+        s"$t must purge the tombstoned doc")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_docs")),
+      "tombstones must clear once purged")
+    // after the purge the id is deregistered — a re-delete is a no-op
+    Dedup.deleteFromNearDupIndex(spark, path, Seq(10L).toDF("doc_id"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_docs")))
+  }
+
+  test("index delete then re-append WITHOUT compact: the revival purges ONLY " +
+    "the revived id's stale rows (old text must NEVER match again), other " +
+    "tombstones stay pending") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+    val distinct2 = (200 to 240).map(i => s"y$i").mkString(" ")
+    val newText = (300 to 340).map(i => s"q$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-ndrev").toString
+    docsDf((1L, base), (2L, distinct), (3L, distinct2)).write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus, path, shingleK = 3)
+    Dedup.deleteFromNearDupIndex(spark, path, Seq(1L, 3L).toDF("doc_id"))
+    // doc 1 re-registers with NEW text — the stale-shingle hazard: if its
+    // pre-delete rows survived, a query of the OLD text would still match
+    Dedup.appendToNearDupIndex(docsDf((1L, newText)), path,
+      shingleK = 3, threshold = 0.5).collect()
+    def lookup(text: String) =
+      Dedup.nearDupLookup(spark, path, docsDf((50L, text)),
+        shingleK = 3, threshold = 0.5).collect()
+        .map(r => (r.getLong(1), r.getAs[Double]("jaccard"))).toSet
+    assert(lookup(base).isEmpty, "the revived id's OLD text must not match")
+    assert(lookup(newText) == Set((1L, 1.0)), "the NEW text serves at J=1")
+    // the revival must not clear the UNRELATED pending tombstone (doc 3)
+    assert(spark.read.parquet(s"$path/deleted_docs")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(lookup(distinct2).isEmpty, "doc 3 stays screened")
+    assert(lookup(distinct) == Set((2L, 1.0)), "undeleted docs never flinch")
+  }
+
+  test("rebuilding a near-dup store at a path with pending tombstones must " +
+    "not inherit them") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft-ndreb").toString
+    docsDf((1L, base), (2L, nearDup)).write.parquet(s"$path/corpus")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    Dedup.writeNearDupIndex(corpus, path, shingleK = 3)
+    Dedup.deleteFromNearDupIndex(spark, path, Seq(1L).toDF("doc_id"))
+    // overwrite-rebuild at the same path — prior deletes are history
+    Dedup.writeNearDupIndex(corpus, path, shingleK = 3)
+    val got = Dedup.nearDupLookup(spark, path, docsDf((50L, base)),
+      shingleK = 3, threshold = 0.5).collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L, 2L), s"rebuilt store must serve its whole corpus, got $got")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_docs")))
+  }
+
   test("near-dup clusters: components collapse to min doc id, chains converge") {
     val s = spark
     import s.implicits._

@@ -86,4 +86,37 @@ class IndexStoreSpec extends SparkTestBase {
       .map(_.getName).filter(n => n.startsWith(".ft"))
     assert(leftovers.isEmpty, s"swap litter: ${leftovers.mkString(",")}")
   }
+
+  test("a purge that drops EVERY row must not brick the store: the table " +
+    "stays readable (schema intact) and a later bucketed append lands") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("emptyc")
+    IndexStore.writeBucketed((0 until 20).map(i => (i.toLong, i % 4)).toDF("id", "bucket"),
+      path, "t", overwrite = true)
+    IndexStore.compactBucketed(spark, path, "t", _.filter(lit(false)))
+    val emptied = spark.read.parquet(s"$path/t")
+    assert(emptied.count() == 0)
+    assert(emptied.columns.toSet == Set("id", "bucket"),
+      s"schema must survive the empty rewrite: ${emptied.columns.mkString(",")}")
+    // the store keeps working: appends land at the same partition depth
+    IndexStore.writeBucketed(Seq((100L, 2), (101L, 3)).toDF("id", "bucket"),
+      path, "t", overwrite = false)
+    assert(spark.read.parquet(s"$path/t").collect().map(_.getLong(0)).toSet ==
+      Set(100L, 101L))
+    // same guard for the flat rewrite (Spark writes a schema-bearing
+    // empty file there by itself — pinned so a regression is loud)
+    (0 until 5).map(_.toLong).toDF("id").write.parquet(s"$path/f")
+    IndexStore.compactFlat(spark, path, "f", _.filter(lit(false)))
+    assert(spark.read.parquet(s"$path/f").count() == 0)
+  }
+
+  test("clearSideTables removes the named dirs and tolerates absent ones") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("side")
+    Seq("x").toDF("tenant_id").write.parquet(s"$path/tombstones")
+    IndexStore.clearSideTables(spark, path, Seq("tombstones", "not_there"))
+    assert(!new java.io.File(s"$path/tombstones").exists())
+  }
 }

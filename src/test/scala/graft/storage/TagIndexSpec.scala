@@ -181,12 +181,54 @@ class TagIndexSpec extends SparkTestBase {
     // double delete is a no-op (deleteTenantTwiceConcurrently analog)
     TagIndex.deleteTenant(s, path, "t2")
     assert(ids(TagIndex.lookup(s, path, "type = cpu")) == cpu)
-    // deferred purge: stale entries still on disk until compaction runs
+    // deferred purge: the delete is tombstone-append-ONLY (live-store
+    // safe — no swap window), so entries AND metrics screen rows stay on
+    // disk until a revival or compaction purges them
     assert(s.read.parquet(s"$path/entries")
       .filter(col("tenant_id") === "t2").count() > 0)
-    // ...but the replay screen purged inline (re-registration can land)
     assert(s.read.parquet(s"$path/metrics")
-      .filter(col("tenant_id") === "t2").count() == 0)
+      .filter(col("tenant_id") === "t2").count() > 0)
+  }
+
+  test("a rebuild at a path with pending deletes must not inherit the " +
+    "tombstones: the NEW store serves everything its catalog holds") {
+    val s = spark
+    val path = Files.createTempDirectory("graft-tagidx-reb2").toString
+    TagIndex.write(twoTenantCatalog, path)
+    TagIndex.deleteTenant(s, path, "t2")
+    TagIndex.deleteMetric(s, path, "t1", 0, "m1")
+    // overwrite-rebuild at the same path — prior deletes are history
+    TagIndex.write(twoTenantCatalog, path)
+    val cpu = ids(TagIndex.lookup(s, path, "type = cpu"))
+    assert(cpu.exists(_._1 == "t2"), "rebuilt store must serve the new catalog's t2")
+    assert(cpu.contains(("t1", 0, "m1")), "rebuilt store must serve the re-registered id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_ids")))
+  }
+
+  test("one batch reviving a deleted tenant AND a deleted metric purges in " +
+    "ONE entries rewrite, and both tombstone kinds clear") {
+    val s = spark
+    import s.implicits._
+    val path = Files.createTempDirectory("graft-tagidx-rev2").toString
+    TagIndex.write(twoTenantCatalog, path)
+    TagIndex.deleteTenant(s, path, "t2")
+    TagIndex.deleteMetric(s, path, "t1", 0, "m2")
+    TagIndex.append(s, path, Seq(
+      ("t2", 0, "m1", Map("type" -> "disk", "rack" -> "r9")),
+      ("t1", 0, "m2", Map("type" -> "disk"))
+    ).toDF("tenant_id", "mtype", "metric", "tags"))
+    assert(ids(TagIndex.lookup(s, path, "type = disk")) ==
+      Set(("t2", 0, "m1"), ("t1", 0, "m2")))
+    // neither revival serves its pre-delete tags
+    val cpu = ids(TagIndex.lookup(s, path, "type = cpu"))
+    assert(!cpu.exists(_._1 == "t2") && !cpu.contains(("t1", 0, "m2")))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_ids")))
   }
 
   test("compact is the delete job's physical half: tombstoned entries purge " +

@@ -1762,6 +1762,95 @@ object SparkEntry {
              |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
              |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin
 
+  /** Oracle for knn_ivf_delete: the trained-IVF ranking with the
+    * tombstoned vectors (vec_id % 7 = 0) excluded from the scored
+    * candidates — the model itself trained on the FULL corpus (deletes
+    * never retrain) — once per lifecycle stage (screened ≡ purged). */
+  private lazy val IvfDeleteOracle = KmeansAssignCte + ",\n" +
+       """q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
+             |       FROM q CROSS JOIN c2n s),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN af c ON c.cell = p.cell
+             |       WHERE c.vec_id <> p.query_id AND c.vec_id % 7 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT st.stage, r.query_id, r.neighbor_id, round(r.cosine, 6) AS cosine
+             |FROM r CROSS JOIN (SELECT 'screened' AS stage
+             |                   UNION ALL SELECT 'purged') st
+             |WHERE rnk <= 10""".stripMargin
+
+  /** Oracle for bm25_index_delete — the two stages differ ON PURPOSE:
+    * the tombstone-SCREENED serve ranks the surviving docs under the
+    * build-time ranking stats (full-corpus df/n_docs/avgdl — the
+    * standard takedown semantics: immediate result removal, deferred
+    * stats refresh), while the post-compaction serve equals a FRESH
+    * REBUILD over the remaining corpus (compaction rebuilds both stats
+    * tables from the purged base tables). */
+  private val Bm25DeleteOracle =
+    """WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, token FROM (VALUES
+      |         (0, 'spark'), (0, 'join'), (1, 'window'), (1, 'sort'),
+      |         (1, 'merge'), (2, 'hash'), (2, 'scan')) t(query_id, token)),
+      |tset AS (SELECT DISTINCT token FROM qt),
+      |toks AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+      |           unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum
+      |       FROM (SELECT len(string_split(lower(text), ' ')) AS dl FROM documents)),
+      |st2 AS (SELECT n_docs, CAST(dl_sum AS DOUBLE) / n_docs AS avgdl FROM st),
+      |tfreq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+      |            CAST(max(dl) AS BIGINT) AS dl
+      |          FROM toks JOIN tset USING (token) GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfreq GROUP BY token),
+      |part AS (SELECT t.doc_id, t.token,
+      |           CAST(round(
+      |             ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |                / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |             * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |                / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                   * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |                      + (CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE)) / avgdl)))
+      |             * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS u
+      |         FROM tfreq t JOIN dfreq USING (token) CROSS JOIN st2),
+      |sc_s AS (SELECT q.query_id, p.doc_id, CAST(sum(u) AS BIGINT) AS su
+      |         FROM part p JOIN qt q USING (token)
+      |         WHERE p.doc_id % 7 <> 0 GROUP BY 1, 2),
+      |r_s AS (SELECT 'screened' AS stage, query_id, doc_id, su, row_number() OVER
+      |          (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rnk FROM sc_s),
+      |toks2 AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+      |            unnest(string_split(lower(text), ' ')) AS token
+      |          FROM documents WHERE doc_id % 7 <> 0),
+      |stb AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum
+      |        FROM (SELECT len(string_split(lower(text), ' ')) AS dl FROM documents
+      |              WHERE doc_id % 7 <> 0)),
+      |st2b AS (SELECT n_docs, CAST(dl_sum AS DOUBLE) / n_docs AS avgdl FROM stb),
+      |tfreq2 AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+      |             CAST(max(dl) AS BIGINT) AS dl
+      |           FROM toks2 JOIN tset USING (token) GROUP BY doc_id, token),
+      |dfreq2 AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfreq2 GROUP BY token),
+      |part2 AS (SELECT t.doc_id, t.token,
+      |            CAST(round(
+      |              ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |                 / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |              * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |                 / (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |                    * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |                       + (CAST(0.75 AS DOUBLE) * CAST(t.dl AS DOUBLE)) / avgdl)))
+      |              * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS u
+      |          FROM tfreq2 t JOIN dfreq2 USING (token) CROSS JOIN st2b),
+      |sc_p AS (SELECT q.query_id, p.doc_id, CAST(sum(u) AS BIGINT) AS su
+      |         FROM part2 p JOIN qt q USING (token) GROUP BY 1, 2),
+      |r_p AS (SELECT 'purged' AS stage, query_id, doc_id, su, row_number() OVER
+      |          (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rnk FROM sc_p)
+      |SELECT stage, query_id, doc_id,
+      |       round(CAST(su AS DOUBLE) / 1000000.0, 6) AS score,
+      |       CAST(rnk AS BIGINT) AS rank
+      |FROM (SELECT * FROM r_s UNION ALL SELECT * FROM r_p) WHERE rnk <= 10""".stripMargin
+
   /** Oracle for the SimHash near-dup pair set (dedup_simhash and
     * streaming_neardup share it — the streaming screen discovers the
     * SAME distinct pairs, micro-batch by micro-batch, as the batch
@@ -3107,6 +3196,52 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
     },
       Some(NearDupReviveOracle)),
+
+    // ---- LLM: takedown on the persisted BM25 index — tombstone-only
+    // delete serves screened at once UNDER BUILD-TIME RANKING STATS (the
+    // standard takedown semantics), then compaction purges the rows and
+    // REBUILDS df/avgdl/n_docs, after which scores equal a fresh rebuild
+    // over the surviving corpus; the oracle pins both stages ------------
+    ("bm25_index_delete", (s: SparkSession, d: String) => {
+      val base = "target/tmp/bm25del_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val dd = docs(s, d)
+      Retrieval.writeBm25Index(dd, base)
+      Retrieval.deleteFromBm25Index(s, base,
+        dd.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      val screened = Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
+        .withColumn("stage", lit("screened")).localCheckpoint()
+      Retrieval.compactBm25Index(s, base)
+      val purged = Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
+        .withColumn("stage", lit("purged"))
+      screened.unionByName(purged)
+        .select("stage", "query_id", "doc_id", "score", "rank")
+    },
+      Some(Bm25DeleteOracle)),
+
+    // ---- LLM: takedown on the persisted IVF index — tombstoned vectors
+    // stop ranking at once (screened serve), the cell-scattered rows
+    // purge in compactIvfIndex's rewrite, and the centroid model never
+    // retrains on deletes (the IVF operating contract); both stages must
+    // answer identically --------------------------------------------------
+    ("knn_ivf_delete", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfdel_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"))
+      val q = e.filter(col("vec_id") < 10)
+      val screened = Similarity.ivfStoredTopK(s, path, q, 10, nprobe = 2)
+        .withColumn("stage", lit("screened")).localCheckpoint()
+      Similarity.compactIvfIndex(s, path)
+      val purged = Similarity.ivfStoredTopK(s, path, q, 10, nprobe = 2)
+        .withColumn("stage", lit("purged"))
+      screened.unionByName(purged)
+        .select(col("stage"), col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+      Some(IvfDeleteOracle)),
 
     // ---- LLM: Bloom-prefiltered decontamination — the eval set becomes
     // ONE broadcast bitset, the corpus drops non-members map-side, and a

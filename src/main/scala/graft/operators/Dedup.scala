@@ -467,10 +467,7 @@ object Dedup {
     graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)
     Seq("signatures", "shingles", "sizes").foreach(
       graft.storage.IndexStore.compactFlat(spark, path, _, purge))
-    dead.foreach { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/deleted_docs")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    dead.foreach(_ => graft.storage.IndexStore.dropDeletes(spark, path, "deleted_docs"))
   }
 
   /**
@@ -495,44 +492,15 @@ object Dedup {
    * the write, and the serving anti-join distincts regardless.
    */
   def deleteFromNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                             docIds: DataFrame): Unit = {
-    // only registered, not-yet-tombstoned ids land (a replayed delete
-    // screens to empty; an id the store never held has nothing to hide)
-    val registered = docIds.select(col("doc_id")).distinct()
-      .join(spark.read.parquet(s"$path/sizes").select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-    val del = deletedDocs(spark, path)
-      .fold(registered)(d => registered.join(broadcast(d), Seq("doc_id"), "left_anti"))
-      .localCheckpoint()
-    if (!del.isEmpty)
-      // the single write IS the delete: a crash after it serves correctly
-      del.coalesce(1).write.mode("append").parquet(s"$path/deleted_docs")
-  }
+                             docIds: DataFrame): Unit =
+    graft.storage.IndexStore.appendDeletes(spark, path, "deleted_docs",
+      docIds, registry = "sizes", Seq("doc_id"))
 
   /** Pending doc tombstones, or None when none exist (the cheap common
     * case — serving plans stay anti-join-free). */
   private def deletedDocs(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_docs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).select(col("doc_id")).distinct())
-  }
-
-  /** Drop `cleared` (a checkpointed id frame) from `deleted_docs/`; the
-    * table vanishes when the last tombstone clears (an absent dir is the
-    * cheap common case every serve probes). */
-  private def clearDeletedDocs(spark: org.apache.spark.sql.SparkSession,
-                               path: String, cleared: DataFrame): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_docs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val remaining = spark.read.parquet(p.toString)
-      .join(cleared, Seq("doc_id"), "left_anti")
-    if (remaining.isEmpty) fs.delete(p, true)
-    else graft.storage.AtomicSwap.swapTable(spark, path, "deleted_docs")(df =>
-      df.join(cleared, Seq("doc_id"), "left_anti").coalesce(1)
-        .write.parquet(s"$path/.deleted_docs.compact"))
-  }
+                          path: String): Option[DataFrame] =
+    graft.storage.IndexStore.pendingDeletes(spark, path, "deleted_docs", Seq("doc_id"))
 
   /** Fail fast when a caller's parameters disagree with the store's —
     * mismatched shingleK/bands/rowsPerBand would hash into nothing. */
@@ -597,7 +565,8 @@ object Dedup {
         graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)
         Seq("signatures", "shingles", "sizes").foreach(
           graft.storage.IndexStore.compactFlat(spark, path, _, purge))
-        clearDeletedDocs(spark, path, revived)
+        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_docs",
+          revived, Seq("doc_id"))
       }
     }
     // screen first — materialize the decision rows before mutating the store

@@ -129,6 +129,9 @@ object Retrieval {
    */
   def writeBm25Index(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
+    // a REBUILD at a path whose previous store had pending deletes must
+    // not inherit them ([[graft.storage.IndexStore.clearSideTables]])
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_docs"))
     val tf = postingsFor(docs)
       .withColumn("bucket", tokenBucket(col("token"))).cache()
     tf.count() // materialize eagerly — two writers + df read it
@@ -178,6 +181,21 @@ object Retrieval {
   def appendToBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                         batch: DataFrame): Unit = {
     graft.storage.IndexStore.requireMeta(spark, path, Seq("buckets" -> IndexBuckets))
+    // revival: a batch re-registering a DELETED doc purges the id's stale
+    // rows first — postings/docstats by anti-join, then the two stats
+    // tables REBUILD from the repaired base tables (they are corpus
+    // aggregates; a targeted decrement would drift on any crash replay) —
+    // and only then does the tombstone clear, so a crash at any point
+    // replays idempotently. Other pending tombstones stay pending.
+    deletedDocs(spark, path).foreach { d =>
+      val revived = batch.select(col("doc_id")).distinct()
+        .join(broadcast(d), Seq("doc_id"), "left_semi").localCheckpoint()
+      if (!revived.isEmpty) {
+        purgeDocs(spark, path, revived)
+        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_docs",
+          revived, Seq("doc_id"))
+      }
+    }
     val fresh = graft.storage.IndexStore.screenFresh(batch, path, "docstats", Seq("doc_id"))
     // localCheckpoint, NOT cache: it must (a) resolve the anti-join against
     // the PRE-append store, and (b) survive the docstats append below —
@@ -269,18 +287,79 @@ object Retrieval {
       .filter(col("dl") > 0)
       .join(postedIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id")).localCheckpoint()
-    IndexStore.compactBucketed(spark, path, "postings")
-    IndexStore.compactBucketed(spark, path, "tokenstats")
+    // the physical half of [[deleteFromBm25Index]]: tombstoned docs purge
+    // inside the rewrites this compaction performs anyway — and because
+    // the two stats tables rebuild from the purged base tables below,
+    // post-compaction scores equal a FRESH REBUILD over the surviving
+    // corpus (df/avgdl/n_docs all shed the deleted docs here, never
+    // before — the documented stale-stats-until-compaction semantics)
+    val dead = deletedDocs(spark, path).map(_.localCheckpoint())
+    def purge(df: DataFrame): DataFrame =
+      dead.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
+    IndexStore.compactBucketed(spark, path, "postings", purge)
     IndexStore.compactFlat(spark, path, "docstats",
-      _.join(orphanIds, Seq("doc_id"), "left_anti"))
-    // corpusstats REBUILDS from the repaired docstats — the invariant is
-    // corpusstats ≡ aggregate(docstats), which also heals the other
-    // crash window (postings landed, corpusstats write never ran)
+      df => purge(df).join(orphanIds, Seq("doc_id"), "left_anti"))
+    rebuildStats(spark, path)
+    dead.foreach(_ => IndexStore.dropDeletes(spark, path, "deleted_docs"))
+  }
+
+  /** Rebuild the two derived stats tables from their (purged/repaired)
+    * base tables, behind the crash-safe swap. The invariants are
+    * tokenstats ≡ aggregate(postings) and corpusstats ≡
+    * aggregate(docstats) — rebuilding (instead of compacting the stored
+    * copies) heals BOTH append crash windows (tokenstats merged but
+    * postings never landed; postings landed but corpusstats write never
+    * ran) and is what makes a tombstone purge shift every score exactly
+    * as a fresh rebuild would. Cost is one aggregate over each base
+    * table — the same magnitude as the rewrites compaction already pays. */
+  private def rebuildStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    graft.storage.IndexStore.replaceBucketed(spark, path, "tokenstats",
+      spark.read.parquet(s"$path/postings")
+        .groupBy(col("token"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("df")))
     graft.storage.AtomicSwap.swapTable(spark, path, "corpusstats")(_ =>
       spark.read.parquet(s"$path/docstats")
         .agg(count(lit(1)).cast("long").as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
         .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))
+  }
+
+  /** Purge `ids`' rows from the two base tables and restore the stats
+    * invariants — the revival path's targeted physical delete. */
+  private def purgeDocs(spark: org.apache.spark.sql.SparkSession, path: String,
+                        ids: DataFrame): Unit = {
+    def purge(df: DataFrame): DataFrame =
+      df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    graft.storage.IndexStore.compactBucketed(spark, path, "postings", purge)
+    graft.storage.IndexStore.compactFlat(spark, path, "docstats", purge)
+    rebuildStats(spark, path)
+  }
+
+  /** Pending doc tombstones, or None when none exist (the cheap common
+    * case — serving plans stay anti-join-free). */
+  private def deletedDocs(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[DataFrame] =
+    graft.storage.IndexStore.pendingDeletes(spark, path, "deleted_docs", Seq("doc_id"))
+
+  /**
+   * Takedown / decontamination removal from the stored BM25 index — the
+   * retrieval dual of [[graft.operators.Dedup.deleteFromNearDupIndex]]:
+   * a removed document must stop being SERVED immediately.
+   * Tombstone-append-only (no table rewrite, no swap window — safe
+   * against a live store): [[bm25StoredTopK]] screens its candidate
+   * postings against `deleted_docs/` (broadcast anti-join, delete-rate-
+   * sized; ranks recompute over the survivors), while the RANKING STATS
+   * (df, n_docs, avgdl) keep their build-time values until the next
+   * [[compactBm25Index]] purges the rows and rebuilds the stats tables —
+   * the standard search-engine takedown semantics (immediate result
+   * removal, deferred stats refresh). Idempotent; a later
+   * re-registration of the id is [[appendToBm25Index]]'s revival path.
+   */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                          docIds: DataFrame): Unit = {
+    graft.storage.IndexStore.requireMeta(spark, path, Seq("buckets" -> IndexBuckets))
+    graft.storage.IndexStore.appendDeletes(spark, path, "deleted_docs",
+      docIds, registry = "docstats", Seq("doc_id"))
   }
 
   def bm25StoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -298,7 +377,14 @@ object Retrieval {
         .filter(col("bucket").isin(buckets: _*))
         .join(broadcast(qtb.select(col("bucket"), col("token"))),
           Seq("bucket", "token"))
-    val tf = pruned("postings").select("doc_id", "token", "tf", "dl")
+    // pending delete tombstones screen the candidate postings (broadcast
+    // anti-join, delete-rate-sized) — a deleted doc stops ranking the
+    // instant [[deleteFromBm25Index]] lands, before any purge runs, and
+    // ranks recompute over the survivors; absent tombstones leave the
+    // plan untouched. df/avgdl stay build-time until compaction (doc'd).
+    val tf0 = pruned("postings").select("doc_id", "token", "tf", "dl")
+    val tf = deletedDocs(spark, path).fold(tf0)(d =>
+      tf0.join(broadcast(d), Seq("doc_id"), "left_anti"))
     val dfreq = pruned("tokenstats").select("token", "df")
     val stats = spark.read.parquet(s"$path/corpusstats")
       .select(col("n_docs"),

@@ -414,6 +414,9 @@ object Similarity {
                     kCells: Int = 4, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a REBUILD at a path whose previous store had pending deletes must
+    // not inherit them ([[graft.storage.IndexStore.clearSideTables]])
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
     val model = kmeansCentroids(corpus, kCells, iters)
     withNorm(corpus.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
@@ -445,6 +448,20 @@ object Similarity {
                        batch: DataFrame): Unit = {
     val model = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    // revival: a batch re-registering a DELETED vec_id purges the id's
+    // stale row first (otherwise the replay screen below would anti-join
+    // the re-registration away forever) and clears only ITS tombstone —
+    // the graft.storage.TagIndex.append revival contract
+    deletedVecs(spark, path).foreach { d =>
+      val revived = batch.select(col("vec_id")).distinct()
+        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
+      if (!revived.isEmpty) {
+        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
+          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
+        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
+          revived, Seq("vec_id"))
+      }
+    }
     val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
     withNorm(fresh.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
@@ -474,11 +491,60 @@ object Similarity {
     // probes; the static filter is the union superset.
     val probes = probeCells(queries, cents, nprobe).localCheckpoint()
     val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
-    val c = withNorm(spark.read.parquet(s"$path/vectors")
+    // pending delete tombstones screen the probed vectors (broadcast
+    // anti-join, delete-rate-sized) — a deleted vector stops ranking the
+    // instant [[deleteFromIvfIndex]] lands, before any purge runs;
+    // absent tombstones leave the plan untouched
+    val vecs0 = spark.read.parquet(s"$path/vectors")
       .where(col("cell").isin(probed: _*))
+    val vecs = deletedVecs(spark, path).fold(vecs0)(d =>
+      vecs0.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val c = withNorm(vecs
       .select(col("cell"), col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
     rankPairs(c.join(broadcast(probes), Seq("cell")), k)
+  }
+
+  /** Pending vector tombstones, or None when none exist (the cheap
+    * common case — serving plans stay anti-join-free). */
+  private def deletedVecs(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[DataFrame] =
+    graft.storage.IndexStore.pendingDeletes(spark, path, "deleted_vecs", Seq("vec_id"))
+
+  /**
+   * Takedown from the stored IVF index — the ANN dual of
+   * [[graft.operators.Dedup.deleteFromNearDupIndex]]: embeddings of
+   * removed content must stop being SERVED as neighbors immediately.
+   * Tombstone-append-only (no rewrite, no swap window — safe against a
+   * live store): the ids land in `deleted_vecs/`, [[ivfStoredTopK]]
+   * screens its probed read against them (top-k recomputes over the
+   * survivors), and the physical purge of the cell-scattered rows rides
+   * the next [[compactIvfIndex]]. Idempotent; re-registration is
+   * [[appendToIvfIndex]]'s revival path. The centroid MODEL is
+   * unchanged by deletes — the standard IVF operating contract
+   * (re-train on drift, not per delete).
+   */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         vecIds: DataFrame): Unit =
+    graft.storage.IndexStore.appendDeletes(spark, path, "deleted_vecs",
+      vecIds, registry = "vectors", Seq("vec_id"))
+
+  /**
+   * Index maintenance compaction — merges the per-wave file increments
+   * [[appendToIvfIndex]] leaves in each cell partition back to one
+   * layout per cell (crash-safe swap), and performs the physical half of
+   * [[deleteFromIvfIndex]]: tombstoned vectors purge inside the rewrite,
+   * then the tombstone table clears LAST (a crash before the clear
+   * leaves the screen over already-purged data — harmless, the next
+   * compaction finishes). Serving answers are unchanged when no deletes
+   * are pending (spec-pinned).
+   */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val dead = deletedVecs(spark, path).map(_.localCheckpoint())
+    graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
+      df => dead.fold(df)(d => df.join(broadcast(d), Seq("vec_id"), "left_anti")),
+      partCol = "cell")
+    dead.foreach(_ => graft.storage.IndexStore.dropDeletes(spark, path, "deleted_vecs"))
   }
 
   /**

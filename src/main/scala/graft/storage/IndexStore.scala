@@ -74,27 +74,94 @@ object IndexStore {
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("bucket").parquet(s"$path/$table")
 
-  /** Crash-safe compaction of a bucket-partitioned table: back to one
-    * layout per bucket, behind the atomic swap; `transform` hooks the
-    * index's purge step (e.g. dropping a tombstoned tenant's entries —
-    * the rewrite is the one moment removing bucket-scattered rows costs
+  /** Crash-safe compaction of a partition-column table (`bucket` for the
+    * hash-bucketed stores, `cell` for IVF): back to one layout per
+    * partition, behind the atomic swap; `transform` hooks the index's
+    * purge step (e.g. dropping a tombstoned tenant's entries — the
+    * rewrite is the one moment removing partition-scattered rows costs
     * nothing extra). */
   def compactBucketed(spark: SparkSession, path: String, table: String,
-                      transform: DataFrame => DataFrame = identity): Unit =
-    AtomicSwap.swapTable(spark, path, table) { df =>
-      val out = transform(df)
-      if (out.isEmpty)
-        // a dynamic partitionBy of an EMPTY frame emits no part files at
-        // all (only _SUCCESS), and a table with no schema-bearing footer
-        // fails every subsequent read — bricking the store the moment a
-        // purge drops the last row. Land one empty footer inside a
-        // synthetic partition dir instead: readers infer `bucket` from
-        // the dir name, later bucketed appends nest at the same depth.
-        out.drop("bucket").coalesce(1).write.parquet(s"$path/.$table.compact/bucket=0")
-      else
-        out.repartition(col("bucket"))
-          .write.partitionBy("bucket").parquet(s"$path/.$table.compact")
-    }
+                      transform: DataFrame => DataFrame = identity,
+                      partCol: String = "bucket"): Unit =
+    AtomicSwap.swapTable(spark, path, table)(df =>
+      writeCompactTmp(transform(df), s"$path/.$table.compact", partCol))
+
+  /** Crash-safe REPLACEMENT of a partition-column table with a frame
+    * derived from OTHER tables (not a transform of the live copy) — for
+    * stats tables rebuilt from their base, e.g. BM25's
+    * tokenstats ≡ aggregate(postings). */
+  def replaceBucketed(spark: SparkSession, path: String, table: String,
+                      out: => DataFrame, partCol: String = "bucket"): Unit =
+    AtomicSwap.swapTable(spark, path, table)(_ =>
+      writeCompactTmp(out, s"$path/.$table.compact", partCol))
+
+  /** A dynamic partitionBy of an EMPTY frame emits no part files at all
+    * (only _SUCCESS), and a table with no schema-bearing footer fails
+    * every subsequent read — bricking the store the moment a purge drops
+    * the last row. Land one empty footer inside a synthetic partition
+    * dir instead: readers infer the partition column from the dir name,
+    * later appends nest at the same depth. */
+  private def writeCompactTmp(out: DataFrame, tmp: String, partCol: String): Unit =
+    if (out.isEmpty)
+      out.drop(partCol).coalesce(1).write.parquet(s"$tmp/$partCol=0")
+    else
+      out.repartition(col(partCol)).write.partitionBy(partCol).parquet(tmp)
+
+  // ---- delete tombstones (primitive 6) — the takedown discipline shared
+  // by all four persisted indexes: the delete APPENDS key rows to a side
+  // table (O(delete), no rewrite, no swap window — safe against a live
+  // store), serving screens against it (broadcast anti-join, delete-rate-
+  // sized, absent-dir short-circuits to a clean plan), and the physical
+  // purge rides the index's next compaction, which then clears the table.
+
+  /** Pending delete tombstones, or None when none exist (the cheap
+    * common case — serving plans stay anti-join-free). */
+  def pendingDeletes(spark: SparkSession, path: String, table: String,
+                     keyCols: Seq[String]): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select(keyCols.map(col): _*).distinct())
+  }
+
+  /** Tombstone-append-only delete: land the REGISTERED, not-yet-
+    * tombstoned keys of `keys` (screened against `registry`, the store
+    * table owning the key universe) in the delete table. The single
+    * append IS the delete — a crash after it already serves correctly.
+    * Idempotent: replayed and never-registered keys screen to empty. */
+  def appendDeletes(spark: SparkSession, path: String, table: String,
+                    keys: DataFrame, registry: String, keyCols: Seq[String]): Unit = {
+    val registered = keys.select(keyCols.map(col): _*).distinct()
+      .join(spark.read.parquet(s"$path/$registry").select(keyCols.map(col): _*),
+        keyCols, "left_semi")
+    val del = pendingDeletes(spark, path, table, keyCols)
+      .fold(registered)(d => registered.join(broadcast(d), keyCols, "left_anti"))
+      .localCheckpoint()
+    if (!del.isEmpty)
+      del.coalesce(1).write.mode("append").parquet(s"$path/$table")
+  }
+
+  /** Drop `cleared` (a checkpointed key frame) from the delete table —
+    * the revival hook; the table vanishes when the last tombstone clears
+    * (an absent dir is the cheap common case every serve probes). */
+  def clearDeletes(spark: SparkSession, path: String, table: String,
+                   cleared: DataFrame, keyCols: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = spark.read.parquet(p.toString).join(cleared, keyCols, "left_anti")
+    if (remaining.isEmpty) fs.delete(p, true)
+    else AtomicSwap.swapTable(spark, path, table)(df =>
+      df.join(cleared, keyCols, "left_anti").coalesce(1)
+        .write.parquet(s"$path/.$table.compact"))
+  }
+
+  /** Drop the whole delete table — compaction's final step, after the
+    * physical purge landed (a crash before this leaves the screen over
+    * already-purged data: harmless, the next compaction finishes). */
+  def dropDeletes(spark: SparkSession, path: String, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$table")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Remove a store's side tables (tombstones / deleted-id dirs) — the
     * REBUILD hook: [[graft.storage.TagIndex.write]]-style overwrites

@@ -185,16 +185,8 @@ object TagIndex {
   /** Drop `cleared` (a checkpointed id frame) from `deleted_ids/`; the
     * table vanishes when the last tombstone clears. */
   private def clearDeletedIds(spark: SparkSession, path: String,
-                              cleared: DataFrame): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_ids")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val remaining = spark.read.parquet(p.toString)
-      .join(cleared, IdCols, "left_anti")
-    if (remaining.isEmpty) fs.delete(p, true)
-    else AtomicSwap.swapTable(spark, path, "deleted_ids")(df =>
-      df.join(cleared, IdCols, "left_anti").coalesce(1)
-        .write.parquet(s"$path/.deleted_ids.compact"))
-  }
+                              cleared: DataFrame): Unit =
+    IndexStore.clearDeletes(spark, path, "deleted_ids", cleared, IdCols)
 
   /**
    * S9 — delete ONE metric from the index (the reference's synchronous
@@ -214,18 +206,14 @@ object TagIndex {
                    mtype: Int, metric: String): Unit = {
     requireMeta(spark, path)
     import spark.implicits._
-    Seq((tenantId, mtype, metric)).toDF(IdCols: _*).coalesce(1)
-      .write.mode("append").parquet(s"$path/deleted_ids")
+    IndexStore.appendDeletes(spark, path, "deleted_ids",
+      Seq((tenantId, mtype, metric)).toDF(IdCols: _*), registry = "metrics", IdCols)
   }
 
   /** The pending metric-level tombstones, or None when none exist (the
     * cheap common case — serving plans stay anti-join-free). */
-  private def deletedIds(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/deleted_ids")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).select(IdCols.map(col): _*).distinct())
-  }
+  private def deletedIds(spark: SparkSession, path: String): Option[DataFrame] =
+    IndexStore.pendingDeletes(spark, path, "deleted_ids", IdCols)
 
   /** Tag names a query references — these decide which buckets serving
     * reads. Complement leaves (NOT k) also reference k. */

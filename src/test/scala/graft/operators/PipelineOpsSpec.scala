@@ -155,6 +155,73 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(s.read.parquet(s"$path/vectors").count() == n, "replay must be a no-op")
   }
 
+  private def ivfCorpus = {
+    val s = spark
+    import s.implicits._
+    (0 until 40).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j => math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF delete: tombstone-append-only, the vector stops ranking at once, " +
+    "double/unregistered deletes no-op, compact purges physically and clears") {
+    val s = spark
+    import s.implicits._
+    val e = ivfCorpus
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfdel").toString
+    Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+    val q = e.filter(col("vec_id") === 7L)
+    def ranked() = Similarity.ivfStoredTopK(s, path, q, 40, nprobe = 2)
+      .collect().map(_.getLong(1)).toSeq
+    val before = ranked()
+    val victim = before.head
+    Similarity.deleteFromIvfIndex(s, path, Seq(victim).toDF("vec_id"))
+    assert(ranked() == before.filterNot(_ == victim),
+      "the tombstoned vector must stop ranking at once; everything else holds order")
+    // append-only delete: the row is still on disk until compaction
+    assert(s.read.parquet(s"$path/vectors").filter(col("vec_id") === victim).count() == 1)
+    Similarity.deleteFromIvfIndex(s, path, Seq(victim).toDF("vec_id"))
+    Similarity.deleteFromIvfIndex(s, path, Seq(9999L).toDF("vec_id"))
+    assert(s.read.parquet(s"$path/deleted_vecs").count() == 1)
+    Similarity.compactIvfIndex(s, path)
+    assert(ranked() == before.filterNot(_ == victim), "answers must not move across the purge")
+    assert(s.read.parquet(s"$path/vectors").filter(col("vec_id") === victim).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_vecs")))
+    // post-purge the id is deregistered — a re-delete is a no-op
+    Similarity.deleteFromIvfIndex(s, path, Seq(victim).toDF("vec_id"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_vecs")))
+  }
+
+  test("IVF delete then re-append WITHOUT compact: the revival purges the " +
+    "stale vector, clears ONLY its tombstone, and the NEW embedding serves") {
+    val s = spark
+    import s.implicits._
+    val e = ivfCorpus
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfrev").toString
+    Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+    Similarity.deleteFromIvfIndex(s, path, Seq(3L, 9L).toDF("vec_id"))
+    // vec 3 re-registers as a near-copy of vec 7 — it must become 7's top
+    // neighbor, which only happens if its STALE embedding purged
+    val reborn = (0 until 40).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        (math.sin(7 * 31 + j) * 1.0001).toFloat).toArray)
+    }.toDF("vec_id", "embedding").filter(col("vec_id") === 3L)
+    Similarity.appendToIvfIndex(s, path, reborn)
+    val q = e.filter(col("vec_id") === 7L)
+    val top = Similarity.ivfStoredTopK(s, path, q, 1, nprobe = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(top == Seq(3L), s"the revived NEW embedding must serve, got $top")
+    assert(s.read.parquet(s"$path/vectors").filter(col("vec_id") === 3L).count() == 1,
+      "exactly one (new) row for the revived id")
+    // the unrelated pending tombstone survives the revival
+    assert(s.read.parquet(s"$path/deleted_vecs")
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    assert(!Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") === 9L), 40, nprobe = 2)
+      .collect().map(_.getLong(1)).contains(9L), "vec 9 stays screened")
+  }
+
   // ---- exact dedup ----
 
   test("exact groups count duplicates and keep min id") {

@@ -168,6 +168,84 @@ class RetrievalSpec extends SparkTestBase {
       .filter(col("doc_id") === 99L).count() == 4)
   }
 
+  // ---- takedown lifecycle (deleteFromBm25Index — immediate result
+  // removal under build-time stats, stats refresh rides compaction) ----
+
+  test("BM25 delete: tombstone-only — the doc stops ranking at once while " +
+    "SURVIVOR SCORES keep build-time stats; double/unregistered deletes " +
+    "no-op; compact equals a fresh rebuild over the survivors and clears") {
+    val s = spark
+    import s.implicits._
+    val docsA = docsDf((0 until 20).map(i =>
+      (i.toLong, s"cat w$i ${if (i % 2 == 0) "dog" else "bird fish"}")): _*)
+    val queries = queriesDf((1L, Seq("cat", "fish")), (2L, Seq("dog")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25del").toString
+    Retrieval.writeBm25Index(docsA, path)
+    val before = rows(Retrieval.bm25StoredTopK(s, path, queries, k = 30))
+    assert(before.exists(_._2 == 0L), "doc 0 must rank before the delete")
+    Retrieval.deleteFromBm25Index(s, path, Seq(0L).toDF("doc_id"))
+    val screened = rows(Retrieval.bm25StoredTopK(s, path, queries, k = 30))
+    assert(!screened.exists(_._2 == 0L), "deleted doc must stop ranking at once")
+    // survivors keep their BUILD-TIME scores (stats untouched until
+    // compaction — the takedown semantics), only ranks close the gap
+    val beforeScores = before.map(t => (t._1, t._2) -> t._3).toMap
+    screened.foreach { case (q, d, sc, _) =>
+      assert(sc == beforeScores((q, d)), s"score of ($q,$d) must not move") }
+    Seq(1L, 2L).foreach { q =>
+      assert(screened.filter(_._1 == q).map(_._4).sorted.toSeq ==
+        (1L to screened.count(_._1 == q)).toSeq, "ranks must stay dense") }
+    // append-only delete: the doc's rows are still on disk
+    assert(s.read.parquet(s"$path/postings").filter(col("doc_id") === 0L).count() > 0)
+    assert(s.read.parquet(s"$path/docstats").filter(col("doc_id") === 0L).count() == 1)
+    // replayed and never-registered deletes are no-ops
+    Retrieval.deleteFromBm25Index(s, path, Seq(0L).toDF("doc_id"))
+    Retrieval.deleteFromBm25Index(s, path, Seq(999L).toDF("doc_id"))
+    assert(s.read.parquet(s"$path/deleted_docs").count() == 1)
+    // compact = the physical half: rows purge, STATS REBUILD, answers
+    // equal a fresh rebuild over the surviving corpus
+    Retrieval.compactBm25Index(s, path)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-bm25del2").toString
+    Retrieval.writeBm25Index(docsA.filter(col("doc_id") =!= 0L), rebuilt)
+    assert(rows(Retrieval.bm25StoredTopK(s, path, queries, k = 30)).sorted.toSeq ==
+      rows(Retrieval.bm25StoredTopK(s, rebuilt, queries, k = 30)).sorted.toSeq,
+      "post-compact scores must equal a fresh rebuild over the survivors")
+    assert(s.read.parquet(s"$path/postings").filter(col("doc_id") === 0L).isEmpty)
+    assert(s.read.parquet(s"$path/corpusstats").collect()(0).getLong(0) == 19L)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_docs")))
+  }
+
+  test("BM25 delete then re-append WITHOUT compact: the revival purges the " +
+    "stale rows and re-derives the stats, so the store equals a fresh " +
+    "rebuild with the doc's text REPLACED; the old text never ranks again") {
+    val s = spark
+    import s.implicits._
+    val docsA = docsDf((0 until 20).map(i =>
+      (i.toLong, s"cat w$i ${if (i % 2 == 0) "dog" else "bird fish"}")): _*)
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25rev").toString
+    Retrieval.writeBm25Index(docsA, path)
+    Retrieval.deleteFromBm25Index(s, path, Seq(0L).toDF("doc_id"))
+    Retrieval.appendToBm25Index(s, path, docsDf((0L, "zebra quokka plain")))
+    def rows(p: String, q: Seq[String]) =
+      Retrieval.bm25StoredTopK(s, p, queriesDf((1L, q)), k = 30).collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(rows(path, Seq("w0")).isEmpty, "the pre-delete text must not rank")
+    assert(rows(path, Seq("zebra")).map(_._1) == Seq(0L), "the new text ranks")
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-bm25rev2").toString
+    Retrieval.writeBm25Index(
+      docsA.filter(col("doc_id") =!= 0L).unionByName(docsDf((0L, "zebra quokka plain"))),
+      rebuilt)
+    Seq(Seq("cat", "fish"), Seq("dog"), Seq("zebra")).foreach { q =>
+      assert(rows(path, q) == rows(rebuilt, q),
+        s"revived store must equal the replaced-text rebuild for $q") }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_docs")))
+  }
+
   test("bm25TopK edge cases: no-posting query answers empty; empty query set answers empty") {
     val none = Retrieval.bm25TopK(corpus, queriesDf((1L, Seq("zzz", "qqq"))), k = 5)
     assert(none.collect().isEmpty)

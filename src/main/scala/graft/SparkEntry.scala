@@ -1692,6 +1692,24 @@ object SparkEntry {
     // ---- LLM: incremental IVF maintenance — train + build WITHOUT a
     // held-out slice, append it with the STORED model (no retrain), then
     // serve: appended vectors flow through the same DPP-pruned read -----
+    // ---- LLM: IVF RETRAIN — the maintenance response to drift: build on
+    // a subset, fold the rest in with the stale model, then retrain on
+    // the stored corpus. The store must come out INDISTINGUISHABLE from
+    // a fresh build over the full corpus (same deterministic training),
+    // so the trained-IVF oracle verifies the whole drift-response path --
+    ("knn_ivf_retrained", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfret_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path, kCells = 4, iters = 2)
+      Similarity.appendToIvfIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.retrainIvfIndex(s, path, kCells = 4, iters = 2)
+      Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }, Some(IvfKmeansOracle)),
+
     ("knn_ivf_appended", (s: SparkSession, d: String) => {
       val path = "target/tmp/ivfapp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       rmrf(s, path)

@@ -548,6 +548,50 @@ object Similarity {
   }
 
   /**
+   * Re-train a stored IVF index on its OWN corpus — the maintenance
+   * response to drift the operating contract calls for ("re-train on
+   * drift, not per batch"): after enough [[appendToIvfIndex]] waves, the
+   * build-time centroids stop describing the data, cells go unbalanced,
+   * and recall at fixed nprobe decays (the condition `embCentroidDrift`
+   * exists to DETECT). The retrain reads the stored vectors (pending
+   * tombstones screen out, so the rewrite doubles as their physical
+   * purge), trains a fresh deterministic model, and rewrites the whole
+   * store — new `vectors` partitioning AND new `centroids` — as ONE
+   * [[graft.storage.AtomicSwap.swapDir]] unit: the two tables describe
+   * each other (probes computed from one model against the other
+   * model's partitions serve silently wrong answers), so they must
+   * never be swapped separately. Post-retrain the store is
+   * INDISTINGUISHABLE from a fresh [[writeIvfIndex]] over the live
+   * corpus (same deterministic training — spec- and oracle-pinned).
+   *
+   * At 100 TB this is the same cost as the original build (training
+   * passes + one partitioned write), scheduled off the drift signal;
+   * appends and deletes stay cheap in between.
+   */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      kCells: Int = 4, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val store = new org.apache.hadoop.fs.Path(path)
+    val dead = deletedVecs(spark, path)
+    val corpus = spark.read.parquet(s"$path/vectors").select(col("vec_id"), col("embedding"))
+    // every read below happens inside the build phase, while the live
+    // store is still in place — swapDir renames only after `build` ends
+    val live = dead.fold(corpus)(d =>
+      corpus.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
+      val model = kmeansCentroids(live, kCells, iters)
+      withNorm(live.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
+        .withColumn("cell", assignCell(model, "v", "nrm"))
+        .select("vec_id", "embedding", "cell")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/vectors")
+      model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
+      // deleted_vecs is deliberately NOT carried over: the tombstoned
+      // rows never entered the new store — the retrain IS their purge
+    }
+  }
+
+  /**
    * Per-label centroid summary — cluster cohesion diagnostics over an
    * embedding corpus: each label's vector count, centroid L2 norm, and the
    * mean/min/max cosine of members to their own centroid. The corpus-side

@@ -74,4 +74,39 @@ object AtomicSwap {
     }
     fs.delete(old, true)
   }
+
+  /**
+   * [[swapTable]] for a whole DIRECTORY TREE (a multi-table store):
+   * `build` writes the complete replacement under the temp path it is
+   * given, then the same recovery + double-rename discipline swaps it
+   * in. This is how a rewrite spanning MULTIPLE tables whose contents
+   * must stay mutually consistent (e.g. an IVF retrain: the cell
+   * partitioning of `vectors` and the `centroids` model describe each
+   * other) lands as ONE unit — per-table swaps would expose a crash
+   * window with a new model over old partitions, which serves silently
+   * wrong answers rather than failing. Same atomicity assumptions as
+   * [[swapTable]] (rename-atomic filesystem, no concurrent reader
+   * during the swap window).
+   */
+  def swapDir(spark: SparkSession, parent: String, name: String)
+             (build: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(parent).getFileSystem(conf)
+    scala.util.Try(fs.getScheme).toOption
+      .flatMap(nonAtomicRenameWarning(_, name))
+      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
+    val live = new org.apache.hadoop.fs.Path(s"$parent/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$parent/.$name.compact")
+    val old = new org.apache.hadoop.fs.Path(s"$parent/.$name.old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"crash recovery failed for $name")
+    fs.delete(tmp, true); fs.delete(old, true)
+    build(tmp.toString)
+    require(fs.rename(live, old), s"store swap failed for $name")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back so the store stays servable
+      throw new IllegalStateException(s"store swap failed for $name (rolled back)")
+    }
+    fs.delete(old, true)
+  }
 }

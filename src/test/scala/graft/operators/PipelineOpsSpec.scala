@@ -194,6 +194,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_vecs")))
   }
 
+  test("IVF retrain: after appends and a delete, the store is " +
+    "indistinguishable from a fresh build over the live corpus — vectors, " +
+    "centroids, and purge all land as one swap unit") {
+    val s = spark
+    import s.implicits._
+    val e = ivfCorpus
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfret").toString + "/store"
+    Similarity.writeIvfIndex(e.filter(col("vec_id") < 30), path, kCells = 4, iters = 2)
+    Similarity.appendToIvfIndex(s, path, e.filter(col("vec_id") >= 30))
+    Similarity.deleteFromIvfIndex(s, path, Seq(5L).toDF("vec_id"))
+    Similarity.retrainIvfIndex(s, path, kCells = 4, iters = 2)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-ivfret2").toString
+    Similarity.writeIvfIndex(e.filter(col("vec_id") =!= 5L), rebuilt, kCells = 4, iters = 2)
+    val q = e.filter(col("vec_id") < 5)
+    def res(p: String) = Similarity.ivfStoredTopK(s, p, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(res(path) == res(rebuilt),
+      "retrained store must answer exactly like a fresh build over the live corpus")
+    def model(p: String) = s.read.parquet(s"$p/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    assert(model(path) == model(rebuilt), "the model must actually retrain")
+    // the retrain IS the tombstone's physical purge
+    assert(s.read.parquet(s"$path/vectors").filter(col("vec_id") === 5L).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/deleted_vecs")))
+    // no swap litter next to the store
+    val parent = new java.io.File(path).getParentFile
+    assert(parent.listFiles().map(_.getName).forall(n => !n.startsWith(".store")),
+      parent.listFiles().map(_.getName).mkString(","))
+  }
+
   test("IVF delete then re-append WITHOUT compact: the revival purges the " +
     "stale vector, clears ONLY its tombstone, and the NEW embedding serves") {
     val s = spark

@@ -126,6 +126,9 @@ class PipelineOpsSpec extends SparkTestBase {
       org.apache.spark.sql.execution.FormattedMode)
     assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(plan).isDefined,
       s"expected a static cell IN partition filter on the vectors scan:\n$plan")
+    // a tombstone-free store must serve WITHOUT the delete screen
+    assert(!plan.contains("LeftAnti"),
+      s"tombstone-free serving must not carry a delete anti-join:\n$plan")
   }
 
   test("IVF append: stored model assigns the batch, serving sees it; replay is a no-op") {
@@ -311,6 +314,9 @@ class PipelineOpsSpec extends SparkTestBase {
     val plan = servedDf.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the bands scan:\n$plan")
+    // a tombstone-free store must serve WITHOUT the delete screen
+    assert(!plan.contains("LeftAnti"),
+      s"tombstone-free serving must not carry a delete anti-join:\n$plan")
   }
 
   test("index append: batch screens against the pre-append store only; " +

@@ -85,6 +85,10 @@ class RetrievalSpec extends SparkTestBase {
     val pruned = "PartitionFilters: \\[bucket#\\d+ IN".r.findAllIn(plan).length
     assert(pruned >= 2,
       s"expected bucket IN (...) partition filters on both store scans:\n$plan")
+    // a tombstone-free store must serve WITHOUT the delete screen in the
+    // plan — the anti-join only appears while deletes are pending
+    assert(!plan.contains("LeftAnti"),
+      s"tombstone-free serving must not carry a delete anti-join:\n$plan")
     // corrupt meta → loud failure, not silent partition misses
     import s.implicits._
     Seq(99).toDF("buckets").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")

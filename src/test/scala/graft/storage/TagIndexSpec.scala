@@ -63,6 +63,9 @@ class TagIndexSpec extends SparkTestBase {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert("PartitionFilters: \\[bucket#\\d+ IN".r.findFirstIn(plan).isDefined,
       s"expected a static bucket IN (...) partition filter:\n$plan")
+    // a tombstone-free store must serve WITHOUT the delete screens
+    assert(!plan.contains("LeftAnti"),
+      s"tombstone-free serving must not carry a delete anti-join:\n$plan")
   }
 
   test("a many-leaf expression serves from ONE entries scan (boolean pivot, " +

@@ -212,18 +212,36 @@ object SparkEntry {
   private val ServeStoreVersion = 1
 
   /** Build-once gate for the serve-only index twins: the store builds on
-    * the FIRST call per (path, [[ServeStoreVersion]]) — the marker file
-    * lands only after the build completes (commit marker; a crashed
-    * build rebuilds) — and every later call skips straight to serving.
-    * Bench's min-of-3 therefore times the SERVE plan alone, so a serving
-    * regression is visible per-round instead of hiding in build noise. */
-  private def prebuilt(s: SparkSession, path: String)(build: => Unit): Unit = {
+    * the FIRST call per (path, [[ServeStoreVersion]], input fingerprint)
+    * — the marker file lands only after the build completes (commit
+    * marker; a crashed build rebuilds) — and every later call skips
+    * straight to serving. Bench's min-of-3 therefore times the SERVE
+    * plan alone, so a serving regression is visible per-round instead of
+    * hiding in build noise. The marker carries a fingerprint of the
+    * input dir (file names, lengths, modification times): a store that
+    * survived from a PREVIOUS round must rebuild if the fixture data was
+    * regenerated since, never silently serve the old corpus. */
+  private def prebuilt(s: SparkSession, dir: String, path: String)(build: => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val in = new org.apache.hadoop.fs.Path(dir)
+    val fp = in.getFileSystem(conf).listStatus(in)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_serve_v$ServeStoreVersion")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    val fs = marker.getFileSystem(conf)
+    val current =
+      if (!fs.exists(marker)) None
+      else scala.util.Try {
+        val st = fs.open(marker)
+        try new String(st.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally st.close()
+      }.toOption
+    if (!current.contains(fp)) {
       rmrf(s, path)
       build
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
   }
 
@@ -4943,7 +4961,7 @@ object SparkEntry {
   private lazy val serveDefs: Seq[(String, Q, Option[String])] = Seq(
     ("tagindex_serve", (s: SparkSession, d: String) => {
       val base = "target/tmp/srv_tagidx_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      prebuilt(s, base)(graft.storage.TagIndex.write(ea.catalog(s, d), base))
+      prebuilt(s, d, base)(graft.storage.TagIndex.write(ea.catalog(s, d), base))
       graft.storage.TagIndex.lookup(s,
         base, "(type = error AND seg IN [s0, s1]) OR user ~ '14.*'")
         .select("metric")
@@ -4955,7 +4973,7 @@ object SparkEntry {
 
     ("bm25_index_serve", (s: SparkSession, d: String) => {
       val base = "target/tmp/srv_bm25_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      prebuilt(s, base)(Retrieval.writeBm25Index(docs(s, d), base))
+      prebuilt(s, d, base)(Retrieval.writeBm25Index(docs(s, d), base))
       Retrieval.bm25StoredTopK(s, base, bm25Queries(s), k = 10)
     },
       Some(s"""WITH $Bm25Cte
@@ -4966,7 +4984,7 @@ object SparkEntry {
 
     ("neardup_index_serve", (s: SparkSession, d: String) => {
       val path = "target/tmp/srv_neardup_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      prebuilt(s, path)(Dedup.writeNearDupIndex(docs(s, d), path, shingleK = 3))
+      prebuilt(s, d, path)(Dedup.writeNearDupIndex(docs(s, d), path, shingleK = 3))
       Dedup.nearDupLookup(s, path, docs(s, d).filter(col("doc_id") < 50),
         shingleK = 3, threshold = 0.8)
         .select(col("query_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
@@ -4976,7 +4994,7 @@ object SparkEntry {
     ("knn_ivf_serve", (s: SparkSession, d: String) => {
       val path = "target/tmp/srv_ivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       val e = embs(s, d)
-      prebuilt(s, path)(Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2))
+      prebuilt(s, d, path)(Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2))
       Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     },

@@ -2812,6 +2812,30 @@ object SparkEntry {
               |       CAST(rnk AS BIGINT) AS rank
               |FROM lexrank WHERE rnk <= 10""".stripMargin)),
 
+    // ---- LLM: continuous embedding stream → searchable IVF index —
+    // the first micro-batch trains the model and builds the store, the
+    // second appends through the stored model; the final store is the
+    // knn_ivf_appended lifecycle's, so that oracle verifies the whole
+    // stream-ingest path ---------------------------------------------------
+    ("streaming_ivf_index", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val e = embs(s, d)
+      // two staged files → two micro-batches: build (train) wave + append wave
+      e.filter(col("vec_id") < 100 || col("vec_id") >= 110)
+        .coalesce(1).write.parquet(s"$base/src")
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.streaming.StreamingSimilarity.ivfIngest(
+        stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2)
+      q.awaitTermination()
+      Similarity.ivfStoredTopK(s, s"$base/idx", e.filter(col("vec_id") < 10), 10, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }, Some(IvfAppendOracle)),
+
     // ---- LLM: IVF-PQ (IVFADC) — cell probing bounds WHICH vectors are
     // scored, PQ codes bound WHAT is read per vector; the composed
     // 100 TB search tier ------------------------------------------------

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Continuous embedding stream → searchable IVF index: each micro-batch
+ * of arriving vectors folds into the persisted ANN index — the first
+ * batch trains the model and builds the store
+ * ([[Similarity.writeIvfIndex]]), every later batch lands through the
+ * stored-model append ([[Similarity.appendToIvfIndex]]) — so nearest-
+ * neighbor serving trails ingestion by one trigger instead of waiting
+ * for a corpus-wide rebuild. The vector-side twin of
+ * [[StreamingRetrieval.indexIngest]].
+ *
+ * Bootstrap-model posture: training on the FIRST wave and appending
+ * with that model afterwards is the standard online-IVF operating
+ * contract — the model is only as stale as the last re-train, drift is
+ * detected out-of-band (`Similarity.centroidDrift`) and answered by
+ * [[Similarity.retrainIvfIndex]], never per batch.
+ *
+ * Exactly-once effect WITHOUT a transactional sink: foreachBatch is
+ * at-least-once, and the append's vec_id anti-join against the stored
+ * vectors makes a replayed batch a no-op; a first-batch crash after the
+ * build is the same replay no-op (centroids exist → append path →
+ * anti-join). Serving ([[Similarity.ivfStoredTopK]]) stays separate and
+ * unchanged — readers see the store between batch commits.
+ */
+object StreamingSimilarity {
+
+  def ivfIngest(vecs: DataFrame, indexPath: String, checkpoint: String,
+                kCells: Int = 4, iters: Int = 2,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // the INDEX PATH's filesystem, not the default one (the
+        // StreamingRetrieval scheme-mismatch gotcha)
+        val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+        val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(cents))
+          Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+        else Similarity.appendToIvfIndex(spark, indexPath, batch)
+      }
+      .start()
+}

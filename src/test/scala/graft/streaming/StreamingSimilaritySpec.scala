@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming IVF index ingest: the first wave trains+builds, later waves
+  * append through the stored model (the bootstrap-model posture);
+  * restarts and replayed content are no-ops. */
+class StreamingSimilaritySpec extends SparkTestBase {
+
+  test("two waves stream into the stored IVF index exactly like the batch " +
+    "build+append lifecycle; restarts and replayed waves are no-ops") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("graft-sivf-src").toString
+    val idx = Files.createTempDirectory("graft-sivf").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft-sivf-ckpt").toString
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j => math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val waveA = vecs(0 until 30)
+    val waveB = vecs(30 until 40)
+    waveA.coalesce(1).write.mode("append").parquet(src)
+    waveB.coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    def drain(): Unit = {
+      val q = StreamingSimilarity.ivfIngest(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        idx, ckpt, kCells = 4, iters = 2)
+      q.awaitTermination()
+    }
+    drain()
+    val q = waveA.filter(col("vec_id") < 5)
+    def res(p: String) = Similarity.ivfStoredTopK(s, p, q, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val streamed = res(idx)
+    // batch twin: build on wave A (the model trains on the FIRST wave),
+    // append wave B with that stored model
+    val batch = Files.createTempDirectory("graft-sivf-batch").toString
+    Similarity.writeIvfIndex(waveA, batch, kCells = 4, iters = 2)
+    Similarity.appendToIvfIndex(s, batch, waveB)
+    assert(streamed == res(batch),
+      "streamed ingest must equal the batch build+append lifecycle")
+    // ...and the appended wave actually serves
+    assert(Similarity.ivfStoredTopK(s, idx, q, 40, nprobe = 4)
+      .collect().map(_.getLong(1)).toSet.exists(_ >= 30L))
+    // restart with nothing new: zero batches, store untouched
+    drain()
+    assert(res(idx) == streamed)
+    // a REPLAYED wave lands as a new file: already-indexed vec_ids
+    // anti-join away inside the append — exactly-once effect
+    waveB.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert(res(idx) == streamed)
+    assert(s.read.parquet(s"$idx/vectors").count() == 40L)
+  }
+}

@@ -520,6 +520,24 @@ object ProbeScale {
         .write.format("noop").mode("overwrite").save()
       println(f"nddel_lookup_clean     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    if (only.isEmpty || only("ivf_retrain")) {
+      // drift-response lifecycle at corpus n×: the retrain is one
+      // training pass + one whole-store partitioned rewrite — O(corpus),
+      // the original build's cost, amortized over the drift schedule —
+      // and the post-retrain serve must stay flat (cell-pruned read)
+      val e2 = scaledEmbs(spark, dir, n)
+      val p = "target/tmp/probe-ivfret"
+      rmrf(spark, p)
+      graft.operators.Similarity.writeIvfIndex(e2, p, kCells = 4, iters = 2)
+      val q = e2.filter(col("vec_id") < 10).localCheckpoint()
+      var t0 = System.nanoTime()
+      graft.operators.Similarity.retrainIvfIndex(spark, p, kCells = 4, iters = 2)
+      println(f"ivfret_retrain         ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.operators.Similarity.ivfStoredTopK(spark, p, q, 10, nprobe = 2)
+        .write.format("noop").mode("overwrite").save()
+      println(f"ivfret_serve           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     if (only.isEmpty || only("bm25_compact")) {
       // append waves then compact: work is store-sized (no corpus
       // re-tokenization), and the serve after compaction carries the

@@ -111,6 +111,46 @@ class IndexStoreSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$path/f").count() == 0)
   }
 
+  test("crash recovery: a table stranded at .old (crash between the two " +
+    "swap renames) is restored before the next swap proceeds") {
+    val s = spark
+    import s.implicits._
+    val path = tmp("recover")
+    (0 until 10).map(_.toLong).toDF("id").write.parquet(s"$path/t")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // simulate the documented crash window: live renamed away, the
+    // replacement never renamed in — the only copy sits at .t.old
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$path/t"),
+      new org.apache.hadoop.fs.Path(s"$path/.t.old")))
+    IndexStore.compactFlat(spark, path, "t", _.filter(col("id") < 5))
+    assert(spark.read.parquet(s"$path/t").collect().map(_.getLong(0)).toSet ==
+      (0L until 5L).toSet, "recovery must restore the stranded copy, then swap")
+    assert(new java.io.File(path).listFiles().map(_.getName)
+      .forall(n => !n.startsWith(".t")), "no swap litter")
+  }
+
+  test("crash recovery: a whole STORE stranded at .old (swapDir's window) " +
+    "is restored before the next swap proceeds") {
+    val s = spark
+    import s.implicits._
+    val parent = tmp("recdir")
+    Seq(1L, 2L).toDF("id").write.parquet(s"$parent/store/a")
+    val fs = new org.apache.hadoop.fs.Path(parent)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$parent/store"),
+      new org.apache.hadoop.fs.Path(s"$parent/.store.old")))
+    AtomicSwap.swapDir(spark, parent, "store") { tmpDir =>
+      // the build must see the RECOVERED live store
+      spark.read.parquet(s"$parent/store/a")
+        .withColumn("id", col("id") * 10).write.parquet(s"$tmpDir/a")
+    }
+    assert(spark.read.parquet(s"$parent/store/a")
+      .collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    assert(new java.io.File(parent).listFiles().map(_.getName)
+      .forall(n => !n.startsWith(".store")), "no swap litter")
+  }
+
   test("clearSideTables removes the named dirs and tolerates absent ones") {
     val s = spark
     import s.implicits._

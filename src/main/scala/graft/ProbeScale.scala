@@ -133,15 +133,12 @@ object ProbeScale {
       // cut the hot key to ≤ limit rows per input partition BEFORE the
       // rank exchange, so the hot partition never materializes
       val g = EventsAdapter.gaugePoints(spark, dir)
-      val distinct = (0 until n).map(i =>
-        g.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
-        .reduce(_ unionByName _)
       val hot = (0 until n).map(i =>
         g.withColumn("metric", lit("hot"))
           .withColumn("time", col("time") + lit(i.toLong)))
         .reduce(_ unionByName _)
       MetricsOps.perMetricLimitOrdered(
-        distinct.unionByName(hot), graft.model.Order.Desc, 5)
+        scaledGauge(spark, dir, n).unionByName(hot), graft.model.Order.Desc, 5)
     }
     time("dedup_minhash") {
       Dedup.nearDupPairs(scaledDocs(spark, dir, n), shingleK = 3, threshold = 0.8)

@@ -206,6 +206,19 @@ object SparkEntry {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Backdate every file under `dir` by a minute: the file streaming
+    * source orders micro-batches by modification time with arbitrary tie
+    * order, so a wave that must be processed FIRST (an order-dependent
+    * ingest like the IVF bootstrap-train) is staged, backdated, and only
+    * then followed by the next wave's write. */
+  private def backdate(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val t = System.currentTimeMillis() - 60000L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) { val f = it.next(); fs.setTimes(f.getPath, t, -1) }
+  }
+
   /** Bump whenever ANY persisted-index on-disk format changes — the
     * `*_serve` queries trust a store carrying the current version marker
     * and would otherwise serve a stale layout built by older code. */
@@ -224,9 +237,16 @@ object SparkEntry {
   private def prebuilt(s: SparkSession, dir: String, path: String)(build: => Unit): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val in = new org.apache.hadoop.fs.Path(dir)
-    val fp = in.getFileSystem(conf).listStatus(in)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("\n")
+    // RECURSIVE listing: fixture "files" may be Spark-written parquet
+    // DIRECTORIES, whose own status never changes when a nested part
+    // file is rewritten — only leaf files carry the change signal
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = in.getFileSystem(conf).listFiles(in, true)
+    while (it.hasNext) {
+      val st = it.next()
+      files += s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    val fp = files.sorted.mkString("\n")
     val marker = new org.apache.hadoop.fs.Path(s"$path/_graft_serve_v$ServeStoreVersion")
     val fs = marker.getFileSystem(conf)
     val current =
@@ -2821,9 +2841,14 @@ object SparkEntry {
       val base = "target/tmp/streamivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       rmrf(s, base)
       val e = embs(s, d)
-      // two staged files → two micro-batches: build (train) wave + append wave
+      // two staged files → two micro-batches: build (train) wave + append
+      // wave. The file source orders batches by MODIFICATION TIME, and a
+      // coarse-mtime filesystem can tie two back-to-back writes — unlike
+      // the BM25 twin, the IVF store is wave-ORDER-dependent (the first
+      // wave trains the model), so wave 1 is explicitly backdated
       e.filter(col("vec_id") < 100 || col("vec_id") >= 110)
         .coalesce(1).write.parquet(s"$base/src")
+      backdate(s, s"$base/src")
       e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .coalesce(1).write.mode("append").parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema

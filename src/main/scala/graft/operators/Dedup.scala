@@ -550,12 +550,14 @@ object Dedup {
     // revival: a batch re-registering a DELETED id must not land on top
     // of the id's stale pre-delete rows (serving is duplicate-immune but
     // not stale-text-immune — old shingles would pollute the new text's
-    // Jaccard). Purge ONLY the revived ids' rows — an anti-join rewrite
-    // per table, like the tag index's revival — not a full purge-
-    // compaction: one revived id must not turn an O(batch) append into
-    // the whole store's maintenance job. Other pending tombstones stay
-    // pending (their purge still rides the next compaction). Crash-safe:
-    // every step before the replay screen below is idempotent.
+    // Jaccard). The purge is store-sized — stale rows are scattered, so
+    // each table pays one anti-join rewrite, the same order of work as a
+    // compaction — but it is TARGETED in scope: only the revived ids
+    // purge and only their tombstones clear (other pending deletes keep
+    // riding the next compaction), a whole batch of revivals pays ONCE,
+    // and the cost sits on the rare re-registration path, never on
+    // normal appends. Crash-safe: every step before the replay screen
+    // below is idempotent.
     deletedDocs(spark, path).foreach { d =>
       val revived = batch.select(col("doc_id")).distinct()
         .join(broadcast(d), Seq("doc_id"), "left_semi").localCheckpoint()

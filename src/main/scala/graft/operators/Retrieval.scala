@@ -186,7 +186,10 @@ object Retrieval {
     // tables REBUILD from the repaired base tables (they are corpus
     // aggregates; a targeted decrement would drift on any crash replay) —
     // and only then does the tombstone clear, so a crash at any point
-    // replays idempotently. Other pending tombstones stay pending.
+    // replays idempotently. Store-sized work (rewrites + two aggregates,
+    // a compaction's order of cost) but targeted in SCOPE: other pending
+    // tombstones stay pending, a batch of revivals pays once, and normal
+    // appends never enter this branch.
     deletedDocs(spark, path).foreach { d =>
       val revived = batch.select(col("doc_id")).distinct()
         .join(broadcast(d), Seq("doc_id"), "left_semi").localCheckpoint()
@@ -325,7 +328,8 @@ object Retrieval {
   }
 
   /** Purge `ids`' rows from the two base tables and restore the stats
-    * invariants — the revival path's targeted physical delete. */
+    * invariants — the revival path's physical delete (store-sized
+    * rewrites, targeted in scope: only `ids` purge). */
   private def purgeDocs(spark: org.apache.spark.sql.SparkSession, path: String,
                         ids: DataFrame): Unit = {
     def purge(df: DataFrame): DataFrame =

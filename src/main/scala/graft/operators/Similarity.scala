@@ -451,7 +451,9 @@ object Similarity {
     // revival: a batch re-registering a DELETED vec_id purges the id's
     // stale row first (otherwise the replay screen below would anti-join
     // the re-registration away forever) and clears only ITS tombstone —
-    // the graft.storage.TagIndex.append revival contract
+    // the graft.storage.TagIndex.append revival contract. One vectors
+    // rewrite (store-sized, a compaction's cost) on the rare
+    // re-registration path; normal appends never enter this branch
     deletedVecs(spark, path).foreach { d =>
       val revived = batch.select(col("vec_id")).distinct()
         .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()

@@ -52,28 +52,9 @@ object AtomicSwap {
   /** `rewrite` receives the live table and must write its replacement to
     * `$path/.$table.compact`. */
   def swapTable(spark: SparkSession, path: String, table: String)
-               (rewrite: DataFrame => Unit): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    // getScheme throws UnsupportedOperationException in FileSystem's base
-    // class — the advisory probe must never be able to break the swap
-    scala.util.Try(fs.getScheme).toOption
-      .flatMap(nonAtomicRenameWarning(_, table))
-      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
-    val live = new org.apache.hadoop.fs.Path(s"$path/$table")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$table.compact")
-    val old = new org.apache.hadoop.fs.Path(s"$path/.$table.old")
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live), s"crash recovery failed for $table")
-    fs.delete(tmp, true); fs.delete(old, true)
-    rewrite(spark.read.parquet(live.toString))
-    require(fs.rename(live, old), s"compaction swap failed for $table")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back so the store stays servable
-      throw new IllegalStateException(s"compaction swap failed for $table (rolled back)")
-    }
-    fs.delete(old, true)
-  }
+               (rewrite: DataFrame => Unit): Unit =
+    swapCore(spark, path, table)(_ =>
+      rewrite(spark.read.parquet(s"$path/$table")))
 
   /**
    * [[swapTable]] for a whole DIRECTORY TREE (a multi-table store):
@@ -89,9 +70,19 @@ object AtomicSwap {
    * during the swap window).
    */
   def swapDir(spark: SparkSession, parent: String, name: String)
-             (build: String => Unit): Unit = {
+             (build: String => Unit): Unit =
+    swapCore(spark, parent, name)(build)
+
+  /** The ONE copy of the crash-window discipline both flavors share:
+    * scheme warning → stranded-.old recovery → tmp/old pre-clean →
+    * caller produces the replacement at the tmp path → double rename
+    * with rollback → .old cleanup. A fix here fixes every swap. */
+  private def swapCore(spark: SparkSession, parent: String, name: String)
+                      (produce: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(parent).getFileSystem(conf)
+    // getScheme throws UnsupportedOperationException in FileSystem's base
+    // class — the advisory probe must never be able to break the swap
     scala.util.Try(fs.getScheme).toOption
       .flatMap(nonAtomicRenameWarning(_, name))
       .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
@@ -101,11 +92,11 @@ object AtomicSwap {
     if (!fs.exists(live) && fs.exists(old))
       require(fs.rename(old, live), s"crash recovery failed for $name")
     fs.delete(tmp, true); fs.delete(old, true)
-    build(tmp.toString)
-    require(fs.rename(live, old), s"store swap failed for $name")
+    produce(tmp.toString)
+    require(fs.rename(live, old), s"swap failed for $name")
     if (!fs.rename(tmp, live)) {
       fs.rename(old, live) // roll back so the store stays servable
-      throw new IllegalStateException(s"store swap failed for $name (rolled back)")
+      throw new IllegalStateException(s"swap failed for $name (rolled back)")
     }
     fs.delete(old, true)
   }

@@ -158,10 +158,8 @@ object IndexStore {
   /** Drop the whole delete table — compaction's final step, after the
     * physical purge landed (a crash before this leaves the screen over
     * already-purged data: harmless, the next compaction finishes). */
-  def dropDeletes(spark: SparkSession, path: String, table: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$table")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  def dropDeletes(spark: SparkSession, path: String, table: String): Unit =
+    clearSideTables(spark, path, Seq(table))
 
   /** Remove a store's side tables (tombstones / deleted-id dirs) — the
     * REBUILD hook: [[graft.storage.TagIndex.write]]-style overwrites

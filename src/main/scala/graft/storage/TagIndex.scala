@@ -363,10 +363,7 @@ object TagIndex {
     IndexStore.compactFlat(spark, path, "metrics",
       df => purge(df).join(orphanIds, IdCols, "left_anti"))
     if (dead.nonEmpty) clearTombstones(spark, path, dead.toSet)
-    deadIds.foreach { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/deleted_ids")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    deadIds.foreach(_ => IndexStore.dropDeletes(spark, path, "deleted_ids"))
   }
 
   private def requireMeta(spark: SparkSession, path: String): Unit =

@@ -38,13 +38,17 @@ object StreamingSimilarity {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // the INDEX PATH's filesystem, not the default one (the
-        // StreamingRetrieval scheme-mismatch gotcha)
-        val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
-        val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(cents))
-          Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
-        else Similarity.appendToIvfIndex(spark, indexPath, batch)
+        // an empty batch must not bootstrap-train (k-means on zero
+        // vectors fails loudly); the NEXT non-empty batch builds instead
+        if (!batch.isEmpty) {
+          // the INDEX PATH's filesystem, not the default one (the
+          // StreamingRetrieval scheme-mismatch gotcha)
+          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+          val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(cents))
+            Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+          else Similarity.appendToIvfIndex(spark, indexPath, batch)
+        }
       }
       .start()
 }

@@ -23,6 +23,15 @@ class StreamingSimilaritySpec extends SparkTestBase {
     val waveA = vecs(0 until 30)
     val waveB = vecs(30 until 40)
     waveA.coalesce(1).write.mode("append").parquet(src)
+    // the IVF ingest is wave-ORDER-dependent (wave A trains the model);
+    // backdate it so the file source's mtime order is strict even on a
+    // coarse-mtime filesystem
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val srcFs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = srcFs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val f = it.next(); srcFs.setTimes(f.getPath, System.currentTimeMillis() - 60000L, -1)
+    }
     waveB.coalesce(1).write.mode("append").parquet(src)
     val schema = s.read.parquet(src).schema
     def drain(): Unit = {

@@ -780,6 +780,35 @@ object SparkEntry {
               |WHERE (event_type = 'error' AND (regexp_full_match(seg, 's0') OR regexp_full_match(seg, 's1')))
               |   OR regexp_full_match(tag_user, '14.*')""".stripMargin)),
 
+    // ---- S9@scale: ONE-METRIC delete on the persisted tag index (the
+    // reference's synchronous deleteMetric clears the id's tags-index
+    // rows, MetricsServiceImpl.java:1085-1101) — tombstone-screened serve
+    // and post-compaction purge must answer identically -----------------
+    ("tagindex_delete_metric", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagidxdelm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val c = ea.catalog(s, d)
+      graft.storage.TagIndex.write(c, base)
+      // deterministic takedown victim: the lexicographically-first
+      // error-typed id (this catalog is single-tenant, single-mtype)
+      val v = c.filter(TagQueryParser.compile("type = error", col("tags")))
+        .orderBy(col("metric"), col("tenant_id"), col("mtype"))
+        .select("tenant_id", "mtype", "metric").limit(1).collect()(0)
+      graft.storage.TagIndex.deleteMetric(s, base, v.getString(0), v.getInt(1), v.getString(2))
+      val screened = graft.storage.TagIndex.lookup(s, base, "type = error")
+        .withColumn("stage", lit("screened")).localCheckpoint()
+      graft.storage.TagIndex.compact(s, base)
+      val purged = graft.storage.TagIndex.lookup(s, base, "type = error")
+        .withColumn("stage", lit("purged"))
+      screened.unionByName(purged).select("stage", "tenant_id", "metric")
+    },
+      Some(s"""WITH $CatCte,
+              |vic AS (SELECT min(metric) AS m FROM cat WHERE event_type = 'error')
+              |SELECT st.stage, c.tenant_id, c.metric
+              |FROM cat c CROSS JOIN vic
+              |CROSS JOIN (SELECT 'screened' AS stage UNION ALL SELECT 'purged') st
+              |WHERE c.event_type = 'error' AND c.metric <> vic.m""".stripMargin)),
+
     ("tagquery_not", (s: SparkSession, d: String) => {
       val c = ea.catalog(s, d)
       c.filter(TagQueryParser.compile("type != view AND NOT zone AND seg NOT IN [s4]", col("tags")))
@@ -3236,6 +3265,32 @@ object SparkEntry {
              |       round(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 6) AS jaccard
              |FROM inter JOIN sz x ON x.doc_id = query_id JOIN sz y ON y.doc_id = corpus_id
              |WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8""".stripMargin)),
+
+    // ---- LLM: screen-and-REJECT admission (dropMatched) — an arriving
+    // wave screens against the stored corpus and docs that near-dup it
+    // are NOT admitted; the registered id set IS the admission decision --
+    ("neardup_index_admit", (s: SparkSession, d: String) => {
+      val path = "target/tmp/neardupadm_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val dd = docs(s, d)
+      Dedup.writeNearDupIndex(dd.filter(col("doc_id") >= 50), path, shingleK = 3)
+      Dedup.appendToNearDupIndex(dd.filter(col("doc_id") < 50), path,
+        shingleK = 3, threshold = 0.8, dropMatched = true).collect()
+      s.read.parquet(s"$path/sizes").select(col("doc_id"))
+        .filter(col("doc_id") < 50)
+    },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS s
+             |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS g) t),
+             |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS q, b.doc_id AS c2, count(*) AS c
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < 50
+             |            AND b.doc_id >= 50 GROUP BY 1, 2),
+             |rej AS (SELECT DISTINCT q FROM inter
+             |        JOIN sz x ON x.doc_id = q JOIN sz y ON y.doc_id = c2
+             |        WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8)
+             |SELECT z.doc_id FROM sz z
+             |WHERE z.doc_id < 50 AND z.doc_id NOT IN (SELECT q FROM rej)""".stripMargin)),
 
     // ---- LLM: takedown / decontamination REMOVAL on the persisted
     // near-dup index — tombstone-append-only delete (live-store safe),

@@ -71,7 +71,7 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
   // request rather than cached per tenant, so a client sweeping random
   // Hawkular-Tenant header values cannot grow driver memory unboundedly
   private def routesFor(tenant: String): RestRoutes =
-    new RestRoutes(spark, svc, tenant)
+    new RestRoutes(spark, svc, tenant, () => state.get.wire)
 
   private val mapper = new ObjectMapper
 
@@ -86,8 +86,33 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
   /** Bound port (useful when constructed with port = 0). */
   def boundPort: Int = server.getAddress.getPort
 
-  def start(): HttpTransport = { server.start(); this }
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  // ---- service lifecycle (MetricsServiceLifecycle.java): the HTTP
+  // container and the metrics service start/stop INDEPENDENTLY — the
+  // reference binds the JAX-RS container first and initializes the
+  // backend asynchronously, so there is a real window where requests
+  // arrive against a not-yet-STARTED (or already-STOPPED) service and
+  // the state filter answers 503/500 instead of routing.
+  import HttpTransport.ServiceState
+  private val state =
+    new java.util.concurrent.atomic.AtomicReference[ServiceState](ServiceState.Starting)
+  def serviceState: ServiceState = state.get
+
+  /** Bind + serve while the service is still STARTING (the reference's
+    * startup posture: web container up, backend initializing). */
+  def bind(): HttpTransport = { server.start(); this }
+  /** Backend initialization finished (startMetricsService's happy exit,
+    * MetricsServiceLifecycle.java:395). */
+  def markReady(): HttpTransport = { state.set(ServiceState.Started); this }
+  /** Backend initialization failed (ibid:400-403) — the container keeps
+    * serving, every data route answers 500 until restart. */
+  def markFailed(): HttpTransport = { state.set(ServiceState.Failed); this }
+  /** One-call form for callers without a separate init phase. */
+  def start(): HttpTransport = bind().markReady()
+  /** Stop the SERVICE but keep serving HTTP — the reference's
+    * destroy path (ibid:678-695): data routes 503, /status keeps
+    * answering with the STOPPED state. */
+  def stopService(): Unit = state.set(ServiceState.Stopped)
+  def stop(): Unit = { stopService(); server.stop(0); pool.shutdown() }
 
   // ------------------------------------------------------------------
   // request handling
@@ -161,6 +186,25 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
           respond(ex, 403, errorJson("Admin token is wrong or not specified."))
           return
         }
+      }
+      // ---- service-state filter (MetricsServiceStateFilter.java:55-85):
+      // no @Priority → default USER priority, so it runs AFTER the
+      // CORS/tenant/admin pre-matching filters (0/10/20) and BEFORE the
+      // matching-time 406/415s. "/" and /status stay reachable in every
+      // state — the status page is how operators watch the service come
+      // up (the reference exempts StatusHandler.PATH and
+      // BaseHandler.PATH by prefix).
+      if (segs.nonEmpty && segs.head != "status") state.get match {
+        case ServiceState.Started => ()
+        case ServiceState.Starting =>
+          respond(ex, 503, errorJson("Service unavailable while initializing."))
+          return
+        case ServiceState.Failed =>
+          respond(ex, 500, errorJson("Internal server error."))
+          return
+        case ServiceState.Stopped =>
+          respond(ex, 503, errorJson("The service is no longer running."))
+          return
       }
       // ---- content negotiation (the JAX-RS container's, pinned by
       // ErrorsITest): every resource @Produces(APPLICATION_JSON) — an
@@ -445,6 +489,20 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
 object HttpTransport {
   /** The reference's admin header (AdminFilter.ADMIN_TOKEN_HEADER_NAME). */
   val AdminTokenHeader = "Hawkular-Admin-Token"
+
+  /** Service lifecycle states (MetricsServiceLifecycle.java:133-134).
+    * The reference's transient STOPPING exists because its destroy is
+    * asynchronous; this transport's service teardown is synchronous, so
+    * stop lands on STOPPED directly — the state filter treats the two
+    * identically anyway (same 503 + message,
+    * MetricsServiceStateFilter.java:76-84). */
+  sealed abstract class ServiceState(val wire: String)
+  object ServiceState {
+    case object Starting extends ServiceState("STARTING")
+    case object Started extends ServiceState("STARTED")
+    case object Stopped extends ServiceState("STOPPED")
+    case object Failed extends ServiceState("FAILED")
+  }
 
   private[api] def sha256(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")

@@ -152,7 +152,8 @@ object RestRoutes {
                                    percentiles: Option[String] = None)
 }
 
-class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
+class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
+                 serviceState: () => String = () => "STARTED") {
   import RestRoutes._
 
   /** Dispatch one request. `now` is injectable for deterministic tests
@@ -201,12 +202,16 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String) {
       // StringValue(new Date()) — the current time, for liveness checks
       // (PingHandler.java:46-51); `now` injectable like everywhere else
       Ok(kvFrame("value" -> new java.util.Date(now).toString))
+    // StatusHandler reports the LIVE lifecycle state — it is exempt from
+    // the state filter precisely so operators can watch the service come
+    // up / drain (StatusHandler.java:63-67 status.put(METRICSSERVICE_NAME,
+    // metricState.toString()))
     case ("GET", "status" :: Nil) =>
-      Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up",
+      Ok(kvFrame("MetricsService" -> serviceState(), "Storage" -> "up",
         "Implementation-Version" -> RestRoutes.ImplementationVersion,
         "Built-From-Git-SHA1" -> RestRoutes.BuildSha))
     case ("GET", "admin" :: "status" :: Nil) =>
-      Ok(kvFrame("MetricsService" -> "STARTED", "Storage" -> "up"))
+      Ok(kvFrame("MetricsService" -> serviceState(), "Storage" -> "up"))
     // cross-tenant descriptor_name-tagged definition scan
     // (OpenshiftServlet.java; admin-guarded like /tenants + /admin when
     // a token is configured — AdminFilter.java:74)

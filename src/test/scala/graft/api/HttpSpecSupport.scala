@@ -20,12 +20,16 @@ trait HttpSpecSupport extends org.scalatest.BeforeAndAfterAll { this: SparkTestB
   protected def allowedCorsOrigins: String = "*"
   protected def extraCorsAllowHeaders: Option[String] = None
 
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    transport = new HttpTransport(spark,
+  /** Overridable so lifecycle suites can bind() without markReady(). */
+  protected def makeTransport(): HttpTransport =
+    new HttpTransport(spark,
       Files.createTempDirectory("graft-http").toString,
       allowedCorsOrigins = allowedCorsOrigins,
       extraCorsAllowHeaders = extraCorsAllowHeaders).start()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    transport = makeTransport()
   }
 
   override def afterAll(): Unit = {

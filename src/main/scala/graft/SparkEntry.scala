@@ -1205,6 +1205,60 @@ object SparkEntry {
               |       max(value) AS "max", ${dsum("value")} AS sum
               |FROM b GROUP BY 1, 2""".stripMargin)),
 
+    // ---- histogram rollup tier: hour-binned value distributions, served
+    // as daily heatmap buckets — integer bin counts merge associatively,
+    // so the served histogram is EXACTLY valueHistogram over raw (same
+    // clamped-bin function, GraftFunctions.valueBin). The tier prebuilds
+    // once (serve-twin discipline): bench times the SERVE re-aggregate,
+    // hours×metrics×bins-sized, raw untouched ---------------------------
+    ("rollup_hist_serve", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rollhist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupHist(s, s"$base/raw", s"$base/hist",
+          vMin = 0.0, vMax = 500.0, bins = 20)
+      }
+      GraftStorage.rollupHistogram(s, s"$base/hist", Buckets.fromStep(S, E, Day))
+    },
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // ${Day} AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $E)
+              |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |FROM a GROUP BY 1, 2""".stripMargin)),
+
+    // ---- percentile dashboards off the tier: the Prometheus quantile
+    // walk over the SERVED histogram — order statistics without a raw
+    // scan, the reason the distribution tier exists ----------------------
+    ("rollup_hist_quantile", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rollhist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupHist(s, s"$base/raw", s"$base/hist",
+          vMin = 0.0, vMax = 500.0, bins = 20)
+      }
+      MetricsOps.histogramQuantile(
+        GraftStorage.rollupHistogram(s, s"$base/hist", Buckets.fromStep(S, E, Day)),
+        q = 0.95)
+    },
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // ${Day} AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $E),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM a GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.95 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target)
+              |SELECT bucket, total,
+              |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |FROM p WHERE rn = 1""".stripMargin)),
+
     // ---- S9: metric delete — partition-scoped rewrite --------------------
     ("storage_delete", (s: SparkSession, d: String) => {
       val path = "target/tmp/delete_" + d.replaceAll("[^a-zA-Z0-9]", "_")

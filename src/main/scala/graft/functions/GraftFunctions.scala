@@ -55,6 +55,15 @@ object GraftFunctions {
   def bucketStart(bucket: Column, b: Buckets): Column = lit(b.start) + bucket * lit(b.step)
   def bucketEnd(bucket: Column, b: Buckets): Column = bucketStart(bucket, b) + lit(b.step)
 
+  /** Clamped fixed-width value-bin index — ONE definition shared by the
+    * heatmap histogram aggregate (MetricsOps.valueHistogram) and the
+    * histogram rollup tier (GraftStorage.writeRollupHist), so the tier's
+    * stored counts are bit-equal to the on-read histogram (the tier's
+    * exactness contract rests on the bin function being identical). */
+  def valueBin(v: Column, vMin: Double, width: Double, bins: Int): Column =
+    least(greatest(floor((v - vMin) / width), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
+
   /**
    * P² (Jain & Chlamtac 1985) streaming percentile — the estimator the
    * reference feeds per bucket (NumericDataPointCollector.java:45-61 wraps

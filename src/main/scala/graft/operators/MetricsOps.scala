@@ -742,8 +742,7 @@ object MetricsOps {
     require(bins > 0 && vMax > vMin, s"need bins > 0 and vMax > vMin")
     val v = col(valueCol).cast("double")
     val width = (vMax - vMin) / bins
-    val bin = least(greatest(floor((v - vMin) / width), lit(0.0)), lit((bins - 1).toDouble))
-      .cast("long")
+    val bin = GraftFunctions.valueBin(v, vMin, width, bins)
     dp.filter(col("time") >= b.start && col("time") < b.end)
       .withColumn("bucket", GraftFunctions.bucketIndex("time", b))
       .withColumn("bin", bin)

@@ -246,17 +246,28 @@ object GraftStorage {
         min(col("n_value")).as("min_v"),
         max(col("n_value")).as("max_v"),
         sum(col("n_value").cast("decimal(28,10)")).as("sum_v"))
-      .localCheckpoint()
-    // drop in-window rollup partitions the refreshed frame no longer
-    // covers (raw data deleted since the last refresh)
+    refreshRollupTier(spark, roll, rollupPath, fromSlice, upToSlice,
+      Seq(col("metric"), col("hour")))
+  }
+
+  /** Shared refresh discipline for the rollup tiers ([[writeRollup]] /
+    * [[writeRollupHist]]): checkpoint the aggregated frame (it feeds the
+    * fresh-partition-set action AND the write — without it the aggregate
+    * runs twice), drop in-window tier partitions the refreshed frame no
+    * longer covers (raw data deleted since the last refresh), then land
+    * the frame as a dynamic partition overwrite. */
+  private def refreshRollupTier(spark: SparkSession, tier: DataFrame,
+                                path: String, fromSlice: Long, upToSlice: Long,
+                                sortCols: Seq[Column]): Unit = {
+    val roll = tier.localCheckpoint()
     val fresh = roll.select(col("tenant_id"), col("mtype"), col("time_slice"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
-    val fs = rootFs(spark, rollupPath)
+    val fs = rootFs(spark, path)
     val SlicePat = ".*/tenant_id=([^/]+)/mtype=(\\d+)/time_slice=(-?\\d+)$".r
     // globStatus returns NULL (not empty) when the path has no matches —
     // e.g. the very first build of a rollup tier
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$rollupPath/*/*/time_slice=*")))
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/*/*/time_slice=*")))
       .getOrElse(Array.empty)
       .foreach { st =>
         st.getPath.toString match {
@@ -271,13 +282,108 @@ object GraftStorage {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try roll
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
-      .sortWithinPartitions(col("metric"), col("hour"))
+      .sortWithinPartitions(sortCols: _*)
       .write
       .partitionBy("tenant_id", "mtype", "time_slice")
       .option("compression", "zstd")
       .mode(SaveMode.Overwrite)
-      .parquet(rollupPath)
+      .parquet(path)
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+  }
+
+  /**
+   * Histogram rollup tier — the DISTRIBUTION companion of [[writeRollup]]:
+   * per (tenant, type, slice, metric, hour, value-bin) point counts with
+   * CALLER-fixed edges (`vMin`/`vMax`/`bins` — `valueHistogram`'s
+   * contract: data-derived edges would drift as data arrives, and
+   * out-of-range values clamp into the edge bins so mass is never
+   * dropped). Plain rollups answer min/avg/max/sum but DISCARD the value
+   * distribution, so order statistics (p95 dashboards) force a raw scan;
+   * this tier keeps the distribution at hours × metrics × ≤bins rows,
+   * and because integer bin counts merge associatively, histograms
+   * served at any enclosing granularity — and the quantile walk over
+   * them ([[graft.operators.MetricsOps.histogramQuantile]]) — are
+   * EXACTLY the raw-path answer. At 100 TB the quantile dashboard reads
+   * this tier only; raw stays cold.
+   *
+   * Bin parameters persist with the tier (`_histmeta` — the underscore
+   * keeps the dir invisible to the partitioned read), serving derives
+   * the edges from them, and a refresh with different parameters fails
+   * loudly (mixed-width counts would merge into silent nonsense —
+   * IndexStore.requireMeta's posture).
+   */
+  def writeRollupHist(spark: SparkSession, rawPath: String, histPath: String,
+                      vMin: Double, vMax: Double, bins: Int,
+                      upToSlice: Long = Long.MaxValue,
+                      fromSlice: Long = Long.MinValue): Unit = {
+    require(bins > 0 && vMax > vMin, "need bins > 0 and vMax > vMin")
+    readHistMeta(spark, histPath).foreach { m =>
+      require(m == ((vMin, vMax, bins)),
+        s"histogram tier at $histPath was built with (vMin, vMax, bins) = $m; " +
+          s"refresh passed (${(vMin, vMax, bins)})")
+    }
+    val width = (vMax - vMin) / bins
+    val roll = readResolved(spark, rawPath)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+      .filter(col("n_value").isNotNull)
+      .withColumn("hour", expr(s"time div $RollupMs"))
+      .withColumn("bin",
+        graft.functions.GraftFunctions.valueBin(col("n_value").cast("double"),
+          vMin, width, bins))
+      .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    refreshRollupTier(spark, roll, histPath, fromSlice, upToSlice,
+      Seq(col("metric"), col("hour"), col("bin")))
+    writeHistMeta(spark, histPath, vMin, vMax, bins)
+  }
+
+  private def histMetaPath(histPath: String) = s"$histPath/_histmeta"
+
+  private def writeHistMeta(spark: SparkSession, histPath: String,
+                            vMin: Double, vMax: Double, bins: Int): Unit = {
+    import spark.implicits._
+    Seq((vMin, vMax, bins)).toDF("v_min", "v_max", "bins")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(histMetaPath(histPath))
+  }
+
+  private def readHistMeta(spark: SparkSession,
+                           histPath: String): Option[(Double, Double, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(histMetaPath(histPath))
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val r = spark.read.parquet(p.toString).collect()
+      require(r.length == 1, s"histogram tier meta at $p must be one row")
+      Some((r(0).getAs[Double]("v_min"), r(0).getAs[Double]("v_max"),
+        r(0).getAs[Int]("bins")))
+    }
+  }
+
+  /**
+   * Serve the heatmap histogram ([[graft.operators.MetricsOps.valueHistogram]]'s
+   * exact output shape and values) from the histogram tier, for
+   * hour-aligned buckets — a (bucket, bin)-keyed re-aggregate of integer
+   * counts over hours × metrics × bins rows, never touching raw. Bin
+   * edges come from the tier's own meta. Compose with
+   * `MetricsOps.histogramQuantile` for percentile serving.
+   */
+  def rollupHistogram(spark: SparkSession, histPath: String,
+                      b: graft.model.Buckets): DataFrame = {
+    require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
+      s"histogram tier serving needs hour-aligned buckets " +
+        s"(start=${b.start}, step=${b.step})")
+    val (vMin, vMax, bins) = readHistMeta(spark, histPath).getOrElse(
+      throw new IllegalArgumentException(s"no histogram tier meta at $histPath"))
+    val width = (vMax - vMin) / bins
+    val startHour = b.start / RollupMs
+    val stepHours = b.step / RollupMs
+    spark.read.parquet(histPath)
+      .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("bin_lo", lit(vMin) + col("bin") * width)
+      .withColumn("bin_hi", lit(vMin) + (col("bin") + 1) * width)
   }
 
   /**

@@ -242,6 +242,69 @@ class StorageSpec extends SparkTestBase {
     assert(s2.length == 1 && s2.head.getAs[Long]("samples") == 1L)
   }
 
+  test("histogram rollup tier: served histogram is bit-equal to valueHistogram " +
+    "over resolved raw (LWW precedes, edge bins clamp); the quantile walk " +
+    "composes; misaligned serve, missing meta and mismatched refresh params " +
+    "are rejected") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    // two hours of data + a same-(metric,time) overwrite + out-of-range
+    // values on both sides (must clamp into the edge bins, not drop)
+    GraftStorage.write(fixture(Seq(
+      ("m1", 100L, 1.0), ("m1", 200L, 3.0), ("m1", H1 + 100L, 10.0),
+      ("m2", 150L, 5.0), ("m2", H1 + 400L, -3.0), ("m2", H1 + 500L, 99.0))),
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.write(fixture(Seq(("m1", 200L, 7.0))), s"$path/raw") // LWW winner
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    val b = graft.model.Buckets.fromStep(H1, 2 * H1, H1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "bin", "cnt", "bin_lo", "bin_hi")
+        .collect().map(_.toSeq).toSet
+    val served = GraftStorage.rollupHistogram(spark, s"$path/hist", b)
+    // materialized now: the plan's file listing goes stale after the
+    // idempotent-refresh rewrite below
+    val servedRows = rows(served)
+    // -3.0 clamps into bin 0, 99.0 into bin 4; 10.0 (== vMax) into bin 4
+    assert(servedRows == Set(
+      Seq(0L, 0L, 1L, 0.0, 2.0), Seq(0L, 4L, 2L, 8.0, 10.0)))
+    // bit-equal to the on-read heatmap aggregate over LWW-resolved raw
+    val onRead = graft.operators.MetricsOps.valueHistogram(
+      GraftStorage.readResolved(spark, s"$path/raw"), b,
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    assert(servedRows == rows(onRead))
+    // ...including the hour-0 LWW winner in the STORED tier: 7.0 → bin 3
+    // (the superseded 3.0 would have landed in bin 1)
+    val h0bins = spark.read.parquet(s"$path/hist").filter(col("hour") === 0L)
+      .select("bin").collect().map(_.getLong(0)).toSet
+    assert(h0bins == Set(0L, 2L, 3L), s"hour-0 bins: $h0bins")
+    // the quantile walk over the SERVED histogram equals the walk over
+    // the on-read histogram (same integer counts in, same math out)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.MetricsOps.histogramQuantile(df, 0.5)
+        .collect().map(_.toSeq).toSet
+    assert(q(served) == q(onRead))
+    // misaligned buckets are rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.rollupHistogram(spark, s"$path/hist",
+        graft.model.Buckets.fromStep(1L, H1 + 1, H1))
+    }
+    // a refresh with different bin parameters is rejected loudly (mixed
+    // widths would merge into silent nonsense)
+    intercept[IllegalArgumentException] {
+      GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+        vMin = 0.0, vMax = 20.0, bins = 5)
+    }
+    // serving a path with no tier meta is rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.rollupHistogram(spark, s"$path/nosuch", b)
+    }
+    // same-parameter refresh is idempotent
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    assert(rows(GraftStorage.rollupHistogram(spark, s"$path/hist", b)) == servedRows)
+  }
+
   test("servedStats dispatch: aligned requests read the rollup, misaligned read raw, " +
     "both branches answer identically on aligned buckets") {
     val path = tmp()

@@ -4043,6 +4043,79 @@ object SparkEntry {
              |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
              |GROUP BY e.query_id""".stripMargin)),
 
+    // ---- LLM: PCA basis audit — the learned counterpart of the
+    // Matryoshka prefix (works on ANY embeddings). The model is engine-
+    // specific (driver Jacobi eigensolve), so the hash-verified surface
+    // is the sketch-audit booleans: Bessel (projected energy never
+    // exceeds the vector's) and Pythagoras (explicit reconstruction —
+    // a non-orthonormal basis breaks the identity), per vector ----------
+    ("emb_pca_audit", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.pcaAudit(e, Similarity.pcaFit(e, dims = 16))
+    },
+      Some("""SELECT vec_id, TRUE AS bessel_ok, TRUE AS pythagoras_ok
+             |FROM embeddings""".stripMargin)),
+
+    // ---- LLM: PCA energy dominance — the top-d eigenbasis must capture
+    // at least the second-moment mass of the same-budget coordinate
+    // prefix (it maximizes over ALL d orthonormal directions); the
+    // estimate never crosses the oracle boundary ------------------------
+    ("emb_pca_vs_prefix", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.pcaEnergyVsPrefix(e, Similarity.pcaFit(e, dims = 16))
+    },
+      Some("SELECT 16 AS dims, TRUE AS pca_ge_prefix")),
+
+    // ---- LLM: recall audit of the PCA family — the learned-basis twin
+    // of ann_recall_trunc. Recall VALUES are model-dependent (driver
+    // eigensolve), so the hash-verified surface is (a) the PROVABLE
+    // monotonicity — exact rerank of a ⊇-shortlist can only add hits:
+    // any exact-top-10 member inside the shortlist is outranked there
+    // only by other exact-top-10 members — and (b) a calibrated band
+    // (rerank recall ≥ 0.15/query; measured min 0.3, avg 0.67 at
+    // sf0.01, vs projected-only avg 0.22 and prefix-trunc avg 0.18) ----
+    ("ann_recall_pca", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val m = Similarity.pcaFit(e, dims = 16)
+      val exact = Similarity.bruteForceTopK(e, q, 10)
+      val pr = Similarity.recallAtK(exact, Similarity.pcaTopK(e, q, 10, m))
+        .select(col("query_id"), col("recall").as("r_pca"))
+      val rr = Similarity.recallAtK(exact,
+        Similarity.pcaRerankTopK(e, q, 10, m, shortlist = 50))
+        .select(col("query_id"), col("recall").as("r_rr"))
+      pr.join(rr, Seq("query_id"))
+        .select(col("query_id"),
+          (col("r_rr") >= col("r_pca")).as("rerank_ge_projected"),
+          (col("r_rr") >= 0.15).as("rerank_band_ok"))
+    },
+      Some("""SELECT vec_id AS query_id, TRUE AS rerank_ge_projected,
+             |       TRUE AS rerank_band_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // ---- LLM: two-stage PCA serving — projected shortlist(50) → exact
+    // full-width rerank. Neighbor ids ride the model, so the oracle pins
+    // the serving STRUCTURE: exactly k ranked rows per query, cosines
+    // monotone non-increasing down the ranking and inside the unit range
+    // (the quality of the list is ann_recall_pca's job) ------------------
+    ("knn_pca_rerank", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val rr = Similarity.pcaRerankTopK(e, q, 10,
+        Similarity.pcaFit(e, dims = 16), shortlist = 50)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      rr.withColumn("rnk", row_number().over(w))
+        .withColumn("prev", lag(col("cosine"), 1).over(w))
+        .select(col("query_id"), col("rnk"),
+          (col("cosine") <= coalesce(col("prev"), lit(2.0)) + 1e-12).as("monotone_ok"),
+          (abs(col("cosine")) <= lit(1.0) + 1e-9).as("in_unit_ok"))
+    },
+      Some("""SELECT e.vec_id AS query_id, CAST(r.x AS INTEGER) AS rnk,
+             |       TRUE AS monotone_ok, TRUE AS in_unit_ok
+             |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 11)) AS x) r
+             |WHERE e.vec_id < 10""".stripMargin)),
+
     // ---- LLM: BM25 full-text retrieval — inverted-posting tf join with
     // broadcast query-term pruning; micro-unit partial sums --------------
     ("bm25_search", (s: SparkSession, d: String) => {

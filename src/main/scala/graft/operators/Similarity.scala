@@ -1327,6 +1327,226 @@ object Similarity {
       .join(q, Seq("query_id")), k)
   }
 
+  // ------------------------------------------------------------------
+  // PCA dimension reduction (truncated-SVD basis) — the LEARNED
+  // counterpart of the Matryoshka prefix: truncation needs MRL-trained
+  // embeddings, PCA works on ANY embedding table by rotating into the
+  // directions that carry the energy (the FAISS PCAMatrix preprocessing
+  // step; Jolliffe, "Principal Component Analysis"). The basis is the
+  // UNCENTERED second-moment eigenbasis, i.e. the right singular
+  // vectors of the data matrix, so by Eckart–Young the projection
+  // preserves dot products — and hence cosine ranking — better than any
+  // other rank-d linear map.
+  // ------------------------------------------------------------------
+
+  /** Driver-resident PCA model: `components(c)` is the c-th orthonormal
+    * basis vector (energy-descending, sign-fixed), `energies(c)` its
+    * eigenvalue (the second-moment mass it captures). dims×Dim doubles
+    * — broadcast-trivial at any corpus size. */
+  final case class PcaModel(components: Array[Array[Double]],
+                            energies: Array[Double])
+
+  /**
+   * Fit: ONE distributed aggregate builds the Dim×Dim second-moment
+   * matrix — each row fans out its upper-triangle products INSIDE the
+   * scan stage (a higher-order transform, no join, no per-row UDF) and
+   * map-side combine collapses them, so the shuffle carries
+   * partitions × Dim(Dim+1)/2 partial rows, never corpus rows. Products
+   * sum as DECIMAL(28,10), so the matrix is engine-exact and
+   * partitioning-independent; the eigensolve is a cyclic Jacobi on the
+   * driver (Golub & Van Loan §8.5 — a 64×64 solve, microseconds) with a
+   * deterministic sweep order and signs fixed so each component's
+   * largest-magnitude coordinate is positive: repeat fits are
+   * bit-identical, which keeps every downstream query replayable.
+   */
+  def pcaFit(emb: DataFrame, dims: Int): PcaModel = {
+    require(dims >= 1 && dims <= Dim, s"dims ($dims) must be in [1, $Dim]")
+    val upper = emb.select(explode(expr(
+      """flatten(transform(embedding, (xi, i) ->
+        |  transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) ->
+        |    struct(i AS i, i + j AS j,
+        |           CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p))))""".stripMargin))
+      .as("t"))
+      .select(col("t.i"), col("t.j"), col("t.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(28,10)")).cast("double").as("s"))
+      .collect()
+    val m = Array.ofDim[Double](Dim, Dim)
+    upper.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = v
+      m(j)(i) = v
+    }
+    val (vals, vecs) = jacobiEigen(m)
+    PcaModel(vecs.take(dims), vals.take(dims))
+  }
+
+  /** Cyclic Jacobi eigensolve for a symmetric matrix: sweep the upper
+    * triangle in row-major order, rotate away each off-diagonal entry,
+    * until the off-diagonal mass is numerically gone. Returns
+    * (eigenvalues, eigenvectors-as-rows), energy-descending with an
+    * index tiebreak, each vector sign-fixed (largest-|coordinate|
+    * positive) — fully deterministic. */
+  private def jacobiEigen(m: Array[Array[Double]])
+  : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < n) { var q = p + 1; while (q < n) { s += a(p)(q) * a(p)(q); q += 1 }; p += 1 }
+      s
+    }
+    val scale = math.max(m.indices.map(i => math.abs(m(i)(i))).max, 1e-300)
+    var sweep = 0
+    while (sweep < 64 && off() > 1e-24 * scale * scale) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            // the classic two-angle-stable rotation (G&VL Algorithm 8.5.1)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s0  => s0 / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col0 = Array.tabulate(n)(k => v(k)(i))
+      val dom = col0.indices.maxBy(k => (math.abs(col0(k)), -k))
+      if (col0(dom) < 0) col0.map(-_) else col0
+    }.toArray
+    (vals, vecs)
+  }
+
+  /** Project onto the model: `dims` codegen'd VectorDot calls against
+    * literal component arrays — a pure projection stage, no shuffle, no
+    * UDF; the model rides the plan as literals exactly like the SRP
+    * plane arrays. */
+  def pcaProject(emb: DataFrame, model: PcaModel,
+                 out: String = "pvec"): DataFrame =
+    emb.withColumn(out, array(model.components.map(comp =>
+      graft.plans.VectorDot(col("embedding"), typedLit(comp.toSeq))): _*))
+
+  /** PCA-space search: exact cosine over the projected vectors — the
+    * cheap-scan stage (reads/ships dims/Dim of the floats), audited by
+    * `ann_recall_pca` and composed by [[pcaRerankTopK]]. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              model: PcaModel): DataFrame = {
+    val q = broadcast(
+      withNorm(pcaProject(queries, model)
+        .select(col("vec_id").as("query_id"), col("pvec").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val c = withNorm(pcaProject(corpus, model)
+      .select(col("vec_id").as("neighbor_id"), col("pvec").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    rankPairs(c.crossJoin(q), k)
+  }
+
+  /** Two-stage PCA serving: projected shortlist → exact full-width
+    * re-rank (the [[truncRerankTopK]] shape with a learned basis as the
+    * cheap stage). Full-width vectors are touched for a query-sized
+    * shortlist only. */
+  def pcaRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    model: PcaModel, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val shortIds = pcaTopK(corpus, queries, shortlist, model)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val pruned = corpus.select(col("vec_id").as("neighbor_id"),
+      dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
+  }
+
+  /**
+   * Per-vector PCA audit — the model's contract measured THROUGH the
+   * data, one projection pass: `bessel_ok` (projected energy never
+   * exceeds the vector's — any true orthonormal projection obeys it)
+   * and `pythagoras_ok` (explicitly reconstruct, then check
+   * ‖resid‖² + ‖proj‖² ≡ ‖x‖²; a non-orthonormal basis breaks the
+   * identity). The booleans are the hash-verified surface — the raw
+   * energies are engine-specific floats and stay out of the output
+   * (the sketch-audit discipline).
+   */
+  def pcaAudit(emb: DataFrame, model: PcaModel): DataFrame = {
+    val dims = model.components.length
+    val flat = model.components.flatten.toSeq // row-major dims×Dim
+    val p = pcaProject(emb, model)
+      .withColumn("xx", graft.plans.VectorDot(col("embedding"), col("embedding")))
+      .withColumn("pp", graft.plans.VectorDot(col("pvec"), col("pvec")))
+      .withColumn("mflat", typedLit(flat))
+      // recon_i = Σ_c pvec(c) · M(c)(i) — interpreted higher-order loop,
+      // fine for an audit pass (dims×Dim ops/row, one scan)
+      .withColumn("recon", expr(
+        s"""transform(sequence(0, ${Dim - 1}), i ->
+           |  aggregate(sequence(0, ${dims - 1}), 0D, (acc, c) ->
+           |    acc + element_at(pvec, c + 1) * element_at(mflat, c * $Dim + i + 1)))"""
+          .stripMargin))
+      .withColumn("rr", expr(
+        """aggregate(zip_with(embedding, recon, (x, r) -> CAST(x AS DOUBLE) - r),
+          |  0D, (acc, e) -> acc + e * e)""".stripMargin))
+    p.select(col("vec_id"),
+      (col("pp") <= col("xx") * lit(1.0 + 1e-9) + lit(1e-9)).as("bessel_ok"),
+      (abs(col("rr") + col("pp") - col("xx")) <=
+        greatest(col("xx"), lit(1.0)) * lit(1e-6)).as("pythagoras_ok"))
+  }
+
+  /**
+   * Energy-dominance audit, one row: the PCA basis must capture at
+   * least as much second-moment mass as the SAME-budget coordinate
+   * prefix (the Matryoshka baseline) — guaranteed because the top-d
+   * eigenbasis maximizes captured energy over ALL d orthonormal
+   * directions, of which the first d coordinate axes are one choice.
+   * Both sides sum as DECIMAL over per-row doubles; the boolean is the
+   * hash-verified surface.
+   */
+  def pcaEnergyVsPrefix(emb: DataFrame, model: PcaModel): DataFrame = {
+    val dims = model.components.length
+    pcaProject(emb, model)
+      .withColumn("pp", graft.plans.VectorDot(col("pvec"), col("pvec")))
+      .withColumn("pe", expr(
+        s"aggregate(slice(embedding, 1, $dims), 0D, " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .agg(sum(col("pp").cast("decimal(28,10)")).as("captured"),
+        sum(col("pe").cast("decimal(28,10)")).as("prefix"))
+      .select(lit(dims).as("dims"),
+        (col("captured") >= col("prefix")).as("pca_ge_prefix"))
+  }
+
   /**
    * Recall@k audit — the fraction of the EXACT top-k each approximate
    * method recovers, per query: the quality dial every ANN deployment

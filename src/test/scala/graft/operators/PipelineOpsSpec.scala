@@ -1504,6 +1504,72 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("pcaFit: orthonormal energy-descending basis, deterministic repeat, " +
+      "planted dominant direction recovered") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(7)
+    // data concentrated along a planted direction + small isotropic noise
+    val axis = Array.tabulate(64)(i => math.sin(i * 0.7))
+    val nrm = math.sqrt(axis.map(x => x * x).sum)
+    val unit = axis.map(_ / nrm)
+    val corpus = (1L to 80L).map { i =>
+      val amp = 5.0 + rnd.nextGaussian()
+      (i, Array.tabulate(64)(k =>
+        (amp * unit(k) + 0.05 * rnd.nextGaussian()).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val m = Similarity.pcaFit(corpus, dims = 8)
+    // orthonormality, exactly as the driver sees the model
+    for (a <- m.components.indices; b <- a until m.components.length) {
+      val dot = m.components(a).zip(m.components(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"c($a) dot c($b) = $dot")
+    }
+    // energies non-increasing, top component carries the planted mass
+    assert(m.energies.sliding(2).forall(w => w(0) >= w(1) - 1e-12))
+    val align = m.components(0).zip(unit).map { case (x, y) => x * y }.sum
+    assert(math.abs(align) > 0.999, s"top component alignment $align")
+    // deterministic repeat: bit-identical model
+    val m2 = Similarity.pcaFit(corpus, dims = 8)
+    assert(m.energies.sameElements(m2.energies))
+    assert(m.components.zip(m2.components).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("pcaTopK at full rank matches exact search; pcaRerankTopK with full " +
+      "shortlist is exact; audits hold and can fail") {
+    val s0 = spark
+    import s0.implicits._
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 30L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") <= 2L)
+    val ex = Similarity.bruteForceTopK(corpus, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full-rank model: a rotation — cosine ranking survives exactly
+    val full = Similarity.pcaFit(corpus, dims = 64)
+    val viaPca = Similarity.pcaTopK(corpus, q, 5, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPca == ex)
+    // reduced model + whole-corpus shortlist → rerank reproduces exact
+    val m16 = Similarity.pcaFit(corpus, dims = 16)
+    val rr = Similarity.pcaRerankTopK(corpus, q, 5, m16, shortlist = 29)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rr == ex)
+    // audits: every row passes on a true model
+    val audit = Similarity.pcaAudit(corpus, m16).collect()
+    assert(audit.length == 30 &&
+      audit.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+    val dom = Similarity.pcaEnergyVsPrefix(corpus, m16).collect().head
+    assert(dom.getInt(0) == 16 && dom.getBoolean(1))
+    // negative control: a NON-orthonormal fake basis must break the
+    // Pythagoras audit (proves the audit can fail)
+    val fake = Similarity.PcaModel(
+      m16.components.map(_.map(_ * 1.5)), m16.energies)
+    val broken = Similarity.pcaAudit(corpus, fake).collect()
+    assert(broken.exists(r => !r.getBoolean(1) || !r.getBoolean(2)))
+  }
+
   test("spanDedupText: loser spans cut, winners intact, full-duplicate docs " +
       "cut to empty, short docs untouched") {
     def md5(t: String) = java.security.MessageDigest.getInstance("MD5")

@@ -535,6 +535,40 @@ object ProbeScale {
         .write.format("noop").mode("overwrite").save()
       println(f"ivfret_serve           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    if (only.isEmpty || only("rollup_hist")) {
+      // histogram tier at raw n×: the BUILD is O(raw) by design (one
+      // scan into a map-side-combined aggregate), while the SERVE —
+      // histogram re-aggregate + quantile walk — reads hours×metrics×bins
+      // tier rows and must stay near-flat as raw density grows (metrics
+      // grow n× here, points-per-(metric,hour,bin) stay fixed, so tier
+      // rows grow n× but remain orders below raw; the property that
+      // matters is serve NEVER touching raw)
+      val p = "target/tmp/probe-rollhist"
+      rmrf(spark, p)
+      graft.storage.GraftStorage.write(scaledGauge(spark, dir, n),
+        s"$p/raw", org.apache.spark.sql.SaveMode.Overwrite)
+      var t0 = System.nanoTime()
+      graft.storage.GraftStorage.writeRollupHist(spark, s"$p/raw", s"$p/hist",
+        vMin = 0.0, vMax = 500.0, bins = 20)
+      println(f"rollhist_build         ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val b = Buckets.fromStep(S, E, 86400000L)
+      t0 = System.nanoTime()
+      MetricsOps.histogramQuantile(
+        graft.storage.GraftStorage.rollupHistogram(spark, s"$p/hist", b), 0.95)
+        .write.format("noop").mode("overwrite").save()
+      println(f"rollhist_serve_q95     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    if (only.isEmpty || only("pca_fit")) {
+      // PCA fit at corpus n×: the Gram build is one scan with a fixed
+      // 2080-key map-side-combined aggregate — time must track the scan
+      // (~linear), never the pair fan-out; the eigensolve is a fixed
+      // 64×64 driver cost
+      val e2 = scaledEmbs(spark, dir, n).localCheckpoint()
+      val t0 = System.nanoTime()
+      val m = Similarity.pcaFit(e2, dims = 16)
+      println(f"pca_fit                ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (top energy ${m.energies.head}%.1f)")
+    }
     if (only.isEmpty || only("bm25_compact")) {
       // append waves then compact: work is store-sized (no corpus
       // re-tokenization), and the serve after compaction carries the

@@ -1543,6 +1543,30 @@ object SparkEntry {
               |SELECT metric, count(*) AS cnt, ${dsum("value")} AS sum_v FROM base
               |WHERE t < $Week GROUP BY 1""".stripMargin)),
 
+    // ---- §2.9: streaming ingest WITH histogram-tier maintenance — each
+    // micro-batch lands in raw then refreshes the distribution rollup
+    // for its own slice span; the served histogram over the drained
+    // stream EXACTLY equals the batch heatmap aggregate (integer bin
+    // counts; LWW + re-derive-from-raw make replays idempotent) ---------
+    ("streaming_rollup_hist", (s: SparkSession, d: String) => {
+      val base = "target/tmp/strollhist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val q = graft.streaming.StreamingIngest.startWithHistTier(
+        ea.gaugePointsStream(s, d).filter(col("time") < Week),
+        s"$base/raw", s"$base/hist", s"$base/ckpt",
+        vMin = 0.0, vMax = 500.0, bins = 20)
+      q.awaitTermination()
+      GraftStorage.rollupHistogram(s, s"$base/hist",
+        Buckets.fromStep(S, Week, Day))
+    },
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - $S) // ${Day} AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $Week)
+              |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |FROM a GROUP BY 1, 2""".stripMargin)),
+
     // ---- §2.9: streaming rate derivation (W1 as a continuous query) —
     // stateful flatMapGroupsWithState pairing must agree with the batch
     // rate oracle (same pairwise formula, same operand order → bit-exact) --

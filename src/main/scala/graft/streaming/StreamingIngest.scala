@@ -59,6 +59,44 @@ object StreamingIngest {
       }
       .start()
 
+  /** Ingest + histogram-tier maintenance in ONE continuous query: each
+    * micro-batch lands in the raw tier, then refreshes the DISTRIBUTION
+    * rollup ([[GraftStorage.writeRollupHist]]) for exactly the slice
+    * span it touched — the windowed-refresh discipline in streaming
+    * form: a batch re-aggregates its own slices from RESOLVED raw,
+    * slices outside the span keep byte-identical tier files. At-least-
+    * once replay is safe end-to-end: raw replays collapse by LWW, and
+    * the tier refresh re-DERIVES from resolved raw, so a replayed
+    * refresh rewrites the same counts (idempotent by construction, the
+    * same posture as the IVF/BM25 streaming maintainers). */
+  def startWithHistTier(points: DataFrame, rawPath: String, histPath: String,
+                        checkpoint: String,
+                        vMin: Double, vMax: Double, bins: Int,
+                        lateness: String = "2 hours",
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    points
+      .withColumn("event_time", timestamp_millis(col("time")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("tenant_id", "mtype", "metric", "time")
+      .drop("event_time")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // checkpoint: the frame feeds the raw write AND the slice-span
+        // action — without it the batch recomputes
+        val b = batch.localCheckpoint()
+        GraftStorage.write(b, rawPath, SaveMode.Append)
+        val span = GraftStorage.withSlice(b)
+          .agg(min(col("time_slice")), max(col("time_slice"))).head()
+        if (!span.isNullAt(0))
+          GraftStorage.writeRollupHist(b.sparkSession, rawPath, histPath,
+            vMin, vMax, bins,
+            fromSlice = span.getLong(0), upToSlice = span.getLong(1) + 1)
+      }
+      .start()
+
   /**
    * Rows dropped as too-late by the watermark across a query's reported
    * progress — the ingest path's drop counter. The reference drops a

@@ -35,6 +35,57 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(back.select("time_slice").distinct().count() == 2)
   }
 
+  test("streaming histogram-tier maintenance: each batch refreshes only its " +
+    "slice span (other slices' files byte-identical), and the drained tier " +
+    "equals a fresh batch build over the same raw") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val base = Files.createTempDirectory("graft-sthist").toString
+    val H1 = GraftStorage.RollupMs
+    val mem = MemoryStream[P]
+    // widen the fixture to the canonical column set — the tier refresh
+    // reads RESOLVED raw, whose LWW tiebreak references every value column
+    val pts = mem.toDF()
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map(lit("k"), lit("v")))
+    val q = StreamingIngest.startWithHistTier(pts, s"$base/raw",
+      s"$base/hist", s"$base/ckpt", vMin = 0.0, vMax = 10.0, bins = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // wave 1: slice 0 (hour 1) — edge-bin values
+    mem.addData(P("t", 0, "m1", H1 + 100, 1.0), P("t", 0, "m1", H1 + 200, 9.0))
+    q.processAllAvailable()
+    def sliceFiles(slice: Long): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$base/hist/tenant_id=t/mtype=0/time_slice=$slice")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val wave1Files = sliceFiles(0L)
+    assert(wave1Files.nonEmpty)
+    // wave 2: slice 1 only (one SliceMs day later) — the refresh window
+    // must not touch slice 0's tier files
+    mem.addData(P("t", 0, "m2", H2 + 3 * H1 + 100, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(sliceFiles(0L) == wave1Files,
+      "slice-0 tier files must be byte-identical after a slice-1-only batch")
+    // drained tier == fresh batch build over the same raw
+    GraftStorage.writeRollupHist(s, s"$base/raw", s"$base/hist2",
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    val b = graft.model.Buckets.fromStep(H1, H2 + 4 * H1, H1)
+    def rows(p: String) = GraftStorage.rollupHistogram(s, p, b)
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(s"$base/hist")
+    assert(streamed == rows(s"$base/hist2"))
+    // and the counts are the expected bins: 1.0→bin0, 9.0→bin4 (hour-1
+    // bucket 0), 5.0→bin2 (hour-27 bucket 26)
+    assert(streamed == Set(
+      Seq(0L, 0L, 1L, 0.0, 2.0), Seq(0L, 4L, 1L, 8.0, 10.0),
+      Seq(26L, 2L, 1L, 4.0, 6.0)))
+  }
+
   test("streaming corpus dedup: in-batch dups collapse; a RESTART from the " +
     "checkpoint recovers the admitted-hash state and drops replayed content") {
     val s = spark

@@ -42,6 +42,7 @@ class ServiceStateHttpITest extends SparkTestBase with HttpSpecSupport {
 
   test("STARTING: data routes answer 503 while / and /status stay up " +
     "and report the live state") {
+    assert(transport.serviceState == HttpTransport.ServiceState.Starting)
     val (st, body) = call("GET", "/gauges", tenant = Some("t-state"))
     assert(st == 503, s"$st $body")
     assert(mapper.readTree(body).get("errorMsg").asText() ==
@@ -91,6 +92,8 @@ class ServiceStateHttpITest extends SparkTestBase with HttpSpecSupport {
   test("STOPPED: the service drains but the container keeps serving — " +
     "data routes 503, /status reports STOPPED") {
     transport.stopService()
+    // the programmatic state probe an embedding application would poll
+    assert(transport.serviceState == HttpTransport.ServiceState.Stopped)
     val (st, body) = call("GET", "/gauges/g1/raw", tenant = Some("t-state"))
     assert(st == 503, s"$st $body")
     assert(mapper.readTree(body).get("errorMsg").asText() ==

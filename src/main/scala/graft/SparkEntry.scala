@@ -1205,6 +1205,37 @@ object SparkEntry {
               |       max(value) AS "max", ${dsum("value")} AS sum
               |FROM b GROUP BY 1, 2""".stripMargin)),
 
+    // ---- tag-query → rollup serving: the dashboard path end-to-end —
+    // the persisted tag index resolves the expression to a request-sized
+    // id set, which broadcasts into a semi-join pruning the ROLLUP tier
+    // scan before the bucket aggregate; raw is never read ----------------
+    ("tagquery_rollup_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollup(s, s"$base/raw", s"$base/roll")
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      GraftStorage.rollupStats(s, s"$base/roll",
+        Buckets.fromStep(S, S + 4 * Day, 7200000L), byMetric = true,
+        ids = Some(ids))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |b AS (SELECT metric, t, value FROM base
+              |      WHERE t >= $S AND t < ${S + 4 * Day}
+              |        AND metric IN (SELECT metric FROM sel))
+              |SELECT metric, (t - $S) // 7200000 AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- histogram rollup tier: hour-binned value distributions, served
     // as daily heatmap buckets — integer bin counts merge associatively,
     // so the served histogram is EXACTLY valueHistogram over raw (same

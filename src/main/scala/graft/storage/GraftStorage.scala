@@ -397,13 +397,19 @@ object GraftStorage {
    * one-pass aggregate performs.
    */
   def rollupStats(spark: SparkSession, rollupPath: String,
-                  b: graft.model.Buckets, byMetric: Boolean = true): DataFrame = {
+                  b: graft.model.Buckets, byMetric: Boolean = true,
+                  ids: Option[DataFrame] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"rollup serving needs hour-aligned buckets (start=${b.start}, step=${b.step})")
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
-    val r = spark.read.parquet(rollupPath)
+    val r0 = spark.read.parquet(rollupPath)
       .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+    // optional id-set restriction (the tag-query → dashboard path): the
+    // resolved id set is request-sized, so it broadcasts into a semi-join
+    // that prunes the tier scan BEFORE the bucket aggregate
+    val r = ids.fold(r0)(i =>
+      r0.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
       .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
     val keys = if (byMetric) Seq(col("metric"), col("bucket")) else Seq(col("bucket"))
     r.groupBy(keys: _*).agg(

@@ -242,6 +242,31 @@ class StorageSpec extends SparkTestBase {
     assert(s2.length == 1 && s2.head.getAs[Long]("samples") == 1L)
   }
 
+  test("rollupStats id-set restriction: equals the unfiltered answer cut to " +
+    "the selected metrics, and the raw tier stays unread") {
+    val s = spark
+    import s.implicits._
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    GraftStorage.write(fixture(Seq(
+      ("m1", H1 + 100L, 10.0), ("m1", H1 + 200L, 20.0), ("m2", H1 + 300L, 5.0))),
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    val aligned = graft.model.Buckets.fromStep(H1, 2 * H1, H1)
+    def rows(df: DataFrame) = df
+      .select("metric", "bucket", "samples", "min", "avg", "max", "sum")
+      .collect().map(_.toSeq).toSet
+    val filtered = GraftStorage.rollupStats(spark, s"$path/roll", aligned,
+      ids = Some(Seq("m1").toDF("metric")))
+    assert(rows(filtered) ==
+      rows(GraftStorage.rollupStats(spark, s"$path/roll", aligned))
+        .filter(_.head == "m1"))
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("/roll") && !plan.contains("/raw]"),
+      s"id-filtered serving must read the tier only:\n$plan")
+  }
+
   test("histogram rollup tier: served histogram is bit-equal to valueHistogram " +
     "over resolved raw (LWW precedes, edge bins clamp); the quantile walk " +
     "composes; misaligned serve, missing meta and mismatched refresh params " +

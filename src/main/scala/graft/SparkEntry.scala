@@ -1205,6 +1205,41 @@ object SparkEntry {
               |       max(value) AS "max", ${dsum("value")} AS sum
               |FROM b GROUP BY 1, 2""".stripMargin)),
 
+    // ---- availability rollup tier: A3 hour summaries merged EXACTLY
+    // into daily buckets — leading segments reattribute to the previous
+    // hour's last state, last segments extend across empty hours, cross-
+    // hour not-up runs collapse to one start; the SLO dashboard's tier
+    // (uptime panels read hours×metrics summaries, never raw points) ----
+    ("rollup_avail_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/avroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(avail(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupAvail(s, s"$base/raw", s"$base/avroll")
+      }
+      GraftStorage.rollupAvailStats(s, s"$base/avroll", Buckets.fromStep(S, E, Day))
+        .select("metric", "bucket", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |b AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |      FROM av WHERE t >= $S AND t < $E),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t))
+              |SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |FROM seg GROUP BY metric, bucket""".stripMargin)),
+
     // ---- tag-query → rollup serving: the dashboard path end-to-end —
     // the persisted tag index resolves the expression to a request-sized
     // id set, which broadcasts into a semi-join pruning the ROLLUP tier

@@ -387,6 +387,134 @@ object GraftStorage {
   }
 
   /**
+   * Availability rollup tier — the STATE-MACHINE companion of
+   * [[writeRollup]] (sums) and [[writeRollupHist]] (distributions):
+   * per (tenant, type, slice, metric, hour), the A3 state machine's hour
+   * summary — per-state durations with the reference's per-bucket
+   * semantics applied AT HOUR GRAIN (first segment attributed from hour
+   * start, last extended to hour end,
+   * AvailabilityDataPointCollector.java:34-109) PLUS the boundary facts
+   * a larger bucket needs to merge hours exactly: first point ts/state
+   * and last point state. Unlike sums, A3 durations are NOT naively
+   * associative — an enclosing bucket reattributes each hour's leading
+   * segment to the PREVIOUS hour's last state and extends last segments
+   * across empty hours — so [[rollupAvailStats]] carries that merge and
+   * its output is EXACTLY `availabilityBucketStats` over raw
+   * (spec-pinned). At 100 TB this is the SLO dashboard's tier: uptime /
+   * burn-rate panels read hours × metrics summaries, never raw points.
+   */
+  def writeRollupAvail(spark: SparkSession, rawPath: String, availPath: String,
+                       upToSlice: Long = Long.MaxValue,
+                       fromSlice: Long = Long.MinValue): Unit = {
+    val up = graft.model.AvailabilityType.Up.code.toInt
+    val in = readResolved(spark, rawPath)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+      .filter(col("avail").isNotNull)
+      .withColumn("hour", expr(s"time div $RollupMs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .orderBy(col("time"))
+    val seg = in
+      .withColumn("rn", row_number().over(w))
+      .withColumn("seg_start",
+        when(col("rn") === 1, col("hour") * RollupMs).otherwise(col("time")))
+      .withColumn("seg_end",
+        coalesce(lead(col("time"), 1).over(w), (col("hour") + 1) * RollupMs))
+      .withColumn("dur", col("seg_end") - col("seg_start"))
+      .withColumn("prev_avail", lag(col("avail"), 1).over(w))
+    def stateMs(code: Int, name: String) =
+      coalesce(sum(when(col("avail") === code, col("dur"))), lit(0L)).as(name)
+    val roll = seg
+      .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .agg(
+        stateMs(up, "up_ms"),
+        stateMs(graft.model.AvailabilityType.Down.code.toInt, "down_ms"),
+        stateMs(graft.model.AvailabilityType.Unknown.code.toInt, "unknown_ms"),
+        stateMs(graft.model.AvailabilityType.Admin.code.toInt, "admin_ms"),
+        coalesce(max(when(col("avail") =!= up, col("seg_end"))), lit(0L))
+          .as("last_not_uptime"),
+        sum(when(col("avail") =!= up &&
+          (col("prev_avail").isNull || col("prev_avail") === up), 1L)
+          .otherwise(0L)).as("not_up_count"),
+        count(lit(1)).as("samples"),
+        min(col("time")).as("first_ts"),
+        min_by(col("avail"), col("time")).as("first_state"),
+        max_by(col("avail"), col("time")).as("last_state"))
+    refreshRollupTier(spark, roll, availPath, fromSlice, upToSlice,
+      Seq(col("metric"), col("hour")))
+  }
+
+  /**
+   * Serve A3 availability bucket stats from the hour-summary tier, for
+   * hour-aligned buckets — output EXACTLY equals
+   * [[graft.operators.MetricsOps.availabilityBucketStats]] over resolved
+   * raw. The merge reattributes boundary segments declaratively (one
+   * lag/lead window over the bucket's ≤ step/hour summaries per metric):
+   *
+   *  - the bucket's FIRST hour extends its leading segment back to the
+   *    bucket start (first-segment attribution at bucket grain);
+   *  - every LATER hour's leading span [hourStart, firstTs) moves from
+   *    its own first state to the PREVIOUS hour's last state, which also
+   *    absorbs the gap across empty hours [prevHourEnd, firstTs);
+   *  - the LAST hour extends its closing segment to the bucket end;
+   *  - a not-up run crossing an hour boundary collapses to ONE
+   *    `not_up_count` start, and an hour-end `last_not_uptime` extends
+   *    to the next hour's first point (or the bucket end).
+   */
+  def rollupAvailStats(spark: SparkSession, availPath: String,
+                       b: graft.model.Buckets): DataFrame = {
+    require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
+      s"availability tier serving needs hour-aligned buckets " +
+        s"(start=${b.start}, step=${b.step})")
+    val up = graft.model.AvailabilityType.Up.code.toInt
+    val startHour = b.start / RollupMs
+    val stepHours = b.step / RollupMs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metric"), col("bucket")).orderBy(col("hour"))
+    val h = spark.read.parquet(availPath)
+      .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+      .withColumn("hstart", col("hour") * RollupMs)
+      .withColumn("hend", (col("hour") + 1) * RollupMs)
+      .withColumn("bstart", lit(b.start) + col("bucket") * b.step)
+      .withColumn("bend", lit(b.start) + (col("bucket") + 1) * b.step)
+      .withColumn("prev_hend", (lag(col("hour"), 1).over(w) + 1) * RollupMs)
+      .withColumn("prev_last_state", lag(col("last_state"), 1).over(w))
+      .withColumn("next_first_ts", lead(col("first_ts"), 1).over(w))
+    // per-state duration adjustment: leading reattribution + gap absorb +
+    // first/last extension (each term conditioned on the state matching)
+    def adj(code: Int, stored: String) = sum(
+      col(stored)
+        + when(col("prev_last_state").isNull && col("first_state") === code,
+          col("hstart") - col("bstart")).otherwise(0L)
+        + when(col("prev_last_state").isNotNull && col("first_state") === code,
+          col("hstart") - col("first_ts")).otherwise(0L) // subtract own leading
+        + when(col("prev_last_state") === code,
+          col("first_ts") - col("prev_hend")).otherwise(0L)
+        + when(col("next_first_ts").isNull && col("last_state") === code,
+          col("bend") - col("hend")).otherwise(0L)
+    ).cast("long").as(stored)
+    h.groupBy(col("metric"), col("bucket")).agg(
+      adj(up, "up_ms"),
+      adj(graft.model.AvailabilityType.Down.code.toInt, "down_ms"),
+      adj(graft.model.AvailabilityType.Unknown.code.toInt, "unknown_ms"),
+      adj(graft.model.AvailabilityType.Admin.code.toInt, "admin_ms"),
+      // hour-end extensions roll forward to the next hour's first point
+      // (or the bucket end); inner ends stay as stored
+      coalesce(max(when(col("last_not_uptime") === col("hend"),
+        coalesce(col("next_first_ts"), col("bend")))
+        .otherwise(col("last_not_uptime"))), lit(0L)).cast("long")
+        .as("last_not_uptime"),
+      (sum(col("not_up_count"))
+        - sum(when(col("first_state") =!= up && col("prev_last_state") =!= up, 1L)
+          .otherwise(0L))).cast("long").as("not_up_count"),
+      sum(col("samples")).cast("long").as("samples")
+    ).withColumn("uptime_ratio", col("up_ms").cast("double") / lit(b.step.toDouble))
+  }
+
+  /**
    * Serve A1 bucket stats (min/avg/max/sum/samples) from the rollup
    * tier. Buckets must align to whole rollup hours — checked loudly;
    * misaligned or percentile-carrying requests belong on the raw path

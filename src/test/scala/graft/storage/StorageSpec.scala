@@ -242,6 +242,61 @@ class StorageSpec extends SparkTestBase {
     assert(s2.length == 1 && s2.head.getAs[Long]("samples") == 1L)
   }
 
+  private def availFixture(rows: Seq[(String, Long, Int)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("metric", "time", "avail")
+      .withColumn("tenant_id", lit("t"))
+      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("l_value", lit(null).cast("long"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map(lit("k"), lit("v")))
+  }
+
+  test("availability rollup tier: served buckets EXACTLY equal the A3 state " +
+    "machine over raw — leading reattribution, empty-hour gap absorption, " +
+    "cross-hour not-up runs, trailing extension") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    val D = 24 * H1 // positive bucket starts
+    // m1: hour 0 (up, then down) — hour 1 EMPTY — hour 2 (up): the down
+    //     run must absorb hour 1 and hour 2's leading span;
+    // m2: single down point in hour 3 only: bucket-leading attribution
+    //     from the bucket start plus trailing extension to the bucket end;
+    // m3: a down run CROSSING the hour-0/hour-1 boundary (one not-up
+    //     start at bucket grain, two at hour grain), recovering to up
+    val rows = Seq(
+      ("m1", D + 600L, 0), ("m1", D + 1800L, 1), ("m1", D + 2 * H1 + 100L, 0),
+      ("m2", D + 3 * H1 + 500L, 1),
+      ("m3", D + 30 * 60000L, 1), ("m3", D + H1 + 10 * 60000L, 1),
+      ("m3", D + H1 + 50 * 60000L, 0))
+    GraftStorage.write(availFixture(rows), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupAvail(spark, s"$path/raw", s"$path/avroll")
+    val cols = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
+      "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    def rowsOf(df: DataFrame) = df.select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    for (stepHours <- Seq(1, 2, 4)) {
+      val b = graft.model.Buckets.fromStep(D, D + 4 * H1, stepHours * H1)
+      val served = rowsOf(GraftStorage.rollupAvailStats(spark, s"$path/avroll", b))
+      val onRead = rowsOf(graft.operators.MetricsOps.availabilityBucketStats(
+        GraftStorage.readResolved(spark, s"$path/raw"), b))
+      assert(served == onRead, s"stepHours=$stepHours:\n$served\nvs\n$onRead")
+    }
+    // spot-pin the trickiest single number: in the 4h bucket m3 has ONE
+    // not-up start (the cross-hour down run), not two
+    val b4 = graft.model.Buckets.fromStep(D, D + 4 * H1, 4 * H1)
+    val m3 = GraftStorage.rollupAvailStats(spark, s"$path/avroll", b4)
+      .filter(col("metric") === "m3").collect().head
+    assert(m3.getAs[Long]("not_up_count") == 1L)
+    // misaligned serving is rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.rollupAvailStats(spark, s"$path/avroll",
+        graft.model.Buckets.fromStep(D + 1, D + H1 + 1, H1))
+    }
+  }
+
   test("rollupStats id-set restriction: equals the unfiltered answer cut to " +
     "the selected metrics, and the raw tier stays unread") {
     val s = spark

@@ -1240,6 +1240,53 @@ object SparkEntry {
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
               |FROM seg GROUP BY metric, bucket""".stripMargin)),
 
+    // ---- SLO burn rate served ENTIRELY from the availability tier:
+    // both the fast (daily) and slow (weekly) windows come from
+    // rollupAvailStats — hours×metrics summaries, raw never read; the
+    // burn math composes unchanged because the tier's output is exactly
+    // the A3 state machine's (same oracle as slo_burn) -------------------
+    ("rollup_slo_burn", (s: SparkSession, d: String) => {
+      val base = "target/tmp/avroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(avail(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupAvail(s, s"$base/raw", s"$base/avroll")
+      }
+      MetricsOps.sloBurnFrom(GraftStorage.rollupAvailStats(s, s"$base/avroll", _),
+        Buckets.fromStep(S, S + 28L * Day, Day), slowStepMs = 7L * Day,
+        objective = 0.95)
+    },
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |bf AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |       FROM av WHERE t >= $S AND t < ${S + 28L * Day}),
+              |segf AS (SELECT metric, bucket, avail,
+              |           CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |           coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end
+              |         FROM bf WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |uf AS (SELECT metric, bucket,
+              |         CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE)
+              |           / 86400000.0 AS uptime_fast
+              |       FROM segf GROUP BY 1, 2),
+              |bs AS (SELECT metric, t, avail, (t - $S) // ${7L * Day} AS bucket
+              |       FROM av WHERE t >= $S AND t < ${S + 28L * Day}),
+              |segs AS (SELECT metric, bucket, avail,
+              |           CASE WHEN row_number() OVER w = 1 THEN $S + bucket * ${7L * Day} ELSE t END AS seg_start,
+              |           coalesce(lead(t) OVER w, $S + (bucket + 1) * ${7L * Day}) AS seg_end
+              |         FROM bs WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |us AS (SELECT metric, bucket AS slow_bucket,
+              |         CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE)
+              |           / 604800000.0 AS uptime_slow
+              |       FROM segs GROUP BY 1, 2),
+              |j AS (SELECT f.metric, f.bucket, f.bucket // 7 AS slow_bucket,
+              |        uptime_fast, uptime_slow
+              |      FROM uf f JOIN us s ON s.metric = f.metric AND s.slow_bucket = f.bucket // 7)
+              |SELECT metric, bucket, slow_bucket,
+              |  round(uptime_fast, 6) AS uptime_fast, round(uptime_slow, 6) AS uptime_slow,
+              |  round((1.0 - uptime_fast) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)), 6) AS burn_fast,
+              |  round((1.0 - uptime_slow) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)), 6) AS burn_slow,
+              |  ((1.0 - uptime_fast) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) >= 1.0 AND
+              |   (1.0 - uptime_slow) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) >= 1.0) AS alert
+              |FROM j""".stripMargin)),
+
     // ---- tag-query → rollup serving: the dashboard path end-to-end —
     // the persisted tag index resolves the expression to a request-sized
     // id set, which broadcasts into a semi-join pruning the ROLLUP tier

@@ -872,7 +872,16 @@ object MetricsOps {
    * answer is wanted).
    */
   def sloBurn(dp: DataFrame, fast: Buckets, slowStepMs: Long, objective: Double,
-              threshold: Double = 1.0): DataFrame = {
+              threshold: Double = 1.0): DataFrame =
+    sloBurnFrom(availabilityBucketStats(dp, _), fast, slowStepMs, objective, threshold)
+
+  /** [[sloBurn]] over a pluggable A3 stats provider — the hook that lets
+    * the availability ROLLUP tier serve both windows
+    * ([[graft.storage.GraftStorage.rollupAvailStats]] output is exactly
+    * `availabilityBucketStats` over raw, so the burn math composes
+    * unchanged; at 100 TB both passes read hours×metrics summaries). */
+  def sloBurnFrom(stats: Buckets => DataFrame, fast: Buckets, slowStepMs: Long,
+                  objective: Double, threshold: Double = 1.0): DataFrame = {
     require(objective > 0 && objective < 1, s"objective must be in (0,1), got $objective")
     require(slowStepMs % fast.step == 0 && slowStepMs > fast.step,
       s"slowStepMs $slowStepMs must be a strict multiple of the fast step ${fast.step}")
@@ -882,10 +891,10 @@ object MetricsOps {
     val ratio = slowStepMs / fast.step
     def burn(uptime: Column): Column =
       (lit(1.0) - uptime) / (lit(1.0) - lit(objective))
-    val f = availabilityBucketStats(dp, fast)
+    val f = stats(fast)
       .select(col("metric"), col("bucket"), col("uptime_ratio").as("uptime_fast"))
       .withColumn("slow_bucket", floor(col("bucket") / lit(ratio)))
-    val sl = availabilityBucketStats(dp, slow)
+    val sl = stats(slow)
       .select(col("metric"), col("bucket").as("slow_bucket"),
         col("uptime_ratio").as("uptime_slow"))
     f.join(sl, Seq("metric", "slow_bucket"))

@@ -1287,6 +1287,29 @@ object SparkEntry {
               |   (1.0 - uptime_slow) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) >= 1.0) AS alert
               |FROM j""".stripMargin)),
 
+    // ---- counter rollup tier: within-hour increases + boundary values
+    // merged into the whole-range reset-aware accounting — one boundary
+    // delta per consecutive non-empty hour pair; the "requests this
+    // month" panel off hours×metrics summaries, raw never read ----------
+    ("rollup_counter_increase", (s: SparkSession, d: String) => {
+      val base = "target/tmp/ctrroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupCounter(s, s"$base/raw", s"$base/ctrroll")
+      }
+      GraftStorage.rollupCounterIncrease(s, s"$base/ctrroll", TimeRange(S, E))
+        .select(col("metric"), col("increase"), col("n_resets"), col("n_deltas"))
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, l_value - lag(l_value) OVER w AS delta
+              |      FROM ctr WHERE t >= $S AND t < $E
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric,
+              |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS increase,
+              |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+              |       CAST(count(delta) AS BIGINT) AS n_deltas
+              |FROM r WHERE delta IS NOT NULL GROUP BY 1""".stripMargin)),
+
     // ---- tag-query → rollup serving: the dashboard path end-to-end —
     // the persisted tag index resolves the expression to a request-sized
     // id set, which broadcasts into a semi-join pruning the ROLLUP tier

@@ -515,6 +515,77 @@ object GraftStorage {
   }
 
   /**
+   * Counter rollup tier — the MONOTONE-COUNTER companion of the other
+   * rollups: per (tenant, type, slice, metric, hour), the within-hour
+   * reset-aware increase (Σ positive deltas), reset count, delta count,
+   * plus the BOUNDARY values a larger range needs to merge hours
+   * exactly — the hour's first and last counter values. An enclosing
+   * range's increase is Σ hour increases + Σ positive boundary deltas
+   * (consecutive non-empty hours' last→first), resets and delta counts
+   * merge the same way, so [[rollupCounterIncrease]] output is EXACTLY
+   * `counterIncrease` over raw (spec-pinned + oracled). At 100 TB the
+   * "requests this month" panel reads hours × metrics summaries.
+   */
+  def writeRollupCounter(spark: SparkSession, rawPath: String, ctrPath: String,
+                         upToSlice: Long = Long.MaxValue,
+                         fromSlice: Long = Long.MinValue): Unit = {
+    val in = readResolved(spark, rawPath)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+      .filter(col("l_value").isNotNull)
+      .withColumn("hour", expr(s"time div $RollupMs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .orderBy(col("time"))
+    val roll = in
+      .withColumn("delta", col("l_value") - lag(col("l_value"), 1).over(w))
+      .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .agg(
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L))
+          .cast("long").as("increase"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).cast("long").as("n_resets"),
+        count(col("delta")).as("n_deltas"),
+        min_by(col("l_value"), col("time")).as("first_val"),
+        max_by(col("l_value"), col("time")).as("last_val"),
+        count(lit(1)).as("samples"))
+    refreshRollupTier(spark, roll, ctrPath, fromSlice, upToSlice,
+      Seq(col("metric"), col("hour")))
+  }
+
+  /**
+   * Serve whole-range counter increase/reset accounting from the hour
+   * tier — output EXACTLY equals
+   * [[graft.operators.MetricsOps.counterIncrease]] over resolved raw for
+   * hour-aligned ranges: within-hour sums re-aggregate, and each pair of
+   * consecutive non-empty hours contributes ONE boundary delta
+   * (prev.last → curr.first), positive into the increase, negative into
+   * the reset count (one lag window over hours × metrics rows).
+   */
+  def rollupCounterIncrease(spark: SparkSession, ctrPath: String,
+                            range: graft.model.TimeRange): DataFrame = {
+    require(range.start % RollupMs == 0 && range.end % RollupMs == 0,
+      s"counter tier serving needs hour-aligned ranges " +
+        s"(start=${range.start}, end=${range.end})")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("hour"))
+    spark.read.parquet(ctrPath)
+      .filter(col("hour") >= range.start / RollupMs &&
+        col("hour") < range.end / RollupMs)
+      .withColumn("bdelta", col("first_val") - lag(col("last_val"), 1).over(w))
+      .groupBy(col("tenant_id"), col("mtype"), col("metric"))
+      .agg(
+        (sum(col("increase")) +
+          sum(when(col("bdelta") > 0, col("bdelta")).otherwise(0L)))
+          .cast("long").as("increase"),
+        (sum(col("n_resets")) +
+          sum(when(col("bdelta") < 0, 1L).otherwise(0L)))
+          .cast("long").as("n_resets"),
+        (sum(col("n_deltas")) + count(col("bdelta"))).cast("long").as("n_deltas"))
+  }
+
+  /**
    * Serve A1 bucket stats (min/avg/max/sum/samples) from the rollup
    * tier. Buckets must align to whole rollup hours — checked loudly;
    * misaligned or percentile-carrying requests belong on the raw path

@@ -297,6 +297,53 @@ class StorageSpec extends SparkTestBase {
     }
   }
 
+  private def ctrFixture(rows: Seq[(String, Long, Long)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("metric", "time", "l_value")
+      .withColumn("tenant_id", lit("t"))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map(lit("k"), lit("v")))
+  }
+
+  test("counter rollup tier: served increase/reset accounting EXACTLY equals " +
+    "counterIncrease over raw — boundary deltas across hours (and empty " +
+    "hours), resets at hour boundaries, single-point hours") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    val D = 24 * H1
+    // m1: rises within hour 0, RESET at the hour-0/1 boundary, rises in
+    //     hour 1, then an empty hour and a positive boundary delta into
+    //     hour 3 (single point — no internal deltas);
+    // m2: single hour only (merge must add nothing)
+    val rows = Seq(
+      ("m1", D + 100L, 10L), ("m1", D + 200L, 25L),            // +15
+      ("m1", D + H1 + 100L, 5L), ("m1", D + H1 + 200L, 30L),   // reset, +25
+      ("m1", D + 3 * H1 + 100L, 42L),                          // boundary +12
+      ("m2", D + 2 * H1 + 100L, 7L), ("m2", D + 2 * H1 + 200L, 3L)) // reset
+    GraftStorage.write(ctrFixture(rows), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupCounter(spark, s"$path/raw", s"$path/ctrroll")
+    val range = graft.model.TimeRange(D, D + 4 * H1)
+    def rowsOf(df: DataFrame) = df
+      .select("metric", "increase", "n_resets", "n_deltas")
+      .collect().map(_.toSeq).toSet
+    val served = rowsOf(GraftStorage.rollupCounterIncrease(spark, s"$path/ctrroll", range))
+    val onRead = rowsOf(graft.operators.MetricsOps.counterIncrease(
+      GraftStorage.readResolved(spark, s"$path/raw"), range))
+    assert(served == onRead, s"$served vs $onRead")
+    // pin the numbers: m1 increase 15+25+12=52, 1 reset (boundary 25→5),
+    // deltas 1+1 internal + 2 boundary = 4; m2: 0 increase, 1 reset, 1 delta
+    assert(served == Set(Seq("m1", 52L, 1L, 4L), Seq("m2", 0L, 1L, 1L)))
+    // misaligned range rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.rollupCounterIncrease(spark, s"$path/ctrroll",
+        graft.model.TimeRange(D + 1, D + H1 + 1))
+    }
+  }
+
   test("rollupStats id-set restriction: equals the unfiltered answer cut to " +
     "the selected metrics, and the raw tier stays unread") {
     val s = spark

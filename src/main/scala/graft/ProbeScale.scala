@@ -19,10 +19,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object ProbeScale {
 
-  private def rmrf(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  private def rmrf(s: SparkSession, path: String): Unit =
+    graft.storage.IndexStore.rmrf(s, path)
 
   private def scaledGauge(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val g = EventsAdapter.gaugePoints(spark, dir)
@@ -557,6 +555,47 @@ object ProbeScale {
         graft.storage.GraftStorage.rollupHistogram(spark, s"$p/hist", b), 0.95)
         .write.format("noop").mode("overwrite").save()
       println(f"rollhist_serve_q95     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    if (only.isEmpty || only("rollup_avail")) {
+      // availability tier at raw n× (replicated metric spaces): build is
+      // one windowed pass over raw; the serve MERGE reads hours×metrics
+      // summaries and must stay near-flat in raw density
+      val av = EventsAdapter.availabilityPoints(spark, dir)
+      val scaled = (0 until n).map(i =>
+        av.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      val p = "target/tmp/probe-avroll"
+      rmrf(spark, p)
+      graft.storage.GraftStorage.write(scaled, s"$p/raw",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      var t0 = System.nanoTime()
+      graft.storage.GraftStorage.writeRollupAvail(spark, s"$p/raw", s"$p/roll")
+      println(f"avroll_build           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.GraftStorage.rollupAvailStats(spark, s"$p/roll",
+        Buckets.fromStep(S, E, 86400000L))
+        .write.format("noop").mode("overwrite").save()
+      println(f"avroll_serve           ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    if (only.isEmpty || only("rollup_counter")) {
+      // counter tier at raw n×: same posture — the serve's boundary-delta
+      // window runs over hours×metrics rows only
+      val ct = EventsAdapter.counterPoints(spark, dir)
+      val scaled = (0 until n).map(i =>
+        ct.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      val p = "target/tmp/probe-ctrroll"
+      rmrf(spark, p)
+      graft.storage.GraftStorage.write(scaled, s"$p/raw",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      var t0 = System.nanoTime()
+      graft.storage.GraftStorage.writeRollupCounter(spark, s"$p/raw", s"$p/roll")
+      println(f"ctrroll_build          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.GraftStorage.rollupCounterIncrease(spark, s"$p/roll",
+        graft.model.TimeRange(S, E))
+        .write.format("noop").mode("overwrite").save()
+      println(f"ctrroll_serve          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     if (only.isEmpty || only("pca_fit")) {
       // PCA fit at corpus n×: the Gram build is one scan with a fixed

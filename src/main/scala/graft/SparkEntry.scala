@@ -201,10 +201,8 @@ object SparkEntry {
 
   /** Recursive delete of a lifecycle query's scratch dir (streaming
     * checkpoints must not survive across bench/verify runs). */
-  private def rmrf(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  private def rmrf(s: SparkSession, path: String): Unit =
+    graft.storage.IndexStore.rmrf(s, path)
 
   /** Backdate every file under `dir` by a minute: the file streaming
     * source orders micro-batches by modification time with arbitrary tie
@@ -1970,9 +1968,6 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }, Some(IvfKmeansOracle)),
 
-    // ---- LLM: incremental IVF maintenance — train + build WITHOUT a
-    // held-out slice, append it with the STORED model (no retrain), then
-    // serve: appended vectors flow through the same DPP-pruned read -----
     // ---- LLM: IVF RETRAIN — the maintenance response to drift: build on
     // a subset, fold the rest in with the stale model, then retrain on
     // the stored corpus. The store must come out INDISTINGUISHABLE from
@@ -1991,6 +1986,9 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }, Some(IvfKmeansOracle)),
 
+    // ---- LLM: incremental IVF maintenance — train + build WITHOUT a
+    // held-out slice, append it with the STORED model (no retrain), then
+    // serve: appended vectors flow through the same DPP-pruned read -----
     ("knn_ivf_appended", (s: SparkSession, d: String) => {
       val path = "target/tmp/ivfapp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       rmrf(s, path)

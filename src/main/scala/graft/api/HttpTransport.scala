@@ -193,8 +193,12 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
       // matching-time 406/415s. "/" and /status stay reachable in every
       // state — the status page is how operators watch the service come
       // up (the reference exempts StatusHandler.PATH and
-      // BaseHandler.PATH by prefix).
-      if (segs.nonEmpty && segs.head != "status") state.get match {
+      // BaseHandler.PATH by prefix) — and so does this table's extra
+      // /admin/status meta route, which exists to report that state
+      // (still admin-token-guarded above when a token is configured).
+      val stateExempt = segs.isEmpty || segs.head == "status" ||
+        segs == List("admin", "status")
+      if (!stateExempt) state.get match {
         case ServiceState.Started => ()
         case ServiceState.Starting =>
           respond(ex, 503, errorJson("Service unavailable while initializing."))

@@ -471,8 +471,12 @@ object GraftStorage {
     val up = graft.model.AvailabilityType.Up.code.toInt
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
+    // tenant/type ride the keys: a multi-tenant tier holding the same
+    // metric name for two tenants must never interleave their hour
+    // timelines (the counter tier's posture)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("metric"), col("bucket")).orderBy(col("hour"))
+      .partitionBy(col("tenant_id"), col("mtype"), col("metric"), col("bucket"))
+      .orderBy(col("hour"))
     val h = spark.read.parquet(availPath)
       .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
       .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
@@ -496,7 +500,7 @@ object GraftStorage {
         + when(col("next_first_ts").isNull && col("last_state") === code,
           col("bend") - col("hend")).otherwise(0L)
     ).cast("long").as(stored)
-    h.groupBy(col("metric"), col("bucket")).agg(
+    h.groupBy(col("tenant_id"), col("mtype"), col("metric"), col("bucket")).agg(
       adj(up, "up_ms"),
       adj(graft.model.AvailabilityType.Down.code.toInt, "down_ms"),
       adj(graft.model.AvailabilityType.Unknown.code.toInt, "unknown_ms"),

@@ -98,14 +98,20 @@ object IndexStore {
   /** A dynamic partitionBy of an EMPTY frame emits no part files at all
     * (only _SUCCESS), and a table with no schema-bearing footer fails
     * every subsequent read — bricking the store the moment a purge drops
-    * the last row. Land one empty footer inside a synthetic partition
-    * dir instead: readers infer the partition column from the dir name,
-    * later appends nest at the same depth. */
-  private def writeCompactTmp(out: DataFrame, tmp: String, partCol: String): Unit =
-    if (out.isEmpty)
+    * the last row. The empty case is detected from the WRITTEN output
+    * (an `isEmpty` probe up front would execute the whole compaction
+    * plan a second time just to check); when it hits, land one empty
+    * footer inside a synthetic partition dir: readers infer the
+    * partition column from the dir name, later appends nest at the same
+    * depth. */
+  private def writeCompactTmp(out: DataFrame, tmp: String, partCol: String): Unit = {
+    out.repartition(col(partCol)).write.partitionBy(partCol).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(out.sparkSession.sparkContext.hadoopConfiguration)
+    val wroteRows = fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$partCol="))
+    if (!wroteRows)
       out.drop(partCol).coalesce(1).write.parquet(s"$tmp/$partCol=0")
-    else
-      out.repartition(col(partCol)).write.partitionBy(partCol).parquet(tmp)
+  }
 
   // ---- delete tombstones (primitive 6) — the takedown discipline shared
   // by all four persisted indexes: the delete APPENDS key rows to a side
@@ -160,6 +166,15 @@ object IndexStore {
     * already-purged data: harmless, the next compaction finishes). */
   def dropDeletes(spark: SparkSession, path: String, table: String): Unit =
     clearSideTables(spark, path, Seq(table))
+
+  /** Recursive directory delete — the one definition of the
+    * clear-before-rebuild primitive (query fixtures, probes, and
+    * [[clearSideTables]] all need it; keeping one copy keeps
+    * recursive-delete semantics in one place). */
+  def rmrf(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Remove a store's side tables (tombstones / deleted-id dirs) — the
     * REBUILD hook: [[graft.storage.TagIndex.write]]-style overwrites

@@ -48,9 +48,13 @@ class ServiceStateHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(mapper.readTree(body).get("errorMsg").asText() ==
       "Service unavailable while initializing.", body)
     // exempt routes (the reference exempts StatusHandler.PATH and
-    // BaseHandler.PATH): both 200, status reports STARTING
+    // BaseHandler.PATH; /admin/status exists to report the state, so it
+    // is exempt too): all 200, both status routes report STARTING
     assert(call("GET", "/")._1 == 200)
     assert(statusField() == "STARTING")
+    val (stA, bodyA) = call("GET", "/admin/status")
+    assert(stA == 200, s"$stA $bodyA")
+    assert(mapper.readTree(bodyA).get("MetricsService").asText() == "STARTING", bodyA)
   }
 
   test("STARTING: the tenant filter (priority 10) fires before the " +

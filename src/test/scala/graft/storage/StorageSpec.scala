@@ -272,23 +272,30 @@ class StorageSpec extends SparkTestBase {
       ("m3", D + 30 * 60000L, 1), ("m3", D + H1 + 10 * 60000L, 1),
       ("m3", D + H1 + 50 * 60000L, 0))
     GraftStorage.write(availFixture(rows), s"$path/raw", SaveMode.Overwrite)
+    // a second tenant carrying the SAME metric names but a shifted point
+    // set — the tier serve must never interleave tenants' hour timelines
+    GraftStorage.write(
+      availFixture(rows.map { case (m, t, a) => (m, t + 777L, if (a == 0) 1 else 0) })
+        .withColumn("tenant_id", lit("t2")), s"$path/raw")
     GraftStorage.writeRollupAvail(spark, s"$path/raw", s"$path/avroll")
     val cols = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
       "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
     def rowsOf(df: DataFrame) = df.select(cols.map(col): _*)
       .collect().map(_.toSeq).toSet
-    for (stepHours <- Seq(1, 2, 4)) {
+    for (stepHours <- Seq(1, 2, 4); tenant <- Seq("t", "t2")) {
       val b = graft.model.Buckets.fromStep(D, D + 4 * H1, stepHours * H1)
-      val served = rowsOf(GraftStorage.rollupAvailStats(spark, s"$path/avroll", b))
+      val served = rowsOf(GraftStorage.rollupAvailStats(spark, s"$path/avroll", b)
+        .filter(col("tenant_id") === tenant))
       val onRead = rowsOf(graft.operators.MetricsOps.availabilityBucketStats(
-        GraftStorage.readResolved(spark, s"$path/raw"), b))
-      assert(served == onRead, s"stepHours=$stepHours:\n$served\nvs\n$onRead")
+        GraftStorage.readResolved(spark, s"$path/raw")
+          .filter(col("tenant_id") === tenant), b))
+      assert(served == onRead, s"stepHours=$stepHours tenant=$tenant:\n$served\nvs\n$onRead")
     }
     // spot-pin the trickiest single number: in the 4h bucket m3 has ONE
     // not-up start (the cross-hour down run), not two
     val b4 = graft.model.Buckets.fromStep(D, D + 4 * H1, 4 * H1)
     val m3 = GraftStorage.rollupAvailStats(spark, s"$path/avroll", b4)
-      .filter(col("metric") === "m3").collect().head
+      .filter(col("metric") === "m3" && col("tenant_id") === "t").collect().head
     assert(m3.getAs[Long]("not_up_count") == 1L)
     // misaligned serving is rejected loudly
     intercept[IllegalArgumentException] {

@@ -1701,6 +1701,45 @@ object SparkEntry {
               |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
               |FROM a GROUP BY 1, 2""".stripMargin)),
 
+    // ---- §2.9: streaming ingest WITH availability-tier maintenance —
+    // the generic per-batch slice-span refresh hook wired to the A3
+    // hour-summary tier; the drained tier serves daily buckets that
+    // EXACTLY equal the state machine over the streamed week ------------
+    ("streaming_rollup_avail", (s: SparkSession, d: String) => {
+      val base = "target/tmp/stavroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val q = graft.streaming.StreamingIngest.startWithTierRefresh(
+        ea.availabilityPointsStream(s, d).filter(col("time") < Week),
+        s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
+        GraftStorage.writeRollupAvail(sp, s"$base/raw", s"$base/avroll",
+          fromSlice = lo, upToSlice = hi)
+      }
+      q.awaitTermination()
+      GraftStorage.rollupAvailStats(s, s"$base/avroll",
+        Buckets.fromStep(S, Week, Day))
+        .select("metric", "bucket", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |b AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |      FROM av WHERE t >= $S AND t < $Week),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t))
+              |SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |FROM seg GROUP BY metric, bucket""".stripMargin)),
+
     // ---- §2.9: streaming rate derivation (W1 as a continuous query) —
     // stateful flatMapGroupsWithState pairing must agree with the batch
     // rate oracle (same pairwise formula, same operand order → bit-exact) --

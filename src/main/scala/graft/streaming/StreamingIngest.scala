@@ -59,21 +59,22 @@ object StreamingIngest {
       }
       .start()
 
-  /** Ingest + histogram-tier maintenance in ONE continuous query: each
-    * micro-batch lands in the raw tier, then refreshes the DISTRIBUTION
-    * rollup ([[GraftStorage.writeRollupHist]]) for exactly the slice
-    * span it touched — the windowed-refresh discipline in streaming
-    * form: a batch re-aggregates its own slices from RESOLVED raw,
-    * slices outside the span keep byte-identical tier files. At-least-
-    * once replay is safe end-to-end: raw replays collapse by LWW, and
-    * the tier refresh re-DERIVES from resolved raw, so a replayed
-    * refresh rewrites the same counts (idempotent by construction, the
-    * same posture as the IVF/BM25 streaming maintainers). */
-  def startWithHistTier(points: DataFrame, rawPath: String, histPath: String,
-                        checkpoint: String,
-                        vMin: Double, vMax: Double, bins: Int,
-                        lateness: String = "2 hours",
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+  /** Ingest + rollup-tier maintenance in ONE continuous query: each
+    * micro-batch lands in the raw tier, then `refresh` rebuilds the
+    * derived tier(s) for exactly the slice span the batch touched — the
+    * windowed-refresh discipline in streaming form: a batch
+    * re-aggregates its own slices from RESOLVED raw, slices outside the
+    * span keep byte-identical tier files. At-least-once replay is safe
+    * end-to-end: raw replays collapse by LWW, and the tier refresh
+    * re-DERIVES from resolved raw, so a replayed refresh rewrites the
+    * same values (idempotent by construction, the same posture as the
+    * IVF/BM25 streaming maintainers). `refresh(spark, fromSlice,
+    * upToSlice)` is any composition of the GraftStorage tier builders. */
+  def startWithTierRefresh(points: DataFrame, rawPath: String, checkpoint: String,
+                           lateness: String = "2 hours",
+                           trigger: Trigger = Trigger.AvailableNow())
+                          (refresh: (org.apache.spark.sql.SparkSession, Long, Long) => Unit)
+  : StreamingQuery =
     points
       .withColumn("event_time", timestamp_millis(col("time")))
       .withWatermark("event_time", lateness)
@@ -91,11 +92,22 @@ object StreamingIngest {
         val span = GraftStorage.withSlice(b)
           .agg(min(col("time_slice")), max(col("time_slice"))).head()
         if (!span.isNullAt(0))
-          GraftStorage.writeRollupHist(b.sparkSession, rawPath, histPath,
-            vMin, vMax, bins,
-            fromSlice = span.getLong(0), upToSlice = span.getLong(1) + 1)
+          refresh(b.sparkSession, span.getLong(0), span.getLong(1) + 1)
       }
       .start()
+
+  /** [[startWithTierRefresh]] wired to the histogram (distribution)
+    * rollup tier. */
+  def startWithHistTier(points: DataFrame, rawPath: String, histPath: String,
+                        checkpoint: String,
+                        vMin: Double, vMax: Double, bins: Int,
+                        lateness: String = "2 hours",
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startWithTierRefresh(points, rawPath, checkpoint, lateness, trigger) {
+      (s, lo, hi) =>
+        GraftStorage.writeRollupHist(s, rawPath, histPath, vMin, vMax, bins,
+          fromSlice = lo, upToSlice = hi)
+    }
 
   /**
    * Rows dropped as too-late by the watermark across a query's reported

@@ -1393,6 +1393,45 @@ object SparkEntry {
               |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
               |FROM p WHERE rn = 1""".stripMargin)),
 
+    // ---- tag-query → p95 from the distribution tier: the tag index
+    // resolves the id set, which prunes the HISTOGRAM tier scan before
+    // the (bucket, bin) merge; the quantile walk runs over the filtered
+    // counts — a tag-scoped percentile dashboard with raw never read ----
+    ("tagquery_rollup_quantile", (s: SparkSession, d: String) => {
+      val base = "target/tmp/taghist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupHist(s, s"$base/raw", s"$base/hist",
+          vMin = 0.0, vMax = 500.0, bins = 20)
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      MetricsOps.histogramQuantile(
+        GraftStorage.rollupHistogram(s, s"$base/hist",
+          Buckets.fromStep(S, E, Day), ids = Some(ids)),
+        q = 0.95)
+    },
+      Some(s"""WITH $BaseCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |a AS (SELECT (t - $S) // ${Day} AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= $S AND t < $E
+              |        AND metric IN (SELECT metric FROM sel)),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM a GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.95 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target)
+              |SELECT bucket, total,
+              |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |FROM p WHERE rn = 1""".stripMargin)),
+
     // ---- S9: metric delete — partition-scoped rewrite --------------------
     ("storage_delete", (s: SparkSession, d: String) => {
       val path = "target/tmp/delete_" + d.replaceAll("[^a-zA-Z0-9]", "_")

@@ -368,7 +368,8 @@ object GraftStorage {
    * `MetricsOps.histogramQuantile` for percentile serving.
    */
   def rollupHistogram(spark: SparkSession, histPath: String,
-                      b: graft.model.Buckets): DataFrame = {
+                      b: graft.model.Buckets,
+                      ids: Option[DataFrame] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"histogram tier serving needs hour-aligned buckets " +
         s"(start=${b.start}, step=${b.step})")
@@ -377,8 +378,13 @@ object GraftStorage {
     val width = (vMax - vMin) / bins
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
-    spark.read.parquet(histPath)
+    val h0 = spark.read.parquet(histPath)
       .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+    // optional id-set restriction (the tag-query → p95 dashboard path):
+    // request-sized id set, broadcast semi-join pruning the tier scan
+    // before the (bucket, bin) merge — rollupStats' posture
+    ids.fold(h0)(i =>
+      h0.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
       .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
       .groupBy(col("bucket"), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))

@@ -1285,6 +1285,32 @@ object SparkEntry {
               |   (1.0 - uptime_slow) / (CAST(1.0 AS DOUBLE) - CAST(0.95 AS DOUBLE)) >= 1.0) AS alert
               |FROM j""".stripMargin)),
 
+    // ---- retention on the rollup tier: the TTL sweep is layout-generic
+    // (slice-partitioned dirs), so the SAME metadata-only drop that ages
+    // raw out ages the tier's matching slices — a full-span dashboard
+    // request afterwards answers exactly the retained days -------------
+    ("rollup_retention", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rollret_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollup(s, s"$base/raw", s"$base/roll")
+      }
+      // idempotent: on a prebuilt store the expired set is already empty
+      GraftStorage.dropExpiredSlices(s, s"$base/raw", retentionDays = 10, now = E)
+      GraftStorage.dropExpiredSlices(s, s"$base/roll", retentionDays = 10, now = E)
+      GraftStorage.rollupStats(s, s"$base/roll", Buckets.fromStep(S, E, Day))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base
+              |      WHERE t >= ${E - 10 * Day} AND t < $E)
+              |SELECT metric, (t - $S) // $Day AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- counter rollup tier: within-hour increases + boundary values
     // merged into the whole-range reset-aware accounting — one boundary
     // delta per consecutive non-empty hour pair; the "requests this

@@ -351,6 +351,40 @@ class StorageSpec extends SparkTestBase {
     }
   }
 
+  test("tier retention: dropExpiredSlices ages rollup slices out like raw — " +
+    "expired tier dirs physically gone, retained ones byte-identical, " +
+    "in-window serving unchanged") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    GraftStorage.write(fixture(Seq(
+      ("m1", 100L, 1.0),                 // slice 0 — expires
+      ("m1", H2 + H1 + 100L, 5.0),       // slice 1 — retained
+      ("m2", H2 + 2 * H1 + 50L, 7.0))),  // slice 1 — retained
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    def sliceDir(s: Long) = new java.io.File(
+      s"$path/roll/tenant_id=t/mtype=0/time_slice=$s")
+    def files(s: Long) = sliceDir(s).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val retained = files(1L)
+    val b = graft.model.Buckets.fromStep(H2 + H1, H2 + 3 * H1, H1)
+    val before = GraftStorage.rollupStats(spark, s"$path/roll", b)
+      .collect().map(_.toSeq).toSet
+    // retention: now = end of slice 2's day, keep 1 day → slice 0 expires
+    val dropped = GraftStorage.dropExpiredSlices(spark, s"$path/roll",
+      retentionDays = 1, now = 2 * H2)
+    assert(dropped == Seq(0L))
+    assert(!sliceDir(0L).exists(), "expired tier slice must be physically gone")
+    assert(files(1L) == retained, "retained tier files must be byte-identical")
+    assert(GraftStorage.rollupStats(spark, s"$path/roll", b)
+      .collect().map(_.toSeq).toSet == before,
+      "in-window serving must be unchanged by the TTL sweep")
+    // idempotent: a second sweep finds nothing
+    assert(GraftStorage.dropExpiredSlices(spark, s"$path/roll",
+      retentionDays = 1, now = 2 * H2).isEmpty)
+  }
+
   test("rollupStats id-set restriction: equals the unfiltered answer cut to " +
     "the selected metrics, and the raw tier stays unread") {
     val s = spark

@@ -145,6 +145,84 @@ class DifferentialPropertySpec extends SparkTestBase {
     }
   }
 
+  // ---- rollup-tier merges vs the raw-path operators: the raw operators
+  // are DuckDB-oracled elsewhere, so these pin the TIER MERGE logic
+  // (boundary reattribution, empty-hour absorption, boundary deltas)
+  // over adversarial random inputs — sparse hours, random states/values,
+  // hour-edge collisions — at several enclosing widths.
+
+  private def canonicalPoints(rows: Seq[(String, Long, Option[Double], Option[Long], Option[Int])]) = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    rows.toDF("metric", "time", "n_value", "l_value", "avail")
+      .withColumn("tenant_id", lit("t"))
+      .withColumn("mtype", lit(0))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map(lit("k"), lit("v")))
+  }
+
+  test("availability tier merge agrees with the A3 state machine over random " +
+    "sparse multi-hour series at several bucket widths") {
+    import graft.storage.GraftStorage
+    val H1 = GraftStorage.RollupMs
+    val D = 24 * H1
+    val path = java.nio.file.Files.createTempDirectory("graft-avprop").toString
+    val pts = (0 until 4).flatMap { m =>
+      // sparse: each metric populates a random subset of the 8 hours,
+      // with hour-edge-adjacent timestamps in the mix
+      (1 to 50).map { _ =>
+        val t = D + rnd.nextInt(8) * H1 +
+          Seq(0L, 1L, H1 - 1, rnd.nextInt(H1.toInt).toLong)(rnd.nextInt(4))
+        (s"m$m", t, None: Option[Double], None: Option[Long],
+          Some(rnd.nextInt(4)): Option[Int])
+      }
+    }.groupBy(p => (p._1, p._2)).map(_._2.head).toSeq // unique (metric, time)
+    GraftStorage.write(canonicalPoints(pts), s"$path/raw",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    GraftStorage.writeRollupAvail(spark, s"$path/raw", s"$path/roll")
+    val cols = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
+      "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    for (stepHours <- Seq(1, 2, 4, 8)) {
+      val b = graft.model.Buckets.fromStep(D, D + 8 * H1, stepHours * H1)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().map(_.toSeq).toSet
+      val served = rows(GraftStorage.rollupAvailStats(spark, s"$path/roll", b))
+      val onRead = rows(MetricsOps.availabilityBucketStats(
+        GraftStorage.readResolved(spark, s"$path/raw"), b))
+      assert(served == onRead, s"stepHours=$stepHours")
+    }
+  }
+
+  test("counter tier merge agrees with counterIncrease over random resetting " +
+    "sparse series") {
+    import graft.storage.GraftStorage
+    val H1 = GraftStorage.RollupMs
+    val D = 24 * H1
+    val path = java.nio.file.Files.createTempDirectory("graft-ctrprop").toString
+    val pts = (0 until 4).flatMap { m =>
+      (1 to 60).map { _ =>
+        val t = D + rnd.nextInt(8) * H1 +
+          Seq(0L, 1L, H1 - 1, rnd.nextInt(H1.toInt).toLong)(rnd.nextInt(4))
+        // random values dip randomly → organic resets at random positions
+        (s"m$m", t, None: Option[Double],
+          Some(rnd.nextInt(1000).toLong): Option[Long], None: Option[Int])
+      }
+    }.groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    GraftStorage.write(canonicalPoints(pts), s"$path/raw",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    GraftStorage.writeRollupCounter(spark, s"$path/raw", s"$path/roll")
+    val range = graft.model.TimeRange(D, D + 8 * H1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("metric", "increase", "n_resets", "n_deltas")
+        .collect().map(_.toSeq).toSet
+    val served = rows(GraftStorage.rollupCounterIncrease(spark, s"$path/roll", range))
+    val onRead = rows(MetricsOps.counterIncrease(
+      GraftStorage.readResolved(spark, s"$path/raw"), range, valueCol = "l_value"))
+    assert(served == onRead)
+  }
+
   test("changePoints agrees with a naive double-window scan (random series)") {
     val s = spark
     import s.implicits._

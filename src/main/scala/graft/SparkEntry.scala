@@ -1766,6 +1766,65 @@ object SparkEntry {
               |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
               |FROM a GROUP BY 1, 2""".stripMargin)),
 
+    // ---- §2.9: streaming ingest WITH sums-tier maintenance — the plain
+    // hourly rollup kept continuously current by the same per-batch
+    // slice-span hook; the drained tier serves 2h buckets that EXACTLY
+    // equal the raw aggregate over the streamed week --------------------
+    ("streaming_rollup_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/strollsum_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val q = graft.streaming.StreamingIngest.startWithTierRefresh(
+        ea.gaugePointsStream(s, d).filter(col("time") < Week),
+        s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
+        GraftStorage.writeRollup(sp, s"$base/raw", s"$base/roll",
+          fromSlice = lo, upToSlice = hi)
+      }
+      q.awaitTermination()
+      GraftStorage.rollupStats(s, s"$base/roll",
+        Buckets.fromStep(S, Week, 7200000L))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t >= $S AND t < $Week)
+              |SELECT metric, (t - $S) // 7200000 AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
+    // ---- §2.9: streaming ingest WITH counter-tier maintenance — the
+    // fixture's counter stream is STAGED (the derivation is a running
+    // sum over history, not stream-expressible; a real deployment's
+    // counter stream carries values directly), then the same hook keeps
+    // the increase tier current; the served whole-week accounting
+    // EXACTLY equals counterIncrease over the streamed points -----------
+    ("streaming_rollup_counter", (s: SparkSession, d: String) => {
+      val base = "target/tmp/strollctr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val staged = s"$base/stage"
+      ctr(s, d).filter(col("time") < Week).write.parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val q = graft.streaming.StreamingIngest.startWithTierRefresh(
+        s.readStream.schema(schema).parquet(staged),
+        s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
+        GraftStorage.writeRollupCounter(sp, s"$base/raw", s"$base/ctrroll",
+          fromSlice = lo, upToSlice = hi)
+      }
+      q.awaitTermination()
+      GraftStorage.rollupCounterIncrease(s, s"$base/ctrroll", TimeRange(S, Week))
+        .select(col("metric"), col("increase"), col("n_resets"), col("n_deltas"))
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, l_value - lag(l_value) OVER w AS delta
+              |      FROM ctr WHERE t >= $S AND t < $Week
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric,
+              |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS increase,
+              |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+              |       CAST(count(delta) AS BIGINT) AS n_deltas
+              |FROM r WHERE delta IS NOT NULL GROUP BY 1""".stripMargin)),
+
     // ---- §2.9: streaming ingest WITH availability-tier maintenance —
     // the generic per-batch slice-span refresh hook wired to the A3
     // hour-summary tier; the drained tier serves daily buckets that

@@ -593,6 +593,10 @@ object GraftStorage {
           sum(when(col("bdelta") < 0, 1L).otherwise(0L)))
           .cast("long").as("n_resets"),
         (sum(col("n_deltas")) + count(col("bdelta"))).cast("long").as("n_deltas"))
+      // counterIncrease emits nothing for a metric with no pair in range
+      // (a single point has no delta) — match that contract: a metric
+      // whose tier rows merge to zero deltas drops from the answer
+      .filter(col("n_deltas") > 0)
   }
 
   /**

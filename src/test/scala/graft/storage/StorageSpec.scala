@@ -471,6 +471,13 @@ class StorageSpec extends SparkTestBase {
     GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
       vMin = 0.0, vMax = 10.0, bins = 5)
     assert(rows(GraftStorage.rollupHistogram(spark, s"$path/hist", b)) == servedRows)
+    // id-set restriction: only the selected metric's counts survive the
+    // merge (m2's bin-0/bin-4 clamps drop; m1's hour-1 point remains)
+    val s0 = spark
+    import s0.implicits._
+    val only1 = GraftStorage.rollupHistogram(spark, s"$path/hist", b,
+      ids = Some(Seq("m1").toDF("metric")))
+    assert(rows(only1) == Set(Seq(0L, 4L, 1L, 8.0, 10.0)))
   }
 
   test("servedStats dispatch: aligned requests read the rollup, misaligned read raw, " +

@@ -1238,6 +1238,52 @@ object SparkEntry {
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
               |FROM seg GROUP BY metric, bucket""".stripMargin)),
 
+    // ---- A3 + A2 from the tier: the dense REST wire shape (gap-filled
+    // per queried metric) composed over the tier-served state machine —
+    // the same gapFill spine rule, raw never read ------------------------
+    ("rollup_avail_filled", (s: SparkSession, d: String) => {
+      val base = "target/tmp/avroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(avail(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupAvail(s, s"$base/raw", s"$base/avroll")
+      }
+      val b = Buckets.fromStep(S, Week, Day)
+      MetricsOps.gapFill(
+        GraftStorage.rollupAvailStats(s, s"$base/avroll", b)
+          .select("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
+            "admin_ms", "last_not_uptime", "not_up_count", "samples",
+            "uptime_ratio"),
+        b, Seq("metric"), Some(ea.catalog(s, d).select("metric")))
+        .select("metric", "bucket", "bucket_start", "bucket_end", "up_ms",
+          "down_ms", "unknown_ms", "admin_ms", "last_not_uptime",
+          "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte, $CatCte,
+              |b AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |      FROM av WHERE t >= $S AND t < $Week),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t)),
+              |ag AS (SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |  FROM seg GROUP BY metric, bucket)
+              |SELECT sp.metric, sp.bucket, $S + sp.bucket * $Day AS bucket_start,
+              |       $S + (sp.bucket + 1) * $Day AS bucket_end,
+              |       ag.up_ms, ag.down_ms, ag.unknown_ms, ag.admin_ms, ag.last_not_uptime,
+              |       ag.not_up_count, ag.samples, ag.uptime_ratio
+              |FROM (SELECT cat.metric, g.bucket FROM cat CROSS JOIN range(7) g(bucket)) sp
+              |LEFT JOIN ag ON ag.metric = sp.metric AND ag.bucket = sp.bucket""".stripMargin)),
+
     // ---- SLO burn rate served ENTIRELY from the availability tier:
     // both the fast (daily) and slow (weekly) windows come from
     // rollupAvailStats — hours×metrics summaries, raw never read; the

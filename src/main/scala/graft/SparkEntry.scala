@@ -1295,9 +1295,14 @@ object SparkEntry {
         GraftStorage.write(avail(s, d), s"$base/raw", SaveMode.Overwrite)
         GraftStorage.writeRollupAvail(s, s"$base/raw", s"$base/avroll")
       }
+      // tenant_id/mtype ride the tier-served burn rows (sloBurnFrom's
+      // tenant-safe join); the single-tenant fixture drops them here to
+      // keep the oracle's column surface
       MetricsOps.sloBurnFrom(GraftStorage.rollupAvailStats(s, s"$base/avroll", _),
         Buckets.fromStep(S, S + 28L * Day, Day), slowStepMs = 7L * Day,
         objective = 0.95)
+        .select("metric", "bucket", "slow_bucket", "uptime_fast",
+          "uptime_slow", "burn_fast", "burn_slow", "alert")
     },
       Some(s"""WITH $BaseCte, $AvailCte,
               |bf AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
@@ -1503,6 +1508,129 @@ object SparkEntry {
               |SELECT bucket, total,
               |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
               |FROM p WHERE rn = 1""".stripMargin)),
+
+    // ---- rate rollup tier: within-hour W1 rate partials + boundary
+    // first/last values merged into bucketed rate stats — one boundary
+    // rate per consecutive non-empty hour pair (the counter tier's merge
+    // shape applied to the A1-of-rates surface); long-range rate
+    // dashboards read hours×metrics summaries, raw never read ----------
+    ("rollup_rate_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rateroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupRate(s, s"$base/raw", s"$base/rate",
+          isCounter = true)
+      }
+      GraftStorage.rollupRateStats(s, s"$base/rate", Buckets.fromStep(S, E, Day),
+        isCounter = true, byMetric = true)
+        .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
+              |SELECT metric, (t - $S) // $Day AS bucket,
+              |       min(rate) AS "min", ${dsum("rate")} / count(*) AS avg,
+              |       max(rate) AS "max", ${dsum("rate")} AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM rt WHERE t >= $S AND t < $E GROUP BY 1, 2""".stripMargin)),
+
+    // ---- rate tier at a finer grid, POOLED across the fleet (the
+    // rate_stats wire shape minus order statistics): 2h buckets over the
+    // first four days — same tier, different enclosing grain, exercising
+    // the boundary merge where several boundary pairs land per bucket ----
+    ("rollup_rate_stats_pooled", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rateroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupRate(s, s"$base/raw", s"$base/rate",
+          isCounter = true)
+      }
+      GraftStorage.rollupRateStats(s, s"$base/rate",
+        Buckets.fromStep(S, S + 4 * Day, 7200000L), isCounter = true)
+        .select("bucket", "min", "avg", "max", "sum", "samples")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
+              |SELECT (t - $S) // 7200000 AS bucket,
+              |       min(rate) AS "min", ${dsum("rate")} / count(*) AS avg,
+              |       max(rate) AS "max", ${dsum("rate")} AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM rt WHERE t >= $S AND t < ${S + 4 * Day} GROUP BY 1""".stripMargin)),
+
+    // ---- rate tier over GAUGE rates (W1's virtual GAUGE_RATE type, no
+    // reset filter): 4h buckets over the first week — the same tier
+    // machinery parameterized by (isCounter, valueCol) -------------------
+    ("rollup_rate_stats_gauge", (s: SparkSession, d: String) => {
+      val base = "target/tmp/graterroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupRate(s, s"$base/raw", s"$base/rate",
+          isCounter = false, valueCol = "n_value")
+      }
+      GraftStorage.rollupRateStats(s, s"$base/rate",
+        Buckets.fromStep(S, Week, 14400000L), isCounter = false, byMetric = true)
+        .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+    },
+      Some(s"""WITH $BaseCte,
+              |r AS (SELECT metric, t, value, lag(value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM base WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (value - prev_v) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL)
+              |SELECT metric, (t - $S) // 14400000 AS bucket,
+              |       min(rate) AS "min", ${dsum("rate")} / count(*) AS avg,
+              |       max(rate) AS "max", ${dsum("rate")} AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM rt WHERE t >= $S AND t < $Week GROUP BY 1, 2""".stripMargin)),
+
+    // ---- tag-query → availability-tier serving: the per-team uptime
+    // dashboard end-to-end — the tag index resolves the expression to a
+    // request-sized id set, which broadcasts into a semi-join pruning the
+    // AVAILABILITY tier scan before the boundary-merge window; raw is
+    // never read (the tagquery_rollup_stats posture on the A3 tier) ------
+    ("tagquery_rollup_avail", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagavroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(avail(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupAvail(s, s"$base/raw", s"$base/avroll")
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      GraftStorage.rollupAvailStats(s, s"$base/avroll",
+        Buckets.fromStep(S, E, Day), ids = Some(ids))
+        .select("metric", "bucket", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |b AS (SELECT metric, t, avail, (t - $S) // $Day AS bucket
+              |      FROM av WHERE t >= $S AND t < $E
+              |        AND metric IN (SELECT metric FROM sel)),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * $Day ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * $Day) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t))
+              |SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |FROM seg GROUP BY metric, bucket""".stripMargin)),
 
     // ---- S9: metric delete — partition-scoped rewrite --------------------
     ("storage_delete", (s: SparkSession, d: String) => {
@@ -1870,6 +1998,40 @@ object SparkEntry {
               |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
               |       CAST(count(delta) AS BIGINT) AS n_deltas
               |FROM r WHERE delta IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ---- §2.9: streaming ingest WITH rate-tier maintenance — the same
+    // staged counter stream and per-batch slice-span hook wired to the
+    // W1 rate tier; the drained tier serves daily rate stats that
+    // EXACTLY equal rate+A1 over the streamed week -----------------------
+    ("streaming_rollup_rate", (s: SparkSession, d: String) => {
+      val base = "target/tmp/strollrate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val staged = s"$base/stage"
+      ctr(s, d).filter(col("time") < Week).write.parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val q = graft.streaming.StreamingIngest.startWithTierRefresh(
+        s.readStream.schema(schema).parquet(staged),
+        s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
+        GraftStorage.writeRollupRate(sp, s"$base/raw", s"$base/rate",
+          isCounter = true, fromSlice = lo, upToSlice = hi)
+      }
+      q.awaitTermination()
+      GraftStorage.rollupRateStats(s, s"$base/rate",
+        Buckets.fromStep(S, Week, Day), isCounter = true, byMetric = true)
+        .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WHERE t < $Week
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
+              |SELECT metric, (t - $S) // $Day AS bucket,
+              |       min(rate) AS "min", ${dsum("rate")} / count(*) AS avg,
+              |       max(rate) AS "max", ${dsum("rate")} AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM rt WHERE t >= $S AND t < $Week GROUP BY 1, 2""".stripMargin)),
 
     // ---- §2.9: streaming ingest WITH availability-tier maintenance —
     // the generic per-batch slice-span refresh hook wired to the A3

@@ -879,7 +879,14 @@ object MetricsOps {
     * the availability ROLLUP tier serve both windows
     * ([[graft.storage.GraftStorage.rollupAvailStats]] output is exactly
     * `availabilityBucketStats` over raw, so the burn math composes
-    * unchanged; at 100 TB both passes read hours×metrics summaries). */
+    * unchanged; at 100 TB both passes read hours×metrics summaries).
+    *
+    * Tenant safety: when the provider's output carries tenant_id/mtype
+    * (the multi-tenant rollup tier does; the raw
+    * [[availabilityBucketStats]] path is caller-scoped and does not),
+    * those keys ride the fast↔slow join and the output — duplicate
+    * metric names across tenants keep separate, correct burn rows
+    * instead of fanning the join out and crossing uptime ratios. */
   def sloBurnFrom(stats: Buckets => DataFrame, fast: Buckets, slowStepMs: Long,
                   objective: Double, threshold: Double = 1.0): DataFrame = {
     require(objective > 0 && objective < 1, s"objective must be in (0,1), got $objective")
@@ -891,20 +898,24 @@ object MetricsOps {
     val ratio = slowStepMs / fast.step
     def burn(uptime: Column): Column =
       (lit(1.0) - uptime) / (lit(1.0) - lit(objective))
-    val f = stats(fast)
-      .select(col("metric"), col("bucket"), col("uptime_ratio").as("uptime_fast"))
+    val f0 = stats(fast)
+    val scopeKeys = Seq("tenant_id", "mtype").filter(f0.columns.contains)
+    val scopeCols = scopeKeys.map(col)
+    val f = f0
+      .select(scopeCols ++ Seq(col("metric"), col("bucket"),
+        col("uptime_ratio").as("uptime_fast")): _*)
       .withColumn("slow_bucket", floor(col("bucket") / lit(ratio)))
     val sl = stats(slow)
-      .select(col("metric"), col("bucket").as("slow_bucket"),
-        col("uptime_ratio").as("uptime_slow"))
-    f.join(sl, Seq("metric", "slow_bucket"))
-      .select(col("metric"), col("bucket"), col("slow_bucket"),
+      .select(scopeCols ++ Seq(col("metric"), col("bucket").as("slow_bucket"),
+        col("uptime_ratio").as("uptime_slow")): _*)
+    f.join(sl, scopeKeys ++ Seq("metric", "slow_bucket"))
+      .select(scopeCols ++ Seq(col("metric"), col("bucket"), col("slow_bucket"),
         round(col("uptime_fast"), 6).as("uptime_fast"),
         round(col("uptime_slow"), 6).as("uptime_slow"),
         round(burn(col("uptime_fast")), 6).as("burn_fast"),
         round(burn(col("uptime_slow")), 6).as("burn_slow"),
         (burn(col("uptime_fast")) >= threshold && burn(col("uptime_slow")) >= threshold)
-          .as("alert"))
+          .as("alert")): _*)
   }
 
   /**

@@ -317,10 +317,24 @@ object GraftStorage {
                       upToSlice: Long = Long.MaxValue,
                       fromSlice: Long = Long.MinValue): Unit = {
     require(bins > 0 && vMax > vMin, "need bins > 0 and vMax > vMin")
-    readHistMeta(spark, histPath).foreach { m =>
-      require(m == ((vMin, vMax, bins)),
-        s"histogram tier at $histPath was built with (vMin, vMax, bins) = $m; " +
-          s"refresh passed (${(vMin, vMax, bins)})")
+    readHistMeta(spark, histPath) match {
+      case Some(m) =>
+        require(m == ((vMin, vMax, bins)),
+          s"histogram tier at $histPath was built with (vMin, vMax, bins) = $m; " +
+            s"refresh passed (${(vMin, vMax, bins)})")
+      case None =>
+        // meta lands BEFORE the first data refresh: a crash in between
+        // leaves a meta-only tier (harmless — the next refresh validates
+        // the same params and proceeds), whereas data-without-meta would
+        // let a later refresh with DIFFERENT edges pass this first-build
+        // guard and merge mixed bin widths into silent nonsense. Tier
+        // partitions already present with no meta is exactly that corrupt
+        // state — refuse loudly instead of adopting it.
+        require(tierTenantPartitions(spark, histPath).isEmpty,
+          s"histogram tier at $histPath has data partitions but no _histmeta " +
+            "(crashed pre-meta build?) — its bin edges are unknowable; " +
+            "drop and rebuild the tier")
+        writeHistMeta(spark, histPath, vMin, vMax, bins)
     }
     val width = (vMax - vMin) / bins
     val roll = readResolved(spark, rawPath)
@@ -335,7 +349,21 @@ object GraftStorage {
       .agg(count(lit(1)).as("cnt"))
     refreshRollupTier(spark, roll, histPath, fromSlice, upToSlice,
       Seq(col("metric"), col("hour"), col("bin")))
-    writeHistMeta(spark, histPath, vMin, vMax, bins)
+  }
+
+  /** The distinct (tenant_id, mtype) partition pairs present in a tier —
+    * answered from the directory LISTING alone (tenant_id/mtype lead the
+    * layout), no data read; the multi-tenant serve guard's probe. */
+  private def tierTenantPartitions(spark: SparkSession,
+                                   path: String): Seq[(String, Int)] = {
+    val Pat = ".*/tenant_id=([^/]+)/mtype=(\\d+)$".r
+    Option(rootFs(spark, path)
+      .globStatus(new org.apache.hadoop.fs.Path(s"$path/tenant_id=*/mtype=*")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(_.getPath.toString match {
+        case Pat(t, m) => Some((t, m.toInt))
+        case _         => None
+      })
   }
 
   private def histMetaPath(histPath: String) = s"$histPath/_histmeta"
@@ -366,20 +394,41 @@ object GraftStorage {
    * counts over hours × metrics × bins rows, never touching raw. Bin
    * edges come from the tier's own meta. Compose with
    * `MetricsOps.histogramQuantile` for percentile serving.
+   *
+   * Tenant safety: the (bucket, bin) merge carries no tenant keys (the
+   * output is [[graft.operators.MetricsOps.valueHistogram]]'s shape), so
+   * a multi-tenant tier would silently sum two tenants' same-named
+   * metrics into one histogram. `tenant`/`mtypeCode` scope the scan as
+   * PARTITION filters (tenant_id/mtype lead the tier layout — the scan
+   * prunes to one tenant's directories); serving REFUSES loudly when
+   * more than one (tenant, mtype) partition would feed the merge. The
+   * check reads the partition LISTING only, never data.
    */
   def rollupHistogram(spark: SparkSession, histPath: String,
                       b: graft.model.Buckets,
-                      ids: Option[DataFrame] = None): DataFrame = {
+                      ids: Option[DataFrame] = None,
+                      tenant: Option[String] = None,
+                      mtypeCode: Option[Int] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"histogram tier serving needs hour-aligned buckets " +
         s"(start=${b.start}, step=${b.step})")
     val (vMin, vMax, bins) = readHistMeta(spark, histPath).getOrElse(
       throw new IllegalArgumentException(s"no histogram tier meta at $histPath"))
+    val scoped = tierTenantPartitions(spark, histPath).filter { case (t, m) =>
+      tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+    }
+    require(scoped.size <= 1,
+      s"histogram tier at $histPath spans ${scoped.size} (tenant, mtype) " +
+        s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
+        "scope the serve — an unscoped merge would mix tenants' counts")
     val width = (vMax - vMin) / bins
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
-    val h0 = spark.read.parquet(histPath)
-      .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+    val scopeFilters =
+      tenant.map(col("tenant_id") === _) ++ mtypeCode.map(col("mtype") === _)
+    val h0 = scopeFilters.foldLeft(
+      spark.read.parquet(histPath)
+        .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs))(_ filter _)
     // optional id-set restriction (the tag-query → p95 dashboard path):
     // request-sized id set, broadcast semi-join pruning the tier scan
     // before the (bucket, bin) merge — rollupStats' posture
@@ -470,7 +519,8 @@ object GraftStorage {
    *    to the next hour's first point (or the bucket end).
    */
   def rollupAvailStats(spark: SparkSession, availPath: String,
-                       b: graft.model.Buckets): DataFrame = {
+                       b: graft.model.Buckets,
+                       ids: Option[DataFrame] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"availability tier serving needs hour-aligned buckets " +
         s"(start=${b.start}, step=${b.step})")
@@ -483,8 +533,15 @@ object GraftStorage {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tenant_id"), col("mtype"), col("metric"), col("bucket"))
       .orderBy(col("hour"))
-    val h = spark.read.parquet(availPath)
+    val h0 = spark.read.parquet(availPath)
       .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+    // optional id-set restriction (the tag-query → SLO dashboard path):
+    // the resolved id set is request-sized, so it broadcasts into a
+    // semi-join pruning the tier scan BEFORE the boundary-merge window —
+    // rollupStats' posture. Per-tenant timelines stay separate either
+    // way (the window and aggregate key on tenant_id/mtype).
+    val h = ids.fold(h0)(i =>
+      h0.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
       .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
       .withColumn("hstart", col("hour") * RollupMs)
       .withColumn("hend", (col("hour") + 1) * RollupMs)
@@ -597,6 +654,134 @@ object GraftStorage {
       // (a single point has no delta) — match that contract: a metric
       // whose tier rows merge to zero deltas drops from the answer
       .filter(col("n_deltas") > 0)
+  }
+
+  /**
+   * Rate rollup tier — the W1 companion of the other rollups (reference
+   * rate + findRateStats, MetricsServiceImpl.java:858-899): per
+   * (tenant, type, slice, metric, hour), the A1 partials of the
+   * WITHIN-HOUR rate series — pair count, min/max rate, and the
+   * DECIMAL(28,10)-EXACT sum of the per-minute rates (each rate is the
+   * same IEEE double the raw path derives, so the decimal partials
+   * re-aggregate to the raw path's exact decimal sum) — PLUS the
+   * boundary facts an enclosing bucket needs: the hour's first and last
+   * point (value, ts). A rate point's timestamp is its pair's LATER
+   * point, so every raw rate is either within-hour (a tier partial) or
+   * hour-crossing (reconstructed at serve as ONE boundary pair per
+   * consecutive non-empty hour pair — adjacent raw points by
+   * construction, any gap width). `isCounter` drops reset pairs
+   * (next < prev) from the partials exactly like
+   * [[graft.operators.MetricsOps.rate]] — the pair drops, the point
+   * still anchors the boundary chain. At 100 TB this closes the last
+   * raw-scanning dashboard family: long-range rate panels read
+   * hours × metrics summaries.
+   */
+  def writeRollupRate(spark: SparkSession, rawPath: String, ratePath: String,
+                      isCounter: Boolean, valueCol: String = "l_value",
+                      upToSlice: Long = Long.MaxValue,
+                      fromSlice: Long = Long.MinValue): Unit = {
+    val in = readResolved(spark, rawPath)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("hour", expr(s"time div $RollupMs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .orderBy(col("time"))
+    val v = col(valueCol).cast("double")
+    val paired = in
+      .withColumn("prev_v", lag(v, 1).over(w))
+      .withColumn("prev_t", lag(col("time"), 1).over(w))
+      .withColumn("rate",
+        when(col("prev_t").isNotNull &&
+          (if (isCounter) v >= col("prev_v") else lit(true)),
+          lit(60000.0) * (v - col("prev_v")) /
+            (col("time") - col("prev_t")).cast("double")))
+    val roll = paired
+      .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .agg(
+        count(col("rate")).as("n_pairs"),
+        min(col("rate")).as("min_r"),
+        max(col("rate")).as("max_r"),
+        sum(col("rate").cast("decimal(28,10)")).as("sum_r"),
+        min(col("time")).as("first_ts"),
+        min_by(v, col("time")).as("first_val"),
+        max(col("time")).as("last_ts"),
+        max_by(v, col("time")).as("last_val"),
+        count(lit(1)).as("samples"))
+    refreshRollupTier(spark, roll, ratePath, fromSlice, upToSlice,
+      Seq(col("metric"), col("hour")))
+  }
+
+  /**
+   * Serve bucketed rate stats (min/avg/max/sum/samples of the per-minute
+   * rate series — [[graft.operators.MetricsOps.rateStats]]'s A1 surface
+   * minus order statistics, the [[rollupStats]] posture) from the rate
+   * tier, for hour-aligned buckets. Output EXACTLY equals the raw
+   * rate+A1 path: within-hour partials re-aggregate (decimal sums are
+   * associative, min/max trivially so), and each consecutive non-empty
+   * hour pair contributes ONE boundary rate — `60000·(curr.first −
+   * prev.last)/Δts`, the identical IEEE expression the raw path
+   * evaluates for that adjacent pair — attributed to the bucket of its
+   * later point's hour. A reset boundary pair (counter, curr.first <
+   * prev.last) drops, matching W1's F6 filter.
+   *
+   * The raw path derives rates over the WHOLE series and range-filters
+   * the rate timestamps afterwards, so a pair anchored BEFORE the range
+   * still yields an in-range rate; the scan therefore has no lower hour
+   * bound — pre-range hours feed the boundary lag (hour-summary rows,
+   * hours × metrics-sized; a deployment bounds the lookback by
+   * retention). In-range partials and boundary rates then merge per
+   * bucket in the same aggregate.
+   */
+  def rollupRateStats(spark: SparkSession, ratePath: String,
+                      b: graft.model.Buckets, isCounter: Boolean,
+                      byMetric: Boolean = false,
+                      ids: Option[DataFrame] = None): DataFrame = {
+    require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
+      s"rate tier serving needs hour-aligned buckets " +
+        s"(start=${b.start}, step=${b.step})")
+    val startHour = b.start / RollupMs
+    val stepHours = b.step / RollupMs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("hour"))
+    val h0 = spark.read.parquet(ratePath).filter(col("hour") < b.end / RollupMs)
+    // request-sized id restriction, broadcast semi-join BEFORE the
+    // boundary window (rollupStats' posture)
+    val h = ids.fold(h0)(i =>
+      h0.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
+      .withColumn("prev_last_val", lag(col("last_val"), 1).over(w))
+      .withColumn("prev_last_ts", lag(col("last_ts"), 1).over(w))
+      .withColumn("brate",
+        when(col("prev_last_ts").isNotNull &&
+          (if (isCounter) col("first_val") >= col("prev_last_val") else lit(true)),
+          lit(60000.0) * (col("first_val") - col("prev_last_val")) /
+            (col("first_ts") - col("prev_last_ts")).cast("double")))
+      // pre-range hours existed only to anchor the boundary lag
+      .filter(col("hour") >= startHour)
+      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+    val keys = if (byMetric) Seq(col("metric"), col("bucket")) else Seq(col("bucket"))
+    // ONE decimal sum over per-row (partial + boundary) terms, combined at
+    // scale 10: summing the partials and boundaries SEPARATELY would add
+    // two DECIMAL(38,10) aggregates — which Spark can only fit by dropping
+    // to scale 9, rounding away the raw path's 10th digit. The stored
+    // (38,10) partial always fits (28,10) here: it is a sum of per-minute
+    // rates, 18 integer digits of headroom.
+    val totalDec = sum(
+      coalesce(col("sum_r").cast("decimal(28,10)"), lit(0).cast("decimal(28,10)")) +
+        coalesce(col("brate").cast("decimal(28,10)"), lit(0).cast("decimal(28,10)")))
+    val n = sum(col("n_pairs")) + count(col("brate"))
+    h.groupBy(keys: _*).agg(
+      least(min(col("min_r")), min(col("brate"))).as("min"),
+      (totalDec.cast("double") / n).as("avg"),
+      greatest(max(col("max_r")), max(col("brate"))).as("max"),
+      totalDec.cast("double").as("sum"),
+      n.cast("long").as("samples"))
+      // the raw path emits no row for a bucket with zero rates (a
+      // single-point hour has points but no pair) — match that contract
+      .filter(col("samples") > 0)
   }
 
   /**

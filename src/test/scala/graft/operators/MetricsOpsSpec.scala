@@ -619,6 +619,35 @@ class MetricsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sloBurnFrom: tenant_id/mtype in the stats provider's output ride the " +
+    "fast/slow join — duplicate metric names across tenants never cross") {
+    val s = spark
+    import s.implicits._
+    // a fake tier-shaped provider: same metric name for two tenants, one
+    // perfectly up, one fully down. A metric-only join would fan out to
+    // 2 tenants × 2 uptime sides = 4 rows per bucket and cross the ratios.
+    def stats(b: graft.model.Buckets): org.apache.spark.sql.DataFrame = {
+      val perBucket = (0L until b.count).map { i =>
+        Seq(("tA", 1, "m", i, 1.0), ("tB", 1, "m", i, 0.0))
+      }.flatten
+      perBucket.toDF("tenant_id", "mtype", "metric", "bucket", "uptime_ratio")
+    }
+    val got = MetricsOps.sloBurnFrom(stats, graft.model.Buckets.fromStep(1000L, 1400L, 100L),
+      slowStepMs = 200L, objective = 0.9, threshold = 1.0).collect()
+    assert(got.length == 8, s"2 tenants x 4 fast buckets, got ${got.length}")
+    assert(got.forall { r =>
+      val expect = if (r.getAs[String]("tenant_id") == "tA") 0.0 else 10.0
+      r.getAs[Double]("burn_fast") == expect && r.getAs[Double]("burn_slow") == expect
+    }, "each tenant's burn must reflect only its own uptime")
+    // tenant-free provider output (the raw availabilityBucketStats path)
+    // keeps the historical surface: no tenant columns in the output
+    val flat = MetricsOps.sloBurnFrom(
+      b => stats(b).filter(col("tenant_id") === "tA").drop("tenant_id", "mtype"),
+      graft.model.Buckets.fromStep(1000L, 1400L, 100L),
+      slowStepMs = 200L, objective = 0.9)
+    assert(!flat.columns.contains("tenant_id") && flat.count() == 4)
+  }
+
   test("holtForecast: hand-computed level+trend recursion and horizon grid") {
     val dp = points(Seq(("m", 1000L, 10.0), ("m", 2000L, 20.0), ("m", 3000L, 30.0)))
     val got = MetricsOps.holtForecast(dp, graft.model.TimeRange(1L, 100000L),

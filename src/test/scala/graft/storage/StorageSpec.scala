@@ -541,6 +541,169 @@ class StorageSpec extends SparkTestBase {
       s"deleted raw data must not survive in the rollup tier: ${leftover.mkString(",")}")
   }
 
+  /** Counter fixture: canonical rows with l_value set. */
+  private def ctrFixture(rows: Seq[(String, Long, Long)],
+                         tenant: String = "t"): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("metric", "time", "l_value")
+      .withColumn("tenant_id", lit(tenant))
+      .withColumn("mtype", lit(MetricType.Counter.code.toInt))
+      .withColumn("n_value", lit(null).cast("double"))
+      .withColumn("avail", lit(null).cast("int"))
+      .withColumn("s_value", lit(null).cast("string"))
+      .withColumn("tags", map(lit("k"), lit("v")))
+  }
+
+  test("rate rollup tier: served bucket stats EXACTLY equal rate+A1 over raw " +
+    "— within-hour partials, boundary pairs across gaps, reset pairs dropped " +
+    "at both grains, pre-range anchors, single-point hours; misaligned serve " +
+    "rejected") {
+    val s0 = spark
+    import s0.implicits._
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    // m1: within-hour pairs in hour 0; an hour-1 single point (no pair,
+    //     boundary anchor only); a gap (hour 2 empty) then hour 3 — the
+    //     boundary pair must bridge the gap like the raw adjacent pair;
+    //     a within-hour RESET in hour 3 (500 -> 100)
+    // m2: a reset ACROSS the hour boundary (900 -> 50): the boundary pair
+    //     drops but hour-1's own pair still counts
+    val rows = Seq(
+      ("m1", H1 + 100L, 10L), ("m1", H1 + 2000L, 40L), ("m1", H1 + 60000L, 100L),
+      ("m1", 2 * H1 + 500L, 130L),
+      ("m1", 4 * H1 + 100L, 500L), ("m1", 4 * H1 + 900L, 100L),
+      ("m1", 4 * H1 + 2000L, 160L),
+      ("m2", H1 + 700L, 900L), ("m2", 2 * H1 + 300L, 50L), ("m2", 2 * H1 + 800L, 75L))
+    GraftStorage.write(ctrFixture(rows), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupRate(spark, s"$path/raw", s"$path/rate", isCounter = true)
+    def base5(df: DataFrame, keys: Seq[String]) = df
+      .select((keys ++ Seq("min", "avg", "max", "sum", "samples")).map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val raw = ctrFixture(rows)
+    // pooled, 2-hour buckets over the full span
+    val b2 = graft.model.Buckets.fromStep(H1, 5 * H1, 2 * H1)
+    assert(base5(GraftStorage.rollupRateStats(spark, s"$path/rate", b2,
+      isCounter = true), Seq("bucket")) ==
+      base5(graft.operators.MetricsOps.rateStats(raw, b2, isCounter = true,
+        valueCol = "l_value"), Seq("bucket")))
+    // by-metric, 1-hour buckets
+    val b1 = graft.model.Buckets.fromStep(H1, 5 * H1, H1)
+    assert(base5(GraftStorage.rollupRateStats(spark, s"$path/rate", b1,
+      isCounter = true, byMetric = true), Seq("metric", "bucket")) ==
+      base5(graft.operators.MetricsOps.numericBucketStats(
+        graft.operators.MetricsOps.rate(raw, isCounter = true, valueCol = "l_value"),
+        b1, byMetric = true, valueCol = "rate"), Seq("metric", "bucket")))
+    // pre-range anchor: a serve starting at hour 2 still yields the
+    // boundary rate into hour 2 (raw derives over the whole series and
+    // range-filters rate TIMESTAMPS — the pair anchored in hour 1 counts)
+    val bTail = graft.model.Buckets.fromStep(2 * H1, 5 * H1, H1)
+    assert(base5(GraftStorage.rollupRateStats(spark, s"$path/rate", bTail,
+      isCounter = true, byMetric = true), Seq("metric", "bucket")) ==
+      base5(graft.operators.MetricsOps.numericBucketStats(
+        graft.operators.MetricsOps.rate(raw, isCounter = true, valueCol = "l_value"),
+        bTail, byMetric = true, valueCol = "rate"), Seq("metric", "bucket")))
+    // id restriction equals the unfiltered answer cut to the metric, and
+    // the plan reads the TIER directory only
+    val only1 = GraftStorage.rollupRateStats(spark, s"$path/rate", b1,
+      isCounter = true, byMetric = true, ids = Some(Seq("m1").toDF("metric")))
+    assert(base5(only1, Seq("metric", "bucket")) ==
+      base5(GraftStorage.rollupRateStats(spark, s"$path/rate", b1,
+        isCounter = true, byMetric = true), Seq("metric", "bucket"))
+        .filter(_.head == "m1"))
+    val plan = only1.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("/rate") && !plan.contains("/raw]"),
+      s"rate tier serving must read the tier only:\n$plan")
+    // misaligned buckets are rejected loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.rollupRateStats(spark, s"$path/rate",
+        graft.model.Buckets.fromStep(1L, H1 + 1, H1), isCounter = true)
+    }
+    // gauge mode (no reset filter): the reset deltas COUNT as negative rates
+    GraftStorage.writeRollupRate(spark, s"$path/raw", s"$path/grate",
+      isCounter = false, valueCol = "l_value")
+    assert(base5(GraftStorage.rollupRateStats(spark, s"$path/grate", b2,
+      isCounter = false), Seq("bucket")) ==
+      base5(graft.operators.MetricsOps.rateStats(raw, b2, isCounter = false,
+        valueCol = "l_value"), Seq("bucket")))
+  }
+
+  test("histogram tier multi-tenant guard: unscoped serve over a two-tenant " +
+    "tier refuses loudly; tenant-scoped serve equals the single-tenant answer") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    val t1 = fixture(Seq(("m1", H1 + 100L, 1.0), ("m1", H1 + 200L, 9.0)))
+    val t2 = fixture(Seq(("m1", H1 + 150L, 5.0))).withColumn("tenant_id", lit("t2"))
+    GraftStorage.write(t1.union(t2), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    val b = graft.model.Buckets.fromStep(H1, 2 * H1, H1)
+    // two (tenant, mtype) partitions feed the merge → loud refusal
+    val err = intercept[IllegalArgumentException] {
+      GraftStorage.rollupHistogram(spark, s"$path/hist", b)
+    }
+    assert(err.getMessage.contains("tenant"), err.getMessage)
+    // scoped: each tenant's histogram is exactly its own-tier answer
+    def rows(df: DataFrame) = df.select("bucket", "bin", "cnt")
+      .collect().map(_.toSeq).toSet
+    GraftStorage.write(t1, s"$path/rawT1", SaveMode.Overwrite)
+    GraftStorage.writeRollupHist(spark, s"$path/rawT1", s"$path/histT1",
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    assert(rows(GraftStorage.rollupHistogram(spark, s"$path/hist", b,
+      tenant = Some("t"), mtypeCode = Some(MetricType.Gauge.code.toInt))) ==
+      rows(GraftStorage.rollupHistogram(spark, s"$path/histT1", b)))
+    assert(rows(GraftStorage.rollupHistogram(spark, s"$path/hist", b,
+      tenant = Some("t2"))) == Set(Seq(0L, 2L, 1L)))
+  }
+
+  test("histogram tier meta discipline: data partitions with no _histmeta " +
+    "refuse a refresh (unknowable bin edges) instead of adopting new ones") {
+    val path = tmp()
+    GraftStorage.write(fixture(Seq(("m1", 100L, 1.0))), s"$path/raw",
+      SaveMode.Overwrite)
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 10.0, bins = 5)
+    // simulate the crashed-pre-meta legacy state: tier data, meta gone
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/hist/_histmeta"), true))
+    val err = intercept[IllegalArgumentException] {
+      GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+        vMin = 0.0, vMax = 20.0, bins = 5)
+    }
+    assert(err.getMessage.contains("_histmeta"), err.getMessage)
+  }
+
+  test("availability tier id restriction: equals the unfiltered answer cut " +
+    "to the selected metrics, and the plan reads the tier only") {
+    val s0 = spark
+    import s0.implicits._
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    val av = fixture(Seq(("m1", H1 + 100L, 0.0), ("m1", 2 * H1 + 200L, 0.0),
+      ("m2", H1 + 300L, 0.0), ("m2", 2 * H1 + 400L, 0.0)))
+      .withColumn("mtype", lit(MetricType.Availability.code.toInt))
+      .withColumn("avail",
+        when(col("metric") === "m1", lit(0)).otherwise(lit(1)))
+      .withColumn("n_value", lit(null).cast("double"))
+    GraftStorage.write(av, s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupAvail(spark, s"$path/raw", s"$path/avroll")
+    val b = graft.model.Buckets.fromStep(H1, 3 * H1, 2 * H1)
+    def rows(df: DataFrame) = df
+      .select("metric", "bucket", "up_ms", "down_ms", "not_up_count", "samples")
+      .collect().map(_.toSeq).toSet
+    val only2 = GraftStorage.rollupAvailStats(spark, s"$path/avroll", b,
+      ids = Some(Seq("m2").toDF("metric")))
+    assert(rows(only2) ==
+      rows(GraftStorage.rollupAvailStats(spark, s"$path/avroll", b))
+        .filter(_.head == "m2"))
+    val plan = only2.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("/avroll") && !plan.contains("/raw]"),
+      s"id-filtered availability serving must read the tier only:\n$plan")
+  }
+
   test("AtomicSwap warns on copy-rename object-store schemes and stays " +
     "silent on rename-atomic filesystems") {
     for (s <- Seq("s3a", "S3A", "gs", "abfs"))

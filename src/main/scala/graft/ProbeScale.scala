@@ -597,6 +597,89 @@ object ProbeScale {
         .write.format("noop").mode("overwrite").save()
       println(f"ctrroll_serve          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
+    if (only.isEmpty || only("rollup_rate")) {
+      // rate tier at raw n×: build is one windowed pass over raw; the
+      // serve (boundary window + bucket merge) reads hours×metrics
+      // summaries only — near-flat in raw density, raw never read
+      val ct = EventsAdapter.counterPoints(spark, dir)
+      val scaled = (0 until n).map(i =>
+        ct.withColumn("metric", concat(col("metric"), lit(s"_$i"))))
+        .reduce(_ unionByName _)
+      val p = "target/tmp/probe-rateroll"
+      rmrf(spark, p)
+      graft.storage.GraftStorage.write(scaled, s"$p/raw",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      var t0 = System.nanoTime()
+      graft.storage.GraftStorage.writeRollupRate(spark, s"$p/raw", s"$p/roll",
+        isCounter = true)
+      println(f"rateroll_build         ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.GraftStorage.rollupRateStats(spark, s"$p/roll",
+        Buckets.fromStep(S, E, 86400000L), isCounter = true, byMetric = true)
+        .write.format("noop").mode("overwrite").save()
+      println(f"rateroll_serve         ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    if (only.isEmpty || only("pca_ivf")) {
+      // PCA-IVF at corpus n×: build = PCA fit + dims-wide k-means + one
+      // partitioned write (O(corpus)); the serve is the scale claim —
+      // stage 1 reads the probed cells' PROJECTED column only, stage 2
+      // reranks a query-sized shortlist. Two sizings, the ivf/ivf-sc
+      // pair's posture: fixed cells (probed fraction constant) and cells
+      // ∝ corpus (probed fraction shrinks — the production flat path).
+      val e2 = scaledEmbs(spark, dir, n).localCheckpoint()
+      val q = e2.filter(col("vec_id") < 10).localCheckpoint()
+      for ((tag, cells) <- Seq(("fixed", 4), ("scaled", 4 * n))) {
+        val p = s"target/tmp/probe-pcaivf-$tag"
+        rmrf(spark, p)
+        var t0 = System.nanoTime()
+        Similarity.writePcaIvfIndex(e2, p, dims = 16, kCells = cells, iters = 2)
+        println(f"pcaivf_build_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        t0 = System.nanoTime()
+        Similarity.pcaIvfStoredTopK(spark, p, q, 10, nprobe = 2, shortlist = 50)
+          .write.format("noop").mode("overwrite").save()
+        println(f"pcaivf_serve_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    if (only.isEmpty || only("tenant_axis")) {
+      // tenant-axis weak scaling (fixed per-tenant data, n× tenants): the
+      // tier layout leads with tenant_id/mtype, so (a) a tenant-SCOPED
+      // serve must stay FLAT in tenant count (partition pruning — the
+      // histogram tier's scope params), while (b) fleet-wide serves grow
+      // with the tier (n× rows) but keep per-tenant timelines on their
+      // own merge keys (the A3/counter/burn tenant-key posture)
+      val g = EventsAdapter.gaugePoints(spark, dir)
+      val gT = (0 until n).map(i => g.withColumn("tenant_id", lit(s"t$i")))
+        .reduce(_ unionByName _)
+      val av = EventsAdapter.availabilityPoints(spark, dir)
+      val avT = (0 until n).map(i => av.withColumn("tenant_id", lit(s"t$i")))
+        .reduce(_ unionByName _)
+      val p = "target/tmp/probe-tenants"
+      rmrf(spark, p)
+      graft.storage.GraftStorage.write(gT, s"$p/raw",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      graft.storage.GraftStorage.write(avT, s"$p/avraw",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      var t0 = System.nanoTime()
+      graft.storage.GraftStorage.writeRollup(spark, s"$p/raw", s"$p/roll")
+      graft.storage.GraftStorage.writeRollupHist(spark, s"$p/raw", s"$p/hist",
+        vMin = 0.0, vMax = 500.0, bins = 20)
+      graft.storage.GraftStorage.writeRollupAvail(spark, s"$p/avraw", s"$p/avroll")
+      println(f"tenants_build          ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val b = Buckets.fromStep(S, E, 86400000L)
+      t0 = System.nanoTime()
+      graft.storage.GraftStorage.rollupHistogram(spark, s"$p/hist", b,
+        tenant = Some("t0"), mtypeCode = Some(graft.model.MetricType.Gauge.code.toInt))
+        .write.format("noop").mode("overwrite").save()
+      println(f"tenants_hist_scoped    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.GraftStorage.rollupStats(spark, s"$p/roll", b)
+        .write.format("noop").mode("overwrite").save()
+      println(f"tenants_stats_fleet    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      t0 = System.nanoTime()
+      graft.storage.GraftStorage.rollupAvailStats(spark, s"$p/avroll", b)
+        .write.format("noop").mode("overwrite").save()
+      println(f"tenants_avail_fleet    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
     if (only.isEmpty || only("pca_fit")) {
       // PCA fit at corpus n×: the Gram build is one scan with a fixed
       // 2080-key map-side-combined aggregate — time must track the scan

@@ -3473,6 +3473,55 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }, Some(IvfAppendOracle)),
 
+    // ---- §2.9: the drift-response loop CLOSED inside the ingest query —
+    // wave 1 bootstrap-trains, wave 2 appends a point-reflected cohort
+    // (every component negated: cell means swing, centroidDrift crashes
+    // through the threshold), the maintainer fires retrainIvfIndex, and
+    // the post-retrain serve must be INDISTINGUISHABLE from a fresh
+    // build over the final corpus (the knn_ivf_retrained contract) — the
+    // hash-verified surface is that equality plus the fired flag --------
+    ("streaming_ivf_drift_retrain", (s: SparkSession, d: String) => {
+      val base = "target/tmp/stivfdrift_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val e = embs(s, d).select("vec_id", "embedding")
+      val drifted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      e.coalesce(1).write.parquet(s"$base/src")
+      backdate(s, s"$base/src")
+      drifted.coalesce(1).write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      // threshold calibrated above the fixture's post-reflection drift at
+      // both SFs (cell-mean cosine 0.934-0.945 at sf0.01, 0.973-0.981 at
+      // sf0.1) so the loop fires deterministically
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = graft.streaming.StreamingSimilarity.ivfIngestWithRetrain(
+        stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2,
+        driftCosine = 0.985, onRetrain = _ => fired.incrementAndGet())
+      q.awaitTermination()
+      // fresh-build reference over the SAME final corpus: deterministic
+      // training makes the two stores answer identically iff the loop ran
+      Similarity.writeIvfIndex(e.unionByName(drifted), s"$base/ref",
+        kCells = 4, iters = 2)
+      val qs = e.filter(col("vec_id") < 10)
+      def serve(p: String, mark: String) =
+        Similarity.ivfStoredTopK(s, p, qs, 10, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"))
+          .withColumn(mark, lit(1))
+      serve(s"$base/idx", "a")
+        .join(serve(s"$base/ref", "b"),
+          Seq("query_id", "neighbor_id", "cosine"), "full_outer")
+        .groupBy(col("query_id"))
+        .agg((sum(when(col("a").isNull || col("b").isNull, 1).otherwise(0)) === 0)
+          .as("serve_eq_fresh"))
+        .select(col("query_id"), lit(fired.get() >= 1).as("retrain_fired"),
+          col("serve_eq_fresh"))
+    },
+      Some("""SELECT vec_id AS query_id, TRUE AS retrain_fired,
+             |       TRUE AS serve_eq_fresh
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
     // ---- LLM: IVF-PQ (IVFADC) — cell probing bounds WHICH vectors are
     // scored, PQ codes bound WHAT is read per vector; the composed
     // 100 TB search tier ------------------------------------------------
@@ -4645,6 +4694,33 @@ object SparkEntry {
              |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 11)) AS x) r
              |WHERE e.vec_id < 10""".stripMargin)),
 
+    // ---- LLM: PCA-IVF persisted index lifecycle — the FAISS
+    // PCAMatrix→IVF pipeline (project → train/partition in PCA space →
+    // probed-cell projected ranking → full-width rerank); build + serve
+    // in the timed block (the *_stored cost class); neighbor ids ride
+    // the model, so the oracle pins the serving STRUCTURE — exactly k
+    // ranked rows per query, cosines monotone and in the unit range
+    // (list quality is ann_recall_pca_ivf's job) -------------------------
+    ("knn_pca_ivf", (s: SparkSession, d: String) => {
+      val path = "target/tmp/pcaivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      rmrf(s, path)
+      Similarity.writePcaIvfIndex(e, path, dims = 16, kCells = 4, iters = 2)
+      val r = Similarity.pcaIvfStoredTopK(s, path, e.filter(col("vec_id") < 10),
+        10, nprobe = 2, shortlist = 50)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      r.withColumn("rnk", row_number().over(w))
+        .withColumn("prev", lag(col("cosine"), 1).over(w))
+        .select(col("query_id"), col("rnk"),
+          (col("cosine") <= coalesce(col("prev"), lit(2.0)) + 1e-12).as("monotone_ok"),
+          (abs(col("cosine")) <= lit(1.0) + 1e-9).as("in_unit_ok"))
+    },
+      Some("""SELECT e.vec_id AS query_id, CAST(r.x AS INTEGER) AS rnk,
+             |       TRUE AS monotone_ok, TRUE AS in_unit_ok
+             |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 11)) AS x) r
+             |WHERE e.vec_id < 10""".stripMargin)),
+
     // ---- LLM: BM25 full-text retrieval — inverted-posting tf join with
     // broadcast query-term pruning; micro-unit partial sums --------------
     ("bm25_search", (s: SparkSession, d: String) => {
@@ -5758,7 +5834,62 @@ object SparkEntry {
       Similarity.ivfStoredTopK(s, path, e.filter(col("vec_id") < 10), 10, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     },
-      Some(IvfKmeansOracle))
+      Some(IvfKmeansOracle)),
+
+    ("knn_pca_ivf_serve", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_pcaivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      prebuilt(s, d, path)(
+        Similarity.writePcaIvfIndex(e, path, dims = 16, kCells = 4, iters = 2))
+      val r = Similarity.pcaIvfStoredTopK(s, path, e.filter(col("vec_id") < 10),
+        10, nprobe = 2, shortlist = 50)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      r.withColumn("rnk", row_number().over(w))
+        .withColumn("prev", lag(col("cosine"), 1).over(w))
+        .select(col("query_id"), col("rnk"),
+          (col("cosine") <= coalesce(col("prev"), lit(2.0)) + 1e-12).as("monotone_ok"),
+          (abs(col("cosine")) <= lit(1.0) + 1e-9).as("in_unit_ok"))
+    },
+      Some("""SELECT e.vec_id AS query_id, CAST(r.x AS INTEGER) AS rnk,
+             |       TRUE AS monotone_ok, TRUE AS in_unit_ok
+             |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 11)) AS x) r
+             |WHERE e.vec_id < 10""".stripMargin)),
+
+    // ---- LLM: recall audit of the PCA-IVF composition. Recall VALUES
+    // ride the model, so the hash-verified surface is (a) the PROVABLE
+    // full-probe identity — nprobe = kCells probes every cell, which IS
+    // the flat pcaRerankTopK scan (same stored basis, same projected
+    // doubles, same tiebreaks → bit-equal ids AND cosines) — and (b) a
+    // calibrated band on the probed serve (recall ≥ 0.05/query at
+    // nprobe=2; measured min 0.3 / avg 0.56 at sf0.01, min 0.1 / avg
+    // 0.37 at sf0.1, vs the full-probe 0.67 / 0.39 ceilings) -------------
+    ("ann_recall_pca_ivf", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_pcaivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      prebuilt(s, d, path)(
+        Similarity.writePcaIvfIndex(e, path, dims = 16, kCells = 4, iters = 2))
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, 10)
+      val probed = Similarity.recallAtK(exact,
+        Similarity.pcaIvfStoredTopK(s, path, q, 10, nprobe = 2, shortlist = 50))
+        .select(col("query_id"), col("recall").as("r_probed"))
+      val full = Similarity.pcaIvfStoredTopK(s, path, q, 10, nprobe = 4, shortlist = 50)
+        .withColumn("a", lit(1))
+      val flat = Similarity.pcaRerankTopK(e, q, 10,
+        Similarity.pcaFit(e, 16), shortlist = 50)
+        .withColumn("b", lit(1))
+      val eq = full.join(flat, Seq("query_id", "neighbor_id", "cosine"), "full_outer")
+        .groupBy(col("query_id"))
+        .agg((sum(when(col("a").isNull || col("b").isNull, 1).otherwise(0)) === 0)
+          .as("fullprobe_eq_flat"))
+      probed.join(eq, Seq("query_id"))
+        .select(col("query_id"), col("fullprobe_eq_flat"),
+          (col("r_probed") >= 0.05).as("band_ok"))
+    },
+      Some("""SELECT vec_id AS query_id, TRUE AS fullprobe_eq_flat,
+             |       TRUE AS band_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs ++ serveDefs

@@ -1547,6 +1547,104 @@ object Similarity {
         (col("captured") >= col("prefix")).as("pca_ge_prefix"))
   }
 
+  // ------------------------------------------------------------------
+  // persisted PCA-IVF index — the FAISS PCAMatrix → IVF pipeline the
+  // PCA family cites: project into the learned basis, train and
+  // partition the IVF in PCA SPACE, serve probed cells on the projected
+  // vectors, exact-rerank the shortlist on full-width vectors. Replaces
+  // the flat projected scan ([[pcaTopK]]) as the SERVING path: a query
+  // batch reads nprobe/kCells of the corpus (cell-pruned files) instead
+  // of every projected vector.
+  // ------------------------------------------------------------------
+
+  /**
+   * Materialize the PCA-IVF index: fit the PCA basis, project the
+   * corpus, train k-means ON THE PROJECTED vectors, and write the
+   * corpus partitioned by PCA-space cell with BOTH columns — `pvec`
+   * (the dims-wide projection, stage-1 ranking) and `embedding` (full
+   * width, stage-2 rerank) — plus the centroids AND the PCA model.
+   * All three tables describe each other (probes computed from another
+   * basis against these partitions would serve silently wrong answers),
+   * so they persist together like [[retrainIvfIndex]]'s model+vectors
+   * unit. Build cost at 100 TB: the PCA fit's partials×2080 aggregate,
+   * the k-means passes (all in dims-wide space), and ONE partitioned
+   * write.
+   */
+  def writePcaIvfIndex(corpus: DataFrame, path: String, dims: Int = 16,
+                       kCells: Int = 4, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = pcaFit(corpus, dims)
+    val proj = pcaProject(corpus, model)
+    val cells = kmeansCentroids(
+      proj.select(col("vec_id"), col("pvec").as("embedding")),
+      kCells, iters, dim = dims)
+    withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
+      col("pvec").as("v")), "v")
+      .withColumn("cell", assignCell(cells, "v", "nrm"))
+      .select("vec_id", "embedding", "pvec", "cell")
+      .repartition(col("cell")) // file discipline, as in writeIvfIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    cells.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    model.components.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
+      .toDF("c", "component", "energy")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pcamodel")
+  }
+
+  /** The store's own PCA basis — dims×Dim doubles, driver-resident. */
+  private def readPcaModel(spark: org.apache.spark.sql.SparkSession,
+                           path: String): PcaModel = {
+    val rows = spark.read.parquet(s"$path/pcamodel").collect().sortBy(_.getInt(0))
+    PcaModel(rows.map(_.getSeq[Double](1).toArray), rows.map(_.getDouble(2)))
+  }
+
+  /**
+   * Two-stage top-k against a [[writePcaIvfIndex]] store: queries
+   * project through the STORED basis and probe the PCA-space centroids;
+   * stage 1 ranks the PROJECTED vectors inside the probed cells to a
+   * `shortlist` (the scan reads cell + vec_id + pvec — dims/Dim of the
+   * floats, and only the probed cells' files via the same static
+   * `cell IN` pushdown as [[ivfStoredTopK]]); stage 2 exact-reranks the
+   * query-sized shortlist on full-width embeddings (the embedding read
+   * keeps the cell pruning and a broadcast shortlist semi-join). With
+   * `nprobe = kCells` the result EQUALS the flat [[pcaRerankTopK]] at
+   * the same shortlist (every cell probed ≡ full scan — spec- and
+   * oracle-pinned); smaller nprobe trades recall for the cell-bounded
+   * read, audited by `ann_recall_pca_ivf`.
+   */
+  def pcaIvfStoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 2,
+                       shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val model = readPcaModel(spark, path)
+    val cents = withNorm(spark.read.parquet(s"$path/centroids"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val probes = probeCells(
+      pcaProject(queries, model)
+        .select(col("vec_id"), col("pvec").as("embedding")),
+      cents, nprobe).localCheckpoint()
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val c = withNorm(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("pvec").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    val shortIds = rankPairs(c.join(broadcast(probes), Seq("cell")), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val pruned = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
+  }
+
   /**
    * Recall@k audit — the fraction of the EXACT top-k each approximate
    * method recovers, per query: the quality dial every ANN deployment

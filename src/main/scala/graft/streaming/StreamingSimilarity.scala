@@ -51,4 +51,60 @@ object StreamingSimilarity {
         }
       }
       .start()
+
+  /**
+   * [[ivfIngest]] with the drift-response loop CLOSED: after each
+   * stored-model append, the maintainer measures how far the data has
+   * moved under the model — [[Similarity.centroidDrift]] between the
+   * STORED centroids (each cell's label carrying its one trained vector)
+   * and the stored corpus labeled by its cell partitions, i.e. per cell
+   * the cosine of trained-centroid vs the cell's CURRENT mean — and when
+   * any cell drops below `driftCosine`, fires
+   * [[Similarity.retrainIvfIndex]]: the whole-store model+vectors swap
+   * whose post-state is indistinguishable from a fresh build over the
+   * live corpus (the knn_ivf_retrained contract). This is the operating
+   * loop the bootstrap-model posture defers to ("re-train on drift, not
+   * per batch"), now running inside the ingest query itself.
+   *
+   * Replay-safe like the rest of the maintainer: the append anti-joins
+   * replayed ids away, the drift check re-reads the store, and a
+   * replayed retrain rebuilds the identical deterministic model. The
+   * drift frame is |cells|-sized; its cost is one corpus projection
+   * pass — scheduled per batch here because batches ARE the drift
+   * opportunities, amortized in production by `driftCosine` keeping
+   * retrains rare. `onRetrain(batchId)` is the observability hook.
+   */
+  def ivfIngestWithRetrain(vecs: DataFrame, indexPath: String, checkpoint: String,
+                           kCells: Int = 4, iters: Int = 2,
+                           driftCosine: Double = 0.95,
+                           onRetrain: Long => Unit = _ => (),
+                           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, min}
+        if (!batch.isEmpty) {
+          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+          val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(cents))
+            Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+          else {
+            Similarity.appendToIvfIndex(spark, indexPath, batch)
+            val trained = spark.read.parquet(s"$indexPath/centroids")
+              .select(col("cell").as("label"), col("centroid").as("embedding"))
+            val current = spark.read.parquet(s"$indexPath/vectors")
+              .select(col("cell").as("label"), col("embedding"))
+            val worst = Similarity.centroidDrift(trained, current)
+              .agg(min(col("drift_cosine"))).collect()(0)
+            if (!worst.isNullAt(0) && worst.getDouble(0) < driftCosine) {
+              Similarity.retrainIvfIndex(spark, indexPath, kCells, iters)
+              onRetrain(batchId)
+            }
+          }
+        }
+      }
+      .start()
 }

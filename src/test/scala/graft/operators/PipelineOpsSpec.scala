@@ -131,6 +131,45 @@ class PipelineOpsSpec extends SparkTestBase {
       s"tombstone-free serving must not carry a delete anti-join:\n$plan")
   }
 
+  test("PCA-IVF store: full-probe serving EQUALS the flat pcaRerankTopK; " +
+    "partial probe reads only probed cells with a pvec-only stage-1 scan") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-pcaivf").toString
+    Similarity.writePcaIvfIndex(e, path, dims = 8, kCells = 4, iters = 2)
+    // the store persists all three tables of the unit
+    for (t <- Seq("vectors", "centroids", "pcamodel"))
+      assert(new java.io.File(s"$path/$t").exists(), s"missing $t")
+    // full probe (nprobe = kCells) ≡ the flat two-stage PCA serve: every
+    // cell probed is a full scan, the stored pvec/model are the same
+    // deterministic fit, and ranking ties break identically
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val flat = Similarity.pcaRerankTopK(e, q, 10,
+      Similarity.pcaFit(e, 8), shortlist = 20)
+    val full = Similarity.pcaIvfStoredTopK(s, path, q, 10, nprobe = 4, shortlist = 20)
+    assert(rows(full) == rows(flat),
+      "probing every cell must equal the flat PCA rerank exactly")
+    // partial probe: static cell IN pruning, and the stage-1 ranking scan
+    // reads the PROJECTED column only (dims/Dim of the floats)
+    val part = Similarity.pcaIvfStoredTopK(s, path, q, 10, nprobe = 2, shortlist = 20)
+    val plan = part.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected a static cell IN partition filter:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("ReadSchema") &&
+      l.contains("pvec") && !l.contains("embedding")),
+      s"stage-1 scan must read pvec without the full-width embedding:\n$plan")
+    // structure: k rows per query, unit-range cosines
+    val got = part.collect()
+    assert(got.length == 5 * 10 && got.forall(r => math.abs(r.getDouble(2)) <= 1 + 1e-9))
+  }
+
   test("IVF append: stored model assigns the batch, serving sees it; replay is a no-op") {
     val s = spark
     import s.implicits._

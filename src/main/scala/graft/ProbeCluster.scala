@@ -43,7 +43,11 @@ object ProbeCluster {
     // launches real workers from SPARK_HOME, whose classpath has the
     // Spark jars but NOT this project's target/classes
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
-    val spark = GraftSession.builder(master = "local-cluster[2,4,4096]")
+    // SPARK_GRAFT_MASTER override lets the SAME harness (same count()
+    // materialization, same query list) time a local[n] control run for
+    // the cluster-vs-local bench comparison
+    val spark = GraftSession.builder(
+      master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,4096]"))
       .appName("graft-cluster-smoke")
       .config("spark.executor.extraClassPath", classesDir)
       .getOrCreate()

@@ -1590,6 +1590,31 @@ object SparkEntry {
               |       CAST(count(*) AS BIGINT) AS samples
               |FROM rt WHERE t >= $S AND t < $Week GROUP BY 1, 2""".stripMargin)),
 
+    // ---- serving-tier dispatch for rates: hour-aligned rate dashboards
+    // answer from the rate tier, misaligned fall back to the raw W1+A1
+    // path — same rows either way (dispatch invisibility, spec-pinned);
+    // this request takes the cheap branch by construction ---------------
+    ("rollup_rate_adaptive", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rateadapt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+      GraftStorage.writeRollupRate(s, s"$base/raw", s"$base/rate",
+        isCounter = true)
+      GraftStorage.servedRateStats(s, s"$base/raw", s"$base/rate",
+        Buckets.fromStep(S, S + 28 * Day, Day), isCounter = true, byMetric = true)
+        .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
+              |SELECT metric, (t - $S) // $Day AS bucket,
+              |       min(rate) AS "min", ${dsum("rate")} / count(*) AS avg,
+              |       max(rate) AS "max", ${dsum("rate")} AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM rt WHERE t >= $S AND t < ${S + 28 * Day} GROUP BY 1, 2""".stripMargin)),
+
     // ---- tag-query → availability-tier serving: the per-team uptime
     // dashboard end-to-end — the tag index resolves the expression to a
     // request-sized id set, which broadcasts into a semi-join pruning the

@@ -865,6 +865,46 @@ object GraftStorage {
   }
 
   /**
+   * Serving-tier dispatch for RATE stats — [[servedStats]]' posture on
+   * the rate tier: hour-aligned requests answer from [[rollupRateStats]]
+   * (hours × metrics summaries + boundary pairs), misaligned requests
+   * fall back to the raw W1+A1 path — rate derivation over the
+   * LWW-resolved read, then bucket stats, minus order statistics so both
+   * branches share one surface. Aligned requests answer identically from
+   * either branch (the tier's exactness contract, spec-pinned). The
+   * fallback bounds slices from ABOVE only: a rate pair may anchor
+   * arbitrarily far before the range (the raw path derives rates over
+   * the whole series and range-filters the rate TIMESTAMPS), so a slice
+   * lower bound would silently drop the first in-range rate of a sparse
+   * series.
+   */
+  def servedRateStats(spark: SparkSession, rawPath: String, ratePath: String,
+                      b: graft.model.Buckets, isCounter: Boolean,
+                      valueCol: String = "l_value",
+                      byMetric: Boolean = false): DataFrame = {
+    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
+      b.end % RollupMs == 0
+    val hasTier = {
+      val p = new org.apache.hadoop.fs.Path(ratePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (aligned && hasTier)
+      rollupRateStats(spark, ratePath, b, isCounter, byMetric)
+    else {
+      val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
+      val resolved = graft.operators.MetricsOps.dedupTiers(
+        read(spark, rawPath)
+          .filter(col("time_slice") <= (b.end - 1) / SliceMs),
+        "ingest_seq", Seq(valueTieBreak))
+        .filter(col(valueCol).isNotNull)
+      graft.operators.MetricsOps.numericBucketStats(
+        graft.operators.MetricsOps.rate(resolved, isCounter, valueCol),
+        b, byMetric = byMetric, valueCol = "rate")
+        .select(keys ++ Seq("min", "avg", "max", "sum", "samples").map(col): _*)
+    }
+  }
+
+  /**
    * Retention sweep (TTL analog, MetricsServiceImpl.java:1058-1067): drop
    * whole expired slice partitions — a metadata-only delete, no rewrite.
    */

@@ -629,6 +629,41 @@ class StorageSpec extends SparkTestBase {
         valueCol = "l_value"), Seq("bucket")))
   }
 
+  test("servedRateStats dispatch: aligned requests read the rate tier, " +
+    "misaligned read raw, both branches answer identically on aligned buckets") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    GraftStorage.write(ctrFixture(Seq(
+      ("m1", H1 + 100L, 10L), ("m1", H1 + 2000L, 40L), ("m1", 2 * H1 + 500L, 130L),
+      ("m2", H1 + 700L, 900L), ("m2", 2 * H1 + 300L, 50L), ("m2", 2 * H1 + 800L, 75L))),
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupRate(spark, s"$path/raw", s"$path/rate", isCounter = true)
+    val aligned = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    def rows(df: DataFrame) = df
+      .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+      .collect().map(_.toSeq).toSet
+    val viaTier = GraftStorage.servedRateStats(spark, s"$path/raw", s"$path/rate",
+      aligned, isCounter = true, byMetric = true)
+    val tierPlan = viaTier.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(tierPlan.contains("/rate") && !tierPlan.contains("/raw]"),
+      s"aligned dispatch must read the rate tier only:\n$tierPlan")
+    // force the raw branch at the same (aligned) buckets: both branches
+    // must answer identically — the dispatch-invisibility contract
+    val viaRaw = GraftStorage.servedRateStats(spark, s"$path/raw", s"$path/nosuch",
+      aligned, isCounter = true, byMetric = true)
+    assert(rows(viaTier) == rows(viaRaw),
+      "tier and raw branches must agree on aligned buckets")
+    // misaligned buckets route to raw even with the tier present
+    val mis = graft.model.Buckets.fromStep(H1 + 1, H1 + 1 + 2 * H1, H1)
+    val viaMis = GraftStorage.servedRateStats(spark, s"$path/raw", s"$path/rate",
+      mis, isCounter = true, byMetric = true)
+    val misPlan = viaMis.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(misPlan.contains("/raw]"),
+      s"misaligned dispatch must fall back to raw:\n$misPlan")
+  }
+
   test("histogram tier multi-tenant guard: unscoped serve over a two-tenant " +
     "tier refuses loudly; tenant-scoped serve equals the single-tenant answer") {
     val path = tmp()

@@ -865,6 +865,140 @@ object GraftStorage {
   }
 
   /**
+   * Rate DISTRIBUTION tier — [[writeRollupHist]]'s shape over the W1
+   * rate series: per (tenant, type, slice, metric, hour, rate-bin), the
+   * count of WITHIN-HOUR rates (caller-fixed clamped edges, the
+   * valueHistogram contract; meta persists via the same `_histmeta`
+   * discipline, mismatched refresh refuses). Hour-CROSSING rates are
+   * not stored — [[rollupRateHistogram]] reconstructs each boundary
+   * pair from the RATE tier's first/last facts and bins it at serve, so
+   * the two tiers compose: build both over the same raw window. Closes
+   * the rate-percentile dashboard (p95-of-rates) without a raw scan —
+   * plain rate rollups answer min/avg/max/sum but discard the rate
+   * distribution.
+   */
+  def writeRollupRateHist(spark: SparkSession, rawPath: String,
+                          rateHistPath: String, isCounter: Boolean,
+                          vMin: Double, vMax: Double, bins: Int,
+                          valueCol: String = "l_value",
+                          upToSlice: Long = Long.MaxValue,
+                          fromSlice: Long = Long.MinValue): Unit = {
+    require(bins > 0 && vMax > vMin, "need bins > 0 and vMax > vMin")
+    readHistMeta(spark, rateHistPath) match {
+      case Some(m) =>
+        require(m == ((vMin, vMax, bins)),
+          s"rate histogram tier at $rateHistPath was built with (vMin, vMax, " +
+            s"bins) = $m; refresh passed (${(vMin, vMax, bins)})")
+      case None =>
+        require(tierTenantPartitions(spark, rateHistPath).isEmpty,
+          s"rate histogram tier at $rateHistPath has data partitions but no " +
+            "_histmeta (crashed pre-meta build?) — drop and rebuild the tier")
+        writeHistMeta(spark, rateHistPath, vMin, vMax, bins)
+    }
+    val width = (vMax - vMin) / bins
+    val in = readResolved(spark, rawPath)
+      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("hour", expr(s"time div $RollupMs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"))
+      .orderBy(col("time"))
+    val v = col(valueCol).cast("double")
+    val roll = in
+      .withColumn("prev_v", lag(v, 1).over(w))
+      .withColumn("prev_t", lag(col("time"), 1).over(w))
+      .withColumn("rate",
+        when(col("prev_t").isNotNull &&
+          (if (isCounter) v >= col("prev_v") else lit(true)),
+          lit(60000.0) * (v - col("prev_v")) /
+            (col("time") - col("prev_t")).cast("double")))
+      .filter(col("rate").isNotNull)
+      .withColumn("bin",
+        graft.functions.GraftFunctions.valueBin(col("rate"), vMin, width, bins))
+      .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
+        col("metric"), col("hour"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    refreshRollupTier(spark, roll, rateHistPath, fromSlice, upToSlice,
+      Seq(col("metric"), col("hour"), col("bin")))
+  }
+
+  /**
+   * Serve the rate-value heatmap — EXACTLY
+   * `MetricsOps.valueHistogram(rate(raw), …)`'s shape and values — from
+   * the rate-distribution tier PLUS the rate tier: within-hour binned
+   * counts re-aggregate per (bucket, bin); each consecutive non-empty
+   * hour pair's boundary rate reconstructs from the rate tier's
+   * first/last facts ([[rollupRateStats]]'s identical IEEE expression),
+   * bins at serve, and merges in. Compose with
+   * `MetricsOps.histogramQuantile` for p95-of-rates serving. Both tiers
+   * must be built over the same raw window — the boundary chain is the
+   * rate tier's.
+   *
+   * Same tenant posture as [[rollupHistogram]]: the (bucket, bin) merge
+   * carries no tenant keys, so serving refuses an unscoped multi-tenant
+   * merge and takes tenant/mtype partition-pruning scope params.
+   */
+  def rollupRateHistogram(spark: SparkSession, rateHistPath: String,
+                          ratePath: String, b: graft.model.Buckets,
+                          isCounter: Boolean,
+                          ids: Option[DataFrame] = None,
+                          tenant: Option[String] = None,
+                          mtypeCode: Option[Int] = None): DataFrame = {
+    require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
+      s"rate histogram serving needs hour-aligned buckets " +
+        s"(start=${b.start}, step=${b.step})")
+    val (vMin, vMax, bins) = readHistMeta(spark, rateHistPath).getOrElse(
+      throw new IllegalArgumentException(s"no histogram tier meta at $rateHistPath"))
+    val scoped = (tierTenantPartitions(spark, rateHistPath) ++
+      tierTenantPartitions(spark, ratePath)).distinct.filter { case (t, m) =>
+      tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+    }
+    require(scoped.size <= 1,
+      s"rate histogram serving at $rateHistPath/$ratePath spans ${scoped.size} " +
+        s"(tenant, mtype) partitions ${scoped.mkString(", ")}; pass tenant=/" +
+        "mtypeCode= to scope the serve — an unscoped merge would mix tenants")
+    val width = (vMax - vMin) / bins
+    val startHour = b.start / RollupMs
+    val stepHours = b.step / RollupMs
+    val scopeFilters =
+      tenant.map(col("tenant_id") === _) ++ mtypeCode.map(col("mtype") === _)
+    def scopedRead(path: String, f: DataFrame) = scopeFilters.foldLeft(f)(_ filter _)
+    def idFilter(df: DataFrame) = ids.fold(df)(i =>
+      df.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
+    // within-hour binned counts, re-aggregated to the bucket grid
+    val inHour = idFilter(scopedRead(rateHistPath,
+      spark.read.parquet(rateHistPath)
+        .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)))
+      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+      .select(col("bucket"), col("bin"), col("cnt"))
+    // boundary rates from the rate tier's hour chain (no lower hour
+    // bound — pre-range hours anchor the lag, rollupRateStats' posture)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
+      .orderBy(col("hour"))
+    val bounds = idFilter(scopedRead(ratePath,
+      spark.read.parquet(ratePath).filter(col("hour") < b.end / RollupMs)))
+      .withColumn("prev_last_val", lag(col("last_val"), 1).over(w))
+      .withColumn("prev_last_ts", lag(col("last_ts"), 1).over(w))
+      .withColumn("brate",
+        when(col("prev_last_ts").isNotNull &&
+          (if (isCounter) col("first_val") >= col("prev_last_val") else lit(true)),
+          lit(60000.0) * (col("first_val") - col("prev_last_val")) /
+            (col("first_ts") - col("prev_last_ts")).cast("double")))
+      .filter(col("hour") >= startHour && col("brate").isNotNull)
+      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+      .withColumn("bin",
+        graft.functions.GraftFunctions.valueBin(col("brate"), vMin, width, bins))
+      .select(col("bucket"), col("bin"), lit(1L).as("cnt"))
+    inHour.unionByName(bounds)
+      .groupBy(col("bucket"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("bin_lo", lit(vMin) + col("bin") * width)
+      .withColumn("bin_hi", lit(vMin) + (col("bin") + 1) * width)
+  }
+
+  /**
    * Serving-tier dispatch for RATE stats — [[servedStats]]' posture on
    * the rate tier: hour-aligned requests answer from [[rollupRateStats]]
    * (hours × metrics summaries + boundary pairs), misaligned requests

@@ -629,6 +629,55 @@ class StorageSpec extends SparkTestBase {
         valueCol = "l_value"), Seq("bucket")))
   }
 
+  test("rate histogram tier: served rate heatmap is bit-equal to " +
+    "valueHistogram over the raw rate series — within-hour bins from the " +
+    "distribution tier, boundary rates reconstructed from the rate tier " +
+    "and binned at serve; quantile walk composes; meta/params guarded") {
+    val s0 = spark
+    import s0.implicits._
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    val rows = Seq(
+      ("m1", H1 + 100L, 10L), ("m1", H1 + 2000L, 40L), ("m1", H1 + 60000L, 100L),
+      ("m1", 2 * H1 + 500L, 130L),
+      ("m1", 4 * H1 + 100L, 500L), ("m1", 4 * H1 + 900L, 100L),
+      ("m1", 4 * H1 + 2000L, 160L),
+      ("m2", H1 + 700L, 900L), ("m2", 2 * H1 + 300L, 50L), ("m2", 2 * H1 + 800L, 75L))
+    GraftStorage.write(ctrFixture(rows), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupRate(spark, s"$path/raw", s"$path/rate", isCounter = true)
+    GraftStorage.writeRollupRateHist(spark, s"$path/raw", s"$path/rhist",
+      isCounter = true, vMin = 0.0, vMax = 4000.0, bins = 8)
+    def rows5(df: DataFrame) = df.select("bucket", "bin", "cnt", "bin_lo", "bin_hi")
+      .collect().map(_.toSeq).toSet
+    val b = graft.model.Buckets.fromStep(H1, 5 * H1, 2 * H1)
+    val served = GraftStorage.rollupRateHistogram(spark, s"$path/rhist",
+      s"$path/rate", b, isCounter = true)
+    val onRead = graft.operators.MetricsOps.valueHistogram(
+      graft.operators.MetricsOps.rate(ctrFixture(rows), isCounter = true,
+        valueCol = "l_value"),
+      b, vMin = 0.0, vMax = 4000.0, bins = 8, valueCol = "rate")
+    assert(rows5(served) == rows5(onRead),
+      "served rate histogram must equal the on-read rate heatmap")
+    // quantile walk composes identically over both
+    def q(df: DataFrame) = graft.operators.MetricsOps.histogramQuantile(df, 0.95)
+      .collect().map(_.toSeq).toSet
+    assert(q(served) == q(onRead))
+    // pre-range anchor parity: a serve starting at hour 2 still bins the
+    // hour-1→2 boundary rates (raw filters rate TIMESTAMPS only)
+    val bTail = graft.model.Buckets.fromStep(2 * H1, 5 * H1, H1)
+    assert(rows5(GraftStorage.rollupRateHistogram(spark, s"$path/rhist",
+      s"$path/rate", bTail, isCounter = true)) ==
+      rows5(graft.operators.MetricsOps.valueHistogram(
+        graft.operators.MetricsOps.rate(ctrFixture(rows), isCounter = true,
+          valueCol = "l_value"),
+        bTail, vMin = 0.0, vMax = 4000.0, bins = 8, valueCol = "rate")))
+    // mismatched refresh params refuse loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.writeRollupRateHist(spark, s"$path/raw", s"$path/rhist",
+        isCounter = true, vMin = 0.0, vMax = 8000.0, bins = 8)
+    }
+  }
+
   test("servedRateStats dispatch: aligned requests read the rate tier, " +
     "misaligned read raw, both branches answer identically on aligned buckets") {
     val path = tmp()

@@ -1183,6 +1183,38 @@ object SparkEntry {
               |       max(value) AS "max", ${dsum("value")} AS sum
               |FROM b GROUP BY 1, 2""".stripMargin)),
 
+    // ---- multi-tenant tier, tenant-SCOPED serve: a second tenant's
+    // same-named metrics share the store (values offset so any mixing
+    // would corrupt every aggregate); the scoped serve answers the
+    // fixture tenant alone via a PARTITION filter (tenant_id leads the
+    // tier layout — the other tenant's directories are never read), and
+    // an unscoped merge REFUSES loudly instead of mixing tenants -------
+    ("rollup_stats_tenant", (s: SparkSession, d: String) => {
+      val path = "target/tmp/rolltenant_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, path) {
+        GraftStorage.write(gauge(s, d), s"$path/raw", SaveMode.Overwrite)
+        GraftStorage.write(gauge(s, d)
+          .withColumn("tenant_id", lit("intruder"))
+          .withColumn("n_value", col("n_value") * 1000 + 7), s"$path/raw")
+        GraftStorage.writeRollup(s, s"$path/raw", s"$path/roll")
+      }
+      val b = Buckets.fromStep(S, S + 4 * Day, 7200000L)
+      require(scala.util.Try(GraftStorage.rollupStats(s, s"$path/roll", b)).isFailure,
+        "unscoped merge over a two-tenant tier must refuse")
+      GraftStorage.rollupStats(s, s"$path/roll", b,
+        tenant = Some(ea.Tenant),
+        mtypeCode = Some(graft.model.MetricType.Gauge.code.toInt))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t >= $S AND t < ${S + 4 * Day})
+              |SELECT metric, (t - $S) // 7200000 AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- serving-tier dispatch: aligned requests answer from the rollup,
     // misaligned from raw — SAME rows either way (the exactness
     // contract); this request is hour-aligned → the cheap branch --------
@@ -1236,6 +1268,41 @@ object SparkEntry {
               |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
               |  count(*) AS samples,
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
+              |FROM seg GROUP BY metric, bucket""".stripMargin)),
+
+    // ---- serving-tier dispatch for A3 (servedStats' posture): this
+    // request is hour-aligned (2-day buckets) → the tier branch answers
+    // from hour summaries; misaligned requests fall back to the raw
+    // state machine — identical rows either way (spec-pinned) ------------
+    ("rollup_avail_adaptive", (s: SparkSession, d: String) => {
+      val base = "target/tmp/avroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(avail(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupAvail(s, s"$base/raw", s"$base/avroll")
+      }
+      GraftStorage.servedAvailStats(s, s"$base/raw", s"$base/avroll",
+        Buckets.fromStep(S, E, 2 * Day))
+        .select("metric", "bucket", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+          "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    },
+      Some(s"""WITH $BaseCte, $AvailCte,
+              |b AS (SELECT metric, t, avail, (t - $S) // ${2 * Day} AS bucket
+              |      FROM av WHERE t >= $S AND t < $E),
+              |seg AS (SELECT metric, bucket, avail,
+              |          CASE WHEN row_number() OVER w = 1 THEN $S + bucket * ${2 * Day} ELSE t END AS seg_start,
+              |          coalesce(lead(t) OVER w, $S + (bucket + 1) * ${2 * Day}) AS seg_end,
+              |          lag(avail) OVER w AS prev_avail
+              |        FROM b WINDOW w AS (PARTITION BY metric, bucket ORDER BY t))
+              |SELECT metric, bucket,
+              |  CAST(coalesce(sum(CASE WHEN avail = 0 THEN seg_end - seg_start END), 0) AS BIGINT) AS up_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 1 THEN seg_end - seg_start END), 0) AS BIGINT) AS down_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 2 THEN seg_end - seg_start END), 0) AS BIGINT) AS unknown_ms,
+              |  CAST(coalesce(sum(CASE WHEN avail = 3 THEN seg_end - seg_start END), 0) AS BIGINT) AS admin_ms,
+              |  CAST(coalesce(max(CASE WHEN avail <> 0 THEN seg_end END), 0) AS BIGINT) AS last_not_uptime,
+              |  CAST(sum(CASE WHEN avail <> 0 AND (prev_avail IS NULL OR prev_avail = 0)
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS not_up_count,
+              |  count(*) AS samples,
+              |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${(2 * Day).toDouble} AS uptime_ratio
               |FROM seg GROUP BY metric, bucket""".stripMargin)),
 
     // ---- A3 + A2 from the tier: the dense REST wire shape (gap-filled
@@ -1378,6 +1445,29 @@ object SparkEntry {
       Some(s"""WITH $BaseCte, $CounterCte,
               |r AS (SELECT metric, l_value - lag(l_value) OVER w AS delta
               |      FROM ctr WHERE t >= $S AND t < $E
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric,
+              |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS increase,
+              |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+              |       CAST(count(delta) AS BIGINT) AS n_deltas
+              |FROM r WHERE delta IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ---- serving-tier dispatch for counter increase: this range is NOT
+    // hour-aligned (half-hour start) → the raw branch answers; aligned
+    // ranges read the counter tier — identical rows (spec-pinned) --------
+    ("rollup_counter_adaptive", (s: SparkSession, d: String) => {
+      val base = "target/tmp/ctrroll_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupCounter(s, s"$base/raw", s"$base/ctrroll")
+      }
+      GraftStorage.servedCounterIncrease(s, s"$base/raw", s"$base/ctrroll",
+        TimeRange(S + 1800000L, E))
+        .select(col("metric"), col("increase"), col("n_resets"), col("n_deltas"))
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, l_value - lag(l_value) OVER w AS delta
+              |      FROM ctr WHERE t >= ${S + 1800000L} AND t < $E
               |      WINDOW w AS (PARTITION BY metric ORDER BY t))
               |SELECT metric,
               |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS increase,
@@ -1725,6 +1815,68 @@ object SparkEntry {
               |  count(*) AS samples,
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
               |FROM seg GROUP BY metric, bucket""".stripMargin)),
+
+    // ---- tag-query → COUNTER tier: "requests this month for the tagged
+    // fleet" — the resolved id set broadcasts into a semi-join pruning
+    // the counter tier scan BEFORE the boundary-delta window; per-metric
+    // hour timelines are unaffected by dropping other metrics ------------
+    ("tagquery_rollup_counter", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagctr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupCounter(s, s"$base/raw", s"$base/ctrroll")
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      GraftStorage.rollupCounterIncrease(s, s"$base/ctrroll", TimeRange(S, E),
+        ids = Some(ids))
+        .select(col("metric"), col("increase"), col("n_resets"), col("n_deltas"))
+    },
+      Some(s"""WITH $BaseCte, $CounterCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |r AS (SELECT metric, l_value - lag(l_value) OVER w AS delta
+              |      FROM ctr WHERE t >= $S AND t < $E
+              |        AND metric IN (SELECT metric FROM sel)
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t))
+              |SELECT metric,
+              |       CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS increase,
+              |       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+              |       CAST(count(delta) AS BIGINT) AS n_deltas
+              |FROM r WHERE delta IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ---- tag-query → RATE tier: per-metric rate panels for the tagged
+    // fleet, served from hour summaries — the id semi-join prunes before
+    // the boundary window, raw never read --------------------------------
+    ("tagquery_rollup_rate", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagrate_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupRate(s, s"$base/raw", s"$base/rate",
+          isCounter = true)
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      GraftStorage.rollupRateStats(s, s"$base/rate", Buckets.fromStep(S, E, Day),
+        isCounter = true, byMetric = true, ids = Some(ids))
+        .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+    },
+      Some(s"""WITH $BaseCte, $CounterCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WHERE metric IN (SELECT metric FROM sel)
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v)
+              |SELECT metric, (t - $S) // $Day AS bucket,
+              |       min(rate) AS "min", ${dsum("rate")} / count(*) AS avg,
+              |       max(rate) AS "max", ${dsum("rate")} AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM rt WHERE t >= $S AND t < $E GROUP BY 1, 2""".stripMargin)),
 
     // ---- S9: metric delete — partition-scoped rewrite --------------------
     ("storage_delete", (s: SparkSession, d: String) => {

@@ -520,7 +520,8 @@ object GraftStorage {
    */
   def rollupAvailStats(spark: SparkSession, availPath: String,
                        b: graft.model.Buckets,
-                       ids: Option[DataFrame] = None): DataFrame = {
+                       ids: Option[DataFrame] = None,
+                       tenant: Option[String] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"availability tier serving needs hour-aligned buckets " +
         s"(start=${b.start}, step=${b.step})")
@@ -533,8 +534,14 @@ object GraftStorage {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tenant_id"), col("mtype"), col("metric"), col("bucket"))
       .orderBy(col("hour"))
-    val h0 = spark.read.parquet(availPath)
-      .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+    // optional tenant scope: output carries tenant keys either way (the
+    // merge can never mix tenants), but a single-tenant dashboard should
+    // prune to that tenant's partition directories at the LISTING, not
+    // scan every tenant's hours (tenant_id leads the tier layout)
+    val h0 = tenant.foldLeft(
+      spark.read.parquet(availPath)
+        .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs))(
+      (d, t) => d.filter(col("tenant_id") === t))
     // optional id-set restriction (the tag-query → SLO dashboard path):
     // the resolved id set is request-sized, so it broadcasts into a
     // semi-join pruning the tier scan BEFORE the boundary-merge window —
@@ -630,16 +637,27 @@ object GraftStorage {
    * the reset count (one lag window over hours × metrics rows).
    */
   def rollupCounterIncrease(spark: SparkSession, ctrPath: String,
-                            range: graft.model.TimeRange): DataFrame = {
+                            range: graft.model.TimeRange,
+                            tenant: Option[String] = None,
+                            ids: Option[DataFrame] = None): DataFrame = {
     require(range.start % RollupMs == 0 && range.end % RollupMs == 0,
       s"counter tier serving needs hour-aligned ranges " +
         s"(start=${range.start}, end=${range.end})")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
       .orderBy(col("hour"))
-    spark.read.parquet(ctrPath)
-      .filter(col("hour") >= range.start / RollupMs &&
-        col("hour") < range.end / RollupMs)
+    // optional tenant scope — partition pruning for single-tenant
+    // requests; the keyed window/aggregate stay tenant-safe without it.
+    // optional id-set restriction (tag-query → increase dashboard): the
+    // request-sized id set broadcasts into a semi-join pruning the tier
+    // scan BEFORE the boundary window (rollupStats' posture)
+    val h0 = tenant.foldLeft(
+      spark.read.parquet(ctrPath)
+        .filter(col("hour") >= range.start / RollupMs &&
+          col("hour") < range.end / RollupMs))(
+      (d, t) => d.filter(col("tenant_id") === t))
+    ids.fold(h0)(i =>
+      h0.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
       .withColumn("bdelta", col("first_val") - lag(col("last_val"), 1).over(w))
       .groupBy(col("tenant_id"), col("mtype"), col("metric"))
       .agg(
@@ -738,16 +756,29 @@ object GraftStorage {
   def rollupRateStats(spark: SparkSession, ratePath: String,
                       b: graft.model.Buckets, isCounter: Boolean,
                       byMetric: Boolean = false,
-                      ids: Option[DataFrame] = None): DataFrame = {
+                      ids: Option[DataFrame] = None,
+                      tenant: Option[String] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"rate tier serving needs hour-aligned buckets " +
         s"(start=${b.start}, step=${b.step})")
+    // output drops tenant/type (bucket-stats dashboard shape) while the
+    // boundary window keys on them — so the window is tenant-safe but the
+    // final merge is not: refuse an unscoped serve over a multi-tenant
+    // tier from the partition listing (rollupStats/rollupHistogram posture)
+    val scopedParts = tierTenantPartitions(spark, ratePath)
+      .filter { case (t, _) => tenant.forall(_ == t) }
+    require(scopedParts.map(_._1).distinct.size <= 1,
+      s"rate tier at $ratePath spans tenants " +
+        s"${scopedParts.map(_._1).distinct.mkString(", ")}; pass tenant= to " +
+        "scope the serve — an unscoped merge would mix tenants' rates")
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
       .orderBy(col("hour"))
-    val h0 = spark.read.parquet(ratePath).filter(col("hour") < b.end / RollupMs)
+    val h0 = tenant.foldLeft(
+      spark.read.parquet(ratePath).filter(col("hour") < b.end / RollupMs))(
+      (d, t) => d.filter(col("tenant_id") === t))
     // request-sized id restriction, broadcast semi-join BEFORE the
     // boundary window (rollupStats' posture)
     val h = ids.fold(h0)(i =>
@@ -796,13 +827,31 @@ object GraftStorage {
    */
   def rollupStats(spark: SparkSession, rollupPath: String,
                   b: graft.model.Buckets, byMetric: Boolean = true,
-                  ids: Option[DataFrame] = None): DataFrame = {
+                  ids: Option[DataFrame] = None,
+                  tenant: Option[String] = None,
+                  mtypeCode: Option[Int] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"rollup serving needs hour-aligned buckets (start=${b.start}, step=${b.step})")
+    // the output drops tenant/type (it's a per-request dashboard shape),
+    // so an unscoped merge over a multi-tenant tier would silently add
+    // two tenants' same-named metrics — the histogram serve's posture:
+    // refuse from the partition LISTING alone, scope via partition
+    // filters (tenant_id/mtype lead the tier layout, so the scan prunes
+    // to one tenant's directories before any data is read)
+    val scoped = tierTenantPartitions(spark, rollupPath).filter { case (t, m) =>
+      tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+    }
+    require(scoped.size <= 1,
+      s"rollup tier at $rollupPath spans ${scoped.size} (tenant, mtype) " +
+        s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
+        "scope the serve — an unscoped merge would mix tenants' sums")
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
-    val r0 = spark.read.parquet(rollupPath)
-      .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)
+    val scopeFilters =
+      tenant.map(col("tenant_id") === _) ++ mtypeCode.map(col("mtype") === _)
+    val r0 = scopeFilters.foldLeft(
+      spark.read.parquet(rollupPath)
+        .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs))(_ filter _)
     // optional id-set restriction (the tag-query → dashboard path): the
     // resolved id set is request-sized, so it broadcasts into a semi-join
     // that prunes the tier scan BEFORE the bucket aggregate
@@ -1036,6 +1085,69 @@ object GraftStorage {
         b, byMetric = byMetric, valueCol = "rate")
         .select(keys ++ Seq("min", "avg", "max", "sum", "samples").map(col): _*)
     }
+  }
+
+  /**
+   * Serving-tier dispatch for the A3 state machine ([[servedStats]]'
+   * posture): hour-aligned requests answer from the availability tier's
+   * exact boundary merge, misaligned ones run
+   * [[graft.operators.MetricsOps.availabilityBucketStats]] over the
+   * LWW-resolved raw tier. Both branches return the SAME rows on
+   * aligned buckets (the tier merge is exact — spec- and oracle-pinned),
+   * so the dispatch is invisible; the output is the per-request shape
+   * (tenant/type dropped — the tier branch serves one store, like the
+   * raw branch reads one store).
+   */
+  def servedAvailStats(spark: SparkSession, rawPath: String, availPath: String,
+                       b: graft.model.Buckets): DataFrame = {
+    val shape = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
+      "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
+      b.end % RollupMs == 0
+    val hasTier = {
+      val p = new org.apache.hadoop.fs.Path(availPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (aligned && hasTier)
+      rollupAvailStats(spark, availPath, b).select(shape.map(col): _*)
+    else
+      graft.operators.MetricsOps.availabilityBucketStats(
+        graft.operators.MetricsOps.dedupTiers(
+          read(spark, rawPath)
+            .filter(col("time_slice") >= b.start / SliceMs &&
+              col("time_slice") <= (b.end - 1) / SliceMs),
+          "ingest_seq", Seq(valueTieBreak))
+          .filter(col("avail").isNotNull), b)
+        .select(shape.map(col): _*)
+  }
+
+  /**
+   * Serving-tier dispatch for whole-range counter increase accounting:
+   * hour-aligned ranges answer from the counter tier (hour partials +
+   * boundary deltas), misaligned ones run
+   * [[graft.operators.MetricsOps.counterIncrease]] over the resolved raw
+   * tier. Identical rows either way (the tier merge is exact).
+   */
+  def servedCounterIncrease(spark: SparkSession, rawPath: String,
+                            ctrPath: String,
+                            range: graft.model.TimeRange): DataFrame = {
+    val shape = Seq("tenant_id", "mtype", "metric", "increase", "n_resets", "n_deltas")
+    val aligned = range.start % RollupMs == 0 && range.end % RollupMs == 0
+    val hasTier = {
+      val p = new org.apache.hadoop.fs.Path(ctrPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (aligned && hasTier)
+      rollupCounterIncrease(spark, ctrPath, range).select(shape.map(col): _*)
+    else
+      graft.operators.MetricsOps.counterIncrease(
+        graft.operators.MetricsOps.dedupTiers(
+          read(spark, rawPath)
+            .filter(col("time_slice") >= range.start / SliceMs &&
+              col("time_slice") <= (range.end - 1) / SliceMs),
+          "ingest_seq", Seq(valueTieBreak))
+          .filter(col("l_value").isNotNull), range)
+        .select(shape.map(col): _*)
   }
 
   /**

@@ -1560,6 +1560,30 @@ object SparkEntry {
               |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
               |FROM p WHERE rn = 1""".stripMargin)),
 
+    // ---- serving-tier dispatch for histograms (completes the matrix:
+    // sums/rates/avail/counters/distributions): this request starts off
+    // the hour grid → the raw branch answers with the TIER's declared
+    // bin edges (edges are a property of the store's _histmeta, not the
+    // request — the dispatch cannot mix bin widths); aligned requests
+    // read the tier — identical rows (spec-pinned) -----------------------
+    ("rollup_hist_adaptive", (s: SparkSession, d: String) => {
+      val base = "target/tmp/rollhist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupHist(s, s"$base/raw", s"$base/hist",
+          vMin = 0.0, vMax = 500.0, bins = 20)
+      }
+      GraftStorage.servedHistogram(s, s"$base/raw", s"$base/hist",
+        Buckets.fromStep(S + 1800000L, S + 1800000L + 28 * Day, Day))
+    },
+      Some(s"""WITH $BaseCte,
+              |a AS (SELECT (t - ${S + 1800000L}) // ${Day} AS bucket,
+              |        CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |      FROM base WHERE t >= ${S + 1800000L} AND t < ${S + 1800000L + 28 * Day})
+              |SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |       bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |FROM a GROUP BY 1, 2""".stripMargin)),
+
     // ---- tag-query → p95 from the distribution tier: the tag index
     // resolves the id set, which prunes the HISTOGRAM tier scan before
     // the (bucket, bin) merge; the quantile walk runs over the filtered

@@ -1151,6 +1151,36 @@ object GraftStorage {
   }
 
   /**
+   * Serving-tier dispatch for value histograms: hour-aligned requests
+   * answer from the distribution tier's (bucket, bin) merge, misaligned
+   * ones run [[graft.operators.MetricsOps.valueHistogram]] over the
+   * LWW-resolved raw tier — with the SAME bin edges, which are a
+   * property of the STORE (`_histmeta`), not the request: both branches
+   * read them from the tier's meta, so the dispatch cannot mix bin
+   * widths. Requires the tier (meta) to exist — a store without a
+   * distribution tier has no declared edges to serve; callers use
+   * valueHistogram directly there. Identical rows either way (the tier
+   * is bit-equal to valueHistogram over resolved raw — spec-pinned).
+   */
+  def servedHistogram(spark: SparkSession, rawPath: String, histPath: String,
+                      b: graft.model.Buckets): DataFrame = {
+    val (vMin, vMax, bins) = readHistMeta(spark, histPath).getOrElse(
+      throw new IllegalArgumentException(s"no histogram tier meta at $histPath"))
+    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
+      b.end % RollupMs == 0
+    if (aligned) rollupHistogram(spark, histPath, b)
+    else
+      graft.operators.MetricsOps.valueHistogram(
+        graft.operators.MetricsOps.dedupTiers(
+          read(spark, rawPath)
+            .filter(col("time_slice") >= b.start / SliceMs &&
+              col("time_slice") <= (b.end - 1) / SliceMs),
+          "ingest_seq", Seq(valueTieBreak))
+          .filter(col("n_value").isNotNull), b, vMin, vMax, bins)
+        .select(col("bucket"), col("bin"), col("cnt"), col("bin_lo"), col("bin_hi"))
+  }
+
+  /**
    * Retention sweep (TTL analog, MetricsServiceImpl.java:1058-1067): drop
    * whole expired slice partitions — a metadata-only delete, no rewrite.
    */

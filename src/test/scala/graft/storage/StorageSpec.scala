@@ -579,6 +579,41 @@ class StorageSpec extends SparkTestBase {
       GraftStorage.readResolved(spark, s"$path/raw"), mis)))
   }
 
+  test("servedHistogram dispatch: aligned requests read the distribution tier, " +
+    "misaligned read raw with the TIER's declared bin edges; missing meta refuses") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    GraftStorage.write(fixture(Seq(
+      ("m1", H1 + 100L, 10.0), ("m1", H1 + 200L, 60.0), ("m1", 2 * H1 + 50L, 10.0),
+      ("m2", H1 + 300L, 999.0))), s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 100.0, bins = 4)
+    def rows(df: DataFrame) = df
+      .select("bucket", "bin", "cnt", "bin_lo", "bin_hi")
+      .collect().map(_.toSeq).toSet
+    val aligned = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    val viaTier = GraftStorage.servedHistogram(spark, s"$path/raw", s"$path/hist", aligned)
+    val tierPlan = viaTier.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(tierPlan.contains("/hist") && !tierPlan.contains("/raw]"),
+      s"aligned dispatch must read the distribution tier:\n$tierPlan")
+    assert(rows(viaTier) == rows(
+      GraftStorage.rollupHistogram(spark, s"$path/hist", aligned)))
+    // misaligned → raw branch with the STORE's edges (0..100, 4 bins):
+    // the out-of-range 999.0 clamps into the top bin exactly as stored
+    val mis = graft.model.Buckets.fromStep(H1 + 1, 3 * H1 + 1, H1)
+    val viaRaw = GraftStorage.servedHistogram(spark, s"$path/raw", s"$path/hist", mis)
+    assert(viaRaw.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).contains("/raw"),
+      "misaligned dispatch must read raw")
+    assert(rows(viaRaw) == rows(graft.operators.MetricsOps.valueHistogram(
+      GraftStorage.readResolved(spark, s"$path/raw"), mis, 0.0, 100.0, 4)))
+    // a store with no _histmeta has no declared edges — refuse loudly
+    intercept[IllegalArgumentException] {
+      GraftStorage.servedHistogram(spark, s"$path/raw", s"$path/nohist", aligned)
+    }
+  }
+
   test("rollup refresh clears ghost partitions after raw deletes") {
     val path = tmp()
     GraftStorage.write(fixture(Seq(("m1", 100L, 1.0), ("m2", 200L, 2.0))),

@@ -6159,6 +6159,72 @@ object SparkEntry {
     },
       Some("""SELECT vec_id AS query_id, TRUE AS fullprobe_eq_flat,
              |       TRUE AS band_ok
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // ---- LLM: PCA-IVF lifecycle — build WITHOUT a slice, append it
+    // through the STORED basis+centroids, tombstone a takedown set, then
+    // serve with every cell probed and an uncapped shortlist: the result
+    // is EXACTLY brute-force top-k over the survivors (all-probe +
+    // full shortlist ≡ exhaustive search, full-width rerank), so the
+    // whole append-visible / delete-screened contract gets a complete
+    // DuckDB oracle despite the learned basis -----------------------------
+    ("knn_pca_ivf_lifecycle", (s: SparkSession, d: String) => {
+      val path = "target/tmp/pcaivflc_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writePcaIvfIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        dims = 16, kCells = 4, iters = 2)
+      Similarity.appendToPcaIvfIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      // takedown: same mechanics as the plain IVF store (shared layout)
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      Similarity.pcaIvfStoredTopK(s, path, e.filter(col("vec_id") < 10),
+        10, nprobe = 4, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: PCA-IVF drift response — append + takedown, then retrain:
+    // fresh basis fit on the live full-width vectors (the rewrite IS the
+    // tombstones' purge), fresh PCA-space cells, vectors+centroids+
+    // pcamodel swapped as ONE unit. Contract: the post-retrain store is
+    // INDISTINGUISHABLE from a fresh build over the live corpus — both
+    // serves join on every column incl. rounded cosine, 10/10 per query --
+    ("knn_pca_ivf_retrained", (s: SparkSession, d: String) => {
+      val path = "target/tmp/pcaivfrt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val freshP = "target/tmp/pcaivffr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path); rmrf(s, freshP)
+      val e = embs(s, d)
+      Similarity.writePcaIvfIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        dims = 16, kCells = 4, iters = 2)
+      Similarity.appendToPcaIvfIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      Similarity.retrainPcaIvfIndex(s, path, dims = 16, kCells = 4, iters = 2)
+      Similarity.writePcaIvfIndex(e.filter(col("vec_id") % 97 =!= 0), freshP,
+        dims = 16, kCells = 4, iters = 2)
+      val q = e.filter(col("vec_id") < 10)
+      def serve(p: String) = Similarity.pcaIvfStoredTopK(s, p, q, 10,
+        nprobe = 2, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      serve(path).join(serve(freshP), Seq("query_id", "neighbor_id", "cosine"))
+        .groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_match"))
+    },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_match
              |FROM embeddings WHERE vec_id < 10""".stripMargin))
   )
 

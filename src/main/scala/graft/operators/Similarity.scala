@@ -1574,6 +1574,10 @@ object Similarity {
                        kCells: Int = 4, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a REBUILD must not inherit a previous store's pending deletes
+    // (the writeIvfIndex contract — the two stores share the
+    // deleted_vecs side table and the IndexStore delete mechanics)
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
     val model = pcaFit(corpus, dims)
     val proj = pcaProject(corpus, model)
     val cells = kmeansCentroids(
@@ -1598,6 +1602,90 @@ object Similarity {
                            path: String): PcaModel = {
     val rows = spark.read.parquet(s"$path/pcamodel").collect().sortBy(_.getInt(0))
     PcaModel(rows.map(_.getSeq[Double](1).toArray), rows.map(_.getDouble(2)))
+  }
+
+  /**
+   * Incremental PCA-IVF maintenance — [[appendToIvfIndex]]'s contract
+   * over a [[writePcaIvfIndex]] store: new vectors project through the
+   * STORED basis and land in cells assigned by the STORED centroids
+   * (both driver-resident — no join, no shuffle, batch-sized appends in
+   * their cell partitions), so serving sees them immediately through
+   * the same cell-pruned read. Replay-safe (id anti-join) and revival-
+   * aware (a batch re-registering a deleted id purges its stale row and
+   * clears only ITS tombstone) — the IndexStore contracts. BOTH models
+   * are only as stale as the last [[retrainPcaIvfIndex]], the standard
+   * operating contract (re-train on drift, not per batch); takedowns
+   * and compaction reuse [[deleteFromIvfIndex]]/[[compactIvfIndex]]
+   * verbatim — the two stores share the vectors/deleted_vecs layout.
+   */
+  def appendToPcaIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame): Unit = {
+    val model = readPcaModel(spark, path)
+    val cells = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    deletedVecs(spark, path).foreach { d =>
+      val revived = batch.select(col("vec_id")).distinct()
+        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
+      if (!revived.isEmpty) {
+        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
+          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
+        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
+          revived, Seq("vec_id"))
+      }
+    }
+    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
+    withNorm(pcaProject(fresh, model)
+      .select(col("vec_id"), col("embedding"), col("pvec"), col("pvec").as("v")), "v")
+      .withColumn("cell", assignCell(cells, "v", "nrm"))
+      .select("vec_id", "embedding", "pvec", "cell")
+      .repartition(col("cell")) // file discipline, as in the build
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /**
+   * Re-train a stored PCA-IVF index on its OWN corpus — the drift
+   * response for the two-model store: after enough append waves the
+   * stored BASIS stops capturing the variance directions and the
+   * PCA-space centroids stop describing the projected data (recall at
+   * fixed nprobe decays on both counts). Refits the basis on the live
+   * full-width vectors (pending tombstones screen out — the rewrite is
+   * their physical purge), re-projects, re-trains the cells in the new
+   * PCA space, and swaps vectors + centroids + pcamodel as ONE
+   * [[graft.storage.AtomicSwap]] unit — the three tables describe each
+   * other; a probe projected through one basis against another basis's
+   * partitions serves silently wrong answers. Post-retrain the store is
+   * INDISTINGUISHABLE from a fresh [[writePcaIvfIndex]] over the live
+   * corpus (deterministic fit + training — spec-pinned).
+   */
+  def retrainPcaIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         dims: Int = 16, kCells: Int = 4, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val store = new org.apache.hadoop.fs.Path(path)
+    val dead = deletedVecs(spark, path)
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"))
+    val live = dead.fold(corpus)(d =>
+      corpus.join(broadcast(d), Seq("vec_id"), "left_anti")).localCheckpoint()
+    graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
+      val model = pcaFit(live, dims)
+      val proj = pcaProject(live, model)
+      val cells = kmeansCentroids(
+        proj.select(col("vec_id"), col("pvec").as("embedding")),
+        kCells, iters, dim = dims)
+      withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
+        col("pvec").as("v")), "v")
+        .withColumn("cell", assignCell(cells, "v", "nrm"))
+        .select("vec_id", "embedding", "pvec", "cell")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(s"$tmp/vectors")
+      cells.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
+      model.components.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
+        .toDF("c", "component", "energy")
+        .coalesce(1).write.parquet(s"$tmp/pcamodel")
+      // deleted_vecs is deliberately NOT carried over: the tombstoned
+      // rows never entered the new store — the retrain IS their purge
+    }
   }
 
   /**
@@ -1626,8 +1714,17 @@ object Similarity {
         .select(col("vec_id"), col("pvec").as("embedding")),
       cents, nprobe).localCheckpoint()
     val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
-    val c = withNorm(spark.read.parquet(s"$path/vectors")
-      .where(col("cell").isin(probed: _*))
+    // pending delete tombstones screen the probed read (ivfStoredTopK's
+    // contract): a deleted vector stops ranking the instant the
+    // tombstone lands; absent tombstones leave the plan untouched. The
+    // stage-1 screen alone suffices for correctness (stage 2 only reads
+    // shortlisted ids), but both reads screen so a shortlist computed
+    // before a concurrent delete cannot resurrect the id at rerank.
+    val dead = deletedVecs(spark, path)
+    def screened(df: DataFrame) = dead.fold(df)(d =>
+      df.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val c = withNorm(screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("pvec").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
@@ -1637,8 +1734,8 @@ object Similarity {
       withNorm(queries.select(col("vec_id").as("query_id"),
         dvec("embedding").as("qv")), "qv")
         .withColumnRenamed("nrm", "qv_nrm"))
-    val pruned = spark.read.parquet(s"$path/vectors")
-      .where(col("cell").isin(probed: _*))
+    val pruned = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
       .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
       .join(broadcast(shortIds), Seq("neighbor_id"))
     rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")

@@ -170,6 +170,65 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.length == 5 * 10 && got.forall(r => math.abs(r.getDouble(2)) <= 1 + 1e-9))
   }
 
+  test("PCA-IVF lifecycle: append projects through the STORED basis and replay " +
+    "is a no-op; delete screens the serve tombstone-only; compaction purges; " +
+    "retrain equals a fresh build over the live corpus") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-pcaivflc").toString
+    Similarity.writePcaIvfIndex(e.filter(col("vec_id") < 50), path,
+      dims = 8, kCells = 4, iters = 2)
+    val modelBefore = s.read.parquet(s"$path/pcamodel").collect().toSet
+    Similarity.appendToPcaIvfIndex(s, path, e.filter(col("vec_id") >= 50))
+    // the stored basis/centroids are untouched by appends…
+    assert(s.read.parquet(s"$path/pcamodel").collect().toSet == modelBefore)
+    // …and the appended rows carry STORE-basis projections: serving with
+    // every cell probed sees all 60 vectors
+    val q = e.filter(col("vec_id") < 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val afterAppend = Similarity.pcaIvfStoredTopK(s, path, q, 59,
+      nprobe = 4, shortlist = 1 << 20)
+    // each query ranks the 59 non-self vectors; across the 3 queries the
+    // union covers all 60 ids — appended rows included
+    assert(afterAppend.select("neighbor_id").distinct().count() == 60)
+    // replay the batch: the id anti-join makes it a no-op
+    val n0 = s.read.parquet(s"$path/vectors").count()
+    Similarity.appendToPcaIvfIndex(s, path, e.filter(col("vec_id") >= 50))
+    assert(s.read.parquet(s"$path/vectors").count() == n0)
+    // takedown: tombstone-only (no vectors rewrite), serve screens NOW
+    val files0 = new java.io.File(s"$path/vectors").listFiles().length
+    Similarity.deleteFromIvfIndex(s, path, Seq(7L, 55L).toDF("vec_id"))
+    assert(new java.io.File(s"$path/vectors").listFiles().length == files0,
+      "delete must not rewrite the vectors table")
+    val screened = ids(Similarity.pcaIvfStoredTopK(s, path, q, 59,
+      nprobe = 4, shortlist = 1 << 20))
+    assert(!screened.exists(p => p._2 == 7L || p._2 == 55L),
+      "tombstoned ids must stop ranking immediately")
+    // compaction purges physically and clears the tombstones; answers
+    // unchanged
+    Similarity.compactIvfIndex(s, path)
+    assert(!new java.io.File(s"$path/deleted_vecs").exists())
+    assert(ids(Similarity.pcaIvfStoredTopK(s, path, q, 59,
+      nprobe = 4, shortlist = 1 << 20)) == screened)
+    // retrain ≡ fresh build over the live corpus (deterministic fit +
+    // training), with all three tables swapped as one unit
+    Similarity.retrainPcaIvfIndex(s, path, dims = 8, kCells = 4, iters = 2)
+    val freshP = java.nio.file.Files.createTempDirectory("graft-pcaivffr").toString
+    Similarity.writePcaIvfIndex(
+      e.filter(col("vec_id") =!= 7L && col("vec_id") =!= 55L), freshP,
+      dims = 8, kCells = 4, iters = 2)
+    def served(p: String) = Similarity.pcaIvfStoredTopK(s, p, q, 10,
+      nprobe = 2, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(served(path) == served(freshP),
+      "post-retrain serve must equal a fresh build over the live corpus")
+  }
+
   test("IVF append: stored model assigns the batch, serving sees it; replay is a no-op") {
     val s = spark
     import s.implicits._

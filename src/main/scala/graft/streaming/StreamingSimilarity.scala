@@ -53,6 +53,39 @@ object StreamingSimilarity {
       .start()
 
   /**
+   * Continuous embedding stream → searchable PCA-IVF store —
+   * [[ivfIngest]]'s maintainer over the two-model unit: the first
+   * non-empty micro-batch fits the basis, trains the PCA-space cells,
+   * and builds the store ([[Similarity.writePcaIvfIndex]]); every later
+   * batch projects through the STORED basis and appends into cells
+   * assigned by the STORED centroids ([[Similarity.appendToPcaIvfIndex]]
+   * — batch-sized, replay-safe, models untouched). Serving sees each
+   * batch as soon as its append lands; both models age until the drift
+   * maintainer retrains, the standard operating contract.
+   */
+  def pcaIvfIngest(vecs: DataFrame, indexPath: String, checkpoint: String,
+                   dims: Int = 16, kCells: Int = 4, iters: Int = 2,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          // existence of the BASIS decides bootstrap vs append — it is
+          // the last table the build lands, so a half-built store
+          // re-bootstraps rather than appending through a missing model
+          val modelDir = new org.apache.hadoop.fs.Path(s"$indexPath/pcamodel")
+          val fs = modelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(modelDir))
+            Similarity.writePcaIvfIndex(batch, indexPath, dims, kCells, iters)
+          else Similarity.appendToPcaIvfIndex(spark, indexPath, batch)
+        }
+      }
+      .start()
+
+  /**
    * [[ivfIngest]] with the drift-response loop CLOSED: after each
    * stored-model append, the maintainer measures how far the data has
    * moved under the model — [[Similarity.centroidDrift]] between the

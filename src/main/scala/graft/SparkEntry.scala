@@ -6261,7 +6261,64 @@ object SparkEntry {
         .groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_match"))
     },
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_match
-             |FROM embeddings WHERE vec_id < 10""".stripMargin))
+             |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // ---- LLM: persisted IVF-PQ (IVFADC) lifecycle — the memory-bound
+    // production store: codes ride the cell partitions (m bytes/vector in
+    // the search tier), codebooks DERIVE from the stored centroids.
+    // Build without a slice, append it (stored model assigns cells AND
+    // codes), tombstone a takedown set, then serve with every cell probed
+    // and an uncapped shortlist: every pair ADC-shortlists, stage 2
+    // exact-reranks full width — EXACT brute force over survivors, so the
+    // whole lifecycle gets a complete DuckDB oracle ----------------------
+    ("knn_ivfpq_stored", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfpqst_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfPqIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        kCells = 4, iters = 2)
+      Similarity.appendToIvfPqIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      Similarity.ivfPqStoredTopK(s, path, e.filter(col("vec_id") < 10),
+        10, nprobe = 4, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- the serve-only twin: prebuilt store, production sizing (probed
+    // cells + capped shortlist) — the serve reads PQ codes in stage 1 and
+    // shortlist-sized full vectors in stage 2 (plan spec-pinned) ---------
+    ("knn_ivfpq_serve", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_ivfpq_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      prebuilt(s, d, path)(Similarity.writeIvfPqIndex(e, path, kCells = 4, iters = 2))
+      val r = Similarity.ivfPqStoredTopK(s, path, e.filter(col("vec_id") < 10),
+        10, nprobe = 2, shortlist = 50)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      r.withColumn("rnk", row_number().over(w))
+        .withColumn("prev", lag(col("cosine"), 1).over(w))
+        .select(col("query_id"), col("rnk"),
+          (col("cosine") <= coalesce(col("prev"), lit(2.0)) + 1e-12).as("monotone_ok"),
+          (abs(col("cosine")) <= lit(1.0) + 1e-9).as("in_unit_ok"))
+    },
+      Some("""SELECT e.vec_id AS query_id, CAST(r.x AS INTEGER) AS rnk,
+             |       TRUE AS monotone_ok, TRUE AS in_unit_ok
+             |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 11)) AS x) r
+             |WHERE e.vec_id < 10""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs ++ serveDefs

@@ -975,6 +975,120 @@ object Similarity {
   }
 
   /**
+   * Materialize the IVF-PQ index — the memory-bound production serving
+   * shape at 100 TB: vectors land cell-partitioned with their PQ CODES
+   * (m ints ≈ m bytes against 256 bytes of float32) next to the
+   * full-width embedding (rerank tier), plus the k-means centroids. The
+   * PQ codebooks are NOT a separate table: they DERIVE from the stored
+   * centroids ([[pqCodebooksFrom]] slices each centroid into subspace
+   * means), so the store cannot hold codebooks that disagree with its
+   * cells — one table fewer to keep atomic.
+   */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+                      kCells: Int = 4, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
+    val model = kmeansCentroids(corpus, kCells, iters)
+    val cbs = pqCodebooksFrom(model)
+    withNorm(corpus.select(col("vec_id"), col("embedding"),
+      dvec("embedding").as("v")), "v")
+      .withColumn("cell", assignCell(model, "v", "nrm"))
+      .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
+      .select("vec_id", "embedding", "codes", "cell")
+      .repartition(col("cell")) // file discipline, as in writeIvfIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    model.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /**
+   * Incremental IVF-PQ maintenance — [[appendToIvfIndex]]'s contract
+   * with the encode folded in: the batch's cells AND codes both come
+   * from the STORED centroids (codebooks derive from them), so appended
+   * rows are indistinguishable from built rows under the same model.
+   * Replay-safe and revival-aware via the shared IndexStore contracts;
+   * takedown/compaction reuse [[deleteFromIvfIndex]]/[[compactIvfIndex]]
+   * verbatim.
+   */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batch: DataFrame): Unit = {
+    val model = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val cbs = pqCodebooksFrom(model)
+    deletedVecs(spark, path).foreach { d =>
+      val revived = batch.select(col("vec_id")).distinct()
+        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
+      if (!revived.isEmpty) {
+        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
+          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
+        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
+          revived, Seq("vec_id"))
+      }
+    }
+    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
+    withNorm(fresh.select(col("vec_id"), col("embedding"),
+      dvec("embedding").as("v")), "v")
+      .withColumn("cell", assignCell(model, "v", "nrm"))
+      .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
+      .select("vec_id", "embedding", "codes", "cell")
+      .repartition(col("cell")) // file discipline, as in the build
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /**
+   * Two-stage top-k against a [[writeIvfPqIndex]] store — IVFADC
+   * serving as it runs in production (Jégou et al. 2011 §IV): stage 1
+   * scores the PROBED cells' PQ codes with the micro-unit ADC chain
+   * (the scan reads cell + vec_id + codes — the m-byte index, never a
+   * raw vector — behind the same static `cell IN` pushdown as
+   * [[ivfStoredTopK]]) down to a `shortlist` per query; stage 2
+   * exact-reranks the query-sized shortlist on the stored full-width
+   * embeddings (broadcast semi-join keeps the rerank read
+   * shortlist-sized AND cell-pruned). Pending `deleted_vecs` tombstones
+   * screen both stages ([[deleteFromIvfIndex]]/[[compactIvfIndex]]
+   * apply verbatim — shared store layout). With `nprobe = kCells` and
+   * an uncapped shortlist the result is EXACT brute-force top-k
+   * (every pair ADC-shortlisted, full-width rerank) — the oracle hook.
+   */
+  def ivfPqStoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, nprobe: Int = 2,
+                      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val model = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val cbs = pqCodebooksFrom(model)
+    val cents = withNorm(spark.read.parquet(s"$path/centroids"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val probes = probeCells(queries, cents, nprobe).drop("qv_nrm").localCheckpoint()
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val dead = deletedVecs(spark, path)
+    def screened(df: DataFrame) = dead.fold(df)(d =>
+      df.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    val shortIds = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_micro", adcMicroUdf(cbs)(col("codes"), col("qv")))
+      .withColumn("rnk", row_number().over(wShort))
+      .filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val pruned = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
+  }
+
+  /**
    * Two-stage PQ serving: ADC shortlist → EXACT re-rank — the standard
    * production shape (compressed codes prune the corpus to `shortlist`
    * candidates per query, then true cosine on raw vectors orders the

@@ -170,6 +170,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.length == 5 * 10 && got.forall(r => math.abs(r.getDouble(2)) <= 1 + 1e-9))
   }
 
+  test("IVF-PQ store: full-probe + uncapped shortlist EQUALS brute force; " +
+    "stage-1 scan reads codes (not embeddings) behind a static cell IN filter; " +
+    "append encodes through the stored model; delete screens the serve") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpqst").toString
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") < 50), path,
+      kCells = 4, iters = 2)
+    Similarity.appendToIvfPqIndex(s, path, e.filter(col("vec_id") >= 50))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // exactness hook: every cell probed + uncapped shortlist ≡ exhaustive
+    // ADC shortlist + full-width rerank = brute force (appends included)
+    assert(rows(Similarity.ivfPqStoredTopK(s, path, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) ==
+      rows(Similarity.bruteForceTopK(e, q, 10)))
+    // production sizing: static cell IN pruning, and the ADC stage reads
+    // the CODES column without the full-width embedding
+    val part = Similarity.ivfPqStoredTopK(s, path, q, 10, nprobe = 2, shortlist = 20)
+    val plan = part.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected a static cell IN partition filter:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("ReadSchema") &&
+      l.contains("codes") && !l.contains("embedding")),
+      s"stage-1 ADC scan must read codes without the full-width embedding:\n$plan")
+    // takedown screens the serve immediately, tombstone-only
+    Similarity.deleteFromIvfIndex(s, path, Seq(7L, 55L).toDF("vec_id"))
+    val screened = Similarity.ivfPqStoredTopK(s, path, q, 59,
+      nprobe = 4, shortlist = 1 << 20)
+      .collect().map(_.getLong(1)).toSet
+    assert(!screened.contains(7L) && !screened.contains(55L),
+      "tombstoned ids must stop ranking immediately")
+  }
+
   test("PCA-IVF lifecycle: append projects through the STORED basis and replay " +
     "is a no-op; delete screens the serve tombstone-only; compaction purges; " +
     "retrain equals a fresh build over the live corpus") {

@@ -640,6 +640,26 @@ object ProbeScale {
         println(f"pcaivf_serve_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    if (only.isEmpty || only("ivfpq")) {
+      // persisted IVF-PQ at corpus n×: build = k-means + encode + one
+      // partitioned write (O(corpus)); the serve's stage 1 reads the
+      // probed cells' CODES only (m ints/vector — the memory-bound
+      // production tier), stage 2 a shortlist-sized full-width read.
+      // Same two sizings as pca_ivf: fixed cells and cells ∝ corpus.
+      val e2 = scaledEmbs(spark, dir, n).localCheckpoint()
+      val q = e2.filter(col("vec_id") < 10).localCheckpoint()
+      for ((tag, cells) <- Seq(("fixed", 4), ("scaled", 4 * n))) {
+        val p = s"target/tmp/probe-ivfpq-$tag"
+        rmrf(spark, p)
+        var t0 = System.nanoTime()
+        Similarity.writeIvfPqIndex(e2, p, kCells = cells, iters = 2)
+        println(f"ivfpq_build_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        t0 = System.nanoTime()
+        Similarity.ivfPqStoredTopK(spark, p, q, 10, nprobe = 2, shortlist = 50)
+          .write.format("noop").mode("overwrite").save()
+        println(f"ivfpq_serve_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
     if (only.isEmpty || only("tenant_axis")) {
       // tenant-axis weak scaling (fixed per-tenant data, n× tenants): the
       // tier layout leads with tenant_id/mtype, so (a) a tenant-SCOPED

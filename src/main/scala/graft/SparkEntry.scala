@@ -1773,6 +1773,53 @@ object SparkEntry {
               |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
               |FROM p WHERE rn = 1""".stripMargin)),
 
+    // ---- tag-query → p95-of-rates: the tag index resolves the fleet,
+    // the id set prunes BOTH rate tiers (distribution bins + boundary
+    // facts) before their merges, the quantile walk runs over the
+    // filtered counts — a tag-scoped rate-percentile dashboard with raw
+    // never read --------------------------------------------------------
+    ("tagquery_rate_quantile", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagrhist_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(ctr(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollupRate(s, s"$base/raw", s"$base/rate",
+          isCounter = true)
+        GraftStorage.writeRollupRateHist(s, s"$base/raw", s"$base/rhist",
+          isCounter = true, vMin = 0.0, vMax = 2000.0, bins = 20)
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      MetricsOps.histogramQuantile(
+        GraftStorage.rollupRateHistogram(s, s"$base/rhist", s"$base/rate",
+          Buckets.fromStep(S, E, Day), isCounter = true, ids = Some(ids)),
+        q = 0.95)
+    },
+      Some(s"""WITH $BaseCte, $CounterCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WHERE metric IN (SELECT metric FROM sel)
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v),
+              |a AS (SELECT (t - $S) // $Day AS bucket,
+              |        CAST(least(greatest(floor(rate / 100.0), 0), 19) AS BIGINT) AS bin
+              |      FROM rt WHERE t >= $S AND t < $E),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 100.0 AS bin_lo, (bin + 1) * 100.0 AS bin_hi
+              |      FROM a GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.95 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target)
+              |SELECT bucket, total,
+              |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |FROM p WHERE rn = 1""".stripMargin)),
+
     // ---- serving-tier dispatch for rates: hour-aligned rate dashboards
     // answer from the rate tier, misaligned fall back to the raw W1+A1
     // path — same rows either way (dispatch invisibility, spec-pinned);

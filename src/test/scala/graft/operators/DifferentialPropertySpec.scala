@@ -223,6 +223,51 @@ class DifferentialPropertySpec extends SparkTestBase {
     assert(served == onRead)
   }
 
+  test("rate tier merge agrees with rate+A1 over random resetting sparse " +
+    "series, both modes, two grains") {
+    import graft.storage.GraftStorage
+    val H1 = GraftStorage.RollupMs
+    val D = 24 * H1
+    val path = java.nio.file.Files.createTempDirectory("graft-rateprop").toString
+    // random in-hour positions incl. hour edges; random dips → reset
+    // pairs at random places, some hours empty, some single-point
+    val pts = (0 until 4).flatMap { m =>
+      (1 to 60).map { _ =>
+        val t = D + rnd.nextInt(8) * H1 +
+          Seq(0L, 1L, H1 - 1, rnd.nextInt(H1.toInt).toLong)(rnd.nextInt(4))
+        (s"m$m", t, None: Option[Double],
+          Some(rnd.nextInt(1000).toLong): Option[Long], None: Option[Int])
+      }
+    }.groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    GraftStorage.write(canonicalPoints(pts), s"$path/raw",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val raw = GraftStorage.readResolved(spark, s"$path/raw")
+    def rows(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      df.select((keys ++ Seq("min", "avg", "max", "sum", "samples"))
+        .map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq).toSet
+    for (counterMode <- Seq(true, false)) {
+      val tier = s"$path/rate_$counterMode"
+      GraftStorage.writeRollupRate(spark, s"$path/raw", tier,
+        isCounter = counterMode)
+      // per-metric at the hour grain AND pooled at a 3h grain (several
+      // boundary pairs per bucket; start offset leaves a pre-range anchor)
+      val b1 = graft.model.Buckets.fromStep(D + H1, D + 8 * H1, H1)
+      assert(rows(GraftStorage.rollupRateStats(spark, tier, b1,
+        isCounter = counterMode, byMetric = true), Seq("metric", "bucket")) ==
+        rows(MetricsOps.numericBucketStats(
+          MetricsOps.rate(raw, isCounter = counterMode, valueCol = "l_value"),
+          b1, byMetric = true, valueCol = "rate"), Seq("metric", "bucket")),
+        s"per-metric hour grain, isCounter=$counterMode")
+      val b3 = graft.model.Buckets.fromStep(D + H1, D + 7 * H1, 3 * H1)
+      assert(rows(GraftStorage.rollupRateStats(spark, tier, b3,
+        isCounter = counterMode), Seq("bucket")) ==
+        rows(MetricsOps.rateStats(raw, b3, isCounter = counterMode,
+          valueCol = "l_value"), Seq("bucket")),
+        s"pooled 3h grain, isCounter=$counterMode")
+    }
+  }
+
   test("changePoints agrees with a naive double-window scan (random series)") {
     val s = spark
     import s.implicits._

@@ -125,6 +125,31 @@ object ProbeServe {
       results += (("ivf-sc", c, t))
     }
 
+    // ---- PCA-IVF: same production sizing (cells ∝ corpus) — stage 1
+    // reads the probed cells' PROJECTED column, stage 2 a shortlist-sized
+    // full-width rerank; serve must track the probed share, not N -------
+    Seq(1, 8, 16).foreach { c =>
+      val path = s"target/tmp/probeserve_pcaivf_$c"
+      rmrf(spark, path)
+      Similarity.writePcaIvfIndex(scaled(embs, "vec_id", c, vecCount), path,
+        dims = 16, kCells = 4 * c, iters = 2)
+      val t = timeMin3(() => Similarity.pcaIvfStoredTopK(spark, path, probeVecs,
+        10, nprobe = 2, shortlist = 50).count())
+      results += (("pcaivf", c, t))
+    }
+
+    // ---- IVF-PQ: the memory-bound tier — stage 1 reads the probed
+    // cells' CODES only (m ints/vector), stage 2 shortlist-sized --------
+    Seq(1, 8, 16).foreach { c =>
+      val path = s"target/tmp/probeserve_ivfpq_$c"
+      rmrf(spark, path)
+      Similarity.writeIvfPqIndex(scaled(embs, "vec_id", c, vecCount), path,
+        kCells = 4 * c, iters = 2)
+      val t = timeMin3(() => Similarity.ivfPqStoredTopK(spark, path, probeVecs,
+        10, nprobe = 2, shortlist = 50).count())
+      results += (("ivfpq", c, t))
+    }
+
     println(f"${"index"}%-8s | ${"scale"}%5s | serve sec (min of 3)")
     results.foreach { case (name, c, t) => println(f"$name%-8s | x$c%-4d | $t%7.3f") }
     // ratio summary: serve(x16)/serve(x1) per index — the scale claim

@@ -3826,6 +3826,40 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- §2.9: continuous embedding stream → IVF-PQ store — wave 1
+    // trains cells + derives codebooks, wave 2 appends cells AND codes
+    // through the stored model; all-probe + uncapped shortlist serve ==
+    // exact brute force over the streamed corpus (complete oracle) ------
+    ("streaming_ivfpq_index", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamivfpq_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val e = embs(s, d)
+      e.filter(col("vec_id") < 100 || col("vec_id") >= 110)
+        .coalesce(1).write.parquet(s"$base/src")
+      backdate(s, s"$base/src")
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.streaming.StreamingSimilarity.ivfPqIngest(
+        stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2)
+      q.awaitTermination()
+      Similarity.ivfPqStoredTopK(s, s"$base/idx", e.filter(col("vec_id") < 10),
+        10, nprobe = 4, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- §2.9: the drift-response loop CLOSED inside the ingest query —
     // wave 1 bootstrap-trains, wave 2 appends a point-reflected cohort
     // (every component negated: cell means swing, centroidDrift crashes

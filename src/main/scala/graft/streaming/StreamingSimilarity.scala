@@ -86,6 +86,34 @@ object StreamingSimilarity {
       .start()
 
   /**
+   * Continuous embedding stream → IVF-PQ store — the memory-bound
+   * serving tier kept current by ingest: bootstrap builds
+   * ([[Similarity.writeIvfPqIndex]] — codebooks derive from the trained
+   * centroids), later batches append with cells AND codes from the
+   * stored model ([[Similarity.appendToIvfPqIndex]]). The `centroids`
+   * table decides bootstrap vs append — it is the last table the build
+   * lands for this store.
+   */
+  def ivfPqIngest(vecs: DataFrame, indexPath: String, checkpoint: String,
+                  kCells: Int = 4, iters: Int = 2,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+          val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(cents))
+            Similarity.writeIvfPqIndex(batch, indexPath, kCells, iters)
+          else Similarity.appendToIvfPqIndex(spark, indexPath, batch)
+        }
+      }
+      .start()
+
+  /**
    * [[ivfIngest]] with the drift-response loop CLOSED: after each
    * stored-model append, the maintainer measures how far the data has
    * moved under the model — [[Similarity.centroidDrift]] between the

@@ -1778,8 +1778,12 @@ object Similarity {
     val dead = deletedVecs(spark, path)
     val corpus = spark.read.parquet(s"$path/vectors")
       .select(col("vec_id"), col("embedding"))
+    // NOT checkpointed: fit, project, and write each re-read the live
+    // store (the retrainIvfIndex posture) — a corpus-sized checkpoint
+    // would materialize a full copy, which cannot fly at 100 TB; the
+    // tombstone anti-join re-applied per pass is delete-rate-sized
     val live = dead.fold(corpus)(d =>
-      corpus.join(broadcast(d), Seq("vec_id"), "left_anti")).localCheckpoint()
+      corpus.join(broadcast(d), Seq("vec_id"), "left_anti"))
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
       val model = pcaFit(live, dims)
       val proj = pcaProject(live, model)

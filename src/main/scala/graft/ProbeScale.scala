@@ -692,9 +692,15 @@ object ProbeScale {
         .write.format("noop").mode("overwrite").save()
       println(f"tenants_hist_scoped    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       t0 = System.nanoTime()
-      graft.storage.GraftStorage.rollupStats(spark, s"$p/roll", b)
+      // the sums serve drops tenant keys from its output, so a fleet-wide
+      // unscoped merge is the cross-tenant mixing the round-12 guard now
+      // REFUSES — the meaningful fleet measurement on this tier is the
+      // scoped serve (the avail row below keeps the keyed fleet serve)
+      graft.storage.GraftStorage.rollupStats(spark, s"$p/roll", b,
+        tenant = Some("t0"),
+        mtypeCode = Some(graft.model.MetricType.Gauge.code.toInt))
         .write.format("noop").mode("overwrite").save()
-      println(f"tenants_stats_fleet    ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"tenants_stats_scoped   ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       t0 = System.nanoTime()
       graft.storage.GraftStorage.rollupAvailStats(spark, s"$p/avroll", b)
         .write.format("noop").mode("overwrite").save()

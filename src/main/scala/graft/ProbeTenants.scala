@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /**
- * TENANT-axis weak-scaling probe (dev tool, ProbeScale's missing axis):
- * ProbeScale grows rows/metrics INSIDE one tenant; here per-tenant data
- * is FIXED and the tier grows as `tenant_id=...` partition directories —
- * the multi-tenant shape the reference serves (every Hawkular request
+ * TENANT-axis weak-scaling probe (dev tool) — the CANONICAL tenant-axis
+ * measurement: ProbeScale's `tenant_axis` block spot-checks three serves
+ * inline; this main covers all five tier families with both the scoped
+ * and the all-tenant (keyed) serve per family. Per-tenant data is FIXED
+ * and the tier grows as `tenant_id=...` partition directories — the
+ * multi-tenant shape the reference serves (every Hawkular request
  * carries a tenant header; reference: api/.../TenantFilter.java) and the
  * 100 TB deployment shape (thousands of tenants, dashboards per tenant).
  *

@@ -446,25 +446,8 @@ object Similarity {
    */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        batch: DataFrame): Unit = {
-    val model = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-    // revival: a batch re-registering a DELETED vec_id purges the id's
-    // stale row first (otherwise the replay screen below would anti-join
-    // the re-registration away forever) and clears only ITS tombstone —
-    // the graft.storage.TagIndex.append revival contract. One vectors
-    // rewrite (store-sized, a compaction's cost) on the rare
-    // re-registration path; normal appends never enter this branch
-    deletedVecs(spark, path).foreach { d =>
-      val revived = batch.select(col("vec_id")).distinct()
-        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
-      if (!revived.isEmpty) {
-        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
-          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
-        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
-          revived, Seq("vec_id"))
-      }
-    }
-    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
+    val model = readCentroids(spark, path)
+    val fresh = reviveAndScreen(spark, path, batch)
     withNorm(fresh.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
       .select("vec_id", "embedding", "cell")
@@ -497,10 +480,9 @@ object Similarity {
     // anti-join, delete-rate-sized) — a deleted vector stops ranking the
     // instant [[deleteFromIvfIndex]] lands, before any purge runs;
     // absent tombstones leave the plan untouched
-    val vecs0 = spark.read.parquet(s"$path/vectors")
-      .where(col("cell").isin(probed: _*))
-    val vecs = deletedVecs(spark, path).fold(vecs0)(d =>
-      vecs0.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val vecs = deleteScreen(spark, path)(
+      spark.read.parquet(s"$path/vectors")
+        .where(col("cell").isin(probed: _*)))
     val c = withNorm(vecs
       .select(col("cell"), col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
@@ -512,6 +494,49 @@ object Similarity {
   private def deletedVecs(spark: org.apache.spark.sql.SparkSession,
                           path: String): Option[DataFrame] =
     graft.storage.IndexStore.pendingDeletes(spark, path, "deleted_vecs", Seq("vec_id"))
+
+  /** Tombstone screen for a store's vectors reads — resolved ONCE per
+    * serve so every stage shares the same delete set; a tombstone-free
+    * store keeps an anti-join-free plan. Shared by all the stored-index
+    * serving paths (plain IVF, PCA-IVF, IVF-PQ). */
+  private def deleteScreen(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame => DataFrame = {
+    val dead = deletedVecs(spark, path)
+    df => dead.fold(df)(d => df.join(broadcast(d), Seq("vec_id"), "left_anti"))
+  }
+
+  /** The store's own centroid model, collected driver-side (kCells ×
+    * [[Dim]] — KMeansModel-sized). Shared by every stored-index path
+    * that assigns cells or derives codebooks from them. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+
+  /** The shared maintainer front half for the three append paths
+    * (IVF / PCA-IVF / IVF-PQ — same vectors/deleted_vecs layout):
+    * revival (a batch re-registering a DELETED vec_id purges the id's
+    * stale row first — otherwise the replay screen would anti-join the
+    * re-registration away forever — and clears only ITS tombstone, the
+    * graft.storage.TagIndex.append revival contract; one store-sized
+    * rewrite on the rare re-registration path, normal appends never
+    * enter the branch) followed by the replay screen (id anti-join —
+    * replaying a batch after a partial failure cannot double-insert).
+    * Returns the screened batch ready for the store-specific encode. */
+  private def reviveAndScreen(spark: org.apache.spark.sql.SparkSession,
+                              path: String, batch: DataFrame): DataFrame = {
+    deletedVecs(spark, path).foreach { d =>
+      val revived = batch.select(col("vec_id")).distinct()
+        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
+      if (!revived.isEmpty) {
+        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
+          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
+        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
+          revived, Seq("vec_id"))
+      }
+    }
+    graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
+  }
 
   /**
    * Takedown from the stored IVF index — the ANN dual of
@@ -1013,20 +1038,9 @@ object Similarity {
    */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, batch: DataFrame): Unit = {
-    val model = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val model = readCentroids(spark, path)
     val cbs = pqCodebooksFrom(model)
-    deletedVecs(spark, path).foreach { d =>
-      val revived = batch.select(col("vec_id")).distinct()
-        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
-      if (!revived.isEmpty) {
-        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
-          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
-        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
-          revived, Seq("vec_id"))
-      }
-    }
-    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
+    val fresh = reviveAndScreen(spark, path, batch)
     withNorm(fresh.select(col("vec_id"), col("embedding"),
       dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
@@ -1055,16 +1069,16 @@ object Similarity {
                       queries: DataFrame, k: Int, nprobe: Int = 2,
                       shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
-    val model = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val spark2 = spark; import spark2.implicits._
+    val model = readCentroids(spark, path)
     val cbs = pqCodebooksFrom(model)
-    val cents = withNorm(spark.read.parquet(s"$path/centroids"), "centroid")
+    // ONE centroids read serves both the codebooks and the probe frame
+    // (the ivfPqTopK posture — no second scan to drift against)
+    val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
       .withColumnRenamed("nrm", "centroid_nrm")
     val probes = probeCells(queries, cents, nprobe).drop("qv_nrm").localCheckpoint()
     val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
-    val dead = deletedVecs(spark, path)
-    def screened(df: DataFrame) = dead.fold(df)(d =>
-      df.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val screened = deleteScreen(spark, path)
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("neighbor_id").asc)
     val shortIds = screened(spark.read.parquet(s"$path/vectors")
@@ -1735,19 +1749,8 @@ object Similarity {
   def appendToPcaIvfIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String, batch: DataFrame): Unit = {
     val model = readPcaModel(spark, path)
-    val cells = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-    deletedVecs(spark, path).foreach { d =>
-      val revived = batch.select(col("vec_id")).distinct()
-        .join(broadcast(d), Seq("vec_id"), "left_semi").localCheckpoint()
-      if (!revived.isEmpty) {
-        graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
-          _.join(broadcast(revived), Seq("vec_id"), "left_anti"), partCol = "cell")
-        graft.storage.IndexStore.clearDeletes(spark, path, "deleted_vecs",
-          revived, Seq("vec_id"))
-      }
-    }
-    val fresh = graft.storage.IndexStore.screenFresh(batch, path, "vectors", Seq("vec_id"))
+    val cells = readCentroids(spark, path)
+    val fresh = reviveAndScreen(spark, path, batch)
     withNorm(pcaProject(fresh, model)
       .select(col("vec_id"), col("embedding"), col("pvec"), col("pvec").as("v")), "v")
       .withColumn("cell", assignCell(cells, "v", "nrm"))
@@ -1838,9 +1841,7 @@ object Similarity {
     // stage-1 screen alone suffices for correctness (stage 2 only reads
     // shortlisted ids), but both reads screen so a shortlist computed
     // before a concurrent delete cannot resurrect the id at rerank.
-    val dead = deletedVecs(spark, path)
-    def screened(df: DataFrame) = dead.fold(df)(d =>
-      df.join(broadcast(d), Seq("vec_id"), "left_anti"))
+    val screened = deleteScreen(spark, path)
     val c = withNorm(screened(spark.read.parquet(s"$path/vectors")
       .where(col("cell").isin(probed: _*)))
       .select(col("cell"), col("vec_id").as("neighbor_id"),

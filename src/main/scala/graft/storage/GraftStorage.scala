@@ -638,8 +638,8 @@ object GraftStorage {
    */
   def rollupCounterIncrease(spark: SparkSession, ctrPath: String,
                             range: graft.model.TimeRange,
-                            tenant: Option[String] = None,
-                            ids: Option[DataFrame] = None): DataFrame = {
+                            ids: Option[DataFrame] = None,
+                            tenant: Option[String] = None): DataFrame = {
     require(range.start % RollupMs == 0 && range.end % RollupMs == 0,
       s"counter tier serving needs hour-aligned ranges " +
         s"(start=${range.start}, end=${range.end})")
@@ -878,27 +878,67 @@ object GraftStorage {
    * hours×metrics, the other reads raw points. Dashboard-grid requests
    * (hour/day steps) take the cheap branch by construction.
    */
-  def servedStats(spark: SparkSession, rawPath: String, rollupPath: String,
-                  b: graft.model.Buckets, byMetric: Boolean = true): DataFrame = {
-    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
-      b.end % RollupMs == 0
-    val hasRollup = {
-      val p = new org.apache.hadoop.fs.Path(rollupPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  // ---- serving-dispatch scaffolding, shared by the five serve*
+  // dispatchers: alignment, tier existence, the LWW-resolved raw
+  // fallback read, and the dispatch-level tenant guard ------------------
+
+  private def hourAligned(xs: Long*): Boolean = xs.forall(_ % RollupMs == 0)
+
+  private def tierExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** LWW-resolved raw read for the dispatchers' fallback branch — scope
+    * partition filters first, then the slice partition filter (time
+    * alone would scan every slice; restricting slices before the LWW
+    * dedup is safe because a (metric, time) group never spans slices).
+    * `fromMs = None` leaves the lower bound open (the rate fallback's
+    * pre-range-anchor rule — a rate pair may anchor arbitrarily early). */
+  private def resolvedRaw(spark: SparkSession, rawPath: String,
+                          fromMs: Option[Long], toMs: Long,
+                          scope: Seq[Column]): DataFrame = {
+    val base = scope.foldLeft(read(spark, rawPath))(_ filter _)
+    val sliced = fromMs.fold(base)(lo => base.filter(col("time_slice") >= lo / SliceMs))
+      .filter(col("time_slice") <= (toMs - 1) / SliceMs)
+    graft.operators.MetricsOps.dedupTiers(sliced, "ingest_seq", Seq(valueTieBreak))
+  }
+
+  /** Dispatch-level tenant coherence: a serve whose OUTPUT drops tenant
+    * keys must refuse an unscoped multi-tenant request on EITHER branch —
+    * otherwise request alignment would flip between the tier guard's
+    * loud refusal and a silent cross-tenant merge on the raw fallback.
+    * Decided from the raw store's partition LISTING (no data read);
+    * mtype never refuses (each family's fallback filters its own value
+    * column) but rides the returned scope filters for pruning. `guard =
+    * false` for serves whose output carries tenant keys on both branches
+    * (counter) — there the scope is pruning only. */
+  private def dispatchScope(spark: SparkSession, rawPath: String,
+                            tenant: Option[String], mtypeCode: Option[Int],
+                            what: String, guard: Boolean = true): Seq[Column] = {
+    if (guard) {
+      val tenants = tierTenantPartitions(spark, rawPath).map(_._1).distinct
+        .filter(t => tenant.forall(_ == t))
+      require(tenants.size <= 1,
+        s"$what dispatch over $rawPath spans tenants ${tenants.mkString(", ")}; " +
+          "pass tenant= to scope the serve — an unscoped merge would mix tenants")
     }
-    if (aligned && hasRollup) rollupStats(spark, rollupPath, b, byMetric)
+    (tenant.map(col("tenant_id") === _) ++ mtypeCode.map(col("mtype") === _)).toSeq
+  }
+
+  def servedStats(spark: SparkSession, rawPath: String, rollupPath: String,
+                  b: graft.model.Buckets, byMetric: Boolean = true,
+                  tenant: Option[String] = None,
+                  mtypeCode: Option[Int] = None): DataFrame = {
+    val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "stats")
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, rollupPath))
+      rollupStats(spark, rollupPath, b, byMetric,
+        tenant = tenant, mtypeCode = mtypeCode)
     else {
       // raw fallback: same output shape, same decimal discipline, same
-      // LWW-resolved read the rollup itself was built over — with the
-      // slice partition filter FIRST (time alone would scan every slice;
-      // restricting slices before the LWW dedup is safe because a
-      // (metric, time) group never spans slices)
+      // LWW-resolved read the rollup itself was built over
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
-      graft.operators.MetricsOps.dedupTiers(
-        read(spark, rawPath)
-          .filter(col("time_slice") >= b.start / SliceMs &&
-            col("time_slice") <= (b.end - 1) / SliceMs),
-        "ingest_seq", Seq(valueTieBreak))
+      resolvedRaw(spark, rawPath, Some(b.start), b.end, scope)
         .filter(col("time") >= b.start && col("time") < b.end)
         .filter(col("n_value").isNotNull)
         .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))
@@ -1064,21 +1104,15 @@ object GraftStorage {
   def servedRateStats(spark: SparkSession, rawPath: String, ratePath: String,
                       b: graft.model.Buckets, isCounter: Boolean,
                       valueCol: String = "l_value",
-                      byMetric: Boolean = false): DataFrame = {
-    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
-      b.end % RollupMs == 0
-    val hasTier = {
-      val p = new org.apache.hadoop.fs.Path(ratePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (aligned && hasTier)
-      rollupRateStats(spark, ratePath, b, isCounter, byMetric)
+                      byMetric: Boolean = false,
+                      tenant: Option[String] = None,
+                      mtypeCode: Option[Int] = None): DataFrame = {
+    val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "rate")
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, ratePath))
+      rollupRateStats(spark, ratePath, b, isCounter, byMetric, tenant = tenant)
     else {
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
-      val resolved = graft.operators.MetricsOps.dedupTiers(
-        read(spark, rawPath)
-          .filter(col("time_slice") <= (b.end - 1) / SliceMs),
-        "ingest_seq", Seq(valueTieBreak))
+      val resolved = resolvedRaw(spark, rawPath, None, b.end, scope)
         .filter(col(valueCol).isNotNull)
       graft.operators.MetricsOps.numericBucketStats(
         graft.operators.MetricsOps.rate(resolved, isCounter, valueCol),
@@ -1099,24 +1133,20 @@ object GraftStorage {
    * raw branch reads one store).
    */
   def servedAvailStats(spark: SparkSession, rawPath: String, availPath: String,
-                       b: graft.model.Buckets): DataFrame = {
+                       b: graft.model.Buckets,
+                       tenant: Option[String] = None): DataFrame = {
     val shape = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
       "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
-    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
-      b.end % RollupMs == 0
-    val hasTier = {
-      val p = new org.apache.hadoop.fs.Path(availPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (aligned && hasTier)
-      rollupAvailStats(spark, availPath, b).select(shape.map(col): _*)
+    // the per-request shape drops tenant keys AND the raw branch's state
+    // machine windows by metric alone — both branches need the
+    // single-tenant guarantee, so the guard sits at the dispatch
+    val scope = dispatchScope(spark, rawPath, tenant, None, "availability")
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, availPath))
+      rollupAvailStats(spark, availPath, b, tenant = tenant)
+        .select(shape.map(col): _*)
     else
       graft.operators.MetricsOps.availabilityBucketStats(
-        graft.operators.MetricsOps.dedupTiers(
-          read(spark, rawPath)
-            .filter(col("time_slice") >= b.start / SliceMs &&
-              col("time_slice") <= (b.end - 1) / SliceMs),
-          "ingest_seq", Seq(valueTieBreak))
+        resolvedRaw(spark, rawPath, Some(b.start), b.end, scope)
           .filter(col("avail").isNotNull), b)
         .select(shape.map(col): _*)
   }
@@ -1130,22 +1160,18 @@ object GraftStorage {
    */
   def servedCounterIncrease(spark: SparkSession, rawPath: String,
                             ctrPath: String,
-                            range: graft.model.TimeRange): DataFrame = {
+                            range: graft.model.TimeRange,
+                            tenant: Option[String] = None): DataFrame = {
     val shape = Seq("tenant_id", "mtype", "metric", "increase", "n_resets", "n_deltas")
-    val aligned = range.start % RollupMs == 0 && range.end % RollupMs == 0
-    val hasTier = {
-      val p = new org.apache.hadoop.fs.Path(ctrPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (aligned && hasTier)
-      rollupCounterIncrease(spark, ctrPath, range).select(shape.map(col): _*)
+    // output carries tenant keys on BOTH branches — no guard, the scope
+    // is partition pruning only
+    val scope = dispatchScope(spark, rawPath, tenant, None, "counter", guard = false)
+    if (hourAligned(range.start, range.end) && tierExists(spark, ctrPath))
+      rollupCounterIncrease(spark, ctrPath, range, tenant = tenant)
+        .select(shape.map(col): _*)
     else
       graft.operators.MetricsOps.counterIncrease(
-        graft.operators.MetricsOps.dedupTiers(
-          read(spark, rawPath)
-            .filter(col("time_slice") >= range.start / SliceMs &&
-              col("time_slice") <= (range.end - 1) / SliceMs),
-          "ingest_seq", Seq(valueTieBreak))
+        resolvedRaw(spark, rawPath, Some(range.start), range.end, scope)
           .filter(col("l_value").isNotNull), range)
         .select(shape.map(col): _*)
   }
@@ -1163,19 +1189,17 @@ object GraftStorage {
    * is bit-equal to valueHistogram over resolved raw — spec-pinned).
    */
   def servedHistogram(spark: SparkSession, rawPath: String, histPath: String,
-                      b: graft.model.Buckets): DataFrame = {
+                      b: graft.model.Buckets,
+                      tenant: Option[String] = None,
+                      mtypeCode: Option[Int] = None): DataFrame = {
     val (vMin, vMax, bins) = readHistMeta(spark, histPath).getOrElse(
       throw new IllegalArgumentException(s"no histogram tier meta at $histPath"))
-    val aligned = b.start % RollupMs == 0 && b.step % RollupMs == 0 &&
-      b.end % RollupMs == 0
-    if (aligned) rollupHistogram(spark, histPath, b)
+    val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "histogram")
+    if (hourAligned(b.start, b.step, b.end))
+      rollupHistogram(spark, histPath, b, tenant = tenant, mtypeCode = mtypeCode)
     else
       graft.operators.MetricsOps.valueHistogram(
-        graft.operators.MetricsOps.dedupTiers(
-          read(spark, rawPath)
-            .filter(col("time_slice") >= b.start / SliceMs &&
-              col("time_slice") <= (b.end - 1) / SliceMs),
-          "ingest_seq", Seq(valueTieBreak))
+        resolvedRaw(spark, rawPath, Some(b.start), b.end, scope)
           .filter(col("n_value").isNotNull), b, vMin, vMax, bins)
         .select(col("bucket"), col("bin"), col("cnt"), col("bin_lo"), col("bin_hi"))
   }

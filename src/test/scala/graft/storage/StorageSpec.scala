@@ -957,6 +957,25 @@ class StorageSpec extends SparkTestBase {
       GraftStorage.rollupCounterIncrease(spark, s"$path/ctr", r,
         tenant = Some("ta")), "ta"),
       "expected tenant_id partition filter on the scoped counter serve")
+    // DISPATCH-level coherence: the guard must fire on BOTH branches —
+    // otherwise request alignment would flip between the tier guard's
+    // loud refusal and a silent cross-tenant merge on the raw fallback
+    val H = GraftStorage.RollupMs
+    for (bb <- Seq(b /* aligned → tier */ ,
+      graft.model.Buckets.fromStep(H + 1, 3 * H + 1, H) /* misaligned → raw */ ))
+      intercept[IllegalArgumentException] {
+        GraftStorage.servedStats(spark, s"$path/raw", s"$path/roll", bb)
+      }
+    // …while the scoped dispatch answers ta alone on EITHER branch
+    def five(df: DataFrame) = df
+      .select("metric", "bucket", "samples", "min", "sum")
+      .collect().map(_.toSeq).toSet
+    val expectTa = Set(Seq("m1", 0L, 2L, 1.0, 4.0), Seq("m1", 1L, 1L, 10.0, 10.0))
+    assert(five(GraftStorage.servedStats(spark, s"$path/raw", s"$path/roll", b,
+      tenant = Some("ta"), mtypeCode = Some(MetricType.Gauge.code.toInt))) == expectTa)
+    assert(five(GraftStorage.servedStats(spark, s"$path/raw", s"$path/nosuchtier", b,
+      tenant = Some("ta"), mtypeCode = Some(MetricType.Gauge.code.toInt))) == expectTa,
+      "raw branch (no tier) must serve the scoped tenant identically")
   }
 
   test("AtomicSwap warns on copy-rename object-store schemes and stays " +

@@ -1887,6 +1887,40 @@ object SparkEntry {
               |  CAST(sum(CASE WHEN avail = 0 THEN seg_end - seg_start ELSE 0 END) AS DOUBLE) / ${Day.toDouble} AS uptime_ratio
               |FROM seg GROUP BY metric, bucket""".stripMargin)),
 
+    // ---- tag-query THROUGH the adaptive dispatch: the dashboard shape a
+    // REST layer actually serves — a tag expression plus an ARBITRARY
+    // grid. This request starts off the hour grid, so the dispatcher
+    // takes the raw branch with the resolved id set pruning the scan
+    // BEFORE the LWW dedup shuffle; an aligned request would take the
+    // tier branch with the same id semi-join (both-branch equality
+    // spec-pinned) -------------------------------------------------------
+    ("tagquery_adaptive_stats", (s: SparkSession, d: String) => {
+      val base = "target/tmp/tagadapt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/raw", SaveMode.Overwrite)
+        GraftStorage.writeRollup(s, s"$base/raw", s"$base/roll")
+        graft.storage.TagIndex.write(ea.catalog(s, d), s"$base/tags")
+      }
+      val ids = graft.storage.TagIndex.lookup(s, s"$base/tags",
+        "type = purchase OR seg = s3").select("metric")
+      GraftStorage.servedStats(s, s"$base/raw", s"$base/roll",
+        Buckets.fromStep(S + 1800000L, S + 1800000L + 4 * Day, 7200000L),
+        byMetric = true, ids = Some(ids))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte, $CatCte,
+              |sel AS (SELECT metric FROM cat
+              |        WHERE event_type = 'purchase' OR regexp_full_match(seg, 's3')),
+              |b AS (SELECT metric, t, value FROM base
+              |      WHERE t >= ${S + 1800000L} AND t < ${S + 1800000L + 4 * Day}
+              |        AND metric IN (SELECT metric FROM sel))
+              |SELECT metric, (t - ${S + 1800000L}) // 7200000 AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- tag-query → COUNTER tier: "requests this month for the tagged
     // fleet" — the resolved id set broadcasts into a semi-join pruning
     // the counter tier scan BEFORE the boundary-delta window; per-metric

@@ -897,11 +897,18 @@ object GraftStorage {
     * pre-range-anchor rule — a rate pair may anchor arbitrarily early). */
   private def resolvedRaw(spark: SparkSession, rawPath: String,
                           fromMs: Option[Long], toMs: Long,
-                          scope: Seq[Column]): DataFrame = {
+                          scope: Seq[Column],
+                          ids: Option[DataFrame] = None): DataFrame = {
     val base = scope.foldLeft(read(spark, rawPath))(_ filter _)
     val sliced = fromMs.fold(base)(lo => base.filter(col("time_slice") >= lo / SliceMs))
       .filter(col("time_slice") <= (toMs - 1) / SliceMs)
-    graft.operators.MetricsOps.dedupTiers(sliced, "ingest_seq", Seq(valueTieBreak))
+    // request-sized id restriction BEFORE the LWW dedup shuffle (safe:
+    // dedup groups within a metric, so dropping whole metrics first
+    // never changes a survivor) — the tag-query dashboard path through
+    // the raw fallback
+    val picked = ids.fold(sliced)(i =>
+      sliced.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
+    graft.operators.MetricsOps.dedupTiers(picked, "ingest_seq", Seq(valueTieBreak))
   }
 
   /** Dispatch-level tenant coherence: a serve whose OUTPUT drops tenant
@@ -929,16 +936,17 @@ object GraftStorage {
   def servedStats(spark: SparkSession, rawPath: String, rollupPath: String,
                   b: graft.model.Buckets, byMetric: Boolean = true,
                   tenant: Option[String] = None,
-                  mtypeCode: Option[Int] = None): DataFrame = {
+                  mtypeCode: Option[Int] = None,
+                  ids: Option[DataFrame] = None): DataFrame = {
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "stats")
     if (hourAligned(b.start, b.step, b.end) && tierExists(spark, rollupPath))
-      rollupStats(spark, rollupPath, b, byMetric,
+      rollupStats(spark, rollupPath, b, byMetric, ids = ids,
         tenant = tenant, mtypeCode = mtypeCode)
     else {
       // raw fallback: same output shape, same decimal discipline, same
       // LWW-resolved read the rollup itself was built over
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
-      resolvedRaw(spark, rawPath, Some(b.start), b.end, scope)
+      resolvedRaw(spark, rawPath, Some(b.start), b.end, scope, ids)
         .filter(col("time") >= b.start && col("time") < b.end)
         .filter(col("n_value").isNotNull)
         .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))

@@ -514,6 +514,18 @@ class StorageSpec extends SparkTestBase {
     val rollHourly = GraftStorage.rollupStats(spark, s"$path/roll", aligned).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("sum")).toMap
     assert(rawHourly == rollHourly)
+    // the id restriction rides the DISPATCH into both branches: each
+    // branch's filtered answer equals its unfiltered answer cut to the
+    // selected metric (tag-query + arbitrary-grid dashboard shape)
+    val s2 = spark
+    import s2.implicits._
+    val one = Seq("m1").toDF("metric")
+    for (bb <- Seq(aligned, misaligned))
+      assert(rows(GraftStorage.servedStats(spark, s"$path/raw", s"$path/roll",
+        bb, ids = Some(one))) ==
+        rows(GraftStorage.servedStats(spark, s"$path/raw", s"$path/roll", bb))
+          .filter(_.head == "m1"),
+        s"ids must prune without changing m1's rows (buckets=$bb)")
   }
 
   test("servedAvailStats dispatch: aligned requests read the availability tier, " +

@@ -414,13 +414,15 @@ object GraftStorage {
         s"(start=${b.start}, step=${b.step})")
     val (vMin, vMax, bins) = readHistMeta(spark, histPath).getOrElse(
       throw new IllegalArgumentException(s"no histogram tier meta at $histPath"))
-    val scoped = tierTenantPartitions(spark, histPath).filter { case (t, m) =>
-      tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+    if (tenant.isEmpty || mtypeCode.isEmpty) { // fully scoped skips the listing
+      val scoped = tierTenantPartitions(spark, histPath).filter { case (t, m) =>
+        tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+      }
+      require(scoped.size <= 1,
+        s"histogram tier at $histPath spans ${scoped.size} (tenant, mtype) " +
+          s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
+          "scope the serve — an unscoped merge would mix tenants' counts")
     }
-    require(scoped.size <= 1,
-      s"histogram tier at $histPath spans ${scoped.size} (tenant, mtype) " +
-        s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
-        "scope the serve — an unscoped merge would mix tenants' counts")
     val width = (vMax - vMin) / bins
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
@@ -765,12 +767,12 @@ object GraftStorage {
     // boundary window keys on them — so the window is tenant-safe but the
     // final merge is not: refuse an unscoped serve over a multi-tenant
     // tier from the partition listing (rollupStats/rollupHistogram posture)
-    val scopedParts = tierTenantPartitions(spark, ratePath)
-      .filter { case (t, _) => tenant.forall(_ == t) }
-    require(scopedParts.map(_._1).distinct.size <= 1,
-      s"rate tier at $ratePath spans tenants " +
-        s"${scopedParts.map(_._1).distinct.mkString(", ")}; pass tenant= to " +
-        "scope the serve — an unscoped merge would mix tenants' rates")
+    if (tenant.isEmpty) { // tenant-scoped skips the listing
+      val ts = tierTenantPartitions(spark, ratePath).map(_._1).distinct
+      require(ts.size <= 1,
+        s"rate tier at $ratePath spans tenants ${ts.mkString(", ")}; pass " +
+          "tenant= to scope the serve — an unscoped merge would mix tenants' rates")
+    }
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
     val w = org.apache.spark.sql.expressions.Window
@@ -838,13 +840,15 @@ object GraftStorage {
     // refuse from the partition LISTING alone, scope via partition
     // filters (tenant_id/mtype lead the tier layout, so the scan prunes
     // to one tenant's directories before any data is read)
-    val scoped = tierTenantPartitions(spark, rollupPath).filter { case (t, m) =>
-      tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+    if (tenant.isEmpty || mtypeCode.isEmpty) { // fully scoped skips the listing
+      val scoped = tierTenantPartitions(spark, rollupPath).filter { case (t, m) =>
+        tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+      }
+      require(scoped.size <= 1,
+        s"rollup tier at $rollupPath spans ${scoped.size} (tenant, mtype) " +
+          s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
+          "scope the serve — an unscoped merge would mix tenants' sums")
     }
-    require(scoped.size <= 1,
-      s"rollup tier at $rollupPath spans ${scoped.size} (tenant, mtype) " +
-        s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
-        "scope the serve — an unscoped merge would mix tenants' sums")
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
     val scopeFilters =
@@ -923,9 +927,12 @@ object GraftStorage {
   private def dispatchScope(spark: SparkSession, rawPath: String,
                             tenant: Option[String], mtypeCode: Option[Int],
                             what: String, guard: Boolean = true): Seq[Column] = {
-    if (guard) {
+    // a tenant-scoped request can never mix tenants — skip the directory
+    // LISTING entirely (at thousands of tenants the glob is the only
+    // per-request metadata cost the guard adds, and the scoped fast path
+    // is the common dashboard case)
+    if (guard && tenant.isEmpty) {
       val tenants = tierTenantPartitions(spark, rawPath).map(_._1).distinct
-        .filter(t => tenant.forall(_ == t))
       require(tenants.size <= 1,
         s"$what dispatch over $rawPath spans tenants ${tenants.mkString(", ")}; " +
           "pass tenant= to scope the serve — an unscoped merge would mix tenants")
@@ -1047,14 +1054,16 @@ object GraftStorage {
         s"(start=${b.start}, step=${b.step})")
     val (vMin, vMax, bins) = readHistMeta(spark, rateHistPath).getOrElse(
       throw new IllegalArgumentException(s"no histogram tier meta at $rateHistPath"))
-    val scoped = (tierTenantPartitions(spark, rateHistPath) ++
-      tierTenantPartitions(spark, ratePath)).distinct.filter { case (t, m) =>
-      tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+    if (tenant.isEmpty || mtypeCode.isEmpty) { // fully scoped skips the listings
+      val scoped = (tierTenantPartitions(spark, rateHistPath) ++
+        tierTenantPartitions(spark, ratePath)).distinct.filter { case (t, m) =>
+        tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+      }
+      require(scoped.size <= 1,
+        s"rate histogram serving at $rateHistPath/$ratePath spans ${scoped.size} " +
+          s"(tenant, mtype) partitions ${scoped.mkString(", ")}; pass tenant=/" +
+          "mtypeCode= to scope the serve — an unscoped merge would mix tenants")
     }
-    require(scoped.size <= 1,
-      s"rate histogram serving at $rateHistPath/$ratePath spans ${scoped.size} " +
-        s"(tenant, mtype) partitions ${scoped.mkString(", ")}; pass tenant=/" +
-        "mtypeCode= to scope the serve — an unscoped merge would mix tenants")
     val width = (vMax - vMin) / bins
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs

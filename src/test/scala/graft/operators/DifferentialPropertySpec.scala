@@ -223,6 +223,37 @@ class DifferentialPropertySpec extends SparkTestBase {
     assert(served == onRead)
   }
 
+  test("histogram tier merge agrees with valueHistogram over random values " +
+    "including out-of-range clamps, at two grains") {
+    import graft.storage.GraftStorage
+    val H1 = GraftStorage.RollupMs
+    val D = 24 * H1
+    val path = java.nio.file.Files.createTempDirectory("graft-histprop").toString
+    // values straddle the declared [0, 100) range on both sides → edge
+    // bins clamp; random in-hour positions incl. hour edges
+    val pts = (0 until 4).flatMap { m =>
+      (1 to 80).map { _ =>
+        val t = D + rnd.nextInt(8) * H1 +
+          Seq(0L, 1L, H1 - 1, rnd.nextInt(H1.toInt).toLong)(rnd.nextInt(4))
+        (s"m$m", t, Some(rnd.nextDouble() * 160 - 30): Option[Double],
+          None: Option[Long], None: Option[Int])
+      }
+    }.groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    GraftStorage.write(canonicalPoints(pts), s"$path/raw",
+      org.apache.spark.sql.SaveMode.Overwrite)
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 100.0, bins = 5)
+    val raw = GraftStorage.readResolved(spark, s"$path/raw")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket", "bin", "cnt", "bin_lo", "bin_hi")
+        .collect().map(_.toSeq).toSet
+    for (b <- Seq(graft.model.Buckets.fromStep(D, D + 8 * H1, H1),
+      graft.model.Buckets.fromStep(D, D + 8 * H1, 4 * H1)))
+      assert(rows(GraftStorage.rollupHistogram(spark, s"$path/hist", b)) ==
+        rows(MetricsOps.valueHistogram(raw, b, 0.0, 100.0, 5)),
+        s"grain ${b.step}")
+  }
+
   test("rate tier merge agrees with rate+A1 over random resetting sparse " +
     "series, both modes, two grains") {
     import graft.storage.GraftStorage

@@ -1123,13 +1123,15 @@ object GraftStorage {
                       valueCol: String = "l_value",
                       byMetric: Boolean = false,
                       tenant: Option[String] = None,
-                      mtypeCode: Option[Int] = None): DataFrame = {
+                      mtypeCode: Option[Int] = None,
+                      ids: Option[DataFrame] = None): DataFrame = {
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "rate")
     if (hourAligned(b.start, b.step, b.end) && tierExists(spark, ratePath))
-      rollupRateStats(spark, ratePath, b, isCounter, byMetric, tenant = tenant)
+      rollupRateStats(spark, ratePath, b, isCounter, byMetric,
+        ids = ids, tenant = tenant)
     else {
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
-      val resolved = resolvedRaw(spark, rawPath, None, b.end, scope)
+      val resolved = resolvedRaw(spark, rawPath, None, b.end, scope, ids)
         .filter(col(valueCol).isNotNull)
       graft.operators.MetricsOps.numericBucketStats(
         graft.operators.MetricsOps.rate(resolved, isCounter, valueCol),

@@ -730,6 +730,16 @@ class StorageSpec extends SparkTestBase {
       GraftStorage.rollupRateStats(spark, s"$path/rate",
         graft.model.Buckets.fromStep(1L, H1 + 1, H1), isCounter = true)
     }
+    // the id restriction rides the rate DISPATCH into both branches
+    for (bb <- Seq(b1,
+      graft.model.Buckets.fromStep(H1 + 1, 5 * H1 + 1, H1) /* raw branch */ ))
+      assert(base5(GraftStorage.servedRateStats(spark, s"$path/raw", s"$path/rate",
+        bb, isCounter = true, byMetric = true,
+        ids = Some(Seq("m1").toDF("metric"))), Seq("metric", "bucket")) ==
+        base5(GraftStorage.servedRateStats(spark, s"$path/raw", s"$path/rate",
+          bb, isCounter = true, byMetric = true), Seq("metric", "bucket"))
+          .filter(_.head == "m1"),
+        s"ids must prune without changing m1's rows (buckets=$bb)")
     // gauge mode (no reset filter): the reset deltas COUNT as negative rates
     GraftStorage.writeRollupRate(spark, s"$path/raw", s"$path/grate",
       isCounter = false, valueCol = "l_value")

@@ -2384,6 +2384,56 @@ object SparkEntry {
               |       CAST(count(*) AS BIGINT) AS samples
               |FROM rt WHERE t >= $S AND t < $Week GROUP BY 1, 2""".stripMargin)),
 
+    // ---- §2.9: streaming ingest maintaining BOTH rate tiers (facts +
+    // distribution) — one slice-run refresh hook updates the hour
+    // summaries and the rate-bin counts per batch; the drained tiers
+    // serve p95-of-rates that EXACTLY equal valueHistogram over the raw
+    // rate series of the streamed week (completes streaming upkeep
+    // across all six tier families) -------------------------------------
+    ("streaming_rollup_ratehist", (s: SparkSession, d: String) => {
+      val base = "target/tmp/strollrh_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val staged = s"$base/stage"
+      ctr(s, d).filter(col("time") < Week).write.parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val q = graft.streaming.StreamingIngest.startWithTierRefresh(
+        s.readStream.schema(schema).parquet(staged),
+        s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
+        GraftStorage.writeRollupRate(sp, s"$base/raw", s"$base/rate",
+          isCounter = true, fromSlice = lo, upToSlice = hi)
+        GraftStorage.writeRollupRateHist(sp, s"$base/raw", s"$base/rhist",
+          isCounter = true, vMin = 0.0, vMax = 2000.0, bins = 20,
+          fromSlice = lo, upToSlice = hi)
+      }
+      q.awaitTermination()
+      MetricsOps.histogramQuantile(
+        GraftStorage.rollupRateHistogram(s, s"$base/rhist", s"$base/rate",
+          Buckets.fromStep(S, Week, Day), isCounter = true),
+        q = 0.95)
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |r AS (SELECT metric, t, l_value, lag(l_value) OVER w AS prev_v, lag(t) OVER w AS prev_t
+              |      FROM ctr WHERE t < $Week
+              |      WINDOW w AS (PARTITION BY metric ORDER BY t)),
+              |rt AS (SELECT metric, t,
+              |         60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE)) / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v),
+              |a AS (SELECT (t - $S) // $Day AS bucket,
+              |        CAST(least(greatest(floor(rate / 100.0), 0), 19) AS BIGINT) AS bin
+              |      FROM rt WHERE t >= $S AND t < $Week),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 100.0 AS bin_lo, (bin + 1) * 100.0 AS bin_hi
+              |      FROM a GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.95 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target)
+              |SELECT bucket, total,
+              |       round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |FROM p WHERE rn = 1""".stripMargin)),
+
     // ---- §2.9: streaming ingest WITH availability-tier maintenance —
     // the generic per-batch slice-span refresh hook wired to the A3
     // hour-summary tier; the drained tier serves daily buckets that

@@ -233,19 +233,24 @@ object GraftStorage {
    */
   def writeRollup(spark: SparkSession, rawPath: String, rollupPath: String,
                   upToSlice: Long = Long.MaxValue,
-                  fromSlice: Long = Long.MinValue): Unit = {
+                  fromSlice: Long = Long.MinValue,
+                  valueCol: String = "n_value"): Unit = {
+    // `valueCol` picks the value family (gauge n_value / counter
+    // l_value) — exactly like [[writeRollupRate]]; the double cast is
+    // the same one the raw A1 path applies, a no-op for n_value
+    val v = col(valueCol).cast("double")
     // checkpoint: the frame feeds the fresh-partition-set action AND the
     // write — without it the aggregate runs twice
     val roll = readResolved(spark, rawPath)
       .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
-      .filter(col("n_value").isNotNull)
+      .filter(col(valueCol).isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
       .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
         col("metric"), col("hour"))
       .agg(count(lit(1)).as("samples"),
-        min(col("n_value")).as("min_v"),
-        max(col("n_value")).as("max_v"),
-        sum(col("n_value").cast("decimal(28,10)")).as("sum_v"))
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        sum(v.cast("decimal(28,10)")).as("sum_v"))
     refreshRollupTier(spark, roll, rollupPath, fromSlice, upToSlice,
       Seq(col("metric"), col("hour")))
   }
@@ -759,28 +764,35 @@ object GraftStorage {
                       b: graft.model.Buckets, isCounter: Boolean,
                       byMetric: Boolean = false,
                       ids: Option[DataFrame] = None,
-                      tenant: Option[String] = None): DataFrame = {
+                      tenant: Option[String] = None,
+                      mtypeCode: Option[Int] = None): DataFrame = {
     require(b.start % RollupMs == 0 && b.step % RollupMs == 0,
       s"rate tier serving needs hour-aligned buckets " +
         s"(start=${b.start}, step=${b.step})")
-    // output drops tenant/type (bucket-stats dashboard shape) while the
-    // boundary window keys on them — so the window is tenant-safe but the
-    // final merge is not: refuse an unscoped serve over a multi-tenant
-    // tier from the partition listing (rollupStats/rollupHistogram posture)
-    if (tenant.isEmpty) { // tenant-scoped skips the listing
-      val ts = tierTenantPartitions(spark, ratePath).map(_._1).distinct
-      require(ts.size <= 1,
-        s"rate tier at $ratePath spans tenants ${ts.mkString(", ")}; pass " +
-          "tenant= to scope the serve — an unscoped merge would mix tenants' rates")
+    // output drops tenant AND type (bucket-stats dashboard shape) while
+    // the boundary window keys on them — so the window is tenant-safe but
+    // the final merge is not: refuse an unscoped serve over a tier whose
+    // listing spans several (tenant, mtype) partitions (the rollupStats/
+    // rollupHistogram posture — a rate tier holding counter-rate and
+    // gauge-rate under one tenant would otherwise silently pool them)
+    if (tenant.isEmpty || mtypeCode.isEmpty) { // fully scoped skips the listing
+      val scoped = tierTenantPartitions(spark, ratePath).filter { case (t, m) =>
+        tenant.forall(_ == t) && mtypeCode.forall(_ == m)
+      }
+      require(scoped.size <= 1,
+        s"rate tier at $ratePath spans ${scoped.size} (tenant, mtype) " +
+          s"partitions ${scoped.mkString(", ")}; pass tenant=/mtypeCode= to " +
+          "scope the serve — an unscoped merge would mix tenants' rates")
     }
     val startHour = b.start / RollupMs
     val stepHours = b.step / RollupMs
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tenant_id"), col("mtype"), col("metric"))
       .orderBy(col("hour"))
-    val h0 = tenant.foldLeft(
-      spark.read.parquet(ratePath).filter(col("hour") < b.end / RollupMs))(
-      (d, t) => d.filter(col("tenant_id") === t))
+    val scopeFilters =
+      tenant.map(col("tenant_id") === _) ++ mtypeCode.map(col("mtype") === _)
+    val h0 = scopeFilters.foldLeft(
+      spark.read.parquet(ratePath).filter(col("hour") < b.end / RollupMs))(_ filter _)
     // request-sized id restriction, broadcast semi-join BEFORE the
     // boundary window (rollupStats' posture)
     val h = ids.fold(h0)(i =>
@@ -892,6 +904,19 @@ object GraftStorage {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** True when `b` sits on the tier hour grid and the tier exists — the
+    * exact tier-branch condition of the serve* dispatchers, exposed so
+    * the API layer can decide whether the tier surface (distributive
+    * stats, no order statistics) applies BEFORE shaping a request. */
+  def tierServes(spark: SparkSession, path: String, b: graft.model.Buckets): Boolean =
+    hourAligned(b.start, b.step, b.end) && tierExists(spark, path)
+
+  /** [[tierServes]] for a whole-range request (the counter-increase
+    * dispatch condition — no step grid). */
+  def tierServes(spark: SparkSession, path: String,
+                 range: graft.model.TimeRange): Boolean =
+    hourAligned(range.start, range.end) && tierExists(spark, path)
 
   /** LWW-resolved raw read for the dispatchers' fallback branch — scope
     * partition filters first, then the slice partition filter (time
@@ -1128,7 +1153,7 @@ object GraftStorage {
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "rate")
     if (hourAligned(b.start, b.step, b.end) && tierExists(spark, ratePath))
       rollupRateStats(spark, ratePath, b, isCounter, byMetric,
-        ids = ids, tenant = tenant)
+        ids = ids, tenant = tenant, mtypeCode = mtypeCode)
     else {
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
       val resolved = resolvedRaw(spark, rawPath, None, b.end, scope, ids)
@@ -1160,9 +1185,22 @@ object GraftStorage {
     // machine windows by metric alone — both branches need the
     // single-tenant guarantee, so the guard sits at the dispatch
     val scope = dispatchScope(spark, rawPath, tenant, None, "availability")
-    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, availPath))
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, availPath)) {
+      // the dispatch guard above is decided from the RAW listing, but this
+      // branch serves the TIER and then drops its tenant keys — a tier
+      // holding more tenants than raw (raw retention-swept, or the tier
+      // built from a different raw) would silently emit duplicate
+      // (metric, bucket) rows; guard each branch against ITS OWN input
+      if (tenant.isEmpty) {
+        val ts = tierTenantPartitions(spark, availPath).map(_._1).distinct
+        require(ts.size <= 1,
+          s"availability tier at $availPath spans tenants ${ts.mkString(", ")}; " +
+            "pass tenant= to scope the serve — the per-request shape drops " +
+            "tenant keys and would silently merge them")
+      }
       rollupAvailStats(spark, availPath, b, tenant = tenant)
         .select(shape.map(col): _*)
+    }
     else
       graft.operators.MetricsOps.availabilityBucketStats(
         resolvedRaw(spark, rawPath, Some(b.start), b.end, scope)

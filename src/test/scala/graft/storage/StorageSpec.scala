@@ -1000,6 +1000,94 @@ class StorageSpec extends SparkTestBase {
       "raw branch (no tier) must serve the scoped tenant identically")
   }
 
+  test("rate tier (tenant, mtype) guard: a single-tenant tier holding counter- " +
+    "AND gauge-rates refuses an unscoped serve; mtype scope serves one family " +
+    "exactly and threads through the dispatch") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    val ctrRows = Seq(
+      ("m1", H1 + 100L, 10L), ("m1", H1 + 2000L, 40L), ("m1", 2 * H1 + 500L, 130L))
+    GraftStorage.write(ctrFixture(ctrRows), s"$path/craw", SaveMode.Overwrite)
+    GraftStorage.writeRollupRate(spark, s"$path/craw", s"$path/rate",
+      isCounter = true, valueCol = "l_value")
+    // a gauge-rate family under the SAME tenant and metric NAME…
+    GraftStorage.write(fixture(Seq(
+      ("m1", H1 + 300L, 5.0), ("m1", H1 + 4000L, 9.0), ("m1", 2 * H1 + 700L, 2.0))),
+      s"$path/graw", SaveMode.Overwrite)
+    GraftStorage.writeRollupRate(spark, s"$path/graw", s"$path/grate",
+      isCounter = false, valueCol = "n_value")
+    // …lands in the same tier dir (the mixed-family layout the pair guard
+    // exists for — however a deployment got there, the serve must refuse
+    // to pool counter-rates with gauge-rates)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val g = MetricType.Gauge.code.toInt
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/grate/tenant_id=t/mtype=$g"),
+      new org.apache.hadoop.fs.Path(s"$path/rate/tenant_id=t/mtype=$g")))
+    val b = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    // ONE tenant, TWO mtypes: unscoped refuses loudly (the old
+    // tenants-only guard would have silently pooled the families)
+    val e = intercept[IllegalArgumentException] {
+      GraftStorage.rollupRateStats(spark, s"$path/rate", b, isCounter = true)
+    }
+    assert(e.getMessage.contains("mtype"))
+    def five(df: DataFrame) = df
+      .select("bucket", "min", "avg", "max", "sum", "samples")
+      .collect().map(_.toSeq).toSet
+    // scoped to the counter family the serve equals the raw-path answer
+    val expect = five(graft.operators.MetricsOps.rateStats(
+      ctrFixture(ctrRows), b, isCounter = true, valueCol = "l_value"))
+    assert(five(GraftStorage.rollupRateStats(spark, s"$path/rate", b,
+      isCounter = true, tenant = Some("t"),
+      mtypeCode = Some(MetricType.Counter.code.toInt))) == expect)
+    // the scope threads through the DISPATCH: tier branch and raw branch
+    // (nonexistent tier) answer the scoped family identically
+    for (rp <- Seq(s"$path/rate", s"$path/nosuch"))
+      assert(five(GraftStorage.servedRateStats(spark, s"$path/craw", rp, b,
+        isCounter = true, valueCol = "l_value", tenant = Some("t"),
+        mtypeCode = Some(MetricType.Counter.code.toInt))) == expect,
+        s"scoped rate dispatch must serve the counter family alone (tier=$rp)")
+    // …and the unscoped dispatch refuses on the tier branch (raw listing
+    // alone cannot see the tier's extra family)
+    intercept[IllegalArgumentException] {
+      GraftStorage.servedRateStats(spark, s"$path/craw", s"$path/rate", b,
+        isCounter = true, valueCol = "l_value")
+    }
+  }
+
+  test("availability dispatch tier guard: a tier holding more tenants than " +
+    "raw refuses an unscoped aligned serve instead of silently emitting " +
+    "duplicate rows; tenant scope serves both branches identically") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    def av(t: String) = availFixture(Seq(
+      ("m1", H1 + 100L, 0), ("m1", 2 * H1 + 500L, 1)))
+      .withColumn("tenant_id", lit(t))
+    // the TIER was built over a two-tenant raw…
+    GraftStorage.write(av("ta"), s"$path/fullraw", SaveMode.Overwrite)
+    GraftStorage.write(av("tb"), s"$path/fullraw")
+    GraftStorage.writeRollupAvail(spark, s"$path/fullraw", s"$path/avroll")
+    // …while the serving-time raw holds ONE tenant (retention-swept twin):
+    // the dispatch guard's raw listing passes, but the tier branch would
+    // emit each (metric, bucket) twice with tenant keys dropped
+    GraftStorage.write(av("ta"), s"$path/raw", SaveMode.Overwrite)
+    val aligned = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    val e = intercept[IllegalArgumentException] {
+      GraftStorage.servedAvailStats(spark, s"$path/raw", s"$path/avroll", aligned)
+    }
+    assert(e.getMessage.contains("tenant"))
+    def rows(df: DataFrame) = df
+      .select("metric", "bucket", "up_ms", "down_ms", "not_up_count", "samples")
+      .collect().map(_.toSeq).toSet
+    val viaTier = GraftStorage.servedAvailStats(spark, s"$path/raw",
+      s"$path/avroll", aligned, tenant = Some("ta"))
+    val viaRaw = GraftStorage.servedAvailStats(spark, s"$path/raw",
+      s"$path/nosuch", aligned, tenant = Some("ta"))
+    assert(rows(viaTier) == rows(viaRaw) && rows(viaTier).nonEmpty,
+      "tenant-scoped availability dispatch must answer identically from either branch")
+  }
+
   test("AtomicSwap warns on copy-rename object-store schemes and stays " +
     "silent on rename-atomic filesystems") {
     for (s <- Seq("s3a", "S3A", "gs", "abfs"))

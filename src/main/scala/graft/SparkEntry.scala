@@ -1235,6 +1235,57 @@ object SparkEntry {
               |       max(value) AS "max", ${dsum("value")} AS sum
               |FROM b GROUP BY 1, 2""".stripMargin)),
 
+    // ---- tier serving over the PUBLIC API, end-to-end through live
+    // HTTP: a transport started with tierServing answers this aligned,
+    // percentile-free GET /gauges/stats (pooled multi-metric dashboard
+    // request, Hawkular-Tenant header -> tenant-scoped partition-pruned
+    // tier read) from the store's gauge_sums rollup — raw never read
+    // (plan spec-pinned in MetricsServiceSpec); the response parses back
+    // bit-equal to the raw-path stats the oracle computes ---------------
+    ("rest_served_stats", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/rest_served_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/store/data", SaveMode.Overwrite)
+        new graft.api.MetricsService(s, s"$base/store",
+          Some(graft.api.MetricsService.defaultTiers(s"$base/store"))).refreshTiers()
+      }
+      val metrics = gauge(s, d).select("metric").distinct()
+        .orderBy("metric").limit(5).as[String].collect()
+      val t = new graft.api.HttpTransport(s, s"$base/store",
+        tierServing = true).start()
+      val body = try {
+        val q = java.net.URLEncoder.encode(metrics.mkString(","), "UTF-8")
+        val url = s"http://127.0.0.1:${t.boundPort}/gauges/stats" +
+          s"?metrics=$q&start=$S&end=$E&buckets=30"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Hawkular-Tenant", "acme")
+        require(conn.getResponseCode == 200, s"GET $url -> ${conn.getResponseCode}")
+        new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally t.stop()
+      s.read.json(Seq(body).toDS)
+        .select(((col("start") - S) / Day).cast("long").as("bucket"),
+          col("empty"),
+          round(col("min"), 6).as("min"), round(col("avg"), 6).as("avg"),
+          round(col("max"), 6).as("max"), round(col("sum"), 6).as("sum"),
+          col("samples").cast("long").as("samples"))
+    },
+      Some(s"""WITH $BaseCte,
+              |sel AS (SELECT DISTINCT metric FROM base ORDER BY metric LIMIT 5),
+              |a AS (SELECT (t - $S) // $Day AS bucket, value FROM base
+              |      WHERE metric IN (SELECT metric FROM sel) AND t >= $S AND t < $E),
+              |st AS (SELECT bucket, min(value) AS mn, ${dsum("value")} / count(*) AS av,
+              |         max(value) AS mx, ${dsum("value")} AS sm,
+              |         CAST(count(*) AS BIGINT) AS n
+              |       FROM a GROUP BY 1),
+              |sp AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 30))
+              |SELECT sp.bucket, st.bucket IS NULL AS empty,
+              |       round(st.mn, 6) AS "min", round(st.av, 6) AS avg,
+              |       round(st.mx, 6) AS "max", round(st.sm, 6) AS sum, st.n AS samples
+              |FROM sp LEFT JOIN st ON sp.bucket = st.bucket""".stripMargin)),
+
     // ---- availability rollup tier: A3 hour summaries merged EXACTLY
     // into daily buckets — leading segments reattribute to the previous
     // hour's last state, last segments extend across empty hours, cross-

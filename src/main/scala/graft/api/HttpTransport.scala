@@ -47,11 +47,19 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
                     allowedCorsOrigins: String = "*",
                     extraCorsAllowHeaders: Option[String] = None,
                     adminToken: Option[String] = None,
-                    cacheControl: Option[String] = None) {
+                    cacheControl: Option[String] = None,
+                    tierServing: Boolean = false) {
   import RestRoutes._
   import HttpTransport.AdminTokenHeader
 
-  private val svc = new MetricsService(spark, storageRoot)
+  // `tierServing` answers hour-aligned, percentile-free stats requests
+  // from the store's rollup tiers ([[MetricsService.TierLayout]] at the
+  // conventional `<root>/tiers` layout — refreshed by maintenance via
+  // [[MetricsService.refreshTiers]]); the per-request tenant scope is the
+  // Hawkular-Tenant header's MetricId.tenantId, threaded into the tier
+  // serve's partition-pruning tenant= param by the service dispatch
+  private val svc = new MetricsService(spark, storageRoot,
+    if (tierServing) Some(MetricsService.defaultTiers(storageRoot)) else None)
   // the reference stores the sha256 of the configured admin token and
   // compares hashes (AdminFilter.validAdminToken); None = the filter is
   // off entirely — a DOCUMENTED divergence from the reference, where an

@@ -21,6 +21,41 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
  * readers resolve last-write-wins, matching Cassandra upsert semantics.
  */
 object MetricsService {
+  /**
+   * Serving-tier layout for a metrics store — ONE tier family per path
+   * (per-family dirs keep each refresh's stale-partition sweep scoped to
+   * its own family). A service constructed with a layout answers
+   * hour-aligned, percentile-free stats requests from the matching tier
+   * ([[graft.storage.GraftStorage.rollupStats]] and friends — hours ×
+   * metrics read, raw never touched); everything else takes the raw path
+   * unchanged. The reference has no rollups (every stats request scans
+   * raw points, MetricsServiceImpl.java:905-935) — this is the engine's
+   * 100 TB dashboard extension, opt-in per deployment.
+   *
+   * Served bucket points carry min/avg/max/sum/samples exactly equal to
+   * the raw-path answer (the tier exactness contract, spec-pinned);
+   * `median` — the one NumericBucketPoint field a sums tier cannot
+   * reproduce (order statistics don't merge) — is OMITTED from
+   * tier-served points (the JSON codec's NON_NULL rule drops the field).
+   * That omission is the documented cost of tier serving; requests that
+   * need median or percentiles keep the raw path by asking for
+   * percentiles or using a misaligned grid. Availability and rate tiers
+   * have no such gap — their served shapes are complete.
+   */
+  final case class TierLayout(root: String) {
+    val gaugeSums: String = s"$root/gauge_sums"
+    val counterSums: String = s"$root/counter_sums"
+    val avail: String = s"$root/avail"
+    val counterIncrease: String = s"$root/counter_increase"
+    val gaugeRate: String = s"$root/gauge_rate"
+    val counterRate: String = s"$root/counter_rate"
+  }
+
+  /** The conventional on-store layout (`<root>/tiers/<family>`) — what
+    * [[graft.api.HttpTransport]]'s `tierServing` flag turns on. */
+  def defaultTiers(storageRoot: String): TierLayout =
+    TierLayout(s"$storageRoot/tiers")
+
   /** Thrown by a non-overwrite create on an existing id — the reference's
     * MetricAlreadyExistsException (mapped to HTTP 409 by the REST layer). */
   final class MetricAlreadyExistsException(name: String)
@@ -75,7 +110,8 @@ object MetricsService {
   }
 }
 
-class MetricsService(spark: SparkSession, root: String) {
+class MetricsService(spark: SparkSession, root: String,
+                     tiers: Option[MetricsService.TierLayout] = None) {
 
   private val dataPath = s"$root/data"
   private val metricsPath = s"$root/metrics"
@@ -412,6 +448,54 @@ class MetricsService(spark: SparkSession, root: String) {
   def compressBlock(upToSlice: Long, fromSlice: Long = Long.MinValue): Unit =
     GraftStorage.compact(spark, dataPath, upToSlice, fromSlice)
 
+  /**
+   * Refresh every configured serving tier from the raw store — the
+   * maintenance companion of [[compressBlock]], run on the same closed-
+   * slice cadence (pass the last-refreshed slice as `fromSlice`; each
+   * run then re-aggregates only newly closed slices). Six families, one
+   * raw window each: gauge/counter hour sums, the availability state
+   * machine, counter-increase accounting, and both rate families. After
+   * a refresh, aligned stats requests on the matching type answer from
+   * hours × metrics summaries ([[MetricsService.TierLayout]]).
+   */
+  def refreshTiers(upToSlice: Long = Long.MaxValue,
+                   fromSlice: Long = Long.MinValue): Unit = {
+    val t = tiers.getOrElse(throw new IllegalStateException(
+      "refreshTiers needs a MetricsService constructed with a TierLayout"))
+    GraftStorage.writeRollup(spark, dataPath, t.gaugeSums, upToSlice, fromSlice)
+    GraftStorage.writeRollup(spark, dataPath, t.counterSums, upToSlice, fromSlice,
+      valueCol = "l_value")
+    GraftStorage.writeRollupAvail(spark, dataPath, t.avail, upToSlice, fromSlice)
+    GraftStorage.writeRollupCounter(spark, dataPath, t.counterIncrease,
+      upToSlice, fromSlice)
+    GraftStorage.writeRollupRate(spark, dataPath, t.counterRate,
+      isCounter = true, valueCol = "l_value",
+      upToSlice = upToSlice, fromSlice = fromSlice)
+    GraftStorage.writeRollupRate(spark, dataPath, t.gaugeRate,
+      isCounter = false, valueCol = "n_value",
+      upToSlice = upToSlice, fromSlice = fromSlice)
+  }
+
+  /** The configured tier path for a request, iff the tier can serve it:
+    * a layout is configured, the request carries no percentiles and no
+    * parity mode, and the bucket grid sits on whole tier hours with the
+    * tier built ([[GraftStorage.tierServes]]). `None` = raw path. */
+  private def tierFor(pick: MetricsService.TierLayout => String,
+                      b: graft.model.Buckets,
+                      percentiles: Seq[Double],
+                      mode: MetricsOps.PercentileMode =
+                        MetricsOps.PercentileMode.Exact): Option[String] =
+    tiers.map(pick).filter(p => percentiles.isEmpty &&
+      mode == MetricsOps.PercentileMode.Exact &&
+      GraftStorage.tierServes(spark, p, b))
+
+  /** Request-sized metric spine for tier pruning / gap-fill. */
+  private def oneMetric(name: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(name).toDF("metric")
+  }
+
   /** S9 — delete one metric's data. */
   /** S9 — delete one metric: its datapoints AND its catalog row — the
     * reference deletes from the metrics, tags, and retention indexes
@@ -618,9 +702,20 @@ class MetricsService(spark: SparkSession, root: String) {
                      mode: MetricsOps.PercentileMode =
                        MetricsOps.PercentileMode.Exact): DataFrame = {
     val b = config.buckets
-    MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles, mode = mode,
-        parityFeedOrder = Order.Desc), b)
+    tierFor(_.gaugeSums, b, percentiles, mode) match {
+      // hour-aligned, percentile-free, tier built: answer from hour
+      // summaries — raw never read; the 5 served stats are bit-equal to
+      // the raw path, median omitted ([[MetricsService.TierLayout]])
+      case Some(p) =>
+        MetricsOps.gapFill(
+          GraftStorage.rollupStats(spark, p, b, byMetric = false,
+            ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
+            mtypeCode = Some(id.mtype.toInt)), b)
+      case None =>
+        MetricsOps.gapFill(
+          MetricsOps.numericBucketStats(series(id), b, percentiles, mode = mode,
+            parityFeedOrder = Order.Desc), b)
+    }
   }
 
   /**
@@ -782,20 +877,35 @@ class MetricsService(spark: SparkSession, root: String) {
   def findNumericStats(tenantId: String, mtype: MetricType, ids: DataFrame,
                        config: BucketConfig, percentiles: Seq[Double],
                        stacked: Boolean): DataFrame = {
-    val dp = MetricsOps.dataPointsForIds(
-      raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
-    // counters store in l_value — aggregating the gauge column would
-    // silently answer empty buckets for every counter stats request
-    val valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value"
-    val b = config.buckets
-    // dense (A2) like the reference's NumericBucketPoint.toList finish of
-    // findNumericStats (MetricsServiceImpl.java:926-966) — pooled and
-    // stacked answers carry all b.count buckets, empties null-filled
-    MetricsOps.gapFill(
-      if (stacked) MetricsOps.stackedStats(dp, b, percentiles,
-        valueCol = valueCol, mode = DefaultPercentileMode)
-      else MetricsOps.pooledStats(dp, b, percentiles,
-        valueCol = valueCol, mode = DefaultPercentileMode), b)
+    // POOLED aligned percentile-free requests serve from the sums tier:
+    // pooling IS the tier's byMetric=false bucket re-aggregate over the
+    // id set's semi-join (stacked cannot — it sums per-metric statistics,
+    // medians included, which need the raw distribution per metric)
+    val tierPath = if (stacked) None else tierFor(
+      if (mtype == MetricType.Counter) _.counterSums else _.gaugeSums,
+      config.buckets, percentiles)
+    tierPath match {
+      case Some(p) =>
+        MetricsOps.gapFill(
+          GraftStorage.rollupStats(spark, p, config.buckets, byMetric = false,
+            ids = Some(ids.select("metric")), tenant = Some(tenantId),
+            mtypeCode = Some(mtype.code.toInt)), config.buckets)
+      case None =>
+        val dp = MetricsOps.dataPointsForIds(
+          raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
+        // counters store in l_value — aggregating the gauge column would
+        // silently answer empty buckets for every counter stats request
+        val valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value"
+        val b = config.buckets
+        // dense (A2) like the reference's NumericBucketPoint.toList finish of
+        // findNumericStats (MetricsServiceImpl.java:926-966) — pooled and
+        // stacked answers carry all b.count buckets, empties null-filled
+        MetricsOps.gapFill(
+          if (stacked) MetricsOps.stackedStats(dp, b, percentiles,
+            valueCol = valueCol, mode = DefaultPercentileMode)
+          else MetricsOps.pooledStats(dp, b, percentiles,
+            valueCol = valueCol, mode = DefaultPercentileMode), b)
+    }
   }
 
   /** Multi-metric fromEarliest stats — GET /{type}s/stats?fromEarliest
@@ -1089,10 +1199,23 @@ class MetricsService(spark: SparkSession, root: String) {
     } else findDataPoints(id, start, end, limit, order, now)
 
   def findAvailabilityStats(id: MetricId, config: BucketConfig): DataFrame = {
-    val s = spark
-    import s.implicits._
-    MetricsOps.availabilityBucketStatsFilled(series(id), config.buckets,
-      keySpine = Some(Seq(id.name).toDF("metric")))
+    val b = config.buckets
+    tierFor(_.avail, b, Seq.empty) match {
+      // the availability tier's served shape is COMPLETE (no order
+      // statistics involved) — aligned requests answer bit-equal from
+      // hour summaries + boundary facts, with the same dense finish
+      case Some(p) =>
+        val shape = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
+          "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+        MetricsOps.gapFill(
+          GraftStorage.rollupAvailStats(spark, p, b,
+            ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId))
+            .select(shape.map(col): _*),
+          b, Seq("metric"), Some(oneMetric(id.name)))
+      case None =>
+        MetricsOps.availabilityBucketStatsFilled(series(id), b,
+          keySpine = Some(oneMetric(id.name)))
+    }
   }
 
   /** Counter tagged stats (A6 for counters, MetricsService.java:307). */
@@ -1124,9 +1247,17 @@ class MetricsService(spark: SparkSession, root: String) {
                        mode: MetricsOps.PercentileMode =
                          MetricsOps.PercentileMode.Exact): DataFrame = {
     val b = config.buckets
-    MetricsOps.gapFill(
-      MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value",
-        mode = mode, parityFeedOrder = Order.Asc), b)
+    tierFor(_.counterSums, b, percentiles, mode) match {
+      case Some(p) => // tier serve, findGaugeStats' posture
+        MetricsOps.gapFill(
+          GraftStorage.rollupStats(spark, p, b, byMetric = false,
+            ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
+            mtypeCode = Some(id.mtype.toInt)), b)
+      case None =>
+        MetricsOps.gapFill(
+          MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value",
+            mode = mode, parityFeedOrder = Order.Asc), b)
+    }
   }
 
   /** W1 — COUNTER_RATE / GAUGE_RATE virtual types (limit after pairing,
@@ -1189,13 +1320,24 @@ class MetricsService(spark: SparkSession, root: String) {
                     percentiles: Seq[Double] = Seq.empty): DataFrame = {
     val t = MetricType.fromCode(id.mtype)
     val b = config.buckets
-    // dense like every reference numeric-stats answer: rate stats flow
-    // through the same NumericBucketPointTransformer → BucketPoint.toList
-    // (CounterHandler.java:640-679), so empty buckets are emitted null
-    MetricsOps.gapFill(
-      MetricsOps.rateStats(series(id), b, isCounter = t == MetricType.Counter,
-        valueCol = if (t == MetricType.Counter) "l_value" else "n_value",
-        quantiles = percentiles), b)
+    val isCounter = t == MetricType.Counter
+    tierFor(if (isCounter) _.counterRate else _.gaugeRate, b, percentiles) match {
+      // rate tier serve: within-hour partials + boundary pairs, the same
+      // pre-range-anchor semantics the raw W1 path has (spec-pinned)
+      case Some(p) =>
+        MetricsOps.gapFill(
+          GraftStorage.rollupRateStats(spark, p, b, isCounter = isCounter,
+            byMetric = false, ids = Some(oneMetric(id.name)),
+            tenant = Some(id.tenantId), mtypeCode = Some(id.mtype.toInt)), b)
+      case None =>
+        // dense like every reference numeric-stats answer: rate stats flow
+        // through the same NumericBucketPointTransformer → BucketPoint.toList
+        // (CounterHandler.java:640-679), so empty buckets are emitted null
+        MetricsOps.gapFill(
+          MetricsOps.rateStats(series(id), b, isCounter = isCounter,
+            valueCol = if (isCounter) "l_value" else "n_value",
+            quantiles = percentiles), b)
+    }
   }
 
   /** A4/A5 over the RATE series of an id set — the reference's

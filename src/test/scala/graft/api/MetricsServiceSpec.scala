@@ -691,6 +691,87 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(early == Seq((1L, 2L)))
   }
 
+  test("tier serving: a TierLayout service answers aligned percentile-free " +
+    "stats from the tiers (raw never read) bit-equal to the raw path on the " +
+    "served surface for all four families; misaligned and percentile " +
+    "requests keep the raw path") {
+    import graft.storage.GraftStorage
+    val root = Files.createTempDirectory("graft-svc-tier").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.defaultTiers(root)))
+    val plain = new MetricsService(spark, root) // same store, no layout
+    val H = GraftStorage.RollupMs
+    def shaped(df: org.apache.spark.sql.DataFrame, metric: String,
+               mtype: MetricType, absent: Seq[(String, String)]) =
+      absent.foldLeft(df
+        .withColumn("tenant_id", lit("t1"))
+        .withColumn("mtype", lit(mtype.code.toInt))
+        .withColumn("metric", lit(metric))
+        .withColumn("tags", map())
+        .withColumn("s_value", lit(null).cast("string"))) {
+        case (d, (c, t)) => d.withColumn(c, lit(null).cast(t))
+      }
+    locally {
+      val s = spark
+      import s.implicits._
+      tiered.addDataPoints(shaped(
+        Seq((H + 100L, 1.0), (H + 200L, 3.0), (2 * H + 100L, 10.0))
+          .toDF("time", "n_value"),
+        "g", MetricType.Gauge, Seq("l_value" -> "long", "avail" -> "int")))
+      tiered.addDataPoints(shaped(
+        Seq((H + 100L, 10L), (H + 2000L, 40L), (2 * H + 500L, 130L))
+          .toDF("time", "l_value"),
+        "c", MetricType.Counter, Seq("n_value" -> "double", "avail" -> "int")))
+      tiered.addDataPoints(shaped(
+        Seq((H + 100L, 0), (H + 2000L, 1), (2 * H + 500L, 0))
+          .toDF("time", "avail"),
+        "av", MetricType.Availability,
+        Seq("n_value" -> "double", "l_value" -> "long")))
+    }
+    tiered.refreshTiers()
+    val g = MetricId("t1", MetricType.Gauge.code, "g")
+    val c = MetricId("t1", MetricType.Counter.code, "c")
+    val av = MetricId("t1", MetricType.Availability.code, "av")
+    val aligned = BucketConfig(TimeRange(H, 4 * H), Some(3), None) // step = 1h
+    val misaligned = BucketConfig(TimeRange(H, 4 * H), Some(5), None)
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    def served(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(("bucket" +: cols).map(col): _*).collect().map(_.toSeq).toSet
+    val five = Seq("min", "avg", "max", "sum", "samples")
+    // gauge: tier plan reads gauge_sums only; 5-col surface equality;
+    // median ABSENT from the served frame (the documented omission)
+    val gTier = tiered.findGaugeStats(g, aligned)
+    assert(plan(gTier).contains("gauge_sums") && !plan(gTier).contains("/data"),
+      s"aligned gauge stats must read the tier only:\n${plan(gTier)}")
+    assert(!gTier.columns.contains("median"))
+    assert(served(gTier, five) == served(plain.findGaugeStats(g, aligned), five))
+    // counter values: same posture over counter_sums
+    val cTier = tiered.findCounterStats(c, aligned)
+    assert(plan(cTier).contains("counter_sums") && !plan(cTier).contains("/data"))
+    assert(served(cTier, five) == served(plain.findCounterStats(c, aligned), five))
+    // availability: COMPLETE shape equality (no omitted fields)
+    val aTier = tiered.findAvailabilityStats(av, aligned)
+    val aCols = Seq("metric", "up_ms", "down_ms", "unknown_ms", "admin_ms",
+      "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    assert(plan(aTier).contains("tiers/avail") && !plan(aTier).contains("/data"))
+    assert(served(aTier, aCols) ==
+      served(plain.findAvailabilityStats(av, aligned), aCols))
+    // counter rates: tier serve over counter_rate
+    val rTier = tiered.findRateStats(c, aligned)
+    assert(plan(rTier).contains("counter_rate") && !plan(rTier).contains("/data"))
+    assert(served(rTier, five) == served(plain.findRateStats(c, aligned), five))
+    // misaligned grid: BOTH services take the identical raw path
+    val gMis = tiered.findGaugeStats(g, misaligned)
+    assert(plan(gMis).contains("/data"), "misaligned stats must read raw")
+    assert(gMis.columns.contains("median"))
+    assert(served(gMis, five :+ "median") ==
+      served(plain.findGaugeStats(g, misaligned), five :+ "median"))
+    // percentile request: raw path even on the aligned grid
+    val gPct = tiered.findGaugeStats(g, aligned, Seq(90.0))
+    assert(plan(gPct).contains("/data") && gPct.columns.contains("p90_0"))
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

@@ -6534,7 +6534,204 @@ object SparkEntry {
       Some("""SELECT e.vec_id AS query_id, CAST(r.x AS INTEGER) AS rnk,
              |       TRUE AS monotone_ok, TRUE AS in_unit_ok
              |FROM embeddings e CROSS JOIN (SELECT unnest(range(1, 11)) AS x) r
-             |WHERE e.vec_id < 10""".stripMargin))
+             |WHERE e.vec_id < 10""".stripMargin)),
+
+    // ---- LLM: persisted RESIDUAL IVFADC lifecycle — the published
+    // IVFADC composition (coarse quantizer absorbs position, PQ codes
+    // only the residual spread) made durable: the trained residual
+    // codebooks persist BESIDE the centroids they were computed against
+    // (vectors+centroids+residcb land as ONE AtomicSwap unit — codes
+    // must never decode through another model generation). Build minus
+    // a slice, append it (stored model pair assigns cells AND codes),
+    // tombstone a takedown set, then serve with every cell probed and an
+    // uncapped shortlist: every pair residual-ADC-shortlists, stage 2
+    // exact-reranks full width — EXACT brute force over survivors -------
+    ("knn_ivfpq_residual_stored", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfpqrst_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfPqResidualIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        kCells = 4, iters = 2)
+      Similarity.appendToIvfPqResidualIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      Similarity.ivfPqResidualStoredTopK(s, path, e.filter(col("vec_id") < 10),
+        10, nprobe = 4, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: persisted SRP-LSH lifecycle — the sign-bit bucketing
+    // made durable: hyperplanes persist WITH the store (planes+vectors
+    // one swap unit), corpus partitioned by bucket; build minus a slice,
+    // append it (stored planes bucket the batch), tombstone a takedown
+    // set, serve — the query reads its own bucket's files only ----------
+    ("knn_srp_stored", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srpst_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeSrpIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path, numPlanes = 8)
+      Similarity.appendToSrpIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      Similarity.srpStoredTopK(s, path, e.filter(col("vec_id") < 10), 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT vec_id AS hid, e AS he FROM dv WHERE vec_id < 8),
+             |bk AS (SELECT d.vec_id,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id)),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+             |       WHERE c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- the serve-only twin: prebuilt SRP store, steady-state plan
+    // (stored planes hash the request, bucket IN pushdown — bit-equal to
+    // the inline srpTopK, so the full oracle carries over verbatim) ------
+    ("knn_srp_serve", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_srp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      prebuilt(s, d, path)(Similarity.writeSrpIndex(e, path, numPlanes = 8))
+      Similarity.srpStoredTopK(s, path, e.filter(col("vec_id") < 10), 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT vec_id AS hid, e AS he FROM dv WHERE vec_id < 8),
+             |bk AS (SELECT d.vec_id,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id)),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall@10 of the stored SRP serve vs exact — the recall
+    // dial of the persisted bucketing (collision bound (1 - θ/π)^planes),
+    // fully oracled: both rankings reproduce in SQL ----------------------
+    ("ann_recall_srp_stored", (s: SparkSession, d: String) => {
+      val path = "target/tmp/srv_srp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val e = embs(s, d)
+      prebuilt(s, d, path)(Similarity.writeSrpIndex(e, path, numPlanes = 8))
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.srpStoredTopK(s, path, q, 10))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT vec_id AS hid, e AS he FROM dv WHERE vec_id < 8),
+             |bk AS (SELECT d.vec_id,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id)),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |apsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM apsc)
+             |       WHERE rnk <= 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
+
+    // ---- LLM: hybrid retrieval over PERSISTED indexes — the serving
+    // composition: bm25StoredTopK (postings pruned to the query's term
+    // buckets) + ivfStoredTopK (cell IN pushdown; every cell probed here
+    // so the vector list is exact and the inline hybrid_rrf oracle
+    // carries over verbatim) fused by shortlist-sized RRF — NO corpus
+    // re-tokenize, no embedding re-scan (plan spec-pinned) ---------------
+    ("hybrid_rrf_stored", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val bm25Path = "target/tmp/srv_bm25_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val ivfPath = "target/tmp/srv_ivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, bm25Path)(Retrieval.writeBm25Index(docs(s, d), bm25Path))
+      val e = embs(s, d)
+      prebuilt(s, d, ivfPath)(Similarity.writeIvfIndex(e, ivfPath, kCells = 4, iters = 2))
+      val lex = Retrieval.bm25StoredTopK(s, bm25Path, bm25Queries(s), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+      val vec = Similarity.ivfStoredTopK(s, ivfPath,
+        e.filter(col("vec_id") < 3), 20, nprobe = 4)
+        .withColumnRenamed("neighbor_id", "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, k = 10)
+    },
+      Some(s"""WITH $Bm25Cte,
+              |lexr AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank
+              |         FROM lexrank WHERE rnk <= 20),
+              |dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+              |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+              |qn AS (SELECT * FROM n WHERE vec_id < 3),
+              |vsc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+              |          list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+              |        FROM qn q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+              |vecr AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS rank FROM (
+              |           SELECT query_id, doc_id, row_number() OVER
+              |             (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk FROM vsc)
+              |         WHERE rnk <= 20),
+              |lc AS (SELECT query_id, doc_id,
+              |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS lex_u,
+              |         rank AS lex_rank FROM lexr),
+              |vc AS (SELECT query_id, doc_id,
+              |         CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS vec_u,
+              |         rank AS vec_rank FROM vecr),
+              |f AS (SELECT coalesce(lc.query_id, vc.query_id) AS query_id,
+              |        coalesce(lc.doc_id, vc.doc_id) AS doc_id,
+              |        coalesce(lex_u, 0) + coalesce(vec_u, 0) AS fused_u,
+              |        lex_rank, vec_rank
+              |      FROM lc FULL OUTER JOIN vc
+              |        ON lc.query_id = vc.query_id AND lc.doc_id = vc.doc_id),
+              |r AS (SELECT *, row_number() OVER
+              |        (PARTITION BY query_id ORDER BY fused_u DESC, doc_id) AS fr FROM f)
+              |SELECT query_id, doc_id,
+              |       round(CAST(fused_u AS DOUBLE) / 1000000.0, 6) AS fused_score,
+              |       CAST(fr AS BIGINT) AS fused_rank, lex_rank, vec_rank
+              |FROM r WHERE fr <= 10""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs ++ serveDefs

@@ -176,6 +176,97 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  // ------------------------------------------------------------------
+  // persisted SRP-LSH index — the sign-bit bucketing made durable
+  // ------------------------------------------------------------------
+
+  /**
+   * Persisted SRP-LSH index: the hyperplane set persists WITH the store
+   * (the pcamodel discipline — a bucket is only meaningful against the
+   * exact planes that produced it) and the corpus lands PARTITIONED BY
+   * BUCKET (`path/vectors/bucket=N/...`). Both tables write as ONE
+   * [[graft.storage.AtomicSwap.swapDir]] unit: queries hashed through
+   * one plane set against another set's partitions would serve silently
+   * wrong candidates. At serving time a query reads ONLY its own
+   * bucket's files — 1/2^numPlanes of the corpus in expectation — which
+   * is the entire point of persisting the bucketing. Takedown /
+   * compaction reuse [[deleteFromIvfIndex]] / the IndexStore tombstone
+   * contracts verbatim (same vectors-table discipline, `bucket` in
+   * place of `cell`).
+   */
+  def writeSrpIndex(corpus: DataFrame, path: String, numPlanes: Int = 8): Unit = {
+    requirePlanesPerTable(numPlanes)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val store = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
+      val planes = srpPlanes(corpus, numPlanes)
+      corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", srpBucket(planes, "embedding"))
+        .repartition(col("bucket")) // file discipline, as in writeIvfIndex
+        .write.partitionBy("bucket").parquet(s"$tmp/vectors")
+      planes.map { case (i, p) => (i, p.toSeq) }.toDF("pid", "plane")
+        .coalesce(1).write.parquet(s"$tmp/planes")
+    }
+  }
+
+  /** The stored hyperplane set, driver-resident (numPlanes × Dim doubles
+    * — model-sized, like [[readCentroids]]). */
+  private def readSrpPlanes(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/planes").collect()
+      .map(r => (r.getAs[Int]("pid"),
+        r.getSeq[Double](r.fieldIndex("plane")).toArray))
+      .sortBy(_._1).toSeq
+
+  /**
+   * Incremental SRP maintenance — the batch buckets through the STORED
+   * planes (no retrain, no shuffle beyond the bucketed write), so
+   * appended rows are indistinguishable from built rows. Replay-safe
+   * and revival-aware via the shared IndexStore contracts.
+   */
+  def appendToSrpIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame): Unit = {
+    val planes = readSrpPlanes(spark, path)
+    val fresh = reviveAndScreen(spark, path, batch)
+    fresh.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", srpBucket(planes, "embedding"))
+      .repartition(col("bucket")) // file discipline, as in the build
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/vectors")
+  }
+
+  /**
+   * Top-k against a [[writeSrpIndex]] store — bit-identical to
+   * [[srpTopK]] with the same plane rule (spec-pinned): queries hash
+   * through the stored planes, the request-sized bucket set pushes down
+   * as a static `bucket IN` over the partition column (the
+   * [[ivfStoredTopK]] pattern — DPP does not fire for request-sized
+   * probe frames), and exact cosine ranks within matching buckets only.
+   * Pending tombstones screen the read.
+   */
+  def srpStoredTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int): DataFrame = {
+    val planes = readSrpPlanes(spark, path)
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      dvec("embedding").as("qv")), "qv")
+      .withColumnRenamed("nrm", "qv_nrm")
+      .withColumn("bucket", srpBucket(planes, "qv"))
+      .localCheckpoint() // request-sized; feeds the bucket collect + join
+    // literal type matches the inferred partition-column type (int for
+    // small bucket values) so the IN stays a plain partition filter —
+    // a cast on the COLUMN would block partition pruning
+    val buckets: Seq[Any] = q.select("bucket").distinct().collect()
+      .map(_.getLong(0)).map(b => if (b.isValidInt) b.toInt else b).toSeq
+    val vecs = deleteScreen(spark, path)(
+      spark.read.parquet(s"$path/vectors")
+        .where(col("bucket").isin(buckets: _*))
+        .withColumn("bucket", col("bucket").cast("long")))
+    val c = withNorm(vecs.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    rankPairs(c.join(broadcast(q), Seq("bucket")), k)
+  }
+
   /**
    * Multi-table SRP near-dup pairs — the recall booster the single-table
    * path documents: `numTables` INDEPENDENT plane sets (table t's planes
@@ -1267,6 +1358,128 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("score_micro").cast("double") / lit(1000000.0), 6).as("adc_score"))
+  }
+
+  /**
+   * Persisted residual-IVFADC store — [[writeIvfPqIndex]]'s layout with
+   * the PQ trained on residuals ([[ivfPqResidualTopK]]'s math made
+   * durable): vectors carry their residual codes inside cell partitions;
+   * the coarse centroids AND the trained residual codebooks persist
+   * beside them. Unlike the plain IVF-PQ store (codebooks DERIVE from
+   * the centroids — one table suffices), the residual codebooks are a
+   * SECOND trained model that only makes sense against the exact
+   * centroid set its residuals were computed from — so the whole store
+   * (vectors + centroids + residcb) lands through ONE
+   * [[graft.storage.AtomicSwap.swapDir]] unit: a crash can never leave
+   * codes on disk that decode through a different model generation.
+   * Takedown/compaction reuse [[deleteFromIvfIndex]] /
+   * [[compactIvfIndex]] verbatim (same vectors/centroids layout).
+   */
+  def writeIvfPqResidualIndex(corpus: DataFrame, path: String,
+                              kCells: Int = 4, iters: Int = 2,
+                              kCodes: Int = 8, codeIters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val store = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
+      val model = kmeansCentroids(corpus, kCells, iters)
+      val resid = withNorm(corpus.select(col("vec_id"), col("embedding"),
+        dvec("embedding").as("v")), "v")
+        .withColumn("cell", assignCell(model, "v", "nrm"))
+        .withColumn("rv", residualUdf(model)(col("cell"), dvec("embedding")))
+        .select("vec_id", "embedding", "cell", "rv")
+        .localCheckpoint() // feeds every training pass + the encode
+      val cbs = residualCodebooks(resid, kCodes, codeIters)
+      resid.select(col("vec_id"), col("embedding"),
+        residAssignUdf(cbs)(col("rv")).as("codes"), col("cell"))
+        .repartition(col("cell")) // file discipline, as in writeIvfIndex
+        .write.partitionBy("cell").parquet(s"$tmp/vectors")
+      model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
+      cbs.zipWithIndex.flatMap { case (band, j) =>
+        band.map { case (code, c) => (j, code, c.toSeq) }
+      }.toDF("js", "code", "cvec")
+        .coalesce(1).write.parquet(s"$tmp/residcb")
+    }
+  }
+
+  /** The stored residual codebooks, driver-resident (m × kCodes × SubDim
+    * doubles — model-sized, like [[readCentroids]]). */
+  private def readResidCb(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[Seq[(Int, Array[Double])]] = {
+    val rows = spark.read.parquet(s"$path/residcb").collect()
+      .map(r => (r.getAs[Int]("js"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("cvec")).toArray))
+    (0 until PqM).map(j => rows.filter(_._1 == j)
+      .map { case (_, code, c) => code -> c }.sortBy(_._1).toSeq)
+  }
+
+  /**
+   * Incremental maintenance for the residual store — the batch's cells,
+   * residuals, and codes all come from the STORED model pair, so
+   * appended rows are indistinguishable from built rows. Replay-safe
+   * and revival-aware via the shared IndexStore contracts.
+   */
+  def appendToIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, batch: DataFrame): Unit = {
+    val model = readCentroids(spark, path)
+    val cbs = readResidCb(spark, path)
+    val fresh = reviveAndScreen(spark, path, batch)
+    withNorm(fresh.select(col("vec_id"), col("embedding"),
+      dvec("embedding").as("v")), "v")
+      .withColumn("cell", assignCell(model, "v", "nrm"))
+      .withColumn("rv", residualUdf(model)(col("cell"), dvec("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        residAssignUdf(cbs)(col("rv")).as("codes"), col("cell"))
+      .repartition(col("cell")) // file discipline, as in the build
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /**
+   * Two-stage top-k against a [[writeIvfPqResidualIndex]] store —
+   * [[ivfPqStoredTopK]]'s IVFADC shape with the residual-ADC stage-1
+   * score (coarse ⟨q, centroid⟩ term + residual code reconstruction,
+   * [[ivfPqResidualTopK]]'s exact micro-unit math): stage 1 scores the
+   * probed cells' CODES (the scan reads cell + vec_id + codes behind
+   * the static `cell IN` pushdown — never a raw vector) down to a
+   * `shortlist`; stage 2 exact-reranks the shortlist on the stored
+   * full-width embeddings. Pending tombstones screen both stages. With
+   * `nprobe = kCells` and an uncapped shortlist the result is EXACT
+   * brute-force top-k — the oracle hook.
+   */
+  def ivfPqResidualStoredTopK(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame, k: Int,
+                              nprobe: Int = 2, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val spark2 = spark; import spark2.implicits._
+    val model = readCentroids(spark, path)
+    val cbs = readResidCb(spark, path)
+    val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    val probes = probeCells(queries, cents, nprobe).drop("qv_nrm").localCheckpoint()
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val screened = deleteScreen(spark, path)
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    val shortIds = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_micro",
+        residAdcMicroUdf(model, cbs)(col("cell"), col("codes"), col("qv")))
+      .withColumn("rnk", row_number().over(wShort))
+      .filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val pruned = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
   }
 
   def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,

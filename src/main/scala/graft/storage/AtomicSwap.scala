@@ -93,9 +93,14 @@ object AtomicSwap {
       require(fs.rename(old, live), s"crash recovery failed for $name")
     fs.delete(tmp, true); fs.delete(old, true)
     produce(tmp.toString)
-    require(fs.rename(live, old), s"swap failed for $name")
+    // create-or-replace: a FRESH build has no live copy to park — the
+    // single rename of tmp into place is the whole (atomic) commit, and
+    // a crash before it leaves only the invisible dot-tmp (pre-cleaned
+    // by the next run). Rewrites keep the full double-rename discipline.
+    val hadLive = fs.exists(live)
+    if (hadLive) require(fs.rename(live, old), s"swap failed for $name")
     if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back so the store stays servable
+      if (hadLive) fs.rename(old, live) // roll back so the store stays servable
       throw new IllegalStateException(s"swap failed for $name (rolled back)")
     }
     fs.delete(old, true)

@@ -210,6 +210,100 @@ class PipelineOpsSpec extends SparkTestBase {
       "tombstoned ids must stop ranking immediately")
   }
 
+  test("SRP store: stored serve is BIT-IDENTICAL to inline srpTopK; static " +
+    "bucket IN partition pruning; append buckets through the STORED planes; " +
+    "delete screens the serve; planes+vectors land as one swap unit") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-srpst").toString + "/ix"
+    Similarity.writeSrpIndex(e.filter(col("vec_id") < 50), path, numPlanes = 6)
+    assert(new java.io.File(path).listFiles().map(_.getName).toSet
+      .filter(!_.startsWith("_")) == Set("vectors", "planes"))
+    val planesBefore = s.read.parquet(s"$path/planes").collect().toSet
+    Similarity.appendToSrpIndex(s, path, e.filter(col("vec_id") >= 50))
+    // the stored plane set is untouched by appends…
+    assert(s.read.parquet(s"$path/planes").collect().toSet == planesBefore)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // …and the stored serve (appends included) is bit-identical to the
+    // inline path with the same plane rule
+    val stored = Similarity.srpStoredTopK(s, path, q, 10)
+    assert(rows(stored) == rows(Similarity.srpTopK(e, q, 10, numPlanes = 6)))
+    // the request's bucket set reaches the scan as a static partition IN
+    val plan = stored.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[bucket#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected a static bucket IN partition filter:\n$plan")
+    // takedown screens immediately (shared tombstone contract)
+    val before = rows(stored).map(_._2).toSet
+    val victim = before.head
+    Similarity.deleteFromIvfIndex(s, path, Seq(victim).toDF("vec_id"))
+    assert(!Similarity.srpStoredTopK(s, path, q, 10)
+      .collect().map(_.getLong(1)).contains(victim),
+      "tombstoned ids must stop ranking immediately")
+  }
+
+  test("residual-IVFADC store: full-probe + uncapped shortlist EQUALS brute " +
+    "force; stage-1 scan reads codes (not embeddings) behind a static cell IN " +
+    "filter; append encodes through the stored model PAIR; delete screens; " +
+    "the store lands as one swap unit (no partial tables)") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpqres").toString + "/ix"
+    Similarity.writeIvfPqResidualIndex(e.filter(col("vec_id") < 50), path,
+      kCells = 4, iters = 2)
+    // the swap landed the three tables together (no dot-tmp residue)
+    assert(new java.io.File(path).listFiles().map(_.getName).toSet
+      .filter(!_.startsWith("_")) == Set("vectors", "centroids", "residcb"))
+    // append: cells AND residual codes come from the STORED model pair —
+    // the models themselves are untouched
+    val cbBefore = s.read.parquet(s"$path/residcb").collect().toSet
+    Similarity.appendToIvfPqResidualIndex(s, path, e.filter(col("vec_id") >= 50))
+    assert(s.read.parquet(s"$path/residcb").collect().toSet == cbBefore)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // exactness hook: every cell probed + uncapped shortlist ≡ exhaustive
+    // residual-ADC shortlist + full-width rerank = brute force
+    assert(rows(Similarity.ivfPqResidualStoredTopK(s, path, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) ==
+      rows(Similarity.bruteForceTopK(e, q, 10)))
+    // production sizing: static cell IN pruning; the residual-ADC stage
+    // reads codes without the full-width embedding
+    val part = Similarity.ivfPqResidualStoredTopK(s, path, q, 10,
+      nprobe = 2, shortlist = 20)
+    val plan = part.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected a static cell IN partition filter:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("ReadSchema") &&
+      l.contains("codes") && !l.contains("embedding")),
+      s"stage-1 residual-ADC scan must read codes only:\n$plan")
+    // takedown screens the serve immediately, tombstone-only
+    Similarity.deleteFromIvfIndex(s, path, Seq(7L, 55L).toDF("vec_id"))
+    val screened = Similarity.ivfPqResidualStoredTopK(s, path, q, 59,
+      nprobe = 4, shortlist = 1 << 20)
+      .collect().map(_.getLong(1)).toSet
+    assert(!screened.contains(7L) && !screened.contains(55L),
+      "tombstoned ids must stop ranking immediately")
+    // a REBUILD at the same path replaces the whole unit (old tombstones
+    // and tables cannot leak through the swap)
+    Similarity.writeIvfPqResidualIndex(e, path, kCells = 4, iters = 2)
+    assert(Similarity.ivfPqResidualStoredTopK(s, path, q, 59,
+      nprobe = 4, shortlist = 1 << 20)
+      .collect().map(_.getLong(1)).toSet.contains(7L),
+      "rebuild must serve the full corpus again (tombstones died with the swap)")
+  }
+
   test("PCA-IVF lifecycle: append projects through the STORED basis and replay " +
     "is a no-op; delete screens the serve tombstone-only; compaction purges; " +
     "retrain equals a fresh build over the live corpus") {

@@ -277,4 +277,48 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(1).isNullAt(got(1).fieldIndex("vec_rank")))
     assert(got(2).isNullAt(got(2).fieldIndex("lex_rank")))
   }
+
+  test("hybrid retrieval over persisted indexes: equals the inline " +
+    "composition, and the serving plan reads ONLY the two index stores — " +
+    "no corpus re-tokenize, no embedding re-scan") {
+    val s = spark
+    import s.implicits._
+    val docs = docsDf((0 until 40).map(i =>
+      (i.toLong, s"term${i % 7} term${i % 5} term${i % 3} filler$i")): _*)
+    val embs = (0 until 40).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
+    Retrieval.writeBm25Index(docs, s"$root/bm25")
+    Similarity.writeIvfIndex(embs, s"$root/ivf", kCells = 4, iters = 2)
+    val queries = queriesDf((0L, Seq("term1", "term2")), (1L, Seq("term3")))
+    val qv = embs.filter(col("vec_id") < 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("doc_id").asc)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .withColumnRenamed("neighbor_id", "doc_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // every cell probed → vector list ≡ brute force, so stored ≡ inline
+    val stored = Retrieval.rrfFuse(
+      Retrieval.bm25StoredTopK(s, s"$root/bm25", queries, k = 10)
+        .select("query_id", "doc_id", "rank"),
+      ranked(Similarity.ivfStoredTopK(s, s"$root/ivf", qv, 10, nprobe = 4)), k = 5)
+    val inline = Retrieval.rrfFuse(
+      Retrieval.bm25TopK(docs, queries, k = 10)
+        .select("query_id", "doc_id", "rank"),
+      ranked(Similarity.bruteForceTopK(embs, qv, 10)), k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(stored) == rows(inline) && rows(stored).nonEmpty)
+    // the stored plan's file scans are the two index stores alone — the
+    // corpus frames never re-enter (shortlist-sized fusion over indexes)
+    val scans = stored.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("Location:")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("/bm25") || l.contains("/ivf")),
+      s"hybrid serve must only scan the index stores, got:\n${scans.mkString("\n")}")
+  }
 }

@@ -660,6 +660,22 @@ object ProbeScale {
         println(f"ivfpq_serve_$tag%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    if (only.isEmpty || only("ivf_sampled")) {
+      // bounded-sample training at corpus n×, cells ∝ corpus: full-corpus
+      // Lloyd costs (iters+1) corpus×cells passes — the one superlinear
+      // build cost left in the index family; the deterministic hash
+      // sample trains on 4096 rows REGARDLESS of corpus, leaving one
+      // corpus×cells assignment + the partitioned write as the whole
+      // corpus-sized build
+      val e2 = scaledEmbs(spark, dir, n).localCheckpoint()
+      for ((tag, sample) <- Seq(("full", None), ("sampled", Some(4096)))) {
+        val p = s"target/tmp/probe-ivfsmp-$tag"
+        rmrf(spark, p)
+        val t0 = System.nanoTime()
+        Similarity.writeIvfIndex(e2, p, kCells = 4 * n, iters = 2, sampleN = sample)
+        println(f"ivfsmp_build_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
     if (only.isEmpty || only("tenant_axis")) {
       // tenant-axis weak scaling (fixed per-tenant data, n× tenants): the
       // tier layout leads with tenant_id/mtype, so (a) a tenant-SCOPED

@@ -3156,6 +3156,58 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin
 
+  /** Shared CTE chain for the BOUNDED-SAMPLE-trained IVF oracles: the
+    * deterministic hash sample (`(vec_id mod P)·2654435761 mod P`, ties
+    * by id, lowest 64) is the training set; seeds = its 4 lowest ids
+    * rank-labeled; two Lloyd passes over the SAMPLE; the final
+    * assignment (`af`) runs over the FULL corpus through the sampled
+    * model — exactly Similarity.ivfKmeansSampledTopK's math. */
+  private val SampledIvfCte =
+       """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |tr AS (SELECT vec_id, e, nrm FROM (
+             |         SELECT vec_id, e, nrm, row_number() OVER (
+             |           ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id) AS srn
+             |         FROM n) WHERE srn <= 64),
+             |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             |         e AS ce, nrm AS cnrm
+             |       FROM (SELECT vec_id, e, nrm FROM tr ORDER BY vec_id LIMIT 4)),
+             |a1 AS (SELECT vec_id, e, cell FROM (
+             |         SELECT v.vec_id, v.e, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM tr v CROSS JOIN c0 s) WHERE rn = 1),
+             |m1 AS (SELECT cell, g.j,
+             |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a1, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |c1 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m1 GROUP BY cell),
+             |c1n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c1),
+             |a2 AS (SELECT vec_id, e, cell FROM (
+             |         SELECT v.vec_id, v.e, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM tr v CROSS JOIN c1n s) WHERE rn = 1),
+             |m2 AS (SELECT cell, g.j,
+             |         CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |       FROM a2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |c2 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM m2 GROUP BY cell),
+             |c2n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM c2),
+             |af AS (SELECT vec_id, e, nrm, cell FROM (
+             |         SELECT v.vec_id, v.e, v.nrm, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM n v CROSS JOIN c2n s) WHERE rn = 1),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
+             |       FROM q CROSS JOIN c2n s),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN af c ON c.cell = p.cell
+             |       WHERE c.vec_id <> p.query_id)""".stripMargin
+
   private lazy val moreDefs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- LLM: signed-random-projection LSH top-k (the other scale path) --
@@ -6731,7 +6783,53 @@ object SparkEntry {
               |SELECT query_id, doc_id,
               |       round(CAST(fused_u AS DOUBLE) / 1000000.0, 6) AS fused_score,
               |       CAST(fr AS BIGINT) AS fused_rank, lex_rank, vec_rank
-              |FROM r WHERE fr <= 10""".stripMargin))
+              |FROM r WHERE fr <= 10""".stripMargin)),
+
+    // ---- LLM: IVF with BOUNDED-SAMPLE training — the 100 TB build fix:
+    // Lloyd trains on the deterministic 64-vector hash sample (oracle-
+    // reproducible, unlike an RNG sample), the FULL corpus assigns
+    // through the sampled model; training cost stops scaling with the
+    // corpus (ProbeScale pins the build curve) ---------------------------
+    ("knn_ivf_sampled", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.ivfKmeansSampledTopK(e, e.filter(col("vec_id") < 10), 10,
+        nprobe = 2, kCells = 4, iters = 2, sampleN = 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some(SampledIvfCte + """,
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall@10 of sample-trained IVF vs exact — the evidence
+    // that bounding the training set keeps recall in band ----------------
+    ("ann_recall_ivf_sampled", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfKmeansSampledTopK(e, q, 10,
+          nprobe = 2, kCells = 4, iters = 2, sampleN = 64))
+    },
+      Some(SampledIvfCte + """,
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |          SELECT query_id, neighbor_id, row_number() OVER
+             |            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |          FROM sc)
+             |        WHERE rnk <= 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin))
   )
 
   private def allDefs: Seq[(String, Q, Option[String])] = defs ++ moreDefs ++ serveDefs

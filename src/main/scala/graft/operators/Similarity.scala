@@ -488,6 +488,54 @@ object Similarity {
     ivfSearch(c, queries, cents, k, nprobe)
   }
 
+  /**
+   * Deterministic bounded training sample — the lowest-`n` ids under a
+   * multiplicative content hash (`(vec_id mod P) · 2654435761 mod P`,
+   * ties by vec_id). The Lloyd / PQ / PCA trainers are the one
+   * structural O(corpus × iters) cost of the index builds; training on
+   * a bounded sample and assigning/encoding the FULL corpus through the
+   * sampled model caps that cost at O(sampleN × iters) + one assignment
+   * pass — the standard IVF operating posture at 100 TB (FAISS trains
+   * on ~(30–256)·k points per cell). The hash rule is exactly
+   * oracle-reproducible (like the lowest-vec_id seed rule), unlike an
+   * RNG sample; the inner mod keeps the ANSI product under 2^62 for
+   * 64-bit packed id spaces. Selection is a global top-N
+   * (TakeOrderedAndProject — one pass, no full sort).
+   */
+  def trainingSample(corpus: DataFrame, n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    corpus
+      .withColumn("__h", pmod(pmod(col("vec_id"), lit(1000003L)) * lit(2654435761L),
+        lit(1000003L)))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(n)
+      .drop("__h")
+  }
+
+  /** IVF top-k with BOUNDED-SAMPLE training: the k-means model trains on
+    * [[trainingSample]]'s `sampleN` vectors (seeds = the k lowest
+    * vec_ids OF THE SAMPLE, the usual rank-labeled rule), then the FULL
+    * corpus assigns through the sampled model and serves exactly like
+    * [[ivfKmeansTopK]]. Recall sits within a band of full-corpus
+    * training (spec-pinned; audited by ann_recall_ivf_sampled) while
+    * the training passes stop scaling with the corpus. */
+  def ivfKmeansSampledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                           nprobe: Int = 2, kCells: Int = 4, iters: Int = 2,
+                           sampleN: Int = 4096, dim: Int = Dim): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // checkpoint: seeds collect + every Lloyd pass re-read the sample
+    val sample = trainingSample(corpus, sampleN).localCheckpoint()
+    val model = kmeansCentroids(sample, kCells, iters, dim)
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+      .withColumn("cell", assignCell(model, "cv", "cv_nrm"))
+    val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    ivfSearch(c, queries, cents, k, nprobe)
+  }
+
   // ------------------------------------------------------------------
   // persisted IVF index — build once, serve partition-pruned queries
   // ------------------------------------------------------------------
@@ -502,13 +550,18 @@ object Similarity {
    * re-assigns.
    */
   def writeIvfIndex(corpus: DataFrame, path: String,
-                    kCells: Int = 4, iters: Int = 2): Unit = {
+                    kCells: Int = 4, iters: Int = 2,
+                    sampleN: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a REBUILD at a path whose previous store had pending deletes must
     // not inherit them ([[graft.storage.IndexStore.clearSideTables]])
     graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
-    val model = kmeansCentroids(corpus, kCells, iters)
+    // sampleN bounds the training passes ([[trainingSample]]) — the full
+    // corpus still assigns and lands through the sampled model
+    val model = kmeansCentroids(
+      sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
+      kCells, iters)
     withNorm(corpus.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
       .select("vec_id", "embedding", "cell")

@@ -210,6 +210,47 @@ class PipelineOpsSpec extends SparkTestBase {
       "tombstoned ids must stop ranking immediately")
   }
 
+  test("bounded-sample IVF training: deterministic hash sample; the sampled " +
+    "model's recall stays within a band of full-corpus training; the " +
+    "persisted build with sampleN serves identically to the inline path") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 200).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    // the sample is a deterministic function of the id set — same frame
+    // twice, same rows (an RNG sample would break every oracle)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(Similarity.trainingSample(e, 64)) ==
+      ids(Similarity.trainingSample(e, 64)))
+    assert(ids(Similarity.trainingSample(e, 64)).toSet.size == 64)
+    def avgRecall(approx: org.apache.spark.sql.DataFrame) = {
+      val r = Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10), approx)
+        .select("recall").collect().map(_.getDouble(0))
+      r.sum / r.length
+    }
+    val full = avgRecall(Similarity.ivfKmeansTopK(e, q, 10, nprobe = 2,
+      kCells = 4, iters = 2))
+    val sampled = avgRecall(Similarity.ivfKmeansSampledTopK(e, q, 10,
+      nprobe = 2, kCells = 4, iters = 2, sampleN = 64))
+    // the band: a 64-of-200 sample may move cell boundaries, but the
+    // probed-fraction recall must stay comparable to full training
+    assert(sampled >= full - 0.25,
+      s"sampled-training recall $sampled fell too far below full-training $full")
+    // the persisted build path accepts the same bound and serves the
+    // identical result (stored model == inline sampled model)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfsmp").toString
+    Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2, sampleN = Some(64))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(rows(Similarity.ivfStoredTopK(s, path, q, 10, nprobe = 2)) ==
+      rows(Similarity.ivfKmeansSampledTopK(e, q, 10, nprobe = 2,
+        kCells = 4, iters = 2, sampleN = 64)))
+  }
+
   test("SRP store: stored serve is BIT-IDENTICAL to inline srpTopK; static " +
     "bucket IN partition pruning; append buckets through the STORED planes; " +
     "delete screens the serve; planes+vectors land as one swap unit") {

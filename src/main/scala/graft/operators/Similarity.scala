@@ -589,14 +589,20 @@ object Similarity {
    * standard IVF operating contract (re-train on drift, not per batch).
    */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       batch: DataFrame): Unit = {
+                       batch: DataFrame, updateFacts: Boolean = false): Unit = {
     val model = readCentroids(spark, path)
     val fresh = reviveAndScreen(spark, path, batch)
-    withNorm(fresh.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
+    val assigned = withNorm(fresh.select(col("vec_id"), col("embedding"),
+      dvec("embedding").as("v")), "v")
       .withColumn("cell", assignCell(model, "v", "nrm"))
       .select("vec_id", "embedding", "cell")
-      .repartition(col("cell")) // file discipline, as in the build
+    // updateFacts: the SAME screened/assigned frame feeds the write and
+    // the facts merge (checkpointed so the screen runs once) — the drift
+    // maintainer's O(cells) statistic stays in lock-step with the store
+    val out = if (updateFacts) assigned.localCheckpoint() else assigned
+    out.repartition(col("cell")) // file discipline, as in the build
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    if (updateFacts) mergeCellFacts(spark, path, cellFactsOf(out))
   }
 
   /**
@@ -716,6 +722,10 @@ object Similarity {
       df => dead.fold(df)(d => df.join(broadcast(d), Seq("vec_id"), "left_anti")),
       partCol = "cell")
     dead.foreach(_ => graft.storage.IndexStore.dropDeletes(spark, path, "deleted_vecs"))
+    // the purge changed what the vectors table holds — a facts table
+    // must follow it or the drift statistic keeps counting purged rows
+    if (dead.isDefined && tierHasCellFacts(spark, path))
+      rebuildCellFacts(spark, path)
   }
 
   /**
@@ -759,7 +769,84 @@ object Similarity {
       model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
       // deleted_vecs is deliberately NOT carried over: the tombstoned
       // rows never entered the new store — the retrain IS their purge
+      // a facts table rebuilds INSIDE the swap (over the new assignment)
+      // so the O(cells) drift statistic can never pair old facts with a
+      // new model generation
+      if (tierHasCellFacts(spark, path))
+        cellFactsOf(spark.read.parquet(s"$tmp/vectors"))
+          .coalesce(1).write.parquet(s"$tmp/cellfacts")
     }
+  }
+
+  // ------------------------------------------------------------------
+  // per-cell running facts — the O(cells) drift statistic
+  // ------------------------------------------------------------------
+
+  private def tierHasCellFacts(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/cellfacts")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Per-cell running facts of an assigned vector frame: (cell, n,
+    * per-dimension DECIMAL sums). Decimal sums merge associatively, so
+    * facts maintained incrementally per append batch equal a full
+    * recompute over the stored vectors EXACTLY (spec-pinned) — which is
+    * what lets the drift check read a |cells|-sized table instead of
+    * re-scanning the corpus every micro-batch. */
+  private[graft] def cellFactsOf(assigned: DataFrame, dim: Int = Dim): DataFrame =
+    assigned.groupBy(col("cell")).agg(
+      count(lit(1)).as("n"),
+      array((0 until dim).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("decimal(28,10)"))
+          .cast("decimal(38,10)")): _*).as("sums"))
+
+  /** Rebuild the facts from the stored vectors — the build / retrain /
+    * self-heal path (one corpus pass; appends then stay O(batch)). */
+  def rebuildCellFacts(spark: org.apache.spark.sql.SparkSession,
+                       path: String, dim: Int = Dim): Unit =
+    graft.storage.AtomicSwap.swapDir(spark, path, "cellfacts") { tmp =>
+      cellFactsOf(spark.read.parquet(s"$path/vectors"), dim)
+        .coalesce(1).write.parquet(tmp)
+    }
+
+  /** Fold one append batch's facts into the table (cells-sized union +
+    * re-aggregate, swapped atomically). Missing facts rebuild instead —
+    * the crash-window self-heal (a batch whose vectors landed but whose
+    * facts merge did not is recovered by the rebuild; until then the
+    * statistic may understate drift by at most that batch, and every
+    * retrain rebuilds exactly). */
+  private[graft] def mergeCellFacts(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, add: DataFrame,
+                                    dim: Int = Dim): Unit =
+    if (!tierHasCellFacts(spark, path)) rebuildCellFacts(spark, path, dim)
+    else graft.storage.AtomicSwap.swapDir(spark, path, "cellfacts") { tmp =>
+      spark.read.parquet(s"$path/cellfacts").unionByName(add)
+        .groupBy(col("cell")).agg(
+          sum(col("n")).cast("long").as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("sums"), i + 1)).cast("decimal(38,10)")): _*).as("sums"))
+        .coalesce(1).write.parquet(tmp)
+    }
+
+  /**
+   * The drift statistic from the FACTS table — per cell, the cosine of
+   * the trained centroid against the cell's current mean
+   * (`sums/n`, the same decimal-exact mean recipe [[centroidDrift]]
+   * computes from raw vectors). Reads |cells| rows from `cellfacts` +
+   * `centroids` — the raw `vectors` table never enters the plan
+   * (spec-pinned), which is what makes a per-micro-batch drift check
+   * affordable at 100 TB: the old posture re-projected the whole corpus
+   * per batch.
+   */
+  def ivfDriftFromFacts(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val trained = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").as("label"), col("centroid").as("embedding"))
+    val current = spark.read.parquet(s"$path/cellfacts")
+      .select(col("cell").as("label"),
+        transform(col("sums"), x => x.cast("double") / col("n")).as("embedding"))
+    centroidDrift(trained, current)
   }
 
   /**

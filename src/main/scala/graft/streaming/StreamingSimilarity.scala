@@ -130,10 +130,16 @@ object StreamingSimilarity {
    * Replay-safe like the rest of the maintainer: the append anti-joins
    * replayed ids away, the drift check re-reads the store, and a
    * replayed retrain rebuilds the identical deterministic model. The
-   * drift frame is |cells|-sized; its cost is one corpus projection
-   * pass — scheduled per batch here because batches ARE the drift
-   * opportunities, amortized in production by `driftCosine` keeping
-   * retrains rare. `onRetrain(batchId)` is the observability hook.
+   * per-batch drift check is O(cells), NOT O(corpus): each append also
+   * folds its per-cell (count, decimal sums) into the store's
+   * `cellfacts` side table ([[Similarity.mergeCellFacts]] — cells-sized,
+   * exactly equal to a recompute because decimal sums merge
+   * associatively), and [[Similarity.ivfDriftFromFacts]] reads facts +
+   * centroids only — the old posture re-projected the whole corpus per
+   * micro-batch, which cannot fly at 100 TB. A retrain rebuilds the
+   * facts inside its swap; a missing facts table (crash window)
+   * self-heals with one rebuild pass. `onRetrain(batchId)` is the
+   * observability hook.
    */
   def ivfIngestWithRetrain(vecs: DataFrame, indexPath: String, checkpoint: String,
                            kCells: Int = 4, iters: Int = 2,
@@ -150,15 +156,17 @@ object StreamingSimilarity {
         if (!batch.isEmpty) {
           val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
           val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(cents))
+          if (!fs.exists(cents)) {
             Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
-          else {
-            Similarity.appendToIvfIndex(spark, indexPath, batch)
-            val trained = spark.read.parquet(s"$indexPath/centroids")
-              .select(col("cell").as("label"), col("centroid").as("embedding"))
-            val current = spark.read.parquet(s"$indexPath/vectors")
-              .select(col("cell").as("label"), col("embedding"))
-            val worst = Similarity.centroidDrift(trained, current)
+            Similarity.rebuildCellFacts(spark, indexPath)
+          } else {
+            // the append folds its per-cell facts in; a missing facts
+            // table (bootstrap/retrain crash window) self-heals inside
+            // mergeCellFacts with one rebuild pass
+            Similarity.appendToIvfIndex(spark, indexPath, batch,
+              updateFacts = true)
+            // O(cells) drift read — facts + centroids, never the corpus
+            val worst = Similarity.ivfDriftFromFacts(spark, indexPath)
               .agg(min(col("drift_cosine"))).collect()(0)
             if (!worst.isNullAt(0) && worst.getDouble(0) < driftCosine) {
               Similarity.retrainIvfIndex(spark, indexPath, kCells, iters)

@@ -65,4 +65,66 @@ class StreamingSimilaritySpec extends SparkTestBase {
     assert(res(idx) == streamed)
     assert(s.read.parquet(s"$idx/vectors").count() == 40L)
   }
+
+  test("O(cells) drift facts: incrementally merged facts EXACTLY equal a " +
+    "recompute over the stored vectors; the drift plan reads facts + " +
+    "centroids only (never the corpus); retrain rebuilds the facts inside " +
+    "its swap") {
+    val s = spark
+    import s.implicits._
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-facts").toString + "/idx"
+    Similarity.writeIvfIndex(vecs(0 until 30), idx, kCells = 4, iters = 2)
+    Similarity.rebuildCellFacts(s, idx)
+    // two append batches fold their facts in incrementally
+    Similarity.appendToIvfIndex(s, idx, vecs(30 until 40), updateFacts = true)
+    Similarity.appendToIvfIndex(s, idx, vecs(40 until 50), updateFacts = true)
+    def facts() = s.read.parquet(s"$idx/cellfacts")
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n"),
+        r.getSeq[java.math.BigDecimal](r.fieldIndex("sums")).toSeq)).toSet
+    val incremental = facts()
+    // decimal sums merge associatively: incremental == full recompute,
+    // bit for bit
+    Similarity.rebuildCellFacts(s, idx)
+    assert(facts() == incremental,
+      "incrementally merged facts must equal the full recompute exactly")
+    // the drift statistic's plan touches cellfacts + centroids ONLY
+    val drift = Similarity.ivfDriftFromFacts(s, idx)
+    val scans = drift.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.filter(_.contains("Location:")).toSeq
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("cellfacts") || l.contains("centroids")),
+      s"drift must read facts + centroids only, got:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("vectors")),
+      "the corpus must never enter the per-batch drift plan")
+    // values: facts-drift equals the corpus-scan drift statistic
+    def driftMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("label"), col("drift_cosine"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val fromCorpus = driftMap(Similarity.centroidDrift(
+      s.read.parquet(s"$idx/centroids")
+        .select(col("cell").as("label"), col("centroid").as("embedding")),
+      s.read.parquet(s"$idx/vectors")
+        .select(col("cell").as("label"), col("embedding"))))
+    val fromFacts = driftMap(drift)
+    assert(fromCorpus.keySet == fromFacts.keySet)
+    fromCorpus.foreach { case (cell, d) =>
+      // both statistics round to 6 dp; the facts mean passes through one
+      // extra decimal(28,10) rounding (~1e-10), absorbable by one ulp of
+      // the 6-dp rounding
+      assert(math.abs(fromFacts(cell) - d) < 1.1e-6,
+        s"cell $cell: facts drift ${fromFacts(cell)} != corpus drift $d")
+    }
+    // retrain rebuilds the facts INSIDE its swap — still exactly equal
+    // to a recompute over the new assignment
+    Similarity.retrainIvfIndex(s, idx, kCells = 4, iters = 2)
+    val afterRetrain = facts()
+    Similarity.rebuildCellFacts(s, idx)
+    assert(facts() == afterRetrain,
+      "retrain must leave facts equal to a fresh recompute")
+  }
 }

@@ -150,6 +150,41 @@ object ProbeServe {
       results += (("ivfpq", c, t))
     }
 
+    // ---- SRP-LSH store. Copies rotate components cyclically (the
+    // ProbeScale.scaledEmbs rule): identical copies would hash to
+    // IDENTICAL buckets and silently hide the scaling behavior ----------
+    val dim = Similarity.Dim
+    def rotatedEmbs(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        val r = i % dim
+        embs.withColumn("vec_id", col("vec_id") + lit(i * vecCount))
+          .withColumn("embedding",
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), 1, r)))
+      }.reduce(_ unionAll _)
+    // fixed planes: the query's bucket SHARE is constant (1/2^planes),
+    // so serve tracks N/2^planes — the linear-fraction baseline
+    Seq(1, 8, 16).foreach { c =>
+      val path = s"target/tmp/probeserve_srp_$c"
+      rmrf(spark, path)
+      Similarity.writeSrpIndex(rotatedEmbs(c), path, numPlanes = 8)
+      val t = timeMin3(() =>
+        Similarity.srpStoredTopK(spark, path, probeVecs, 10).count())
+      results += (("srp", c, t))
+    }
+    // planes ∝ log2(corpus) (the production sizing: bucket count tracks
+    // N, per-bucket size stays bounded, the query's share SHRINKS — the
+    // flat-serve scale path, srp's ivf-sc twin)
+    Seq((1, 8), (8, 11), (16, 12)).foreach { case (c, planes) =>
+      val path = s"target/tmp/probeserve_srpsc_$c"
+      rmrf(spark, path)
+      Similarity.writeSrpIndex(rotatedEmbs(c), path, numPlanes = planes)
+      val t = timeMin3(() =>
+        Similarity.srpStoredTopK(spark, path, probeVecs, 10).count())
+      results += (("srp-sc", c, t))
+    }
+
     println(f"${"index"}%-8s | ${"scale"}%5s | serve sec (min of 3)")
     results.foreach { case (name, c, t) => println(f"$name%-8s | x$c%-4d | $t%7.3f") }
     // ratio summary: serve(x16)/serve(x1) per index — the scale claim

@@ -4047,6 +4047,81 @@ object SparkEntry {
              |      FROM sc)
              |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // ---- §2.9: continuous embedding stream → persisted SRP-LSH store —
+    // wave 1 derives the hyperplanes (its lowest ids — the deterministic
+    // plane rule) and builds; wave 2 buckets through the STORED planes;
+    // the streamed store serves bit-equal to the inline srpTopK over the
+    // full corpus (same planes, same buckets — complete oracle) ---------
+    ("streaming_srp_index", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamsrp_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val e = embs(s, d)
+      e.filter(col("vec_id") < 100 || col("vec_id") >= 110)
+        .coalesce(1).write.parquet(s"$base/src")
+      backdate(s, s"$base/src")
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.streaming.StreamingSimilarity.srpIngest(
+        stream, s"$base/idx", s"$base/ckpt", numPlanes = 8)
+      q.awaitTermination()
+      Similarity.srpStoredTopK(s, s"$base/idx", e.filter(col("vec_id") < 10), 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |hp AS (SELECT vec_id AS hid, e AS he FROM dv WHERE vec_id < 8),
+             |bk AS (SELECT d.vec_id,
+             |         CAST(sum(CASE WHEN list_dot_product(d.e, hp.he) >= 0
+             |                       THEN (1::BIGINT << hid) ELSE 0 END) AS BIGINT) AS bucket
+             |       FROM dv d CROSS JOIN hp GROUP BY d.vec_id),
+             |n AS (SELECT d.vec_id, d.e, sqrt(list_sum(list_transform(d.e, x -> x * x))) AS nrm, b.bucket
+             |      FROM dv d JOIN bk b USING (vec_id)),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- §2.9: continuous embedding stream → RESIDUAL-IVFADC store —
+    // wave 1 trains the coarse model AND residual codebooks (one atomic
+    // unit), wave 2 appends cells and residual codes through the stored
+    // pair; all-probe + uncapped shortlist serve == exact brute force
+    // over the streamed corpus (complete oracle) ------------------------
+    ("streaming_ivfpq_residual", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamresid_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val e = embs(s, d)
+      e.filter(col("vec_id") < 100 || col("vec_id") >= 110)
+        .coalesce(1).write.parquet(s"$base/src")
+      backdate(s, s"$base/src")
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.streaming.StreamingSimilarity.ivfPqResidualIngest(
+        stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2)
+      q.awaitTermination()
+      Similarity.ivfPqResidualStoredTopK(s, s"$base/idx",
+        e.filter(col("vec_id") < 10), 10, nprobe = 4, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- §2.9: the drift-response loop CLOSED inside the ingest query —
     // wave 1 bootstrap-trains, wave 2 appends a point-reflected cohort
     // (every component negated: cell means swing, centroidDrift crashes

@@ -189,7 +189,12 @@ object Similarity {
    * one plane set against another set's partitions would serve silently
    * wrong candidates. At serving time a query reads ONLY its own
    * bucket's files — 1/2^numPlanes of the corpus in expectation — which
-   * is the entire point of persisting the bucketing. Takedown /
+   * is the entire point of persisting the bucketing. Size `numPlanes`
+   * so a bucket holds at least a parquet row-group of vectors: the
+   * ProbeServe `srp-sc` row shows that once partitions drop below that
+   * floor (thousands of 2-vector directories), listing overhead swamps
+   * the data saved — planes ∝ log₂(corpus) is the 100 TB rule, a fixed
+   * small plane count the small-corpus one. Takedown /
    * compaction reuse [[deleteFromIvfIndex]] / the IndexStore tombstone
    * contracts verbatim (same vectors-table discipline, `bucket` in
    * place of `cell`).
@@ -750,7 +755,8 @@ object Similarity {
    * appends and deletes stay cheap in between.
    */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                      kCells: Int = 4, iters: Int = 2): Unit = {
+                      kCells: Int = 4, iters: Int = 2,
+                      sampleN: Option[Int] = None): Unit = {
     import spark.implicits._
     val store = new org.apache.hadoop.fs.Path(path)
     val dead = deletedVecs(spark, path)
@@ -760,7 +766,9 @@ object Similarity {
     val live = dead.fold(corpus)(d =>
       corpus.join(broadcast(d), Seq("vec_id"), "left_anti"))
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
-      val model = kmeansCentroids(live, kCells, iters)
+      val model = kmeansCentroids(
+        sampleN.fold(live)(n => trainingSample(live, n).localCheckpoint()),
+        kCells, iters)
       withNorm(live.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
         .withColumn("cell", assignCell(model, "v", "nrm"))
         .select("vec_id", "embedding", "cell")
@@ -1241,11 +1249,16 @@ object Similarity {
    * cells — one table fewer to keep atomic.
    */
   def writeIvfPqIndex(corpus: DataFrame, path: String,
-                      kCells: Int = 4, iters: Int = 2): Unit = {
+                      kCells: Int = 4, iters: Int = 2,
+                      sampleN: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
-    val model = kmeansCentroids(corpus, kCells, iters)
+    // sampleN bounds the training passes; codebooks derive from the
+    // (sampled) centroids, so the whole model pair is sample-bounded
+    val model = kmeansCentroids(
+      sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
+      kCells, iters)
     val cbs = pqCodebooksFrom(model)
     withNorm(corpus.select(col("vec_id"), col("embedding"),
       dvec("embedding").as("v")), "v")
@@ -1517,19 +1530,31 @@ object Similarity {
    */
   def writeIvfPqResidualIndex(corpus: DataFrame, path: String,
                               kCells: Int = 4, iters: Int = 2,
-                              kCodes: Int = 8, codeIters: Int = 2): Unit = {
+                              kCodes: Int = 8, codeIters: Int = 2,
+                              sampleN: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val store = new org.apache.hadoop.fs.Path(path)
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
-      val model = kmeansCentroids(corpus, kCells, iters)
+      // sampleN bounds BOTH trainers; the seed ids (lowest ids — the
+      // deterministic seed rules of kmeansCentroids AND residualCodebooks)
+      // are force-included so the sampled model shares the full model's
+      // seeds and stays oracle-reproducible
+      val trainSet = sampleN.fold(corpus)(n =>
+        trainingSample(corpus, n)
+          .unionByName(corpus.filter(col("vec_id") < math.max(kCells, kCodes)))
+          .dropDuplicates("vec_id").localCheckpoint())
+      val model = kmeansCentroids(trainSet, kCells, iters)
       val resid = withNorm(corpus.select(col("vec_id"), col("embedding"),
         dvec("embedding").as("v")), "v")
         .withColumn("cell", assignCell(model, "v", "nrm"))
         .withColumn("rv", residualUdf(model)(col("cell"), dvec("embedding")))
         .select("vec_id", "embedding", "cell", "rv")
         .localCheckpoint() // feeds every training pass + the encode
-      val cbs = residualCodebooks(resid, kCodes, codeIters)
+      val residTrain = sampleN.fold(resid)(_ => resid.join(
+        broadcast(trainSet.select("vec_id")), Seq("vec_id"), "left_semi")
+        .localCheckpoint())
+      val cbs = residualCodebooks(residTrain, kCodes, codeIters)
       resid.select(col("vec_id"), col("embedding"),
         residAssignUdf(cbs)(col("rv")).as("codes"), col("cell"))
         .repartition(col("cell")) // file discipline, as in writeIvfIndex
@@ -2052,17 +2077,24 @@ object Similarity {
    * write.
    */
   def writePcaIvfIndex(corpus: DataFrame, path: String, dims: Int = 16,
-                       kCells: Int = 4, iters: Int = 2): Unit = {
+                       kCells: Int = 4, iters: Int = 2,
+                       sampleN: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a REBUILD must not inherit a previous store's pending deletes
     // (the writeIvfIndex contract — the two stores share the
     // deleted_vecs side table and the IndexStore delete mechanics)
     graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
-    val model = pcaFit(corpus, dims)
+    // sampleN bounds BOTH trained models ([[trainingSample]]): the basis
+    // fits the sample's Gram, the cells train on the sample's
+    // projections; the FULL corpus still projects and lands through them
+    val trainSet = sampleN.fold(corpus)(n =>
+      trainingSample(corpus, n).localCheckpoint())
+    val model = pcaFit(trainSet, dims)
     val proj = pcaProject(corpus, model)
     val cells = kmeansCentroids(
-      proj.select(col("vec_id"), col("pvec").as("embedding")),
+      (if (sampleN.isEmpty) proj else pcaProject(trainSet, model))
+        .select(col("vec_id"), col("pvec").as("embedding")),
       kCells, iters, dim = dims)
     withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
       col("pvec").as("v")), "v")
@@ -2128,7 +2160,8 @@ object Similarity {
    * corpus (deterministic fit + training — spec-pinned).
    */
   def retrainPcaIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                         dims: Int = 16, kCells: Int = 4, iters: Int = 2): Unit = {
+                         dims: Int = 16, kCells: Int = 4, iters: Int = 2,
+                         sampleN: Option[Int] = None): Unit = {
     import spark.implicits._
     val store = new org.apache.hadoop.fs.Path(path)
     val dead = deletedVecs(spark, path)
@@ -2141,10 +2174,15 @@ object Similarity {
     val live = dead.fold(corpus)(d =>
       corpus.join(broadcast(d), Seq("vec_id"), "left_anti"))
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
-      val model = pcaFit(live, dims)
+      // sampleN bounds the basis fit and cell training (writePcaIvfIndex's
+      // rule); the SAMPLE may checkpoint — it is bounded by construction
+      val trainSet = sampleN.fold(live)(n =>
+        trainingSample(live, n).localCheckpoint())
+      val model = pcaFit(trainSet, dims)
       val proj = pcaProject(live, model)
       val cells = kmeansCentroids(
-        proj.select(col("vec_id"), col("pvec").as("embedding")),
+        (if (sampleN.isEmpty) proj else pcaProject(trainSet, model))
+          .select(col("vec_id"), col("pvec").as("embedding")),
         kCells, iters, dim = dims)
       withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
         col("pvec").as("v")), "v")

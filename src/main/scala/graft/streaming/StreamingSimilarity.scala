@@ -114,6 +114,67 @@ object StreamingSimilarity {
       .start()
 
   /**
+   * Continuous embedding stream → persisted SRP-LSH store —
+   * [[ivfIngest]]'s maintainer for the sign-bit bucketing: the first
+   * non-empty micro-batch derives the hyperplanes (its lowest ids — the
+   * deterministic plane rule) and builds the store
+   * ([[Similarity.writeSrpIndex]] — one atomic swap unit); every later
+   * batch buckets through the STORED planes
+   * ([[Similarity.appendToSrpIndex]] — batch-sized, replay-safe via the
+   * shared id anti-join). The `planes` table decides bootstrap vs
+   * append — the whole store lands atomically, so its presence proves a
+   * complete build.
+   */
+  def srpIngest(vecs: DataFrame, indexPath: String, checkpoint: String,
+                numPlanes: Int = 8,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val planes = new org.apache.hadoop.fs.Path(s"$indexPath/planes")
+          val fs = planes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(planes))
+            Similarity.writeSrpIndex(batch, indexPath, numPlanes)
+          else Similarity.appendToSrpIndex(spark, indexPath, batch)
+        }
+      }
+      .start()
+
+  /**
+   * Continuous embedding stream → persisted RESIDUAL-IVFADC store: the
+   * first non-empty batch trains the coarse model AND the residual
+   * codebooks and lands the whole unit atomically
+   * ([[Similarity.writeIvfPqResidualIndex]]); later batches assign
+   * cells and residual codes through the STORED model pair
+   * ([[Similarity.appendToIvfPqResidualIndex]]). `residcb` decides
+   * bootstrap vs append (atomic store — presence proves completeness).
+   */
+  def ivfPqResidualIngest(vecs: DataFrame, indexPath: String, checkpoint: String,
+                          kCells: Int = 4, iters: Int = 2,
+                          kCodes: Int = 8, codeIters: Int = 2,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val cb = new org.apache.hadoop.fs.Path(s"$indexPath/residcb")
+          val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(cb))
+            Similarity.writeIvfPqResidualIndex(batch, indexPath,
+              kCells, iters, kCodes, codeIters)
+          else Similarity.appendToIvfPqResidualIndex(spark, indexPath, batch)
+        }
+      }
+      .start()
+
+  /**
    * [[ivfIngest]] with the drift-response loop CLOSED: after each
    * stored-model append, the maintainer measures how far the data has
    * moved under the model — [[Similarity.centroidDrift]] between the

@@ -249,6 +249,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows(Similarity.ivfStoredTopK(s, path, q, 10, nprobe = 2)) ==
       rows(Similarity.ivfKmeansSampledTopK(e, q, 10, nprobe = 2,
         kCells = 4, iters = 2, sampleN = 64)))
+    // every other trainer accepts the same bound, and the exactness
+    // hooks survive a sampled model: full probe + uncapped shortlist is
+    // brute force REGARDLESS of where the model trained
+    val bf = rows(Similarity.bruteForceTopK(e, q, 10))
+    val pqP = java.nio.file.Files.createTempDirectory("graft-pqsmp").toString
+    Similarity.writeIvfPqIndex(e, pqP, kCells = 4, iters = 2, sampleN = Some(64))
+    assert(rows(Similarity.ivfPqStoredTopK(s, pqP, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) == bf)
+    val resP = java.nio.file.Files.createTempDirectory("graft-ressmp").toString + "/ix"
+    Similarity.writeIvfPqResidualIndex(e, resP, kCells = 4, iters = 2,
+      sampleN = Some(64))
+    assert(rows(Similarity.ivfPqResidualStoredTopK(s, resP, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) == bf)
+    val pcaP = java.nio.file.Files.createTempDirectory("graft-pcasmp").toString
+    Similarity.writePcaIvfIndex(e, pcaP, dims = 8, kCells = 4, iters = 2,
+      sampleN = Some(64))
+    assert(rows(Similarity.pcaIvfStoredTopK(s, pcaP, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) == bf)
   }
 
   test("SRP store: stored serve is BIT-IDENTICAL to inline srpTopK; static " +

@@ -969,26 +969,30 @@ object GraftStorage {
                   b: graft.model.Buckets, byMetric: Boolean = true,
                   tenant: Option[String] = None,
                   mtypeCode: Option[Int] = None,
-                  ids: Option[DataFrame] = None): DataFrame = {
+                  ids: Option[DataFrame] = None,
+                  valueCol: String = "n_value"): DataFrame = {
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "stats")
     if (hourAligned(b.start, b.step, b.end) && tierExists(spark, rollupPath))
       rollupStats(spark, rollupPath, b, byMetric, ids = ids,
         tenant = tenant, mtypeCode = mtypeCode)
     else {
       // raw fallback: same output shape, same decimal discipline, same
-      // LWW-resolved read the rollup itself was built over
+      // LWW-resolved read the rollup itself was built over. `valueCol`
+      // picks the value family like writeRollup's — a counter-sums tier
+      // (l_value) must fall back onto the SAME column it aggregates
+      val v = col(valueCol).cast("double")
       val keys = (if (byMetric) Seq(col("metric")) else Nil) :+ col("bucket")
       resolvedRaw(spark, rawPath, Some(b.start), b.end, scope, ids)
         .filter(col("time") >= b.start && col("time") < b.end)
-        .filter(col("n_value").isNotNull)
+        .filter(col(valueCol).isNotNull)
         .withColumn("bucket", graft.functions.GraftFunctions.bucketIndex("time", b))
         .groupBy(keys: _*)
         .agg(
-          min(col("n_value")).as("min"),
-          (sum(col("n_value").cast("decimal(28,10)")).cast("double") /
+          min(v).as("min"),
+          (sum(v.cast("decimal(28,10)")).cast("double") /
             count(lit(1))).as("avg"),
-          max(col("n_value")).as("max"),
-          sum(col("n_value").cast("decimal(28,10)")).cast("double").as("sum"),
+          max(v).as("max"),
+          sum(v.cast("decimal(28,10)")).cast("double").as("sum"),
           count(lit(1)).cast("long").as("samples"))
     }
   }

@@ -1056,6 +1056,31 @@ class StorageSpec extends SparkTestBase {
     }
   }
 
+  test("counter-sums dispatch: servedStats with valueCol=l_value answers " +
+    "identically from the counter tier and the raw fallback") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    GraftStorage.write(ctrFixture(Seq(
+      ("c1", H1 + 100L, 10L), ("c1", H1 + 2000L, 40L), ("c1", 2 * H1 + 500L, 130L))),
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/ctrsums",
+      valueCol = "l_value")
+    val b = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    def rows(df: DataFrame) = df
+      .select("metric", "bucket", "min", "avg", "max", "sum", "samples")
+      .collect().map(_.toSeq).toSet
+    val viaTier = GraftStorage.servedStats(spark, s"$path/raw", s"$path/ctrsums",
+      b, tenant = Some("t"), mtypeCode = Some(MetricType.Counter.code.toInt),
+      valueCol = "l_value")
+    val viaRaw = GraftStorage.servedStats(spark, s"$path/raw", s"$path/nosuch",
+      b, tenant = Some("t"), mtypeCode = Some(MetricType.Counter.code.toInt),
+      valueCol = "l_value")
+    assert(rows(viaTier) == rows(viaRaw) && rows(viaTier).nonEmpty,
+      "counter-sums dispatch must be branch-invisible")
+    assert(rows(viaTier).exists(_.contains(130.0)),
+      "values must come from the LONG counter column, double-cast")
+  }
+
   test("availability dispatch tier guard: a tier holding more tenants than " +
     "raw refuses an unscoped aligned serve instead of silently emitting " +
     "duplicate rows; tenant scope serves both branches identically") {

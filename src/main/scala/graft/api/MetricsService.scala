@@ -41,6 +41,14 @@ object MetricsService {
    * need median or percentiles keep the raw path by asking for
    * percentiles or using a misaligned grid. Availability and rate tiers
    * have no such gap — their served shapes are complete.
+   *
+   * One more nuance on a store with PENDING RE-WRITES (duplicate
+   * (metric, time) rows awaiting [[MetricsService.compressBlock]]): the
+   * tiers build from the LWW-RESOLVED read while the raw fetch path
+   * serves the pre-compaction view (both rows aggregate). The tier
+   * answer is the upsert-correct one — the raw path converges to it at
+   * the next compaction. On a duplicate-free store (the steady state)
+   * the two views coincide exactly (randomized differential spec).
    */
   final case class TierLayout(root: String) {
     val gaugeSums: String = s"$root/gauge_sums"

@@ -315,4 +315,81 @@ class DifferentialPropertySpec extends SparkTestBase {
     }.toSet
     assert(got == expected)
   }
+
+  test("tier-serving API differential: tiered and plain services agree over " +
+    "random fixtures on random aligned AND misaligned grids (gauge, " +
+    "counter, availability)") {
+    import graft.api.MetricsService
+    import graft.model.{BucketConfig, MetricId, MetricType, TimeRange}
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val H = graft.storage.GraftStorage.RollupMs
+    val root = java.nio.file.Files.createTempDirectory("graft-tierdiff").toString
+    val tiered = new MetricsService(spark, root, Some(MetricsService.defaultTiers(root)))
+    val plain = new MetricsService(spark, root)
+    // unique (metric, time) pairs: the raw fetch path serves the
+    // pre-compaction view (no LWW resolve), the tier builds from the
+    // resolved read — on a duplicate-free store the two views coincide
+    def times(n: Int) = rnd.shuffle((1 until (6 * H / 1000).toInt).toVector)
+      .take(n).map(_ * 1000L)
+    val metrics = Seq("ma", "mb", "mc")
+    val gRows = metrics.flatMap(m => times(80).map(t =>
+      (m, t, math.floor(rnd.nextDouble() * 1000) / 10)))
+    val cRows = metrics.flatMap(m => times(60).sorted.zipWithIndex.map {
+      case (t, i) => (m, t, (i * 7 + rnd.nextInt(5)).toLong) })
+    val aRows = metrics.flatMap(m => times(50).map(t => (m, t, rnd.nextInt(4))))
+    def shaped(df: org.apache.spark.sql.DataFrame, mtype: MetricType,
+               absent: Seq[(String, String)]) =
+      absent.foldLeft(df
+        .withColumn("tenant_id", lit("t1"))
+        .withColumn("mtype", lit(mtype.code.toInt))
+        .withColumn("tags", map())
+        .withColumn("s_value", lit(null).cast("string"))) {
+        case (d, (c, t)) => d.withColumn(c, lit(null).cast(t))
+      }
+    tiered.addDataPoints(shaped(gRows.toDF("metric", "time", "n_value"),
+      MetricType.Gauge, Seq("l_value" -> "long", "avail" -> "int")))
+    tiered.addDataPoints(shaped(cRows.toDF("metric", "time", "l_value"),
+      MetricType.Counter, Seq("n_value" -> "double", "avail" -> "int")))
+    tiered.addDataPoints(shaped(aRows.toDF("metric", "time", "avail"),
+      MetricType.Availability, Seq("n_value" -> "double", "l_value" -> "long")))
+    tiered.refreshTiers()
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(("bucket" +: cols).map(col): _*).collect().map(_.toSeq).toSet
+    val five = Seq("min", "avg", "max", "sum", "samples")
+    val aCols = Seq("up_ms", "down_ms", "unknown_ms", "admin_ms",
+      "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
+    (1 to 8).foreach { _ =>
+      // random grid: aligned when the random step divides into hours
+      val startH = 1 + rnd.nextInt(3) // Buckets requires a positive start
+      val spanH = 1 + rnd.nextInt(6 - startH)
+      val aligned = rnd.nextBoolean()
+      val cfg =
+        if (aligned) BucketConfig(
+          TimeRange(startH * H, (startH + spanH) * H), Some(spanH), None)
+        else BucketConfig(
+          TimeRange(startH * H + 1 + rnd.nextInt(1000),
+            (startH + spanH) * H + 1 + rnd.nextInt(1000)),
+          Some(1 + rnd.nextInt(7)), None)
+      val m = metrics(rnd.nextInt(metrics.length))
+      val g = MetricId("t1", MetricType.Gauge.code, m)
+      val c = MetricId("t1", MetricType.Counter.code, m)
+      val av = MetricId("t1", MetricType.Availability.code, m)
+      assert(rows(tiered.findGaugeStats(g, cfg), five) ==
+        rows(plain.findGaugeStats(g, cfg), five), s"gauge $cfg")
+      assert(rows(tiered.findCounterStats(c, cfg), five) ==
+        rows(plain.findCounterStats(c, cfg), five), s"counter $cfg")
+      assert(rows(tiered.findAvailabilityStats(av, cfg), aCols) ==
+        rows(plain.findAvailabilityStats(av, cfg), aCols), s"avail $cfg")
+      assert(rows(tiered.findRateStats(c, cfg), five) ==
+        rows(plain.findRateStats(c, cfg), five), s"rate $cfg")
+      // pooled multi-metric over a random id subset
+      val ids = rnd.shuffle(metrics).take(1 + rnd.nextInt(3))
+      assert(rows(tiered.findNumericStats("t1", MetricType.Gauge, ids, cfg,
+        Seq.empty, stacked = false), five) ==
+        rows(plain.findNumericStats("t1", MetricType.Gauge, ids, cfg,
+          Seq.empty, stacked = false), five), s"pooled $ids $cfg")
+    }
+  }
 }

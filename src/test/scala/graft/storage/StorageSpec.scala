@@ -1113,6 +1113,33 @@ class StorageSpec extends SparkTestBase {
       "tenant-scoped availability dispatch must answer identically from either branch")
   }
 
+  test("AtomicSwap.swapDir create-or-replace: a fresh build commits via the " +
+    "single tmp rename; a crashed build's dot-tmp is pre-cleaned; a rebuild " +
+    "replaces the whole unit") {
+    val s = spark
+    import s.implicits._
+    val parent = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // crash residue from a failed FIRST build: only the invisible tmp
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$parent/.ix.compact/partial"))
+    AtomicSwap.swapDir(spark, parent, "ix") { tmpDir =>
+      Seq((1L, "a")).toDF("id", "v").write.parquet(s"$tmpDir/t")
+    }
+    assert(s.read.parquet(s"$parent/ix/t").count() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parent/.ix.compact")),
+      "the crashed build's tmp must not survive the successful one")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parent/.ix.old")),
+      "a fresh build has no old copy to park")
+    // rebuild: full replacement, old contents gone
+    AtomicSwap.swapDir(spark, parent, "ix") { tmpDir =>
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(s"$tmpDir/t2")
+    }
+    assert(s.read.parquet(s"$parent/ix/t2").count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$parent/ix/t")),
+      "a rebuild must replace the whole unit")
+  }
+
   test("AtomicSwap warns on copy-rename object-store schemes and stays " +
     "silent on rename-atomic filesystems") {
     for (s <- Seq("s3a", "S3A", "gs", "abfs"))

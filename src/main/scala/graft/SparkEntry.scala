@@ -219,8 +219,10 @@ object SparkEntry {
 
   /** Bump whenever ANY persisted-index on-disk format changes — the
     * `*_serve` queries trust a store carrying the current version marker
-    * and would otherwise serve a stale layout built by older code. */
-  private val ServeStoreVersion = 1
+    * and would otherwise serve a stale layout built by older code.
+    * v2: tier stores gained the `_refreshed_until` freshness watermark
+    * (a v1 tier store would silently dispatch every request to raw). */
+  private val ServeStoreVersion = 2
 
   /** Build-once gate for the serve-only index twins: the store builds on
     * the FIRST call per (path, [[ServeStoreVersion]], input fingerprint)
@@ -1262,8 +1264,14 @@ object SparkEntry {
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setRequestProperty("Hawkular-Tenant", "acme")
         require(conn.getResponseCode == 200, s"GET $url -> ${conn.getResponseCode}")
-        new String(conn.getInputStream.readAllBytes(),
+        val text = new String(conn.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
+        // the tier signature: served points omit `median` — a silent
+        // regression to the raw path (stale watermark, misrouted
+        // dispatch) must FAIL this row, not pass through raw equality
+        require(!text.contains("\"median\""),
+          "expected tier-served (median-free) stats; got the raw path")
+        text
       } finally t.stop()
       s.read.json(Seq(body).toDS)
         .select(((col("start") - S) / Day).cast("long").as("bucket"),

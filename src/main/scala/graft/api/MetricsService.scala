@@ -467,7 +467,8 @@ class MetricsService(spark: SparkSession, root: String,
    * hours × metrics summaries ([[MetricsService.TierLayout]]).
    */
   def refreshTiers(upToSlice: Long = Long.MaxValue,
-                   fromSlice: Long = Long.MinValue): Unit = {
+                   fromSlice: Long = Long.MinValue,
+                   now: Long = System.currentTimeMillis()): Unit = {
     val t = tiers.getOrElse(throw new IllegalStateException(
       "refreshTiers needs a MetricsService constructed with a TierLayout"))
     GraftStorage.writeRollup(spark, dataPath, t.gaugeSums, upToSlice, fromSlice)
@@ -482,12 +483,47 @@ class MetricsService(spark: SparkSession, root: String,
     GraftStorage.writeRollupRate(spark, dataPath, t.gaugeRate,
       isCounter = false, valueCol = "n_value",
       upToSlice = upToSlice, fromSlice = fromSlice)
+    // the freshness WATERMARK, written only after every family landed: a
+    // bounded refresh covers raw through its slice bound, an unbounded
+    // one through the wall clock at refresh start. tierFor refuses the
+    // tier for any request extending past it — without this, an
+    // hour-aligned request over the not-yet-refreshed tail would serve
+    // silently EMPTY buckets where raw has data. (Late points backfilled
+    // into already-refreshed slices remain the refresh CADENCE's
+    // contract — re-refresh their slices via fromSlice — exactly the
+    // reference's 2h-lateness compaction posture.)
+    val until =
+      if (upToSlice == Long.MaxValue) now else upToSlice * GraftStorage.SliceMs
+    val p = new org.apache.hadoop.fs.Path(s"${t.root}/_refreshed_until")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(until.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
+
+  /** The tiers' freshness watermark; Long.MinValue when never refreshed
+    * (every tier request then takes the raw path). One tiny metadata
+    * read per dispatch — the same class of cost as the tier-existence
+    * probe. */
+  private def refreshedUntil: Long = tiers.map { t =>
+    val p = new org.apache.hadoop.fs.Path(s"${t.root}/_refreshed_until")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLong
+      finally in.close()
+    }
+  }.getOrElse(Long.MinValue)
 
   /** The configured tier path for a request, iff the tier can serve it:
     * a layout is configured, the request carries no percentiles and no
-    * parity mode, and the bucket grid sits on whole tier hours with the
-    * tier built ([[GraftStorage.tierServes]]). `None` = raw path. */
+    * parity mode, the bucket grid sits on whole tier hours with the
+    * tier built ([[GraftStorage.tierServes]]), AND the request does not
+    * extend past the freshness watermark ([[refreshedUntil]] — the
+    * unrefreshed tail must answer from raw, not as silently empty tier
+    * buckets). `None` = raw path. */
   private def tierFor(pick: MetricsService.TierLayout => String,
                       b: graft.model.Buckets,
                       percentiles: Seq[Double],
@@ -495,7 +531,38 @@ class MetricsService(spark: SparkSession, root: String,
                         MetricsOps.PercentileMode.Exact): Option[String] =
     tiers.map(pick).filter(p => percentiles.isEmpty &&
       mode == MetricsOps.PercentileMode.Exact &&
+      b.end <= refreshedUntil &&
       GraftStorage.tierServes(spark, p, b))
+
+  /**
+   * Whole-range reset-aware counter-increase accounting per metric — the
+   * "requests this month" panel (the library surface over
+   * [[graft.operators.MetricsOps.counterIncrease]]; the reference has no
+   * REST endpoint for it, so this is engine-level like the tier matrix).
+   * Hour-aligned ranges within the freshness watermark answer from the
+   * counter tier's hour partials + boundary deltas (hours × metrics
+   * read, identical rows — the tier exactness contract); everything
+   * else runs the raw-path accounting.
+   */
+  def findCounterIncrease(tenantId: String, range: TimeRange): DataFrame = {
+    val shape = Seq("tenant_id", "mtype", "metric", "increase",
+      "n_resets", "n_deltas")
+    val tierPath = tiers.map(_.counterIncrease).filter(p =>
+      range.end <= refreshedUntil && GraftStorage.tierServes(spark, p, range))
+    tierPath match {
+      case Some(p) =>
+        GraftStorage.rollupCounterIncrease(spark, p, range,
+          tenant = Some(tenantId)).select(shape.map(col): _*)
+      case None =>
+        MetricsOps.counterIncrease(
+          raw().filter(col("tenant_id") === tenantId &&
+            col("mtype") === MetricType.Counter.code.toInt &&
+            col("l_value").isNotNull &&
+            col("time_slice") >= range.start / GraftStorage.SliceMs &&
+            col("time_slice") <= (range.end - 1) / GraftStorage.SliceMs), range)
+          .select(shape.map(col): _*)
+    }
+  }
 
   /** Request-sized metric spine for tier pruning / gap-fill. */
   private def oneMetric(name: String): DataFrame = {

@@ -194,10 +194,10 @@ object Similarity {
    * ProbeServe `srp-sc` row shows that once partitions drop below that
    * floor (thousands of 2-vector directories), listing overhead swamps
    * the data saved — planes ∝ log₂(corpus) is the 100 TB rule, a fixed
-   * small plane count the small-corpus one. Takedown /
-   * compaction reuse [[deleteFromIvfIndex]] / the IndexStore tombstone
-   * contracts verbatim (same vectors-table discipline, `bucket` in
-   * place of `cell`).
+   * small plane count the small-corpus one. Takedown reuses
+   * [[deleteFromIvfIndex]] verbatim (same vectors/deleted_vecs layout);
+   * the physical purge is [[compactSrpIndex]] (the shared compaction
+   * parameterized by the `bucket` partition column).
    */
   def writeSrpIndex(corpus: DataFrame, path: String, numPlanes: Int = 8): Unit = {
     requirePlanesPerTable(numPlanes)
@@ -238,6 +238,22 @@ object Similarity {
       .withColumn("bucket", srpBucket(planes, "embedding"))
       .repartition(col("bucket")) // file discipline, as in the build
       .write.mode("append").partitionBy("bucket").parquet(s"$path/vectors")
+  }
+
+  /**
+   * Compaction for an SRP store — [[compactIvfIndex]]'s contract over
+   * the `bucket` partition column: merge append-wave files and
+   * physically purge tombstoned rows, then drop the cleared tombstones.
+   * (The IVF compaction hardcodes `cell` and would throw on this
+   * layout — the partition column is the one thing the two stores
+   * don't share.)
+   */
+  def compactSrpIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val dead = deletedVecs(spark, path).map(_.localCheckpoint())
+    graft.storage.IndexStore.compactBucketed(spark, path, "vectors",
+      df => dead.fold(df)(d => df.join(broadcast(d), Seq("vec_id"), "left_anti")),
+      partCol = "bucket")
+    dead.foreach(_ => graft.storage.IndexStore.dropDeletes(spark, path, "deleted_vecs"))
   }
 
   /**
@@ -561,7 +577,7 @@ object Similarity {
     import spark.implicits._
     // a REBUILD at a path whose previous store had pending deletes must
     // not inherit them ([[graft.storage.IndexStore.clearSideTables]])
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts"))
     // sampleN bounds the training passes ([[trainingSample]]) — the full
     // corpus still assigns and lands through the sampled model
     val model = kmeansCentroids(
@@ -1253,7 +1269,7 @@ object Similarity {
                       sampleN: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts"))
     // sampleN bounds the training passes; codebooks derive from the
     // (sampled) centroids, so the whole model pair is sample-bounded
     val model = kmeansCentroids(
@@ -2084,7 +2100,7 @@ object Similarity {
     // a REBUILD must not inherit a previous store's pending deletes
     // (the writeIvfIndex contract — the two stores share the
     // deleted_vecs side table and the IndexStore delete mechanics)
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs"))
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts"))
     // sampleN bounds BOTH trained models ([[trainingSample]]): the basis
     // fits the sample's Gram, the cells train on the sample's
     // projections; the FULL corpus still projects and lands through them

@@ -701,32 +701,21 @@ class MetricsServiceSpec extends SparkTestBase {
       Some(MetricsService.defaultTiers(root)))
     val plain = new MetricsService(spark, root) // same store, no layout
     val H = GraftStorage.RollupMs
-    def shaped(df: org.apache.spark.sql.DataFrame, metric: String,
-               mtype: MetricType, absent: Seq[(String, String)]) =
-      absent.foldLeft(df
-        .withColumn("tenant_id", lit("t1"))
-        .withColumn("mtype", lit(mtype.code.toInt))
-        .withColumn("metric", lit(metric))
-        .withColumn("tags", map())
-        .withColumn("s_value", lit(null).cast("string"))) {
-        case (d, (c, t)) => d.withColumn(c, lit(null).cast(t))
-      }
     locally {
       val s = spark
       import s.implicits._
-      tiered.addDataPoints(shaped(
+      tiered.addDataPoints(canonicalPoints(
         Seq((H + 100L, 1.0), (H + 200L, 3.0), (2 * H + 100L, 10.0))
-          .toDF("time", "n_value"),
-        "g", MetricType.Gauge, Seq("l_value" -> "long", "avail" -> "int")))
-      tiered.addDataPoints(shaped(
+          .toDF("time", "n_value").withColumn("metric", lit("g")),
+        MetricType.Gauge))
+      tiered.addDataPoints(canonicalPoints(
         Seq((H + 100L, 10L), (H + 2000L, 40L), (2 * H + 500L, 130L))
-          .toDF("time", "l_value"),
-        "c", MetricType.Counter, Seq("n_value" -> "double", "avail" -> "int")))
-      tiered.addDataPoints(shaped(
+          .toDF("time", "l_value").withColumn("metric", lit("c")),
+        MetricType.Counter))
+      tiered.addDataPoints(canonicalPoints(
         Seq((H + 100L, 0), (H + 2000L, 1), (2 * H + 500L, 0))
-          .toDF("time", "avail"),
-        "av", MetricType.Availability,
-        Seq("n_value" -> "double", "l_value" -> "long")))
+          .toDF("time", "avail").withColumn("metric", lit("av")),
+        MetricType.Availability))
     }
     tiered.refreshTiers()
     val g = MetricId("t1", MetricType.Gauge.code, "g")
@@ -770,6 +759,36 @@ class MetricsServiceSpec extends SparkTestBase {
     // percentile request: raw path even on the aligned grid
     val gPct = tiered.findGaugeStats(g, aligned, Seq(90.0))
     assert(plan(gPct).contains("/data") && gPct.columns.contains("p90_0"))
+    // counter-increase accounting: tier and raw branches answer
+    // identically; the aligned in-watermark request reads the tier
+    val r = TimeRange(H, 3 * H)
+    def incRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val incTier = tiered.findCounterIncrease("t1", r)
+    assert(plan(incTier).contains("counter_increase") &&
+      !plan(incTier).contains("/data"))
+    assert(incRows(incTier) == incRows(plain.findCounterIncrease("t1", r)) &&
+      incRows(incTier).nonEmpty)
+    // FRESHNESS watermark: ingest a point past the refreshed window, then
+    // re-refresh BOUNDED to slice 0 — an aligned request extending past
+    // the watermark must take the raw path (the tier would serve a
+    // silently EMPTY bucket where raw has the new point)
+    locally {
+      val s = spark
+      import s.implicits._
+      tiered.addDataPoints(canonicalPoints(
+        Seq((25 * H + 100L, 7.0)).toDF("time", "n_value")
+          .withColumn("metric", lit("g")), MetricType.Gauge))
+    }
+    tiered.refreshTiers(upToSlice = 1) // watermark = 24h, slice 1 unrefreshed
+    val tail = BucketConfig(TimeRange(24 * H, 26 * H), Some(2), None)
+    val gTail = tiered.findGaugeStats(g, tail)
+    assert(plan(gTail).contains("/data"),
+      "an aligned request past the watermark must take the raw path")
+    assert(gTail.filter(col("samples") === 1).count() == 1,
+      "the raw path must see the unrefreshed point")
+    // …while in-watermark aligned requests keep serving from the tier
+    assert(plan(tiered.findGaugeStats(g, aligned)).contains("gauge_sums"))
   }
 
   test("delete metric removes its data; tenant catalog round trip") {

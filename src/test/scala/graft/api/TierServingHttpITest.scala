@@ -38,33 +38,22 @@ class TierServingHttpITest extends SparkTestBase with HttpSpecSupport {
   private val mapper = new ObjectMapper()
   private val H = GraftStorage.RollupMs
 
-  private def shaped(df: org.apache.spark.sql.DataFrame, metric: String,
-                     mtype: MetricType, absent: Seq[(String, String)]) =
-    absent.foldLeft(df
-      .withColumn("tenant_id", lit("t1"))
-      .withColumn("mtype", lit(mtype.code.toInt))
-      .withColumn("metric", lit(metric))
-      .withColumn("tags", map())
-      .withColumn("s_value", lit(null).cast("string"))) {
-      case (d, (c, t)) => d.withColumn(c, lit(null).cast(t))
-    }
-
   private def ingestAndRefresh(): Unit = {
     val svc = new MetricsService(spark, root, Some(MetricsService.defaultTiers(root)))
     val s = spark
     import s.implicits._
-    svc.addDataPoints(shaped(
+    svc.addDataPoints(canonicalPoints(
       Seq((H + 100L, 1.0), (H + 200L, 3.0), (2 * H + 100L, 10.0))
-        .toDF("time", "n_value"),
-      "g", MetricType.Gauge, Seq("l_value" -> "long", "avail" -> "int")))
-    svc.addDataPoints(shaped(
+        .toDF("time", "n_value").withColumn("metric", lit("g")),
+      MetricType.Gauge))
+    svc.addDataPoints(canonicalPoints(
       Seq((H + 100L, 10L), (H + 2000L, 40L), (2 * H + 500L, 130L))
-        .toDF("time", "l_value"),
-      "c", MetricType.Counter, Seq("n_value" -> "double", "avail" -> "int")))
-    svc.addDataPoints(shaped(
+        .toDF("time", "l_value").withColumn("metric", lit("c")),
+      MetricType.Counter))
+    svc.addDataPoints(canonicalPoints(
       Seq((H + 100L, 0), (H + 2000L, 1), (2 * H + 500L, 0))
-        .toDF("time", "avail"),
-      "av", MetricType.Availability, Seq("n_value" -> "double", "l_value" -> "long")))
+        .toDF("time", "avail").withColumn("metric", lit("av")),
+      MetricType.Availability))
     svc.refreshTiers()
   }
 

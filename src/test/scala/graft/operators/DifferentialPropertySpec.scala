@@ -339,21 +339,12 @@ class DifferentialPropertySpec extends SparkTestBase {
     val cRows = metrics.flatMap(m => times(60).sorted.zipWithIndex.map {
       case (t, i) => (m, t, (i * 7 + rnd.nextInt(5)).toLong) })
     val aRows = metrics.flatMap(m => times(50).map(t => (m, t, rnd.nextInt(4))))
-    def shaped(df: org.apache.spark.sql.DataFrame, mtype: MetricType,
-               absent: Seq[(String, String)]) =
-      absent.foldLeft(df
-        .withColumn("tenant_id", lit("t1"))
-        .withColumn("mtype", lit(mtype.code.toInt))
-        .withColumn("tags", map())
-        .withColumn("s_value", lit(null).cast("string"))) {
-        case (d, (c, t)) => d.withColumn(c, lit(null).cast(t))
-      }
-    tiered.addDataPoints(shaped(gRows.toDF("metric", "time", "n_value"),
-      MetricType.Gauge, Seq("l_value" -> "long", "avail" -> "int")))
-    tiered.addDataPoints(shaped(cRows.toDF("metric", "time", "l_value"),
-      MetricType.Counter, Seq("n_value" -> "double", "avail" -> "int")))
-    tiered.addDataPoints(shaped(aRows.toDF("metric", "time", "avail"),
-      MetricType.Availability, Seq("n_value" -> "double", "l_value" -> "long")))
+    tiered.addDataPoints(canonicalPoints(
+      gRows.toDF("metric", "time", "n_value"), MetricType.Gauge))
+    tiered.addDataPoints(canonicalPoints(
+      cRows.toDF("metric", "time", "l_value"), MetricType.Counter))
+    tiered.addDataPoints(canonicalPoints(
+      aRows.toDF("metric", "time", "avail"), MetricType.Availability))
     tiered.refreshTiers()
     def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
       df.select(("bucket" +: cols).map(col): _*).collect().map(_.toSeq).toSet

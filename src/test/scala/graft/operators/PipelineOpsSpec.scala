@@ -302,9 +302,19 @@ class PipelineOpsSpec extends SparkTestBase {
     val before = rows(stored).map(_._2).toSet
     val victim = before.head
     Similarity.deleteFromIvfIndex(s, path, Seq(victim).toDF("vec_id"))
-    assert(!Similarity.srpStoredTopK(s, path, q, 10)
-      .collect().map(_.getLong(1)).contains(victim),
+    val screenedRows = rows(Similarity.srpStoredTopK(s, path, q, 10))
+    assert(!screenedRows.map(_._2).contains(victim),
       "tombstoned ids must stop ranking immediately")
+    // physical purge: the bucket-column compaction removes the row and
+    // clears the tombstones without moving any answer
+    Similarity.compactSrpIndex(s, path)
+    assert(rows(Similarity.srpStoredTopK(s, path, q, 10)) == screenedRows,
+      "compaction must not move answers")
+    assert(!s.read.parquet(s"$path/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).contains(victim),
+      "compaction must physically purge the tombstoned row")
+    assert(!new java.io.File(s"$path/deleted_vecs").exists(),
+      "compaction must drop the cleared tombstones")
   }
 
   test("residual-IVFADC store: full-probe + uncapped shortlist EQUALS brute " +

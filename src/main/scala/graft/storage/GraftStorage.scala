@@ -900,9 +900,17 @@ object GraftStorage {
 
   private def hourAligned(xs: Long*): Boolean = xs.forall(_ % RollupMs == 0)
 
+  /** A tier can serve only when it HOLDS DATA: a refresh over a store
+    * with no rows of a family writes an empty dir (just _SUCCESS), and a
+    * parquet read of it dies on schema inference — such a family must
+    * fall back to raw, not 500. The data probe is the same partition
+    * glob the tenant guards use (metadata-only). */
   private def tierExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/*/*/time_slice=*")))
+      .exists(_.nonEmpty)
   }
 
   /** True when `b` sits on the tier hour grid and the tier exists — the

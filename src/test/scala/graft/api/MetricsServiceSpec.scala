@@ -791,6 +791,35 @@ class MetricsServiceSpec extends SparkTestBase {
     assert(plan(tiered.findGaugeStats(g, aligned)).contains("gauge_sums"))
   }
 
+  test("tier serving: a family with NO data (empty tier dir after refresh) " +
+    "routes to the raw path instead of dying on an unreadable empty parquet") {
+    import graft.storage.GraftStorage
+    val root = Files.createTempDirectory("graft-svc-tier-empty").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.defaultTiers(root)))
+    val H = GraftStorage.RollupMs
+    // gauges only — the avail/counter tier refreshes write EMPTY dirs
+    val s = spark
+    import s.implicits._
+    tiered.addDataPoints(canonicalPoints(
+      Seq((H + 100L, 1.0)).toDF("time", "n_value")
+        .withColumn("metric", lit("g")), MetricType.Gauge))
+    tiered.refreshTiers()
+    val aligned = BucketConfig(TimeRange(H, 3 * H), Some(2), None)
+    // an aligned availability request on the dataless family must answer
+    // (dense empty buckets), not throw from the empty tier dir
+    val av = tiered.findAvailabilityStats(
+      MetricId("t1", MetricType.Availability.code, "nosuch"), aligned)
+    assert(av.count() == 2 && av.filter(col("samples").isNotNull).count() == 0)
+    val ctr = tiered.findCounterStats(
+      MetricId("t1", MetricType.Counter.code, "nosuch"), aligned)
+    assert(ctr.count() == 2)
+    // the gauge family still serves from its (non-empty) tier
+    assert(tiered.findGaugeStats(MetricId("t1", MetricType.Gauge.code, "g"),
+      aligned).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).contains("gauge_sums"))
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

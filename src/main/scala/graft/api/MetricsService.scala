@@ -494,27 +494,45 @@ class MetricsService(spark: SparkSession, root: String,
     // reference's 2h-lateness compaction posture.)
     val until =
       if (upToSlice == Long.MaxValue) now else upToSlice * GraftStorage.SliceMs
-    val p = new org.apache.hadoop.fs.Path(s"${t.root}/_refreshed_until")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    writeRefreshedUntil(until)
+  }
+
+  /** Commit the freshness watermark via temp-file + rename (the
+    * [[graft.storage.AtomicSwap]] discipline): `fs.create(p, true)`
+    * truncates the live file BEFORE the new bytes land, so a request
+    * racing a periodic refresh — or a crash mid-write — would read an
+    * empty file. With write-aside + rename the live path always holds
+    * either the previous complete watermark or the new one; the only
+    * gap is the sub-ms between delete and rename, and a missing file
+    * reads as Long.MinValue (raw path) — degraded, never an error. */
+  private def writeRefreshedUntil(until: Long): Unit = {
+    val t = tiers.get
+    val live = new org.apache.hadoop.fs.Path(s"${t.root}/_refreshed_until")
+    val tmp = new org.apache.hadoop.fs.Path(s"${t.root}/._refreshed_until.tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
     try out.write(until.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(tmp, live), s"watermark commit failed at $live")
   }
 
   /** The tiers' freshness watermark; Long.MinValue when never refreshed
     * (every tier request then takes the raw path). One tiny metadata
     * read per dispatch — the same class of cost as the tier-existence
-    * probe. */
+    * probe. An unreadable or unparsable watermark (torn write on a
+    * non-rename-atomic store, manual edit) also reads as Long.MinValue:
+    * requests degrade to the raw path rather than erroring — a stats
+    * endpoint must never 500 because a maintenance file is malformed. */
   private def refreshedUntil: Long = tiers.map { t =>
     val p = new org.apache.hadoop.fs.Path(s"${t.root}/_refreshed_until")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Long.MinValue
-    else {
+    scala.util.Try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         .trim.toLong
       finally in.close()
-    }
+    }.getOrElse(Long.MinValue)
   }.getOrElse(Long.MinValue)
 
   /** The configured tier path for a request, iff the tier can serve it:

@@ -577,7 +577,7 @@ object Similarity {
     import spark.implicits._
     // a REBUILD at a path whose previous store had pending deletes must
     // not inherit them ([[graft.storage.IndexStore.clearSideTables]])
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts"))
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
     // sampleN bounds the training passes ([[trainingSample]]) — the full
     // corpus still assigns and lands through the sampled model
     val model = kmeansCentroids(
@@ -619,11 +619,50 @@ object Similarity {
       .select("vec_id", "embedding", "cell")
     // updateFacts: the SAME screened/assigned frame feeds the write and
     // the facts merge (checkpointed so the screen runs once) — the drift
-    // maintainer's O(cells) statistic stays in lock-step with the store
+    // maintainer's O(cells) statistic stays in lock-step with the store.
+    // CRASH DISCIPLINE: a crash between the vectors append and the facts
+    // merge is PERMANENT, not transient — on replay the batch anti-joins
+    // away (reviveAndScreen), so the merge would fold in nothing and the
+    // facts understate drift until a retrain. The pending marker closes
+    // that window: touched before the append, cleared after the merge —
+    // a marker found at entry means a prior attempt died inside the
+    // window, so this call REBUILDS the facts from the stored vectors
+    // (exact, one corpus pass on the rare crash-replay path only)
+    // instead of merging a possibly-empty screened batch.
     val out = if (updateFacts) assigned.localCheckpoint() else assigned
+    val staleAttempt = updateFacts && factsPendingMarkerExists(spark, path)
+    if (updateFacts) touchFactsPendingMarker(spark, path)
     out.repartition(col("cell")) // file discipline, as in the build
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
-    if (updateFacts) mergeCellFacts(spark, path, cellFactsOf(out))
+    if (updateFacts) {
+      if (staleAttempt) rebuildCellFacts(spark, path)
+      else mergeCellFacts(spark, path, cellFactsOf(out))
+      clearFactsPendingMarker(spark, path)
+    }
+  }
+
+  /** The facts-merge crash-window marker ([[appendToIvfIndex]]): present
+    * only between an updateFacts append's vectors write and its facts
+    * commit. A leftover marker at entry ⇒ rebuild, not merge. Cleared by
+    * fresh builds via clearSideTables alongside cellfacts itself. */
+  private[operators] val FactsPendingMarker = ".cellfacts_pending"
+
+  private def factsPendingMarkerExists(spark: org.apache.spark.sql.SparkSession,
+                                       path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$FactsPendingMarker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def touchFactsPendingMarker(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$FactsPendingMarker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
+  }
+
+  private def clearFactsPendingMarker(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$FactsPendingMarker")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
   }
 
   /**
@@ -1269,7 +1308,7 @@ object Similarity {
                       sampleN: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts"))
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
     // sampleN bounds the training passes; codebooks derive from the
     // (sampled) centroids, so the whole model pair is sample-bounded
     val model = kmeansCentroids(
@@ -1390,8 +1429,12 @@ object Similarity {
 
   /**
    * Deterministic per-subspace L2 Lloyd over residual subvectors:
-   * seeds = the residuals of the `kCodes` lowest vec_ids (code id =
-   * vec_id), `iters` reassign+mean passes, means decimal-exact. Each
+   * seeds = the residuals of the `kCodes` lowest vec_ids PRESENT in the
+   * input (code id = the seed's rank in that ordering — equals the
+   * historical `vec_id < kCodes` rule on dense-from-0 id spaces, and
+   * stays correct for id spaces starting high: a stream whose first
+   * wave starts at a large packed key, or a retrain after low-id
+   * takedowns), `iters` reassign+mean passes, means decimal-exact. Each
    * pass is ONE distributed aggregate over all m subspaces at once
    * (assignment is a closure UDF against the driver-resident matrix —
    * no join); only the m × kCodes × SubDim model ever reaches the
@@ -1402,12 +1445,13 @@ object Similarity {
   private[operators] def residualCodebooks(resid: DataFrame, kCodes: Int,
                                            iters: Int): Seq[Seq[(Int, Array[Double])]] = {
     val seeds: Seq[Seq[(Int, Array[Double])]] = {
-      val rows = resid.filter(col("vec_id") < kCodes)
+      val rows = resid.orderBy(col("vec_id").asc).limit(kCodes)
         .select(col("vec_id"), col("rv")).collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1).toSeq
-      require(rows.nonEmpty,
-        s"residual PQ needs seed vectors with vec_id < $kCodes (the kmeansCentroids seed rule)")
+        .sortBy(_.getLong(0))
+        .zipWithIndex
+        .map { case (r, rank) => rank -> r.getSeq[Double](1).toArray }
+        .toSeq
+      require(rows.nonEmpty, "residual PQ needs a non-empty training frame")
       (0 until PqM).map(j => rows.map { case (id, rv) =>
         id -> rv.slice(j * SubDim, (j + 1) * SubDim)
       })
@@ -1552,13 +1596,18 @@ object Similarity {
     import spark.implicits._
     val store = new org.apache.hadoop.fs.Path(path)
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
-      // sampleN bounds BOTH trainers; the seed ids (lowest ids — the
-      // deterministic seed rules of kmeansCentroids AND residualCodebooks)
-      // are force-included so the sampled model shares the full model's
-      // seeds and stays oracle-reproducible
+      // sampleN bounds BOTH trainers; the seed ids (lowest ids PRESENT —
+      // the deterministic seed rules of kmeansCentroids AND
+      // residualCodebooks) are force-included so the sampled model shares
+      // the full model's seeds and stays oracle-reproducible. Selected by
+      // orderBy(vec_id).limit, never a literal `< k` threshold: an id
+      // space not starting at 0 (stream whose first wave starts high,
+      // retrain after low-id takedowns) would make the threshold filter
+      // empty and silently break the shared-seed invariant.
       val trainSet = sampleN.fold(corpus)(n =>
         trainingSample(corpus, n)
-          .unionByName(corpus.filter(col("vec_id") < math.max(kCells, kCodes)))
+          .unionByName(corpus.orderBy(col("vec_id").asc)
+            .limit(math.max(kCells, kCodes)))
           .dropDuplicates("vec_id").localCheckpoint())
       val model = kmeansCentroids(trainSet, kCells, iters)
       val resid = withNorm(corpus.select(col("vec_id"), col("embedding"),
@@ -2100,7 +2149,7 @@ object Similarity {
     // a REBUILD must not inherit a previous store's pending deletes
     // (the writeIvfIndex contract — the two stores share the
     // deleted_vecs side table and the IndexStore delete mechanics)
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts"))
+    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
     // sampleN bounds BOTH trained models ([[trainingSample]]): the basis
     // fits the sample's Gram, the cells train on the sample's
     // projections; the FULL corpus still projects and lands through them

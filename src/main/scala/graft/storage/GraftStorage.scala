@@ -973,14 +973,26 @@ object GraftStorage {
     (tenant.map(col("tenant_id") === _) ++ mtypeCode.map(col("mtype") === _)).toSeq
   }
 
+  /** Serving-tier dispatch for A1 bucket stats. FRESHNESS CONTRACT:
+    * these library-level dispatchers decide tier-vs-raw on alignment +
+    * tier existence alone; a tier that has not been refreshed through
+    * `b.end` would answer silently EMPTY buckets where raw has data.
+    * `refreshedUntil` (when supplied — [[graft.api.MetricsService]]
+    * threads its `_refreshed_until` watermark) bounds the tier branch:
+    * any request extending past it falls back to raw. When `None`, the
+    * CALLER vouches freshness — i.e. the caller refreshes the tier
+    * through every range it serves before serving it (the maintenance
+    * cadence contract). Same parameter on every `served*` sibling. */
   def servedStats(spark: SparkSession, rawPath: String, rollupPath: String,
                   b: graft.model.Buckets, byMetric: Boolean = true,
                   tenant: Option[String] = None,
                   mtypeCode: Option[Int] = None,
                   ids: Option[DataFrame] = None,
-                  valueCol: String = "n_value"): DataFrame = {
+                  valueCol: String = "n_value",
+                  refreshedUntil: Option[Long] = None): DataFrame = {
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "stats")
-    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, rollupPath))
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, rollupPath) &&
+        refreshedUntil.forall(b.end <= _))
       rollupStats(spark, rollupPath, b, byMetric, ids = ids,
         tenant = tenant, mtypeCode = mtypeCode)
     else {
@@ -1161,9 +1173,11 @@ object GraftStorage {
                       byMetric: Boolean = false,
                       tenant: Option[String] = None,
                       mtypeCode: Option[Int] = None,
-                      ids: Option[DataFrame] = None): DataFrame = {
+                      ids: Option[DataFrame] = None,
+                      refreshedUntil: Option[Long] = None): DataFrame = {
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "rate")
-    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, ratePath))
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, ratePath) &&
+        refreshedUntil.forall(b.end <= _))
       rollupRateStats(spark, ratePath, b, isCounter, byMetric,
         ids = ids, tenant = tenant, mtypeCode = mtypeCode)
     else {
@@ -1190,14 +1204,16 @@ object GraftStorage {
    */
   def servedAvailStats(spark: SparkSession, rawPath: String, availPath: String,
                        b: graft.model.Buckets,
-                       tenant: Option[String] = None): DataFrame = {
+                       tenant: Option[String] = None,
+                       refreshedUntil: Option[Long] = None): DataFrame = {
     val shape = Seq("metric", "bucket", "up_ms", "down_ms", "unknown_ms",
       "admin_ms", "last_not_uptime", "not_up_count", "samples", "uptime_ratio")
     // the per-request shape drops tenant keys AND the raw branch's state
     // machine windows by metric alone — both branches need the
     // single-tenant guarantee, so the guard sits at the dispatch
     val scope = dispatchScope(spark, rawPath, tenant, None, "availability")
-    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, availPath)) {
+    if (hourAligned(b.start, b.step, b.end) && tierExists(spark, availPath) &&
+        refreshedUntil.forall(b.end <= _)) {
       // the dispatch guard above is decided from the RAW listing, but this
       // branch serves the TIER and then drops its tenant keys — a tier
       // holding more tenants than raw (raw retention-swept, or the tier
@@ -1230,12 +1246,14 @@ object GraftStorage {
   def servedCounterIncrease(spark: SparkSession, rawPath: String,
                             ctrPath: String,
                             range: graft.model.TimeRange,
-                            tenant: Option[String] = None): DataFrame = {
+                            tenant: Option[String] = None,
+                            refreshedUntil: Option[Long] = None): DataFrame = {
     val shape = Seq("tenant_id", "mtype", "metric", "increase", "n_resets", "n_deltas")
     // output carries tenant keys on BOTH branches — no guard, the scope
     // is partition pruning only
     val scope = dispatchScope(spark, rawPath, tenant, None, "counter", guard = false)
-    if (hourAligned(range.start, range.end) && tierExists(spark, ctrPath))
+    if (hourAligned(range.start, range.end) && tierExists(spark, ctrPath) &&
+        refreshedUntil.forall(range.end <= _))
       rollupCounterIncrease(spark, ctrPath, range, tenant = tenant)
         .select(shape.map(col): _*)
     else
@@ -1260,11 +1278,12 @@ object GraftStorage {
   def servedHistogram(spark: SparkSession, rawPath: String, histPath: String,
                       b: graft.model.Buckets,
                       tenant: Option[String] = None,
-                      mtypeCode: Option[Int] = None): DataFrame = {
+                      mtypeCode: Option[Int] = None,
+                      refreshedUntil: Option[Long] = None): DataFrame = {
     val (vMin, vMax, bins) = readHistMeta(spark, histPath).getOrElse(
       throw new IllegalArgumentException(s"no histogram tier meta at $histPath"))
     val scope = dispatchScope(spark, rawPath, tenant, mtypeCode, "histogram")
-    if (hourAligned(b.start, b.step, b.end))
+    if (hourAligned(b.start, b.step, b.end) && refreshedUntil.forall(b.end <= _))
       rollupHistogram(spark, histPath, b, tenant = tenant, mtypeCode = mtypeCode)
     else
       graft.operators.MetricsOps.valueHistogram(

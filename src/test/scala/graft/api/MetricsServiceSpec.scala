@@ -820,6 +820,56 @@ class MetricsServiceSpec extends SparkTestBase {
         org.apache.spark.sql.execution.FormattedMode).contains("gauge_sums"))
   }
 
+  test("freshness watermark durability: refreshTiers commits the watermark " +
+    "via temp + rename (no tmp residue, parsable value); a TORN/garbage " +
+    "watermark degrades requests to the raw path instead of erroring") {
+    import graft.storage.GraftStorage
+    val root = Files.createTempDirectory("graft-svc-wm").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.defaultTiers(root)))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    tiered.addDataPoints(canonicalPoints(
+      Seq((H + 100L, 1.0), (2 * H + 100L, 3.0)).toDF("time", "n_value")
+        .withColumn("metric", lit("g")), MetricType.Gauge))
+    tiered.refreshTiers()
+    val tierRoot = MetricsService.defaultTiers(root).root
+    val fs = new org.apache.hadoop.fs.Path(tierRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$tierRoot/_refreshed_until")
+    val tmp = new org.apache.hadoop.fs.Path(s"$tierRoot/._refreshed_until.tmp")
+    assert(fs.exists(live) && !fs.exists(tmp),
+      "the watermark must be committed with no tmp residue")
+    locally {
+      val in = fs.open(live)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      assert(txt.trim.toLong > 0L)
+    }
+    val g = MetricId("t1", MetricType.Gauge.code, "g")
+    val aligned = BucketConfig(TimeRange(H, 3 * H), Some(2), None)
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan(tiered.findGaugeStats(g, aligned)).contains("gauge_sums"))
+    val tierRows = tiered.findGaugeStats(g, aligned)
+      .select("bucket", "min", "avg", "max", "sum", "samples")
+      .collect().map(_.toSeq).toSet
+    // tear the watermark: a crash mid-write on a non-rename-atomic store,
+    // or a manual edit — every request must DEGRADE to raw, never 500
+    val out = fs.create(live, true)
+    try out.write("torn-garbage".getBytes) finally out.close()
+    val degraded = tiered.findGaugeStats(g, aligned)
+    assert(plan(degraded).contains("/data"),
+      "an unparsable watermark must route to the raw path")
+    assert(degraded.select("bucket", "min", "avg", "max", "sum", "samples")
+      .collect().map(_.toSeq).toSet == tierRows,
+      "the degraded raw path must answer the same rows")
+    // a re-refresh heals the watermark and the tier serves again
+    tiered.refreshTiers()
+    assert(plan(tiered.findGaugeStats(g, aligned)).contains("gauge_sums"))
+  }
+
   test("delete metric removes its data; tenant catalog round trip") {
     val svc = newService()
     svc.createTenant("t1", Map("gauge" -> 14))

@@ -373,6 +373,38 @@ class PipelineOpsSpec extends SparkTestBase {
       "rebuild must serve the full corpus again (tombstones died with the swap)")
   }
 
+  test("residual-IVFADC seed rule: an id space NOT starting at 0 (stream " +
+    "whose first wave starts high, retrain after low-id takedowns) trains " +
+    "on the lowest ids PRESENT — sampled and full builds both serve, and " +
+    "the exactness hook still holds") {
+    val s = spark
+    import s.implicits._
+    // vec_ids 1000..1059 — the historical literal `vec_id < k` seed filter
+    // selects NOTHING here; the rule must be orderBy(vec_id).limit(k)
+    val e = (1000 until 1060).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 1003)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val brute = rows(Similarity.bruteForceTopK(e, q, 10))
+    val full = java.nio.file.Files.createTempDirectory("graft-resid-hi").toString + "/ix"
+    Similarity.writeIvfPqResidualIndex(e, full, kCells = 4, iters = 2)
+    assert(rows(Similarity.ivfPqResidualStoredTopK(s, full, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) == brute,
+      "full build on a high-start id space must keep the exactness hook")
+    // sampled build: the seed force-include must pick the lowest ids
+    // PRESENT (a literal threshold would add nothing and silently break
+    // the shared-seed invariant)
+    val sampled = java.nio.file.Files.createTempDirectory("graft-resid-hi-s").toString + "/ix"
+    Similarity.writeIvfPqResidualIndex(e, sampled, kCells = 4, iters = 2,
+      sampleN = Some(16))
+    assert(rows(Similarity.ivfPqResidualStoredTopK(s, sampled, q, 10,
+      nprobe = 4, shortlist = 1 << 20)) == brute,
+      "sampled build on a high-start id space must keep the exactness hook")
+  }
+
   test("PCA-IVF lifecycle: append projects through the STORED basis and replay " +
     "is a no-op; delete screens the serve tombstone-only; compaction purges; " +
     "retrain equals a fresh build over the live corpus") {

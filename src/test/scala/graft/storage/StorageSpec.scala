@@ -528,6 +528,59 @@ class StorageSpec extends SparkTestBase {
         s"ids must prune without changing m1's rows (buckets=$bb)")
   }
 
+  test("served* freshness bound: an aligned request extending past the " +
+    "supplied refreshedUntil watermark takes the RAW branch on every " +
+    "dispatcher (an unrefreshed tail must never serve as silently empty " +
+    "tier buckets); within the bound the tier serves") {
+    val path = tmp()
+    val H1 = GraftStorage.RollupMs
+    def plan(df: DataFrame) = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // gauge raw + rollup + hist tiers
+    GraftStorage.write(fixture(Seq(
+      ("m1", H1 + 100L, 10.0), ("m1", 2 * H1 + 50L, 7.0))),
+      s"$path/raw", SaveMode.Overwrite)
+    GraftStorage.writeRollup(spark, s"$path/raw", s"$path/roll")
+    GraftStorage.writeRollupHist(spark, s"$path/raw", s"$path/hist",
+      vMin = 0.0, vMax = 100.0, bins = 4)
+    // counter raw + ctr + rate tiers; avail raw + tier
+    GraftStorage.write(ctrFixture(Seq(
+      ("c1", H1 + 100L, 10L), ("c1", 2 * H1 + 500L, 30L))),
+      s"$path/craw", SaveMode.Overwrite)
+    GraftStorage.writeRollupCounter(spark, s"$path/craw", s"$path/ctr")
+    GraftStorage.writeRollupRate(spark, s"$path/craw", s"$path/rate",
+      isCounter = true, valueCol = "l_value")
+    GraftStorage.write(availFixture(Seq(
+      ("a1", H1 + 100L, 0), ("a1", 2 * H1 + 500L, 1))),
+      s"$path/araw", SaveMode.Overwrite)
+    GraftStorage.writeRollupAvail(spark, s"$path/araw", s"$path/avroll")
+    val b = graft.model.Buckets.fromStep(H1, 3 * H1, H1)
+    val r = graft.model.TimeRange(H1, 3 * H1)
+    val within = Some(3 * H1) // covers the request
+    val past = Some(2 * H1)   // request extends one hour past the watermark
+    // each (dispatch, tier dir marker, raw dir marker)
+    val cases: Seq[(Option[Long] => DataFrame, String, String)] = Seq(
+      ((w: Option[Long]) => GraftStorage.servedStats(spark, s"$path/raw",
+        s"$path/roll", b, refreshedUntil = w), "/roll", "/raw"),
+      ((w: Option[Long]) => GraftStorage.servedHistogram(spark, s"$path/raw",
+        s"$path/hist", b, refreshedUntil = w), "/hist", "/raw"),
+      ((w: Option[Long]) => GraftStorage.servedRateStats(spark, s"$path/craw",
+        s"$path/rate", b, isCounter = true, refreshedUntil = w), "/rate", "/craw"),
+      ((w: Option[Long]) => GraftStorage.servedCounterIncrease(spark,
+        s"$path/craw", s"$path/ctr", r, refreshedUntil = w), "/ctr", "/craw"),
+      ((w: Option[Long]) => GraftStorage.servedAvailStats(spark, s"$path/araw",
+        s"$path/avroll", b, refreshedUntil = w), "/avroll", "/araw"))
+    for ((serve, tierDir, rawDir) <- cases) {
+      assert(plan(serve(within)).contains(tierDir),
+        s"within the watermark the tier ($tierDir) must serve")
+      val fallback = plan(serve(past))
+      assert(fallback.contains(rawDir) && !fallback.contains(s"$tierDir]"),
+        s"past the watermark the dispatch must fall back to raw ($rawDir):\n$fallback")
+      // None (caller vouches freshness) keeps the tier branch
+      assert(plan(serve(None)).contains(tierDir))
+    }
+  }
+
   test("servedAvailStats dispatch: aligned requests read the availability tier, " +
     "misaligned read raw, both branches answer identically on aligned buckets") {
     val path = tmp()

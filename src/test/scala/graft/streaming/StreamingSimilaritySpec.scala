@@ -127,4 +127,42 @@ class StreamingSimilaritySpec extends SparkTestBase {
     assert(facts() == afterRetrain,
       "retrain must leave facts equal to a fresh recompute")
   }
+
+  test("facts crash window: a replayed append whose prior attempt died " +
+    "between the vectors write and the facts merge REBUILDS the facts " +
+    "(the pending marker), instead of permanently understating them") {
+    val s = spark
+    import s.implicits._
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-factswin").toString + "/idx"
+    Similarity.writeIvfIndex(vecs(0 until 30), idx, kCells = 4, iters = 2)
+    Similarity.rebuildCellFacts(s, idx)
+    def facts() = s.read.parquet(s"$idx/cellfacts")
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n"),
+        r.getSeq[java.math.BigDecimal](r.fieldIndex("sums")).toSeq)).toSet
+    // simulate the crashed attempt: marker touched, vectors landed, facts
+    // merge never ran (updateFacts = false appends vectors only)
+    val batch = vecs(30 until 40)
+    Similarity.appendToIvfIndex(s, idx, batch, updateFacts = false)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/.cellfacts_pending")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+    val understated = facts()
+    // REPLAY the same batch: the screen anti-joins it to empty — without
+    // the marker the merge would fold in nothing and the understatement
+    // would be permanent; with it, this call rebuilds from the store
+    Similarity.appendToIvfIndex(s, idx, batch, updateFacts = true)
+    val healed = facts()
+    assert(!fs.exists(marker), "the pending marker must clear after the heal")
+    assert(healed != understated,
+      "the replay must repair the facts, not re-merge an empty batch")
+    Similarity.rebuildCellFacts(s, idx)
+    assert(facts() == healed,
+      "healed facts must equal the full recompute exactly")
+    // vectors were NOT double-inserted by the replay
+    assert(s.read.parquet(s"$idx/vectors").count() == 40L)
+  }
 }

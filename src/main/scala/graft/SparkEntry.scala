@@ -1294,6 +1294,83 @@ object SparkEntry {
               |       round(st.mx, 6) AS "max", round(st.sm, 6) AS sum, st.n AS samples
               |FROM sp LEFT JOIN st ON sp.bucket = st.bucket""".stripMargin)),
 
+    // ---- percentile tier serving over the PUBLIC API, end-to-end
+    // through live HTTP: percentileMode=tier routes this aligned p90
+    // request through gauge_sums + gauge_hist (raw never read — the
+    // dispatch is plan-pinned in MetricsServiceSpec); the five stats
+    // come back EXACT, the p90 is the deterministic histogram walk
+    // (hash-compared against the same walk in SQL), and the median-free
+    // signature fails the row on any silent raw fallback --------------
+    ("rest_served_quantile", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/rest_served_q_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        // ONE metric, renamed URL-safe (fixture names carry '/', which a
+        // per-id path route cannot take)
+        val m0 = gauge(s, d).select(min(col("metric"))).as[String].first()
+        GraftStorage.write(gauge(s, d).filter(col("metric") === m0)
+          .withColumn("metric", lit("g0")), s"$base/store/data",
+          SaveMode.Overwrite)
+        new graft.api.MetricsService(s, s"$base/store",
+          Some(graft.api.MetricsService.TierLayout(s"$base/store/tiers",
+            histEdges = Some((0.0, 500.0, 20))))).refreshTiers()
+      }
+      val t = new graft.api.HttpTransport(s, s"$base/store",
+        tierServing = true).start()
+      val body = try {
+        val url = s"http://127.0.0.1:${t.boundPort}/gauges/g0/stats" +
+          s"?start=$S&end=$E&buckets=30&percentiles=90&percentileMode=tier"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Hawkular-Tenant", "acme")
+        require(conn.getResponseCode == 200, s"GET $url -> ${conn.getResponseCode}")
+        val text = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // the tier signature (rest_served_stats' posture): a silent
+        // regression to the raw path must FAIL this row
+        require(!text.contains("\"median\""),
+          "expected tier-served (median-free) stats; got the raw path")
+        text
+      } finally t.stop()
+      s.read.json(Seq(body).toDS)
+        .select(((col("start") - S) / Day).cast("long").as("bucket"),
+          col("empty"),
+          round(col("min"), 6).as("min"), round(col("avg"), 6).as("avg"),
+          round(col("max"), 6).as("max"), round(col("sum"), 6).as("sum"),
+          col("samples").cast("long").as("samples"),
+          element_at(col("percentiles"), 1).getField("value").as("q_est"))
+    },
+      Some(s"""WITH $BaseCte,
+              |sel AS (SELECT min(metric) AS m FROM base),
+              |a AS (SELECT (t - $S) // $Day AS bucket, value FROM base
+              |      WHERE metric = (SELECT m FROM sel) AND t >= $S AND t < $E),
+              |st AS (SELECT bucket, min(value) AS mn, ${dsum("value")} / count(*) AS av,
+              |         max(value) AS mx, ${dsum("value")} AS sm,
+              |         CAST(count(*) AS BIGINT) AS n
+              |       FROM a GROUP BY 1),
+              |hb AS (SELECT bucket,
+              |         CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |       FROM a),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM hb GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.90 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target),
+              |est AS (SELECT bucket,
+              |          round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |        FROM p WHERE rn = 1),
+              |sp AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 30))
+              |SELECT sp.bucket, st.bucket IS NULL AS empty,
+              |       round(st.mn, 6) AS "min", round(st.av, 6) AS avg,
+              |       round(st.mx, 6) AS "max", round(st.sm, 6) AS sum, st.n AS samples,
+              |       est.q_est
+              |FROM sp LEFT JOIN st ON sp.bucket = st.bucket
+              |LEFT JOIN est ON sp.bucket = est.bucket""".stripMargin)),
+
     // ---- availability rollup tier: A3 hour summaries merged EXACTLY
     // into daily buckets — leading segments reattribute to the previous
     // hour's last state, last segments extend across empty hours, cross-

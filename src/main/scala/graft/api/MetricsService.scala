@@ -50,13 +50,25 @@ object MetricsService {
    * the next compaction. On a duplicate-free store (the steady state)
    * the two views coincide exactly (randomized differential spec).
    */
-  final case class TierLayout(root: String) {
+  /** `histEdges` (vMin, vMax, bins) opts the layout into the gauge
+    * DISTRIBUTION tier ([[graft.storage.GraftStorage.writeRollupHist]]):
+    * [[MetricsService.refreshTiers]] then also refreshes `gaugeHist`,
+    * and percentile requests carrying
+    * [[graft.operators.MetricsOps.PercentileMode.TierApprox]] answer
+    * from it. Edges are only needed to SEED the tier — once built they
+    * persist in its `_histmeta` and a layout without `histEdges` keeps
+    * an existing histogram tier fresh from that meta — so a serving
+    * deployment (e.g. [[HttpTransport]]'s `tierServing` default layout)
+    * needs no edge config at all. */
+  final case class TierLayout(root: String,
+                              histEdges: Option[(Double, Double, Int)] = None) {
     val gaugeSums: String = s"$root/gauge_sums"
     val counterSums: String = s"$root/counter_sums"
     val avail: String = s"$root/avail"
     val counterIncrease: String = s"$root/counter_increase"
     val gaugeRate: String = s"$root/gauge_rate"
     val counterRate: String = s"$root/counter_rate"
+    val gaugeHist: String = s"$root/gauge_hist"
   }
 
   /** The conventional on-store layout (`<root>/tiers/<family>`) — what
@@ -483,6 +495,15 @@ class MetricsService(spark: SparkSession, root: String,
     GraftStorage.writeRollupRate(spark, dataPath, t.gaugeRate,
       isCounter = false, valueCol = "n_value",
       upToSlice = upToSlice, fromSlice = fromSlice)
+    // the gauge DISTRIBUTION tier is opt-in (edges are deployment
+    // config); once seeded, its _histmeta carries the edges so later
+    // refreshes — including from layouts constructed WITHOUT histEdges,
+    // like the serving transport's — keep it fresh
+    t.histEdges.orElse(GraftStorage.histTierMeta(spark, t.gaugeHist))
+      .foreach { case (vMin, vMax, bins) =>
+        GraftStorage.writeRollupHist(spark, dataPath, t.gaugeHist,
+          vMin, vMax, bins, upToSlice, fromSlice)
+      }
     // the freshness WATERMARK, written only after every family landed: a
     // bounded refresh covers raw through its slice bound, an unbounded
     // one through the wall clock at refresh start. tierFor refuses the
@@ -795,6 +816,8 @@ class MetricsService(spark: SparkSession, root: String,
                      mode: MetricsOps.PercentileMode =
                        MetricsOps.PercentileMode.Exact): DataFrame = {
     val b = config.buckets
+    if (mode == MetricsOps.PercentileMode.TierApprox)
+      return findGaugeStatsTierApprox(id, b, percentiles)
     tierFor(_.gaugeSums, b, percentiles, mode) match {
       // hour-aligned, percentile-free, tier built: answer from hour
       // summaries — raw never read; the 5 served stats are bit-equal to
@@ -807,6 +830,53 @@ class MetricsService(spark: SparkSession, root: String,
       case None =>
         MetricsOps.gapFill(
           MetricsOps.numericBucketStats(series(id), b, percentiles, mode = mode,
+            parityFeedOrder = Order.Desc), b)
+    }
+  }
+
+  /** [[MetricsOps.PercentileMode.TierApprox]] dispatch — the one stats
+    * request class that used to ALWAYS scan raw. When the grid is
+    * hour-aligned, inside the freshness watermark, and BOTH gauge tiers
+    * are built (sums for the five stats, the histogram for the
+    * distribution), the answer reads hours × metrics (× bins) tier rows
+    * only: five exact stats from `gauge_sums` joined per bucket with
+    * [[MetricsOps.histogramQuantile]]'s walk over the served histogram
+    * (estimate error ≤ ~2 bin widths — the hist_quantile_accuracy band).
+    * `median` stays omitted, the tier-served signature. Anything the
+    * tier pair cannot serve falls back to the EXACT raw path — a MORE
+    * accurate answer than asked for, never a silently empty one. */
+  private def findGaugeStatsTierApprox(id: MetricId, b: graft.model.Buckets,
+                                       percentiles: Seq[Double]): DataFrame = {
+    val until = refreshedUntil
+    val served = tiers.filter(t => b.end <= until &&
+      GraftStorage.tierServes(spark, t.gaugeSums, b) &&
+      (percentiles.isEmpty || (GraftStorage.tierServes(spark, t.gaugeHist, b) &&
+        GraftStorage.histTierHasMeta(spark, t.gaugeHist))))
+    served match {
+      case Some(t) =>
+        val five = GraftStorage.rollupStats(spark, t.gaugeSums, b,
+          byMetric = false, ids = Some(oneMetric(id.name)),
+          tenant = Some(id.tenantId), mtypeCode = Some(id.mtype.toInt))
+        val withPcts = if (percentiles.isEmpty) five else {
+          val hist0 = GraftStorage.rollupHistogram(spark, t.gaugeHist, b,
+            ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
+            mtypeCode = Some(id.mtype.toInt))
+          // several quantile walks share ONE served histogram snapshot
+          // (buckets × bins rows) instead of re-scanning the tier each
+          val hist = if (percentiles.lengthCompare(2) >= 0)
+            hist0.localCheckpoint() else hist0
+          percentiles.foldLeft(five) { (acc, q) =>
+            acc.join(MetricsOps.histogramQuantile(hist, q / 100.0)
+              .select(col("bucket"),
+                col("q_est").as(MetricsOps.pctColName(q))),
+              Seq("bucket"), "left")
+          }
+        }
+        MetricsOps.gapFill(withPcts, b)
+      case None =>
+        MetricsOps.gapFill(
+          MetricsOps.numericBucketStats(series(id), b, percentiles,
+            mode = MetricsOps.PercentileMode.Exact,
             parityFeedOrder = Order.Desc), b)
     }
   }
@@ -1340,7 +1410,12 @@ class MetricsService(spark: SparkSession, root: String,
                        mode: MetricsOps.PercentileMode =
                          MetricsOps.PercentileMode.Exact): DataFrame = {
     val b = config.buckets
-    tierFor(_.counterSums, b, percentiles, mode) match {
+    // the distribution tier covers gauges only (writeRollupHist aggregates
+    // n_value); counter TierApprox resolves to the exact raw path — more
+    // accurate than asked for, never silently different
+    val m = if (mode == MetricsOps.PercentileMode.TierApprox)
+      MetricsOps.PercentileMode.Exact else mode
+    tierFor(_.counterSums, b, percentiles, m) match {
       case Some(p) => // tier serve, findGaugeStats' posture
         MetricsOps.gapFill(
           GraftStorage.rollupStats(spark, p, b, byMetric = false,
@@ -1349,7 +1424,7 @@ class MetricsService(spark: SparkSession, root: String,
       case None =>
         MetricsOps.gapFill(
           MetricsOps.numericBucketStats(series(id), b, percentiles, valueCol = "l_value",
-            mode = mode, parityFeedOrder = Order.Asc), b)
+            mode = m, parityFeedOrder = Order.Asc), b)
     }
   }
 

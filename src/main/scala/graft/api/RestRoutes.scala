@@ -848,14 +848,19 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
     * reference's commons-math P² streaming estimates bit-for-bit
     * (NumericDataPointCollector.java:61, with the per-type feed order);
     * `p2sketch` serves the O(1)-state distributed sketch (the 100 TB
-    * path). The reference has no such knob — it always serves P². */
+    * path); `tier` opts the request into HISTOGRAM-TIER percentile
+    * serving — aligned in-watermark gauge requests answer from
+    * hours × bins counts (raw never read, estimate error bounded by the
+    * bin width band), everything else falls back to exact raw. The
+    * reference has no such knob — it always serves P². */
   private def percentileModeOf(params: Map[String, String]): MetricsOps.PercentileMode =
     params.get("percentileMode").map {
       case "exact" => MetricsOps.PercentileMode.Exact
       case "p2parity" => MetricsOps.PercentileMode.P2Parity
       case "p2sketch" => MetricsOps.PercentileMode.P2Sketch
+      case "tier" => MetricsOps.PercentileMode.TierApprox
       case other => throw new IllegalArgumentException(
-        s"Invalid percentileMode '$other' (expected exact, p2parity or p2sketch)")
+        s"Invalid percentileMode '$other' (expected exact, p2parity, p2sketch or tier)")
     }.getOrElse(MetricsOps.PercentileMode.Exact)
 
   /** The shared engine of GET /{type}s/stats and POST /{type}s/stats/

@@ -115,6 +115,10 @@ object MetricsOps {
     case _: PercentileMode.Adaptive =>
       throw new IllegalArgumentException(
         "Adaptive must be resolved against the input frame first (resolveMode)")
+    case PercentileMode.TierApprox =>
+      throw new IllegalArgumentException(
+        "TierApprox is a dispatch-level mode (MetricsService routes it to the " +
+          "histogram tier or resolves it to Exact) — it never reaches an aggregate")
   }
 
   // -----------------------------------------------------------------------
@@ -144,6 +148,18 @@ object MetricsOps {
       * fixtures keep bit-exact Exact results and only genuinely unbounded
       * groups pay the approximation. */
     case class Adaptive(maxExactValuesPerGroup: Long = 1000000L) extends PercentileMode
+    /** DISPATCH-level opt-in (resolved in [[graft.api.MetricsService]],
+      * never inside an aggregate): aligned, in-watermark percentile
+      * requests answer from the HISTOGRAM tier — hour bin-counts merged
+      * to the request grid ([[graft.storage.GraftStorage.rollupHistogram]])
+      * then walked by [[MetricsOps.histogramQuantile]] — so a p95
+      * dashboard reads hours × metrics × bins rows, never raw. The
+      * estimate is bin-interpolated (error ≤ ~2 bin widths, audited by
+      * hist_quantile_accuracy); requests the tier cannot serve
+      * (misaligned grid, no histogram tier, past the freshness
+      * watermark) run the EXACT raw path instead — the fallback is more
+      * accurate than the ask, never silently empty. */
+    case object TierApprox extends PercentileMode
   }
 
   /** Resolve [[PercentileMode.Adaptive]] against a plan-time row estimate

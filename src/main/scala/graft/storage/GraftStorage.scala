@@ -373,6 +373,21 @@ object GraftStorage {
 
   private def histMetaPath(histPath: String) = s"$histPath/_histmeta"
 
+  /** Whether a histogram tier at `histPath` has declared bin edges — the
+    * dispatch-level probe for percentile tier serving (existence check
+    * only; [[rollupHistogram]] reads the actual edges). */
+  def histTierHasMeta(spark: SparkSession, histPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(histMetaPath(histPath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The histogram tier's declared (vMin, vMax, bins), when built — the
+    * refresh path reads this to keep an existing tier fresh without
+    * re-passing its edge config. */
+  def histTierMeta(spark: SparkSession,
+                   histPath: String): Option[(Double, Double, Int)] =
+    readHistMeta(spark, histPath)
+
   private def writeHistMeta(spark: SparkSession, histPath: String,
                             vMin: Double, vMax: Double, bins: Int): Unit = {
     import spark.implicits._

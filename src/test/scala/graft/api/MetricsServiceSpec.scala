@@ -820,6 +820,88 @@ class MetricsServiceSpec extends SparkTestBase {
         org.apache.spark.sql.execution.FormattedMode).contains("gauge_sums"))
   }
 
+  test("TierApprox percentile serving: aligned in-watermark gauge percentile " +
+    "requests read gauge_sums + gauge_hist ONLY (raw never scanned); the " +
+    "five stats stay exact, the percentile sits in the accuracy band; the " +
+    "DEFAULT exact path still reads raw (no silent semantics change); " +
+    "misaligned / past-watermark TierApprox requests answer exact from raw") {
+    import graft.storage.GraftStorage
+    import graft.operators.MetricsOps
+    val root = Files.createTempDirectory("graft-svc-tierpct").toString
+    val layout = MetricsService.TierLayout(s"$root/tiers",
+      histEdges = Some((0.0, 100.0, 20)))
+    val tiered = new MetricsService(spark, root, Some(layout))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    // 40 points across two hours, values 1..40 — a non-trivial p90
+    val pts = (1 to 40).map(i => (H + i * 60000L, i.toDouble))
+    tiered.addDataPoints(canonicalPoints(
+      pts.toDF("time", "n_value").withColumn("metric", lit("g")),
+      MetricType.Gauge))
+    tiered.refreshTiers()
+    val g = MetricId("t1", MetricType.Gauge.code, "g")
+    val aligned = BucketConfig(TimeRange(H, 3 * H), Some(2), None)
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val approx = tiered.findGaugeStats(g, aligned, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    val p = plan(approx)
+    assert(p.contains("gauge_sums") && p.contains("gauge_hist") &&
+      !p.contains("/data"),
+      s"TierApprox must read the two tiers only:\n$p")
+    val exact = tiered.findGaugeStats(g, aligned, Seq(90.0))
+    assert(plan(exact).contains("/data"),
+      "the default exact percentile path must keep reading raw")
+    val five = Seq("bucket", "min", "avg", "max", "sum", "samples")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(five.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(approx) == rows(exact),
+      "the five served stats must stay exactly the raw-path answer")
+    assert(!approx.columns.contains("median"), "tier signature: median omitted")
+    // estimate band: within one bin width (5.0) + interpolation slack of
+    // the exact p90 per bucket
+    val est = approx.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ex = exact.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == ex.keySet && est.nonEmpty)
+    ex.foreach { case (b, v) =>
+      assert(math.abs(est(b) - v) <= 10.0,
+        s"bucket $b: estimate ${est(b)} too far from exact $v")
+    }
+    // misaligned grid: TierApprox falls back to EXACT raw — identical to
+    // the exact call, percentiles included
+    val mis = BucketConfig(TimeRange(H, 3 * H), Some(5), None)
+    val misApprox = tiered.findGaugeStats(g, mis, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(misApprox).contains("/data"))
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select((five :+ "p90_0").map(col): _*).collect().map(_.toSeq).toSet
+    assert(all(misApprox) == all(tiered.findGaugeStats(g, mis, Seq(90.0))))
+    // past the watermark: raw fallback too
+    tiered.addDataPoints(canonicalPoints(
+      Seq((25 * H + 100L, 7.0)).toDF("time", "n_value")
+        .withColumn("metric", lit("g")), MetricType.Gauge))
+    tiered.refreshTiers(upToSlice = 1)
+    val tail = BucketConfig(TimeRange(24 * H, 26 * H), Some(2), None)
+    assert(plan(tiered.findGaugeStats(g, tail, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)).contains("/data"),
+      "past-watermark TierApprox must take the raw path")
+    // a layout WITHOUT histEdges keeps the seeded hist tier fresh from
+    // its own meta: the late point lands in the tier after a plain
+    // refresh through an edge-less layout
+    val edgeless = new MetricsService(spark, root,
+      Some(MetricsService.TierLayout(s"$root/tiers")))
+    edgeless.refreshTiers()
+    val tailApprox = edgeless.findGaugeStats(g, tail, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(tailApprox).contains("gauge_hist") &&
+      !plan(tailApprox).contains("/data"))
+    assert(tailApprox.filter(col("samples") === 1).count() == 1,
+      "the refreshed tier must serve the late point")
+  }
+
   test("freshness watermark durability: refreshTiers commits the watermark " +
     "via temp + rename (no tmp residue, parsable value); a TORN/garbage " +
     "watermark degrades requests to the raw path instead of erroring") {

@@ -1371,6 +1371,45 @@ object SparkEntry {
               |FROM sp LEFT JOIN st ON sp.bucket = st.bucket
               |LEFT JOIN est ON sp.bucket = est.bucket""".stripMargin)),
 
+    // ---- late-backfill lifecycle: points ingested BELOW the freshness
+    // watermark mark their slices in the dirty log; the next refresh —
+    // whose own window covers NOTHING — sweeps them into the tiers, so
+    // tier serving stays correct without an operator knowing which
+    // slices to re-refresh. The requires make silent regressions (no
+    // marking, no sweep) fail the row; the hash pins the swept tier
+    // against full stats over ALL points ------------------------------
+    ("tier_backfill_sweep", (s: SparkSession, d: String) => {
+      val base = "target/tmp/backfill_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val svc = new graft.api.MetricsService(s, base,
+        Some(graft.api.MetricsService.defaultTiers(base)))
+      val g = gauge(s, d)
+      svc.addDataPoints(g.filter(col("time") < Week))
+      svc.refreshTiers() // watermark = wall clock, far past the fixture
+      svc.addDataPoints(g.filter(col("time") >= Week)) // ALL below watermark
+      val troot = graft.api.MetricsService.defaultTiers(base).root
+      require(GraftStorage.dirtySliceLog(s, troot).flatMap(_._2).nonEmpty,
+        "backfill below the watermark must mark its slices dirty")
+      // bounded refresh past the fixture: only the dirty sweep can fold
+      // the second wave into the tiers
+      svc.refreshTiers(fromSlice = (E - 1) / GraftStorage.SliceMs + 1)
+      require(GraftStorage.dirtySliceLog(s, troot).isEmpty,
+        "the sweep must clear the dirty log")
+      GraftStorage.rollupStats(s, s"$troot/gauge_sums",
+        Buckets.fromStep(S, S + 28 * Day, Day),
+        tenant = Some(ea.Tenant),
+        mtypeCode = Some(graft.model.MetricType.Gauge.code.toInt))
+        .select(col("metric"), col("bucket"), col("samples"),
+          col("min"), col("avg"), col("max"), col("sum"))
+    },
+      Some(s"""WITH $BaseCte,
+              |b AS (SELECT metric, t, value FROM base WHERE t >= $S AND t < ${S + 28 * Day})
+              |SELECT metric, (t - $S) // ${Day} AS bucket,
+              |       CAST(count(*) AS BIGINT) AS samples,
+              |       min(value) AS "min", ${dsum("value")} / count(*) AS avg,
+              |       max(value) AS "max", ${dsum("value")} AS sum
+              |FROM b GROUP BY 1, 2""".stripMargin)),
+
     // ---- availability rollup tier: A3 hour summaries merged EXACTLY
     // into daily buckets — leading segments reattribute to the previous
     // hour's last state, last segments extend across empty hours, cross-

@@ -450,9 +450,29 @@ class MetricsService(spark: SparkSession, root: String,
 
   val MaxStringSize = 2048 // reference MetricsServiceImpl maxStringSize default
 
-  /** S1 — batch append of canonical datapoints. */
-  def addDataPoints(points: DataFrame): Unit =
+  /** S1 — batch append of canonical datapoints. On a tier-serving
+    * service, slices the batch backfills BELOW the freshness watermark
+    * are recorded in the dirty-slice log so the next [[refreshTiers]]
+    * re-aggregates them automatically — correctness of late backfill no
+    * longer depends on an operator knowing which slices to re-refresh. */
+  def addDataPoints(points: DataFrame): Unit = {
     GraftStorage.write(points, dataPath)
+    markBackfill(points)
+  }
+
+  /** The ingest half of the dirty-slice contract: distinct slices of the
+    * batch's points older than the watermark (batch-sized filter +
+    * tiny distinct collect — nothing store-sized; skipped entirely when
+    * no tier layout is configured or nothing was ever refreshed). */
+  private def markBackfill(points: DataFrame): Unit = tiers.foreach { t =>
+    val wm = refreshedUntil
+    if (wm != Long.MinValue) {
+      val dirty = points.filter(col("time") < wm)
+        .select((col("time") / GraftStorage.SliceMs).cast("long").as("s"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      GraftStorage.markDirtySlices(spark, t.root, dirty)
+    }
+  }
 
   /** S3 — string datapoints with the size cap enforced at ingest. */
   def addStringDataPoints(points: DataFrame): Unit = {
@@ -483,6 +503,40 @@ class MetricsService(spark: SparkSession, root: String,
                    now: Long = System.currentTimeMillis()): Unit = {
     val t = tiers.getOrElse(throw new IllegalStateException(
       "refreshTiers needs a MetricsService constructed with a TierLayout"))
+    refreshFamilies(t, upToSlice, fromSlice)
+    // DIRTY-SLICE SWEEP: slices backfilled below the watermark since the
+    // last refresh ([[markBackfill]]) re-aggregate here, grouped into
+    // contiguous runs; entries this refresh's own window already covers
+    // are skipped. The swept files delete only AFTER the re-aggregation
+    // landed — a crash in between replays the sweep next run, which
+    // re-aggregates the same slices to the same rows (idempotent).
+    val log = GraftStorage.dirtySliceLog(spark, t.root)
+    val pending = log.flatMap(_._2).distinct.sorted
+      .filterNot(s => s >= fromSlice && s < upToSlice)
+    contiguousRuns(pending).foreach { case (lo, hi) =>
+      refreshFamilies(t, upToSlice = hi + 1, fromSlice = lo)
+    }
+    // the freshness WATERMARK, written only after every family landed: a
+    // bounded refresh covers raw through its slice bound, an unbounded
+    // one through the wall clock at refresh start. tierFor refuses the
+    // tier for any request extending past it — without this, an
+    // hour-aligned request over the not-yet-refreshed tail would serve
+    // silently EMPTY buckets where raw has data. (Late points backfilled
+    // into already-refreshed slices are the dirty-slice log's contract
+    // above — the API ingest paths mark them, this sweep clears them;
+    // direct GraftStorage.write users either mark via
+    // GraftStorage.markDirtySlices or re-refresh via fromSlice, the
+    // reference's 2h-lateness compaction posture.)
+    val until =
+      if (upToSlice == Long.MaxValue) now else upToSlice * GraftStorage.SliceMs
+    writeRefreshedUntil(until)
+    GraftStorage.clearDirtyFiles(spark, log.map(_._1))
+  }
+
+  /** One refresh window across all configured tier families — shared by
+    * the main refresh and the dirty-slice sweep's per-run re-aggregation. */
+  private def refreshFamilies(t: MetricsService.TierLayout,
+                              upToSlice: Long, fromSlice: Long): Unit = {
     GraftStorage.writeRollup(spark, dataPath, t.gaugeSums, upToSlice, fromSlice)
     GraftStorage.writeRollup(spark, dataPath, t.counterSums, upToSlice, fromSlice,
       valueCol = "l_value")
@@ -504,19 +558,14 @@ class MetricsService(spark: SparkSession, root: String,
         GraftStorage.writeRollupHist(spark, dataPath, t.gaugeHist,
           vMin, vMax, bins, upToSlice, fromSlice)
       }
-    // the freshness WATERMARK, written only after every family landed: a
-    // bounded refresh covers raw through its slice bound, an unbounded
-    // one through the wall clock at refresh start. tierFor refuses the
-    // tier for any request extending past it — without this, an
-    // hour-aligned request over the not-yet-refreshed tail would serve
-    // silently EMPTY buckets where raw has data. (Late points backfilled
-    // into already-refreshed slices remain the refresh CADENCE's
-    // contract — re-refresh their slices via fromSlice — exactly the
-    // reference's 2h-lateness compaction posture.)
-    val until =
-      if (upToSlice == Long.MaxValue) now else upToSlice * GraftStorage.SliceMs
-    writeRefreshedUntil(until)
   }
+
+  /** Sorted distinct slice ids → inclusive (lo, hi) contiguous runs. */
+  private def contiguousRuns(sorted: Seq[Long]): Seq[(Long, Long)] =
+    sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, s) if s == hi + 1 => (lo, s) :: rest
+      case (acc, s) => (s, s) :: acc
+    }.reverse
 
   /** Commit the freshness watermark via temp-file + rename (the
     * [[graft.storage.AtomicSwap]] discipline): `fs.create(p, true)`

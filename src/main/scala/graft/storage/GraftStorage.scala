@@ -371,6 +371,60 @@ object GraftStorage {
       })
   }
 
+  // ------------------------------------------------------------------
+  // dirty-slice log — late-backfill tracking for the serving tiers
+  // ------------------------------------------------------------------
+
+  /**
+   * Record slices touched by a write that landed BELOW the tiers'
+   * freshness watermark (late backfill into already-refreshed slices) —
+   * without this, a backfilled point is invisible to tier serves until
+   * an operator happens to re-refresh its slice; the log makes the next
+   * bounded refresh pick it up automatically
+   * ([[graft.api.MetricsService.refreshTiers]] sweeps and clears it).
+   * One tiny text file per call (newline-separated slice ids, unique
+   * name) — append-only, no read-modify-write, so concurrent ingests
+   * never clobber each other; the sweep deletes exactly the FILES it
+   * read, so entries appended mid-sweep survive to the next one.
+   */
+  def markDirtySlices(spark: SparkSession, tierRoot: String,
+                      slices: Seq[Long]): Unit = if (slices.nonEmpty) {
+    val dir = new org.apache.hadoop.fs.Path(s"$tierRoot/_dirty_slices")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(dir,
+      s"d-${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+    val out = fs.create(f, false)
+    try out.write(slices.distinct.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The pending dirty-slice log: (file, its slices) pairs — the sweep
+    * reads this, re-refreshes the slices, and deletes exactly these
+    * files ([[clearDirtyFiles]]). Unparsable lines are skipped (a torn
+    * concurrent write loses ITS entry, never the log). */
+  def dirtySliceLog(spark: SparkSession, tierRoot: String):
+      Seq[(org.apache.hadoop.fs.Path, Seq[Long])] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tierRoot/_dirty_slices")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      st.getPath -> txt.linesIterator.flatMap(l =>
+        scala.util.Try(l.trim.toLong).toOption).toSeq
+    }
+  }
+
+  /** Delete swept dirty-log files (idempotent; crash before this leaves
+    * the entries for the next sweep — replay just re-aggregates the same
+    * slices to the same rows). */
+  def clearDirtyFiles(spark: SparkSession,
+                      files: Seq[org.apache.hadoop.fs.Path]): Unit =
+    files.foreach(f =>
+      f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, false))
+
   private def histMetaPath(histPath: String) = s"$histPath/_histmeta"
 
   /** Whether a histogram tier at `histPath` has declared bin edges — the

@@ -820,6 +820,60 @@ class MetricsServiceSpec extends SparkTestBase {
         org.apache.spark.sql.execution.FormattedMode).contains("gauge_sums"))
   }
 
+  test("dirty-slice backfill: a point written below the freshness watermark " +
+    "is marked, swept by the next refresh (whose own window does NOT cover " +
+    "it), and then SERVES from the tier; the sweep is replay-idempotent " +
+    "and clears the log") {
+    import graft.storage.GraftStorage
+    val root = Files.createTempDirectory("graft-svc-dirty").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.defaultTiers(root)))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    tiered.addDataPoints(canonicalPoints(
+      Seq((H + 100L, 1.0), (2 * H + 100L, 3.0)).toDF("time", "n_value")
+        .withColumn("metric", lit("g")), MetricType.Gauge))
+    tiered.refreshTiers()
+    val tierRoot = MetricsService.defaultTiers(root).root
+    assert(GraftStorage.dirtySliceLog(spark, tierRoot).isEmpty,
+      "a fresh refresh leaves no dirty entries")
+    // BACKFILL into hour 1 — below the watermark, already refreshed
+    tiered.addDataPoints(canonicalPoints(
+      Seq((H + 200L, 11.0)).toDF("time", "n_value")
+        .withColumn("metric", lit("g")), MetricType.Gauge))
+    val logged = GraftStorage.dirtySliceLog(spark, tierRoot)
+    assert(logged.flatMap(_._2) == Seq(0L),
+      s"the backfilled slice must be marked, got $logged")
+    val g = MetricId("t1", MetricType.Gauge.code, "g")
+    val aligned = BucketConfig(TimeRange(H, 3 * H), Some(2), None)
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // pre-sweep, the tier still serves the STALE slice (documented
+    // contract — within the watermark the tier is authoritative)
+    assert(tiered.findGaugeStats(g, aligned)
+      .filter(col("bucket") === 0).head().getAs[Long]("samples") == 1L)
+    // a bounded refresh that does NOT cover slice 0 by itself: only the
+    // dirty sweep can fold the backfill in
+    tiered.refreshTiers(fromSlice = 1)
+    val served = tiered.findGaugeStats(g, aligned)
+    assert(plan(served).contains("gauge_sums") && !plan(served).contains("/data"),
+      "the aligned request must still serve from the tier")
+    val b0 = served.filter(col("bucket") === 0).head()
+    assert(b0.getAs[Long]("samples") == 2L && b0.getAs[Double]("max") == 11.0,
+      "the tier must serve the backfilled point after the sweep")
+    assert(GraftStorage.dirtySliceLog(spark, tierRoot).isEmpty,
+      "the sweep must clear the log")
+    // replay-idempotence: restore the swept entry (the crash-before-clear
+    // window) and sweep again — same tier rows, log cleared again
+    val before = served.collect().map(_.toSeq).toSet
+    GraftStorage.markDirtySlices(spark, tierRoot, Seq(0L))
+    tiered.refreshTiers(fromSlice = 1)
+    assert(tiered.findGaugeStats(g, aligned).collect().map(_.toSeq).toSet == before,
+      "replaying the sweep must not change any tier-served row")
+    assert(GraftStorage.dirtySliceLog(spark, tierRoot).isEmpty)
+  }
+
   test("TierApprox percentile serving: aligned in-watermark gauge percentile " +
     "requests read gauge_sums + gauge_hist ONLY (raw never scanned); the " +
     "five stats stay exact, the percentile sits in the accuracy band; the " +

@@ -346,6 +346,16 @@ class DifferentialPropertySpec extends SparkTestBase {
     tiered.addDataPoints(canonicalPoints(
       aRows.toDF("metric", "time", "avail"), MetricType.Availability))
     tiered.refreshTiers()
+    // BACKFILL step: late points land below the freshness watermark (new
+    // unique timestamps, preserving the duplicate-free contract above) —
+    // the ingest marks their slices dirty, and a BOUNDED refresh whose
+    // own window does NOT cover them (fromSlice = 1; all data sits in
+    // slice 0) must still fold them into the tiers via the dirty sweep
+    val late = metrics.flatMap(m => times(10).map(t =>
+      (m, t + 7L, math.floor(rnd.nextDouble() * 1000) / 10)))
+    tiered.addDataPoints(canonicalPoints(
+      late.toDF("metric", "time", "n_value"), MetricType.Gauge))
+    tiered.refreshTiers(fromSlice = 1)
     def rows(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
       df.select(("bucket" +: cols).map(col): _*).collect().map(_.toSeq).toSet
     val five = Seq("min", "avg", "max", "sum", "samples")

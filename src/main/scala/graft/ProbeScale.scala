@@ -676,6 +676,34 @@ object ProbeScale {
         println(f"ivfsmp_build_$tag%-9s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
+    if (only.isEmpty || only("ivf_hier")) {
+      // hierarchical vs flat ASSIGNMENT at corpus n×, cells ∝ corpus
+      // (4·n cells), both with 4096-row sampled training: training cost
+      // is fixed for both, so the build difference is the one remaining
+      // corpus-sized pass — flat scores all 4n centroids per vector
+      // (O(n·cells), the ~5.5× at ×16 the round-13 probe measured),
+      // hier scores O(√cells + √cells) per vector (coarse hop + child
+      // argmax) and should grow ~n·√cells. Serve stays flat over leaves
+      // (request-sized) — timed to show it matches the flat store's.
+      val e2 = scaledEmbs(spark, dir, n).localCheckpoint()
+      val q = e2.filter(col("vec_id") < 10).localCheckpoint()
+      for ((tag, build, p) <- Seq[(String, (String) => Unit, String)](
+        ("flat", pp => Similarity.writeIvfIndex(e2, pp,
+          kCells = 4 * n, iters = 2, sampleN = Some(4096)),
+          "target/tmp/probe-ivfhier-flat"),
+        ("hier", pp => Similarity.writeIvfIndexHier(e2, pp,
+          kCells = 4 * n, iters = 2, sampleN = Some(4096)),
+          "target/tmp/probe-ivfhier-hier"))) {
+        rmrf(spark, p)
+        var t0 = System.nanoTime()
+        build(p)
+        println(f"ivfhier_build_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        t0 = System.nanoTime()
+        Similarity.ivfStoredTopK(spark, p, q, 10, nprobe = 2)
+          .write.format("noop").mode("overwrite").save()
+        println(f"ivfhier_serve_$tag%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
     if (only.isEmpty || only("tenant_axis")) {
       // tenant-axis weak scaling (fixed per-tenant data, n× tenants): the
       // tier layout leads with tenant_id/mtype, so (a) a tenant-SCOPED

@@ -3332,7 +3332,132 @@ object SparkEntry {
              |       FROM probes p JOIN af c ON c.cell = p.cell
              |       WHERE c.vec_id <> p.query_id)""".stripMargin
 
+  /** Two-level (coarse → children) IVF oracle, mirroring
+    * Similarity.hierKmeansModel for kCells=4 (kCoarse=2, kChild=2),
+    * iters=2, full-corpus training: coarse Lloyd exactly like the flat
+    * CTE at k=2; children seed from the 2 lowest vec_ids per coarse
+    * cell (leaf = coarse·2 + rank−1) and refine among their OWN coarse
+    * cell's children only (the `s.cell // 2 = v.cc` join); probes walk
+    * the flat leaf model. Ends at `sc` (query_id, neighbor_id, cosine)
+    * like SampledIvfCte so the top-k and recall tails compose. */
+  private val HierIvfCte =
+       """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |co0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cc,
+             |          e AS ce, nrm AS cnrm
+             |        FROM (SELECT vec_id, e, nrm FROM n ORDER BY vec_id LIMIT 2)),
+             |ka1 AS (SELECT vec_id, e, cc FROM (
+             |          SELECT v.vec_id, v.e, s.cc,
+             |            row_number() OVER (PARTITION BY v.vec_id
+             |              ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cc ASC) AS rn
+             |          FROM n v CROSS JOIN co0 s) WHERE rn = 1),
+             |km1 AS (SELECT cc, g.j,
+             |          CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |        FROM ka1, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cc, g.j),
+             |kc1 AS (SELECT cc, list(cv ORDER BY j) AS ce FROM km1 GROUP BY cc),
+             |kc1n AS (SELECT cc, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM kc1),
+             |ka2 AS (SELECT vec_id, e, cc FROM (
+             |          SELECT v.vec_id, v.e, s.cc,
+             |            row_number() OVER (PARTITION BY v.vec_id
+             |              ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cc ASC) AS rn
+             |          FROM n v CROSS JOIN kc1n s) WHERE rn = 1),
+             |km2 AS (SELECT cc, g.j,
+             |          CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |        FROM ka2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cc, g.j),
+             |kc2 AS (SELECT cc, list(cv ORDER BY j) AS ce FROM km2 GROUP BY cc),
+             |kc2n AS (SELECT cc, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM kc2),
+             |af AS (SELECT vec_id, e, nrm, cc FROM (
+             |         SELECT v.vec_id, v.e, v.nrm, s.cc,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cc ASC) AS rn
+             |         FROM n v CROSS JOIN kc2n s) WHERE rn = 1),
+             |s0 AS (SELECT cc * 2 + CAST(rk - 1 AS INTEGER) AS cell, e AS ce, nrm AS cnrm FROM (
+             |         SELECT cc, e, nrm, row_number() OVER (PARTITION BY cc ORDER BY vec_id) AS rk
+             |         FROM af) WHERE rk <= 2),
+             |hb1 AS (SELECT vec_id, e, cc, cell FROM (
+             |          SELECT v.vec_id, v.e, v.cc, s.cell,
+             |            row_number() OVER (PARTITION BY v.vec_id
+             |              ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |          FROM af v JOIN s0 s ON s.cell // 2 = v.cc) WHERE rn = 1),
+             |hm1 AS (SELECT cell, g.j,
+             |          CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |        FROM hb1, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |hc1 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM hm1 GROUP BY cell),
+             |hc1n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM hc1),
+             |hb2 AS (SELECT vec_id, e, cc, cell FROM (
+             |          SELECT v.vec_id, v.e, v.cc, s.cell,
+             |            row_number() OVER (PARTITION BY v.vec_id
+             |              ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |          FROM af v JOIN hc1n s ON s.cell // 2 = v.cc) WHERE rn = 1),
+             |hm2 AS (SELECT cell, g.j,
+             |          CAST(sum(CAST(e[CAST(g.j AS INTEGER)] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cv
+             |        FROM hb2, LATERAL (SELECT unnest(generate_series(1, 64)) AS j) g GROUP BY cell, g.j),
+             |hc2 AS (SELECT cell, list(cv ORDER BY j) AS ce FROM hm2 GROUP BY cell),
+             |hc2n AS (SELECT cell, ce, sqrt(list_sum(list_transform(ce, x -> x * x))) AS cnrm FROM hc2),
+             |lf AS (SELECT vec_id, e, nrm, cell FROM (
+             |         SELECT v.vec_id, v.e, v.nrm, s.cell,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
+             |         FROM af v JOIN hc2n s ON s.cell // 2 = v.cc) WHERE rn = 1),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
+             |       FROM q CROSS JOIN hc2n s),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN lf c ON c.cell = p.cell
+             |       WHERE c.vec_id <> p.query_id)""".stripMargin
+
   private lazy val moreDefs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- LLM: HIERARCHICAL IVF — the √cells assignment path (coarse →
+    // children): with cells ∝ corpus, flat assignment is the one
+    // superlinear build cost left (O(n·cells)); routing coarse-then-
+    // children scores O(2·√cells) centroids per vector. Serving probes
+    // the flat leaf model (request-sized); the oracle replays the whole
+    // two-level Lloyd in SQL --------------------------------------------
+    ("knn_ivf_hier", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Similarity.ivfHierTopK(e, e.filter(col("vec_id") < 10), 10,
+        nprobe = 2, kCells = 4, iters = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some(HierIvfCte + """,
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall@10 of hierarchical-assignment IVF vs exact — the
+    // evidence that the √cells assignment keeps recall in band (the
+    // flat trainer's recall twin is ann_recall_ivf) ----------------------
+    ("ann_recall_ivf_hier", (s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfHierTopK(e, q, 10, nprobe = 2, kCells = 4, iters = 2))
+    },
+      Some(HierIvfCte + """,
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |          SELECT query_id, neighbor_id, row_number() OVER
+             |            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |          FROM sc)
+             |        WHERE rnk <= 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
 
     // ---- LLM: signed-random-projection LSH top-k (the other scale path) --
     ("knn_srp", (s: SparkSession, d: String) => {

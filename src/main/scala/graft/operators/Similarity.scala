@@ -558,6 +558,164 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // hierarchical (coarse → children) IVF — the √cells assignment path
+  // ------------------------------------------------------------------
+
+  /** Two-level IVF model: `coarse` (≈√kCells centroids) routes each
+    * vector to a coarse cell; `leaves` are the per-coarse-cell children
+    * in the GLOBAL leaf label space (`leaf = coarseRank·kChild +
+    * childRank`). Serving probes the flat `leaves` (request-sized —
+    * O(kCells) per QUERY is irrelevant); only corpus-sized ASSIGNMENT
+    * goes through the hierarchy. */
+  final case class HierIvfModel(coarse: Seq[(Int, Array[Double])],
+                                leaves: Seq[(Int, Array[Double])],
+                                kChild: Int)
+
+  /**
+   * Two-level Lloyd training — the fix for the one superlinear build
+   * cost left in the IVF family: with cells ∝ corpus, FLAT assignment
+   * is O(n·cells) (each vector scores every centroid), so builds grew
+   * ~5.5× at ×16 data × 16 cells even with sampled training. Assigning
+   * coarse-then-children scores O(kCoarse + kChild) ≈ O(2·√cells)
+   * centroids per vector — n·√cells total, the standard two-level IVF
+   * posture (FAISS's IVF on top of a coarse quantizer).
+   *
+   * Determinism mirrors [[kmeansCentroids]] exactly: coarse IS
+   * kmeansCentroids (lowest-id seeds, cosine argmax with first-max
+   * tie-break, decimal-exact means); children seed from the `kChild`
+   * lowest vec_ids of EACH coarse cell (child label = rank), refine
+   * with `iters` cosine-argmax/decimal-mean passes AMONG their own
+   * coarse cell's children only (one distributed aggregate per pass for
+   * ALL coarse cells at once — keyed by the global leaf label, never a
+   * per-cell driver loop), and ties break to the lowest leaf label —
+   * bit-reproducible and SQL-oracle-mirrorable like the flat trainer.
+   * Coarse routing is fixed during child refinement (the two-level
+   * contract: children partition WITHIN a coarse cell).
+   */
+  def hierKmeansModel(corpus: DataFrame, kCells: Int, iters: Int,
+                      dim: Int = Dim): HierIvfModel = {
+    require(kCells > 0 && iters >= 0,
+      s"need kCells > 0, iters >= 0; got kCells=$kCells iters=$iters")
+    val kCoarse = math.ceil(math.sqrt(kCells.toDouble)).toInt
+    val kChild = math.ceil(kCells.toDouble / kCoarse).toInt
+    val coarse = kmeansCentroids(corpus, kCoarse, iters, dim)
+    // the coarse routing is computed ONCE and re-read by the seed collect
+    // and every child pass
+    val base = withNorm(corpus.select(col("vec_id"), dvec("embedding").as("v")), "v")
+      .withColumn("coarse", assignCell(coarse, "v", "nrm"))
+      .localCheckpoint()
+    val wSeed = Window.partitionBy(col("coarse")).orderBy(col("vec_id").asc)
+    val seeds = dropDegenerate(base
+      .withColumn("rk", row_number().over(wSeed))
+      .filter(col("rk") <= kChild)
+      .select(col("coarse"), col("rk"), col("v")).collect()
+      .map(r => (r.getInt(0) * kChild + r.getInt(1) - 1,
+        r.getSeq[Any](2).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => throw new IllegalArgumentException(s"bad embedding element $other")
+        }.toArray))
+      .sortBy(_._1).toSeq)
+    require(seeds.nonEmpty, "hierarchical k-means needs non-zero corpus vectors")
+    val leaves = (1 to iters).foldLeft(seeds) { (ls, _) =>
+      val assigned = base
+        .withColumn("cell", hierAssignLeaf(ls, kChild, "coarse", "v", "nrm"))
+        .select(col("cell"), col("v").as("embedding"))
+      dropDegenerate(centroids(assigned, "cell", dim).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq)
+    }
+    HierIvfModel(coarse, leaves, kChild)
+  }
+
+  /** Leaf assignment through a FIXED coarse routing: argmax by cosine
+    * among the vector's own coarse cell's children only (first-max tie
+    * to the lowest leaf label — [[nearestCellUdf]]'s rule within the
+    * group). O(kChild) dots per vector; the coarse hop paid O(kCoarse). */
+  private def hierAssignLeaf(leaves: Seq[(Int, Array[Double])], kChild: Int,
+                             coarseCol: String, vecCol: String,
+                             nrmCol: String): org.apache.spark.sql.Column = {
+    val byCoarse: Map[Int, Array[(Int, Array[Double], Double)]] =
+      leaves.groupBy(_._1 / kChild).map { case (cc, ls) =>
+        cc -> ls.sortBy(_._1)
+          .map { case (l, c) => (l, c, math.sqrt(c.map(x => x * x).sum)) }
+          .toArray
+      }
+    val f = udf { (cc: Int, v: Seq[Float], nrm: Double) =>
+      val cands = byCoarse.getOrElse(cc, throw new IllegalStateException(
+        s"coarse cell $cc has no children — degenerate model"))
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        val c = cands(i)._2
+        var dot = 0.0
+        var j = 0
+        while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
+        val sim = dot / (nrm * cands(i)._3)
+        if (sim > bestSim) { best = i; bestSim = sim }
+        i += 1
+      }
+      cands(best)._1
+    }
+    f(col(coarseCol), col(vecCol), col(nrmCol))
+  }
+
+  /** Corpus frame → (vec_id, embedding, cell) through a [[HierIvfModel]]
+    * — the O(n·√cells) assignment pass shared by the inline search and
+    * the store build. */
+  private def hierAssigned(corpus: DataFrame, m: HierIvfModel): DataFrame =
+    withNorm(corpus.select(col("vec_id"), col("embedding"),
+      dvec("embedding").as("v")), "v")
+      .withColumn("coarse", assignCell(m.coarse, "v", "nrm"))
+      .withColumn("cell", hierAssignLeaf(m.leaves, m.kChild, "coarse", "v", "nrm"))
+      .select("vec_id", "embedding", "cell")
+
+  /** Inline hierarchical-IVF top-k — [[ivfKmeansTopK]]'s serve over the
+    * two-level assignment (probes stay FLAT over the leaf centroids —
+    * queries are request-sized). Recall sits within a band of the flat
+    * trainer (spec-pinned; audited by ann_recall_ivf_hier). */
+  def ivfHierTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nprobe: Int = 2, kCells: Int = 4, iters: Int = 2,
+                  dim: Int = Dim): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = hierKmeansModel(corpus, kCells, iters, dim)
+    val c = hierAssigned(corpus, m)
+      .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"), col("cell"))
+    val cWithNorm = withNorm(c, "cv").withColumnRenamed("nrm", "cv_nrm")
+    val cents = withNorm(m.leaves.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    ivfSearch(cWithNorm, queries, cents, k, nprobe)
+  }
+
+  /**
+   * [[writeIvfIndex]] with hierarchical assignment — SAME on-disk layout
+   * (vectors partitioned by leaf cell + a flat `centroids` table of the
+   * leaf model), so every existing serve / append / delete / compact /
+   * facts path works on the store unchanged; only the corpus-sized
+   * build pass drops from O(n·cells) to O(n·√cells). `sampleN` bounds
+   * BOTH training levels ([[trainingSample]]); the full corpus still
+   * assigns through the sampled model.
+   */
+  def writeIvfIndexHier(corpus: DataFrame, path: String,
+                        kCells: Int = 4, iters: Int = 2,
+                        sampleN: Option[Int] = None): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.storage.IndexStore.clearSideTables(spark, path,
+      Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
+    val m = hierKmeansModel(
+      sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
+      kCells, iters)
+    hierAssigned(corpus, m)
+      .repartition(col("cell")) // file discipline, as in writeIvfIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    m.leaves.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  // ------------------------------------------------------------------
   // persisted IVF index — build once, serve partition-pruned queries
   // ------------------------------------------------------------------
 

@@ -373,6 +373,55 @@ class PipelineOpsSpec extends SparkTestBase {
       "rebuild must serve the full corpus again (tombstones died with the swap)")
   }
 
+  test("hierarchical IVF: the store shares the flat layout (ivfStoredTopK " +
+    "serves it unchanged, bit-equal to the inline path); FULL probe equals " +
+    "brute force regardless of assignment; append/delete lifecycle works; " +
+    "recall stays within band of the flat trainer") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val inline = rows(Similarity.ivfHierTopK(e.filter(col("vec_id") < 50), q, 10,
+      nprobe = 2, kCells = 4, iters = 2))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfhier").toString + "/ix"
+    Similarity.writeIvfIndexHier(e.filter(col("vec_id") < 50), path,
+      kCells = 4, iters = 2)
+    assert(rows(Similarity.ivfStoredTopK(s, path, q, 10, nprobe = 2)) == inline,
+      "the flat serve path must answer the hier store bit-equal to inline")
+    // full probe ≡ brute force — exactness holds for ANY assignment
+    val leaves = s.read.parquet(s"$path/centroids").count().toInt
+    assert(rows(Similarity.ivfStoredTopK(s, path, q, 10, nprobe = leaves)) ==
+      rows(Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), q, 10)),
+      "full probe over the hier store must equal brute force")
+    // lifecycle: append assigns through the stored flat-leaf model;
+    // delete screens immediately — the shared IVF machinery, untouched
+    Similarity.appendToIvfIndex(s, path, e.filter(col("vec_id") >= 50))
+    assert(Similarity.ivfStoredTopK(s, path, q, 50, nprobe = leaves)
+      .collect().map(_.getLong(1)).toSet.exists(_ >= 50L),
+      "appended vectors must serve")
+    Similarity.deleteFromIvfIndex(s, path, Seq(7L).toDF("vec_id"))
+    assert(!Similarity.ivfStoredTopK(s, path, q, 50, nprobe = leaves)
+      .collect().map(_.getLong(1)).contains(7L),
+      "tombstoned ids must stop ranking immediately")
+    // recall band vs the flat trainer at the same (kCells, iters, nprobe)
+    def meanRecall(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.select("recall").collect().map(_.getDouble(0))
+      r.sum / r.length
+    }
+    val exact = Similarity.bruteForceTopK(e, q, 10)
+    val hierR = meanRecall(Similarity.recallAtK(exact,
+      Similarity.ivfHierTopK(e, q, 10, nprobe = 2, kCells = 4, iters = 2)))
+    val flatR = meanRecall(Similarity.recallAtK(exact,
+      Similarity.ivfKmeansTopK(e, q, 10, nprobe = 2, kCells = 4, iters = 2)))
+    assert(hierR >= flatR - 0.3,
+      s"hier recall $hierR fell out of band of flat recall $flatR")
+  }
+
   test("residual-IVFADC seed rule: an id space NOT starting at 0 (stream " +
     "whose first wave starts high, retrain after low-id takedowns) trains " +
     "on the lowest ids PRESENT — sampled and full builds both serve, and " +

@@ -86,15 +86,42 @@ object ProbeServe {
       results += (("bm25", c, t))
     }
 
-    // ---- near-dup: fixed 50-doc query wave against a scaled store -----
+    // ---- near-dup: fixed 50-doc query wave against a scaled store.
+    // TWO replication modes, because they answer different questions:
+    //  * `neardup` (verbatim copies): every replica of a query's match
+    //    IS a true J=1 near-dup, so the candidate set AND the result
+    //    grow ∝ copies BY CONSTRUCTION — the serve-time growth this row
+    //    shows is output-driven (matches hits), not an index defect; no
+    //    pruning can cut rows the query genuinely matches. The printed
+    //    rows column is the attribution: time tracks hits.
+    //  * `neardup-mut` (every 4th word tagged per replica, cross-replica
+    //    J ≈ 0.14 — ProbeScale's scaledDocsTagged rule): replicas are
+    //    NOT near-dups, the result stays fixed while the corpus grows —
+    //    THIS row is the index-scaling claim (bucket-pruned serve must
+    //    stay ~flat).
     val probeDocs = docs.filter(col("doc_id") < 50).localCheckpoint()
-    Seq(1, 8, 16).foreach { c =>
-      val path = s"target/tmp/probeserve_neardup_$c"
-      rmrf(spark, path)
-      Dedup.writeNearDupIndex(scaled(docs, "doc_id", c, docCount), path, shingleK = 3)
-      val t = timeMin3(() => Dedup.nearDupLookup(spark, path, probeDocs,
-        shingleK = 3, threshold = 0.8).count())
-      results += (("neardup", c, t))
+    def scaledDocsMut(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * docCount))
+        if (i == 0) d
+        else d.withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            (w, idx) => when(pmod(idx, lit(4)) === 0,
+              concat(w, lit(s"r${('a' + i).toChar}"))).otherwise(w)), " "))
+      }.reduce(_ unionAll _)
+    for ((tag, mk) <- Seq[(String, Int => DataFrame)](
+      ("neardup", c => scaled(docs, "doc_id", c, docCount)),
+      ("neardup-mut", scaledDocsMut))) {
+      Seq(1, 8, 16).foreach { c =>
+        val path = s"target/tmp/probeserve_${tag.replace("-", "")}_$c"
+        rmrf(spark, path)
+        Dedup.writeNearDupIndex(mk(c), path, shingleK = 3)
+        var rows = 0L
+        val t = timeMin3(() => rows = Dedup.nearDupLookup(spark, path, probeDocs,
+          shingleK = 3, threshold = 0.8).count())
+        println(f"[neardup] $tag%-12s x$c%-2d rows=$rows%d")
+        results += ((tag, c, t))
+      }
     }
 
     // ---- IVF: fixed 10-query ANN batch against a scaled vector store --

@@ -1371,6 +1371,53 @@ object SparkEntry {
               |FROM sp LEFT JOIN st ON sp.bucket = st.bucket
               |LEFT JOIN est ON sp.bucket = est.bucket""".stripMargin)),
 
+    // ---- stats-by-tags with a METRIC-level (catalog) filter served from
+    // the sums tier: tagSource=metric classifies the filter against the
+    // metric's catalog definition (same F2 pattern column), so the
+    // aligned whole-range request reads hours × 1 metric via the ids
+    // semi-join — raw never read (require-pinned); per-POINT tag filters
+    // keep the raw route untouched -------------------------------------
+    ("tagged_stats_metric", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/tagmetric_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/data", SaveMode.Overwrite)
+        ea.catalog(s, d)
+          .withColumn("data_retention", lit(null).cast("int"))
+          .withColumn("ingest_seq", lit(GraftStorage.nextIngestSeq()))
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/metrics")
+        new graft.api.MetricsService(s, base,
+          Some(graft.api.MetricsService.defaultTiers(base))).refreshTiers()
+      }
+      val svc = new graft.api.MetricsService(s, base,
+        Some(graft.api.MetricsService.defaultTiers(base)))
+      val m0 = ea.catalog(s, d)
+        .filter(element_at(col("tags"), "type") === "purchase")
+        .agg(min(col("metric"))).as[String].first()
+      val served = svc.findStatsMetricTags(
+        graft.model.MetricId(ea.Tenant, graft.model.MetricType.Gauge.code, m0),
+        Map("type" -> "purchase", "seg" -> "*"), Seq.empty, S, E)
+      val plan = served.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      require(plan.contains("gauge_sums") && !plan.contains("/data"),
+        s"metric-level tagged stats must serve from the sums tier:\n$plan")
+      served.select(col("tag_type"), col("tag_seg"),
+        round(col("min"), 6).as("min"), round(col("avg"), 6).as("avg"),
+        round(col("max"), 6).as("max"), round(col("sum"), 6).as("sum"),
+        col("samples"))
+    },
+      Some(s"""WITH $BaseCte, $CatCte,
+              |sel AS (SELECT min(metric) AS m FROM cat WHERE event_type = 'purchase'),
+              |a AS (SELECT value FROM base
+              |      WHERE metric = (SELECT m FROM sel) AND t >= $S AND t < $E)
+              |SELECT 'purchase' AS tag_type,
+              |       (SELECT seg FROM cat WHERE metric = (SELECT m FROM sel)) AS tag_seg,
+              |       round(min(value), 6) AS "min",
+              |       round(${dsum("value")} / count(*), 6) AS avg,
+              |       round(max(value), 6) AS "max", round(${dsum("value")}, 6) AS sum,
+              |       CAST(count(*) AS BIGINT) AS samples
+              |FROM a""".stripMargin)),
+
     // ---- late-backfill lifecycle: points ingested BELOW the freshness
     // watermark mark their slices in the dirty log; the next refresh —
     // whose own window covers NOTHING — sweeps them into the tiers, so

@@ -1075,6 +1075,73 @@ class MetricsService(spark: SparkSession, root: String,
     MetricsOps.taggedStats(
       series(id).filter(col("time") >= start && col("time") < end), tags, percentiles)
 
+  /**
+   * ENGINE EXTENSION — `tagSource=metric` on GET
+   * /{type}s/{id}/stats/tags/{tags}: the tag filter tests the metric's
+   * CATALOG definition instead of per-point tags (same F2
+   * filter-pattern semantics, evaluated through the SAME
+   * [[graft.functions.GraftFunctions.filterPattern]] column — no
+   * semantics fork). A matching metric answers whole-range stats of its
+   * ENTIRE series in the A6 output shape (one group, tag columns = the
+   * catalog values); a non-matching metric answers EMPTY. Because the
+   * filter is catalog-decidable, an aligned, in-watermark,
+   * percentile-free request serves from the SUMS TIER (hours × 1
+   * metric via the ids semi-join — raw never read, median omitted, the
+   * tier signature); anything else computes exactly from raw. The
+   * DEFAULT `tagSource=point` route is untouched: per-point tag filters
+   * group by per-point values, which only a raw scan can do.
+   */
+  def findStatsMetricTags(id: MetricId, tagFilters: Map[String, String],
+                          percentiles: Seq[Double],
+                          start: Long, end: Long): DataFrame = {
+    require(tagFilters.nonEmpty, "tagSource=metric needs a non-empty tag filter")
+    require(start < end, s"need start < end, got [$start, $end)")
+    val t = MetricType.fromCode(id.mtype)
+    val valueCol = if (t == MetricType.Counter) "l_value" else "n_value"
+    val defTags = currentDefinition(id)._1
+    val sortedKeys = tagFilters.keys.toSeq.sorted
+    val tagCols = sortedKeys.map(k =>
+      lit(defTags.get(k).orNull).cast("string").as(s"tag_$k"))
+    val s2 = spark
+    import s2.implicits._
+    // catalog match: every requested name present AND its value passing
+    // the filter pattern — evaluated via filterPattern over a
+    // filter-sized local frame so `*`/`|`/negation semantics are
+    // byte-identical to the per-point route's
+    val matched = tagFilters.keySet.subsetOf(defTags.keySet) && {
+      val probe = tagFilters.keys.toSeq.map(k => (k, defTags(k))).toDF("k", "v")
+      val pred = tagFilters.map { case (k, pat) =>
+        col("k") === k && graft.functions.GraftFunctions.filterPattern(col("v"), pat)
+      }.reduce(_ || _)
+      probe.filter(pred).count() == tagFilters.size
+    }
+    val v = col(valueCol).cast("double")
+    def rawBranch: DataFrame = {
+      val aggs = MetricsOps.statAggsFor(v, percentiles,
+        MetricsOps.PercentileMode.Exact)
+      series(id).filter(col("time") >= start && col("time") < end)
+        .filter(col(valueCol).isNotNull)
+        .groupBy(tagCols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    if (!matched) return rawBranch.limit(0)
+    // whole-range = ONE bucket; tier-servable when its bounds sit on the
+    // hour grid, the watermark covers it, and the sums tier exists
+    val b = graft.model.Buckets.fromStep(start, end, end - start)
+    val tierPath = tiers.map(l =>
+      if (t == MetricType.Counter) l.counterSums else l.gaugeSums)
+      .filter(p => percentiles.isEmpty && end <= refreshedUntil &&
+        GraftStorage.tierServes(spark, p, b))
+    tierPath match {
+      case Some(p) =>
+        GraftStorage.rollupStats(spark, p, b, byMetric = false,
+          ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
+          mtypeCode = Some(id.mtype.toInt))
+          .select(tagCols ++ Seq("min", "avg", "max", "sum", "samples").map(col): _*)
+      case None => rawBranch
+    }
+  }
+
   /** A4/A5 — multi-metric stats over an explicit id list. */
   def findNumericStats(tenantId: String, mtype: MetricType, ids: Seq[String],
                        config: BucketConfig, percentiles: Seq[Double],

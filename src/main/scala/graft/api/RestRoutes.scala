@@ -489,10 +489,21 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
       // No order-defaulting rule applies here, so resolve absent params
       // to the default window (unlike resolvedRange, which keeps absence).
       val r = TimeRange(params.get("start"), params.get("end"), now)
-      val stats =
-        if (t == MetricType.Gauge)
-          svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles, r.start, r.end)
-        else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles, r.start, r.end)
+      // ENGINE EXTENSION param `tagSource`: the default `point` is the
+      // reference's per-point grouping; `metric` tests the CATALOG
+      // definition instead and serves aligned in-watermark requests from
+      // the sums tier (MetricsService.findStatsMetricTags)
+      val stats = params.getOrElse("tagSource", "point") match {
+        case "point" =>
+          if (t == MetricType.Gauge)
+            svc.findGaugeStats(mid(t, id), Tags.parse(tags), pcts.quantiles, r.start, r.end)
+          else svc.findCounterStats(mid(t, id), Tags.parse(tags), pcts.quantiles, r.start, r.end)
+        case "metric" =>
+          svc.findStatsMetricTags(mid(t, id), Tags.parse(tags), pcts.quantiles,
+            r.start, r.end)
+        case other => throw new IllegalArgumentException(
+          s"Invalid tagSource '$other' (expected point or metric)")
+      }
       Ok(renamePcts(stats, pcts))
     case ("GET", "gauges" :: id :: "periods" :: Nil) =>
       val (start, end) = resolvedRange(params, now)

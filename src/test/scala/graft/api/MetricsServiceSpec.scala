@@ -820,6 +820,57 @@ class MetricsServiceSpec extends SparkTestBase {
         org.apache.spark.sql.execution.FormattedMode).contains("gauge_sums"))
   }
 
+  test("tagSource=metric dispatch: a catalog-matching tag filter serves " +
+    "aligned whole-range stats from the sums tier (raw never read), " +
+    "misaligned from raw with identical stats (+median); a non-matching " +
+    "filter answers EMPTY; the per-point route is untouched") {
+    import graft.storage.GraftStorage
+    val root = Files.createTempDirectory("graft-svc-tagsrc").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.defaultTiers(root)))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    tiered.createMetric(MetricId("t1", MetricType.Gauge.code, "g"),
+      Map("dc" -> "east", "role" -> "web"))
+    // points carry a PER-POINT tag named dc too — the default route must
+    // keep grouping by per-point values, the metric route by the catalog
+    tiered.addDataPoints(canonicalPoints(
+      Seq((H + 100L, 1.0), (H + 200L, 3.0), (2 * H + 100L, 10.0))
+        .toDF("time", "n_value").withColumn("metric", lit("g")),
+      MetricType.Gauge).withColumn("tags", map(lit("dc"), lit("pointval"))))
+    tiered.refreshTiers()
+    val g = MetricId("t1", MetricType.Gauge.code, "g")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // aligned + catalog-matching (pattern semantics: `*` and a literal)
+    val served = tiered.findStatsMetricTags(g,
+      Map("dc" -> "east", "role" -> "*"), Seq.empty, H, 3 * H)
+    assert(plan(served).contains("gauge_sums") && !plan(served).contains("/data"),
+      s"aligned metric-level filter must serve from the tier:\n${plan(served)}")
+    val row = served.head()
+    assert(row.getAs[String]("tag_dc") == "east" &&
+      row.getAs[String]("tag_role") == "web")
+    assert(row.getAs[Long]("samples") == 3L && row.getAs[Double]("sum") == 14.0)
+    assert(!served.columns.contains("median"), "tier signature: median omitted")
+    // misaligned: raw branch, same five, median present
+    val mis = tiered.findStatsMetricTags(g,
+      Map("dc" -> "east"), Seq.empty, H, 3 * H - 1)
+    assert(plan(mis).contains("/data"))
+    val mRow = mis.head()
+    assert(mRow.getAs[Long]("samples") == 3L && mRow.getAs[Double]("sum") == 14.0 &&
+      mRow.getAs[Double]("median") == 3.0)
+    // a filter the catalog does NOT match answers empty (both shapes)
+    assert(tiered.findStatsMetricTags(g,
+      Map("dc" -> "west"), Seq.empty, H, 3 * H).isEmpty)
+    assert(tiered.findStatsMetricTags(g,
+      Map("nosuch" -> "*"), Seq.empty, H, 3 * H).isEmpty)
+    // the default per-point route still groups by PER-POINT values
+    val perPoint = tiered.findGaugeStats(g, Map("dc" -> "*"), Seq.empty, H, 3 * H)
+    assert(perPoint.select("tag_dc").collect().map(_.getString(0)).toSet ==
+      Set("pointval"))
+  }
+
   test("dirty-slice backfill: a point written below the freshness watermark " +
     "is marked, swept by the next refresh (whose own window does NOT cover " +
     "it), and then SERVES from the tier; the sweep is replay-idempotent " +

@@ -133,4 +133,78 @@ class TierServingHttpITest extends SparkTestBase with HttpSpecSupport {
     assert(ps == 200 && pBody.contains("\"percentiles\"") &&
       pBody.contains("\"median\""), pBody)
   }
+
+  test("engine-extension params over live HTTP: percentileMode=tier answers " +
+    "aligned percentile requests median-free from the histogram tier pair " +
+    "(estimate in band of the exact raw answer); tagSource=metric serves a " +
+    "catalog-matching filter from the sums tier and answers 204 when " +
+    "unmatched; both defaults unchanged") {
+    val svc = new MetricsService(spark, root,
+      Some(MetricsService.TierLayout(s"$root/tiers",
+        histEdges = Some((0.0, 100.0, 20)))))
+    svc.createMetric(MetricId("t1", MetricType.Gauge.code, "g2"),
+      Map("dc" -> "east"))
+    val s = spark
+    import s.implicits._
+    svc.addDataPoints(canonicalPoints(
+      (1 to 40).map(i => (H + i * 60000L, i.toDouble))
+        .toDF("time", "n_value").withColumn("metric", lit("g2")),
+      MetricType.Gauge))
+    svc.refreshTiers()
+    val aligned = s"start=$H&end=${3 * H}&buckets=2"
+    // percentileMode=tier: percentiles attached, median ABSENT (the tier
+    // signature — a silent raw regression would carry median)
+    val (ts, tBody) = call("GET",
+      s"/gauges/g2/stats?$aligned&percentiles=90&percentileMode=tier", Some("t1"))
+    assert(ts == 200 && tBody.contains("\"percentiles\"") &&
+      !tBody.contains("\"median\""), tBody)
+    // estimate within the accuracy band of the exact raw answer
+    val (_, exBody) = call("GET",
+      s"/gauges/g2/stats?$aligned&percentiles=90", Some("t1"))
+    def p90s(json: String): Seq[Double] = {
+      val a = mapper.readTree(json).asInstanceOf[ArrayNode]
+      (0 until a.size).flatMap { i =>
+        val p = a.get(i)
+        if (p.has("percentiles")) Some(p.get("percentiles").get(0)
+          .get("value").asDouble) else None
+      }
+    }
+    val (est, exact) = (p90s(tBody), p90s(exBody))
+    assert(est.size == exact.size && est.nonEmpty)
+    est.zip(exact).foreach { case (e, x) =>
+      assert(math.abs(e - x) <= 10.0, s"estimate $e out of band of exact $x")
+    }
+    // the five stats are bit-equal between the two modes
+    def fives(json: String) = {
+      val a = mapper.readTree(json).asInstanceOf[ArrayNode]
+      (0 until a.size).map { i =>
+        val o = a.get(i).asInstanceOf[ObjectNode].deepCopy()
+        o.remove("median"); o.remove("percentiles"); o
+      }
+    }
+    assert(fives(tBody) == fives(exBody))
+    // tagSource=metric: catalog-matching filter → tier-served stats keyed
+    // by the catalog value; median absent
+    val (gs1, gB1) = call("GET",
+      s"/gauges/g2/stats/tags/dc:east?start=$H&end=${3 * H}&tagSource=metric",
+      Some("t1"))
+    assert(gs1 == 200, gB1)
+    val node = mapper.readTree(gB1).get("dc:east")
+    assert(node != null && node.get("samples").asLong == 40L &&
+      !node.has("median"), gB1)
+    // unmatched filter → 204 (empty result)
+    val (gs2, _) = call("GET",
+      s"/gauges/g2/stats/tags/dc:west?start=$H&end=${3 * H}&tagSource=metric",
+      Some("t1"))
+    assert(gs2 == 204)
+    // DEFAULT tagSource: per-point grouping — these points carry no
+    // per-point dc tag, so the reference-shaped route answers 204
+    val (gs3, _) = call("GET",
+      s"/gauges/g2/stats/tags/dc:east?start=$H&end=${3 * H}", Some("t1"))
+    assert(gs3 == 204)
+    // bad param value → 400
+    val (gs4, _) = call("GET",
+      s"/gauges/g2/stats/tags/dc:east?tagSource=bogus", Some("t1"))
+    assert(gs4 == 400)
+  }
 }

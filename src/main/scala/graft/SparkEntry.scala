@@ -1371,6 +1371,81 @@ object SparkEntry {
               |FROM sp LEFT JOIN st ON sp.bucket = st.bucket
               |LEFT JOIN est ON sp.bucket = est.bucket""".stripMargin)),
 
+    // ---- POOLED percentile dashboards off the tier pair, end-to-end
+    // through live HTTP: percentileMode=tier on the aggregated-stats
+    // route (GET /gauges/stats?metrics=...) serves the five pooled stats
+    // from gauge_sums and the p90 from the pooled histogram-tier walk,
+    // BOTH pruned to the request's ids by the broadcast semi-join — the
+    // tag-resolved p95 dashboard reads hours × selected metrics × bins
+    // rows; the median-free signature fails the row on raw fallback ----
+    ("rest_served_quantile_pooled", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/rest_served_pq_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        GraftStorage.write(gauge(s, d), s"$base/store/data", SaveMode.Overwrite)
+        new graft.api.MetricsService(s, s"$base/store",
+          Some(graft.api.MetricsService.TierLayout(s"$base/store/tiers",
+            histEdges = Some((0.0, 500.0, 20))))).refreshTiers()
+      }
+      val metrics = gauge(s, d).select("metric").distinct()
+        .orderBy("metric").limit(5).as[String].collect()
+      val t = new graft.api.HttpTransport(s, s"$base/store",
+        tierServing = true).start()
+      val body = try {
+        val q = java.net.URLEncoder.encode(metrics.mkString(","), "UTF-8")
+        val url = s"http://127.0.0.1:${t.boundPort}/gauges/stats" +
+          s"?metrics=$q&start=$S&end=$E&buckets=30&percentiles=90&percentileMode=tier"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Hawkular-Tenant", "acme")
+        require(conn.getResponseCode == 200, s"GET $url -> ${conn.getResponseCode}")
+        val text = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(!text.contains("\"median\""),
+          "expected tier-served (median-free) stats; got the raw path")
+        require(text.contains("\"percentiles\""),
+          "expected the p90 estimate attached to served buckets")
+        text
+      } finally t.stop()
+      s.read.json(Seq(body).toDS)
+        .select(((col("start") - S) / Day).cast("long").as("bucket"),
+          col("empty"),
+          round(col("min"), 6).as("min"), round(col("avg"), 6).as("avg"),
+          round(col("max"), 6).as("max"), round(col("sum"), 6).as("sum"),
+          col("samples").cast("long").as("samples"),
+          element_at(col("percentiles"), 1).getField("value").as("q_est"))
+    },
+      Some(s"""WITH $BaseCte,
+              |sel AS (SELECT DISTINCT metric FROM base ORDER BY metric LIMIT 5),
+              |a AS (SELECT (t - $S) // $Day AS bucket, value FROM base
+              |      WHERE metric IN (SELECT metric FROM sel) AND t >= $S AND t < $E),
+              |st AS (SELECT bucket, min(value) AS mn, ${dsum("value")} / count(*) AS av,
+              |         max(value) AS mx, ${dsum("value")} AS sm,
+              |         CAST(count(*) AS BIGINT) AS n
+              |       FROM a GROUP BY 1),
+              |hb AS (SELECT bucket,
+              |         CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin
+              |       FROM a),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM hb GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.90 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target),
+              |est AS (SELECT bucket,
+              |          round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |        FROM p WHERE rn = 1),
+              |sp AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 30))
+              |SELECT sp.bucket, st.bucket IS NULL AS empty,
+              |       round(st.mn, 6) AS "min", round(st.av, 6) AS avg,
+              |       round(st.mx, 6) AS "max", round(st.sm, 6) AS sum, st.n AS samples,
+              |       est.q_est
+              |FROM sp LEFT JOIN st ON sp.bucket = st.bucket
+              |LEFT JOIN est ON sp.bucket = est.bucket""".stripMargin)),
+
     // ---- stats-by-tags with a METRIC-level (catalog) filter served from
     // the sums tier: tagSource=metric classifies the filter against the
     // metric's catalog definition (same F2 pattern column), so the

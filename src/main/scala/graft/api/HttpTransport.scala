@@ -427,7 +427,8 @@ class HttpTransport(spark: SparkSession, storageRoot: String, port: Int = 0,
       opt(n, "metrics").map(a => arr(a).map(_.asText)).getOrElse(Seq.empty),
       optStr(n, "tags"), optStr(n, "start"), optStr(n, "end"),
       optInt(n, "buckets"), optStr(n, "bucketDuration"),
-      optStr(n, "percentiles"), boolF(n, "stacked"), boolF(n, "fromEarliest"))
+      optStr(n, "percentiles"), boolF(n, "stacked"), boolF(n, "fromEarliest"),
+      optStr(n, "percentileMode"))
 
   private def mixedStatsQuery(n: JsonNode): MixedStatsQuery =
     MixedStatsQuery(

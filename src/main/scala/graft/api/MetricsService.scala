@@ -895,38 +895,56 @@ class MetricsService(spark: SparkSession, root: String,
     * tier pair cannot serve falls back to the EXACT raw path — a MORE
     * accurate answer than asked for, never a silently empty one. */
   private def findGaugeStatsTierApprox(id: MetricId, b: graft.model.Buckets,
-                                       percentiles: Seq[Double]): DataFrame = {
-    val until = refreshedUntil
-    val served = tiers.filter(t => b.end <= until &&
-      GraftStorage.tierServes(spark, t.gaugeSums, b) &&
-      (percentiles.isEmpty || (GraftStorage.tierServes(spark, t.gaugeHist, b) &&
-        GraftStorage.histTierHasMeta(spark, t.gaugeHist))))
-    served match {
+                                       percentiles: Seq[Double]): DataFrame =
+    tierApproxFor(b, percentiles) match {
       case Some(t) =>
-        val five = GraftStorage.rollupStats(spark, t.gaugeSums, b,
-          byMetric = false, ids = Some(oneMetric(id.name)),
-          tenant = Some(id.tenantId), mtypeCode = Some(id.mtype.toInt))
-        val withPcts = if (percentiles.isEmpty) five else {
-          val hist0 = GraftStorage.rollupHistogram(spark, t.gaugeHist, b,
-            ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
-            mtypeCode = Some(id.mtype.toInt))
-          // several quantile walks share ONE served histogram snapshot
-          // (buckets × bins rows) instead of re-scanning the tier each
-          val hist = if (percentiles.lengthCompare(2) >= 0)
-            hist0.localCheckpoint() else hist0
-          percentiles.foldLeft(five) { (acc, q) =>
-            acc.join(MetricsOps.histogramQuantile(hist, q / 100.0)
-              .select(col("bucket"),
-                col("q_est").as(MetricsOps.pctColName(q))),
-              Seq("bucket"), "left")
-          }
-        }
-        MetricsOps.gapFill(withPcts, b)
+        MetricsOps.gapFill(tierApproxServe(t, b, percentiles,
+          oneMetric(id.name), id.tenantId, id.mtype.toInt), b)
       case None =>
         MetricsOps.gapFill(
           MetricsOps.numericBucketStats(series(id), b, percentiles,
             mode = MetricsOps.PercentileMode.Exact,
             parityFeedOrder = Order.Desc), b)
+    }
+
+  /** The layout, iff the TierApprox pair can serve this request: grid on
+    * whole tier hours, inside the freshness watermark, sums tier built,
+    * and — when percentiles were asked — the histogram tier built with
+    * declared edges. Shared by the per-id and pooled dispatches. */
+  private def tierApproxFor(b: graft.model.Buckets,
+                            percentiles: Seq[Double]): Option[MetricsService.TierLayout] = {
+    lazy val until = refreshedUntil
+    tiers.filter(t => b.end <= until &&
+      GraftStorage.tierServes(spark, t.gaugeSums, b) &&
+      (percentiles.isEmpty || (GraftStorage.tierServes(spark, t.gaugeHist, b) &&
+        GraftStorage.histTierHasMeta(spark, t.gaugeHist))))
+  }
+
+  /** The TierApprox serve body over an arbitrary id set: five exact
+    * pooled stats from `gauge_sums` joined per bucket with the
+    * histogram-tier quantile walk over the SAME ids — both scans prune
+    * to the request's ids via the broadcast semi-join, so a tag-resolved
+    * p95 dashboard reads hours × selected-metrics (× bins) rows only. */
+  private def tierApproxServe(t: MetricsService.TierLayout,
+                              b: graft.model.Buckets, percentiles: Seq[Double],
+                              ids: DataFrame, tenantId: String,
+                              mtypeCode: Int): DataFrame = {
+    val five = GraftStorage.rollupStats(spark, t.gaugeSums, b,
+      byMetric = false, ids = Some(ids),
+      tenant = Some(tenantId), mtypeCode = Some(mtypeCode))
+    if (percentiles.isEmpty) five else {
+      val hist0 = GraftStorage.rollupHistogram(spark, t.gaugeHist, b,
+        ids = Some(ids), tenant = Some(tenantId), mtypeCode = Some(mtypeCode))
+      // several quantile walks share ONE served histogram snapshot
+      // (buckets × bins rows) instead of re-scanning the tier each
+      val hist = if (percentiles.lengthCompare(2) >= 0)
+        hist0.localCheckpoint() else hist0
+      percentiles.foldLeft(five) { (acc, q) =>
+        acc.join(MetricsOps.histogramQuantile(hist, q / 100.0)
+          .select(col("bucket"),
+            col("q_est").as(MetricsOps.pctColName(q))),
+          Seq("bucket"), "left")
+      }
     }
   }
 
@@ -1152,38 +1170,68 @@ class MetricsService(spark: SparkSession, root: String,
   }
 
   /** A4/A5 with the id set coming from a FRAME (e.g. the tag compiler's
-    * resolved catalog) — the broadcast semi-join shape is identical. */
+    * resolved catalog) — the broadcast semi-join shape is identical.
+    *
+    * `mode` (ENGINE EXTENSION, `percentileMode` on the aggregated-stats
+    * routes): `None` is today's behavior — tier for aligned
+    * percentile-free pooled requests, [[MetricsService.DefaultPercentileMode]]
+    * for raw percentile aggregates. `Some(TierApprox)` additionally
+    * routes POOLED aligned in-watermark PERCENTILE requests through the
+    * histogram tier pair over the id semi-join (the tag-resolved p95
+    * dashboard — hours × selected metrics × bins read, raw never
+    * scanned; stacked and counter requests resolve to the default raw
+    * path: stacked sums per-metric statistics and the distribution tier
+    * covers gauges). An explicit exact/p2parity/p2sketch pins the raw
+    * aggregate's strategy; non-Exact explicit modes keep the raw path
+    * even when percentile-free (their median estimate is part of the
+    * requested semantics — a tier serve would omit it). */
   def findNumericStats(tenantId: String, mtype: MetricType, ids: DataFrame,
                        config: BucketConfig, percentiles: Seq[Double],
-                       stacked: Boolean): DataFrame = {
+                       stacked: Boolean,
+                       mode: Option[MetricsOps.PercentileMode] = None): DataFrame = {
+    val b = config.buckets
+    if (mode.contains(MetricsOps.PercentileMode.TierApprox) && !stacked &&
+        mtype == MetricType.Gauge) {
+      tierApproxFor(b, percentiles) match {
+        case Some(t) =>
+          return MetricsOps.gapFill(tierApproxServe(t, b, percentiles,
+            ids.select("metric"), tenantId, mtype.code.toInt), b)
+        case None => () // fall through to the default dispatch below
+      }
+    }
+    val aggMode = mode match {
+      case Some(MetricsOps.PercentileMode.TierApprox) | None => DefaultPercentileMode
+      case Some(m) => m
+    }
     // POOLED aligned percentile-free requests serve from the sums tier:
     // pooling IS the tier's byMetric=false bucket re-aggregate over the
     // id set's semi-join (stacked cannot — it sums per-metric statistics,
     // medians included, which need the raw distribution per metric)
-    val tierPath = if (stacked) None else tierFor(
+    val tierEligible = mode.forall(m => m == MetricsOps.PercentileMode.Exact ||
+      m == MetricsOps.PercentileMode.TierApprox)
+    val tierPath = if (stacked || !tierEligible) None else tierFor(
       if (mtype == MetricType.Counter) _.counterSums else _.gaugeSums,
-      config.buckets, percentiles)
+      b, percentiles)
     tierPath match {
       case Some(p) =>
         MetricsOps.gapFill(
-          GraftStorage.rollupStats(spark, p, config.buckets, byMetric = false,
+          GraftStorage.rollupStats(spark, p, b, byMetric = false,
             ids = Some(ids.select("metric")), tenant = Some(tenantId),
-            mtypeCode = Some(mtype.code.toInt)), config.buckets)
+            mtypeCode = Some(mtype.code.toInt)), b)
       case None =>
         val dp = MetricsOps.dataPointsForIds(
           raw().filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt), ids)
         // counters store in l_value — aggregating the gauge column would
         // silently answer empty buckets for every counter stats request
         val valueCol = if (mtype == MetricType.Counter) "l_value" else "n_value"
-        val b = config.buckets
         // dense (A2) like the reference's NumericBucketPoint.toList finish of
         // findNumericStats (MetricsServiceImpl.java:926-966) — pooled and
         // stacked answers carry all b.count buckets, empties null-filled
         MetricsOps.gapFill(
           if (stacked) MetricsOps.stackedStats(dp, b, percentiles,
-            valueCol = valueCol, mode = DefaultPercentileMode)
+            valueCol = valueCol, mode = aggMode)
           else MetricsOps.pooledStats(dp, b, percentiles,
-            valueCol = valueCol, mode = DefaultPercentileMode), b)
+            valueCol = valueCol, mode = aggMode), b)
     }
   }
 
@@ -1197,7 +1245,8 @@ class MetricsService(spark: SparkSession, root: String,
                                    ids: DataFrame, bucketCount: Option[Int],
                                    bucketDuration: Option[GDuration],
                                    percentiles: Seq[Double], stacked: Boolean,
-                                   now: Long): DataFrame = {
+                                   now: Long,
+                                   mode: Option[MetricsOps.PercentileMode] = None): DataFrame = {
     // the BucketConfig XOR rule, BEFORE the retention aggregate runs a
     // job — a request rejected with 400 must not cost a catalog scan
     require(bucketCount.isDefined ^ bucketDuration.isDefined,
@@ -1208,7 +1257,8 @@ class MetricsService(spark: SparkSession, root: String,
     val range = multiFromEarliestRange(tenantId, mtype, idsOnce, now)
     MetricsOps.skipLeadingEmptyBuckets(
       findNumericStats(tenantId, mtype, idsOnce,
-        BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked))
+        BucketConfig(range, bucketCount, bucketDuration), percentiles, stacked,
+        mode))
   }
 
   /** Rate twin of [[findNumericStatsFromEarliest]] — GET /{type}s/rate/

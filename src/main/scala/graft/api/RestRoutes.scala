@@ -134,7 +134,10 @@ object RestRoutes {
                                         bucketDuration: Option[String] = None,
                                         percentiles: Option[String] = None,
                                         stacked: Boolean = false,
-                                        fromEarliest: Boolean = false)
+                                        fromEarliest: Boolean = false,
+                                        // ENGINE EXTENSION (absent = the
+                                        // reference-shaped default)
+                                        percentileMode: Option[String] = None)
 
   /** Body of POST /metrics/stats/query (StatsQueryRequest.java:30-46):
     * series named by the per-type-text `metrics` id map OR the `tags`
@@ -292,7 +295,8 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
         bucketDuration = params.get("bucketDuration"),
         percentiles = params.get("percentiles"),
         stacked = flag(params, "stacked"),
-        fromEarliest = flag(params, "fromEarliest")), now)
+        fromEarliest = flag(params, "fromEarliest"),
+        percentileMode = params.get("percentileMode")), now)
     // JAX-RS literal-wins: a one-segment path equal to a literal route
     // word ("raw"/"data" ingest, "stats" collection) never falls back to
     // the {id} template for methods the literal doesn't carry — DELETE
@@ -864,15 +868,19 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
     * hours × bins counts (raw never read, estimate error bounded by the
     * bin width band), everything else falls back to exact raw. The
     * reference has no such knob — it always serves P². */
-  private def percentileModeOf(params: Map[String, String]): MetricsOps.PercentileMode =
-    params.get("percentileMode").map {
+  private def percentileModeNamed(name: String): MetricsOps.PercentileMode =
+    name match {
       case "exact" => MetricsOps.PercentileMode.Exact
       case "p2parity" => MetricsOps.PercentileMode.P2Parity
       case "p2sketch" => MetricsOps.PercentileMode.P2Sketch
       case "tier" => MetricsOps.PercentileMode.TierApprox
       case other => throw new IllegalArgumentException(
         s"Invalid percentileMode '$other' (expected exact, p2parity, p2sketch or tier)")
-    }.getOrElse(MetricsOps.PercentileMode.Exact)
+    }
+
+  private def percentileModeOf(params: Map[String, String]): MetricsOps.PercentileMode =
+    params.get("percentileMode").map(percentileModeNamed)
+      .getOrElse(MetricsOps.PercentileMode.Exact)
 
   /** The shared engine of GET /{type}s/stats and POST /{type}s/stats/
     * query — ONE code path is what makes the reference's POST ≡ GET
@@ -889,17 +897,23 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
         val s = spark; import s.implicits._
         q.metrics.toDF("metric")
     }
+    // ENGINE EXTENSION percentileMode (see idStats' scaladoc): absent
+    // keeps the reference-shaped default (tier for aligned percentile-
+    // free pooled requests, adaptive-exact raw percentile aggregates);
+    // `tier` routes pooled aligned percentile requests through the
+    // histogram tier pair over the id semi-join
+    val mode = q.percentileMode.map(percentileModeNamed)
     val stats =
       if (q.fromEarliest) {
         require(q.start.isEmpty && q.end.isEmpty,
           "fromEarliest can only be used without start & end")
         svc.findNumericStatsFromEarliest(tenant, t, ids,
           q.buckets, q.bucketDuration.map(GDuration.parse),
-          pcts.quantiles, q.stacked, now)
+          pcts.quantiles, q.stacked, now, mode)
       } else
         svc.findNumericStats(tenant, t, ids,
           bucketConfig(q.start, q.end, q.buckets, q.bucketDuration, now),
-          pcts.quantiles, q.stacked)
+          pcts.quantiles, q.stacked, mode)
     Ok(renamePcts(stats, pcts))
   }
 

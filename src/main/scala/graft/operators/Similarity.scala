@@ -967,9 +967,16 @@ object Similarity {
    * passes + one partitioned write), scheduled off the drift signal;
    * appends and deletes stay cheap in between.
    */
+  /** `hier = true` retrains through [[hierKmeansModel]] — the √cells
+    * assignment path — so a drift-triggered retrain at cells ∝ corpus
+    * keeps the build-cost curve [[writeIvfIndexHier]] established
+    * (O(n·√cells) instead of O(n·cells)); the resulting store is
+    * INDISTINGUISHABLE from a fresh writeIvfIndexHier over the live
+    * corpus (spec-pinned), and serving stays the shared flat-leaf path. */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       kCells: Int = 4, iters: Int = 2,
-                      sampleN: Option[Int] = None): Unit = {
+                      sampleN: Option[Int] = None,
+                      hier: Boolean = false): Unit = {
     import spark.implicits._
     val store = new org.apache.hadoop.fs.Path(path)
     val dead = deletedVecs(spark, path)
@@ -979,12 +986,19 @@ object Similarity {
     val live = dead.fold(corpus)(d =>
       corpus.join(broadcast(d), Seq("vec_id"), "left_anti"))
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
-      val model = kmeansCentroids(
-        sampleN.fold(live)(n => trainingSample(live, n).localCheckpoint()),
-        kCells, iters)
-      withNorm(live.select(col("vec_id"), col("embedding"), dvec("embedding").as("v")), "v")
-        .withColumn("cell", assignCell(model, "v", "nrm"))
-        .select("vec_id", "embedding", "cell")
+      val trainSet = sampleN.fold(live)(n => trainingSample(live, n).localCheckpoint())
+      val (assigned, model) =
+        if (hier) {
+          val m = hierKmeansModel(trainSet, kCells, iters)
+          (hierAssigned(live, m), m.leaves)
+        } else {
+          val m = kmeansCentroids(trainSet, kCells, iters)
+          (withNorm(live.select(col("vec_id"), col("embedding"),
+            dvec("embedding").as("v")), "v")
+            .withColumn("cell", assignCell(m, "v", "nrm"))
+            .select("vec_id", "embedding", "cell"), m)
+        }
+      assigned
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/vectors")
       model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")

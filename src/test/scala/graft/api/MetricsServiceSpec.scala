@@ -1007,6 +1007,68 @@ class MetricsServiceSpec extends SparkTestBase {
       "the refreshed tier must serve the late point")
   }
 
+  test("pooled TierApprox: aligned multi-metric percentile requests read " +
+    "gauge_sums + gauge_hist over the id semi-join only; five stats equal " +
+    "the exact pooled raw answer; stacked / counter / explicit-sketch " +
+    "requests keep the raw path; default pooled dispatch unchanged") {
+    import graft.storage.GraftStorage
+    import graft.operators.MetricsOps
+    val root = Files.createTempDirectory("graft-svc-pooledpct").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.TierLayout(s"$root/tiers",
+        histEdges = Some((0.0, 100.0, 20)))))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    val pts = (1 to 40).flatMap(i => Seq(
+      ("ma", H + i * 60000L, i.toDouble), ("mb", H + i * 61000L, (i * 2 % 90).toDouble)))
+    tiered.addDataPoints(canonicalPoints(
+      pts.toDF("metric", "time", "n_value"), MetricType.Gauge))
+    tiered.refreshTiers()
+    val cfg = BucketConfig(TimeRange(H, 3 * H), Some(2), None)
+    val ids = Seq("ma", "mb")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // pooled TierApprox with percentiles: tier pair only
+    val served = tiered.findNumericStats("t1", MetricType.Gauge,
+      ids.toDF("metric"), cfg, Seq(90.0), stacked = false,
+      Some(MetricsOps.PercentileMode.TierApprox))
+    assert(plan(served).contains("gauge_sums") && plan(served).contains("gauge_hist") &&
+      !plan(served).contains("/data"),
+      s"pooled TierApprox must read the two tiers only:\n${plan(served)}")
+    val exact = tiered.findNumericStats("t1", MetricType.Gauge,
+      ids.toDF("metric"), cfg, Seq(90.0), stacked = false)
+    assert(plan(exact).contains("/data"),
+      "the default pooled percentile path must keep reading raw")
+    val five = Seq("bucket", "min", "avg", "max", "sum", "samples")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(five.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(served) == rows(exact),
+      "the five pooled stats must stay exactly the raw-path answer")
+    // estimate in band of the exact pooled p90
+    val est = served.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ex = exact.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == ex.keySet && est.nonEmpty)
+    ex.foreach { case (b, v) => assert(math.abs(est(b) - v) <= 10.0,
+      s"bucket $b: pooled estimate ${est(b)} too far from exact $v") }
+    // STACKED TierApprox resolves to raw (per-metric distributions)
+    val stackedReq = tiered.findNumericStats("t1", MetricType.Gauge,
+      ids.toDF("metric"), cfg, Seq(90.0), stacked = true,
+      Some(MetricsOps.PercentileMode.TierApprox))
+    assert(plan(stackedReq).contains("/data"))
+    // explicit p2sketch keeps raw even PERCENTILE-FREE (its median
+    // estimate is part of the requested semantics)
+    val sk = tiered.findNumericStats("t1", MetricType.Gauge,
+      ids.toDF("metric"), cfg, Seq.empty, stacked = false,
+      Some(MetricsOps.PercentileMode.P2Sketch))
+    assert(plan(sk).contains("/data") && sk.columns.contains("median"))
+    // default percentile-free pooled dispatch still serves the sums tier
+    assert(plan(tiered.findNumericStats("t1", MetricType.Gauge,
+      ids.toDF("metric"), cfg, Seq.empty, stacked = false)).contains("gauge_sums"))
+  }
+
   test("freshness watermark durability: refreshTiers commits the watermark " +
     "via temp + rename (no tmp residue, parsable value); a TORN/garbage " +
     "watermark degrades requests to the raw path instead of erroring") {

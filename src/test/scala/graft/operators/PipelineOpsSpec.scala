@@ -408,6 +408,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!Similarity.ivfStoredTopK(s, path, q, 50, nprobe = leaves)
       .collect().map(_.getLong(1)).contains(7L),
       "tombstoned ids must stop ranking immediately")
+    // hier RETRAIN: after the appends + delete above, retrain(hier=true)
+    // must leave the store indistinguishable from a fresh hier build over
+    // the live corpus (same deterministic two-level training)
+    Similarity.retrainIvfIndex(s, path, kCells = 4, iters = 2, hier = true)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ivfhier-f").toString + "/ix"
+    Similarity.writeIvfIndexHier(e.filter(col("vec_id") =!= 7L), fresh,
+      kCells = 4, iters = 2)
+    assert(s.read.parquet(s"$path/centroids").collect().map(_.toSeq).toSet ==
+      s.read.parquet(s"$fresh/centroids").collect().map(_.toSeq).toSet,
+      "hier retrain must train the same leaf model as a fresh hier build")
+    assert(rows(Similarity.ivfStoredTopK(s, path, q, 50, nprobe = leaves)) ==
+      rows(Similarity.ivfStoredTopK(s, fresh, q, 50, nprobe = leaves)),
+      "hier retrain must serve identically to a fresh hier build")
     // recall band vs the flat trainer at the same (kCells, iters, nprobe)
     def meanRecall(df: org.apache.spark.sql.DataFrame) = {
       val r = df.select("recall").collect().map(_.getDouble(0))

@@ -451,27 +451,35 @@ class MetricsService(spark: SparkSession, root: String,
   val MaxStringSize = 2048 // reference MetricsServiceImpl maxStringSize default
 
   /** S1 — batch append of canonical datapoints. On a tier-serving
-    * service, slices the batch backfills BELOW the freshness watermark
-    * are recorded in the dirty-slice log so the next [[refreshTiers]]
-    * re-aggregates them automatically — correctness of late backfill no
-    * longer depends on an operator knowing which slices to re-refresh. */
-  def addDataPoints(points: DataFrame): Unit = {
-    GraftStorage.write(points, dataPath)
-    markBackfill(points)
-  }
-
-  /** The ingest half of the dirty-slice contract: distinct slices of the
-    * batch's points older than the watermark (batch-sized filter +
-    * tiny distinct collect — nothing store-sized; skipped entirely when
-    * no tier layout is configured or nothing was ever refreshed). */
-  private def markBackfill(points: DataFrame): Unit = tiers.foreach { t =>
-    val wm = refreshedUntil
-    if (wm != Long.MinValue) {
-      val dirty = points.filter(col("time") < wm)
-        .select((col("time") / GraftStorage.SliceMs).cast("long").as("s"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      GraftStorage.markDirtySlices(spark, t.root, dirty)
+    * service, EVERY touched slice is recorded in the dirty-slice log so
+    * the next [[refreshTiers]] re-aggregates any the tiers already
+    * covered — correctness of late backfill no longer depends on an
+    * operator knowing which slices to re-refresh. Marking is
+    * UNCONDITIONAL (not `time < watermark`): a watermark-filtered mark
+    * races a concurrent refresh — a point landing after the refresh's
+    * raw scan but before its watermark commit would compare against the
+    * OLD watermark, skip marking, and then be covered by the NEW one
+    * with no record anywhere (permanently missing from the tiers).
+    * Marks the sweep does not need yet (slices at/above the watermark)
+    * cost nothing: the sweep leaves them for the tail refresh that
+    * covers them ([[refreshTiers]]'s handled-file rule). The batch is
+    * checkpointed so the write and the slice-set collect share one
+    * evaluation of the caller's lineage. */
+  def addDataPoints(points: DataFrame): Unit =
+    if (tiers.isEmpty) GraftStorage.write(points, dataPath)
+    else {
+      val p = points.localCheckpoint()
+      GraftStorage.write(p, dataPath)
+      markIngestedSlices(p)
     }
+
+  /** The ingest half of the dirty-slice contract: the batch's distinct
+    * slices (batch-sized aggregate + tiny collect — nothing store-sized). */
+  private def markIngestedSlices(points: DataFrame): Unit = tiers.foreach { t =>
+    val slices = points
+      .select((col("time") / GraftStorage.SliceMs).cast("long").as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    GraftStorage.markDirtySlices(spark, t.root, slices)
   }
 
   /** S3 — string datapoints with the size cap enforced at ingest. */
@@ -504,33 +512,44 @@ class MetricsService(spark: SparkSession, root: String,
     val t = tiers.getOrElse(throw new IllegalStateException(
       "refreshTiers needs a MetricsService constructed with a TierLayout"))
     refreshFamilies(t, upToSlice, fromSlice)
-    // DIRTY-SLICE SWEEP: slices backfilled below the watermark since the
-    // last refresh ([[markBackfill]]) re-aggregate here, grouped into
-    // contiguous runs; entries this refresh's own window already covers
-    // are skipped. The swept files delete only AFTER the re-aggregation
-    // landed — a crash in between replays the sweep next run, which
-    // re-aggregates the same slices to the same rows (idempotent).
+    // the freshness WATERMARK value this refresh earns: a bounded
+    // refresh covers raw through its slice bound, an unbounded one
+    // through the wall clock at refresh START (`now` defaults at method
+    // entry — nothing ingested mid-refresh can sit below it unseen
+    // WITHOUT a dirty mark, see addDataPoints). The committed watermark
+    // NEVER REGRESSES: a re-refresh of an old late-slice window (the
+    // dirty sweep's own recipe) must not lower tier coverage — a
+    // lowered watermark would make ingest-side mark filtering skip
+    // still-covered slices and silently strand backfills.
+    val until = math.max(refreshedUntil,
+      if (upToSlice == Long.MaxValue) now else upToSlice * GraftStorage.SliceMs)
+    // DIRTY-SLICE SWEEP: ingested slices recorded since the last refresh
+    // ([[markIngestedSlices]]) re-aggregate here in contiguous runs —
+    // EXCEPT slices this refresh's own window already covers (no double
+    // work) and slices at/above the effective watermark (the unrefreshed
+    // tail: the tail refresh that covers them sweeps or window-covers
+    // them then; their log files are KEPT below). Files delete only
+    // AFTER the re-aggregation landed, and only when EVERY slice they
+    // name was handled — a crash in between replays the sweep next run,
+    // which re-aggregates the same slices to the same rows (idempotent).
     val log = GraftStorage.dirtySliceLog(spark, t.root)
+    val windowCovered = (s: Long) => s >= fromSlice && s < upToSlice
+    val belowWatermark = (s: Long) => s * GraftStorage.SliceMs < until
     val pending = log.flatMap(_._2).distinct.sorted
-      .filterNot(s => s >= fromSlice && s < upToSlice)
+      .filter(s => !windowCovered(s) && belowWatermark(s))
     contiguousRuns(pending).foreach { case (lo, hi) =>
       refreshFamilies(t, upToSlice = hi + 1, fromSlice = lo)
     }
-    // the freshness WATERMARK, written only after every family landed: a
-    // bounded refresh covers raw through its slice bound, an unbounded
-    // one through the wall clock at refresh start. tierFor refuses the
-    // tier for any request extending past it — without this, an
-    // hour-aligned request over the not-yet-refreshed tail would serve
-    // silently EMPTY buckets where raw has data. (Late points backfilled
-    // into already-refreshed slices are the dirty-slice log's contract
-    // above — the API ingest paths mark them, this sweep clears them;
-    // direct GraftStorage.write users either mark via
+    // tierFor refuses the tier for any request extending past the
+    // watermark — without it, an hour-aligned request over the
+    // not-yet-refreshed tail would serve silently EMPTY buckets where
+    // raw has data. (Direct GraftStorage.write users either mark via
     // GraftStorage.markDirtySlices or re-refresh via fromSlice, the
     // reference's 2h-lateness compaction posture.)
-    val until =
-      if (upToSlice == Long.MaxValue) now else upToSlice * GraftStorage.SliceMs
     writeRefreshedUntil(until)
-    GraftStorage.clearDirtyFiles(spark, log.map(_._1))
+    val handled = (s: Long) => windowCovered(s) || belowWatermark(s)
+    GraftStorage.clearDirtyFiles(spark,
+      log.collect { case (f, ss) if ss.forall(handled) => f })
   }
 
   /** One refresh window across all configured tier families — shared by
@@ -910,14 +929,26 @@ class MetricsService(spark: SparkSession, root: String,
   /** The layout, iff the TierApprox pair can serve this request: grid on
     * whole tier hours, inside the freshness watermark, sums tier built,
     * and — when percentiles were asked — the histogram tier built with
-    * declared edges. Shared by the per-id and pooled dispatches. */
+    * declared edges AND covering the request's history: a hist tier
+    * seeded AFTER months of sums history holds fewer slices, and
+    * approving it on existence alone would left-join NULL percentiles
+    * onto populated buckets — the silently-empty class the watermark
+    * exists to prevent. Coverage = the hist tier reaches back to the
+    * request's first slice, or as far back as the sums tier itself does
+    * (then missing buckets are genuine empties). Listing probes only.
+    * Shared by the per-id and pooled dispatches. */
   private def tierApproxFor(b: graft.model.Buckets,
                             percentiles: Seq[Double]): Option[MetricsService.TierLayout] = {
     lazy val until = refreshedUntil
+    def histCovers(t: MetricsService.TierLayout): Boolean =
+      GraftStorage.tierMinSlice(spark, t.gaugeHist).exists { h =>
+        h <= b.start / GraftStorage.SliceMs ||
+          GraftStorage.tierMinSlice(spark, t.gaugeSums).exists(h <= _)
+      }
     tiers.filter(t => b.end <= until &&
       GraftStorage.tierServes(spark, t.gaugeSums, b) &&
       (percentiles.isEmpty || (GraftStorage.tierServes(spark, t.gaugeHist, b) &&
-        GraftStorage.histTierHasMeta(spark, t.gaugeHist))))
+        GraftStorage.histTierHasMeta(spark, t.gaugeHist) && histCovers(t))))
   }
 
   /** The TierApprox serve body over an arbitrary id set: five exact
@@ -1127,11 +1158,13 @@ class MetricsService(spark: SparkSession, root: String,
     // filter-sized local frame so `*`/`|`/negation semantics are
     // byte-identical to the per-point route's
     val matched = tagFilters.keySet.subsetOf(defTags.keySet) && {
-      val probe = tagFilters.keys.toSeq.map(k => (k, defTags(k))).toDF("k", "v")
+      // one literal row, one conjunction — the same foldLeft-of-
+      // filterPattern shape the per-point route uses, over the catalog
+      // values as literals; a single tiny job decides the match
       val pred = tagFilters.map { case (k, pat) =>
-        col("k") === k && graft.functions.GraftFunctions.filterPattern(col("v"), pat)
-      }.reduce(_ || _)
-      probe.filter(pred).count() == tagFilters.size
+        graft.functions.GraftFunctions.filterPattern(lit(defTags(k)), pat)
+      }.reduce(_ && _)
+      Seq(1).toDF("one").filter(pred).count() == 1
     }
     val v = col(valueCol).cast("double")
     def rawBranch: DataFrame = {
@@ -1200,7 +1233,12 @@ class MetricsService(spark: SparkSession, root: String,
       }
     }
     val aggMode = mode match {
-      case Some(MetricsOps.PercentileMode.TierApprox) | None => DefaultPercentileMode
+      // the TierApprox contract (PercentileMode.TierApprox scaladoc, and
+      // the per-id twin): what the tier pair cannot serve runs EXACT raw
+      // — more accurate than asked, never a different estimator
+      case Some(MetricsOps.PercentileMode.TierApprox) =>
+        MetricsOps.PercentileMode.Exact
+      case None => DefaultPercentileMode
       case Some(m) => m
     }
     // POOLED aligned percentile-free requests serve from the sums tier:

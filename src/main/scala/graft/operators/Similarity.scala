@@ -625,7 +625,17 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).toSeq)
     }
-    HierIvfModel(coarse, leaves, kChild)
+    // a coarse cell can end CHILDLESS when the TRAINING set is smaller
+    // than the assignment corpus (sampleN builds, hier retrains): it won
+    // members during a Lloyd pass but lost them all in the final coarse
+    // re-assignment, so no seeds derived under it. Keeping it in the
+    // routing model would send full-corpus vectors into a coarse cell
+    // with no leaves — prune it so every routed vector finds children
+    // (its vectors take their next-best coarse cell, the standard
+    // empty-cell handling). Unreachable for full-corpus training (every
+    // coarse cell with members has seeds), so no SQL oracle diverges.
+    val withChildren = leaves.map(_._1 / kChild).toSet
+    HierIvfModel(coarse.filter(c => withChildren(c._1)), leaves, kChild)
   }
 
   /** Leaf assignment through a FIXED coarse routing: argmax by cosine

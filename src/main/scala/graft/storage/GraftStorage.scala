@@ -425,6 +425,25 @@ object GraftStorage {
     files.foreach(f =>
       f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, false))
 
+  /** Earliest slice present in a slice-partitioned tier — a directory
+    * LISTING probe (no data read), None for a dataless tier. The
+    * percentile dispatch's COVERAGE guard: a histogram tier seeded after
+    * months of sums history holds fewer slices than gauge_sums, and
+    * approving it on existence alone would serve NULL percentiles for
+    * every older in-watermark bucket — the silently-empty failure class
+    * the freshness watermark exists to prevent. */
+  def tierMinSlice(spark: SparkSession, path: String): Option[Long] = {
+    val SlicePat = ".*/time_slice=(-?\\d+)$".r
+    Option(rootFs(spark, path).globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/*/*/time_slice=*")))
+      .getOrElse(Array.empty).toSeq
+      .flatMap(_.getPath.toString match {
+        case SlicePat(s) => Some(s.toLong)
+        case _ => None
+      })
+      .minOption
+  }
+
   private def histMetaPath(histPath: String) = s"$histPath/_histmeta"
 
   /** Whether a histogram tier at `histPath` has declared bin edges — the

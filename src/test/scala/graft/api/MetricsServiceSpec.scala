@@ -769,26 +769,38 @@ class MetricsServiceSpec extends SparkTestBase {
       !plan(incTier).contains("/data"))
     assert(incRows(incTier) == incRows(plain.findCounterIncrease("t1", r)) &&
       incRows(incTier).nonEmpty)
-    // FRESHNESS watermark: ingest a point past the refreshed window, then
-    // re-refresh BOUNDED to slice 0 — an aligned request extending past
-    // the watermark must take the raw path (the tier would serve a
-    // silently EMPTY bucket where raw has the new point)
+    // FRESHNESS watermark: a tail the tiers never covered answers from
+    // raw. Constructed on a FRESH store with a bounded FIRST refresh —
+    // on an already-fully-refreshed store this state is no longer
+    // constructible, because the watermark never regresses and ingest
+    // marks + the sweep fold late points in automatically (the
+    // dirty-slice contract; pinned in its own spec)
     locally {
-      val s = spark
-      import s.implicits._
-      tiered.addDataPoints(canonicalPoints(
-        Seq((25 * H + 100L, 7.0)).toDF("time", "n_value")
+      val s2 = spark
+      import s2.implicits._
+      val root2 = Files.createTempDirectory("graft-svc-tier-tail").toString
+      val t2 = new MetricsService(spark, root2,
+        Some(MetricsService.defaultTiers(root2)))
+      t2.addDataPoints(canonicalPoints(
+        Seq((H + 100L, 1.0), (25 * H + 100L, 7.0)).toDF("time", "n_value")
           .withColumn("metric", lit("g")), MetricType.Gauge))
+      t2.refreshTiers(upToSlice = 1) // watermark = 24h, slice 1 unrefreshed
+      val tail = BucketConfig(TimeRange(24 * H, 26 * H), Some(2), None)
+      val gTail = t2.findGaugeStats(g, tail)
+      assert(plan(gTail).contains("/data"),
+        "an aligned request past the watermark must take the raw path")
+      assert(gTail.filter(col("samples") === 1).count() == 1,
+        "the raw path must see the unrefreshed point")
+      // …while in-watermark aligned requests serve from the tier
+      assert(plan(t2.findGaugeStats(g,
+        BucketConfig(TimeRange(H, 3 * H), Some(2), None))).contains("gauge_sums"))
+      // the slice-1 ingest mark was KEPT (above the watermark, not swept
+      // early); the tail refresh covers it and the tier takes over
+      t2.refreshTiers()
+      assert(plan(t2.findGaugeStats(g, tail)).contains("gauge_sums"))
+      assert(t2.findGaugeStats(g, tail)
+        .filter(col("samples") === 1).count() == 1)
     }
-    tiered.refreshTiers(upToSlice = 1) // watermark = 24h, slice 1 unrefreshed
-    val tail = BucketConfig(TimeRange(24 * H, 26 * H), Some(2), None)
-    val gTail = tiered.findGaugeStats(g, tail)
-    assert(plan(gTail).contains("/data"),
-      "an aligned request past the watermark must take the raw path")
-    assert(gTail.filter(col("samples") === 1).count() == 1,
-      "the raw path must see the unrefreshed point")
-    // …while in-watermark aligned requests keep serving from the tier
-    assert(plan(tiered.findGaugeStats(g, aligned)).contains("gauge_sums"))
   }
 
   test("tier serving: a family with NO data (empty tier dir after refresh) " +
@@ -984,20 +996,27 @@ class MetricsServiceSpec extends SparkTestBase {
     def all(df: org.apache.spark.sql.DataFrame) =
       df.select((five :+ "p90_0").map(col): _*).collect().map(_.toSeq).toSet
     assert(all(misApprox) == all(tiered.findGaugeStats(g, mis, Seq(90.0))))
-    // past the watermark: raw fallback too
-    tiered.addDataPoints(canonicalPoints(
-      Seq((25 * H + 100L, 7.0)).toDF("time", "n_value")
+    // past the watermark: raw fallback too (fresh store, bounded FIRST
+    // refresh — see the tier-serving spec's tail note: on a refreshed
+    // store the monotonic watermark + dirty sweep make this state
+    // unconstructible)
+    val root2 = Files.createTempDirectory("graft-svc-tierpct2").toString
+    val t2 = new MetricsService(spark, root2,
+      Some(MetricsService.TierLayout(s"$root2/tiers",
+        histEdges = Some((0.0, 100.0, 20)))))
+    t2.addDataPoints(canonicalPoints(
+      (pts :+ (25 * H + 100L, 7.0)).toDF("time", "n_value")
         .withColumn("metric", lit("g")), MetricType.Gauge))
-    tiered.refreshTiers(upToSlice = 1)
+    t2.refreshTiers(upToSlice = 1)
     val tail = BucketConfig(TimeRange(24 * H, 26 * H), Some(2), None)
-    assert(plan(tiered.findGaugeStats(g, tail, Seq(90.0),
+    assert(plan(t2.findGaugeStats(g, tail, Seq(90.0),
       MetricsOps.PercentileMode.TierApprox)).contains("/data"),
       "past-watermark TierApprox must take the raw path")
     // a layout WITHOUT histEdges keeps the seeded hist tier fresh from
-    // its own meta: the late point lands in the tier after a plain
+    // its own meta: the tail point lands in the tiers after a plain
     // refresh through an edge-less layout
-    val edgeless = new MetricsService(spark, root,
-      Some(MetricsService.TierLayout(s"$root/tiers")))
+    val edgeless = new MetricsService(spark, root2,
+      Some(MetricsService.TierLayout(s"$root2/tiers")))
     edgeless.refreshTiers()
     val tailApprox = edgeless.findGaugeStats(g, tail, Seq(90.0),
       MetricsOps.PercentileMode.TierApprox)
@@ -1058,6 +1077,18 @@ class MetricsServiceSpec extends SparkTestBase {
       ids.toDF("metric"), cfg, Seq(90.0), stacked = true,
       Some(MetricsOps.PercentileMode.TierApprox))
     assert(plan(stackedReq).contains("/data"))
+    // misaligned TierApprox: EXACT raw fallback — identical to the
+    // explicit-Exact pooled answer, percentiles included (the TierApprox
+    // contract: never a different estimator)
+    val misCfg = BucketConfig(TimeRange(H, 3 * H), Some(5), None)
+    def all(df: org.apache.spark.sql.DataFrame) = df
+      .select((five :+ "p90_0").map(col): _*).collect().map(_.toSeq).toSet
+    assert(all(tiered.findNumericStats("t1", MetricType.Gauge,
+      ids.toDF("metric"), misCfg, Seq(90.0), stacked = false,
+      Some(MetricsOps.PercentileMode.TierApprox))) ==
+      all(tiered.findNumericStats("t1", MetricType.Gauge,
+        ids.toDF("metric"), misCfg, Seq(90.0), stacked = false,
+        Some(MetricsOps.PercentileMode.Exact))))
     // explicit p2sketch keeps raw even PERCENTILE-FREE (its median
     // estimate is part of the requested semantics)
     val sk = tiered.findNumericStats("t1", MetricType.Gauge,
@@ -1067,6 +1098,53 @@ class MetricsServiceSpec extends SparkTestBase {
     // default percentile-free pooled dispatch still serves the sums tier
     assert(plan(tiered.findNumericStats("t1", MetricType.Gauge,
       ids.toDF("metric"), cfg, Seq.empty, stacked = false)).contains("gauge_sums"))
+  }
+
+  test("watermark monotonicity + hist coverage: an old-window bounded " +
+    "re-refresh never LOWERS the watermark (recent ranges keep serving " +
+    "from the tier); a histogram tier seeded after sums history refuses " +
+    "TierApprox for ranges it does not cover (exact raw fallback) and " +
+    "serves ranges it does") {
+    import graft.storage.GraftStorage
+    import graft.operators.MetricsOps
+    val root = Files.createTempDirectory("graft-svc-wmmono").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.defaultTiers(root)))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    tiered.addDataPoints(canonicalPoints(
+      ((1 to 20).map(i => (H + i * 60000L, i.toDouble)) :+ (25 * H + 100L, 7.0))
+        .toDF("time", "n_value").withColumn("metric", lit("g")),
+      MetricType.Gauge))
+    tiered.refreshTiers() // watermark = now, both slices covered
+    val g = MetricId("t1", MetricType.Gauge.code, "g")
+    val recent = BucketConfig(TimeRange(24 * H, 26 * H), Some(2), None)
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan(tiered.findGaugeStats(g, recent)).contains("gauge_sums"))
+    // the dirty sweep's own recipe: re-refresh an OLD window — the
+    // watermark must not regress, or recent in-watermark requests flip
+    // to raw and watermark-filtered ingest marking silently strands
+    tiered.refreshTiers(upToSlice = 1, fromSlice = 0)
+    assert(plan(tiered.findGaugeStats(g, recent)).contains("gauge_sums"),
+      "a bounded old-window re-refresh must not lower the watermark")
+    // hist tier seeded LATE, covering slice 1 only (sums covers 0 and 1)
+    val edged = new MetricsService(spark, root,
+      Some(MetricsService.TierLayout(s"$root/tiers",
+        histEdges = Some((0.0, 100.0, 20)))))
+    edged.refreshTiers(upToSlice = 2, fromSlice = 1)
+    val old = BucketConfig(TimeRange(H, 3 * H), Some(2), None)
+    val oldReq = edged.findGaugeStats(g, old, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(oldReq).contains("/data") && oldReq.columns.contains("median"),
+      "a range the hist tier does not cover must fall back to exact raw")
+    assert(oldReq.filter(col("p90_0").isNotNull).count() > 0,
+      "the exact fallback must still answer the percentile")
+    val newReq = edged.findGaugeStats(g, recent, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(newReq).contains("gauge_hist") && !plan(newReq).contains("/data"),
+      "a range the hist tier covers must serve from the tier pair")
   }
 
   test("freshness watermark durability: refreshTiers commits the watermark " +

@@ -408,6 +408,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!Similarity.ivfStoredTopK(s, path, q, 50, nprobe = leaves)
       .collect().map(_.getLong(1)).contains(7L),
       "tombstoned ids must stop ranking immediately")
+    // SAMPLED hier build: training ⊂ corpus — the path where a coarse
+    // cell can end childless; the model must prune such cells so
+    // full-corpus assignment always finds children (no crash), and the
+    // full-probe exactness hook still holds
+    val sampled = java.nio.file.Files.createTempDirectory("graft-ivfhier-s").toString + "/ix"
+    Similarity.writeIvfIndexHier(e, sampled, kCells = 4, iters = 2,
+      sampleN = Some(8))
+    val sLeaves = s.read.parquet(s"$sampled/centroids").count().toInt
+    assert(rows(Similarity.ivfStoredTopK(s, sampled, q, 10, nprobe = sLeaves)) ==
+      rows(Similarity.bruteForceTopK(e, q, 10)),
+      "sampled hier build must keep the full-probe exactness hook")
     // hier RETRAIN: after the appends + delete above, retrain(hier=true)
     // must leave the store indistinguishable from a fresh hier build over
     // the live corpus (same deterministic two-level training)

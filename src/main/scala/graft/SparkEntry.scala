@@ -222,7 +222,7 @@ object SparkEntry {
     * and would otherwise serve a stale layout built by older code.
     * v2: tier stores gained the `_refreshed_until` freshness watermark
     * (a v1 tier store would silently dispatch every request to raw). */
-  private val ServeStoreVersion = 2
+  private val ServeStoreVersion = 3 // r14: distribution tiers gained the _covered_from coverage watermark
 
   /** Build-once gate for the serve-only index twins: the store builds on
     * the FIRST call per (path, [[ServeStoreVersion]], input fingerprint)
@@ -1353,6 +1353,87 @@ object SparkEntry {
               |       FROM a),
               |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
               |        bin * 25.0 AS bin_lo, (bin + 1) * 25.0 AS bin_hi
+              |      FROM hb GROUP BY 1, 2),
+              |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
+              |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |        CAST(sum(cnt) OVER (PARTITION BY bucket) AS BIGINT) AS total FROM h),
+              |t2 AS (SELECT *, CAST(0.90 AS DOUBLE) * total AS target FROM c),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY bin) AS rn
+              |      FROM t2 WHERE cum >= target),
+              |est AS (SELECT bucket,
+              |          round(bin_lo + (target - (cum - cnt)) / cnt * (bin_hi - bin_lo), 6) AS q_est
+              |        FROM p WHERE rn = 1),
+              |sp AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 30))
+              |SELECT sp.bucket, st.bucket IS NULL AS empty,
+              |       round(st.mn, 6) AS "min", round(st.av, 6) AS avg,
+              |       round(st.mx, 6) AS "max", round(st.sm, 6) AS sum, st.n AS samples,
+              |       est.q_est
+              |FROM sp LEFT JOIN st ON sp.bucket = st.bucket
+              |LEFT JOIN est ON sp.bucket = est.bucket""".stripMargin)),
+
+    // ---- p95-OF-RATES off the RATE tier pair, end-to-end through live
+    // HTTP: percentileMode=tier on GET /counters/{id}/rate/stats serves
+    // the five rate stats from the rate tier (within-hour partials +
+    // boundary facts) and the p90 from the rate-distribution tier's
+    // quantile walk (boundary pairs reconstructed from the rate tier) —
+    // raw never read; the median-free signature fails on fallback -------
+    ("rest_served_rate_quantile", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val base = "target/tmp/rest_served_rq_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      prebuilt(s, d, base) {
+        // ONE counter metric, renamed URL-safe for the per-id route
+        val m0 = ctr(s, d).select(min(col("metric"))).as[String].first()
+        GraftStorage.write(ctr(s, d).filter(col("metric") === m0)
+          .withColumn("metric", lit("c0")), s"$base/store/data",
+          SaveMode.Overwrite)
+        new graft.api.MetricsService(s, s"$base/store",
+          Some(graft.api.MetricsService.TierLayout(s"$base/store/tiers",
+            rateHistEdges = Some((0.0, 2000.0, 20))))).refreshTiers()
+      }
+      val t = new graft.api.HttpTransport(s, s"$base/store",
+        tierServing = true).start()
+      val body = try {
+        val url = s"http://127.0.0.1:${t.boundPort}/counters/c0/rate/stats" +
+          s"?start=$S&end=$E&buckets=30&percentiles=90&percentileMode=tier"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Hawkular-Tenant", "acme")
+        require(conn.getResponseCode == 200, s"GET $url -> ${conn.getResponseCode}")
+        val text = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(!text.contains("\"median\""),
+          "expected tier-served (median-free) rate stats; got the raw path")
+        require(text.contains("\"percentiles\""),
+          "expected the p90-of-rates estimate attached to served buckets")
+        text
+      } finally t.stop()
+      s.read.json(Seq(body).toDS)
+        .select(((col("start") - S) / Day).cast("long").as("bucket"),
+          col("empty"),
+          round(col("min"), 6).as("min"), round(col("avg"), 6).as("avg"),
+          round(col("max"), 6).as("max"), round(col("sum"), 6).as("sum"),
+          col("samples").cast("long").as("samples"),
+          element_at(col("percentiles"), 1).getField("value").as("q_est"))
+    },
+      Some(s"""WITH $BaseCte, $CounterCte,
+              |sel AS (SELECT min(metric) AS m FROM ctr),
+              |cr AS (SELECT t, l_value FROM ctr WHERE metric = (SELECT m FROM sel)),
+              |r AS (SELECT t, l_value, lag(l_value) OVER (ORDER BY t) AS prev_v,
+              |        lag(t) OVER (ORDER BY t) AS prev_t FROM cr),
+              |rt AS (SELECT t, 60000.0 * (CAST(l_value AS DOUBLE) - CAST(prev_v AS DOUBLE))
+              |              / CAST(t - prev_t AS DOUBLE) AS rate
+              |       FROM r WHERE prev_t IS NOT NULL AND l_value >= prev_v),
+              |a AS (SELECT (t - $S) // $Day AS bucket, rate FROM rt
+              |      WHERE t >= $S AND t < $E),
+              |st AS (SELECT bucket, min(rate) AS mn, ${dsum("rate")} / count(*) AS av,
+              |         max(rate) AS mx, ${dsum("rate")} AS sm,
+              |         CAST(count(*) AS BIGINT) AS n
+              |       FROM a GROUP BY 1),
+              |hb AS (SELECT bucket,
+              |         CAST(least(greatest(floor(rate / 100.0), 0), 19) AS BIGINT) AS bin
+              |       FROM a),
+              |h AS (SELECT bucket, bin, CAST(count(*) AS BIGINT) AS cnt,
+              |        bin * 100.0 AS bin_lo, (bin + 1) * 100.0 AS bin_hi
               |      FROM hb GROUP BY 1, 2),
               |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY bucket ORDER BY bin
               |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,

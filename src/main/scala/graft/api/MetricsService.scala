@@ -60,8 +60,15 @@ object MetricsService {
     * an existing histogram tier fresh from that meta — so a serving
     * deployment (e.g. [[HttpTransport]]'s `tierServing` default layout)
     * needs no edge config at all. */
+  /** `rateHistEdges` is the RATE-distribution twin of `histEdges`
+    * (rates span a different value range than raw values, so the two
+    * families take separate edge configs): it seeds per-type rate
+    * histogram tiers that serve `percentileMode=tier` on the
+    * /rate/stats routes — p95-of-rates without a raw scan. Same
+    * seed-once-then-refresh-from-meta rule. */
   final case class TierLayout(root: String,
-                              histEdges: Option[(Double, Double, Int)] = None) {
+                              histEdges: Option[(Double, Double, Int)] = None,
+                              rateHistEdges: Option[(Double, Double, Int)] = None) {
     val gaugeSums: String = s"$root/gauge_sums"
     val counterSums: String = s"$root/counter_sums"
     val avail: String = s"$root/avail"
@@ -69,6 +76,8 @@ object MetricsService {
     val gaugeRate: String = s"$root/gauge_rate"
     val counterRate: String = s"$root/counter_rate"
     val gaugeHist: String = s"$root/gauge_hist"
+    val counterRateHist: String = s"$root/counter_rate_hist"
+    val gaugeRateHist: String = s"$root/gauge_rate_hist"
   }
 
   /** The conventional on-store layout (`<root>/tiers/<family>`) — what
@@ -568,14 +577,23 @@ class MetricsService(spark: SparkSession, root: String,
     GraftStorage.writeRollupRate(spark, dataPath, t.gaugeRate,
       isCounter = false, valueCol = "n_value",
       upToSlice = upToSlice, fromSlice = fromSlice)
-    // the gauge DISTRIBUTION tier is opt-in (edges are deployment
-    // config); once seeded, its _histmeta carries the edges so later
-    // refreshes — including from layouts constructed WITHOUT histEdges,
-    // like the serving transport's — keep it fresh
+    // the DISTRIBUTION tiers are opt-in (edges are deployment config);
+    // once seeded, each tier's _histmeta carries its edges so later
+    // refreshes — including from layouts constructed WITHOUT edge
+    // config, like the serving transport's — keep it fresh
     t.histEdges.orElse(GraftStorage.histTierMeta(spark, t.gaugeHist))
       .foreach { case (vMin, vMax, bins) =>
         GraftStorage.writeRollupHist(spark, dataPath, t.gaugeHist,
           vMin, vMax, bins, upToSlice, fromSlice)
+      }
+    Seq((t.counterRateHist, true, "l_value"), (t.gaugeRateHist, false, "n_value"))
+      .foreach { case (p, isCtr, vc) =>
+        t.rateHistEdges.orElse(GraftStorage.histTierMeta(spark, p)).foreach {
+          case (vMin, vMax, bins) =>
+            GraftStorage.writeRollupRateHist(spark, dataPath, p, isCounter = isCtr,
+              vMin = vMin, vMax = vMax, bins = bins, valueCol = vc,
+              upToSlice = upToSlice, fromSlice = fromSlice)
+        }
       }
   }
 
@@ -937,18 +955,35 @@ class MetricsService(spark: SparkSession, root: String,
     * request's first slice, or as far back as the sums tier itself does
     * (then missing buckets are genuine empties). Listing probes only.
     * Shared by the per-id and pooled dispatches. */
+  /** Distribution-tier coverage for a request — judged by the tier's
+    * REFRESH extent ([[graft.storage.GraftStorage.histCoveredFrom]]),
+    * never by data presence: sparse series legitimately leave early
+    * slices without distribution rows (a rate-hist hour with one point
+    * has no within-hour pair), while a tier seeded after months of
+    * history has data but not coverage. Legacy tiers without the
+    * coverage file fall back to the conservative min-DATA-slice
+    * heuristic (hist reaches the request's first slice, or as far back
+    * as its sums companion). Metadata reads only — shared by the value
+    * and rate dispatches. */
+  private def histTierCovers(histPath: String, sumsPath: String,
+                             b: graft.model.Buckets): Boolean =
+    GraftStorage.histCoveredFrom(spark, histPath) match {
+      case Some(cf) => cf <= b.start / GraftStorage.SliceMs
+      case None =>
+        GraftStorage.tierMinSlice(spark, histPath).exists { h =>
+          h <= b.start / GraftStorage.SliceMs ||
+            GraftStorage.tierMinSlice(spark, sumsPath).exists(h <= _)
+        }
+    }
+
   private def tierApproxFor(b: graft.model.Buckets,
                             percentiles: Seq[Double]): Option[MetricsService.TierLayout] = {
     lazy val until = refreshedUntil
-    def histCovers(t: MetricsService.TierLayout): Boolean =
-      GraftStorage.tierMinSlice(spark, t.gaugeHist).exists { h =>
-        h <= b.start / GraftStorage.SliceMs ||
-          GraftStorage.tierMinSlice(spark, t.gaugeSums).exists(h <= _)
-      }
     tiers.filter(t => b.end <= until &&
       GraftStorage.tierServes(spark, t.gaugeSums, b) &&
       (percentiles.isEmpty || (GraftStorage.tierServes(spark, t.gaugeHist, b) &&
-        GraftStorage.histTierHasMeta(spark, t.gaugeHist) && histCovers(t))))
+        GraftStorage.histTierHasMeta(spark, t.gaugeHist) &&
+        histTierCovers(t.gaugeHist, t.gaugeSums, b))))
   }
 
   /** The TierApprox serve body over an arbitrary id set: five exact
@@ -1688,11 +1723,63 @@ class MetricsService(spark: SparkSession, root: String,
       ord, limit)
   }
 
+  /** `mode` (ENGINE EXTENSION): Exact (default, today's behavior) or
+    * TierApprox — aligned in-watermark rate-percentile requests answer
+    * from the RATE tier pair (within-hour partials + boundary facts for
+    * the five stats; binned rate counts + the quantile walk for the
+    * percentiles — [[graft.storage.GraftStorage.rollupRateHistogram]]),
+    * so a p95-of-rates dashboard reads hours × metrics × bins rows, raw
+    * never scanned; anything the pair cannot serve runs the exact raw
+    * path. The estimator modes (p2parity/p2sketch) are not defined for
+    * this surface and refuse loudly. */
   def findRateStats(id: MetricId, config: BucketConfig,
-                    percentiles: Seq[Double] = Seq.empty): DataFrame = {
+                    percentiles: Seq[Double] = Seq.empty,
+                    mode: MetricsOps.PercentileMode =
+                      MetricsOps.PercentileMode.Exact): DataFrame = {
     val t = MetricType.fromCode(id.mtype)
     val b = config.buckets
     val isCounter = t == MetricType.Counter
+    require(mode == MetricsOps.PercentileMode.Exact ||
+      mode == MetricsOps.PercentileMode.TierApprox,
+      s"Invalid percentileMode for rate stats (expected exact or tier)")
+    if (mode == MetricsOps.PercentileMode.TierApprox) {
+      def ratePath(l: MetricsService.TierLayout) =
+        if (isCounter) l.counterRate else l.gaugeRate
+      def histPath(l: MetricsService.TierLayout) =
+        if (isCounter) l.counterRateHist else l.gaugeRateHist
+      val served = tiers.filter(l => b.end <= refreshedUntil &&
+        GraftStorage.tierServes(spark, ratePath(l), b) &&
+        (percentiles.isEmpty || (GraftStorage.tierServes(spark, histPath(l), b) &&
+          GraftStorage.histTierHasMeta(spark, histPath(l)) &&
+          histTierCovers(histPath(l), ratePath(l), b))))
+      served match {
+        case Some(l) =>
+          val five = GraftStorage.rollupRateStats(spark, ratePath(l), b,
+            isCounter = isCounter, byMetric = false,
+            ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
+            mtypeCode = Some(id.mtype.toInt))
+          val withPcts = if (percentiles.isEmpty) five else {
+            val hist0 = GraftStorage.rollupRateHistogram(spark, histPath(l),
+              ratePath(l), b, isCounter = isCounter,
+              ids = Some(oneMetric(id.name)), tenant = Some(id.tenantId),
+              mtypeCode = Some(id.mtype.toInt))
+            val hist = if (percentiles.lengthCompare(2) >= 0)
+              hist0.localCheckpoint() else hist0
+            percentiles.foldLeft(five) { (acc, q) =>
+              acc.join(MetricsOps.histogramQuantile(hist, q / 100.0)
+                .select(col("bucket"),
+                  col("q_est").as(MetricsOps.pctColName(q))),
+                Seq("bucket"), "left")
+            }
+          }
+          return MetricsOps.gapFill(withPcts, b)
+        case None =>
+          return MetricsOps.gapFill(
+            MetricsOps.rateStats(series(id), b, isCounter = isCounter,
+              valueCol = if (isCounter) "l_value" else "n_value",
+              quantiles = percentiles), b)
+      }
+    }
     tierFor(if (isCounter) _.counterRate else _.gaugeRate, b, percentiles) match {
       // rate tier serve: within-hour partials + boundary pairs, the same
       // pre-range-anchor semantics the raw W1 path has (spec-pinned)

@@ -479,8 +479,12 @@ class RestRoutes(spark: SparkSession, svc: MetricsService, tenant: String,
           params.get("bucketDuration").map(GDuration.parse),
           pcts.quantiles, now), pcts))
       } else
+        // percentileMode=tier routes aligned in-watermark rate-percentile
+        // requests through the rate tier pair (engine extension; exact is
+        // the default, estimator modes refuse on this surface)
         Ok(renamePcts(
-          svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles), pcts))
+          svc.findRateStats(mid(t, id), bucketConfig(params, now), pcts.quantiles,
+            percentileModeOf(params)), pcts))
 
     // ---- per-metric stats (+ tagged variant, + periods) --------------
     case ("GET", Seg(t) :: id :: "stats" :: Nil) => idStats(t, id, params, now)

@@ -354,6 +354,7 @@ object GraftStorage {
       .agg(count(lit(1)).as("cnt"))
     refreshRollupTier(spark, roll, histPath, fromSlice, upToSlice,
       Seq(col("metric"), col("hour"), col("bin")))
+    updateHistCoveredFrom(spark, histPath, fromSlice)
   }
 
   /** The distinct (tenant_id, mtype) partition pairs present in a tier —
@@ -445,6 +446,43 @@ object GraftStorage {
   }
 
   private def histMetaPath(histPath: String) = s"$histPath/_histmeta"
+
+  /**
+   * Coverage watermark of a distribution tier: the lowest `fromSlice`
+   * any refresh has materialized it from (Long.MinValue = all history).
+   * This — not data presence — is the dispatch's coverage signal: a
+   * SPARSE series can legitimately have no distribution rows in early
+   * slices (a value-hist slice with no points; a rate-hist slice whose
+   * hours hold single points and thus no within-hour pairs), so a
+   * min-DATA-slice probe would refuse healthy stores; conversely a tier
+   * seeded after months of history has data but not coverage. Updated
+   * (monotonically downward) by every [[writeRollupHist]] /
+   * [[writeRollupRateHist]] refresh.
+   */
+  def histCoveredFrom(spark: SparkSession, histPath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$histPath/_covered_from")
+    scala.util.Try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLong
+      finally in.close()
+    }.toOption
+  }
+
+  private def updateHistCoveredFrom(spark: SparkSession, histPath: String,
+                                    fromSlice: Long): Unit = {
+    val next = math.min(histCoveredFrom(spark, histPath).getOrElse(Long.MaxValue),
+      fromSlice)
+    val live = new org.apache.hadoop.fs.Path(s"$histPath/_covered_from")
+    val tmp = new org.apache.hadoop.fs.Path(s"$histPath/._covered_from.tmp")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(tmp, live), s"coverage commit failed at $live")
+  }
 
   /** Whether a histogram tier at `histPath` has declared bin edges — the
     * dispatch-level probe for percentile tier serving (existence check
@@ -1162,6 +1200,7 @@ object GraftStorage {
       .agg(count(lit(1)).as("cnt"))
     refreshRollupTier(spark, roll, rateHistPath, fromSlice, upToSlice,
       Seq(col("metric"), col("hour"), col("bin")))
+    updateHistCoveredFrom(spark, rateHistPath, fromSlice)
   }
 
   /**

@@ -1100,6 +1100,72 @@ class MetricsServiceSpec extends SparkTestBase {
       ids.toDF("metric"), cfg, Seq.empty, stacked = false)).contains("gauge_sums"))
   }
 
+  test("rate TierApprox: aligned in-watermark rate-percentile requests read " +
+    "the rate tier pair only (counter_rate + counter_rate_hist, raw never " +
+    "scanned); the five stats equal the exact raw rate answer; misaligned " +
+    "requests fall back to exact raw; sparse early slices do NOT refuse " +
+    "coverage (the _covered_from watermark, not data presence, decides)") {
+    import graft.storage.GraftStorage
+    import graft.operators.MetricsOps
+    val root = Files.createTempDirectory("graft-svc-ratepct").toString
+    val tiered = new MetricsService(spark, root,
+      Some(MetricsService.TierLayout(s"$root/tiers",
+        rateHistEdges = Some((0.0, 120000.0, 20)))))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    // hour 1: a SINGLE point (no within-hour pair — the sparse-slice
+    // case); hours 25-26 (slice 1): a dense run of pairs
+    val pts = Seq((H + 100L, 10L)) ++
+      (1 to 30).map(i => (25 * H + i * 60000L, 10L + i * 3L))
+    tiered.addDataPoints(canonicalPoints(
+      pts.toDF("time", "l_value").withColumn("metric", lit("c")),
+      MetricType.Counter))
+    tiered.refreshTiers()
+    val c = MetricId("t1", MetricType.Counter.code, "c")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the request starts at hour 1 — the rate-hist tier has NO slice-0
+    // rows (single point), but coverage is the refresh extent, so the
+    // tier pair must still serve
+    val aligned = BucketConfig(TimeRange(H, 26 * H), Some(25), None)
+    val served = tiered.findRateStats(c, aligned, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(served).contains("counter_rate_hist") &&
+      plan(served).contains("counter_rate]") && !plan(served).contains("/data"),
+      s"rate TierApprox must read the rate tier pair only:\n${plan(served)}")
+    assert(!served.columns.contains("median"))
+    val exact = tiered.findRateStats(c, aligned, Seq(90.0))
+    assert(plan(exact).contains("/data"),
+      "the default exact rate percentile path must keep reading raw")
+    val five = Seq("bucket", "min", "avg", "max", "sum", "samples")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(five.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(served) == rows(exact),
+      "the five served rate stats must equal the exact raw answer")
+    // estimate in band of exact p90 (bin width 6000)
+    val est = served.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ex = exact.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.nonEmpty && est.keySet == ex.keySet)
+    ex.foreach { case (b, v) => assert(math.abs(est(b) - v) <= 12000.0,
+      s"bucket $b: rate estimate ${est(b)} too far from exact $v") }
+    // misaligned: exact raw, identical to the explicit exact call
+    val mis = BucketConfig(TimeRange(H, 26 * H), Some(7), None)
+    def all(df: org.apache.spark.sql.DataFrame) = df
+      .select((five :+ "p90_0").map(col): _*).collect().map(_.toSeq).toSet
+    val misServed = tiered.findRateStats(c, mis, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(misServed).contains("/data"))
+    assert(all(misServed) == all(tiered.findRateStats(c, mis, Seq(90.0))))
+    // estimator modes refuse on this surface
+    intercept[IllegalArgumentException] {
+      tiered.findRateStats(c, aligned, Seq(90.0),
+        MetricsOps.PercentileMode.P2Sketch)
+    }
+  }
+
   test("watermark monotonicity + hist coverage: an old-window bounded " +
     "re-refresh never LOWERS the watermark (recent ranges keep serving " +
     "from the tier); a histogram tier seeded after sums history refuses " +

@@ -4429,6 +4429,45 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }, Some(IvfAppendOracle)),
 
+    // ---- §2.9: continuous embedding stream → HIERARCHICAL IVF store —
+    // wave 1 trains coarse → children (the √cells assignment path) and
+    // builds the FLAT-layout store, wave 2 appends through the stored
+    // leaf model (the shared machinery, untouched); served with every
+    // leaf probed the store answers EXACT brute-force top-k over the
+    // full streamed corpus — a complete oracle despite the two-level
+    // training -----------------------------------------------------------
+    ("streaming_hier_index", (s: SparkSession, d: String) => {
+      val base = "target/tmp/streamhier_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, base)
+      val e = embs(s, d)
+      e.filter(col("vec_id") < 100 || col("vec_id") >= 110)
+        .coalesce(1).write.parquet(s"$base/src")
+      backdate(s, s"$base/src")
+      e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .coalesce(1).write.mode("append").parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.streaming.StreamingSimilarity.ivfIngest(
+        stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2,
+        hier = true)
+      q.awaitTermination()
+      val leaves = s.read.parquet(s"$base/idx/centroids").count().toInt
+      Similarity.ivfStoredTopK(s, s"$base/idx", e.filter(col("vec_id") < 10),
+        10, nprobe = leaves)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- §2.9: continuous embedding stream → PCA-IVF store — wave 1
     // fits the basis + trains the PCA-space cells, wave 2 appends through
     // BOTH stored models; served with every cell probed and an uncapped

@@ -29,8 +29,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
  */
 object StreamingSimilarity {
 
+  /** `hier = true` bootstraps through [[Similarity.writeIvfIndexHier]]
+    * — the √cells assignment path for streams whose cell count scales
+    * with the corpus. The store layout is IDENTICAL (leaf centroids +
+    * cell-partitioned vectors), so appends, serving, and the whole
+    * lifecycle run the shared flat-leaf machinery unchanged; only the
+    * bootstrap (and, in the retrain variant, the drift response) pays
+    * the cheaper two-level training. */
   def ivfIngest(vecs: DataFrame, indexPath: String, checkpoint: String,
                 kCells: Int = 4, iters: Int = 2,
+                hier: Boolean = false,
                 trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
@@ -45,8 +53,10 @@ object StreamingSimilarity {
           // StreamingRetrieval scheme-mismatch gotcha)
           val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
           val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(cents))
-            Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+          if (!fs.exists(cents)) {
+            if (hier) Similarity.writeIvfIndexHier(batch, indexPath, kCells, iters)
+            else Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+          }
           else Similarity.appendToIvfIndex(spark, indexPath, batch)
         }
       }
@@ -206,6 +216,7 @@ object StreamingSimilarity {
                            kCells: Int = 4, iters: Int = 2,
                            driftCosine: Double = 0.95,
                            onRetrain: Long => Unit = _ => (),
+                           hier: Boolean = false,
                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append)
@@ -218,7 +229,8 @@ object StreamingSimilarity {
           val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
           val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(cents)) {
-            Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+            if (hier) Similarity.writeIvfIndexHier(batch, indexPath, kCells, iters)
+            else Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
             Similarity.rebuildCellFacts(spark, indexPath)
           } else {
             // the append folds its per-cell facts in; a missing facts
@@ -230,7 +242,8 @@ object StreamingSimilarity {
             val worst = Similarity.ivfDriftFromFacts(spark, indexPath)
               .agg(min(col("drift_cosine"))).collect()(0)
             if (!worst.isNullAt(0) && worst.getDouble(0) < driftCosine) {
-              Similarity.retrainIvfIndex(spark, indexPath, kCells, iters)
+              Similarity.retrainIvfIndex(spark, indexPath, kCells, iters,
+                hier = hier)
               onRetrain(batchId)
             }
           }

@@ -128,6 +128,45 @@ class StreamingSimilaritySpec extends SparkTestBase {
       "retrain must leave facts equal to a fresh recompute")
   }
 
+  test("hier streaming ingest: wave 1 builds through the two-level trainer, " +
+    "wave 2 appends through the stored leaf model — the store equals the " +
+    "batch writeIvfIndexHier + appendToIvfIndex lifecycle bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    def vecs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val src = Files.createTempDirectory("graft-shier-src").toString
+    val idx = Files.createTempDirectory("graft-shier").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft-shier-ckpt").toString
+    val waveA = vecs(0 until 30)
+    val waveB = vecs(30 until 40)
+    waveA.coalesce(1).write.mode("append").parquet(src)
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val srcFs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = srcFs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val f = it.next(); srcFs.setTimes(f.getPath, System.currentTimeMillis() - 60000L, -1)
+    }
+    waveB.coalesce(1).write.mode("append").parquet(src)
+    val schema = s.read.parquet(src).schema
+    StreamingSimilarity.ivfIngest(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      idx, ckpt, kCells = 4, iters = 2, hier = true).awaitTermination()
+    val batch = Files.createTempDirectory("graft-shier-batch").toString
+    Similarity.writeIvfIndexHier(waveA, batch, kCells = 4, iters = 2)
+    Similarity.appendToIvfIndex(s, batch, waveB)
+    def res(p: String) = Similarity.ivfStoredTopK(s, p,
+      waveA.filter(col("vec_id") < 5), 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(res(idx) == res(batch),
+      "streamed hier ingest must equal the batch hier build+append lifecycle")
+    assert(s.read.parquet(s"$idx/centroids").collect().map(_.toSeq).toSet ==
+      s.read.parquet(s"$batch/centroids").collect().map(_.toSeq).toSet,
+      "the streamed store must carry the same two-level leaf model")
+  }
+
   test("facts crash window: a replayed append whose prior attempt died " +
     "between the vectors write and the facts merge REBUILDS the facts " +
     "(the pending marker), instead of permanently understating them") {

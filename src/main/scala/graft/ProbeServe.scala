@@ -152,6 +152,21 @@ object ProbeServe {
       results += (("ivf-sc", c, t))
     }
 
+    // ---- hier-ROUTED IVF at the same production sizing: the persisted
+    // coarse model routes each query through O(2·√cells) centroid scores
+    // instead of ivf-sc's flat O(cells) probe — the serve-side fix for
+    // cells ∝ corpus (build bounded by sampled training, as ProbeScale) -
+    Seq(1, 8, 16).foreach { c =>
+      val path = s"target/tmp/probeserve_ivfhiersc_$c"
+      rmrf(spark, path)
+      Similarity.writeIvfIndexHier(scaled(embs, "vec_id", c, vecCount), path,
+        kCells = 4 * c, iters = 2, sampleN = Some(4096))
+      val t = timeMin3(() =>
+        Similarity.ivfStoredTopKHier(spark, path, probeVecs, 10,
+          nprobeCoarse = 1, nprobe = 2).count())
+      results += (("ivfhier-sc", c, t))
+    }
+
     // ---- PCA-IVF: same production sizing (cells ∝ corpus) — stage 1
     // reads the probed cells' PROJECTED column, stage 2 a shortlist-sized
     // full-width rerank; serve must track the probed share, not N -------

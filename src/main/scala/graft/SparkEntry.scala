@@ -3602,12 +3602,43 @@ object SparkEntry {
              |           row_number() OVER (PARTITION BY v.vec_id
              |             ORDER BY list_dot_product(v.e, s.ce) / (v.nrm * s.cnrm) DESC, s.cell ASC) AS rn
              |         FROM af v JOIN hc2n s ON s.cell // 2 = v.cc) WHERE rn = 1),
-             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10),
+             |q AS (SELECT vec_id, e, nrm FROM n WHERE vec_id < 10)""".stripMargin + FlatProbeTail
+
+  /** The flat-probe serving tail of [[HierIvfCte]]: every query scores
+    * ALL leaf centroids (pr over hc2n), probes the top 2. (lazy — it is
+    * referenced by [[HierIvfCte]] above its declaration.) */
+  private lazy val FlatProbeTail =
+       """,
              |pr AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cell,
              |         row_number() OVER (PARTITION BY q.vec_id
              |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cell ASC) AS pr
              |       FROM q CROSS JOIN hc2n s),
              |probes AS (SELECT query_id, qe, qnrm, cell FROM pr WHERE pr <= 2),
+             |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
+             |       FROM probes p JOIN lf c ON c.cell = p.cell
+             |       WHERE c.vec_id <> p.query_id)""".stripMargin
+
+  /** [[HierIvfCte]] with ROUTED serving instead of the flat probe — the
+    * ivfStoredTopKHier rule at nprobeCoarse=1, nprobe=1: each query
+    * scores the pruned coarse model (ccn — coarse cells WITH children,
+    * mirroring hierKmeansModel's childless-cell pruning), keeps its top
+    * coarse cell, scores ONLY that cell's children and probes the best
+    * one. Ends at `sc` like the flat form so the same tails compose. */
+  private val HierIvfRoutedCte = HierIvfCte.stripSuffix(FlatProbeTail) +
+       """,
+             |ccn AS (SELECT k.cc, k.ce, k.cnrm FROM kc2n k
+             |        WHERE k.cc IN (SELECT DISTINCT cell // 2 FROM hc2n)),
+             |qp AS (SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, s.cc,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_dot_product(q.e, s.ce) / (q.nrm * s.cnrm) DESC, s.cc ASC) AS cpr
+             |       FROM q CROSS JOIN ccn s),
+             |qpc AS (SELECT query_id, qe, qnrm, cc FROM qp WHERE cpr <= 1),
+             |lpr AS (SELECT p.query_id, p.qe, p.qnrm, s.cell,
+             |          row_number() OVER (PARTITION BY p.query_id
+             |            ORDER BY list_dot_product(p.qe, s.ce) / (p.qnrm * s.cnrm) DESC, s.cell ASC) AS pr
+             |        FROM qpc p JOIN hc2n s ON s.cell // 2 = p.cc),
+             |probes AS (SELECT query_id, qe, qnrm, cell FROM lpr WHERE pr <= 1),
              |sc AS (SELECT p.query_id, c.vec_id AS neighbor_id,
              |         list_dot_product(p.qe, c.e) / (p.qnrm * c.nrm) AS cosine
              |       FROM probes p JOIN lf c ON c.cell = p.cell
@@ -3643,6 +3674,75 @@ object SparkEntry {
         Similarity.ivfHierTopK(e, q, 10, nprobe = 2, kCells = 4, iters = 2))
     },
       Some(HierIvfCte + """,
+             |ap AS (SELECT query_id, neighbor_id FROM (
+             |          SELECT query_id, neighbor_id, row_number() OVER
+             |            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |          FROM sc)
+             |        WHERE rnk <= 10),
+             |exsc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |         FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |         SELECT query_id, neighbor_id, row_number() OVER
+             |           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM exsc)
+             |       WHERE rnk <= 10)
+             |SELECT e.query_id,
+             |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |             / count(*), 4) AS recall
+             |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+             |GROUP BY e.query_id""".stripMargin)),
+
+    // ---- LLM: hier-ROUTED persisted-store lifecycle — the serve/append
+    // counterpart of the √cells build: build a hier store minus a slice
+    // (persisting the coarse ROUTING model), append the slice (assigned
+    // through the stored two-level rule — O(batch·√cells)), tombstone a
+    // takedown set, then serve through the router with FULL probes: the
+    // routed path's exactness hook makes brute force the oracle ---------
+    ("knn_ivf_hier_served", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfhierst_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfIndexHier(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        kCells = 4, iters = 2)
+      Similarity.appendToIvfIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      val nCoarse = s.read.parquet(s"$path/coarse").count().toInt
+      val nLeaves = s.read.parquet(s"$path/centroids").count().toInt
+      Similarity.ivfStoredTopKHier(s, path, e.filter(col("vec_id") < 10), 10,
+        nprobeCoarse = nCoarse, nprobe = nLeaves)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: recall@10 of the ROUTED serve at working probes
+    // (nprobeCoarse=1, nprobe=1 — both routing stages selective): the
+    // oracle replays the two-level model AND the router in SQL, so the
+    // partial-probe routing math itself is hash-verified, not just the
+    // full-probe degenerate case --------------------------------------
+    ("ann_recall_ivf_hier_routed", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfhierrt_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.writeIvfIndexHier(e, path, kCells = 4, iters = 2)
+      Similarity.recallAtK(Similarity.bruteForceTopK(e, q, 10),
+        Similarity.ivfStoredTopKHier(s, path, q, 10, nprobeCoarse = 1, nprobe = 1))
+    },
+      Some(HierIvfRoutedCte + """,
              |ap AS (SELECT query_id, neighbor_id FROM (
              |          SELECT query_id, neighbor_id, row_number() OVER
              |            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk

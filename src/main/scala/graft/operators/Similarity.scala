@@ -700,13 +700,23 @@ object Similarity {
   }
 
   /**
-   * [[writeIvfIndex]] with hierarchical assignment — SAME on-disk layout
+   * [[writeIvfIndex]] with hierarchical assignment — the flat layout
    * (vectors partitioned by leaf cell + a flat `centroids` table of the
-   * leaf model), so every existing serve / append / delete / compact /
-   * facts path works on the store unchanged; only the corpus-sized
-   * build pass drops from O(n·cells) to O(n·√cells). `sampleN` bounds
-   * BOTH training levels ([[trainingSample]]); the full corpus still
-   * assigns through the sampled model.
+   * leaf model) PLUS a `coarse` side table persisting the routing model
+   * (pruned coarse centroids + kChild). Every existing serve / append /
+   * delete / compact / facts path works on the store unchanged (flat
+   * paths never read `coarse`); the corpus-sized build pass drops from
+   * O(n·cells) to O(n·√cells), and the persisted routing model lets
+   * [[ivfStoredTopKHier]] score O(2·√cells) centroids per QUERY and
+   * [[appendToIvfIndex]] assign batches through the same √cells rule.
+   * `sampleN` bounds BOTH training levels ([[trainingSample]]); the
+   * full corpus still assigns through the sampled model.
+   *
+   * Write order: old `coarse` clears FIRST (a crash mid-build must
+   * never leave a stale routing model beside a new leaf model), then
+   * vectors → centroids → coarse; a crash before the coarse write
+   * leaves a valid FLAT store (routed serving refuses loudly, flat
+   * serving and appends are correct).
    */
   def writeIvfIndexHier(corpus: DataFrame, path: String,
                         kCells: Int = 4, iters: Int = 2,
@@ -714,7 +724,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.storage.IndexStore.clearSideTables(spark, path,
-      Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
+      Seq("deleted_vecs", "cellfacts", FactsPendingMarker, "coarse"))
     val m = hierKmeansModel(
       sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
       kCells, iters)
@@ -723,6 +733,34 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     m.leaves.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    writeCoarseModel(spark, path, m)
+  }
+
+  /** Persist the routing half of a [[HierIvfModel]] beside the leaf
+    * model: `coarse/` rows are (coarse, centroid, k_child) — the PRUNED
+    * coarse set (childless cells already removed), so routed assignment
+    * and serving never reach a coarse cell without children. */
+  private def writeCoarseModel(spark: org.apache.spark.sql.SparkSession,
+                               path: String, m: HierIvfModel): Unit = {
+    import spark.implicits._
+    m.coarse.map { case (cc, ce) => (cc, ce, m.kChild) }
+      .toDF("coarse", "centroid", "k_child")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+  }
+
+  /** The persisted routing model of a hier store, or None for a flat
+    * store (the `coarse/` side table is the discriminator). */
+  private def hierModelOf(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[(Seq[(Int, Array[Double])], Int)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/coarse")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else {
+      val rows = spark.read.parquet(s"$path/coarse")
+        .select("coarse", "centroid", "k_child").collect()
+      val coarse = rows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      Some((coarse, rows.head.getInt(2)))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -744,8 +782,11 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a REBUILD at a path whose previous store had pending deletes must
-    // not inherit them ([[graft.storage.IndexStore.clearSideTables]])
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
+    // not inherit them ([[graft.storage.IndexStore.clearSideTables]]);
+    // `coarse` clears too — a flat rebuild over a former hier store must
+    // not leave a stale routing model beside the new flat leaf model
+    graft.storage.IndexStore.clearSideTables(spark, path,
+      Seq("deleted_vecs", "cellfacts", FactsPendingMarker, "coarse"))
     // sampleN bounds the training passes ([[trainingSample]]) — the full
     // corpus still assigns and lands through the sampled model
     val model = kmeansCentroids(
@@ -779,12 +820,22 @@ object Similarity {
    */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        batch: DataFrame, updateFacts: Boolean = false): Unit = {
-    val model = readCentroids(spark, path)
     val fresh = reviveAndScreen(spark, path, batch)
-    val assigned = withNorm(fresh.select(col("vec_id"), col("embedding"),
+    val normed = withNorm(fresh.select(col("vec_id"), col("embedding"),
       dvec("embedding").as("v")), "v")
-      .withColumn("cell", assignCell(model, "v", "nrm"))
-      .select("vec_id", "embedding", "cell")
+    // a hier store (persisted `coarse/` routing model) assigns through
+    // the SAME two-level rule as its build — coarse argmax then that
+    // cell's children only — so appends stay coherent with the build's
+    // assignment AND score O(2·√cells) centroids per vector instead of
+    // O(cells); flat stores keep the flat argmax
+    val assigned = (hierModelOf(spark, path) match {
+      case Some((coarse, kChild)) =>
+        normed.withColumn("coarse", assignCell(coarse, "v", "nrm"))
+          .withColumn("cell",
+            hierAssignLeaf(readCentroids(spark, path), kChild, "coarse", "v", "nrm"))
+      case None =>
+        normed.withColumn("cell", assignCell(readCentroids(spark, path), "v", "nrm"))
+    }).select("vec_id", "embedding", "cell")
     // updateFacts: the SAME screened/assigned frame feeds the write and
     // the facts merge (checkpointed so the screen runs once) — the drift
     // maintainer's O(cells) statistic stays in lock-step with the store.
@@ -858,6 +909,67 @@ object Similarity {
     // anti-join, delete-rate-sized) — a deleted vector stops ranking the
     // instant [[deleteFromIvfIndex]] lands, before any purge runs;
     // absent tombstones leave the plan untouched
+    val vecs = deleteScreen(spark, path)(
+      spark.read.parquet(s"$path/vectors")
+        .where(col("cell").isin(probed: _*)))
+    val c = withNorm(vecs
+      .select(col("cell"), col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    rankPairs(c.join(broadcast(probes), Seq("cell")), k)
+  }
+
+  /**
+   * Hier-ROUTED top-k over a [[writeIvfIndexHier]] store — the serve
+   * counterpart of the √cells build: [[ivfStoredTopK]] scores every
+   * leaf centroid per query (O(cells) dots — fine at fixed cells, but
+   * with cells ∝ corpus that flat probe is serve-side superlinear,
+   * ProbeServe's `ivf-sc` row), whereas this path routes each query
+   * through the persisted coarse model (`coarse/`, √cells dots), keeps
+   * the top `nprobeCoarse` coarse cells, scores ONLY their children
+   * (nprobeCoarse·kChild ≈ √cells dots), and probes the top `nprobe`
+   * leaves — O(2·√cells) per query, and the leaf-centroid SCAN prunes
+   * to the probed coarse cells' label ranges before any scoring.
+   *
+   * Exactness hooks (spec-pinned): with nprobeCoarse ≥ |coarse| the
+   * candidate leaf set per query is ALL leaves, so the result is
+   * bit-equal to [[ivfStoredTopK]] at the same `nprobe`; additionally
+   * probing every leaf reproduces brute force regardless of assignment.
+   * Refuses loudly on a store without a routing model — silent flat
+   * fallback would hide the O(cells) cost the caller opted out of.
+   */
+  def ivfStoredTopKHier(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        nprobeCoarse: Int = 1, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val (coarse, kChild) = hierModelOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no coarse routing model — not a writeIvfIndexHier store " +
+          "(use ivfStoredTopK for flat stores)"))
+    val coarseCents = withNorm(coarse.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    // stage 1: route queries over the √cells coarse model
+    val qc = probeCells(queries, coarseCents, nprobeCoarse)
+      .withColumnRenamed("cell", "coarse").localCheckpoint()
+    val probedCoarse = qc.select("coarse").distinct().collect().map(_.getInt(0)).toSeq
+    // stage 2: score only the probed coarse cells' children — the leaf
+    // table read prunes by label range (leaf = coarse·kChild + child)
+    // before any per-query scoring
+    val leafCands = withNorm(
+      spark.read.parquet(s"$path/centroids")
+        .where(floor(col("cell") / lit(kChild)).cast("int").isin(probedCoarse: _*))
+        .withColumn("coarse", floor(col("cell") / lit(kChild)).cast("int")),
+      "centroid").withColumnRenamed("nrm", "centroid_nrm")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell").asc)
+    val probes = qc.join(broadcast(leafCands), Seq("coarse"))
+      .withColumn("cdist", cosine("qv", "centroid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
+      .localCheckpoint()
+    // stage 3: the shared probed-cell scan (static partition pushdown +
+    // tombstone screen + exact rank) — identical to ivfStoredTopK's
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val vecs = deleteScreen(spark, path)(
       spark.read.parquet(s"$path/vectors")
         .where(col("cell").isin(probed: _*)))
@@ -997,21 +1109,26 @@ object Similarity {
       corpus.join(broadcast(d), Seq("vec_id"), "left_anti"))
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
       val trainSet = sampleN.fold(live)(n => trainingSample(live, n).localCheckpoint())
-      val (assigned, model) =
+      val (assigned, model, hierM) =
         if (hier) {
           val m = hierKmeansModel(trainSet, kCells, iters)
-          (hierAssigned(live, m), m.leaves)
+          (hierAssigned(live, m), m.leaves, Some(m))
         } else {
           val m = kmeansCentroids(trainSet, kCells, iters)
           (withNorm(live.select(col("vec_id"), col("embedding"),
             dvec("embedding").as("v")), "v")
             .withColumn("cell", assignCell(m, "v", "nrm"))
-            .select("vec_id", "embedding", "cell"), m)
+            .select("vec_id", "embedding", "cell"), m, None)
         }
       assigned
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/vectors")
       model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
+      // a hier retrain persists the new ROUTING model in the same swap
+      // unit (routed serving/appends must never pair an old coarse model
+      // with a new leaf model); a flat retrain writes none, so a stale
+      // coarse dir from a former hier generation vanishes with the swap
+      hierM.foreach(m => writeCoarseModel(spark, tmp, m))
       // deleted_vecs is deliberately NOT carried over: the tombstoned
       // rows never entered the new store — the retrain IS their purge
       // a facts table rebuilds INSIDE the swap (over the new assignment)

@@ -446,6 +446,88 @@ class PipelineOpsSpec extends SparkTestBase {
       s"hier recall $hierR fell out of band of flat recall $flatR")
   }
 
+  test("hier-ROUTED serving and appends: all-coarse routing is bit-equal to " +
+    "the flat probe; full probe equals brute force through the router; appends " +
+    "land in the two-level rule's cells; tombstones screen the routed read; " +
+    "flat rebuilds clear the routing model and routed serving refuses") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfhier-rt").toString + "/ix"
+    Similarity.writeIvfIndexHier(e.filter(col("vec_id") < 50), path,
+      kCells = 4, iters = 2)
+    val nCoarse = s.read.parquet(s"$path/coarse").count().toInt
+    val leaves = s.read.parquet(s"$path/centroids").count().toInt
+    // probing EVERY coarse cell makes the candidate leaf set per query all
+    // leaves, so routed ≡ flat at the same nprobe — bit-equal
+    assert(rows(Similarity.ivfStoredTopKHier(s, path, q, 10, nCoarse, nprobe = 2)) ==
+      rows(Similarity.ivfStoredTopK(s, path, q, 10, nprobe = 2)),
+      "all-coarse routing must reproduce the flat probe bit-for-bit")
+    // full probe through the router ≡ brute force
+    assert(rows(Similarity.ivfStoredTopKHier(s, path, q, 10, nCoarse, nprobe = leaves)) ==
+      rows(Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), q, 10)),
+      "full routed probe must equal brute force")
+    // an append on a hier store must assign through the persisted
+    // two-level rule (coarse argmax, then that cell's children only) —
+    // recomputed here independently from the persisted model tables
+    Similarity.appendToIvfIndex(s, path, e.filter(col("vec_id") >= 50))
+    val coarseRows = s.read.parquet(s"$path/coarse")
+      .select("coarse", "centroid", "k_child").collect()
+    val kChild = coarseRows.head.getInt(2)
+    val coarseM = coarseRows.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val leavesM = s.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def argmax(cands: Seq[(Int, Array[Double])], v: Array[Double]): Int = {
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      var best = cands.head._1; var bestSim = Double.NegativeInfinity
+      cands.foreach { case (lbl, c) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        val sim = v.zip(c).map { case (a, b) => a * b }.sum / (vn * cn)
+        if (sim > bestSim) { best = lbl; bestSim = sim }
+      }
+      best
+    }
+    s.read.parquet(s"$path/vectors").where(col("vec_id") >= 50)
+      .select("vec_id", "embedding", "cell").collect().foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val cc = argmax(coarseM.toSeq, v)
+        val expected = argmax(leavesM.filter(_._1 / kChild == cc).toSeq, v)
+        assert(r.getInt(2) == expected,
+          s"appended vec ${r.getLong(0)} landed in cell ${r.getInt(2)}, " +
+            s"two-level rule says $expected")
+      }
+    // appended vectors serve through the router; tombstones screen it
+    assert(rows(Similarity.ivfStoredTopKHier(s, path, q, 50, nCoarse, nprobe = leaves)) ==
+      rows(Similarity.bruteForceTopK(e, q, 50)),
+      "post-append full routed probe must equal brute force over the union")
+    Similarity.deleteFromIvfIndex(s, path, Seq(7L).toDF("vec_id"))
+    assert(!Similarity.ivfStoredTopKHier(s, path, q, 50, nCoarse, nprobe = leaves)
+      .collect().map(_.getLong(1)).contains(7L),
+      "tombstoned ids must stop ranking through the routed read")
+    // hier RETRAIN rewrites the routing model in the same swap — routed
+    // serving keeps the exactness hook afterwards
+    Similarity.retrainIvfIndex(s, path, kCells = 4, iters = 2, hier = true)
+    val nCoarse2 = s.read.parquet(s"$path/coarse").count().toInt
+    val leaves2 = s.read.parquet(s"$path/centroids").count().toInt
+    assert(rows(Similarity.ivfStoredTopKHier(s, path, q, 10, nCoarse2, nprobe = leaves2)) ==
+      rows(Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 7L), q, 10)),
+      "routed serving must survive a hier retrain with the exactness hook")
+    // a FLAT rebuild at the same path must clear the routing model —
+    // stale coarse beside a new flat leaf model would route wrongly
+    Similarity.writeIvfIndex(e, path, kCells = 4, iters = 2)
+    assert(!new java.io.File(s"$path/coarse").exists(),
+      "a flat rebuild must clear the stale routing model")
+    intercept[IllegalStateException] {
+      Similarity.ivfStoredTopKHier(s, path, q, 10, 1, 1)
+    }
+  }
+
   test("residual-IVFADC seed rule: an id space NOT starting at 0 (stream " +
     "whose first wave starts high, retrain after low-id takedowns) trains " +
     "on the lowest ids PRESENT — sampled and full builds both serve, and " +

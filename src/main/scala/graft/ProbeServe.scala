@@ -180,6 +180,17 @@ object ProbeServe {
       results += (("pcaivf", c, t))
     }
 
+    // ---- hier-ROUTED PCA-IVF at the same sizing ----------------------
+    Seq(1, 8, 16).foreach { c =>
+      val path = s"target/tmp/probeserve_pcaivfhier_$c"
+      rmrf(spark, path)
+      Similarity.writePcaIvfIndex(scaled(embs, "vec_id", c, vecCount), path,
+        dims = 16, kCells = 4 * c, iters = 2, sampleN = Some(4096), hier = true)
+      val t = timeMin3(() => Similarity.pcaIvfStoredTopKHier(spark, path, probeVecs,
+        10, nprobeCoarse = 1, nprobe = 2, shortlist = 50).count())
+      results += (("pcaivfhier-sc", c, t))
+    }
+
     // ---- IVF-PQ: the memory-bound tier — stage 1 reads the probed
     // cells' CODES only (m ints/vector), stage 2 shortlist-sized --------
     Seq(1, 8, 16).foreach { c =>
@@ -190,6 +201,17 @@ object ProbeServe {
       val t = timeMin3(() => Similarity.ivfPqStoredTopK(spark, path, probeVecs,
         10, nprobe = 2, shortlist = 50).count())
       results += (("ivfpq", c, t))
+    }
+
+    // ---- hier-ROUTED IVF-PQ at the same sizing -----------------------
+    Seq(1, 8, 16).foreach { c =>
+      val path = s"target/tmp/probeserve_ivfpqhier_$c"
+      rmrf(spark, path)
+      Similarity.writeIvfPqIndex(scaled(embs, "vec_id", c, vecCount), path,
+        kCells = 4 * c, iters = 2, sampleN = Some(4096), hier = true)
+      val t = timeMin3(() => Similarity.ivfPqStoredTopKHier(spark, path, probeVecs,
+        10, nprobeCoarse = 1, nprobe = 2, shortlist = 50).count())
+      results += (("ivfpqhier-sc", c, t))
     }
 
     // ---- SRP-LSH store. Copies rotate components cyclically (the

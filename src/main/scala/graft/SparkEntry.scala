@@ -3762,6 +3762,73 @@ object SparkEntry {
              |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
              |GROUP BY e.query_id""".stripMargin)),
 
+    // ---- LLM: hier routing over the IVF-PQ store — the memory-bound
+    // tier gets the √cells serve/append path too: hier build (coarse
+    // persists, codes derive from the leaf model), routed append,
+    // takedown, ROUTED two-stage serve at full probes + uncapped
+    // shortlist (the IVFADC exactness hook → brute-force oracle) -------
+    ("knn_ivfpq_hier_served", (s: SparkSession, d: String) => {
+      val path = "target/tmp/ivfpqhier_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writeIvfPqIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        kCells = 4, iters = 2, hier = true)
+      Similarity.appendToIvfPqIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      val nCoarse = s.read.parquet(s"$path/coarse").count().toInt
+      val nLeaves = s.read.parquet(s"$path/centroids").count().toInt
+      Similarity.ivfPqStoredTopKHier(s, path, e.filter(col("vec_id") < 10), 10,
+        nprobeCoarse = nCoarse, nprobe = nLeaves, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // ---- LLM: hier routing over the PCA-IVF store — the routing model
+    // lives in the SAME PCA space as the cells; queries project through
+    // the stored basis before routing; exactness hook = full probe +
+    // uncapped shortlist (stage 2 full-width rerank → brute force) -----
+    ("knn_pca_ivf_hier_served", (s: SparkSession, d: String) => {
+      val path = "target/tmp/pcaivfhier_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      rmrf(s, path)
+      val e = embs(s, d)
+      Similarity.writePcaIvfIndex(
+        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+        dims = 16, kCells = 4, iters = 2, hier = true)
+      Similarity.appendToPcaIvfIndex(s, path,
+        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+      Similarity.deleteFromIvfIndex(s, path,
+        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+      val nCoarse = s.read.parquet(s"$path/coarse").count().toInt
+      val nLeaves = s.read.parquet(s"$path/centroids").count().toInt
+      Similarity.pcaIvfStoredTopKHier(s, path, e.filter(col("vec_id") < 10), 10,
+        nprobeCoarse = nCoarse, nprobe = nLeaves, shortlist = 1 << 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    },
+      Some("""WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM dv),
+             |q AS (SELECT * FROM n WHERE vec_id < 10),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cosine
+             |       FROM q CROSS JOIN n c
+             |       WHERE c.vec_id <> q.vec_id AND c.vec_id % 97 <> 0),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+             |      FROM sc)
+             |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM r WHERE rnk <= 10""".stripMargin)),
+
     // ---- LLM: signed-random-projection LSH top-k (the other scale path) --
     ("knn_srp", (s: SparkSession, d: String) => {
       val e = embs(s, d)

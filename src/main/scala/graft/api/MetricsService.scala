@@ -1747,9 +1747,14 @@ class MetricsService(spark: SparkSession, root: String,
         if (isCounter) l.counterRate else l.gaugeRate
       def histPath(l: MetricsService.TierLayout) =
         if (isCounter) l.counterRateHist else l.gaugeRateHist
+      // rateHistTierServes, not tierServes: a sparse store (≤1 point per
+      // hour everywhere) leaves the refreshed rate-hist tier physically
+      // EMPTY — its percentile answer is the boundary-pair reconstruction
+      // off the rate tier, and a data-existence probe would refuse it
+      // forever (silent permanent raw downgrade)
       val served = tiers.filter(l => b.end <= refreshedUntil &&
         GraftStorage.tierServes(spark, ratePath(l), b) &&
-        (percentiles.isEmpty || (GraftStorage.tierServes(spark, histPath(l), b) &&
+        (percentiles.isEmpty || (GraftStorage.rateHistTierServes(spark, histPath(l), b) &&
           GraftStorage.histTierHasMeta(spark, histPath(l)) &&
           histTierCovers(histPath(l), ratePath(l), b))))
       served match {

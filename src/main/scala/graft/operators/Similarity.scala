@@ -405,7 +405,9 @@ object Similarity {
     val cells = cents.map(_._1).toArray
     val mats = cents.map(_._2).toArray
     val cnrms = mats.map(c => math.sqrt(c.map(x => x * x).sum))
-    val f = udf { (v: Seq[Float], nrm: Double) =>
+    // Seq[Double] + exact float→double cast: same math for float
+    // corpora, and the large-k path also accepts PCA-space vectors
+    val f = udf { (v: Seq[Double], nrm: Double) =>
       var best = 0
       var bestSim = Double.NegativeInfinity
       var i = 0
@@ -413,14 +415,14 @@ object Similarity {
         val c = mats(i)
         var dot = 0.0
         var j = 0
-        while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
+        while (j < c.length) { dot += v(j) * c(j); j += 1 }
         val sim = dot / (nrm * cnrms(i))
         if (sim > bestSim) { best = i; bestSim = sim } // strict > keeps the first max
         i += 1
       }
       cells(best)
     }
-    f(col(vecCol), col(nrmCol))
+    f(col(vecCol).cast("array<double>"), col(nrmCol))
   }
 
   /** Size-based switch between the two assignment plans. */
@@ -651,7 +653,10 @@ object Similarity {
           .map { case (l, c) => (l, c, math.sqrt(c.map(x => x * x).sum)) }
           .toArray
       }
-    val f = udf { (cc: Int, v: Seq[Float], nrm: Double) =>
+    // Seq[Double] + an exact float→double CAST on the input keeps the
+    // same math for float corpora while accepting PCA-space (double)
+    // vectors — the hier family serves both vector spaces
+    val f = udf { (cc: Int, v: Seq[Double], nrm: Double) =>
       val cands = byCoarse.getOrElse(cc, throw new IllegalStateException(
         s"coarse cell $cc has no children — degenerate model"))
       var best = 0
@@ -661,14 +666,14 @@ object Similarity {
         val c = cands(i)._2
         var dot = 0.0
         var j = 0
-        while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
+        while (j < c.length) { dot += v(j) * c(j); j += 1 }
         val sim = dot / (nrm * cands(i)._3)
         if (sim > bestSim) { best = i; bestSim = sim }
         i += 1
       }
       cands(best)._1
     }
-    f(col(coarseCol), col(vecCol), col(nrmCol))
+    f(col(coarseCol), col(vecCol).cast("array<double>"), col(nrmCol))
   }
 
   /** Corpus frame → (vec_id, embedding, cell) through a [[HierIvfModel]]
@@ -940,35 +945,9 @@ object Similarity {
   def ivfStoredTopKHier(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, k: Int,
                         nprobeCoarse: Int = 1, nprobe: Int = 2): DataFrame = {
-    import spark.implicits._
-    val (coarse, kChild) = hierModelOf(spark, path).getOrElse(
-      throw new IllegalStateException(
-        s"$path has no coarse routing model — not a writeIvfIndexHier store " +
-          "(use ivfStoredTopK for flat stores)"))
-    val coarseCents = withNorm(coarse.toDF("cell", "centroid"), "centroid")
-      .withColumnRenamed("nrm", "centroid_nrm")
-    // stage 1: route queries over the √cells coarse model
-    val qc = probeCells(queries, coarseCents, nprobeCoarse)
-      .withColumnRenamed("cell", "coarse").localCheckpoint()
-    val probedCoarse = qc.select("coarse").distinct().collect().map(_.getInt(0)).toSeq
-    // stage 2: score only the probed coarse cells' children — the leaf
-    // table read prunes by label range (leaf = coarse·kChild + child)
-    // before any per-query scoring
-    val leafCands = withNorm(
-      spark.read.parquet(s"$path/centroids")
-        .where(floor(col("cell") / lit(kChild)).cast("int").isin(probedCoarse: _*))
-        .withColumn("coarse", floor(col("cell") / lit(kChild)).cast("int")),
-      "centroid").withColumnRenamed("nrm", "centroid_nrm")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell").asc)
-    val probes = qc.join(broadcast(leafCands), Seq("coarse"))
-      .withColumn("cdist", cosine("qv", "centroid"))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
-      .localCheckpoint()
-    // stage 3: the shared probed-cell scan (static partition pushdown +
-    // tombstone screen + exact rank) — identical to ivfStoredTopK's
+    val probes = routedProbes(spark, path, queries, nprobeCoarse, nprobe)
+    // the shared probed-cell scan (static partition pushdown + tombstone
+    // screen + exact rank) — identical to ivfStoredTopK's finish
     val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val vecs = deleteScreen(spark, path)(
       spark.read.parquet(s"$path/vectors")
@@ -977,6 +956,49 @@ object Similarity {
       .select(col("cell"), col("vec_id").as("neighbor_id"), dvec("embedding").as("cv")), "cv")
       .withColumnRenamed("nrm", "cv_nrm")
     rankPairs(c.join(broadcast(probes), Seq("cell")), k)
+  }
+
+  /**
+   * The routed probe frame shared by every hier-store serve path (plain
+   * IVF, IVF-PQ stage 1, PCA-IVF stage 1 — same `centroids` + `coarse`
+   * layout): each query scores the persisted PRUNED coarse model
+   * (√cells dots), keeps its top `nprobeCoarse` coarse cells, scores
+   * ONLY their children (the leaf-centroid read prunes by label range —
+   * leaf = coarse·kChild + child — before any per-query scoring) and
+   * probes the top `nprobe` leaves. Output is [[probeCells]]'s shape
+   * (query_id, qv, qv_nrm, cell), localCheckpointed, with qv in the
+   * STORE's model space (callers project PCA queries first). Refuses
+   * loudly on a store without a routing model — silent flat fallback
+   * would hide the O(cells) per-query cost the caller opted out of.
+   */
+  private def routedProbes(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame,
+                           nprobeCoarse: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val (coarse, kChild) = hierModelOf(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"$path has no coarse routing model — not a hier store " +
+          "(use the flat stored-top-k path instead)"))
+    val coarseCents = withNorm(coarse.toDF("cell", "centroid"), "centroid")
+      .withColumnRenamed("nrm", "centroid_nrm")
+    // stage 1: route queries over the √cells coarse model
+    val qc = probeCells(queries, coarseCents, nprobeCoarse)
+      .withColumnRenamed("cell", "coarse").localCheckpoint()
+    val probedCoarse = qc.select("coarse").distinct().collect().map(_.getInt(0)).toSeq
+    // stage 2: score only the probed coarse cells' children
+    val leafCands = withNorm(
+      spark.read.parquet(s"$path/centroids")
+        .where(floor(col("cell") / lit(kChild)).cast("int").isin(probedCoarse: _*))
+        .withColumn("coarse", floor(col("cell") / lit(kChild)).cast("int")),
+      "centroid").withColumnRenamed("nrm", "centroid_nrm")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell").asc)
+    qc.join(broadcast(leafCands), Seq("coarse"))
+      .withColumn("cdist", cosine("qv", "centroid"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qv_nrm"), col("cell"))
+      .localCheckpoint()
   }
 
   /** Pending vector tombstones, or None when none exist (the cheap
@@ -1602,27 +1624,45 @@ object Similarity {
    * means), so the store cannot hold codebooks that disagree with its
    * cells — one table fewer to keep atomic.
    */
+  /** `hier = true` trains the cells through [[hierKmeansModel]] and
+    * persists the coarse routing model (`coarse/`) beside the leaf
+    * centroids — the corpus-sized assignment pass scores O(2·√cells)
+    * centroids per vector instead of O(cells), appends auto-route
+    * ([[appendToIvfPqIndex]]), and [[ivfPqStoredTopKHier]] serves with
+    * routed probes; codebooks derive from the LEAF model either way, so
+    * the codes and both serve paths are model-coherent by construction. */
   def writeIvfPqIndex(corpus: DataFrame, path: String,
                       kCells: Int = 4, iters: Int = 2,
-                      sampleN: Option[Int] = None): Unit = {
+                      sampleN: Option[Int] = None,
+                      hier: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
+    graft.storage.IndexStore.clearSideTables(spark, path,
+      Seq("deleted_vecs", "cellfacts", FactsPendingMarker, "coarse"))
     // sampleN bounds the training passes; codebooks derive from the
     // (sampled) centroids, so the whole model pair is sample-bounded
-    val model = kmeansCentroids(
-      sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
-      kCells, iters)
-    val cbs = pqCodebooksFrom(model)
-    withNorm(corpus.select(col("vec_id"), col("embedding"),
+    val trainSet = sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint())
+    val normed = withNorm(corpus.select(col("vec_id"), col("embedding"),
       dvec("embedding").as("v")), "v")
-      .withColumn("cell", assignCell(model, "v", "nrm"))
+    val (assigned, model, hierM) =
+      if (hier) {
+        val m = hierKmeansModel(trainSet, kCells, iters)
+        (normed.withColumn("coarse", assignCell(m.coarse, "v", "nrm"))
+          .withColumn("cell", hierAssignLeaf(m.leaves, m.kChild, "coarse", "v", "nrm")),
+          m.leaves, Some(m))
+      } else {
+        val m = kmeansCentroids(trainSet, kCells, iters)
+        (normed.withColumn("cell", assignCell(m, "v", "nrm")), m, None)
+      }
+    val cbs = pqCodebooksFrom(model)
+    assigned
       .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
       .select("vec_id", "embedding", "codes", "cell")
       .repartition(col("cell")) // file discipline, as in writeIvfIndex
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     model.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    hierM.foreach(m => writeCoarseModel(spark, path, m))
   }
 
   /**
@@ -1639,9 +1679,19 @@ object Similarity {
     val model = readCentroids(spark, path)
     val cbs = pqCodebooksFrom(model)
     val fresh = reviveAndScreen(spark, path, batch)
-    withNorm(fresh.select(col("vec_id"), col("embedding"),
+    val normed = withNorm(fresh.select(col("vec_id"), col("embedding"),
       dvec("embedding").as("v")), "v")
-      .withColumn("cell", assignCell(model, "v", "nrm"))
+    // a hier store routes the batch through its persisted two-level rule
+    // (O(batch·√cells), coherent with the build); flat stores keep the
+    // flat argmax — the appendToIvfIndex contract
+    val assigned = hierModelOf(spark, path) match {
+      case Some((coarse, kChild)) =>
+        normed.withColumn("coarse", assignCell(coarse, "v", "nrm"))
+          .withColumn("cell", hierAssignLeaf(model, kChild, "coarse", "v", "nrm"))
+      case None =>
+        normed.withColumn("cell", assignCell(model, "v", "nrm"))
+    }
+    assigned
       .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
       .select("vec_id", "embedding", "codes", "cell")
       .repartition(col("cell")) // file discipline, as in the build
@@ -1675,6 +1725,51 @@ object Similarity {
     val cents = withNorm(model.toDF("cell", "centroid"), "centroid")
       .withColumnRenamed("nrm", "centroid_nrm")
     val probes = probeCells(queries, cents, nprobe).drop("qv_nrm").localCheckpoint()
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
+    val screened = deleteScreen(spark, path)
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id").asc)
+    val shortIds = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score_micro", adcMicroUdf(cbs)(col("codes"), col("qv")))
+      .withColumn("rnk", row_number().over(wShort))
+      .filter(col("rnk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val pruned = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
+  }
+
+  /**
+   * [[ivfPqStoredTopK]] with ROUTED probing over a
+   * `writeIvfPqIndex(hier = true)` store: stage 0 routes each query
+   * through the persisted coarse model ([[routedProbes]] — O(2·√cells)
+   * centroid scores per query instead of the flat probe's O(cells)),
+   * then the identical two-stage ADC-shortlist → exact-rerank finish
+   * runs over the probed cells. With every coarse cell probed the
+   * candidate leaf set is all leaves, so the result is bit-equal to
+   * [[ivfPqStoredTopK]] at the same `nprobe`; add an uncapped shortlist
+   * and it is EXACT brute force (the oracle hook, spec-pinned).
+   */
+  def ivfPqStoredTopKHier(spark: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, k: Int,
+                          nprobeCoarse: Int = 1, nprobe: Int = 2,
+                          shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val spark2 = spark; import spark2.implicits._
+    val cbs = pqCodebooksFrom(readCentroids(spark, path))
+    val probes = routedProbes(spark, path, queries, nprobeCoarse, nprobe)
+      .drop("qv_nrm")
     val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val screened = deleteScreen(spark, path)
     val wShort = Window.partitionBy(col("query_id"))
@@ -2440,15 +2535,24 @@ object Similarity {
    * the k-means passes (all in dims-wide space), and ONE partitioned
    * write.
    */
+  /** `hier = true` trains the PCA-space cells through
+    * [[hierKmeansModel]] (dim = `dims`) and persists the coarse routing
+    * model beside the leaf centroids — the corpus-sized assignment pass
+    * scores O(2·√cells) PROJECTED centroids per vector, appends
+    * auto-route ([[appendToPcaIvfIndex]]), and
+    * [[pcaIvfStoredTopKHier]] serves with routed probes; both routing
+    * levels live in the SAME PCA space as the flat cells. */
   def writePcaIvfIndex(corpus: DataFrame, path: String, dims: Int = 16,
                        kCells: Int = 4, iters: Int = 2,
-                       sampleN: Option[Int] = None): Unit = {
+                       sampleN: Option[Int] = None,
+                       hier: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // a REBUILD must not inherit a previous store's pending deletes
     // (the writeIvfIndex contract — the two stores share the
     // deleted_vecs side table and the IndexStore delete mechanics)
-    graft.storage.IndexStore.clearSideTables(spark, path, Seq("deleted_vecs", "cellfacts", FactsPendingMarker))
+    graft.storage.IndexStore.clearSideTables(spark, path,
+      Seq("deleted_vecs", "cellfacts", FactsPendingMarker, "coarse"))
     // sampleN bounds BOTH trained models ([[trainingSample]]): the basis
     // fits the sample's Gram, the cells train on the sample's
     // projections; the FULL corpus still projects and lands through them
@@ -2456,13 +2560,21 @@ object Similarity {
       trainingSample(corpus, n).localCheckpoint())
     val model = pcaFit(trainSet, dims)
     val proj = pcaProject(corpus, model)
-    val cells = kmeansCentroids(
-      (if (sampleN.isEmpty) proj else pcaProject(trainSet, model))
-        .select(col("vec_id"), col("pvec").as("embedding")),
-      kCells, iters, dim = dims)
-    withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
+    val cellTrain = (if (sampleN.isEmpty) proj else pcaProject(trainSet, model))
+      .select(col("vec_id"), col("pvec").as("embedding"))
+    val normed = withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
       col("pvec").as("v")), "v")
-      .withColumn("cell", assignCell(cells, "v", "nrm"))
+    val (assigned, cells, hierM) =
+      if (hier) {
+        val m = hierKmeansModel(cellTrain, kCells, iters, dim = dims)
+        (normed.withColumn("coarse", assignCell(m.coarse, "v", "nrm"))
+          .withColumn("cell", hierAssignLeaf(m.leaves, m.kChild, "coarse", "v", "nrm")),
+          m.leaves, Some(m))
+      } else {
+        val m = kmeansCentroids(cellTrain, kCells, iters, dim = dims)
+        (normed.withColumn("cell", assignCell(m, "v", "nrm")), m, None)
+      }
+    assigned
       .select("vec_id", "embedding", "pvec", "cell")
       .repartition(col("cell")) // file discipline, as in writeIvfIndex
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
@@ -2472,6 +2584,7 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
       .toDF("c", "component", "energy")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pcamodel")
+    hierM.foreach(m => writeCoarseModel(spark, path, m))
   }
 
   /** The store's own PCA basis — dims×Dim doubles, driver-resident. */
@@ -2500,9 +2613,19 @@ object Similarity {
     val model = readPcaModel(spark, path)
     val cells = readCentroids(spark, path)
     val fresh = reviveAndScreen(spark, path, batch)
-    withNorm(pcaProject(fresh, model)
+    val normed = withNorm(pcaProject(fresh, model)
       .select(col("vec_id"), col("embedding"), col("pvec"), col("pvec").as("v")), "v")
-      .withColumn("cell", assignCell(cells, "v", "nrm"))
+    // a hier store routes the projected batch through its persisted
+    // two-level rule (both levels in PCA space — the build's own rule);
+    // flat stores keep the flat argmax
+    val assigned = hierModelOf(spark, path) match {
+      case Some((coarse, kChild)) =>
+        normed.withColumn("coarse", assignCell(coarse, "v", "nrm"))
+          .withColumn("cell", hierAssignLeaf(cells, kChild, "coarse", "v", "nrm"))
+      case None =>
+        normed.withColumn("cell", assignCell(cells, "v", "nrm"))
+    }
+    assigned
       .select("vec_id", "embedding", "pvec", "cell")
       .repartition(col("cell")) // file discipline, as in the build
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
@@ -2596,6 +2719,47 @@ object Similarity {
     // stage-1 screen alone suffices for correctness (stage 2 only reads
     // shortlisted ids), but both reads screen so a shortlist computed
     // before a concurrent delete cannot resurrect the id at rerank.
+    val screened = deleteScreen(spark, path)
+    val c = withNorm(screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("pvec").as("cv")), "cv")
+      .withColumnRenamed("nrm", "cv_nrm")
+    val shortIds = rankPairs(c.join(broadcast(probes), Seq("cell")), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(
+      withNorm(queries.select(col("vec_id").as("query_id"),
+        dvec("embedding").as("qv")), "qv")
+        .withColumnRenamed("nrm", "qv_nrm"))
+    val pruned = screened(spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probed: _*)))
+      .select(col("vec_id").as("neighbor_id"), dvec("embedding").as("cv"))
+      .join(broadcast(shortIds), Seq("neighbor_id"))
+    rankPairs(withNorm(pruned, "cv").withColumnRenamed("nrm", "cv_nrm")
+      .join(q, Seq("query_id")), k)
+  }
+
+  /**
+   * [[pcaIvfStoredTopK]] with ROUTED probing over a
+   * `writePcaIvfIndex(hier = true)` store: queries PROJECT through the
+   * stored basis first, then route through the persisted PCA-space
+   * coarse model ([[routedProbes]] — O(2·√cells) centroid scores per
+   * query); the identical two-stage pvec-shortlist → full-width-rerank
+   * finish runs over the probed cells. All-coarse probing is bit-equal
+   * to [[pcaIvfStoredTopK]] at the same `nprobe`; full probe + uncapped
+   * shortlist is EXACT brute force (spec-pinned).
+   */
+  def pcaIvfStoredTopKHier(spark: org.apache.spark.sql.SparkSession, path: String,
+                           queries: DataFrame, k: Int,
+                           nprobeCoarse: Int = 1, nprobe: Int = 2,
+                           shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val model = readPcaModel(spark, path)
+    val probes = routedProbes(spark, path,
+      pcaProject(queries, model)
+        .select(col("vec_id"), col("pvec").as("embedding")),
+      nprobeCoarse, nprobe)
+    val probed = probes.select("cell").distinct().collect().map(_.get(0)).toSeq
     val screened = deleteScreen(spark, path)
     val c = withNorm(screened(spark.read.parquet(s"$path/vectors")
       .where(col("cell").isin(probed: _*)))

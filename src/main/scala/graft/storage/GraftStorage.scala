@@ -1046,6 +1046,22 @@ object GraftStorage {
   def tierServes(spark: SparkSession, path: String, b: graft.model.Buckets): Boolean =
     hourAligned(b.start, b.step, b.end) && tierExists(spark, path)
 
+  /** The RATE-distribution dispatch condition: a rate-hist tier is
+    * usable for `b` when the grid is hour-aligned and the tier either
+    * holds data OR carries a refresh-coverage watermark while empty. A
+    * sparse series can legitimately have ZERO within-hour pairs
+    * anywhere (≤1 point per hour), leaving a refreshed tier physically
+    * empty — [[rollupRateHistogram]] then answers entirely from
+    * boundary rates reconstructed off the rate tier, which is exactly
+    * the raw path's pair set. A bare data-existence probe would refuse
+    * such stores FOREVER, silently downgrading every percentile request
+    * to a raw scan; an empty tier with no coverage watermark (never
+    * refreshed / legacy) still refuses. */
+  def rateHistTierServes(spark: SparkSession, path: String,
+                         b: graft.model.Buckets): Boolean =
+    hourAligned(b.start, b.step, b.end) &&
+      (tierExists(spark, path) || histCoveredFrom(spark, path).isDefined)
+
   /** [[tierServes]] for a whole-range request (the counter-increase
     * dispatch condition — no step grid). */
   def tierServes(spark: SparkSession, path: String,
@@ -1248,12 +1264,6 @@ object GraftStorage {
     def scopedRead(path: String, f: DataFrame) = scopeFilters.foldLeft(f)(_ filter _)
     def idFilter(df: DataFrame) = ids.fold(df)(i =>
       df.join(broadcast(i.select(col("metric"))), Seq("metric"), "left_semi"))
-    // within-hour binned counts, re-aggregated to the bucket grid
-    val inHour = idFilter(scopedRead(rateHistPath,
-      spark.read.parquet(rateHistPath)
-        .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)))
-      .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
-      .select(col("bucket"), col("bin"), col("cnt"))
     // boundary rates from the rate tier's hour chain (no lower hour
     // bound — pre-range hours anchor the lag, rollupRateStats' posture)
     val w = org.apache.spark.sql.expressions.Window
@@ -1273,7 +1283,22 @@ object GraftStorage {
       .withColumn("bin",
         graft.functions.GraftFunctions.valueBin(col("brate"), vMin, width, bins))
       .select(col("bucket"), col("bin"), lit(1L).as("cnt"))
-    inHour.unionByName(bounds)
+    // within-hour binned counts, re-aggregated to the bucket grid. A
+    // refreshed-but-EMPTY hist tier (sparse store: no hour anywhere
+    // holds two points — [[rateHistTierServes]]) contributes nothing
+    // and must not be read: parquet schema inference dies on a dir
+    // holding only the _histmeta/_covered_from side files, and the
+    // boundary reconstruction above already carries every rate pair
+    // such a store has.
+    val merged =
+      if (tierTenantPartitions(spark, rateHistPath).isEmpty) bounds
+      else idFilter(scopedRead(rateHistPath,
+        spark.read.parquet(rateHistPath)
+          .filter(col("hour") >= startHour && col("hour") < b.end / RollupMs)))
+        .withColumn("bucket", expr(s"(hour - $startHour) div $stepHours"))
+        .select(col("bucket"), col("bin"), col("cnt"))
+        .unionByName(bounds)
+    merged
       .groupBy(col("bucket"), col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
       .withColumn("bin_lo", lit(vMin) + col("bin") * width)

@@ -1166,6 +1166,59 @@ class MetricsServiceSpec extends SparkTestBase {
     }
   }
 
+  test("rate TierApprox on an ALL-sparse store: every hour holds at most one " +
+    "point, so the refreshed rate-hist tier is physically EMPTY — the " +
+    "percentile request must still serve from the tier pair (boundary-pair " +
+    "reconstruction off the rate tier, raw never read), not silently " +
+    "downgrade to a raw scan forever") {
+    import graft.storage.GraftStorage
+    import graft.operators.MetricsOps
+    val root = Files.createTempDirectory("graft-svc-ratesparse").toString
+    val layout = MetricsService.TierLayout(s"$root/tiers",
+      rateHistEdges = Some((0.0, 2.0, 20)))
+    val tiered = new MetricsService(spark, root, Some(layout))
+    val H = GraftStorage.RollupMs
+    val s = spark
+    import s.implicits._
+    // one point five minutes into EVERY hour 1000..1029 — no hour
+    // anywhere holds a within-hour pair, so every rate is a boundary pair
+    val pts = (1000 until 1030).map(i => (i * H + 5 * 60000L, 10L + i * 7L))
+    tiered.addDataPoints(canonicalPoints(
+      pts.toDF("time", "l_value").withColumn("metric", lit("c")),
+      MetricType.Counter))
+    tiered.refreshTiers()
+    // the fixture's point: the rate-hist tier holds NO data partitions
+    // (only its _histmeta/_covered_from side files)
+    assert(!new java.io.File(layout.counterRateHist).list()
+      .exists(_.startsWith("tenant_id=")),
+      "fixture must leave the rate-hist tier physically empty")
+    val c = MetricId("t1", MetricType.Counter.code, "c")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val aligned = BucketConfig(TimeRange(1000 * H, 1030 * H), Some(30), None)
+    val served = tiered.findRateStats(c, aligned, Seq(90.0),
+      MetricsOps.PercentileMode.TierApprox)
+    assert(plan(served).contains("counter_rate]") && !plan(served).contains("/data"),
+      s"the empty-hist tier serve must read the rate tier only:\n${plan(served)}")
+    assert(!served.columns.contains("median"))
+    val exact = tiered.findRateStats(c, aligned, Seq(90.0))
+    val five = Seq("bucket", "min", "avg", "max", "sum", "samples")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(five.map(col): _*).collect().map(_.toSeq).toSet
+    assert(rows(served) == rows(exact),
+      "the five served rate stats must equal the exact raw answer")
+    // every rate is 7/hour = 0.11667/min — estimate within two bin
+    // widths (0.2) of the exact per-bucket p90
+    val est = served.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ex = exact.filter(col("p90_0").isNotNull)
+      .select("bucket", "p90_0").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est.nonEmpty && est.keySet == ex.keySet,
+      s"served percentile buckets ${est.keySet} must match exact ${ex.keySet}")
+    ex.foreach { case (b, v) => assert(math.abs(est(b) - v) <= 0.2,
+      s"bucket $b: rate estimate ${est(b)} too far from exact $v") }
+  }
+
   test("watermark monotonicity + hist coverage: an old-window bounded " +
     "re-refresh never LOWERS the watermark (recent ranges keep serving " +
     "from the tier); a histogram tier seeded after sums history refuses " +

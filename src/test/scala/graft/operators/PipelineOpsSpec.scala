@@ -528,6 +528,61 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("hier routing generalizes to the IVF-PQ and PCA-IVF stores: " +
+    "hier builds persist the routing model, all-coarse routed serving is " +
+    "bit-equal to the flat probe, full probe + uncapped shortlist equals " +
+    "brute force, and appends route through the stored two-level rule") {
+    val s = spark
+    import s.implicits._
+    val e = (0 until 60).map { i =>
+      (i.toLong, (0 until Similarity.Dim).map(j =>
+        math.sin(i * 31 + j).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // ---- IVF-PQ ----
+    val pq = java.nio.file.Files.createTempDirectory("graft-pqhier").toString + "/ix"
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") < 50), pq,
+      kCells = 4, iters = 2, hier = true)
+    assert(new java.io.File(s"$pq/coarse").exists(),
+      "the hier PQ build must persist its routing model")
+    val pqCoarse = s.read.parquet(s"$pq/coarse").count().toInt
+    val pqLeaves = s.read.parquet(s"$pq/centroids").count().toInt
+    assert(rows(Similarity.ivfPqStoredTopKHier(s, pq, q, 10, pqCoarse, 2, 50)) ==
+      rows(Similarity.ivfPqStoredTopK(s, pq, q, 10, nprobe = 2, shortlist = 50)),
+      "all-coarse PQ routing must reproduce the flat probe bit-for-bit")
+    assert(rows(Similarity.ivfPqStoredTopKHier(s, pq, q, 10, pqCoarse, pqLeaves, 1 << 20)) ==
+      rows(Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), q, 10)),
+      "full routed PQ probe + uncapped shortlist must equal brute force")
+    Similarity.appendToIvfPqIndex(s, pq, e.filter(col("vec_id") >= 50))
+    assert(rows(Similarity.ivfPqStoredTopKHier(s, pq, q, 10, pqCoarse, pqLeaves, 1 << 20)) ==
+      rows(Similarity.bruteForceTopK(e, q, 10)),
+      "PQ appends must route into servable cells (exactness over the union)")
+    Similarity.deleteFromIvfIndex(s, pq, Seq(7L).toDF("vec_id"))
+    assert(!Similarity.ivfPqStoredTopKHier(s, pq, q, 50, pqCoarse, pqLeaves, 1 << 20)
+      .collect().map(_.getLong(1)).contains(7L),
+      "tombstoned ids must stop ranking through the routed PQ read")
+    // ---- PCA-IVF (routing model lives in PCA space) ----
+    val pc = java.nio.file.Files.createTempDirectory("graft-pcahier").toString + "/ix"
+    Similarity.writePcaIvfIndex(e.filter(col("vec_id") < 50), pc,
+      dims = 16, kCells = 4, iters = 2, hier = true)
+    assert(new java.io.File(s"$pc/coarse").exists(),
+      "the hier PCA build must persist its routing model")
+    val pcCoarse = s.read.parquet(s"$pc/coarse").count().toInt
+    val pcLeaves = s.read.parquet(s"$pc/centroids").count().toInt
+    assert(rows(Similarity.pcaIvfStoredTopKHier(s, pc, q, 10, pcCoarse, 2, 50)) ==
+      rows(Similarity.pcaIvfStoredTopK(s, pc, q, 10, nprobe = 2, shortlist = 50)),
+      "all-coarse PCA routing must reproduce the flat probe bit-for-bit")
+    assert(rows(Similarity.pcaIvfStoredTopKHier(s, pc, q, 10, pcCoarse, pcLeaves, 1 << 20)) ==
+      rows(Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), q, 10)),
+      "full routed PCA probe + uncapped shortlist must equal brute force")
+    Similarity.appendToPcaIvfIndex(s, pc, e.filter(col("vec_id") >= 50))
+    assert(rows(Similarity.pcaIvfStoredTopKHier(s, pc, q, 10, pcCoarse, pcLeaves, 1 << 20)) ==
+      rows(Similarity.bruteForceTopK(e, q, 10)),
+      "PCA appends must route into servable cells (exactness over the union)")
+  }
+
   test("residual-IVFADC seed rule: an id space NOT starting at 0 (stream " +
     "whose first wave starts high, retrain after low-id takedowns) trains " +
     "on the lowest ids PRESENT — sampled and full builds both serve, and " +

@@ -2777,11 +2777,16 @@ object SparkEntry {
       val q = graft.streaming.StreamingIngest.startWithTierRefresh(
         s.readStream.schema(schema).parquet(staged),
         s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
-        GraftStorage.writeRollupRate(sp, s"$base/raw", s"$base/rate",
-          isCounter = true, fromSlice = lo, upToSlice = hi)
-        GraftStorage.writeRollupRateHist(sp, s"$base/raw", s"$base/rhist",
-          isCounter = true, vMin = 0.0, vMax = 2000.0, bins = 20,
-          fromSlice = lo, upToSlice = hi)
+        // the two rate tiers share ONE materialized resolved window and
+        // refresh concurrently (the refreshFamilies discipline)
+        val rw = Some(GraftStorage.resolvedWindow(sp, s"$base/raw", lo, hi)
+          .localCheckpoint())
+        graft.storage.IndexStore.inParallel(Seq(
+          () => GraftStorage.writeRollupRate(sp, s"$base/raw", s"$base/rate",
+            isCounter = true, fromSlice = lo, upToSlice = hi, resolved = rw),
+          () => GraftStorage.writeRollupRateHist(sp, s"$base/raw", s"$base/rhist",
+            isCounter = true, vMin = 0.0, vMax = 2000.0, bins = 20,
+            fromSlice = lo, upToSlice = hi, resolved = rw)))
       }
       q.awaitTermination()
       MetricsOps.histogramQuantile(
@@ -7244,16 +7249,23 @@ object SparkEntry {
       val freshP = "target/tmp/pcaivffr_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       rmrf(s, path); rmrf(s, freshP)
       val e = embs(s, d)
-      Similarity.writePcaIvfIndex(
-        e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
-        dims = 16, kCells = 4, iters = 2)
-      Similarity.appendToPcaIvfIndex(s, path,
-        e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
-      Similarity.deleteFromIvfIndex(s, path,
-        e.filter(col("vec_id") % 97 === 0).select("vec_id"))
-      Similarity.retrainPcaIvfIndex(s, path, dims = 16, kCells = 4, iters = 2)
-      Similarity.writePcaIvfIndex(e.filter(col("vec_id") % 97 =!= 0), freshP,
-        dims = 16, kCells = 4, iters = 2)
+      // the retrained-store lifecycle chain and the fresh-build audit twin
+      // are fully independent (disjoint paths) — run as two concurrent job
+      // chains (§2.6); answers are unchanged, the equality join below is
+      // the same audit either way
+      graft.storage.IndexStore.inParallel(Seq(
+        () => {
+          Similarity.writePcaIvfIndex(
+            e.filter(col("vec_id") < 100 || col("vec_id") >= 110), path,
+            dims = 16, kCells = 4, iters = 2)
+          Similarity.appendToPcaIvfIndex(s, path,
+            e.filter(col("vec_id") >= 100 && col("vec_id") < 110))
+          Similarity.deleteFromIvfIndex(s, path,
+            e.filter(col("vec_id") % 97 === 0).select("vec_id"))
+          Similarity.retrainPcaIvfIndex(s, path, dims = 16, kCells = 4, iters = 2)
+        },
+        () => Similarity.writePcaIvfIndex(e.filter(col("vec_id") % 97 =!= 0), freshP,
+          dims = 16, kCells = 4, iters = 2)))
       val q = e.filter(col("vec_id") < 10)
       def serve(p: String) = Similarity.pcaIvfStoredTopK(s, p, q, 10,
         nprobe = 2, shortlist = 50)

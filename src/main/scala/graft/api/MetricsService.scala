@@ -565,36 +565,51 @@ class MetricsService(spark: SparkSession, root: String,
     * the main refresh and the dirty-slice sweep's per-run re-aggregation. */
   private def refreshFamilies(t: MetricsService.TierLayout,
                               upToSlice: Long, fromSlice: Long): Unit = {
-    GraftStorage.writeRollup(spark, dataPath, t.gaugeSums, upToSlice, fromSlice)
-    GraftStorage.writeRollup(spark, dataPath, t.counterSums, upToSlice, fromSlice,
-      valueCol = "l_value")
-    GraftStorage.writeRollupAvail(spark, dataPath, t.avail, upToSlice, fromSlice)
-    GraftStorage.writeRollupCounter(spark, dataPath, t.counterIncrease,
-      upToSlice, fromSlice)
-    GraftStorage.writeRollupRate(spark, dataPath, t.counterRate,
-      isCounter = true, valueCol = "l_value",
-      upToSlice = upToSlice, fromSlice = fromSlice)
-    GraftStorage.writeRollupRate(spark, dataPath, t.gaugeRate,
-      isCounter = false, valueCol = "n_value",
-      upToSlice = upToSlice, fromSlice = fromSlice)
-    // the DISTRIBUTION tiers are opt-in (edges are deployment config);
-    // once seeded, each tier's _histmeta carries its edges so later
-    // refreshes — including from layouts constructed WITHOUT edge
-    // config, like the serving transport's — keep it fresh
-    t.histEdges.orElse(GraftStorage.histTierMeta(spark, t.gaugeHist))
-      .foreach { case (vMin, vMax, bins) =>
-        GraftStorage.writeRollupHist(spark, dataPath, t.gaugeHist,
-          vMin, vMax, bins, upToSlice, fromSlice)
-      }
-    Seq((t.counterRateHist, true, "l_value"), (t.gaugeRateHist, false, "n_value"))
-      .foreach { case (p, isCtr, vc) =>
-        t.rateHistEdges.orElse(GraftStorage.histTierMeta(spark, p)).foreach {
-          case (vMin, vMax, bins) =>
-            GraftStorage.writeRollupRateHist(spark, dataPath, p, isCounter = isCtr,
-              vMin = vMin, vMax = vMax, bins = bins, valueCol = vc,
-              upToSlice = upToSlice, fromSlice = fromSlice)
+    // ONE materialized LWW-resolved read of the bounded raw window feeds
+    // every family (localCheckpoint — the scan + dedup shuffle run once,
+    // not once per family; the window is refresh-cadence-sized, the same
+    // data a compact() run holds, so materializing it is bounded at any
+    // scale), and the families write their OWN tier paths with no
+    // ordering constraint between them, so they refresh concurrently
+    // (IndexStore.inParallel — guide §2.6): one family's write tail
+    // back-fills with the next family's aggregate tasks instead of
+    // idling the executors nine times per refresh
+    val resolved = Some(
+      GraftStorage.resolvedWindow(spark, dataPath, fromSlice, upToSlice).localCheckpoint())
+    val families = Seq[() => Unit](
+      () => GraftStorage.writeRollup(spark, dataPath, t.gaugeSums, upToSlice, fromSlice,
+        resolved = resolved),
+      () => GraftStorage.writeRollup(spark, dataPath, t.counterSums, upToSlice, fromSlice,
+        valueCol = "l_value", resolved = resolved),
+      () => GraftStorage.writeRollupAvail(spark, dataPath, t.avail, upToSlice, fromSlice,
+        resolved = resolved),
+      () => GraftStorage.writeRollupCounter(spark, dataPath, t.counterIncrease,
+        upToSlice, fromSlice, resolved = resolved),
+      () => GraftStorage.writeRollupRate(spark, dataPath, t.counterRate,
+        isCounter = true, valueCol = "l_value",
+        upToSlice = upToSlice, fromSlice = fromSlice, resolved = resolved),
+      () => GraftStorage.writeRollupRate(spark, dataPath, t.gaugeRate,
+        isCounter = false, valueCol = "n_value",
+        upToSlice = upToSlice, fromSlice = fromSlice, resolved = resolved)) ++
+      // the DISTRIBUTION tiers are opt-in (edges are deployment config);
+      // once seeded, each tier's _histmeta carries its edges so later
+      // refreshes — including from layouts constructed WITHOUT edge
+      // config, like the serving transport's — keep it fresh
+      t.histEdges.orElse(GraftStorage.histTierMeta(spark, t.gaugeHist))
+        .map { case (vMin, vMax, bins) =>
+          () => GraftStorage.writeRollupHist(spark, dataPath, t.gaugeHist,
+            vMin, vMax, bins, upToSlice, fromSlice, resolved = resolved)
+        } ++
+      Seq((t.counterRateHist, true, "l_value"), (t.gaugeRateHist, false, "n_value"))
+        .flatMap { case (p, isCtr, vc) =>
+          t.rateHistEdges.orElse(GraftStorage.histTierMeta(spark, p)).map {
+            case (vMin, vMax, bins) =>
+              () => GraftStorage.writeRollupRateHist(spark, dataPath, p, isCounter = isCtr,
+                vMin = vMin, vMax = vMax, bins = bins, valueCol = vc,
+                upToSlice = upToSlice, fromSlice = fromSlice, resolved = resolved)
+          }
         }
-      }
+    graft.storage.IndexStore.inParallel(families)
   }
 
   /** Sorted distinct slice ids → inclusive (lo, hi) contiguous runs. */

@@ -423,21 +423,38 @@ object Dedup {
     sh.count() // materialize eagerly — three writers read it
     try {
       val sig = minHashSignatures(sh, bands * rowsPerBand).cache()
-      // bucket is INT on both write and probe side: a type mismatch would
-      // wrap the partition attribute in a cast and defeat the DPP rule.
-      // Repartition ON the partition column first — without it every
-      // write task fans out a file into every bucket directory
-      // (tasks×buckets small files; measured to dominate build cost);
-      // with it each bucket's rows land together (file count ∝ buckets)
-      graft.storage.IndexStore.writeBucketed(
-        lshBands(sig, bands, rowsPerBand)
-          .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int")),
-        path, "bands", overwrite)
-      sig.write.mode(mode).parquet(s"$path/signatures")
-      sig.unpersist()
-      sh.write.mode(mode).parquet(s"$path/shingles")
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .write.mode(mode).parquet(s"$path/sizes")
+      try {
+        // bucket is INT on both write and probe side: a type mismatch would
+        // wrap the partition attribute in a cast and defeat the DPP rule.
+        // Repartition ON the partition column first — without it every
+        // write task fans out a file into every bucket directory
+        // (tasks×buckets small files; measured to dominate build cost);
+        // with it each bucket's rows land together (file count ∝ buckets)
+        def writeBands(): Unit = graft.storage.IndexStore.writeBucketed(
+          lshBands(sig, bands, rowsPerBand)
+            .withColumn("bucket", pmod(col("band_hash"), lit(IndexBuckets.toLong)).cast("int")),
+          path, "bands", overwrite)
+        def writeSigs(): Unit = sig.write.mode(mode).parquet(s"$path/signatures")
+        def writeShingles(): Unit = sh.write.mode(mode).parquet(s"$path/shingles")
+        def writeSizes(): Unit = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .write.mode(mode).parquet(s"$path/sizes")
+        if (overwrite) {
+          // BUILD: the four tables derive from the two materialized frames
+          // and land at disjoint paths — written concurrently (§2.6); the
+          // caller's meta write after this call is the commit marker
+          // (requireIndexParams refuses a store whose meta never landed)
+          sig.count() // materialize BEFORE the concurrent writers race to compute it
+          graft.storage.IndexStore.inParallel(
+            Seq(() => writeBands(), () => writeSigs(), () => writeShingles(),
+              () => writeSizes()))
+        }
+        else {
+          // APPEND: keep the original commit ORDER — sizes (the replay
+          // screen) lands last, so every crash prefix is re-applied by the
+          // replay rather than screened away half-landed
+          writeBands(); writeSigs(); writeShingles(); writeSizes()
+        }
+      } finally sig.unpersist()
     } finally sh.unpersist()
   }
 
@@ -464,9 +481,12 @@ object Dedup {
     val dead = deletedDocs(spark, path).map(_.localCheckpoint())
     def purge(df: DataFrame): DataFrame =
       dead.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
-    graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)
-    Seq("signatures", "shingles", "sizes").foreach(
-      graft.storage.IndexStore.compactFlat(spark, path, _, purge))
+    // the four rewrites are independent (disjoint tables, each behind its
+    // own swap; `dead` is checkpointed above) — run concurrently (§2.6)
+    graft.storage.IndexStore.inParallel(
+      (() => graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)) +:
+      Seq("signatures", "shingles", "sizes").map(t =>
+        () => graft.storage.IndexStore.compactFlat(spark, path, t, purge)))
     dead.foreach(_ => graft.storage.IndexStore.dropDeletes(spark, path, "deleted_docs"))
   }
 
@@ -564,9 +584,12 @@ object Dedup {
       if (!revived.isEmpty) {
         def purge(df: DataFrame): DataFrame =
           df.join(broadcast(revived), Seq("doc_id"), "left_anti")
-        graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)
-        Seq("signatures", "shingles", "sizes").foreach(
-          graft.storage.IndexStore.compactFlat(spark, path, _, purge))
+        // four independent table rewrites (compactNearDupIndex's shape) —
+        // concurrent; the tombstone clear stays LAST (crash discipline)
+        graft.storage.IndexStore.inParallel(
+          (() => graft.storage.IndexStore.compactBucketed(spark, path, "bands", purge)) +:
+          Seq("signatures", "shingles", "sizes").map(t =>
+            () => graft.storage.IndexStore.compactFlat(spark, path, t, purge)))
         graft.storage.IndexStore.clearDeletes(spark, path, "deleted_docs",
           revived, Seq("doc_id"))
       }

@@ -136,19 +136,26 @@ object Retrieval {
       .withColumn("bucket", tokenBucket(col("token"))).cache()
     tf.count() // materialize eagerly — two writers + df read it
     try {
-      // bucketed writes via the shared lifecycle (file count ∝ buckets,
-      // not tasks×buckets — IndexStore primitive 3)
-      graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = true)
-      graft.storage.IndexStore.writeBucketed(
-        tf.groupBy(col("token"), col("bucket"))
-          .agg(count(lit(1)).cast("long").as("df")),
-        path, "tokenstats", overwrite = true)
-      docs.agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(size(words).cast("long")).as("dl_sum"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats")
-      // per-doc lengths: the append path's id screen + stats inputs
-      docs.select(col("doc_id"), size(words).cast("long").as("dl"))
-        .write.mode("overwrite").parquet(s"$path/docstats")
+      // four independent table writes off the one materialized postings
+      // frame (disjoint output paths, no ordering constraint) —
+      // concurrent (§2.6); META lands last, below
+      graft.storage.IndexStore.inParallel(Seq(
+        // bucketed writes via the shared lifecycle (file count ∝ buckets,
+        // not tasks×buckets — IndexStore primitive 3)
+        () => graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = true),
+        () => graft.storage.IndexStore.writeBucketed(
+          tf.groupBy(col("token"), col("bucket"))
+            .agg(count(lit(1)).cast("long").as("df")),
+          path, "tokenstats", overwrite = true),
+        () => docs.agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(size(words).cast("long")).as("dl_sum"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/corpusstats"),
+        // per-doc lengths: the append path's id screen + stats inputs
+        () => docs.select(col("doc_id"), size(words).cast("long").as("dl"))
+          .write.mode("overwrite").parquet(s"$path/docstats")))
+      // meta lands LAST, never concurrently: it is the streaming
+      // maintainer's bootstrap-vs-append discriminator — its existence
+      // must imply every table landed
       graft.storage.IndexStore.writeMeta(spark, path, Seq("buckets" -> IndexBuckets))
     } finally tf.unpersist()
   }
@@ -239,11 +246,10 @@ object Retrieval {
           .groupBy(col("token"), col("bucket"))
           .agg(sum(col("df")).cast("long").as("df"))
           .localCheckpoint()
-        val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try merged.repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokenstats")
-        finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        merged.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
+          .parquet(s"$path/tokenstats")
         graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = false)
       }
       // corpus stats: one stored row + one batch row → new exact totals
@@ -299,9 +305,14 @@ object Retrieval {
     val dead = deletedDocs(spark, path).map(_.localCheckpoint())
     def purge(df: DataFrame): DataFrame =
       dead.fold(df)(d => df.join(broadcast(d), Seq("doc_id"), "left_anti"))
-    IndexStore.compactBucketed(spark, path, "postings", purge)
-    IndexStore.compactFlat(spark, path, "docstats",
-      df => purge(df).join(orphanIds, Seq("doc_id"), "left_anti"))
+    // the two base-table rewrites are independent (disjoint swaps; their
+    // inputs are checkpointed above) — concurrent; the stats rebuild must
+    // FOLLOW both (it reads the post-swap base tables), and the tombstone
+    // drop stays last (crash discipline)
+    IndexStore.inParallel(Seq(
+      () => IndexStore.compactBucketed(spark, path, "postings", purge),
+      () => IndexStore.compactFlat(spark, path, "docstats",
+        df => purge(df).join(orphanIds, Seq("doc_id"), "left_anti"))))
     rebuildStats(spark, path)
     dead.foreach(_ => IndexStore.dropDeletes(spark, path, "deleted_docs"))
   }
@@ -315,17 +326,19 @@ object Retrieval {
     * ran) and is what makes a tombstone purge shift every score exactly
     * as a fresh rebuild would. Cost is one aggregate over each base
     * table — the same magnitude as the rewrites compaction already pays. */
-  private def rebuildStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    graft.storage.IndexStore.replaceBucketed(spark, path, "tokenstats",
-      spark.read.parquet(s"$path/postings")
-        .groupBy(col("token"), col("bucket"))
-        .agg(count(lit(1)).cast("long").as("df")))
-    graft.storage.AtomicSwap.swapTable(spark, path, "corpusstats")(_ =>
-      spark.read.parquet(s"$path/docstats")
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
-        .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))
-  }
+  private def rebuildStats(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    // the two derived tables rebuild from DIFFERENT base tables behind
+    // their own swaps — concurrent (§2.6)
+    graft.storage.IndexStore.inParallel(Seq(
+      () => graft.storage.IndexStore.replaceBucketed(spark, path, "tokenstats",
+        spark.read.parquet(s"$path/postings")
+          .groupBy(col("token"), col("bucket"))
+          .agg(count(lit(1)).cast("long").as("df"))),
+      () => graft.storage.AtomicSwap.swapTable(spark, path, "corpusstats")(_ =>
+        spark.read.parquet(s"$path/docstats")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
+          .coalesce(1).write.parquet(s"$path/.corpusstats.compact"))))
 
   /** Purge `ids`' rows from the two base tables and restore the stats
     * invariants — the revival path's physical delete (store-sized
@@ -334,8 +347,9 @@ object Retrieval {
                         ids: DataFrame): Unit = {
     def purge(df: DataFrame): DataFrame =
       df.join(broadcast(ids), Seq("doc_id"), "left_anti")
-    graft.storage.IndexStore.compactBucketed(spark, path, "postings", purge)
-    graft.storage.IndexStore.compactFlat(spark, path, "docstats", purge)
+    graft.storage.IndexStore.inParallel(Seq(
+      () => graft.storage.IndexStore.compactBucketed(spark, path, "postings", purge),
+      () => graft.storage.IndexStore.compactFlat(spark, path, "docstats", purge)))
     rebuildStats(spark, path)
   }
 

@@ -206,12 +206,15 @@ object Similarity {
     val store = new org.apache.hadoop.fs.Path(path)
     graft.storage.AtomicSwap.swapDir(spark, store.getParent.toString, store.getName) { tmp =>
       val planes = srpPlanes(corpus, numPlanes)
-      corpus.select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", srpBucket(planes, "embedding"))
-        .repartition(col("bucket")) // file discipline, as in writeIvfIndex
-        .write.partitionBy("bucket").parquet(s"$tmp/vectors")
-      planes.map { case (i, p) => (i, p.toSeq) }.toDF("pid", "plane")
-        .coalesce(1).write.parquet(s"$tmp/planes")
+      // the two tables derive from the driver-resident plane model and
+      // land at disjoint paths inside the same swap unit — concurrent
+      graft.storage.IndexStore.inParallel(Seq(
+        () => corpus.select(col("vec_id"), col("embedding"))
+          .withColumn("bucket", srpBucket(planes, "embedding"))
+          .repartition(col("bucket")) // file discipline, as in writeIvfIndex
+          .write.partitionBy("bucket").parquet(s"$tmp/vectors"),
+        () => planes.map { case (i, p) => (i, p.toSeq) }.toDF("pid", "plane")
+          .coalesce(1).write.parquet(s"$tmp/planes")))
     }
   }
 
@@ -733,12 +736,17 @@ object Similarity {
     val m = hierKmeansModel(
       sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
       kCells, iters)
-    hierAssigned(corpus, m)
-      .repartition(col("cell")) // file discipline, as in writeIvfIndex
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // vectors + coarse routing model are independent — concurrent (§2.6);
+    // centroids land LAST, never concurrently: the table is the streaming
+    // maintainer's bootstrap-vs-append discriminator — its existence must
+    // imply every other table landed
+    graft.storage.IndexStore.inParallel(Seq(
+      () => hierAssigned(corpus, m)
+        .repartition(col("cell")) // file discipline, as in writeIvfIndex
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors"),
+      () => writeCoarseModel(spark, path, m)))
     m.leaves.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    writeCoarseModel(spark, path, m)
   }
 
   /** Persist the routing half of a [[HierIvfModel]] beside the leaf
@@ -805,6 +813,9 @@ object Similarity {
       // 3x serve inflation at 64 cells without it (ProbeServe)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // centroids land LAST, never concurrently: the table is the
+    // streaming maintainer's bootstrap-vs-append discriminator — its
+    // existence must imply the vectors landed
     model.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -1142,15 +1153,18 @@ object Similarity {
             .withColumn("cell", assignCell(m, "v", "nrm"))
             .select("vec_id", "embedding", "cell"), m, None)
         }
-      assigned
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$tmp/vectors")
-      model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
-      // a hier retrain persists the new ROUTING model in the same swap
-      // unit (routed serving/appends must never pair an old coarse model
-      // with a new leaf model); a flat retrain writes none, so a stale
-      // coarse dir from a former hier generation vanishes with the swap
-      hierM.foreach(m => writeCoarseModel(spark, tmp, m))
+      // vectors/centroids/coarse are independent — concurrent; the facts
+      // rebuild below stays AFTER them (it reads the new $tmp/vectors)
+      graft.storage.IndexStore.inParallel(Seq[() => Unit](
+        () => assigned
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(s"$tmp/vectors"),
+        () => model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")) ++
+        // a hier retrain persists the new ROUTING model in the same swap
+        // unit (routed serving/appends must never pair an old coarse model
+        // with a new leaf model); a flat retrain writes none, so a stale
+        // coarse dir from a former hier generation vanishes with the swap
+        hierM.map(m => () => writeCoarseModel(spark, tmp, m)))
       // deleted_vecs is deliberately NOT carried over: the tombstoned
       // rows never entered the new store — the retrain IS their purge
       // a facts table rebuilds INSIDE the swap (over the new assignment)
@@ -1655,14 +1669,19 @@ object Similarity {
         (normed.withColumn("cell", assignCell(m, "v", "nrm")), m, None)
       }
     val cbs = pqCodebooksFrom(model)
-    assigned
-      .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
-      .select("vec_id", "embedding", "codes", "cell")
-      .repartition(col("cell")) // file discipline, as in writeIvfIndex
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // vectors + optional coarse model are independent — concurrent (§2.6);
+    // centroids land LAST, never concurrently: the table is the streaming
+    // maintainer's bootstrap-vs-append discriminator — its existence must
+    // imply every other table landed
+    graft.storage.IndexStore.inParallel(Seq[() => Unit](
+      () => assigned
+        .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
+        .select("vec_id", "embedding", "codes", "cell")
+        .repartition(col("cell")) // file discipline, as in writeIvfIndex
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")) ++
+      hierM.map(m => () => writeCoarseModel(spark, path, m)))
     model.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    hierM.foreach(m => writeCoarseModel(spark, path, m))
   }
 
   /**
@@ -2014,15 +2033,18 @@ object Similarity {
         broadcast(trainSet.select("vec_id")), Seq("vec_id"), "left_semi")
         .localCheckpoint())
       val cbs = residualCodebooks(residTrain, kCodes, codeIters)
-      resid.select(col("vec_id"), col("embedding"),
-        residAssignUdf(cbs)(col("rv")).as("codes"), col("cell"))
-        .repartition(col("cell")) // file discipline, as in writeIvfIndex
-        .write.partitionBy("cell").parquet(s"$tmp/vectors")
-      model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
-      cbs.zipWithIndex.flatMap { case (band, j) =>
-        band.map { case (code, c) => (j, code, c.toSeq) }
-      }.toDF("js", "code", "cvec")
-        .coalesce(1).write.parquet(s"$tmp/residcb")
+      // three independent writes (checkpointed resid + two driver-resident
+      // models) inside the same swap unit — concurrent (§2.6)
+      graft.storage.IndexStore.inParallel(Seq(
+        () => resid.select(col("vec_id"), col("embedding"),
+            residAssignUdf(cbs)(col("rv")).as("codes"), col("cell"))
+          .repartition(col("cell")) // file discipline, as in writeIvfIndex
+          .write.partitionBy("cell").parquet(s"$tmp/vectors"),
+        () => model.toDF("cell", "centroid").write.parquet(s"$tmp/centroids"),
+        () => cbs.zipWithIndex.flatMap { case (band, j) =>
+            band.map { case (code, c) => (j, code, c.toSeq) }
+          }.toDF("js", "code", "cvec")
+          .coalesce(1).write.parquet(s"$tmp/residcb")))
     }
   }
 
@@ -2574,17 +2596,22 @@ object Similarity {
         val m = kmeansCentroids(cellTrain, kCells, iters, dim = dims)
         (normed.withColumn("cell", assignCell(m, "v", "nrm")), m, None)
       }
-    assigned
-      .select("vec_id", "embedding", "pvec", "cell")
-      .repartition(col("cell")) // file discipline, as in writeIvfIndex
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    cells.toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    // vectors/centroids/coarse are independent — concurrent (§2.6); the
+    // BASIS lands LAST, never concurrently: pcamodel is the streaming
+    // maintainer's bootstrap-vs-append discriminator — its existence must
+    // imply every other table landed
+    graft.storage.IndexStore.inParallel(Seq[() => Unit](
+      () => assigned
+        .select("vec_id", "embedding", "pvec", "cell")
+        .repartition(col("cell")) // file discipline, as in writeIvfIndex
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors"),
+      () => cells.toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$path/centroids")) ++
+      hierM.map(m => () => writeCoarseModel(spark, path, m)))
     model.components.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
       .toDF("c", "component", "energy")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pcamodel")
-    hierM.foreach(m => writeCoarseModel(spark, path, m))
   }
 
   /** The store's own PCA basis — dims×Dim doubles, driver-resident. */
@@ -2671,17 +2698,19 @@ object Similarity {
         (if (sampleN.isEmpty) proj else pcaProject(trainSet, model))
           .select(col("vec_id"), col("pvec").as("embedding")),
         kCells, iters, dim = dims)
-      withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
-        col("pvec").as("v")), "v")
-        .withColumn("cell", assignCell(cells, "v", "nrm"))
-        .select("vec_id", "embedding", "pvec", "cell")
-        .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(s"$tmp/vectors")
-      cells.toDF("cell", "centroid").write.parquet(s"$tmp/centroids")
-      model.components.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
-        .toDF("c", "component", "energy")
-        .coalesce(1).write.parquet(s"$tmp/pcamodel")
+      // three independent writes inside the same swap unit — concurrent
+      graft.storage.IndexStore.inParallel(Seq(
+        () => withNorm(proj.select(col("vec_id"), col("embedding"), col("pvec"),
+            col("pvec").as("v")), "v")
+          .withColumn("cell", assignCell(cells, "v", "nrm"))
+          .select("vec_id", "embedding", "pvec", "cell")
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(s"$tmp/vectors"),
+        () => cells.toDF("cell", "centroid").write.parquet(s"$tmp/centroids"),
+        () => model.components.toSeq.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
+          .toDF("c", "component", "energy")
+          .coalesce(1).write.parquet(s"$tmp/pcamodel")))
       // deleted_vecs is deliberately NOT carried over: the tombstoned
       // rows never entered the new store — the retrain IS their purge
     }

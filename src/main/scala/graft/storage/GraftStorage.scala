@@ -130,6 +130,22 @@ object GraftStorage {
     graft.operators.MetricsOps.dedupTiers(read(spark, path), "ingest_seq",
       Seq(valueTieBreak))
 
+  /** [[readResolved]] bounded to a slice window, with the bound applied
+    * BELOW the LWW dedup window. `time_slice` derives from `time`, so
+    * every duplicate of a point key lives in one slice and pre-filtering
+    * keeps each dedup group intact — identical survivors. The placement
+    * is load-bearing for scale: the dedup window partitions by (tenant,
+    * mtype, metric, time), so a slice filter ABOVE it cannot push
+    * through (`time_slice` is not in the window's partition spec) and
+    * the scan loses partition pruning — every bounded refresh would
+    * read and shuffle the WHOLE raw history instead of its window. */
+  def resolvedWindow(spark: SparkSession, path: String,
+                     fromSlice: Long, upToSlice: Long): DataFrame =
+    graft.operators.MetricsOps.dedupTiers(
+      read(spark, path)
+        .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice),
+      "ingest_seq", Seq(valueTieBreak))
+
   def readRange(spark: SparkSession, path: String, tenantId: String,
                 mtype: MetricType, start: Long, end: Long): DataFrame =
     read(spark, path)
@@ -183,20 +199,19 @@ object GraftStorage {
       .select(col("tenant_id"), col("mtype"), col("metric"), col("time"),
         col("v.n_value"), col("v.l_value"), col("v.avail"), col("v.s_value"), col("v.tags"),
         col("ingest_seq"), col("time_slice"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // localCheckpoint truncates lineage so the overwrite does not read from
     // the path it is replacing (prod would land in a table format with an
-    // atomic REPLACE instead)
-    try deduped.localCheckpoint()
+    // atomic REPLACE instead); overwrite mode is a per-WRITER option so
+    // concurrent maintenance never races on session conf
+    deduped.localCheckpoint()
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(col("metric"), col("time"))
       .write
       .partitionBy("tenant_id", "mtype", "time_slice")
       .option("compression", "zstd")
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
-    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
   // ------------------------------------------------------------------
@@ -230,19 +245,25 @@ object GraftStorage {
    * rollups would keep serving ghosts — the same rewrite-plus-drop
    * pattern as [[deleteMetric]]. Partition-level staleness only; a
    * partially-deleted partition is rewritten by the overwrite itself.
+   *
+   * `resolved` (here and on every writeRollup* sibling): a caller
+   * refreshing SEVERAL families over one window passes the same
+   * materialized [[resolvedWindow]] frame (same slice bounds!) so the
+   * raw scan + LWW dedup shuffle run once per refresh instead of once
+   * per family — see MetricsService.refreshFamilies.
    */
   def writeRollup(spark: SparkSession, rawPath: String, rollupPath: String,
                   upToSlice: Long = Long.MaxValue,
                   fromSlice: Long = Long.MinValue,
-                  valueCol: String = "n_value"): Unit = {
+                  valueCol: String = "n_value",
+                  resolved: Option[DataFrame] = None): Unit = {
     // `valueCol` picks the value family (gauge n_value / counter
     // l_value) — exactly like [[writeRollupRate]]; the double cast is
     // the same one the raw A1 path applies, a no-op for n_value
     val v = col(valueCol).cast("double")
     // checkpoint: the frame feeds the fresh-partition-set action AND the
     // write — without it the aggregate runs twice
-    val roll = readResolved(spark, rawPath)
-      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+    val roll = resolved.getOrElse(resolvedWindow(spark, rawPath, fromSlice, upToSlice))
       .filter(col(valueCol).isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
       .groupBy(col("tenant_id"), col("mtype"), col("time_slice"),
@@ -283,17 +304,18 @@ object GraftStorage {
           case _ => ()
         }
       }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try roll
+    // per-WRITER overwrite mode (not a session-conf mutation): tier
+    // families refresh concurrently and a set/restore of the shared conf
+    // would race across threads
+    roll
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(sortCols: _*)
       .write
       .partitionBy("tenant_id", "mtype", "time_slice")
       .option("compression", "zstd")
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
-    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
   /**
@@ -320,7 +342,8 @@ object GraftStorage {
   def writeRollupHist(spark: SparkSession, rawPath: String, histPath: String,
                       vMin: Double, vMax: Double, bins: Int,
                       upToSlice: Long = Long.MaxValue,
-                      fromSlice: Long = Long.MinValue): Unit = {
+                      fromSlice: Long = Long.MinValue,
+                      resolved: Option[DataFrame] = None): Unit = {
     require(bins > 0 && vMax > vMin, "need bins > 0 and vMax > vMin")
     readHistMeta(spark, histPath) match {
       case Some(m) =>
@@ -342,8 +365,7 @@ object GraftStorage {
         writeHistMeta(spark, histPath, vMin, vMax, bins)
     }
     val width = (vMax - vMin) / bins
-    val roll = readResolved(spark, rawPath)
-      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+    val roll = resolved.getOrElse(resolvedWindow(spark, rawPath, fromSlice, upToSlice))
       .filter(col("n_value").isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
       .withColumn("bin",
@@ -593,10 +615,10 @@ object GraftStorage {
    */
   def writeRollupAvail(spark: SparkSession, rawPath: String, availPath: String,
                        upToSlice: Long = Long.MaxValue,
-                       fromSlice: Long = Long.MinValue): Unit = {
+                       fromSlice: Long = Long.MinValue,
+                       resolved: Option[DataFrame] = None): Unit = {
     val up = graft.model.AvailabilityType.Up.code.toInt
-    val in = readResolved(spark, rawPath)
-      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+    val in = resolved.getOrElse(resolvedWindow(spark, rawPath, fromSlice, upToSlice))
       .filter(col("avail").isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -735,9 +757,9 @@ object GraftStorage {
    */
   def writeRollupCounter(spark: SparkSession, rawPath: String, ctrPath: String,
                          upToSlice: Long = Long.MaxValue,
-                         fromSlice: Long = Long.MinValue): Unit = {
-    val in = readResolved(spark, rawPath)
-      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+                         fromSlice: Long = Long.MinValue,
+                         resolved: Option[DataFrame] = None): Unit = {
+    val in = resolved.getOrElse(resolvedWindow(spark, rawPath, fromSlice, upToSlice))
       .filter(col("l_value").isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -830,9 +852,9 @@ object GraftStorage {
   def writeRollupRate(spark: SparkSession, rawPath: String, ratePath: String,
                       isCounter: Boolean, valueCol: String = "l_value",
                       upToSlice: Long = Long.MaxValue,
-                      fromSlice: Long = Long.MinValue): Unit = {
-    val in = readResolved(spark, rawPath)
-      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+                      fromSlice: Long = Long.MinValue,
+                      resolved: Option[DataFrame] = None): Unit = {
+    val in = resolved.getOrElse(resolvedWindow(spark, rawPath, fromSlice, upToSlice))
       .filter(col(valueCol).isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1177,7 +1199,8 @@ object GraftStorage {
                           vMin: Double, vMax: Double, bins: Int,
                           valueCol: String = "l_value",
                           upToSlice: Long = Long.MaxValue,
-                          fromSlice: Long = Long.MinValue): Unit = {
+                          fromSlice: Long = Long.MinValue,
+                          resolved: Option[DataFrame] = None): Unit = {
     require(bins > 0 && vMax > vMin, "need bins > 0 and vMax > vMin")
     readHistMeta(spark, rateHistPath) match {
       case Some(m) =>
@@ -1191,8 +1214,7 @@ object GraftStorage {
         writeHistMeta(spark, rateHistPath, vMin, vMax, bins)
     }
     val width = (vMax - vMin) / bins
-    val in = readResolved(spark, rawPath)
-      .filter(col("time_slice") >= fromSlice && col("time_slice") < upToSlice)
+    val in = resolved.getOrElse(resolvedWindow(spark, rawPath, fromSlice, upToSlice))
       .filter(col(valueCol).isNotNull)
       .withColumn("hour", expr(s"time div $RollupMs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1471,17 +1493,15 @@ object GraftStorage {
     val before = slices(scoped)
     val remaining = scoped.filter(col("metric") =!= metric).localCheckpoint()
     val after = slices(remaining)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try remaining
+    remaining
       .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
       .sortWithinPartitions(col("metric"), col("time"))
       .write
       .partitionBy("tenant_id", "mtype", "time_slice")
       .option("compression", "zstd")
+      .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
-    finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
     (before -- after).foreach { s =>
       dropDir(spark, s"$path/tenant_id=$tenantId/mtype=${mtype.code.toInt}/time_slice=$s")
     }

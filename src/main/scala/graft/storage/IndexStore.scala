@@ -35,6 +35,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object IndexStore {
 
+  /**
+   * Run INDEPENDENT store jobs concurrently (lifecycle primitive 7 —
+   * the optimization-guide §2.6 "overlap independent jobs" discipline):
+   * Spark's scheduler happily runs several jobs at once inside one
+   * application; a multi-table store build/compaction that submits its
+   * table writes sequentially leaves most executors idle through every
+   * write's task tail. Submitting them from a small thread pool lets
+   * one table's tail back-fill with the next table's tasks — wall-clock
+   * drops from the SUM of the writes toward their MAX, at any cluster
+   * size (the win grows with executor count; at low core counts FIFO
+   * scheduling degrades gracefully to near-sequential).
+   *
+   * Callers pass only tasks with NO ordering constraint between them —
+   * crash-ordering chains (replay screen before payload, stats rebuild
+   * after base rewrites) stay sequential at the call site. Every task
+   * settles before the call returns; the first failure rethrows after
+   * all complete (no half-submitted overlap outlives the call).
+   */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(tasks.size, 4))
+      try {
+        val fs = tasks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
+        }
+        val failures = fs.flatMap(f => scala.util.Try(f.get()).failed.toOption)
+        failures.headOption.foreach {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e => throw e
+        }
+      } finally pool.shutdownNow()
+    }
+
   /** Persist build parameters as the store's single-row meta table. */
   def writeMeta(spark: SparkSession, path: String, fields: Seq[(String, Int)]): Unit = {
     val row = org.apache.spark.sql.Row.fromSeq(fields.map(_._2))
@@ -197,6 +231,11 @@ object IndexStore {
   def compactFlat(spark: SparkSession, path: String, table: String,
                   transform: DataFrame => DataFrame = identity): Unit =
     AtomicSwap.swapTable(spark, path, table)(df =>
-      transform(df).repartition(spark.sparkContext.defaultParallelism)
+      // REBALANCE, not repartition(defaultParallelism): AQE sizes the
+      // rewrite to the table's actual bytes (advisory partition size),
+      // so a tiny table compacts to one file and a huge one to
+      // well-sized files — a fixed task count writes parallelism-many
+      // near-empty files locally and undersized partitions at scale
+      transform(df).hint("rebalance")
         .write.parquet(s"$path/.$table.compact"))
 }

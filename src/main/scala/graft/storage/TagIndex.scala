@@ -52,15 +52,20 @@ object TagIndex {
     // not inherit them: leftover tombstones would screen tenants/ids
     // present in the NEW catalog out of serving
     IndexStore.clearSideTables(spark, path, Seq("tombstones", "deleted_ids"))
-    IndexStore.writeBucketed(catalog
-      .select(col("tenant_id"), col("mtype"), col("metric"),
-        explode(col("tags")).as(Seq("tag_name", "tag_value")))
-      .withColumn("bucket", bucketOf(col("tag_name"))),
-      path, "entries", overwrite = true)
-    // n_tags rides along so compaction can tell a crash-orphaned metric
-    // (n_tags > 0, no entries) from a genuinely tag-less one
-    catalog.select(IdCols.map(col) :+ size(col("tags")).cast("long").as("n_tags"): _*)
-      .write.mode("overwrite").parquet(s"$path/metrics")
+    // the two data tables are independent — concurrent (§2.6); META
+    // lands LAST, never concurrently: requireMeta is every later
+    // append/probe's half-built-store guard, so meta's existence must
+    // imply both tables landed
+    IndexStore.inParallel(Seq(
+      () => IndexStore.writeBucketed(catalog
+        .select(col("tenant_id"), col("mtype"), col("metric"),
+          explode(col("tags")).as(Seq("tag_name", "tag_value")))
+        .withColumn("bucket", bucketOf(col("tag_name"))),
+        path, "entries", overwrite = true),
+      // n_tags rides along so compaction can tell a crash-orphaned metric
+      // (n_tags > 0, no entries) from a genuinely tag-less one
+      () => catalog.select(IdCols.map(col) :+ size(col("tags")).cast("long").as("n_tags"): _*)
+        .write.mode("overwrite").parquet(s"$path/metrics")))
     IndexStore.writeMeta(spark, path, Seq("buckets" -> Buckets))
   }
 
@@ -103,12 +108,13 @@ object TagIndex {
         val t = if (rv.isEmpty) df else df.filter(!col("tenant_id").isin(rv: _*))
         revivedIds.fold(t)(ids => t.join(broadcast(ids), IdCols, "left_anti"))
       }
-      IndexStore.compactBucketed(spark, path, "entries", purgeRevived)
-      // the metrics purge here is load-bearing, not cosmetic: deletes are
-      // tombstone-APPEND-only (see [[deleteTenant]]), so the revived ids'
-      // pre-delete screen rows are still registered — without this purge
-      // the replay screen below would anti-join the revival away forever
-      IndexStore.compactFlat(spark, path, "metrics", purgeRevived)
+      IndexStore.inParallel(Seq(
+        () => IndexStore.compactBucketed(spark, path, "entries", purgeRevived),
+        // the metrics purge here is load-bearing, not cosmetic: deletes are
+        // tombstone-APPEND-only (see [[deleteTenant]]), so the revived ids'
+        // pre-delete screen rows are still registered — without this purge
+        // the replay screen below would anti-join the revival away forever
+        () => IndexStore.compactFlat(spark, path, "metrics", purgeRevived)))
       if (revived.nonEmpty) clearTombstones(spark, path, revived)
       revivedIds.foreach(clearDeletedIds(spark, path, _))
     }
@@ -359,9 +365,10 @@ object TagIndex {
       .filter(col("n_tags") > 0)
       .join(indexedIds, IdCols, "left_anti")
       .select(IdCols.map(col): _*).localCheckpoint()
-    IndexStore.compactBucketed(spark, path, "entries", purge)
-    IndexStore.compactFlat(spark, path, "metrics",
-      df => purge(df).join(orphanIds, IdCols, "left_anti"))
+    IndexStore.inParallel(Seq(
+      () => IndexStore.compactBucketed(spark, path, "entries", purge),
+      () => IndexStore.compactFlat(spark, path, "metrics",
+        df => purge(df).join(orphanIds, IdCols, "left_anti"))))
     if (dead.nonEmpty) clearTombstones(spark, path, dead.toSet)
     deadIds.foreach(_ => IndexStore.dropDeletes(spark, path, "deleted_ids"))
   }

@@ -4808,14 +4808,20 @@ object SparkEntry {
       // both SFs (cell-mean cosine 0.934-0.945 at sf0.01, 0.973-0.981 at
       // sf0.1) so the loop fires deterministically
       val fired = new java.util.concurrent.atomic.AtomicInteger(0)
-      val q = graft.streaming.StreamingSimilarity.ivfIngestWithRetrain(
-        stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2,
-        driftCosine = 0.985, onRetrain = _ => fired.incrementAndGet())
-      q.awaitTermination()
-      // fresh-build reference over the SAME final corpus: deterministic
-      // training makes the two stores answer identically iff the loop ran
-      Similarity.writeIvfIndex(e.unionByName(drifted), s"$base/ref",
-        kCells = 4, iters = 2)
+      // the fresh-build REFERENCE depends only on the staged fixture, not
+      // on the stream's output — build it concurrently with the drain
+      // (§2.6); the audit join below is unchanged either way
+      graft.storage.IndexStore.inParallel(Seq(
+        () => {
+          val q = graft.streaming.StreamingSimilarity.ivfIngestWithRetrain(
+            stream, s"$base/idx", s"$base/ckpt", kCells = 4, iters = 2,
+            driftCosine = 0.985, onRetrain = _ => fired.incrementAndGet())
+          q.awaitTermination()
+        },
+        // fresh-build reference over the SAME final corpus: deterministic
+        // training makes the two stores answer identically iff the loop ran
+        () => Similarity.writeIvfIndex(e.unionByName(drifted), s"$base/ref",
+          kCells = 4, iters = 2)))
       val qs = e.filter(col("vec_id") < 10)
       def serve(p: String, mark: String) =
         Similarity.ivfStoredTopK(s, p, qs, 10, nprobe = 2)

@@ -449,10 +449,17 @@ object Dedup {
               () => writeSizes()))
         }
         else {
-          // APPEND: keep the original commit ORDER — sizes (the replay
-          // screen) lands last, so every crash prefix is re-applied by the
-          // replay rather than screened away half-landed
-          writeBands(); writeSigs(); writeShingles(); writeSizes()
+          // APPEND: the three payload tables are unordered among
+          // themselves (a crash leaves some subset landed — the same
+          // duplicates-until-compaction class as the old sequential
+          // prefix, healed identically by the replay + compaction), so
+          // they overlap (§2.6); sizes — the replay SCREEN — still lands
+          // strictly LAST, so a half-landed batch is always re-applied by
+          // the replay rather than screened away
+          sig.count() // materialize before the concurrent writers race
+          graft.storage.IndexStore.inParallel(
+            Seq(() => writeBands(), () => writeSigs(), () => writeShingles()))
+          writeSizes()
         }
       } finally sig.unpersist()
     } finally sh.unpersist()

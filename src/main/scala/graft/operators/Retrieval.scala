@@ -246,11 +246,15 @@ object Retrieval {
           .groupBy(col("token"), col("bucket"))
           .agg(sum(col("df")).cast("long").as("df"))
           .localCheckpoint()
-        merged.repartition(col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket")
-          .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
-          .parquet(s"$path/tokenstats")
-        graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = false)
+        // the tokenstats bucket-merge and the postings append are
+        // unordered w.r.t. each other (either half-landed state is healed
+        // by compaction's rebuildStats, exactly as before) — overlap (§2.6)
+        graft.storage.IndexStore.inParallel(Seq(
+          () => merged.repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic") // per-writer, race-free
+            .parquet(s"$path/tokenstats"),
+          () => graft.storage.IndexStore.writeBucketed(tf, path, "postings", overwrite = false)))
       }
       // corpus stats: one stored row + one batch row → new exact totals
       // (add/old were captured before any write, against the pre-state),

@@ -1490,20 +1490,31 @@ object GraftStorage {
       .filter(col("tenant_id") === tenantId && col("mtype") === mtype.code.toInt)
     def slices(df: DataFrame): Set[Long] =
       df.select(col("time_slice")).distinct().collect().map(_.getLong(0)).toSet
-    val before = slices(scoped)
-    val remaining = scoped.filter(col("metric") =!= metric).localCheckpoint()
-    val after = slices(remaining)
-    remaining
-      .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
-      .sortWithinPartitions(col("metric"), col("time"))
-      .write
-      .partitionBy("tenant_id", "mtype", "time_slice")
-      .option("compression", "zstd")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .parquet(path)
-    (before -- after).foreach { s =>
-      dropDir(spark, s"$path/tenant_id=$tenantId/mtype=${mtype.code.toInt}/time_slice=$s")
+    // only slices that HOLD the metric rewrite — a one-metric delete must
+    // not rewrite the tenant's whole history (the probe's metric predicate
+    // pushes to the scan; untouched slices keep byte-identical files).
+    // Same visible result as the historical full-scope rewrite: rows of
+    // other metrics in touched slices are preserved by the rewrite, rows
+    // in untouched slices were never affected, and a slice whose ONLY
+    // metric was the deleted one still empties out and drops below.
+    val touched = slices(scoped.filter(col("metric") === metric))
+    if (touched.nonEmpty) {
+      val remaining = scoped
+        .filter(col("time_slice").isin(touched.toSeq: _*))
+        .filter(col("metric") =!= metric).localCheckpoint()
+      val after = slices(remaining)
+      remaining
+        .repartition(col("tenant_id"), col("mtype"), col("time_slice"))
+        .sortWithinPartitions(col("metric"), col("time"))
+        .write
+        .partitionBy("tenant_id", "mtype", "time_slice")
+        .option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(SaveMode.Overwrite)
+        .parquet(path)
+      (touched -- after).foreach { s =>
+        dropDir(spark, s"$path/tenant_id=$tenantId/mtype=${mtype.code.toInt}/time_slice=$s")
+      }
     }
   }
 

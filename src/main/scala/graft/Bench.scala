@@ -76,6 +76,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
+    // the full line above exceeds a ~2000-char log tail once the suite
+    // passed ~77 queries, so a tail-capture driver has parsed nothing
+    // since then — print a COMPACT summary line LAST (guaranteed to fit
+    // any tail; per-query data stays in the full line + $outPath)
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"queries_file":"$outPath","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -2778,15 +2778,18 @@ object SparkEntry {
         s.readStream.schema(schema).parquet(staged),
         s"$base/raw", s"$base/ckpt") { (sp, lo, hi) =>
         // the two rate tiers share ONE materialized resolved window and
-        // refresh concurrently (the refreshFamilies discipline)
+        // refresh concurrently (the refreshFamilies discipline); the
+        // checkpoint unpersists per batch — blocks must not accumulate
+        // across micro-batches until driver GC notices
         val rw = Some(GraftStorage.resolvedWindow(sp, s"$base/raw", lo, hi)
           .localCheckpoint())
-        graft.storage.IndexStore.inParallel(Seq(
+        try graft.storage.IndexStore.inParallel(Seq(
           () => GraftStorage.writeRollupRate(sp, s"$base/raw", s"$base/rate",
             isCounter = true, fromSlice = lo, upToSlice = hi, resolved = rw),
           () => GraftStorage.writeRollupRateHist(sp, s"$base/raw", s"$base/rhist",
             isCounter = true, vMin = 0.0, vMax = 2000.0, bins = 20,
             fromSlice = lo, upToSlice = hi, resolved = rw)))
+        finally rw.foreach(_.unpersist())
       }
       q.awaitTermination()
       MetricsOps.histogramQuantile(
@@ -6278,31 +6281,31 @@ object SparkEntry {
     ("streaming_attribution_outer", (s: SparkSession, d: String) => {
       val base = "target/tmp/attro_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       rmrf(s, base)
-      // the watermark lags one batch, so outer rows whose window closed
-      // in the final batch's own data are still pending when the first
-      // drain quiesces (and an AvailableNow RESTART with no new files
-      // runs zero batches — it cannot flush them). Stage the fixture in
-      // a scratch dir, drain, append a far-future sentinel file carrying
-      // BOTH event types (the global watermark is the MIN of the two
-      // sides' watermarks), drain again: the sentinel batch advances the
-      // watermark past every real purchase and flushes the pending outer
-      // rows — after which the closure rule the oracle applies holds
-      // exactly. Sentinel rows (negative ids) are filtered from the
-      // answer; the sentinel purchase itself stays pending by design.
+      // Outer rows emit only once the watermark proves no match can still
+      // arrive, so the fixture needs a far-future sentinel carrying BOTH
+      // event types (the global watermark is the MIN of the two sides').
+      // The sentinel is staged BEFORE the single AvailableNow drain: the
+      // data batch advances the watermark past every real purchase, and
+      // the trailing no-data micro-batch AvailableNow always runs on a
+      // watermark advance flushes every pending outer row — the same
+      // final row set the historical double drain produced (outer
+      // emission depends on the watermark trajectory against state, and
+      // both schedules end at the same watermark), at HALF the fixed
+      // per-drain cost: measured r15, each drain paid ~2 micro-batches ×
+      // 128 state-store commits (~50 s aggregate commit time per batch at
+      // 32 partitions × 4 join stores) plus query start/planning — the
+      // second drain processed 4 sentinel rows for ~5 s wall (§1 measure
+      // first, §2 fixed costs dominate). Sentinel rows (negative ids) are
+      // filtered from the answer; the sentinel purchase itself stays
+      // pending by design. The fixture file is staged by FILESYSTEM copy
+      // — byte-identical input, none of the decode/re-encode the old
+      // read+write staging paid (~4 s single-task).
       val stage = s"$base/stage"
-      s.read.parquet(s"$d/events.parquet").write.mode("overwrite").parquet(stage)
-      def drain(): Unit = {
-        val st = graft.streaming.StreamingAttribution.attributionPairs(
-          ea.eventFrameStreamDir(s, stage), leftOuter = true)
-        val q = st.writeStream
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$base/ckpt")
-          .format("parquet").option("path", s"$base/out")
-          .start()
-        q.awaitTermination()
-      }
-      drain()
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val dst = new org.apache.hadoop.fs.Path(s"$stage/events.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+        dst.getFileSystem(conf), dst, false, conf)
       val ev = s.read.parquet(stage)
       val tsPlus = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -6316,7 +6319,15 @@ object SparkEntry {
           .withColumn("event_type", lit("purchase")))
         .select(ev.columns.map(col): _*)
         .write.mode("append").parquet(stage)
-      drain()
+      val st = graft.streaming.StreamingAttribution.attributionPairs(
+        ea.eventFrameStreamDir(s, stage), leftOuter = true)
+      val q = st.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .start()
+      q.awaitTermination()
       s.read.parquet(s"$base/out").filter(col("user_id") >= 0)
     },
       Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS time, value FROM events),
@@ -7490,9 +7501,14 @@ object SparkEntry {
       import s.implicits._
       val bm25Path = "target/tmp/srv_bm25_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       val ivfPath = "target/tmp/srv_ivf_" + d.replaceAll("[^a-zA-Z0-9]", "_")
-      prebuilt(s, d, bm25Path)(Retrieval.writeBm25Index(docs(s, d), bm25Path))
       val e = embs(s, d)
-      prebuilt(s, d, ivfPath)(Similarity.writeIvfIndex(e, ivfPath, kCells = 4, iters = 2))
+      // the two store builds are fully independent (disjoint paths,
+      // disjoint inputs) — overlap them (§2.6); first run only, later
+      // runs hit both prebuilt markers and skip straight to serving
+      graft.storage.IndexStore.inParallel(Seq(
+        () => prebuilt(s, d, bm25Path)(Retrieval.writeBm25Index(docs(s, d), bm25Path)),
+        () => prebuilt(s, d, ivfPath)(
+          Similarity.writeIvfIndex(e, ivfPath, kCells = 4, iters = 2))))
       val lex = Retrieval.bm25StoredTopK(s, bm25Path, bm25Queries(s), k = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val w = Window.partitionBy(col("query_id"))

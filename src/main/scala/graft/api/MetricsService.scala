@@ -576,6 +576,14 @@ class MetricsService(spark: SparkSession, root: String,
     // idling the executors nine times per refresh
     val resolved = Some(
       GraftStorage.resolvedWindow(spark, dataPath, fromSlice, upToSlice).localCheckpoint())
+    try { refreshFrom(t, resolved, upToSlice, fromSlice) }
+    // a long-lived service refreshing on a cadence must not let
+    // checkpoint blocks pile up until driver GC reclaims them
+    finally resolved.foreach(_.unpersist())
+  }
+
+  private def refreshFrom(t: MetricsService.TierLayout, resolved: Option[DataFrame],
+                          upToSlice: Long, fromSlice: Long): Unit = {
     val families = Seq[() => Unit](
       () => GraftStorage.writeRollup(spark, dataPath, t.gaugeSums, upToSlice, fromSlice,
         resolved = resolved),

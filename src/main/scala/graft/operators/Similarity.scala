@@ -34,6 +34,22 @@ object Similarity {
   /** raw embedding column — VectorDot widens float elements itself. */
   private def dvec(c: String) = col(c)
 
+  /** Spread a DEGENERATE-parallelism input before a CPU-heavy per-row
+    * stage (guide §2.5 "input skew: one huge unsplittable file …
+    * repartition immediately after the read"): a one-small-file read or
+    * a coalesced micro-batch otherwise runs the whole downstream fan-out
+    * in a single task. STRICTLY a no-op when the input already carries
+    * at least half the cluster's parallelism — a wide 100 TB scan must
+    * never pay an extra full shuffle; when the branch fires the input
+    * is, by definition, narrow (at most a couple of partitions' worth of
+    * rows), so the round-robin exchange it inserts is bounded. Callers
+    * must only use it above ORDER-INSENSITIVE computation (exact decimal
+    * aggregates, per-row projections). */
+  private def spreadDegenerate(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(target)
+  }
+
   private def withNorm(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("nrm", sqrt(graft.plans.VectorDot(col(vecCol), col(vecCol))))
 
@@ -736,17 +752,21 @@ object Similarity {
     val m = hierKmeansModel(
       sampleN.fold(corpus)(n => trainingSample(corpus, n).localCheckpoint()),
       kCells, iters)
-    // vectors + coarse routing model are independent — concurrent (§2.6);
-    // centroids land LAST, never concurrently: the table is the streaming
-    // maintainer's bootstrap-vs-append discriminator — its existence must
-    // imply every other table landed
-    graft.storage.IndexStore.inParallel(Seq(
-      () => hierAssigned(corpus, m)
-        .repartition(col("cell")) // file discipline, as in writeIvfIndex
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors"),
-      () => writeCoarseModel(spark, path, m)))
+    // STRICT write order (the scaladoc contract): vectors → centroids →
+    // coarse. Centroids is the streaming maintainer's bootstrap-vs-append
+    // discriminator (its existence must imply the vectors landed), and
+    // coarse — the routed-serving discriminator hierModelOf keys off —
+    // lands dead LAST: an in-place rebuild over a live store that crashed
+    // mid-overlap must never leave a NEW routing model beside the OLD
+    // generation's vectors/centroids (routed serving would silently pair
+    // mismatched generations). Coarse is cells-sized — overlapping it
+    // bought nothing; the r14 overlap here was a crash-ordering bug.
+    hierAssigned(corpus, m)
+      .repartition(col("cell")) // file discipline, as in writeIvfIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     m.leaves.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    writeCoarseModel(spark, path, m)
   }
 
   /** Persist the routing half of a [[HierIvfModel]] beside the leaf
@@ -1669,19 +1689,19 @@ object Similarity {
         (normed.withColumn("cell", assignCell(m, "v", "nrm")), m, None)
       }
     val cbs = pqCodebooksFrom(model)
-    // vectors + optional coarse model are independent — concurrent (§2.6);
-    // centroids land LAST, never concurrently: the table is the streaming
-    // maintainer's bootstrap-vs-append discriminator — its existence must
-    // imply every other table landed
-    graft.storage.IndexStore.inParallel(Seq[() => Unit](
-      () => assigned
-        .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
-        .select("vec_id", "embedding", "codes", "cell")
-        .repartition(col("cell")) // file discipline, as in writeIvfIndex
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")) ++
-      hierM.map(m => () => writeCoarseModel(spark, path, m)))
+    // STRICT write order: vectors → centroids (the streaming maintainer's
+    // bootstrap-vs-append discriminator) → coarse LAST — the routed
+    // discriminator must never precede the generation it describes (a
+    // crash mid-rebuild would pair a NEW routing model with the OLD
+    // store); a crash before coarse leaves a valid FLAT store
+    assigned
+      .withColumn("codes", pqEncodeUdf(cbs)(dvec("embedding")))
+      .select("vec_id", "embedding", "codes", "cell")
+      .repartition(col("cell")) // file discipline, as in writeIvfIndex
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     model.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    hierM.foreach(m => writeCoarseModel(spark, path, m))
   }
 
   /**
@@ -2348,7 +2368,17 @@ object Similarity {
    */
   def pcaFit(emb: DataFrame, dims: Int): PcaModel = {
     require(dims >= 1 && dims <= Dim, s"dims ($dims) must be in [1, $Dim]")
-    val upper = emb.select(explode(expr(
+    // the Gram pass fans every row out to Dim·(Dim+1)/2 = 2080 pair
+    // products BEFORE the partial aggregate — on a degenerate-parallelism
+    // input (one small file, a coalesced micro-batch) that whole fan-out
+    // runs in ONE task (§2.5 input skew: repartition right after a
+    // low-parallelism read). spreadDegenerate is a no-op when the input
+    // already carries enough partitions — at 100 TB the corpus arrives
+    // wide and must NOT pay an extra full shuffle; the shuffle only fires
+    // when the input is narrow, where it is by definition small. The
+    // aggregate is exact decimal sums — row order cannot change the fit.
+    val wide = spreadDegenerate(emb.select(col("embedding")))
+    val upper = wide.select(explode(expr(
       """flatten(transform(embedding, (xi, i) ->
         |  transform(slice(embedding, i + 1, size(embedding) - i), (xj, j) ->
         |    struct(i AS i, i + j AS j,
@@ -2596,22 +2626,26 @@ object Similarity {
         val m = kmeansCentroids(cellTrain, kCells, iters, dim = dims)
         (normed.withColumn("cell", assignCell(m, "v", "nrm")), m, None)
       }
-    // vectors/centroids/coarse are independent — concurrent (§2.6); the
-    // BASIS lands LAST, never concurrently: pcamodel is the streaming
+    // vectors + centroids are independent — concurrent (§2.6). The BASIS
+    // lands next, never concurrently: pcamodel is the streaming
     // maintainer's bootstrap-vs-append discriminator — its existence must
-    // imply every other table landed
+    // imply the store tables landed. Coarse — the ROUTED discriminator —
+    // lands strictly LAST, after pcamodel: a crash mid-rebuild must never
+    // leave a NEW routing model beside an OLD generation's tables (routed
+    // serving would silently pair mismatched generations); a crash before
+    // coarse leaves a valid FLAT store.
     graft.storage.IndexStore.inParallel(Seq[() => Unit](
       () => assigned
         .select("vec_id", "embedding", "pvec", "cell")
         .repartition(col("cell")) // file discipline, as in writeIvfIndex
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors"),
       () => cells.toDF("cell", "centroid")
-        .write.mode("overwrite").parquet(s"$path/centroids")) ++
-      hierM.map(m => () => writeCoarseModel(spark, path, m)))
+        .write.mode("overwrite").parquet(s"$path/centroids")))
     model.components.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, model.energies(i)) }
       .toDF("c", "component", "energy")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pcamodel")
+    hierM.foreach(m => writeCoarseModel(spark, path, m))
   }
 
   /** The store's own PCA basis — dims×Dim doubles, driver-resident. */

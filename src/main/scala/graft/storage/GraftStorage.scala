@@ -1498,9 +1498,16 @@ object GraftStorage {
     // in untouched slices were never affected, and a slice whose ONLY
     // metric was the deleted one still empties out and drops below.
     val touched = slices(scoped.filter(col("metric") === metric))
-    if (touched.nonEmpty) {
+    // the touched-slice predicate is CHUNKED: a long-lived metric can
+    // touch thousands of slices, and an unbounded isin would put that
+    // many literals in one plan (driver-side planning cost, no range
+    // pruning); each chunk pairs a (min,max) range bound — the partition
+    // pruner's fast path — with a ≤1024-literal isin that keeps sparse
+    // chunks from rewriting untouched slices inside the range
+    touched.toSeq.sorted.grouped(1024).foreach { chunk =>
       val remaining = scoped
-        .filter(col("time_slice").isin(touched.toSeq: _*))
+        .filter(col("time_slice").between(chunk.head, chunk.last))
+        .filter(col("time_slice").isin(chunk: _*))
         .filter(col("metric") =!= metric).localCheckpoint()
       val after = slices(remaining)
       remaining
@@ -1512,9 +1519,10 @@ object GraftStorage {
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite)
         .parquet(path)
-      (touched -- after).foreach { s =>
+      (chunk.toSet -- after).foreach { s =>
         dropDir(spark, s"$path/tenant_id=$tenantId/mtype=${mtype.code.toInt}/time_slice=$s")
       }
+      remaining.unpersist()
     }
   }
 

@@ -62,9 +62,15 @@ object IndexStore {
           pool.submit(new java.util.concurrent.Callable[Unit] { def call(): Unit = t() })
         }
         val failures = fs.flatMap(f => scala.util.Try(f.get()).failed.toOption)
-        failures.headOption.foreach {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-          case e => throw e
+          .map {
+            case e: java.util.concurrent.ExecutionException => e.getCause
+            case e => e
+          }
+        failures.headOption.foreach { first =>
+          // keep the OTHER concurrent failures' diagnostics: a transient
+          // FS error must not mask a real bug that failed alongside it
+          failures.tail.filter(_ ne first).foreach(first.addSuppressed)
+          throw first
         }
       } finally pool.shutdownNow()
     }

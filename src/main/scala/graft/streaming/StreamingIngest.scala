@@ -86,22 +86,25 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // checkpoint: the frame feeds the raw write AND the slice-set
-        // action — without it the batch recomputes
+        // action — without it the batch recomputes; unpersisted per batch
+        // so blocks don't accumulate across a drain's micro-batches
         val b = batch.localCheckpoint()
-        GraftStorage.write(b, rawPath, SaveMode.Append)
-        // refresh per contiguous RUN of touched slices, not the whole
-        // [min, max] span: one late point riding a current batch would
-        // otherwise re-aggregate every slice between them (the distinct
-        // set is batch-slice-count-sized — collect-safe)
-        val touched = GraftStorage.withSlice(b).select(col("time_slice"))
-          .distinct().collect().map(_.getLong(0)).sorted
-        val runs = touched.foldLeft(Vector.empty[(Long, Long)]) { (acc, s) =>
-          acc.lastOption match {
-            case Some((lo, hi)) if s == hi + 1 => acc.init :+ (lo, s)
-            case _ => acc :+ ((s, s))
+        try {
+          GraftStorage.write(b, rawPath, SaveMode.Append)
+          // refresh per contiguous RUN of touched slices, not the whole
+          // [min, max] span: one late point riding a current batch would
+          // otherwise re-aggregate every slice between them (the distinct
+          // set is batch-slice-count-sized — collect-safe)
+          val touched = GraftStorage.withSlice(b).select(col("time_slice"))
+            .distinct().collect().map(_.getLong(0)).sorted
+          val runs = touched.foldLeft(Vector.empty[(Long, Long)]) { (acc, s) =>
+            acc.lastOption match {
+              case Some((lo, hi)) if s == hi + 1 => acc.init :+ (lo, s)
+              case _ => acc :+ ((s, s))
+            }
           }
-        }
-        runs.foreach { case (lo, hi) => refresh(b.sparkSession, lo, hi + 1) }
+          runs.foreach { case (lo, hi) => refresh(b.sparkSession, lo, hi + 1) }
+        } finally b.unpersist()
       }
       .start()
 

@@ -33,16 +33,24 @@ object StreamingRetrieval {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // the INDEX PATH's filesystem, not the default one — a scheme
-        // mismatch (hdfs default, file: index or vice versa) would make
-        // the probe answer false every trigger and silently rebuild
-        val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-        val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(meta))
-          Retrieval.writeBm25Index(batch, indexPath)
-        else Retrieval.appendToBm25Index(spark, indexPath, batch)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // ONE materialization of the micro-batch feeds its multiple
+        // passes (the build tokenizes into a cached postings frame but
+        // ALSO scans the batch for corpusstats + docstats; the append
+        // adds the screen anti-join pass) — trigger-sized, unpersisted
+        // per batch
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
+          // the INDEX PATH's filesystem, not the default one — a scheme
+          // mismatch (hdfs default, file: index or vice versa) would make
+          // the probe answer false every trigger and silently rebuild
+          val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+          val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(meta))
+            Retrieval.writeBm25Index(batch, indexPath)
+          else Retrieval.appendToBm25Index(spark, indexPath, batch)
+        } finally batch.unpersist()
       }
       .start()
 }

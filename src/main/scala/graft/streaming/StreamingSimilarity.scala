@@ -44,21 +44,30 @@ object StreamingSimilarity {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // an empty batch must not bootstrap-train (k-means on zero
-        // vectors fails loudly); the NEXT non-empty batch builds instead
-        if (!batch.isEmpty) {
-          // the INDEX PATH's filesystem, not the default one (the
-          // StreamingRetrieval scheme-mismatch gotcha)
-          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
-          val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(cents)) {
-            if (hier) Similarity.writeIvfIndexHier(batch, indexPath, kCells, iters)
-            else Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // ONE materialization of the micro-batch feeds every pass over it
+        // (bootstrap training re-reads the batch per k-means iteration
+        // plus once for the assignment write — each pass re-scanned the
+        // source files otherwise). Trigger-sized, unpersisted per batch —
+        // bounded at any scale (guide §2: don't recompute what one
+        // bounded cache covers).
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
+          // an empty batch must not bootstrap-train (k-means on zero
+          // vectors fails loudly); the NEXT non-empty batch builds instead
+          if (!batch.isEmpty) {
+            // the INDEX PATH's filesystem, not the default one (the
+            // StreamingRetrieval scheme-mismatch gotcha)
+            val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+            val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(cents)) {
+              if (hier) Similarity.writeIvfIndexHier(batch, indexPath, kCells, iters)
+              else Similarity.writeIvfIndex(batch, indexPath, kCells, iters)
+            }
+            else Similarity.appendToIvfIndex(spark, indexPath, batch)
           }
-          else Similarity.appendToIvfIndex(spark, indexPath, batch)
-        }
+        } finally batch.unpersist()
       }
       .start()
 
@@ -80,18 +89,24 @@ object StreamingSimilarity {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // one materialized batch feeds the PCA fit + k-means passes +
+        // assignment write of the bootstrap (see ivfIngest's note)
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
           // existence of the BASIS decides bootstrap vs append — it is
-          // the last table the build lands, so a half-built store
-          // re-bootstraps rather than appending through a missing model
+          // the store-table the build lands after vectors/centroids, so a
+          // half-built store re-bootstraps rather than appending through
+          // a missing model
           val modelDir = new org.apache.hadoop.fs.Path(s"$indexPath/pcamodel")
           val fs = modelDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(modelDir))
-            Similarity.writePcaIvfIndex(batch, indexPath, dims, kCells, iters)
-          else Similarity.appendToPcaIvfIndex(spark, indexPath, batch)
-        }
+          if (!batch.isEmpty) {
+            if (!fs.exists(modelDir))
+              Similarity.writePcaIvfIndex(batch, indexPath, dims, kCells, iters)
+            else Similarity.appendToPcaIvfIndex(spark, indexPath, batch)
+          }
+        } finally batch.unpersist()
       }
       .start()
 
@@ -111,15 +126,20 @@ object StreamingSimilarity {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
-          val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(cents))
-            Similarity.writeIvfPqIndex(batch, indexPath, kCells, iters)
-          else Similarity.appendToIvfPqIndex(spark, indexPath, batch)
-        }
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // one materialized batch feeds the k-means passes + encode write
+        // of the bootstrap (see ivfIngest's note)
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
+          if (!batch.isEmpty) {
+            val cents = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+            val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(cents))
+              Similarity.writeIvfPqIndex(batch, indexPath, kCells, iters)
+            else Similarity.appendToIvfPqIndex(spark, indexPath, batch)
+          }
+        } finally batch.unpersist()
       }
       .start()
 
@@ -142,15 +162,20 @@ object StreamingSimilarity {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          val planes = new org.apache.hadoop.fs.Path(s"$indexPath/planes")
-          val fs = planes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(planes))
-            Similarity.writeSrpIndex(batch, indexPath, numPlanes)
-          else Similarity.appendToSrpIndex(spark, indexPath, batch)
-        }
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // one materialized batch feeds the plane derivation + bucketed
+        // write of the bootstrap (see ivfIngest's note)
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
+          if (!batch.isEmpty) {
+            val planes = new org.apache.hadoop.fs.Path(s"$indexPath/planes")
+            val fs = planes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(planes))
+              Similarity.writeSrpIndex(batch, indexPath, numPlanes)
+            else Similarity.appendToSrpIndex(spark, indexPath, batch)
+          }
+        } finally batch.unpersist()
       }
       .start()
 
@@ -171,16 +196,21 @@ object StreamingSimilarity {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty) {
-          val cb = new org.apache.hadoop.fs.Path(s"$indexPath/residcb")
-          val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(cb))
-            Similarity.writeIvfPqResidualIndex(batch, indexPath,
-              kCells, iters, kCodes, codeIters)
-          else Similarity.appendToIvfPqResidualIndex(spark, indexPath, batch)
-        }
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // one materialized batch feeds BOTH trainings (coarse + residual
+        // codebooks) and the encode write (see ivfIngest's note)
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
+          if (!batch.isEmpty) {
+            val cb = new org.apache.hadoop.fs.Path(s"$indexPath/residcb")
+            val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(cb))
+              Similarity.writeIvfPqResidualIndex(batch, indexPath,
+                kCells, iters, kCodes, codeIters)
+            else Similarity.appendToIvfPqResidualIndex(spark, indexPath, batch)
+          }
+        } finally batch.unpersist()
       }
       .start()
 
@@ -222,7 +252,11 @@ object StreamingSimilarity {
       .outputMode(OutputMode.Append)
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // one materialized batch feeds the bootstrap's training passes /
+        // the append's screen+assign write (see ivfIngest's note)
+        val batch = batch0.persist()
+        try {
         val spark = batch.sparkSession
         import org.apache.spark.sql.functions.{col, min}
         if (!batch.isEmpty) {
@@ -248,6 +282,7 @@ object StreamingSimilarity {
             }
           }
         }
+        } finally batch.unpersist()
       }
       .start()
 }
